@@ -1,0 +1,140 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Per-column min/max/null statistics carried in the manifest; consumed for
+  * segment skipping at scan planning time. */
+final case class ColumnStats(min: Option[String], max: Option[String], nullCount: Long)
+
+/** One immutable data segment. `ordinal` is assigned at manifest-commit time
+  * and orders records globally: record seq = ordinal << 40 | rowIndex. */
+final case class SegmentInfo(
+    file: String,
+    ordinal: Long,
+    rows: Long,
+    tombstones: Long,
+    bytes: Long,
+    stats: Map[String, ColumnStats])
+
+/** A committed collection version: the full list of live segments plus
+  * collection-level flags. `mutated` records whether any committed write was
+  * an upsert/delete — pure-append collections skip last-write-wins
+  * resolution entirely (no shuffle on read). */
+final case class Manifest(
+    version: Long,
+    segments: Seq[SegmentInfo],
+    mutated: Boolean) {
+  def nextOrdinal: Long = if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1
+}
+
+/** Collection directory layout and metadata persistence.
+  *
+  * A collection is a directory (reference `hadro/engine.py:91-97`) holding:
+  *   - `_hadro/schema.json` — the StructType + optional key field, realizing
+  *     the reference's declared-but-unwritten `00000000.schema`
+  *     (`hadro/engine.py:84,99-100`);
+  *   - `_hadro/manifest-<v>.json` — versioned segment lists; the newest
+  *     version is the committed state. Commits write a temp file then
+  *     atomically rename, which gives the declared batch-transaction
+  *     semantics (`INTERFACE.md:40-43`): readers see all of a commit's
+  *     segments or none.
+  *   - `*.data` segment files (multi-segment generalization of the
+  *     reference's single `00000000.data`, `hadro/engine.py:83`).
+  */
+object CollectionMeta {
+  private implicit val formats: Formats = DefaultFormats
+
+  def metaDir(collection: Path): Path = collection.resolve("_hadro")
+  private def schemaFile(collection: Path): Path = metaDir(collection).resolve("schema.json")
+
+  // ------------------------------------------------------------- schema
+
+  final case class SchemaMeta(schema: StructType, keyField: Option[String])
+
+  def writeSchema(collection: Path, schema: StructType, keyField: Option[String]): Unit = {
+    Files.createDirectories(metaDir(collection))
+    val json = Serialization.write(Map(
+      "sparkSchema" -> JsonMethods.parse(schema.json),
+      "keyField" -> keyField))
+    val tmp = metaDir(collection).resolve(s"schema.json.tmp${System.nanoTime()}")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, schemaFile(collection), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readSchema(collection: Path): Option[SchemaMeta] = {
+    val f = schemaFile(collection)
+    if (!Files.exists(f)) None
+    else {
+      val root = JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      val schema = DataType.fromJson(JsonMethods.compact(root \ "sparkSchema")).asInstanceOf[StructType]
+      val key = (root \ "keyField") match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      Some(SchemaMeta(schema, key))
+    }
+  }
+
+  // ----------------------------------------------------------- manifest
+
+  private val ManifestRe = "manifest-(\\d{10})\\.json".r
+
+  private def manifestFile(collection: Path, v: Long): Path =
+    metaDir(collection).resolve(f"manifest-$v%010d.json")
+
+  def currentManifest(collection: Path): Manifest = {
+    val dir = metaDir(collection)
+    if (!Files.exists(dir)) return Manifest(0L, Nil, mutated = false)
+    val versions = Files.list(dir).iterator().asScala
+      .flatMap(p => p.getFileName.toString match {
+        case ManifestRe(v) => Some(v.toLong)
+        case _ => None
+      }).toSeq
+    if (versions.isEmpty) Manifest(0L, Nil, mutated = false)
+    else readManifest(collection, versions.max)
+  }
+
+  private def readManifest(collection: Path, v: Long): Manifest = {
+    val root = JsonMethods.parse(new String(
+      Files.readAllBytes(manifestFile(collection, v)), StandardCharsets.UTF_8))
+    root.extract[Manifest]
+  }
+
+  /** Atomically publish a new manifest version. Retries on version races
+    * (two committers picking the same next version) — the loser re-reads and
+    * re-applies on top of the winner. `update` maps the current manifest to
+    * the desired next state (same-version content is rewritten with v+1). */
+  def commit(collection: Path, update: Manifest => Manifest): Manifest = {
+    var attempts = 0
+    while (true) {
+      val cur = currentManifest(collection)
+      val next0 = update(cur)
+      val next = next0.copy(version = cur.version + 1)
+      val target = manifestFile(collection, next.version)
+      val tmp = metaDir(collection).resolve(s".tmp-${System.nanoTime()}-${next.version}")
+      Files.createDirectories(metaDir(collection))
+      Files.write(tmp, Serialization.write(next).getBytes(StandardCharsets.UTF_8))
+      try {
+        // CREATE_NEW-equivalent atomic publish: rename fails if target exists
+        // on POSIX only via our existence check; emulate with createFile.
+        Files.createFile(target) // claims the version slot atomically
+        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempts += 1
+          if (attempts > 50)
+            throw new IllegalStateException(s"manifest commit contention on $collection")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.Collection
+
+/** The hadro storage-format battery (SURVEY.md §2.1 + §2.2): every query
+  * ingests driver parquet into a hadro collection, exercises a storage
+  * operator through the public `format("hadro")` / [[Collection]] surface,
+  * and returns a result the DuckDB oracle reproduces from the original
+  * parquet — proving the round-trip byte-exact.
+  *
+  * Collections live under /tmp, one per (query, scale factor), rebuilt on
+  * each run so Verify and Bench are deterministic and isolated.
+  */
+object StorageQueries {
+  import QueryDef.table
+
+  private def colPath(dir: String, name: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/graft_collections/$tag/$name"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- h01
+    // Open/create + append + sequential scan (SURVEY §2.1 #1-#3): full
+    // round-trip of a table through the hadro log, multi-segment.
+    QueryDef(
+      "h01_roundtrip_scan",
+      (s, dir) => {
+        val c = Collection.create(s, colPath(dir, "h01"), table(s, dir, "nation"), numSegments = 4)
+        c.scan().orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // ---------------------------------------------------------------- h02
+    // Filter pushdown (§2.1 #5): predicate reaches the scan (manifest
+    // min/max segment skipping + Catalyst residual filter).
+    QueryDef(
+      "h02_filter_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "orders")
+          .repartitionByRange(8, $"o_orderkey") // clustered → skippable ranges
+        val c = Collection.create(s, colPath(dir, "h02"), src)
+        c.scan().filter($"o_orderkey" < 1000 && $"o_totalprice" > 100000.0)
+          .select($"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey < 1000 AND o_totalprice > 100000.0
+        ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- h03
+    // Projection pushdown (§2.1 #4): only 2 of 6 part columns are decoded
+    // (the codec skips the rest byte-exactly).
+    QueryDef(
+      "h03_projection_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val c = Collection.create(s, colPath(dir, "h03"), table(s, dir, "part"), numSegments = 4)
+        c.scan().select($"p_partkey", $"p_brand").orderBy($"p_partkey")
+      },
+      Some("SELECT p_partkey, p_brand FROM part ORDER BY p_partkey")),
+
+    // ---------------------------------------------------------------- h04
+    // Keyed upsert / last-write-wins (§2.2 #11): overwrite the name of
+    // every even-keyed supplier, resolved view must show latest versions.
+    QueryDef(
+      "h04_keyed_upsert_lww",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "supplier")
+        val c = Collection.create(s, colPath(dir, "h04"), src,
+          key = Some("s_suppkey"), numSegments = 4)
+        val updates = src.filter($"s_suppkey" % 2 === 0)
+          .withColumn("s_name", concat(lit("UPDATED_"), $"s_name"))
+        c.set(updates)
+        c.toDF().select($"s_suppkey", $"s_name", $"s_acctbal").orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey,
+          CASE WHEN s_suppkey % 2 = 0 THEN 'UPDATED_' || s_name ELSE s_name END AS s_name,
+          s_acctbal
+        FROM supplier ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------------- h05
+    // Delete via tombstones (§2.1 #6, §2.2 #13): remove every 5th customer,
+    // resolved view excludes them.
+    QueryDef(
+      "h05_delete_tombstone",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "customer")
+        val c = Collection.create(s, colPath(dir, "h05"), src,
+          key = Some("c_custkey"), numSegments = 4)
+        c.delete(src.filter($"c_custkey" % 5 === 0).select($"c_custkey"))
+        c.toDF().select($"c_custkey", $"c_name", $"c_acctbal").orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 5 <> 0 ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- h06
+    // Point lookup by key (§2.2 #10): get() over a keyed collection;
+    // manifest stats restrict the scan to one segment.
+    QueryDef(
+      "h06_point_get",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "customer").repartitionByRange(8, $"c_custkey")
+        val c = Collection.create(s, colPath(dir, "h06"), src, key = Some("c_custkey"))
+        c.get(42L).select($"c_custkey", $"c_name", $"c_nationkey")
+      },
+      Some("SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey = 42")),
+
+    // ---------------------------------------------------------------- h07
+    // Compaction (§2.2 #23): delete + upsert, compact, then RAW scan — the
+    // rewritten log must contain exactly the live resolved rows.
+    QueryDef(
+      "h07_compact",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "nation")
+        val c = Collection.create(s, colPath(dir, "h07"), src, key = Some("n_nationkey"))
+        c.delete(src.filter($"n_nationkey" >= 20).select($"n_nationkey"))
+        c.set(src.filter($"n_nationkey" < 5).withColumn("n_name", upper($"n_name")))
+        c.compact()
+        c.scan().orderBy($"n_nationkey") // raw scan: compaction left only live rows
+      },
+      Some("""SELECT n_nationkey, CASE WHEN n_nationkey < 5 THEN UPPER(n_name) ELSE n_name END AS n_name,
+          n_regionkey
+        FROM nation WHERE n_nationkey < 20 ORDER BY n_nationkey""")),
+
+    // ---------------------------------------------------------------- h08
+    // Key enumeration + cardinality (§2.2 #15/#16) and where() (#17).
+    QueryDef(
+      "h08_ids_where",
+      (s, dir) => {
+        import s.implicits._
+        val c = Collection.create(s, colPath(dir, "h08"), table(s, dir, "part"),
+          key = Some("p_partkey"), numSegments = 4)
+        c.where($"p_size" > 25).select($"p_partkey", $"p_size").orderBy($"p_partkey")
+      },
+      Some("SELECT p_partkey, p_size FROM part WHERE p_size > 25 ORDER BY p_partkey")),
+
+    // ---------------------------------------------------------------- h09
+    // Durability mode (§2.1 #7): AGGRESSIVE fsync-per-record write path
+    // produces the identical log content.
+    QueryDef(
+      "h09_consistency_aggressive",
+      (s, dir) => {
+        val c = Collection.create(s, colPath(dir, "h09"), table(s, dir, "region"),
+          consistency = "aggressive")
+        c.scan().orderBy("r_regionkey")
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    // ---------------------------------------------------------------- h10
+    // Codec stress: nested ArrayType(FloatType) embeddings + bigint-nanos
+    // events round-trip through the log byte-exactly.
+    QueryDef(
+      "h10_array_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val c = Collection.create(s, colPath(dir, "h10"), table(s, dir, "embeddings"),
+          numSegments = 4)
+        c.scan()
+          .select($"vec_id", size($"embedding").as("dim"),
+            element_at($"embedding", 1).cast(DoubleType).as("first_val"), $"label")
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+          CAST(embedding[1] AS DOUBLE) AS first_val, label
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ---------------------------------------------------------------- h11
+    // Aggregation over the hadro source: the full relational layer composes
+    // on our DSv2 scan exactly as over parquet (SURVEY §2.3's core bet).
+    QueryDef(
+      "h11_agg_over_hadro",
+      (s, dir) => {
+        import s.implicits._
+        val c = Collection.create(s, colPath(dir, "h11"), table(s, dir, "lineitem"),
+          numSegments = 8)
+        c.scan()
+          .groupBy($"l_returnflag")
+          .agg(
+            sum($"l_quantity".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}

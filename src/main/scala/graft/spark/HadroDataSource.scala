@@ -1,0 +1,265 @@
+package graft.spark
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.format.{RecordCodec, SegmentReader, StatsCollector}
+import graft.meta.{CollectionMeta, Manifest, SegmentInfo}
+
+/** DSv2 entry point for the hadro storage format: register via
+  * `spark.read/write.format("hadro")` (META-INF/services). A "collection" is
+  * a directory of immutable segment files plus `_hadro/` metadata — the
+  * Spark-parallel realization of the reference's single-file Bitcask layout
+  * (`/root/reference/hadro/engine.py:80-120`).
+  */
+final class HadroDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "hadro"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def collectionPath(options: CaseInsensitiveStringMap): Path = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "hadro: a collection path is required") // engine.py:88-89
+    Paths.get(p)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CollectionMeta.readSchema(collectionPath(options)).map(_.schema).getOrElse {
+      throw new IllegalArgumentException(
+        s"hadro: collection at ${collectionPath(options)} has no schema " +
+          "(write to it first, or pass an explicit schema)")
+    }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new HadroTable(collectionPath(opts), schema)
+  }
+}
+
+object HadroTable {
+  val SeqCol = "_hadro_seq"
+  val DeletedCol = "_hadro_deleted"
+  val MetaColNames: Set[String] = Set(SeqCol, DeletedCol)
+  /** Bits reserved for the in-segment row index inside a record's global
+    * sequence number: seq = segmentOrdinal << 40 | rowIndex. 2^40 rows per
+    * segment and 2^23 segments per collection. */
+  val SeqOrdinalShift = 40
+}
+
+/** One hadro collection as a Spark table. Exposes `_hadro_seq` and
+  * `_hadro_deleted` metadata columns — selecting `_hadro_deleted` switches
+  * the scan into raw mode (tombstone records included) so the Collection
+  * API can resolve last-write-wins; a plain scan skips tombstones exactly
+  * like the reference (`hadro/engine.py:169`). */
+final class HadroTable(path: Path, dataSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+
+  override def name(): String = s"hadro.`$path`"
+  override def schema(): StructType = dataSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = HadroTable.SeqCol
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String = "hadro record sequence (segment ordinal << 40 | row index)"
+    },
+    new MetadataColumn {
+      override def name: String = HadroTable.DeletedCol
+      override def dataType: DataType = BooleanType
+      override def isNullable: Boolean = false
+      override def comment: String = "hadro tombstone flag; selecting it includes tombstone records"
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HadroScanBuilder(path, dataSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new HadroWriteBuilder(path, info)
+}
+
+/** Scan builder with column pruning and filter pushdown. Filters are used
+  * for manifest-stats segment skipping and evaluated best-effort per record;
+  * they are also ALL returned as residual so Catalyst re-applies them —
+  * the same contract Spark's parquet source uses (skipping is an
+  * optimization, never a correctness dependency). */
+final class HadroScanBuilder(path: Path, dataSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = dataSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(SegmentSkipper.supports)
+    filters // all residual: Spark re-evaluates post-scan (parquet-style)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new HadroScan(path, dataSchema, required, pushed)
+}
+
+final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val manifest = CollectionMeta.currentManifest(path)
+    manifest.segments
+      .filter(seg => SegmentSkipper.mightMatch(seg, pushed, dataSchema))
+      .map(seg => HadroInputPartition(
+        path.resolve(seg.file).toString, seg.ordinal): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HadroReaderFactory(dataSchema, required)
+}
+
+final case class HadroInputPartition(file: String, ordinal: Long) extends InputPartition
+
+final class HadroReaderFactory(dataSchema: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[HadroInputPartition]
+    new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required)
+  }
+}
+
+/** Per-segment reader: the reference's scan loop (`hadro/engine.py:139-177`)
+  * in Scala — buffered framed-record decode, tombstone skip — plus column
+  * pruning inside the decoder and metadata-column materialization. */
+final class HadroPartitionReader(file: Path, ordinal: Long,
+    dataSchema: StructType, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val dataFields = required.fields.filterNot(f => HadroTable.MetaColNames(f.name))
+  private val wantSeq = required.fieldNames.contains(HadroTable.SeqCol)
+  private val wantDeleted = required.fieldNames.contains(HadroTable.DeletedCol)
+  private val requiredOrdinals = dataFields.map(f => dataSchema.fieldIndex(f.name))
+  private val decoder = new RecordCodec.Decoder(dataSchema, requiredOrdinals)
+  // Positions of each required column in the output row (data cols keep
+  // required-schema order; metadata cols sit at their required positions).
+  private val outWidth = required.length
+  private val dataOut = required.fields.zipWithIndex
+    .filterNot { case (f, _) => HadroTable.MetaColNames(f.name) }.map(_._2)
+  private val seqPos = if (wantSeq) required.fieldIndex(HadroTable.SeqCol) else -1
+  private val deletedPos = if (wantDeleted) required.fieldIndex(HadroTable.DeletedCol) else -1
+
+  private val reader = new SegmentReader(file)
+  private var rowIndex = -1L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (reader.hasNext) {
+      val (flags, payload) = reader.next()
+      rowIndex += 1
+      val deleted = (flags & RecordCodec.DeletedFlag) != 0
+      if (!deleted || wantDeleted) { // tombstone skip: engine.py:169
+        val decoded = decoder.decode(payload)
+        current =
+          if (!wantSeq && !wantDeleted) decoded
+          else {
+            val out = new GenericInternalRow(outWidth)
+            var i = 0
+            while (i < dataOut.length) {
+              out.update(dataOut(i), decoded.get(i, dataFields(i).dataType)); i += 1
+            }
+            if (seqPos >= 0)
+              out.update(seqPos, (ordinal << HadroTable.SeqOrdinalShift) | rowIndex)
+            if (deletedPos >= 0) out.update(deletedPos, deleted)
+            out
+          }
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Min/max-stats based segment pruning — the Spark-idiomatic replacement for
+  * the reference's declared B+Tree secondary indexes
+  * (`/root/reference/INTERFACE.md:32-38`). Strictly conservative: any
+  * uncertainty keeps the segment. */
+object SegmentSkipper {
+  def supports(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+         _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull => true
+    case And(l, r) => supports(l) && supports(r)
+    case _ => false
+  }
+
+  def mightMatch(seg: SegmentInfo, filters: Array[Filter], schema: StructType): Boolean =
+    filters.forall(f => mightMatch(seg, f, schema))
+
+  private def bounds(seg: SegmentInfo, col: String, schema: StructType): Option[(Any, Any, Long)] =
+    for {
+      field <- schema.fields.find(_.name == col)
+      st <- seg.stats.get(col)
+      mn <- st.min
+      mx <- st.max
+      pmn = StatsCollector.parse(mn, field.dataType) if pmn != null
+      pmx = StatsCollector.parse(mx, field.dataType)
+    } yield (pmn, pmx, st.nullCount)
+
+  private def toInternal(v: Any, col: String, schema: StructType): Option[Any] =
+    schema.fields.find(_.name == col).flatMap { f =>
+      try Some(CatalystTypeConverters.createToCatalystConverter(f.dataType)(v))
+      catch { case _: Exception => None }
+    }
+
+  private def cmp(a: Any, b: Any): Option[Int] =
+    try {
+      if (a.getClass != b.getClass && !(a.isInstanceOf[UTF8String] && b.isInstanceOf[UTF8String]))
+        None
+      else Some(if (StatsCollector.lt(a, b)) -1 else if (StatsCollector.lt(b, a)) 1 else 0)
+    } catch { case _: Exception => None }
+
+  private def mightMatch(seg: SegmentInfo, f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(c, v) =>
+      (for { (mn, mx, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+             lo <- cmp(iv, mn); hi <- cmp(iv, mx) } yield lo >= 0 && hi <= 0).getOrElse(true)
+    case GreaterThan(c, v) =>
+      (for { (_, mx, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+             hi <- cmp(mx, iv) } yield hi > 0).getOrElse(true)
+    case GreaterThanOrEqual(c, v) =>
+      (for { (_, mx, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+             hi <- cmp(mx, iv) } yield hi >= 0).getOrElse(true)
+    case LessThan(c, v) =>
+      (for { (mn, _, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+             lo <- cmp(mn, iv) } yield lo < 0).getOrElse(true)
+    case LessThanOrEqual(c, v) =>
+      (for { (mn, _, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+             lo <- cmp(mn, iv) } yield lo <= 0).getOrElse(true)
+    case In(c, vs) => vs.isEmpty || vs.exists(v => mightMatch(seg, EqualTo(c, v), schema))
+    case IsNull(c) => seg.stats.get(c).forall(_.nullCount > 0)
+    case IsNotNull(c) => seg.stats.get(c).forall(_.nullCount < seg.rows)
+    case And(l, r) => mightMatch(seg, l, schema) && mightMatch(seg, r, schema)
+    case _ => true
+  }
+}
