@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, engineered for the
+  * 100 TB shape: candidate generation is always a key-equality shuffle join
+  * (banding / inverted index / bucketing) — never an all-pairs product — and
+  * verification runs only on candidate pairs.
+  */
+object DedupOps {
+
+  /** Exact dedup: group identical content (by full-width sha2 content hash,
+    * so the shuffle key is 32 bytes regardless of document size), keep the
+    * smallest id. Returns (keep_id, n_copies). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("content_hash")
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle(k) → MinHash(numHashes) → band into `bands` groups of
+    * numHashes/bands rows → exact-match join per band → distinct candidate
+    * pairs → exact Jaccard verify ≥ threshold.
+    *
+    * The band join is the scale path: at 100 TB each band bucket holds only
+    * colliding docs, so the shuffle is proportional to near-dup density,
+    * not to corpus size squared.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // Persist the signatures: the banded frame feeds BOTH sides of the
+    // self-join, and without materialization Spark recomputes the (pricey)
+    // MinHash expression once per branch. ContextCleaner reaps the cache
+    // when the frame is garbage-collected.
+    val withSig = df.select(
+      col(idCol).as("doc_id"),
+      TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
+      .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
+    val banded = withSig.select(
+      col("doc_id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature, banded into four
+    * 16-bit chunks (any pair within Hamming distance 3 shares at least one
+    * exact chunk — pigeonhole), verified by true Hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("doc_id"),
+      TextOps.simhash64(TextOps.tokens(col(textCol))).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join branches
+
+    val a = banded.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextOps.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard pairs via inverted-index blocking: explode shingles,
+    * self-join on shingle (the inverted index), count shared shingles per
+    * pair, and compute exact Jaccard from |A∩B| / (|A|+|B|-|A∩B|) without
+    * re-joining the shingle arrays. Pairs must share >= minShared shingles
+    * to enter verification (prunes the long tail of 1-shingle collisions).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, minShared: Int = 3, threshold: Double = 0.6,
+      maxDocFreq: Int = 100): DataFrame = {
+    val sets = df.select(col(idCol).as("doc_id"),
+      TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inverted = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // Document-frequency cap: shingles occurring in > maxDocFreq docs are
+    // dropped from CANDIDATE GENERATION only (a shingle shared by everyone
+    // identifies no one, but its postings join quadratically). Verification
+    // below recomputes Jaccard on the FULL shingle sets, so the cap costs
+    // recall only for pairs sharing nothing but ultra-common shingles.
+    val rare = inverted.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
+      .select(col("shingle"))
+    val postings = inverted.join(rare, Seq("shingle"))
+    val a = postings.select(col("shingle"), col("doc_id").as("doc_a"))
+    val bb = postings.select(col("shingle"), col("doc_id").as("doc_b"))
+    val candidates = a.join(bb, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+    // Exact verify on full sets (immune to the candidate-stage cap).
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("set_size").as("size_b")), Seq("doc_b"))
+      .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: sign-LSH bucket join + exact cosine
+    * verify. Buckets come from `bits` deterministic random hyperplanes
+    * (components ±1 derived from xxhash64), so identical-direction vectors
+    * always share a bucket and candidate generation is a plain equality
+    * join on the signature. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val withSig = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("bucket", SimilarityOps.signLshSignature(col("vec"), bits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join branches
+    val a = withSig.select(col("bucket"), col("vid").as("id_a"), col("vec").as("vec_a"))
+    val b = withSig.select(col("bucket"), col("vid").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SimilarityOps.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

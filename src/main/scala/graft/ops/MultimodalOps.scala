@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media (image/audio/video) as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side architecture is real and tested — schema contract,
+  * partition-parallel batch iteration, feature-struct output — while the
+  * actual media decode is a clearly-marked deterministic STUB (`fakeDecode`)
+  * because no image/audio codecs exist in this environment. Swapping in a
+  * real decoder changes one function, not the pipeline shape.
+  */
+object MultimodalOps {
+
+  /** Output schema contract of the decode stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = false)))
+
+  /** STUB decoder: deterministic pseudo-features from the raw bytes.
+    * ??? replace with a real codec (JPEG/PNG/wav decode) when available —
+    * the signature (bytes in, frame count + feature vector out) is the
+    * real contract. */
+  private[ops] def fakeDecode(bytes: Array[Byte]): (Int, Array[Float]) = {
+    val frameSize = 64
+    val nFrames = bytes.length / frameSize + 1
+    var h = 1125899906842597L
+    val feats = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+    var f = 0
+    while (f < 8) {
+      // spread the rolling hash into [0,1) per feature slot
+      feats(f) = (((h >>> (f * 8)) & 0xff).toFloat) / 256.0f
+      f += 1
+    }
+    (nFrames, feats)
+  }
+
+  /** Batch decode/feature-extract over a media frame:
+    * (id, media binary) → featureSchema rows. Runs as per-partition
+    * imperative batch work — the one place `mapPartitions` is the right
+    * tool (SURVEY §2.3 preference order (d)) because decoding is opaque
+    * byte crunching no SQL expression can represent. */
+  def decodeFeatures(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col(mediaCol))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val (nFrames, feats) = fakeDecode(bytes)
+          Row(r.getLong(0), bytes.length, nFrames, feats.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here composes built-in codegen'd SQL functions — no UDFs — so
+  * the operators stay inside whole-stage codegen and scale linearly with
+  * executors: per-row work only, no shuffles, no driver participation.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the testdata corpus is space-separated; use
+    * [[tokensRegex]] for punctuation-bearing corpora). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish tokenizer approximation: splits on non-word boundaries. */
+  def tokensRegex(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word k-shingles as space-joined strings (k >= 1); degenerate short
+    * texts produce a single whole-text shingle. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+  }
+
+  /** Distinct shingle set — the unit of Jaccard similarity. */
+  def shingleSet(text: Column, k: Int): Column = array_distinct(wordShingles(text, k))
+
+  /** MinHash signature: `n` permutations simulated by seeding xxhash64 with
+    * the permutation index; each component is the min hash over the shingle
+    * set (Broder'97 scheme). Pure per-row expression work. */
+  def minhashSignature(shingles: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => aggregate(shingles, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, i))))
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * components. */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
+      size(sigA).cast("double")
+
+  /** Exact Jaccard between two (distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** 64-bit SimHash over a token array (Charikar'02): per bit position, sum
+    * +1/-1 votes from each token's hash bit; the sign becomes the bit. */
+  def simhash64(toks: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => acc bitwiseOR
+        when(
+          aggregate(toks, lit(0L),
+            (cnt, t) => cnt + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
+          ) >= 0L,
+          call_function("shiftleft", lit(1L), i)).otherwise(0L))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling-hash document fingerprint: order-sensitive 64-bit hash folded
+    * over tokens by chaining xxhash64(previous, token) — distinguishes
+    * permutations (unlike a bag-of-words hash) and cannot overflow. */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(1125899906842597L), // large prime seed
+      (acc, t) => xxhash64(acc, t))
+
+  // ---------------------------------------------------------------- langid
+
+  /** Tiny stopword inventories for the n-gram/stopword language heuristic.
+    * Real pipelines swap in fastText-style models; the *shape* (score per
+    * language from per-row set intersections, argmax) is the scalable part. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+
+  /** Heuristic language-ID: argmax of stopword overlap; 'und' when no
+    * language scores. Deterministic ties broken by language code order. */
+  def langId(toks: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(langCode).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct ordering: score first, then lang
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // --------------------------------------------------------------- quality
+
+  /** Composite quality score in [0,1] from cheap per-row signals: token
+    * count band, mean token length band, stopword presence, alpha ratio.
+    * Deterministic arithmetic only (cross-engine reproducible). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val meanLen = (length(text).cast("double") - (n - 1.0)) / n // chars sans separators
+    val stopRatio = size(array_intersect(toks, array(stopwords("en").map(lit): _*))).cast("double") /
+      greatest(n, lit(1.0))
+    val lengthScore = when(n >= 20 && n <= 1000, 1.0).when(n >= 5, 0.5).otherwise(0.0)
+    val tokenLenScore = when(meanLen >= 3.0 && meanLen <= 10.0, 1.0).otherwise(0.5)
+    val stopScore = when(stopRatio > 0.02, 1.0).otherwise(0.5)
+    round((lengthScore * 0.4 + tokenLenScore * 0.3 + stopScore * 0.3), 4)
+  }
+}

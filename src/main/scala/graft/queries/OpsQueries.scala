@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+
+/** LLM-training-data pipeline battery (SURVEY.md §2.4): deduplication,
+  * similarity search, text analysis, multimodal plumbing, streaming.
+  *
+  * The sf corpus contains no duplicates, so dedup queries plant their own
+  * (a transformed copy of a slice of `documents`) — both the planting and
+  * the detection are deterministic, and where SQL can express the ground
+  * truth the DuckDB oracle recomputes it from the parquet directly.
+  */
+object OpsQueries {
+  import QueryDef.table
+
+  /** documents ∪ exact copies of every 10th doc (re-keyed +1,000,000). */
+  private def withExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- d01
+    // Exact dedup: hash-group identical texts, keep the smallest id.
+    QueryDef(
+      "d01_exact_dedup",
+      (s, dir) => {
+        DedupOps.exactDedup(withExactDups(s, dir), "doc_id", "text")
+          .orderBy("keep_id")
+      },
+      Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        GROUP BY text ORDER BY keep_id""")),
+
+    // ---------------------------------------------------------------- d02
+    // MinHash+LSH near-dup: plant near-dups (every 20th doc + one extra
+    // token), detect via 64-hash/16-band LSH, verify exact Jaccard >= 0.8.
+    // Oracle: not SQL-expressible; planted-pair recall is asserted in
+    // DedupSpec (rows-only driver check here).
+    QueryDef(
+      "d02_minhash_lsh_neardup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        DedupOps.minhashLshPairs(planted, "doc_id", "text")
+          .withColumn("jaccard", round(col("jaccard"), 3))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // ---------------------------------------------------------------- d03
+    // SimHash near-dup over the same planted corpus (Hamming <= 3 on
+    // 64-bit signatures, 16-bit-chunk banding).
+    QueryDef(
+      "d03_simhash_neardup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        DedupOps.simhashPairs(planted, "doc_id", "text")
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // ---------------------------------------------------------------- d04
+    // N-gram Jaccard via inverted-index blocking (no LSH, exact over
+    // pairs sharing >= 3 shingles).
+    QueryDef(
+      "d04_ngram_jaccard",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        DedupOps.ngramJaccardPairs(planted, "doc_id", "text")
+          .withColumn("jaccard", round(col("jaccard"), 3))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // ---------------------------------------------------------------- d05
+    // Embedding near-dup: plant scaled copies (same direction => cosine 1),
+    // sign-LSH bucket join + cosine verify >= 0.9.
+    QueryDef(
+      "d05_embedding_neardup",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val planted = e.unionByName(
+          e.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 1000000L)
+            .withColumn("embedding",
+              transform(col("embedding"), v => (v * lit(1.01f)).cast(FloatType))))
+        DedupOps.embeddingNearDupPairs(planted, "vec_id", "embedding")
+          .withColumn("cosine", round(col("cosine"), 3))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ---------------------------------------------------------------- s01
+    // Brute-force cosine top-k against the vec_id=0 embedding — the
+    // exactness baseline for ANN (TakeOrderedAndProject, no full sort).
+    QueryDef(
+      "s01_cosine_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        SimilarityOps.bruteForceTopK(e, "vec_id", "embedding", q, 20)
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      Some("""SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        FROM embeddings
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        LIMIT 20""")),
+
+    // ---------------------------------------------------------------- s02
+    // ANN: sign-LSH bucketed top-k with Hamming-1 multi-probe. Recall vs
+    // s01 asserted in SimilaritySpec; rows-only here.
+    QueryDef(
+      "s02_ann_lsh_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        SimilarityOps.lshTopK(e, "vec_id", "embedding", q, 20)
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      None),
+
+    // ---------------------------------------------------------------- t01
+    // Token statistics (whitespace tokenizer) — cross-engine exact.
+    QueryDef(
+      "t01_token_stats",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val toks = TextOps.tokens(col("text"))
+        d.select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          size(array_distinct(toks)).as("n_uniq"),
+          length(col("text")).as("len_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+          CAST(length(text) AS INT) AS len_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t02
+    // Quality scoring: deterministic composite signal per doc, aggregated
+    // per source (the shape of corpus-level quality filtering).
+    QueryDef(
+      "t02_quality_score",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.withColumn("q", TextOps.qualityScore(col("text")))
+          .groupBy(col("source"))
+          .agg(
+            round(sum(col("q").cast(DecimalType(18, 4))).cast(DoubleType), 4).as("sum_q"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      None), // composite heuristic; spot-checked in TextSpec
+
+    // ---------------------------------------------------------------- t03
+    // Language-ID heuristic (stopword argmax) — distribution per predicted
+    // language. Content-derived, so rows-only (corpus labels are synthetic).
+    QueryDef(
+      "t03_lang_id",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.withColumn("pred_lang", TextOps.langId(TextOps.tokens(col("text"))))
+          .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+          .orderBy("pred_lang")
+      },
+      None),
+
+    // ---------------------------------------------------------------- t04
+    // Order-sensitive rolling-hash fingerprint; output the fingerprint of
+    // each doc (dup-detection primitive that distinguishes permutations).
+    QueryDef(
+      "t04_fingerprint",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.select(col("doc_id"),
+          TextOps.rollingFingerprint(TextOps.tokens(col("text"))).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // ---------------------------------------------------------------- m01
+    // Multimodal plumbing: text bytes as a stand-in binary media column →
+    // per-partition batch "decode" (stubbed) → typed feature rows. The
+    // oracle checks the structural outputs (byte length, frame count).
+    QueryDef(
+      "m01_multimodal_decode",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        MultimodalOps.decodeFeatures(d, "doc_id", "media")
+          .select(col("media_id"), col("byte_len"), col("n_frames"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(octet_length(encode(text)) AS INT) AS byte_len,
+          CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS n_frames
+        FROM documents ORDER BY media_id""")),
+
+    // ---------------------------------------------------------------- st01
+    // Structured Streaming: hourly windowed counts over the events stream
+    // (file source → window agg → memory sink, complete mode). One batch
+    // over static files == the batch aggregation, which the oracle checks.
+    QueryDef(
+      "st01_streaming_hourly",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        // The parquet streaming source requires a directory: stage one with
+        // a symlink to the (read-only) events file.
+        val stageDir = java.nio.file.Paths.get(
+          s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+        java.nio.file.Files.createDirectories(stageDir)
+        val link = stageDir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+        val agg = stream
+          .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        val name = s"st01_sink_${System.nanoTime()}"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name)
+          .select(col("window.start").cast(LongType).as("bucket_start_s"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("bucket_start_s", "event_type")
+      },
+      Some("""SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS bucket_start_s,
+          event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+  )
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Behavioral specs for the LLM-pipeline operators: planted near-dups must
+  * be recalled, ANN must agree with brute force on its probed buckets, and
+  * the multimodal plumbing must preserve the batch contract. */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  private def planted = docs.unionByName(
+    docs.filter($"doc_id" % 20 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat($"text", lit(" extraplantedtoken"))))
+
+  private def plantedIds =
+    docs.filter($"doc_id" % 20 === 0).select($"doc_id").as[Long].collect().toSet
+
+  test("exact dedup keeps min id and counts copies") {
+    val dups = docs.unionByName(docs.withColumn("doc_id", $"doc_id" + 5000L))
+    val out = DedupOps.exactDedup(dups, "doc_id", "text")
+    assert(out.count() == docs.count()) // every text collapses to one group
+    assert(out.agg(max($"n_copies")).head().getLong(0) == 2L)
+    assert(out.agg(max($"keep_id")).head().getLong(0) < 5000L) // min id kept
+  }
+
+  test("minhash-LSH recalls every planted near-dup pair") {
+    val pairs = DedupOps.minhashLshPairs(planted, "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    plantedIds.foreach { id =>
+      assert(pairs.contains((id, id + 1000000L)), s"missing planted pair for doc $id")
+    }
+  }
+
+  test("simhash recalls planted pairs within hamming 3") {
+    val pairs = DedupOps.simhashPairs(planted, "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val recalled = plantedIds.count(id => pairs.contains((id, id + 1000000L)))
+    // one extra token can flip >3 bits on very short docs; demand >=90%
+    assert(recalled >= (plantedIds.size * 9) / 10,
+      s"simhash recall $recalled/${plantedIds.size}")
+  }
+
+  test("ngram-jaccard inverted index equals minhash-verified pairs") {
+    val mh = DedupOps.minhashLshPairs(planted, "doc_id", "text", threshold = 0.8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val ng = DedupOps.ngramJaccardPairs(planted, "doc_id", "text", threshold = 0.8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // minhash-LSH is a candidate filter over the same exact-jaccard verify:
+    // it can only miss pairs the inverted index finds, never add.
+    assert(mh.subsetOf(ng))
+    plantedIds.foreach(id => assert(ng.contains((id, id + 1000000L))))
+  }
+
+  test("embedding near-dup finds all planted scaled copies") {
+    val plantedE = embs.unionByName(
+      embs.filter($"vec_id" % 25 === 0)
+        .withColumn("vec_id", $"vec_id" + 1000000L)
+        .withColumn("embedding", transform($"embedding", v => (v * lit(1.01f)).cast(FloatType))))
+    val expect = embs.filter($"vec_id" % 25 === 0).select($"vec_id").as[Long].collect().toSet
+    val pairs = DedupOps.embeddingNearDupPairs(plantedE, "vec_id", "embedding")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    expect.foreach(id => assert(pairs.contains((id, id + 1000000L)), s"missing vec $id"))
+  }
+
+  test("LSH top-k results all appear in brute-force ranking with same scores") {
+    val q = embs.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
+    val bf = SimilarityOps.bruteForceTopK(embs, "vec_id", "embedding", q, 50)
+      .as[(Long, Double)].collect().toMap
+    val ann = SimilarityOps.lshTopK(embs, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect()
+    assert(ann.nonEmpty && ann.head._1 == 0L) // query finds itself first
+    ann.foreach { case (id, c) =>
+      bf.get(id).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+  }
+
+  test("multimodal decode preserves ids, byte lengths, and feature contract") {
+    val media = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
+    val out = MultimodalOps.decodeFeatures(media, "doc_id", "media")
+    assert(out.schema == MultimodalOps.featureSchema)
+    assert(out.count() == docs.count())
+    val joined = out.join(docs, out("media_id") === docs("doc_id"))
+      .filter(out("byte_len") =!= length(docs("text"))) // ascii corpus: bytes == chars
+    assert(joined.count() == 0)
+    assert(out.filter(size($"features") =!= 8).count() == 0)
+  }
+
+  test("quality score and langid are total and bounded") {
+    val scored = docs.select(
+      TextOps.qualityScore($"text").as("q"),
+      TextOps.langId(TextOps.tokens($"text")).as("lang"))
+    assert(scored.filter($"q" < 0.0 || $"q" > 1.0 || $"q".isNull).count() == 0)
+    assert(scored.filter($"lang".isNull).count() == 0)
+  }
+}
