@@ -22,7 +22,8 @@ object SparkEntry {
   }
 
   private def batteries: Seq[QueryDef] =
-    RelationalQueries.defs ++ StorageQueries.defs ++ OpsQueries.defs
+    RelationalQueries.defs ++ StorageQueries.defs ++ OpsQueries.defs ++
+      AdvancedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

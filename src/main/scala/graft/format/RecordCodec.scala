@@ -29,20 +29,36 @@ object RecordCodec {
 
   // ---------------------------------------------------------------- encode
 
-  /** Reusable, growable encoder (one per writer task; not thread-safe). */
+  /** Reusable, growable encoder (one per writer task; not thread-safe).
+    * The payload buffer is reused across records — callers must consume
+    * [[buffer]]/[[length]] before the next [[encode]] call. */
   final class Encoder(schema: StructType) {
     private val fields = schema.fields
-    private val bytes = new ByteArrayOutputStream(1 << 16)
+    private val bytes = new ExposedByteArrayOutputStream(1 << 16)
     private val out = new DataOutputStream(bytes)
 
-    /** Encode one row; returns the payload (no framing header). The
-      * returned array is freshly allocated and safe to retain. */
-    def encode(row: InternalRow): Array[Byte] = {
+    /** Encode one row into the internal buffer; returns the payload length.
+      * Read the bytes from [[buffer]] (valid until the next encode). */
+    def encode(row: InternalRow): Int = {
       bytes.reset()
       writeStruct(out, row, fields)
       out.flush()
-      bytes.toByteArray
+      bytes.size()
     }
+
+    def buffer: Array[Byte] = bytes.raw
+
+    /** Copying variant for callers that retain the payload. */
+    def encodeToArray(row: InternalRow): Array[Byte] = {
+      val n = encode(row)
+      java.util.Arrays.copyOf(buffer, n)
+    }
+  }
+
+  /** ByteArrayOutputStream with zero-copy access to its backing array. */
+  private final class ExposedByteArrayOutputStream(cap: Int)
+      extends ByteArrayOutputStream(cap) {
+    def raw: Array[Byte] = buf
   }
 
   private def writeStruct(out: DataOutputStream, row: InternalRow, fields: Array[StructField]): Unit = {

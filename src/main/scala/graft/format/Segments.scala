@@ -36,15 +36,14 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   private val stats = StatsCollector(schema)
 
   def append(row: InternalRow, deleted: Boolean = false): Unit = {
-    val payload = encoder.encode(row)
+    val size = encoder.encode(row) // payload in encoder.buffer, zero-copy
     header(0) = if (deleted) RecordCodec.DeletedFlag.toByte else 0
-    val size = payload.length
     header(1) = (size >>> 24).toByte
     header(2) = (size >>> 16).toByte
     header(3) = (size >>> 8).toByte
     header(4) = size.toByte
     out.write(header)
-    out.write(payload)
+    out.write(encoder.buffer, 0, size)
     rows += 1
     if (deleted) tombstones += 1
     stats.update(row)
@@ -143,12 +142,13 @@ final class StatsCollector private (schema: StructType) {
     while (i < n) {
       if (row.isNullAt(i)) nulls(i) += 1
       else if (orderable(i)) {
-        val v = row.get(i, schema(i).dataType) match {
-          case s: UTF8String => s.clone() // row buffers may be reused
-          case x => x
-        }
-        if (mins(i) == null || StatsCollector.lt(v, mins(i))) mins(i) = v
-        if (maxs(i) == null || StatsCollector.lt(maxs(i), v)) maxs(i) = v
+        // Compare BEFORE cloning: row buffers may be reused (UnsafeRow), but
+        // a clone is only needed for the values we actually retain.
+        val v = row.get(i, schema(i).dataType)
+        if (mins(i) == null || StatsCollector.lt(v, mins(i)))
+          mins(i) = StatsCollector.retain(v)
+        if (maxs(i) == null || StatsCollector.lt(maxs(i), v))
+          maxs(i) = StatsCollector.retain(v)
       }
       i += 1
     }
@@ -172,6 +172,12 @@ object StatsCollector {
          TimestampNTZType => true
     case _: DecimalType => true
     case _ => false
+  }
+
+  /** Detach a value from a possibly-reused row buffer before storing it. */
+  def retain(v: Any): Any = v match {
+    case s: UTF8String => s.clone()
+    case x => x
   }
 
   def lt(a: Any, b: Any): Boolean = (a, b) match {

@@ -92,7 +92,7 @@ object TextOps {
   def langId(toks: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
       struct(
-        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        size(array_intersect(toks, typedlit(words))).as("score"),
         lit(langCode).as("lang"))
     }
     val best = greatest(scored: _*) // struct ordering: score first, then lang
@@ -108,7 +108,7 @@ object TextOps {
     val toks = tokens(text)
     val n = size(toks).cast("double")
     val meanLen = (length(text).cast("double") - (n - 1.0)) / n // chars sans separators
-    val stopRatio = size(array_intersect(toks, array(stopwords("en").map(lit): _*))).cast("double") /
+    val stopRatio = size(array_intersect(toks, typedlit(stopwords("en")))).cast("double") /
       greatest(n, lit(1.0))
     val lengthScore = when(n >= 20 && n <= 1000, 1.0).when(n >= 5, 0.5).otherwise(0.0)
     val tokenLenScore = when(meanLen >= 3.0 && meanLen <= 10.0, 1.0).otherwise(0.5)

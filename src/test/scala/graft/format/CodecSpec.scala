@@ -49,7 +49,7 @@ class CodecSpec extends AnyFunSuite {
     val enc = new RecordCodec.Encoder(wide)
     val dec = RecordCodec.Decoder.full(wide)
     val row = sampleRow
-    val back = dec.decode(enc.encode(row))
+    val back = dec.decode(enc.encodeToArray(row))
     wide.fields.zipWithIndex.foreach { case (f, i) =>
       val (a, b) = (row.get(i, f.dataType), back.get(i, f.dataType))
       f.dataType match {
@@ -65,7 +65,7 @@ class CodecSpec extends AnyFunSuite {
   test("round-trips an all-null row") {
     val enc = new RecordCodec.Encoder(wide)
     val dec = RecordCodec.Decoder.full(wide)
-    val back = dec.decode(enc.encode(nullRow))
+    val back = dec.decode(enc.encodeToArray(nullRow))
     (0 until wide.length).foreach(i => assert(back.isNullAt(i), s"field $i"))
   }
 
@@ -74,7 +74,7 @@ class CodecSpec extends AnyFunSuite {
     // Request only the LAST field — forces skip logic through every type.
     val lastIdx = wide.length - 1
     val dec = new RecordCodec.Decoder(wide, Array(lastIdx))
-    val back = dec.decode(enc.encode(sampleRow))
+    val back = dec.decode(enc.encodeToArray(sampleRow))
     assert(back.numFields == 1)
     assert(back.getStruct(0, 2).getInt(0) == 5)
     assert(back.getStruct(0, 2).getUTF8String(1).toString == "inner")
@@ -84,7 +84,7 @@ class CodecSpec extends AnyFunSuite {
     val enc = new RecordCodec.Encoder(wide)
     val idx = Array(wide.fieldIndex("str"), wide.fieldIndex("arr"), wide.fieldIndex("s"))
     val dec = new RecordCodec.Decoder(wide, idx)
-    val back = dec.decode(enc.encode(sampleRow))
+    val back = dec.decode(enc.encodeToArray(sampleRow))
     assert(back.getUTF8String(0).toString == "héllo wörld")
     assert(back.getArray(1).numElements() == 3)
     assert(back.getShort(2) == 123)
