@@ -123,6 +123,26 @@ final class Collection private (spark: SparkSession, val path: String) {
   def where(predicate: Column): DataFrame = toDF().filter(predicate)
   def where(sqlPredicate: String): DataFrame = toDF().filter(sqlPredicate)
 
+  /** Batch transaction (#20, `INTERFACE.md:40-43`): every add/set staged in
+    * the body commits as ONE manifest version — readers see all of it or
+    * none of it. This is exactly the all-or-nothing the reference declares
+    * (`with hadro.transaction() as batch: batch.add(...)`), realized by
+    * Spark's job-commit protocol: staged frames are unioned and written as
+    * a single batch whose segments publish atomically.
+    */
+  def transaction(body: TransactionBatch => Unit): Unit = {
+    val batch = new TransactionBatch
+    body(batch)
+    val frames = batch.staged
+    if (frames.nonEmpty) {
+      val unioned = frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      unioned.write.format("hadro").mode("append")
+        .option("hadro.upsert", batch.hasUpserts.toString)
+        .option("hadro.key", keyField.orNull)
+        .save(path)
+    }
+  }
+
   /** Rewrite the collection to only live, resolved rows (#23) — the
     * compaction/merge the reference names as a needed maintenance job but
     * never builds (`hadro/engine.py:53`). Atomic: readers see the old
@@ -133,6 +153,21 @@ final class Collection private (spark: SparkSession, val path: String) {
     resolved.write.format("hadro").mode("overwrite").save(path)
     resolved.unpersist()
   }
+}
+
+/** Staging area for [[Collection.transaction]]: frames accumulate lazily;
+  * nothing touches disk until the transaction body completes. */
+final class TransactionBatch private[api] () {
+  private val frames = scala.collection.mutable.Buffer.empty[DataFrame]
+  private var upserts = false
+
+  /** Stage an append. */
+  def add(df: DataFrame): Unit = frames += df
+  /** Stage a keyed upsert (marks the commit as mutating). */
+  def set(df: DataFrame): Unit = { upserts = true; frames += df }
+
+  private[api] def staged: Seq[DataFrame] = frames.toSeq
+  private[api] def hasUpserts: Boolean = upserts
 }
 
 object Collection {

@@ -19,7 +19,16 @@ object SimilarityOps {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Built-in-composed cosine (reference implementation; allocates an
+    * intermediate array per row). Kept for cross-checking the native
+    * expression — identical IEEE operation order, so results match
+    * bit-for-bit on non-degenerate vectors. */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — fused native Catalyst expression with whole-stage
+    * codegen ([[graft.functions.CosineSimilarity]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_similarity(a, b)
 
   /** Exact top-k by cosine against one query vector (broadcast as a
     * literal): per-partition heaps via TakeOrderedAndProject — no full sort,

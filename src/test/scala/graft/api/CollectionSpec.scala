@@ -91,6 +91,24 @@ class CollectionSpec extends SparkSuite {
     assert(c.count() == src.count() - 3) // resolved path
   }
 
+  test("transaction commits multiple staged writes as one manifest version") {
+    val path = tmp("tx")
+    val c = Collection.create(spark, path, books, key = Some("title"))
+    val v0 = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path)).version
+    c.transaction { batch =>
+      batch.add(Seq(("moby dick", "melville")).toDF("title", "author"))
+      batch.add(Seq(("ulysses", "joyce")).toDF("title", "author"))
+      batch.set(Seq(("dune", "f. herbert")).toDF("title", "author"))
+    }
+    val m = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.version == v0 + 1) // exactly ONE new manifest version
+    assert(c.count() == 9)
+    assert(c.get("dune").select("author").as[String].head() == "f. herbert")
+    // empty transaction commits nothing
+    c.transaction { _ => () }
+    assert(graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path)).version == m.version)
+  }
+
   test("where() composes with pushdown and compaction preserves the view") {
     val path = tmp("compact")
     val src = spark.read.parquet(s"$sf0001/supplier.parquet")

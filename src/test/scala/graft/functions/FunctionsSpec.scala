@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.SimilarityOps
+
+/** Native expression + UDAF surface specs. */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("native cosine_similarity matches the composed form bit-for-bit") {
+    val q = embs.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
+    val both = embs.select(
+      SimilarityOps.cosine($"embedding", typedlit(q)).as("native"),
+      SimilarityOps.cosineComposed($"embedding", typedlit(q)).as("composed"))
+    assert(both.filter($"native" =!= $"composed").count() == 0)
+  }
+
+  test("cosine_similarity participates in whole-stage codegen") {
+    val q = embs.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
+    val plan = embs.select(SimilarityOps.cosine($"embedding", typedlit(q)).as("c"))
+      .queryExecution.executedPlan.toString
+    // codegen'd operators render with the "*(stageId)" prefix
+    assert(plan.contains("*(1) Project") && plan.contains("cosine_similarity"), plan)
+  }
+
+  test("cosine_similarity is SQL-registrable") {
+    VectorExpressions.register(spark)
+    embs.createOrReplaceTempView("emb_sql_test")
+    val r = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) AS c FROM emb_sql_test LIMIT 5")
+      .as[Double].collect()
+    assert(r.forall(c => math.abs(c - 1.0) < 1e-12)) // self-similarity = 1
+  }
+
+  test("cosine_similarity rejects non-float-array inputs at analysis") {
+    val e = intercept[Exception] {
+      embs.select(SimilarityOps.cosine($"vec_id", $"embedding")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<float>"))
+  }
+
+  test("product UDAF handles empty and null groups") {
+    val df = Seq((1, Some(2.0)), (1, Some(3.0)), (2, None), (3, Some(0.5)))
+      .toDF("k", "v")
+    val out = df.groupBy($"k").agg(ProductAgg.column($"v").as("p"))
+      .orderBy($"k").as[(Int, Option[Double])].collect()
+    assert(out.toSeq == Seq((1, Some(6.0)), (2, None), (3, Some(0.5))))
+  }
+}
