@@ -14,6 +14,15 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.length > 1) {
+      for (q <- args.tail) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, dir).count()
+        println(f"== $q: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val nRows = li.count()
     def timed[T](what: String)(f: => T): T = {

@@ -34,6 +34,9 @@ object ScratchTx {
     spark.sql("""SELECT vec_id, ROUND(cosine_similarity(embedding,
         (SELECT embedding FROM e WHERE vec_id = 7)), 3) AS c
       FROM e ORDER BY c DESC LIMIT 3""").show()
+    // indexes facade probe
+    println(s"== indexes.list: ${c.indexes.list().mkString(",")}")
+    c.indexes.describe().show(4, false)
     spark.stop()
   }
 }

@@ -123,6 +123,34 @@ final class Collection private (spark: SparkSession, val path: String) {
   def where(predicate: Column): DataFrame = toDF().filter(predicate)
   def where(sqlPredicate: String): DataFrame = toDF().filter(sqlPredicate)
 
+  /** Index management façade (#19, `INTERFACE.md:32-38` — declared "NOT
+    * IMPLEMENTED" in the reference). In this engine indexing is automatic:
+    * every segment carries min/max/null stats for all orderable columns in
+    * the manifest, consumed for segment skipping at scan planning. So
+    * `list` reports coverage, `rebuild` recomputes stats by rewriting
+    * segments (compaction), and add/remove are no-ops kept for interface
+    * compatibility (there is nothing to add — all columns are covered). */
+  object indexes {
+    /** Columns with stats coverage in at least one segment. */
+    def list(): Seq[String] =
+      manifest.segments.flatMap(_.stats.collect {
+        case (colName, st) if st.min.isDefined => colName
+      }).distinct.sorted
+
+    /** Per-segment stats as a DataFrame (column, segment, min, max, nulls). */
+    def describe(): DataFrame = {
+      val rows = manifest.segments.flatMap(s => s.stats.toSeq.map { case (c, st) =>
+        (c, s.file, st.min.orNull, st.max.orNull, st.nullCount)
+      })
+      rows.toDF("column", "segment", "min", "max", "null_count")
+    }
+
+    def add(fields: String*): Unit = () // automatic — all columns covered
+    def remove(fields: String*): Unit = ()
+    /** Rewrite segments, recomputing all stats. */
+    def rebuild(): Unit = compact()
+  }
+
   /** Batch transaction (#20, `INTERFACE.md:40-43`): every add/set staged in
     * the body commits as ONE manifest version — readers see all of it or
     * none of it. This is exactly the all-or-nothing the reference declares

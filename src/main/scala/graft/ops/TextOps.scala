@@ -33,13 +33,22 @@ object TextOps {
   /** Distinct shingle set — the unit of Jaccard similarity. */
   def shingleSet(text: Column, k: Int): Column = array_distinct(wordShingles(text, k))
 
-  /** MinHash signature: `n` permutations simulated by seeding xxhash64 with
-    * the permutation index; each component is the min hash over the shingle
-    * set (Broder'97 scheme). Pure per-row expression work. */
-  def minhashSignature(shingles: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      i => aggregate(shingles, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, i))))
+  /** MinHash signature: `n` permutations simulated by re-hashing with the
+    * permutation index; each component is the min hash over the shingle set
+    * (Broder'97 scheme). Each shingle STRING is hashed once; the n
+    * permutations then mix the resulting 8-byte longs — ~string-length/8
+    * times cheaper per permutation than re-hashing the string. Pure per-row
+    * expression work, no shuffle. */
+  def minhashSignature(shingles: Column, n: Int): Column = {
+    val hashed = transform(shingles, s => xxhash64(s))
+    // ONE fold over the shingle set carrying all n permutation minima as an
+    // array (vs n separate aggregate expressions, whose codegen explodes
+    // n-fold and dominates first-run JIT time).
+    aggregate(hashed, array_repeat(lit(Long.MaxValue), n),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(n - 1)), i => xxhash64(h, i)),
+        (a, b) => least(a, b)))
+  }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components. */
@@ -53,17 +62,21 @@ object TextOps {
       size(array_union(a, b)).cast("double")
 
   /** 64-bit SimHash over a token array (Charikar'02): per bit position, sum
-    * +1/-1 votes from each token's hash bit; the sign becomes the bit. */
-  def simhash64(toks: Column): Column =
+    * +1/-1 votes from each token's hash bit; the sign becomes the bit.
+    * Structured as one fold carrying a 64-counter array (not 64 separate
+    * aggregates — see [[minhashSignature]] for why). */
+  def simhash64(toks: Column): Column = {
+    val hashed = transform(toks, t => xxhash64(t))
+    val votes = aggregate(hashed, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+        (a, b) => a + b))
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, i) => acc bitwiseOR
-        when(
-          aggregate(toks, lit(0L),
-            (cnt, t) => cnt + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
-          ) >= 0L,
-          call_function("shiftleft", lit(1L), i)).otherwise(0L))
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v >= 0L, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -261,6 +261,53 @@ object OpsQueries {
       Some("""SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS bucket_start_s,
           event_type, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // --------------------------------------------------------------- st02
+    // Streaming SINK into the hadro format: stream the events file,
+    // foreachBatch-append purchases into a collection (each micro-batch is
+    // one atomic manifest commit), then aggregate from the collection.
+    // The oracle recomputes from the original parquet — proving the
+    // stream→hadro→scan round trip loses nothing.
+    QueryDef(
+      "st02_streaming_sink_hadro",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val stageDir = java.nio.file.Paths.get(
+          s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+        java.nio.file.Files.createDirectories(stageDir)
+        val link = stageDir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st02"
+        val p = java.nio.file.Paths.get(colPath)
+        if (java.nio.file.Files.exists(p)) { // fresh per run
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists)
+        }
+        val q = s.readStream.schema(schema).parquet(stageDir.toString)
+          .filter(col("event_type") === "purchase")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.format("hadro").mode("append").save(colPath)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.read.format("hadro").load(colPath)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }

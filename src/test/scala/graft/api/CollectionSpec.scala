@@ -109,6 +109,19 @@ class CollectionSpec extends SparkSuite {
     assert(graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path)).version == m.version)
   }
 
+  test("indexes facade reports stats coverage and rebuild compacts") {
+    val path = tmp("idx")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val c = Collection.create(spark, path, src, key = Some("n_nationkey"), numSegments = 3)
+    assert(c.indexes.list() == Seq("n_name", "n_nationkey", "n_regionkey"))
+    val desc = c.indexes.describe()
+    assert(desc.columns.toSeq == Seq("column", "segment", "min", "max", "null_count"))
+    assert(desc.count() == 3 * 3) // 3 segments x 3 columns
+    c.delete(0, 1)
+    c.indexes.rebuild()
+    assert(c.scan().count() == src.count() - 2) // rebuilt to live rows only
+  }
+
   test("where() composes with pushdown and compaction preserves the view") {
     val path = tmp("compact")
     val src = spark.read.parquet(s"$sf0001/supplier.parquet")
