@@ -26,7 +26,8 @@ object Consistency extends Enumeration {
   * replacement for the reference's declared B+Tree secondary indexes,
   * `INTERFACE.md:32-38`). One writer per Spark task — segments are
   * single-writer immutable, so parallel writes never contend. */
-final class SegmentWriter(path: Path, schema: StructType, consistency: Consistency.Value) {
+final class SegmentWriter(path: Path, schema: StructType, consistency: Consistency.Value,
+    keyOrdinal: Option[Int] = None) {
   private val fos = new FileOutputStream(path.toFile)
   private val out = new BufferedOutputStream(fos, SegmentReader.BlockSize)
   private val encoder = new RecordCodec.Encoder(schema)
@@ -34,6 +35,7 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   private var rows = 0L
   private var tombstones = 0L
   private val stats = StatsCollector(schema)
+  private val bloom = keyOrdinal.map(_ => KeyBloom())
 
   def append(row: InternalRow, deleted: Boolean = false): Unit = {
     val size = encoder.encode(row) // payload in encoder.buffer, zero-copy
@@ -47,6 +49,12 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     rows += 1
     if (deleted) tombstones += 1
     stats.update(row)
+    // Key bloom includes TOMBSTONE keys too: last-write-wins resolution
+    // must see a key's tombstones, so a point lookup may not skip segments
+    // holding only the delete record.
+    keyOrdinal.foreach { ko =>
+      if (!row.isNullAt(ko)) bloom.get.add(row.get(ko, schema(ko).dataType))
+    }
     if (consistency == Consistency.Aggressive) {
       out.flush()
       fos.getFD.sync() // reference engine.py:186-189
@@ -59,18 +67,26 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     out.flush()
     fos.getFD.sync()
     out.close()
+    val bloomFile = bloom.map { b =>
+      val f = path.resolveSibling(path.getFileName.toString + ".bloom")
+      b.writeTo(f)
+      f.getFileName.toString
+    }
     SegmentInfo(
       file = path.getFileName.toString,
       ordinal = -1L,
       rows = rows,
       tombstones = tombstones,
       bytes = Files.size(path),
-      stats = stats.result())
+      stats = stats.result(),
+      bloom = bloomFile,
+      bloomCol = keyOrdinal.map(schema(_).name))
   }
 
   def abort(): Unit = {
     out.close()
     Files.deleteIfExists(path)
+    Files.deleteIfExists(path.resolveSibling(path.getFileName.toString + ".bloom"))
   }
 }
 

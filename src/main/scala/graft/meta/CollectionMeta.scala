@@ -20,7 +20,9 @@ final case class SegmentInfo(
     rows: Long,
     tombstones: Long,
     bytes: Long,
-    stats: Map[String, ColumnStats])
+    stats: Map[String, ColumnStats],
+    bloom: Option[String] = None,
+    bloomCol: Option[String] = None)
 
 /** A committed collection version: the full list of live segments plus
   * collection-level flags. `mutated` records whether any committed write was

@@ -125,17 +125,35 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   override def description(): String =
     s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]"
 
+  // Decode ALWAYS uses the stored on-disk schema; a user-supplied read
+  // schema is only a projection request resolved by NAME. Types must agree
+  // or the scan fails fast instead of decoding garbage.
+  private lazy val storedSchema: StructType =
+    CollectionMeta.readSchema(path).map(_.schema).getOrElse(dataSchema)
+
+  private def validateAgainstStored(): Unit =
+    required.fields.filterNot(f => HadroTable.MetaColNames(f.name)).foreach { f =>
+      val sf = storedSchema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"hadro: column '${f.name}' not in collection schema ${storedSchema.simpleString}"))
+      require(sf.dataType == f.dataType,
+        s"hadro: column '${f.name}' requested as ${f.dataType.simpleString} " +
+          s"but stored as ${sf.dataType.simpleString}")
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    validateAgainstStored()
     val manifest = CollectionMeta.currentManifest(path)
     manifest.segments
-      .filter(seg => SegmentSkipper.mightMatch(seg, pushed, dataSchema))
+      .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
+        BloomSidecar.mightMatch(path, seg, pushed, storedSchema))
       .map(seg => HadroInputPartition(
         path.resolve(seg.file).toString, seg.ordinal): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new HadroReaderFactory(dataSchema, required)
+    new HadroReaderFactory(storedSchema, required)
 }
 
 final case class HadroInputPartition(file: String, ordinal: Long) extends InputPartition
@@ -200,6 +218,46 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** Bloom-sidecar segment pruning for point predicates on the collection's
+  * key column. Consulted at PLANNING time after min/max (cheap first);
+  * loaded filters are memoized driver-side. Conservative: any miss/mismatch
+  * keeps the segment. */
+object BloomSidecar {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, graft.format.KeyBloom]()
+
+  private def load(path: Path, seg: SegmentInfo): Option[graft.format.KeyBloom] =
+    seg.bloom.flatMap { f =>
+      val key = path.resolve(f).toString
+      Option(cache.get(key)).orElse {
+        if (cache.size() > 1024) cache.clear() // bound driver memory
+        val b = graft.format.KeyBloom.readFrom(path.resolve(f))
+        b.foreach(cache.put(key, _))
+        b
+      }
+    }
+
+  def mightMatch(path: Path, seg: SegmentInfo, filters: Array[Filter],
+      schema: StructType): Boolean =
+    seg.bloomCol match {
+      case None => true
+      case Some(keyCol) =>
+        def internal(v: Any): Option[Any] =
+          schema.fields.find(_.name == keyCol).flatMap { f =>
+            try Some(CatalystTypeConverters.createToCatalystConverter(f.dataType)(v))
+            catch { case _: Exception => None }
+          }
+        filters.forall {
+          case EqualTo(c, v) if c == keyCol =>
+            (for { b <- load(path, seg); iv <- internal(v) }
+              yield b.mightContain(iv)).getOrElse(true)
+          case In(c, vs) if c == keyCol && vs.nonEmpty =>
+            load(path, seg).forall(b =>
+              vs.exists(v => internal(v).forall(b.mightContain)))
+          case _ => true
+        }
+    }
 }
 
 /** Min/max-stats based segment pruning — the Spark-idiomatic replacement for

@@ -73,10 +73,12 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       CollectionMeta.writeSchema(path, schema, keyField)
   }
 
-  private val storedSchema: StructType = CollectionMeta.readSchema(path).get.schema
+  private val storedMeta = CollectionMeta.readSchema(path).get
+  private val storedSchema: StructType = storedMeta.schema
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone)
+    new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
+      storedMeta.keyField.map(storedSchema.fieldIndex))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
@@ -89,27 +91,32 @@ final class HadroBatchWrite(path: Path, schema: StructType,
         mutated = (cur.mutated && !truncate) || mutating)
     })
     if (truncate) {
-      // Physically drop segments no longer referenced (compaction epilogue).
-      val live = CollectionMeta.currentManifest(path).segments.map(_.file).toSet
-      Files.list(path).filter(p => p.getFileName.toString.endsWith(".data") &&
-        !live(p.getFileName.toString)).forEach(p => Files.deleteIfExists(p))
+      // Physically drop segments + sidecars no longer referenced.
+      val m = CollectionMeta.currentManifest(path)
+      val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom)).toSet
+      Files.list(path).filter { p =>
+        val n = p.getFileName.toString
+        (n.endsWith(".data") || n.endsWith(".bloom")) && !live(n)
+      }.forEach(p => Files.deleteIfExists(p))
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: HadroCommitMessage => m }
-      .foreach(m => Files.deleteIfExists(Paths.get(path.toString, m.info.file)))
+    messages.collect { case m: HadroCommitMessage => m }.foreach { m =>
+      Files.deleteIfExists(Paths.get(path.toString, m.info.file))
+      m.info.bloom.foreach(b => Files.deleteIfExists(Paths.get(path.toString, b)))
+    }
 }
 
 final case class HadroCommitMessage(info: SegmentInfo) extends WriterCommitMessage
 
 final class HadroWriterFactory(path: String, storedSchema: StructType,
-    writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean)
-    extends DataWriterFactory {
+    writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
+    keyOrdinal: Option[Int]) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
-      tombstone, partitionId, taskId)
+      tombstone, partitionId, taskId, keyOrdinal)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -123,11 +130,11 @@ final class HadroWriterFactory(path: String, storedSchema: StructType,
   * into a non-nullable field fails the task. */
 final class HadroDataWriter(dir: Path, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, keyOrdinal: Option[Int]) extends DataWriter[InternalRow] {
 
   private val file = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
-  private val writer = new SegmentWriter(file, storedSchema, consistency)
+  private val writer = new SegmentWriter(file, storedSchema, consistency, keyOrdinal)
 
   // Projection: stored ordinal -> write ordinal (or -1 = absent -> null).
   private val proj: Array[Int] = storedSchema.fields.map(f => writeSchema.fieldNames.indexOf(f.name))

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.api.Collection
+
+/** Property-based specs (SURVEY §5.2): for arbitrary record batches and
+  * predicates, the hadro round trip preserves content, pushed filters are
+  * equivalent to post-scan filters, and column pruning is equivalent to
+  * post-scan selection. Uses raw ScalaCheck generators with fixed seeds
+  * (deterministic; scalatestplus bridge is not on the offline classpath).
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true),
+    StructField("tags", ArrayType(IntegerType), nullable = true)))
+
+  private val genRow: Gen[Row] = for {
+    id <- Gen.choose(0L, 10000L)
+    name <- Gen.option(Gen.alphaNumStr.map(_.take(12)))
+    score <- Gen.option(Gen.choose(-1e6, 1e6))
+    tags <- Gen.option(Gen.listOfN(3, Gen.choose(0, 99)))
+  } yield Row(id, name.orNull, score.map(Double.box).orNull,
+    tags.map(t => scala.collection.mutable.WrappedArray.make[Int](t.toArray)).orNull)
+
+  private val genBatch: Gen[List[Row]] = Gen.choose(1, 120).flatMap(Gen.listOfN(_, genRow))
+
+  private def mkDf(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+
+  test("append -> scan returns exactly the input (arbitrary batches)") {
+    samples(genBatch, 6, seed = 41).foreach { rows =>
+      val path = Files.createTempDirectory("prop").resolve("c").toString
+      Collection.create(spark, path, mkDf(rows), numSegments = 3)
+      val back = spark.read.format("hadro").load(path)
+      assert(back.count() == rows.length)
+      val a = mkDf(rows).collect().map(_.toString).sorted
+      val b = back.collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("pushed filter == post-scan filter for arbitrary thresholds") {
+    val path = Files.createTempDirectory("prop").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .repartitionByRange(6, $"o_orderkey")
+    Collection.create(spark, path, src)
+    val hadro = spark.read.format("hadro").load(path)
+    val ref = src.select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val gen = for {
+      k <- Gen.choose(0L, 6000L)
+      p <- Gen.choose(0.0, 500000.0)
+    } yield (k, p)
+    samples(gen, 10, seed = 42).foreach { case (k, p) =>
+      val pushed = hadro.filter($"o_orderkey" < k && $"o_totalprice" >= p).count()
+      val post = ref.count { case (ok, tp) => ok < k && tp >= p }
+      assert(pushed == post, s"k=$k p=$p")
+    }
+  }
+
+  test("column pruning == select-after-full-read for arbitrary subsets") {
+    val path = Files.createTempDirectory("prop").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/customer.parquet")
+    Collection.create(spark, path, src, numSegments = 2)
+    val hadro = spark.read.format("hadro").load(path)
+    val gen = Gen.someOf(src.columns.toSeq).suchThat(_.nonEmpty)
+    samples(gen, 8, seed = 43).foreach { subset =>
+      val sel = subset.toList
+      val a = hadro.select(sel.map(col): _*).collect().map(_.toString).sorted
+      val b = src.select(sel.map(col): _*).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"cols=$sel")
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.format.KeyBloom
+import graft.meta.CollectionMeta
+
+/** Bloom sidecars, explicit-schema reads, and concurrent-commit safety. */
+class RobustnessSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("KeyBloom has no false negatives and low false positives") {
+    val b = KeyBloom()
+    (0L until 10000L by 2).foreach(v => b.add(v))
+    (0L until 10000L by 2).foreach(v => assert(b.mightContain(v)))
+    val fp = (1L until 10000L by 2).count(b.mightContain)
+    assert(fp < 250, s"false positives $fp") // ~0.5% expected at this load
+    val roundtrip = Files.createTempFile("bloom", ".bloom")
+    b.writeTo(roundtrip)
+    val b2 = KeyBloom.readFrom(roundtrip).get
+    (0L until 10000L by 2).foreach(v => assert(b2.mightContain(v)))
+  }
+
+  test("keyed collections write bloom sidecars and point gets consult them") {
+    val path = Files.createTempDirectory("bloom").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/customer.parquet")
+    Collection.create(spark, path, src, key = Some("c_custkey"), numSegments = 4)
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.segments.forall(_.bloom.isDefined))
+    assert(m.segments.forall(_.bloomCol.contains("c_custkey")))
+    // random (hash) partitioning means min/max can't prune; bloom usually can
+    val df = spark.read.format("hadro").load(path).filter($"c_custkey" === 37L)
+    assert(df.select($"c_custkey").as[Long].collect().toList == List(37L))
+  }
+
+  test("explicit read schema projects by name; type mismatch fails fast") {
+    val path = Files.createTempDirectory("schema").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    Collection.create(spark, path, src)
+    // subset schema in a DIFFERENT field order than stored
+    val subset = StructType(Seq(
+      StructField("r_name", StringType), StructField("r_regionkey", IntegerType)))
+    val got = spark.read.format("hadro").schema(subset).load(path)
+      .orderBy("r_regionkey").collect()
+    assert(got.length == 5 && got.head.getString(0).nonEmpty)
+    // wrong type for a stored column
+    val bad = StructType(Seq(StructField("r_regionkey", StringType)))
+    val e = intercept[Exception] {
+      spark.read.format("hadro").schema(bad).load(path).collect()
+    }
+    assert(e.getMessage.contains("stored as"))
+  }
+
+  test("concurrent appends both commit (manifest version race resolves)") {
+    val path = Files.createTempDirectory("race").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    Collection.create(spark, path, src.limit(0)) // schema only
+    val t1 = new Thread(() =>
+      src.filter($"n_nationkey" < 10).write.format("hadro").mode("append").save(path))
+    val t2 = new Thread(() =>
+      src.filter($"n_nationkey" >= 10).write.format("hadro").mode("append").save(path))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(spark.read.format("hadro").load(path).count() == src.count())
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.segments.map(_.ordinal).distinct.length == m.segments.length)
+  }
+}
