@@ -95,6 +95,61 @@ object AdvancedQueries {
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- a05
+    // Range (theta) join: parts priced into non-equi bands. The band table
+    // is tiny, so the planner uses a broadcast nested-loop join — the right
+    // physical shape (never a shuffled cartesian) at any fact-side scale.
+    QueryDef(
+      "a05_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          (0.0, 500.0, "budget"), (500.0, 1200.0, "standard"),
+          (1200.0, 1800.0, "premium"), (1800.0, 1e9, "luxury"))
+          .toDF("lo", "hi", "band")
+        table(s, dir, "part")
+          .join(broadcast(bands),
+            col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_parts"),
+            min(col("p_partkey")).as("min_key"))
+          .orderBy(col("band"))
+      },
+      Some("""SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+          CAST(MIN(p_partkey) AS BIGINT) AS min_key
+        FROM part
+        JOIN (VALUES (0.0, 500.0, 'budget'), (500.0, 1200.0, 'standard'),
+                     (1200.0, 1800.0, 'premium'), (1800.0, 1e9, 'luxury')) b(lo, hi, band)
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band ORDER BY band""")),
+
+    // ---------------------------------------------------------------- a06
+    // Skew-handling salted join: result must equal the plain equi-join
+    // (here: lineitem x nation via supplier-nation mapping is synthetic, so
+    // use orders⋈customer on custkey with salt from orderkey). The oracle
+    // is the PLAIN join — proving salting changes the physical distribution
+    // only, never the result.
+    QueryDef(
+      "a06_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val orders = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+        val cust = table(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        graft.ops.SkewOps.saltedJoin(orders, cust, "custkey",
+            saltFactor = 8, saltSource = col("o_orderkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
