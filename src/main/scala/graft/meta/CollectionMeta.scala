@@ -98,9 +98,14 @@ object CollectionMeta {
       .flatMap(p => p.getFileName.toString match {
         case ManifestRe(v) => Some(v.toLong)
         case _ => None
-      }).toSeq
-    if (versions.isEmpty) Manifest(0L, Nil, mutated = false)
-    else readManifest(collection, versions.max)
+      }).toSeq.sorted(Ordering[Long].reverse)
+    // A concurrent committer claims a version slot (empty file) before the
+    // atomic rename fills it; a read in that window must fall back to the
+    // newest PARSEABLE version — momentarily stale, never broken.
+    versions.iterator
+      .map(v => try Some(readManifest(collection, v)) catch { case _: Exception => None })
+      .collectFirst { case Some(m) => m }
+      .getOrElse(Manifest(0L, Nil, mutated = false))
   }
 
   private def readManifest(collection: Path, v: Long): Manifest = {

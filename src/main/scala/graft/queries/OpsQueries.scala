@@ -308,6 +308,38 @@ object OpsQueries {
       Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events WHERE event_type = 'purchase'
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- st03
+    // Streaming SOURCE over the hadro log: manifest ordinals are the
+    // micro-batch offsets, so the stream tails committed segments with no
+    // file listing. Two appends land in different micro-batches; the memory
+    // sink must accumulate exactly the full table, which the oracle
+    // recomputes from the source parquet.
+    QueryDef(
+      "st03_streaming_source_hadro",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val src = table(s, dir, "orders")
+        val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st03"
+        val c = graft.api.Collection.create(s, colPath,
+          src.filter(col("o_orderkey") % 2 === 0), numSegments = 2)
+        val name = s"st03_sink_${System.nanoTime()}"
+        val q = s.readStream.format("hadro").load(colPath)
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable()                                  // batch 1: even keys
+        c.append(src.filter(col("o_orderkey") % 2 === 1))
+        q.processAllAvailable()                                  // batch 2: odd keys
+        q.stop()
+        s.table(name)
+          .groupBy(col("o_orderstatus"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.min(col("o_orderkey")).as("min_key"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

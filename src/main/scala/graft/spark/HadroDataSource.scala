@@ -70,7 +70,7 @@ final class HadroTable(path: Path, dataSchema: StructType)
   override def schema(): StructType = dataSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
@@ -122,6 +122,10 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    validateAgainstStored()
+    new HadroMicroBatchStream(path, storedSchema, required)
+  }
   override def description(): String =
     s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]"
 

@@ -1,0 +1,59 @@
+package graft.spark
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+import graft.meta.CollectionMeta
+
+/** Streaming source over a hadro collection: the append-only segment log is
+  * tailed by MANIFEST ORDINAL — each committed segment has a monotonically
+  * increasing ordinal, so an offset is simply "next ordinal to read" and a
+  * micro-batch is the half-open ordinal range committed since the last
+  * batch. No files are listed or re-read; planning is one manifest read.
+  *
+  * Semantics: an insert-only changefeed of the log tail (tombstone records
+  * are skipped, shadowed versions are NOT resolved — resolution is a
+  * batch-view concern). Compaction/truncate resets ordinals and therefore
+  * invalidates running streams (documented limitation; streams should read
+  * from non-compacting collections, mirroring e.g. Delta's behavior when a
+  * table is rewritten).
+  */
+final case class HadroOffset(nextOrdinal: Long) extends Offset {
+  override def json(): String = s"""{"nextOrdinal":$nextOrdinal}"""
+}
+
+final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
+    required: StructType) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = HadroOffset(0L)
+
+  override def latestOffset(): Offset =
+    HadroOffset(CollectionMeta.currentManifest(path).nextOrdinal)
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"nextOrdinal":(\d+)\}""".r
+    json.trim match {
+      case m(v) => HadroOffset(v.toLong)
+      case other => throw new IllegalArgumentException(s"bad hadro offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[HadroOffset].nextOrdinal
+    val hi = end.asInstanceOf[HadroOffset].nextOrdinal
+    CollectionMeta.currentManifest(path).segments
+      .filter(s => s.ordinal >= lo && s.ordinal < hi)
+      .map(s => HadroInputPartition(path.resolve(s.file).toString, s.ordinal): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HadroReaderFactory(storedSchema, required)
+
+  override def commit(end: Offset): Unit = () // no source-side state to clean
+
+  override def stop(): Unit = ()
+}
