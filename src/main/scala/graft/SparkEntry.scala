@@ -23,7 +23,7 @@ object SparkEntry {
 
   private def batteries: Seq[QueryDef] =
     RelationalQueries.defs ++ StorageQueries.defs ++ OpsQueries.defs ++
-      AdvancedQueries.defs
+      AdvancedQueries.defs ++ SurfaceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

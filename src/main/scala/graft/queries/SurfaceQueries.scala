@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** API-surface round-out: pivot, generators (explode — the UDTF surface),
+  * exact median/percentile, and the typed Dataset API. */
+object SurfaceQueries {
+  import QueryDef.table
+
+  /** Typed view of the subset of lineitem the typed query uses. */
+  final case class LineSlim(l_returnflag: String, l_quantity: Double,
+      l_extendedprice: Double)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---------------------------------------------------------------- p01
+    // DataFrame pivot: market segments as columns per region. The oracle
+    // spells the pivot as conditional aggregation (engine-portable form).
+    QueryDef(
+      "p01_pivot",
+      (s, dir) => {
+        import s.implicits._
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        table(s, dir, "customer")
+          .join(broadcast(table(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .pivot("c_mktsegment", segs)
+          .agg(count(lit(1)))
+          .na.fill(0L, segs)
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+          CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+          CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+          CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+          CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+          CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---------------------------------------------------------------- p02
+    // Generator / lateral-view surface: posexplode the embedding arrays and
+    // aggregate per dimension index. Oracle: UNNEST WITH ORDINALITY.
+    QueryDef(
+      "p02_explode_lateral",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "embeddings")
+          .filter($"vec_id" < 50)
+          .select($"vec_id", posexplode($"embedding"))
+          // float -> double is exact; scale to micro-units and round to a
+          // long so the cross-engine sum is integer-exact (float->decimal
+          // casts round differently between engines).
+          .withColumn("micros", round($"col".cast(DoubleType) * 1e6).cast(LongType))
+          .groupBy($"pos")
+          .agg(count(lit(1)).as("n"), sum($"micros").as("sum_micros"))
+          .orderBy($"pos")
+      },
+      Some("""SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros
+        FROM (SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                UNNEST(embedding) AS val
+              FROM embeddings WHERE vec_id < 50)
+        GROUP BY pos ORDER BY pos""")),
+
+    // ---------------------------------------------------------------- p03
+    // Exact median + interpolated percentile per group. Both engines
+    // compute type-1/interpolated quantiles over doubles identically.
+    QueryDef(
+      "p03_median_percentile",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            median($"o_totalprice").as("med_price"),
+            percentile_approx($"o_totalprice", lit(0.5), lit(100000)).as("p50_approx"),
+            count(lit(1)).as("n"))
+          .select($"o_orderstatus", $"med_price", $"n") // approx col: no oracle
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, MEDIAN(o_totalprice) AS med_price,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---------------------------------------------------------------- p04
+    // Typed Dataset API (Dataset[T] + groupByKey): same answer as the
+    // untyped plan — Catalyst compiles both to the same aggregate.
+    QueryDef(
+      "p04_typed_dataset",
+      (s, dir) => {
+        import s.implicits._
+        val ds = table(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+          .as[LineSlim]
+        // Typed Aggregators (not mapGroups) so map-side partial aggregation
+        // still happens — the scalable shape of typed aggregation.
+        import org.apache.spark.sql.{Encoder, Encoders}
+        import org.apache.spark.sql.expressions.Aggregator
+        val qtyCents = new Aggregator[LineSlim, Long, Long] {
+          def zero = 0L
+          def reduce(b: Long, l: LineSlim) = b + math.round(l.l_quantity * 100)
+          def merge(a: Long, b: Long) = a + b
+          def finish(r: Long) = r
+          def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+          def outputEncoder: Encoder[Long] = Encoders.scalaLong
+        }.toColumn.name("qty_cents")
+        val nRows = new Aggregator[LineSlim, Long, Long] {
+          def zero = 0L
+          def reduce(b: Long, l: LineSlim) = b + 1
+          def merge(a: Long, b: Long) = a + b
+          def finish(r: Long) = r
+          def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+          def outputEncoder: Encoder[Long] = Encoders.scalaLong
+        }.toColumn.name("n")
+        ds.groupByKey(_.l_returnflag)
+          .agg(qtyCents, nRows)
+          .toDF("l_returnflag", "qty_cents", "n")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}
