@@ -272,8 +272,14 @@ object RecordCodec {
     private val readers = schema.fields.map(f => compileReader(f.dataType))
     private val skippers = schema.fields.map(f => compileSkipper(f.dataType))
 
-    def decode(payload: Array[Byte]): InternalRow = {
-      val buf = ByteBuffer.wrap(payload)
+    def decode(payload: Array[Byte]): InternalRow =
+      decode(payload, 0, payload.length)
+
+    /** Decode in place from a shared buffer (zero-copy framing path).
+      * Variable-width values are copied out, so the returned row does not
+      * alias `payload`. */
+    def decode(payload: Array[Byte], offset: Int, length: Int): InternalRow = {
+      val buf = ByteBuffer.wrap(payload, offset, length)
       val out = new GenericInternalRow(required.length)
       buf.get(bitmap, 0, bitmapLen)
       var i = 0

@@ -90,50 +90,73 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   }
 }
 
-/** Streaming reader over one segment file: 8 MB buffered blocks (reference
-  * engine.py:140) with record reassembly across block boundaries handled by
-  * read-fully semantics (the explicit loop at engine.py:151-163). Yields
-  * (flags, payload) pairs; tombstone policy belongs to the caller. */
+/** Streaming reader over one segment file: 8 MB blocks (reference
+  * engine.py:140) parsed in place — no per-record payload allocation.
+  * Records straddling a block boundary are reassembled by compacting the
+  * tail to the buffer front before the next fill (the semantics of the
+  * reference's explicit reassembly loop, engine.py:151-163; oversized
+  * records grow the buffer).
+  *
+  * Zero-copy protocol: after `advance()` returns true, the record is at
+  * (`buffer`, `payloadOffset`, `payloadLength`) with `flags` — valid until
+  * the next `advance()`. The tuple `Iterator` view copies, for callers
+  * that retain payloads (tests). */
 final class SegmentReader(path: Path) extends Iterator[(Int, Array[Byte])] with AutoCloseable {
-  private val in = new BufferedInputStream(new FileInputStream(path.toFile), SegmentReader.BlockSize)
-  private val header = new Array[Byte](RecordCodec.HeaderSize)
-  private var nextRec: (Int, Array[Byte]) = _
+  private val in = new FileInputStream(path.toFile)
+  private var buf = new Array[Byte](SegmentReader.BlockSize)
+  private var limit = 0 // valid bytes in buf
+  private var pos = 0 // parse cursor
   private var eof = false
+  private var pending = false // an un-consumed record sits at the cursor
 
-  private def readFully(buf: Array[Byte]): Boolean = {
-    var off = 0
-    while (off < buf.length) {
-      val n = in.read(buf, off, buf.length - off)
-      if (n < 0) {
-        if (off == 0) return false
-        throw new EOFException(s"truncated record in $path at offset tail")
-      }
-      off += n
+  var flags: Int = 0
+  var payloadOffset: Int = 0
+  var payloadLength: Int = 0
+  def buffer: Array[Byte] = buf
+
+  /** Ensure >= n bytes available at the cursor; compacts + refills. */
+  private def ensure(n: Int): Boolean = {
+    if (limit - pos >= n) return true
+    if (eof) return limit - pos >= n
+    // compact tail to front (cross-block reassembly)
+    System.arraycopy(buf, pos, buf, 0, limit - pos)
+    limit -= pos
+    pos = 0
+    if (n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(n, buf.length * 2))
+    while (limit < n && !eof) {
+      val r = in.read(buf, limit, buf.length - limit)
+      if (r < 0) eof = true else limit += r
     }
+    limit - pos >= n
+  }
+
+  /** Parse the next record in place; false at end of segment. */
+  def advance(): Boolean = {
+    if (!ensure(RecordCodec.HeaderSize)) {
+      if (limit - pos != 0)
+        throw new EOFException(s"truncated record header in $path")
+      return false
+    }
+    flags = buf(pos) & 0xff
+    val size = ((buf(pos + 1) & 0xff) << 24) | ((buf(pos + 2) & 0xff) << 16) |
+      ((buf(pos + 3) & 0xff) << 8) | (buf(pos + 4) & 0xff)
+    pos += RecordCodec.HeaderSize
+    if (!ensure(size)) throw new EOFException(s"truncated payload in $path")
+    payloadOffset = pos
+    payloadLength = size
+    pos += size
     true
   }
 
-  private def advance(): Unit = {
-    if (!readFully(header)) { eof = true; nextRec = null; return }
-    val flags = header(0) & 0xff
-    val size = ((header(1) & 0xff) << 24) | ((header(2) & 0xff) << 16) |
-      ((header(3) & 0xff) << 8) | (header(4) & 0xff)
-    val payload = new Array[Byte](size)
-    if (!readFully(payload) && size > 0)
-      throw new EOFException(s"truncated payload in $path")
-    nextRec = (flags, payload)
-  }
-
+  // Copying Iterator view (tests / retaining callers).
   override def hasNext: Boolean = {
-    if (nextRec == null && !eof) advance()
-    nextRec != null
+    if (!pending) pending = advance()
+    pending
   }
-
   override def next(): (Int, Array[Byte]) = {
     if (!hasNext) throw new NoSuchElementException
-    val r = nextRec
-    nextRec = null
-    r
+    pending = false
+    (flags, java.util.Arrays.copyOfRange(buf, payloadOffset, payloadOffset + payloadLength))
   }
 
   override def close(): Unit = in.close()

@@ -195,12 +195,11 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (reader.hasNext) {
-      val (flags, payload) = reader.next()
+    while (reader.advance()) {
       rowIndex += 1
-      val deleted = (flags & RecordCodec.DeletedFlag) != 0
+      val deleted = (reader.flags & RecordCodec.DeletedFlag) != 0
       if (!deleted || wantDeleted) { // tombstone skip: engine.py:169
-        val decoded = decoder.decode(payload)
+        val decoded = decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength)
         current =
           if (!wantSeq && !wantDeleted) decoded
           else {
