@@ -40,21 +40,28 @@ object DedupOps {
       col(idCol).as("doc_id"),
       TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
+    val sets = withSig.select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    // Dedup candidate PAIRS first (two longs), verify exactly ONCE per pair
+    // — a pair colliding in many bands must not pay the set-intersection
+    // repeatedly, and distinct on ids shuffles far less than on arrays.
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

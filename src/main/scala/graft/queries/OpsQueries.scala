@@ -320,7 +320,9 @@ object OpsQueries {
       "st03_streaming_source_hadro",
       (s, dir) => {
         import org.apache.spark.sql.functions.col
-        val src = table(s, dir, "orders")
+        // keep the memory-sink volume bounded: the stream's point is offset
+        // progression, not volume
+        val src = table(s, dir, "orders").filter(col("o_orderkey") < 20000)
         val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st03"
         val c = graft.api.Collection.create(s, colPath,
           src.filter(col("o_orderkey") % 2 === 0), numSegments = 2)
@@ -340,6 +342,7 @@ object OpsQueries {
       },
       Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM orders WHERE o_orderkey < 20000
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
