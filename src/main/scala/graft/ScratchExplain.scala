@@ -18,8 +18,8 @@ object ScratchExplain {
     for (n <- names) {
       println(s"######## $n")
       val df = SparkEntry.queries(n)(spark, dir)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+      df.collect() // finalize AQE so transitions (ColumnarToRow) are visible
+      println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

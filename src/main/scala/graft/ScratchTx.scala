@@ -37,6 +37,17 @@ object ScratchTx {
     // indexes facade probe
     println(s"== indexes.list: ${c.indexes.list().mkString(",")}")
     c.indexes.describe().show(4, false)
+    // columnar-path null probe: flat schema with nulls in every column kind
+    val nulls = Seq(
+      (1L, Some("a"), Some(1.5)), (2L, None, None), (3L, Some("c"), Some(-2.5)))
+      .toDF("k", "s", "d")
+      .select($"k", $"s", $"d")
+    graft.api.Collection.create(spark, "/tmp/graft_nullprobe/c", nulls)
+    val back = spark.read.format("hadro").load("/tmp/graft_nullprobe/c")
+    back.collect() // force execution through the columnar reader
+    val plan = back.queryExecution.executedPlan.toString
+    println(s"== columnar in plan: ${plan.contains("ColumnarToRow")}")
+    println(s"== null roundtrip: ${back.orderBy("k").collect().mkString(" | ")}")
     spark.stop()
   }
 }

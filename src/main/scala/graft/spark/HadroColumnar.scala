@@ -1,0 +1,135 @@
+package graft.spark
+
+import java.nio.ByteBuffer
+import java.nio.file.Path
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+import graft.format.{RecordCodec, SegmentReader}
+
+/** Columnar scan path: decodes framed records straight into on-heap column
+  * vectors, emitting [[ColumnarBatch]]es of up to 4096 rows. Downstream
+  * operators consume vectors (and Spark inserts ColumnarToRow with a tight
+  * codegen loop where needed) instead of paying a GenericInternalRow +
+  * boxing per record.
+  *
+  * Supported for FLAT schemas (atomic + string/binary types). Collections
+  * with nested array/map/struct columns fall back to the row reader —
+  * decided once per scan in [[HadroReaderFactory]].
+  */
+object HadroColumnar {
+  val BatchSize = 4096
+
+  def supports(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType | StringType | BinaryType => true
+    case _ => false
+  }
+
+  def supportsSchema(schema: StructType): Boolean =
+    schema.fields.forall(f => supports(f.dataType))
+}
+
+/** Columnar partition reader over one segment. Mirrors the row reader's
+  * framing/tombstone semantics (reference engine.py:139-177) but fills
+  * vectors. Only reachable for flat schemas without metadata columns. */
+final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
+    required: StructType) extends PartitionReader[ColumnarBatch] {
+  import HadroColumnar._
+
+  private val n = dataSchema.length
+  private val bitmapLen = (n + 7) / 8
+  private val bitmap = new Array[Byte](bitmapLen)
+  private val outOrd = {
+    val w = new Array[Int](n)
+    java.util.Arrays.fill(w, -1)
+    required.fields.zipWithIndex.foreach { case (f, o) =>
+      w(dataSchema.fieldIndex(f.name)) = o
+    }
+    w
+  }
+  private val appenders: Array[HadroColumnarPartitionReader.FieldStep] = {
+    dataSchema.fields.zipWithIndex.map { case (f, i) =>
+      HadroColumnarPartitionReader.FieldStep(i, outOrd(i), f.dataType)
+    }
+  }
+
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(BatchSize, required)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  private val reader = new SegmentReader(file)
+  private var exhausted = false
+
+  override def next(): Boolean = {
+    if (exhausted) return false
+    var row = 0
+    vectors.foreach(_.reset())
+    while (row < BatchSize && { if (reader.advance()) true else { exhausted = true; false } }) {
+      if ((reader.flags & RecordCodec.DeletedFlag) == 0) { // tombstone skip
+        val buf = ByteBuffer.wrap(reader.buffer, reader.payloadOffset, reader.payloadLength)
+        buf.get(bitmap, 0, bitmapLen)
+        var i = 0
+        while (i < n) {
+          val isNull = (bitmap(i >> 3) & (1 << (i & 7))) != 0
+          val step = appenders(i)
+          if (step.out >= 0) {
+            if (isNull) vectors(step.out).putNull(row)
+            else step.append(buf, vectors(step.out), row)
+          } else if (!isNull) step.skip(buf)
+          i += 1
+        }
+        row += 1
+      }
+    }
+    batch.setNumRows(row)
+    row > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { reader.close(); batch.close() }
+}
+
+object HadroColumnarPartitionReader {
+  /** One field's decode step: either append into output vector `out`
+    * (>=0) or skip. Closures compiled once per reader. */
+  final case class FieldStep(ord: Int, out: Int, dt: DataType) {
+    private val app: (ByteBuffer, OnHeapColumnVector, Int) => Unit =
+      if (out >= 0) compileAppender(dt) else null
+    private val skp: ByteBuffer => Unit = compileSkipper(dt)
+    def append(b: ByteBuffer, v: OnHeapColumnVector, r: Int): Unit = app(b, v, r)
+    def skip(b: ByteBuffer): Unit = skp(b)
+  }
+
+  private def compileAppender(dt: DataType): (ByteBuffer, OnHeapColumnVector, Int) => Unit = dt match {
+    case BooleanType => (b, v, r) => v.putBoolean(r, b.get() != 0)
+    case ByteType => (b, v, r) => v.putByte(r, b.get())
+    case ShortType => (b, v, r) => v.putShort(r, b.getShort())
+    case IntegerType | DateType => (b, v, r) => v.putInt(r, b.getInt())
+    case LongType | TimestampType | TimestampNTZType => (b, v, r) => v.putLong(r, b.getLong())
+    case FloatType => (b, v, r) => v.putFloat(r, b.getFloat())
+    case DoubleType => (b, v, r) => v.putDouble(r, b.getDouble())
+    case StringType | BinaryType => (b, v, r) => {
+      val n = b.getInt()
+      val arr = b.array()
+      val off = b.arrayOffset() + b.position()
+      v.putByteArray(r, arr, off, n)
+      b.position(b.position() + n)
+    }
+    case other => throw new IllegalStateException(s"columnar: unsupported $other")
+  }
+
+  private def compileSkipper(dt: DataType): ByteBuffer => Unit = dt match {
+    case BooleanType | ByteType => b => b.position(b.position() + 1)
+    case ShortType => b => b.position(b.position() + 2)
+    case IntegerType | DateType | FloatType => b => b.position(b.position() + 4)
+    case LongType | TimestampType | TimestampNTZType | DoubleType =>
+      b => b.position(b.position() + 8)
+    case StringType | BinaryType => b => b.position(b.position() + 4 + b.getInt(b.position()))
+    case other => throw new IllegalStateException(s"columnar: unsupported $other")
+  }
+}

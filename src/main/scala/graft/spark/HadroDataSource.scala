@@ -164,9 +164,23 @@ final case class HadroInputPartition(file: String, ordinal: Long) extends InputP
 
 final class HadroReaderFactory(dataSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
+
+  // Columnar path for flat schemas without metadata columns; nested types
+  // or _hadro_* requests use the row reader (decided once per scan).
+  private val columnar =
+    HadroColumnar.supportsSchema(dataSchema) &&
+      !required.fieldNames.exists(HadroTable.MetaColNames)
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HadroInputPartition]
     new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required)
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[HadroInputPartition]
+    new HadroColumnarPartitionReader(Paths.get(p.file), dataSchema, required)
   }
 }
 
