@@ -48,6 +48,14 @@ object ScratchTx {
     val plan = back.queryExecution.executedPlan.toString
     println(s"== columnar in plan: ${plan.contains("ColumnarToRow")}")
     println(s"== null roundtrip: ${back.orderBy("k").collect().mkString(" | ")}")
+    // can a stream select the _hadro_seq metadata column?
+    try {
+      val st = spark.readStream.format("hadro").load(path)
+        .select($"k", $"v", $"_hadro_seq")
+      val q = st.writeStream.format("memory").queryName("seqprobe").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      println(s"== stream seq probe: ${spark.table("seqprobe").orderBy("_hadro_seq").collect().mkString(" | ")}")
+    } catch { case e: Exception => println(s"== stream seq probe FAILED: ${e.getMessage.linesIterator.next()}") }
     spark.stop()
   }
 }

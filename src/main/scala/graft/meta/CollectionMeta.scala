@@ -114,6 +114,22 @@ object CollectionMeta {
     root.extract[Manifest]
   }
 
+  /** Manifest versions kept behind the newest one (readers planning against
+    * an older version finish against its immutable segment files; only the
+    * manifest JSONs are GC'd, never data). Bounds metadata growth to
+    * O(KeepVersions) regardless of commit count. */
+  val KeepVersions = 16
+
+  private def gcOldManifests(collection: Path, newest: Long): Unit = {
+    val dir = metaDir(collection)
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString match {
+        case ManifestRe(v) => v.toLong < newest - KeepVersions
+        case _ => false
+      })
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+  }
+
   /** Atomically publish a new manifest version. Retries on version races
     * (two committers picking the same next version) — the loser re-reads and
     * re-applies on top of the winner. `update` maps the current manifest to
@@ -133,6 +149,7 @@ object CollectionMeta {
         // on POSIX only via our existence check; emulate with createFile.
         Files.createFile(target) // claims the version slot atomically
         Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+        gcOldManifests(collection, next.version)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

@@ -343,6 +343,50 @@ object OpsQueries {
       Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
         FROM orders WHERE o_orderkey < 20000
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // --------------------------------------------------------------- st04
+    // Stateful streaming (mapGroupsWithState): a live last-write-wins view
+    // over the hadro changefeed. Base rows arrive in micro-batch 1, keyed
+    // upserts in micro-batch 2; per-key GroupState keeps the latest value
+    // and a version counter, and the final answer takes each key's highest
+    // version from the update-mode sink. Oracle = the resolved batch view.
+    QueryDef(
+      "st04_stateful_lww_stream",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+        val src = table(s, dir, "supplier")
+        val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st04"
+        val c = graft.api.Collection.create(s, colPath, src, key = Some("s_suppkey"))
+        val stream = s.readStream.format("hadro").load(colPath)
+          .select($"s_suppkey", $"s_name").as[(Long, String)]
+        val resolved = stream.groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (key: Long, rows: Iterator[(Long, String)], state: GroupState[(String, Long)]) =>
+              // batches arrive in commit order; last batch's value wins
+              val latest = rows.map(_._2).toSeq.last
+              val version = state.getOption.map(_._2).getOrElse(0L) + 1L
+              state.update((latest, version))
+              (key, latest, version)
+          }
+        val name = s"st04_sink_${System.nanoTime()}"
+        val q = resolved.toDF("s_suppkey", "s_name", "version")
+          .writeStream.outputMode("update").format("memory").queryName(name).start()
+        q.processAllAvailable() // batch 1: base rows
+        c.set(src.filter($"s_suppkey" % 2 === 0)
+          .withColumn("s_name", concat(lit("UPDATED_"), $"s_name")))
+        q.processAllAvailable() // batch 2: upserts
+        q.stop()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"s_suppkey").orderBy($"version".desc)
+        s.table(name)
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"s_suppkey", $"s_name")
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey,
+          CASE WHEN s_suppkey % 2 = 0 THEN 'UPDATED_' || s_name ELSE s_name END AS s_name
+        FROM supplier ORDER BY s_suppkey"""))
   )
 }

@@ -19,7 +19,9 @@ import graft.meta.CollectionMeta
   * batch-view concern). Compaction/truncate resets ordinals and therefore
   * invalidates running streams (documented limitation; streams should read
   * from non-compacting collections, mirroring e.g. Delta's behavior when a
-  * table is rewritten).
+  * table is rewritten). The `_hadro_*` metadata columns are batch-only:
+  * streaming plans do not route metadata columns through pruneColumns, so
+  * selecting them on a stream is unsupported.
   */
 final case class HadroOffset(nextOrdinal: Long) extends Offset {
   override def json(): String = s"""{"nextOrdinal":$nextOrdinal}"""

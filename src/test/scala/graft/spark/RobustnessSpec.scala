@@ -56,6 +56,21 @@ class RobustnessSpec extends SparkSuite {
     assert(e.getMessage.contains("stored as"))
   }
 
+  test("manifest GC bounds metadata growth without breaking reads") {
+    val path = Files.createTempDirectory("gc").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val c = Collection.create(spark, path, src)
+    (1 to 20).foreach(_ => c.append(src.limit(1)))
+    val metaDir = java.nio.file.Paths.get(path).resolve("_hadro")
+    val manifests = Files.list(metaDir).iterator()
+    var count = 0
+    while (manifests.hasNext) {
+      if (manifests.next().getFileName.toString.startsWith("manifest-")) count += 1
+    }
+    assert(count <= CollectionMeta.KeepVersions + 2, s"$count manifests kept")
+    assert(spark.read.format("hadro").load(path).count() == src.count() + 20)
+  }
+
   test("concurrent appends both commit (manifest version race resolves)") {
     val path = Files.createTempDirectory("race").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/nation.parquet")
