@@ -192,6 +192,24 @@ object StorageQueries {
       },
       Some("""SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
           CAST(COUNT(*) AS BIGINT) AS n
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- h12
+    // Multi-get (§2.2 #10 `hadro[id, id...]`): IN-list point lookups over a
+    // keyed collection — pushed as an In filter, pruned via min/max stats
+    // AND per-segment key blooms.
+    QueryDef(
+      "h12_multiget",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "part")
+        val c = Collection.create(s, colPath(dir, "h12"), src,
+          key = Some("p_partkey"), numSegments = 8)
+        c.multiGet(3L, 77L, 500L, 999L)
+          .select($"p_partkey", $"p_name", $"p_retailprice")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+        WHERE p_partkey IN (3, 77, 500, 999) ORDER BY p_partkey"""))
   )
 }
