@@ -28,6 +28,15 @@ object HadroColumnar {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | DateType | TimestampType |
          TimestampNTZType | StringType | BinaryType => true
+    case ArrayType(et, _) => supportsArrayElement(et) // one nesting level
+    case _ => false
+  }
+
+  /** Array elements vectorize when fixed-width atomic (child vectors). */
+  def supportsArrayElement(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType => true
     case _ => false
   }
 
@@ -120,7 +129,37 @@ object HadroColumnarPartitionReader {
       v.putByteArray(r, arr, off, n)
       b.position(b.position() + n)
     }
+    case ArrayType(et, _) =>
+      // Elements accumulate in the array vector's child; each row records
+      // its (offset, length) slice. The child grows across the whole batch;
+      // reset() on the parent resets it.
+      val elemApp = compileElementAppender(et)
+      (b, v, r) => {
+        val m = b.getInt()
+        val child = v.getChild(0).asInstanceOf[OnHeapColumnVector]
+        val start = child.getElementsAppended
+        child.reserve(start + m)
+        var j = 0
+        while (j < m) {
+          if (b.get() != 0) child.appendNull()
+          else elemApp(b, child)
+          j += 1
+        }
+        v.putArray(r, start, m)
+      }
     case other => throw new IllegalStateException(s"columnar: unsupported $other")
+  }
+
+  /** Append one non-null element to a child vector (append-style API). */
+  private def compileElementAppender(dt: DataType): (ByteBuffer, OnHeapColumnVector) => Unit = dt match {
+    case BooleanType => (b, c) => c.appendBoolean(b.get() != 0)
+    case ByteType => (b, c) => c.appendByte(b.get())
+    case ShortType => (b, c) => c.appendShort(b.getShort())
+    case IntegerType | DateType => (b, c) => c.appendInt(b.getInt())
+    case LongType | TimestampType | TimestampNTZType => (b, c) => c.appendLong(b.getLong())
+    case FloatType => (b, c) => c.appendFloat(b.getFloat())
+    case DoubleType => (b, c) => c.appendDouble(b.getDouble())
+    case other => throw new IllegalStateException(s"columnar array element: unsupported $other")
   }
 
   private def compileSkipper(dt: DataType): ByteBuffer => Unit = dt match {
@@ -130,6 +169,13 @@ object HadroColumnarPartitionReader {
     case LongType | TimestampType | TimestampNTZType | DoubleType =>
       b => b.position(b.position() + 8)
     case StringType | BinaryType => b => b.position(b.position() + 4 + b.getInt(b.position()))
+    case ArrayType(et, _) =>
+      val es = compileSkipper(et)
+      b => {
+        val m = b.getInt()
+        var j = 0
+        while (j < m) { if (b.get() == 0) es(b); j += 1 }
+      }
     case other => throw new IllegalStateException(s"columnar: unsupported $other")
   }
 }

@@ -56,6 +56,26 @@ class RobustnessSpec extends SparkSuite {
     assert(e.getMessage.contains("stored as"))
   }
 
+  test("columnar path round-trips arrays with null elements and null arrays") {
+    val path = Files.createTempDirectory("colarr").resolve("c").toString
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, Seq[java.lang.Float](1.5f, null, 3.0f)),
+        org.apache.spark.sql.Row(2L, null),
+        org.apache.spark.sql.Row(3L, Seq[java.lang.Float]())),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vals", ArrayType(FloatType, containsNull = true)))))
+    Collection.create(spark, path, df)
+    val back = spark.read.format("hadro").load(path)
+    back.collect()
+    assert(back.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getSeq[java.lang.Float](1) == Seq(1.5f, null, 3.0f))
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getSeq[java.lang.Float](1).isEmpty)
+  }
+
   test("manifest GC bounds metadata growth without breaking reads") {
     val path = Files.createTempDirectory("gc").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/region.parquet")
