@@ -15,6 +15,13 @@ object ScratchEntry {
     println(s"== q11 on bare session: ${df.count()} rows")
     val st = SparkEntry.queries("st01_streaming_hourly")(spark, "/root/testdata/sf0.001")
     println(s"== st01 on bare session: ${st.count()} rows")
+    // time-travel error path: unavailable version
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val c = graft.api.Collection.create(spark, "/tmp/graft_tt_probe/c", src)
+    try c.scanVersion(999).count()
+    catch { case e: Exception =>
+      println(s"== tt probe: ${e.getMessage.linesIterator.find(_.contains("version")).getOrElse(e.getMessage.take(80))}") }
+    println(s"== tt current: v${c.version} rows=${c.scanVersion(c.version).count()}")
     spark.stop()
   }
 }

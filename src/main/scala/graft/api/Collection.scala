@@ -34,6 +34,15 @@ final class Collection private (spark: SparkSession, val path: String) {
     * every non-tombstoned record, including shadowed old versions. */
   def scan(): DataFrame = spark.read.format("hadro").load(path)
 
+  /** Time travel: the collection exactly as of a committed manifest
+    * version (segments are immutable, so any retained version — the last
+    * 16, and none crossing a compaction — reconstructs its state). */
+  def scanVersion(version: Long): DataFrame =
+    spark.read.format("hadro").option("hadro.versionAsOf", version).load(path)
+
+  /** Current committed manifest version (for use with [[scanVersion]]). */
+  def version: Long = manifest.version
+
   /** The resolved view: latest version per key, tombstones removed. */
   def toDF(): DataFrame = keyField match {
     case Some(k) if manifest.mutated =>

@@ -114,6 +114,18 @@ object CollectionMeta {
     root.extract[Manifest]
   }
 
+  /** Snapshot read of a specific committed version (time travel). Fails
+    * with the retained range when the version has been GC'd. */
+  def manifestAt(collection: Path, version: Long): Manifest = {
+    if (!Files.exists(manifestFile(collection, version))) {
+      val cur = currentManifest(collection)
+      throw new IllegalArgumentException(
+        s"hadro: version $version not available for $collection " +
+          s"(retained: ${math.max(1, cur.version - KeepVersions)}..${cur.version})")
+    }
+    readManifest(collection, version)
+  }
+
   /** Manifest versions kept behind the newest one (readers planning against
     * an older version finish against its immutable segment files; only the
     * manifest JSONs are GC'd, never data). Bounds metadata growth to

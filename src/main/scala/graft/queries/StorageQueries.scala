@@ -210,6 +210,21 @@ object StorageQueries {
           .orderBy($"p_partkey")
       },
       Some("""SELECT p_partkey, p_name, p_retailprice FROM part
-        WHERE p_partkey IN (3, 77, 500, 999) ORDER BY p_partkey"""))
+        WHERE p_partkey IN (3, 77, 500, 999) ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------------- h13
+    // Time travel: read the snapshot BEFORE a later append — segment
+    // immutability + versioned manifests make any retained version exact.
+    QueryDef(
+      "h13_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "region")
+        val c = Collection.create(s, colPath(dir, "h13"), src)
+        val v1 = c.version
+        c.append(src.withColumn("r_name", upper($"r_name"))) // v2 noise
+        c.scanVersion(v1).orderBy($"r_regionkey")
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey"))
   )
 }

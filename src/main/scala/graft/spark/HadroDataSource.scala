@@ -87,7 +87,8 @@ final class HadroTable(path: Path, dataSchema: StructType)
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HadroScanBuilder(path, dataSchema)
+    new HadroScanBuilder(path, dataSchema,
+      Option(options.get("hadro.versionAsOf")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new HadroWriteBuilder(path, info)
@@ -98,7 +99,8 @@ final class HadroTable(path: Path, dataSchema: StructType)
   * they are also ALL returned as residual so Catalyst re-applies them —
   * the same contract Spark's parquet source uses (skipping is an
   * optimization, never a correctness dependency). */
-final class HadroScanBuilder(path: Path, dataSchema: StructType)
+final class HadroScanBuilder(path: Path, dataSchema: StructType,
+    versionAsOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = dataSchema
@@ -114,11 +116,11 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new HadroScan(path, dataSchema, required, pushed)
+    new HadroScan(path, dataSchema, required, pushed, versionAsOf)
 }
 
 final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], versionAsOf: Option[Long] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -147,7 +149,12 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     validateAgainstStored()
-    val manifest = CollectionMeta.currentManifest(path)
+    // Time travel: a snapshot is just an older manifest — segment files are
+    // immutable and appends never rewrite them, so any retained version
+    // reconstructs its exact state.
+    val manifest = versionAsOf
+      .map(v => CollectionMeta.manifestAt(path, v))
+      .getOrElse(CollectionMeta.currentManifest(path))
     manifest.segments
       .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, pushed, storedSchema))
