@@ -36,6 +36,20 @@ class PushdownSpec extends SparkSuite {
     assert(SegmentSkipper.mightMatch(s, Array[Filter](EqualTo("s", "zzz")), schema))
   }
 
+  test("SegmentSkipper handles string ranges and null-count pruning") {
+    val s = SegmentInfo("f.data", 0, 10, 0, 0,
+      Map("s" -> ColumnStats(Some("apple"), Some("mango"), 0),
+        "n" -> ColumnStats(None, None, 10)))
+    val strSchema = StructType(Seq(StructField("s", StringType), StructField("n", LongType)))
+    assert(!SegmentSkipper.mightMatch(s, Array[Filter](EqualTo("s", "zebra")), strSchema))
+    assert(SegmentSkipper.mightMatch(s, Array[Filter](EqualTo("s", "banana")), strSchema))
+    assert(!SegmentSkipper.mightMatch(s, Array[Filter](LessThan("s", "apple")), strSchema))
+    assert(SegmentSkipper.mightMatch(s, Array[Filter](GreaterThanOrEqual("s", "mango")), strSchema))
+    // all-null column: IsNotNull prunes, IsNull keeps
+    assert(!SegmentSkipper.mightMatch(s, Array[Filter](IsNotNull("n")), strSchema))
+    assert(SegmentSkipper.mightMatch(s, Array[Filter](IsNull("n")), strSchema))
+  }
+
   test("point filter scans only matching segments") {
     val path = Files.createTempDirectory("push").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/customer.parquet")

@@ -26,6 +26,19 @@ class RobustnessSpec extends SparkSuite {
     (0L until 10000L by 2).foreach(v => assert(b2.mightContain(v)))
   }
 
+  test("string-keyed collections bloom and point-get correctly") {
+    val path = Files.createTempDirectory("sbloom").resolve("c").toString
+    val src = Seq.tabulate(500)(i => (s"key_$i", i)).toDF("k", "v")
+    val c = Collection.create(spark, path, src, key = Some("k"), numSegments = 4)
+    assert(c.get("key_321").select($"v").as[Int].collect().toList == List(321))
+    assert(!c.contains("key_9999"))
+    val b = KeyBloom()
+    (0 until 500).foreach(i => b.add(org.apache.spark.unsafe.types.UTF8String.fromString(s"key_$i")))
+    // write-side internal (UTF8String) and plan-side (String via converter)
+    // canonicalization must agree
+    assert(b.mightContain(org.apache.spark.unsafe.types.UTF8String.fromString("key_42")))
+  }
+
   test("keyed collections write bloom sidecars and point gets consult them") {
     val path = Files.createTempDirectory("bloom").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/customer.parquet")
