@@ -13,9 +13,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val failures = scala.collection.mutable.Buffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          // A broken query must be VISIBLE, not a silently-timed -1: record
+          // it, shout on stderr, and surface the list in the output JSON.
+          failures += name
+          System.err.println(s"BENCH FAILURE in $name: $t")
+          t.printStackTrace()
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries are self-contained: drop their persisted frames so one
       // query's cache pressure can't distort the next one's timing.
@@ -24,8 +32,11 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
+    if (failures.nonEmpty)
+      System.err.println(s"BENCH: ${failures.size} queries FAILED: ${failures.mkString(", ")}")
     spark.stop()
   }
 }

@@ -105,6 +105,12 @@ final class Collection private (spark: SparkSession, val path: String) {
     toDF().filter(col(k) === lit(value))
   }
 
+  /** Point lookup with a default — the legacy behavioral contract
+    * (`/root/reference/tests/#test_disk_store_original.py:48-53`:
+    * `store.get(key, default)` returns the default for a missing key). */
+  def get(value: Any, default: org.apache.spark.sql.Row): org.apache.spark.sql.Row =
+    get(value).collect().headOption.getOrElse(default)
+
   def multiGet(values: Any*): DataFrame = {
     val k = keyField.get
     toDF().filter(col(k).isin(values: _*))
@@ -185,10 +191,13 @@ final class Collection private (spark: SparkSession, val path: String) {
     * never builds (`hadro/engine.py:53`). Atomic: readers see the old
     * manifest until the rewrite commits. */
   def compact(): Unit = {
-    val resolved = toDF().cache()
-    resolved.foreach(_ => ()) // materialize before the manifest swap
-    resolved.write.format("hadro").mode("overwrite").save(path)
-    resolved.unpersist()
+    // No dataset-sized cache: segments are immutable and the read plan is
+    // pinned to the pre-compaction manifest at job planning, so write tasks
+    // stream resolved rows from the OLD segment files into fresh ones; the
+    // manifest swap + old-file GC happen in the driver-side commit only
+    // after every task (and therefore every read) has finished. Snapshot
+    // isolation comes free from immutability — nothing to materialize.
+    toDF().write.format("hadro").mode("overwrite").save(path)
   }
 }
 

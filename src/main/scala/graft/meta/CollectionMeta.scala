@@ -12,8 +12,17 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * segment skipping at scan planning time. */
 final case class ColumnStats(min: Option[String], max: Option[String], nullCount: Long)
 
+/** A record-aligned resume point inside a segment: byte `offset` where a
+  * record starts, and the in-segment `row` index of that record. Writers
+  * emit one roughly every `hadro.splitBytes`; readers turn each inter-point
+  * range into its own InputPartition so one oversized segment scans as many
+  * parallel tasks instead of one. */
+final case class SplitPoint(offset: Long, row: Long)
+
 /** One immutable data segment. `ordinal` is assigned at manifest-commit time
-  * and orders records globally: record seq = ordinal << 40 | rowIndex. */
+  * and orders records globally: record seq = ordinal << 40 | rowIndex.
+  * `indexBlooms` maps a named composite index to this segment's bloom
+  * sidecar file for it. */
 final case class SegmentInfo(
     file: String,
     ordinal: Long,
@@ -22,16 +31,21 @@ final case class SegmentInfo(
     bytes: Long,
     stats: Map[String, ColumnStats],
     bloom: Option[String] = None,
-    bloomCol: Option[String] = None)
+    bloomCol: Option[String] = None,
+    splits: Seq[SplitPoint] = Nil,
+    indexBlooms: Map[String, String] = Map.empty)
 
 /** A committed collection version: the full list of live segments plus
   * collection-level flags. `mutated` records whether any committed write was
   * an upsert/delete — pure-append collections skip last-write-wins
-  * resolution entirely (no shuffle on read). */
+  * resolution entirely (no shuffle on read). `indexes` holds named
+  * multi-field secondary indexes (`INTERFACE.md:32-38`): name -> fields,
+  * realized as per-segment composite-key bloom sidecars. */
 final case class Manifest(
     version: Long,
     segments: Seq[SegmentInfo],
-    mutated: Boolean) {
+    mutated: Boolean,
+    indexes: Map[String, Seq[String]] = Map.empty) {
   def nextOrdinal: Long = if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1
 }
 
@@ -115,7 +129,9 @@ object CollectionMeta {
   }
 
   /** Snapshot read of a specific committed version (time travel). Fails
-    * with the retained range when the version has been GC'd. */
+    * fast with the retained range when the version has been GC'd, and when
+    * the manifest survives but its segments were physically dropped by a
+    * later compaction/truncate (no FileNotFoundException deep in a reader). */
   def manifestAt(collection: Path, version: Long): Manifest = {
     if (!Files.exists(manifestFile(collection, version))) {
       val cur = currentManifest(collection)
@@ -123,7 +139,29 @@ object CollectionMeta {
         s"hadro: version $version not available for $collection " +
           s"(retained: ${math.max(1, cur.version - KeepVersions)}..${cur.version})")
     }
-    readManifest(collection, version)
+    val m = readManifest(collection, version)
+    val missing = m.segments.filterNot(s => Files.exists(collection.resolve(s.file)))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"hadro: version $version of $collection crosses a compaction/truncate — " +
+          s"${missing.size} of its segments were rewritten (first: ${missing.head.file}). " +
+          "Only versions since the last compaction are reconstructable.")
+    m
+  }
+
+  /** Drop every manifest older than `version` — used after truncate/compact,
+    * whose physical segment GC makes pre-compaction versions
+    * unreconstructable; deleting their manifests turns a late reader
+    * FileNotFoundException into [[manifestAt]]'s documented fail-fast. */
+  def gcManifestsBefore(collection: Path, version: Long): Unit = {
+    val dir = metaDir(collection)
+    if (!Files.exists(dir)) return
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString match {
+        case ManifestRe(v) => v.toLong < version
+        case _ => false
+      })
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
   }
 
   /** Manifest versions kept behind the newest one (readers planning against

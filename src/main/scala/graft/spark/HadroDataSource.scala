@@ -249,13 +249,24 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   * loaded filters are memoized driver-side. Conservative: any miss/mismatch
   * keeps the segment. */
 object BloomSidecar {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, graft.format.KeyBloom]()
+  // Size-bounded LRU (access-order LinkedHashMap): at 100k+ segments a
+  // point-get storm evicts one-at-a-time instead of thrashing the whole
+  // cache the way a clear()-on-full policy would.
+  private val MaxEntries = 1024
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, graft.format.KeyBloom](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, graft.format.KeyBloom]): Boolean =
+        size() > MaxEntries
+    })
 
   private def load(path: Path, seg: SegmentInfo): Option[graft.format.KeyBloom] =
-    seg.bloom.flatMap { f =>
+    loadFile(path, seg.bloom)
+
+  private[spark] def loadFile(path: Path, file: Option[String]): Option[graft.format.KeyBloom] =
+    file.flatMap { f =>
       val key = path.resolve(f).toString
       Option(cache.get(key)).orElse {
-        if (cache.size() > 1024) cache.clear() // bound driver memory
         val b = graft.format.KeyBloom.readFrom(path.resolve(f))
         b.foreach(cache.put(key, _))
         b

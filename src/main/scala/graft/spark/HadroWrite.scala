@@ -91,13 +91,18 @@ final class HadroBatchWrite(path: Path, schema: StructType,
         mutated = (cur.mutated && !truncate) || mutating)
     })
     if (truncate) {
-      // Physically drop segments + sidecars no longer referenced.
+      // Physically drop segments + sidecars no longer referenced, AND the
+      // manifests that referenced them — a retained pre-truncate manifest
+      // would otherwise point at deleted files and fail late with a reader
+      // FileNotFoundException instead of manifestAt's documented error.
       val m = CollectionMeta.currentManifest(path)
-      val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom)).toSet
+      val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
+        m.segments.flatMap(_.indexBlooms.values)).toSet
       Files.list(path).filter { p =>
         val n = p.getFileName.toString
         (n.endsWith(".data") || n.endsWith(".bloom")) && !live(n)
       }.forEach(p => Files.deleteIfExists(p))
+      CollectionMeta.gcManifestsBefore(path, m.version)
     }
   }
 
