@@ -89,7 +89,41 @@ object OpsQueries {
           .withColumn("jaccard", round(col("jaccard"), 3))
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      // Full-fidelity DuckDB twin of the documented algorithm: inverted
+      // index over word 3-shingles, doc-frequency cap [2,100], >=3 shared
+      // rare shingles to become a candidate, exact Jaccard >= 0.6 verify on
+      // the full sets.
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 100),
+        post AS (SELECT i.doc_id, i.shingle FROM inv i JOIN rare r USING (shingle)),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM post a JOIN post b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        )
+        SELECT doc_a, doc_b,
+          round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 3) AS jaccard
+        FROM cand
+        JOIN sets sa ON sa.doc_id = cand.doc_a
+        JOIN sets sb ON sb.doc_id = cand.doc_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= 0.6
+        ORDER BY doc_a, doc_b""")),
 
     // ---------------------------------------------------------------- d05
     // Embedding near-dup: plant scaled copies (same direction => cosine 1),
@@ -176,7 +210,28 @@ object OpsQueries {
             count(lit(1)).as("n_docs"))
           .orderBy("source")
       },
-      None), // composite heuristic; spot-checked in TextSpec
+      // DuckDB twin of TextOps.qualityScore: token-count band, mean token
+      // length band, English-stopword ratio — deterministic arithmetic.
+      Some("""WITH scored AS (
+          SELECT source, round(
+            (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 WHEN n >= 5 THEN 0.5 ELSE 0.0 END) * 0.4 +
+            (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+            (CASE WHEN stop_ratio > 0.02 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS q
+          FROM (
+            SELECT source,
+              CAST(len(toks) AS DOUBLE) AS n,
+              (CAST(length(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1.0))
+                / CAST(len(toks) AS DOUBLE) AS mean_len,
+              CAST(len(list_intersect(toks,
+                ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE)
+                / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stop_ratio
+            FROM (SELECT source, text, string_split(text, ' ') AS toks FROM documents)
+          )
+        )
+        SELECT source,
+          round(CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_q,
+          COUNT(*) AS n_docs
+        FROM scored GROUP BY source ORDER BY source""")),
 
     // ---------------------------------------------------------------- t03
     // Language-ID heuristic (stopword argmax) — distribution per predicted
@@ -189,7 +244,29 @@ object OpsQueries {
           .groupBy("pred_lang").agg(count(lit(1)).as("n"))
           .orderBy("pred_lang")
       },
-      None),
+      // DuckDB twin of TextOps.langId: stopword-overlap argmax with the
+      // greatest-struct tie-break (higher lang code wins on equal score),
+      // 'und' when nothing scores.
+      Some("""WITH scored AS (
+          SELECT
+            len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
+            len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+            len(list_intersect(toks, ['el','la','los','las','y','es','un','una','que','por'])) AS s_es,
+            len(list_intersect(toks, ['le','la','les','et','est','un','une','des','que','pour'])) AS s_fr,
+            len(list_intersect(toks, ['的','是','了','在','和','有','我','不','这','他'])) AS s_zh
+          FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        ),
+        pred AS (
+          SELECT CASE
+            WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            ELSE 'de' END AS pred_lang
+          FROM scored
+        )
+        SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang ORDER BY pred_lang""")),
 
     // ---------------------------------------------------------------- t04
     // Order-sensitive rolling-hash fingerprint; output the fingerprint of

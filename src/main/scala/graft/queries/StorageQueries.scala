@@ -225,6 +225,134 @@ object StorageQueries {
         c.append(src.withColumn("r_name", upper($"r_name"))) // v2 noise
         c.scanVersion(v1).orderBy($"r_regionkey")
       },
-      Some("SELECT * FROM region ORDER BY r_regionkey"))
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    // ---------------------------------------------------------------- h14
+    // add() returns generated ids (§2.2 #12, INTERFACE.md:13 — fixing the
+    // reference's missing return, engine.py:122-137). The returned frame's
+    // ids are joined back against the PERSISTED collection: every result row
+    // proves both "returned a 36-char UUID" and "that exact id was written".
+    QueryDef(
+      "h14_add_returns_id",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "nation")
+        val seed = src.filter($"n_nationkey" === 0).withColumn("_id", lit("seed-row"))
+        val c = Collection.create(s, colPath(dir, "h14"), seed, key = Some("_id"))
+        val added = c.add(src.filter($"n_nationkey" > 0))
+        val persistedIds = Collection(s, colPath(dir, "h14")).ids()
+        added.join(persistedIds, "_id") // inner: only ids that persisted survive
+          .select($"n_nationkey", $"n_name", length($"_id").as("id_len"))
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, 36 AS id_len FROM nation
+        WHERE n_nationkey > 0 ORDER BY n_nationkey""")),
+
+    // ---------------------------------------------------------------- h15
+    // Containment probe (§2.2 #14): live key, tombstoned key, never-present
+    // key — `key in collection` parity (INTERFACE.md:19).
+    QueryDef(
+      "h15_contains",
+      (s, dir) => {
+        import s.implicits._
+        val c = Collection.create(s, colPath(dir, "h15"), table(s, dir, "nation"),
+          key = Some("n_nationkey"))
+        c.delete(7)
+        Seq((c.contains(3), c.contains(7), c.contains(9999)))
+          .toDF("has_live", "has_deleted", "has_missing")
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM nation WHERE n_nationkey = 3) > 0 AS has_live,
+          FALSE AS has_deleted,
+          (SELECT COUNT(*) FROM nation WHERE n_nationkey = 9999) > 0 AS has_missing""")),
+
+    // ---------------------------------------------------------------- h16
+    // Key enumeration ids() (§2.2 #15) over a mutated collection: tombstoned
+    // keys must not appear (INTERFACE.md:22).
+    QueryDef(
+      "h16_key_enumeration",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "supplier")
+        val c = Collection.create(s, colPath(dir, "h16"), src,
+          key = Some("s_suppkey"), numSegments = 4)
+        c.delete(src.filter($"s_suppkey" % 2 === 0).select($"s_suppkey"))
+        c.ids().orderBy($"s_suppkey")
+      },
+      Some("SELECT s_suppkey FROM supplier WHERE s_suppkey % 2 <> 0 ORDER BY s_suppkey")),
+
+    // ---------------------------------------------------------------- h17
+    // Cardinality count() (§2.2 #16): the manifest-metadata fast path on an
+    // unmutated collection (zero data read) AND the resolved path after
+    // tombstones, in one row.
+    QueryDef(
+      "h17_count_cardinality",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "customer")
+        val c = Collection.create(s, colPath(dir, "h17"), src,
+          key = Some("c_custkey"), numSegments = 4)
+        val fast = c.count() // pure-append: summed from manifest row counts
+        c.delete(src.filter($"c_custkey" <= 10).select($"c_custkey"))
+        val resolved = c.count() // mutated: exact resolved count
+        Seq((fast, resolved)).toDF("n_fast", "n_resolved")
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM customer) AS n_fast,
+          (SELECT COUNT(*) FROM customer WHERE c_custkey > 10) AS n_resolved""")),
+
+    // ---------------------------------------------------------------- h18
+    // Schema validation on write (§2.2 #18, reference schema.py:65-79
+    // intent): a wrong-typed field and an unknown field are both rejected,
+    // and the collection is byte-identical afterwards — the result carries
+    // the rejection flags alongside the untouched rows.
+    QueryDef(
+      "h18_schema_validation",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "region")
+        val path = colPath(dir, "h18")
+        val c = Collection.create(s, path, src, key = Some("r_regionkey"))
+        def rejected(df: org.apache.spark.sql.DataFrame): Boolean =
+          try { df.write.format("hadro").mode("append").save(path); false }
+          catch { case _: Exception => true }
+        val wrongType = rejected(Seq((9.5, "X")).toDF("r_regionkey", "r_name"))
+        val unknownField = rejected(
+          Seq((9, "X", "boom")).toDF("r_regionkey", "r_name", "mystery"))
+        c.toDF()
+          .select($"r_regionkey", $"r_name",
+            lit(wrongType).as("rejected_wrong_type"),
+            lit(unknownField).as("rejected_unknown_field"))
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name, TRUE AS rejected_wrong_type,
+          TRUE AS rejected_unknown_field
+        FROM region ORDER BY r_regionkey""")),
+
+    // ---------------------------------------------------------------- h19
+    // Batch transaction (§2.2 #20, INTERFACE.md:40-43): two appends + an
+    // upsert staged in one body commit as EXACTLY one manifest version
+    // (`commits` column), and the resolved view shows all of it.
+    QueryDef(
+      "h19_transaction",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "region")
+        val c = Collection.create(s, colPath(dir, "h19"), src, key = Some("r_regionkey"))
+        val v0 = c.version
+        c.transaction { b =>
+          b.add(src.select(($"r_regionkey" + 100).as("r_regionkey"), $"r_name"))
+          b.set(src.filter($"r_regionkey" === 0).withColumn("r_name", upper($"r_name")))
+        }
+        val commits = c.version - v0 // all-or-nothing: must be exactly 1
+        c.toDF()
+          .select($"r_regionkey", $"r_name", lit(commits).as("commits"))
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey,
+          CASE WHEN r_regionkey = 0 THEN UPPER(r_name) ELSE r_name END AS r_name,
+          CAST(1 AS BIGINT) AS commits
+        FROM region
+        UNION ALL
+        SELECT r_regionkey + 100, r_name, CAST(1 AS BIGINT) FROM region
+        ORDER BY r_regionkey"""))
   )
 }
