@@ -163,15 +163,21 @@ object OpsQueries {
         LIMIT 20""")),
 
     // ---------------------------------------------------------------- s02
-    // ANN: sign-LSH bucketed top-k with Hamming-1 multi-probe. Recall vs
-    // s01 asserted in SimilaritySpec; rows-only here.
+    // ANN: sign-LSH top-k over a PERSISTENT index — the signature is
+    // materialized as a clustered `bucket` column at ingest, so the query's
+    // multi-probe IN filter prunes segments via manifest min/max stats
+    // instead of recomputing signatures over the corpus. Recall vs s01
+    // asserted in SimilaritySpec; rows-only here.
     QueryDef(
       "s02_ann_lsh_topk",
       (s, dir) => {
         val e = table(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
-        SimilarityOps.lshTopK(e, "vec_id", "embedding", q, 20)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildAnnIndex(
+          s, s"/tmp/graft_collections/$tag/s02_index", e, "vec_id", "embedding")
+        SimilarityOps.annTopK(idx, "vec_id", "embedding", q, 20)
           .withColumn("cosine", round(col("cosine"), 4))
       },
       None),

@@ -81,6 +81,31 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("persistent ANN index prunes segments and agrees with the on-the-fly path") {
+    val path = java.nio.file.Files.createTempDirectory("ann_idx").resolve("c").toString
+    val idx = SimilarityOps.buildAnnIndex(spark, path, embs, "vec_id", "embedding",
+      bits = 8, numSegments = 8)
+    val q = embs.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
+
+    // identical results to the per-query-recompute path (same algorithm)
+    val viaIndex = SimilarityOps.annTopK(idx, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val onTheFly = SimilarityOps.lshTopK(embs, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaIndex == onTheFly)
+    assert(viaIndex.head._1 == 0L) // query finds itself first
+
+    // the probe IN-filter must prune: task count (= surviving segments) is a
+    // strict subset of the bucket-clustered index's segments
+    val total = graft.meta.CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(path)).segments.size
+    val probes = SimilarityOps.probeSet(spark, q, 8)
+    val probed = idx.scan().filter($"bucket".isin(probes: _*))
+    assert(total == 8)
+    assert(probed.rdd.getNumPartitions < total,
+      s"expected segment pruning: ${probed.rdd.getNumPartitions} of $total tasks")
+  }
+
   test("multimodal decode preserves ids, byte lengths, and feature contract") {
     val media = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
     val out = MultimodalOps.decodeFeatures(media, "doc_id", "media")
