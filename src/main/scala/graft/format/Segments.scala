@@ -27,7 +27,8 @@ object Consistency extends Enumeration {
   * `INTERFACE.md:32-38`). One writer per Spark task — segments are
   * single-writer immutable, so parallel writes never contend. */
 final class SegmentWriter(path: Path, schema: StructType, consistency: Consistency.Value,
-    keyOrdinal: Option[Int] = None) {
+    keyOrdinal: Option[Int] = None,
+    splitBytes: Long = SegmentWriter.DefaultSplitBytes) {
   private val fos = new FileOutputStream(path.toFile)
   private val out = new BufferedOutputStream(fos, SegmentReader.BlockSize)
   private val encoder = new RecordCodec.Encoder(schema)
@@ -36,9 +37,21 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   private var tombstones = 0L
   private val stats = StatsCollector(schema)
   private val bloom = keyOrdinal.map(_ => KeyBloom())
+  // Record-aligned split points, one roughly every `splitBytes`: readers
+  // turn the inter-point ranges into independent InputPartitions, so one
+  // oversized segment (a single big ingest task) scans as many parallel
+  // tasks instead of one. Offsets always land on a record header.
+  private var bytesWritten = 0L
+  private var nextSplit = splitBytes
+  private val splits = scala.collection.mutable.Buffer.empty[graft.meta.SplitPoint]
 
   def append(row: InternalRow, deleted: Boolean = false): Unit = {
+    if (bytesWritten >= nextSplit && rows > 0) {
+      splits += graft.meta.SplitPoint(bytesWritten, rows)
+      nextSplit = bytesWritten + splitBytes
+    }
     val size = encoder.encode(row) // payload in encoder.buffer, zero-copy
+    bytesWritten += RecordCodec.HeaderSize + size
     header(0) = if (deleted) RecordCodec.DeletedFlag.toByte else 0
     header(1) = (size >>> 24).toByte
     header(2) = (size >>> 16).toByte
@@ -80,7 +93,8 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       bytes = Files.size(path),
       stats = stats.result(),
       bloom = bloomFile,
-      bloomCol = keyOrdinal.map(schema(_).name))
+      bloomCol = keyOrdinal.map(schema(_).name),
+      splits = splits.toSeq)
   }
 
   def abort(): Unit = {
@@ -88,6 +102,12 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     Files.deleteIfExists(path)
     Files.deleteIfExists(path.resolveSibling(path.getFileName.toString + ".bloom"))
   }
+}
+
+object SegmentWriter {
+  /** Default split-point cadence: 64 MB keeps sub-segment tasks in the same
+    * ballpark as `spark.sql.files.maxPartitionBytes` (128 MB default). */
+  val DefaultSplitBytes: Long = 64L * 1024 * 1024
 }
 
 /** Streaming reader over one segment file: 8 MB blocks (reference
@@ -101,13 +121,28 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   * (`buffer`, `payloadOffset`, `payloadLength`) with `flags` — valid until
   * the next `advance()`. The tuple `Iterator` view copies, for callers
   * that retain payloads (tests). */
-final class SegmentReader(path: Path) extends Iterator[(Int, Array[Byte])] with AutoCloseable {
+final class SegmentReader(path: Path, startOffset: Long = 0L, endOffset: Long = -1L)
+    extends Iterator[(Int, Array[Byte])] with AutoCloseable {
   private val in = new FileInputStream(path.toFile)
   private var buf = new Array[Byte](SegmentReader.BlockSize)
   private var limit = 0 // valid bytes in buf
   private var pos = 0 // parse cursor
   private var eof = false
   private var pending = false // an un-consumed record sits at the cursor
+  private var filePos = startOffset // absolute file offset of buf(0)
+
+  // Sub-range reads (split oversized segments): start MUST be a
+  // record-aligned split point from the manifest; the reader stops at the
+  // first record header at or past endOffset (-1 = end of file).
+  if (startOffset > 0) {
+    var toSkip = startOffset
+    while (toSkip > 0) {
+      val k = in.skip(toSkip)
+      if (k <= 0) throw new EOFException(
+        s"cannot seek to split offset $startOffset in $path")
+      toSkip -= k
+    }
+  }
 
   var flags: Int = 0
   var payloadOffset: Int = 0
@@ -120,6 +155,7 @@ final class SegmentReader(path: Path) extends Iterator[(Int, Array[Byte])] with 
     if (eof) return limit - pos >= n
     // compact tail to front (cross-block reassembly)
     System.arraycopy(buf, pos, buf, 0, limit - pos)
+    filePos += pos
     limit -= pos
     pos = 0
     if (n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(n, buf.length * 2))
@@ -130,8 +166,9 @@ final class SegmentReader(path: Path) extends Iterator[(Int, Array[Byte])] with 
     limit - pos >= n
   }
 
-  /** Parse the next record in place; false at end of segment. */
+  /** Parse the next record in place; false at end of segment or range. */
   def advance(): Boolean = {
+    if (endOffset >= 0 && filePos + pos >= endOffset) return false
     if (!ensure(RecordCodec.HeaderSize)) {
       if (limit - pos != 0)
         throw new EOFException(s"truncated record header in $path")

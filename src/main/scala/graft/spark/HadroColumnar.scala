@@ -48,7 +48,8 @@ object HadroColumnar {
   * framing/tombstone semantics (reference engine.py:139-177) but fills
   * vectors. Only reachable for flat schemas without metadata columns. */
 final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
-    required: StructType) extends PartitionReader[ColumnarBatch] {
+    required: StructType, startOffset: Long = 0L, endOffset: Long = -1L)
+    extends PartitionReader[ColumnarBatch] {
   import HadroColumnar._
 
   private val n = dataSchema.length
@@ -71,7 +72,7 @@ final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(BatchSize, required)
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
-  private val reader = new SegmentReader(file)
+  private val reader = new SegmentReader(file, startOffset, endOffset)
   private var exhausted = false
 
   override def next(): Boolean = {

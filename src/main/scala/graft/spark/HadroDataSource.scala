@@ -158,8 +158,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     manifest.segments
       .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, pushed, storedSchema))
-      .map(seg => HadroInputPartition(
-        path.resolve(seg.file).toString, seg.ordinal): InputPartition)
+      .flatMap(seg => HadroInputPartition.ranges(path, seg))
       .toArray
   }
 
@@ -167,7 +166,29 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     new HadroReaderFactory(storedSchema, required)
 }
 
-final case class HadroInputPartition(file: String, ordinal: Long) extends InputPartition
+/** One scan task: a record-aligned byte range of one segment file.
+  * `startRow` seeds the in-segment row index so `_hadro_seq` stays globally
+  * correct across ranges; `endOffset` = -1 means read to end of file. */
+final case class HadroInputPartition(file: String, ordinal: Long,
+    startOffset: Long, startRow: Long, endOffset: Long) extends InputPartition
+
+object HadroInputPartition {
+  /** One task per recorded split range — read parallelism is #split-ranges,
+    * not #segments, so a single 50 GB ingest task doesn't become a single
+    * 50 GB scan task. Segments without split points scan whole. */
+  def ranges(path: Path, seg: SegmentInfo): Seq[InputPartition] = {
+    val file = path.resolve(seg.file).toString
+    if (seg.splits.isEmpty)
+      Seq(HadroInputPartition(file, seg.ordinal, 0L, 0L, -1L))
+    else {
+      val starts = graft.meta.SplitPoint(0L, 0L) +: seg.splits
+      starts.zipWithIndex.map { case (sp, i) =>
+        val end = if (i + 1 < starts.length) starts(i + 1).offset else -1L
+        HadroInputPartition(file, seg.ordinal, sp.offset, sp.row, end)
+      }
+    }
+  }
+}
 
 final class HadroReaderFactory(dataSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
@@ -182,12 +203,14 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HadroInputPartition]
-    new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required)
+    new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
+      p.startOffset, p.startRow, p.endOffset)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[HadroInputPartition]
-    new HadroColumnarPartitionReader(Paths.get(p.file), dataSchema, required)
+    new HadroColumnarPartitionReader(Paths.get(p.file), dataSchema, required,
+      p.startOffset, p.endOffset)
   }
 }
 
@@ -195,7 +218,8 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType)
   * in Scala — buffered framed-record decode, tombstone skip — plus column
   * pruning inside the decoder and metadata-column materialization. */
 final class HadroPartitionReader(file: Path, ordinal: Long,
-    dataSchema: StructType, required: StructType)
+    dataSchema: StructType, required: StructType,
+    startOffset: Long = 0L, startRow: Long = 0L, endOffset: Long = -1L)
     extends PartitionReader[InternalRow] {
 
   private val dataFields = required.fields.filterNot(f => HadroTable.MetaColNames(f.name))
@@ -211,8 +235,8 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   private val seqPos = if (wantSeq) required.fieldIndex(HadroTable.SeqCol) else -1
   private val deletedPos = if (wantDeleted) required.fieldIndex(HadroTable.DeletedCol) else -1
 
-  private val reader = new SegmentReader(file)
-  private var rowIndex = -1L
+  private val reader = new SegmentReader(file, startOffset, endOffset)
+  private var rowIndex = startRow - 1L
   private var current: InternalRow = _
 
   override def next(): Boolean = {

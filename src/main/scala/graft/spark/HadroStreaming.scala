@@ -48,7 +48,8 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     val hi = end.asInstanceOf[HadroOffset].nextOrdinal
     CollectionMeta.currentManifest(path).segments
       .filter(s => s.ordinal >= lo && s.ordinal < hi)
-      .map(s => HadroInputPartition(path.resolve(s.file).toString, s.ordinal): InputPartition)
+      // split ranges fan out within a micro-batch exactly as in batch scans
+      .flatMap(s => HadroInputPartition.ranges(path, s))
       .toArray
   }
 

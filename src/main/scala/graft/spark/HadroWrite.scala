@@ -34,15 +34,18 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
       val tombstone = opts.getBoolean("hadro.tombstone", false)
       val upsert = opts.getBoolean("hadro.upsert", false)
       val keyField = Option(opts.get("hadro.key")).filter(_.nonEmpty)
+      val splitBytes = opts.getLong("hadro.splitBytes", SegmentWriter.DefaultSplitBytes)
+      require(splitBytes > 0, s"hadro.splitBytes must be positive, got $splitBytes")
       new HadroBatchWrite(path, schema, consistency, tombstone,
-        upsert || tombstone, doTruncate, keyField)
+        upsert || tombstone, doTruncate, keyField, splitBytes)
     }
   }
 }
 
 final class HadroBatchWrite(path: Path, schema: StructType,
     consistency: Consistency.Value, tombstone: Boolean, mutating: Boolean,
-    truncate: Boolean, keyField: Option[String]) extends BatchWrite {
+    truncate: Boolean, keyField: Option[String],
+    splitBytes: Long = SegmentWriter.DefaultSplitBytes) extends BatchWrite {
 
   // Driver-side, before tasks launch: create the collection dir (reference
   // engine.py:97) and validate/persist the schema (the intended semantics of
@@ -78,7 +81,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
-      storedMeta.keyField.map(storedSchema.fieldIndex))
+      storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
@@ -117,11 +120,11 @@ final case class HadroCommitMessage(info: SegmentInfo) extends WriterCommitMessa
 
 final class HadroWriterFactory(path: String, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
-    keyOrdinal: Option[Int]) extends DataWriterFactory {
+    keyOrdinal: Option[Int], splitBytes: Long) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
-      tombstone, partitionId, taskId, keyOrdinal)
+      tombstone, partitionId, taskId, keyOrdinal, splitBytes)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -135,11 +138,12 @@ final class HadroWriterFactory(path: String, storedSchema: StructType,
   * into a non-nullable field fails the task. */
 final class HadroDataWriter(dir: Path, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
-    partitionId: Int, taskId: Long, keyOrdinal: Option[Int]) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, keyOrdinal: Option[Int],
+    splitBytes: Long = SegmentWriter.DefaultSplitBytes) extends DataWriter[InternalRow] {
 
   private val file = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
-  private val writer = new SegmentWriter(file, storedSchema, consistency, keyOrdinal)
+  private val writer = new SegmentWriter(file, storedSchema, consistency, keyOrdinal, splitBytes)
 
   // Projection: stored ordinal -> write ordinal (or -1 = absent -> null).
   private val proj: Array[Int] = storedSchema.fields.map(f => writeSchema.fieldNames.indexOf(f.name))

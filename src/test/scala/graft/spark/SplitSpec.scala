@@ -1,0 +1,84 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** Oversized-segment splitting: a single big ingest task must not become a
+  * single scan task. Writers record record-aligned split points every
+  * `hadro.splitBytes`; the scan plans one InputPartition per range.
+  * Mirrors the multi-segment intent the reference reserved but never built
+  * (`/root/reference/hadro/engine.py:83`, the `00000000` naming). */
+class SplitSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"split_$name").resolve("c").toString
+
+  test("one oversized segment scans as many partitions with unchanged results") {
+    val path = tmp("scan")
+    val src = spark.read.parquet(s"$sf0001/part.parquet")
+    // ONE writer task + tiny split cadence => one segment, many ranges
+    src.coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.splitBytes", 2 * 1024).save(path)
+
+    val m = CollectionMeta.currentManifest(Paths.get(path))
+    assert(m.segments.size == 1)
+    val splits = m.segments.head.splits
+    assert(splits.nonEmpty, "expected split points in a >2KB segment")
+    // split offsets/rows strictly increase and stay inside the file
+    assert(splits.map(_.offset) == splits.map(_.offset).sorted.distinct)
+    assert(splits.last.offset < m.segments.head.bytes)
+    assert(splits.map(_.row) == splits.map(_.row).sorted.distinct)
+
+    val scan = spark.read.format("hadro").load(path)
+    assert(scan.rdd.getNumPartitions == splits.size + 1)
+    // content identical to the source (columnar path: flat schema)
+    val got = scan.orderBy("p_partkey").collect()
+    val want = src.orderBy("p_partkey").collect()
+    assert(got.sameElements(want))
+  }
+
+  test("_hadro_seq stays globally unique and ordered across split ranges") {
+    val path = tmp("seq")
+    val src = spark.read.parquet(s"$sf0001/part.parquet")
+    src.coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.splitBytes", 2 * 1024).save(path)
+    val seqs = spark.read.format("hadro").load(path)
+      .select(col(HadroTable.SeqCol).as("seq")).as[Long].collect()
+    assert(seqs.distinct.length == src.count()) // row reader path, no dup/gap
+    assert(seqs.min == 0L && seqs.max == src.count() - 1)
+  }
+
+  test("keyed resolution and point lookups are split-transparent") {
+    val path = tmp("keyed")
+    val src = spark.read.parquet(s"$sf0001/part.parquet")
+    val c = Collection.create(spark, path, src.coalesce(1), key = Some("p_partkey"))
+    // force splits via a second oversized write carrying upserts
+    src.coalesce(1).limit(100)
+      .withColumn("p_name", lit("UPDATED"))
+      .write.format("hadro").mode("append")
+      .option("hadro.upsert", "true").option("hadro.splitBytes", 2 * 1024)
+      .save(path)
+    assert(c.count() == src.count())
+    assert(c.toDF().filter($"p_name" === "UPDATED").count() == 100)
+    assert(c.get(1L).select("p_name").as[String].head() == "UPDATED")
+  }
+
+  test("split points respect record alignment for wide rows") {
+    val path = tmp("wide")
+    // rows much larger than splitBytes: every range holds >= 1 whole record
+    val wide = spark.range(64)
+      .select($"id", concat_ws("", array_repeat(lit("x"), 4096)).as("payload"))
+    wide.coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.splitBytes", 1024).save(path)
+    val scan = spark.read.format("hadro").load(path)
+    assert(scan.rdd.getNumPartitions > 1)
+    assert(scan.count() == 64)
+    assert(scan.agg(sum(length($"payload"))).head().getLong(0) == 64L * 4096)
+  }
+}
