@@ -139,18 +139,22 @@ final class Collection private (spark: SparkSession, val path: String) {
   def where(sqlPredicate: String): DataFrame = toDF().filter(sqlPredicate)
 
   /** Index management façade (#19, `INTERFACE.md:32-38` — declared "NOT
-    * IMPLEMENTED" in the reference). In this engine indexing is automatic:
+    * IMPLEMENTED" in the reference). Single-column indexing is automatic:
     * every segment carries min/max/null stats for all orderable columns in
-    * the manifest, consumed for segment skipping at scan planning. So
-    * `list` reports coverage, `rebuild` recomputes stats by rewriting
-    * segments (compaction), and add/remove are no-ops kept for interface
-    * compatibility (there is nothing to add — all columns are covered). */
+    * the manifest, consumed for segment skipping at scan planning; the key
+    * column additionally gets a per-segment bloom sidecar. `add(name,
+    * fields)` layers NAMED multi-field indexes on top: a bloom over the
+    * canonical hash of the field tuple per segment, probed at planning when
+    * a query pins every field with equality. */
   object indexes {
     /** Columns with stats coverage in at least one segment. */
     def list(): Seq[String] =
       manifest.segments.flatMap(_.stats.collect {
         case (colName, st) if st.min.isDefined => colName
       }).distinct.sorted
+
+    /** Registered named composite indexes (name -> fields). */
+    def named(): Map[String, Seq[String]] = manifest.indexes
 
     /** Per-segment stats as a DataFrame (column, segment, min, max, nulls). */
     def describe(): DataFrame = {
@@ -160,9 +164,56 @@ final class Collection private (spark: SparkSession, val path: String) {
       rows.toDF("column", "segment", "min", "max", "null_count")
     }
 
-    def add(fields: String*): Unit = () // automatic — all columns covered
-    def remove(fields: String*): Unit = ()
-    /** Rewrite segments, recomputing all stats. */
+    /** Register a named multi-field index (`indexes.add(name, [fields])`,
+      * INTERFACE.md:35) and build its per-segment bloom sidecars — one
+      * executor task per existing segment (no driver-side data scan); new
+      * segments carry the sidecar from birth. `indexType` accepts only
+      * "bloom": equality tuples are what composite indexes answer here,
+      * range queries already use the per-column manifest stats. */
+    def add(name: String, fields: Seq[String], indexType: String = "bloom"): Unit = {
+      require(name.matches("[A-Za-z0-9_-]+"),
+        s"index name must be [A-Za-z0-9_-]+, got '$name'")
+      require(indexType == "bloom", s"unsupported index type '$indexType'")
+      val schema = CollectionMeta.readSchema(dir).get.schema
+      fields.foreach(f => require(schema.fieldNames.contains(f),
+        s"index field '$f' not in collection schema ${schema.simpleString}"))
+      require(fields.nonEmpty, "an index needs at least one field")
+      val ords = fields.map(schema.fieldIndex)
+      val m = manifest
+      // Distributed build: one task per segment, sidecar names deterministic
+      // so no results need to flow back to the driver.
+      val pathStr = path
+      val sc = spark.sparkContext
+      sc.parallelize(m.segments.map(_.file), math.max(1, m.segments.size))
+        .foreach { segFile =>
+          graft.format.IndexBuilder.buildSidecar(
+            Paths.get(pathStr), segFile, schema, ords, name)
+        }
+      CollectionMeta.commit(dir, cur => cur.copy(
+        indexes = cur.indexes + (name -> fields),
+        segments = cur.segments.map { s =>
+          val fn = graft.format.SegmentWriter.indexSidecarName(s.file, name)
+          // only reference sidecars that exist: segments committed after the
+          // build get theirs on their next write/compaction
+          if (Files.exists(dir.resolve(fn)))
+            s.copy(indexBlooms = s.indexBlooms + (name -> fn))
+          else s
+        }))
+    }
+
+    /** Unregister a named index and delete its sidecars (INTERFACE.md:36). */
+    def remove(name: String): Unit = {
+      val m = CollectionMeta.commit(dir, cur => cur.copy(
+        indexes = cur.indexes - name,
+        segments = cur.segments.map(s =>
+          s.copy(indexBlooms = s.indexBlooms - name))))
+      m.segments.foreach { s =>
+        Files.deleteIfExists(dir.resolve(
+          graft.format.SegmentWriter.indexSidecarName(s.file, name)))
+      }
+    }
+
+    /** Rewrite segments, recomputing all stats and index sidecars. */
     def rebuild(): Unit = compact()
   }
 

@@ -1,0 +1,39 @@
+package graft.format
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.types.StructType
+
+/** Executor-side build of one named-index bloom sidecar for one segment:
+  * stream the segment, decode ONLY the indexed columns, hash each field
+  * tuple into a fixed-size bloom. Runs as one Spark task per segment
+  * (`Collection.indexes.add`) — the driver never touches data, and the
+  * deterministic sidecar name means no task results flow back. */
+object IndexBuilder {
+
+  def buildSidecar(collectionDir: Path, segmentFile: String, schema: StructType,
+      ordinals: Seq[Int], indexName: String): Unit = {
+    val seg = collectionDir.resolve(segmentFile)
+    val ords = ordinals.toArray
+    val decoder = new RecordCodec.Decoder(schema, ords)
+    val types = ords.map(schema(_).dataType)
+    val bloom = KeyBloom()
+    val reader = new SegmentReader(seg)
+    try {
+      // tombstone records included, matching the write-path bloom: a lookup
+      // must not skip a segment that only holds the key's delete record
+      while (reader.advance()) {
+        val row = decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength)
+        val values = new Array[Any](ords.length)
+        var i = 0
+        while (i < ords.length) {
+          values(i) = if (row.isNullAt(i)) null else row.get(i, types(i))
+          i += 1
+        }
+        bloom.addHash(KeyBloom.canonicalComposite(values.toSeq))
+      }
+    } finally reader.close()
+    bloom.writeTo(seg.resolveSibling(
+      SegmentWriter.indexSidecarName(segmentFile, indexName)))
+  }
+}

@@ -28,15 +28,19 @@ final class KeyBloom private (words: Array[Long], k: Int) {
     (words((b >>> 6).toInt) & (1L << (b & 63))) != 0
   }
 
-  def add(value: Any): Unit = {
-    val h = KeyBloom.canonical(value)
+  def add(value: Any): Unit = addHash(KeyBloom.canonical(value))
+
+  def mightContain(value: Any): Boolean = mightContainHash(KeyBloom.canonical(value))
+
+  /** Insert a precomputed canonical hash (composite keys hash their field
+    * tuple once via [[KeyBloom.canonicalComposite]]). */
+  def addHash(h: Long): Unit = {
     val h2 = KeyBloom.mix(h) | 1L
     var i = 0
     while (i < k) { setBit(h + i * h2); i += 1 }
   }
 
-  def mightContain(value: Any): Boolean = {
-    val h = KeyBloom.canonical(value)
+  def mightContainHash(h: Long): Boolean = {
     val h2 = KeyBloom.mix(h) | 1L
     var i = 0
     while (i < k) { if (!getBit(h + i * h2)) return false; i += 1 }
@@ -83,6 +87,13 @@ object KeyBloom {
     case s: String => bytesHash(s.getBytes("UTF-8"))
     case other => bytesHash(other.toString.getBytes("UTF-8"))
   }
+
+  /** Canonical hash of a multi-field key tuple: field order is significant,
+    * and the chain is mixed between fields so ("ab","c") and ("a","bc")
+    * cannot collide by concatenation. Runs identically at write time
+    * (internal row values) and plan time (converted filter values). */
+  private[graft] def canonicalComposite(values: Seq[Any]): Long =
+    values.foldLeft(0x51_7c_c1_b7_27_22_0a_95L)((acc, v) => mix(acc ^ canonical(v)))
 
   /** splitmix64 finalizer. */
   private[graft] def mix(x0: Long): Long = {

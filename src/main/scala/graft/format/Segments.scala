@@ -28,7 +28,8 @@ object Consistency extends Enumeration {
   * single-writer immutable, so parallel writes never contend. */
 final class SegmentWriter(path: Path, schema: StructType, consistency: Consistency.Value,
     keyOrdinal: Option[Int] = None,
-    splitBytes: Long = SegmentWriter.DefaultSplitBytes) {
+    splitBytes: Long = SegmentWriter.DefaultSplitBytes,
+    indexFields: Map[String, Seq[Int]] = Map.empty) {
   private val fos = new FileOutputStream(path.toFile)
   private val out = new BufferedOutputStream(fos, SegmentReader.BlockSize)
   private val encoder = new RecordCodec.Encoder(schema)
@@ -37,6 +38,10 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   private var tombstones = 0L
   private val stats = StatsCollector(schema)
   private val bloom = keyOrdinal.map(_ => KeyBloom())
+  // Named composite-key indexes (INTERFACE.md:32-38): one bloom per index
+  // over the canonical hash of the field tuple, written as sidecars.
+  private val indexBloomMap: Map[String, (Seq[Int], KeyBloom)] =
+    indexFields.map { case (n, ords) => n -> (ords, KeyBloom()) }
   // Record-aligned split points, one roughly every `splitBytes`: readers
   // turn the inter-point ranges into independent InputPartitions, so one
   // oversized segment (a single big ingest task) scans as many parallel
@@ -68,6 +73,10 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     keyOrdinal.foreach { ko =>
       if (!row.isNullAt(ko)) bloom.get.add(row.get(ko, schema(ko).dataType))
     }
+    indexBloomMap.foreach { case (_, (ords, b)) =>
+      b.addHash(KeyBloom.canonicalComposite(ords.map(o =>
+        if (row.isNullAt(o)) null else row.get(o, schema(o).dataType))))
+    }
     if (consistency == Consistency.Aggressive) {
       out.flush()
       fos.getFD.sync() // reference engine.py:186-189
@@ -85,6 +94,11 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       b.writeTo(f)
       f.getFileName.toString
     }
+    val indexFiles = indexBloomMap.map { case (name, (_, b)) =>
+      val fn = SegmentWriter.indexSidecarName(path.getFileName.toString, name)
+      b.writeTo(path.resolveSibling(fn))
+      name -> fn
+    }
     SegmentInfo(
       file = path.getFileName.toString,
       ordinal = -1L,
@@ -94,13 +108,16 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       stats = stats.result(),
       bloom = bloomFile,
       bloomCol = keyOrdinal.map(schema(_).name),
-      splits = splits.toSeq)
+      splits = splits.toSeq,
+      indexBlooms = indexFiles)
   }
 
   def abort(): Unit = {
     out.close()
     Files.deleteIfExists(path)
     Files.deleteIfExists(path.resolveSibling(path.getFileName.toString + ".bloom"))
+    indexBloomMap.keys.foreach(n => Files.deleteIfExists(
+      path.resolveSibling(SegmentWriter.indexSidecarName(path.getFileName.toString, n))))
   }
 }
 
@@ -108,6 +125,12 @@ object SegmentWriter {
   /** Default split-point cadence: 64 MB keeps sub-segment tasks in the same
     * ballpark as `spark.sql.files.maxPartitionBytes` (128 MB default). */
   val DefaultSplitBytes: Long = 64L * 1024 * 1024
+
+  /** Deterministic sidecar name for a named index over one segment —
+    * derivable from (segment, index) alone, so a distributed index build
+    * needs no task→driver result plumbing. */
+  def indexSidecarName(segmentFile: String, indexName: String): String =
+    s"$segmentFile.idx-$indexName.bloom"
 }
 
 /** Streaming reader over one segment file: 8 MB blocks (reference

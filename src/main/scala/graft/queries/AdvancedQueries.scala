@@ -150,6 +150,27 @@ object AdvancedQueries {
       Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---------------------------------------------------------------- a07
+    // AQE runtime skew-join split: ~99% of rows collapse onto one hot key;
+    // an isolated skew-tuned session (thresholds scaled to test size) lets
+    // AQE split the hot partition at runtime. The oracle is the plain join —
+    // AQE changes scheduling, never results. Plan asserted in SkewSpec.
+    QueryDef(
+      "a07_aqe_skew_join",
+      (s, dir) =>
+        graft.ops.SkewOps.skewedJoinDemo(graft.ops.SkewOps.skewTunedSession(s), dir),
+      // The generated dim is a key superset, so the inner join is row-neutral
+      // and the oracle reduces to the plain aggregation — making "AQE changed
+      // scheduling, not results" directly checkable.
+      Some("""WITH l AS (
+          SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS k,
+                 l_quantity
+          FROM lineitem)
+        SELECT 'grp_' || CAST(k % 7 AS VARCHAR) AS tag,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM l GROUP BY tag ORDER BY tag"""))
   )
 }

@@ -353,6 +353,27 @@ object StorageQueries {
         FROM region
         UNION ALL
         SELECT r_regionkey + 100, r_name, CAST(1 AS BIGINT) FROM region
-        ORDER BY r_regionkey"""))
+        ORDER BY r_regionkey""")),
+
+    // ---------------------------------------------------------------- h20
+    // Named composite index (§2.2 #19, INTERFACE.md:35): indexes.add(name,
+    // [fields]) builds per-segment blooms over the field tuple; the
+    // two-equality lookup probes them at planning and skips segments.
+    QueryDef(
+      "h20_composite_index",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "part")
+        val c = Collection.create(s, colPath(dir, "h20"), src, numSegments = 8)
+        c.indexes.add("brand_type", Seq("p_brand", "p_type"))
+        val probe = src.orderBy($"p_partkey").select($"p_brand", $"p_type").head()
+        c.where($"p_brand" === probe.getString(0) && $"p_type" === probe.getString(1))
+          .select($"p_partkey", $"p_brand", $"p_type")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_brand, p_type FROM part
+        WHERE p_brand = (SELECT p_brand FROM part ORDER BY p_partkey LIMIT 1)
+          AND p_type = (SELECT p_type FROM part ORDER BY p_partkey LIMIT 1)
+        ORDER BY p_partkey"""))
   )
 }

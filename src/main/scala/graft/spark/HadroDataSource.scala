@@ -157,7 +157,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       .getOrElse(CollectionMeta.currentManifest(path))
     manifest.segments
       .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
-        BloomSidecar.mightMatch(path, seg, pushed, storedSchema))
+        BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
+        BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, pushed, storedSchema))
       .flatMap(seg => HadroInputPartition.ranges(path, seg))
       .toArray
   }
@@ -296,6 +297,33 @@ object BloomSidecar {
         b
       }
     }
+
+  /** Composite-key pruning via named multi-field indexes
+    * (`INTERFACE.md:35-38`): when the pushed filters pin EVERY field of a
+    * registered index with equality, probe that index's per-segment bloom
+    * with the canonical hash of the value tuple. Conservative on any
+    * missing sidecar, unconvertible value, or partially-pinned index. */
+  def compositeMightMatch(path: Path, seg: SegmentInfo,
+      indexes: Map[String, Seq[String]], filters: Array[Filter],
+      schema: StructType): Boolean = {
+    if (indexes.isEmpty || seg.indexBlooms.isEmpty) return true
+    val eqs: Map[String, Any] = filters.collect { case EqualTo(c, v) => c -> v }.toMap
+    indexes.forall { case (name, fields) =>
+      seg.indexBlooms.get(name) match {
+        case Some(sidecar) if fields.nonEmpty && fields.forall(eqs.contains) =>
+          val internals = fields.map { fd =>
+            schema.fields.find(_.name == fd).flatMap { f =>
+              try Some(CatalystTypeConverters.createToCatalystConverter(f.dataType)(eqs(fd)))
+              catch { case _: Exception => None }
+            }
+          }
+          if (internals.exists(_.isEmpty)) true
+          else loadFile(path, Some(sidecar)).forall(
+            _.mightContainHash(graft.format.KeyBloom.canonicalComposite(internals.map(_.get))))
+        case _ => true
+      }
+    }
+  }
 
   def mightMatch(path: Path, seg: SegmentInfo, filters: Array[Filter],
       schema: StructType): Boolean =

@@ -79,9 +79,19 @@ final class HadroBatchWrite(path: Path, schema: StructType,
   private val storedMeta = CollectionMeta.readSchema(path).get
   private val storedSchema: StructType = storedMeta.schema
 
+  // Named composite indexes registered on the collection: every new segment
+  // carries their bloom sidecars from birth (resolved to ordinals here,
+  // once, driver-side).
+  private val indexOrdinals: Map[String, Seq[Int]] =
+    CollectionMeta.currentManifest(path).indexes.flatMap { case (n, fields) =>
+      if (fields.forall(storedSchema.fieldNames.contains))
+        Some(n -> fields.map(storedSchema.fieldIndex))
+      else None
+    }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
-      storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes)
+      storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
@@ -113,6 +123,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     messages.collect { case m: HadroCommitMessage => m }.foreach { m =>
       Files.deleteIfExists(Paths.get(path.toString, m.info.file))
       m.info.bloom.foreach(b => Files.deleteIfExists(Paths.get(path.toString, b)))
+      m.info.indexBlooms.values.foreach(b =>
+        Files.deleteIfExists(Paths.get(path.toString, b)))
     }
 }
 
@@ -120,11 +132,12 @@ final case class HadroCommitMessage(info: SegmentInfo) extends WriterCommitMessa
 
 final class HadroWriterFactory(path: String, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
-    keyOrdinal: Option[Int], splitBytes: Long) extends DataWriterFactory {
+    keyOrdinal: Option[Int], splitBytes: Long,
+    indexOrdinals: Map[String, Seq[Int]] = Map.empty) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
-      tombstone, partitionId, taskId, keyOrdinal, splitBytes)
+      tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -139,11 +152,13 @@ final class HadroWriterFactory(path: String, storedSchema: StructType,
 final class HadroDataWriter(dir: Path, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
     partitionId: Int, taskId: Long, keyOrdinal: Option[Int],
-    splitBytes: Long = SegmentWriter.DefaultSplitBytes) extends DataWriter[InternalRow] {
+    splitBytes: Long = SegmentWriter.DefaultSplitBytes,
+    indexOrdinals: Map[String, Seq[Int]] = Map.empty) extends DataWriter[InternalRow] {
 
   private val file = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
-  private val writer = new SegmentWriter(file, storedSchema, consistency, keyOrdinal, splitBytes)
+  private val writer = new SegmentWriter(file, storedSchema, consistency, keyOrdinal,
+    splitBytes, indexOrdinals)
 
   // Projection: stored ordinal -> write ordinal (or -1 = absent -> null).
   private val proj: Array[Int] = storedSchema.fields.map(f => writeSchema.fieldNames.indexOf(f.name))

@@ -1,0 +1,79 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** Named composite-key indexes (`/root/reference/INTERFACE.md:32-38`):
+  * `indexes.add(name, [fields])` builds per-segment blooms over the field
+  * tuple; a query pinning every field with equality probes them at scan
+  * planning and skips non-matching segments. */
+class IndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"idx_$name").resolve("c").toString
+
+  test("composite index prunes segments and preserves results") {
+    val path = tmp("prune")
+    val src = spark.read.parquet(s"$sf0001/part.parquet")
+    // random 8-way split: per-column min/max stats cover the full value
+    // range in EVERY segment, so only the composite bloom can prune
+    val c = Collection.create(spark, path, src, numSegments = 8)
+    c.indexes.add("brand_type", Seq("p_brand", "p_type"))
+    assert(c.indexes.named() == Map("brand_type" -> Seq("p_brand", "p_type")))
+
+    val probe = src.select($"p_brand", $"p_type").head()
+    val (brand, container) = (probe.getString(0), probe.getString(1))
+    val q = c.where($"p_brand" === brand && $"p_type" === container)
+    val want = src.filter($"p_brand" === brand && $"p_type" === container)
+    assert(q.orderBy("p_partkey").collect().sameElements(want.orderBy("p_partkey").collect()))
+    // the pair lives in few segments; blooms must drop (most of) the rest
+    assert(q.rdd.getNumPartitions < 8,
+      s"expected composite-bloom pruning, got ${q.rdd.getNumPartitions} of 8 tasks")
+  }
+
+  test("writes after registration carry the sidecar from birth") {
+    val path = tmp("birth")
+    val src = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val c = Collection.create(spark, path, src, numSegments = 2)
+    c.indexes.add("nat_name", Seq("s_nationkey", "s_name"))
+    c.append(src.limit(5))
+    val m = CollectionMeta.currentManifest(Paths.get(path))
+    assert(m.segments.size == 3)
+    assert(m.segments.forall(_.indexBlooms.contains("nat_name")))
+    m.segments.foreach(s =>
+      assert(Files.exists(Paths.get(path).resolve(s.indexBlooms("nat_name")))))
+  }
+
+  test("remove unregisters the index and deletes its sidecars") {
+    val path = tmp("remove")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val c = Collection.create(spark, path, src, numSegments = 3)
+    c.indexes.add("nk_name", Seq("n_nationkey", "n_name"))
+    val withIdx = CollectionMeta.currentManifest(Paths.get(path))
+    assert(withIdx.segments.forall(_.indexBlooms.contains("nk_name")))
+    c.indexes.remove("nk_name")
+    assert(c.indexes.named().isEmpty)
+    val m = CollectionMeta.currentManifest(Paths.get(path))
+    assert(m.segments.forall(_.indexBlooms.isEmpty))
+    withIdx.segments.foreach(s => assert(!Files.exists(
+      Paths.get(path).resolve(s.file + ".idx-nk_name.bloom"))))
+    // queries still correct without the index
+    assert(c.where($"n_nationkey" === 3 && $"n_name".isNotNull).count() == 1)
+  }
+
+  test("index add validates name, type, and fields") {
+    val path = tmp("validate")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val c = Collection.create(spark, path, src)
+    intercept[IllegalArgumentException](c.indexes.add("bad name", Seq("r_name")))
+    intercept[IllegalArgumentException](c.indexes.add("x", Seq("r_name"), indexType = "b+tree"))
+    intercept[IllegalArgumentException](c.indexes.add("x", Seq("nope")))
+    intercept[IllegalArgumentException](c.indexes.add("x", Nil))
+  }
+}
