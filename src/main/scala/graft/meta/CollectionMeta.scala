@@ -149,6 +149,46 @@ object CollectionMeta {
     m
   }
 
+  /** Deferred physical GC for truncate/compaction, protecting in-flight
+    * readers: files dereferenced by THIS truncate are only recorded (a
+    * `dead-v<N>.json` sidecar); what gets physically deleted now are the
+    * files recorded by the PREVIOUS truncate — any reader that planned
+    * against a manifest from before that is long finished. One garbage
+    * generation is outstanding at a time: space is reclaimed at the next
+    * truncate/compaction (or [[purgeDeferred]]), and open POSIX handles keep
+    * streaming even if deletion races an active read. */
+  def deferredGc(collection: Path, live: Set[String]): Unit = {
+    val dir = metaDir(collection)
+    Files.createDirectories(dir)
+    purgeDeferred(collection, live)
+    val dead = Files.list(collection).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => (n.endsWith(".data") || n.endsWith(".bloom")) && !live(n))
+      .toSeq.sorted
+    if (dead.nonEmpty) {
+      val f = dir.resolve(s"dead-${System.nanoTime()}.json")
+      Files.write(f, Serialization.write(dead).getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Delete every file recorded dead by earlier truncates (skipping any that
+    * a later commit somehow re-references) and drop the dead-lists. */
+  def purgeDeferred(collection: Path, live: Set[String]): Unit = {
+    val dir = metaDir(collection)
+    if (!Files.exists(dir)) return
+    Files.list(dir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.matches("dead-\\d+\\.json"))
+      .foreach { dl =>
+        try {
+          val names = JsonMethods.parse(
+            new String(Files.readAllBytes(dl), StandardCharsets.UTF_8)).extract[Seq[String]]
+          names.filterNot(live).foreach(n =>
+            Files.deleteIfExists(collection.resolve(n)))
+          Files.deleteIfExists(dl)
+        } catch { case _: Exception => () }
+      }
+  }
+
   /** Drop every manifest older than `version` — used after truncate/compact,
     * whose physical segment GC makes pre-compaction versions
     * unreconstructable; deleting their manifests turns a late reader

@@ -104,17 +104,16 @@ final class HadroBatchWrite(path: Path, schema: StructType,
         mutated = (cur.mutated && !truncate) || mutating)
     })
     if (truncate) {
-      // Physically drop segments + sidecars no longer referenced, AND the
-      // manifests that referenced them — a retained pre-truncate manifest
-      // would otherwise point at deleted files and fail late with a reader
-      // FileNotFoundException instead of manifestAt's documented error.
+      // GC the manifests that pre-date this truncate — a retained
+      // pre-truncate manifest would point at dereferenced files, so
+      // scanVersion must fail fast with manifestAt's documented error.
+      // Physical file deletion is DEFERRED one truncate generation
+      // (CollectionMeta.deferredGc) so a reader that planned against a
+      // just-GC'd manifest still finds its segment files on disk.
       val m = CollectionMeta.currentManifest(path)
       val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
         m.segments.flatMap(_.indexBlooms.values)).toSet
-      Files.list(path).filter { p =>
-        val n = p.getFileName.toString
-        (n.endsWith(".data") || n.endsWith(".bloom")) && !live(n)
-      }.forEach(p => Files.deleteIfExists(p))
+      CollectionMeta.deferredGc(path, live)
       CollectionMeta.gcManifestsBefore(path, m.version)
     }
   }
