@@ -30,7 +30,7 @@ object DedupOps {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBandBucket: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Persist the signatures: the banded frame feeds BOTH sides of the
     // self-join, and without materialization Spark recomputes the (pricey)
@@ -48,8 +48,19 @@ object DedupOps {
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    // Band-bucket cap, mirroring the inverted index's doc-frequency cap: a
+    // bucket shared by > maxBandBucket docs (boilerplate/empty documents
+    // hashing identically) joins quadratically while identifying nothing —
+    // drop it from CANDIDATE GENERATION only; real near-dups collide in
+    // other bands too. Singleton buckets can never pair, so they're pruned
+    // before the self-join rather than filtered after it.
+    val usable = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 2 && col("bc") <= maxBandBucket)
+      .select(col("band"), col("band_hash"))
+    val pruned = banded.join(usable, Seq("band", "band_hash"))
+    val a = pruned.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
     // Dedup candidate PAIRS first (two longs), verify exactly ONCE per pair
     // — a pair colliding in many bands must not pay the set-intersection
     // repeatedly, and distinct on ids shuffles far less than on arrays.

@@ -59,4 +59,33 @@ object MultimodalOps {
       }
     spark.createDataFrame(rdd, featureSchema)
   }
+
+  /** Frame sampling for video-like media: every `stride`-th fixed-size
+    * frame, at most `maxFrames` per document — the standard shape for
+    * sampling training frames out of long media without decoding all of it.
+    * Stays in the typed Dataset world (`Dataset.mapPartitions` with tuple
+    * encoders — no RDD drop-down, Tungsten-encoded both sides); the frame
+    * SLICING is real byte work, only interpretation of the bytes would need
+    * a codec. One output row per sampled frame: (media_id, frame_idx,
+    * frame_len, first_byte). */
+  def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
+      frameSize: Int = 64, stride: Int = 4, maxFrames: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Iterator.range(0, maxFrames)
+            .map(_ * stride)
+            .takeWhile(fi => fi * frameSize < bytes.length)
+            .map { fi =>
+              val start = fi * frameSize
+              val len = math.min(frameSize, bytes.length - start)
+              (id, fi, len, bytes(start) & 0xff)
+            }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_len", "first_byte")
+  }
 }

@@ -119,4 +119,52 @@ object SimilarityOps {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Build an IVF (inverted-file) ANN index: `kCentroids` deterministic
+    * seed centroids (the vectors with id < kCentroids), every vector
+    * assigned to its nearest centroid by exact cosine, the assignment
+    * materialized as a `cluster` column and segments range-clustered by it.
+    *
+    * The assignment is a PER-ROW `greatest()` over centroid literals — the
+    * centroids are broadcast inside the expression, so classification needs
+    * no join and no shuffle; the only shuffle is the clustering
+    * repartition. Ties break to the higher centroid id (struct ordering).
+    * At 100 TB: centroids are O(k) driver-side, assignment is map-only,
+    * and a query decodes only the probed clusters' segments. */
+  def buildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String,
+      kCentroids: Int = 8, numSegments: Int = 8): graft.api.Collection = {
+    val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val cents = vecs.filter(col("vid") < kCentroids)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+    require(cents.length >= 2, s"need >= 2 centroids, got ${cents.length}")
+    val scored = cents.map { case (cid, cv) =>
+      struct(cosine(col("vec"), typedlit(cv)).as("cos"), lit(cid).as("cid"))
+    }
+    val assigned = vecs.withColumn("cluster",
+      greatest(scored.toSeq: _*).getField("cid"))
+    graft.api.Collection.create(spark, path,
+      assigned.repartitionByRange(numSegments, col("cluster")))
+  }
+
+  /** IVF probe: rank the centroids against the query (k-row job), take the
+    * `nprobe` nearest clusters, and push `cluster IN (...)` into the scan —
+    * segment stats drop every non-probed cluster's segments; exact cosine
+    * ranks only the surviving vectors. */
+  def ivfTopK(index: graft.api.Collection, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, kCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    val scan = index.scan()
+    val probeCids = scan.filter(col("vid") < kCentroids)
+      .select(col("vid"), cosine(col("vec"), typedlit(query)).as("cos"))
+      .collect()
+      .sortBy(r => (-r.getDouble(1), -r.getLong(0))) // cos desc, cid desc
+      .take(nprobe)
+      .map(_.getLong(0))
+    scan.filter(col("cluster").isin(probeCids.toSeq: _*))
+      .select(col("vid").as(idCol), cosine(col("vec"), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -182,6 +182,47 @@ object OpsQueries {
       },
       None),
 
+    // ---------------------------------------------------------------- s03
+    // IVF-partitioned ANN: vectors assigned to their nearest of 8 seed
+    // centroids at ingest (cluster column, range-clustered segments); the
+    // query probes the 2 nearest clusters via a pushed IN filter. Fully
+    // oracle-checked: DuckDB reproduces assignment, probe choice, and
+    // ranking with list_cosine_similarity on DOUBLE[].
+    QueryDef(
+      "s03_ivf_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildIvfIndex(
+          s, s"/tmp/graft_collections/$tag/s03_index", e, "vec_id", "embedding")
+        SimilarityOps.ivfTopK(idx, "vec_id", "embedding", q, 20)
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        cents AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT e.vec_id, e.embedding,
+            (SELECT c.cid FROM cents c
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.cid DESC
+             LIMIT 1) AS cluster
+          FROM embeddings e),
+        probes AS (
+          SELECT c.cid FROM cents c, q
+          ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid DESC
+          LIMIT 2)
+        SELECT a.vec_id,
+          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv), 4) AS cosine
+        FROM assigned a, q
+        WHERE a.cluster IN (SELECT cid FROM probes)
+        ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv) DESC, a.vec_id
+        LIMIT 20""")),
+
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.
     QueryDef(
@@ -287,6 +328,29 @@ object OpsQueries {
       },
       None),
 
+    // ---------------------------------------------------------------- t05
+    // BPE-ish regex tokenization (split on non-word runs, drop empties) —
+    // the tokenizer real pipelines approximate before a trained BPE model.
+    // Cross-engine exact: \W is ASCII in both Java regex and RE2.
+    QueryDef(
+      "t05_regex_token_stats",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val toks = TextOps.tokensRegex(col("text"))
+        d.select(col("doc_id"),
+          size(toks).as("n_bpe_tokens"),
+          size(array_distinct(toks)).as("n_bpe_uniq"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(len(toks) AS INT) AS n_bpe_tokens,
+          CAST(len(list_distinct(toks)) AS INT) AS n_bpe_uniq
+        FROM (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\W+'),
+              t -> length(t) > 0) AS toks
+          FROM documents)
+        ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- m01
     // Multimodal plumbing: text bytes as a stand-in binary media column →
     // per-partition batch "decode" (stubbed) → typed feature rows. The
@@ -304,6 +368,28 @@ object OpsQueries {
           CAST(octet_length(encode(text)) AS INT) AS byte_len,
           CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS n_frames
         FROM documents ORDER BY media_id""")),
+
+    // ---------------------------------------------------------------- m02
+    // Multimodal frame sampling: every 4th 64-byte frame, max 8 per doc —
+    // typed Dataset mapPartitions, one row per sampled frame. The oracle
+    // reproduces the slicing arithmetic (ASCII corpus: byte == char).
+    QueryDef(
+      "m02_frame_sampling",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        MultimodalOps.sampleFrames(d, "doc_id", "media")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id AS media_id, octet_length(encode(text)) AS blen, text,
+                 unnest(list_transform(generate_series(0, 7), x -> x * 4)) AS frame_idx
+          FROM documents)
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+          CAST(least(64, blen - frame_idx * 64) AS INT) AS frame_len,
+          ascii(substr(text, CAST(frame_idx * 64 + 1 AS INT), 1)) AS first_byte
+        FROM f WHERE frame_idx * 64 < blen
+        ORDER BY media_id, frame_idx""")),
 
     // ---------------------------------------------------------------- st01
     // Structured Streaming: hourly windowed counts over the events stream
@@ -470,6 +556,60 @@ object OpsQueries {
       },
       Some("""SELECT s_suppkey,
           CASE WHEN s_suppkey % 2 = 0 THEN 'UPDATED_' || s_name ELSE s_name END AS s_name
-        FROM supplier ORDER BY s_suppkey"""))
+        FROM supplier ORDER BY s_suppkey""")),
+
+    // --------------------------------------------------------------- st05
+    // Streaming RESOLVED VIEW with deletes (flatMapGroupsWithState): the
+    // hadro changefeed carries upserts AND tombstones; per-key state keeps
+    // the highest `_hadro_seq` record (total order across batches), and a
+    // tombstone wins by emitting a deleted marker. Three micro-batches:
+    // base rows, upserts, deletes — the final view must equal the batch
+    // LWW resolution, which the oracle computes from parquet.
+    QueryDef(
+      "st05_streaming_resolved_deletes",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        import graft.spark.HadroTable
+        val src = table(s, dir, "customer")
+        val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st05"
+        val c = graft.api.Collection.create(s, colPath, src, key = Some("c_custkey"))
+        val stream = s.readStream.format("hadro")
+          .option("hadro.changefeed", "full").load(colPath)
+          .select($"c_custkey", $"c_name",
+            col(HadroTable.SeqCol).as("seq"), col(HadroTable.DeletedCol).as("del"))
+          .as[(Long, String, Long, Boolean)]
+        val resolved = stream.groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (key: Long, rows: Iterator[(Long, String, Long, Boolean)],
+             state: GroupState[(Long, String, Boolean)]) =>
+              val latest = rows.maxBy(_._3) // highest seq this batch
+              val next = state.getOption match {
+                case Some(cur) if cur._1 >= latest._3 => cur
+                case _ => (latest._3, latest._2, latest._4)
+              }
+              state.update(next)
+              Iterator((key, next._2, next._3, next._1))
+          }
+        val name = s"st05_sink_${System.nanoTime()}"
+        val q = resolved.toDF("c_custkey", "c_name", "del", "seq")
+          .writeStream.outputMode("update").format("memory").queryName(name).start()
+        q.processAllAvailable() // batch 1: base rows
+        c.set(src.filter($"c_custkey" % 3 === 1)
+          .withColumn("c_name", concat(lit("U_"), $"c_name")))
+        q.processAllAvailable() // batch 2: upserts
+        c.delete(src.filter($"c_custkey" % 5 === 0).select($"c_custkey"))
+        q.processAllAvailable() // batch 3: tombstones
+        q.stop()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"c_custkey").orderBy($"seq".desc)
+        s.table(name)
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1 && !$"del")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+          CASE WHEN c_custkey % 3 = 1 THEN 'U_' || c_name ELSE c_name END AS c_name
+        FROM customer WHERE c_custkey % 5 <> 0 ORDER BY c_custkey"""))
   )
 }

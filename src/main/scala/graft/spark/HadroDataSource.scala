@@ -34,12 +34,22 @@ final class HadroDataSource extends TableProvider with DataSourceRegister {
     Paths.get(p)
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CollectionMeta.readSchema(collectionPath(options)).map(_.schema).getOrElse {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val stored = CollectionMeta.readSchema(collectionPath(options)).map(_.schema).getOrElse {
       throw new IllegalArgumentException(
         s"hadro: collection at ${collectionPath(options)} has no schema " +
           "(write to it first, or pass an explicit schema)")
     }
+    // `hadro.changefeed=full` surfaces the record sequence and tombstone
+    // flag as REGULAR schema columns (tombstone records included) — the
+    // full CDC view, and the only way to see deletes on a STREAM, where
+    // Spark does not route metadata columns through column pruning.
+    if ("full".equalsIgnoreCase(options.getOrDefault("hadro.changefeed", ""))) {
+      StructType(stored.fields
+        :+ StructField(HadroTable.SeqCol, LongType, nullable = false)
+        :+ StructField(HadroTable.DeletedCol, BooleanType, nullable = false))
+    } else stored
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {

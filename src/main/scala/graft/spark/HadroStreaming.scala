@@ -14,14 +14,18 @@ import graft.meta.CollectionMeta
   * micro-batch is the half-open ordinal range committed since the last
   * batch. No files are listed or re-read; planning is one manifest read.
   *
-  * Semantics: an insert-only changefeed of the log tail (tombstone records
-  * are skipped, shadowed versions are NOT resolved — resolution is a
-  * batch-view concern). Compaction/truncate resets ordinals and therefore
-  * invalidates running streams (documented limitation; streams should read
-  * from non-compacting collections, mirroring e.g. Delta's behavior when a
-  * table is rewritten). The `_hadro_*` metadata columns are batch-only:
-  * streaming plans do not route metadata columns through pruneColumns, so
-  * selecting them on a stream is unsupported.
+  * Semantics: by default an insert-only changefeed of the log tail
+  * (tombstone records are skipped, shadowed versions are NOT resolved —
+  * resolution is a batch-view or stateful-stream concern). With
+  * `hadro.changefeed=full` the stream carries `_hadro_seq` and
+  * `_hadro_deleted` as regular columns and INCLUDES tombstone records —
+  * the full CDC view a stateful LWW consumer needs (st05). Metadata-column
+  * SELECTION on a stream remains unsupported (Spark does not route
+  * metadata columns through streaming column pruning) — the changefeed
+  * option exists precisely so streams never need it. Compaction/truncate
+  * resets ordinals and therefore invalidates running streams (documented
+  * limitation; streams should read from non-compacting collections,
+  * mirroring e.g. Delta's behavior when a table is rewritten).
   */
 final case class HadroOffset(nextOrdinal: Long) extends Offset {
   override def json(): String = s"""{"nextOrdinal":$nextOrdinal}"""
