@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native fused MinHash signature over an `array<string>` shingle set.
+  *
+  * BIT-EXACT with the composed form `TextOps.minhashSignatureComposed`
+  * (asserted in FunctionsSpec): per shingle, `h = xxhash64(shingle)` with
+  * Spark's default seed 42, then per permutation `i`,
+  * `xxhash64(h, i) = hashInt(i, hashLong(h, 42))` — the same chain the
+  * built-in `xxhash64` expression computes, via the same [[XXH64]] kernels.
+  *
+  * Why native: the composed fold allocates an n-long accumulator array,
+  * an n-long permutation array, and a zipped array PER SHINGLE (via
+  * `aggregate`/`zip_with`/`transform`), and its codegen is a deeply nested
+  * lambda chain that dominates first-run JIT. This expression is one flat
+  * loop over (shingles × n) with a single long[] — no per-step allocation,
+  * spliced directly into whole-stage codegen. MinHash is the hot inner
+  * loop of near-dup candidate generation over every document at corpus
+  * scale, so constant factors here are cluster-hours at 100 TB.
+  */
+case class MinHashSignature(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"minhash_signature needs n > 0 permutations, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      // built-in xxhash64 semantics: a null argument leaves the hash at the
+      // seed, so a null shingle contributes h = 42
+      val h =
+        if (arr.isNullAt(j)) 42L
+        else {
+          val s = arr.getUTF8String(j)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        }
+      val inner = XXH64.hashLong(h, 42L)
+      var i = 0
+      while (i < n) {
+        val hi = XXH64.hashInt(i, inner)
+        if (hi < mins(i)) mins(i) = hi
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val xxh = classOf[XXH64].getName
+      val mins = ctx.freshName("mins")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val inner = ctx.freshName("inner")
+      val hi = ctx.freshName("hi")
+      val s = ctx.freshName("s")
+      s"""
+        long[] $mins = new long[$n];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        int $m = $x.numElements();
+        for (int $j = 0; $j < $m; $j++) {
+          long $h;
+          if ($x.isNullAt($j)) {
+            $h = 42L;
+          } else {
+            UTF8String $s = $x.getUTF8String($j);
+            $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+          }
+          long $inner = $xxh.hashLong($h, 42L);
+          for (int $i = 0; $i < $n; $i++) {
+            long $hi = $xxh.hashInt($i, $inner);
+            if ($hi < $mins[$i]) $mins[$i] = $hi;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Column-world handle for [[MinHashSignature]]. */
+  def minhash_signature(shingles: Column, n: Int): Column =
+    VectorExpressions.columnOf(MinHashSignature(VectorExpressions.expressionOf(shingles), n))
+}

@@ -93,6 +93,10 @@ object VectorExpressions {
   private def column(e: Expression): Column =
     toCol.invoke(null, e).asInstanceOf[Column]
 
+  /** Bridge access for sibling expression wrappers (graft-internal). */
+  private[functions] def expressionOf(c: Column): Expression = expression(c)
+  private[functions] def columnOf(e: Expression): Column = column(e)
+
   /** Column-world handle for [[CosineSimilarity]]. */
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))

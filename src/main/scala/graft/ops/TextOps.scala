@@ -38,12 +38,19 @@ object TextOps {
     * (Broder'97 scheme). Each shingle STRING is hashed once; the n
     * permutations then mix the resulting 8-byte longs — ~string-length/8
     * times cheaper per permutation than re-hashing the string. Pure per-row
-    * expression work, no shuffle. */
-  def minhashSignature(shingles: Column, n: Int): Column = {
+    * expression work, no shuffle. Implemented as the native fused
+    * [[graft.functions.MinHashSignature]] expression (one flat codegen loop,
+    * zero per-shingle allocation); [[minhashSignatureComposed]] is the
+    * built-ins-only reference it is asserted bit-exact against. */
+  def minhashSignature(shingles: Column, n: Int): Column =
+    graft.functions.TextExpressions.minhash_signature(shingles, n)
+
+  /** Built-ins-composed MinHash reference (one fold carrying all n minima —
+    * itself far better than n separate aggregates, but still allocating
+    * three arrays per shingle). Kept for cross-checking the native
+    * expression; same hash chain, so results match bit-for-bit. */
+  def minhashSignatureComposed(shingles: Column, n: Int): Column = {
     val hashed = transform(shingles, s => xxhash64(s))
-    // ONE fold over the shingle set carrying all n permutation minima as an
-    // array (vs n separate aggregate expressions, whose codegen explodes
-    // n-fold and dominates first-run JIT time).
     aggregate(hashed, array_repeat(lit(Long.MaxValue), n),
       (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(n - 1)), i => xxhash64(h, i)),

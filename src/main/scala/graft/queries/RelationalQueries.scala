@@ -404,6 +404,48 @@ object RelationalQueries {
           epoch_us(ts) - LAG(epoch_us(ts), 1)
             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
         FROM events WHERE user_id % 10 = 0
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // ---------------------------------------------------------------- q17
+    // Correlated EXISTS / NOT EXISTS — Catalyst rewrites both to semi/anti
+    // joins (one shuffle each), never a per-row subquery execution.
+    QueryDef(
+      "q17_exists_subquery",
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("q17_customer")
+        table(s, dir, "orders").createOrReplaceTempView("q17_orders")
+        s.sql("""
+          SELECT c_custkey, c_name FROM q17_customer c
+          WHERE EXISTS (SELECT 1 FROM q17_orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+            AND NOT EXISTS (SELECT 1 FROM q17_orders o2
+                            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q18
+    // Correlated scalar subquery — decorrelated by Catalyst into an
+    // aggregate + left outer join, not N executions.
+    QueryDef(
+      "q18_scalar_subquery",
+      (s, dir) => {
+        table(s, dir, "nation").createOrReplaceTempView("q18_nation")
+        table(s, dir, "supplier").createOrReplaceTempView("q18_supplier")
+        s.sql("""
+          SELECT n_name,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM q18_supplier s
+             WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers
+          FROM q18_nation n ORDER BY n_name""")
+      },
+      Some("""SELECT n_name,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s
+           WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers
+        FROM nation n ORDER BY n_name"""))
   )
 }

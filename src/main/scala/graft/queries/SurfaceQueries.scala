@@ -121,6 +121,32 @@ object SurfaceQueries {
       Some("""SELECT l_returnflag,
           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
           CAST(COUNT(*) AS BIGINT) AS n
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- p05
+    // GROUPING SETS with GROUPING() markers — the general form rollup/cube
+    // specialize. One Expand + one aggregate, not one pass per set.
+    // ORDER BY pins NULLS FIRST explicitly: Spark and DuckDB default
+    // opposite null orderings.
+    QueryDef(
+      "p05_grouping_sets",
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("p05_orders")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            CAST(grouping(o_orderpriority) AS INT) AS g_prio
+          FROM p05_orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY g_status, g_prio,
+            o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio,
+          o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
   )
 }

@@ -43,6 +43,28 @@ class FunctionsSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("array<float>"))
   }
 
+  test("native minhash_signature matches the composed form bit-for-bit") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sh = graft.ops.TextOps.shingleSet(col("text"), 3)
+    val both = docs.select(
+      TextExpressions.minhash_signature(sh, 64).as("native"),
+      graft.ops.TextOps.minhashSignatureComposed(sh, 64).as("composed"))
+    assert(both.filter($"native" =!= $"composed").count() == 0)
+    // degenerate inputs: empty shingle array => all-MaxValue signature
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(TextExpressions.minhash_signature(col("sh"), 4).as("sig"))
+      .head().getSeq[Long](0)
+    assert(empty.forall(_ == Long.MaxValue))
+  }
+
+  test("minhash_signature participates in whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = docs.select(
+      TextExpressions.minhash_signature(graft.ops.TextOps.tokens(col("text")), 8).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("minhash_signature"), plan)
+  }
+
   test("product UDAF handles empty and null groups") {
     val df = Seq((1, Some(2.0)), (1, Some(3.0)), (2, None), (3, Some(0.5)))
       .toDF("k", "v")
