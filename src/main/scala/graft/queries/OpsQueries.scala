@@ -610,6 +610,65 @@ object OpsQueries {
       },
       Some("""SELECT c_custkey,
           CASE WHEN c_custkey % 3 = 1 THEN 'U_' || c_name ELSE c_name END AS c_name
-        FROM customer WHERE c_custkey % 5 <> 0 ORDER BY c_custkey"""))
+        FROM customer WHERE c_custkey % 5 <> 0 ORDER BY c_custkey""")),
+
+    // --------------------------------------------------------------- st06
+    // Event-time watermark + APPEND-mode windowed aggregation: only windows
+    // the watermark (max event time - 1h) has closed are ever emitted, and
+    // each exactly once. maxFilesPerTrigger=1 forces multiple micro-batches
+    // so the watermark actually advances batch-over-batch; the final no-data
+    // batch flushes everything closed by the global maximum. Deterministic
+    // on static data — the oracle keeps windows whose end <= max(ts) - 1h.
+    QueryDef(
+      "st06_watermark_append",
+      (s, dir) => {
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        // Stage the events as four files in ASCENDING TIME ORDER (written
+        // sequentially, so modification times order the micro-batches the
+        // way a real stream arrives). A hash split would make every batch
+        // span the full range and the watermark would rightly DROP most of
+        // batches 2..4 as late data.
+        val stage = java.nio.file.Paths.get(
+          s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_st06")
+        if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+          val ev0 = table(s, dir, "events")
+          val (mn, mx) = ev0.agg(min($"ts"), max($"ts")).as[(Long, Long)].head()
+          val span = (mx - mn) / 4 + 1
+          (0 until 4).foreach { i =>
+            ev0.filter($"ts" >= mn + i * span && $"ts" < mn + (i + 1) * span)
+              .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+              .parquet(stage.toString)
+          }
+          java.nio.file.Files.createFile(stage.resolve("_staged"))
+        }
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        val agg = stream
+          .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_ts", "1 hour")
+          .groupBy(window($"event_ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        val name = s"st06_sink_${System.nanoTime()}"
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name)
+          .select($"window.start".cast(LongType).as("bucket_start_s"),
+            $"event_type", $"n", $"sum_value")
+          .orderBy("bucket_start_s", "event_type")
+      },
+      Some("""WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
+        SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS bucket_start_s,
+          event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events, mx
+        WHERE (epoch_us(ts) // 3600000000 * 3600 + 3600) * 1000000 <= m - 3600000000
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

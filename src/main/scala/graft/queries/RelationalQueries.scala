@@ -446,6 +446,25 @@ object RelationalQueries {
       Some("""SELECT n_name,
           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s
            WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers
-        FROM nation n ORDER BY n_name"""))
+        FROM nation n ORDER BY n_name""")),
+
+    // ---------------------------------------------------------------- q19
+    // Approximate distinct (HLL++): sketch values are engine-specific, so
+    // the oracle-checkable contract is the exact count plus a bound: the
+    // approximation must land within 5% of exact (rsd configured at 2%).
+    QueryDef(
+      "q19_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .agg(
+            countDistinct($"o_custkey").as("exact_custkeys"),
+            approx_count_distinct($"o_custkey", 0.02).as("approx"))
+          .select($"exact_custkeys",
+            (abs($"approx" - $"exact_custkeys") <=
+              $"exact_custkeys" * 0.05).as("approx_within_5pct"))
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+          TRUE AS approx_within_5pct FROM orders"""))
   )
 }
