@@ -40,7 +40,13 @@ object DedupOps {
       col(idCol).as("doc_id"),
       TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
-    val sets = withSig.select(col("doc_id"), col("shingles"))
+    // Verification operates on 8-byte shingle HASHES, not the strings:
+    // exact Jaccard is preserved (distinct cardinalities survive hashing,
+    // collision odds 2^-64 per pair) while the verify join shuffles ~8
+    // bytes per shingle instead of the full n-gram text — the dominant
+    // byte volume at corpus scale.
+    val sets = withSig.select(col("doc_id"),
+      transform(col("shingles"), s => xxhash64(s)).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("doc_id"),
@@ -110,8 +116,13 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, minShared: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Int = 100): DataFrame = {
+    // Shingles are hashed to 8-byte tokens up front: the inverted index
+    // explodes and joins on longs instead of n-gram strings, and the
+    // full-set verify join ships long arrays — same exact Jaccard
+    // (cardinalities survive hashing; collision odds 2^-64 per pair) at a
+    // fraction of the shuffle bytes.
     val sets = df.select(col(idCol).as("doc_id"),
-      TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
+      transform(TextOps.shingleSet(col(textCol), shingleK), s => xxhash64(s)).as("shingles"))
       .withColumn("set_size", size(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inverted = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
