@@ -65,6 +65,7 @@ final case class Manifest(
   */
 object CollectionMeta {
   private implicit val formats: Formats = DefaultFormats
+  private val TmpCounter = new java.util.concurrent.atomic.AtomicLong()
 
   def metaDir(collection: Path): Path = collection.resolve("_hadro")
   private def schemaFile(collection: Path): Path = metaDir(collection).resolve("schema.json")
@@ -231,22 +232,39 @@ object CollectionMeta {
       val next0 = update(cur)
       val next = next0.copy(version = cur.version + 1)
       val target = manifestFile(collection, next.version)
-      val tmp = metaDir(collection).resolve(s".tmp-${System.nanoTime()}-${next.version}")
+      // The tmp name MUST be unique per committer: System.nanoTime alone
+      // can tie across threads (coarse clock), and two committers sharing
+      // a tmp file silently publish one's content under the other's claim
+      // — a lost update with no error anywhere.
+      val tmp = metaDir(collection).resolve(
+        s".tmp-${System.nanoTime()}-${Thread.currentThread().getId}-" +
+          s"${TmpCounter.incrementAndGet()}-${next.version}")
       Files.createDirectories(metaDir(collection))
       Files.write(tmp, Serialization.write(next).getBytes(StandardCharsets.UTF_8))
       try {
         // CREATE_NEW-equivalent atomic publish: rename fails if target exists
         // on POSIX only via our existence check; emulate with createFile.
         Files.createFile(target) // claims the version slot atomically
-        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+        // ATOMIC_MOVE is load-bearing: the non-atomic move with
+        // REPLACE_EXISTING DELETES the target before renaming, and in that
+        // window another committer's createFile claims the same version —
+        // a silent lost update. A pure rename(2) replaces with no window.
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
         gcOldManifests(collection, next.version)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           attempts += 1
-          if (attempts > 50)
+          // The slot winner may sit between claiming the version file and
+          // moving its content in place (e.g. a GC pause) — during that
+          // window currentManifest still reads the OLD version and every
+          // retry re-collides. Back off instead of burning the attempt
+          // budget in milliseconds; 300 × ≤20ms ≈ seconds of tolerance.
+          if (attempts > 300)
             throw new IllegalStateException(s"manifest commit contention on $collection")
+          Thread.sleep(math.min(20L, attempts.toLong))
       }
     }
     throw new IllegalStateException("unreachable")

@@ -130,7 +130,8 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
 }
 
 final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
-    pushed: Array[Filter], versionAsOf: Option[Long] = None) extends Scan with Batch {
+    pushed: Array[Filter], versionAsOf: Option[Long] = None)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -175,6 +176,29 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new HadroReaderFactory(storedSchema, required)
+
+  /** Exact statistics from the manifest — no files touched, and computed
+    * AFTER stats/bloom segment pruning, so a selective filter over a huge
+    * collection reports only the surviving bytes. This is what lets
+    * Catalyst choose broadcast joins for small (or well-pruned) hadro
+    * relations by itself; without it, DSv2 sources fall back to
+    * `defaultSizeInBytes` (effectively infinite) and every join goes
+    * sort-merge. */
+  override def estimateStatistics(): Statistics = {
+    val manifest = versionAsOf
+      .map(v => CollectionMeta.manifestAt(path, v))
+      .getOrElse(CollectionMeta.currentManifest(path))
+    val kept = manifest.segments
+      .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
+        BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
+        BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, pushed, storedSchema))
+    val bytes = kept.map(_.bytes).sum
+    val rows = kept.map(s => s.rows - s.tombstones).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 }
 
 /** One scan task: a record-aligned byte range of one segment file.

@@ -108,13 +108,39 @@ class RobustnessSpec extends SparkSuite {
     val path = Files.createTempDirectory("race").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/nation.parquet")
     Collection.create(spark, path, src.limit(0)) // schema only
-    val t1 = new Thread(() =>
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(body: => Unit) = new Thread(() =>
+      try body catch { case t: Throwable => failures.add(t) })
+    val t1 = appender(
       src.filter($"n_nationkey" < 10).write.format("hadro").mode("append").save(path))
-    val t2 = new Thread(() =>
+    val t2 = appender(
       src.filter($"n_nationkey" >= 10).write.format("hadro").mode("append").save(path))
     t1.start(); t2.start(); t1.join(); t2.join()
+    assert(failures.isEmpty, s"concurrent append failed: ${failures.peek()}")
     assert(spark.read.format("hadro").load(path).count() == src.count())
     val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
     assert(m.segments.map(_.ordinal).distinct.length == m.segments.length)
+  }
+
+  test("manifest commit survives high contention without lost updates") {
+    // Regression for a silent lost update: the commit's publish rename must
+    // be ATOMIC_MOVE — the non-atomic move deletes the claimed version file
+    // before renaming, letting a concurrent committer claim the same slot.
+    (1 to 20).foreach { trial =>
+      val dir = Files.createTempDirectory(s"contend$trial").resolve("c")
+      Files.createDirectories(dir)
+      val threads = (1 to 8).map { t =>
+        new Thread(() => {
+          CollectionMeta.commit(dir, cur => cur.copy(segments = cur.segments :+
+            graft.meta.SegmentInfo(s"seg-$t.data", cur.nextOrdinal, 1, 0, 10, Map.empty)))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val m = CollectionMeta.currentManifest(dir)
+      assert(m.segments.size == 8,
+        s"trial $trial lost ${8 - m.segments.size} commits (v${m.version})")
+      assert(m.version == 8)
+      assert(m.segments.map(_.ordinal).distinct.size == 8)
+    }
   }
 }

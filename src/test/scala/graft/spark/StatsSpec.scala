@@ -1,0 +1,81 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkSuite
+import graft.api.Collection
+
+/** Manifest-driven scan statistics and the extensions entry point. */
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"stats_$name").resolve("c").toString
+
+  test("scan reports exact manifest statistics, reduced by pruning") {
+    val path = tmp("exact")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+      .repartitionByRange(8, $"o_orderkey")
+    Collection.create(spark, path, src)
+
+    def statsFor(filters: Array[Filter]) = {
+      val b = new HadroScanBuilder(Paths.get(path),
+        spark.read.format("hadro").load(path).schema)
+      b.pushFilters(filters)
+      b.build().asInstanceOf[HadroScan].estimateStatistics()
+    }
+    val all = statsFor(Array.empty)
+    assert(all.numRows().getAsLong == src.count())
+    assert(all.sizeInBytes().getAsLong > 0)
+    // a selective key filter prunes segments -> smaller reported stats
+    val some = statsFor(Array(EqualTo("o_orderkey", 1L)))
+    assert(some.sizeInBytes().getAsLong < all.sizeInBytes().getAsLong)
+    assert(some.numRows().getAsLong < all.numRows().getAsLong)
+  }
+
+  test("small hadro dimension is broadcast without a hint") {
+    val path = tmp("bcast")
+    val dim = spark.read.parquet(s"$sf0001/nation.parquet")
+    Collection.create(spark, path, dim)
+    val fact = spark.read.parquet(s"$sf0001/customer.parquet")
+    val joined = fact.join(
+      spark.read.format("hadro").load(path),
+      $"c_nationkey" === $"n_nationkey")
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast, got:\n$plan")
+  }
+
+  test("GraftExtensions registers SQL functions in a new session") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      try {
+        s2.read.parquet(s"$sf0001/embeddings.parquet")
+          .createOrReplaceTempView("ext_embs")
+        val self = s2.sql(
+          "SELECT cosine_similarity(embedding, embedding) AS c FROM ext_embs LIMIT 3")
+          .collect().map(_.getDouble(0))
+        assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+        val sig = s2.sql(
+          "SELECT minhash_signature(split(text, ' '), 8) AS s FROM " +
+            s"parquet.`$sf0001/documents.parquet` LIMIT 2")
+          .collect().map(_.getSeq[Long](0))
+        assert(sig.forall(_.length == 8))
+      } finally {
+        // s2 shares the SparkContext — never stop it; just restore sessions
+      }
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
