@@ -101,8 +101,91 @@ case class MinHashSignature(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native fused 64-bit SimHash (Charikar'02) over an `array<string>` token
+  * set — bit-exact with `TextOps.simhash64Composed` (same XXH64 chain, same
+  * +1/-1 vote-and-sign per bit), as one flat loop instead of a fold
+  * carrying a 64-counter array through three lambda chains per token. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      val h =
+        if (arr.isNullAt(j)) 42L
+        else {
+          val s = arr.getUTF8String(j)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        }
+      var i = 0
+      while (i < 64) {
+        votes(i) += (if (((h >>> i) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) >= 0L) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val xxh = classOf[XXH64].getName
+      val votes = ctx.freshName("votes")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      s"""
+        long[] $votes = new long[64];
+        int $m = $x.numElements();
+        for (int $j = 0; $j < $m; $j++) {
+          long $h;
+          if ($x.isNullAt($j)) {
+            $h = 42L;
+          } else {
+            UTF8String $s = $x.getUTF8String($j);
+            $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+          }
+          for (int $i = 0; $i < 64; $i++) {
+            $votes[$i] += ((($h >>> $i) & 1L) == 1L) ? 1L : -1L;
+          }
+        }
+        long $sig = 0L;
+        for (int $i = 0; $i < 64; $i++) {
+          if ($votes[$i] >= 0L) $sig |= (1L << $i);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column-world handle for [[MinHashSignature]]. */
   def minhash_signature(shingles: Column, n: Int): Column =
     VectorExpressions.columnOf(MinHashSignature(VectorExpressions.expressionOf(shingles), n))
+
+  /** Column-world handle for [[SimHash64]]. */
+  def simhash64(toks: Column): Column =
+    VectorExpressions.columnOf(SimHash64(VectorExpressions.expressionOf(toks)))
 }

@@ -70,9 +70,15 @@ object TextOps {
 
   /** 64-bit SimHash over a token array (Charikar'02): per bit position, sum
     * +1/-1 votes from each token's hash bit; the sign becomes the bit.
-    * Structured as one fold carrying a 64-counter array (not 64 separate
-    * aggregates — see [[minhashSignature]] for why). */
-  def simhash64(toks: Column): Column = {
+    * Native fused expression ([[graft.functions.SimHash64]]);
+    * [[simhash64Composed]] is the built-ins reference it's asserted
+    * bit-exact against. */
+  def simhash64(toks: Column): Column =
+    graft.functions.TextExpressions.simhash64(toks)
+
+  /** Built-ins-composed SimHash reference (one fold carrying a 64-counter
+    * array — see [[minhashSignatureComposed]] for the pattern rationale). */
+  def simhash64Composed(toks: Column): Column = {
     val hashed = transform(toks, t => xxhash64(t))
     val votes = aggregate(hashed, array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc,

@@ -57,6 +57,21 @@ class FunctionsSpec extends SparkSuite {
     assert(empty.forall(_ == Long.MaxValue))
   }
 
+  test("native simhash64 matches the composed form bit-for-bit") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    val both = docs.select(
+      TextExpressions.simhash64(toks).as("native"),
+      graft.ops.TextOps.simhash64Composed(toks).as("composed"))
+    assert(both.filter($"native" =!= $"composed").count() == 0)
+    // empty token array: all votes are 0, sign rule sets every bit
+    val empty = Seq(Seq.empty[String]).toDF("t")
+      .select(TextExpressions.simhash64(col("t")).as("s")).head().getLong(0)
+    val emptyComposed = Seq(Seq.empty[String]).toDF("t")
+      .select(graft.ops.TextOps.simhash64Composed(col("t")).as("s")).head().getLong(0)
+    assert(empty == emptyComposed)
+  }
+
   test("minhash_signature participates in whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val plan = docs.select(
