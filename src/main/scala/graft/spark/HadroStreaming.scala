@@ -50,6 +50,14 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[HadroOffset].nextOrdinal
     val hi = end.asInstanceOf[HadroOffset].nextOrdinal
+    // A truncate/compaction resets ordinals; a checkpointed stream would
+    // otherwise stall silently (hi < lo => empty batches forever). Fail
+    // with the actionable cause instead.
+    if (hi < lo) throw new IllegalStateException(
+      s"hadro stream over $path: offset went backwards ($lo -> $hi) — the " +
+        "collection was truncated or compacted underneath the stream. " +
+        "Restart the stream with a fresh checkpoint, and stream only from " +
+        "non-compacting collections.")
     CollectionMeta.currentManifest(path).segments
       .filter(s => s.ordinal >= lo && s.ordinal < hi)
       // split ranges fan out within a micro-batch exactly as in batch scans

@@ -111,8 +111,9 @@ class OpsSpec extends SparkSuite {
     val out = MultimodalOps.decodeFeatures(media, "doc_id", "media")
     assert(out.schema == MultimodalOps.featureSchema)
     assert(out.count() == docs.count())
-    val joined = out.join(docs, out("media_id") === docs("doc_id"))
-      .filter(out("byte_len") =!= length(docs("text"))) // ascii corpus: bytes == chars
+    // out derives from docs (typed pipeline keeps lineage): alias both sides
+    val joined = out.as("o").join(docs.as("d"), col("o.media_id") === col("d.doc_id"))
+      .filter(col("o.byte_len") =!= length(col("d.text"))) // ascii corpus: bytes == chars
     assert(joined.count() == 0)
     assert(out.filter(size($"features") =!= 8).count() == 0)
   }
