@@ -374,6 +374,33 @@ object StorageQueries {
       Some("""SELECT p_partkey, p_brand, p_type FROM part
         WHERE p_brand = (SELECT p_brand FROM part ORDER BY p_partkey LIMIT 1)
           AND p_type = (SELECT p_type FROM part ORDER BY p_partkey LIMIT 1)
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------------- h21
+    // SQL-name surface via the DSv2 TableCatalog: CREATE TABLE + INSERT
+    // INTO SELECT + aggregate, all through catalog identifiers — the same
+    // HadroTable the path API uses, so pushdown/stats carry over.
+    QueryDef(
+      "h21_sql_catalog",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/$tag"
+        s.conf.set("spark.sql.catalog.graft_h21", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h21.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h21.db")
+        s.sql("DROP TABLE IF EXISTS graft_h21.db.suppliers")
+        s.sql("""CREATE TABLE graft_h21.db.suppliers
+          (s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE)
+          USING hadro""")
+        QueryDef.table(s, dir, "supplier").createOrReplaceTempView("h21_src")
+        s.sql("INSERT INTO graft_h21.db.suppliers SELECT * FROM h21_src")
+        s.sql("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          FROM graft_h21.db.suppliers
+          GROUP BY s_nationkey ORDER BY s_nationkey""")
+      },
+      Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 }

@@ -1,0 +1,152 @@
+package graft.spark
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.meta.CollectionMeta
+
+/** DSv2 TableCatalog over a warehouse directory of hadro collections, so
+  * pure-SQL users address collections by NAME instead of path:
+  *
+  * {{{
+  * spark.sql.catalog.graft=graft.spark.HadroCatalog
+  * spark.sql.catalog.graft.warehouse=/data/graft
+  *
+  * CREATE TABLE graft.db.events (id BIGINT, v DOUBLE) USING hadro;
+  * INSERT INTO graft.db.events VALUES (1, 2.0);
+  * SELECT * FROM graft.db.events;
+  * DROP TABLE graft.db.events;
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>` is one collection directory
+  * (`_hadro/` metadata + segments). A table exists iff its collection has a
+  * persisted schema — no separate catalog state to drift out of sync.
+  * The catalog resolves names to the SAME [[HadroTable]] the path-based
+  * `format("hadro")` API uses, so every capability (pushdown, stats,
+  * streaming, time travel options) carries over unchanged. */
+class HadroCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>")
+    warehouse = Paths.get(w)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): Path =
+    ident.namespace().foldLeft(warehouse)(_ resolve _).resolve(ident.name())
+
+  private def isTable(dir: Path): Boolean =
+    CollectionMeta.readSchema(dir).isDefined
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_ resolve _)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new HadroTable(dir, CollectionMeta.readSchema(dir).get.schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "hadro tables cluster by write partitioning, not declared partitions")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(dir)
+    val key = Option(properties.get("key")).filter(_.nonEmpty)
+    key.foreach(k => require(schema.fieldNames.contains(k),
+      s"key '$k' not in schema ${schema.simpleString}"))
+    CollectionMeta.writeSchema(dir, schema, key)
+    new HadroTable(dir, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "hadro: ALTER TABLE is not supported — collections carry a fixed schema " +
+        "(reference contract, hadro/schema.py)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    deleteRecursively(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(warehouse).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = namespace.foldLeft(warehouse)(_ resolve _)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    val dir = namespace.foldLeft(warehouse)(_ resolve _)
+    if (!Files.isDirectory(dir) || isTable(dir)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit =
+    Files.createDirectories(namespace.foldLeft(warehouse)(_ resolve _))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("hadro: namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(warehouse)(_ resolve _)
+    if (!Files.isDirectory(dir)) return false
+    if (!cascade && Files.list(dir).iterator().asScala.nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    deleteRecursively(dir)
+    true
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
