@@ -122,6 +122,36 @@ class RobustnessSpec extends SparkSuite {
     assert(m.segments.map(_.ordinal).distinct.length == m.segments.length)
   }
 
+  test("torn writes are invisible: only manifest-committed segments are scanned") {
+    val path = Files.createTempDirectory("torn").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    Collection.create(spark, path, src, numSegments = 2)
+    // a crashed writer's leftover: a garbage partial segment file that never
+    // reached manifest commit — scans are manifest-driven, so it is inert
+    Files.write(java.nio.file.Paths.get(path).resolve("data-99999-0-crashed.data"),
+      Array.fill[Byte](137)(0x5a))
+    assert(spark.read.format("hadro").load(path).count() == src.count())
+  }
+
+  test("corruption of a committed segment fails loudly, not with partial data") {
+    val path = Files.createTempDirectory("corrupt").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    Collection.create(spark, path, src)
+    val seg = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+      .segments.head.file
+    val f = java.nio.file.Paths.get(path).resolve(seg)
+    // truncate mid-record: the reader must raise, never silently return a prefix
+    val chan = java.nio.channels.FileChannel.open(f, java.nio.file.StandardOpenOption.WRITE)
+    try chan.truncate(Files.size(f) - 3) finally chan.close()
+    val e = intercept[Exception] {
+      spark.read.format("hadro").load(path).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[java.io.EOFException] ||
+      Option(c.getMessage).exists(_.contains("truncated"))), s"unexpected: $e")
+  }
+
   test("manifest commit survives high contention without lost updates") {
     // Regression for a silent lost update: the commit's publish rename must
     // be ATOMIC_MOVE — the non-atomic move deletes the claimed version file
