@@ -68,6 +68,36 @@ final class Collection private (spark: SparkSession, val path: String) {
     df.write.format("hadro").mode("append").option("hadro.upsert", "true").save(path)
   }
 
+  /** Single-document upsert — the literal `hadro.set(id, document)` form
+    * (`INTERFACE.md:11`). The document is a field-name -> value map;
+    * missing nullable fields become nulls on write. */
+  def set(key: Any, doc: Map[String, Any]): Unit = {
+    val k = keyField.getOrElse(throw new IllegalArgumentException(
+      "set(key, doc) requires a keyed collection"))
+    set(docToDF(doc + (k -> key)))
+  }
+
+  /** Single-document insert returning the generated id — the literal
+    * `id = hadro.add(document)` form (`INTERFACE.md:13`). */
+  def add(doc: Map[String, Any]): String = {
+    val out = add(docToDF(doc))
+    val id = out.select("_id").head().getString(0)
+    out.unpersist()
+    id
+  }
+
+  /** One-row DataFrame for a document map, typed from the stored schema. */
+  private def docToDF(doc: Map[String, Any]): DataFrame = {
+    val schema = CollectionMeta.readSchema(dir).get.schema
+    val fields = schema.fields.filter(f => doc.contains(f.name))
+    val unknown = doc.keySet -- schema.fieldNames.toSet
+    require(unknown.isEmpty, s"unknown fields ${unknown.mkString(", ")} " +
+      s"for schema ${schema.simpleString}")
+    val row = org.apache.spark.sql.Row.fromSeq(fields.toSeq.map(f => doc(f.name)))
+    spark.createDataFrame(java.util.List.of(row),
+      org.apache.spark.sql.types.StructType(fields))
+  }
+
   /** Insert with generated ids; returns the appended rows incl. their new
     * `_id` (#12). UUIDs are generated distributed-safely (no driver loop). */
   def add(df: DataFrame): DataFrame = {

@@ -64,6 +64,23 @@ class CollectionSpec extends SparkSuite {
     assert(c.get(ids(0)).select("body").as[String].head() == "second")
   }
 
+  test("single-document set(id, doc) and add(doc) match the literal interface") {
+    val path = tmp("singledoc")
+    val c = Collection.create(spark, path, books, key = Some("title"))
+    c.set("dune", Map("author" -> "f. herbert"))          // hadro.set(id, doc)
+    assert(c.get("dune").select("author").as[String].head() == "f. herbert")
+    c.set("new book", Map("author" -> "somebody"))        // upsert-new
+    assert(c.count() == 8)
+    intercept[IllegalArgumentException](c.set("x", Map("mystery" -> 1)))
+
+    val path2 = tmp("singleadd")
+    val seed = Seq("seed").toDF("body").withColumn("_id", lit("seed-id"))
+    val c2 = Collection.create(spark, path2, seed, key = Some("_id"))
+    val id = c2.add(Map("body" -> "second doc"))          // id = hadro.add(doc)
+    assert(id.length == 36)
+    assert(c2.get(id).select("body").as[String].head() == "second doc")
+  }
+
   test("schema validation rejects wrong types and missing non-nullable fields") {
     val path = tmp("validate")
     val src = spark.read.parquet(s"$sf0001/region.parquet")
