@@ -45,7 +45,8 @@ final case class Manifest(
     version: Long,
     segments: Seq[SegmentInfo],
     mutated: Boolean,
-    indexes: Map[String, Seq[String]] = Map.empty) {
+    indexes: Map[String, Seq[String]] = Map.empty,
+    streamEpochs: Map[String, Long] = Map.empty) {
   def nextOrdinal: Long = if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1
 }
 

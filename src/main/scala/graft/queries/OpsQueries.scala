@@ -612,6 +612,52 @@ object OpsQueries {
           CASE WHEN c_custkey % 3 = 1 THEN 'U_' || c_name ELSE c_name END AS c_name
         FROM customer WHERE c_custkey % 5 <> 0 ORDER BY c_custkey""")),
 
+    // --------------------------------------------------------------- st07
+    // NATIVE streaming sink: writeStream.format("hadro") — each micro-batch
+    // epoch is one atomic manifest commit carrying its epoch id, so replays
+    // after recovery are detected and dropped (exactly-once, no
+    // foreachBatch wrapper; contrast st02). Oracle recomputes from the
+    // source parquet.
+    QueryDef(
+      "st07_native_stream_sink",
+      (s, dir) => {
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val stageDir = java.nio.file.Paths.get(
+          s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+        java.nio.file.Files.createDirectories(stageDir)
+        val link = stageDir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st07"
+        val p = java.nio.file.Paths.get(colPath)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists)
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("st07_ckpt").toString
+        val q = s.readStream.schema(schema).parquet(stageDir.toString)
+          .filter(col("event_type") === "view")
+          .writeStream.format("hadro")
+          .option("checkpointLocation", ckpt)
+          .start(colPath)
+        q.processAllAvailable()
+        q.stop()
+        s.read.format("hadro").load(colPath)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_views"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_views,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id ORDER BY user_id""")),
+
     // --------------------------------------------------------------- st06
     // Event-time watermark + APPEND-mode windowed aggregation: only windows
     // the watermark (max event time - 1h) has closed are ever emitted, and

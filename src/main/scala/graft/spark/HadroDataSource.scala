@@ -80,7 +80,8 @@ final class HadroTable(path: Path, dataSchema: StructType)
   override def schema(): StructType = dataSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {

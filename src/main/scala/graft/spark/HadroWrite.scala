@@ -27,19 +27,69 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val opts = info.options()
-      val schema = info.schema()
-      val consistency = Consistency.parse(opts.getOrDefault("hadro.consistency", "relaxed"))
-      val tombstone = opts.getBoolean("hadro.tombstone", false)
-      val upsert = opts.getBoolean("hadro.upsert", false)
-      val keyField = Option(opts.get("hadro.key")).filter(_.nonEmpty)
-      val splitBytes = opts.getLong("hadro.splitBytes", SegmentWriter.DefaultSplitBytes)
-      require(splitBytes > 0, s"hadro.splitBytes must be positive, got $splitBytes")
-      new HadroBatchWrite(path, schema, consistency, tombstone,
+    private def opts = info.options()
+    private def consistency = Consistency.parse(opts.getOrDefault("hadro.consistency", "relaxed"))
+    private def tombstone = opts.getBoolean("hadro.tombstone", false)
+    private def upsert = opts.getBoolean("hadro.upsert", false)
+    private def keyField = Option(opts.get("hadro.key")).filter(_.nonEmpty)
+    private def splitBytes = {
+      val sb = opts.getLong("hadro.splitBytes", SegmentWriter.DefaultSplitBytes)
+      require(sb > 0, s"hadro.splitBytes must be positive, got $sb")
+      sb
+    }
+
+    override def toBatch: BatchWrite =
+      new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone, doTruncate, keyField, splitBytes)
+
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new HadroStreamingWrite(path, info.schema(), consistency,
+        upsert || tombstone, keyField, splitBytes, info.queryId())
+  }
+}
+
+/** Driver-side write initialization shared by batch and streaming writes:
+  * create the collection dir (reference engine.py:97) and validate/persist
+  * the schema (the intended semantics of hadro/schema.py:65-79 — field-name
+  * + type conformance, fail fast). */
+private[spark] object HadroWriteInit {
+  def ensureSchema(path: Path, schema: StructType, tombstone: Boolean,
+      keyField: Option[String]): CollectionMeta.SchemaMeta = {
+    Files.createDirectories(path)
+    CollectionMeta.readSchema(path) match {
+      case Some(meta) =>
+        val stored = meta.schema
+        schema.fields.foreach { f =>
+          val sf = stored.fields.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"hadro: field '${f.name}' not in collection schema ${stored.simpleString}"))
+          require(sf.dataType == f.dataType,
+            s"hadro: field '${f.name}' type ${f.dataType.simpleString} != stored ${sf.dataType.simpleString}")
+        }
+        if (!tombstone) // tombstones may carry a key-only projection
+          stored.fields.filterNot(_.nullable).foreach { sf =>
+            require(schema.fieldNames.contains(sf.name),
+              s"hadro: non-nullable field '${sf.name}' missing from write schema")
+          }
+        meta
+      case None =>
+        keyField.foreach { k =>
+          require(schema.fieldNames.contains(k), s"hadro: key field '$k' not in schema")
+        }
+        CollectionMeta.writeSchema(path, schema, keyField)
+        CollectionMeta.readSchema(path).get
     }
   }
+
+  /** Named composite indexes registered on the collection: every new
+    * segment carries their bloom sidecars from birth (resolved to
+    * ordinals once, driver-side). */
+  def indexOrdinals(path: Path, storedSchema: StructType): Map[String, Seq[Int]] =
+    CollectionMeta.currentManifest(path).indexes.flatMap { case (n, fields) =>
+      if (fields.forall(storedSchema.fieldNames.contains))
+        Some(n -> fields.map(storedSchema.fieldIndex))
+      else None
+    }
 }
 
 final class HadroBatchWrite(path: Path, schema: StructType,
@@ -47,47 +97,9 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     truncate: Boolean, keyField: Option[String],
     splitBytes: Long = SegmentWriter.DefaultSplitBytes) extends BatchWrite {
 
-  // Driver-side, before tasks launch: create the collection dir (reference
-  // engine.py:97) and validate/persist the schema (the intended semantics of
-  // hadro/schema.py:65-79 — field-name + type conformance, fail fast).
-  Files.createDirectories(path)
-  CollectionMeta.readSchema(path) match {
-    case Some(meta) =>
-      val stored = meta.schema
-      val incoming =
-        if (tombstone) schema // tombstones may carry a key-only projection
-        else schema
-      incoming.fields.foreach { f =>
-        val sf = stored.fields.find(_.name == f.name).getOrElse(
-          throw new IllegalArgumentException(
-            s"hadro: field '${f.name}' not in collection schema ${stored.simpleString}"))
-        require(sf.dataType == f.dataType,
-          s"hadro: field '${f.name}' type ${f.dataType.simpleString} != stored ${sf.dataType.simpleString}")
-      }
-      if (!tombstone)
-        stored.fields.filterNot(_.nullable).foreach { sf =>
-          require(schema.fieldNames.contains(sf.name),
-            s"hadro: non-nullable field '${sf.name}' missing from write schema")
-        }
-    case None =>
-      keyField.foreach { k =>
-        require(schema.fieldNames.contains(k), s"hadro: key field '$k' not in schema")
-      }
-      CollectionMeta.writeSchema(path, schema, keyField)
-  }
-
-  private val storedMeta = CollectionMeta.readSchema(path).get
+  private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone, keyField)
   private val storedSchema: StructType = storedMeta.schema
-
-  // Named composite indexes registered on the collection: every new segment
-  // carries their bloom sidecars from birth (resolved to ordinals here,
-  // once, driver-side).
-  private val indexOrdinals: Map[String, Seq[Int]] =
-    CollectionMeta.currentManifest(path).indexes.flatMap { case (n, fields) =>
-      if (fields.forall(storedSchema.fieldNames.contains))
-        Some(n -> fields.map(storedSchema.fieldIndex))
-      else None
-    }
+  private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
@@ -128,6 +140,67 @@ final class HadroBatchWrite(path: Path, schema: StructType,
 }
 
 final case class HadroCommitMessage(info: SegmentInfo) extends WriterCommitMessage
+
+/** Native streaming sink: `df.writeStream.format("hadro").start(path)` —
+  * each micro-batch epoch commits as ONE manifest version, and the last
+  * committed epoch per query is recorded IN that same manifest, so an
+  * epoch replayed after a failure/restart is detected and its duplicate
+  * segments dropped: exactly-once without a foreachBatch wrapper. */
+final class HadroStreamingWrite(path: Path, schema: StructType,
+    consistency: Consistency.Value, mutating: Boolean,
+    keyField: Option[String], splitBytes: Long, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone = false, keyField)
+  private val storedSchema: StructType = storedMeta.schema
+  private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new HadroStreamingWriterFactory(path.toString, storedSchema, schema, consistency,
+      storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
+    if (segs.isEmpty) return // idle micro-batch: no manifest churn
+    val cur = CollectionMeta.currentManifest(path)
+    if (cur.streamEpochs.get(queryId).exists(_ >= epochId)) {
+      // replayed epoch after recovery: its data already committed — drop
+      // the duplicate segment files, never double-publish
+      dropFiles(messages)
+      return
+    }
+    CollectionMeta.commit(path, m => {
+      var ord = m.nextOrdinal
+      val withOrdinals = segs.map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+      m.copy(segments = m.segments ++ withOrdinals,
+        mutated = m.mutated || mutating,
+        streamEpochs = m.streamEpochs + (queryId -> epochId))
+    })
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    dropFiles(messages)
+
+  private def dropFiles(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: HadroCommitMessage => m }.foreach { m =>
+      Files.deleteIfExists(path.resolve(m.info.file))
+      m.info.bloom.foreach(b => Files.deleteIfExists(path.resolve(b)))
+      m.info.indexBlooms.values.foreach(b => Files.deleteIfExists(path.resolve(b)))
+    }
+}
+
+final class HadroStreamingWriterFactory(path: String, storedSchema: StructType,
+    writeSchema: StructType, consistency: Consistency.Value,
+    keyOrdinal: Option[Int], splitBytes: Long,
+    indexOrdinals: Map[String, Seq[Int]])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
+      tombstone = false, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals)
+}
 
 final class HadroWriterFactory(path: String, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
