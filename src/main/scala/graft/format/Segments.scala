@@ -29,7 +29,8 @@ object Consistency extends Enumeration {
 final class SegmentWriter(path: Path, schema: StructType, consistency: Consistency.Value,
     keyOrdinal: Option[Int] = None,
     splitBytes: Long = SegmentWriter.DefaultSplitBytes,
-    indexFields: Map[String, Seq[Int]] = Map.empty) {
+    indexFields: Map[String, Seq[Int]] = Map.empty,
+    offsetIndex: Boolean = true) {
   private val fos = new FileOutputStream(path.toFile)
   private val out = new BufferedOutputStream(fos, SegmentReader.BlockSize)
   private val encoder = new RecordCodec.Encoder(schema)
@@ -42,6 +43,12 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   // over the canonical hash of the field tuple, written as sidecars.
   private val indexBloomMap: Map[String, (Seq[Int], KeyBloom)] =
     indexFields.map { case (n, ords) => n -> (ords, KeyBloom()) }
+  // Key→offset entries (hash, recordOffset, rowIndex) for keyed segments:
+  // the persisted KeyDir that lets point lookups read only matching records.
+  private val keyOffsets =
+    if (offsetIndex && keyOrdinal.isDefined)
+      Some(scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)])
+    else None
   // Record-aligned split points, one roughly every `splitBytes`: readers
   // turn the inter-point ranges into independent InputPartitions, so one
   // oversized segment (a single big ingest task) scans as many parallel
@@ -71,7 +78,14 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     // must see a key's tombstones, so a point lookup may not skip segments
     // holding only the delete record.
     keyOrdinal.foreach { ko =>
-      if (!row.isNullAt(ko)) bloom.get.add(row.get(ko, schema(ko).dataType))
+      if (!row.isNullAt(ko)) {
+        val v = row.get(ko, schema(ko).dataType)
+        bloom.get.add(v)
+        // bytesWritten already points at this record's header offset and
+        // `rows` was incremented above, so rowIndex = rows - 1
+        keyOffsets.foreach(_ += ((KeyBloom.canonical(v),
+          bytesWritten - RecordCodec.HeaderSize - size, rows - 1)))
+      }
     }
     indexBloomMap.foreach { case (_, (ords, b)) =>
       b.addHash(KeyBloom.canonicalComposite(ords.map(o =>
@@ -99,6 +113,11 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       b.writeTo(path.resolveSibling(fn))
       name -> fn
     }
+    val koffFile = keyOffsets.map { entries =>
+      val fn = KeyOffsetIndex.sidecarName(path.getFileName.toString)
+      KeyOffsetIndex.fromEntries(entries.toSeq).writeTo(path.resolveSibling(fn))
+      fn
+    }
     SegmentInfo(
       file = path.getFileName.toString,
       ordinal = -1L,
@@ -109,13 +128,16 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       bloom = bloomFile,
       bloomCol = keyOrdinal.map(schema(_).name),
       splits = splits.toSeq,
-      indexBlooms = indexFiles)
+      indexBlooms = indexFiles,
+      offsetIndex = koffFile)
   }
 
   def abort(): Unit = {
     out.close()
     Files.deleteIfExists(path)
     Files.deleteIfExists(path.resolveSibling(path.getFileName.toString + ".bloom"))
+    Files.deleteIfExists(path.resolveSibling(
+      KeyOffsetIndex.sidecarName(path.getFileName.toString)))
     indexBloomMap.keys.foreach(n => Files.deleteIfExists(
       path.resolveSibling(SegmentWriter.indexSidecarName(path.getFileName.toString, n))))
   }

@@ -33,7 +33,8 @@ final case class SegmentInfo(
     bloom: Option[String] = None,
     bloomCol: Option[String] = None,
     splits: Seq[SplitPoint] = Nil,
-    indexBlooms: Map[String, String] = Map.empty)
+    indexBlooms: Map[String, String] = Map.empty,
+    offsetIndex: Option[String] = None)
 
 /** A committed collection version: the full list of live segments plus
   * collection-level flags. `mutated` records whether any committed write was
@@ -165,7 +166,8 @@ object CollectionMeta {
     purgeDeferred(collection, live)
     val dead = Files.list(collection).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => (n.endsWith(".data") || n.endsWith(".bloom")) && !live(n))
+      .filter(n => (n.endsWith(".data") || n.endsWith(".bloom") ||
+        n.endsWith(".koff")) && !live(n))
       .toSeq.sorted
     if (dead.nonEmpty) {
       val f = dir.resolve(s"dead-${System.nanoTime()}.json")

@@ -171,7 +171,14 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
         BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, pushed, storedSchema))
-      .flatMap(seg => HadroInputPartition.ranges(path, seg))
+      .flatMap { seg =>
+        // Point predicates on the key column consult the persisted
+        // key→offset index: read ONLY the matching records (one
+        // single-record range each), or skip the segment entirely on an
+        // exact miss. Falls back to full split-range scanning otherwise.
+        OffsetIndexPlanner.pointRanges(path, seg, pushed, storedSchema)
+          .getOrElse(HadroInputPartition.ranges(path, seg))
+      }
       .toArray
   }
 
@@ -380,6 +387,60 @@ object BloomSidecar {
           case _ => true
         }
     }
+}
+
+/** Plan-time consultation of the persisted key→offset index
+  * ([[graft.format.KeyOffsetIndex]]): when the pushed filters pin the key
+  * column with equality/IN, a point lookup reads bytes proportional to the
+  * MATCHING RECORDS — each match becomes a single-record scan range
+  * `[offset, offset+1)` (the reader parses the one record starting there
+  * and stops) — and an exact index miss skips the segment outright.
+  * Conservative: any missing sidecar or unconvertible value falls back to
+  * the full-segment path (`None`). */
+object OffsetIndexPlanner {
+  private val MaxEntries = 256
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, graft.format.KeyOffsetIndex](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, graft.format.KeyOffsetIndex]): Boolean =
+        size() > MaxEntries
+    })
+
+  private def load(path: Path, file: String): Option[graft.format.KeyOffsetIndex] = {
+    val key = path.resolve(file).toString
+    Option(cache.get(key)).orElse {
+      val idx = graft.format.KeyOffsetIndex.readFrom(path.resolve(file))
+      idx.foreach(cache.put(key, _))
+      idx
+    }
+  }
+
+  def pointRanges(path: Path, seg: SegmentInfo, filters: Array[Filter],
+      schema: StructType): Option[Seq[InputPartition]] =
+    for {
+      keyCol <- seg.bloomCol
+      sidecar <- seg.offsetIndex
+      values <- filters.collectFirst {
+        case EqualTo(c, v) if c == keyCol => Seq(v)
+        case In(c, vs) if c == keyCol && vs.nonEmpty => vs.toSeq
+      }
+      field <- schema.fields.find(_.name == keyCol)
+      internals <- traverse(values) { v =>
+        try Some(CatalystTypeConverters.createToCatalystConverter(field.dataType)(v))
+        catch { case _: Exception => None }
+      }
+      idx <- load(path, sidecar)
+    } yield {
+      val file = path.resolve(seg.file).toString
+      internals.flatMap(idx.lookup).distinct.sortBy(_._1).map { case (off, row) =>
+        HadroInputPartition(file, seg.ordinal, off, row, off + 1): InputPartition
+      }
+    }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
 }
 
 /** Min/max-stats based segment pruning — the Spark-idiomatic replacement for

@@ -37,14 +37,15 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
       require(sb > 0, s"hadro.splitBytes must be positive, got $sb")
       sb
     }
+    private def offsetIndex = opts.getBoolean("hadro.offsetIndex", true)
 
     override def toBatch: BatchWrite =
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
-        upsert || tombstone, doTruncate, keyField, splitBytes)
+        upsert || tombstone, doTruncate, keyField, splitBytes, offsetIndex)
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new HadroStreamingWrite(path, info.schema(), consistency,
-        upsert || tombstone, keyField, splitBytes, info.queryId())
+        upsert || tombstone, keyField, splitBytes, info.queryId(), offsetIndex)
   }
 }
 
@@ -95,7 +96,8 @@ private[spark] object HadroWriteInit {
 final class HadroBatchWrite(path: Path, schema: StructType,
     consistency: Consistency.Value, tombstone: Boolean, mutating: Boolean,
     truncate: Boolean, keyField: Option[String],
-    splitBytes: Long = SegmentWriter.DefaultSplitBytes) extends BatchWrite {
+    splitBytes: Long = SegmentWriter.DefaultSplitBytes,
+    offsetIndex: Boolean = true) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone, keyField)
   private val storedSchema: StructType = storedMeta.schema
@@ -103,7 +105,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
-      storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals)
+      storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
+      offsetIndex)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
@@ -124,7 +127,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       // just-GC'd manifest still finds its segment files on disk.
       val m = CollectionMeta.currentManifest(path)
       val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
-        m.segments.flatMap(_.indexBlooms.values)).toSet
+        m.segments.flatMap(_.indexBlooms.values) ++
+        m.segments.flatMap(_.offsetIndex)).toSet
       CollectionMeta.deferredGc(path, live)
       CollectionMeta.gcManifestsBefore(path, m.version)
     }
@@ -134,6 +138,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     messages.collect { case m: HadroCommitMessage => m }.foreach { m =>
       Files.deleteIfExists(Paths.get(path.toString, m.info.file))
       m.info.bloom.foreach(b => Files.deleteIfExists(Paths.get(path.toString, b)))
+      m.info.offsetIndex.foreach(f => Files.deleteIfExists(Paths.get(path.toString, f)))
       m.info.indexBlooms.values.foreach(b =>
         Files.deleteIfExists(Paths.get(path.toString, b)))
     }
@@ -148,7 +153,8 @@ final case class HadroCommitMessage(info: SegmentInfo) extends WriterCommitMessa
   * segments dropped: exactly-once without a foreachBatch wrapper. */
 final class HadroStreamingWrite(path: Path, schema: StructType,
     consistency: Consistency.Value, mutating: Boolean,
-    keyField: Option[String], splitBytes: Long, queryId: String)
+    keyField: Option[String], splitBytes: Long, queryId: String,
+    offsetIndex: Boolean = true)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone = false, keyField)
@@ -158,7 +164,8 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new HadroStreamingWriterFactory(path.toString, storedSchema, schema, consistency,
-      storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals)
+      storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
+      offsetIndex)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
@@ -186,6 +193,7 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     messages.collect { case m: HadroCommitMessage => m }.foreach { m =>
       Files.deleteIfExists(path.resolve(m.info.file))
       m.info.bloom.foreach(b => Files.deleteIfExists(path.resolve(b)))
+      m.info.offsetIndex.foreach(f => Files.deleteIfExists(path.resolve(f)))
       m.info.indexBlooms.values.foreach(b => Files.deleteIfExists(path.resolve(b)))
     }
 }
@@ -193,23 +201,25 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
 final class HadroStreamingWriterFactory(path: String, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value,
     keyOrdinal: Option[Int], splitBytes: Long,
-    indexOrdinals: Map[String, Seq[Int]])
+    indexOrdinals: Map[String, Seq[Int]], offsetIndex: Boolean = true)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
-      tombstone = false, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals)
+      tombstone = false, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals,
+      offsetIndex)
 }
 
 final class HadroWriterFactory(path: String, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
     keyOrdinal: Option[Int], splitBytes: Long,
-    indexOrdinals: Map[String, Seq[Int]] = Map.empty) extends DataWriterFactory {
+    indexOrdinals: Map[String, Seq[Int]] = Map.empty,
+    offsetIndex: Boolean = true) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
-      tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals)
+      tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals, offsetIndex)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -225,12 +235,13 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
     partitionId: Int, taskId: Long, keyOrdinal: Option[Int],
     splitBytes: Long = SegmentWriter.DefaultSplitBytes,
-    indexOrdinals: Map[String, Seq[Int]] = Map.empty) extends DataWriter[InternalRow] {
+    indexOrdinals: Map[String, Seq[Int]] = Map.empty,
+    offsetIndex: Boolean = true) extends DataWriter[InternalRow] {
 
   private val file = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
   private val writer = new SegmentWriter(file, storedSchema, consistency, keyOrdinal,
-    splitBytes, indexOrdinals)
+    splitBytes, indexOrdinals, offsetIndex)
 
   // Projection: stored ordinal -> write ordinal (or -1 = absent -> null).
   private val proj: Array[Int] = storedSchema.fields.map(f => writeSchema.fieldNames.indexOf(f.name))
