@@ -465,6 +465,54 @@ object RelationalQueries {
               $"exact_custkeys" * 0.05).as("approx_within_5pct"))
       },
       Some("""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
-          TRUE AS approx_within_5pct FROM orders"""))
+          TRUE AS approx_within_5pct FROM orders""")),
+
+    // ---------------------------------------------------------------- q20
+    // Bag-semantics set ops: INTERSECT ALL (multiplicity = min of counts)
+    // and EXCEPT ALL (left count minus right count, floored at 0) — the
+    // variants q06's distinct set ops don't cover.
+    QueryDef(
+      "q20_setops_all",
+      (s, dir) => {
+        import s.implicits._
+        val co = table(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+        val so = table(s, dir, "supplier").select($"s_nationkey".as("nationkey"))
+        co.intersectAll(so).withColumn("tag", lit("intersect_all"))
+          .unionByName(co.exceptAll(so).withColumn("tag", lit("except_all")))
+          .groupBy($"tag", $"nationkey").agg(count(lit(1)).as("n"))
+          .orderBy($"tag", $"nationkey")
+      },
+      Some("""WITH co AS (SELECT c_nationkey AS nationkey FROM customer),
+          so AS (SELECT s_nationkey AS nationkey FROM supplier),
+          tagged AS (
+            SELECT 'intersect_all' AS tag, nationkey
+            FROM (SELECT nationkey FROM co INTERSECT ALL SELECT nationkey FROM so)
+            UNION ALL
+            SELECT 'except_all' AS tag, nationkey
+            FROM (SELECT nationkey FROM co EXCEPT ALL SELECT nationkey FROM so))
+        SELECT tag, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tagged GROUP BY tag, nationkey ORDER BY tag, nationkey""")),
+
+    // ---------------------------------------------------------------- q21
+    // Value-based window frame (RANGE BETWEEN N PRECEDING): sums over a
+    // sliding KEY RANGE, not a row count — q15's rows-frame sibling.
+    QueryDef(
+      "q21_window_range_frame",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus").orderBy($"o_orderkey")
+          .rangeBetween(-100L, Window.currentRow)
+        table(s, dir, "orders").filter($"o_orderkey" < 5000)
+          .select($"o_orderkey", $"o_orderstatus",
+            sum($"o_totalprice".cast(DecimalType(18, 2))).over(w)
+              .cast(DoubleType).as("sum_nearby"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_nearby
+        FROM orders WHERE o_orderkey < 5000
+        ORDER BY o_orderkey"""))
   )
 }
