@@ -147,6 +147,60 @@ object SurfaceQueries {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY g_status, g_prio,
-          o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+          o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- p06
+    // UNPIVOT (wide -> long): the inverse of p01's pivot, spelled as a
+    // UNION of per-column projections in the oracle (engine-portable form).
+    QueryDef(
+      "p06_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey".cast(DoubleType), $"s_acctbal")
+          .unpivot(
+            ids = Array($"s_suppkey"),
+            values = Array($"s_nationkey", $"s_acctbal"),
+            variableColumnName = "metric",
+            valueColumnName = "value")
+          .orderBy($"s_suppkey", $"metric")
+      },
+      Some("""SELECT s_suppkey, metric, value FROM (
+          SELECT s_suppkey, 's_nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value FROM supplier
+          UNION ALL
+          SELECT s_suppkey, 's_acctbal' AS metric, s_acctbal AS value FROM supplier)
+        ORDER BY s_suppkey, metric""")),
+
+    // ---------------------------------------------------------------- p07
+    // Date/time function battery over event timestamps: truncation,
+    // field extraction, day arithmetic — everything at µs-or-coarser
+    // precision (DuckDB truncates the ns parquet column to µs).
+    QueryDef(
+      "p07_datetime_functions",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "events")
+          .filter($"event_id" < 500)
+          .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+          .select($"event_id",
+            date_trunc("day", $"ts_ts").cast(LongType).as("day_start_s"),
+            year($"ts_ts").as("y"),
+            month($"ts_ts").as("m"),
+            dayofweek($"ts_ts").as("dow"),
+            hour($"ts_ts").as("h"),
+            datediff($"ts_ts".cast(DateType),
+              lit(java.sql.Date.valueOf("2024-01-01"))).as("days_since"))
+          .orderBy($"event_id")
+      },
+      // Spark dayofweek: 1 = Sunday; DuckDB dayofweek: 0 = Sunday
+      Some("""SELECT event_id,
+          CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start_s,
+          CAST(year(ts) AS INT) AS y,
+          CAST(month(ts) AS INT) AS m,
+          CAST(dayofweek(ts) + 1 AS INT) AS dow,
+          CAST(hour(ts) AS INT) AS h,
+          CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since
+        FROM events WHERE event_id < 500
+        ORDER BY event_id"""))
   )
 }

@@ -44,6 +44,20 @@ class CatalogSpec extends SparkSuite {
     assert(c.count() == 10)
   }
 
+  test("read options (time travel) work through catalog identifiers") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.tt (id BIGINT) USING hadro")
+    spark.sql("INSERT INTO testcat.db.tt SELECT id FROM range(5)")
+    val v1 = graft.meta.CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(s"$warehouse/db/tt")).version
+    spark.sql("INSERT INTO testcat.db.tt SELECT id FROM range(5, 10)")
+    assert(spark.table("testcat.db.tt").count() == 10)
+    val snapshot = spark.read.option("hadro.versionAsOf", v1).table("testcat.db.tt")
+    assert(snapshot.count() == 5)
+    spark.sql("DROP TABLE testcat.db.tt")
+  }
+
   test("fixed-schema contract: ALTER is rejected, duplicate CREATE fails") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
