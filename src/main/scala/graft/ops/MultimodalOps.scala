@@ -69,6 +69,28 @@ object MultimodalOps {
       .select(featureSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
+  /** "Resize" for image-like media, STUB transform: keep every `factor`-th
+    * byte — the plumbing (binary in, smaller binary + typed metadata out,
+    * per-partition batches) is the real contract; a codec-backed resampler
+    * swaps in for the byte-skip without touching the pipeline shape. */
+  def resize(df: DataFrame, idCol: String, mediaCol: String,
+      factor: Int = 4): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          (id, bytes.length, out.length, out)
+        }
+      }
+      .toDF("media_id", "orig_len", "resized_len", "resized")
+  }
+
   /** Frame sampling for video-like media: every `stride`-th fixed-size
     * frame, at most `maxFrames` per document — the standard shape for
     * sampling training frames out of long media without decoding all of it.

@@ -612,6 +612,28 @@ object OpsQueries {
           CASE WHEN c_custkey % 3 = 1 THEN 'U_' || c_name ELSE c_name END AS c_name
         FROM customer WHERE c_custkey % 5 <> 0 ORDER BY c_custkey""")),
 
+    // ---------------------------------------------------------------- m03
+    // Multimodal "resize" plumbing: binary in, smaller binary + typed
+    // metadata out (stub transform = every 4th byte; ASCII corpus lets the
+    // oracle check the resized CONTENT, not just lengths).
+    QueryDef(
+      "m03_media_resize",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        MultimodalOps.resize(d, "doc_id", "media")
+          .select(col("media_id"), col("orig_len"), col("resized_len"),
+            decode(col("resized"), "UTF-8").as("resized_text"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(length(text) AS INT) AS orig_len,
+          CAST((length(text) + 3) // 4 AS INT) AS resized_len,
+          list_aggregate(list_transform(
+            generate_series(1, (length(text) + 3) // 4),
+            i -> substr(text, CAST((i - 1) * 4 + 1 AS INT), 1)), 'string_agg', '') AS resized_text
+        FROM documents ORDER BY media_id""")),
+
     // --------------------------------------------------------------- st07
     // NATIVE streaming sink: writeStream.format("hadro") — each micro-batch
     // epoch is one atomic manifest commit carrying its epoch id, so replays
