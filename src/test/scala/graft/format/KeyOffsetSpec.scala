@@ -65,6 +65,19 @@ class KeyOffsetSpec extends SparkSuite {
     assert(ranges.size == 2, s"expected base + upsert record ranges, got $ranges")
   }
 
+  test("tombstoned keys resolve to empty through the point-lookup path") {
+    val path = tmp("del")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val c = Collection.create(spark, path, src, key = Some("n_nationkey"), numSegments = 4)
+    c.delete(9)
+    // the tombstone's key IS in the index (the lookup must see the delete)
+    assert(c.get(9).isEmpty)
+    assert(!c.contains(9))
+    assert(c.count() == src.count() - 1)
+    // un-deleted neighbors unaffected
+    assert(c.get(8).count() == 1)
+  }
+
   test("hadro.offsetIndex=off falls back to full-segment scanning") {
     val path = tmp("off")
     val src = spark.read.parquet(s"$sf0001/region.parquet")
