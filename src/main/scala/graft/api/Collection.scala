@@ -211,24 +211,30 @@ final class Collection private (spark: SparkSession, val path: String) {
       val ords = fields.map(schema.fieldIndex)
       val m = manifest
       // Distributed build: one task per segment, sidecar names deterministic
-      // so no results need to flow back to the driver.
+      // from (segment, name, buildId) so no results flow back to the driver.
+      // The buildId makes THIS build's sidecar files unique: driver-side
+      // bloom caches are keyed by file path, so a remove + re-add with
+      // different fields must publish fresh names — probing a stale cached
+      // bloom with new-field hashes would silently skip live segments.
+      val buildId = java.lang.Long.toHexString(System.nanoTime())
       val pathStr = path
       val sc = spark.sparkContext
       sc.parallelize(m.segments.map(_.file), math.max(1, m.segments.size))
         .foreach { segFile =>
           graft.format.IndexBuilder.buildSidecar(
-            Paths.get(pathStr), segFile, schema, ords, name)
+            Paths.get(pathStr), segFile, schema, ords, name, buildId)
         }
-      CollectionMeta.commit(dir, cur => cur.copy(
+      val committed = CollectionMeta.commit(dir, cur => cur.copy(
         indexes = cur.indexes + (name -> fields),
         segments = cur.segments.map { s =>
-          val fn = graft.format.SegmentWriter.indexSidecarName(s.file, name)
+          val fn = graft.format.SegmentWriter.indexSidecarName(s.file, name, buildId)
           // only reference sidecars that exist: segments committed after the
           // build get theirs on their next write/compaction
           if (Files.exists(dir.resolve(fn)))
             s.copy(indexBlooms = s.indexBlooms + (name -> fn))
           else s
         }))
+      dropUnreferencedSidecars(name, committed)
     }
 
     /** Unregister a named index and delete its sidecars (INTERFACE.md:36). */
@@ -237,10 +243,25 @@ final class Collection private (spark: SparkSession, val path: String) {
         indexes = cur.indexes - name,
         segments = cur.segments.map(s =>
           s.copy(indexBlooms = s.indexBlooms - name))))
-      m.segments.foreach { s =>
-        Files.deleteIfExists(dir.resolve(
-          graft.format.SegmentWriter.indexSidecarName(s.file, name)))
-      }
+      dropUnreferencedSidecars(name, m)
+    }
+
+    /** Delete on-disk sidecars of index `name` that the committed manifest
+      * no longer references (old builds after an add-over / the whole set
+      * after a remove). Deletion by LISTING, not by recomputed names —
+      * sidecar names embed a build id, so only the manifest knows which
+      * file is live. */
+    private def dropUnreferencedSidecars(name: String, committed: graft.meta.Manifest): Unit = {
+      // Live = sidecars of EVERY registered index: names may contain
+      // hyphens, so "<seg>.idx-a-b.bloom" is ambiguous between index "a-b"
+      // and a build of index "a" — only manifest references disambiguate.
+      val live = committed.segments.flatMap(_.indexBlooms.values).toSet
+      val re = ("""\.idx-""" + java.util.regex.Pattern.quote(name) +
+        """(-[0-9a-f]+)?\.bloom$""").r
+      CollectionMeta.listDir(dir)
+        .map(_.getFileName.toString)
+        .filter(f => re.findFirstIn(f).isDefined && !live(f))
+        .foreach(f => Files.deleteIfExists(dir.resolve(f)))
     }
 
     /** Rewrite segments, recomputing all stats and index sidecars. */
@@ -318,7 +339,7 @@ object Collection {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      CollectionMeta.listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

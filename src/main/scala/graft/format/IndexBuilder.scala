@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.StructType
 object IndexBuilder {
 
   def buildSidecar(collectionDir: Path, segmentFile: String, schema: StructType,
-      ordinals: Seq[Int], indexName: String): Unit = {
+      ordinals: Seq[Int], indexName: String, buildId: String = ""): Unit = {
     val seg = collectionDir.resolve(segmentFile)
     val ords = ordinals.toArray
     val decoder = new RecordCodec.Decoder(schema, ords)
@@ -34,6 +34,6 @@ object IndexBuilder {
       }
     } finally reader.close()
     bloom.writeTo(seg.resolveSibling(
-      SegmentWriter.indexSidecarName(segmentFile, indexName)))
+      SegmentWriter.indexSidecarName(segmentFile, indexName, buildId)))
   }
 }

@@ -149,10 +149,18 @@ object SegmentWriter {
   val DefaultSplitBytes: Long = 64L * 1024 * 1024
 
   /** Deterministic sidecar name for a named index over one segment —
-    * derivable from (segment, index) alone, so a distributed index build
-    * needs no task→driver result plumbing. */
-  def indexSidecarName(segmentFile: String, indexName: String): String =
-    s"$segmentFile.idx-$indexName.bloom"
+    * derivable from (segment, index[, build]) alone, so a distributed index
+    * build needs no task→driver result plumbing. `buildId` (used by
+    * `Collection.indexes.add` rebuilds) makes each build's file name UNIQUE:
+    * driver-side sidecar caches are keyed by path, so re-adding an index
+    * with different fields must never reuse a name a stale cache entry could
+    * answer for (false negatives = silently dropped rows). Write-path
+    * sidecars built with a fresh segment file need no build id — the
+    * segment's own UUID name already guarantees uniqueness. */
+  def indexSidecarName(segmentFile: String, indexName: String,
+      buildId: String = ""): String =
+    if (buildId.isEmpty) s"$segmentFile.idx-$indexName.bloom"
+    else s"$segmentFile.idx-$indexName-$buildId.bloom"
 }
 
 /** Streaming reader over one segment file: 8 MB blocks (reference

@@ -69,6 +69,15 @@ object CollectionMeta {
   private implicit val formats: Formats = DefaultFormats
   private val TmpCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Materialized directory listing that CLOSES the underlying stream — a
+    * bare `Files.list(dir).iterator()` holds the directory file descriptor
+    * until GC, which adds up in long-lived drivers doing frequent
+    * truncate/compaction or catalog operations. */
+  private[graft] def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   def metaDir(collection: Path): Path = collection.resolve("_hadro")
   private def schemaFile(collection: Path): Path = metaDir(collection).resolve("schema.json")
 
@@ -111,11 +120,11 @@ object CollectionMeta {
   def currentManifest(collection: Path): Manifest = {
     val dir = metaDir(collection)
     if (!Files.exists(dir)) return Manifest(0L, Nil, mutated = false)
-    val versions = Files.list(dir).iterator().asScala
+    val versions = listDir(dir)
       .flatMap(p => p.getFileName.toString match {
         case ManifestRe(v) => Some(v.toLong)
         case _ => None
-      }).toSeq.sorted(Ordering[Long].reverse)
+      }).sorted(Ordering[Long].reverse)
     // A concurrent committer claims a version slot (empty file) before the
     // atomic rename fills it; a read in that window must fall back to the
     // newest PARSEABLE version — momentarily stale, never broken.
@@ -164,11 +173,11 @@ object CollectionMeta {
     val dir = metaDir(collection)
     Files.createDirectories(dir)
     purgeDeferred(collection, live)
-    val dead = Files.list(collection).iterator().asScala
+    val dead = listDir(collection)
       .map(_.getFileName.toString)
       .filter(n => (n.endsWith(".data") || n.endsWith(".bloom") ||
         n.endsWith(".koff")) && !live(n))
-      .toSeq.sorted
+      .sorted
     if (dead.nonEmpty) {
       val f = dir.resolve(s"dead-${System.nanoTime()}.json")
       Files.write(f, Serialization.write(dead).getBytes(StandardCharsets.UTF_8))
@@ -180,7 +189,7 @@ object CollectionMeta {
   def purgeDeferred(collection: Path, live: Set[String]): Unit = {
     val dir = metaDir(collection)
     if (!Files.exists(dir)) return
-    Files.list(dir).iterator().asScala.toSeq
+    listDir(dir)
       .filter(_.getFileName.toString.matches("dead-\\d+\\.json"))
       .foreach { dl =>
         try {
@@ -200,7 +209,7 @@ object CollectionMeta {
   def gcManifestsBefore(collection: Path, version: Long): Unit = {
     val dir = metaDir(collection)
     if (!Files.exists(dir)) return
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .filter(p => p.getFileName.toString match {
         case ManifestRe(v) => v.toLong < version
         case _ => false
@@ -216,7 +225,7 @@ object CollectionMeta {
 
   private def gcOldManifests(collection: Path, newest: Long): Unit = {
     val dir = metaDir(collection)
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .filter(p => p.getFileName.toString match {
         case ManifestRe(v) => v.toLong < newest - KeepVersions
         case _ => false
@@ -227,12 +236,18 @@ object CollectionMeta {
   /** Atomically publish a new manifest version. Retries on version races
     * (two committers picking the same next version) — the loser re-reads and
     * re-applies on top of the winner. `update` maps the current manifest to
-    * the desired next state (same-version content is rewritten with v+1). */
+    * the desired next state (same-version content is rewritten with v+1).
+    * Returning the input manifest UNCHANGED (same reference) aborts: no
+    * version is published and the current manifest is returned — this is how
+    * callers make decide-then-commit atomic (e.g. streaming replay checks
+    * re-run INSIDE the closure, so a zombie driver racing a failover cannot
+    * double-publish an epoch). */
   def commit(collection: Path, update: Manifest => Manifest): Manifest = {
     var attempts = 0
     while (true) {
       val cur = currentManifest(collection)
       val next0 = update(cur)
+      if (next0 eq cur) return cur // update declined: publish nothing
       val next = next0.copy(version = cur.version + 1)
       val target = manifestFile(collection, next.version)
       // The tmp name MUST be unique per committer: System.nanoTime alone

@@ -57,9 +57,9 @@ object DedupOps {
     // Band-bucket cap, mirroring the inverted index's doc-frequency cap: a
     // bucket shared by > maxBandBucket docs (boilerplate/empty documents
     // hashing identically) joins quadratically while identifying nothing —
-    // drop it from CANDIDATE GENERATION only; real near-dups collide in
-    // other bands too. Singleton buckets can never pair, so they're pruned
-    // before the self-join rather than filtered after it.
+    // drop it from CANDIDATE GENERATION only; near-dups that differ collide
+    // in other bands too. Singleton buckets can never pair, so they're
+    // pruned before the self-join rather than filtered after it.
     val usable = banded.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bc"))
       .filter(col("bc") >= 2 && col("bc") <= maxBandBucket)
@@ -70,10 +70,27 @@ object DedupOps {
     // Dedup candidate PAIRS first (two longs), verify exactly ONCE per pair
     // — a pair colliding in many bands must not pay the set-intersection
     // repeatedly, and distinct on ids shuffles far less than on arrays.
-    val candidates = a.join(b, Seq("band", "band_hash"))
+    val bandCandidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    // The cap's blind spot: an (near-)identical cluster LARGER than
+    // maxBandBucket collides in EVERY band, so all its buckets get capped
+    // and the cluster — the main target of dedup — would yield zero pairs.
+    // Cover it with identical-FULL-signature star pairs (representative =
+    // min doc_id ↔ each member): linear in cluster size where the clique
+    // is quadratic, cheap (one groupBy on an 8-byte signature hash), and
+    // for sub-cap clusters the stars are a subset of the band clique, so
+    // the distinct() below absorbs them.
+    val sigKeyed = withSig.select(col("doc_id"), xxhash64(col("sig")).as("sig_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // 16 B/doc, feeds both star branches
+    val reps = sigKeyed.groupBy(col("sig_h"))
+      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("sig_h"), col("doc_a"))
+    val sigStars = sigKeyed.join(reps, Seq("sig_h"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    val candidates = bandCandidates.unionByName(sigStars).distinct()
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))

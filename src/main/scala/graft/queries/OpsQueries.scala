@@ -456,8 +456,10 @@ object OpsQueries {
         val p = java.nio.file.Paths.get(colPath)
         if (java.nio.file.Files.exists(p)) { // fresh per run
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists)
+          finally walk.close()
         }
         val q = s.readStream.schema(schema).parquet(stageDir.toString)
           .filter(col("event_type") === "purchase")
@@ -658,8 +660,10 @@ object OpsQueries {
         val p = java.nio.file.Paths.get(colPath)
         if (java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists)
+          finally walk.close()
         }
         val ckpt = java.nio.file.Files.createTempDirectory("st07_ckpt").toString
         val q = s.readStream.schema(schema).parquet(stageDir.toString)

@@ -58,7 +58,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)(_ resolve _)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
+    CollectionMeta.listDir(dir)
       .filter(p => Files.isDirectory(p) && isTable(p))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -108,7 +108,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces {
   // --------------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] =
-    Files.list(warehouse).iterator().asScala
+    CollectionMeta.listDir(warehouse)
       .filter(p => Files.isDirectory(p) && !isTable(p))
       .map(p => Array(p.getFileName.toString))
       .toArray
@@ -116,7 +116,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val dir = namespace.foldLeft(warehouse)(_ resolve _)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
+    CollectionMeta.listDir(dir)
       .filter(p => Files.isDirectory(p) && !isTable(p))
       .map(p => namespace :+ p.getFileName.toString)
       .toArray
@@ -138,7 +138,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = namespace.foldLeft(warehouse)(_ resolve _)
     if (!Files.isDirectory(dir)) return false
-    if (!cascade && Files.list(dir).iterator().asScala.nonEmpty)
+    if (!cascade && CollectionMeta.listDir(dir).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
     deleteRecursively(dir)
     true
@@ -146,7 +146,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      CollectionMeta.listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -170,20 +170,25 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
     if (segs.isEmpty) return // idle micro-batch: no manifest churn
-    val cur = CollectionMeta.currentManifest(path)
-    if (cur.streamEpochs.get(queryId).exists(_ >= epochId)) {
-      // replayed epoch after recovery: its data already committed — drop
-      // the duplicate segment files, never double-publish
-      dropFiles(messages)
-      return
-    }
+    // The replay check runs INSIDE the commit closure so check-and-publish
+    // is atomic under the manifest version race: after a failover, a zombie
+    // driver and the new driver can both reach here with the same
+    // (queryId, epochId) — whichever commits second re-reads a manifest
+    // that already records the epoch, declines the commit (returns the
+    // manifest unchanged), and drops its duplicate segment files.
+    var replayed = false
     CollectionMeta.commit(path, m => {
-      var ord = m.nextOrdinal
-      val withOrdinals = segs.map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
-      m.copy(segments = m.segments ++ withOrdinals,
-        mutated = m.mutated || mutating,
-        streamEpochs = m.streamEpochs + (queryId -> epochId))
+      if (m.streamEpochs.get(queryId).exists(_ >= epochId)) { replayed = true; m }
+      else {
+        replayed = false
+        var ord = m.nextOrdinal
+        val withOrdinals = segs.map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+        m.copy(segments = m.segments ++ withOrdinals,
+          mutated = m.mutated || mutating,
+          streamEpochs = m.streamEpochs + (queryId -> epochId))
+      }
     })
+    if (replayed) dropFiles(messages)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -38,6 +38,23 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("minhash-LSH pairs duplicate clusters larger than the band-bucket cap") {
+    // A (near-)identical cluster bigger than maxBandBucket collides in
+    // EVERY band, so every one of its buckets gets capped — without the
+    // identical-signature star pairs the whole cluster (the main target of
+    // dedup) would yield zero pairs.
+    val clusterText = "the same boilerplate document body repeated verbatim " +
+      "across the corpus many times over"
+    val cluster = spark.range(2000000L, 2000260L).toDF("doc_id")
+      .withColumn("text", lit(clusterText))
+    val corpus = docs.limit(20).select($"doc_id", $"text").unionByName(cluster)
+    val pairs = DedupOps.minhashLshPairs(corpus, "doc_id", "text", maxBandBucket = 50)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    (2000000L until 2000260L).foreach(id =>
+      assert(paired.contains(id), s"cluster member $id invisible to dedup"))
+  }
+
   test("simhash recalls planted pairs within hamming 3") {
     val pairs = DedupOps.simhashPairs(planted, "doc_id", "text")
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet

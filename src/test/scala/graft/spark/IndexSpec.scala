@@ -67,6 +67,35 @@ class IndexSpec extends SparkSuite {
     assert(c.where($"n_nationkey" === 3 && $"n_name".isNotNull).count() == 1)
   }
 
+  test("re-adding an index over different fields never serves a stale cached bloom") {
+    val path = tmp("readd")
+    val src = spark.read.parquet(s"$sf0001/part.parquet")
+    val c = Collection.create(spark, path, src, numSegments = 8)
+    c.indexes.add("ix", Seq("p_brand", "p_type"))
+    val probe = src.select($"p_brand", $"p_type", $"p_name", $"p_size").head()
+    // warm the shared driver-side sidecar cache with the first build
+    assert(c.where($"p_brand" === probe.get(0) && $"p_type" === probe.get(1)).count() ==
+      src.filter($"p_brand" === probe.get(0) && $"p_type" === probe.get(1)).count())
+    val firstBuild = CollectionMeta.currentManifest(Paths.get(path))
+      .segments.flatMap(_.indexBlooms.get("ix")).toSet
+    assert(firstBuild.nonEmpty)
+
+    c.indexes.remove("ix")
+    c.indexes.add("ix", Seq("p_name", "p_size"))
+    val secondBuild = CollectionMeta.currentManifest(Paths.get(path))
+      .segments.flatMap(_.indexBlooms.get("ix")).toSet
+    // build-unique sidecar names: a cache keyed by path cannot alias builds,
+    // and the superseded files are GC'd
+    assert(firstBuild.intersect(secondBuild).isEmpty)
+    firstBuild.foreach(f => assert(!Files.exists(Paths.get(path).resolve(f))))
+
+    // probing the NEW fields must find every matching row — a stale bloom
+    // over the old fields would false-negative and silently drop segments
+    val got = c.where($"p_name" === probe.get(2) && $"p_size" === probe.get(3)).count()
+    val want = src.filter($"p_name" === probe.get(2) && $"p_size" === probe.get(3)).count()
+    assert(got == want && got > 0)
+  }
+
   test("index add validates name, type, and fields") {
     val path = tmp("validate")
     val src = spark.read.parquet(s"$sf0001/region.parquet")

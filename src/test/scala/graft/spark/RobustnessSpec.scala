@@ -173,4 +173,43 @@ class RobustnessSpec extends SparkSuite {
       assert(m.segments.map(_.ordinal).distinct.size == 8)
     }
   }
+
+  test("commit declines atomically when the closure sees its work already done") {
+    // The zombie-driver scenario: decide-then-commit must be one atomic
+    // step. A competing committer lands between our manifest read and our
+    // publish; the commit retry re-evaluates the closure against the new
+    // state, the closure declines (returns its input unchanged), and no
+    // duplicate version is published.
+    val dir = Files.createTempDirectory("atomic_commit").resolve("c")
+    Seq((1, "a")).toDF("k", "v").write.format("hadro").mode("append").save(dir.toString)
+    val v0 = CollectionMeta.currentManifest(dir).version
+    var evals = 0
+    val out = CollectionMeta.commit(dir, m => {
+      evals += 1
+      if (evals == 1) // competitor wins the slot inside our read/publish window
+        CollectionMeta.commit(dir, m2 =>
+          m2.copy(streamEpochs = m2.streamEpochs + ("q" -> 7L)))
+      if (m.streamEpochs.get("q").exists(_ >= 7L)) m // replay: decline
+      else m.copy(streamEpochs = m.streamEpochs + ("q" -> 7L))
+    })
+    assert(evals >= 2, "losing committer must re-evaluate against the winner's state")
+    assert(out.version == v0 + 1, "declined commit must not publish a version")
+    assert(out.streamEpochs("q") == 7L)
+  }
+
+  test("metadata directory listings do not leak file descriptors") {
+    val dir = Files.createTempDirectory("fd_leak").resolve("c")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.format("hadro").mode("append").save(dir.toString)
+    def openFds(): Long = {
+      val s = Files.list(java.nio.file.Paths.get("/proc/self/fd"))
+      try s.count() finally s.close()
+    }
+    val before = openFds()
+    (1 to 300).foreach { _ =>
+      CollectionMeta.currentManifest(dir)
+      CollectionMeta.purgeDeferred(dir, Set.empty)
+    }
+    val after = openFds()
+    assert(after - before < 50L, s"fd leak under metadata churn: $before -> $after")
+  }
 }
