@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines.
+  *
+  * `sample()`/`TABLESAMPLE` are seed-dependent and engine-specific — two
+  * runs (or two engines) disagree on membership. Content-hash sampling
+  * instead derives membership from a stable hash of the row's id, so the
+  * same document lands in the same split on every run, on any engine, at
+  * any parallelism: the property that makes train/held-out splits and
+  * cross-run ablations reproducible at 100 TB. Pure per-row codegen'd
+  * expression work — no shuffle, no driver participation.
+  */
+object SampleOps {
+
+  /** Stable hex bucket in "00".."ff" for a row id: the first byte of
+    * md5(id). md5 (not xxhash64) because every engine agrees on it —
+    * membership can be recomputed by any downstream system. */
+  def hashBucket(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 2)
+
+  /** Keep rows whose bucket sorts below `hexBoundExclusive` ("20" keeps
+    * 32/256 = 12.5%). Deterministic, content-addressed, uniform: md5
+    * spreads ids evenly across buckets regardless of id distribution. */
+  def contentHashSample(df: DataFrame, idCol: String,
+      hexBoundExclusive: String = "20"): DataFrame =
+    df.filter(hashBucket(col(idCol)) < hexBoundExclusive)
+
+  /** Disjoint deterministic split label ("train" below the boundary,
+    * "heldout" at/above) — the two-way form of [[contentHashSample]]. */
+  def splitLabel(idCol: Column, trainBoundExclusive: String = "f0"): Column =
+    when(hashBucket(idCol) < trainBoundExclusive, "train").otherwise("heldout")
+}

@@ -125,6 +125,39 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  // ------------------------------------------------------------- redaction
+
+  /** Email-address pattern (ASCII, case-insensitive corpora should lower()
+    * first). Identical semantics in Java regex and RE2, so the same pattern
+    * drives both the Spark operator and a cross-engine oracle. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-number-ish pattern: an optional +, then 7+ digits allowing
+    * separators. Deliberately simple — recall over precision, the usual
+    * pre-training scrub posture. */
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{5,}[0-9]"
+
+  /** PII scrub: replace emails and phone-like spans with typed placeholder
+    * tokens. Pure codegen'd `regexp_replace` — per-row work only, no
+    * shuffle, linear at any corpus size. Emails first so digit runs inside
+    * addresses can't be half-eaten by the phone pass. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  // ------------------------------------------------------------ repetition
+
+  /** Token-level repetition ratio in [0,1): fraction of tokens that are
+    * repeats of an earlier token (Gopher-style repetition signal adapted to
+    * single-line docs). 0 = all tokens distinct; high values flag
+    * low-quality boilerplate/spam for corpus filtering. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
   // --------------------------------------------------------------- quality
 
   /** Composite quality score in [0,1] from cheap per-row signals: token

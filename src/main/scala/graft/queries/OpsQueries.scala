@@ -351,6 +351,73 @@ object OpsQueries {
           FROM documents)
         ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- t06
+    // PII scrub: emails and phone-like spans replaced with typed
+    // placeholders. The corpus has no PII, so each doc is augmented with a
+    // deterministic synthetic email + phone (mirrored exactly in the
+    // oracle) — the redacted output is then hash-compared byte-for-byte.
+    // Pure regexp_replace: per-row codegen, linear at any corpus size.
+    QueryDef(
+      "t06_pii_redaction",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val augmented = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call +1-555-867-5309 now"))
+        d.select(col("doc_id"), TextOps.redactPii(augmented).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                '@example.com or call +1-555-867-5309 now',
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\+?[0-9][0-9()\-\s]{5,}[0-9]', '[PHONE]', 'g') AS clean_text
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t07
+    // Repetition-ratio quality signal (Gopher-style): fraction of tokens
+    // that repeat an earlier token; the filter predicate real pipelines
+    // use to drop boilerplate/spam before training.
+    QueryDef(
+      "t07_repetition_ratio",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val rep = TextOps.repetitionRatio(col("text"))
+        d.select(col("doc_id"), rep.as("rep_ratio"),
+          (rep > 0.5).as("is_repetitive"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          round(CAST(1.0 AS DOUBLE) -
+            CAST(len(list_distinct(toks)) AS DOUBLE) /
+            CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS rep_ratio,
+          (round(CAST(1.0 AS DOUBLE) -
+            CAST(len(list_distinct(toks)) AS DOUBLE) /
+            CAST(greatest(len(toks), 1) AS DOUBLE), 6) > 0.5) AS is_repetitive
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d06
+    // Deterministic content-hash sampling: membership from md5(doc_id), so
+    // the same doc lands in the same split on every run and every engine —
+    // reproducible corpus downsampling/ablation at any scale, no seed, no
+    // shuffle. "20" keeps 32/256 = 12.5% in expectation.
+    QueryDef(
+      "d06_hash_sample",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        SampleOps.contentHashSample(d, "doc_id", "20")
+          .select(col("doc_id"), col("lang"),
+            SampleOps.hashBucket(col("doc_id")).as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- m01
     // Multimodal plumbing: text bytes as a stand-in binary media column →
     // per-partition batch "decode" (stubbed) → typed feature rows. The

@@ -201,6 +201,49 @@ object SurfaceQueries {
           CAST(hour(ts) AS INT) AS h,
           CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since
         FROM events WHERE event_id < 500
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ---------------------------------------------------------------- p08
+    // Data-profiling summary: per-column row/null/distinct counts and
+    // min/max — the first pass any pipeline runs over a new 100 TB drop.
+    // One aggregation job per column over only that column (column-pruned
+    // scans), unioned into a tall report; no driver-side iteration over
+    // data. Long/string columns only: double→string rendering differs
+    // across engines, so doubles would break the byte-exact oracle.
+    QueryDef(
+      "p08_profile_columns",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        def prof(c: String) = o
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_val"),
+            max(col(c)).cast("string").as("max_val"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+        prof("o_orderkey").unionByName(prof("o_custkey"))
+          .unionByName(prof("o_orderstatus"))
+          .orderBy("column_name")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+            SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+            COUNT(DISTINCT o_orderkey) AS n_distinct,
+            CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+            CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM orders
+          UNION ALL
+          SELECT 'o_custkey', COUNT(*),
+            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+            COUNT(DISTINCT o_custkey),
+            CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', COUNT(*),
+            SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+            COUNT(DISTINCT o_orderstatus),
+            CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+        ) ORDER BY column_name"""))
   )
 }

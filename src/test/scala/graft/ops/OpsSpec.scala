@@ -135,6 +135,48 @@ class OpsSpec extends SparkSuite {
     assert(out.filter(size($"features") =!= 8).count() == 0)
   }
 
+  test("pii redaction scrubs emails and phones, leaves clean text intact") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.co.uk today"),
+      (2L, "call +1 (415) 555-0199 or 020-7946-0958 now"),
+      (3L, "no pii here just words"))
+      .toDF("doc_id", "text")
+    val out = rows.select($"doc_id", TextOps.redactPii($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "reach me at [EMAIL] today")
+    assert(out(2L) == "call [PHONE] or [PHONE] now")
+    assert(out(3L) == "no pii here just words")
+  }
+
+  test("repetition ratio is 0 for distinct tokens and high for boilerplate") {
+    val rows = Seq(
+      (1L, "every token here is different"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = rows.select($"doc_id", TextOps.repetitionRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 0.9)
+    assert(out(3L) == 0.0) // degenerate: no division by zero
+  }
+
+  test("content-hash sampling is deterministic, uniform-ish, and partitions") {
+    val ids = spark.range(0L, 10000L).toDF("doc_id")
+    val kept = SampleOps.contentHashSample(ids, "doc_id", "20")
+      .as[Long].collect().toSet
+    val kept2 = SampleOps.contentHashSample(ids.repartition(7), "doc_id", "20")
+      .as[Long].collect().toSet
+    assert(kept == kept2, "membership must not depend on partitioning")
+    // 12.5% expected; allow generous binomial slack
+    assert(kept.size > 1000 && kept.size < 1500, s"got ${kept.size}")
+    // split labels partition the corpus disjointly and exhaustively
+    val labels = ids.select(SampleOps.splitLabel($"doc_id").as("l"))
+      .groupBy($"l").count().as[(String, Long)].collect().toMap
+    assert(labels.keySet == Set("train", "heldout"))
+    assert(labels.values.sum == 10000L)
+    assert(labels("heldout") > 500 && labels("heldout") < 750) // 16/256 ≈ 6.25% of 10k
+  }
+
   test("quality score and langid are total and bounded") {
     val scored = docs.select(
       TextOps.qualityScore($"text").as("q"),
