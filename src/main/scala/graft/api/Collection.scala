@@ -219,10 +219,11 @@ final class Collection private (spark: SparkSession, val path: String) {
       val buildId = java.lang.Long.toHexString(System.nanoTime())
       val pathStr = path
       val sc = spark.sparkContext
-      sc.parallelize(m.segments.map(_.file), math.max(1, m.segments.size))
-        .foreach { segFile =>
+      sc.parallelize(m.segments.map(s => (s.file, s.nFields.getOrElse(-1))),
+          math.max(1, m.segments.size))
+        .foreach { case (segFile, nf) =>
           graft.format.IndexBuilder.buildSidecar(
-            Paths.get(pathStr), segFile, schema, ords, name, buildId)
+            Paths.get(pathStr), segFile, schema, ords, name, buildId, nf)
         }
       val committed = CollectionMeta.commit(dir, cur => cur.copy(
         indexes = cur.indexes + (name -> fields),
@@ -286,6 +287,23 @@ final class Collection private (spark: SparkSession, val path: String) {
         .option("hadro.key", keyField.orNull)
         .save(path)
     }
+  }
+
+  /** Additive schema evolution: append a NULLABLE column to the collection
+    * schema without touching data. Existing segments keep their write-time
+    * width (recorded per segment in the manifest); readers null-fill the
+    * new column for them, and new writes carry it. Only additive, nullable,
+    * top-level evolution is supported — anything else needs a rewrite
+    * (compact() re-materializes every row at full width). */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit = {
+    val meta = CollectionMeta.readSchema(dir).getOrElse(throw new IllegalArgumentException(
+      s"addColumn requires an existing collection at $path"))
+    require(!meta.schema.fieldNames.contains(name),
+      s"column '$name' already exists in ${meta.schema.simpleString}")
+    CollectionMeta.writeSchema(dir,
+      org.apache.spark.sql.types.StructType(meta.schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true)),
+      meta.keyField)
   }
 
   /** Rewrite the collection to only live, resolved rows (#23) — the

@@ -12,11 +12,20 @@ import org.apache.spark.sql.types.StructType
 object IndexBuilder {
 
   def buildSidecar(collectionDir: Path, segmentFile: String, schema: StructType,
-      ordinals: Seq[Int], indexName: String, buildId: String = ""): Unit = {
+      ordinals: Seq[Int], indexName: String, buildId: String = "",
+      nFields: Int = -1): Unit = {
     val seg = collectionDir.resolve(segmentFile)
+    // Additive schema evolution: decode with the segment's write-time prefix
+    // schema; indexed fields appended later are null in every record here.
+    val writeWidth = if (nFields > 0) math.min(nFields, schema.length) else schema.length
+    val writeSchema =
+      if (writeWidth == schema.length) schema
+      else org.apache.spark.sql.types.StructType(schema.fields.take(writeWidth))
     val ords = ordinals.toArray
-    val decoder = new RecordCodec.Decoder(schema, ords)
-    val types = ords.map(schema(_).dataType)
+    val liveOrds = ords.filter(_ < writeWidth)
+    val decoder = new RecordCodec.Decoder(writeSchema, liveOrds)
+    val types = liveOrds.map(schema(_).dataType)
+    val posOf = liveOrds.map(o => ords.indexOf(o)) // decoded index -> tuple position
     val bloom = KeyBloom()
     val reader = new SegmentReader(seg)
     try {
@@ -24,10 +33,10 @@ object IndexBuilder {
       // must not skip a segment that only holds the key's delete record
       while (reader.advance()) {
         val row = decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength)
-        val values = new Array[Any](ords.length)
+        val values = new Array[Any](ords.length) // post-evolution ords stay null
         var i = 0
-        while (i < ords.length) {
-          values(i) = if (row.isNullAt(i)) null else row.get(i, types(i))
+        while (i < liveOrds.length) {
+          values(posOf(i)) = if (row.isNullAt(i)) null else row.get(i, types(i))
           i += 1
         }
         bloom.addHash(KeyBloom.canonicalComposite(values.toSeq))

@@ -129,7 +129,8 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       bloomCol = keyOrdinal.map(schema(_).name),
       splits = splits.toSeq,
       indexBlooms = indexFiles,
-      offsetIndex = koffFile)
+      offsetIndex = koffFile,
+      nFields = Some(schema.length))
   }
 
   def abort(): Unit = {

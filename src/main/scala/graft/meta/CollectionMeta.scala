@@ -22,7 +22,12 @@ final case class SplitPoint(offset: Long, row: Long)
 /** One immutable data segment. `ordinal` is assigned at manifest-commit time
   * and orders records globally: record seq = ordinal << 40 | rowIndex.
   * `indexBlooms` maps a named composite index to this segment's bloom
-  * sidecar file for it. */
+  * sidecar file for it. `nFields` records how many schema fields existed
+  * when the segment was WRITTEN — additive schema evolution (ALTER TABLE
+  * ADD COLUMN, nullable) widens the collection schema without rewriting
+  * data, and readers decode old segments with their write-time prefix of
+  * the schema, null-filling the appended columns. `None` (legacy manifests)
+  * means full current width. */
 final case class SegmentInfo(
     file: String,
     ordinal: Long,
@@ -34,7 +39,8 @@ final case class SegmentInfo(
     bloomCol: Option[String] = None,
     splits: Seq[SplitPoint] = Nil,
     indexBlooms: Map[String, String] = Map.empty,
-    offsetIndex: Option[String] = None)
+    offsetIndex: Option[String] = None,
+    nFields: Option[Int] = None)
 
 /** A committed collection version: the full list of live segments plus
   * collection-level flags. `mutated` records whether any committed write was

@@ -401,6 +401,34 @@ object StorageQueries {
       },
       Some("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ---------------------------------------------------------------- h22
+    // Additive schema evolution: ADD COLUMN (nullable) widens the schema
+    // WITHOUT rewriting data — segments record their write-time width in
+    // the manifest; readers null-fill the new column for pre-evolution
+    // rows. The query reads a collection whose segments straddle the
+    // evolution: old rows must surface NULL, post-evolution appends their
+    // written values.
+    QueryDef(
+      "h22_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "nation")
+        val c = Collection.create(s, colPath(dir, "h22"), src, numSegments = 3)
+        c.addColumn("category", StringType)
+        c.append(src
+          .withColumn("n_nationkey", $"n_nationkey" + 100)
+          .withColumn("category", concat(lit("cat_"), $"n_regionkey".cast("string"))))
+        c.scan().select($"n_nationkey", $"n_name", $"category")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS category
+          FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100, n_name,
+          'cat_' || CAST(n_regionkey AS VARCHAR) AS category
+          FROM nation
+        ORDER BY n_nationkey"""))
   )
 }

@@ -84,10 +84,35 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces {
     new HadroTable(dir, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "hadro: ALTER TABLE is not supported — collections carry a fixed schema " +
-        "(reference contract, hadro/schema.py)")
+  /** ALTER TABLE: additive evolution only — `ADD COLUMN <name> <type>`,
+    * nullable, top-level. Data is never rewritten: existing segments record
+    * their write-time width in the manifest and readers null-fill the new
+    * column for them. Renames/drops/type changes would invalidate persisted
+    * segment bytes, so they are rejected (compact-and-recreate instead). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "hadro: only top-level ADD COLUMN is supported")
+        require(add.isNullable,
+          "hadro: added columns must be nullable (existing rows have no value)")
+        val meta = CollectionMeta.readSchema(dir).get
+        val name = add.fieldNames().head
+        require(!meta.schema.fieldNames.contains(name),
+          s"hadro: column '$name' already exists")
+        CollectionMeta.writeSchema(dir,
+          StructType(meta.schema.fields :+
+            org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)),
+          meta.keyField)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"hadro: unsupported ALTER TABLE change $other — only additive " +
+            "nullable ADD COLUMN evolves in place; use compaction for rewrites")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -48,15 +48,18 @@ object HadroColumnar {
   * framing/tombstone semantics (reference engine.py:139-177) but fills
   * vectors. Only reachable for flat schemas without metadata columns. */
 final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
-    required: StructType, startOffset: Long = 0L, endOffset: Long = -1L)
-    extends PartitionReader[ColumnarBatch] {
+    required: StructType, startOffset: Long = 0L, endOffset: Long = -1L,
+    nFields: Int = -1) extends PartitionReader[ColumnarBatch] {
   import HadroColumnar._
 
-  private val n = dataSchema.length
+  // Additive schema evolution: records in this segment carry only the first
+  // `n` schema fields; required columns beyond get per-row nulls.
+  private val n =
+    if (nFields > 0) math.min(nFields, dataSchema.length) else dataSchema.length
   private val bitmapLen = (n + 7) / 8
   private val bitmap = new Array[Byte](bitmapLen)
   private val outOrd = {
-    val w = new Array[Int](n)
+    val w = new Array[Int](dataSchema.length)
     java.util.Arrays.fill(w, -1)
     required.fields.zipWithIndex.foreach { case (f, o) =>
       w(dataSchema.fieldIndex(f.name)) = o
@@ -64,10 +67,13 @@ final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
     w
   }
   private val appenders: Array[HadroColumnarPartitionReader.FieldStep] = {
-    dataSchema.fields.zipWithIndex.map { case (f, i) =>
+    dataSchema.fields.take(n).zipWithIndex.map { case (f, i) =>
       HadroColumnarPartitionReader.FieldStep(i, outOrd(i), f.dataType)
     }
   }
+  // Output positions of required columns this segment predates.
+  private val absentOuts: Array[Int] =
+    (n until dataSchema.length).map(outOrd).filter(_ >= 0).toArray
 
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(BatchSize, required)
@@ -93,6 +99,8 @@ final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
           } else if (!isNull) step.skip(buf)
           i += 1
         }
+        var a = 0
+        while (a < absentOuts.length) { vectors(absentOuts(a)).putNull(row); a += 1 }
         row += 1
       }
     }

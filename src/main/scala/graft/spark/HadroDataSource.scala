@@ -211,9 +211,13 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
 
 /** One scan task: a record-aligned byte range of one segment file.
   * `startRow` seeds the in-segment row index so `_hadro_seq` stays globally
-  * correct across ranges; `endOffset` = -1 means read to end of file. */
+  * correct across ranges; `endOffset` = -1 means read to end of file.
+  * `nFields` is the segment's write-time schema width (<= 0 = full current
+  * width): after additive schema evolution, readers decode with the
+  * write-time prefix and null-fill appended columns. */
 final case class HadroInputPartition(file: String, ordinal: Long,
-    startOffset: Long, startRow: Long, endOffset: Long) extends InputPartition
+    startOffset: Long, startRow: Long, endOffset: Long,
+    nFields: Int = -1) extends InputPartition
 
 object HadroInputPartition {
   /** One task per recorded split range — read parallelism is #split-ranges,
@@ -221,13 +225,14 @@ object HadroInputPartition {
     * 50 GB scan task. Segments without split points scan whole. */
   def ranges(path: Path, seg: SegmentInfo): Seq[InputPartition] = {
     val file = path.resolve(seg.file).toString
+    val nf = seg.nFields.getOrElse(-1)
     if (seg.splits.isEmpty)
-      Seq(HadroInputPartition(file, seg.ordinal, 0L, 0L, -1L))
+      Seq(HadroInputPartition(file, seg.ordinal, 0L, 0L, -1L, nf))
     else {
       val starts = graft.meta.SplitPoint(0L, 0L) +: seg.splits
       starts.zipWithIndex.map { case (sp, i) =>
         val end = if (i + 1 < starts.length) starts(i + 1).offset else -1L
-        HadroInputPartition(file, seg.ordinal, sp.offset, sp.row, end)
+        HadroInputPartition(file, seg.ordinal, sp.offset, sp.row, end, nf)
       }
     }
   }
@@ -247,13 +252,13 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HadroInputPartition]
     new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
-      p.startOffset, p.startRow, p.endOffset)
+      p.startOffset, p.startRow, p.endOffset, p.nFields)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[HadroInputPartition]
     new HadroColumnarPartitionReader(Paths.get(p.file), dataSchema, required,
-      p.startOffset, p.endOffset)
+      p.startOffset, p.endOffset, p.nFields)
   }
 }
 
@@ -262,14 +267,25 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType)
   * pruning inside the decoder and metadata-column materialization. */
 final class HadroPartitionReader(file: Path, ordinal: Long,
     dataSchema: StructType, required: StructType,
-    startOffset: Long = 0L, startRow: Long = 0L, endOffset: Long = -1L)
-    extends PartitionReader[InternalRow] {
+    startOffset: Long = 0L, startRow: Long = 0L, endOffset: Long = -1L,
+    nFields: Int = -1) extends PartitionReader[InternalRow] {
 
   private val dataFields = required.fields.filterNot(f => HadroTable.MetaColNames(f.name))
   private val wantSeq = required.fieldNames.contains(HadroTable.SeqCol)
   private val wantDeleted = required.fieldNames.contains(HadroTable.DeletedCol)
-  private val requiredOrdinals = dataFields.map(f => dataSchema.fieldIndex(f.name))
-  private val decoder = new RecordCodec.Decoder(dataSchema, requiredOrdinals)
+  // Additive schema evolution: this segment was written when only the first
+  // `nFields` schema fields existed — decode with that prefix schema and
+  // null-fill required columns appended since.
+  private val writeWidth =
+    if (nFields > 0) math.min(nFields, dataSchema.length) else dataSchema.length
+  private val writeSchema =
+    if (writeWidth == dataSchema.length) dataSchema
+    else StructType(dataSchema.fields.take(writeWidth))
+  private val presentIdx: Array[Int] = dataFields.indices
+    .filter(i => dataSchema.fieldIndex(dataFields(i).name) < writeWidth).toArray
+  private val allPresent = presentIdx.length == dataFields.length
+  private val requiredOrdinals = presentIdx.map(i => dataSchema.fieldIndex(dataFields(i).name))
+  private val decoder = new RecordCodec.Decoder(writeSchema, requiredOrdinals)
   // Positions of each required column in the output row (data cols keep
   // required-schema order; metadata cols sit at their required positions).
   private val outWidth = required.length
@@ -289,12 +305,13 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
       if (!deleted || wantDeleted) { // tombstone skip: engine.py:169
         val decoded = decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength)
         current =
-          if (!wantSeq && !wantDeleted) decoded
+          if (!wantSeq && !wantDeleted && allPresent) decoded
           else {
-            val out = new GenericInternalRow(outWidth)
+            val out = new GenericInternalRow(outWidth) // absent cols stay null
             var i = 0
-            while (i < dataOut.length) {
-              out.update(dataOut(i), decoded.get(i, dataFields(i).dataType)); i += 1
+            while (i < presentIdx.length) {
+              val di = presentIdx(i)
+              out.update(dataOut(di), decoded.get(i, dataFields(di).dataType)); i += 1
             }
             if (seqPos >= 0)
               out.update(seqPos, (ordinal << HadroTable.SeqOrdinalShift) | rowIndex)
@@ -432,8 +449,9 @@ object OffsetIndexPlanner {
       idx <- load(path, sidecar)
     } yield {
       val file = path.resolve(seg.file).toString
+      val nf = seg.nFields.getOrElse(-1)
       internals.flatMap(idx.lookup).distinct.sortBy(_._1).map { case (off, row) =>
-        HadroInputPartition(file, seg.ordinal, off, row, off + 1): InputPartition
+        HadroInputPartition(file, seg.ordinal, off, row, off + 1, nf): InputPartition
       }
     }
 

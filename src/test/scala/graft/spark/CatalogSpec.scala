@@ -58,11 +58,16 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.tt")
   }
 
-  test("fixed-schema contract: ALTER is rejected, duplicate CREATE fails") {
+  test("schema contract: additive ALTER evolves, destructive ALTER and duplicate CREATE fail") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
     spark.sql("CREATE TABLE testcat.db.fixed (a INT) USING hadro")
-    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed ADD COLUMN b INT"))
+    // additive nullable evolution is in-place (EvolutionSpec covers data)
+    spark.sql("ALTER TABLE testcat.db.fixed ADD COLUMN b INT")
+    assert(spark.table("testcat.db.fixed").schema.fieldNames.sameElements(Array("a", "b")))
+    // destructive changes would invalidate persisted segment bytes
+    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed DROP COLUMN a"))
+    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed RENAME COLUMN a TO z"))
     intercept[Exception](spark.sql("CREATE TABLE testcat.db.fixed (a INT) USING hadro"))
     spark.sql("DROP TABLE testcat.db.fixed")
   }

@@ -1,0 +1,144 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** Additive schema evolution: ADD COLUMN (nullable) widens the collection
+  * schema without rewriting data. Segments record their write-time field
+  * count in the manifest; readers decode old segments with the write-time
+  * prefix schema and null-fill appended columns, on both the row and the
+  * columnar path. */
+class EvolutionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"evo_$name").resolve("c").toString
+
+  test("added column is null for old rows, populated for new writes") {
+    val path = tmp("basic")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val c = Collection.create(spark, path, src, numSegments = 3)
+    c.addColumn("category", StringType)
+    c.append(src.withColumn("n_nationkey", $"n_nationkey" + 100)
+      .withColumn("category", concat(lit("cat_"), $"n_regionkey".cast("string"))))
+
+    val back = spark.read.format("hadro").load(path)
+    assert(back.schema.fieldNames.contains("category"))
+    assert(back.count() == src.count() * 2)
+    assert(back.filter($"n_nationkey" < 100 && $"category".isNull).count() == src.count())
+    assert(back.filter($"n_nationkey" >= 100 && $"category".startsWith("cat_")).count() == src.count())
+    // columnar path still engages on the flat schema (old + new segments mixed)
+    back.collect()
+    assert(back.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+  }
+
+  test("evolution across the 8-field null-bitmap boundary decodes byte-exactly") {
+    // 8 fields = 1 bitmap byte; the 9th pushes the bitmap to 2 bytes. Old
+    // records must decode with the 1-byte write-time bitmap, not the new one.
+    val path = tmp("bitmap")
+    val cols = (1 to 8).map(i => s"c$i")
+    val row8 = spark.range(0, 50).select(
+      (col("id") +: cols.tail.map(n => (col("id") * 10 + lit(n.drop(1).toInt)).as(n))): _*)
+      .withColumnRenamed("id", "c1")
+    val c = Collection.create(spark, path, row8, numSegments = 2)
+    c.addColumn("c9", LongType)
+    c.append(row8.withColumn("c1", $"c1" + 1000).withColumn("c9", lit(99L)))
+
+    val back = spark.read.format("hadro").load(path)
+    assert(back.count() == 100)
+    assert(back.filter($"c1" < 1000).agg(sum($"c2")).head().getLong(0) ==
+      row8.agg(sum($"c2")).head().getLong(0))
+    assert(back.filter($"c1" < 1000 && $"c9".isNull).count() == 50)
+    assert(back.filter($"c1" >= 1000 && $"c9" === 99L).count() == 50)
+  }
+
+  test("keyed collections: point lookups and LWW survive evolution") {
+    val path = tmp("keyed")
+    val src = Seq.tabulate(200)(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val c = Collection.create(spark, path, src, key = Some("k"), numSegments = 4)
+    c.addColumn("note", StringType)
+    // upsert some keys WITH the new column (offset-index + bloom paths must
+    // handle mixed-width segments)
+    c.set(Seq((5L, "v5_new", "updated"), (300L, "fresh", "born-wide"))
+      .toDF("k", "v", "note"))
+    assert(c.get(5L).select($"v", $"note").as[(String, String)].head() == ("v5_new", "updated"))
+    assert(c.get(7L).select($"v").as[String].head() == "v7")
+    assert(c.get(7L).select($"note").head().isNullAt(0))
+    assert(c.get(300L).select($"note").as[String].head() == "born-wide")
+    assert(c.count() == 201)
+  }
+
+  test("addColumn validates: duplicates rejected, data never rewritten") {
+    val path = tmp("validate")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val c = Collection.create(spark, path, src)
+    val filesBefore = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+      .segments.map(_.file).toSet
+    intercept[IllegalArgumentException](c.addColumn("r_name", StringType))
+    c.addColumn("extra", DoubleType)
+    val after = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(after.segments.map(_.file).toSet == filesBefore, "evolution must not rewrite data")
+    assert(spark.read.format("hadro").load(path).filter($"extra".isNull).count() == src.count())
+  }
+
+  test("compact() after evolution rewrites every row at full width") {
+    val path = tmp("compact")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val c = Collection.create(spark, path, src, numSegments = 2)
+    c.addColumn("extra", LongType)
+    c.append(src.limit(2).withColumn("r_regionkey", $"r_regionkey" + 50)
+      .withColumn("extra", lit(7L)))
+    c.compact()
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    val fullWidth = src.schema.length + 1 // original cols + extra
+    assert(m.segments.forall(_.nFields.contains(fullWidth)),
+      s"post-compaction widths: ${m.segments.map(_.nFields)}, want $fullWidth")
+    val back = spark.read.format("hadro").load(path)
+    assert(back.count() == 7)
+    assert(back.filter($"extra" === 7L).count() == 2)
+  }
+
+  test("named index over a post-evolution column stays conservative on old segments") {
+    val path = tmp("index")
+    val src = Seq.tabulate(100)(i => (i.toLong, s"n$i")).toDF("id", "nm")
+    val c = Collection.create(spark, path, src, numSegments = 4)
+    c.addColumn("tag", StringType)
+    c.append(Seq((500L, "n500", "gold")).toDF("id", "nm", "tag"))
+    c.indexes.add("by_tag", Seq("tag"))
+    // old segments hold only nulls for tag; the probe must still find the
+    // one real match and must NOT drop rows from old segments on other queries
+    assert(c.where($"tag" === "gold").count() == 1)
+    assert(c.where($"tag".isNull).count() == 100)
+    assert(spark.read.format("hadro").load(path).count() == 101)
+  }
+
+  test("SQL ALTER TABLE ADD COLUMN evolves catalog tables in place") {
+    val wh = Files.createTempDirectory("evo_cat").toString
+    spark.conf.set("spark.sql.catalog.evocat", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evocat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS evocat.db")
+      spark.sql("CREATE TABLE evocat.db.t (id BIGINT, v STRING) USING hadro")
+      spark.sql("INSERT INTO evocat.db.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("ALTER TABLE evocat.db.t ADD COLUMN score DOUBLE")
+      spark.sql("INSERT INTO evocat.db.t VALUES (3, 'c', 1.5)")
+      val rows = spark.sql(
+        "SELECT id, v, score FROM evocat.db.t ORDER BY id").collect()
+      assert(rows.length == 3)
+      assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+      assert(rows(2).getDouble(2) == 1.5)
+      // destructive changes are rejected
+      intercept[Exception](spark.sql("ALTER TABLE evocat.db.t RENAME COLUMN v TO w"))
+      intercept[Exception](spark.sql("ALTER TABLE evocat.db.t DROP COLUMN v"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.evocat")
+      spark.conf.unset("spark.sql.catalog.evocat.warehouse")
+    }
+  }
+}
