@@ -47,13 +47,18 @@ final case class SegmentInfo(
   * an upsert/delete — pure-append collections skip last-write-wins
   * resolution entirely (no shuffle on read). `indexes` holds named
   * multi-field secondary indexes (`INTERFACE.md:32-38`): name -> fields,
-  * realized as per-segment composite-key bloom sidecars. */
+  * realized as per-segment composite-key bloom sidecars. `generation`
+  * increments on every truncate/compaction (which reset segment ordinals):
+  * streaming offsets carry it so a tailing stream can DETECT the log it was
+  * reading is gone — ordinal comparison alone goes silently wrong once the
+  * new log outgrows the old one. */
 final case class Manifest(
     version: Long,
     segments: Seq[SegmentInfo],
     mutated: Boolean,
     indexes: Map[String, Seq[String]] = Map.empty,
-    streamEpochs: Map[String, Long] = Map.empty) {
+    streamEpochs: Map[String, Long] = Map.empty,
+    generation: Long = 0L) {
   def nextOrdinal: Long = if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1
 }
 

@@ -808,6 +808,39 @@ object OpsQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events, mx
         WHERE (epoch_us(ts) // 3600000000 * 3600 + 3600) * 1000000 <= m - 3600000000
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // --------------------------------------------------------------- st08
+    // Stream restart across truncate/compaction: ordinals reset when a
+    // collection is rewritten, so the manifest carries a GENERATION that
+    // truncate bumps; with `hadro.onTruncate=restart` a tailing stream
+    // detects the discontinuity and re-tails the new log from ordinal 0
+    // (Delta-style) instead of failing or — worse — silently misreading
+    // new ordinals as continuations. Sink ends with old emissions + the
+    // full rewritten log.
+    QueryDef(
+      "st08_stream_restart_truncate",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val src = table(s, dir, "nation")
+        val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st08"
+        graft.api.Collection.create(s, colPath, src, numSegments = 2)
+        val name = s"st08_sink_${System.nanoTime()}"
+        val q = s.readStream.format("hadro")
+          .option("hadro.onTruncate", "restart").load(colPath)
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable() // batch 1: the original log
+        // in-place rewrite: truncate resets ordinals and bumps the generation
+        src.withColumn("n_nationkey", col("n_nationkey") + 100)
+          .write.format("hadro").mode("overwrite").save(colPath)
+        q.processAllAvailable() // restart: the entire rewritten log
+        q.stop()
+        s.table(name).select(col("n_nationkey"), col("n_name"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100, n_name FROM nation
+        ORDER BY n_nationkey"""))
   )
 }

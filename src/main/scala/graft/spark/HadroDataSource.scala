@@ -99,7 +99,8 @@ final class HadroTable(path: Path, dataSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HadroScanBuilder(path, dataSchema,
-      Option(options.get("hadro.versionAsOf")).map(_.toLong))
+      Option(options.get("hadro.versionAsOf")).map(_.toLong),
+      options.getOrDefault("hadro.onTruncate", "fail"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new HadroWriteBuilder(path, info)
@@ -111,7 +112,7 @@ final class HadroTable(path: Path, dataSchema: StructType)
   * the same contract Spark's parquet source uses (skipping is an
   * optimization, never a correctness dependency). */
 final class HadroScanBuilder(path: Path, dataSchema: StructType,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None, onTruncate: String = "fail")
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = dataSchema
@@ -127,18 +128,19 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new HadroScan(path, dataSchema, required, pushed, versionAsOf)
+    new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate)
 }
 
 final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
-    pushed: Array[Filter], versionAsOf: Option[Long] = None)
+    pushed: Array[Filter], versionAsOf: Option[Long] = None,
+    onTruncate: String = "fail")
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     validateAgainstStored()
-    new HadroMicroBatchStream(path, storedSchema, required)
+    new HadroMicroBatchStream(path, storedSchema, required, onTruncate)
   }
   override def description(): String =
     s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]"

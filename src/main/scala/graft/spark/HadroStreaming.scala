@@ -27,39 +27,65 @@ import graft.meta.CollectionMeta
   * limitation; streams should read from non-compacting collections,
   * mirroring e.g. Delta's behavior when a table is rewritten).
   */
-final case class HadroOffset(nextOrdinal: Long) extends Offset {
-  override def json(): String = s"""{"nextOrdinal":$nextOrdinal}"""
+final case class HadroOffset(nextOrdinal: Long, generation: Long = 0L) extends Offset {
+  override def json(): String =
+    s"""{"nextOrdinal":$nextOrdinal,"generation":$generation}"""
 }
 
 final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
-    required: StructType) extends MicroBatchStream {
+    required: StructType, onTruncate: String = "fail") extends MicroBatchStream {
 
-  override def initialOffset(): Offset = HadroOffset(0L)
+  require(onTruncate == "fail" || onTruncate == "restart",
+    s"hadro.onTruncate must be fail|restart, got '$onTruncate'")
 
-  override def latestOffset(): Offset =
-    HadroOffset(CollectionMeta.currentManifest(path).nextOrdinal)
+  override def initialOffset(): Offset =
+    HadroOffset(0L, CollectionMeta.currentManifest(path).generation)
+
+  override def latestOffset(): Offset = {
+    val m = CollectionMeta.currentManifest(path)
+    HadroOffset(m.nextOrdinal, m.generation)
+  }
 
   override def deserializeOffset(json: String): Offset = {
-    val m = """\{"nextOrdinal":(\d+)\}""".r
+    val withGen = """\{"nextOrdinal":(\d+),"generation":(\d+)\}""".r
+    val legacy = """\{"nextOrdinal":(\d+)\}""".r // pre-generation checkpoints
     json.trim match {
-      case m(v) => HadroOffset(v.toLong)
+      case withGen(v, g) => HadroOffset(v.toLong, g.toLong)
+      case legacy(v) => HadroOffset(v.toLong, 0L)
       case other => throw new IllegalArgumentException(s"bad hadro offset: $other")
     }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[HadroOffset].nextOrdinal
-    val hi = end.asInstanceOf[HadroOffset].nextOrdinal
-    // A truncate/compaction resets ordinals; a checkpointed stream would
-    // otherwise stall silently (hi < lo => empty batches forever). Fail
-    // with the actionable cause instead.
-    if (hi < lo) throw new IllegalStateException(
-      s"hadro stream over $path: offset went backwards ($lo -> $hi) — the " +
-        "collection was truncated or compacted underneath the stream. " +
-        "Restart the stream with a fresh checkpoint, and stream only from " +
-        "non-compacting collections.")
+    val so = start.asInstanceOf[HadroOffset]
+    val eo = end.asInstanceOf[HadroOffset]
+    // A truncate/compaction resets ordinals and bumps the manifest
+    // generation. Ordinal comparison alone is NOT enough to notice: once
+    // the post-truncate log outgrows the old one, ordinal ranges look
+    // plausible again and the stream would silently skip the new log's
+    // first records. The generation makes the discontinuity explicit:
+    //   - onTruncate=fail (default): stop with the actionable cause;
+    //   - onTruncate=restart: re-tail the new log from ordinal 0 (the
+    //     stream emits every record of the rewritten collection once,
+    //     then continues tailing — Delta-style restart semantics).
+    val lo =
+      if (eo.generation > so.generation) {
+        if (onTruncate == "fail") throw new IllegalStateException(
+          s"hadro stream over $path: the collection was truncated or " +
+            s"compacted underneath the stream (generation ${so.generation} " +
+            s"-> ${eo.generation}). Restart with a fresh checkpoint, set " +
+            "hadro.onTruncate=restart, or stream only from non-compacting " +
+            "collections.")
+        0L // restart: everything in the current log is new to this stream
+      } else {
+        if (eo.nextOrdinal < so.nextOrdinal) throw new IllegalStateException(
+          s"hadro stream over $path: offset went backwards " +
+            s"(${so.nextOrdinal} -> ${eo.nextOrdinal}) within generation " +
+            s"${so.generation} — manifest state is inconsistent.")
+        so.nextOrdinal
+      }
     CollectionMeta.currentManifest(path).segments
-      .filter(s => s.ordinal >= lo && s.ordinal < hi)
+      .filter(s => s.ordinal >= lo && s.ordinal < eo.nextOrdinal)
       // split ranges fan out within a micro-batch exactly as in batch scans
       .flatMap(s => HadroInputPartition.ranges(path, s))
       .toArray

@@ -116,7 +116,10 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       val withOrdinals = segs.map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
       cur.copy(
         segments = base ++ withOrdinals,
-        mutated = (cur.mutated && !truncate) || mutating)
+        mutated = (cur.mutated && !truncate) || mutating,
+        // ordinals restart at 0: bump the generation so tailing streams
+        // detect the discontinuity instead of misreading new ordinals
+        generation = if (truncate) cur.generation + 1 else cur.generation)
     })
     if (truncate) {
       // GC the manifests that pre-date this truncate — a retained

@@ -68,4 +68,47 @@ class StreamSinkSpec extends SparkSuite {
       "duplicate segment file must be dropped")
     assert(spark.read.format("hadro").load(colPath).count() == src.count())
   }
+
+  test("truncate under a stream fails fast even after the new log outgrows the old") {
+    // The hard case for ordinal-only detection: the rewritten log GROWS
+    // PAST the old next-ordinal, so offset ranges look plausible again and
+    // a stream without generation tracking would silently skip the new
+    // log's first records. The manifest generation makes it fail loudly.
+    val colPath = Files.createTempDirectory("gen_fail").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    graft.api.Collection.create(spark, colPath, src) // 1 segment: nextOrdinal=1
+    val name = s"gen_fail_${System.nanoTime()}"
+    val q = spark.readStream.format("hadro").load(colPath)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    src.write.format("hadro").mode("overwrite").save(colPath) // truncate: gen+1
+    graft.api.Collection(spark, colPath).append(src) // 2 segments: nextOrdinal=2 > 1
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("truncated"))),
+      s"unexpected: $e")
+    q.stop()
+  }
+
+  test("hadro.onTruncate=restart re-tails the rewritten log exactly once") {
+    val colPath = Files.createTempDirectory("gen_restart").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    graft.api.Collection.create(spark, colPath, src, numSegments = 2)
+    val name = s"gen_restart_${System.nanoTime()}"
+    val q = spark.readStream.format("hadro")
+      .option("hadro.onTruncate", "restart").load(colPath)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    assert(spark.table(name).count() == src.count())
+    // rewrite in place, then append — the restart must emit the rewritten
+    // log once and keep tailing subsequent appends without re-emission
+    src.limit(10).write.format("hadro").mode("overwrite").save(colPath)
+    q.processAllAvailable()
+    assert(spark.table(name).count() == src.count() + 10)
+    graft.api.Collection(spark, colPath).append(src.limit(3))
+    q.processAllAvailable()
+    assert(spark.table(name).count() == src.count() + 13)
+    q.stop()
+  }
 }
