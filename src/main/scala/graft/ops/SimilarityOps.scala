@@ -135,11 +135,10 @@ object SimilarityOps {
     * and a query decodes only the probed clusters' segments. */
   def buildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, vecCol: String,
-      kCentroids: Int = 8, numSegments: Int = 8): graft.api.Collection = {
+      kCentroids: Int = 8, numSegments: Int = 8,
+      iterations: Int = 0): graft.api.Collection = {
     val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    val cents = vecs.filter(col("vid") < kCentroids)
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
-    require(cents.length >= 2, s"need >= 2 centroids, got ${cents.length}")
+    val cents = trainIvfCentroids(df, idCol, vecCol, kCentroids, iterations)
     val scored = cents.map { case (cid, cv) =>
       struct(cosine(col("vec"), typedlit(cv)).as("cos"), lit(cid).as("cid"))
     }
@@ -149,22 +148,92 @@ object SimilarityOps {
       assigned.repartitionByRange(numSegments, col("cluster")))
   }
 
+  /** One Lloyd refinement pass: assign every vector to its nearest centroid
+    * (map-only `greatest()` over broadcast centroid literals — no join, no
+    * shuffle) and recompute each cluster's element-wise mean. Returns the
+    * (cluster, pos, m, n) component frame.
+    *
+    * The mean is summed through DECIMAL(27,10): decimal addition is exact
+    * and associative, so the result is bit-identical across partitionings
+    * and runs — floating-point `sum()` would drift with partial-aggregation
+    * order, making trained centroids (and therefore assignments)
+    * irreproducible. The shuffle is k·dim groups of one decimal each —
+    * negligible at any corpus size; everything upstream is map-side. */
+  def lloydStep(vecs: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    val scored = cents.map { case (cid, cv) =>
+      struct(cosine(col("vec"), typedlit(cv)).as("cos"), lit(cid).as("cid"))
+    }
+    vecs.withColumn("cluster", greatest(scored: _*).getField("cid"))
+      .select(col("cluster"), posexplode(col("vec")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(
+        (sum(col("col").cast("double").cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).cast("float").as("m"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Train IVF centroids: deterministic seeds (vectors with id < k) refined
+    * by `iterations` Lloyd passes. Each pass is one Spark job collecting
+    * k·dim component rows — the corpus is never collected. Empty clusters
+    * keep their previous centroid (standard Lloyd fallback). */
+  def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      kCentroids: Int, iterations: Int): Seq[(Int, Seq[Float])] = {
+    val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    var cents: Seq[(Int, Seq[Float])] = vecs.filter(col("vid") < kCentroids)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+    require(cents.length >= 2, s"need >= 2 centroids, got ${cents.length}")
+    (1 to iterations).foreach { _ =>
+      val comps = lloydStep(vecs, cents).collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, comps.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** IVF probe: rank the centroids against the query (k-row job), take the
     * `nprobe` nearest clusters, and push `cluster IN (...)` into the scan —
     * segment stats drop every non-probed cluster's segments; exact cosine
     * ranks only the surviving vectors. */
   def ivfTopK(index: graft.api.Collection, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, kCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+      query: Seq[Float], k: Int, kCentroids: Int = 8, nprobe: Int = 2,
+      iterations: Int = 0): DataFrame = {
     val scan = index.scan()
-    val probeCids = scan.filter(col("vid") < kCentroids)
-      .select(col("vid"), cosine(col("vec"), typedlit(query)).as("cos"))
-      .collect()
-      .sortBy(r => (-r.getDouble(1), -r.getLong(0))) // cos desc, cid desc
-      .take(nprobe)
-      .map(_.getLong(0))
-    scan.filter(col("cluster").isin(probeCids.toSeq: _*))
+    val probeCids: Seq[Long] =
+      if (iterations == 0) {
+        scan.filter(col("vid") < kCentroids)
+          .select(col("vid"), cosine(col("vec"), typedlit(query)).as("cos"))
+          .collect()
+          .sortBy(r => (-r.getDouble(1), -r.getLong(0))) // cos desc, cid desc
+          .take(nprobe)
+          .map(_.getLong(0)).toSeq
+      } else {
+        // Trained index: re-derive the centroids (deterministic — decimal
+        // sums make training bit-stable) and rank them driver-side; the
+        // corpus is touched only for the training aggregate.
+        val cents = trainIvfCentroids(
+          scan.select(col("vid"), col("vec")), "vid", "vec", kCentroids, iterations)
+        cents.map { case (cid, cv) => (cid.toLong, cosineLocal(cv, query)) }
+          .sortBy { case (cid, cos) => (-cos, -cid) }
+          .take(nprobe).map(_._1)
+      }
+    scan.filter(col("cluster").isin(probeCids: _*))
       .select(col("vid").as(idCol), cosine(col("vec"), typedlit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Driver-side cosine for ranking a handful of centroid literals. */
+  private def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
   }
 }

@@ -223,6 +223,50 @@ object OpsQueries {
         ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv) DESC, a.vec_id
         LIMIT 20""")),
 
+    // ---------------------------------------------------------------- s04
+    // IVF training: one Lloyd refinement pass over the seed centroids —
+    // map-only nearest-centroid assignment (greatest() over broadcast
+    // literals, no join), then element-wise cluster means summed through
+    // DECIMAL so the trained centroids are bit-stable across partitionings
+    // and runs. Output = the trained centroid components + cluster sizes;
+    // the oracle recomputes the identical assignment and exact-decimal
+    // means from the parquet.
+    QueryDef(
+      "s04_ivf_lloyd_train",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val vecs = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        val seeds = SimilarityOps.trainIvfCentroids(
+          e, "vec_id", "embedding", kCentroids = 8, iterations = 0)
+        SimilarityOps.lloydStep(vecs, seeds)
+          .select(col("cluster"), col("pos"),
+            // + 0.0 folds IEEE negative zero into positive zero — the
+            // oracle does the same, so "-0" vs "0" can't hash-mismatch
+            (round(col("m").cast("double"), 4) + lit(0.0)).as("centroid"),
+            col("n"))
+          .orderBy("cluster", "pos")
+      },
+      Some("""WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT e.vec_id, e.embedding,
+            (SELECT c.cid FROM cents c
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.cid DESC
+             LIMIT 1) AS cluster
+          FROM embeddings e),
+        exploded AS (
+          SELECT cluster,
+            CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+            unnest(embedding) AS val
+          FROM assigned)
+        SELECT cluster, pos,
+          ROUND(CAST(CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+            / COUNT(*) AS FLOAT) AS DOUBLE), 4) + 0.0 AS centroid,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM exploded GROUP BY cluster, pos ORDER BY cluster, pos""")),
+
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.
     QueryDef(

@@ -123,6 +123,28 @@ class OpsSpec extends SparkSuite {
       s"expected segment pruning: ${probed.rdd.getNumPartitions} of $total tasks")
   }
 
+  test("lloyd training is bit-stable across partitionings and refines clusters") {
+    val k = 4
+    val seeds = SimilarityOps.trainIvfCentroids(embs, "vec_id", "embedding", k, 0)
+    val t1 = SimilarityOps.trainIvfCentroids(embs, "vec_id", "embedding", k, 1)
+    val t2 = SimilarityOps.trainIvfCentroids(
+      embs.repartition(13), "vec_id", "embedding", k, 1)
+    // decimal-summed means: identical result regardless of partitioning
+    assert(t1 == t2, "training must be deterministic across partitionings")
+    assert(t1.map(_._1) == seeds.map(_._1))
+    assert(t1 != seeds, "one Lloyd pass should move the seed centroids")
+    // trained index still answers: results are a subset of brute-force order
+    val path = java.nio.file.Files.createTempDirectory("ivf_tr").resolve("c").toString
+    val idx = SimilarityOps.buildIvfIndex(spark, path, embs, "vec_id", "embedding",
+      kCentroids = k, numSegments = 4, iterations = 1)
+    val q = embs.filter($"vec_id" === 3L).select($"embedding").head().getSeq[Float](0)
+    val got = SimilarityOps.ivfTopK(idx, "vec_id", "embedding", q, 10,
+      kCentroids = k, nprobe = 2, iterations = 1)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.size == 10)
+    assert(got.contains(3L), "the query vector itself must be found")
+  }
+
   test("multimodal decode preserves ids, byte lengths, and feature contract") {
     val media = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
     val out = MultimodalOps.decodeFeatures(media, "doc_id", "media")
