@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the step every
+  * dedup pipeline runs AFTER pair generation: pairs (A,B),(B,C) must
+  * collapse into one cluster {A,B,C} with a single kept representative,
+  * or transitive duplicates survive filtering.
+  *
+  * Algorithm: iterative min-label propagation (the MapReduce-era CC
+  * shape). Each round every node adopts the minimum label among itself and
+  * its neighbors — one shuffle per round, converging in O(diameter)
+  * rounds. Near-dup graphs are unions of small dense clusters (diameter
+  * ≤ 3 in practice), so 3-5 rounds close virtually all corpora; the loop
+  * checks an explicit converged-count and stops early. Lineage is
+  * truncated each round (localCheckpoint) so plans don't grow with the
+  * iteration count — the classic iterative-Spark footgun. */
+object ClusterOps {
+
+  /** `pairs`: two long columns (first < second convention not required).
+    * Returns (node, cluster) where cluster = min node id reachable. Nodes
+    * appearing only on one side are included; singletons absent from
+    * `pairs` are by definition their own cluster and not emitted. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "nbr_label"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint(true) // truncate lineage before reuse below
+      converged = next.filter(col("new_label") < col("label")).isEmpty
+      labels = next.select(col("node"), col("new_label").as("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+}

@@ -143,6 +143,75 @@ object OpsQueries {
       },
       None),
 
+    // ---------------------------------------------------------------- d07
+    // Connected components over the near-dup pair list — the collapse step
+    // after pair generation: chained plants A~B~C (each one token further
+    // from A) must land in ONE cluster under the min reachable id. The
+    // oracle recomputes the identical pair list in SQL (d04's inverted-
+    // index twin) and closes it transitively with a recursive CTE.
+    QueryDef(
+      "d07_dedup_clusters",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        def plant(shift: Long, suffix: String) =
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + shift)
+            .withColumn("text", concat(col("text"), lit(suffix)))
+        val corpus = d
+          .unionByName(plant(1000000L, " extraplantedtoken"))
+          .unionByName(plant(2000000L, " extraplantedtoken extrachained"))
+        val pairs = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text")
+        ClusterOps.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("cluster"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' extraplantedtoken extrachained'
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 100),
+        post AS (SELECT i.doc_id, i.shingle FROM inv i JOIN rare r USING (shingle)),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM post a JOIN post b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN sets sa ON sa.doc_id = cand.doc_a
+          JOIN sets sb ON sb.doc_id = cand.doc_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= 0.6
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- s01
     // Brute-force cosine top-k against the vec_id=0 embedding — the
     // exactness baseline for ANN (TakeOrderedAndProject, no full sort).
@@ -461,6 +530,24 @@ object OpsQueries {
         FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t08
+    // Corpus token vocabulary: explode → count → top-100 with a
+    // deterministic tie-break — the frequency table BPE/vocab training
+    // starts from. Map-side partial aggregation keeps the shuffle at
+    // one row per distinct token per partition.
+    QueryDef(
+      "t08_token_vocab",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(100)
+      },
+      Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 100""")),
 
     // ---------------------------------------------------------------- m01
     // Multimodal plumbing: text bytes as a stand-in binary media column →

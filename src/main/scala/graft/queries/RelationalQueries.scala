@@ -513,6 +513,36 @@ object RelationalQueries {
             OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
                   RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_nearby
         FROM orders WHERE o_orderkey < 5000
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q22
+    // Sessionization: per-user event streams split at 30-minute silence
+    // gaps (lag + conditional cumsum — the canonical window-function
+    // pattern; one shuffle on user_id). Timestamps compared at µs on both
+    // engines (the parquet column is ns; DuckDB truncates to µs).
+    QueryDef(
+      "q22_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        table(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+          .withColumn("new_session",
+            when($"gap_us".isNull || $"gap_us" > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .groupBy($"user_id")
+          .agg(sum($"new_session").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH gaps AS (
+          SELECT user_id,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap_us
+          FROM events)
+        SELECT user_id,
+          CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM gaps GROUP BY user_id ORDER BY user_id"""))
   )
 }

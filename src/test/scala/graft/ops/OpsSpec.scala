@@ -123,6 +123,30 @@ class OpsSpec extends SparkSuite {
       s"expected segment pruning: ${probed.rdd.getNumPartitions} of $total tasks")
   }
 
+  test("connected components collapses transitive chains to min-id clusters") {
+    // path graph 1-2-3-4-5 (diameter 4, needs >1 propagation round),
+    // a disjoint pair, and a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val cc = ClusterOps.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert(cc.size == 10)
+    // maxIter too small for the diameter: labels must still be a valid
+    // partial result (never wrong cluster membership across components)
+    val partial = ClusterOps.connectedComponents(pairs, "a", "b", maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    val componentMin = Map[Long, Long]() ++
+      (1L to 5L).map(_ -> 1L) ++ Seq(10L -> 10L, 11L -> 10L) ++
+      Seq(20L, 21L, 22L).map(_ -> 20L)
+    partial.foreach { case (node, label) =>
+      assert(label <= node && label >= componentMin(node),
+        s"node $node got label $label outside its component")
+    }
+  }
+
   test("lloyd training is bit-stable across partitionings and refines clusters") {
     val k = 4
     val seeds = SimilarityOps.trainIvfCentroids(embs, "vec_id", "embedding", k, 0)
