@@ -17,6 +17,19 @@ import graft.ops._
 object OpsQueries {
   import QueryDef.table
 
+  /** Run `body` with the session's shuffle-partition count scoped down —
+    * streaming STATE partition count is fixed from this setting at the
+    * first micro-batch, and stateful queries holding a few hundred keys
+    * do not want one state store per core: each micro-batch pays store
+    * open/commit per partition, a fixed cost that dwarfs the data at
+    * small state. Production sizing matches state partitions to state
+    * volume; these queries' state is tiny. Restores the previous value. */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** documents ∪ exact copies of every 10th doc (re-keyed +1,000,000). */
   private def withExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents")
@@ -595,7 +608,7 @@ object OpsQueries {
     // over static files == the batch aggregation, which the oracle checks.
     QueryDef(
       "st01_streaming_hourly",
-      (s, dir) => {
+      (s, dir) => withShufflePartitions(s, 8) {
         val schema = StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),
@@ -722,7 +735,7 @@ object OpsQueries {
     // version from the update-mode sink. Oracle = the resolved batch view.
     QueryDef(
       "st04_stateful_lww_stream",
-      (s, dir) => {
+      (s, dir) => withShufflePartitions(s, 8) {
         import s.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
         val src = table(s, dir, "supplier")
@@ -767,7 +780,7 @@ object OpsQueries {
     // LWW resolution, which the oracle computes from parquet.
     QueryDef(
       "st05_streaming_resolved_deletes",
-      (s, dir) => {
+      (s, dir) => withShufflePartitions(s, 8) {
         import s.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         import graft.spark.HadroTable
@@ -891,7 +904,7 @@ object OpsQueries {
     // on static data — the oracle keeps windows whose end <= max(ts) - 1h.
     QueryDef(
       "st06_watermark_append",
-      (s, dir) => {
+      (s, dir) => withShufflePartitions(s, 8) {
         import s.implicits._
         val schema = StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
