@@ -269,6 +269,27 @@ final class Collection private (spark: SparkSession, val path: String) {
     def rebuild(): Unit = compact()
   }
 
+  /** CDC merge — apply a changeset of upserts AND deletes in ONE atomic
+    * commit (the MERGE INTO / apply-changes shape): rows where
+    * `deleteWhen` is true become tombstones for their key, every other
+    * row upserts; readers see the whole changeset or none of it. Backed
+    * by a per-record tombstone flag in the write path
+    * (`hadro.deleteCol`), so a single distributed write job carries the
+    * mixed batch — no per-kind staging, no second commit to race. */
+  def merge(changes: DataFrame, deleteWhen: Column): Unit = {
+    require(keyField.isDefined, "merge() requires a keyed collection")
+    // The flag is computed BEFORE projection so deleteWhen may reference
+    // any changes column; only stored-schema columns + the flag are written.
+    val stored = CollectionMeta.readSchema(dir).get.schema.fieldNames.toSet
+    val dataCols = changes.columns.filter(stored).map(col).toSeq
+    changes.withColumn("__hadro_delete", deleteWhen)
+      .select(dataCols :+ col("__hadro_delete"): _*)
+      .write.format("hadro").mode("append")
+      .option("hadro.upsert", "true")
+      .option("hadro.deleteCol", "__hadro_delete")
+      .save(path)
+  }
+
   /** Batch transaction (#20, `INTERFACE.md:40-43`): every add/set staged in
     * the body commits as ONE manifest version — readers see all of it or
     * none of it. This is exactly the all-or-nothing the reference declares

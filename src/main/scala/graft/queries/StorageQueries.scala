@@ -429,6 +429,31 @@ object StorageQueries {
         SELECT n_nationkey + 100, n_name,
           'cat_' || CAST(n_regionkey AS VARCHAR) AS category
           FROM nation
-        ORDER BY n_nationkey"""))
+        ORDER BY n_nationkey""")),
+
+    // ---------------------------------------------------------------- h23
+    // CDC merge: one changeset frame carries updates (rename every 10th
+    // customer) AND deletes (every 7th) and commits ATOMICALLY as one
+    // manifest version — per-record tombstone flags in the write path, the
+    // MERGE INTO / apply-changes shape. The resolved view must show renames
+    // minus deletions; delete wins where a key matches both rules.
+    QueryDef(
+      "h23_cdc_merge",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "customer")
+        val c = Collection.create(s, colPath(dir, "h23"), src,
+          key = Some("c_custkey"), numSegments = 4)
+        val changes = src
+          .filter($"c_custkey" % 10 === 0 || $"c_custkey" % 7 === 0)
+          .withColumn("c_name", concat(lit("MERGED_"), $"c_name"))
+        c.merge(changes, $"c_custkey" % 7 === 0)
+        c.toDF().select($"c_custkey", $"c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+          CASE WHEN c_custkey % 10 = 0 THEN 'MERGED_' || c_name ELSE c_name END AS c_name
+        FROM customer
+        WHERE c_custkey % 7 <> 0
+        ORDER BY c_custkey"""))
   )
 }

@@ -32,6 +32,10 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
     private def tombstone = opts.getBoolean("hadro.tombstone", false)
     private def upsert = opts.getBoolean("hadro.upsert", false)
     private def keyField = Option(opts.get("hadro.key")).filter(_.nonEmpty)
+    // CDC merge: a boolean column of the INCOMING frame (not stored) that
+    // marks per-record tombstones, so one atomic commit mixes upserts and
+    // deletes — the MERGE/apply-changes shape.
+    private def deleteCol = Option(opts.get("hadro.deleteCol")).filter(_.nonEmpty)
     private def splitBytes = {
       val sb = opts.getLong("hadro.splitBytes", SegmentWriter.DefaultSplitBytes)
       require(sb > 0, s"hadro.splitBytes must be positive, got $sb")
@@ -41,11 +45,13 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
 
     override def toBatch: BatchWrite =
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
-        upsert || tombstone, doTruncate, keyField, splitBytes, offsetIndex)
+        upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
+        splitBytes, offsetIndex, deleteCol)
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new HadroStreamingWrite(path, info.schema(), consistency,
-        upsert || tombstone, keyField, splitBytes, info.queryId(), offsetIndex)
+        upsert || tombstone || deleteCol.nonEmpty, keyField, splitBytes,
+        info.queryId(), offsetIndex, deleteCol)
   }
 }
 
@@ -55,12 +61,12 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
   * + type conformance, fail fast). */
 private[spark] object HadroWriteInit {
   def ensureSchema(path: Path, schema: StructType, tombstone: Boolean,
-      keyField: Option[String]): CollectionMeta.SchemaMeta = {
+      keyField: Option[String], deleteCol: Option[String] = None): CollectionMeta.SchemaMeta = {
     Files.createDirectories(path)
     CollectionMeta.readSchema(path) match {
       case Some(meta) =>
         val stored = meta.schema
-        schema.fields.foreach { f =>
+        schema.fields.filterNot(f => deleteCol.contains(f.name)).foreach { f =>
           val sf = stored.fields.find(_.name == f.name).getOrElse(
             throw new IllegalArgumentException(
               s"hadro: field '${f.name}' not in collection schema ${stored.simpleString}"))
@@ -74,6 +80,8 @@ private[spark] object HadroWriteInit {
           }
         meta
       case None =>
+        require(deleteCol.isEmpty,
+          "hadro: hadro.deleteCol requires an existing collection (CDC merge)")
         keyField.foreach { k =>
           require(schema.fieldNames.contains(k), s"hadro: key field '$k' not in schema")
         }
@@ -97,16 +105,17 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     consistency: Consistency.Value, tombstone: Boolean, mutating: Boolean,
     truncate: Boolean, keyField: Option[String],
     splitBytes: Long = SegmentWriter.DefaultSplitBytes,
-    offsetIndex: Boolean = true) extends BatchWrite {
+    offsetIndex: Boolean = true,
+    deleteCol: Option[String] = None) extends BatchWrite {
 
-  private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone, keyField)
+  private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone, keyField, deleteCol)
   private val storedSchema: StructType = storedMeta.schema
   private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
-      offsetIndex)
+      offsetIndex, deleteCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
@@ -157,10 +166,11 @@ final case class HadroCommitMessage(info: SegmentInfo) extends WriterCommitMessa
 final class HadroStreamingWrite(path: Path, schema: StructType,
     consistency: Consistency.Value, mutating: Boolean,
     keyField: Option[String], splitBytes: Long, queryId: String,
-    offsetIndex: Boolean = true)
+    offsetIndex: Boolean = true,
+    deleteCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
-  private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone = false, keyField)
+  private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone = false, keyField, deleteCol)
   private val storedSchema: StructType = storedMeta.schema
   private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
 
@@ -168,7 +178,7 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new HadroStreamingWriterFactory(path.toString, storedSchema, schema, consistency,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
-      offsetIndex)
+      offsetIndex, deleteCol)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
@@ -209,25 +219,28 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
 final class HadroStreamingWriterFactory(path: String, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value,
     keyOrdinal: Option[Int], splitBytes: Long,
-    indexOrdinals: Map[String, Seq[Int]], offsetIndex: Boolean = true)
+    indexOrdinals: Map[String, Seq[Int]], offsetIndex: Boolean = true,
+    deleteCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
       tombstone = false, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals,
-      offsetIndex)
+      offsetIndex, deleteCol)
 }
 
 final class HadroWriterFactory(path: String, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value, tombstone: Boolean,
     keyOrdinal: Option[Int], splitBytes: Long,
     indexOrdinals: Map[String, Seq[Int]] = Map.empty,
-    offsetIndex: Boolean = true) extends DataWriterFactory {
+    offsetIndex: Boolean = true,
+    deleteCol: Option[String] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
-      tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals, offsetIndex)
+      tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals, offsetIndex,
+      deleteCol)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -244,19 +257,33 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     partitionId: Int, taskId: Long, keyOrdinal: Option[Int],
     splitBytes: Long = SegmentWriter.DefaultSplitBytes,
     indexOrdinals: Map[String, Seq[Int]] = Map.empty,
-    offsetIndex: Boolean = true) extends DataWriter[InternalRow] {
+    offsetIndex: Boolean = true,
+    deleteCol: Option[String] = None) extends DataWriter[InternalRow] {
 
   private val file = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
   private val writer = new SegmentWriter(file, storedSchema, consistency, keyOrdinal,
     splitBytes, indexOrdinals, offsetIndex)
 
+  // CDC merge: per-record tombstone flag read from a transport column of
+  // the incoming frame (never stored) — one commit mixes upserts + deletes.
+  private val deleteOrd: Int = deleteCol.map { c =>
+    val o = writeSchema.fieldNames.indexOf(c)
+    require(o >= 0, s"hadro: delete column '$c' not in write schema")
+    require(writeSchema(o).dataType == org.apache.spark.sql.types.BooleanType,
+      s"hadro: delete column '$c' must be boolean")
+    o
+  }.getOrElse(-1)
+
   // Projection: stored ordinal -> write ordinal (or -1 = absent -> null).
   private val proj: Array[Int] = storedSchema.fields.map(f => writeSchema.fieldNames.indexOf(f.name))
-  private val identity = proj.length == writeSchema.length && proj.zipWithIndex.forall { case (p, i) => p == i }
+  private val identity = deleteOrd < 0 &&
+    proj.length == writeSchema.length && proj.zipWithIndex.forall { case (p, i) => p == i }
   private val projected = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(storedSchema.length)
 
   override def write(row: InternalRow): Unit = {
+    val deleted = tombstone ||
+      (deleteOrd >= 0 && !row.isNullAt(deleteOrd) && row.getBoolean(deleteOrd))
     val out: InternalRow =
       if (identity) row
       else {
@@ -270,12 +297,14 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
       }
     var i = 0
     while (i < storedSchema.length) {
-      if (!tombstone && !storedSchema(i).nullable && out.isNullAt(i))
+      // deleted records may carry a key-only projection: skip the
+      // non-null contract for them (they never surface as data rows)
+      if (!deleted && !storedSchema(i).nullable && out.isNullAt(i))
         throw new IllegalArgumentException(
           s"hadro: null in non-nullable field '${storedSchema(i).name}'")
       i += 1
     }
-    writer.append(out, deleted = tombstone)
+    writer.append(out, deleted = deleted)
   }
 
   override def commit(): WriterCommitMessage = HadroCommitMessage(writer.close())
