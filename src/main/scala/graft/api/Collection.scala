@@ -327,6 +327,20 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField)
   }
 
+  /** Z-order the collection: rewrite resolved rows range-clustered on the
+    * Morton-interleaved key of `cols` (1-4 numeric columns), so every
+    * clustered column gets narrow per-segment min/max and manifest stats
+    * prune segments for filters on ANY of them — the multi-predicate
+    * layout a single-column sort can't give. Same atomicity/GC path as
+    * [[compact]] (manifest swap, deferred physical GC). */
+  def cluster(cols: Seq[String], numSegments: Int = 16): Unit = {
+    val schema = CollectionMeta.readSchema(dir).get.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column '$c' not in ${schema.simpleString}"))
+    graft.ops.LayoutOps.zOrderBy(toDF(), cols, numSegments)
+      .write.format("hadro").mode("overwrite").save(path)
+  }
+
   /** Rewrite the collection to only live, resolved rows (#23) — the
     * compaction/merge the reference names as a needed maintenance job but
     * never builds (`hadro/engine.py:53`). Atomic: readers see the old

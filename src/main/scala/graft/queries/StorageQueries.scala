@@ -454,6 +454,31 @@ object StorageQueries {
           CASE WHEN c_custkey % 10 = 0 THEN 'MERGED_' || c_name ELSE c_name END AS c_name
         FROM customer
         WHERE c_custkey % 7 <> 0
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- h24
+    // Z-order layout: cluster orders on the Morton-interleaved key of
+    // (o_custkey, o_totalprice), then run a 2-D box query. Each segment
+    // covers a small hyper-rectangle, so manifest min/max stats prune
+    // segments for predicates on EITHER column — a single-column sort
+    // would only ever prune on its leading column. Pruning itself is
+    // asserted in LayoutSpec; here the oracle proves the rewrite is
+    // lossless and the box query exact.
+    QueryDef(
+      "h24_zorder_box_query",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "orders")
+        val c = Collection.create(s, colPath(dir, "h24"), src, numSegments = 4)
+        c.cluster(Seq("o_custkey", "o_totalprice"), numSegments = 16)
+        c.scan()
+          .filter($"o_custkey" < 200 && ($"o_totalprice" between (50000.0, 150000.0)))
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey < 200 AND o_totalprice BETWEEN 50000.0 AND 150000.0
+        ORDER BY o_orderkey"""))
   )
 }

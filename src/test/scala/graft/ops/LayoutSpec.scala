@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** Z-order layout: after clustering on two columns, manifest min/max stats
+  * must prune segments for narrow filters on EITHER column — the property
+  * a single-column sort cannot provide. */
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("z-order gives segment pruning on both clustered dimensions") {
+    val path = Files.createTempDirectory("zorder").resolve("c").toString
+    // uniform 2-D grid: 64x64 points, both dims equally spread
+    val src = spark.range(0, 4096).select(
+      ($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"), $"id".as("v"))
+    val c = Collection.create(spark, path, src, numSegments = 4)
+    c.cluster(Seq("x", "y"), numSegments = 16)
+
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.segments.size == 16)
+
+    // the rewrite is lossless
+    assert(c.scan().count() == 4096)
+    assert(c.scan().agg(sum($"v")).head().getLong(0) == (0L until 4096L).sum)
+
+    // a narrow slice on EITHER dimension touches a minority of segments
+    def tasks(p: org.apache.spark.sql.DataFrame) = p.rdd.getNumPartitions
+    val onX = tasks(c.scan().filter($"x" < 8))
+    val onY = tasks(c.scan().filter($"y" < 8))
+    assert(onX <= 8, s"x-slice touched $onX of 16 segments")
+    assert(onY <= 8, s"y-slice touched $onY of 16 segments")
+    // and the slices are exact
+    assert(c.scan().filter($"x" < 8).count() == 8 * 64)
+    assert(c.scan().filter($"y" < 8).count() == 8 * 64)
+
+    // contrast: a LINEAR sort on x prunes x but cannot prune y
+    val linPath = Files.createTempDirectory("linear").resolve("c").toString
+    val lin = Collection.create(spark, linPath,
+      src.repartitionByRange(16, $"x"), numSegments = 0)
+    assert(tasks(lin.scan().filter($"x" < 8)) <= 8)
+    assert(tasks(lin.scan().filter($"y" < 8)) == 16,
+      "linear layout should NOT prune on the non-sorted dimension")
+  }
+
+  test("cluster validates columns and preserves keyed resolution") {
+    val path = Files.createTempDirectory("zkeyed").resolve("c").toString
+    val src = Seq.tabulate(100)(i => (i.toLong, i * 2L, s"v$i")).toDF("k", "m", "v")
+    val c = Collection.create(spark, path, src, key = Some("k"), numSegments = 4)
+    c.set(Seq((5L, 10L, "v5_new")).toDF("k", "m", "v"))
+    c.delete(7L)
+    intercept[IllegalArgumentException](c.cluster(Seq("nope")))
+    c.cluster(Seq("k", "m"), numSegments = 4)
+    // clustering rewrites the RESOLVED view: upsert kept, delete gone
+    assert(c.count() == 99)
+    assert(c.get(5L).select($"v").as[String].head() == "v5_new")
+    assert(c.get(7L).isEmpty)
+  }
+}
