@@ -985,6 +985,52 @@ object OpsQueries {
       Some("""SELECT n_nationkey, n_name FROM nation
         UNION ALL
         SELECT n_nationkey + 100, n_name FROM nation
-        ORDER BY n_nationkey"""))
+        ORDER BY n_nationkey""")),
+
+    // --------------------------------------------------------------- st09
+    // Streaming CDC REPLICATION — the full pipeline composed: tail a keyed
+    // collection's changefeed (`hadro.changefeed=full`: upserts AND
+    // tombstones as rows), collapse each micro-batch to its last-write-
+    // wins state per key, and apply it to a replica collection with one
+    // atomic merge (per-record tombstones) per batch. The replica
+    // converges to the source's resolved view exactly-once — the
+    // Delta-style materialized replica, on hadro end to end.
+    QueryDef(
+      "st09_cdc_replication",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.spark.HadroTable
+        val src = table(s, dir, "supplier")
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val srcPath = s"/tmp/graft_collections/$tag/st09_src"
+        val dstPath = s"/tmp/graft_collections/$tag/st09_dst"
+        val c = graft.api.Collection.create(s, srcPath, src, key = Some("s_suppkey"))
+        graft.api.Collection.create(s, dstPath, src.limit(0), key = Some("s_suppkey"))
+        val dst = graft.api.Collection(s, dstPath)
+        val q = s.readStream.format("hadro")
+          .option("hadro.changefeed", "full").load(srcPath)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val w = Window.partitionBy($"s_suppkey")
+              .orderBy(col(HadroTable.SeqCol).desc)
+            val latest = batch.withColumn("__rn", row_number().over(w))
+              .filter($"__rn" === 1)
+            dst.merge(latest, col(HadroTable.DeletedCol))
+          }.start()
+        q.processAllAvailable() // batch 1: the initial snapshot
+        c.set(src.filter($"s_suppkey" % 10 === 0)
+          .withColumn("s_name", concat(lit("CDC_"), $"s_name")))
+        q.processAllAvailable() // batch 2: upserts
+        c.delete(src.filter($"s_suppkey" % 13 === 0).select($"s_suppkey"))
+        q.processAllAvailable() // batch 3: deletes
+        q.stop()
+        dst.toDF().select($"s_suppkey", $"s_name").orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey,
+          CASE WHEN s_suppkey % 10 = 0 THEN 'CDC_' || s_name ELSE s_name END AS s_name
+        FROM supplier
+        WHERE s_suppkey % 13 <> 0
+        ORDER BY s_suppkey"""))
   )
 }
