@@ -144,8 +144,40 @@ object SimilarityOps {
     }
     val assigned = vecs.withColumn("cluster",
       greatest(scored.toSeq: _*).getField("cid"))
-    graft.api.Collection.create(spark, path,
+    val collection = graft.api.Collection.create(spark, path,
       assigned.repartitionByRange(numSegments, col("cluster")))
+    // Persist the (possibly trained) centroids next to the manifests:
+    // probing must rank centroids WITHOUT touching the corpus — training
+    // is build-time work, never query-time work. Truncate/compaction
+    // leaves this sidecar alone (GC only touches data/bloom/koff files).
+    saveCentroids(java.nio.file.Paths.get(path), cents)
+    collection
+  }
+
+  private def centroidsFile(dir: java.nio.file.Path): java.nio.file.Path =
+    dir.resolve("_hadro").resolve("ivf-centroids.json")
+
+  private def saveCentroids(dir: java.nio.file.Path,
+      cents: Seq[(Int, Seq[Float])]): Unit = {
+    val json = cents.sortBy(_._1).map { case (cid, v) =>
+      s"""{"cid":$cid,"vec":[${v.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.createDirectories(dir.resolve("_hadro"))
+    java.nio.file.Files.write(centroidsFile(dir),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Centroids persisted by [[buildIvfIndex]], if any. */
+  def loadCentroids(dir: java.nio.file.Path): Option[Seq[(Int, Seq[Float])]] = {
+    val f = centroidsFile(dir)
+    if (!java.nio.file.Files.exists(f)) return None
+    val root = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    Some(root.extract[Seq[Map[String, Any]]].map { m =>
+      (m("cid").asInstanceOf[Number].intValue(),
+        m("vec").asInstanceOf[Seq[Number]].map(_.floatValue()))
+    })
   }
 
   /** One Lloyd refinement pass: assign every vector to its nearest centroid
@@ -198,26 +230,26 @@ object SimilarityOps {
     * segment stats drop every non-probed cluster's segments; exact cosine
     * ranks only the surviving vectors. */
   def ivfTopK(index: graft.api.Collection, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, kCentroids: Int = 8, nprobe: Int = 2,
-      iterations: Int = 0): DataFrame = {
+      query: Seq[Float], k: Int, kCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
     val scan = index.scan()
     val probeCids: Seq[Long] =
-      if (iterations == 0) {
-        scan.filter(col("vid") < kCentroids)
-          .select(col("vid"), cosine(col("vec"), typedlit(query)).as("cos"))
-          .collect()
-          .sortBy(r => (-r.getDouble(1), -r.getLong(0))) // cos desc, cid desc
-          .take(nprobe)
-          .map(_.getLong(0)).toSeq
-      } else {
-        // Trained index: re-derive the centroids (deterministic — decimal
-        // sums make training bit-stable) and rank them driver-side; the
-        // corpus is touched only for the training aggregate.
-        val cents = trainIvfCentroids(
-          scan.select(col("vid"), col("vec")), "vid", "vec", kCentroids, iterations)
-        cents.map { case (cid, cv) => (cid.toLong, cosineLocal(cv, query)) }
-          .sortBy { case (cid, cos) => (-cos, -cid) }
-          .take(nprobe).map(_._1)
+      loadCentroids(java.nio.file.Paths.get(index.path)) match {
+        case Some(cents) =>
+          // Persisted (seed or trained) centroids: probe ranking is a
+          // driver-side loop over k literals — the corpus is never touched
+          // to decide which clusters to read.
+          cents.map { case (cid, cv) => (cid.toLong, cosineLocal(cv, query)) }
+            .sortBy { case (cid, cos) => (-cos, -cid) }
+            .take(nprobe).map(_._1)
+        case None =>
+          // Legacy index without the sidecar: seed centroids ARE rows of
+          // the collection (vid < k) — one k-row pruned job ranks them.
+          scan.filter(col("vid") < kCentroids)
+            .select(col("vid"), cosine(col("vec"), typedlit(query)).as("cos"))
+            .collect()
+            .sortBy(r => (-r.getDouble(1), -r.getLong(0))) // cos desc, cid desc
+            .take(nprobe)
+            .map(_.getLong(0)).toSeq
       }
     scan.filter(col("cluster").isin(probeCids: _*))
       .select(col("vid").as(idCol), cosine(col("vec"), typedlit(query)).as("cosine"))

@@ -162,8 +162,10 @@ class OpsSpec extends SparkSuite {
     val idx = SimilarityOps.buildIvfIndex(spark, path, embs, "vec_id", "embedding",
       kCentroids = k, numSegments = 4, iterations = 1)
     val q = embs.filter($"vec_id" === 3L).select($"embedding").head().getSeq[Float](0)
+    // centroids are persisted at build: the probe ranks them driver-side
+    assert(SimilarityOps.loadCentroids(java.nio.file.Paths.get(path)).get == t1)
     val got = SimilarityOps.ivfTopK(idx, "vec_id", "embedding", q, 10,
-      kCentroids = k, nprobe = 2, iterations = 1)
+      kCentroids = k, nprobe = 2)
       .select($"vec_id").as[Long].collect().toSet
     assert(got.size == 10)
     assert(got.contains(3L), "the query vector itself must be found")
