@@ -327,6 +327,18 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField)
   }
 
+  /** Reclaim space on demand: physically delete the files recorded dead by
+    * earlier truncates/compactions (the deferred generation) instead of
+    * waiting for the next rewrite to purge them. Same safety contract as
+    * the deferred-GC path — only files no current manifest references. */
+  def vacuum(): Unit = {
+    val m = manifest
+    val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
+      m.segments.flatMap(_.indexBlooms.values) ++
+      m.segments.flatMap(_.offsetIndex)).toSet
+    CollectionMeta.purgeDeferred(dir, live)
+  }
+
   /** Z-order the collection: rewrite resolved rows range-clustered on the
     * Morton-interleaved key of `cols` (1-4 numeric columns), so every
     * clustered column gets narrow per-segment min/max and manifest stats

@@ -76,4 +76,20 @@ class CompactionSpec extends SparkSuite {
     assert(gen1.subsetOf(now), "gen1 should be deferred, not deleted")
     assert(c.count() == src.count() - 2)
   }
+
+  test("vacuum() reclaims deferred garbage on demand without a rewrite") {
+    val path = tmp("vacuum")
+    val src = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val c = Collection.create(spark, path, src, key = Some("s_suppkey"), numSegments = 4)
+    val gen0 = dataFiles(path)
+    c.compact() // gen0 dereferenced, deferred
+    assert(gen0.subsetOf(dataFiles(path)))
+    c.vacuum()
+    val now = dataFiles(path)
+    assert(gen0.intersect(now).isEmpty, s"vacuum left ${gen0.intersect(now)}")
+    // live data untouched, dead-lists drained (idempotent)
+    assert(c.count() == src.count())
+    c.vacuum()
+    assert(c.count() == src.count())
+  }
 }
