@@ -171,6 +171,50 @@ object AdvancedQueries {
         SELECT 'grp_' || CAST(k % 7 AS VARCHAR) AS tag,
           CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-        FROM l GROUP BY tag ORDER BY tag"""))
+        FROM l GROUP BY tag ORDER BY tag""")),
+
+    // ---------------------------------------------------------------- a08
+    // Runtime Bloom-filter join pruning: a selective filter on the DIM
+    // side is turned by Catalyst into a bloom_filter_agg subquery whose
+    // might_contain() predicate drops non-joining FACT rows BEFORE the
+    // join shuffle — at 100 TB this is the difference between shuffling
+    // the whole fact table and shuffling only rows that can match.
+    // Broadcast is disabled in scope to force the shuffle join the
+    // optimization targets; plan shape asserted in RuntimeFilterSpec.
+    QueryDef(
+      "a08_runtime_filter_join",
+      (s, dir) => {
+        import s.implicits._
+        val saved = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.optimizer.runtime.bloomFilter.enabled",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+          .map(k => k -> (try Some(s.conf.get(k)) catch { case _: Exception => None })).toMap
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        try {
+          val li = table(s, dir, "lineitem")
+          val o = table(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+          li.join(o, $"l_orderkey" === $"o_orderkey")
+            .groupBy($"o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              sum($"l_quantity".cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
+            .orderBy($"o_orderstatus")
+            // EAGER checkpoint: plans resolve at action time, so the join
+            // must execute while the scoped confs are live — the few
+            // aggregated rows materialize here and downstream actions
+            // replay the checkpoint, not the join
+            .localCheckpoint(true)
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000.0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
