@@ -45,14 +45,24 @@ final class Collection private (spark: SparkSession, val path: String) {
 
   /** The resolved view: latest version per key, tombstones removed. */
   def toDF(): DataFrame = keyField match {
-    case Some(k) if manifest.mutated =>
-      val raw = scan().select(col("*"),
-        col(HadroTable.SeqCol), col(HadroTable.DeletedCol))
-      val w = Window.partitionBy(col(k)).orderBy(col(HadroTable.SeqCol).desc)
-      raw.withColumn("__hadro_rn", row_number().over(w))
-        .filter(col("__hadro_rn") === 1 && !col(HadroTable.DeletedCol))
-        .drop("__hadro_rn", HadroTable.SeqCol, HadroTable.DeletedCol)
+    case Some(k) if manifest.mutated => resolve(scan(), k)
     case _ => scan()
+  }
+
+  private def resolve(raw0: DataFrame, k: String): DataFrame = {
+    val raw = raw0.select(col("*"),
+      col(HadroTable.SeqCol), col(HadroTable.DeletedCol))
+    val w = Window.partitionBy(col(k)).orderBy(col(HadroTable.SeqCol).desc)
+    raw.withColumn("__hadro_rn", row_number().over(w))
+      .filter(col("__hadro_rn") === 1 && !col(HadroTable.DeletedCol))
+      .drop("__hadro_rn", HadroTable.SeqCol, HadroTable.DeletedCol)
+  }
+
+  /** Resolved view AS OF a pinned version — the stable input compaction
+    * and clustering rewrite, immune to commits landing mid-job. */
+  private def resolvedAt(version: Long): DataFrame = keyField match {
+    case Some(k) if manifest.mutated => resolve(scanVersion(version), k)
+    case _ => scanVersion(version)
   }
 
   /** Append rows (no keyed semantics — fastest path, pure log append). */
@@ -349,8 +359,11 @@ final class Collection private (spark: SparkSession, val path: String) {
     val schema = CollectionMeta.readSchema(dir).get.schema
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column '$c' not in ${schema.simpleString}"))
-    graft.ops.LayoutOps.zOrderBy(toDF(), cols, numSegments)
-      .write.format("hadro").mode("overwrite").save(path)
+    val m0 = manifest
+    graft.ops.LayoutOps.zOrderBy(resolvedAt(m0.version), cols, numSegments)
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.compactOf", m0.version.toString)
+      .option("hadro.compactOfGen", m0.generation.toString).save(path)
   }
 
   /** Rewrite the collection to only live, resolved rows (#23) — the
@@ -359,12 +372,18 @@ final class Collection private (spark: SparkSession, val path: String) {
     * manifest until the rewrite commits. */
   def compact(): Unit = {
     // No dataset-sized cache: segments are immutable and the read plan is
-    // pinned to the pre-compaction manifest at job planning, so write tasks
-    // stream resolved rows from the OLD segment files into fresh ones; the
-    // manifest swap + old-file GC happen in the driver-side commit only
-    // after every task (and therefore every read) has finished. Snapshot
-    // isolation comes free from immutability — nothing to materialize.
-    toDF().write.format("hadro").mode("overwrite").save(path)
+    // pinned to manifest version v0, so write tasks stream resolved rows
+    // from the OLD segment files into fresh ones; the manifest swap +
+    // old-file GC happen in the driver-side commit only after every task
+    // has finished. Snapshot isolation comes free from immutability.
+    // The pin also makes concurrent appends SAFE: the commit preserves
+    // any segment committed after v0 (re-ordered behind the rewrite), so
+    // a write landing mid-compaction is never silently dropped; a
+    // concurrent truncate aborts the compaction instead of being undone.
+    val m0 = manifest
+    resolvedAt(m0.version).write.format("hadro").mode("overwrite")
+      .option("hadro.compactOf", m0.version.toString)
+      .option("hadro.compactOfGen", m0.generation.toString).save(path)
   }
 }
 

@@ -42,11 +42,19 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
       sb
     }
     private def offsetIndex = opts.getBoolean("hadro.offsetIndex", true)
+    // Compaction snapshot pin: this truncate is a REWRITE of the named
+    // manifest version, so segments committed after it (concurrent
+    // appends) must be preserved, not silently dropped with the old data.
+    private def compactOf = Option(opts.get("hadro.compactOf")).filter(_.nonEmpty).map(_.toLong)
+    // Generation captured AT pin time: the conflict check must not depend
+    // on the pinned manifest surviving until commit (a conflicting
+    // truncate GCs it).
+    private def compactOfGen = Option(opts.get("hadro.compactOfGen")).filter(_.nonEmpty).map(_.toLong)
 
     override def toBatch: BatchWrite =
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
-        splitBytes, offsetIndex, deleteCol)
+        splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen)
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new HadroStreamingWrite(path, info.schema(), consistency,
@@ -106,7 +114,9 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     truncate: Boolean, keyField: Option[String],
     splitBytes: Long = SegmentWriter.DefaultSplitBytes,
     offsetIndex: Boolean = true,
-    deleteCol: Option[String] = None) extends BatchWrite {
+    deleteCol: Option[String] = None,
+    compactOf: Option[Long] = None,
+    compactOfGen: Option[Long] = None) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone, keyField, deleteCol)
   private val storedSchema: StructType = storedMeta.schema
@@ -119,17 +129,56 @@ final class HadroBatchWrite(path: Path, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
+    var conflicted = false
     CollectionMeta.commit(path, cur => {
-      val base = if (truncate) Seq.empty[SegmentInfo] else cur.segments
-      var ord = if (truncate) 0L else cur.nextOrdinal
-      val withOrdinals = segs.map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
-      cur.copy(
-        segments = base ++ withOrdinals,
-        mutated = (cur.mutated && !truncate) || mutating,
-        // ordinals restart at 0: bump the generation so tailing streams
-        // detect the discontinuity instead of misreading new ordinals
-        generation = if (truncate) cur.generation + 1 else cur.generation)
+      // A compaction is a rewrite of ONE pinned snapshot: segments that
+      // committed after it (concurrent appends/upserts) are NOT part of
+      // the rewrite and must survive, re-ordered AFTER the rewritten data
+      // so last-write-wins keeps seeing them as newer. A plain overwrite
+      // (no pin) replaces everything — that is its contract.
+      val preserved: Seq[SegmentInfo] = compactOf match {
+        case Some(v0) if truncate =>
+          val expectedGen = compactOfGen.getOrElse(0L)
+          if (cur.generation != expectedGen) {
+            // a concurrent TRUNCATE landed mid-compaction: this rewrite
+            // would resurrect data the truncate explicitly dropped —
+            // decline the commit and fail the job instead
+            conflicted = true
+            Seq.empty
+          } else {
+            try {
+              val o = CollectionMeta.manifestAt(path, v0)
+              conflicted = false
+              val rewritten = o.segments.map(_.file).toSet
+              cur.segments.filterNot(s => rewritten.contains(s.file))
+            } catch {
+              case _: Exception =>
+                // the pinned manifest is gone (>KeepVersions commits since
+                // the pin): we can no longer tell which segments the
+                // rewrite covered — abort rather than guess
+                conflicted = true
+                Seq.empty
+            }
+          }
+        case _ => Seq.empty
+      }
+      if (conflicted) cur
+      else {
+        val base = if (truncate) Seq.empty[SegmentInfo] else cur.segments
+        var ord = if (truncate) 0L else cur.nextOrdinal
+        val withOrdinals = (segs ++ preserved).map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+        cur.copy(
+          segments = base ++ withOrdinals,
+          mutated = (cur.mutated && (!truncate || preserved.nonEmpty)) || mutating,
+          // ordinals restart at 0: bump the generation so tailing streams
+          // detect the discontinuity instead of misreading new ordinals
+          generation = if (truncate) cur.generation + 1 else cur.generation)
+      }
     })
+    if (conflicted)
+      throw new IllegalStateException(
+        s"hadro: compaction of $path conflicted with a concurrent " +
+          "truncate/overwrite — the rewrite was abandoned; retry if still needed")
     if (truncate) {
       // GC the manifests that pre-date this truncate — a retained
       // pre-truncate manifest would point at dereferenced files, so
