@@ -146,6 +146,25 @@ object TextOps {
       regexp_replace(text, EmailPattern, "[EMAIL]"),
       PhonePattern, "[PHONE]")
 
+  // -------------------------------------------------------------- chunking
+
+  /** Overlapping token windows — the unit every embedding/pretraining
+    * pipeline feeds its model: `window` tokens per chunk, stepping by
+    * `stride` (< window = overlap). A document shorter than one window is
+    * one chunk. Pure per-row array expressions (no shuffle, no UDF); the
+    * caller explodes the result, so output volume ≈ corpus × window/stride
+    * — the expected blow-up, paid in map-side work only. */
+  def chunkTexts(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = tokens(text)
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(ceil((n - window).cast("double") / stride).cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(window))))
+  }
+
   // ------------------------------------------------------------ repetition
 
   /** Token-level repetition ratio in [0,1): fraction of tokens that are

@@ -562,6 +562,33 @@ object OpsQueries {
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token ORDER BY n DESC, token LIMIT 100""")),
 
+    // ---------------------------------------------------------------- t09
+    // Document chunking: overlapping 16-token windows with stride 8 — the
+    // unit embedding/pretraining pipelines consume. Per-row array
+    // expressions generate the windows; posexplode materializes them.
+    QueryDef(
+      "t09_chunking",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.select(col("doc_id"),
+            posexplode(TextOps.chunkTexts(col("text"), window = 16, stride = 8)))
+          .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+            col("col").as("chunk"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH meta AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+            CASE WHEN len(string_split(text, ' ')) <= 16 THEN 1
+                 ELSE CAST(ceil((len(string_split(text, ' ')) - 16)
+                   / CAST(8 AS DOUBLE)) AS INT) + 1 END AS nc
+          FROM documents),
+        exploded AS (
+          SELECT doc_id, unnest(generate_series(0, nc - 1)) AS i, toks
+          FROM meta)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          array_to_string(toks[i*8+1 : i*8+16], ' ') AS chunk
+        FROM exploded ORDER BY doc_id, chunk_idx""")),
+
     // ---------------------------------------------------------------- m01
     // Multimodal plumbing: text bytes as a stand-in binary media column →
     // per-partition batch "decode" (stubbed) → typed feature rows. The

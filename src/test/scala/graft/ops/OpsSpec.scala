@@ -183,6 +183,23 @@ class OpsSpec extends SparkSuite {
     assert(out.filter(size($"features") =!= 8).count() == 0)
   }
 
+  test("chunking covers every token with the configured overlap") {
+    val doc = (1 to 25).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, doc), (2L, "short doc")).toDF("doc_id", "text")
+    val out = rows.select($"doc_id",
+        explode(TextOps.chunkTexts($"text", window = 10, stride = 5)).as("chunk"))
+      .as[(Long, String)].collect()
+    val c1 = out.filter(_._1 == 1L).map(_._2)
+    // 25 tokens, window 10, stride 5 -> ceil((25-10)/5)+1 = 4 chunks
+    assert(c1.length == 4)
+    assert(c1.head == (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(c1.last == (16 to 25).map(i => s"t$i").mkString(" ")) // tail covered
+    // consecutive chunks overlap by window - stride = 5 tokens
+    assert(c1(0).split(" ").takeRight(5).sameElements(c1(1).split(" ").take(5)))
+    // short docs yield exactly one whole-text chunk
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq == Seq("short doc"))
+  }
+
   test("pii redaction scrubs emails and phones, leaves clean text intact") {
     val rows = Seq(
       (1L, "reach me at jane.doe+spam@sub.example.co.uk today"),
