@@ -337,6 +337,32 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField)
   }
 
+  /** Commit history over the retained manifest versions (newest first) —
+    * the audit view a lakehouse user expects (`DESCRIBE HISTORY` analog):
+    * per version, live segment/row/byte totals, the mutated flag, the log
+    * generation, and what the commit did relative to its parent (truncate/
+    * compact when the generation bumped, index (de)registration, plain
+    * write otherwise; "unknown" when the parent manifest was GC'd).
+    * Metadata only — no data files touched. Retention = the manifest GC
+    * window (KeepVersions; compaction drops the versions it invalidated). */
+  def history(): DataFrame = {
+    val ms = CollectionMeta.retainedManifests(dir).sortBy(-_.version)
+    val rows = ms.map { m =>
+      val parent = ms.find(_.version == m.version - 1)
+      val op = parent match {
+        case Some(p) if m.generation != p.generation => "truncate"
+        case Some(p) if m.indexes != p.indexes => "index"
+        case Some(_) => "write"
+        case None => "unknown" // parent GC'd
+      }
+      (m.version, op, m.segments.size.toLong,
+        m.segments.map(s => s.rows - s.tombstones).sum,
+        m.segments.map(_.bytes).sum, m.mutated, m.generation)
+    }
+    rows.toDF("version", "operation", "n_segments", "n_rows", "n_bytes",
+      "mutated", "generation")
+  }
+
   /** Reclaim space on demand: physically delete the files recorded dead by
     * earlier truncates/compactions (the deferred generation) instead of
     * waiting for the next rewrite to purge them. Same safety contract as

@@ -145,6 +145,19 @@ object CollectionMeta {
       .getOrElse(Manifest(0L, Nil, mutated = false))
   }
 
+  /** Every retained (parseable) manifest version — the commit history. */
+  def retainedManifests(collection: Path): Seq[Manifest] = {
+    val dir = metaDir(collection)
+    if (!Files.exists(dir)) return Nil
+    listDir(dir)
+      .flatMap(p => p.getFileName.toString match {
+        case ManifestRe(v) => Some(v.toLong)
+        case _ => None
+      })
+      .sorted
+      .flatMap(v => try Some(readManifest(collection, v)) catch { case _: Exception => None })
+  }
+
   private def readManifest(collection: Path, v: Long): Manifest = {
     val root = JsonMethods.parse(new String(
       Files.readAllBytes(manifestFile(collection, v)), StandardCharsets.UTF_8))

@@ -150,4 +150,29 @@ class CollectionSpec extends SparkSuite {
     assert(before.sameElements(after))
     assert(c.scan().count() == before.length) // raw log holds only live rows
   }
+
+  test("history() reports retained commits with operations and totals") {
+    val path = tmp("history")
+    val c = Collection.create(spark, path, books, key = Some("title")) // v1
+    c.set(Seq(("dune", "f. herbert")).toDF("title", "author"))         // v2
+    c.append(Seq(("new grub street", "gissing")).toDF("title", "author")) // v3
+    val pre = c.history().collect()
+    assert(pre.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L), "newest first")
+    assert(pre.take(2).forall(_.getString(1) == "write"))
+    assert(pre.head.getBoolean(5), "mutated after the upsert")
+    // n_rows counts raw live records (shadowed versions included)
+    assert(pre.head.getLong(3) == c.scan().count())
+
+    c.compact() // v4: truncate — invalidated versions are GC'd with it
+    val h = c.history().collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(4L))
+    assert(h.head.getString(1) == "unknown") // parent manifest gone
+    assert(h.head.getLong(3) == c.count())
+    assert(h.head.getBoolean(5) == false) // compaction resolved all mutations
+    assert(h.head.getLong(6) == 1L)       // one truncate => generation 1
+
+    c.append(Seq(("middlemarch", "eliot")).toDF("title", "author")) // v5
+    val ops = c.history().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(5L) == "write")
+  }
 }
