@@ -24,8 +24,13 @@ object ClusterOps {
     * `pairs` are by definition their own cluster and not emitted. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Persist the pair list FIRST: both direction branches of the edge
+    // union consume it, and upstream is typically a whole dedup pipeline
+    // that must not run twice.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
@@ -48,6 +53,7 @@ object ClusterOps {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }
 }
