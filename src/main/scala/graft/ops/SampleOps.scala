@@ -32,4 +32,16 @@ object SampleOps {
     * "heldout" at/above) — the two-way form of [[contentHashSample]]. */
   def splitLabel(idCol: Column, trainBoundExclusive: String = "f0"): Column =
     when(hashBucket(idCol) < trainBoundExclusive, "train").otherwise("heldout")
+
+  /** Stratified deterministic sampling: per-stratum keep rates expressed
+    * as hex bucket bounds ("80" = 50%, "10" = 6.25%), applied by stratum
+    * value — the language/domain-rebalancing pass every corpus mix runs,
+    * reproducible because membership is still content-hashed. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      bounds: Map[String, String], defaultBound: String): DataFrame = {
+    val bound = bounds.foldLeft(lit(defaultBound)) { case (acc, (value, b)) =>
+      when(col(strataCol) === value, lit(b)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < bound)
+  }
 }

@@ -225,6 +225,48 @@ object OpsQueries {
         SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d08
+    // Stratified deterministic sampling: rebalance the corpus mix — keep
+    // 50% of English docs, 6.25% of everything else — with content-hash
+    // membership, so the same mix reproduces on any engine/run/partition
+    // layout (seeded sample() cannot cross engines).
+    QueryDef(
+      "d08_stratified_sample",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        SampleOps.stratifiedSample(d, "doc_id", "lang",
+            Map("en" -> "80"), defaultBound = "10")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '10' END
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- m04
+    // Cross-modal join: text rows joined to their embedding rows, emitting
+    // per-document token counts next to vector norms — the alignment step
+    // multimodal pipelines run before pairing text with media features.
+    QueryDef(
+      "m04_crossmodal_join",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val e = table(s, dir, "embeddings")
+        d.join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            round(SimilarityOps.norm(col("embedding")), 4).as("vec_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+            x -> x * x))), 4) AS vec_norm
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- s01
     // Brute-force cosine top-k against the vec_id=0 embedding — the
     // exactness baseline for ANN (TakeOrderedAndProject, no full sort).

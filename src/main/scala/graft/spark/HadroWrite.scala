@@ -129,6 +129,11 @@ final class HadroBatchWrite(path: Path, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
+    // An empty non-truncating write is a no-op: publishing a version would
+    // only churn metadata, and an empty UPSERT/merge would flip a
+    // pure-append collection's `mutated` bit — permanently disabling its
+    // resolution-free fast paths — without writing a single record.
+    if (segs.isEmpty && !truncate) return
     var conflicted = false
     CollectionMeta.commit(path, cur => {
       // A compaction is a rewrite of ONE pinned snapshot: segments that

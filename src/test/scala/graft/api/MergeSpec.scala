@@ -52,6 +52,22 @@ class MergeSpec extends SparkSuite {
     assert(c.get(1L).select($"v").as[String].head() == "a3")
   }
 
+  test("empty writes are no-ops: no version churn, no mutated flip") {
+    val path = tmp("empty")
+    val src = Seq.tabulate(10)(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val c = Collection.create(spark, path, src, key = Some("k"))
+    val m0 = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(!m0.mutated)
+    // empty merge: zero change rows — must not mark the collection mutated
+    c.merge(src.filter($"k" < 0).withColumn("d", lit(false)), $"d")
+    // empty append: no version churn
+    c.append(src.filter($"k" < 0))
+    val m1 = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m1.version == m0.version, "empty writes must not publish versions")
+    assert(!m1.mutated, "an empty upsert must not flip the mutated fast-path bit")
+    assert(c.count() == 10)
+  }
+
   test("merge validates: unkeyed collections and fresh paths are rejected") {
     val pathUnkeyed = tmp("unkeyed")
     val c = Collection.create(spark, pathUnkeyed, Seq((1, "a")).toDF("k", "v"))
