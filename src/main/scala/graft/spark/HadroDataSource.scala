@@ -100,7 +100,8 @@ final class HadroTable(path: Path, dataSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HadroScanBuilder(path, dataSchema,
       Option(options.get("hadro.versionAsOf")).map(_.toLong),
-      options.getOrDefault("hadro.onTruncate", "fail"))
+      options.getOrDefault("hadro.onTruncate", "fail"),
+      options.getLong("hadro.maxOrdinalsPerTrigger", 0L))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new HadroWriteBuilder(path, info)
@@ -112,7 +113,8 @@ final class HadroTable(path: Path, dataSchema: StructType)
   * the same contract Spark's parquet source uses (skipping is an
   * optimization, never a correctness dependency). */
 final class HadroScanBuilder(path: Path, dataSchema: StructType,
-    versionAsOf: Option[Long] = None, onTruncate: String = "fail")
+    versionAsOf: Option[Long] = None, onTruncate: String = "fail",
+    maxOrdinalsPerTrigger: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = dataSchema
@@ -128,19 +130,21 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate)
+    new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
+      maxOrdinalsPerTrigger)
 }
 
 final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushed: Array[Filter], versionAsOf: Option[Long] = None,
-    onTruncate: String = "fail")
+    onTruncate: String = "fail", maxOrdinalsPerTrigger: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     validateAgainstStored()
-    new HadroMicroBatchStream(path, storedSchema, required, onTruncate)
+    new HadroMicroBatchStream(path, storedSchema, required, onTruncate,
+      maxOrdinalsPerTrigger)
   }
   override def description(): String =
     s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]"

@@ -3,7 +3,7 @@ package graft.spark
 import java.nio.file.Path
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 import graft.meta.CollectionMeta
@@ -33,10 +33,14 @@ final case class HadroOffset(nextOrdinal: Long, generation: Long = 0L) extends O
 }
 
 final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
-    required: StructType, onTruncate: String = "fail") extends MicroBatchStream {
+    required: StructType, onTruncate: String = "fail",
+    maxOrdinalsPerTrigger: Long = 0L)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   require(onTruncate == "fail" || onTruncate == "restart",
     s"hadro.onTruncate must be fail|restart, got '$onTruncate'")
+  require(maxOrdinalsPerTrigger >= 0,
+    s"hadro.maxOrdinalsPerTrigger must be >= 0, got $maxOrdinalsPerTrigger")
 
   override def initialOffset(): Offset =
     HadroOffset(0L, CollectionMeta.currentManifest(path).generation)
@@ -44,6 +48,26 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
   override def latestOffset(): Offset = {
     val m = CollectionMeta.currentManifest(path)
     HadroOffset(m.nextOrdinal, m.generation)
+  }
+
+  // ------------------------------------------------- admission control
+  // Backfilling a huge collection as a stream must not become ONE
+  // micro-batch over the whole log: `hadro.maxOrdinalsPerTrigger` caps
+  // how many segment ordinals a trigger admits, so checkpoints land at a
+  // bounded cadence and a failed backfill resumes mid-log instead of
+  // restarting a single giant batch. 0 = unbounded (default).
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxOrdinalsPerTrigger > 0) ReadLimit.maxRows(maxOrdinalsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val m = CollectionMeta.currentManifest(path)
+    val so = start.asInstanceOf[HadroOffset]
+    if (maxOrdinalsPerTrigger <= 0 || m.generation != so.generation)
+      HadroOffset(m.nextOrdinal, m.generation) // truncate: re-admit whole log
+    else
+      HadroOffset(math.min(m.nextOrdinal, so.nextOrdinal + maxOrdinalsPerTrigger),
+        m.generation)
   }
 
   override def deserializeOffset(json: String): Offset = {

@@ -69,6 +69,27 @@ class StreamSinkSpec extends SparkSuite {
     assert(spark.read.format("hadro").load(colPath).count() == src.count())
   }
 
+  test("maxOrdinalsPerTrigger bounds backfill micro-batches") {
+    val colPath = Files.createTempDirectory("admission").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/customer.parquet")
+    graft.api.Collection.create(spark, colPath, src, numSegments = 8)
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("hadro")
+      .option("hadro.maxOrdinalsPerTrigger", "2").load(colPath)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(batch.count()): Unit
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq
+    assert(sizes.sum == src.count(), "backfill must cover the whole log")
+    assert(sizes.count(_ > 0) >= 4,
+      s"8 segments at 2 ordinals/trigger should take >= 4 batches, got $sizes")
+    assert(sizes.max < src.count(), "no single giant batch")
+  }
+
   test("truncate under a stream fails fast even after the new log outgrows the old") {
     // The hard case for ordinal-only detection: the rewritten log GROWS
     // PAST the old next-ordinal, so offset ranges look plausible again and
