@@ -57,6 +57,11 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   private var nextSplit = splitBytes
   private val splits = scala.collection.mutable.Buffer.empty[graft.meta.SplitPoint]
 
+  /** Bytes appended so far (for writer-side segment rotation). */
+  def bytes: Long = bytesWritten
+  /** Records appended so far. */
+  def rowCount: Long = rows
+
   def append(row: InternalRow, deleted: Boolean = false): Unit = {
     if (bytesWritten >= nextSplit && rows > 0) {
       splits += graft.meta.SplitPoint(bytesWritten, rows)

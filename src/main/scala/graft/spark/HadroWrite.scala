@@ -42,6 +42,10 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
       sb
     }
     private def offsetIndex = opts.getBoolean("hadro.offsetIndex", true)
+    // Writer-side segment rotation: one huge ingest task must not produce
+    // one huge file — rotation caps segment size so compaction/GC/replica
+    // granularity stays bounded regardless of task skew. 0 = off.
+    private def maxSegmentBytes = opts.getLong("hadro.maxSegmentBytes", 0L)
     // Compaction snapshot pin: this truncate is a REWRITE of the named
     // manifest version, so segments committed after it (concurrent
     // appends) must be preserved, not silently dropped with the old data.
@@ -54,7 +58,8 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
-        splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen)
+        splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
+        maxSegmentBytes)
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new HadroStreamingWrite(path, info.schema(), consistency,
@@ -116,7 +121,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
     compactOf: Option[Long] = None,
-    compactOfGen: Option[Long] = None) extends BatchWrite {
+    compactOfGen: Option[Long] = None,
+    maxSegmentBytes: Long = 0L) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone, keyField, deleteCol)
   private val storedSchema: StructType = storedMeta.schema
@@ -125,10 +131,11 @@ final class HadroBatchWrite(path: Path, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
-      offsetIndex, deleteCol)
+      offsetIndex, deleteCol, maxSegmentBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
+    val segs = messages.collect { case m: HadroCommitMessage => m.infos }
+      .flatten.filter(_.rows > 0)
     // An empty non-truncating write is a no-op: publishing a version would
     // only churn metadata, and an empty UPSERT/merge would flip a
     // pure-append collection's `mutated` bit — permanently disabling its
@@ -201,16 +208,17 @@ final class HadroBatchWrite(path: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: HadroCommitMessage => m }.foreach { m =>
-      Files.deleteIfExists(Paths.get(path.toString, m.info.file))
-      m.info.bloom.foreach(b => Files.deleteIfExists(Paths.get(path.toString, b)))
-      m.info.offsetIndex.foreach(f => Files.deleteIfExists(Paths.get(path.toString, f)))
-      m.info.indexBlooms.values.foreach(b =>
+    messages.collect { case m: HadroCommitMessage => m.infos }.flatten.foreach { i =>
+      Files.deleteIfExists(Paths.get(path.toString, i.file))
+      i.bloom.foreach(b => Files.deleteIfExists(Paths.get(path.toString, b)))
+      i.offsetIndex.foreach(f => Files.deleteIfExists(Paths.get(path.toString, f)))
+      i.indexBlooms.values.foreach(b =>
         Files.deleteIfExists(Paths.get(path.toString, b)))
     }
 }
 
-final case class HadroCommitMessage(info: SegmentInfo) extends WriterCommitMessage
+/** All segments one task produced (writer-side rotation can yield several). */
+final case class HadroCommitMessage(infos: Seq[SegmentInfo]) extends WriterCommitMessage
 
 /** Native streaming sink: `df.writeStream.format("hadro").start(path)` —
   * each micro-batch epoch commits as ONE manifest version, and the last
@@ -235,7 +243,8 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
       offsetIndex, deleteCol)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val segs = messages.collect { case m: HadroCommitMessage if m.info.rows > 0 => m.info }
+    val segs = messages.collect { case m: HadroCommitMessage => m.infos }
+      .flatten.filter(_.rows > 0)
     if (segs.isEmpty) return // idle micro-batch: no manifest churn
     // The replay check runs INSIDE the commit closure so check-and-publish
     // is atomic under the manifest version race: after a failover, a zombie
@@ -262,11 +271,11 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     dropFiles(messages)
 
   private def dropFiles(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: HadroCommitMessage => m }.foreach { m =>
-      Files.deleteIfExists(path.resolve(m.info.file))
-      m.info.bloom.foreach(b => Files.deleteIfExists(path.resolve(b)))
-      m.info.offsetIndex.foreach(f => Files.deleteIfExists(path.resolve(f)))
-      m.info.indexBlooms.values.foreach(b => Files.deleteIfExists(path.resolve(b)))
+    messages.collect { case m: HadroCommitMessage => m.infos }.flatten.foreach { i =>
+      Files.deleteIfExists(path.resolve(i.file))
+      i.bloom.foreach(b => Files.deleteIfExists(path.resolve(b)))
+      i.offsetIndex.foreach(f => Files.deleteIfExists(path.resolve(f)))
+      i.indexBlooms.values.foreach(b => Files.deleteIfExists(path.resolve(b)))
     }
 }
 
@@ -289,12 +298,13 @@ final class HadroWriterFactory(path: String, storedSchema: StructType,
     keyOrdinal: Option[Int], splitBytes: Long,
     indexOrdinals: Map[String, Seq[Int]] = Map.empty,
     offsetIndex: Boolean = true,
-    deleteCol: Option[String] = None) extends DataWriterFactory {
+    deleteCol: Option[String] = None,
+    maxSegmentBytes: Long = 0L) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
       tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals, offsetIndex,
-      deleteCol)
+      deleteCol, maxSegmentBytes)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -312,12 +322,18 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     splitBytes: Long = SegmentWriter.DefaultSplitBytes,
     indexOrdinals: Map[String, Seq[Int]] = Map.empty,
     offsetIndex: Boolean = true,
-    deleteCol: Option[String] = None) extends DataWriter[InternalRow] {
+    deleteCol: Option[String] = None,
+    maxSegmentBytes: Long = 0L) extends DataWriter[InternalRow] {
 
-  private val file = dir.resolve(
+  private def newSegmentFile() = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
-  private val writer = new SegmentWriter(file, storedSchema, consistency, keyOrdinal,
-    splitBytes, indexOrdinals, offsetIndex)
+  private def newWriter() = new SegmentWriter(newSegmentFile(), storedSchema,
+    consistency, keyOrdinal, splitBytes, indexOrdinals, offsetIndex)
+  // Rotation: finished segments accumulate in task order — their relative
+  // order is preserved through ordinal assignment at commit, which is what
+  // keeps last-write-wins correct for repeated keys within one partition.
+  private val finished = scala.collection.mutable.Buffer.empty[SegmentInfo]
+  private var writer = newWriter()
 
   // CDC merge: per-record tombstone flag read from a transport column of
   // the incoming frame (never stored) — one commit mixes upserts + deletes.
@@ -359,9 +375,27 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
       i += 1
     }
     writer.append(out, deleted = deleted)
+    if (maxSegmentBytes > 0 && writer.bytes >= maxSegmentBytes) {
+      finished += writer.close()
+      writer = newWriter()
+    }
   }
 
-  override def commit(): WriterCommitMessage = HadroCommitMessage(writer.close())
-  override def abort(): Unit = writer.abort()
+  override def commit(): WriterCommitMessage = {
+    // a trailing writer that saw no rows leaves no file behind
+    if (writer.rowCount > 0 || finished.isEmpty) finished += writer.close()
+    else writer.abort()
+    HadroCommitMessage(finished.toSeq)
+  }
+
+  override def abort(): Unit = {
+    writer.abort()
+    finished.foreach { i =>
+      Files.deleteIfExists(dir.resolve(i.file))
+      i.bloom.foreach(b => Files.deleteIfExists(dir.resolve(b)))
+      i.offsetIndex.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      i.indexBlooms.values.foreach(b => Files.deleteIfExists(dir.resolve(b)))
+    }
+  }
   override def close(): Unit = ()
 }

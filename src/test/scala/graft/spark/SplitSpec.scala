@@ -81,4 +81,42 @@ class SplitSpec extends SparkSuite {
     assert(scan.count() == 64)
     assert(scan.agg(sum(length($"payload"))).head().getLong(0) == 64L * 4096)
   }
+
+  test("maxSegmentBytes rotates one big task into bounded segment files") {
+    val path = tmp("rotate")
+    val src = spark.read.parquet(s"$sf0001/customer.parquet").coalesce(1) // ONE task
+    src.write.format("hadro").mode("append")
+      .option("hadro.maxSegmentBytes", "2048")
+      .save(path)
+    val m = CollectionMeta.currentManifest(Paths.get(path))
+    assert(m.segments.size > 4, s"expected rotation, got ${m.segments.size} segment(s)")
+    // rotation triggers after the crossing record: cap + one record of slack
+    assert(m.segments.forall(_.bytes <= 2 * 2048),
+      s"oversized segment: ${m.segments.map(_.bytes).max}")
+    val back = spark.read.format("hadro").load(path)
+    assert(back.count() == src.count())
+    // task row order survives rotation (ordinals assigned in rotation order)
+    val seqOrder = back.select(col("c_custkey"), col("_hadro_seq"))
+      .orderBy("_hadro_seq").select($"c_custkey").as[Long].collect()
+    assert(seqOrder.sameElements(src.select($"c_custkey").as[Long].collect()))
+  }
+
+  test("rotation preserves last-write-wins for repeated keys in one task") {
+    val path = tmp("rotate_lww")
+    // 1000 rows, 10 keys, single partition: each key's LAST row must win
+    // even when its occurrences straddle rotation boundaries
+    val src = spark.range(0, 1000).coalesce(1)
+      .select(($"id" % 10).as("k"), concat(lit("v"), $"id").as("v"))
+    Collection.create(spark, path, src.limit(0), key = Some("k"))
+    src.write.format("hadro").mode("append")
+      .option("hadro.upsert", "true")
+      .option("hadro.maxSegmentBytes", "2048")
+      .save(path)
+    val c = Collection(spark, path)
+    assert(CollectionMeta.currentManifest(Paths.get(path)).segments.size > 2)
+    (0L until 10L).foreach { k =>
+      assert(c.get(k).select($"v").as[String].head() == s"v${990 + k}",
+        s"key $k must resolve to its last write")
+    }
+  }
 }

@@ -61,7 +61,7 @@ class StreamSinkSpec extends SparkSuite {
     src.collect().foreach(r => writer.append(
       toInternal(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]))
     val info = writer.close()
-    w.commit(5L, Array(HadroCommitMessage(info)))
+    w.commit(5L, Array(HadroCommitMessage(Seq(info))))
     val after = CollectionMeta.currentManifest(Paths.get(colPath))
     assert(after.version == before.version, "replayed epoch must not commit")
     assert(!Files.exists(Paths.get(colPath).resolve("data-replay.data")),
