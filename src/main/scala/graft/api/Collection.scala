@@ -337,6 +337,23 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField)
   }
 
+  /** Rewind the collection to a retained version (RESTORE analog):
+    * metadata-only — the target version's segment list is committed as the
+    * new current state (segments are immutable, so the bytes are already
+    * on disk). Fails fast if the version was GC'd or crosses a
+    * compaction. The log generation bumps: a rewind is a discontinuity,
+    * and tailing streams must detect it exactly like a truncate. Files
+    * committed after the target become unreferenced and are collected as
+    * dead by the next truncate/vacuum cycle. */
+  def restoreVersion(v: Long): Unit = {
+    val target = CollectionMeta.manifestAt(dir, v)
+    CollectionMeta.commit(dir, cur => cur.copy(
+      segments = target.segments,
+      mutated = target.mutated,
+      indexes = target.indexes,
+      generation = cur.generation + 1))
+  }
+
   /** Commit history over the retained manifest versions (newest first) —
     * the audit view a lakehouse user expects (`DESCRIBE HISTORY` analog):
     * per version, live segment/row/byte totals, the mutated flag, the log

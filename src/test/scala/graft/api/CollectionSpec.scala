@@ -151,6 +151,29 @@ class CollectionSpec extends SparkSuite {
     assert(c.scan().count() == before.length) // raw log holds only live rows
   }
 
+  test("restoreVersion rewinds to a retained snapshot, metadata-only") {
+    val path = tmp("restore")
+    val c = Collection.create(spark, path, books, key = Some("title")) // v1
+    val v1 = c.version
+    c.set(Seq(("dune", "wrong author")).toDF("title", "author"))       // v2
+    c.delete("hamlet")                                                 // v3
+    assert(c.count() == 6)
+    val filesBefore = graft.meta.CollectionMeta.currentManifest(
+      java.nio.file.Paths.get(path)).segments.map(_.file).toSet
+
+    c.restoreVersion(v1)
+    assert(c.count() == 7, "restore must rewind the visible state")
+    assert(c.get("dune").select("author").as[String].head() == "frank herbert")
+    assert(c.contains("hamlet"))
+    val m = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.generation == 1L, "a rewind is a log discontinuity")
+    assert(!m.mutated, "v1 predates all mutations")
+    // no data was rewritten: restored segments are the original files
+    assert(m.segments.map(_.file).toSet.subsetOf(filesBefore))
+    // restoring a GC'd version fails fast with the documented error
+    intercept[IllegalArgumentException](c.restoreVersion(999L))
+  }
+
   test("history() reports retained commits with operations and totals") {
     val path = tmp("history")
     val c = Collection.create(spark, path, books, key = Some("title")) // v1
