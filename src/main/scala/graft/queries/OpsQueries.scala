@@ -1100,6 +1100,29 @@ object OpsQueries {
           CASE WHEN s_suppkey % 10 = 0 THEN 'CDC_' || s_name ELSE s_name END AS s_name
         FROM supplier
         WHERE s_suppkey % 13 <> 0
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // --------------------------------------------------------------- st10
+    // Bounded backfill: stream an 8-segment collection with admission
+    // control capped at 2 ordinals per trigger — the whole log lands in
+    // the sink across several micro-batches (batch-count bound asserted in
+    // StreamSinkSpec), with content identical to a batch read.
+    QueryDef(
+      "st10_bounded_backfill",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.functions.col
+        val src = table(s, dir, "nation")
+        val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st10"
+        graft.api.Collection.create(s, colPath, src, numSegments = 8)
+        val name = s"st10_sink_${System.nanoTime()}"
+        val q = s.readStream.format("hadro")
+          .option("hadro.maxOrdinalsPerTrigger", "2").load(colPath)
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).select(col("n_nationkey"), col("n_name"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""))
   )
 }

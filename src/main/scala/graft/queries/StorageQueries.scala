@@ -479,6 +479,53 @@ object StorageQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
         WHERE o_custkey < 200 AND o_totalprice BETWEEN 50000.0 AND 150000.0
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- h25
+    // Version restore: mutate a collection (upserts + deletes), then
+    // rewind to the pre-mutation snapshot — metadata-only, no data
+    // rewritten. The restored read must equal the original table exactly.
+    QueryDef(
+      "h25_version_restore",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "supplier")
+        val c = Collection.create(s, colPath(dir, "h25"), src,
+          key = Some("s_suppkey"), numSegments = 4)
+        val v0 = c.version
+        c.set(src.limit(20).withColumn("s_name", lit("CLOBBERED")))
+        c.delete(src.filter($"s_suppkey" % 5 === 0).select($"s_suppkey"))
+        c.restoreVersion(v0)
+        c.toDF().select($"s_suppkey", $"s_name").orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------------- h26
+    // Writer-side segment rotation: a single-task ingest capped at 64 KB
+    // per segment must round-trip byte-exactly — one skewed task, many
+    // bounded files, unchanged content (segment-count bound asserted in
+    // SplitSpec).
+    QueryDef(
+      "h26_segment_rotation",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "customer")
+        val path = colPath(dir, "h26")
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists)
+          finally walk.close()
+        }
+        src.coalesce(1).write.format("hadro").mode("append")
+          .option("hadro.maxSegmentBytes", (64 * 1024).toString)
+          .save(path)
+        s.read.format("hadro").load(path)
+          .select($"c_custkey", $"c_name", $"c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey"""))
   )
 }
