@@ -87,4 +87,35 @@ class PropertySpec extends SparkSuite {
       assert(a.sameElements(b), s"cols=$sel")
     }
   }
+
+  test("property: reads stay correct across arbitrary evolution points") {
+    // For random batch sizes and random numbers of appended columns, rows
+    // written BEFORE each evolution read back with nulls in every column
+    // appended after them, and rows written after carry their values —
+    // across both the row and columnar read paths.
+    samples(Gen.zip(Gen.choose(1, 60), Gen.choose(1, 3)), 6, seed = 77)
+      .foreach { case (n, extraCols) =>
+        val path = Files.createTempDirectory("prop_evo").resolve("c").toString
+        val base = spark.range(0, n).select($"id", ($"id" * 2).as("v"))
+        val c = Collection.create(spark, path, base, numSegments = 2)
+        (1 to extraCols).foreach { i =>
+          c.addColumn(s"x$i", LongType)
+          c.append(spark.range(1000L * i, 1000L * i + n)
+            .select($"id" +: ($"id" * 2).as("v") +:
+              (1 to i).map(j => lit(j.toLong).as(s"x$j")): _*))
+        }
+        val back = spark.read.format("hadro").load(path)
+        assert(back.count() == n.toLong * (extraCols + 1))
+        // original rows: every appended column is null
+        assert(back.filter($"id" < 1000 && $"x1".isNotNull).count() == 0)
+        // each later batch carries values for exactly the columns that
+        // existed when it was written
+        (1 to extraCols).foreach { i =>
+          val batch = back.filter($"id" >= 1000L * i && $"id" < 1000L * i + n)
+          assert(batch.filter(col(s"x$i") === i.toLong).count() == n)
+          if (i < extraCols)
+            assert(batch.filter(col(s"x${i + 1}").isNotNull).count() == 0)
+        }
+      }
+  }
 }
