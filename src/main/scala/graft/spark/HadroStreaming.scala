@@ -22,10 +22,14 @@ import graft.meta.CollectionMeta
   * the full CDC view a stateful LWW consumer needs (st05). Metadata-column
   * SELECTION on a stream remains unsupported (Spark does not route
   * metadata columns through streaming column pruning) — the changefeed
-  * option exists precisely so streams never need it. Compaction/truncate
-  * resets ordinals and therefore invalidates running streams (documented
-  * limitation; streams should read from non-compacting collections,
-  * mirroring e.g. Delta's behavior when a table is rewritten).
+  * option exists precisely so streams never need it.
+  *
+  * Truncate/compaction resets ordinals; the manifest GENERATION (bumped by
+  * every truncate, carried in offsets) makes the discontinuity detectable
+  * even after the new log outgrows the old ordinals. Default behavior is
+  * fail-fast with the cause; `hadro.onTruncate=restart` re-tails the
+  * rewritten log from ordinal 0. `hadro.maxOrdinalsPerTrigger` bounds how
+  * many segment ordinals one micro-batch admits (backfill pacing).
   */
 final case class HadroOffset(nextOrdinal: Long, generation: Long = 0L) extends Offset {
   override def json(): String =

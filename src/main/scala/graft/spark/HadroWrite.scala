@@ -19,6 +19,16 @@ import graft.meta.{CollectionMeta, SegmentInfo}
   *     (flag bit, `/root/reference/hadro/engine.py:26`).
   *   - `upsert`: "true" records that this write may shadow earlier keys, so
   *     reads must resolve last-write-wins (pure-append collections skip it).
+  *   - `deleteCol`: boolean transport column of the incoming frame marking
+  *     per-record tombstones — one atomic commit mixes upserts and deletes
+  *     (CDC merge); the column is never stored.
+  *   - `splitBytes`: split-point cadence inside a segment (read
+  *     parallelism); `maxSegmentBytes`: writer-side rotation cap (one task
+  *     produces many bounded files instead of one unbounded one).
+  *   - `compactOf`/`compactOfGen`: snapshot pin for compaction rewrites —
+  *     the truncate commit preserves segments committed after the pin and
+  *     aborts if a concurrent truncate changed the generation.
+  *   - `offsetIndex`: write per-segment key→offset sidecars (default on).
   */
 final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
