@@ -90,10 +90,7 @@ final class Collection private (spark: SparkSession, val path: String) {
   /** Single-document insert returning the generated id — the literal
     * `id = hadro.add(document)` form (`INTERFACE.md:13`). */
   def add(doc: Map[String, Any]): String = {
-    val out = add(docToDF(doc))
-    val id = out.select("_id").head().getString(0)
-    out.unpersist()
-    id
+    add(docToDF(doc)).select("_id").head().getString(0)
   }
 
   /** One-row DataFrame for a document map, typed from the stored schema. */
@@ -113,12 +110,20 @@ final class Collection private (spark: SparkSession, val path: String) {
   def add(df: DataFrame): DataFrame = {
     require(keyField.contains("_id"),
       "add() requires a collection keyed on auto-generated '_id'")
-    val withIds = df.withColumn("_id", expr("uuid()"))
-    // uuid() is non-deterministic per evaluation: materialize ids ONCE so the
-    // returned frame matches what was written.
-    val persisted = withIds.cache()
-    persisted.write.format("hadro").mode("append").option("hadro.upsert", "true").save(path)
-    persisted
+    // Deterministic ids, no dataset-sized cache: uuid() is re-evaluated per
+    // action, so "returned frame == written rows" used to require caching
+    // the whole input — a MEMORY_AND_DISK copy of every bulk add. Instead
+    // the id is a UUID-formatted md5 of (per-call salt, row position);
+    // re-evaluating the frame for the write and for later reads yields the
+    // same ids for any deterministic input, and the salt keeps ids unique
+    // across calls.
+    val salt = java.util.UUID.randomUUID().toString
+    val h = md5(concat_ws(":", lit(salt), monotonically_increasing_id().cast("string")))
+    val withIds = df.withColumn("_id", concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12)))
+    withIds.write.format("hadro").mode("append").option("hadro.upsert", "true").save(path)
+    withIds
   }
 
   /** Delete by key values (#13): appends key-only tombstone records. */
@@ -266,7 +271,12 @@ final class Collection private (spark: SparkSession, val path: String) {
       // Live = sidecars of EVERY registered index: names may contain
       // hyphens, so "<seg>.idx-a-b.bloom" is ambiguous between index "a-b"
       // and a build of index "a" — only manifest references disambiguate.
-      val live = committed.segments.flatMap(_.indexBlooms.values).toSet
+      // Liveness unions ALL retained manifests, not just the committed one:
+      // time-travel reads (scanVersion/restoreVersion) still plan against
+      // older versions, and deleting a sidecar they reference would silently
+      // cost them index pruning and leave dangling indexBlooms entries.
+      val live = (committed +: CollectionMeta.retainedManifests(dir))
+        .flatMap(_.segments).flatMap(_.indexBlooms.values).toSet
       val re = ("""\.idx-""" + java.util.regex.Pattern.quote(name) +
         """(-[0-9a-f]+)?\.bloom$""").r
       CollectionMeta.listDir(dir)
@@ -287,7 +297,15 @@ final class Collection private (spark: SparkSession, val path: String) {
     * (`hadro.deleteCol`), so a single distributed write job carries the
     * mixed batch — no per-kind staging, no second commit to race. */
   def merge(changes: DataFrame, deleteWhen: Column): Unit = {
-    require(keyField.isDefined, "merge() requires a keyed collection")
+    val k = keyField.getOrElse(throw new IllegalArgumentException(
+      "merge() requires a keyed collection"))
+    // The key MUST be present in the changeset: the writer projection
+    // null-fills missing stored columns, so a changeset without (or with a
+    // misspelled) key column would collapse every row onto key NULL —
+    // silent last-write-wins corruption when the key field is nullable.
+    require(changes.columns.contains(k),
+      s"merge() changeset must contain the key column '$k'; got " +
+        s"[${changes.columns.mkString(", ")}]")
     // The flag is computed BEFORE projection so deleteWhen may reference
     // any changes column; only stored-schema columns + the flag are written.
     val stored = CollectionMeta.readSchema(dir).get.schema.fieldNames.toSet

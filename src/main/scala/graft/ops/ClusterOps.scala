@@ -44,16 +44,28 @@ object ClusterOps {
           .withColumnRenamed("label", "nbr_label"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("nbr_label")).as("nbr_min"))
+      // LAZY checkpoint + count in ONE action: the count job materializes
+      // the checkpoint partitions as it runs, so each round costs a single
+      // Spark job (an eager checkpoint followed by a separate convergence
+      // probe would be two).
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
-        .localCheckpoint(true) // truncate lineage before reuse below
-      converged = next.filter(col("new_label") < col("label")).isEmpty
+        .localCheckpoint(false) // truncate lineage before reuse below
+      converged = next.filter(col("new_label") < col("label")).count() == 0L
       labels = next.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
     edges.unpersist()
     p.unpersist()
+    // A chain with diameter > maxIter would otherwise return silently SPLIT
+    // clusters — transitive duplicates surviving dedup undetected. Near-dup
+    // graphs have tiny diameters, so non-convergence means maxIter is
+    // mis-set for the input; say so rather than corrupt quietly.
+    if (!converged) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"connectedComponents did NOT converge within $maxIter rounds - " +
+        "labels may split one true cluster into several; raise maxIter " +
+        "for graphs with long duplicate chains")
     labels.withColumnRenamed("label", "cluster")
   }
 }

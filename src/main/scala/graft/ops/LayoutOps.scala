@@ -52,6 +52,13 @@ object LayoutOps {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // min/max are NULL for an empty frame or an all-NULL column; getDouble
+    // would throw a bare NPE from inside Collection.cluster(). Name the
+    // offending column instead.
+    colNames.zipWithIndex.foreach { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"z-order column '$c' has no non-null values (empty collection?)")
+    }
     val mins = colNames.indices.map(i => row.getDouble(2 * i))
     val maxs = colNames.indices.map(i => row.getDouble(2 * i + 1))
     df.withColumn("__z", zValue(colNames.map(col), mins, maxs))

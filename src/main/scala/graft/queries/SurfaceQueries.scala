@@ -228,19 +228,19 @@ object SurfaceQueries {
       },
       Some("""SELECT * FROM (
           SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
-            SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
             COUNT(DISTINCT o_orderkey) AS n_distinct,
             CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
             CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM orders
           UNION ALL
           SELECT 'o_custkey', COUNT(*),
-            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
             COUNT(DISTINCT o_custkey),
             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
             FROM orders
           UNION ALL
           SELECT 'o_orderstatus', COUNT(*),
-            SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+            CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
             COUNT(DISTINCT o_orderstatus),
             CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
             FROM orders

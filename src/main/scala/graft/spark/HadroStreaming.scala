@@ -112,7 +112,19 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
             s"${so.generation} — manifest state is inconsistent.")
         so.nextOrdinal
       }
-    CollectionMeta.currentManifest(path).segments
+    // Generation check WITHIN the trigger: latestOffset captured (ordinal,
+    // generation) from one manifest read; if a truncate commits between that
+    // read and planning, the current manifest's ordinals have reset and the
+    // ordinal-range filter below would silently serve the NEW generation's
+    // segments as this batch's data. Read the manifest once and refuse to
+    // plan against a different generation — the retried/next trigger sees
+    // the bump through the normal cross-trigger path above.
+    val m = CollectionMeta.currentManifest(path)
+    if (m.generation != eo.generation) throw new IllegalStateException(
+      s"hadro stream over $path: collection truncated while planning the " +
+        s"micro-batch (generation ${eo.generation} -> ${m.generation}); " +
+        "the trigger will be retried against the new manifest.")
+    m.segments
       .filter(s => s.ordinal >= lo && s.ordinal < eo.nextOrdinal)
       // split ranges fan out within a micro-batch exactly as in batch scans
       .flatMap(s => HadroInputPartition.ranges(path, s))

@@ -84,10 +84,13 @@ class IndexSpec extends SparkSuite {
     c.indexes.add("ix", Seq("p_name", "p_size"))
     val secondBuild = CollectionMeta.currentManifest(Paths.get(path))
       .segments.flatMap(_.indexBlooms.get("ix")).toSet
-    // build-unique sidecar names: a cache keyed by path cannot alias builds,
-    // and the superseded files are GC'd
+    // build-unique sidecar names: a cache keyed by path cannot alias builds.
+    // The superseded files are NOT deleted yet — retained older manifest
+    // versions still reference them, and time-travel reads against those
+    // versions keep their index pruning; GC happens once the referencing
+    // versions age out of the retention window.
     assert(firstBuild.intersect(secondBuild).isEmpty)
-    firstBuild.foreach(f => assert(!Files.exists(Paths.get(path).resolve(f))))
+    firstBuild.foreach(f => assert(Files.exists(Paths.get(path).resolve(f))))
 
     // probing the NEW fields must find every matching row — a stale bloom
     // over the old fields would false-negative and silently drop segments

@@ -53,6 +53,17 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: columns {gc} vs oracle {wc}")
             failures += 1
             continue
+        # Dtype gate: the driver hashes typed values, so a DuckDB HUGEINT
+        # (object/float64 in pandas) vs Spark BIGINT (int64) fails there even
+        # when the %.10g renderings below agree. Catch it locally.
+        dtype_bad = [
+            (c, str(got[c].dtype), str(want[c].dtype))
+            for c in gc if str(got[c].dtype) != str(want[c].dtype)
+        ]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch {dtype_bad}")
+            failures += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs oracle {len(want)}")
             failures += 1
