@@ -7,13 +7,61 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media (image/audio/video) as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The Spark-side architecture is real and tested — schema contract,
-  * partition-parallel batch iteration, feature-struct output — while the
-  * actual media decode is a clearly-marked deterministic STUB (`fakeDecode`)
-  * because no image/audio codecs exist in this environment. Swapping in a
-  * real decoder changes one function, not the pipeline shape.
+  * IMAGE decode is REAL: PNG/JPEG/GIF/BMP bytes are decoded with the JDK's
+  * `javax.imageio` (zero extra dependencies) into width/height/pixel
+  * features. Bytes that are not a recognized image (audio/video/synthetic
+  * test payloads) fall back to the clearly-marked deterministic stub
+  * (`fakeDecode`) so the pipeline shape stays total; swapping in further
+  * codecs changes one function, not the pipeline.
   */
 object MultimodalOps {
+
+  /** Cheap magic-byte sniff: only bytes that claim to be a decodable image
+    * format are handed to ImageIO (sniffing first keeps the non-image fast
+    * path allocation-free). */
+  private[ops] def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 0x50) ||               // PNG
+      (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) ||        // JPEG
+      (bytes(0) == 'B' && bytes(1) == 'M') ||                        // BMP
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'))       // GIF
+
+  /** REAL image decode (JDK ImageIO): bytes → (width, height, 8 features =
+    * mean luminance in [0,1] over a 4x2 grid). None for anything that does
+    * not decode — callers fall back to the stub path. */
+  private[ops] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (!looksLikeImage(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Double](8)
+      val counts = new Array[Int](8)
+      var y = 0
+      while (y < h) {
+        val rowCell = 4 * math.min(1, y * 2 / h)
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0 / 255.0
+          val cell = rowCell + math.min(3, x * 4 / w)
+          sums(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feats = new Array[Float](8)
+      var i = 0
+      while (i < 8) {
+        feats(i) = if (counts(i) > 0) (sums(i) / counts(i)).toFloat else 0f
+        i += 1
+      }
+      Some((w, h, feats))
+    } catch { case _: Exception => None }
+  }
 
   /** Output schema contract of the decode stage. The decoder always emits
     * a features array; the column is declared nullable because that is
@@ -26,10 +74,10 @@ object MultimodalOps {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = true)))
 
-  /** STUB decoder: deterministic pseudo-features from the raw bytes.
-    * ??? replace with a real codec (JPEG/PNG/wav decode) when available —
-    * the signature (bytes in, frame count + feature vector out) is the
-    * real contract. */
+  /** STUB decoder for NON-IMAGE media: deterministic pseudo-features from
+    * the raw bytes. ??? replace with real audio/video codecs when
+    * available — the signature (bytes in, frame count + feature vector
+    * out) is the real contract; images already take [[decodeImage]]. */
   private[ops] def fakeDecode(bytes: Array[Byte]): (Int, Array[Float]) = {
     val frameSize = 64
     val nFrames = bytes.length / frameSize + 1
@@ -58,8 +106,14 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (nFrames, feats) = fakeDecode(bytes)
-          (id, bytes.length, nFrames, feats.toSeq)
+          // real image decode first (1 frame, pixel-grid features);
+          // non-image media falls back to the deterministic stub
+          decodeImage(bytes) match {
+            case Some((_, _, feats)) => (id, bytes.length, 1, feats.toSeq)
+            case None =>
+              val (nFrames, feats) = fakeDecode(bytes)
+              (id, bytes.length, nFrames, feats.toSeq)
+          }
         }
       }
       .toDF(featureSchema.fieldNames.toSeq: _*)
@@ -69,10 +123,37 @@ object MultimodalOps {
       .select(featureSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
-  /** "Resize" for image-like media, STUB transform: keep every `factor`-th
-    * byte — the plumbing (binary in, smaller binary + typed metadata out,
-    * per-partition batches) is the real contract; a codec-backed resampler
-    * swaps in for the byte-skip without touching the pipeline shape. */
+  /** Image metadata extraction via REAL decode: (media_id, width, height,
+    * top_left_rgb) — top-left pixel as packed 0xRRGGBB proves PIXELS were
+    * decoded, not just a header sniffed. Null columns for media that does
+    * not decode as an image. */
+  def imageMeta(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          if (!looksLikeImage(bytes)) (id, None: Option[Int], None: Option[Int], None: Option[Int])
+          else
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) (id, None: Option[Int], None: Option[Int], None: Option[Int])
+              else (id, Some(img.getWidth), Some(img.getHeight),
+                Some(img.getRGB(0, 0) & 0xffffff))
+            } catch {
+              case _: Exception => (id, None: Option[Int], None: Option[Int], None: Option[Int])
+            }
+        }
+      }
+      .toDF("media_id", "width", "height", "top_left_rgb")
+  }
+
+  /** Resize: REAL nearest-neighbor downscale + PNG re-encode for decodable
+    * images (deterministic — no interpolation, no float resampling); the
+    * byte-skip STUB transform for everything else, so the pipeline stays
+    * total over mixed media. Output contract either way: binary in,
+    * smaller binary + typed metadata out, per-partition batches. */
   def resize(df: DataFrame, idCol: String, mediaCol: String,
       factor: Int = 4): DataFrame = {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")
@@ -82,13 +163,43 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
-          (id, bytes.length, out.length, out)
+          resizeImage(bytes, factor) match {
+            case Some(out) => (id, bytes.length, out.length, out)
+            case None =>
+              val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+              var i = 0
+              while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+              (id, bytes.length, out.length, out)
+          }
         }
       }
       .toDF("media_id", "orig_len", "resized_len", "resized")
+  }
+
+  /** Nearest-neighbor downscale by an integer factor, re-encoded as PNG
+    * (lossless, so round-trip checks are exact). None for non-images. */
+  private[ops] def resizeImage(bytes: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    if (!looksLikeImage(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = math.max(1, img.getWidth / factor)
+      val h = math.max(1, img.getHeight / factor)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
   }
 
   /** Frame sampling for video-like media: every `stride`-th fixed-size

@@ -916,6 +916,44 @@ object OpsQueries {
             i -> substr(text, CAST((i - 1) * 4 + 1 AS INT), 1)), 'string_agg', '') AS resized_text
         FROM documents ORDER BY media_id""")),
 
+    // ---------------------------------------------------------------- m05
+    // REAL image decode (JDK ImageIO, zero extra deps): PNGs planted with
+    // doc_id-derived dimensions and a solid doc_id-derived color are
+    // decoded back to (width, height, top-left pixel) — the pixel value
+    // proves actual raster decode, not header sniffing. Encode and decode
+    // both run distributed in mapPartitions batches.
+    QueryDef(
+      "m05_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val planted = table(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = (id % 7 + 1).toInt
+              val h = (id % 5 + 1).toInt
+              val rgb = ((id * 3 % 256) << 16 | (id * 5 % 256) << 8 | (id * 7 % 256)).toInt
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              (id, bos.toByteArray)
+            }
+          }.toDF("doc_id", "media")
+        MultimodalOps.imageMeta(planted, "doc_id", "media").orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(doc_id % 7 + 1 AS INT) AS width,
+          CAST(doc_id % 5 + 1 AS INT) AS height,
+          CAST((doc_id * 3 % 256) * 65536 + (doc_id * 5 % 256) * 256
+            + (doc_id * 7 % 256) AS INT) AS top_left_rgb
+        FROM documents ORDER BY media_id""")),
+
     // --------------------------------------------------------------- st07
     // NATIVE streaming sink: writeStream.format("hadro") — each micro-batch
     // epoch is one atomic manifest commit carrying its epoch id, so replays

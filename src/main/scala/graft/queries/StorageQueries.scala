@@ -526,6 +526,61 @@ object StorageQueries {
           .select($"c_custkey", $"c_name", $"c_acctbal")
           .orderBy("c_custkey")
       },
-      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey"""))
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- h27
+    // Aggregate pushdown (SupportsPushDownAggregates): global COUNT/MIN/MAX
+    // over a never-mutated collection are answered from manifest statistics
+    // as a LocalTableScan — no data file is opened, no executor task runs
+    // (plan asserted in AggPushdownSpec). At 100 TB this is a metadata read
+    // vs a cluster-wide scan.
+    QueryDef(
+      "h27_agg_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val c = Collection.create(s, colPath(dir, "h27"), table(s, dir, "orders"),
+          numSegments = 4)
+        c.scan().agg(
+          count(lit(1)).as("n_rows"),
+          count($"o_orderpriority").as("n_priority"),
+          min($"o_orderkey").as("min_key"),
+          max($"o_orderkey").as("max_key"),
+          min($"o_orderstatus").as("min_status"),
+          max($"o_orderdate").as("max_date"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(o_orderpriority) AS BIGINT) AS n_priority,
+          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+          MIN(o_orderstatus) AS min_status, MAX(o_orderdate) AS max_date
+        FROM orders""")),
+
+    // ---------------------------------------------------------------- h28
+    // DSv2 runtime filtering (SupportsRuntimeV2Filtering): a broadcast
+    // dim side delivers its join keys to the hadro fact scan at RUNTIME
+    // (dynamic pruning), and the scan re-prunes segments through the same
+    // stats/bloom machinery as static pushdown (partition-count drop
+    // asserted in RuntimeV2FilterSpec). Fact is range-clustered so the
+    // runtime IN actually skips segments.
+    QueryDef(
+      "h28_runtime_prune_join",
+      (s, dir) => {
+        import s.implicits._
+        val fact = table(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+          .repartitionByRange(8, $"l_orderkey")
+        val c = Collection.create(s, colPath(dir, "h28"), fact)
+        val dim = table(s, dir, "orders")
+          .filter($"o_custkey" === 370L).select($"o_orderkey")
+        c.scan().join(dim, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("qty"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = 370)
+        GROUP BY l_orderkey ORDER BY l_orderkey"""))
   )
 }

@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
@@ -115,10 +117,12 @@ final class HadroTable(path: Path, dataSchema: StructType)
 final class HadroScanBuilder(path: Path, dataSchema: StructType,
     versionAsOf: Option[Long] = None, onTruncate: String = "fail",
     maxOrdinalsPerTrigger: Long = 0L)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -129,15 +133,166 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
-      maxOrdinalsPerTrigger)
+  // ---------------------------------------------------- aggregate pushdown
+  // Global COUNT(*)/COUNT(col)/MIN/MAX answered straight from manifest
+  // statistics — at 100 TB the difference between a metadata read and a
+  // cluster-wide scan. Only COMPLETE pushdown is offered, and only when the
+  // manifest is authoritative: never-mutated collection (no tombstones or
+  // shadowed versions), no filters, no grouping. Everything else keeps the
+  // normal scan path.
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    aggResult = HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed)
+    aggResult.isDefined
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    aggResult = HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) => new HadroLocalAggScan(path, aggSchema, row)
+    case None =>
+      new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
+        maxOrdinalsPerTrigger)
+  }
+}
+
+/** Completely-pushed-down aggregate over a hadro collection: the result row
+  * is computed on the DRIVER from manifest statistics alone (no segment
+  * file is opened, no executor task runs — Spark plans a LocalTableScan).
+  * Only built when [[HadroAggPushdown.plan]] proved the manifest exact. */
+final class HadroLocalAggScan(path: Path, aggSchema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String =
+    s"hadro manifest-aggregate $path -> [${aggSchema.fieldNames.mkString(", ")}]"
+}
+
+/** Decides whether an [[Aggregation]] can be answered EXACTLY from manifest
+  * stats, and computes the single result row if so. Strictly conservative:
+  * any filter, grouping, mutation, distinct, missing stat, or inexact type
+  * returns None and the normal scan runs. */
+object HadroAggPushdown {
+  def plan(path: Path, versionAsOf: Option[Long], agg: Aggregation,
+      schema: StructType, pushedFilters: Array[Filter]): Option[(StructType, InternalRow)] = {
+    if (pushedFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val manifest =
+      try versionAsOf.map(v => CollectionMeta.manifestAt(path, v))
+        .getOrElse(CollectionMeta.currentManifest(path))
+      catch { case _: Exception => return None }
+    // Mutated collections have tombstones/shadowed versions the stats count;
+    // only the resolved view (a real scan) is correct then.
+    if (manifest.mutated) return None
+    val live = manifest.segments.filter(_.rows > 0)
+
+    def fieldOf(e: V2Expression): Option[(StructField, Int)] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val i = schema.fieldNames.indexOf(nr.fieldNames()(0))
+        if (i >= 0) Some((schema.fields(i), i)) else None
+      case _ => None
+    }
+    // Additive evolution: a segment written before the column existed holds
+    // only nulls for it (manifest nFields is the write-time width).
+    def presentIn(seg: SegmentInfo, ordinal: Int): Boolean =
+      seg.nFields.forall(ordinal < _)
+
+    def countCol(f: StructField, ord: Int): Option[Long] = {
+      var total = 0L
+      live.foreach { s =>
+        if (presentIn(s, ord)) s.stats.get(f.name) match {
+          case Some(st) => total += s.rows - st.nullCount
+          case None => return None
+        }
+      }
+      Some(total)
+    }
+
+    // Exact only for non-floating orderable types: stats render/parse
+    // round-trips exactly, but -0.0/NaN ordering for float/double is
+    // engine-subtle, so those take the scan path.
+    def minMax(f: StructField, ord: Int, wantMin: Boolean): Option[Option[Any]] = {
+      f.dataType match {
+        case FloatType | DoubleType => return None
+        case dt if !StatsCollector.isOrderable(dt) => return None
+        case _ =>
+      }
+      var acc: Any = null
+      live.foreach { s =>
+        if (presentIn(s, ord)) s.stats.get(f.name) match {
+          case Some(st) =>
+            (if (wantMin) st.min else st.max) match {
+              case Some(rendered) =>
+                val v = StatsCollector.parse(rendered, f.dataType)
+                if (v == null) return None
+                if (acc == null ||
+                    (if (wantMin) StatsCollector.lt(v, acc) else StatsCollector.lt(acc, v)))
+                  acc = v
+              case None => // no bound recorded: fine only if the segment is all-null
+                if (st.nullCount < s.rows) return None
+            }
+          case None => return None
+        }
+      }
+      Some(Option(acc))
+    }
+
+    val planned: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          live.map(s => s.rows - s.tombstones).sum: Any))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).flatMap { case (f, ord) =>
+          countCol(f, ord).map(n =>
+            (StructField(s"count_${f.name}", LongType, nullable = false), n: Any))
+        }
+      case m: Min =>
+        fieldOf(m.column).flatMap { case (f, ord) =>
+          minMax(f, ord, wantMin = true).map(v =>
+            (StructField(s"min_${f.name}", f.dataType, nullable = true), v.orNull: Any))
+        }
+      case m: Max =>
+        fieldOf(m.column).flatMap { case (f, ord) =>
+          minMax(f, ord, wantMin = false).map(v =>
+            (StructField(s"max_${f.name}", f.dataType, nullable = true), v.orNull: Any))
+        }
+      case _ => None
+    }
+    if (planned.isEmpty || planned.exists(_.isEmpty)) return None
+    Some((StructType(planned.map(_.get._1)),
+      new GenericInternalRow(planned.map(_.get._2).toArray)))
+  }
 }
 
 final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushed: Array[Filter], versionAsOf: Option[Long] = None,
     onTruncate: String = "fail", maxOrdinalsPerTrigger: Long = 0L)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  // -------------------------------------------------- runtime filtering
+  // Dynamic-pruning predicates (the IN set a completed broadcast/subquery
+  // produced at RUNTIME, after static planning) re-prune segments through
+  // the same stats/bloom/offset-index machinery as static pushdown: a
+  // runtime filter on the join key skips whole segments at the source, not
+  // just rows after the scan. Every column is filterable — min/max stats
+  // cover all orderable columns and blooms cover the key.
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  // Only columns in THIS scan's (pruned) output: Spark resolves these refs
+  // against the scan output and fails on pruned-away names.
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.filterNot(HadroTable.MetaColNames)
+      .map(Expressions.column)
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    // Conservative: predicates that don't translate (or that SegmentSkipper
+    // can't use) are dropped — Spark re-applies the actual join, so runtime
+    // pruning is only ever an optimization.
+    runtimeFilters = predicates.flatMap(HadroScan.toV1Filter)
+      .filter(SegmentSkipper.supports(_))
+
+  private def effectiveFilters: Array[Filter] = pushed ++ runtimeFilters
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -173,16 +328,17 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     val manifest = versionAsOf
       .map(v => CollectionMeta.manifestAt(path, v))
       .getOrElse(CollectionMeta.currentManifest(path))
+    val filters = effectiveFilters
     manifest.segments
-      .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
-        BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
-        BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, pushed, storedSchema))
+      .filter(seg => SegmentSkipper.mightMatch(seg, filters, storedSchema) &&
+        BloomSidecar.mightMatch(path, seg, filters, storedSchema) &&
+        BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, filters, storedSchema))
       .flatMap { seg =>
         // Point predicates on the key column consult the persisted
         // key→offset index: read ONLY the matching records (one
         // single-record range each), or skip the segment entirely on an
         // exact miss. Falls back to full split-range scanning otherwise.
-        OffsetIndexPlanner.pointRanges(path, seg, pushed, storedSchema)
+        OffsetIndexPlanner.pointRanges(path, seg, filters, storedSchema)
           .getOrElse(HadroInputPartition.ranges(path, seg))
       }
       .toArray
@@ -211,6 +367,39 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+}
+
+object HadroScan {
+  /** Translate the runtime predicates Spark's dynamic pruning emits (IN /
+    * equality over one column with literal values) into V1 filters the
+    * segment-pruning machinery already understands. Literal values arrive
+    * Catalyst-internal and are converted to the external form the skipper
+    * expects. Anything else translates to None (no pruning, still correct). */
+  private[spark] def toV1Filter(p: Predicate): Option[Filter] = {
+    def ref(e: V2Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def lit(e: V2Expression): Option[Any] = e match {
+      case l: V2Literal[_] =>
+        try Some(CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+    def all(es: Seq[V2Expression]): Option[Seq[Any]] = {
+      val vs = es.map(lit)
+      if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+    }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.nonEmpty =>
+        for { c <- ref(ch.head); vs <- all(ch.tail.toSeq) } yield In(c, vs.toArray)
+      case "=" if ch.length == 2 =>
+        ref(ch(0)).flatMap(c => lit(ch(1)).map(EqualTo(c, _)))
+          .orElse(ref(ch(1)).flatMap(c => lit(ch(0)).map(EqualTo(c, _))))
+      case _ => None
     }
   }
 }

@@ -183,6 +183,39 @@ class OpsSpec extends SparkSuite {
     assert(out.filter(size($"features") =!= 8).count() == 0)
   }
 
+  test("real image decode: dimensions, pixels, features, and resize round-trip") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // decodeImage: real dimensions and solid-color features
+    val Some((w, h, feats)) = MultimodalOps.decodeImage(png(8, 4, 0xffffff))
+    assert(w == 8 && h == 4)
+    assert(feats.length == 8 && feats.forall(f => math.abs(f - 1.0f) < 1e-3))
+    // black image -> zero luminance everywhere
+    val Some((_, _, dark)) = MultimodalOps.decodeImage(png(3, 3, 0x000000))
+    assert(dark.forall(_ == 0f))
+    // non-image bytes decline (text that even starts with image magic)
+    assert(MultimodalOps.decodeImage("GIF is a format".getBytes).isEmpty)
+    assert(MultimodalOps.decodeImage("plain text".getBytes).isEmpty)
+    // resizeImage: nearest-neighbor downscale, PNG round-trip exact
+    val resized = MultimodalOps.resizeImage(png(8, 4, 0x123456), 2).get
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    assert((back.getRGB(0, 0) & 0xffffff) == 0x123456)
+    // decodeFeatures routes images through the real path (1 frame)
+    val mixed = Seq((1L, png(5, 5, 0x804020)), (2L, "not an image".getBytes))
+      .toDF("doc_id", "media")
+    val out = MultimodalOps.decodeFeatures(mixed, "doc_id", "media")
+      .select($"media_id", $"n_frames").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 1, "image media is a single decoded frame")
+    assert(out(2L) == "not an image".getBytes.length / 64 + 1, "stub path for non-image")
+  }
+
   test("chunking covers every token with the configured overlap") {
     val doc = (1 to 25).map(i => s"t$i").mkString(" ")
     val rows = Seq((1L, doc), (2L, "short doc")).toDF("doc_id", "text")

@@ -143,8 +143,11 @@ class RobustnessSpec extends SparkSuite {
     // truncate mid-record: the reader must raise, never silently return a prefix
     val chan = java.nio.channels.FileChannel.open(f, java.nio.file.StandardOpenOption.WRITE)
     try chan.truncate(Files.size(f) - 3) finally chan.close()
+    // count() alone is now answered from the manifest (aggregate pushdown)
+    // and never opens the file — like parquet metadata counts, corruption
+    // surfaces on DATA reads, so force one with collect().
     val e = intercept[Exception] {
-      spark.read.format("hadro").load(path).count()
+      spark.read.format("hadro").load(path).collect()
     }
     def chain(t: Throwable): Seq[Throwable] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
