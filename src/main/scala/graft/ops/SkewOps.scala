@@ -66,7 +66,13 @@ object SkewOps {
     // written by a single mapper (one small parquet file locally) is
     // unsplittable no matter its size. On a cluster the scan itself has
     // many mappers; this models that shape at test scale.
+    // Column-prune to the two needed columns and keep a deterministic 1/4
+    // of the rows BEFORE the repartition shuffle: the demo proves the same
+    // AQE split (hot key still ~96% of kept rows, far above the lowered
+    // thresholds) at a quarter of the shuffle volume.
     val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
       .repartition(8)
       .withColumn("k",
         when(pmod(col("l_orderkey"), lit(100)) === 0, col("l_orderkey")).otherwise(lit(0L)))

@@ -167,7 +167,7 @@ object AdvancedQueries {
       Some("""WITH l AS (
           SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS k,
                  l_quantity
-          FROM lineitem)
+          FROM lineitem WHERE l_orderkey % 4 = 0)
         SELECT 'grp_' || CAST(k % 7 AS VARCHAR) AS tag,
           CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty

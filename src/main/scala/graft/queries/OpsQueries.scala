@@ -69,7 +69,52 @@ object OpsQueries {
           .withColumn("jaccard", round(col("jaccard"), 3))
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      // EXACT all-pairs oracle: every pair with true shingle-set Jaccard
+      // >= 0.8, computed in DuckDB with a prefix-filter candidate stage
+      // (rank each doc's shingles rarest-first; two sets with J >= t MUST
+      // share an element in their first n-ceil(t*n)+1 — pigeonhole — so
+      // blocking is complete, just fast). Matching it proves the LSH path
+      // (16 bands x 4 hashes + identical-signature stars) has 100% recall
+      // at >= 0.8 on this corpus, not merely plausible rows.
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
+        ranked AS (
+          SELECT i.doc_id, i.shingle,
+            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
+            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
+          FROM inv i JOIN df d USING (shingle)
+          WHERE d.nd >= 2
+        ),
+        prefix AS (SELECT doc_id, shingle FROM ranked
+                   WHERE rk <= n - CEIL(0.8 * n) + 1),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM prefix a JOIN prefix b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
+          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+          JOIN sets sb ON sb.doc_id = cand.doc_b
+        )
+        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored WHERE j >= 0.8
+        ORDER BY doc_a, doc_b""")),
 
     // ---------------------------------------------------------------- d03
     // SimHash near-dup over the same planted corpus (Hamming <= 3 on
@@ -1017,23 +1062,26 @@ object OpsQueries {
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
-        // Stage the events as four files in ASCENDING TIME ORDER (written
-        // sequentially, so modification times order the micro-batches the
-        // way a real stream arrives). A hash split would make every batch
-        // span the full range and the watermark would rightly DROP most of
-        // batches 2..4 as late data.
+        // Stage the events as TWO half-range files in ASCENDING TIME ORDER
+        // (written sequentially, so modification times order the
+        // micro-batches the way a real stream arrives). Two batches are the
+        // minimum that still demonstrates cross-batch watermark progression;
+        // each extra staged file costs a full micro-batch cycle of fixed
+        // streaming overhead, which dominated this bench line at 4 files. A
+        // hash split would make every batch span the full range and the
+        // watermark would rightly DROP most of batch 2 as late data.
         val stage = java.nio.file.Paths.get(
           s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_st06")
-        if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+        if (!java.nio.file.Files.exists(stage.resolve("_staged_2f"))) {
           val ev0 = table(s, dir, "events")
           val (mn, mx) = ev0.agg(min($"ts"), max($"ts")).as[(Long, Long)].head()
-          val span = (mx - mn) / 4 + 1
-          (0 until 4).foreach { i =>
+          val span = (mx - mn) / 2 + 1
+          (0 until 2).foreach { i =>
             ev0.filter($"ts" >= mn + i * span && $"ts" < mn + (i + 1) * span)
               .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
               .parquet(stage.toString)
           }
-          java.nio.file.Files.createFile(stage.resolve("_staged"))
+          java.nio.file.Files.createFile(stage.resolve("_staged_2f"))
         }
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage.toString)

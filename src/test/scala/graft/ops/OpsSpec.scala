@@ -171,6 +171,22 @@ class OpsSpec extends SparkSuite {
     assert(got.contains(3L), "the query vector itself must be found")
   }
 
+  test("IVF Lloyd training keeps clusters balanced at sf0.1 (max/mean < 3)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val k = 8
+    val cents = SimilarityOps.trainIvfCentroids(emb, "vec_id", "embedding", k, iterations = 3)
+    assert(cents.length == k)
+    val vecs = emb.select($"vec_id".as("vid"), $"embedding".as("vec"))
+    // lloydStep's per-cluster count (same n on every pos row) = cluster size
+    val sizes = SimilarityOps.lloydStep(vecs, cents).filter($"pos" === 0)
+      .select($"cluster", $"n").as[(Int, Long)].collect().toMap
+    val total = sizes.values.sum
+    assert(total == emb.count())
+    val mean = total.toDouble / k
+    assert(sizes.values.max < 3 * mean,
+      s"skewed IVF clusters after training: sizes=$sizes mean=$mean")
+  }
+
   test("multimodal decode preserves ids, byte lengths, and feature contract") {
     val media = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
     val out = MultimodalOps.decodeFeatures(media, "doc_id", "media")
