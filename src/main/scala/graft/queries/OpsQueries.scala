@@ -199,7 +199,24 @@ object OpsQueries {
           .withColumn("cosine", round(col("cosine"), 3))
           .orderBy("id_a", "id_b")
       },
-      None),
+      // EXACT all-pairs oracle (DuckDB list_cosine_similarity over every
+      // pair): at this dimensionality random embeddings never reach 0.9
+      // naturally, so the >= 0.9 set IS the planted scaled copies — which
+      // sign-LSH always recalls (positive scaling preserves every
+      // hyperplane sign, so copies share their bucket by construction).
+      // Matching proves 100% recall, not merely plausible rows.
+      Some("""WITH vecs AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(embedding, v -> CAST(v * CAST(1.01 AS FLOAT) AS FLOAT))
+          FROM embeddings WHERE vec_id % 25 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cosine
+        FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        ORDER BY id_a, id_b""")),
 
     // ---------------------------------------------------------------- d07
     // Connected components over the near-dup pair list — the collapse step
@@ -535,11 +552,21 @@ object OpsQueries {
       "t04_fingerprint",
       (s, dir) => {
         val d = table(s, dir, "documents")
+        // Two cross-engine-exact fingerprints: the raw-content hash (exact
+        // dedup key) and the sorted-distinct-token bag hash (catches
+        // reorderings/repetitions of the same vocabulary). The xxhash64
+        // rolling fingerprint (TextOps.rollingFingerprint) serves the same
+        // role engine-internally and is bit-exactness-tested in OpsSpec;
+        // md5 here because the oracle must reproduce every byte.
         d.select(col("doc_id"),
-          TextOps.rollingFingerprint(TextOps.tokens(col("text"))).as("fingerprint"))
+          md5(col("text")).as("fp_exact"),
+          md5(concat_ws(" ",
+            array_sort(array_distinct(TextOps.tokens(col("text")))))).as("fp_bag"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id, md5(text) AS fp_exact,
+          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bag
+        FROM documents ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- t05
     // BPE-ish regex tokenization (split on non-word runs, drop empties) —

@@ -171,6 +171,22 @@ class OpsSpec extends SparkSuite {
     assert(got.contains(3L), "the query vector itself must be found")
   }
 
+  test("rolling fingerprint is deterministic, order-sensitive, and collision-free here") {
+    val rows = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"), (4L, "a bc"))
+      .toDF("doc_id", "text")
+    val fp = rows.select($"doc_id",
+      TextOps.rollingFingerprint(TextOps.tokens($"text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L), "same token stream, same fingerprint")
+    assert(fp(1L) != fp(2L), "permutation must change an order-sensitive hash")
+    assert(fp(1L) != fp(4L), "token boundaries matter")
+    // bit-stable across partitionings (the dedup-key contract)
+    val repart = rows.repartition(7).select($"doc_id",
+      TextOps.rollingFingerprint(TextOps.tokens($"text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(repart == fp)
+  }
+
   test("IVF Lloyd training keeps clusters balanced at sf0.1 (max/mean < 3)") {
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val k = 8
