@@ -78,5 +78,10 @@ class RuntimeV2FilterSpec extends SparkSuite {
     val want = li.join(dim, $"l_orderkey" === $"o_orderkey")
       .agg(count(lit(1)), sum($"l_quantity")).head()
     assert(got == want)
+    // Spark actually DELIVERED a dynamic-pruning runtime filter to the
+    // hadro scan (not merely: our translation would accept one).
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"expected a dynamic-pruning runtime filter on the hadro scan:\n${plan.take(1500)}")
   }
 }
