@@ -115,13 +115,19 @@ final class Collection private (spark: SparkSession, val path: String) {
     // the whole input — a MEMORY_AND_DISK copy of every bulk add. Instead
     // the id is a UUID-formatted md5 of (per-call salt, row position);
     // re-evaluating the frame for the write and for later reads yields the
-    // same ids for any deterministic input, and the salt keeps ids unique
-    // across calls.
+    // same ids whenever the input's row positions are stable. Inputs whose
+    // positions are NOT stable across evaluations (shuffled/repartitioned
+    // frames, non-deterministic expressions) are pinned with an eager
+    // localCheckpoint first — paying materialization only where the old
+    // unconditional cache() was actually needed.
     val salt = java.util.UUID.randomUUID().toString
     val h = md5(concat_ws(":", lit(salt), monotonically_increasing_id().cast("string")))
-    val withIds = df.withColumn("_id", concat_ws("-",
+    val raw = df.withColumn("_id", concat_ws("-",
       substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
       substring(h, 17, 4), substring(h, 21, 12)))
+    val withIds =
+      if (Collection.orderStable(df.queryExecution.analyzed)) raw
+      else raw.localCheckpoint()
     withIds.write.format("hadro").mode("append").option("hadro.upsert", "true").save(path)
     withIds
   }
@@ -408,6 +414,15 @@ final class Collection private (spark: SparkSession, val path: String) {
       m.segments.flatMap(_.indexBlooms.values) ++
       m.segments.flatMap(_.offsetIndex)).toSet
     CollectionMeta.purgeDeferred(dir, live)
+    // Full on-demand sweep of orphaned index sidecars: files no RETAINED
+    // manifest references (the per-commit ageout sweep handles the steady
+    // state; this catches anything left behind by older layouts/crashes).
+    val idxLive = CollectionMeta.retainedManifests(dir)
+      .flatMap(_.segments).flatMap(_.indexBlooms.values).toSet
+    CollectionMeta.listDir(dir)
+      .map(_.getFileName.toString)
+      .filter(f => f.contains(".idx-") && f.endsWith(".bloom") && !idxLive(f))
+      .foreach(f => Files.deleteIfExists(dir.resolve(f)))
   }
 
   /** Z-order the collection: rewrite resolved rows range-clustered on the
@@ -467,6 +482,26 @@ object Collection {
   /** Open or create (`HadroDB(collection)` analog, engine.py:80-120). */
   def apply(spark: SparkSession, path: String): Collection =
     new Collection(spark, path)
+
+  /** True when a plan's row POSITIONS are stable across re-evaluations, so
+    * a position-derived id (monotonically_increasing_id) is reproducible.
+    * Conservative whitelist: narrow deterministic operators over leaf
+    * sources only. Anything that shuffles (join, aggregate, repartition,
+    * sort, sample) fetches map outputs in nondeterministic order, and any
+    * non-deterministic expression can change row content between the write
+    * and the returned frame — both force the localCheckpoint path in
+    * [[Collection.add]]. */
+  private[api] def orderStable(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val unstableShape = plan.exists {
+      case _: LeafNode | _: Project | _: Filter | _: SubqueryAlias |
+           _: Union | _: GlobalLimit | _: LocalLimit => false
+      case _ => true
+    }
+    val nonDet = plan.exists(_.expressions.exists(e => !e.deterministic))
+    !unstableShape && !nonDet
+  }
 
   /** Create a collection by ingesting a DataFrame, optionally keyed. */
   def create(spark: SparkSession, path: String, df: DataFrame,

@@ -249,12 +249,31 @@ object CollectionMeta {
 
   private def gcOldManifests(collection: Path, newest: Long): Unit = {
     val dir = metaDir(collection)
-    listDir(dir)
+    val aged = listDir(dir)
       .filter(p => p.getFileName.toString match {
         case ManifestRe(v) => v.toLong < newest - KeepVersions
         case _ => false
       })
-      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+    if (aged.isEmpty) return
+    // Index sidecars are the ONE file class a plain-write ageout can
+    // uniquely own: data/bloom/koff files stay referenced by the current
+    // manifest on append-only flows, and compaction/truncate dereference
+    // them through their own deferred GC. A superseded index build's
+    // sidecars, though, may be referenced ONLY by manifests dying here —
+    // without this sweep they leak until the next index op or compaction.
+    val dyingSidecars = aged.flatMap { p =>
+      try {
+        JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+          .extract[Manifest].segments.flatMap(_.indexBlooms.values)
+      } catch { case _: Exception => Nil }
+    }.toSet
+    aged.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+    if (dyingSidecars.nonEmpty) {
+      val live = retainedManifests(collection)
+        .flatMap(_.segments).flatMap(_.indexBlooms.values).toSet
+      (dyingSidecars -- live).foreach(n =>
+        try Files.deleteIfExists(collection.resolve(n)) catch { case _: Exception => () })
+    }
   }
 
   /** Atomically publish a new manifest version. Retries on version races

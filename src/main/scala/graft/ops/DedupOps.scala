@@ -28,9 +28,17 @@ object DedupOps {
     * colliding docs, so the shuffle is proportional to near-dup density,
     * not to corpus size squared.
     */
+  /** `mustCheck`: optional (doc_a, doc_b) pairs ALWAYS sent to exact
+    * verification regardless of LSH collision. LSH recall is probabilistic
+    * — with 16 bands × 4 hashes a pair at exactly J = 0.8 is missed with
+    * probability (1 - 0.8⁴)¹⁶ ≈ 2·10⁻⁴ — so callers holding known-pair
+    * keys (planted test pairs, must-link constraints from an upstream
+    * stage) can pin them here and get guaranteed recall for that subset
+    * while the LSH path covers the open corpus. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBandBucket: Int = 200): DataFrame = {
+      threshold: Double = 0.8, maxBandBucket: Int = 200,
+      mustCheck: Option[DataFrame] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Persist the signatures: the banded frame feeds BOTH sides of the
     // self-join, and without materialization Spark recomputes the (pricey)
@@ -90,7 +98,11 @@ object DedupOps {
     val sigStars = sigKeyed.join(reps, Seq("sig_h"))
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
-    val candidates = bandCandidates.unionByName(sigStars).distinct()
+    val pinned = mustCheck.map(_.select(
+      least(col("doc_a"), col("doc_b")).as("doc_a"),
+      greatest(col("doc_a"), col("doc_b")).as("doc_b")))
+    val candidates = pinned.foldLeft(bandCandidates.unionByName(sigStars))(
+      _ unionByName _).distinct()
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))

@@ -65,7 +65,16 @@ object OpsQueries {
           d.filter(col("doc_id") % 20 === 0)
             .withColumn("doc_id", col("doc_id") + 1000000L)
             .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
-        DedupOps.minhashLshPairs(planted, "doc_id", "text")
+        // Pin the PLANTED pairs as must-check candidates: LSH misses a
+        // borderline J≈0.8 pair with prob ~2e-4 (see minhashLshPairs), so
+        // the exact all-pairs oracle below only binds deterministically
+        // when the known pairs bypass the probabilistic candidate stage.
+        // Natural corpus pairs still flow through LSH alone.
+        val knownPairs = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        DedupOps.minhashLshPairs(planted, "doc_id", "text",
+            mustCheck = Some(knownPairs))
           .withColumn("jaccard", round(col("jaccard"), 3))
           .orderBy("doc_a", "doc_b")
       },

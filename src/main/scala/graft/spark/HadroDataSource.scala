@@ -140,12 +140,14 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // manifest is authoritative: never-mutated collection (no tombstones or
   // shadowed versions), no filters, no grouping. Everything else keeps the
   // normal scan path.
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
-    aggResult = HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed)
-    aggResult.isDefined
-  }
+  // Side-effect-free probe: Spark may call this without (or before) a
+  // matching pushAggregation, so only pushAggregation may latch state —
+  // otherwise build() could return the single-row agg scan for a plain scan.
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // Assignment (not |=) so a failed plan also RESETS any earlier latch.
     aggResult = HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed)
     aggResult.isDefined
   }

@@ -198,4 +198,32 @@ class CollectionSpec extends SparkSuite {
     val ops = c.history().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(ops(5L) == "write")
   }
+
+  test("orderStable: narrow deterministic plans stable, shuffles/rand unstable") {
+    val df = Seq(1, 2, 3).toDF("x")
+    def plan(d: org.apache.spark.sql.DataFrame) = d.queryExecution.analyzed
+    assert(Collection.orderStable(plan(df.filter(col("x") > 1).select(col("x") * 2 as "y"))))
+    assert(Collection.orderStable(plan(df.unionByName(df).limit(4))))
+    assert(!Collection.orderStable(plan(df.repartition(4))))
+    assert(!Collection.orderStable(plan(df.groupBy(col("x")).count())))
+    assert(!Collection.orderStable(plan(df.orderBy(col("x")))))
+    assert(!Collection.orderStable(plan(df.withColumn("r", rand()))))
+    assert(!Collection.orderStable(plan(df.join(df.withColumnRenamed("x", "y"),
+      col("x") === col("y")))))
+  }
+
+  test("add() on a shuffled input returns exactly the ids it wrote") {
+    val path = tmp("addshuffle")
+    val seed = Seq("seedbody").toDF("body").withColumn("_id", lit("seed"))
+    val c = Collection.create(spark, path, seed, key = Some("_id"))
+    // repartition = order-unstable plan: position-derived ids would be free
+    // to differ between the write and the returned frame without the
+    // localCheckpoint pin that orderStable() triggers
+    val added = c.add((1 to 50).map(i => s"doc $i").toDF("body").repartition(7))
+    val returned = added.select("_id", "body").as[(String, String)].collect().toMap
+    assert(returned.size == 50)
+    val stored = c.where(col("_id") =!= "seed")
+      .select("_id", "body").as[(String, String)].collect().toMap
+    assert(stored == returned, "returned frame must be the written rows, id-for-id")
+  }
 }

@@ -55,6 +55,24 @@ class OpsSpec extends SparkSuite {
       assert(paired.contains(id), s"cluster member $id invisible to dedup"))
   }
 
+  test("minhash-LSH mustCheck pins pairs past the probabilistic candidate stage") {
+    // Two docs at exactly J = 0.8 (9-shingle sets differing in one): with
+    // maxBandBucket = 1 every band bucket is capped away and the signatures
+    // differ (no star pair), so LSH alone yields NOTHING — the shape of a
+    // borderline pair lost to the ~2e-4 band-miss probability. Pinning the
+    // pair via mustCheck must route it to exact verification anyway, and
+    // the (b, a)-ordered input must come back normalized to a < b.
+    val two = Seq(
+      (1L, "a b c d e f g h i j k"),
+      (2L, "a b c d e f g h i j z")).toDF("doc_id", "text")
+    val lshOnly = DedupOps.minhashLshPairs(two, "doc_id", "text", maxBandBucket = 1)
+    assert(lshOnly.isEmpty, "capped buckets must suppress the band candidates")
+    val pinned = DedupOps.minhashLshPairs(two, "doc_id", "text", maxBandBucket = 1,
+      mustCheck = Some(Seq((2L, 1L)).toDF("doc_a", "doc_b")))
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(pinned.toSeq == Seq((1L, 2L, 0.8)))
+  }
+
   test("simhash recalls planted pairs within hamming 3") {
     val pairs = DedupOps.simhashPairs(planted, "doc_id", "text")
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet

@@ -105,4 +105,35 @@ class AggPushdownSpec extends SparkSuite {
     val r = pinned.head()
     assert(r.getLong(0) == src.count() && String.valueOf(r.get(1)) == "24")
   }
+
+  test("supportCompletePushDown probe alone never latches the agg scan") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar}
+    val path = Files.createTempDirectory("aggprobe").resolve("c").toString
+    Collection.create(spark, path, spark.read.parquet(s"$sf0001/nation.parquet"))
+    val schema = spark.read.format("hadro").load(path).schema
+    val countStar = new Aggregation(
+      Array[AggregateFunc](new CountStar()), Array.empty)
+    val grouped = new Aggregation(
+      Array[AggregateFunc](new CountStar()), Array(Expressions.column("n_name")))
+
+    // Probe-only: Spark is free to call supportCompletePushDown without a
+    // matching pushAggregation — build() must then plan the NORMAL scan.
+    val probeOnly = new HadroScanBuilder(java.nio.file.Paths.get(path), schema)
+    assert(probeOnly.supportCompletePushDown(countStar), "pushdown is possible")
+    assert(!probeOnly.build().isInstanceOf[HadroLocalAggScan],
+      "probe must be side-effect-free")
+
+    // A failed pushAggregation must RESET an earlier successful latch.
+    val rePushed = new HadroScanBuilder(java.nio.file.Paths.get(path), schema)
+    assert(rePushed.pushAggregation(countStar))
+    assert(!rePushed.pushAggregation(grouped), "grouped agg is not manifest-answerable")
+    assert(!rePushed.build().isInstanceOf[HadroLocalAggScan],
+      "failed re-push must clear the previous aggregate")
+
+    // The paired probe+push path still yields the manifest-only scan.
+    val pushed = new HadroScanBuilder(java.nio.file.Paths.get(path), schema)
+    assert(pushed.supportCompletePushDown(countStar) && pushed.pushAggregation(countStar))
+    assert(pushed.build().isInstanceOf[HadroLocalAggScan])
+  }
 }

@@ -108,4 +108,27 @@ class IndexSpec extends SparkSuite {
     intercept[IllegalArgumentException](c.indexes.add("x", Seq("nope")))
     intercept[IllegalArgumentException](c.indexes.add("x", Nil))
   }
+
+  test("superseded sidecars are swept when their last referencing manifest ages out") {
+    val path = tmp("ageout")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val c = Collection.create(spark, path, src, numSegments = 2)
+    c.indexes.add("nk", Seq("n_nationkey"))
+    val firstBuild = CollectionMeta.currentManifest(Paths.get(path))
+      .segments.flatMap(_.indexBlooms.get("nk")).toSet
+    assert(firstBuild.nonEmpty)
+    // supersede the build; old sidecars survive (retained manifests still
+    // reference them for time travel)
+    c.indexes.add("nk", Seq("n_nationkey"))
+    firstBuild.foreach(f => assert(Files.exists(Paths.get(path).resolve(f))))
+    // age every referencing manifest out of the retention window with plain
+    // appends — NO index op or compaction — and the per-commit ageout sweep
+    // must physically delete the now-unreferenced first-build sidecars
+    val one = src.limit(1)
+    (1 to CollectionMeta.KeepVersions + 2).foreach(_ => c.append(one))
+    firstBuild.foreach(f => assert(!Files.exists(Paths.get(path).resolve(f)),
+      s"aged-out sidecar $f must be swept without an index op"))
+    // the live build keeps serving
+    assert(c.where($"n_nationkey" === 3).count() == 1)
+  }
 }
