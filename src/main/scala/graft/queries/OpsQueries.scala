@@ -30,6 +30,22 @@ object OpsQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** The s02 sign-LSH hyperplane matrix as a DuckDB list literal:
+    * signs[b+1][j] = ±1 exactly as `SimilarityOps.signLshSignature` derives
+    * it from `pmod(xxhash64(b*1024+j), 2)`. Corpus-independent constants
+    * (xxhash64 of the integers 1..8256), computed here through the SAME
+    * public Spark expression the engine evaluates, so the oracle twin
+    * reproduces the bucketing without reimplementing the int hash in SQL. */
+  private lazy val s02SignsSql: String = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until 8).map { b =>
+      (1 to 64).map { j =>
+        val h = new XxHash64(Seq(Literal(b * 1024 + j))).eval(null).asInstanceOf[Long]
+        if (java.lang.Math.floorMod(h, 2L) == 0L) "1" else "-1"
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+  }
+
   /** documents ∪ exact copies of every 10th doc (re-keyed +1,000,000). */
   private def withExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents")
@@ -55,8 +71,6 @@ object OpsQueries {
     // ---------------------------------------------------------------- d02
     // MinHash+LSH near-dup: plant near-dups (every 20th doc + one extra
     // token), detect via 64-hash/16-band LSH, verify exact Jaccard >= 0.8.
-    // Oracle: not SQL-expressible; planted-pair recall is asserted in
-    // DedupSpec (rows-only driver check here).
     QueryDef(
       "d02_minhash_lsh_neardup",
       (s, dir) => {
@@ -139,7 +153,42 @@ object OpsQueries {
         DedupOps.simhashPairs(planted, "doc_id", "text")
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      // Full-fidelity DuckDB twin of the documented algorithm, down to the
+      // hash: [[OracleXxh64.expr]] reproduces Spark's xxhash64 bit-for-bit
+      // (public xxHash spec, seed 42) over the DISTINCT token vocabulary,
+      // then per-bit ±1 votes → 64-bit signature → 16-bit-chunk banding →
+      // exact Hamming <= 3 verify, exactly mirroring simhashPairs.
+      Some(s"""WITH RECURSIVE pows(i, p) AS (
+          SELECT 0, 1::HUGEINT UNION ALL SELECT i + 1, p * 2 FROM pows WHERE i < 63),
+        docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
+        vocab AS (SELECT DISTINCT t FROM tok),
+        hashes AS (SELECT t, ${OracleXxh64.expr("t")} AS h FROM vocab),
+        tokh AS (SELECT doc_id, h FROM tok JOIN hashes USING (t)),
+        votes AS (
+          SELECT doc_id, i, p, SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM tokh CROSS JOIN pows GROUP BY doc_id, i, p),
+        sigs AS (
+          SELECT doc_id, SUM(CASE WHEN v >= 0 THEN p ELSE 0::HUGEINT END) AS sig
+          FROM votes GROUP BY doc_id),
+        chunks AS (
+          SELECT doc_id, sig, cb.b, CAST((sig // cb.pw) % 65536 AS BIGINT) AS chunk_val
+          FROM sigs CROSS JOIN (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+            (2, 4294967296::HUGEINT), (3, 281474976710656::HUGEINT)) AS cb(b, pw)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.sig AS sig_a, b.sig AS sig_b
+          FROM chunks a JOIN chunks b USING (b, chunk_val)
+          WHERE a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+          CAST(bit_count(xor(CAST(sig_a AS UBIGINT), CAST(sig_b AS UBIGINT))) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(CAST(sig_a AS UBIGINT), CAST(sig_b AS UBIGINT))) <= 3
+        ORDER BY doc_a, doc_b""")),
 
     // ---------------------------------------------------------------- d04
     // N-gram Jaccard via inverted-index blocking (no LSH, exact over
@@ -375,7 +424,31 @@ object OpsQueries {
         SimilarityOps.annTopK(idx, "vec_id", "embedding", q, 20)
           .withColumn("cosine", round(col("cosine"), 4))
       },
-      None),
+      // Exact twin: the ±1 hyperplane matrix is embedded as a literal
+      // (see s02SignsSql), signatures fold j = 1..64 in the same order and
+      // double arithmetic as signLshSignature, probes = own bucket plus all
+      // Hamming-1 neighbors, candidates ranked by exact cosine — the whole
+      // ANN path reproduced, not just the planted subset.
+      Some(s"""WITH planes AS (SELECT ${s02SignsSql}::TINYINT[][] AS s),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sigs AS (
+          SELECT vec_id, v,
+            CAST(list_sum(list_transform(generate_series(0, 7), b ->
+              CASE WHEN list_reduce(
+                     list_transform(generate_series(1, 64), j -> v[j] * s[b+1][j]),
+                     (a, x) -> a + x) >= 0.0
+                   THEN 1 << b ELSE 0 END)) AS BIGINT) AS sig
+          FROM emb, planes),
+        q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+        probes AS (
+          SELECT qsig AS p FROM q
+          UNION
+          SELECT xor(qsig, CAST(1 << b AS BIGINT)) FROM q, generate_series(0, 7) AS t(b)),
+        cand AS (
+          SELECT s.vec_id, list_cosine_similarity(s.v, q.qv) AS cosine
+          FROM sigs s, q WHERE s.sig IN (SELECT p FROM probes))
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND(cosine, 4) AS cosine
+        FROM cand ORDER BY cosine DESC, vec_id LIMIT 20""")),
 
     // ---------------------------------------------------------------- s03
     // IVF-partitioned ANN: vectors assigned to their nearest of 8 seed
