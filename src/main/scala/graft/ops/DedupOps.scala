@@ -111,6 +111,30 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination — the training-set hygiene pass: flag every
+    * corpus document sharing at least one word `n`-gram with a benchmark /
+    * eval corpus (the 13-gram overlap rule used by GPT-3- and PaLM-style
+    * data pipelines). Returns (doc_id, n_hit_ngrams), one row per
+    * contaminated document.
+    *
+    * Scale shape: eval suites are tiny (MBs) next to a 100 TB corpus, so
+    * the benchmark's distinct n-gram set is BROADCAST — the corpus side is
+    * map-only (shingle + hash-probe, no corpus shuffle); the only shuffle
+    * aggregates hit counts, whose volume is proportional to contamination,
+    * not corpus size. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextOps.shingleSet(col(textCol), n)).as("ngram"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingleSet(col(textCol), n)).as("ngram"))
+    corpusGrams.join(broadcast(benchGrams), Seq("ngram"))
+      .groupBy("doc_id")
+      // shingleSet is distinct per doc, so plain count = distinct hits
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signature, banded into four
     * 16-bit chunks (any pair within Hamming distance 3 shares at least one
     * exact chunk — pigeonhole), verified by true Hamming distance. */

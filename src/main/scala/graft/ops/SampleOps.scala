@@ -33,6 +33,29 @@ object SampleOps {
   def splitLabel(idCol: Column, trainBoundExclusive: String = "f0"): Column =
     when(hashBucket(idCol) < trainBoundExclusive, "train").otherwise("heldout")
 
+  /** Deterministic training shuffle + stable shard assignment: the
+    * reproducible global permutation a training run reads the corpus in.
+    * `shuffle_key` = md5(seed:id) is an engine-independent pseudo-random
+    * sort key; `shard` = its first 16 bits mod `numShards` (hash-sharded,
+    * so there is NO global sort — every shard is an independent slice);
+    * `shard_pos` = rank within the shard by the same key (a per-shard
+    * sort, exactly the order a shard writer streams its file). Same seed →
+    * bit-identical shards and order on any engine, at any parallelism —
+    * the property that makes data-order ablations and mid-run restarts
+    * reproducible at 100 TB. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+      seed: String = "graft"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val shard = (conv(substring(key, 1, 4), 16, 10).cast("long") % numShards)
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates expressed
     * as hex bucket bounds ("80" = 50%, "10" = 6.25%), applied by stratum
     * value — the language/domain-rebalancing pass every corpus mix runs,

@@ -365,6 +365,100 @@ object OpsQueries {
           < CASE WHEN lang = 'en' THEN '80' ELSE '10' END
         GROUP BY lang ORDER BY lang""")),
 
+    // ---------------------------------------------------------------- d09
+    // Benchmark decontamination: every 50th doc plays the eval set, and the
+    // corpus is seeded with near-copies of those eval docs (the real leak
+    // shape — eval data paraphrased into the crawl). Docs sharing any
+    // 13-gram with the eval set are flagged with their hit count. The
+    // benchmark n-gram set is broadcast — the corpus side is map-only.
+    QueryDef(
+      "d09_decontamination",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val bench = d.filter(col("doc_id") % 50 === 0)
+        val corpus = d.filter(col("doc_id") % 50 =!= 0).unionByName(
+          bench.withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" leakedeval"))))
+        DedupOps.decontaminate(corpus, bench, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' leakedeval'
+          FROM documents WHERE doc_id % 50 = 0),
+        grams AS (
+          SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 12, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+12], ' ')))) AS ngram
+          FROM docs),
+        bench AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 12, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+12], ' ')))) AS ngram
+          FROM documents WHERE doc_id % 50 = 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
+        FROM grams JOIN bench USING (ngram)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d10
+    // Deterministic training shuffle + stable shard assignment: md5-keyed
+    // pseudo-random order, 8 hash shards, per-shard rank — the reproducible
+    // corpus order a training run streams.
+    QueryDef(
+      "d10_shuffle_shards",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        SampleOps.shuffleShards(d, "doc_id", numShards = 8)
+          .select(col("doc_id"), col("shard"), col("shard_pos"))
+          .orderBy("shard", "shard_pos")
+      },
+      Some("""WITH keyed AS (
+          SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        sharded AS (
+          SELECT doc_id, k,
+            CAST((((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(k, 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(k, 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(k, 4, 1)) - 1)) % 8) AS INTEGER)
+              AS shard
+          FROM keyed)
+        SELECT doc_id, shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+            AS BIGINT) AS shard_pos
+        FROM sharded ORDER BY shard, shard_pos""")),
+
+    // ---------------------------------------------------------------- t10
+    // Sequence packing: each source's docs (ordered by id) concatenated
+    // into a token stream and cut into 512-token sequences; one row per
+    // (doc, overlapped sequence) with the doc's contributed token range.
+    QueryDef(
+      "t10_sequence_packing",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        PackOps.packSequences(d, "doc_id", "text", budget = 512,
+            shardCol = "source")
+          .orderBy("shard", "seq_id", "doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT source AS shard, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS start_off
+          FROM documents),
+        exploded AS (
+          SELECT *, unnest(generate_series(start_off // 512,
+            (start_off + n_tokens - 1) // 512)) AS seq_id
+          FROM base)
+        SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, n_tokens,
+          CAST(GREATEST(seq_id * 512 - start_off, 0) AS BIGINT) AS tok_start,
+          CAST(LEAST((seq_id + 1) * 512 - start_off, n_tokens) AS BIGINT) AS tok_end
+        FROM exploded ORDER BY shard, seq_id, doc_id""")),
+
     // ---------------------------------------------------------------- m04
     // Cross-modal join: text rows joined to their embedding rows, emitting
     // per-document token counts next to vector norms — the alignment step

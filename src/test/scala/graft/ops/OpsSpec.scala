@@ -325,6 +325,71 @@ class OpsSpec extends SparkSuite {
     assert(labels("heldout") > 500 && labels("heldout") < 750) // 16/256 ≈ 6.25% of 10k
   }
 
+  test("decontamination flags leaked eval copies and spares clean docs") {
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val leaked = bench.withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat($"text", lit(" leakedeval")))
+    val corpus = docs.filter($"doc_id" % 50 =!= 0).unionByName(leaked)
+    val flagged = DedupOps.decontaminate(corpus, bench, "doc_id", "text")
+      .select($"doc_id", $"n_hit_ngrams").as[(Long, Long)].collect().toMap
+    // every leaked copy with >= 13 tokens must be flagged, with hit count
+    // = its shingle count minus the shingles touching the appended token
+    val benchToks = bench.select($"doc_id",
+      size(TextOps.tokens($"text")).as("n")).as[(Long, Int)].collect().toMap
+    benchToks.filter(_._2 >= 13).foreach { case (id, n) =>
+      assert(flagged.contains(id + 1000000L), s"leaked copy of $id not flagged")
+      assert(flagged(id + 1000000L) >= n - 12L,
+        "a full copy must share every original 13-gram")
+    }
+    // the corpus keeps its clean majority: flagged docs are a small subset
+    assert(flagged.size < corpus.count() / 10)
+  }
+
+  test("sequence packing covers every token exactly once within the budget") {
+    val packed = PackOps.packSequences(docs, "doc_id", "text",
+      budget = 512, shardCol = "source")
+    packed.persist()
+    // every document's slices are disjoint, contiguous, and sum to n_tokens
+    val perDoc = packed.groupBy($"doc_id", $"n_tokens")
+      .agg(sum($"tok_end" - $"tok_start").as("covered"),
+        min($"tok_start").as("first"), max($"tok_end").as("last"))
+    assert(perDoc.filter($"covered" =!= $"n_tokens" ||
+      $"first" =!= 0L || $"last" =!= $"n_tokens").isEmpty)
+    // every sequence except a shard's last holds exactly `budget` tokens
+    val perSeq = packed.groupBy($"shard", $"seq_id")
+      .agg(sum($"tok_end" - $"tok_start").as("toks"))
+    val lastSeq = perSeq.groupBy($"shard").agg(max($"seq_id").as("seq_id"))
+    assert(perSeq.join(lastSeq, Seq("shard", "seq_id"), "left_anti")
+      .filter($"toks" =!= 512L).isEmpty)
+    // deterministic under repartitioning
+    val again = PackOps.packSequences(docs.repartition(7), "doc_id", "text",
+      budget = 512, shardCol = "source")
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+    packed.unpersist()
+  }
+
+  test("shuffle shards: stable assignment, dense per-shard ranks") {
+    val out = SampleOps.shuffleShards(docs, "doc_id", numShards = 8)
+      .select($"doc_id", $"shard", $"shard_pos")
+    out.persist()
+    assert(out.count() == docs.count())
+    // ranks are dense 0..n-1 within every shard
+    val bad = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"shard_pos").as("lo"),
+        max($"shard_pos").as("hi"), countDistinct($"shard_pos").as("d"))
+      .filter($"lo" =!= 0L || $"hi" =!= $"n" - 1 || $"d" =!= $"n")
+    assert(bad.isEmpty)
+    // same seed → identical assignment regardless of partitioning
+    val again = SampleOps.shuffleShards(docs.repartition(5), "doc_id", 8)
+      .select($"doc_id", $"shard", $"shard_pos")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // a different seed produces a different permutation
+    val reseeded = SampleOps.shuffleShards(docs, "doc_id", 8, seed = "other")
+      .select($"doc_id", $"shard", $"shard_pos")
+    assert(out.exceptAll(reseeded).count() > 0)
+    out.unpersist()
+  }
+
   test("quality score and langid are total and bounded") {
     val scored = docs.select(
       TextOps.qualityScore($"text").as("q"),
