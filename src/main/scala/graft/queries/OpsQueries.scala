@@ -30,6 +30,33 @@ object OpsQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Stage the events table as TWO half-range parquet files in ASCENDING
+    * TIME ORDER (written sequentially, so modification times order the
+    * micro-batches the way a real stream arrives) — shared by every
+    * streaming query that needs time-ordered file micro-batches (st06,
+    * st11). Two batches are the minimum that still demonstrates cross-batch
+    * watermark progression; each extra staged file costs a full micro-batch
+    * cycle of fixed streaming overhead. A hash split would make every batch
+    * span the full range and the watermark would rightly DROP most of
+    * batch 2 as late data. */
+  private def stagedEventHalves(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val stage = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_st06")
+    if (!java.nio.file.Files.exists(stage.resolve("_staged_2f"))) {
+      val ev0 = table(s, dir, "events")
+      val (mn, mx) = ev0.agg(min($"ts"), max($"ts")).as[(Long, Long)].head()
+      val span = (mx - mn) / 2 + 1
+      (0 until 2).foreach { i =>
+        ev0.filter($"ts" >= mn + i * span && $"ts" < mn + (i + 1) * span)
+          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(stage.toString)
+      }
+      java.nio.file.Files.createFile(stage.resolve("_staged_2f"))
+    }
+    stage.toString
+  }
+
   /** The s02 sign-LSH hyperplane matrix as a DuckDB list literal:
     * signs[b+1][j] = ±1 exactly as `SimilarityOps.signLshSignature` derives
     * it from `pmod(xxhash64(b*1024+j), 2)`. Corpus-independent constants
@@ -1265,29 +1292,9 @@ object OpsQueries {
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
-        // Stage the events as TWO half-range files in ASCENDING TIME ORDER
-        // (written sequentially, so modification times order the
-        // micro-batches the way a real stream arrives). Two batches are the
-        // minimum that still demonstrates cross-batch watermark progression;
-        // each extra staged file costs a full micro-batch cycle of fixed
-        // streaming overhead, which dominated this bench line at 4 files. A
-        // hash split would make every batch span the full range and the
-        // watermark would rightly DROP most of batch 2 as late data.
-        val stage = java.nio.file.Paths.get(
-          s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_st06")
-        if (!java.nio.file.Files.exists(stage.resolve("_staged_2f"))) {
-          val ev0 = table(s, dir, "events")
-          val (mn, mx) = ev0.agg(min($"ts"), max($"ts")).as[(Long, Long)].head()
-          val span = (mx - mn) / 2 + 1
-          (0 until 2).foreach { i =>
-            ev0.filter($"ts" >= mn + i * span && $"ts" < mn + (i + 1) * span)
-              .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
-              .parquet(stage.toString)
-          }
-          java.nio.file.Files.createFile(stage.resolve("_staged_2f"))
-        }
+        val stage = stagedEventHalves(s, dir)
         val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
         val agg = stream
           .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_ts", "1 hour")
@@ -1412,6 +1419,60 @@ object OpsQueries {
         s.table(name).select(col("n_nationkey"), col("n_name"))
           .orderBy("n_nationkey")
       },
-      Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""))
+      Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""")),
+
+    // --------------------------------------------------------------- st11
+    // STREAM-STREAM interval join: clicks joined to same-user purchases
+    // landing within [click, click + 30 min], both sides watermarked —
+    // the attribution join (ad click → conversion) every event pipeline
+    // runs. State is bounded by watermark delay + join window, NOT stream
+    // length: a click's state is evicted once the purchase-side watermark
+    // passes click_ts + 30 min, so at 100 TB/day the join holds ~90 min
+    // of events per key, regardless of retention. Joining on µs-truncated
+    // TIMESTAMPs keeps Spark and the DuckDB twin bit-identical (the
+    // parquet ts is NANOS; DuckDB truncates to µs on read).
+    // Determinism: the staged halves arrive in ascending time order and
+    // the 1 h delay exceeds the 30 min window, so no cross-batch match is
+    // ever evicted early — the streaming result equals the batch join.
+    QueryDef(
+      "st11_stream_stream_join",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val stage = stagedEventHalves(s, dir)
+        def src() = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+        val clicks = src().filter($"event_type" === "click")
+          .select($"event_id".as("click_event_id"), $"user_id",
+            $"event_ts".as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = src().filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_event_id"),
+            $"user_id".as("p_user_id"), $"event_ts".as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          $"user_id" === $"p_user_id" &&
+            $"purchase_ts" >= $"click_ts" &&
+            $"purchase_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"))
+        val name = s"st11_sink_${System.nanoTime()}"
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name)
+          .select($"user_id", $"click_event_id", $"purchase_event_id")
+          .orderBy("user_id", "click_event_id", "purchase_event_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_event_id,
+          p.event_id AS purchase_event_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ORDER BY 1, 2, 3"""))
   )
 }
