@@ -58,9 +58,12 @@ final class Collection private (spark: SparkSession, val path: String) {
       .drop("__hadro_rn", HadroTable.SeqCol, HadroTable.DeletedCol)
   }
 
-  /** Resolved view AS OF a pinned version — the stable input compaction
-    * and clustering rewrite, immune to commits landing mid-job. */
-  private def resolvedAt(version: Long): DataFrame = keyField match {
+  /** Resolved (LWW-collapsed, tombstone-free) view AS OF a pinned version
+    * — the stable input compaction and clustering rewrite, and the basis
+    * for version DIFFS (`h29`): `resolvedAsOf(v2).exceptAll(resolvedAsOf
+    * (v1))` is "rows added between v1 and v2". Immune to commits landing
+    * mid-job because the segment set is pinned by the manifest. */
+  def resolvedAsOf(version: Long): DataFrame = keyField match {
     case Some(k) if manifest.mutated => resolve(scanVersion(version), k)
     case _ => scanVersion(version)
   }
@@ -436,7 +439,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column '$c' not in ${schema.simpleString}"))
     val m0 = manifest
-    graft.ops.LayoutOps.zOrderBy(resolvedAt(m0.version), cols, numSegments)
+    graft.ops.LayoutOps.zOrderBy(resolvedAsOf(m0.version), cols, numSegments)
       .write.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)
       .option("hadro.compactOfGen", m0.generation.toString).save(path)
@@ -457,7 +460,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     // a write landing mid-compaction is never silently dropped; a
     // concurrent truncate aborts the compaction instead of being undone.
     val m0 = manifest
-    resolvedAt(m0.version).write.format("hadro").mode("overwrite")
+    resolvedAsOf(m0.version).write.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)
       .option("hadro.compactOfGen", m0.generation.toString).save(path)
   }

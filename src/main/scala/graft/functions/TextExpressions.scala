@@ -180,6 +180,35 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a native expression — the first step of
+  * text cleaning for training corpora (decomposed accents, compatibility
+  * forms typed by different sources must collapse to one canonical byte
+  * sequence or exact dedup/fingerprinting silently misses equal texts).
+  * Spark has no built-in normalizer; a Scala UDF would leave whole-stage
+  * codegen, so this wraps `java.text.Normalizer` (the JDK's Unicode NFC,
+  * same standard DuckDB's nfc_normalize implements) in a codegen'd unary
+  * expression. Cost is a no-op fast path for already-NFC text
+  * (Normalizer.isNormalized) — ASCII corpora pay one scan, no allocation. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.nfcJava(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${TextExpressions.getClass.getName.stripSuffix("$")}.nfcJava($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column-world handle for [[MinHashSignature]]. */
   def minhash_signature(shingles: Column, n: Int): Column =
@@ -188,4 +217,18 @@ object TextExpressions {
   /** Column-world handle for [[SimHash64]]. */
   def simhash64(toks: Column): Column =
     VectorExpressions.columnOf(SimHash64(VectorExpressions.expressionOf(toks)))
+
+  /** Column-world handle for [[NfcNormalize]]. */
+  def nfc_normalize(text: Column): Column =
+    VectorExpressions.columnOf(NfcNormalize(VectorExpressions.expressionOf(text)))
+
+  /** JVM kernel for [[NfcNormalize]] — public static so generated code can
+    * call it. Already-normalized strings (any ASCII corpus) return the
+    * input UTF8String unchanged instead of a re-encoded copy. */
+  def nfcJava(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -57,6 +57,20 @@ object TextOps {
         (a, b) => least(a, b)))
   }
 
+  /** Unicode NFC normalization (native codegen'd expression — see
+    * [[graft.functions.NfcNormalize]]): decomposed accents and
+    * compatibility forms collapse to one canonical byte sequence, so
+    * exact dedup / fingerprinting can't miss texts that differ only in
+    * encoding form. */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.TextExpressions.nfc_normalize(text)
+
+  /** Canonical text cleaning: NFC normalize, collapse space runs, trim —
+    * the first preprocessing stage of a training corpus. Pure per-row
+    * expression work (no UDF, no shuffle). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(nfcNormalize(text), " +", " "))
+
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =

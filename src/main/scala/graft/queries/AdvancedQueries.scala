@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -216,5 +217,63 @@ object AdvancedQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 400000.0
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+  ,
+
+    // ---------------------------------------------------------------- a09
+    // Bucketed co-located join: both sides pre-bucketed (8 buckets, sorted)
+    // on the join key, so the SortMergeJoin reads bucket i against bucket i
+    // with NO shuffle and NO sort — the layout investment that turns every
+    // repeated big-big join into a map-side merge at 100 TB. Broadcast is
+    // disabled to prove the shuffle elimination (BucketedJoinSpec asserts
+    // zero exchanges in the plan); the oracle checks the join itself.
+    QueryDef(
+      "a09_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        val (o, c) = AdvancedQueries.bucketedOrdersCustomer(s, dir)
+        val saved =
+          try Some(s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+          catch { case _: Exception => None }
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          s.table(o).join(s.table(c), $"o_custkey" === $"c_custkey")
+            .groupBy($"c_mktsegment")
+            .agg(count(lit(1)).as("n"),
+              sum($"o_totalprice".cast(DecimalType(18, 2))).cast(DoubleType)
+                .as("total"))
+            .orderBy($"c_mktsegment")
+            // EAGER checkpoint: the join must plan (and thus skip broadcast)
+            // while the scoped conf is live
+            .localCheckpoint(true)
+        } finally saved match {
+          case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
+
+  /** (Re)create the bucketed twin tables for `dir`'s orders/customer —
+    * 8 buckets, sorted, on the join keys — and return their names. Shared
+    * by the a09 query and BucketedJoinSpec. Bucket files live under
+    * /tmp/graft_bucketed; the in-memory catalog entry is rebuilt per
+    * session (mode=overwrite), reused within one (bench repeats). */
+  def bucketedOrdersCustomer(s: SparkSession, dir: String): (String, String) = {
+    // no dots: the tag is used as a SQL table identifier
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    def ensure(name: String, key: String): String = {
+      val tbl = s"${name}_bkt_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        table(s, dir, name).write
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"/tmp/graft_bucketed/$tag/$name")
+          .mode("overwrite").saveAsTable(tbl)
+      }
+      tbl
+    }
+    (ensure("orders", "o_custkey"), ensure("customer", "c_custkey"))
+  }
 }

@@ -73,6 +73,14 @@ object OpsQueries {
     }.mkString("[", ",", "]")
   }
 
+  /** Planted non-NFC / messy-whitespace rows for t11, shared verbatim by
+    * the Spark query and the DuckDB oracle (no quotes allowed in texts —
+    * they're embedded as SQL literals). */
+  private val t11Planted: Seq[(Long, String)] = Seq(
+    (9000001L, "café   du  monde"),          // decomposed e + acute
+    (9000002L, "ﬁne Ångström"),   // fi ligature (NFC-stable), decomposed Å/ö
+    (9000003L, "  already   clean text  "))        // spacing only
+
   /** documents ∪ exact copies of every 10th doc (re-keyed +1,000,000). */
   private def withExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents")
@@ -485,6 +493,31 @@ object OpsQueries {
           CAST(GREATEST(seq_id * 512 - start_off, 0) AS BIGINT) AS tok_start,
           CAST(LEAST((seq_id + 1) * 512 - start_off, n_tokens) AS BIGINT) AS tok_end
         FROM exploded ORDER BY shard, seq_id, doc_id""")),
+
+    // ---------------------------------------------------------------- t11
+    // Canonical text cleaning: NFC normalize (native expression), collapse
+    // space runs, trim. The corpus is ASCII (identity under NFC), so
+    // non-NFC rows are planted: decomposed é and Å, an ﬁ ligature (NFC-
+    // stable), messy spacing. Oracle uses DuckDB's nfc_normalize — both
+    // engines implement the same Unicode standard, checked byte-for-byte.
+    QueryDef(
+      "t11_normalize_text",
+      (s, dir) => {
+        import s.implicits._
+        val planted = t11Planted.toDF("doc_id", "text")
+        table(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(planted)
+          .select(col("doc_id"), TextOps.cleanText(col("text")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          ${t11Planted.map { case (id, txt) =>
+            s"SELECT $id, '$txt'" }.mkString("\n          UNION ALL\n          ")})
+        SELECT doc_id,
+          trim(regexp_replace(nfc_normalize(text), ' +', ' ', 'g')) AS clean_text
+        FROM docs ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- m04
     // Cross-modal join: text rows joined to their embedding rows, emitting

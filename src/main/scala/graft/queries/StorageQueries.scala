@@ -581,6 +581,43 @@ object StorageQueries {
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = 370)
-        GROUP BY l_orderkey ORDER BY l_orderkey"""))
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ---------------------------------------------------------------- h29
+    // Version diff — "what changed between v1 and v2" on retained
+    // manifests (the table_changes/DESCRIBE-diff read every lakehouse
+    // audit runs). Computed as resolved-view exceptAll over two pinned
+    // time-travel scans: metadata picks the segment sets, the diff itself
+    // is a shuffle-on-key anti semantics Spark plans natively. Rows added
+    // by the upsert batch (new keys AND new versions of old keys) come
+    // back tagged '+'; rows they shadowed come back '-'.
+    QueryDef(
+      "h29_version_diff",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "nation")
+        val c = Collection.create(s, colPath(dir, "h29"), src,
+          key = Some("n_nationkey"))
+        val v1 = c.version
+        // upsert: 5 changed rows + 3 brand-new keys
+        c.set(src.filter($"n_nationkey" < 5)
+          .withColumn("n_name", concat($"n_name", lit("_v2"))))
+        c.append(src.filter($"n_nationkey" < 3)
+          .withColumn("n_nationkey", $"n_nationkey" + 100))
+        val v2 = c.version
+        val before = c.resolvedAsOf(v1)
+        val after = c.resolvedAsOf(v2)
+        after.exceptAll(before).withColumn("change", lit("+"))
+          .unionByName(before.exceptAll(after).withColumn("change", lit("-")))
+          .select($"change", $"n_nationkey", $"n_name")
+          .orderBy($"n_nationkey", $"change")
+      },
+      Some("""SELECT '+' AS change, n_nationkey, n_name || '_v2' AS n_name
+          FROM nation WHERE n_nationkey < 5
+        UNION ALL
+        SELECT '+', n_nationkey + 100, n_name FROM nation WHERE n_nationkey < 3
+        UNION ALL
+        SELECT '-', n_nationkey, n_name FROM nation WHERE n_nationkey < 5
+        ORDER BY n_nationkey, change"""))
   )
 }

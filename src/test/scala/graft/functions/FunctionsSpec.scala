@@ -80,6 +80,27 @@ class FunctionsSpec extends SparkSuite {
     assert(plan.contains("*(1) Project") && plan.contains("minhash_signature"), plan)
   }
 
+  test("nfc_normalize composes decomposed forms, keeps NFC-stable text, codegens") {
+    val rows = Seq(
+      "café",            // e + combining acute -> é
+      "Ångström",  // decomposed ring/diaeresis -> Ångström
+      "ﬁne",              // fi ligature is NFC-stable (only NFKC folds it)
+      "plain ascii",
+      null.asInstanceOf[String]).toDF("t")
+    val out = rows.select(TextExpressions.nfc_normalize($"t").as("n"))
+      .as[String].collect()
+    assert(out(0) == "café")
+    assert(out(1) == "Ångström")
+    assert(out(2) == "ﬁne")
+    assert(out(3) == "plain ascii")
+    assert(out(4) == null)
+    // codegen span: literals constant-fold, so assert over a real scan
+    val plan = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(TextExpressions.nfc_normalize($"text").as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("nfc_normalize"), plan)
+  }
+
   test("product UDAF handles empty and null groups") {
     val df = Seq((1, Some(2.0)), (1, Some(3.0)), (2, None), (3, Some(0.5)))
       .toDF("k", "v")
