@@ -257,6 +257,113 @@ object SimilarityOps {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Product quantization: split the vector space into `m` subspaces and
+    * quantize each against `k` sub-centroids (deterministic seeds: the
+    * sub-vectors of the vectors with id < k, the same seed rule IVF uses).
+    * A 64-float vector (256 B) becomes m=8 small codes — at 100 TB the
+    * difference between the vector corpus fitting in cluster memory or
+    * not, and the standard companion to an IVF index (IVF prunes WHICH
+    * vectors to look at, PQ shrinks WHAT is read per vector).
+    *
+    * Encoding is a PER-ROW argmin over k broadcast sub-centroid literals
+    * per subspace (struct `least`, ties to the smaller code) — map-only,
+    * no join, no shuffle, and all arithmetic is a fixed-order double fold,
+    * so codes are bit-identical on any engine or partitioning (the DuckDB
+    * oracle re-derives them exactly). */
+  def buildPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, numSegments: Int = 8): graft.api.Collection = {
+    val seeds = df.filter(col(idCol) < k).select(col(idCol), col(vecCol))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+    require(seeds.length == k, s"need the $k seed vectors (id < $k), got ${seeds.length}")
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val codebook: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(j => seeds.map(_._2.slice(j * sub, (j + 1) * sub)))
+    val codes = (0 until m).map { j =>
+      val scored = (0 until k).map { c =>
+        struct(sqL2Sub(col(vecCol), j * sub, codebook(j)(c)).as("d"),
+          lit(c).as("code"))
+      }
+      least(scored: _*).getField("code")
+    }
+    val encoded = df.select(col(idCol).as("vid"), array(codes: _*).as("codes"))
+    val collection = graft.api.Collection.create(spark, path,
+      encoded.repartition(numSegments))
+    saveCodebook(java.nio.file.Paths.get(path), codebook)
+    collection
+  }
+
+  /** Squared L2 between `vec[offset+1 .. offset+sub]` and a centroid
+    * literal, as an explicit LEFT-FOLDED sum — fixed evaluation order so
+    * the value is reproducible bit-for-bit (and mirrorable in SQL). */
+  private def sqL2Sub(vec: Column, offset: Int, cent: Seq[Float]): Column =
+    cent.zipWithIndex.map { case (cv, i) =>
+      val d = element_at(vec, offset + i + 1).cast("double") - cv.toDouble
+      d * d
+    }.reduce(_ + _)
+
+  /** Approximate top-k over a [[buildPqIndex]] collection via ADC
+    * (asymmetric distance computation): the query builds an m×k table of
+    * exact sub-distances DRIVER-SIDE from the persisted codebook; each
+    * candidate's estimated distance is then m array lookups over its
+    * codes — the scan never touches a float vector. Returns
+    * (idCol, est_dist) ascending. */
+  def pqTopK(index: graft.api.Collection, idCol: String,
+      query: Seq[Float], kResults: Int): DataFrame = {
+    val codebook = loadCodebook(java.nio.file.Paths.get(index.path))
+      .getOrElse(throw new IllegalStateException(
+        s"no PQ codebook sidecar under ${index.path}"))
+    val m = codebook.length
+    val sub = codebook.head.head.length
+    // table(j)(c) = squared L2 of the query's subspace j vs sub-centroid c,
+    // summed in the same left-to-right order the encoder used
+    val table: Seq[Seq[Double]] = (0 until m).map { j =>
+      codebook(j).map { cv =>
+        var i = 0; var acc = 0.0
+        while (i < sub) {
+          val d = query(j * sub + i).toDouble - cv(i).toDouble
+          acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+    val est = (0 until m).map { j =>
+      element_at(typedlit(table(j)), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    index.scan()
+      .select(col("vid").as(idCol), est.as("est_dist"))
+      .orderBy(col("est_dist"), col(idCol))
+      .limit(kResults)
+  }
+
+  private def codebookFile(dir: java.nio.file.Path): java.nio.file.Path =
+    dir.resolve("_hadro").resolve("pq-codebook.json")
+
+  private def saveCodebook(dir: java.nio.file.Path,
+      codebook: Seq[Seq[Seq[Float]]]): Unit = {
+    val json = codebook.map(js =>
+      js.map(cv => cv.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    java.nio.file.Files.createDirectories(dir.resolve("_hadro"))
+    java.nio.file.Files.write(codebookFile(dir),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Codebook persisted by [[buildPqIndex]], if any:
+    * codebook(subspace)(code) = sub-centroid vector. */
+  def loadCodebook(dir: java.nio.file.Path): Option[Seq[Seq[Seq[Float]]]] = {
+    val f = codebookFile(dir)
+    if (!java.nio.file.Files.exists(f)) return None
+    val root = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    Some(root.extract[Seq[Seq[Seq[Double]]]].map(_.map(_.map(_.toFloat))))
+  }
+
   /** Driver-side cosine for ranking a handful of centroid literals. */
   private def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0

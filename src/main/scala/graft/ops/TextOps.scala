@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis primitives for large-scale training-data pipelines.
   *
@@ -70,6 +71,34 @@ object TextOps {
     * expression work (no UDF, no shuffle). */
   def cleanText(text: Column): Column =
     trim(regexp_replace(nfcNormalize(text), " +", " "))
+
+  /** Unigram-LM quality score — the CCNet/perplexity-bucket shape: score
+    * each document by its mean negative log-likelihood under a unigram
+    * model of the reference corpus itself. Common/natural text scores low,
+    * rare-token garbage scores high; filtering or bucketing on the score
+    * is the standard corpus-quality pass.
+    *
+    * Scale + determinism: the model is one token-count aggregation (the
+    * vocabulary, tiny next to the corpus, broadcast back for scoring);
+    * per-token log-probs are rounded to 6 decimals BEFORE summation and
+    * summed through DECIMAL(27,12), so the score is bit-identical across
+    * partitionings and engines (FP `sum(double)` would drift with
+    * partial-aggregation order, and ln() can differ in the last ulp
+    * between libms). */
+  def lmNllScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("t"))
+    val model = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(-log(col("c").cast("double") / col("t")), 6).as("nll"))
+    toks.join(broadcast(model), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(col("nll").cast(DecimalType(27, 12))).cast("double") /
+          count(lit(1)), 4).as("lm_nll"))
+  }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components. */

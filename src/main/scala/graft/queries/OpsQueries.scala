@@ -519,6 +519,30 @@ object OpsQueries {
           trim(regexp_replace(nfc_normalize(text), ' +', ' ', 'g')) AS clean_text
         FROM docs ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- t12
+    // Unigram-LM quality score (CCNet/perplexity-bucket shape): mean
+    // negative log-likelihood per doc under the corpus' own unigram model.
+    // Log-probs are pre-rounded and DECIMAL-summed, so the DuckDB twin is
+    // exact despite ln() and aggregation-order hazards.
+    QueryDef(
+      "t12_lm_quality",
+      (s, dir) => {
+        TextOps.lmNllScores(table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        tot AS (SELECT SUM(c) AS t FROM vocab),
+        model AS (
+          SELECT tok, ROUND(-ln(CAST(c AS DOUBLE) / t), 6) AS nll
+          FROM vocab, tot)
+        SELECT doc_id,
+          ROUND(CAST(SUM(CAST(nll AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4)
+            AS lm_nll
+        FROM tok JOIN model USING (tok)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- m04
     // Cross-modal join: text rows joined to their embedding rows, emitting
     // per-document token counts next to vector norms — the alignment step
@@ -688,6 +712,57 @@ object OpsQueries {
             / COUNT(*) AS FLOAT) AS DOUBLE), 4) + 0.0 AS centroid,
           CAST(COUNT(*) AS BIGINT) AS n
         FROM exploded GROUP BY cluster, pos ORDER BY cluster, pos""")),
+
+    // ---------------------------------------------------------------- s05
+    // Product quantization: 8 subspaces × 16 seed sub-centroids, vectors
+    // encoded to 8 codes (32× compression), query ranked by ADC — the
+    // driver-built m×k distance table makes ranking pure array lookups.
+    // Every arithmetic step is a fixed-order double fold, so the DuckDB
+    // twin re-derives codes, table, and estimates bit-for-bit.
+    QueryDef(
+      "s05_pq_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildPqIndex(
+          s, s"/tmp/graft_collections/$tag/s05_index", e, "vec_id", "embedding")
+        SimilarityOps.pqTopK(idx, "vec_id", q, 20)
+          .withColumn("est_dist", round(col("est_dist"), 4))
+      },
+      Some("""WITH seeds AS (
+          SELECT CAST(vec_id AS INT) AS c, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 16),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dists AS (
+          SELECT vecs.vec_id, sj.j, s.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (v[sj.j*8+i] - s.cv[sj.j*8+i]) * (v[sj.j*8+i] - s.cv[sj.j*8+i])),
+              (a, b) -> a + b) AS d
+          FROM vecs, seeds s, generate_series(0, 7) AS sj(j)),
+        enc AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
+            FROM dists) WHERE rk = 1),
+        codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM enc GROUP BY vec_id),
+        tbl AS (
+          SELECT sj.j, s.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (qv[sj.j*8+i] - s.cv[sj.j*8+i]) * (qv[sj.j*8+i] - s.cv[sj.j*8+i])),
+              (a, b) -> a + b) AS d
+          FROM q, seeds s, generate_series(0, 7) AS sj(j)),
+        trow AS (SELECT list(ds ORDER BY j) AS t FROM
+          (SELECT j, list(d ORDER BY c) AS ds FROM tbl GROUP BY j)),
+        est AS (
+          SELECT c.vec_id,
+            list_reduce(list_transform(generate_series(0, 7),
+              j -> trow.t[j+1][c.codes[j+1]+1]), (a, b) -> a + b) AS est_dist
+          FROM codes c, trow)
+        SELECT vec_id, ROUND(est_dist, 4) AS est_dist
+        FROM est ORDER BY est.est_dist, vec_id LIMIT 20""")),
 
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.

@@ -390,6 +390,36 @@ class OpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("PQ encoding is deterministic and self-distance is zero") {
+    val path = java.nio.file.Files.createTempDirectory("pq").resolve("ix").toString
+    val idx = SimilarityOps.buildPqIndex(spark, path, embs, "vec_id", "embedding")
+    val codes = idx.scan().select($"vid", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size == embs.count())
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // rebuilding from a repartitioned frame yields identical codes
+    val path2 = java.nio.file.Files.createTempDirectory("pq2").resolve("ix").toString
+    val idx2 = SimilarityOps.buildPqIndex(spark, path2,
+      embs.repartition(7), "vec_id", "embedding")
+    val codes2 = idx2.scan().select($"vid", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes == codes2, "PQ codes must not depend on partitioning")
+    // a seed vector's subvectors ARE centroids: its ADC self-distance is 0
+    // and it ranks first for its own query
+    val q = embs.filter($"vec_id" === 3L).select($"embedding").head().getSeq[Float](0)
+    val top = SimilarityOps.pqTopK(idx, "vec_id", q, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 3L && top.head._2 == 0.0)
+  }
+
+  test("LM quality scores are positive, total, and partition-independent") {
+    val scores = TextOps.lmNllScores(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(scores.size == docs.count())
+    assert(scores.values.forall(v => v > 0.0 && v.isFinite))
+    val again = TextOps.lmNllScores(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(scores == again, "scores must not depend on partitioning")
+  }
+
   test("quality score and langid are total and bounded") {
     val scored = docs.select(
       TextOps.qualityScore($"text").as("q"),
