@@ -340,6 +340,81 @@ object SimilarityOps {
       .limit(kResults)
   }
 
+  /** IVF + PQ composed — the FAISS-IVFPQ shape and the full 100 TB ANN
+    * story in one index: the coarse quantizer (IVF cluster column +
+    * range-clustered segments) decides WHICH vectors a probe reads —
+    * segment stats drop every non-probed cluster — and the product codes
+    * decide how CHEAP each read is (m bytes and m table lookups per
+    * candidate instead of a float vector and a full distance). Both the
+    * centroids and the codebook persist as sidecars; probing touches
+    * neither the corpus nor the original vectors. */
+  def buildIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String, kCentroids: Int = 8,
+      m: Int = 8, k: Int = 16, numSegments: Int = 8): graft.api.Collection = {
+    val cents = trainIvfCentroids(df, idCol, vecCol, kCentroids, 0)
+    val seeds = df.filter(col(idCol) < k).select(col(idCol), col(vecCol))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
+    require(seeds.length == k, s"need the $k seed vectors (id < $k), got ${seeds.length}")
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val codebook: Seq[Seq[Seq[Float]]] =
+      (0 until m).map(j => seeds.map(_._2.slice(j * sub, (j + 1) * sub)))
+    val scored = cents.map { case (cid, cv) =>
+      struct(cosine(col(vecCol), typedlit(cv)).as("cos"), lit(cid).as("cid"))
+    }
+    val codes = (0 until m).map { j =>
+      val sd = (0 until k).map { c =>
+        struct(sqL2Sub(col(vecCol), j * sub, codebook(j)(c)).as("d"),
+          lit(c).as("code"))
+      }
+      least(sd: _*).getField("code")
+    }
+    val encoded = df.select(col(idCol).as("vid"),
+      greatest(scored: _*).getField("cid").as("cluster"),
+      array(codes: _*).as("codes"))
+    val collection = graft.api.Collection.create(spark, path,
+      encoded.repartitionByRange(numSegments, col("cluster")))
+    saveCentroids(java.nio.file.Paths.get(path), cents)
+    saveCodebook(java.nio.file.Paths.get(path), codebook)
+    collection
+  }
+
+  /** Probe a [[buildIvfPqIndex]] collection: rank centroids driver-side
+    * (corpus untouched), push `cluster IN (probes)` into the scan so
+    * segment stats prune non-probed clusters, then ADC-rank only the
+    * surviving codes. */
+  def ivfPqTopK(index: graft.api.Collection, idCol: String,
+      query: Seq[Float], kResults: Int, nprobe: Int = 2): DataFrame = {
+    val dir = java.nio.file.Paths.get(index.path)
+    val cents = loadCentroids(dir).getOrElse(throw new IllegalStateException(
+      s"no IVF centroid sidecar under ${index.path}"))
+    val codebook = loadCodebook(dir).getOrElse(throw new IllegalStateException(
+      s"no PQ codebook sidecar under ${index.path}"))
+    val probeCids = cents.map { case (cid, cv) => (cid.toLong, cosineLocal(cv, query)) }
+      .sortBy { case (cid, cos) => (-cos, -cid) }
+      .take(nprobe).map(_._1)
+    val m = codebook.length
+    val sub = codebook.head.head.length
+    val table: Seq[Seq[Double]] = (0 until m).map { j =>
+      codebook(j).map { cv =>
+        var i = 0; var acc = 0.0
+        while (i < sub) {
+          val d = query(j * sub + i).toDouble - cv(i).toDouble
+          acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+    val est = (0 until m).map { j =>
+      element_at(typedlit(table(j)), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    index.scan().filter(col("cluster").isin(probeCids: _*))
+      .select(col("vid").as(idCol), est.as("est_dist"))
+      .orderBy(col("est_dist"), col(idCol))
+      .limit(kResults)
+  }
+
   private def codebookFile(dir: java.nio.file.Path): java.nio.file.Path =
     dir.resolve("_hadro").resolve("pq-codebook.json")
 

@@ -764,6 +764,73 @@ object OpsQueries {
         SELECT vec_id, ROUND(est_dist, 4) AS est_dist
         FROM est ORDER BY est.est_dist, vec_id LIMIT 20""")),
 
+    // ---------------------------------------------------------------- s06
+    // IVF + PQ composed (the FAISS-IVFPQ shape): coarse clusters prune
+    // WHICH segments a probe reads, product codes make each candidate m
+    // lookups instead of a vector read. Oracle re-derives assignment,
+    // probe choice, codes, ADC table, and estimates exactly.
+    QueryDef(
+      "s06_ivfpq_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildIvfPqIndex(
+          s, s"/tmp/graft_collections/$tag/s06_index", e, "vec_id", "embedding")
+        SimilarityOps.ivfPqTopK(idx, "vec_id", q, 20)
+          .withColumn("est_dist", round(col("est_dist"), 4))
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        cents AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 8),
+        seeds AS (
+          SELECT CAST(vec_id AS INT) AS c, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 16),
+        vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assigned AS (
+          SELECT e.vec_id,
+            (SELECT c.cid FROM cents c
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.cid DESC
+             LIMIT 1) AS cluster
+          FROM embeddings e),
+        probes AS (
+          SELECT c.cid FROM cents c, q
+          ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid DESC
+          LIMIT 2),
+        dists AS (
+          SELECT vecs.vec_id, sj.j, s.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (v[sj.j*8+i] - s.cv[sj.j*8+i]) * (v[sj.j*8+i] - s.cv[sj.j*8+i])),
+              (a, b) -> a + b) AS d
+          FROM vecs, seeds s, generate_series(0, 7) AS sj(j)),
+        enc AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
+            FROM dists) WHERE rk = 1),
+        codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM enc GROUP BY vec_id),
+        tbl AS (
+          SELECT sj.j, s.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (qv[sj.j*8+i] - s.cv[sj.j*8+i]) * (qv[sj.j*8+i] - s.cv[sj.j*8+i])),
+              (a, b) -> a + b) AS d
+          FROM q, seeds s, generate_series(0, 7) AS sj(j)),
+        trow AS (SELECT list(ds ORDER BY j) AS t FROM
+          (SELECT j, list(d ORDER BY c) AS ds FROM tbl GROUP BY j)),
+        est AS (
+          SELECT c.vec_id,
+            list_reduce(list_transform(generate_series(0, 7),
+              j -> trow.t[j+1][c.codes[j+1]+1]), (a, b) -> a + b) AS est_dist
+          FROM codes c, trow
+          WHERE c.vec_id IN (SELECT a.vec_id FROM assigned a
+                             WHERE a.cluster IN (SELECT cid FROM probes)))
+        SELECT vec_id, ROUND(est_dist, 4) AS est_dist
+        FROM est ORDER BY est.est_dist, vec_id LIMIT 20""")),
+
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.
     QueryDef(
@@ -1581,6 +1648,40 @@ object OpsQueries {
           ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-        ORDER BY 1, 2, 3"""))
+        ORDER BY 1, 2, 3""")),
+
+    // --------------------------------------------------------------- st12
+    // STREAMING DEDUP within the watermark (dropDuplicatesWithinWatermark)
+    // — the exactly-once ingestion guard for at-least-once event feeds
+    // (and the streaming face of the d01 exact-dedup pass). Two readers
+    // of the same staged files make every event arrive twice, possibly in
+    // different micro-batches; the state store holds each key only until
+    // the watermark passes it, so state is bounded by the delay window,
+    // not stream length. The deduped stream must equal the batch table.
+    QueryDef(
+      "st12_streaming_dedup",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val stage = stagedEventHalves(s, dir)
+        def src() = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val deduped = src().unionByName(src())
+          .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+        val name = s"st12_sink_${System.nanoTime()}"
+        val q = deduped.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).select($"event_id", $"event_type", $"user_id")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, user_id
+        FROM events ORDER BY event_id"""))
   )
 }

@@ -410,6 +410,27 @@ class OpsSpec extends SparkSuite {
     assert(top.head._1 == 3L && top.head._2 == 0.0)
   }
 
+  test("IVFPQ probes only clustered segments and agrees with PQ on them") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").resolve("ix").toString
+    val idx = SimilarityOps.buildIvfPqIndex(spark, path, embs, "vec_id", "embedding")
+    val q = embs.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
+    val top = SimilarityOps.ivfPqTopK(idx, "vec_id", q, 10)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L && top.head._2 == 0.0, "seed query self-distance 0")
+    // every candidate came from a probed cluster (top-2 by centroid cosine)
+    val cents = SimilarityOps.loadCentroids(java.nio.file.Paths.get(path)).get
+    val members = idx.scan().select($"vid", $"cluster").as[(Long, Int)].collect().toMap
+    val probed = top.map(t => members(t._1)).toSet
+    assert(probed.size <= 2, s"candidates from ${probed.size} clusters, nprobe=2")
+    // ADC estimates equal the pure-PQ path for the same vectors (same
+    // codebook seeds), so composing IVF pruning cannot change the math
+    val pqPath = java.nio.file.Files.createTempDirectory("ivfpq_ref").resolve("ix").toString
+    val pqIdx = SimilarityOps.buildPqIndex(spark, pqPath, embs, "vec_id", "embedding")
+    val ref = SimilarityOps.pqTopK(pqIdx, "vec_id", q, Int.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    top.foreach { case (vid, d) => assert(ref(vid) == d) }
+  }
+
   test("LM quality scores are positive, total, and partition-independent") {
     val scores = TextOps.lmNllScores(docs, "doc_id", "text")
       .as[(Long, Double)].collect().toMap
