@@ -618,6 +618,24 @@ object StorageQueries {
         SELECT '+', n_nationkey + 100, n_name FROM nation WHERE n_nationkey < 3
         UNION ALL
         SELECT '-', n_nationkey, n_name FROM nation WHERE n_nationkey < 5
-        ORDER BY n_nationkey, change"""))
+        ORDER BY n_nationkey, change""")),
+
+    // ---------------------------------------------------------------- h30
+    // Limit pushdown: LIMIT n over an unfiltered scan plans only the
+    // segment PREFIX covering n live rows (PushdownSpec asserts the plan);
+    // readers are pull-based so rows past the limit are never decoded.
+    // Deterministic here: nation ingests as ONE segment in parquet order,
+    // so the first 5 log records are keys 0..4.
+    QueryDef(
+      "h30_limit_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "nation")
+        val c = Collection.create(s, colPath(dir, "h30"), src)
+        c.scan().limit(5).select($"n_nationkey", $"n_name")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+        WHERE n_nationkey < 5 ORDER BY n_nationkey"""))
   )
 }

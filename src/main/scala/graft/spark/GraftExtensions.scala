@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, MinHashSignature}
+import graft.functions.{CosineSimilarity, MinHashSignature, NfcNormalize, SimHash64}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * first-class SQL functions in every session created with
@@ -41,6 +41,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_signature: n must be an integer literal, got $other")
         }
         MinHashSignature(exprs.head, n)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64(tokens) takes 1 argument")
+        SimHash64(exprs.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "nfc_normalize(text) takes 1 argument")
+        NfcNormalize(exprs.head)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

@@ -118,11 +118,26 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     versionAsOf: Option[Long] = None, onTruncate: String = "fail",
     maxOrdinalsPerTrigger: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, InternalRow)] = None
+  private var limit: Option[Int] = None
+
+  // ------------------------------------------------------- limit pushdown
+  // `LIMIT n` with no filters needs only enough SEGMENTS to cover n live
+  // rows — at 100 TB the difference between planning one input partition
+  // and the whole corpus. Row-level early termination is free on top:
+  // readers are pull-based, so Spark's LocalLimit stops consuming after n
+  // rows per partition and later records are never decoded. Declined when
+  // filters are pushed: they are re-applied by Spark AFTER the scan
+  // (residual contract), so a row-capped plan could starve a filtered
+  // limit of matches. isPartiallyPushed stays true (the default): Spark
+  // keeps its own global limit, we only shrink what is read.
+  override def pushLimit(l: Int): Boolean = {
+    if (pushed.isEmpty) { limit = Some(l); true } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -156,7 +171,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     case Some((aggSchema, row)) => new HadroLocalAggScan(path, aggSchema, row)
     case None =>
       new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
-        maxOrdinalsPerTrigger)
+        maxOrdinalsPerTrigger, limit)
   }
 }
 
@@ -269,7 +284,8 @@ object HadroAggPushdown {
 
 final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushed: Array[Filter], versionAsOf: Option[Long] = None,
-    onTruncate: String = "fail", maxOrdinalsPerTrigger: Long = 0L)
+    onTruncate: String = "fail", maxOrdinalsPerTrigger: Long = 0L,
+    pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   // -------------------------------------------------- runtime filtering
@@ -304,7 +320,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       maxOrdinalsPerTrigger)
   }
   override def description(): String =
-    s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]"
+    s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]" +
+      pushedLimit.map(n => s", PushedLimit: $n").getOrElse("")
 
   // Decode ALWAYS uses the stored on-disk schema; a user-supplied read
   // schema is only a projection request resolved by NAME. Types must agree
@@ -331,10 +348,24 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       .map(v => CollectionMeta.manifestAt(path, v))
       .getOrElse(CollectionMeta.currentManifest(path))
     val filters = effectiveFilters
-    manifest.segments
+    val survivors = manifest.segments
       .filter(seg => SegmentSkipper.mightMatch(seg, filters, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, filters, storedSchema) &&
         BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, filters, storedSchema))
+    // Pushed limit, no filters (static or runtime): only the segment
+    // PREFIX covering `limit` live rows is planned — LIMIT 10 over a
+    // petabyte collection reads one segment. With filters present the
+    // full survivor set stays (rows are re-filtered post-scan, so any
+    // segment might be needed to fill the limit).
+    val planned = pushedLimit match {
+      case Some(n) if filters.isEmpty =>
+        var acc = 0L
+        survivors.takeWhile { seg =>
+          val need = acc < n; acc += seg.rows - seg.tombstones; need
+        }
+      case _ => survivors
+    }
+    planned
       .flatMap { seg =>
         // Point predicates on the key column consult the persisted
         // key→offset index: read ONLY the matching records (one

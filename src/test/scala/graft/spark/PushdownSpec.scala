@@ -77,4 +77,33 @@ class PushdownSpec extends SparkSuite {
     assert(scan.contains("p_partkey") && !scan.contains("p_retailprice"))
     assert(df.count() == src.count())
   }
+
+  test("limit pushdown plans only the segment prefix covering the limit") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val path = Files.createTempDirectory("limitpush").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    Collection.create(spark, path, src, numSegments = 8)
+    def scanExec(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+
+    val limited = spark.read.format("hadro").load(path).limit(5)
+    val exec = scanExec(limited)
+    assert(exec.scan.description().contains("PushedLimit: 5"),
+      exec.scan.description())
+    assert(exec.inputRDD.getNumPartitions < 8,
+      "LIMIT 5 must not plan all 8 segments")
+    assert(limited.count() == 5)
+
+    // a filter disables the prefix prune (residual-filter contract) but
+    // results stay correct
+    val filtered = spark.read.format("hadro").load(path)
+      .filter($"o_orderstatus" === "F").limit(5)
+    assert(!scanExec(filtered).scan.description().contains("PushedLimit"),
+      "limit must not push past residual filters")
+    assert(filtered.count() == 5)
+
+    // limit larger than the collection: all segments, all rows
+    val all = spark.read.format("hadro").load(path).limit(10000000)
+    assert(all.count() == src.count())
+  }
 }
