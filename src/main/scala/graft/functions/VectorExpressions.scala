@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for cosine similarity between two
   * `array<float>` embeddings.
@@ -80,7 +80,91 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused product-quantization encoder: argmin sub-centroid per subspace,
+  * as ONE expression with flat loops over a broadcast codebook reference.
+  *
+  * The composed form (`least()` over m×k structs of unrolled arithmetic)
+  * builds a ~3000-node Catalyst tree whose codegen compilation dominated
+  * the PQ index build; this is the same work as three nested loops and a
+  * single reference object. Bit-compatible with the composed form: the
+  * per-subspace distance accumulates left-to-right in doubles starting at
+  * 0.0 (equal to the no-init fold — all terms are non-negative), and ties
+  * keep the SMALLEST code (strict `<`), matching struct-`least` ordering
+  * on (distance, code). */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val m = codebook.length
+  @transient private lazy val k = codebook(0).length
+  @transient private lazy val sub = codebook(0)(0).length
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cent = codebook(j)(c)
+        var acc = 0.0; var i = 0
+        while (i < sub) {
+          val d = vec.getFloat(j * sub + i).toDouble - cent(i).toDouble
+          acc += d * d; i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(j) = best; j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val cent = ctx.freshName("cent")
+      s"""
+        int[] $out = new int[$m];
+        for (int $j = 0; $j < $m; $j++) {
+          int $best = 0; double $bestD = Double.MAX_VALUE;
+          for (int $c = 0; $c < $k; $c++) {
+            float[] $cent = $cb[$j][$c];
+            double $acc = 0.0;
+            for (int $i = 0; $i < $sub; $i++) {
+              double $d = (double) $x.getFloat($j * $sub + $i) - (double) $cent[$i];
+              $acc += $d * $d;
+            }
+            if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+          }
+          $out[$j] = $best;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+
+  /** Column-world handle for [[PqEncode]]. */
+  def pq_encode(vec: Column, codebook: Seq[Seq[Seq[Float]]]): Column =
+    columnOf(PqEncode(expressionOf(vec), codebook.map(_.map(_.toArray).toArray).toArray))
   // Spark 4's Column<->Expression bridge (classic.ExpressionUtils) is
   // private[sql] at the Scala level but public static in bytecode; go
   // through reflection once. Analysis-time only — no per-row cost.

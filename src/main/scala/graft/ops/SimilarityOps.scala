@@ -283,18 +283,30 @@ object SimilarityOps {
     val sub = dim / m
     val codebook: Seq[Seq[Seq[Float]]] =
       (0 until m).map(j => seeds.map(_._2.slice(j * sub, (j + 1) * sub)))
-    val codes = (0 until m).map { j =>
-      val scored = (0 until k).map { c =>
-        struct(sqL2Sub(col(vecCol), j * sub, codebook(j)(c)).as("d"),
-          lit(c).as("code"))
-      }
-      least(scored: _*).getField("code")
-    }
-    val encoded = df.select(col(idCol).as("vid"), array(codes: _*).as("codes"))
+    val encoded = df.select(col(idCol).as("vid"),
+      graft.functions.VectorExpressions.pq_encode(col(vecCol), codebook).as("codes"))
     val collection = graft.api.Collection.create(spark, path,
       encoded.repartition(numSegments))
     saveCodebook(java.nio.file.Paths.get(path), codebook)
     collection
+  }
+
+  /** Built-ins-composed PQ encoder (struct-`least` argmin over unrolled
+    * folds) — the fused [[graft.functions.PqEncode]] the builds actually
+    * use is asserted bit-exact against this in FunctionsSpec. The composed
+    * tree is ~3000 Catalyst nodes for m=8, k=16, sub=8; codegen
+    * compilation of that tree dominated the index build, which is why the
+    * hot path is native. */
+  def pqEncodeComposed(vec: Column, codebook: Seq[Seq[Seq[Float]]]): Column = {
+    val m = codebook.length
+    val k = codebook.head.length
+    val sub = codebook.head.head.length
+    array((0 until m).map { j =>
+      val scored = (0 until k).map { c =>
+        struct(sqL2Sub(vec, j * sub, codebook(j)(c)).as("d"), lit(c).as("code"))
+      }
+      least(scored: _*).getField("code")
+    }: _*)
   }
 
   /** Squared L2 between `vec[offset+1 .. offset+sub]` and a centroid
@@ -363,16 +375,9 @@ object SimilarityOps {
     val scored = cents.map { case (cid, cv) =>
       struct(cosine(col(vecCol), typedlit(cv)).as("cos"), lit(cid).as("cid"))
     }
-    val codes = (0 until m).map { j =>
-      val sd = (0 until k).map { c =>
-        struct(sqL2Sub(col(vecCol), j * sub, codebook(j)(c)).as("d"),
-          lit(c).as("code"))
-      }
-      least(sd: _*).getField("code")
-    }
     val encoded = df.select(col(idCol).as("vid"),
       greatest(scored: _*).getField("cid").as("cluster"),
-      array(codes: _*).as("codes"))
+      graft.functions.VectorExpressions.pq_encode(col(vecCol), codebook).as("codes"))
     val collection = graft.api.Collection.create(spark, path,
       encoded.repartitionByRange(numSegments, col("cluster")))
     saveCentroids(java.nio.file.Paths.get(path), cents)

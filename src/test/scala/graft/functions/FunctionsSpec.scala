@@ -101,6 +101,22 @@ class FunctionsSpec extends SparkSuite {
     assert(plan.contains("*(1) Project") && plan.contains("nfc_normalize"), plan)
   }
 
+  test("native pq_encode matches the composed argmin bit-for-bit and codegens") {
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val seeds = embs.filter($"vec_id" < 16).select($"vec_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val codebook: Seq[Seq[Seq[Float]]] =
+      (0 until 8).map(j => seeds.toSeq.map(_._2.slice(j * 8, (j + 1) * 8)))
+    val both = embs.select(
+      VectorExpressions.pq_encode($"embedding", codebook).as("native"),
+      graft.ops.SimilarityOps.pqEncodeComposed($"embedding", codebook).as("composed"))
+    assert(both.filter($"native" =!= $"composed").count() == 0)
+    val plan = embs.select(
+      VectorExpressions.pq_encode($"embedding", codebook).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("pq_encode"), plan)
+  }
+
   test("product UDAF handles empty and null groups") {
     val df = Seq((1, Some(2.0)), (1, Some(3.0)), (2, None), (3, Some(0.5)))
       .toDF("k", "v")
