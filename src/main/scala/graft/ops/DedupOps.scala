@@ -135,6 +135,45 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** Cross-document boilerplate line removal (the CCNet/RefinedWeb cleaning
+    * step): a line that appears in at least `minCount` docs — and in at
+    * least (numerator/denominator) of the docs — of the same `groupCol`
+    * (domain/source) is boilerplate (headers, footers, cookie banners,
+    * nav text) and is dropped from every doc; remaining lines are
+    * reassembled in original order.
+    *
+    * The share threshold is integer arithmetic (`ld * denominator >=
+    * gd * numerator`), never a float compare, so any engine computes the
+    * same cut. Returns (doc_id, n_lines_kept, clean_text); docs whose
+    * every line is boilerplate drop out (nothing left to emit).
+    *
+    * Scale shape: document-frequency counting and the anti-join are both
+    * key-equality shuffles on (group, line); reassembly shuffles on doc
+    * id. Nothing is quadratic. At 100 TB you additionally hash the line
+    * (xxhash64) so the shuffle key is 8 bytes instead of the line text —
+    * kept as the raw string here because the oracle compares line-exact. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, numerator: Int = 1, denominator: Int = 2,
+      minCount: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val groupDocs = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(idCol)).as("gd"))
+    // A line repeated WITHIN one doc counts once: distinct doc frequency.
+    val boiler = lines.groupBy("grp", "line")
+      .agg(countDistinct(col("doc_id")).as("ld"))
+      .join(groupDocs, Seq("grp"))
+      .filter(col("ld") >= minCount &&
+        col("ld") * denominator >= col("gd") * numerator)
+      .select("grp", "line")
+    lines.join(boiler, Seq("grp", "line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signature, banded into four
     * 16-bit chunks (any pair within Hamming distance 3 shares at least one
     * exact chunk — pigeonhole), verified by true Hamming distance. */

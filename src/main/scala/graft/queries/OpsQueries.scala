@@ -465,6 +465,61 @@ object OpsQueries {
             AS BIGINT) AS shard_pos
         FROM sharded ORDER BY shard, shard_pos""")),
 
+    // ---------------------------------------------------------------- d11
+    // Cross-document boilerplate line removal (CCNet/RefinedWeb cleaning):
+    // lines shared by ≥ half the docs of a source are dropped. The corpus
+    // has no newlines, so boilerplate is planted deterministically in BOTH
+    // engines: a universal per-source header (always removed), a ~50% line
+    // (sits exactly at the integer threshold — removal decided by the real
+    // doc-frequency count per source), and a ~33% footer (kept: repeated
+    // but below threshold).
+    QueryDef(
+      "d11_line_dedup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val corpus = d.select(col("doc_id"), col("source"),
+          concat(
+            lit("subscribe to "), col("source"), lit(" newsletter\n"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("follow "), col("source"), lit(" on social\n")))
+              .otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("\ncopyright "), col("source")))
+              .otherwise(lit(""))).as("text"))
+        DedupOps.removeBoilerplate(corpus, "doc_id", "text", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, source,
+            'subscribe to ' || source || ' newsletter' || chr(10) ||
+            CASE WHEN doc_id % 2 = 0
+              THEN 'follow ' || source || ' on social' || chr(10) ELSE '' END ||
+            text ||
+            CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'copyright ' || source ELSE '' END AS text
+          FROM documents),
+        lines AS (
+          SELECT doc_id, source,
+            unnest(string_split(text, chr(10))) AS line,
+            generate_subscripts(string_split(text, chr(10)), 1) AS pos
+          FROM corpus),
+        gdocs AS (
+          SELECT source, COUNT(DISTINCT doc_id) AS gd
+          FROM corpus GROUP BY source),
+        boiler AS (
+          SELECT ld.source, ld.line
+          FROM (SELECT source, line, COUNT(DISTINCT doc_id) AS ld
+                FROM lines GROUP BY source, line) ld
+          JOIN gdocs USING (source)
+          WHERE ld.ld >= 2 AND ld.ld * 2 >= gdocs.gd * 1),
+        kept AS (
+          SELECT li.doc_id, li.line, li.pos FROM lines li
+          ANTI JOIN boiler b ON li.source = b.source AND li.line = b.line)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+          string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- t10
     // Sequence packing: each source's docs (ordered by id) concatenated
     // into a token stream and cut into 512-token sequences; one row per
