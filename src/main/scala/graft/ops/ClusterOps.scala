@@ -68,4 +68,76 @@ object ClusterOps {
         "for graphs with long duplicate chains")
     labels.withColumnRenamed("label", "cluster")
   }
+
+  /** Connected components via alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    * public algorithm). Converges in O(log n) rounds regardless of graph
+    * diameter, where plain min-propagation needs O(diameter): a duplicate
+    * CHAIN of length 10,000 (each doc near-dup of the next — versioned
+    * pages, incremental edits) closes in ~14 rounds instead of 10,000.
+    *
+    * large-star: every node's strictly-greater neighbors re-point to the
+    * minimum of its closed neighborhood; small-star: every node's smaller
+    * neighbors (and itself) re-point to their minimum. Both are one
+    * groupBy + one join — key-equality shuffles, nothing quadratic; edge
+    * count never grows beyond the input. Fixpoint = a forest of stars,
+    * detected by an (edge-count, xxhash64-sum) signature match between
+    * rounds — one action per round on the checkpointed frame.
+    *
+    * Same contract as [[connectedComponents]]: returns (node, cluster),
+    * cluster = min reachable id; singletons not in `pairs` are omitted. */
+  def connectedComponentsAltStar(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    // Hash-sum through DECIMAL: a long sum of 64-bit hashes overflows (and
+    // ANSI mode makes that a hard error, not a wrap).
+    def signature(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    var sig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star, from every node's perspective (both edge directions):
+      // center c, neighbors n; m = min(c, min(n)); greater neighbors
+      // re-point to m. m <= c < n, so (n, m) is already canonical (u > v).
+      val bidir = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+      val lsMin = bidir.groupBy("c").agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("c"), col("mn")).as("m"))
+      val large = bidir.join(lsMin, Seq("c"))
+        .filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on canonical edges: center u (the larger endpoint),
+      // neighbors v < u; m = min(v); every v re-points to m (v = m drops
+      // as a self-loop) and u re-points to m.
+      val ssMin = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(ssMin, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(false) // lazy: the signature action materializes it
+      val nextSig = signature(small)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = small
+      iter += 1
+    }
+    if (!converged) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"connectedComponentsAltStar did NOT converge within $maxIter rounds")
+    // At the star fixpoint every edge is (leaf -> root) and every root
+    // appears only on the v side; the union + min guards the (unconverged)
+    // case where a node still carries several parents.
+    edges.select(col("u").as("node"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("node"), col("v").as("cluster")))
+      .groupBy("node").agg(min(col("cluster")).as("cluster"))
+  }
 }

@@ -520,6 +520,37 @@ object OpsQueries {
           string_agg(line, chr(10) ORDER BY pos) AS clean_text
         FROM kept GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d12
+    // Connected components on a CHAIN graph (each doc linked to the next,
+    // broken every 100 ids): diameter ~100, the pathological case for
+    // min-propagation (O(diameter) rounds) — solved by alternating
+    // large-star/small-star in O(log n) rounds. The oracle closes the same
+    // chains transitively with a recursive CTE.
+    QueryDef(
+      "d12_cc_chain",
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("doc_id"))
+        val pairs = d.as("x").join(d.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1 &&
+              col("x.doc_id") % 100 =!= 99)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        ClusterOps.connectedComponentsAltStar(pairs, "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("cluster"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+          WHERE x.doc_id % 100 <> 99),
+        edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)
+        SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- t10
     // Sequence packing: each source's docs (ordered by id) concatenated
     // into a token stream and cut into 512-token sequences; one row per
@@ -1458,6 +1489,47 @@ object OpsQueries {
           CAST((doc_id * 3 % 256) * 65536 + (doc_id * 5 % 256) * 256
             + (doc_id * 7 % 256) AS INT) AS top_left_rgb
         FROM documents ORDER BY media_id""")),
+
+    // ---------------------------------------------------------------- m06
+    // Audio feature extraction over raw PCM: planted s16 big-endian
+    // buffers (doc_id-seeded LCG samples, built byte-for-byte via
+    // hex→unhex so the native pcm_stats expression parses REAL bytes)
+    // reduced to sample count / peak / energy. The oracle never touches
+    // bytes — it recomputes the same stats analytically from the
+    // generating formula, so a byte-layout or sign-extension bug on the
+    // Spark side cannot cancel out. All-integer outputs: no FP hazard.
+    QueryDef(
+      "m06_audio_pcm_stats",
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("doc_id"))
+        val nSamples = lit(200) + col("doc_id") % 50
+        val pcm = unhex(concat_ws("", transform(
+          sequence(lit(0L), nSamples - 1),
+          i => lpad(hex(pmod(col("doc_id") * 7919 + i * 104729, lit(65536))),
+            4, "0"))))
+        d.withColumn("st", graft.functions.AudioExpressions.pcm_stats(pcm))
+          .select(col("doc_id"),
+            col("st.n_samples").cast("long").as("n_samples"),
+            col("st.peak").cast("long").as("peak"),
+            col("st.sum_sq").as("sum_sq"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH samp AS (
+          SELECT doc_id,
+            unnest(generate_series(0, 199 + doc_id % 50)) AS i
+          FROM documents),
+        vals AS (
+          SELECT doc_id, (doc_id * 7919 + i * 104729) % 65536 AS bits
+          FROM samp),
+        sgn AS (
+          SELECT doc_id,
+            CASE WHEN bits >= 32768 THEN bits - 65536 ELSE bits END AS s
+          FROM vals)
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_samples,
+          CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+          CAST(SUM(s * s) AS BIGINT) AS sum_sq
+        FROM sgn GROUP BY doc_id ORDER BY doc_id""")),
 
     // --------------------------------------------------------------- st07
     // NATIVE streaming sink: writeStream.format("hadro") — each micro-batch

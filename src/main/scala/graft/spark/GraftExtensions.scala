@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, NfcNormalize, SimHash64}
+import graft.functions.{CosineSimilarity, MinHashSignature, NfcNormalize, PcmStats, SimHash64}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * first-class SQL functions in every session created with
@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash64(tokens) takes 1 argument")
         SimHash64(exprs.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("pcm_stats"),
+      new ExpressionInfo(classOf[PcmStats].getName, "pcm_stats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "pcm_stats(pcm_binary) takes 1 argument")
+        PcmStats(exprs.head)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     ext.injectFunction((

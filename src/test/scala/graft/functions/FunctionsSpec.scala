@@ -117,6 +117,31 @@ class FunctionsSpec extends SparkSuite {
     assert(plan.contains("*(1) Project") && plan.contains("pq_encode"), plan)
   }
 
+  test("pcm_stats parses s16be buffers, ignores odd tail, and codegens") {
+    // -32768 (0x8000), +1 (0x0001), -1 (0xFFFF), +257 (0x0101), odd tail
+    val bytes = Array[Byte](0x80.toByte, 0x00, 0x00, 0x01,
+      0xFF.toByte, 0xFF.toByte, 0x01, 0x01, 0x7F)
+    // build the same bytes from a non-foldable column (hex of the range
+    // id) — a pure literal would constant-fold into a LocalTableScan and
+    // never exercise the codegen path this test asserts
+    val df = spark.range(1, 2).select(
+        unhex(concat(lit("8000"), lpad(hex($"id"), 4, "0"),
+          lit("FFFF01017F"))).as("pcm"))
+      .select(AudioExpressions.pcm_stats($"pcm").as("st"))
+      .select($"st.n_samples", $"st.peak", $"st.sum_sq")
+    val r = df.head()
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 32768) // |−32768| — the sign-extension edge
+    assert(r.getLong(2) == 32768L * 32768 + 1 + 1 + 257L * 257)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("pcm_stats"), plan)
+    // interpreted eval path agrees with codegen
+    val row = PcmStats(org.apache.spark.sql.catalyst.expressions.Literal(bytes))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getInt(0) == 4 && row.getInt(1) == 32768 &&
+      row.getLong(2) == r.getLong(2))
+  }
+
   test("product UDAF handles empty and null groups") {
     val df = Seq((1, Some(2.0)), (1, Some(3.0)), (2, None), (3, Some(0.5)))
       .toDF("k", "v")

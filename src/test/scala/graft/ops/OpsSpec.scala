@@ -325,6 +325,46 @@ class OpsSpec extends SparkSuite {
     assert(labels("heldout") > 500 && labels("heldout") < 750) // 16/256 ≈ 6.25% of 10k
   }
 
+  test("boilerplate line removal drops shared lines, keeps order, scopes by group") {
+    val frame = Seq(
+      // group g1: "HEADER" in 3/3 docs (removed), "RARE" in 1/3 (kept),
+      // "HALF" in 2/3 (>= 1/2, removed). Doc 3 is all-boilerplate → drops.
+      (1L, "g1", "HEADER\nbody one\nHALF"),
+      (2L, "g1", "HEADER\nHALF\nbody two\nRARE"),
+      (3L, "g1", "HEADER"),
+      // group g2: "HEADER" appears in only 1/2 docs here — group-scoped
+      // counting must KEEP it even though g1 removed the same string.
+      (4L, "g2", "HEADER\nbody four"),
+      // within-doc repetition counts once: "ECHO" twice in doc 5 is df=1.
+      (5L, "g2", "ECHO\nbody five\nECHO")
+    ).toDF("doc_id", "source", "text")
+    val out = DedupOps.removeBoilerplate(frame, "doc_id", "text", "source")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(3L), "all-boilerplate doc must vanish")
+    assert(out(1L)._3 == "body one")
+    assert(out(2L)._3 == "body two\nRARE", "order preserved after removal")
+    assert(out(4L)._3 == "HEADER\nbody four", "df is group-scoped")
+    assert(out(5L)._3 == "ECHO\nbody five\nECHO",
+      "within-doc repeats are df=1, not boilerplate")
+    assert(out(2L)._2 == 2L)
+  }
+
+  test("alt-star CC closes a long chain within its O(log n) round budget") {
+    // Chain 0-1-...-63 (diameter 63 — min-propagation would need 63
+    // rounds) plus two disjoint triangles; alt-star must converge inside
+    // its default 25-round cap and label every node with its true min.
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val tris = Seq((100L, 101L), (101L, 102L), (102L, 100L),
+      (200L, 201L), (201L, 202L), (202L, 200L))
+    val pairs = (chain ++ tris).toDF("a", "b")
+    val out = ClusterOps.connectedComponentsAltStar(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    (0L to 63L).foreach(i => assert(out(i) == 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(out(i) == 100L))
+    Seq(200L, 201L, 202L).foreach(i => assert(out(i) == 200L))
+    assert(out.size == 70)
+  }
+
   test("decontamination flags leaked eval copies and spares clean docs") {
     val bench = docs.filter($"doc_id" % 50 === 0)
     val leaked = bench.withColumn("doc_id", $"doc_id" + 1000000L)
