@@ -40,7 +40,8 @@ final case class SegmentInfo(
     splits: Seq[SplitPoint] = Nil,
     indexBlooms: Map[String, String] = Map.empty,
     offsetIndex: Option[String] = None,
-    nFields: Option[Int] = None)
+    nFields: Option[Int] = None,
+    bucket: Option[Int] = None)
 
 /** A committed collection version: the full list of live segments plus
   * collection-level flags. `mutated` records whether any committed write was
@@ -58,7 +59,12 @@ final case class Manifest(
     mutated: Boolean,
     indexes: Map[String, Seq[String]] = Map.empty,
     streamEpochs: Map[String, Long] = Map.empty,
-    generation: Long = 0L) {
+    generation: Long = 0L,
+    // Storage bucketing: every segment tagged `bucket = pmod(xxhash64(
+    // bucketBy), numBuckets)` — the contract that lets two co-bucketed
+    // collections join with zero exchanges (storage-partitioned join).
+    bucketBy: Option[String] = None,
+    numBuckets: Option[Int] = None) {
   def nextOrdinal: Long = if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1
 }
 

@@ -528,7 +528,10 @@ object OpsQueries {
     // chains transitively with a recursive CTE.
     QueryDef(
       "d12_cc_chain",
-      (s, dir) => {
+      // 8 shuffle partitions: the chain graph is tiny at test SF and the
+      // iterative rounds pay per-partition fixed costs ~8× otherwise. At
+      // real scale the caller keeps cluster-default parallelism.
+      (s, dir) => withShufflePartitions(s, 8) {
         val d = table(s, dir, "documents").select(col("doc_id"))
         val pairs = d.as("x").join(d.as("y"),
             col("y.doc_id") === col("x.doc_id") + 1 &&

@@ -636,6 +636,51 @@ object StorageQueries {
           .orderBy("n_nationkey")
       },
       Some("""SELECT n_nationkey, n_name FROM nation
-        WHERE n_nationkey < 5 ORDER BY n_nationkey"""))
+        WHERE n_nationkey < 5 ORDER BY n_nationkey""")),
+
+    // ---------------------------------------------------------------- h31
+    // STORAGE-PARTITIONED JOIN: customer and orders are both written as
+    // hadro collections bucketed on custkey (hadro.bucketBy/buckets — every
+    // segment tagged with pmod(xxhash64(key), 8)); their catalog-resolved
+    // scans report bucket(8, key) KeyGroupedPartitioning, and with v2
+    // bucketing enabled Spark plans the fact-fact join with ZERO exchanges
+    // (BucketedCollectionSpec asserts the plan). Broadcast is disabled so
+    // the join cannot dodge into a broadcast; the join runs inside the
+    // builder (localCheckpoint) so those confs restore before the next
+    // query. The co-location a 100 TB fact-fact join lives on.
+    QueryDef(
+      "h31_spj_join",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_spj/$tag"
+        s.conf.set("spark.sql.catalog.graft_h31",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h31.warehouse", wh)
+        def put(name: String, key: String): Unit =
+          table(s, dir, name)
+            .repartition(8, pmod(xxhash64(col(key)), lit(8)))
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.bucketBy", key).option("hadro.buckets", "8")
+            .save(s"$wh/db/$name")
+        put("customer", "c_custkey")
+        put("orders", "o_custkey")
+        val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          s.table("graft_h31.db.customer")
+            .join(s.table("graft_h31.db.orders"),
+              col("c_custkey") === col("o_custkey"))
+            .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+            .localCheckpoint() // execute NOW, under the SPJ confs
+            .orderBy("c_custkey")
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        }
+      },
+      Some("""SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey ORDER BY c_custkey"""))
   )
 }

@@ -4,10 +4,12 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.meta.CollectionMeta
@@ -31,7 +33,7 @@ import graft.meta.CollectionMeta
   * The catalog resolves names to the SAME [[HadroTable]] the path-based
   * `format("hadro")` API uses, so every capability (pushdown, stats,
   * streaming, time travel options) carries over unchanged. */
-class HadroCatalog extends TableCatalog with SupportsNamespaces {
+class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -173,5 +175,65 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces {
     if (Files.isDirectory(p))
       CollectionMeta.listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+
+  // ---------------------------------------------------------- functions
+  // FunctionCatalog exists for ONE reason: scans of bucketed collections
+  // report `bucket(n, col)` KeyGroupedPartitioning, and Spark resolves
+  // that transform against the relation's function catalog — without this,
+  // the reported partitioning is silently dropped and storage-partitioned
+  // joins never engage.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket") && ident.namespace().isEmpty)
+      HadroBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** `bucket(n, key) = floorMod(xxhash64(key), n)` — the SAME formula the
+  * writer tags segments with (`HadroDataWriter.bucketOf`) and the same
+  * xxhash64 (seed 42) users co-partition shuffles with. Spark binds this
+  * when resolving a bucketed scan's reported partitioning; the
+  * canonicalName ties the two sides of a storage-partitioned join
+  * together (equal name + equal numBuckets = co-partitioned). */
+object HadroBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): floorMod(xxhash64(col), numBuckets)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket expects (numBuckets, col), got ${inputType.simpleString}")
+    inputType(1).dataType match {
+      case LongType | IntegerType | StringType =>
+        new HadroBucketBound(inputType(1).dataType)
+      case dt => throw new UnsupportedOperationException(
+        s"hadro bucket: unsupported key type ${dt.simpleString}")
+    }
+  }
+}
+
+final class HadroBucketBound(keyType: DataType)
+    extends ScalarFunction[java.lang.Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.hadro.bucket"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): java.lang.Integer = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = input.getInt(0)
+    val h =
+      if (input.isNullAt(1)) 42L
+      else keyType match {
+        case LongType => XXH64.hashLong(input.getLong(1), 42L)
+        case IntegerType => XXH64.hashInt(input.getInt(1), 42L)
+        case _ => XXH64.hashUTF8String(input.getUTF8String(1), 42L)
+      }
+    java.lang.Math.floorMod(h, n.toLong).toInt
   }
 }

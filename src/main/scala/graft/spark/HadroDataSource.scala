@@ -10,7 +10,9 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -286,7 +288,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushed: Array[Filter], versionAsOf: Option[Long] = None,
     onTruncate: String = "fail", maxOrdinalsPerTrigger: Long = 0L,
     pushedLimit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   // -------------------------------------------------- runtime filtering
   // Dynamic-pruning predicates (the IN set a completed broadcast/subquery
@@ -339,8 +342,10 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
           s"but stored as ${sf.dataType.simpleString}")
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    validateAgainstStored()
+  /** The post-pruning segment list (and its manifest) — shared by
+    * planInputPartitions and outputPartitioning so the reported
+    * partitioning always describes the partitions actually planned. */
+  private def plannedSegments(): (Manifest, Seq[SegmentInfo]) = {
     // Time travel: a snapshot is just an older manifest — segment files are
     // immutable and appends never rewrite them, so any retained version
     // reconstructs its exact state.
@@ -365,20 +370,83 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         }
       case _ => survivors
     }
+    (manifest, planned)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    validateAgainstStored()
+    val (manifest, planned) = plannedSegments()
+    val filters = effectiveFilters
+    // Operability at scale: a 100 TB scan's health is "how much did
+    // pruning save" — surfaced as DSv2 custom metrics in the SQL UI
+    // (reported from the driver after planning; see reportDriverMetrics).
+    metricSegmentsRead = planned.size.toLong
+    metricSegmentsPruned = (manifest.segments.size - planned.size).toLong
+    metricBytesPlanned = planned.map(_.bytes).sum
+    val bucketed = bucketedFor(manifest, planned)
     planned
       .flatMap { seg =>
         // Point predicates on the key column consult the persisted
         // key→offset index: read ONLY the matching records (one
         // single-record range each), or skip the segment entirely on an
         // exact miss. Falls back to full split-range scanning otherwise.
-        OffsetIndexPlanner.pointRanges(path, seg, filters, storedSchema)
+        val parts = OffsetIndexPlanner.pointRanges(path, seg, filters, storedSchema)
           .getOrElse(HadroInputPartition.ranges(path, seg))
+        // Storage-partitioned join: when the collection is uniformly
+        // bucketed, every partition carries its bucket as the DSv2
+        // partition key so Spark can group co-bucketed sides shuffle-free.
+        if (bucketed.isDefined)
+          parts.map(p => BucketKeyedPartition(
+            p.asInstanceOf[HadroInputPartition], seg.bucket.get))
+        else parts
       }
       .toArray
   }
 
+  /** Some((col, n)) iff the scan may report KeyGroupedPartitioning: the
+    * manifest records a bucket spec, every PLANNED segment is tagged
+    * within range, and the bucket column survives column pruning (the
+    * reported key must resolve against this scan's output). */
+  private def bucketedFor(manifest: Manifest,
+      planned: Seq[SegmentInfo]): Option[(String, Int)] =
+    for {
+      c <- manifest.bucketBy
+      n <- manifest.numBuckets
+      if required.fieldNames.contains(c)
+      if planned.forall(s => s.bucket.exists(b => b >= 0 && b < n))
+    } yield (c, n)
+
+  override def outputPartitioning(): Partitioning = {
+    val (manifest, planned) = plannedSegments()
+    bucketedFor(manifest, planned) match {
+      case Some((c, n)) =>
+        val distinct = planned.flatMap(_.bucket).distinct.size
+        new KeyGroupedPartitioning(
+          Array[V2Expression](Expressions.bucket(n, c)), distinct)
+      case None => new UnknownPartitioning(0)
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new HadroReaderFactory(storedSchema, required)
+
+  // ------------------------------------------------------ custom metrics
+  // Pruning effectiveness in the SQL UI: segments read vs segments pruned
+  // (stats + bloom + runtime filters + limit prefix) and the bytes the
+  // plan actually touches. Driver-side values, set by planInputPartitions.
+  private var metricSegmentsRead = 0L
+  private var metricSegmentsPruned = 0L
+  private var metricBytesPlanned = 0L
+
+  override def supportedCustomMetrics(): Array[CustomMetric] = Array(
+    new HadroScan.SumMetric("hadroSegmentsRead", "hadro segments read"),
+    new HadroScan.SumMetric("hadroSegmentsPruned", "hadro segments pruned"),
+    new HadroScan.SumMetric("hadroBytesPlanned", "hadro bytes planned"))
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
+    HadroScan.taskMetric("hadroSegmentsRead", metricSegmentsRead),
+    HadroScan.taskMetric("hadroSegmentsPruned", metricSegmentsPruned),
+    HadroScan.taskMetric("hadroBytesPlanned", metricBytesPlanned))
 
   /** Exact statistics from the manifest — no files touched, and computed
     * AFTER stats/bloom segment pruning, so a selective filter over a huge
@@ -405,6 +473,21 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
 }
 
 object HadroScan {
+
+  /** Sum-aggregated DSv2 custom metric (one value per scan from the
+    * driver; tasks would sum if they ever reported too). */
+  final class SumMetric(metricName: String, metricDescription: String)
+      extends CustomSumMetric {
+    override def name(): String = metricName
+    override def description(): String = metricDescription
+  }
+
+  private[spark] def taskMetric(metricName: String, v: Long): CustomTaskMetric =
+    new CustomTaskMetric {
+      override def name(): String = metricName
+      override def value(): Long = v
+    }
+
   /** Translate the runtime predicates Spark's dynamic pruning emits (IN /
     * equality over one column with literal values) into V1 filters the
     * segment-pruning machinery already understands. Literal values arrive
@@ -447,6 +530,15 @@ final case class HadroInputPartition(file: String, ordinal: Long,
     startOffset: Long, startRow: Long, endOffset: Long,
     nFields: Int = -1) extends InputPartition
 
+/** A hadro input partition carrying its storage bucket as the DSv2
+  * partition key — what lets Spark group co-bucketed scans for
+  * storage-partitioned (zero-exchange) joins. */
+final case class BucketKeyedPartition(p: HadroInputPartition, bucketId: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
 object HadroInputPartition {
   /** One task per recorded split range — read parallelism is #split-ranges,
     * not #segments, so a single 50 GB ingest task doesn't become a single
@@ -477,14 +569,20 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType)
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
+  private def unwrap(partition: InputPartition): HadroInputPartition =
+    partition match {
+      case b: BucketKeyedPartition => b.p
+      case p: HadroInputPartition => p
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[HadroInputPartition]
+    val p = unwrap(partition)
     new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
       p.startOffset, p.startRow, p.endOffset, p.nFields)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[HadroInputPartition]
+    val p = unwrap(partition)
     new HadroColumnarPartitionReader(Paths.get(p.file), dataSchema, required,
       p.startOffset, p.endOffset, p.nFields)
   }

@@ -29,6 +29,13 @@ import graft.meta.{CollectionMeta, SegmentInfo}
   *     the truncate commit preserves segments committed after the pin and
   *     aborts if a concurrent truncate changed the generation.
   *   - `offsetIndex`: write per-segment key→offset sidecars (default on).
+  *   - `bucketBy`/`buckets`: storage bucketing — every row routes to the
+  *     segment of bucket `pmod(xxhash64(col), buckets)` (Spark's own
+  *     xxhash64, seed 42, so `df.repartition(n, pmod(xxhash64(col(k)),
+  *     lit(n)))` co-partitions the shuffle with the files). Scans of a
+  *     fully-tagged collection report KeyGroupedPartitioning, enabling
+  *     storage-partitioned joins: two co-bucketed collections join with
+  *     ZERO exchanges.
   */
 final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -64,12 +71,24 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
     // on the pinned manifest surviving until commit (a conflicting
     // truncate GCs it).
     private def compactOfGen = Option(opts.get("hadro.compactOfGen")).filter(_.nonEmpty).map(_.toLong)
+    // Storage bucketing: both options or neither.
+    private def bucketSpec: Option[(String, Int)] = {
+      val col = Option(opts.get("hadro.bucketBy")).filter(_.nonEmpty)
+      val n = Option(opts.get("hadro.buckets")).filter(_.nonEmpty).map(_.toInt)
+      (col, n) match {
+        case (Some(c), Some(k)) =>
+          require(k > 0, s"hadro.buckets must be positive, got $k"); Some((c, k))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "hadro: hadro.bucketBy and hadro.buckets must be set together")
+      }
+    }
 
     override def toBatch: BatchWrite =
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
-        maxSegmentBytes)
+        maxSegmentBytes, bucketSpec)
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new HadroStreamingWrite(path, info.schema(), consistency,
@@ -132,16 +151,32 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     deleteCol: Option[String] = None,
     compactOf: Option[Long] = None,
     compactOfGen: Option[Long] = None,
-    maxSegmentBytes: Long = 0L) extends BatchWrite {
+    maxSegmentBytes: Long = 0L,
+    bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone, keyField, deleteCol)
   private val storedSchema: StructType = storedMeta.schema
   private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
+  // Resolve the bucket column against the STORED schema (rows are
+  // projected onto it before bucketing) and restrict to the types whose
+  // xxhash64 semantics we reproduce writer-side.
+  private val bucketOrdSpec: Option[(Int, Int)] = bucketSpec.map { case (c, n) =>
+    val ord = storedSchema.fieldNames.indexOf(c)
+    require(ord >= 0, s"hadro: bucket column '$c' not in collection schema")
+    storedSchema(ord).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"hadro: bucketBy supports long/int/string columns, '$c' is ${dt.simpleString}")
+    }
+    (ord, n)
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
-      offsetIndex, deleteCol, maxSegmentBytes)
+      offsetIndex, deleteCol, maxSegmentBytes, bucketOrdSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage => m.infos }
@@ -189,12 +224,28 @@ final class HadroBatchWrite(path: Path, schema: StructType,
         val base = if (truncate) Seq.empty[SegmentInfo] else cur.segments
         var ord = if (truncate) 0L else cur.nextOrdinal
         val withOrdinals = (segs ++ preserved).map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+        // Bucketing spec: a bucketed (truncating or first) write records
+        // it; a bucketed write whose spec CONFLICTS with the recorded one
+        // clears it — old segments' tags were computed under the old spec,
+        // so the collection is no longer uniformly bucketed and scans must
+        // stop reporting KeyGroupedPartitioning. Non-bucketed appends keep
+        // the spec (their untagged segments already disable reporting).
+        val (bBy, bN) = bucketSpec match {
+          case Some((c, n)) =>
+            if (truncate || cur.bucketBy.isEmpty ||
+              (cur.bucketBy.contains(c) && cur.numBuckets.contains(n)))
+              (Some(c), Some(n))
+            else (None, None)
+          case None => (cur.bucketBy, cur.numBuckets)
+        }
         cur.copy(
           segments = base ++ withOrdinals,
           mutated = (cur.mutated && (!truncate || preserved.nonEmpty)) || mutating,
           // ordinals restart at 0: bump the generation so tailing streams
           // detect the discontinuity instead of misreading new ordinals
-          generation = if (truncate) cur.generation + 1 else cur.generation)
+          generation = if (truncate) cur.generation + 1 else cur.generation,
+          bucketBy = bBy,
+          numBuckets = bN)
       }
     })
     if (conflicted)
@@ -309,12 +360,13 @@ final class HadroWriterFactory(path: String, storedSchema: StructType,
     indexOrdinals: Map[String, Seq[Int]] = Map.empty,
     offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
-    maxSegmentBytes: Long = 0L) extends DataWriterFactory {
+    maxSegmentBytes: Long = 0L,
+    bucketSpec: Option[(Int, Int)] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
       tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals, offsetIndex,
-      deleteCol, maxSegmentBytes)
+      deleteCol, maxSegmentBytes, bucketSpec)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -333,7 +385,8 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     indexOrdinals: Map[String, Seq[Int]] = Map.empty,
     offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
-    maxSegmentBytes: Long = 0L) extends DataWriter[InternalRow] {
+    maxSegmentBytes: Long = 0L,
+    bucketSpec: Option[(Int, Int)] = None) extends DataWriter[InternalRow] {
 
   private def newSegmentFile() = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
@@ -344,6 +397,29 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
   // keeps last-write-wins correct for repeated keys within one partition.
   private val finished = scala.collection.mutable.Buffer.empty[SegmentInfo]
   private var writer = newWriter()
+
+  // Storage bucketing: one open segment PER BUCKET this task sees. A key
+  // always hashes to one bucket, so last-write-wins only needs intra-
+  // bucket order — which per-bucket sequential appends preserve. Callers
+  // co-partition the shuffle (repartition on the same bucket expression)
+  // so a task normally sees one bucket; without it this degrades to at
+  // most `numBuckets` open writers, never incorrectness.
+  private val bucketWriters = scala.collection.mutable.Map.empty[Int, SegmentWriter]
+
+  /** pmod(xxhash64(col), n) — EXACTLY Spark's `xxhash64` (seed 42) so the
+    * engine-side shuffle expression and the file tags agree. */
+  private def bucketOf(row: InternalRow, ord: Int, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // xxhash64(NULL) = the seed unchanged — Spark's null-skipping fold
+    val h =
+      if (row.isNullAt(ord)) 42L
+      else storedSchema(ord).dataType match {
+        case org.apache.spark.sql.types.LongType => XXH64.hashLong(row.getLong(ord), 42L)
+        case org.apache.spark.sql.types.IntegerType => XXH64.hashInt(row.getInt(ord), 42L)
+        case _ => XXH64.hashUTF8String(row.getUTF8String(ord), 42L)
+      }
+    java.lang.Math.floorMod(h, n.toLong).toInt
+  }
 
   // CDC merge: per-record tombstone flag read from a transport column of
   // the incoming frame (never stored) — one commit mixes upserts + deletes.
@@ -384,14 +460,29 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
           s"hadro: null in non-nullable field '${storedSchema(i).name}'")
       i += 1
     }
-    writer.append(out, deleted = deleted)
-    if (maxSegmentBytes > 0 && writer.bytes >= maxSegmentBytes) {
-      finished += writer.close()
-      writer = newWriter()
+    bucketSpec match {
+      case Some((ord, n)) =>
+        val b = bucketOf(out, ord, n)
+        val w = bucketWriters.getOrElseUpdate(b, newWriter())
+        w.append(out, deleted = deleted)
+        if (maxSegmentBytes > 0 && w.bytes >= maxSegmentBytes) {
+          finished += w.close().copy(bucket = Some(b))
+          bucketWriters(b) = newWriter()
+        }
+      case None =>
+        writer.append(out, deleted = deleted)
+        if (maxSegmentBytes > 0 && writer.bytes >= maxSegmentBytes) {
+          finished += writer.close()
+          writer = newWriter()
+        }
     }
   }
 
   override def commit(): WriterCommitMessage = {
+    bucketWriters.toSeq.sortBy(_._1).foreach { case (b, w) =>
+      if (w.rowCount > 0) finished += w.close().copy(bucket = Some(b))
+      else w.abort()
+    }
     // a trailing writer that saw no rows leaves no file behind
     if (writer.rowCount > 0 || finished.isEmpty) finished += writer.close()
     else writer.abort()
@@ -400,6 +491,7 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
 
   override def abort(): Unit = {
     writer.abort()
+    bucketWriters.values.foreach(_.abort())
     finished.foreach { i =>
       Files.deleteIfExists(dir.resolve(i.file))
       i.bloom.foreach(b => Files.deleteIfExists(dir.resolve(b)))

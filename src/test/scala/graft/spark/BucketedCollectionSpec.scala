@@ -1,0 +1,97 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Storage-partitioned joins over bucketed hadro collections: both sides
+  * written with `hadro.bucketBy`/`hadro.buckets` report
+  * KeyGroupedPartitioning, so the join plans with ZERO exchanges — the
+  * DSv2 answer to "co-locate the two biggest tables" at 100 TB. */
+class BucketedCollectionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeBucketed(src: org.apache.spark.sql.DataFrame, key: String,
+      n: Int): String = {
+    val path = Files.createTempDirectory("spj").resolve("c").toString
+    src.repartition(n, pmod(xxhash64(col(key)), lit(n)))
+      .write.format("hadro").mode("append")
+      .option("hadro.bucketBy", key).option("hadro.buckets", n.toString)
+      .save(path)
+    path
+  }
+
+  test("segments carry bucket tags matching the engine-side expression") {
+    val path = writeBucketed(
+      spark.read.parquet(s"$sf0001/customer.parquet"), "c_custkey", 4)
+    val m = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.bucketBy.contains("c_custkey") && m.numBuckets.contains(4))
+    assert(m.segments.nonEmpty && m.segments.forall(_.bucket.isDefined))
+    // per-bucket recount via the engine's own expression agrees with tags
+    val expected = spark.read.parquet(s"$sf0001/customer.parquet")
+      .groupBy(pmod(xxhash64($"c_custkey"), lit(4)).as("b"))
+      .count().as[(Long, Long)].collect().toMap
+    val byTag = m.segments.groupBy(_.bucket.get)
+      .map { case (b, ss) => b.toLong -> ss.map(s => s.rows - s.tombstones).sum }
+    assert(byTag == expected, s"tags $byTag vs engine $expected")
+  }
+
+  test("co-bucketed collections join with zero exchanges") {
+    // Catalog-resolved tables: Spark resolves the scan's reported
+    // bucket(n, col) transform against the relation's FunctionCatalog —
+    // path-based reads have none and silently drop the partitioning.
+    val wh = Files.createTempDirectory("spjwh").toString
+    spark.conf.set("spark.sql.catalog.spjcat", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcat.warehouse", wh)
+    def writeTo(src: org.apache.spark.sql.DataFrame, key: String, tbl: String): Unit =
+      src.repartition(8, pmod(xxhash64(col(key)), lit(8)))
+        .write.format("hadro").mode("append")
+        .option("hadro.bucketBy", key).option("hadro.buckets", "8")
+        .save(s"$wh/ns/$tbl")
+    writeTo(spark.read.parquet(s"$sf0001/customer.parquet"), "c_custkey", "cust")
+    writeTo(spark.read.parquet(s"$sf0001/orders.parquet"), "o_custkey", "ord")
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("spjcat.ns.cust")
+        .join(spark.table("spjcat.ns.ord"), $"c_custkey" === $"o_custkey")
+        .groupBy($"c_custkey").agg(count(lit(1)).as("n"))
+      val rows = j.collect()
+      // correctness against the parquet originals
+      val expect = spark.read.parquet(s"$sf0001/customer.parquet")
+        .join(spark.read.parquet(s"$sf0001/orders.parquet"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_custkey").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+      // the join itself must be exchange-free: the only allowed shuffle is
+      // the final aggregation's (none on the join keys because the
+      // grouping rides the join's key-grouped distribution)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a zero-exchange storage-partitioned join plan:\n$plan")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
+  test("a non-bucketed append disables partitioning reporting, not reads") {
+    val path = writeBucketed(
+      spark.read.parquet(s"$sf0001/nation.parquet"), "n_nationkey", 4)
+    spark.read.parquet(s"$sf0001/nation.parquet")
+      .withColumn("n_nationkey", ($"n_nationkey" + 100).cast("int"))
+      .write.format("hadro").mode("append").save(path)
+    val m = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.bucketBy.contains("n_nationkey")) // spec survives
+    assert(m.segments.exists(_.bucket.isEmpty)) // but coverage is broken
+    assert(spark.read.format("hadro").load(path).count() == 50L)
+  }
+}
