@@ -460,7 +460,19 @@ final class Collection private (spark: SparkSession, val path: String) {
     // a write landing mid-compaction is never silently dropped; a
     // concurrent truncate aborts the compaction instead of being undone.
     val m0 = manifest
-    resolvedAsOf(m0.version).write.format("hadro").mode("overwrite")
+    // A bucketed collection must stay bucketed through compaction, or the
+    // rewrite silently turns storage-partitioned joins off: re-route the
+    // rewritten rows with the same spec (one shuffle on the same bucket
+    // expression the ingest used, so each task writes one bucket).
+    val writer0 = (m0.bucketBy, m0.numBuckets) match {
+      case (Some(c), Some(n)) =>
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        resolvedAsOf(m0.version)
+          .repartition(n, pmod(xxhash64(col(c)), lit(n)))
+          .write.option("hadro.bucketBy", c).option("hadro.buckets", n.toString)
+      case _ => resolvedAsOf(m0.version).write
+    }
+    writer0.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)
       .option("hadro.compactOfGen", m0.generation.toString).save(path)
   }

@@ -100,13 +100,20 @@ object CollectionMeta {
 
   // ------------------------------------------------------------- schema
 
-  final case class SchemaMeta(schema: StructType, keyField: Option[String])
+  /** `bucketBy`/`numBuckets`: declared storage bucketing (e.g. SQL
+    * `PARTITIONED BY (bucket(8, key))`) — writes without explicit bucket
+    * options inherit it, so every append keeps the collection join-ready. */
+  final case class SchemaMeta(schema: StructType, keyField: Option[String],
+      bucketBy: Option[String] = None, numBuckets: Option[Int] = None)
 
-  def writeSchema(collection: Path, schema: StructType, keyField: Option[String]): Unit = {
+  def writeSchema(collection: Path, schema: StructType, keyField: Option[String],
+      bucketBy: Option[String] = None, numBuckets: Option[Int] = None): Unit = {
     Files.createDirectories(metaDir(collection))
     val json = Serialization.write(Map(
       "sparkSchema" -> JsonMethods.parse(schema.json),
-      "keyField" -> keyField))
+      "keyField" -> keyField,
+      "bucketBy" -> bucketBy,
+      "numBuckets" -> numBuckets))
     val tmp = metaDir(collection).resolve(s"schema.json.tmp${System.nanoTime()}")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, schemaFile(collection), StandardCopyOption.ATOMIC_MOVE,
@@ -123,7 +130,15 @@ object CollectionMeta {
         case JString(s) => Some(s)
         case _ => None
       }
-      Some(SchemaMeta(schema, key))
+      val bBy = (root \ "bucketBy") match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      val bN = (root \ "numBuckets") match {
+        case JInt(n) => Some(n.toInt)
+        case _ => None
+      }
+      Some(SchemaMeta(schema, key, bBy, bN))
     }
   }
 

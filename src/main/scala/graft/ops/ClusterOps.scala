@@ -33,8 +33,11 @@ object ClusterOps {
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Round 0 folded into initialization: the first propagation round's
+    // result is just min(node, min(neighbors)) — computing it directly at
+    // init saves one full join+checkpoint+count cycle from the loop.
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false

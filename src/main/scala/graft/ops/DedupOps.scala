@@ -56,8 +56,11 @@ object DedupOps {
     val sets = withSig.select(col("doc_id"),
       transform(col("shingles"), s => xxhash64(s)).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sig_h rides along in the banded frame so the star-pair stage reuses
+    // THIS persist instead of re-running the MinHash expression — the
+    // dominant CPU of the whole pipeline — a second time.
     val banded = withSig.select(
-      col("doc_id"),
+      col("doc_id"), xxhash64(col("sig")).as("sig_h"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -89,8 +92,8 @@ object DedupOps {
     // is quadratic, cheap (one groupBy on an 8-byte signature hash), and
     // for sub-cap clusters the stars are a subset of the band clique, so
     // the distinct() below absorbs them.
-    val sigKeyed = withSig.select(col("doc_id"), xxhash64(col("sig")).as("sig_h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // 16 B/doc, feeds both star branches
+    val sigKeyed = banded.filter(col("band") === 0)
+      .select(col("doc_id"), col("sig_h")) // one row per doc, off the persisted banded frame
     val reps = sigKeyed.groupBy(col("sig_h"))
       .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
       .filter(col("n") >= 2)

@@ -74,15 +74,44 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "hadro tables cluster by write partitioning, not declared partitions")
+    // The one declarable layout is storage bucketing:
+    //   CREATE TABLE t (...) USING hadro PARTITIONED BY (bucket(8, k))
+    // Every write then routes rows to per-bucket segments and scans report
+    // KeyGroupedPartitioning (storage-partitioned joins). Hive-style value
+    // partitions stay rejected — collections cluster by write order and
+    // prune by manifest stats instead.
+    val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "bucket" =>
+        val cols = t.references().flatMap(_.fieldNames())
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+        }
+        require(cols.length == 1 && n.isDefined,
+          s"hadro: bucket transform must be bucket(<n>, <one column>), got $t")
+        val c = cols.head
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"hadro: bucket column '$c' not in schema ${schema.simpleString}"))
+        f.dataType match {
+          case LongType | IntegerType | StringType => ()
+          case dt => throw new IllegalArgumentException(
+            s"hadro: bucketBy supports long/int/string columns, '$c' is ${dt.simpleString}")
+        }
+        Some((c, n.get))
+      case _ => throw new IllegalArgumentException(
+        "hadro: only a single bucket(<n>, <col>) transform is supported; " +
+          "tables otherwise cluster by write partitioning")
+    }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir)
     val key = Option(properties.get("key")).filter(_.nonEmpty)
     key.foreach(k => require(schema.fieldNames.contains(k),
       s"key '$k' not in schema ${schema.simpleString}"))
-    CollectionMeta.writeSchema(dir, schema, key)
+    CollectionMeta.writeSchema(dir, schema, key,
+      bucketSpec.map(_._1), bucketSpec.map(_._2))
     new HadroTable(dir, schema)
   }
 

@@ -82,6 +82,15 @@ final class HadroTable(path: Path, dataSchema: StructType)
 
   override def name(): String = s"hadro.`$path`"
   override def schema(): StructType = dataSchema
+  // Declared storage bucketing surfaces as the table's partitioning
+  // (DESCRIBE / SHOW CREATE reflect it; readers get it from the manifest).
+  override def partitioning(): Array[Transform] =
+    CollectionMeta.readSchema(path).toArray.flatMap { m =>
+      (m.bucketBy, m.numBuckets) match {
+        case (Some(c), Some(n)) => Array(Expressions.bucket(n, c))
+        case _ => Array.empty[Transform]
+      }
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,

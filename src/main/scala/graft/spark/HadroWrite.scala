@@ -103,7 +103,8 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
   * + type conformance, fail fast). */
 private[spark] object HadroWriteInit {
   def ensureSchema(path: Path, schema: StructType, tombstone: Boolean,
-      keyField: Option[String], deleteCol: Option[String] = None): CollectionMeta.SchemaMeta = {
+      keyField: Option[String], deleteCol: Option[String] = None,
+      bucketSpec: Option[(String, Int)] = None): CollectionMeta.SchemaMeta = {
     Files.createDirectories(path)
     CollectionMeta.readSchema(path) match {
       case Some(meta) =>
@@ -127,7 +128,8 @@ private[spark] object HadroWriteInit {
         keyField.foreach { k =>
           require(schema.fieldNames.contains(k), s"hadro: key field '$k' not in schema")
         }
-        CollectionMeta.writeSchema(path, schema, keyField)
+        CollectionMeta.writeSchema(path, schema, keyField,
+          bucketSpec.map(_._1), bucketSpec.map(_._2))
         CollectionMeta.readSchema(path).get
     }
   }
@@ -154,13 +156,19 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     maxSegmentBytes: Long = 0L,
     bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
 
-  private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone, keyField, deleteCol)
+  private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
+    keyField, deleteCol, bucketSpec)
   private val storedSchema: StructType = storedMeta.schema
   private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
+  // Explicit options win; otherwise the spec DECLARED on the collection
+  // (schema.json — e.g. SQL `PARTITIONED BY (bucket(n, col))`) applies,
+  // so plain `INSERT INTO` keeps a bucketed table join-ready.
+  private val effectiveBucketSpec: Option[(String, Int)] = bucketSpec.orElse(
+    for { c <- storedMeta.bucketBy; n <- storedMeta.numBuckets } yield (c, n))
   // Resolve the bucket column against the STORED schema (rows are
   // projected onto it before bucketing) and restrict to the types whose
   // xxhash64 semantics we reproduce writer-side.
-  private val bucketOrdSpec: Option[(Int, Int)] = bucketSpec.map { case (c, n) =>
+  private val bucketOrdSpec: Option[(Int, Int)] = effectiveBucketSpec.map { case (c, n) =>
     val ord = storedSchema.fieldNames.indexOf(c)
     require(ord >= 0, s"hadro: bucket column '$c' not in collection schema")
     storedSchema(ord).dataType match {
@@ -230,7 +238,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
         // so the collection is no longer uniformly bucketed and scans must
         // stop reporting KeyGroupedPartitioning. Non-bucketed appends keep
         // the spec (their untagged segments already disable reporting).
-        val (bBy, bN) = bucketSpec match {
+        val (bBy, bN) = effectiveBucketSpec match {
           case Some((c, n)) =>
             if (truncate || cur.bucketBy.isEmpty ||
               (cur.bucketBy.contains(c) && cur.numBuckets.contains(n)))

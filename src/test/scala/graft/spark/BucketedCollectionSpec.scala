@@ -83,15 +83,71 @@ class BucketedCollectionSpec extends SparkSuite {
     }
   }
 
-  test("a non-bucketed append disables partitioning reporting, not reads") {
+  test("compaction preserves bucketing") {
+    val path = writeBucketed(
+      spark.read.parquet(s"$sf0001/customer.parquet"), "c_custkey", 4)
+    val before = graft.meta.CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(path))
+    val c = graft.api.Collection(spark, path)
+    c.compact()
+    val after = graft.meta.CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(path))
+    assert(after.bucketBy.contains("c_custkey") && after.numBuckets.contains(4))
+    assert(after.segments.nonEmpty && after.segments.forall(_.bucket.isDefined),
+      "compacted segments must keep their bucket tags")
+    def counts(m: graft.meta.Manifest) = m.segments.groupBy(_.bucket.get)
+      .map { case (b, ss) => b -> ss.map(s => s.rows - s.tombstones).sum }
+    assert(counts(after) == counts(before))
+    assert(c.count() == spark.read.parquet(s"$sf0001/customer.parquet").count())
+  }
+
+  test("SQL PARTITIONED BY (bucket(n, col)) declares bucketing; INSERT inherits it") {
+    val wh = Files.createTempDirectory("spjsql").toString
+    spark.conf.set("spark.sql.catalog.spjsql", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjsql.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spjsql.db")
+    spark.sql("""CREATE TABLE spjsql.db.cust
+      (c_custkey BIGINT, c_name STRING)
+      USING hadro PARTITIONED BY (bucket(4, c_custkey))""")
+    spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey", $"c_name")
+      .createOrReplaceTempView("spjsql_src")
+    // a PLAIN insert — no hadro.* options, no manual repartition
+    spark.sql("INSERT INTO spjsql.db.cust SELECT * FROM spjsql_src")
+    val m = graft.meta.CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(s"$wh/db/cust"))
+    assert(m.bucketBy.contains("c_custkey") && m.numBuckets.contains(4))
+    assert(m.segments.nonEmpty && m.segments.forall(_.bucket.isDefined),
+      "plain INSERT must inherit the declared bucketing")
+    // the table reports its layout
+    val ddl = spark.sql("DESCRIBE TABLE EXTENDED spjsql.db.cust")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(ddl.contains("bucket(4, c_custkey)"), ddl)
+    assert(spark.table("spjsql.db.cust").count() ==
+      spark.read.parquet(s"$sf0001/customer.parquet").count())
+  }
+
+  test("plain appends inherit bucketing; a conflicting spec degrades safely") {
     val path = writeBucketed(
       spark.read.parquet(s"$sf0001/nation.parquet"), "n_nationkey", 4)
+    // option-less append: the spec persisted at creation applies
     spark.read.parquet(s"$sf0001/nation.parquet")
       .withColumn("n_nationkey", ($"n_nationkey" + 100).cast("int"))
       .write.format("hadro").mode("append").save(path)
-    val m = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
-    assert(m.bucketBy.contains("n_nationkey")) // spec survives
-    assert(m.segments.exists(_.bucket.isEmpty)) // but coverage is broken
-    assert(spark.read.format("hadro").load(path).count() == 50L)
+    val m1 = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m1.bucketBy.contains("n_nationkey"))
+    assert(m1.segments.forall(_.bucket.isDefined),
+      "an option-less append must inherit the declared bucketing")
+    // an append under a CONFLICTING spec clears the manifest spec: old
+    // tags no longer describe one uniform layout, so scans must stop
+    // reporting KeyGroupedPartitioning — but reads stay correct
+    spark.read.parquet(s"$sf0001/nation.parquet")
+      .withColumn("n_nationkey", ($"n_nationkey" + 200).cast("int"))
+      .write.format("hadro").mode("append")
+      .option("hadro.bucketBy", "n_nationkey").option("hadro.buckets", "8")
+      .save(path)
+    val m2 = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m2.bucketBy.isEmpty && m2.numBuckets.isEmpty)
+    assert(spark.read.format("hadro").load(path).count() == 75L)
   }
 }
