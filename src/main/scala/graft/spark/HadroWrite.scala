@@ -304,12 +304,21 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone = false, keyField, deleteCol)
   private val storedSchema: StructType = storedMeta.schema
   private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
+  // Streaming epochs into a DECLARED-bucketed collection keep the layout:
+  // same schema-level fallback as the batch path (tags per segment; the
+  // manifest spec is already recorded, so coverage just stays complete).
+  private val bucketOrdSpec: Option[(Int, Int)] = for {
+    c <- storedMeta.bucketBy
+    n <- storedMeta.numBuckets
+    ord = storedSchema.fieldNames.indexOf(c)
+    if ord >= 0
+  } yield (ord, n)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new HadroStreamingWriterFactory(path.toString, storedSchema, schema, consistency,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
-      offsetIndex, deleteCol)
+      offsetIndex, deleteCol, bucketOrdSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage => m.infos }
@@ -352,14 +361,15 @@ final class HadroStreamingWriterFactory(path: String, storedSchema: StructType,
     writeSchema: StructType, consistency: Consistency.Value,
     keyOrdinal: Option[Int], splitBytes: Long,
     indexOrdinals: Map[String, Seq[Int]], offsetIndex: Boolean = true,
-    deleteCol: Option[String] = None)
+    deleteCol: Option[String] = None,
+    bucketSpec: Option[(Int, Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
       tombstone = false, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals,
-      offsetIndex, deleteCol)
+      offsetIndex, deleteCol, 0L, bucketSpec)
 }
 
 final class HadroWriterFactory(path: String, storedSchema: StructType,

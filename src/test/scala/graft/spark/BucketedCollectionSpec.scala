@@ -127,6 +127,28 @@ class BucketedCollectionSpec extends SparkSuite {
       spark.read.parquet(s"$sf0001/customer.parquet").count())
   }
 
+  test("streaming epochs into a declared-bucketed collection keep the layout") {
+    val stage = Files.createTempDirectory("spjstream_src")
+    val ckpt = Files.createTempDirectory("spjstream_ckpt").toString
+    // declare the bucketing at creation (batch write with options), then
+    // stream MORE rows in with no options at all
+    val src = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey", $"c_name")
+    val path = writeBucketed(src, "c_custkey", 4)
+    src.withColumn("c_custkey", $"c_custkey" + 1000000L)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val q = spark.readStream.schema(src.schema).parquet(stage.toString)
+      .writeStream.format("hadro").option("checkpointLocation", ckpt)
+      .start(path)
+    q.processAllAvailable()
+    q.stop()
+    val m = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.bucketBy.contains("c_custkey") && m.numBuckets.contains(4))
+    assert(m.segments.forall(_.bucket.isDefined),
+      "streamed segments must inherit the declared bucketing")
+    assert(spark.read.format("hadro").load(path).count() == src.count() * 2)
+  }
+
   test("plain appends inherit bucketing; a conflicting spec degrades safely") {
     val path = writeBucketed(
       spark.read.parquet(s"$sf0001/nation.parquet"), "n_nationkey", 4)
