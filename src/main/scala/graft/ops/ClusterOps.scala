@@ -114,10 +114,13 @@ object ClusterOps {
         .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
       val lsMin = bidir.groupBy("c").agg(min(col("n")).as("mn"))
         .select(col("c"), least(col("c"), col("mn")).as("m"))
+      // No distinct here: duplicate (u, v) edges from different centers
+      // are rare, harmless to the small-star mins, and folded by the
+      // round-final distinct — dropping the dedup saves a full shuffle
+      // per round in the iterative hot loop.
       val large = bidir.join(lsMin, Seq("c"))
         .filter(col("n") > col("c"))
         .select(col("n").as("u"), col("m").as("v"))
-        .distinct()
       // small-star on canonical edges: center u (the larger endpoint),
       // neighbors v < u; m = min(v); every v re-points to m (v = m drops
       // as a self-loop) and u re-points to m.

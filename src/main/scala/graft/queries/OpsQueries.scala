@@ -1812,6 +1812,55 @@ object OpsQueries {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, event_type, user_id
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // --------------------------------------------------------------- st13
+    // STREAM-vs-CORPUS dedup — the ingestion guard a training pipeline
+    // runs on every new crawl batch: is this document already in the
+    // corpus? The corpus side is a PERSISTED hadro index (doc_id, sha2
+    // content hash); its manifest-exact stats let Catalyst broadcast it,
+    // so each micro-batch is map-only — no stream state at all (contrast
+    // st12, which dedups WITHIN the stream via a state store). Planted
+    // re-crawls (even docs, identical text) must all flag; genuinely new
+    // docs (odd docs, text extended) must pass.
+    QueryDef(
+      "st13_stream_vs_corpus_dedup",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val d = table(s, dir, "documents")
+        val idxPath = s"/tmp/graft_collections/$tag/st13_index"
+        d.select($"doc_id", sha2($"text", 256).as("content_hash"))
+          .write.format("hadro").mode("overwrite").save(idxPath)
+        val stage = java.nio.file.Paths.get(s"/tmp/graft_stream/${tag}_st13")
+        if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+          d.filter($"doc_id" % 2 === 0)
+            .select(($"doc_id" + 2000000L).as("new_id"), $"text")
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          d.filter($"doc_id" % 2 =!= 0)
+            .select(($"doc_id" + 3000000L).as("new_id"),
+              concat($"text", lit(" novel")).as("text"))
+            .coalesce(1).write.mode("append").parquet(stage.toString)
+          java.nio.file.Files.createFile(stage.resolve("_staged"))
+        }
+        val idx = s.read.format("hadro").load(idxPath)
+        val schema = StructType(Seq(
+          StructField("new_id", LongType), StructField("text", StringType)))
+        val flagged = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+          .withColumn("content_hash", sha2($"text", 256))
+          .join(idx, Seq("content_hash")) // stream-static, broadcast by stats
+          .select($"new_id", $"doc_id".as("corpus_id"))
+        val name = s"st13_sink_${System.nanoTime()}"
+        val q = flagged.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).orderBy("new_id", "corpus_id")
+      },
+      Some("""SELECT s.doc_id + 2000000 AS new_id, c.doc_id AS corpus_id
+        FROM documents s JOIN documents c ON c.text = s.text
+        WHERE s.doc_id % 2 = 0
+        ORDER BY new_id, corpus_id"""))
   )
 }

@@ -244,6 +244,50 @@ object SurfaceQueries {
             COUNT(DISTINCT o_orderstatus),
             CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
             FROM orders
-        ) ORDER BY column_name"""))
+        ) ORDER BY column_name""")),
+
+    // ---------------------------------------------------------------- p09
+    // Robust outlier profiling (median absolute deviation): per priority
+    // class, count orders whose total price deviates more than 3 MADs
+    // from the class median — the robust data-quality screen that, unlike
+    // z-scores, one whale order cannot drag. Both engines interpolate the
+    // median identically (p03 established the percentile twin), and every
+    // derived value is IEEE-deterministic from there.
+    QueryDef(
+      "p09_mad_outliers",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val med = o.groupBy(col("o_orderpriority"))
+          .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+        val withDev = o.join(med, Seq("o_orderpriority"))
+          .withColumn("adev", abs(col("o_totalprice") - col("med")))
+        val mad = withDev.groupBy(col("o_orderpriority"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"),
+            first(col("med")).as("med"))
+        withDev.drop("med").join(mad, Seq("o_orderpriority"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
+              .as("n_outliers"),
+            round(first(col("med")), 2).as("med"),
+            round(first(col("mad")), 2).as("mad"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH med AS (
+          SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+          FROM orders GROUP BY o_orderpriority),
+        dev AS (
+          SELECT o.o_orderpriority, ABS(o.o_totalprice - m.med) AS adev, m.med
+          FROM orders o JOIN med m USING (o_orderpriority)),
+        mad AS (
+          SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY o_orderpriority)
+        SELECT d.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN d.adev > ma.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers,
+          ROUND(ANY_VALUE(d.med), 2) AS med,
+          ROUND(ANY_VALUE(ma.mad), 2) AS mad
+        FROM dev d JOIN mad ma USING (o_orderpriority)
+        GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority"""))
   )
 }
