@@ -1748,14 +1748,17 @@ object OpsQueries {
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
         val stage = stagedEventHalves(s, dir)
-        def src() = s.readStream.schema(schema)
+        // ONE streaming source, branched twice: a self-join over the same
+        // source node halves the per-micro-batch file-source overhead vs
+        // two independent readers of the same staged files.
+        val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
           .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
-        val clicks = src().filter($"event_type" === "click")
+        val clicks = src.filter($"event_type" === "click")
           .select($"event_id".as("click_event_id"), $"user_id",
             $"event_ts".as("click_ts"))
           .withWatermark("click_ts", "1 hour")
-        val purchases = src().filter($"event_type" === "purchase")
+        val purchases = src.filter($"event_type" === "purchase")
           .select($"event_id".as("purchase_event_id"),
             $"user_id".as("p_user_id"), $"event_ts".as("purchase_ts"))
           .withWatermark("purchase_ts", "1 hour")

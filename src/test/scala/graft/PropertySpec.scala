@@ -118,4 +118,45 @@ class PropertySpec extends SparkSuite {
         }
       }
   }
+
+  test("bucketed writes route every row to its tagged bucket (arbitrary batches)") {
+    // For arbitrary key batches and bucket counts: every segment is
+    // tagged, per-bucket row counts equal the engine expression's
+    // group-by, and reading back loses nothing.
+    samples(Gen.zip(Gen.choose(2, 16), genBatch), 4, seed = 53)
+      .foreach { case (n, rows) =>
+        val path = Files.createTempDirectory("prop_bkt").resolve("c").toString
+        val df = mkDf(rows).select($"id", $"name")
+        df.write.format("hadro").mode("append")
+          .option("hadro.bucketBy", "id").option("hadro.buckets", n.toString)
+          .save(path)
+        val m = graft.meta.CollectionMeta.currentManifest(
+          java.nio.file.Paths.get(path))
+        assert(m.segments.forall(s => s.bucket.exists(b => b >= 0 && b < n)))
+        val expected = df.groupBy(pmod(xxhash64($"id"), lit(n)).as("b"))
+          .count().as[(Long, Long)].collect().toMap
+        val tagged = m.segments.groupBy(_.bucket.get.toLong)
+          .map { case (b, ss) => b -> ss.map(s => s.rows - s.tombstones).sum }
+        assert(tagged == expected, s"$tagged vs $expected")
+        assert(spark.read.format("hadro").load(path).count() == rows.size.toLong)
+      }
+  }
+
+  test("pcm_stats equals a JVM reference over arbitrary buffers") {
+    val genPcm = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    samples(genPcm, 40, seed = 91).foreach { bytes =>
+      val arr = bytes.toArray
+      val row = graft.functions.PcmStats(
+        org.apache.spark.sql.catalyst.expressions.Literal(arr))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val n = arr.length / 2
+      var sumSq = 0L; var peak = 0
+      (0 until n).foreach { i =>
+        val s = (arr(2 * i) << 8) | (arr(2 * i + 1) & 0xFF)
+        peak = math.max(peak, math.abs(s)); sumSq += s.toLong * s
+      }
+      assert(row.getInt(0) == n && row.getInt(1) == peak && row.getLong(2) == sumSq)
+    }
+  }
 }

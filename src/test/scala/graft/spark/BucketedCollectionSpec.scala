@@ -127,6 +127,18 @@ class BucketedCollectionSpec extends SparkSuite {
       spark.read.parquet(s"$sf0001/customer.parquet").count())
   }
 
+  test("Z-order clustering preserves bucketing (single-bucket, z-ordered segments)") {
+    val path = writeBucketed(
+      spark.read.parquet(s"$sf0001/customer.parquet"), "c_custkey", 4)
+    val c = graft.api.Collection(spark, path)
+    c.cluster(Seq("c_custkey", "c_nationkey"), numSegments = 4)
+    val m = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.bucketBy.contains("c_custkey") && m.numBuckets.contains(4))
+    assert(m.segments.nonEmpty && m.segments.forall(_.bucket.isDefined),
+      "clustered rewrite must re-tag segments from the declared spec")
+    assert(c.count() == spark.read.parquet(s"$sf0001/customer.parquet").count())
+  }
+
   test("streaming epochs into a declared-bucketed collection keep the layout") {
     val stage = Files.createTempDirectory("spjstream_src")
     val ckpt = Files.createTempDirectory("spjstream_ckpt").toString
