@@ -138,6 +138,34 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** Cross-document duplicated-span profile (the "substring dedup" measure:
+    * exact long-span duplication is the highest-value removal in training
+    * corpora). For each doc: how many of its distinct `w`-token windows
+    * also appear in at least one OTHER doc, and the duplicated fraction.
+    *
+    * Scale shape: one inverted-index shuffle on the window key with the
+    * document-frequency aggregated map-side; the join back to docs is
+    * key-equality. At 100 TB the window key is hashed to 8 bytes first —
+    * kept as the raw string here because the oracle compares window-exact. */
+  def duplicatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val counts = df.select(col(idCol).as("doc_id"),
+      size(TextOps.shingleSet(col(textCol), w)).as("n_windows"))
+    val windows = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingleSet(col(textCol), w)).as("win"))
+    val shared = windows.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("df_count"))
+      .filter(col("df_count") >= 2)
+      .select(col("win"))
+    val dups = windows.join(shared, Seq("win"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    counts.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)) /
+          greatest(col("n_windows"), lit(1)), 4).as("dup_ratio"))
+  }
+
   /** Cross-document boilerplate line removal (the CCNet/RefinedWeb cleaning
     * step): a line that appears in at least `minCount` docs — and in at
     * least (numerator/denominator) of the docs — of the same `groupCol`

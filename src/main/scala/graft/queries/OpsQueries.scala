@@ -554,6 +554,49 @@ object OpsQueries {
         SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d13
+    // Duplicated-span profile ("substring dedup" measure): per doc, how
+    // many of its distinct 10-token windows appear in at least one other
+    // doc. Docs ≡ 0 (mod 10) get a planted 12-token sentence appended in
+    // BOTH engines, so its interior windows repeat across every tenth doc
+    // while boundary windows stay doc-unique; the oracle recomputes the
+    // identical window inventory, so natural repeats also agree.
+    QueryDef(
+      "d13_substring_dedup",
+      (s, dir) => {
+        val planted = " shared boiler sentence tokens repeated verbatim " +
+          "across many documents in corpus"
+        val d = table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0, lit(planted)).otherwise(lit("")))
+            .as("text"))
+        DedupOps.duplicatedSpanProfile(d, "doc_id", "text", w = 10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text || CASE WHEN doc_id % 10 = 0
+            THEN ' shared boiler sentence tokens repeated verbatim across many documents in corpus'
+            ELSE '' END AS text
+          FROM documents),
+        wins AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 9, 1)),
+            i -> array_to_string((string_split(text, ' '))[i:i+9], ' '))) AS ws
+          FROM docs),
+        inv AS (SELECT doc_id, unnest(ws) AS win FROM wins),
+        shared AS (
+          SELECT win FROM inv GROUP BY win
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        dups AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+          FROM inv JOIN shared USING (win) GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_windows,
+          CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+          ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / GREATEST(len(w.ws), 1), 4)
+            AS dup_ratio
+        FROM wins w LEFT JOIN dups d USING (doc_id)
+        ORDER BY w.doc_id""")),
+
     // ---------------------------------------------------------------- t10
     // Sequence packing: each source's docs (ordered by id) concatenated
     // into a token stream and cut into 512-token sequences; one row per

@@ -349,6 +349,22 @@ class OpsSpec extends SparkSuite {
     assert(out(2L)._2 == 2L)
   }
 
+  test("duplicated-span profile flags planted shared spans, spares unique docs") {
+    val planted = docs.withColumn("text",
+      when($"doc_id" % 5 === 0,
+        concat($"text", lit(" zz yy xx ww vv uu tt ss rr qq pp oo")))
+        .otherwise($"text"))
+    val out = DedupOps.duplicatedSpanProfile(planted, "doc_id", "text", w = 10)
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val flagged = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id").as[Long].collect()
+    assert(flagged.length >= 2)
+    // the 12 planted tokens contain 3 interior 10-token windows shared by
+    // every planted doc
+    flagged.foreach(id => assert(out(id)._3 >= 3L, s"doc $id under-flagged"))
+    assert(out.values.forall(r => r._3 <= r._2))
+  }
+
   test("alt-star CC closes a long chain within its O(log n) round budget") {
     // Chain 0-1-...-63 (diameter 63 — min-propagation would need 63
     // rounds) plus two disjoint triangles; alt-star must converge inside
