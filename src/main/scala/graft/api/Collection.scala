@@ -361,7 +361,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     CollectionMeta.writeSchema(dir,
       org.apache.spark.sql.types.StructType(meta.schema.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true)),
-      meta.keyField)
+      meta.keyField, meta.bucketBy, meta.numBuckets)
   }
 
   /** Rewind the collection to a retained version (RESTORE analog):

@@ -69,7 +69,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new HadroTable(dir, CollectionMeta.readSchema(dir).get.schema)
+    new HadroTable(dir, CollectionMeta.readSchema(dir).get.schema, viaCatalog = true)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -112,7 +112,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       s"key '$k' not in schema ${schema.simpleString}"))
     CollectionMeta.writeSchema(dir, schema, key,
       bucketSpec.map(_._1), bucketSpec.map(_._2))
-    new HadroTable(dir, schema)
+    new HadroTable(dir, schema, viaCatalog = true)
   }
 
   /** ALTER TABLE: additive evolution only — `ADD COLUMN <name> <type>`,
@@ -133,10 +133,12 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val name = add.fieldNames().head
         require(!meta.schema.fieldNames.contains(name),
           s"hadro: column '$name' already exists")
+        // carry the FULL stored metadata — dropping bucketBy here would
+        // silently un-declare a bucketed table on its first ADD COLUMN
         CollectionMeta.writeSchema(dir,
           StructType(meta.schema.fields :+
             org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)),
-          meta.keyField)
+          meta.keyField, meta.bucketBy, meta.numBuckets)
       case other =>
         throw new UnsupportedOperationException(
           s"hadro: unsupported ALTER TABLE change $other — only additive " +

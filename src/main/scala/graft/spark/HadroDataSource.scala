@@ -77,7 +77,14 @@ object HadroTable {
   * the scan into raw mode (tombstone records included) so the Collection
   * API can resolve last-write-wins; a plain scan skips tombstones exactly
   * like the reference (`hadro/engine.py:169`). */
-final class HadroTable(path: Path, dataSchema: StructType)
+/** `viaCatalog`: true when this table was resolved through HadroCatalog —
+  * the only context where Spark can resolve our `bucket` transform (the
+  * catalog doubles as the FunctionCatalog), and therefore the only context
+  * where the write may REQUIRE a bucket-clustered distribution. Path-based
+  * writes still bucket correctly (writer-side routing), they just don't
+  * ask Spark for the shuffle. */
+final class HadroTable(path: Path, dataSchema: StructType,
+    val viaCatalog: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
 
   override def name(): String = s"hadro.`$path`"
@@ -117,7 +124,7 @@ final class HadroTable(path: Path, dataSchema: StructType)
       options.getLong("hadro.maxOrdinalsPerTrigger", 0L))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new HadroWriteBuilder(path, info)
+    new HadroWriteBuilder(path, info, viaCatalog)
 }
 
 /** Scan builder with column pruning and filter pushdown. Filters are used

@@ -4,6 +4,8 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 
@@ -37,13 +39,14 @@ import graft.meta.{CollectionMeta, SegmentInfo}
   *     storage-partitioned joins: two co-bucketed collections join with
   *     ZERO exchanges.
   */
-final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
+final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
+    viaCatalog: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private def opts = info.options()
     private def consistency = Consistency.parse(opts.getOrDefault("hadro.consistency", "relaxed"))
     private def tombstone = opts.getBoolean("hadro.tombstone", false)
@@ -83,6 +86,32 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo)
           "hadro: hadro.bucketBy and hadro.buckets must be set together")
       }
     }
+
+    // ------------------------------------------- required distribution
+    // CATALOG-resolved writes into a bucketed table ask Spark to cluster
+    // the input by the bucket transform with one partition per bucket, so
+    // a plain INSERT produces exactly `n` segments instead of up to
+    // tasks×n. Gated on viaCatalog: only there can Spark resolve the
+    // transform (HadroCatalog is the FunctionCatalog) — a path-based
+    // write must not require what the planner cannot resolve; its
+    // writer-side routing still buckets correctly.
+    private def declaredOrExplicitSpec: Option[(String, Int)] =
+      bucketSpec.orElse(CollectionMeta.readSchema(path).flatMap(m =>
+        for { c <- m.bucketBy; n <- m.numBuckets } yield (c, n)))
+
+    override def requiredDistribution(): Distribution =
+      if (viaCatalog)
+        declaredOrExplicitSpec match {
+          case Some((c, n)) =>
+            Distributions.clustered(Array(Expressions.bucket(n, c)))
+          case None => Distributions.unspecified()
+        }
+      else Distributions.unspecified()
+
+    override def requiredNumPartitions(): Int =
+      if (viaCatalog) declaredOrExplicitSpec.map(_._2).getOrElse(0) else 0
+
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
 
     override def toBatch: BatchWrite =
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,

@@ -119,6 +119,12 @@ class BucketedCollectionSpec extends SparkSuite {
     assert(m.bucketBy.contains("c_custkey") && m.numBuckets.contains(4))
     assert(m.segments.nonEmpty && m.segments.forall(_.bucket.isDefined),
       "plain INSERT must inherit the declared bucketing")
+    // catalog writes require a bucket-clustered distribution with one
+    // partition per bucket, so the INSERT lands exactly n segments —
+    // not tasks×n small files
+    assert(m.segments.size == 4,
+      s"expected 4 one-per-bucket segments, got ${m.segments.map(s => (s.file, s.bucket))}")
+    assert(m.segments.map(_.bucket.get).sorted == Seq(0, 1, 2, 3))
     // the table reports its layout
     val ddl = spark.sql("DESCRIBE TABLE EXTENDED spjsql.db.cust")
       .collect().map(_.mkString(" ")).mkString("\n")
