@@ -467,8 +467,9 @@ final class Collection private (spark: SparkSession, val path: String) {
     val writer0 = (m0.bucketBy, m0.numBuckets) match {
       case (Some(c), Some(n)) =>
         import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        val cols = c.split(",").toSeq
         resolvedAsOf(m0.version)
-          .repartition(n, pmod(xxhash64(col(c)), lit(n)))
+          .repartition(n, pmod(xxhash64(cols.map(col): _*), lit(n)))
           .write.option("hadro.bucketBy", c).option("hadro.buckets", n.toString)
       case _ => resolvedAsOf(m0.version).write
     }

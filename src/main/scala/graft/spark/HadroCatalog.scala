@@ -80,28 +80,29 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // KeyGroupedPartitioning (storage-partitioned joins). Hive-style value
     // partitions stay rejected — collections cluster by write order and
     // prune by manifest stats instead.
-    val bucketSpec: Option[(String, Int)] = partitions.toSeq match {
+    val bucketSpec: Option[(Seq[String], Int)] = partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name() == "bucket" =>
-        val cols = t.references().flatMap(_.fieldNames())
+        val cols = t.references().flatMap(_.fieldNames()).toSeq
         val n = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_]
             if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
         }
-        require(cols.length == 1 && n.isDefined,
-          s"hadro: bucket transform must be bucket(<n>, <one column>), got $t")
-        val c = cols.head
-        val f = schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"hadro: bucket column '$c' not in schema ${schema.simpleString}"))
-        f.dataType match {
-          case LongType | IntegerType | StringType => ()
-          case dt => throw new IllegalArgumentException(
-            s"hadro: bucketBy supports long/int/string columns, '$c' is ${dt.simpleString}")
+        require(cols.nonEmpty && n.isDefined,
+          s"hadro: bucket transform must be bucket(<n>, <col>[, <col>...]), got $t")
+        cols.foreach { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"hadro: bucket column '$c' not in schema ${schema.simpleString}"))
+          f.dataType match {
+            case LongType | IntegerType | StringType => ()
+            case dt => throw new IllegalArgumentException(
+              s"hadro: bucketBy supports long/int/string columns, '$c' is ${dt.simpleString}")
+          }
         }
-        Some((c, n.get))
+        Some((cols, n.get))
       case _ => throw new IllegalArgumentException(
-        "hadro: only a single bucket(<n>, <col>) transform is supported; " +
+        "hadro: only a single bucket(<n>, <col>...) transform is supported; " +
           "tables otherwise cluster by write partitioning")
     }
     val dir = tableDir(ident)
@@ -111,7 +112,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     key.foreach(k => require(schema.fieldNames.contains(k),
       s"key '$k' not in schema ${schema.simpleString}"))
     CollectionMeta.writeSchema(dir, schema, key,
-      bucketSpec.map(_._1), bucketSpec.map(_._2))
+      bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2))
     new HadroTable(dir, schema, viaCatalog = true)
   }
 
@@ -236,20 +237,21 @@ object HadroBucketFunction extends UnboundFunction {
     "bucket(numBuckets, col): floorMod(xxhash64(col), numBuckets)"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.length == 2,
-      s"bucket expects (numBuckets, col), got ${inputType.simpleString}")
-    inputType(1).dataType match {
-      case LongType | IntegerType | StringType =>
-        new HadroBucketBound(inputType(1).dataType)
+    require(inputType.length >= 2,
+      s"bucket expects (numBuckets, col...), got ${inputType.simpleString}")
+    val keyTypes = inputType.fields.drop(1).map(_.dataType).toSeq
+    keyTypes.foreach {
+      case LongType | IntegerType | StringType => ()
       case dt => throw new UnsupportedOperationException(
         s"hadro bucket: unsupported key type ${dt.simpleString}")
     }
+    new HadroBucketBound(keyTypes)
   }
 }
 
-final class HadroBucketBound(keyType: DataType)
+final class HadroBucketBound(keyTypes: Seq[DataType])
     extends ScalarFunction[java.lang.Integer] {
-  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def inputTypes(): Array[DataType] = IntegerType +: keyTypes.toArray
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.hadro.bucket"
@@ -258,13 +260,15 @@ final class HadroBucketBound(keyType: DataType)
   override def produceResult(input: InternalRow): java.lang.Integer = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val n = input.getInt(0)
-    val h =
-      if (input.isNullAt(1)) 42L
-      else keyType match {
-        case LongType => XXH64.hashLong(input.getLong(1), 42L)
-        case IntegerType => XXH64.hashInt(input.getInt(1), 42L)
-        case _ => XXH64.hashUTF8String(input.getUTF8String(1), 42L)
-      }
+    var h = 42L // xxhash64 fold: seed chains left-to-right, nulls skip
+    keyTypes.zipWithIndex.foreach { case (kt, i) =>
+      if (!input.isNullAt(i + 1))
+        h = kt match {
+          case LongType => XXH64.hashLong(input.getLong(i + 1), h)
+          case IntegerType => XXH64.hashInt(input.getInt(i + 1), h)
+          case _ => XXH64.hashUTF8String(input.getUTF8String(i + 1), h)
+        }
+    }
     java.lang.Math.floorMod(h, n.toLong).toInt
   }
 }

@@ -94,7 +94,8 @@ final class HadroTable(path: Path, dataSchema: StructType,
   override def partitioning(): Array[Transform] =
     CollectionMeta.readSchema(path).toArray.flatMap { m =>
       (m.bucketBy, m.numBuckets) match {
-        case (Some(c), Some(n)) => Array(Expressions.bucket(n, c))
+        case (Some(c), Some(n)) =>
+          Array(Expressions.bucket(n, c.split(","): _*))
         case _ => Array.empty[Transform]
       }
     }
@@ -424,21 +425,29 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     * within range, and the bucket column survives column pruning (the
     * reported key must resolve against this scan's output). */
   private def bucketedFor(manifest: Manifest,
-      planned: Seq[SegmentInfo]): Option[(String, Int)] =
+      planned: Seq[SegmentInfo]): Option[(Seq[String], Int)] =
     for {
       c <- manifest.bucketBy
       n <- manifest.numBuckets
-      if required.fieldNames.contains(c)
+      cols = c.split(",").toSeq
+      // Spark's storage-partitioned-join compatibility model matches each
+      // partition transform to ONE join key — a bucket over several
+      // columns can't be decomposed, so multi-column specs keep their
+      // layout benefits (routing, tags, one-segment-per-bucket writes)
+      // but are not reported as KeyGroupedPartitioning (verified
+      // empirically: the join keeps its exchanges either way).
+      if cols.length == 1
+      if cols.forall(required.fieldNames.contains)
       if planned.forall(s => s.bucket.exists(b => b >= 0 && b < n))
-    } yield (c, n)
+    } yield (cols, n)
 
   override def outputPartitioning(): Partitioning = {
     val (manifest, planned) = plannedSegments()
     bucketedFor(manifest, planned) match {
-      case Some((c, n)) =>
+      case Some((cs, n)) =>
         val distinct = planned.flatMap(_.bucket).distinct.size
         new KeyGroupedPartitioning(
-          Array[V2Expression](Expressions.bucket(n, c)), distinct)
+          Array[V2Expression](Expressions.bucket(n, cs: _*)), distinct)
       case None => new UnknownPartitioning(0)
     }
   }

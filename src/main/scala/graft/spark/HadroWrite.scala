@@ -74,13 +74,17 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     // on the pinned manifest surviving until commit (a conflicting
     // truncate GCs it).
     private def compactOfGen = Option(opts.get("hadro.compactOfGen")).filter(_.nonEmpty).map(_.toLong)
-    // Storage bucketing: both options or neither.
-    private def bucketSpec: Option[(String, Int)] = {
-      val col = Option(opts.get("hadro.bucketBy")).filter(_.nonEmpty)
+    // Storage bucketing: both options or neither. hadro.bucketBy accepts a
+    // comma-separated column list (multi-key joins bucket on all keys).
+    private def bucketSpec: Option[(Seq[String], Int)] = {
+      val cols = Option(opts.get("hadro.bucketBy")).filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       val n = Option(opts.get("hadro.buckets")).filter(_.nonEmpty).map(_.toInt)
-      (col, n) match {
-        case (Some(c), Some(k)) =>
-          require(k > 0, s"hadro.buckets must be positive, got $k"); Some((c, k))
+      (cols, n) match {
+        case (Some(cs), Some(k)) =>
+          require(k > 0, s"hadro.buckets must be positive, got $k")
+          require(cs.nonEmpty, "hadro.bucketBy must name at least one column")
+          Some((cs, k))
         case (None, None) => None
         case _ => throw new IllegalArgumentException(
           "hadro: hadro.bucketBy and hadro.buckets must be set together")
@@ -95,15 +99,16 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     // transform (HadroCatalog is the FunctionCatalog) — a path-based
     // write must not require what the planner cannot resolve; its
     // writer-side routing still buckets correctly.
-    private def declaredOrExplicitSpec: Option[(String, Int)] =
+    private def declaredOrExplicitSpec: Option[(Seq[String], Int)] =
       bucketSpec.orElse(CollectionMeta.readSchema(path).flatMap(m =>
-        for { c <- m.bucketBy; n <- m.numBuckets } yield (c, n)))
+        for { c <- m.bucketBy; n <- m.numBuckets }
+          yield (c.split(",").toSeq, n)))
 
     override def requiredDistribution(): Distribution =
       if (viaCatalog)
         declaredOrExplicitSpec match {
-          case Some((c, n)) =>
-            Distributions.clustered(Array(Expressions.bucket(n, c)))
+          case Some((cs, n)) =>
+            Distributions.clustered(Array(Expressions.bucket(n, cs: _*)))
           case None => Distributions.unspecified()
         }
       else Distributions.unspecified()
@@ -133,7 +138,7 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
 private[spark] object HadroWriteInit {
   def ensureSchema(path: Path, schema: StructType, tombstone: Boolean,
       keyField: Option[String], deleteCol: Option[String] = None,
-      bucketSpec: Option[(String, Int)] = None): CollectionMeta.SchemaMeta = {
+      bucketSpec: Option[(Seq[String], Int)] = None): CollectionMeta.SchemaMeta = {
     Files.createDirectories(path)
     CollectionMeta.readSchema(path) match {
       case Some(meta) =>
@@ -158,10 +163,25 @@ private[spark] object HadroWriteInit {
           require(schema.fieldNames.contains(k), s"hadro: key field '$k' not in schema")
         }
         CollectionMeta.writeSchema(path, schema, keyField,
-          bucketSpec.map(_._1), bucketSpec.map(_._2))
+          bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2))
         CollectionMeta.readSchema(path).get
     }
   }
+
+  /** Resolve + type-check bucket columns against the stored schema. */
+  def bucketOrdinals(storedSchema: StructType, cols: Seq[String]): Seq[Int] =
+    cols.map { c =>
+      val ord = storedSchema.fieldNames.indexOf(c)
+      require(ord >= 0, s"hadro: bucket column '$c' not in collection schema")
+      storedSchema(ord).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"hadro: bucketBy supports long/int/string columns, '$c' is ${dt.simpleString}")
+      }
+      ord
+    }
 
   /** Named composite indexes registered on the collection: every new
     * segment carries their bloom sidecars from birth (resolved to
@@ -183,7 +203,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     compactOf: Option[Long] = None,
     compactOfGen: Option[Long] = None,
     maxSegmentBytes: Long = 0L,
-    bucketSpec: Option[(String, Int)] = None) extends BatchWrite {
+    bucketSpec: Option[(Seq[String], Int)] = None) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
     keyField, deleteCol, bucketSpec)
@@ -192,23 +212,16 @@ final class HadroBatchWrite(path: Path, schema: StructType,
   // Explicit options win; otherwise the spec DECLARED on the collection
   // (schema.json — e.g. SQL `PARTITIONED BY (bucket(n, col))`) applies,
   // so plain `INSERT INTO` keeps a bucketed table join-ready.
-  private val effectiveBucketSpec: Option[(String, Int)] = bucketSpec.orElse(
-    for { c <- storedMeta.bucketBy; n <- storedMeta.numBuckets } yield (c, n))
-  // Resolve the bucket column against the STORED schema (rows are
+  private val effectiveBucketSpec: Option[(Seq[String], Int)] = bucketSpec.orElse(
+    for { c <- storedMeta.bucketBy; n <- storedMeta.numBuckets }
+      yield (c.split(",").toSeq, n))
+  // Resolve the bucket columns against the STORED schema (rows are
   // projected onto it before bucketing) and restrict to the types whose
   // xxhash64 semantics we reproduce writer-side.
-  private val bucketOrdSpec: Option[(Int, Int)] = effectiveBucketSpec.map { case (c, n) =>
-    val ord = storedSchema.fieldNames.indexOf(c)
-    require(ord >= 0, s"hadro: bucket column '$c' not in collection schema")
-    storedSchema(ord).dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.StringType => ()
-      case dt => throw new IllegalArgumentException(
-        s"hadro: bucketBy supports long/int/string columns, '$c' is ${dt.simpleString}")
+  private val bucketOrdSpec: Option[(Seq[Int], Int)] =
+    effectiveBucketSpec.map { case (cs, n) =>
+      (HadroWriteInit.bucketOrdinals(storedSchema, cs), n)
     }
-    (ord, n)
-  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
@@ -268,10 +281,11 @@ final class HadroBatchWrite(path: Path, schema: StructType,
         // stop reporting KeyGroupedPartitioning. Non-bucketed appends keep
         // the spec (their untagged segments already disable reporting).
         val (bBy, bN) = effectiveBucketSpec match {
-          case Some((c, n)) =>
+          case Some((cs, n)) =>
+            val joined = cs.mkString(",")
             if (truncate || cur.bucketBy.isEmpty ||
-              (cur.bucketBy.contains(c) && cur.numBuckets.contains(n)))
-              (Some(c), Some(n))
+              (cur.bucketBy.contains(joined) && cur.numBuckets.contains(n)))
+              (Some(joined), Some(n))
             else (None, None)
           case None => (cur.bucketBy, cur.numBuckets)
         }
@@ -336,12 +350,10 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
   // Streaming epochs into a DECLARED-bucketed collection keep the layout:
   // same schema-level fallback as the batch path (tags per segment; the
   // manifest spec is already recorded, so coverage just stays complete).
-  private val bucketOrdSpec: Option[(Int, Int)] = for {
+  private val bucketOrdSpec: Option[(Seq[Int], Int)] = for {
     c <- storedMeta.bucketBy
     n <- storedMeta.numBuckets
-    ord = storedSchema.fieldNames.indexOf(c)
-    if ord >= 0
-  } yield (ord, n)
+  } yield (HadroWriteInit.bucketOrdinals(storedSchema, c.split(",").toSeq), n)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -391,7 +403,7 @@ final class HadroStreamingWriterFactory(path: String, storedSchema: StructType,
     keyOrdinal: Option[Int], splitBytes: Long,
     indexOrdinals: Map[String, Seq[Int]], offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
-    bucketSpec: Option[(Int, Int)] = None)
+    bucketSpec: Option[(Seq[Int], Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -408,7 +420,7 @@ final class HadroWriterFactory(path: String, storedSchema: StructType,
     offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
     maxSegmentBytes: Long = 0L,
-    bucketSpec: Option[(Int, Int)] = None) extends DataWriterFactory {
+    bucketSpec: Option[(Seq[Int], Int)] = None) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
@@ -433,7 +445,7 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
     maxSegmentBytes: Long = 0L,
-    bucketSpec: Option[(Int, Int)] = None) extends DataWriter[InternalRow] {
+    bucketSpec: Option[(Seq[Int], Int)] = None) extends DataWriter[InternalRow] {
 
   private def newSegmentFile() = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
@@ -453,18 +465,20 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
   // most `numBuckets` open writers, never incorrectness.
   private val bucketWriters = scala.collection.mutable.Map.empty[Int, SegmentWriter]
 
-  /** pmod(xxhash64(col), n) — EXACTLY Spark's `xxhash64` (seed 42) so the
-    * engine-side shuffle expression and the file tags agree. */
-  private def bucketOf(row: InternalRow, ord: Int, n: Int): Int = {
+  /** pmod(xxhash64(col1, col2, ...), n) — EXACTLY Spark's `xxhash64`
+    * (seed 42, left-to-right seed chaining, null arguments skipped) so
+    * the engine-side shuffle expression and the file tags agree. */
+  private def bucketOf(row: InternalRow, ords: Seq[Int], n: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    // xxhash64(NULL) = the seed unchanged — Spark's null-skipping fold
-    val h =
-      if (row.isNullAt(ord)) 42L
-      else storedSchema(ord).dataType match {
-        case org.apache.spark.sql.types.LongType => XXH64.hashLong(row.getLong(ord), 42L)
-        case org.apache.spark.sql.types.IntegerType => XXH64.hashInt(row.getInt(ord), 42L)
-        case _ => XXH64.hashUTF8String(row.getUTF8String(ord), 42L)
-      }
+    var h = 42L
+    ords.foreach { ord =>
+      if (!row.isNullAt(ord)) // null skips: the running hash passes through
+        h = storedSchema(ord).dataType match {
+          case org.apache.spark.sql.types.LongType => XXH64.hashLong(row.getLong(ord), h)
+          case org.apache.spark.sql.types.IntegerType => XXH64.hashInt(row.getInt(ord), h)
+          case _ => XXH64.hashUTF8String(row.getUTF8String(ord), h)
+        }
+    }
     java.lang.Math.floorMod(h, n.toLong).toInt
   }
 
@@ -508,8 +522,8 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
       i += 1
     }
     bucketSpec match {
-      case Some((ord, n)) =>
-        val b = bucketOf(out, ord, n)
+      case Some((ords, n)) =>
+        val b = bucketOf(out, ords, n)
         val w = bucketWriters.getOrElseUpdate(b, newWriter())
         w.append(out, deleted = deleted)
         if (maxSegmentBytes > 0 && w.bytes >= maxSegmentBytes) {

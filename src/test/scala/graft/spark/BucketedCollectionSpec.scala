@@ -83,6 +83,46 @@ class BucketedCollectionSpec extends SparkSuite {
     }
   }
 
+  test("multi-column bucketing routes by the compound key (layout only)") {
+    val wh = Files.createTempDirectory("spjmc").toString
+    spark.conf.set("spark.sql.catalog.spjmc", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjmc.warehouse", wh)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey", $"l_quantity")
+    def writeTo(tbl: String): Unit =
+      li.repartition(8, pmod(xxhash64($"l_orderkey", $"l_suppkey"), lit(8)))
+        .write.format("hadro").mode("append")
+        .option("hadro.bucketBy", "l_orderkey,l_suppkey")
+        .option("hadro.buckets", "8")
+        .save(s"$wh/ns/$tbl")
+    writeTo("a"); writeTo("b")
+    val m = graft.meta.CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(s"$wh/ns/a"))
+    assert(m.bucketBy.contains("l_orderkey,l_suppkey") && m.numBuckets.contains(8))
+    assert(m.segments.forall(_.bucket.isDefined))
+    // compound-key routing matches the engine-side two-arg xxhash64 fold
+    val expected = li
+      .groupBy(pmod(xxhash64($"l_orderkey", $"l_suppkey"), lit(8)).as("b"))
+      .count().as[(Long, Long)].collect().toMap
+    val byTag = m.segments.groupBy(_.bucket.get.toLong)
+      .map { case (b, ss) => b -> ss.map(s => s.rows - s.tombstones).sum }
+    assert(byTag == expected, s"tags $byTag vs engine $expected")
+    // two-key joins stay correct (Spark's SPJ model matches one transform
+    // per join key, so multi-column specs don't report partitioning — the
+    // join shuffles, it never mis-groups)
+    val a = spark.table("spjmc.ns.a").as("a")
+    val b = spark.table("spjmc.ns.b").as("b")
+    val got = a.join(b,
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" === $"b.l_suppkey")
+      .groupBy($"a.l_orderkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = li.as("x").join(li.as("y"),
+        $"x.l_orderkey" === $"y.l_orderkey" && $"x.l_suppkey" === $"y.l_suppkey")
+      .groupBy($"x.l_orderkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("compaction preserves bucketing") {
     val path = writeBucketed(
       spark.read.parquet(s"$sf0001/customer.parquet"), "c_custkey", 4)
