@@ -123,6 +123,59 @@ class BucketedCollectionSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("SPJ stays correct under skewed buckets with partially-clustered distribution") {
+    // one hot key (= one hot bucket) on the probe side; the build side
+    // stays uniform. With pushPartValues + partiallyClusteredDistribution
+    // Spark may replicate the small side's hot partitions instead of
+    // falling back to a shuffle — either way the result must be exact.
+    val wh = Files.createTempDirectory("spjskew").toString
+    spark.conf.set("spark.sql.catalog.spjskew", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjskew.warehouse", wh)
+    val hot = spark.range(0, 2000).select(lit(7L).as("k"), $"id".as("v"))
+      .unionByName(spark.range(0, 100).select($"id".as("k"), $"id".as("v")))
+    val dim = spark.range(0, 100).select($"id".as("k"), ($"id" * 10).as("w"))
+    def writeTo(df: org.apache.spark.sql.DataFrame, tbl: String): Unit =
+      df.repartition(4, pmod(xxhash64(col("k")), lit(4)))
+        .write.format("hadro").mode("append")
+        .option("hadro.bucketBy", "k").option("hadro.buckets", "4")
+        .save(s"$wh/ns/$tbl")
+    writeTo(hot, "fact"); writeTo(dim, "dim")
+    val savedConfs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    savedConfs.foreach { case (k, _) => spark.conf.set(k, "true") }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("spjskew.ns.fact").as("f")
+        .join(spark.table("spjskew.ns.dim").as("d"), $"f.k" === $"d.k")
+        .groupBy($"f.k").agg(count(lit(1)).as("n"), sum($"w").as("sw"))
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = hot.as("f").join(dim.as("d"), $"f.k" === $"d.k")
+        .groupBy($"f.k").agg(count(lit(1)).as("n"), sum($"w").as("sw"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expect)
+      // the JOIN itself must not shuffle its inputs (storage-partitioned);
+      // only the post-join aggregation may exchange (partially-clustered
+      // replication makes partitions non-disjoint, so the agg re-shuffles
+      // — that is correct). Inspect only the FINAL plan below the join.
+      val plan = j.queryExecution.executedPlan.toString
+      val finalSection = plan.split("== Initial Plan ==").head
+      val joinIdx = finalSection.indexOf("Join")
+      assert(joinIdx >= 0, plan)
+      assert(!finalSection.substring(joinIdx).contains("Exchange"),
+        s"join inputs must come from storage partitioning:\n$plan")
+    } finally {
+      savedConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
   test("compaction preserves bucketing") {
     val path = writeBucketed(
       spark.read.parquet(s"$sf0001/customer.parquet"), "c_custkey", 4)
