@@ -257,6 +257,48 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Batch-query IVF: top-k for a whole DataFrame of query vectors at
+    * once — the SERVING shape (a query batch is data, not a driver loop).
+    *
+    * Probe assignment is a broadcast join of the queries against the
+    * tiny persisted centroid table (k·dim floats) + a per-query window;
+    * the only driver-side collect is the DISTINCT probed cluster ids
+    * (bounded by kCentroids, never by corpus or batch size), pushed as an
+    * IN filter so manifest stats still prune unprobed segments; candidate
+    * scoring is a key-equality join on the cluster id. Everything scales
+    * with |batch| × probed corpus fraction. */
+  def ivfTopKBatch(index: graft.api.Collection, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val ss = queries.sparkSession
+    import ss.implicits._
+    val cents = loadCentroids(java.nio.file.Paths.get(index.path))
+      .getOrElse(throw new IllegalStateException(
+        s"ivfTopKBatch requires a persisted centroid sidecar at ${index.path}"))
+    val centDf = cents.map { case (cid, cv) => (cid.toLong, cv) }
+      .toDF("cid", "cv")
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("probe_cos").desc, col("cid").desc)
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("probe_cos", cosine(col("qvec"), col("cv")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val probed = probes.select(col("cid")).distinct().as[Long].collect().toSeq
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col(idCol))
+    index.scan().filter(col("cluster").isin(probed: _*))
+      .join(broadcast(probes), col("cluster") === col("cid"))
+      .select(col("qid"), col("vid").as(idCol),
+        cosine(col("vec"), col("qvec")).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col(idCol), col("cosine"), col("rk"))
+  }
+
   // ------------------------------------------------------------------- PQ
 
   /** Product quantization: split the vector space into `m` subspaces and

@@ -801,6 +801,59 @@ object OpsQueries {
         ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv) DESC, a.vec_id
         LIMIT 20""")),
 
+    // ---------------------------------------------------------------- s07
+    // BATCH-query IVF ANN — the serving shape: a whole frame of query
+    // vectors answered in ONE plan (broadcast centroid join for probe
+    // assignment, IN-pruned candidate join, windowed top-k per query),
+    // not a per-query driver loop. The oracle replays the identical
+    // probe ranking, candidate set, and rank order per query.
+    QueryDef(
+      "s07_ivf_batch_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildIvfIndex(
+          s, s"/tmp/graft_collections/$tag/s07_index", e, "vec_id", "embedding")
+        val queries = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        SimilarityOps.ivfTopKBatch(idx, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 5)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id % 100 = 0),
+        cents AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT e.vec_id, e.embedding,
+            (SELECT c.cid FROM cents c
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.cid DESC
+             LIMIT 1) AS cluster
+          FROM embeddings e),
+        probes AS (
+          SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.qid
+                ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid DESC) AS prk
+            FROM q, cents c)
+          WHERE prk <= 2),
+        cand AS (
+          SELECT p.qid, a.vec_id,
+            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv) AS cos
+          FROM assigned a
+          JOIN probes p ON a.cluster = p.cid
+          JOIN q ON q.qid = p.qid)
+        SELECT qid, vec_id, ROUND(cos, 4) AS cosine, CAST(rk AS INT) AS rk
+        FROM (
+          SELECT qid, vec_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          FROM cand)
+        WHERE rk <= 5 ORDER BY qid, rk""")),
+
     // ---------------------------------------------------------------- s04
     // IVF training: one Lloyd refinement pass over the seed centroids —
     // map-only nearest-centroid assignment (greatest() over broadcast
