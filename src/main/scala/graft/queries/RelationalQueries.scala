@@ -543,6 +543,39 @@ object RelationalQueries {
         SELECT user_id,
           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
           CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM gaps GROUP BY user_id ORDER BY user_id"""))
+        FROM gaps GROUP BY user_id ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- q23
+    // RECURSIVE CTE (Spark 4.x WITH RECURSIVE): hierarchical rollup over
+    // the implicit binary tree parent(k) = k div 2 on customer keys —
+    // per root < 8: descendant count and exact-decimal balance sum. The
+    // recursion is the declarative form of iterative joins; Catalyst
+    // plans each step as a join on the frontier (same scale shape as the
+    // CC loops, but expressed in pure SQL).
+    QueryDef(
+      "q23_recursive_cte",
+      (s, dir) => {
+        QueryDef.table(s, dir, "customer").createOrReplaceTempView("q23_customer")
+        s.sql("""WITH RECURSIVE reach(root, node) AS (
+            SELECT c_custkey, c_custkey FROM q23_customer WHERE c_custkey < 8
+            UNION ALL
+            SELECT r.root, c.c_custkey
+            FROM reach r JOIN q23_customer c ON c.c_custkey DIV 2 = r.node
+              AND c.c_custkey >= 8)
+          SELECT r.root, CAST(COUNT(*) AS BIGINT) AS n_desc,
+            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          FROM reach r JOIN q23_customer c ON c.c_custkey = r.node
+          GROUP BY r.root ORDER BY r.root""")
+      },
+      Some("""WITH RECURSIVE reach(root, node) AS (
+          SELECT c_custkey, c_custkey FROM customer WHERE c_custkey < 8
+          UNION ALL
+          SELECT r.root, c.c_custkey
+          FROM reach r JOIN customer c ON c.c_custkey // 2 = r.node
+            AND c.c_custkey >= 8)
+        SELECT r.root, CAST(COUNT(*) AS BIGINT) AS n_desc,
+          CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM reach r JOIN customer c ON c.c_custkey = r.node
+        GROUP BY r.root ORDER BY r.root"""))
   )
 }
