@@ -1108,6 +1108,46 @@ object OpsQueries {
         )
         SELECT pred_lang, COUNT(*) AS n FROM pred GROUP BY pred_lang ORDER BY pred_lang""")),
 
+    // ---------------------------------------------------------------- t13
+    // Language-consistency screen: documents whose DECLARED lang disagrees
+    // with the n-gram/stopword language id are the classic mislabeled-
+    // metadata failure a corpus audit flags before training. Per declared
+    // lang: total docs and how many the classifier confirms.
+    QueryDef(
+      "t13_lang_consistency",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        d.withColumn("pred_lang", TextOps.langId(TextOps.tokens(col("text"))))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+              .as("n_consistent"))
+          .orderBy("lang")
+      },
+      Some("""WITH scored AS (
+          SELECT lang,
+            len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
+            len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+            len(list_intersect(toks, ['el','la','los','las','y','es','un','una','que','por'])) AS s_es,
+            len(list_intersect(toks, ['le','la','les','et','est','un','une','des','que','pour'])) AS s_fr,
+            len(list_intersect(toks, ['的','是','了','在','和','有','我','不','这','他'])) AS s_zh
+          FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+        ),
+        pred AS (
+          SELECT lang, CASE
+            WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            ELSE 'de' END AS pred_lang
+          FROM scored
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_consistent
+        FROM pred GROUP BY lang ORDER BY lang""")),
+
     // ---------------------------------------------------------------- t04
     // Order-sensitive rolling-hash fingerprint; output the fingerprint of
     // each doc (dup-detection primitive that distinguishes permutations).
