@@ -437,6 +437,9 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       // but are not reported as KeyGroupedPartitioning (verified
       // empirically: the join keeps its exchanges either way).
       if cols.length == 1
+      // a fully-pruned scan must not report a 0-partition KeyGrouped
+      // partitioning — fall back to unknown, Spark plans the empty scan
+      if planned.nonEmpty
       if cols.forall(required.fieldNames.contains)
       if planned.forall(s => s.bucket.exists(b => b >= 0 && b < n))
     } yield (cols, n)

@@ -260,6 +260,38 @@ class BucketedCollectionSpec extends SparkSuite {
     assert(spark.read.format("hadro").load(path).count() == src.count() * 2)
   }
 
+  test("a fully-pruned bucketed scan plans empty without reporting partitioning") {
+    val path = writeBucketed(
+      spark.read.parquet(s"$sf0001/customer.parquet"), "c_custkey", 4)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // the filter prunes every segment via min/max stats
+      val df = spark.read.format("hadro").load(path)
+        .filter($"c_custkey" === -99999L)
+      assert(df.count() == 0L)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  test("a failing bucketed write aborts cleanly, leaving no stray segments") {
+    val path = writeBucketed(
+      spark.read.parquet(s"$sf0001/nation.parquet"), "n_nationkey", 4)
+    def dataFiles() = {
+      val d = new java.io.File(path)
+      d.listFiles().map(_.getName).filter(_.endsWith(".data")).toSet
+    }
+    val before = dataFiles()
+    // ANSI division by zero blows up one task mid-write
+    intercept[Exception] {
+      spark.read.parquet(s"$sf0001/nation.parquet")
+        .withColumn("n_regionkey",
+          (lit(1) / (col("n_nationkey") - col("n_nationkey"))).cast("int"))
+        .write.format("hadro").mode("append").save(path)
+    }
+    assert(dataFiles() == before,
+      "aborted bucketed tasks must delete every per-bucket segment file")
+    assert(spark.read.format("hadro").load(path).count() == 25L)
+  }
+
   test("plain appends inherit bucketing; a conflicting spec degrades safely") {
     val path = writeBucketed(
       spark.read.parquet(s"$sf0001/nation.parquet"), "n_nationkey", 4)
