@@ -71,7 +71,11 @@ object Bench {
       s"""{"metric":"total","value":$totalS,"unit":"sec","n":${results.size},"elided":$elided,"queries":$m,"failures":$fs,"sf":"$sfDir"}"""
     }
     var keep = bySlowest
-    while (line(keep, results.size - keep.size).length > 1800 && keep.nonEmpty)
+    // 1700-char budget: the 2000-char tail window must also fit sbt's
+    // trailing "[success] ..." line plus any stray trailing output — at
+    // 124 queries the full 3-decimal map is ~1780 chars, so a wider
+    // margin costs only a few elided (fast) queries.
+    while (line(keep, results.size - keep.size).length > 1700 && keep.nonEmpty)
       keep = keep.dropRight(math.max(1, keep.size / 10))
     try {
       val full =
