@@ -362,14 +362,14 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   /** The post-pruning segment list (and its manifest) — shared by
     * planInputPartitions and outputPartitioning so the reported
     * partitioning always describes the partitions actually planned. */
-  private def plannedSegments(): (Manifest, Seq[SegmentInfo]) = {
+  private def plannedSegments(
+      filters: Array[Filter]): (Manifest, Seq[SegmentInfo]) = {
     // Time travel: a snapshot is just an older manifest — segment files are
     // immutable and appends never rewrite them, so any retained version
     // reconstructs its exact state.
     val manifest = versionAsOf
       .map(v => CollectionMeta.manifestAt(path, v))
       .getOrElse(CollectionMeta.currentManifest(path))
-    val filters = effectiveFilters
     val survivors = manifest.segments
       .filter(seg => SegmentSkipper.mightMatch(seg, filters, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, filters, storedSchema) &&
@@ -392,7 +392,20 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     validateAgainstStored()
-    val (manifest, planned) = plannedSegments()
+    // When this scan REPORTS KeyGroupedPartitioning, Spark requires the
+    // runtime-filtered partition set to reproduce the reported groups —
+    // dropping a whole bucket via a runtime filter would make
+    // BatchScanExec fail with "must preserve the original partitioning".
+    // So: if the STATICALLY-planned set is reported as bucketed, runtime
+    // filters skip SEGMENT pruning (rows are still re-filtered post-scan;
+    // runtime pruning is only ever an optimization). Static pushed
+    // filters are identical at report time and plan time, so they are
+    // always safe to prune with.
+    val (manifestStatic, plannedStatic) = plannedSegments(pushed)
+    val bucketed = bucketedFor(manifestStatic, plannedStatic)
+    val (manifest, planned) =
+      if (bucketed.isDefined) (manifestStatic, plannedStatic)
+      else plannedSegments(effectiveFilters)
     val filters = effectiveFilters
     // Operability at scale: a 100 TB scan's health is "how much did
     // pruning save" — surfaced as DSv2 custom metrics in the SQL UI
@@ -400,14 +413,16 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     metricSegmentsRead = planned.size.toLong
     metricSegmentsPruned = (manifest.segments.size - planned.size).toLong
     metricBytesPlanned = planned.map(_.bytes).sum
-    val bucketed = bucketedFor(manifest, planned)
     planned
       .flatMap { seg =>
         // Point predicates on the key column consult the persisted
         // key→offset index: read ONLY the matching records (one
         // single-record range each), or skip the segment entirely on an
         // exact miss. Falls back to full split-range scanning otherwise.
-        val parts = OffsetIndexPlanner.pointRanges(path, seg, filters, storedSchema)
+        // Bypassed while REPORTING partitioning: an exact miss would drop
+        // a bucket's partitions after the group count was reported.
+        val parts = (if (bucketed.isDefined) None
+          else OffsetIndexPlanner.pointRanges(path, seg, filters, storedSchema))
           .getOrElse(HadroInputPartition.ranges(path, seg))
         // Storage-partitioned join: when the collection is uniformly
         // bucketed, every partition carries its bucket as the DSv2
@@ -420,6 +435,15 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       .toArray
   }
 
+  /** Key-grouped reporting (and its conservative planning, below) only
+    * matter when the session opted into v2 bucketing — with the conf off,
+    * Spark ignores reported partitioning entirely, so scans keep the
+    * aggressive point-range/runtime-filter planning. */
+  private def v2BucketingEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+      .toBoolean
+
   /** Some((col, n)) iff the scan may report KeyGroupedPartitioning: the
     * manifest records a bucket spec, every PLANNED segment is tagged
     * within range, and the bucket column survives column pruning (the
@@ -427,6 +451,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   private def bucketedFor(manifest: Manifest,
       planned: Seq[SegmentInfo]): Option[(Seq[String], Int)] =
     for {
+      _ <- if (v2BucketingEnabled) Some(()) else None
       c <- manifest.bucketBy
       n <- manifest.numBuckets
       cols = c.split(",").toSeq
@@ -445,7 +470,11 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     } yield (cols, n)
 
   override def outputPartitioning(): Partitioning = {
-    val (manifest, planned) = plannedSegments()
+    // Static pushed filters only — identical to the set planInputPartitions
+    // prunes with when partitioning is reported, so the group count always
+    // matches the planned partitions (runtime filters never prune segments
+    // on a reported-bucketed scan; see planInputPartitions).
+    val (manifest, planned) = plannedSegments(pushed)
     bucketedFor(manifest, planned) match {
       case Some((cs, n)) =>
         val distinct = planned.flatMap(_.bucket).distinct.size

@@ -56,6 +56,39 @@ class RuntimeV2FilterSpec extends SparkSuite {
     assert(scan3.toBatch.planInputPartitions().length == 8)
   }
 
+  test("runtime filters never drop reported key-grouped buckets") {
+    // With v2 bucketing ON, a scan that reported KeyGroupedPartitioning
+    // must keep every reported bucket through runtime filtering — Spark
+    // fails the query if the filtered partitions no longer reproduce the
+    // reported groups. Runtime filters therefore skip segment pruning on
+    // reported-bucketed scans (rows are still re-filtered post-scan).
+    val path = Files.createTempDirectory("rtv2bkt").resolve("c").toString
+    spark.read.parquet(s"$sf0001/customer.parquet")
+      .repartition(4, pmod(xxhash64($"c_custkey"), lit(4)))
+      .write.format("hadro").mode("append")
+      .option("hadro.bucketBy", "c_custkey").option("hadro.buckets", "4")
+      .save(path)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val scan = buildScan(path)
+      val reported = scan.outputPartitioning()
+      val kgp = reported.asInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+      val groups = kgp.numPartitions()
+      assert(groups == 4)
+      // a runtime IN that would statically keep only one bucket's segments
+      val in = new Predicate("IN", Array[V2Expression](
+        Expressions.column("c_custkey"), Expressions.literal(42L)))
+      scan.filter(Array(in))
+      val parts = scan.toBatch.planInputPartitions()
+      val buckets = parts.collect {
+        case b: BucketKeyedPartition => b.bucketId
+      }.distinct.sorted
+      assert(buckets.length == groups,
+        s"runtime filter dropped reported buckets: kept ${buckets.mkString(",")}")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("filterAttributes covers every stored column") {
     val path = Files.createTempDirectory("rtv2attr").resolve("c").toString
     Collection.create(spark, path, spark.read.parquet(s"$sf0001/region.parquet"))
