@@ -50,7 +50,12 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val fs = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Failures are part of the parsed line; cap the enumeration so a
+    // mass-failure run cannot by itself blow the tail budget (the count is
+    // always visible via n vs queries, and stderr lists every name).
+    val fsAll = failures.sorted
+    val fs = (fsAll.take(12) ++ (if (fsAll.size > 12) Seq(s"+${fsAll.size - 12} more") else Nil))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that tail; sbt appends its own "[success] ..." line
@@ -77,13 +82,23 @@ object Bench {
     // margin costs only a few elided (fast) queries.
     while (line(keep, results.size - keep.size).length > 1700 && keep.nonEmpty)
       keep = keep.dropRight(math.max(1, keep.size / 10))
+    // Full-precision map: resolved against the working directory (env
+    // SPARK_GRAFT_BENCH_FULL overrides) so any checkout location gets the
+    // file; a write failure is LOGGED, never silently discarded — but the
+    // stdout line is the contract, so it must not abort the run either.
     try {
+      val fullFs = fsAll.map("\"" + _ + "\"").mkString("[", ",", "]")
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failures":$fs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failures":$fullFs,"sf":"$sfDir"}"""
+      val dest = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+        .toAbsolutePath
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
+        dest, full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"BENCH: could not write BENCH_FULL.json: $t")
+    }
     println(line(keep, results.size - keep.size))
     if (failures.nonEmpty)
       System.err.println(s"BENCH: ${failures.size} queries FAILED: ${failures.mkString(", ")}")

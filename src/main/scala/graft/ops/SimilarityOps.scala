@@ -266,8 +266,12 @@ object SimilarityOps {
     * (bounded by kCentroids, never by corpus or batch size), pushed as an
     * IN filter so manifest stats still prune unprobed segments; candidate
     * scoring is a key-equality join on the cluster id. Everything scales
-    * with |batch| × probed corpus fraction. */
-  def ivfTopKBatch(index: graft.api.Collection, idCol: String, vecCol: String,
+    * with |batch| × probed corpus fraction.
+    *
+    * `index` must be a [[buildIvfIndex]] collection — its canonical
+    * (vid, vec, cluster) schema is assumed, same as [[ivfTopK]]; `idCol`
+    * only names the id column in the RESULT. */
+  def ivfTopKBatch(index: graft.api.Collection, idCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       nprobe: Int = 2): DataFrame = {
     val ss = queries.sparkSession

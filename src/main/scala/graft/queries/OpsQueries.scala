@@ -816,7 +816,7 @@ object OpsQueries {
           s, s"/tmp/graft_collections/$tag/s07_index", e, "vec_id", "embedding")
         val queries = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        SimilarityOps.ivfTopKBatch(idx, "vec_id", "embedding",
+        SimilarityOps.ivfTopKBatch(idx, "vec_id",
             queries, "qid", "qvec", k = 5)
           .withColumn("cosine", round(col("cosine"), 4))
           .orderBy("qid", "rk")

@@ -665,6 +665,7 @@ object StorageQueries {
         put("customer", "c_custkey")
         put("orders", "o_custkey")
         val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val savedV2 = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try {
@@ -676,7 +677,10 @@ object StorageQueries {
             .orderBy("c_custkey")
         } finally {
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
-          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+          savedV2 match {
+            case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
         }
       },
       Some("""SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n

@@ -359,17 +359,26 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
           s"but stored as ${sf.dataType.simpleString}")
     }
 
+  /** ONE manifest version for every planning entry point of this scan —
+    * estimateStatistics, outputPartitioning, planInputPartitions, and
+    * Spark's post-runtime-filter re-plan each enter independently, and a
+    * concurrent commit landing between two of those calls would make the
+    * reported KeyGroupedPartitioning disagree with the planned partitions
+    * (Spark rejects that with "must preserve the original partitioning").
+    * The first entry point pins the version; versionAsOf scans are pinned
+    * by construction. Time travel: a snapshot is just an older manifest —
+    * segment files are immutable and appends never rewrite them, so any
+    * retained version reconstructs its exact state. */
+  private lazy val manifestSnapshot: Manifest = versionAsOf
+    .map(v => CollectionMeta.manifestAt(path, v))
+    .getOrElse(CollectionMeta.currentManifest(path))
+
   /** The post-pruning segment list (and its manifest) — shared by
     * planInputPartitions and outputPartitioning so the reported
     * partitioning always describes the partitions actually planned. */
   private def plannedSegments(
       filters: Array[Filter]): (Manifest, Seq[SegmentInfo]) = {
-    // Time travel: a snapshot is just an older manifest — segment files are
-    // immutable and appends never rewrite them, so any retained version
-    // reconstructs its exact state.
-    val manifest = versionAsOf
-      .map(v => CollectionMeta.manifestAt(path, v))
-      .getOrElse(CollectionMeta.currentManifest(path))
+    val manifest = manifestSnapshot
     val survivors = manifest.segments
       .filter(seg => SegmentSkipper.mightMatch(seg, filters, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, filters, storedSchema) &&
@@ -390,6 +399,11 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     (manifest, planned)
   }
 
+  /** Statically-planned segments (pushed filters + limit prefix only),
+    * computed ONCE: outputPartitioning, planInputPartitions, and the
+    * runtime-filter re-plan all consult this same list. */
+  private lazy val staticPlanned: Seq[SegmentInfo] = plannedSegments(pushed)._2
+
   override def planInputPartitions(): Array[InputPartition] = {
     validateAgainstStored()
     // When this scan REPORTS KeyGroupedPartitioning, Spark requires the
@@ -401,7 +415,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     // runtime pruning is only ever an optimization). Static pushed
     // filters are identical at report time and plan time, so they are
     // always safe to prune with.
-    val (manifestStatic, plannedStatic) = plannedSegments(pushed)
+    val (manifestStatic, plannedStatic) = (manifestSnapshot, staticPlanned)
     val bucketed = bucketedFor(manifestStatic, plannedStatic)
     val (manifest, planned) =
       if (bucketed.isDefined) (manifestStatic, plannedStatic)
@@ -470,11 +484,11 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     } yield (cols, n)
 
   override def outputPartitioning(): Partitioning = {
-    // Static pushed filters only — identical to the set planInputPartitions
+    // Static pushed filters only — the SAME memoized list planInputPartitions
     // prunes with when partitioning is reported, so the group count always
     // matches the planned partitions (runtime filters never prune segments
     // on a reported-bucketed scan; see planInputPartitions).
-    val (manifest, planned) = plannedSegments(pushed)
+    val (manifest, planned) = (manifestSnapshot, staticPlanned)
     bucketedFor(manifest, planned) match {
       case Some((cs, n)) =>
         val distinct = planned.flatMap(_.bucket).distinct.size
@@ -513,9 +527,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     * `defaultSizeInBytes` (effectively infinite) and every join goes
     * sort-merge. */
   override def estimateStatistics(): Statistics = {
-    val manifest = versionAsOf
-      .map(v => CollectionMeta.manifestAt(path, v))
-      .getOrElse(CollectionMeta.currentManifest(path))
+    val manifest = manifestSnapshot
     val kept = manifest.segments
       .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
