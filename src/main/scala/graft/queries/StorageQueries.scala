@@ -685,6 +685,72 @@ object StorageQueries {
       },
       Some("""SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n
         FROM customer JOIN orders ON o_custkey = c_custkey
-        GROUP BY c_custkey ORDER BY c_custkey"""))
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- h32
+    // SQL row-level DELETE on a KEYED table (INTERFACE.md:15-17 from pure
+    // SQL): DELETE FROM appends key tombstones through SupportsDeleteV2 —
+    // one manifest commit, no data rewrite — and resolved reads are
+    // LWW-correct immediately. A key UPDATED so its latest version no
+    // longer matches the predicate must survive.
+    QueryDef(
+      "h32_sql_delete",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_sqldel/$tag"
+        s.conf.set("spark.sql.catalog.graft_h32",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h32.warehouse", wh)
+        val path = s"$wh/db/customer"
+        table(s, dir, "customer")
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "c_custkey").save(path)
+        val c = Collection(s, path)
+        // update one in-range key so its latest version escapes the delete
+        c.set(table(s, dir, "customer").filter($"c_custkey" === 7L)
+          .withColumn("c_acctbal", lit(9999999.0)))
+        s.sql("DELETE FROM graft_h32.db.customer " +
+          "WHERE c_acctbal < 0 AND c_custkey BETWEEN 0 AND 400")
+        c.toDF().select($"c_custkey", $"c_name", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH latest AS (
+          SELECT c_custkey, c_name,
+            CASE WHEN c_custkey = 7 THEN 9999999.0 ELSE c_acctbal END AS c_acctbal
+          FROM customer)
+        SELECT c_custkey, c_name, c_acctbal FROM latest
+        WHERE NOT (c_acctbal < 0 AND c_custkey BETWEEN 0 AND 400)
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- h33
+    // SQL row-level DELETE on a NON-keyed table: segment-selective
+    // copy-on-write — manifest stats prune the rewrite to the segments
+    // that might match (range-clustered ingest makes most of them
+    // skippable), carried in ONE atomic replace commit; plain SQL SELECT
+    // reflects the delete with no resolution step.
+    QueryDef(
+      "h33_sql_delete_cow",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_sqldel/$tag"
+        s.conf.set("spark.sql.catalog.graft_h33",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h33.warehouse", wh)
+        table(s, dir, "lineitem")
+          .repartitionByRange(16, $"l_orderkey") // clustered → most segments skip
+          .write.format("hadro").mode("overwrite").save(s"$wh/db/lineitem")
+        s.sql("DELETE FROM graft_h33.db.lineitem " +
+          "WHERE l_orderkey < 1200 AND l_discount > 0.05")
+        s.sql("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM graft_h33.db.lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE NOT (l_orderkey < 1200 AND l_discount > 0.05)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -85,7 +85,8 @@ object HadroTable {
   * ask Spark for the shuffle. */
 final class HadroTable(path: Path, dataSchema: StructType,
     val viaCatalog: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
+    with SupportsDeleteV2 {
 
   override def name(): String = s"hadro.`$path`"
   override def schema(): StructType = dataSchema
@@ -122,10 +123,32 @@ final class HadroTable(path: Path, dataSchema: StructType,
     new HadroScanBuilder(path, dataSchema,
       Option(options.get("hadro.versionAsOf")).map(_.toLong),
       options.getOrDefault("hadro.onTruncate", "fail"),
-      options.getLong("hadro.maxOrdinalsPerTrigger", 0L))
+      options.getLong("hadro.maxOrdinalsPerTrigger", 0L),
+      Option(options.get("hadro.files"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new HadroWriteBuilder(path, info, viaCatalog)
+
+  // ------------------------------------------------- SQL row-level DELETE
+  // `DELETE FROM <catalog>.db.t WHERE ...` — strategy and cost model in
+  // [[HadroDeleteSupport]]: keyed collections append tombstones (merge-on-
+  // read, one commit, no rewrite); non-keyed collections rewrite only the
+  // stats/bloom-affected segments via an atomic replace commit.
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    HadroDeleteSupport.canDelete(predicates)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit =
+    HadroDeleteSupport.deleteWhere(path, predicates)
+
+  /** SQL `TRUNCATE TABLE`: one empty truncating commit through the normal
+    * write path (cheaper and cleaner than the default all-rows delete). */
+  override def truncateTable(): Boolean = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), dataSchema)
+      .write.format("hadro").mode("overwrite").save(path.toString)
+    true
+  }
 }
 
 /** Scan builder with column pruning and filter pushdown. Filters are used
@@ -133,9 +156,14 @@ final class HadroTable(path: Path, dataSchema: StructType,
   * they are also ALL returned as residual so Catalyst re-applies them —
   * the same contract Spark's parquet source uses (skipping is an
   * optimization, never a correctness dependency). */
+/** `onlyFiles`: restrict the scan to the named segment files (the
+  * `hadro.files` option) — the surgical-read primitive partial rewrites
+  * (SQL DELETE copy-on-write, small-segment compaction) are built on.
+  * Aggregate pushdown is disabled under it: manifest statistics describe
+  * the WHOLE collection, not a file subset. */
 final class HadroScanBuilder(path: Path, dataSchema: StructType,
     versionAsOf: Option[Long] = None, onTruncate: String = "fail",
-    maxOrdinalsPerTrigger: Long = 0L)
+    maxOrdinalsPerTrigger: Long = 0L, onlyFiles: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -178,11 +206,14 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // matching pushAggregation, so only pushAggregation may latch state —
   // otherwise build() could return the single-row agg scan for a plain scan.
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed).isDefined
+    onlyFiles.isEmpty &&
+      HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // Assignment (not |=) so a failed plan also RESETS any earlier latch.
-    aggResult = HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed)
+    aggResult =
+      if (onlyFiles.isDefined) None // manifest stats cover the whole collection
+      else HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed)
     aggResult.isDefined
   }
 
@@ -190,7 +221,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     case Some((aggSchema, row)) => new HadroLocalAggScan(path, aggSchema, row)
     case None =>
       new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
-        maxOrdinalsPerTrigger, limit)
+        maxOrdinalsPerTrigger, limit, onlyFiles)
   }
 }
 
@@ -304,7 +335,7 @@ object HadroAggPushdown {
 final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushed: Array[Filter], versionAsOf: Option[Long] = None,
     onTruncate: String = "fail", maxOrdinalsPerTrigger: Long = 0L,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None, onlyFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -335,6 +366,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(onlyFiles.isEmpty,
+      "hadro: hadro.files is a batch-rewrite primitive, not a stream source option")
     validateAgainstStored()
     new HadroMicroBatchStream(path, storedSchema, required, onTruncate,
       maxOrdinalsPerTrigger)
@@ -380,6 +413,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       filters: Array[Filter]): (Manifest, Seq[SegmentInfo]) = {
     val manifest = manifestSnapshot
     val survivors = manifest.segments
+      .filter(seg => onlyFiles.forall(_.contains(seg.file)))
       .filter(seg => SegmentSkipper.mightMatch(seg, filters, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, filters, storedSchema) &&
         BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, filters, storedSchema))
@@ -529,6 +563,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   override def estimateStatistics(): Statistics = {
     val manifest = manifestSnapshot
     val kept = manifest.segments
+      .filter(seg => onlyFiles.forall(_.contains(seg.file)))
       .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
         BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, pushed, storedSchema))

@@ -74,6 +74,24 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     // on the pinned manifest surviving until commit (a conflicting
     // truncate GCs it).
     private def compactOfGen = Option(opts.get("hadro.compactOfGen")).filter(_.nonEmpty).map(_.toLong)
+    // Partial rewrite: this commit atomically REPLACES the named segment
+    // files with the write's new segments, inserted at the first replaced
+    // file's manifest position (so a contiguous replaced run keeps its
+    // global order — the invariant last-write-wins needs). Requires
+    // hadro.replaceGen (the generation observed when the files were
+    // chosen); a concurrent truncate/compaction/replace conflicts and
+    // aborts instead of resurrecting or dropping data.
+    private def replaceSpec: Option[(Seq[String], Long)] = {
+      val files = Option(opts.get("hadro.replaceFiles")).filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      files.map { fs =>
+        val gen = Option(opts.get("hadro.replaceGen")).filter(_.nonEmpty).map(_.toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            "hadro: hadro.replaceFiles requires hadro.replaceGen (the pinned generation)"))
+        require(fs.nonEmpty, "hadro: hadro.replaceFiles must name at least one file")
+        (fs, gen)
+      }
+    }
     // Storage bucketing: both options or neither. hadro.bucketBy accepts a
     // comma-separated column list (multi-key joins bucket on all keys).
     private def bucketSpec: Option[(Seq[String], Int)] = {
@@ -118,11 +136,14 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
 
     override def requiredOrdering(): Array[SortOrder] = Array.empty
 
-    override def toBatch: BatchWrite =
+    override def toBatch: BatchWrite = {
+      require(replaceSpec.isEmpty || (!doTruncate && compactOf.isEmpty),
+        "hadro: hadro.replaceFiles is append-mode-only and exclusive with hadro.compactOf")
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
-        maxSegmentBytes, bucketSpec)
+        maxSegmentBytes, bucketSpec, replaceSpec)
+    }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new HadroStreamingWrite(path, info.schema(), consistency,
@@ -203,7 +224,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     compactOf: Option[Long] = None,
     compactOfGen: Option[Long] = None,
     maxSegmentBytes: Long = 0L,
-    bucketSpec: Option[(Seq[String], Int)] = None) extends BatchWrite {
+    bucketSpec: Option[(Seq[String], Int)] = None,
+    replaceSpec: Option[(Seq[String], Long)] = None) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
     keyField, deleteCol, bucketSpec)
@@ -235,9 +257,50 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     // only churn metadata, and an empty UPSERT/merge would flip a
     // pure-append collection's `mutated` bit — permanently disabling its
     // resolution-free fast paths — without writing a single record.
-    if (segs.isEmpty && !truncate) return
+    // (A replace commit with zero new segments is NOT a no-op: it still
+    // removes the replaced files — a DELETE that emptied them.)
+    if (segs.isEmpty && !truncate && replaceSpec.isEmpty) return
     var conflicted = false
-    CollectionMeta.commit(path, cur => {
+
+    def replaceCommit(cur: graft.meta.Manifest, files: Seq[String],
+        gen: Long): graft.meta.Manifest = {
+      val fileSet = files.toSet
+      if (cur.generation != gen ||
+          !fileSet.subsetOf(cur.segments.map(_.file).toSet)) {
+        // a concurrent truncate/compaction/replace no longer carries the
+        // files this rewrite covered — abandoning is the only safe move
+        conflicted = true
+        cur
+      } else {
+        conflicted = false
+        val firstIdx = cur.segments.indexWhere(s => fileSet(s.file))
+        val before = cur.segments.take(firstIdx)
+        val after = cur.segments.drop(firstIdx).filterNot(s => fileSet(s.file))
+        // Re-number ordinals in the new order: relative order of every
+        // surviving record is preserved (new segments sit exactly where
+        // the replaced run sat), so last-write-wins is untouched; the
+        // generation bump tells tailing streams the ordinal space moved.
+        var ord = 0L
+        val reordered = (before ++ segs ++ after)
+          .map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+        // Bucket spec: kept unless this write declared a CONFLICTING one
+        // (rewrites of a bucketed collection pass the recorded spec so
+        // their new segments carry fresh, correct tags).
+        val specConflict = effectiveBucketSpec.exists { case (cs, n) =>
+          !(cur.bucketBy.contains(cs.mkString(",")) && cur.numBuckets.contains(n))
+        }
+        cur.copy(
+          segments = reordered,
+          mutated = cur.mutated || mutating,
+          generation = cur.generation + 1,
+          bucketBy = if (specConflict) None else cur.bucketBy,
+          numBuckets = if (specConflict) None else cur.numBuckets)
+      }
+    }
+
+    CollectionMeta.commit(path, cur => replaceSpec match {
+      case Some((files, gen)) => replaceCommit(cur, files, gen)
+      case None =>
       // A compaction is a rewrite of ONE pinned snapshot: segments that
       // committed after it (concurrent appends/upserts) are NOT part of
       // the rewrite and must survive, re-ordered AFTER the rewritten data
@@ -299,15 +362,23 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           numBuckets = bN)
       }
     })
-    if (conflicted)
+    if (conflicted) {
+      if (replaceSpec.isDefined) {
+        abort(messages) // clean up the orphaned new segment files
+        throw new IllegalStateException(
+          s"hadro: partial rewrite of $path conflicted with a concurrent " +
+            "truncate/compaction/rewrite — the replace was abandoned; " +
+            "re-plan against the current manifest and retry")
+      }
       throw new IllegalStateException(
         s"hadro: compaction of $path conflicted with a concurrent " +
           "truncate/overwrite — the rewrite was abandoned; retry if still needed")
-    if (truncate) {
-      // GC the manifests that pre-date this truncate — a retained
-      // pre-truncate manifest would point at dereferenced files, so
+    }
+    if (truncate || replaceSpec.isDefined) {
+      // GC the manifests that pre-date this truncate/replace — a retained
+      // earlier manifest would point at dereferenced files, so
       // scanVersion must fail fast with manifestAt's documented error.
-      // Physical file deletion is DEFERRED one truncate generation
+      // Physical file deletion is DEFERRED one generation
       // (CollectionMeta.deferredGc) so a reader that planned against a
       // just-GC'd manifest still finds its segment files on disk.
       val m = CollectionMeta.currentManifest(path)

@@ -71,4 +71,86 @@ class CatalogSpec extends SparkSuite {
     intercept[Exception](spark.sql("CREATE TABLE testcat.db.fixed (a INT) USING hadro"))
     spark.sql("DROP TABLE testcat.db.fixed")
   }
+
+  test("SQL DELETE on a non-keyed table: copy-on-write rewrites ONLY affected segments, one commit") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.cow (id BIGINT, tag STRING) USING hadro")
+    // two inserts = two disjoint id ranges = disjoint segment stats
+    spark.sql("INSERT INTO testcat.db.cow SELECT id, 'lo' FROM range(0, 5, 1, 1)")
+    spark.sql("INSERT INTO testcat.db.cow SELECT id, 'hi' FROM range(100, 105, 1, 1)")
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/cow")
+    val m0 = graft.meta.CollectionMeta.currentManifest(dir)
+    val hiFiles = m0.segments.filter(_.stats("id").min.exists(_.toLong >= 100)).map(_.file).toSet
+    assert(hiFiles.nonEmpty)
+
+    spark.sql("DELETE FROM testcat.db.cow WHERE id < 3")
+
+    // plain SQL SELECT reflects the delete directly (no resolution needed)
+    assert(spark.sql("SELECT id FROM testcat.db.cow ORDER BY id")
+      .as[Long].collect().toSeq == Seq(3L, 4L, 100L, 101L, 102L, 103L, 104L))
+    val m1 = graft.meta.CollectionMeta.currentManifest(dir)
+    // exactly one manifest commit for the DELETE
+    assert(m1.version == m0.version + 1)
+    // segment-selective: the hi-range segments were never rewritten
+    assert(hiFiles.subsetOf(m1.segments.map(_.file).toSet))
+    // the lo-range segments were replaced
+    assert((m0.segments.map(_.file).toSet -- hiFiles)
+      .intersect(m1.segments.map(_.file).toSet).isEmpty)
+    // non-mutating path: manifest fast-paths (count pushdown) stay alive
+    assert(!m1.mutated)
+
+    // statically-provable no-op: no commit at all
+    spark.sql("DELETE FROM testcat.db.cow WHERE id > 100000")
+    assert(graft.meta.CollectionMeta.currentManifest(dir).version == m1.version)
+
+    // delete-all empties the affected segments but keeps the table
+    spark.sql("DELETE FROM testcat.db.cow")
+    assert(spark.table("testcat.db.cow").count() == 0)
+    spark.sql("DROP TABLE testcat.db.cow")
+  }
+
+  test("SQL DELETE on a keyed table: one tombstone commit, LWW-correct resolved reads") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.kv (k BIGINT, v STRING) USING hadro TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO testcat.db.kv SELECT id, concat('v', id) FROM range(0, 6, 1, 1)")
+    val dir = s"$warehouse/db/kv"
+    val coll = graft.api.Collection(spark, dir)
+    // an UPDATED key whose OLD version matches the predicate but whose
+    // latest does not must survive the delete
+    coll.set(Seq((5L, "keepme")).toDF("k", "v"))
+    val v0 = graft.meta.CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(dir)).version
+
+    spark.sql("DELETE FROM testcat.db.kv WHERE v LIKE 'v%' AND k >= 3")
+
+    // exactly one manifest commit (the tombstone append)
+    val m1 = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(dir))
+    assert(m1.version == v0 + 1)
+    // resolved reads: k=3,4 deleted; k=5 survived (latest version 'keepme')
+    val left = coll.toDF().orderBy("k").as[(Long, String)].collect().toSeq
+    assert(left == Seq((0L, "v0"), (1L, "v1"), (2L, "v2"), (5L, "keepme")))
+    assert(!coll.contains(3L) && coll.contains(5L))
+    assert(coll.count() == 4)
+    spark.sql("DROP TABLE testcat.db.kv")
+  }
+
+  test("SQL DELETE rejects untranslatable predicates; TRUNCATE TABLE works") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.tr (id BIGINT) USING hadro")
+    spark.sql("INSERT INTO testcat.db.tr SELECT id FROM range(10)")
+    // subqueries cannot reach SupportsDeleteV2 — a clear analysis error,
+    // not a silent partial delete
+    intercept[Exception](spark.sql(
+      "DELETE FROM testcat.db.tr WHERE id IN (SELECT id FROM testcat.db.tr WHERE id < 2)"))
+    assert(spark.table("testcat.db.tr").count() == 10)
+    spark.sql("TRUNCATE TABLE testcat.db.tr")
+    assert(spark.table("testcat.db.tr").count() == 0)
+    // the table survives truncation and accepts new writes
+    spark.sql("INSERT INTO testcat.db.tr VALUES (42)")
+    assert(spark.table("testcat.db.tr").as[Long].collect().toSeq == Seq(42L))
+    spark.sql("DROP TABLE testcat.db.tr")
+  }
 }
