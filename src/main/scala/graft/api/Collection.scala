@@ -296,6 +296,18 @@ final class Collection private (spark: SparkSession, val path: String) {
 
     /** Rewrite segments, recomputing all stats and index sidecars. */
     def rebuild(): Unit = compact()
+
+    /** Rebuild ONE named index in place (`indexes.rebuild(name)`,
+      * INTERFACE.md:38): re-runs the distributed per-segment sidecar build
+      * with a fresh buildId and atomically swaps the manifest references —
+      * NO data rewrite, one task per segment. The old build's sidecar
+      * files are dropped once unreferenced (same ageout as add-over). */
+    def rebuild(name: String): Unit = {
+      val fields = manifest.indexes.getOrElse(name,
+        throw new IllegalArgumentException(s"no index named '$name' " +
+          s"(registered: ${manifest.indexes.keys.toSeq.sorted.mkString(", ")})"))
+      add(name, fields)
+    }
   }
 
   /** CDC merge — apply a changeset of upserts AND deletes in ONE atomic
@@ -476,6 +488,80 @@ final class Collection private (spark: SparkSession, val path: String) {
     writer0.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)
       .option("hadro.compactOfGen", m0.generation.toString).save(path)
+  }
+
+  /** Bin-pack small segments without rewriting the collection — the
+    * maintenance job streaming epochs and per-bucket catalog writes need:
+    * each micro-batch/bucket commit leaves a small segment, and at 100 TB
+    * the fix must NOT be [[compact]]'s rewrite-the-world.
+    *
+    * CONTIGUOUS manifest-order runs of segments under `minBytes` are
+    * greedily binned to ~`minBytes` and each bin is rewritten as one
+    * segment (one per bucket for bucketed collections) through the atomic
+    * replace commit (`hadro.replaceFiles`): untouched segments are carried
+    * by reference, bucket tags are recomputed under the recorded spec, and
+    * record order inside the bin is preserved exactly (tombstones
+    * included, sorted by `_hadro_seq`), so last-write-wins resolution is
+    * byte-identical before and after. Contiguity is what makes the order
+    * proof local: a bin re-inserts at its own manifest position, so no
+    * record crosses another segment's position.
+    *
+    * Returns the number of bins rewritten. Only bins of >= 2 segments are
+    * worth a commit; a collection with nothing to pack returns 0 and
+    * commits nothing. */
+  def compactSmall(minBytes: Long): Int = {
+    require(minBytes > 0, s"minBytes must be positive, got $minBytes")
+    val m0 = manifest
+    val bins = scala.collection.mutable.Buffer.empty[Seq[graft.meta.SegmentInfo]]
+    val cur = scala.collection.mutable.Buffer.empty[graft.meta.SegmentInfo]
+    var curBytes = 0L
+    def flush(): Unit = {
+      if (cur.size >= 2) bins += cur.toSeq
+      cur.clear(); curBytes = 0L
+    }
+    m0.segments.foreach { s =>
+      if (s.bytes < minBytes) {
+        cur += s; curBytes += s.bytes
+        if (curBytes >= minBytes) flush() // bin full: output lands in [minBytes, 2*minBytes)
+      } else flush() // a big segment breaks the contiguous run
+    }
+    flush()
+    if (bins.isEmpty) return 0
+
+    val storedCols = CollectionMeta.readSchema(dir).get.schema.fieldNames.toSeq
+    bins.foreach { bin =>
+      val files = bin.map(_.file).mkString(",")
+      // our own earlier bins bumped the generation; pin the CURRENT one —
+      // a conflicting external commit still aborts the replace cleanly
+      val gen = manifest.generation
+      val packed =
+        if (m0.mutated) {
+          // tombstones shadow keys in OLDER segments: they must survive the
+          // pack, in sequence order — the changefeed view carries both
+          spark.read.format("hadro")
+            .option("hadro.changefeed", "full")
+            .option("hadro.files", files)
+            .load(path)
+            .repartition(1)
+            .sortWithinPartitions(col(HadroTable.SeqCol))
+            .select(storedCols.map(col) :+
+              col(HadroTable.DeletedCol).as("__hadro_delete"): _*)
+        } else {
+          spark.read.format("hadro").option("hadro.files", files).load(path)
+            .repartition(1)
+        }
+      var w = packed.write.format("hadro").mode("append")
+        .option("hadro.replaceFiles", files)
+        .option("hadro.replaceGen", gen.toString)
+      if (m0.mutated) w = w.option("hadro.deleteCol", "__hadro_delete")
+      (m0.bucketBy, m0.numBuckets) match {
+        case (Some(c), Some(n)) =>
+          w = w.option("hadro.bucketBy", c).option("hadro.buckets", n.toString)
+        case _ => ()
+      }
+      w.save(path)
+    }
+    bins.size
   }
 }
 

@@ -751,6 +751,31 @@ object StorageQueries {
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         WHERE NOT (l_orderkey < 1200 AND l_discount > 0.05)
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- h34
+    // Small-segment bin-packing (compactSmall): streaming epochs / per-
+    // bucket writes leave many tiny segments; the maintenance pack rewrites
+    // ONLY contiguous small runs through atomic replace commits (never
+    // compact()'s rewrite-the-world), preserving keyed LWW + tombstones.
+    // Read back after packing must be byte-identical to the resolved view.
+    QueryDef(
+      "h34_compact_small",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "supplier")
+        val c = Collection.create(s, colPath(dir, "h34"), src,
+          key = Some("s_suppkey"), numSegments = 1)
+        // 6 tiny upsert epochs + a tombstone epoch, then pack
+        (0 until 6).foreach { i =>
+          c.set(src.filter($"s_suppkey" % 6 === i)
+            .withColumn("s_name", concat(lit("packed-"), $"s_suppkey")).coalesce(1))
+        }
+        c.delete(src.filter($"s_suppkey" % 10 === 3).select($"s_suppkey"))
+        c.compactSmall(minBytes = 1L << 26)
+        c.toDF().select($"s_suppkey", $"s_name", $"s_acctbal").orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, concat('packed-', s_suppkey) AS s_name, s_acctbal
+        FROM supplier WHERE s_suppkey % 10 <> 3 ORDER BY s_suppkey"""))
   )
 }

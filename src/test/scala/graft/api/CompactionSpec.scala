@@ -167,4 +167,75 @@ class CompactionSpec extends SparkSuite {
     c.vacuum()
     assert(c.count() == src.count())
   }
+
+  test("compactSmall bin-packs small segments without a full rewrite") {
+    val path = tmp("small")
+    val src = spark.read.parquet(s"$sf0001/customer.parquet")
+    // one BIG segment, then many tiny per-epoch-style appends
+    val c = Collection.create(spark, path, src, numSegments = 1)
+    val bigFiles = dataFiles(path)
+    (0 until 8).foreach { i =>
+      c.append(src.filter($"c_custkey" % 8 === i).limit(5).coalesce(1))
+    }
+    val m0 = CollectionMeta.currentManifest(Paths.get(path))
+    assert(m0.segments.size == 9)
+    val expected = c.toDF().count()
+
+    // threshold between the tiny epoch segments (~0.4 KB) and the big one
+    // (~11 KB): only the tiny run packs, the big segment is untouched
+    val bins = c.compactSmall(minBytes = 4000L)
+    assert(bins == 1) // the 8 tiny segments form one contiguous run/bin
+
+    val m1 = CollectionMeta.currentManifest(Paths.get(path))
+    // 1 big (untouched, by reference) + 1 packed replacement
+    assert(m1.segments.size == 2)
+    assert(bigFiles.subsetOf(m1.segments.map(_.file).toSet))
+    assert(c.toDF().count() == expected)
+    assert(!m1.mutated) // packing a pure-append collection keeps fast paths
+    // nothing to do the second time: no commit at all
+    assert(c.compactSmall(4000L) == 0)
+    assert(CollectionMeta.currentManifest(Paths.get(path)).version == m1.version)
+  }
+
+  test("compactSmall preserves LWW order and tombstones on a mutated collection") {
+    val path = tmp("small_lww")
+    val src = spark.read.parquet(s"$sf0001/supplier.parquet")
+    val c = Collection.create(spark, path, src, key = Some("s_suppkey"), numSegments = 1)
+    // interleave tiny upsert generations so order is load-bearing:
+    // key k ends at version "v3"
+    (1 to 3).foreach { v =>
+      c.set(src.limit(10).select($"s_suppkey").withColumn("s_name", concat(lit(s"v$v-"), $"s_suppkey")))
+    }
+    c.delete(src.orderBy($"s_suppkey").limit(3).select($"s_suppkey"))
+    val before = c.toDF().orderBy("s_suppkey").collect().toSeq
+
+    val bins = c.compactSmall(minBytes = 1L << 20)
+    assert(bins >= 1)
+    assert(c.toDF().orderBy("s_suppkey").collect().toSeq == before)
+    // deleted keys stay deleted (tombstones survived the pack)
+    val firstKey = src.orderBy($"s_suppkey").select($"s_suppkey").as[Long].head()
+    assert(!c.contains(firstKey))
+  }
+
+  test("compactSmall keeps a bucketed collection bucketed (tags recomputed)") {
+    val path = tmp("small_bucketed")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    src.write.format("hadro").mode("overwrite")
+      .option("hadro.bucketBy", "n_nationkey").option("hadro.buckets", "4")
+      .save(path)
+    val c = Collection(spark, path)
+    (0 until 4).foreach { i =>
+      src.filter($"n_nationkey" % 4 === i).coalesce(1)
+        .write.format("hadro").mode("append")
+        .option("hadro.bucketBy", "n_nationkey").option("hadro.buckets", "4")
+        .save(path)
+    }
+    val expected = c.scan().count()
+    c.compactSmall(1L << 20)
+    val m1 = CollectionMeta.currentManifest(Paths.get(path))
+    assert(m1.bucketBy.contains("n_nationkey") && m1.numBuckets.contains(4))
+    // every surviving segment still carries a valid bucket tag
+    assert(m1.segments.forall(_.bucket.exists(b => b >= 0 && b < 4)))
+    assert(c.scan().count() == expected)
+  }
 }

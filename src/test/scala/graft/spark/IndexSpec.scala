@@ -109,6 +109,33 @@ class IndexSpec extends SparkSuite {
     intercept[IllegalArgumentException](c.indexes.add("x", Nil))
   }
 
+  test("rebuild(name) swaps sidecar build-ids without rewriting data") {
+    val path = tmp("rebuild_one")
+    val src = spark.read.parquet(s"$sf0001/customer.parquet")
+    val c = Collection.create(spark, path, src, numSegments = 4)
+    c.indexes.add("seg", Seq("c_mktsegment", "c_nationkey"))
+    val m0 = CollectionMeta.currentManifest(Paths.get(path))
+    val sidecars0 = m0.segments.flatMap(_.indexBlooms.get("seg")).toSet
+    assert(sidecars0.nonEmpty)
+
+    c.indexes.rebuild("seg")
+
+    val m1 = CollectionMeta.currentManifest(Paths.get(path))
+    // data files untouched — this is a sidecar-only operation
+    assert(m1.segments.map(_.file) == m0.segments.map(_.file))
+    // every sidecar reference swapped to the new build
+    val sidecars1 = m1.segments.flatMap(_.indexBlooms.get("seg")).toSet
+    assert(sidecars1.nonEmpty && sidecars0.intersect(sidecars1).isEmpty)
+    // the rebuilt index still answers equality probes correctly
+    val seg = src.select($"c_mktsegment").as[String].head()
+    val nat = src.filter($"c_mktsegment" === seg).select($"c_nationkey").as[Long].head()
+    val got = c.scan().filter($"c_mktsegment" === seg && $"c_nationkey" === nat).count()
+    val want = src.filter($"c_mktsegment" === seg && $"c_nationkey" === nat).count()
+    assert(got == want)
+    // rebuilding an unknown index is a clear error
+    intercept[IllegalArgumentException](c.indexes.rebuild("nope"))
+  }
+
   test("superseded sidecars are swept when their last referencing manifest ages out") {
     val path = tmp("ageout")
     val src = spark.read.parquet(s"$sf0001/nation.parquet")
