@@ -305,30 +305,75 @@ object SimilarityOps {
 
   // ------------------------------------------------------------------- PQ
 
-  /** Product quantization: split the vector space into `m` subspaces and
-    * quantize each against `k` sub-centroids (deterministic seeds: the
-    * sub-vectors of the vectors with id < k, the same seed rule IVF uses).
-    * A 64-float vector (256 B) becomes m=8 small codes — at 100 TB the
-    * difference between the vector corpus fitting in cluster memory or
-    * not, and the standard companion to an IVF index (IVF prunes WHICH
-    * vectors to look at, PQ shrinks WHAT is read per vector).
-    *
-    * Encoding is a PER-ROW argmin over k broadcast sub-centroid literals
-    * per subspace (struct `least`, ties to the smaller code) — map-only,
-    * no join, no shuffle, and all arithmetic is a fixed-order double fold,
-    * so codes are bit-identical on any engine or partitioning (the DuckDB
-    * oracle re-derives them exactly). */
-  def buildPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      df: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16, numSegments: Int = 8): graft.api.Collection = {
+  /** Train a PQ codebook: deterministic seed sub-centroids (the sub-vectors
+    * of the vectors with id < k — the same seed rule IVF uses) refined by
+    * `iterations` per-subspace Lloyd passes. Each pass encodes the corpus
+    * against the current codebook with the NATIVE map-only encoder and
+    * recomputes every (subspace, code) cell as the element-wise mean of its
+    * assigned sub-vectors, summed through DECIMAL(27,10) — the same exact,
+    * order-independent arithmetic [[lloydStep]] uses, so trained codebooks
+    * are bit-identical across partitionings and runs (and the DuckDB
+    * oracle re-derives them). Cells no vector maps to keep their previous
+    * sub-centroid (standard Lloyd fallback). One job per pass, collecting
+    * m·k·sub component rows — the corpus is never collected. */
+  def trainPqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iterations: Int): Seq[Seq[Seq[Float]]] = {
     val seeds = df.filter(col(idCol) < k).select(col(idCol), col(vecCol))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
     require(seeds.length == k, s"need the $k seed vectors (id < $k), got ${seeds.length}")
     val dim = seeds.head._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val codebook: Seq[Seq[Seq[Float]]] =
+    var codebook: Seq[Seq[Seq[Float]]] =
       (0 until m).map(j => seeds.map(_._2.slice(j * sub, (j + 1) * sub)))
+    (1 to iterations).foreach { _ =>
+      val cb = codebook
+      val comps = df
+        .select(
+          graft.functions.VectorExpressions.pq_encode(col(vecCol), cb).as("codes"),
+          posexplode(col(vecCol)))
+        .select(
+          (col("pos") / lit(sub)).cast("int").as("j"),
+          pmod(col("pos"), lit(sub)).as("p"),
+          col("col").as("v"),
+          col("codes"))
+        .select(col("j"), element_at(col("codes"), col("j") + 1).as("code"),
+          col("p"), col("v"))
+        .groupBy("j", "code", "p")
+        .agg((sum(col("v").cast("double").cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).cast("float").as("m"))
+        .collect()
+      val trained: Map[(Int, Int), Seq[Float]] = comps
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (jc, rows) =>
+          jc -> rows.sortBy(_.getInt(2)).map(_.getFloat(3)).toSeq
+        }
+      codebook = (0 until m).map(j =>
+        (0 until k).map(c => trained.getOrElse((j, c), cb(j)(c))))
+    }
+    codebook
+  }
+
+  /** Product quantization: split the vector space into `m` subspaces and
+    * quantize each against `k` Lloyd-trained sub-centroids
+    * ([[trainPqCodebook]]; `iterations = 0` keeps the raw seeds). A
+    * 64-float vector (256 B) becomes m=8 small codes — at 100 TB the
+    * difference between the vector corpus fitting in cluster memory or
+    * not, and the standard companion to an IVF index (IVF prunes WHICH
+    * vectors to look at, PQ shrinks WHAT is read per vector). Trained
+    * codebooks are what recall hinges on at scale: quantization error is
+    * the ANN error floor.
+    *
+    * Encoding is a PER-ROW argmin over k broadcast sub-centroid literals
+    * per subspace (struct `least`, ties to the smaller code) — map-only,
+    * no join, no shuffle, and all arithmetic is a fixed-order double fold,
+    * so codes are bit-identical on any engine or partitioning (the DuckDB
+    * oracle re-derives them exactly, training included). */
+  def buildPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, numSegments: Int = 8,
+      iterations: Int = 1): graft.api.Collection = {
+    val codebook = trainPqCodebook(df, idCol, vecCol, m, k, iterations)
     val encoded = df.select(col(idCol).as("vid"),
       graft.functions.VectorExpressions.pq_encode(col(vecCol), codebook).as("codes"))
     val collection = graft.api.Collection.create(spark, path,
@@ -408,16 +453,10 @@ object SimilarityOps {
     * neither the corpus nor the original vectors. */
   def buildIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, vecCol: String, kCentroids: Int = 8,
-      m: Int = 8, k: Int = 16, numSegments: Int = 8): graft.api.Collection = {
+      m: Int = 8, k: Int = 16, numSegments: Int = 8,
+      iterations: Int = 1): graft.api.Collection = {
     val cents = trainIvfCentroids(df, idCol, vecCol, kCentroids, 0)
-    val seeds = df.filter(col(idCol) < k).select(col(idCol), col(vecCol))
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1).toSeq
-    require(seeds.length == k, s"need the $k seed vectors (id < $k), got ${seeds.length}")
-    val dim = seeds.head._2.length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
-    val codebook: Seq[Seq[Seq[Float]]] =
-      (0 until m).map(j => seeds.map(_._2.slice(j * sub, (j + 1) * sub)))
+    val codebook = trainPqCodebook(df, idCol, vecCol, m, k, iterations)
     val scored = cents.map { case (cid, cv) =>
       struct(cosine(col(vecCol), typedlit(cv)).as("cos"), lit(cid).as("cid"))
     }
