@@ -912,7 +912,8 @@ object OpsQueries {
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val idx = SimilarityOps.buildPqIndex(
-          s, s"/tmp/graft_collections/$tag/s05_index", e, "vec_id", "embedding")
+          s, s"/tmp/graft_collections/$tag/s05_index", e, "vec_id", "embedding",
+          iterations = 0)
         SimilarityOps.pqTopK(idx, "vec_id", q, 20)
           .withColumn("est_dist", round(col("est_dist"), 4))
       },
@@ -962,7 +963,8 @@ object OpsQueries {
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val idx = SimilarityOps.buildIvfPqIndex(
-          s, s"/tmp/graft_collections/$tag/s06_index", e, "vec_id", "embedding")
+          s, s"/tmp/graft_collections/$tag/s06_index", e, "vec_id", "embedding",
+          iterations = 0)
         SimilarityOps.ivfPqTopK(idx, "vec_id", q, 20)
           .withColumn("est_dist", round(col("est_dist"), 4))
       },
@@ -1013,6 +1015,88 @@ object OpsQueries {
           FROM codes c, trow
           WHERE c.vec_id IN (SELECT a.vec_id FROM assigned a
                              WHERE a.cluster IN (SELECT cid FROM probes)))
+        SELECT vec_id, ROUND(est_dist, 4) AS est_dist
+        FROM est ORDER BY est.est_dist, vec_id LIMIT 20""")),
+
+    // ---------------------------------------------------------------- s08
+    // PQ with ONE Lloyd training pass (the engine's buildPqIndex default):
+    // seed sub-centroids (id < 16) are refined to the per-(subspace, code)
+    // element-wise mean of the sub-vectors the seed codebook assigns to
+    // them — summed through DECIMAL(27,10), so order-independent and
+    // bit-stable — then the corpus is re-encoded against the trained
+    // codebook and the query ranked by ADC. The oracle re-derives the
+    // whole chain: seed encode, decimal-exact cell means (empty cells
+    // keep their seed), trained re-encode, ADC table, estimates.
+    QueryDef(
+      "s08_pq_trained_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildPqIndex(
+          s, s"/tmp/graft_collections/$tag/s08_index", e, "vec_id", "embedding",
+          iterations = 1)
+        SimilarityOps.pqTopK(idx, "vec_id", q, 20)
+          .withColumn("est_dist", round(col("est_dist"), 4))
+      },
+      Some("""WITH seeds AS (
+          SELECT CAST(vec_id AS INT) AS c, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 16),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        d0 AS (
+          SELECT vecs.vec_id, sj.j, s.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (v[sj.j*8+i] - s.cv[sj.j*8+i]) * (v[sj.j*8+i] - s.cv[sj.j*8+i])),
+              (a, b) -> a + b) AS d
+          FROM vecs, seeds s, generate_series(0, 7) AS sj(j)),
+        e0 AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
+            FROM d0) WHERE rk = 1),
+        comps AS (
+          SELECT e0.j, e0.code, p.p,
+            CAST(CAST(SUM(CAST(vecs.v[e0.j*8 + p.p] AS DECIMAL(27,10))) AS DOUBLE)
+              / COUNT(*) AS FLOAT) AS m
+          FROM vecs JOIN e0 ON vecs.vec_id = e0.vec_id,
+            generate_series(1, 8) AS p(p)
+          GROUP BY e0.j, e0.code, p.p),
+        cells AS (
+          SELECT sj.j, s.c, p.p, s.cv[sj.j*8 + p.p] AS seedv
+          FROM seeds s, generate_series(0, 7) AS sj(j), generate_series(1, 8) AS p(p)),
+        tcb AS (
+          SELECT cells.j, cells.c, cells.p,
+            CAST(COALESCE(comps.m, CAST(cells.seedv AS FLOAT)) AS DOUBLE) AS cvv
+          FROM cells LEFT JOIN comps
+            ON comps.j = cells.j AND comps.code = cells.c AND comps.p = cells.p),
+        tc AS (SELECT j, c, list(cvv ORDER BY p) AS cv FROM tcb GROUP BY j, c),
+        d1 AS (
+          SELECT vecs.vec_id, t.j, t.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (v[t.j*8+i] - t.cv[i]) * (v[t.j*8+i] - t.cv[i])),
+              (a, b) -> a + b) AS d
+          FROM vecs, tc t),
+        e1 AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
+            FROM d1) WHERE rk = 1),
+        codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM e1 GROUP BY vec_id),
+        tbl AS (
+          SELECT t.j, t.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (qv[t.j*8+i] - t.cv[i]) * (qv[t.j*8+i] - t.cv[i])),
+              (a, b) -> a + b) AS d
+          FROM q, tc t),
+        trow AS (SELECT list(ds ORDER BY j) AS t FROM
+          (SELECT j, list(d ORDER BY c) AS ds FROM tbl GROUP BY j)),
+        est AS (
+          SELECT c.vec_id,
+            list_reduce(list_transform(generate_series(0, 7),
+              j -> trow.t[j+1][c.codes[j+1]+1]), (a, b) -> a + b) AS est_dist
+          FROM codes c, trow)
         SELECT vec_id, ROUND(est_dist, 4) AS est_dist
         FROM est ORDER BY est.est_dist, vec_id LIMIT 20""")),
 

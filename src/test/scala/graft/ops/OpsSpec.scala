@@ -448,14 +448,15 @@ class OpsSpec extends SparkSuite {
 
   test("PQ encoding is deterministic and self-distance is zero") {
     val path = java.nio.file.Files.createTempDirectory("pq").resolve("ix").toString
-    val idx = SimilarityOps.buildPqIndex(spark, path, embs, "vec_id", "embedding")
+    val idx = SimilarityOps.buildPqIndex(spark, path, embs, "vec_id", "embedding",
+      iterations = 0)
     val codes = idx.scan().select($"vid", $"codes").as[(Long, Seq[Int])].collect().toMap
     assert(codes.size == embs.count())
     assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
     // rebuilding from a repartitioned frame yields identical codes
     val path2 = java.nio.file.Files.createTempDirectory("pq2").resolve("ix").toString
     val idx2 = SimilarityOps.buildPqIndex(spark, path2,
-      embs.repartition(7), "vec_id", "embedding")
+      embs.repartition(7), "vec_id", "embedding", iterations = 0)
     val codes2 = idx2.scan().select($"vid", $"codes").as[(Long, Seq[Int])].collect().toMap
     assert(codes == codes2, "PQ codes must not depend on partitioning")
     // a seed vector's subvectors ARE centroids: its ADC self-distance is 0
@@ -468,7 +469,8 @@ class OpsSpec extends SparkSuite {
 
   test("IVFPQ probes only clustered segments and agrees with PQ on them") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq").resolve("ix").toString
-    val idx = SimilarityOps.buildIvfPqIndex(spark, path, embs, "vec_id", "embedding")
+    val idx = SimilarityOps.buildIvfPqIndex(spark, path, embs, "vec_id", "embedding",
+      iterations = 0)
     val q = embs.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
     val top = SimilarityOps.ivfPqTopK(idx, "vec_id", q, 10)
       .as[(Long, Double)].collect()
@@ -481,7 +483,8 @@ class OpsSpec extends SparkSuite {
     // ADC estimates equal the pure-PQ path for the same vectors (same
     // codebook seeds), so composing IVF pruning cannot change the math
     val pqPath = java.nio.file.Files.createTempDirectory("ivfpq_ref").resolve("ix").toString
-    val pqIdx = SimilarityOps.buildPqIndex(spark, pqPath, embs, "vec_id", "embedding")
+    val pqIdx = SimilarityOps.buildPqIndex(spark, pqPath, embs, "vec_id", "embedding",
+      iterations = 0)
     val ref = SimilarityOps.pqTopK(pqIdx, "vec_id", q, Int.MaxValue)
       .as[(Long, Double)].collect().toMap
     top.foreach { case (vid, d) => assert(ref(vid) == d) }
