@@ -54,8 +54,11 @@ object Bench {
     // mass-failure run cannot by itself blow the tail budget (the count is
     // always visible via n vs queries, and stderr lists every name).
     val fsAll = failures.sorted
-    val fs = (fsAll.take(12) ++ (if (fsAll.size > 12) Seq(s"+${fsAll.size - 12} more") else Nil))
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Only REAL query names go in the failures array; overflow beyond the
+    // cap is carried in the separate numeric "failures_elided" field so a
+    // consumer reading failures as names never sees a synthetic entry.
+    val fs = fsAll.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fsElided = math.max(0, fsAll.size - 12)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that tail; sbt appends its own "[success] ..." line
@@ -73,7 +76,7 @@ object Bench {
     def line(qs: Seq[(String, Double)], elided: Int): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$totalS,"unit":"sec","n":${results.size},"elided":$elided,"queries":$m,"failures":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","n":${results.size},"elided":$elided,"queries":$m,"failures":$fs,"failures_elided":$fsElided,"sf":"$sfDir"}"""
     }
     var keep = bySlowest
     // 1700-char budget: the 2000-char tail window must also fit sbt's
@@ -99,9 +102,14 @@ object Bench {
       case t: Throwable =>
         System.err.println(s"BENCH: could not write BENCH_FULL.json: $t")
     }
-    println(line(keep, results.size - keep.size))
     if (failures.nonEmpty)
       System.err.println(s"BENCH: ${failures.size} queries FAILED: ${failures.mkString(", ")}")
+    // Stop Spark BEFORE printing the contract line so its shutdown logging
+    // cannot land after the JSON and push it out of the driver's 2000-char
+    // stdout tail. Leading newline guarantees the JSON starts at column 0
+    // even if some earlier stdout write lacked a trailing newline.
     spark.stop()
+    println("\n" + line(keep, results.size - keep.size))
+    System.out.flush()
   }
 }
