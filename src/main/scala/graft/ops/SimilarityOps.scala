@@ -529,6 +529,23 @@ object SimilarityOps {
     Some(root.extract[Seq[Seq[Seq[Double]]]].map(_.map(_.map(_.toFloat))))
   }
 
+  /** recall@k of each labelled approximate top-k frame against the exact
+    * top-k: |approx ∩ exact| / k per method, one row per method. Every
+    * input is already a bounded top-k frame (≤ k rows), so the semi-joins
+    * and counts are O(k) regardless of corpus size — this is the standard
+    * ANN quality gauge (what IVF probe counts and PQ codebook training
+    * actually buy), evaluated engine-side with no driver collects. */
+  def recallAtK(exact: DataFrame, approx: Seq[(String, DataFrame)],
+      idCol: String, k: Int): DataFrame = {
+    val ex = exact.select(col(idCol)).limit(k)
+    approx.map { case (name, df) =>
+      df.select(col(idCol)).limit(k)
+        .join(ex, Seq(idCol), "left_semi")
+        .agg((count(lit(1)).cast("double") / k.toDouble).as("recall"))
+        .select(lit(name).as("method"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Driver-side cosine for ranking a handful of centroid literals. */
   private def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0

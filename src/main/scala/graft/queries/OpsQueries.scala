@@ -1100,6 +1100,166 @@ object OpsQueries {
         SELECT vec_id, ROUND(est_dist, 4) AS est_dist
         FROM est ORDER BY est.est_dist, vec_id LIMIT 20""")),
 
+    // ---------------------------------------------------------------- s09
+    // ANN recall@10: every approximate index (sign-LSH, IVF, PQ with seed
+    // and with trained codebooks, IVF+PQ) scored against the exact
+    // brute-force top-10 for the canonical query — |approx ∩ exact| / 10
+    // per method, computed engine-side from bounded top-k frames. The
+    // oracle re-derives EVERY method end-to-end (signatures, probes,
+    // codes, ADC) and the same set intersections, so recall itself is
+    // hash-checked, not just eyeballed. This is the gauge that shows what
+    // codebook training buys (see OpsSpec's trained-vs-seed assertion).
+    QueryDef(
+      "s09_ann_recall",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag"
+        val lsh = SimilarityOps.buildAnnIndex(
+          s, s"$base/s09_lsh", e, "vec_id", "embedding")
+        val ivf = SimilarityOps.buildIvfIndex(
+          s, s"$base/s09_ivf", e, "vec_id", "embedding")
+        val pqSeed = SimilarityOps.buildPqIndex(
+          s, s"$base/s09_pq_seed", e, "vec_id", "embedding", iterations = 0)
+        val pqTrained = SimilarityOps.buildPqIndex(
+          s, s"$base/s09_pq_trained", e, "vec_id", "embedding", iterations = 1)
+        val ivfpq = SimilarityOps.buildIvfPqIndex(
+          s, s"$base/s09_ivfpq", e, "vec_id", "embedding", iterations = 0)
+        val exact = SimilarityOps.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+        SimilarityOps.recallAtK(exact, Seq(
+            "ivf" -> SimilarityOps.ivfTopK(ivf, "vec_id", "embedding", q, 10),
+            "ivfpq" -> SimilarityOps.ivfPqTopK(ivfpq, "vec_id", q, 10),
+            "lsh" -> SimilarityOps.annTopK(lsh, "vec_id", "embedding", q, 10),
+            "pq_seed" -> SimilarityOps.pqTopK(pqSeed, "vec_id", q, 10),
+            "pq_trained" -> SimilarityOps.pqTopK(pqTrained, "vec_id", q, 10)),
+          "vec_id", 10)
+          .orderBy("method")
+      },
+      Some(s"""WITH planes AS (SELECT ${s02SignsSql}::TINYINT[][] AS s),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        exact10 AS (
+          SELECT vec_id FROM emb, q
+          ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10),
+        sigs AS (
+          SELECT vec_id, v,
+            CAST(list_sum(list_transform(generate_series(0, 7), b ->
+              CASE WHEN list_reduce(
+                     list_transform(generate_series(1, 64), j -> v[j] * s[b+1][j]),
+                     (a, x) -> a + x) >= 0.0
+                   THEN 1 << b ELSE 0 END)) AS BIGINT) AS sig
+          FROM emb, planes),
+        qsig AS (SELECT sig FROM sigs WHERE vec_id = 0),
+        probes AS (
+          SELECT sig AS p FROM qsig
+          UNION
+          SELECT xor(sig, CAST(1 << b AS BIGINT)) FROM qsig, generate_series(0, 7) AS t(b)),
+        lsh10 AS (
+          SELECT s.vec_id FROM sigs s, q WHERE s.sig IN (SELECT p FROM probes)
+          ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id LIMIT 10),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+        assigned AS (
+          SELECT e.vec_id, e.v,
+            (SELECT c.cid FROM cents c
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC
+             LIMIT 1) AS cluster
+          FROM emb e),
+        iprobes AS (
+          SELECT c.cid FROM cents c, q
+          ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid DESC LIMIT 2),
+        ivf10 AS (
+          SELECT a.vec_id FROM assigned a, q
+          WHERE a.cluster IN (SELECT cid FROM iprobes)
+          ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id LIMIT 10),
+        seeds AS (SELECT CAST(vec_id AS INT) AS c, v AS cv FROM emb WHERE vec_id < 16),
+        d0 AS (
+          SELECT emb.vec_id, sj.j, s.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (v[sj.j*8+i] - s.cv[sj.j*8+i]) * (v[sj.j*8+i] - s.cv[sj.j*8+i])),
+              (a, b) -> a + b) AS d
+          FROM emb, seeds s, generate_series(0, 7) AS sj(j)),
+        e0 AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
+            FROM d0) WHERE rk = 1),
+        codes0 AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM e0 GROUP BY vec_id),
+        tbl0 AS (
+          SELECT sj.j, s.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (qv[sj.j*8+i] - s.cv[sj.j*8+i]) * (qv[sj.j*8+i] - s.cv[sj.j*8+i])),
+              (a, b) -> a + b) AS d
+          FROM q, seeds s, generate_series(0, 7) AS sj(j)),
+        trow0 AS (SELECT list(ds ORDER BY j) AS t FROM
+          (SELECT j, list(d ORDER BY c) AS ds FROM tbl0 GROUP BY j)),
+        est0 AS (
+          SELECT c.vec_id,
+            list_reduce(list_transform(generate_series(0, 7),
+              j -> trow0.t[j+1][c.codes[j+1]+1]), (a, b) -> a + b) AS est_dist
+          FROM codes0 c, trow0),
+        pqseed10 AS (SELECT vec_id FROM est0 ORDER BY est_dist, vec_id LIMIT 10),
+        ivfpq10 AS (
+          SELECT e.vec_id FROM est0 e
+          WHERE e.vec_id IN (SELECT a.vec_id FROM assigned a
+                             WHERE a.cluster IN (SELECT cid FROM iprobes))
+          ORDER BY e.est_dist, e.vec_id LIMIT 10),
+        comps AS (
+          SELECT e0.j, e0.code, p.p,
+            CAST(CAST(SUM(CAST(emb.v[e0.j*8 + p.p] AS DECIMAL(27,10))) AS DOUBLE)
+              / COUNT(*) AS FLOAT) AS m
+          FROM emb JOIN e0 ON emb.vec_id = e0.vec_id,
+            generate_series(1, 8) AS p(p)
+          GROUP BY e0.j, e0.code, p.p),
+        cells AS (
+          SELECT sj.j, s.c, p.p, s.cv[sj.j*8 + p.p] AS seedv
+          FROM seeds s, generate_series(0, 7) AS sj(j), generate_series(1, 8) AS p(p)),
+        tcb AS (
+          SELECT cells.j, cells.c, cells.p,
+            CAST(COALESCE(comps.m, CAST(cells.seedv AS FLOAT)) AS DOUBLE) AS cvv
+          FROM cells LEFT JOIN comps
+            ON comps.j = cells.j AND comps.code = cells.c AND comps.p = cells.p),
+        tc AS (SELECT j, c, list(cvv ORDER BY p) AS cv FROM tcb GROUP BY j, c),
+        d1 AS (
+          SELECT emb.vec_id, t.j, t.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (v[t.j*8+i] - t.cv[i]) * (v[t.j*8+i] - t.cv[i])),
+              (a, b) -> a + b) AS d
+          FROM emb, tc t),
+        e1 AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
+            FROM d1) WHERE rk = 1),
+        codes1 AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM e1 GROUP BY vec_id),
+        tbl1 AS (
+          SELECT t.j, t.c,
+            list_reduce(list_transform(generate_series(1, 8),
+                i -> (qv[t.j*8+i] - t.cv[i]) * (qv[t.j*8+i] - t.cv[i])),
+              (a, b) -> a + b) AS d
+          FROM q, tc t),
+        trow1 AS (SELECT list(ds ORDER BY j) AS t FROM
+          (SELECT j, list(d ORDER BY c) AS ds FROM tbl1 GROUP BY j)),
+        est1 AS (
+          SELECT c.vec_id,
+            list_reduce(list_transform(generate_series(0, 7),
+              j -> trow1.t[j+1][c.codes[j+1]+1]), (a, b) -> a + b) AS est_dist
+          FROM codes1 c, trow1),
+        pqtrained10 AS (SELECT vec_id FROM est1 ORDER BY est_dist, vec_id LIMIT 10)
+        SELECT * FROM (
+          SELECT 'ivf' AS method,
+            (SELECT COUNT(*) FROM ivf10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0 AS recall
+          UNION ALL SELECT 'ivfpq',
+            (SELECT COUNT(*) FROM ivfpq10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0
+          UNION ALL SELECT 'lsh',
+            (SELECT COUNT(*) FROM lsh10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0
+          UNION ALL SELECT 'pq_seed',
+            (SELECT COUNT(*) FROM pqseed10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0
+          UNION ALL SELECT 'pq_trained',
+            (SELECT COUNT(*) FROM pqtrained10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0
+        ) ORDER BY method""")),
+
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.
     QueryDef(

@@ -490,6 +490,35 @@ class OpsSpec extends SparkSuite {
     top.foreach { case (vid, d) => assert(ref(vid) == d) }
   }
 
+  test("trained PQ codebooks match-or-beat seed codebooks on mean recall@10") {
+    // The justification for the Lloyd training pass: over a fixed query
+    // set, mean recall@10 vs exact brute force must not get WORSE when the
+    // seed codebook is refined (training minimizes quantization error, the
+    // ANN error floor). Deterministic: fixed data, fixed queries, and both
+    // codebooks are bit-stable across partitionings.
+    def meanRecall(iterations: Int): Double = {
+      val p = java.nio.file.Files.createTempDirectory(s"pqrec$iterations")
+        .resolve("ix").toString
+      val idx = SimilarityOps.buildPqIndex(spark, p, embs, "vec_id", "embedding",
+        iterations = iterations)
+      val qids = 0L until 500L by 50L
+      val rs = qids.map { qid =>
+        val q = embs.filter($"vec_id" === qid)
+          .select($"embedding").head().getSeq[Float](0)
+        val exact = SimilarityOps.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+        SimilarityOps.recallAtK(exact,
+            Seq("pq" -> SimilarityOps.pqTopK(idx, "vec_id", q, 10)), "vec_id", 10)
+          .select($"recall").head().getDouble(0)
+      }
+      rs.sum / rs.size
+    }
+    val seed = meanRecall(0)
+    val trained = meanRecall(1)
+    assert(trained > 0.0, "trained PQ recall must be nonzero")
+    assert(trained >= seed,
+      s"one Lloyd pass must not lose recall: trained $trained < seed $seed")
+  }
+
   test("LM quality scores are positive, total, and partition-independent") {
     val scores = TextOps.lmNllScores(docs, "doc_id", "text")
       .as[(Long, Double)].collect().toMap
