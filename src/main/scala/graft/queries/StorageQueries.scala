@@ -776,6 +776,125 @@ object StorageQueries {
         c.toDF().select($"s_suppkey", $"s_name", $"s_acctbal").orderBy($"s_suppkey")
       },
       Some("""SELECT s_suppkey, concat('packed-', s_suppkey) AS s_name, s_acctbal
-        FROM supplier WHERE s_suppkey % 10 <> 3 ORDER BY s_suppkey"""))
+        FROM supplier WHERE s_suppkey % 10 <> 3 ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------------- h35
+    // SQL row-level UPDATE on a KEYED table (SupportsRowLevelOperations →
+    // delta merge-on-read): matching keys get NEW versions APPENDED in one
+    // commit — no segment rewrite, O(changed rows) bytes, the Bitcask-
+    // native mutation shape. The collection is pre-mutated (an upsert
+    // shadows key 7) so the statement must see RESOLVED rows: key 7's
+    // stale negative version matching the WHERE must not resurrect.
+    QueryDef(
+      "h35_sql_update",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_sqlupd/$tag"
+        s.conf.set("spark.sql.catalog.graft_h35",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h35.warehouse", wh)
+        val path = s"$wh/db/customer"
+        table(s, dir, "customer")
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "c_custkey").save(path)
+        val c = Collection(s, path)
+        c.set(table(s, dir, "customer").filter($"c_custkey" === 7L)
+          .withColumn("c_acctbal", lit(9999999.0)))
+        s.sql("UPDATE graft_h35.db.customer SET c_acctbal = c_acctbal + 1000 " +
+          "WHERE c_acctbal < 0 AND c_custkey BETWEEN 0 AND 400")
+        c.toDF().select($"c_custkey", $"c_name", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH latest AS (
+          SELECT c_custkey, c_name,
+            CASE WHEN c_custkey = 7 THEN 9999999.0 ELSE c_acctbal END AS c_acctbal
+          FROM customer)
+        SELECT c_custkey, c_name,
+          CASE WHEN c_acctbal < 0 AND c_custkey BETWEEN 0 AND 400
+               THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal
+        FROM latest ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- h36
+    // SQL MERGE INTO a keyed table — matched-update, matched-delete, and
+    // not-matched-insert branches land as one atomic delta commit
+    // (appended versions + tombstones; tombstone segments take lower
+    // ordinals so delete-then-reinsert of a key resolves to the insert).
+    QueryDef(
+      "h36_sql_merge",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_sqlupd/$tag"
+        s.conf.set("spark.sql.catalog.graft_h36",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h36.warehouse", wh)
+        val path = s"$wh/db/customer"
+        table(s, dir, "customer")
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "c_custkey").save(path)
+        table(s, dir, "customer").filter($"c_custkey" % 5 === 0)
+          .select($"c_custkey", $"c_acctbal")
+          .unionByName(table(s, dir, "customer").filter($"c_custkey" % 7 === 0)
+            .select(($"c_custkey" + 1000000L).as("c_custkey"),
+              lit(123.45).as("c_acctbal")))
+          .createOrReplaceTempView("graft_h36_src")
+        s.sql("""MERGE INTO graft_h36.db.customer t USING graft_h36_src s
+          ON t.c_custkey = s.c_custkey
+          WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal * 2
+          WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
+            VALUES (s.c_custkey, s.c_acctbal)""")
+        Collection(s, path).toDF().select($"c_custkey", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH src AS (
+          SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000 AS c_custkey, 123.45 AS c_acctbal
+          FROM customer WHERE c_custkey % 7 = 0),
+        kept AS (
+          SELECT t.c_custkey,
+            CASE WHEN s.c_custkey IS NOT NULL THEN t.c_acctbal * 2
+                 ELSE t.c_acctbal END AS c_acctbal
+          FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+          WHERE NOT (s.c_custkey IS NOT NULL AND s.c_acctbal < 0)),
+        ins AS (
+          SELECT s.c_custkey, s.c_acctbal FROM src s
+          LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+          WHERE t.c_custkey IS NULL)
+        SELECT c_custkey, c_acctbal
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- h37
+    // SQL row-level UPDATE on a NON-keyed table (group-based copy-on-
+    // write): the operation's scan prunes to the stats/bloom-affected
+    // segments, records exactly the files it planned, and the commit
+    // replaces precisely those files — range-clustered ingest makes most
+    // segments skip, so the rewrite cost tracks the predicate, not the
+    // table (the UPDATE twin of h33's CoW DELETE).
+    QueryDef(
+      "h37_sql_update_cow",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_sqlupd/$tag"
+        s.conf.set("spark.sql.catalog.graft_h37",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h37.warehouse", wh)
+        table(s, dir, "lineitem")
+          .repartitionByRange(16, $"l_orderkey")
+          .write.format("hadro").mode("overwrite").save(s"$wh/db/lineitem")
+        s.sql("UPDATE graft_h37.db.lineitem SET l_quantity = l_quantity + 100 " +
+          "WHERE l_orderkey < 1200 AND l_discount > 0.05")
+        s.sql("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM graft_h37.db.lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(CASE WHEN l_orderkey < 1200 AND l_discount > 0.05
+            THEN l_quantity + 100 ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

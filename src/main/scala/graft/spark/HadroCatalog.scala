@@ -69,7 +69,9 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new HadroTable(dir, CollectionMeta.readSchema(dir).get.schema, viaCatalog = true)
+    new HadroTable(dir,
+      HadroTable.reportedSchema(CollectionMeta.readSchema(dir).get),
+      viaCatalog = true)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -113,7 +115,9 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       s"key '$k' not in schema ${schema.simpleString}"))
     CollectionMeta.writeSchema(dir, schema, key,
       bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2))
-    new HadroTable(dir, schema, viaCatalog = true)
+    new HadroTable(dir,
+      HadroTable.reportedSchema(CollectionMeta.readSchema(dir).get),
+      viaCatalog = true)
   }
 
   /** ALTER TABLE: additive evolution only — `ADD COLUMN <name> <type>`,

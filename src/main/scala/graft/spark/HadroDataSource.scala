@@ -39,7 +39,8 @@ final class HadroDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val stored = CollectionMeta.readSchema(collectionPath(options)).map(_.schema).getOrElse {
+    val stored = CollectionMeta.readSchema(collectionPath(options))
+      .map(HadroTable.reportedSchema).getOrElse {
       throw new IllegalArgumentException(
         s"hadro: collection at ${collectionPath(options)} has no schema " +
           "(write to it first, or pass an explicit schema)")
@@ -66,6 +67,21 @@ object HadroTable {
   val SeqCol = "_hadro_seq"
   val DeletedCol = "_hadro_deleted"
   val MetaColNames: Set[String] = Set(SeqCol, DeletedCol)
+
+  /** The REPORTED table schema: the stored schema with the key field
+    * marked non-nullable. A keyed collection's key is semantically
+    * non-null (it identifies the record — a null key could never be
+    * upserted or deleted), and reporting it that way is what lets Spark
+    * accept it as a row-level operation row id (NULLABLE_ROW_ID_ATTRIBUTES
+    * is an analysis error). Writes stay compatible: under the default
+    * ANSI store-assignment policy Spark guards nullable inputs with a
+    * runtime null check instead of rejecting the plan. */
+  def reportedSchema(meta: CollectionMeta.SchemaMeta): StructType =
+    meta.keyField match {
+      case Some(k) => StructType(meta.schema.fields.map(f =>
+        if (f.name == k) f.copy(nullable = false) else f))
+      case None => meta.schema
+    }
   /** Bits reserved for the in-segment row index inside a record's global
     * sequence number: seq = segmentOrdinal << 40 | rowIndex. 2^40 rows per
     * segment and 2^23 segments per collection. */
@@ -86,7 +102,7 @@ object HadroTable {
 final class HadroTable(path: Path, dataSchema: StructType,
     val viaCatalog: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with SupportsRowLevelOperations {
 
   override def name(): String = s"hadro.`$path`"
   override def schema(): StructType = dataSchema
@@ -140,6 +156,16 @@ final class HadroTable(path: Path, dataSchema: StructType,
 
   override def deleteWhere(predicates: Array[Predicate]): Unit =
     HadroDeleteSupport.deleteWhere(path, predicates)
+
+  // -------------------------------------------- SQL row-level UPDATE/MERGE
+  // `UPDATE ... SET ... WHERE` / `MERGE INTO` (and DELETEs whose predicate
+  // canDeleteWhere declines, e.g. subqueries). Keyed collections get delta
+  // merge-on-read appends; non-keyed get group-based stats-pruned
+  // copy-on-write — strategy and cost model in [[HadroRowLevelOperationBuilder]].
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new HadroRowLevelOperationBuilder(path, info)
 
   /** SQL `TRUNCATE TABLE`: one empty truncating commit through the normal
     * write path (cheaper and cleaner than the default all-rows delete). */

@@ -136,15 +136,18 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.kv")
   }
 
-  test("SQL DELETE rejects untranslatable predicates; TRUNCATE TABLE works") {
+  test("SQL DELETE with a subquery takes the row-level path; TRUNCATE TABLE works") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
     spark.sql("CREATE TABLE testcat.db.tr (id BIGINT) USING hadro")
     spark.sql("INSERT INTO testcat.db.tr SELECT id FROM range(10)")
-    // subqueries cannot reach SupportsDeleteV2 — a clear analysis error,
-    // not a silent partial delete
-    intercept[Exception](spark.sql(
-      "DELETE FROM testcat.db.tr WHERE id IN (SELECT id FROM testcat.db.tr WHERE id < 2)"))
+    // subqueries cannot reach SupportsDeleteV2.deleteWhere — they used to
+    // be an analysis error; SupportsRowLevelOperations now rewrites them
+    // into a group-based copy-on-write ReplaceData plan instead
+    spark.sql(
+      "DELETE FROM testcat.db.tr WHERE id IN (SELECT id FROM testcat.db.tr WHERE id < 2)")
+    assert(spark.table("testcat.db.tr").count() == 8)
+    spark.sql("INSERT INTO testcat.db.tr SELECT id FROM range(2)")
     assert(spark.table("testcat.db.tr").count() == 10)
     spark.sql("TRUNCATE TABLE testcat.db.tr")
     assert(spark.table("testcat.db.tr").count() == 0)

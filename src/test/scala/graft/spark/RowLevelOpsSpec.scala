@@ -1,0 +1,152 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** SQL UPDATE / MERGE INTO / complex DELETE through SupportsRowLevelOperations:
+  * keyed collections take the delta (merge-on-read append) path, non-keyed
+  * the group-based stats-pruned copy-on-write path. */
+class RowLevelOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshCatalog(name: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(s"rlo_$name").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[HadroCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    wh
+  }
+
+  test("UPDATE on a keyed collection appends new versions in one commit") {
+    val wh = freshCatalog("rlo_ku")
+    val path = s"$wh/db/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+      .write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+    val verBefore = CollectionMeta.currentManifest(java.nio.file.Paths.get(path)).version
+    val segsBefore = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+      .segments.map(_.file).toSet
+
+    spark.sql("UPDATE rlo_ku.db.t SET v = v * 10 WHERE id >= 2")
+
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    // merge-on-read: every pre-existing segment file survives untouched
+    assert(segsBefore.subsetOf(m.segments.map(_.file).toSet),
+      "delta UPDATE must not rewrite existing segments")
+    assert(m.version == verBefore + 1, "one atomic commit")
+    // merge-on-read: the RESOLVED view reflects the update (raw scans keep
+    // reference-scan() parity and still show shadowed versions — h32 shape)
+    val out = Collection(spark, path).toDF().select($"id", $"v")
+      .orderBy($"id").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 10.0), (2L, 200.0), (3L, 300.0)))
+  }
+
+  test("UPDATE on a MUTATED keyed collection sees only resolved versions") {
+    val wh = freshCatalog("rlo_km")
+    val path = s"$wh/db/t"
+    Seq((1L, 5.0), (2L, 5.0)).toDF("id", "v")
+      .write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+    val c = Collection(spark, path)
+    c.set(Seq((1L, 100.0)).toDF("id", "v")) // shadow id=1's v=5.0
+
+    // cond matches the SHADOWED version of id=1 but not its latest:
+    // resolved semantics must leave id=1 alone and update only id=2
+    spark.sql("UPDATE rlo_km.db.t SET v = -1 WHERE v = 5.0")
+
+    val out = c.toDF().select($"id", $"v").orderBy($"id")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 100.0), (2L, -1.0)),
+      s"stale-version update leaked: $out")
+  }
+
+  test("key-changing UPDATE tombstones the old key") {
+    val wh = freshCatalog("rlo_kc")
+    val path = s"$wh/db/t"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+      .write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+
+    spark.sql("UPDATE rlo_kc.db.t SET id = 99 WHERE id = 1")
+
+    val out = Collection(spark, path).toDF().select($"id", $"s").orderBy($"id")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "y"), (99L, "x")), s"got $out")
+  }
+
+  test("UPDATE on a non-keyed collection rewrites only affected segments") {
+    val wh = freshCatalog("rlo_cow")
+    val path = s"$wh/db/t"
+    // range-clustered ingest: 4 segments with disjoint id ranges
+    spark.range(0, 4000).toDF("id").withColumn("v", lit(1.0))
+      .repartitionByRange(4, col("id"))
+      .write.format("hadro").mode("append").save(path)
+    val before = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(before.segments.size == 4)
+
+    spark.sql("UPDATE rlo_cow.db.t SET v = 2.0 WHERE id BETWEEN 100 AND 110")
+
+    val after = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    val kept = before.segments.map(_.file).toSet
+      .intersect(after.segments.map(_.file).toSet)
+    assert(kept.size == 3,
+      s"stats pruning must rewrite exactly the one affected segment; kept $kept")
+    // carried rows of the rewritten segment survive; others untouched
+    val out = spark.sql(
+      "SELECT CAST(COUNT(*) AS LONG), CAST(SUM(v) AS DOUBLE) FROM rlo_cow.db.t")
+      .as[(Long, Double)].head()
+    assert(out == ((4000L, 4000.0 + 11.0)), s"got $out")
+  }
+
+  test("MERGE INTO a keyed collection: update + insert + delete branches") {
+    val wh = freshCatalog("rlo_mg")
+    val path = s"$wh/db/t"
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+    Seq((1L, 11.0), (3L, -1.0), (4L, 40.0)).toDF("id", "v")
+      .createOrReplaceTempView("rlo_mg_src")
+    val verBefore = CollectionMeta.currentManifest(java.nio.file.Paths.get(path)).version
+
+    spark.sql("""MERGE INTO rlo_mg.db.t t USING rlo_mg_src s ON t.id = s.id
+      WHEN MATCHED AND s.v < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+
+    assert(CollectionMeta.currentManifest(java.nio.file.Paths.get(path)).version
+      == verBefore + 1, "one atomic commit for all three branches")
+    val out = Collection(spark, path).toDF().select($"id", $"v").orderBy($"id")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 11.0), (2L, 20.0), (4L, 40.0)), s"got $out")
+  }
+
+  test("MERGE INTO a non-keyed collection takes the CoW path") {
+    val wh = freshCatalog("rlo_mgc")
+    val path = s"$wh/db/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.format("hadro").mode("append").save(path)
+    Seq((2L, 22.0), (5L, 50.0)).toDF("id", "v")
+      .createOrReplaceTempView("rlo_mgc_src")
+
+    spark.sql("""MERGE INTO rlo_mgc.db.t t USING rlo_mgc_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+
+    val out = spark.sql("SELECT id, v FROM rlo_mgc.db.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 10.0), (2L, 22.0), (5L, 50.0)), s"got $out")
+  }
+
+  test("DELETE with a subquery predicate routes through the row-level path") {
+    val wh = freshCatalog("rlo_dq")
+    val path = s"$wh/db/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .write.format("hadro").mode("append").save(path) // non-keyed → CoW
+    Seq(2L, 3L).toDF("id").createOrReplaceTempView("rlo_dq_bad")
+
+    spark.sql("DELETE FROM rlo_dq.db.t WHERE id IN (SELECT id FROM rlo_dq_bad)")
+
+    val out = spark.sql("SELECT id FROM rlo_dq.db.t ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(out == Seq(1L), s"got $out")
+  }
+}
