@@ -9,7 +9,9 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: PNG/JPEG/GIF/BMP bytes are decoded with the JDK's
   * `javax.imageio` (zero extra dependencies) into width/height/pixel
-  * features. Bytes that are not a recognized image (audio/video/synthetic
+  * features. AUDIO decode is REAL for 16-bit PCM WAVs: the RIFF container
+  * is parsed and the raw samples analyzed ([[graft.functions.WavUtil]] —
+  * PCM needs no codec library). Bytes that are neither (video/synthetic
   * test payloads) fall back to the clearly-marked deterministic stub
   * (`fakeDecode`) so the pipeline shape stays total; swapping in further
   * codecs changes one function, not the pipeline.
@@ -74,10 +76,39 @@ object MultimodalOps {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = true)))
 
-  /** STUB decoder for NON-IMAGE media: deterministic pseudo-features from
-    * the raw bytes. ??? replace with real audio/video codecs when
-    * available — the signature (bytes in, frame count + feature vector
-    * out) is the real contract; images already take [[decodeImage]]. */
+  /** REAL audio decode for 16-bit integer-PCM WAVs (container parsed by
+    * [[graft.functions.WavUtil]] — no codec library needed, the payload IS
+    * the samples): one frame per sample, features = per-window RMS over 8
+    * equal time windows normalized to [0,1]. None for anything that is not
+    * a 16-bit PCM WAV — those fall through to the stub. */
+  private[ops] def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Float])] = {
+    val p = graft.functions.WavUtil.parse(bytes)
+    if (p == null || p(0) != 1 || p(3) != 16) return None
+    val off = p(4)
+    val n = p(5) / 2
+    val feats = new Array[Float](8)
+    var w = 0
+    while (w < 8) {
+      val lo = (n.toLong * w / 8).toInt
+      val hi = (n.toLong * (w + 1) / 8).toInt
+      var sumSq = 0.0
+      var i = lo
+      while (i < hi) {
+        val s = ((bytes(off + 2 * i + 1) << 8) | (bytes(off + 2 * i) & 0xff))
+        sumSq += s.toDouble * s
+        i += 1
+      }
+      feats(w) = if (hi > lo) (math.sqrt(sumSq / (hi - lo)) / 32768.0).toFloat else 0f
+      w += 1
+    }
+    Some((n, feats))
+  }
+
+  /** STUB decoder for remaining media kinds (video / unknown bytes):
+    * deterministic pseudo-features from the raw bytes. ??? replace with a
+    * real video codec when available — the signature (bytes in, frame
+    * count + feature vector out) is the real contract; images take
+    * [[decodeImage]] and 16-bit PCM WAV audio takes [[decodeAudio]]. */
   private[ops] def fakeDecode(bytes: Array[Byte]): (Int, Array[Float]) = {
     val frameSize = 64
     val nFrames = bytes.length / frameSize + 1
@@ -106,13 +137,17 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // real image decode first (1 frame, pixel-grid features);
-          // non-image media falls back to the deterministic stub
+          // real decodes first — images (1 frame, pixel-grid features) and
+          // PCM WAV audio (per-sample frames, windowed RMS features);
+          // remaining media falls back to the deterministic stub
           decodeImage(bytes) match {
             case Some((_, _, feats)) => (id, bytes.length, 1, feats.toSeq)
-            case None =>
-              val (nFrames, feats) = fakeDecode(bytes)
-              (id, bytes.length, nFrames, feats.toSeq)
+            case None => decodeAudio(bytes) match {
+              case Some((nFrames, feats)) => (id, bytes.length, nFrames, feats.toSeq)
+              case None =>
+                val (nFrames, feats) = fakeDecode(bytes)
+                (id, bytes.length, nFrames, feats.toSeq)
+            }
           }
         }
       }

@@ -1914,6 +1914,61 @@ object OpsQueries {
           CAST(SUM(s * s) AS BIGINT) AS sum_sq
         FROM sgn GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- m07
+    // REAL WAV decode: canonical RIFF/WAVE containers planted with
+    // doc_id-derived sample rates and the m06 LCG samples (encoded
+    // little-endian through WavUtil.encodeMono — a real 44-byte header +
+    // s16le payload). wav_header chunk-walks the container for the format
+    // fields and wav_pcm byte-swaps the data chunk into the existing
+    // native pcm_stats — all three are codegen'd Catalyst expressions.
+    // The oracle never sees bytes: header fields and stats are recomputed
+    // analytically from the planting formulas, so an endianness or
+    // chunk-offset bug cannot cancel out. All-integer outputs.
+    QueryDef(
+      "m07_wav_decode",
+      (s, dir) => {
+        import s.implicits._
+        val planted = table(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = (200 + id % 50).toInt
+              val rate = (8000 + (id % 4) * 4000).toInt
+              val samples = Array.tabulate(n)(i =>
+                ((id * 7919 + i.toLong * 104729) % 65536).toShort)
+              (id, graft.functions.WavUtil.encodeMono(rate, samples))
+            }
+          }.toDF("doc_id", "wav")
+        val hdr = graft.functions.AudioExpressions.wav_header($"wav")
+        val st = graft.functions.AudioExpressions.pcm_stats(
+          graft.functions.AudioExpressions.wav_pcm($"wav"))
+        planted.select($"doc_id", hdr.as("h"), st.as("st"))
+          .select($"doc_id",
+            $"h.sample_rate".as("sample_rate"),
+            $"h.channels".as("channels"),
+            $"st.n_samples".cast("long").as("n_samples"),
+            $"st.peak".cast("long").as("peak"),
+            $"st.sum_sq".as("sum_sq"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH samp AS (
+          SELECT doc_id,
+            unnest(generate_series(0, 199 + doc_id % 50)) AS i
+          FROM documents),
+        vals AS (
+          SELECT doc_id, (doc_id * 7919 + i * 104729) % 65536 AS bits
+          FROM samp),
+        sgn AS (
+          SELECT doc_id,
+            CASE WHEN bits >= 32768 THEN bits - 65536 ELSE bits END AS s
+          FROM vals)
+        SELECT doc_id,
+          CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate,
+          CAST(1 AS INT) AS channels,
+          CAST(COUNT(*) AS BIGINT) AS n_samples,
+          CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+          CAST(SUM(s * s) AS BIGINT) AS sum_sq
+        FROM sgn GROUP BY doc_id ORDER BY doc_id""")),
+
     // --------------------------------------------------------------- st07
     // NATIVE streaming sink: writeStream.format("hadro") — each micro-batch
     // epoch is one atomic manifest commit carrying its epoch id, so replays

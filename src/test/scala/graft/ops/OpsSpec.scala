@@ -266,6 +266,40 @@ class OpsSpec extends SparkSuite {
     assert(out(2L) == "not an image".getBytes.length / 64 + 1, "stub path for non-image")
   }
 
+  test("real WAV decode: header fields, byte-swapped stats, and routing") {
+    import graft.functions.WavUtil
+    val samples = Array[Short](100, -200, 32767, -32768, 0, 7)
+    val wav = WavUtil.encodeMono(16000, samples)
+    // chunk-walk recovers the exact header fields and frame count
+    val p = WavUtil.parse(wav)
+    assert(p != null && p(0) == 1 && p(1) == 1 && p(2) == 16000 && p(3) == 16)
+    val hdr = WavUtil.header(wav)
+    assert(hdr.getInt(0) == 16000 && hdr.getInt(1) == 1 &&
+      hdr.getInt(2) == 16 && hdr.getInt(3) == samples.length)
+    // byte-swapped payload feeds pcm_stats to the analytic ground truth
+    val df = Seq((1L, wav)).toDF("id", "wav")
+    val st = df.select(graft.functions.AudioExpressions.pcm_stats(
+        graft.functions.AudioExpressions.wav_pcm($"wav")).as("st"))
+      .select($"st.n_samples", $"st.peak", $"st.sum_sq")
+      .as[(Int, Int, Long)].head()
+    assert(st._1 == samples.length)
+    assert(st._2 == 32768, "peak of -32768 is 32768 after abs")
+    assert(st._3 == samples.map(s => s.toLong * s).sum)
+    // non-WAV bytes are null through wav_header/wav_pcm, not an error
+    val nulls = Seq((1L, "not a wav".getBytes)).toDF("id", "wav")
+      .select(graft.functions.AudioExpressions.wav_header($"wav").isNull,
+        graft.functions.AudioExpressions.wav_pcm($"wav").isNull)
+      .as[(Boolean, Boolean)].head()
+    assert(nulls == ((true, true)))
+    // decodeFeatures routes WAVs through the REAL audio path: one frame
+    // per sample, not the stub's byte-length heuristic
+    val out = MultimodalOps.decodeFeatures(
+        Seq((9L, wav)).toDF("doc_id", "media"), "doc_id", "media")
+      .select($"media_id", $"n_frames", $"features").as[(Long, Int, Seq[Float])].head()
+    assert(out._2 == samples.length)
+    assert(out._3.length == 8 && out._3.forall(f => f >= 0f && f <= 1f))
+  }
+
   test("chunking covers every token with the configured overlap") {
     val doc = (1 to 25).map(i => s"t$i").mkString(" ")
     val rows = Seq((1L, doc), (2L, "short doc")).toDF("doc_id", "text")
