@@ -895,6 +895,29 @@ object StorageQueries {
       Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(CASE WHEN l_orderkey < 1200 AND l_discount > 0.05
             THEN l_quantity + 100 ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- h38
+    // Z-order over a STRING dimension: cluster documents on (lang,
+    // n_chars) — the monotone 4-byte-prefix value (min/max-rescaled so
+    // ascii-lowercase lang tags spread over the full bucket range) makes
+    // per-segment min/max narrow on the STRING column itself, so a
+    // lang = 'zh' curation filter prunes segments just like a numeric
+    // range does (pruning asserted in LayoutSpec; the oracle proves the
+    // rewrite lossless and the filter exact).
+    QueryDef(
+      "h38_zorder_string",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+        val c = Collection.create(s, colPath(dir, "h38"), src, numSegments = 4)
+        c.cluster(Seq("lang", "n_chars"), numSegments = 16)
+        c.scan().filter($"lang" === "zh" && $"n_chars" < 2000)
+          .select($"doc_id", $"lang", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang = 'zh' AND n_chars < 2000 ORDER BY doc_id"""))
   )
 }

@@ -48,6 +48,32 @@ class LayoutSpec extends SparkSuite {
       "linear layout should NOT prune on the non-sorted dimension")
   }
 
+  test("z-order over a STRING dimension prunes on lang AND the numeric dim") {
+    val path = Files.createTempDirectory("zstring").resolve("c").toString
+    // realistic narrow band: ascii-lowercase lang tags — the min/max
+    // rescale of the monotone byte-prefix value must spread them over the
+    // full bucket range or the interleave wastes bits on shared prefixes
+    val langs = Seq("de", "en", "es", "fr", "ja", "ko", "ru", "zh")
+    val src = spark.range(0, 4096).select(
+      element_at(typedlit(langs), ($"id" % 8 + 1).cast("int")).as("lang"),
+      ($"id" / 8).cast("long").as("n"), $"id".as("v"))
+    val c = Collection.create(spark, path, src, numSegments = 4)
+    c.cluster(Seq("lang", "n"), numSegments = 16)
+
+    // the rewrite is lossless
+    assert(c.scan().count() == 4096)
+    assert(c.scan().agg(sum($"v")).head().getLong(0) == (0L until 4096L).sum)
+
+    def tasks(p: org.apache.spark.sql.DataFrame) = p.rdd.getNumPartitions
+    val onLang = tasks(c.scan().filter($"lang" === "zh"))
+    val onN = tasks(c.scan().filter($"n" < 64))
+    assert(onLang <= 8, s"lang-slice touched $onLang of 16 segments")
+    assert(onN <= 8, s"n-slice touched $onN of 16 segments")
+    // and the slices are exact
+    assert(c.scan().filter($"lang" === "zh").count() == 512)
+    assert(c.scan().filter($"n" < 64).count() == 512)
+  }
+
   test("cluster validates columns and preserves keyed resolution") {
     val path = Files.createTempDirectory("zkeyed").resolve("c").toString
     val src = Seq.tabulate(100)(i => (i.toLong, i * 2L, s"v$i")).toDF("k", "m", "v")
