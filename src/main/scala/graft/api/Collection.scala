@@ -451,10 +451,22 @@ final class Collection private (spark: SparkSession, val path: String) {
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column '$c' not in ${schema.simpleString}"))
     val m0 = manifest
-    graft.ops.LayoutOps.zOrderBy(resolvedAsOf(m0.version), cols, numSegments)
-      .write.format("hadro").mode("overwrite")
+    // One column: a plain range sort on the column itself beats z-order
+    // (no 16-bit bucket quantization) AND yields truly sorted segments,
+    // recorded as `hadro.sortedBy` so scans report the ordering and
+    // downstream sorts on it are planned away. Multi-column: Morton
+    // interleave (sorted by the transport key only — not reportable).
+    val rewritten =
+      if (cols.lengthCompare(1) == 0)
+        resolvedAsOf(m0.version)
+          .repartitionByRange(numSegments, col(cols.head))
+          .sortWithinPartitions(cols.head)
+      else graft.ops.LayoutOps.zOrderBy(resolvedAsOf(m0.version), cols, numSegments)
+    var w = rewritten.write.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)
-      .option("hadro.compactOfGen", m0.generation.toString).save(path)
+      .option("hadro.compactOfGen", m0.generation.toString)
+    if (cols.lengthCompare(1) == 0) w = w.option("hadro.sortedBy", cols.head)
+    w.save(path)
   }
 
   /** Rewrite the collection to only live, resolved rows (#23) — the

@@ -64,7 +64,13 @@ final case class Manifest(
     // bucketBy), numBuckets)` — the contract that lets two co-bucketed
     // collections join with zero exchanges (storage-partitioned join).
     bucketBy: Option[String] = None,
-    numBuckets: Option[Int] = None) {
+    numBuckets: Option[Int] = None,
+    // Declared physical sort: every segment's rows are ordered by this
+    // column (set by single-column cluster() rewrites / writes declaring
+    // `hadro.sortedBy`; cleared by any write that does not re-declare it).
+    // Lets scans report per-partition ordering (SupportsReportOrdering)
+    // so Spark's RemoveRedundantSorts drops sorts the storage already did.
+    sortedBy: Option[String] = None) {
   def nextOrdinal: Long = if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1
 }
 

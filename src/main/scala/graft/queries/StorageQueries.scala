@@ -918,6 +918,28 @@ object StorageQueries {
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, lang, n_chars FROM documents
-        WHERE lang = 'zh' AND n_chars < 2000 ORDER BY doc_id"""))
+        WHERE lang = 'zh' AND n_chars < 2000 ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- h39
+    // Declared-sort scan: a single-column cluster() rewrite range-sorts
+    // the collection on the column itself and records `sortedBy`; the scan
+    // reports per-partition ordering (SupportsReportOrdering), so Spark's
+    // RemoveRedundantSorts plans away sorts the storage already did
+    // (asserted in LayoutSpec). Here the oracle proves the sorted rewrite
+    // is lossless and range filters on the sort column stay exact — and
+    // the range-clustered layout means they prune segments too.
+    QueryDef(
+      "h39_sorted_cluster_scan",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "orders")
+        val c = Collection.create(s, colPath(dir, "h39"), src, numSegments = 4)
+        c.cluster(Seq("o_totalprice"), numSegments = 8)
+        c.scan().filter($"o_totalprice" between (50000.0, 100000.0))
+          .select($"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice BETWEEN 50000.0 AND 100000.0 ORDER BY o_orderkey"""))
   )
 }

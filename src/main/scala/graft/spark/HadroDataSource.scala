@@ -363,7 +363,26 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     onTruncate: String = "fail", maxOrdinalsPerTrigger: Long = 0L,
     pushedLimit: Option[Int] = None, onlyFiles: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
+
+  // ---------------------------------------------------- ordering report
+  /** Per-partition ordering: when the manifest records a declared physical
+    * sort (single-column cluster() rewrite / `hadro.sortedBy` writes),
+    * every segment's rows — and therefore every input partition, since a
+    * partition is a single in-order split range of one segment — are
+    * ordered by that column. Spark's RemoveRedundantSorts then drops
+    * sorts the storage already paid for (sortWithinPartitions, sort-merge
+    * requirements after co-partitioning). NOT reported in bucket-grouped
+    * (SPJ) mode: Spark may coalesce a bucket's several segments into one
+    * partition there, and two sorted runs concatenated are not sorted. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    manifestSnapshot.sortedBy match {
+      case Some(c) if required.fieldNames.contains(c) &&
+          bucketedFor(manifestSnapshot, staticPlanned).isEmpty =>
+        Array(Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
 
   // -------------------------------------------------- runtime filtering
   // Dynamic-pruning predicates (the IN set a completed broadcast/subquery

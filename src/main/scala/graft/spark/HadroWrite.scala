@@ -94,6 +94,8 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     }
     // Storage bucketing: both options or neither. hadro.bucketBy accepts a
     // comma-separated column list (multi-key joins bucket on all keys).
+    private def sortedSpec: Option[String] =
+      Option(opts.get("hadro.sortedBy")).filter(_.nonEmpty)
     private def bucketSpec: Option[(Seq[String], Int)] = {
       val cols = Option(opts.get("hadro.bucketBy")).filter(_.nonEmpty)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -142,7 +144,7 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
-        maxSegmentBytes, bucketSpec, replaceSpec)
+        maxSegmentBytes, bucketSpec, replaceSpec, sortedSpec)
     }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -225,7 +227,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     compactOfGen: Option[Long] = None,
     maxSegmentBytes: Long = 0L,
     bucketSpec: Option[(Seq[String], Int)] = None,
-    replaceSpec: Option[(Seq[String], Long)] = None) extends BatchWrite {
+    replaceSpec: Option[(Seq[String], Long)] = None,
+    sortedSpec: Option[String] = None) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
     keyField, deleteCol, bucketSpec)
@@ -294,7 +297,9 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           mutated = cur.mutated || mutating,
           generation = cur.generation + 1,
           bucketBy = if (specConflict) None else cur.bucketBy,
-          numBuckets = if (specConflict) None else cur.numBuckets)
+          numBuckets = if (specConflict) None else cur.numBuckets,
+          // a rewrite keeps the declared sort only if it re-declares it
+          sortedBy = if (sortedSpec == cur.sortedBy) cur.sortedBy else None)
       }
     }
 
@@ -352,6 +357,16 @@ final class HadroBatchWrite(path: Path, schema: StructType,
             else (None, None)
           case None => (cur.bucketBy, cur.numBuckets)
         }
+        // Declared physical sort: a truncating rewrite establishes what it
+        // declares (unless concurrent segments were preserved — those are
+        // not sorted); an append keeps the recorded sort only when it
+        // re-declares the same one (each new segment is then sorted too,
+        // which is all per-partition ordering needs); anything else clears.
+        val sBy =
+          if (truncate) { if (preserved.isEmpty) sortedSpec else None }
+          else if (cur.segments.isEmpty) sortedSpec
+          else if (sortedSpec == cur.sortedBy) cur.sortedBy
+          else None
         cur.copy(
           segments = base ++ withOrdinals,
           mutated = (cur.mutated && (!truncate || preserved.nonEmpty)) || mutating,
@@ -359,7 +374,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           // detect the discontinuity instead of misreading new ordinals
           generation = if (truncate) cur.generation + 1 else cur.generation,
           bucketBy = bBy,
-          numBuckets = bN)
+          numBuckets = bN,
+          sortedBy = sBy)
       }
     })
     if (conflicted) {
@@ -451,6 +467,8 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
         val withOrdinals = segs.map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
         m.copy(segments = m.segments ++ withOrdinals,
           mutated = m.mutated || mutating,
+          // streamed epochs never declare a physical sort
+          sortedBy = None,
           streamEpochs = m.streamEpochs + (queryId -> epochId))
       }
     })

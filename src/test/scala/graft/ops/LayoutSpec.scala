@@ -74,6 +74,44 @@ class LayoutSpec extends SparkSuite {
     assert(c.scan().filter($"n" < 64).count() == 512)
   }
 
+  test("single-column cluster reports ordering and sorts are planned away") {
+    val path = Files.createTempDirectory("zsorted").resolve("c").toString
+    val src = spark.range(0, 2000).select(
+      (($"id" * 37) % 2000).as("k"), $"id".as("v"))
+    val c = Collection.create(spark, path, src, numSegments = 4)
+    c.cluster(Seq("k"), numSegments = 8)
+    assert(CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+      .sortedBy.contains("k"), "single-column cluster must record sortedBy")
+
+    // rows really are sorted within every partition
+    val perPart = c.scan().select($"k")
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect()
+    perPart.foreach(s => assert(s == s.sorted, "partition not sorted by k"))
+
+    // a redundant per-partition sort on k is REMOVED from the plan
+    val sorted = c.scan().sortWithinPartitions("k")
+    sorted.collect()
+    val plan = sorted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Sort ["), s"redundant sort survived:\n$plan")
+
+    // contrast: without the declared sort the plan keeps the Sort node
+    val fresh = Collection.create(spark,
+      Files.createTempDirectory("zunsorted").resolve("c").toString,
+      src, numSegments = 4)
+    val unsorted = fresh.scan().sortWithinPartitions("k")
+    unsorted.collect()
+    assert(unsorted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head.contains("Sort ["),
+      "control plan should keep its sort")
+
+    // an append that does not re-declare the sort clears the flag
+    c.append(src.limit(5))
+    assert(CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+      .sortedBy.isEmpty, "unsorted append must clear sortedBy")
+  }
+
   test("cluster validates columns and preserves keyed resolution") {
     val path = Files.createTempDirectory("zkeyed").resolve("c").toString
     val src = Seq.tabulate(100)(i => (i.toLong, i * 2L, s"v$i")).toDF("k", "m", "v")
