@@ -520,7 +520,10 @@ final class Collection private (spark: SparkSession, val path: String) {
     *
     * Returns the number of bins rewritten. Only bins of >= 2 segments are
     * worth a commit; a collection with nothing to pack returns 0 and
-    * commits nothing. */
+    * commits nothing. Bins commit independently (atomic-per-bin): if a
+    * concurrent writer conflicts with a later bin, earlier bins STAY
+    * committed — the method stops and returns how many landed, and the
+    * caller can simply run it again. */
   def compactSmall(minBytes: Long): Int = {
     require(minBytes > 0, s"minBytes must be positive, got $minBytes")
     val m0 = manifest
@@ -541,6 +544,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     if (bins.isEmpty) return 0
 
     val storedCols = CollectionMeta.readSchema(dir).get.schema.fieldNames.toSeq
+    var committed = 0
     bins.foreach { bin =>
       val files = bin.map(_.file).mkString(",")
       // our own earlier bins bumped the generation; pin the CURRENT one —
@@ -571,9 +575,18 @@ final class Collection private (spark: SparkSession, val path: String) {
           w = w.option("hadro.bucketBy", c).option("hadro.buckets", n.toString)
         case _ => ()
       }
-      w.save(path)
+      // Partial progress is safe progress: each bin is its own atomic
+      // replace commit, so a conflict on bin i+1 does not undo bins 0..i.
+      // Stop (the conflicting writer may have replaced the very segments
+      // later bins reference) and report what actually landed.
+      try { w.save(path); committed += 1 }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("conflicted") =>
+          return committed
+      }
     }
-    bins.size
+    committed
   }
 }
 

@@ -70,7 +70,12 @@ final case class Manifest(
     // `hadro.sortedBy`; cleared by any write that does not re-declare it).
     // Lets scans report per-partition ordering (SupportsReportOrdering)
     // so Spark's RemoveRedundantSorts drops sorts the storage already did.
-    sortedBy: Option[String] = None) {
+    sortedBy: Option[String] = None,
+    // Wall-clock commit time (epoch millis), stamped by [[CollectionMeta
+    // .commit]]. Powers SQL `TIMESTAMP AS OF` time travel: the version read
+    // is the newest one committed at or before the requested instant.
+    // 0 = legacy manifest written before timestamps existed.
+    committedAtMs: Long = 0L) {
   def nextOrdinal: Long = if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1
 }
 
@@ -212,6 +217,25 @@ object CollectionMeta {
     m
   }
 
+  /** The newest retained version committed at or before `tsMicros`
+    * (microseconds since epoch — the unit Spark's `TIMESTAMP AS OF` hands a
+    * catalog). Legacy manifests without a stamp (committedAtMs = 0) match
+    * any non-negative instant. Fails fast when every retained version is
+    * newer than the instant — the caller asked for a state that predates
+    * the retained history. */
+  def versionAsOfTimestamp(collection: Path, tsMicros: Long): Long = {
+    val tsMs = Math.floorDiv(tsMicros, 1000L)
+    val retained = retainedManifests(collection)
+    retained.filter(_.committedAtMs <= tsMs) match {
+      case Nil =>
+        val earliest = retained.headOption.map(_.committedAtMs).getOrElse(0L)
+        throw new IllegalArgumentException(
+          s"hadro: no version of $collection committed at or before " +
+            s"epoch-ms $tsMs (earliest retained: epoch-ms $earliest)")
+      case hits => hits.map(_.version).max
+    }
+  }
+
   /** Deferred physical GC for truncate/compaction, protecting in-flight
     * readers: files dereferenced by THIS truncate are only recorded (a
     * `dead-v<N>.json` sidecar); what gets physically deleted now are the
@@ -318,7 +342,8 @@ object CollectionMeta {
       val cur = currentManifest(collection)
       val next0 = update(cur)
       if (next0 eq cur) return cur // update declined: publish nothing
-      val next = next0.copy(version = cur.version + 1)
+      val next = next0.copy(version = cur.version + 1,
+        committedAtMs = System.currentTimeMillis())
       val target = manifestFile(collection, next.version)
       // The tmp name MUST be unique per committer: System.nanoTime alone
       // can tie across threads (coarse clock), and two committers sharing

@@ -940,6 +940,65 @@ object StorageQueries {
           .orderBy($"o_orderkey")
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice BETWEEN 50000.0 AND 100000.0 ORDER BY o_orderkey"""))
+        WHERE o_totalprice BETWEEN 50000.0 AND 100000.0 ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- h40
+    // SQL time travel: `VERSION AS OF` pins a query to a committed manifest
+    // version through the catalog (TableCatalog.loadTable(ident, version)),
+    // the SQL twin of h13's scanVersion API. A later commit appends noise
+    // rows (uppercased names); reading the pre-noise version must return
+    // exactly the original table. TIMESTAMP AS OF + fail-fast retention
+    // errors are spec-covered (CatalogSpec).
+    QueryDef(
+      "h40_sql_time_travel",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h40"
+        s.conf.set("spark.sql.catalog.graft_h40", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h40.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h40.db")
+        s.sql("DROP TABLE IF EXISTS graft_h40.db.regions")
+        s.sql("""CREATE TABLE graft_h40.db.regions
+          (r_regionkey INT, r_name STRING) USING hadro""")
+        QueryDef.table(s, dir, "region").createOrReplaceTempView("h40_src")
+        s.sql("INSERT INTO graft_h40.db.regions SELECT * FROM h40_src")
+        val v1 = graft.api.Collection(s, s"$wh/db/regions").version
+        s.sql("INSERT INTO graft_h40.db.regions SELECT r_regionkey, upper(r_name) FROM h40_src")
+        s.sql(s"""SELECT r_regionkey, r_name
+          FROM graft_h40.db.regions VERSION AS OF $v1 ORDER BY r_regionkey""")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // ---------------------------------------------------------------- h41
+    // SQL maintenance procedures: the whole storage-maintenance lifecycle —
+    // bin-packing small segments (compact_small), range-clustering
+    // (cluster), full compaction (compact), space reclaim (vacuum) — driven
+    // entirely through `CALL <catalog>.system.<proc>(...)`, then proven
+    // lossless: the surviving table must equal the source exactly.
+    QueryDef(
+      "h41_sql_procedures",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h41"
+        s.conf.set("spark.sql.catalog.graft_h41", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h41.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h41.db")
+        s.sql("DROP TABLE IF EXISTS graft_h41.db.parts")
+        s.sql("""CREATE TABLE graft_h41.db.parts
+          (p_partkey BIGINT, p_name STRING, p_brand STRING, p_size INT) USING hadro""")
+        QueryDef.table(s, dir, "part")
+          .select("p_partkey", "p_name", "p_brand", "p_size")
+          .createOrReplaceTempView("h41_src")
+        // four inserts = four segments to give compact_small real work
+        (0 until 4).foreach(i => s.sql(
+          s"INSERT INTO graft_h41.db.parts SELECT * FROM h41_src WHERE p_partkey % 4 = $i"))
+        s.sql("CALL graft_h41.system.compact_small('db.parts', 268435456)")
+        s.sql("CALL graft_h41.system.cluster('db.parts', 'p_partkey', 4)")
+        s.sql("CALL graft_h41.system.compact('db.parts')")
+        s.sql("CALL graft_h41.system.vacuum('db.parts')")
+        s.sql("""SELECT p_partkey, p_name, p_brand, p_size
+          FROM graft_h41.db.parts ORDER BY p_partkey""")
+      },
+      Some("SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey"))
   )
 }

@@ -33,7 +33,8 @@ import graft.meta.CollectionMeta
   * The catalog resolves names to the SAME [[HadroTable]] the path-based
   * `format("hadro")` API uses, so every capability (pushdown, stats,
   * streaming, time travel options) carries over unchanged. */
-class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -72,6 +73,39 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new HadroTable(dir,
       HadroTable.reportedSchema(CollectionMeta.readSchema(dir).get),
       viaCatalog = true)
+  }
+
+  /** SQL time travel, version form: `SELECT ... FROM t VERSION AS OF 3`.
+    * The version is a manifest version (monotonic commit counter, the same
+    * number [[graft.api.Collection.version]] returns). Fails fast with the
+    * retained range when the version was GC'd or crosses a compaction. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"hadro: VERSION AS OF expects a numeric manifest version, got '$version'")
+      }
+    CollectionMeta.manifestAt(dir, v) // validates retention + reconstructability
+    new HadroTable(dir,
+      HadroTable.reportedSchema(CollectionMeta.readSchema(dir).get),
+      viaCatalog = true, pinnedVersion = Some(v))
+  }
+
+  /** SQL time travel, instant form: `SELECT ... FROM t TIMESTAMP AS OF
+    * '2026-01-01 00:00:00'`. Spark hands the instant as microseconds since
+    * epoch; it resolves to the newest retained version committed at or
+    * before it (commit times are stamped in the manifest). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = CollectionMeta.versionAsOfTimestamp(dir, timestamp)
+    CollectionMeta.manifestAt(dir, v)
+    new HadroTable(dir,
+      HadroTable.reportedSchema(CollectionMeta.readSchema(dir).get),
+      viaCatalog = true, pinnedVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -227,6 +261,32 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (ident.name().equalsIgnoreCase("bucket") && ident.namespace().isEmpty)
       HadroBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  // --------------------------------------------------------- procedures
+  // SQL maintenance: `CALL <catalog>.system.<proc>('ns.table', ...)` —
+  // compaction, bin-packing, clustering, index rebuilds, vacuum. Bodies in
+  // [[HadroProcedures]]; table-name resolution reuses this catalog's rules.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      HadroProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"hadro: procedures live in the 'system' namespace " +
+        s"(CALL $catalogName.system.<proc>), got $ident")
+    HadroProcedures.load(ident.name(), { tbl =>
+      val parts = tbl.split("\\.").toSeq
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"hadro: procedure table argument must be 'ns.table', got '$tbl'")
+      val dir = tableDir(Identifier.of(parts.init.toArray, parts.last))
+      if (!isTable(dir))
+        throw new NoSuchTableException(Identifier.of(parts.init.toArray, parts.last))
+      dir
+    })
+  }
 }
 
 /** `bucket(n, key) = floorMod(xxhash64(key), n)` — the SAME formula the

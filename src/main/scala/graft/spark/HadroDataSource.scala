@@ -100,7 +100,11 @@ object HadroTable {
   * writes still bucket correctly (writer-side routing), they just don't
   * ask Spark for the shuffle. */
 final class HadroTable(path: Path, dataSchema: StructType,
-    val viaCatalog: Boolean = false)
+    val viaCatalog: Boolean = false,
+    // SQL time travel (`VERSION AS OF` / `TIMESTAMP AS OF`): the catalog
+    // resolves the instant to a manifest version and pins every scan of
+    // this Table instance to it. A pinned table is read-only.
+    val pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsDeleteV2 with SupportsRowLevelOperations {
 
@@ -137,14 +141,17 @@ final class HadroTable(path: Path, dataSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HadroScanBuilder(path, dataSchema,
-      Option(options.get("hadro.versionAsOf")).map(_.toLong),
+      Option(options.get("hadro.versionAsOf")).map(_.toLong).orElse(pinnedVersion),
       options.getOrDefault("hadro.onTruncate", "fail"),
       options.getLong("hadro.maxOrdinalsPerTrigger", 0L),
       Option(options.get("hadro.files"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"hadro: ${name()} is a VERSION/TIMESTAMP AS OF snapshot — read-only")
     new HadroWriteBuilder(path, info, viaCatalog)
+  }
 
   // ------------------------------------------------- SQL row-level DELETE
   // `DELETE FROM <catalog>.db.t WHERE ...` — strategy and cost model in
@@ -154,8 +161,11 @@ final class HadroTable(path: Path, dataSchema: StructType,
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     HadroDeleteSupport.canDelete(predicates)
 
-  override def deleteWhere(predicates: Array[Predicate]): Unit =
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"hadro: ${name()} is a VERSION/TIMESTAMP AS OF snapshot — read-only")
     HadroDeleteSupport.deleteWhere(path, predicates)
+  }
 
   // -------------------------------------------- SQL row-level UPDATE/MERGE
   // `UPDATE ... SET ... WHERE` / `MERGE INTO` (and DELETEs whose predicate
@@ -164,8 +174,11 @@ final class HadroTable(path: Path, dataSchema: StructType,
   // copy-on-write — strategy and cost model in [[HadroRowLevelOperationBuilder]].
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"hadro: ${name()} is a VERSION/TIMESTAMP AS OF snapshot — read-only")
     new HadroRowLevelOperationBuilder(path, info)
+  }
 
   /** SQL `TRUNCATE TABLE`: one empty truncating commit through the normal
     * write path (cheaper and cleaner than the default all-rows delete). */

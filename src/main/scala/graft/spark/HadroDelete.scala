@@ -48,7 +48,13 @@ object HadroDeleteSupport {
       case _ => None
     }
     def lit(e: V2Expression): Option[Any] = e match {
-      case l: V2Literal[_] =>
+      // Only atomic types `functions.lit` can rebuild from the converted
+      // Scala value: a complex-typed literal (array/map/struct equality)
+      // must make toV1 return None HERE so canDelete reports unsupported —
+      // accepting it and letting toColumn's lit() throw later would turn
+      // Spark's standard unsupported-delete analysis error into an obscure
+      // runtime failure.
+      case l: V2Literal[_] if litConvertible(l.dataType) =>
         try Some(CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value))
         catch { case _: Exception => None }
       case _ => None
@@ -118,7 +124,20 @@ object HadroDeleteSupport {
       s"hadro: untranslatable DELETE filter $other")
   }
 
+  /** Only values [[toV1]]'s litConvertible gate let through reach here,
+    * so `functions.lit` cannot throw. */
   private def typedlitAny(v: Any): Column = org.apache.spark.sql.functions.lit(v)
+
+  /** Atomic types whose converted Scala values `functions.lit` accepts. */
+  private def litConvertible(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => true
+      case StringType | BooleanType | BinaryType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
 
   def canDelete(predicates: Array[Predicate]): Boolean =
     predicates.forall(toV1(_).isDefined)

@@ -1,0 +1,115 @@
+package graft.spark
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.api.Collection
+
+/** SQL maintenance surface: `CALL <catalog>.system.<proc>(...)`.
+  *
+  * Every background job a collection needs over its lifetime — compaction,
+  * small-segment bin-packing, clustering, index rebuilds, space reclaim —
+  * becomes reachable from pure SQL, so an orchestrator (or a human with a
+  * SQL console) can run storage maintenance without linking the Scala API:
+  *
+  * {{{
+  * CALL graft.system.compact('db.events');
+  * CALL graft.system.compact_small('db.events', 16777216);
+  * CALL graft.system.cluster('db.events', 'ts', 32);
+  * CALL graft.system.rebuild_index('db.events', 'by_user');
+  * CALL graft.system.vacuum('db.events');
+  * }}}
+  *
+  * Each procedure returns a one-row result describing what happened (the
+  * committed manifest version, bins packed, ...) via a driver-local scan —
+  * the work itself runs as normal distributed Spark jobs through the same
+  * [[graft.api.Collection]] code paths the programmatic API uses. Table
+  * names are resolved against the owning catalog's warehouse, same rules
+  * as `SELECT`. */
+object HadroProcedures {
+
+  val names: Seq[String] = Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum")
+
+  /** `resolve` maps a 'ns.table' string to the collection directory,
+    * enforcing existence — supplied by [[HadroCatalog]] so procedures share
+    * the catalog's name resolution exactly. */
+  def load(procName: String, resolve: String => Path): UnboundProcedure = {
+    def coll(in: InternalRow): Collection =
+      Collection(SparkSession.active, resolve(in.getUTF8String(0).toString).toString)
+    procName match {
+      case "compact" => proc("compact",
+        "rewrite the collection to only live, resolved rows",
+        Seq(p("table", StringType)),
+        new StructType().add("version", LongType)) { in =>
+          val c = coll(in); c.compact()
+          Seq(InternalRow(c.version))
+        }
+      case "compact_small" => proc("compact_small",
+        "bin-pack contiguous runs of segments smaller than min_bytes",
+        Seq(p("table", StringType), p("min_bytes", LongType)),
+        new StructType().add("bins_committed", IntegerType)) { in =>
+          Seq(InternalRow(coll(in).compactSmall(in.getLong(1))))
+        }
+      case "cluster" => proc("cluster",
+        "rewrite range-clustered on the given columns (comma-separated; " +
+          "one column = exact sort, several = z-order)",
+        Seq(p("table", StringType), p("columns", StringType),
+          p("num_segments", IntegerType)),
+        new StructType().add("version", LongType)) { in =>
+          val c = coll(in)
+          val cols = in.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          c.cluster(cols, in.getInt(2))
+          Seq(InternalRow(c.version))
+        }
+      case "rebuild_index" => proc("rebuild_index",
+        "rebuild one named secondary index in place (no data rewrite)",
+        Seq(p("table", StringType), p("name", StringType)),
+        new StructType().add("rebuilt", StringType)) { in =>
+          val name = in.getUTF8String(1).toString
+          coll(in).indexes.rebuild(name)
+          Seq(InternalRow(UTF8String.fromString(name)))
+        }
+      case "vacuum" => proc("vacuum",
+        "physically delete deferred-GC'd segment files and orphaned sidecars",
+        Seq(p("table", StringType)),
+        new StructType().add("version", LongType)) { in =>
+          val c = coll(in); c.vacuum()
+          Seq(InternalRow(c.version))
+        }
+      case other => throw new IllegalArgumentException(
+        s"hadro: no procedure system.$other (available: ${names.mkString(", ")})")
+    }
+  }
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def proc(procName: String, desc: String,
+      params: Seq[ProcedureParameter], outSchema: StructType)(
+      body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        // every procedure commits (or deletes) state — never cacheable
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val out = body(input).toArray
+          java.util.Collections.singletonList[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = outSchema
+          }).iterator()
+        }
+      }
+    }
+}

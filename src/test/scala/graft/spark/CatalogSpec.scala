@@ -30,6 +30,81 @@ class CatalogSpec extends SparkSuite {
     assert(!spark.sql("SHOW TABLES IN testcat.db").collect().map(_.getString(1)).contains("books"))
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF read committed snapshots") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.ttsql (id BIGINT, v STRING) USING hadro")
+    spark.sql("INSERT INTO testcat.db.ttsql VALUES (1, 'a'), (2, 'b')")
+    val v1 = graft.api.Collection(spark, s"$warehouse/db/ttsql").version
+    val tsAfterV1 = java.time.Instant.now()
+    Thread.sleep(5) // commit stamps are epoch-ms: separate the instants
+    spark.sql("INSERT INTO testcat.db.ttsql VALUES (3, 'c')")
+
+    // current read sees both commits; VERSION AS OF pins the first
+    assert(spark.sql("SELECT count(*) FROM testcat.db.ttsql").head.getLong(0) == 3)
+    assert(spark.sql(s"SELECT count(*) FROM testcat.db.ttsql VERSION AS OF $v1")
+      .head.getLong(0) == 2)
+    // TIMESTAMP AS OF resolves an instant between the commits to v1
+    assert(spark.sql(
+      s"SELECT count(*) FROM testcat.db.ttsql TIMESTAMP AS OF '$tsAfterV1'")
+      .head.getLong(0) == 2)
+
+    // a GC'd / never-committed version fails fast, not mid-read
+    val eTooNew = intercept[Exception](
+      spark.sql("SELECT * FROM testcat.db.ttsql VERSION AS OF 999").collect())
+    assert(eTooNew.getMessage.contains("not available"))
+    // an instant before the first commit has no version to resolve to
+    val eTooOld = intercept[Exception](spark.sql(
+      "SELECT * FROM testcat.db.ttsql TIMESTAMP AS OF '2000-01-01 00:00:00'").collect())
+    assert(eTooOld.getMessage.contains("no version"))
+    // snapshots are read-only: the pinned Table refuses a write builder
+    // (SQL cannot even express an INSERT with a time-travel clause, so the
+    // guard is exercised at the Table API level)
+    val cat = spark.sessionState.catalogManager.catalog("testcat")
+      .asInstanceOf[HadroCatalog]
+    val pinned = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "ttsql"),
+      v1.toString).asInstanceOf[HadroTable]
+    val eWrite = intercept[IllegalArgumentException](pinned.newWriteBuilder(null))
+    assert(eWrite.getMessage.contains("read-only"))
+    spark.sql("DROP TABLE testcat.db.ttsql")
+  }
+
+  test("CALL system procedures run storage maintenance from pure SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.mt (id BIGINT, v DOUBLE) USING hadro")
+    // several small inserts = several small segments
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO testcat.db.mt SELECT id, id * 1.0 FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)"))
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/mt")
+    assert(graft.meta.CollectionMeta.currentManifest(dir).segments.size == 4)
+
+    // compact_small bin-packs the 4 tiny segments into one
+    val bins = spark.sql("CALL testcat.system.compact_small('db.mt', 1048576)")
+      .head.getInt(0)
+    assert(bins == 1)
+    assert(graft.meta.CollectionMeta.currentManifest(dir).segments.size == 1)
+
+    // cluster (single column = exact sort) records the declared sort
+    spark.sql("CALL testcat.system.cluster('db.mt', 'v', 2)")
+    assert(graft.meta.CollectionMeta.currentManifest(dir).sortedBy.contains("v"))
+
+    // compact returns the new committed version; data survives it all
+    val v = spark.sql("CALL testcat.system.compact('db.mt')").head.getLong(0)
+    assert(v == graft.meta.CollectionMeta.currentManifest(dir).version)
+    assert(spark.sql("SELECT count(*) FROM testcat.db.mt").head.getLong(0) == 40)
+
+    // vacuum reclaims the files the rewrites deferred-GC'd
+    spark.sql("CALL testcat.system.vacuum('db.mt')")
+    assert(spark.sql("SELECT count(*) FROM testcat.db.mt").head.getLong(0) == 40)
+
+    // unknown procedure / missing table fail with clear errors
+    intercept[Exception](spark.sql("CALL testcat.system.nope('db.mt')"))
+    intercept[Exception](spark.sql("CALL testcat.system.compact('db.missing')").collect())
+    spark.sql("DROP TABLE testcat.db.mt")
+  }
+
   test("catalog tables and path API address the same collection") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")

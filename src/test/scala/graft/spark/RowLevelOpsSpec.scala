@@ -149,4 +149,25 @@ class RowLevelOpsSpec extends SparkSuite {
       .as[Long].collect().toSeq
     assert(out == Seq(1L), s"got $out")
   }
+
+  test("complex-typed literals are rejected at canDelete, not at runtime") {
+    import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Lit}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // equality against an ARRAY literal: functions.lit cannot rebuild the
+    // converted Seq, so translation must fail HERE (canDelete → false →
+    // Spark's standard analysis error), never later inside deleteWhere
+    val arrayLit = new V2Lit[Any] {
+      override def value: Any = ArrayData.toArrayData(Array(1, 2))
+      override def dataType: DataType = ArrayType(IntegerType)
+    }
+    val arrayEq = new Predicate("=", Array(Expressions.column("tags"), arrayLit))
+    assert(HadroDeleteSupport.toV1(arrayEq).isEmpty)
+    assert(!HadroDeleteSupport.canDelete(Array(arrayEq)))
+    // the atomic shapes still translate
+    val intEq = new Predicate("=", Array(
+      Expressions.column("id"), Expressions.literal(7)))
+    assert(HadroDeleteSupport.canDelete(Array(intEq)))
+  }
 }
