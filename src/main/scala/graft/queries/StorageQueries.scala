@@ -999,6 +999,56 @@ object StorageQueries {
         s.sql("""SELECT p_partkey, p_name, p_brand, p_size
           FROM graft_h41.db.parts ORDER BY p_partkey""")
       },
-      Some("SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey"))
+      Some("SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey")),
+
+    // ---------------------------------------------------------------- h42
+    // Sort-merge-bucket join: both sides bucketed on the join key AND
+    // per-bucket sorted (`hadro.sortedBy`, one unsplit segment per bucket),
+    // so the scan reports KeyGroupedPartitioning + per-partition ordering
+    // and the SortMergeJoin runs with ZERO exchanges and ZERO sorts (plan
+    // contract asserted in BucketedCollectionSpec) — the floor cost of a
+    // 100 TB fact-fact join. The oracle proves the exotic layout returns
+    // plain-SQL-join answers.
+    QueryDef(
+      "h42_smb_join",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_spj/${tag}_h42"
+        s.conf.set("spark.sql.catalog.graft_h42",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h42.warehouse", wh)
+        def put(name: String, key: String): Unit =
+          table(s, dir, name)
+            .repartition(8, pmod(xxhash64(col(key)), lit(8)))
+            .sortWithinPartitions(key)
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.bucketBy", key).option("hadro.buckets", "8")
+            .option("hadro.sortedBy", key)
+            .save(s"$wh/db/$name")
+        put("customer", "c_custkey")
+        put("orders", "o_custkey")
+        val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val savedV2 = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          s.table("graft_h42.db.orders")
+            .join(s.table("graft_h42.db.customer"),
+              col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+              col("o_totalprice"))
+            .localCheckpoint() // execute NOW, under the SPJ confs
+            .orderBy("o_orderkey")
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+          savedV2 match {
+            case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+        }
+      },
+      Some("""SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey"""))
   )
 }

@@ -385,15 +385,29 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     * partition is a single in-order split range of one segment — are
     * ordered by that column. Spark's RemoveRedundantSorts then drops
     * sorts the storage already paid for (sortWithinPartitions, sort-merge
-    * requirements after co-partitioning). NOT reported in bucket-grouped
-    * (SPJ) mode: Spark may coalesce a bucket's several segments into one
-    * partition there, and two sorted runs concatenated are not sorted. */
+    * requirements after co-partitioning).
+    *
+    * In bucket-grouped (SPJ) mode Spark coalesces all of a bucket's
+    * partitions into ONE read group, and two sorted runs concatenated are
+    * not sorted — so there the ordering is reported ONLY when every
+    * planned bucket is a single unsplit segment (one in-order run per
+    * group). That is the bucketed-AND-sorted layout contract: co-bucketed
+    * co-sorted collections then sort-merge join with zero exchanges AND
+    * zero sorts — the 100 TB fact-fact join at its floor cost. */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     manifestSnapshot.sortedBy match {
-      case Some(c) if required.fieldNames.contains(c) &&
-          bucketedFor(manifestSnapshot, staticPlanned).isEmpty =>
-        Array(Expressions.sort(Expressions.column(c),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case Some(c) if required.fieldNames.contains(c) =>
+        val safe = bucketedFor(manifestSnapshot, staticPlanned) match {
+          case None => true
+          case Some(_) =>
+            val planned = staticPlanned
+            planned.forall(_.splits.isEmpty) &&
+              planned.flatMap(_.bucket).distinct.size == planned.size
+        }
+        if (safe)
+          Array(Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        else Array.empty
       case _ => Array.empty
     }
 

@@ -176,6 +176,57 @@ class BucketedCollectionSpec extends SparkSuite {
     }
   }
 
+  test("co-bucketed co-sorted collections join with zero exchanges AND zero sorts") {
+    // The SMB-join contract: both sides bucketed on the key AND per-bucket
+    // sorted (declared via hadro.sortedBy, one unsplit segment per bucket)
+    // → the scan reports KeyGroupedPartitioning + per-partition ordering,
+    // and the SortMergeJoin plans with no Exchange and no Sort at all.
+    val wh = Files.createTempDirectory("smbjoin").toString
+    spark.conf.set("spark.sql.catalog.smbcat", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.smbcat.warehouse", wh)
+    val left = spark.range(0, 3000).select($"id".as("k"), ($"id" * 2).as("v"))
+    val right = spark.range(0, 3000).select($"id".as("k"), ($"id" * 7).as("w"))
+    def writeSorted(df: org.apache.spark.sql.DataFrame, tbl: String): Unit =
+      df.repartition(4, pmod(xxhash64(col("k")), lit(4)))
+        .sortWithinPartitions("k")
+        .write.format("hadro").mode("overwrite")
+        .option("hadro.bucketBy", "k").option("hadro.buckets", "4")
+        .option("hadro.sortedBy", "k")
+        .save(s"$wh/ns/$tbl")
+    writeSorted(left, "lhs"); writeSorted(right, "rhs")
+    val m = graft.meta.CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(s"$wh/ns/lhs"))
+    assert(m.sortedBy.contains("k") && m.bucketBy.contains("k"))
+    assert(m.segments.flatMap(_.bucket).distinct.size == m.segments.size,
+      "one segment per bucket expected")
+
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("smbcat.ns.lhs")
+        .join(spark.table("smbcat.ns.rhs"), "k")
+        .select($"k", $"v", $"w")
+      val got = j.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == (0L until 3000L).map(i => (i, i * 2, i * 7)))
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"co-sorted buckets must not re-sort:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
   test("compaction preserves bucketing") {
     val path = writeBucketed(
       spark.read.parquet(s"$sf0001/customer.parquet"), "c_custkey", 4)
