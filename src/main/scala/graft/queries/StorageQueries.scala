@@ -1049,6 +1049,29 @@ object StorageQueries {
       },
       Some("""SELECT o_orderkey, o_custkey, c_name, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- h43
+    // Top-N pushdown (`SupportsPushDownTopN`): ORDER BY the cluster key
+    // LIMIT n plans only the segment prefix whose min/max range can
+    // intersect the true top n — on this range-clustered collection that
+    // is 1-2 of 8 segments (prefix size and correctness guards asserted in
+    // TopNPushdownSpec; ascending, descending, overlapping-layout,
+    // mutated, and null cases). At 100 TB this is "cheapest 100 orders"
+    // reading one segment instead of the corpus. The oracle proves the
+    // pruned plan returns the exact SQL top-n (deterministic via the
+    // o_orderkey tiebreak).
+    QueryDef(
+      "h43_topn_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "orders")
+        val c = Collection.create(s, colPath(dir, "h43"), src, numSegments = 4)
+        c.cluster(Seq("o_totalprice"), numSegments = 8)
+        c.scan().select($"o_orderkey", $"o_totalprice")
+          .orderBy($"o_totalprice", $"o_orderkey").limit(50)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice, o_orderkey LIMIT 50"""))
   )
 }

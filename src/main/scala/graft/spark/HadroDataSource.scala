@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, Expression => V2Expression, Literal => V2Literal, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
@@ -204,12 +204,13 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     versionAsOf: Option[Long] = None, onTruncate: String = "fail",
     maxOrdinalsPerTrigger: Long = 0L, onlyFiles: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, InternalRow)] = None
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Int)] = None
 
   // ------------------------------------------------------- limit pushdown
   // `LIMIT n` with no filters needs only enough SEGMENTS to cover n live
@@ -224,6 +225,33 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   override def pushLimit(l: Int): Boolean = {
     if (pushed.isEmpty) { limit = Some(l); true } else false
   }
+
+  // ------------------------------------------------------- top-N pushdown
+  // `ORDER BY c [ASC|DESC][, tiebreaks] LIMIT n`: accepted — partially, so
+  // Spark keeps the authoritative sort+limit — whenever the LEADING sort
+  // key is a plain orderable column and no filters are pushed. The scan
+  // then plans only segments whose min/max range can intersect the true
+  // top n (see [[HadroScan]]'s topNPrune for the bound argument) — on a
+  // range-clustered collection, ORDER BY the cluster key LIMIT 100 over a
+  // petabyte reads ~one segment. Pruning on the leading key alone is safe
+  // for multi-key sorts: every row of a lexicographic top-n lies within
+  // the leading key's top-n value bound; tiebreaks only reorder within it.
+  // isPartiallyPushed = true also keeps the pushed-LIMIT contract (Spark
+  // retains its global limit; we only shrink what is read).
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    if (pushed.nonEmpty || orders.isEmpty || l <= 0) return false
+    val head = orders.head
+    val colName = head.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    val orderable = dataSchema.fields.find(_.name == colName)
+      .exists(f => StatsCollector.isOrderable(f.dataType))
+    if (!orderable) return false
+    topN = Some((colName, head.direction() == SortDirection.ASCENDING, l))
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -260,7 +288,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     case Some((aggSchema, row)) => new HadroLocalAggScan(path, aggSchema, row)
     case None =>
       new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
-        maxOrdinalsPerTrigger, limit, onlyFiles)
+        maxOrdinalsPerTrigger, limit, onlyFiles, topN)
   }
 }
 
@@ -374,7 +402,8 @@ object HadroAggPushdown {
 final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushed: Array[Filter], versionAsOf: Option[Long] = None,
     onTruncate: String = "fail", maxOrdinalsPerTrigger: Long = 0L,
-    pushedLimit: Option[Int] = None, onlyFiles: Option[Set[String]] = None)
+    pushedLimit: Option[Int] = None, onlyFiles: Option[Set[String]] = None,
+    pushedTopN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -446,7 +475,10 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   }
   override def description(): String =
     s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]" +
-      pushedLimit.map(n => s", PushedLimit: $n").getOrElse("")
+      pushedLimit.map(n => s", PushedLimit: $n").getOrElse("") +
+      pushedTopN.map { case (c, asc, n) =>
+        s", PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $n"
+      }.getOrElse("")
 
   // Decode ALWAYS uses the stored on-disk schema; a user-supplied read
   // schema is only a projection request resolved by NAME. Types must agree
@@ -494,15 +526,80 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     // petabyte collection reads one segment. With filters present the
     // full survivor set stays (rows are re-filtered post-scan, so any
     // segment might be needed to fill the limit).
-    val planned = pushedLimit match {
-      case Some(n) if filters.isEmpty =>
+    val planned = (pushedLimit, filters.isEmpty) match {
+      case (Some(n), true) =>
         var acc = 0L
         survivors.takeWhile { seg =>
           val need = acc < n; acc += seg.rows - seg.tombstones; need
         }
+      case (None, true) => topNPrune(manifest, survivors)
       case _ => survivors
     }
     (manifest, planned)
+  }
+
+  /** Top-N zone-map pruning: for `ORDER BY c [ASC|DESC] LIMIT n` with no
+    * filters over a never-mutated collection, only segments whose value
+    * range can intersect the true top n need planning. Greedily take
+    * segments by best bound in sort direction until their live rows cover
+    * n; the worst bound seen is then an upper bound on the n-th value in
+    * sort order, so any segment whose best bound lies STRICTLY beyond it
+    * cannot hold a top-n row. Spark recomputes the exact top-n from what
+    * remains (isPartiallyPushed), so pruning is only ever an optimization.
+    * On a range-clustered collection (cluster() / sortedBy) segment ranges
+    * are disjoint and the kept set is ~ceil(n / rowsPerSegment): LIMIT 100
+    * over a petabyte reads one segment. Unsorted layouts prune by whatever
+    * their min/max happen to be — still correct, possibly no savings.
+    * Conservative keeps: mutated collections (LWW/tombstones could hollow
+    * out the covering prefix) prune nothing; segments with nulls in the
+    * sort column, missing stats (additive schema evolution), or unparsable
+    * bounds are always kept — nulls sort first or last by Spark's choice,
+    * and keeping a segment is correct under either. -0.0 folds to 0.0 so
+    * the cutoff comparison can never disagree with Spark's ordering (which
+    * treats them equal); NaN sorts after +Inf in both orderings. */
+  private def topNPrune(manifest: Manifest,
+      survivors: Seq[SegmentInfo]): Seq[SegmentInfo] = pushedTopN match {
+    case Some((colName, asc, n)) if !manifest.mutated =>
+      val dt = storedSchema.fields.find(_.name == colName) match {
+        case Some(f) => f.dataType
+        case None => return survivors
+      }
+      def norm(v: Any): Any = v match {
+        case d: java.lang.Double => java.lang.Double.valueOf(d.doubleValue + 0.0d)
+        case f: java.lang.Float => java.lang.Float.valueOf(f.floatValue + 0.0f)
+        case x => x
+      }
+      // (best, worst) bound of each segment in sort direction.
+      val bounded = survivors.map { seg =>
+        val b = for {
+          st <- seg.stats.get(colName)
+          if st.nullCount == 0
+          mnS <- st.min; mxS <- st.max
+          mn = norm(StatsCollector.parse(mnS, dt))
+          mx = norm(StatsCollector.parse(mxS, dt))
+          if mn != null && mx != null
+        } yield if (asc) (mn, mx) else (mx, mn)
+        (seg, b)
+      }
+      val keyed = bounded.collect { case (seg, Some((best, worst))) => (seg, best, worst) }
+      def before(a: Any, b: Any): Boolean =
+        if (asc) StatsCollector.lt(a, b) else StatsCollector.lt(b, a)
+      var acc = 0L
+      var cutoff: Any = null
+      keyed.sortWith((a, b) => before(a._2, b._2)).foreach { case (seg, _, worst) =>
+        if (acc < n) {
+          acc += seg.rows
+          if (cutoff == null || before(cutoff, worst)) cutoff = worst
+        }
+      }
+      if (acc < n) survivors // bounded rows can't guarantee covering n
+      else {
+        val dropped = keyed.collect {
+          case (seg, best, _) if before(cutoff, best) => seg.file
+        }.toSet
+        survivors.filterNot(s => dropped(s.file))
+      }
+    case _ => survivors
   }
 
   /** Statically-planned segments (pushed filters + limit prefix only),
