@@ -296,4 +296,43 @@ object DedupOps {
         SimilarityOps.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup —
+    * k-means-cluster the embedding space, then drop every document with a
+    * sufficiently-similar same-cluster twin. Clustering is what makes the
+    * quadratic step local: candidate pairs form only WITHIN a cluster (a
+    * key-equality shuffle on the cluster id), never across the corpus, and
+    * k grows with corpus size so per-cluster populations stay bounded —
+    * the paper's recipe, and the 100 TB shape. Assignment reuses the IVF
+    * convention ([[SimilarityOps.trainIvfCentroids]]): deterministic seed
+    * centroids (id < k), optional Lloyd refinement, map-only `greatest()`
+    * over broadcast centroid literals — no join, no shuffle to classify.
+    *
+    * Returns one row per input — (id, cluster, kept) — with kept = false
+    * iff a same-cluster neighbor with a SMALLER id has cosine >= threshold.
+    * Keep-the-earliest is a deterministic single-representative rule
+    * (reproducible on any engine/partitioning); the paper's keep-farthest-
+    * from-centroid variant is the same plan with a different tiebreak. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      kCentroids: Int = 8, threshold: Double = 0.95,
+      iterations: Int = 0): DataFrame = {
+    val cents = SimilarityOps.trainIvfCentroids(df, idCol, vecCol, kCentroids, iterations)
+    val scored = cents.map { case (cid, cv) =>
+      struct(SimilarityOps.cosine(col("vec"), typedlit(cv)).as("cos"),
+        lit(cid).as("cid"))
+    }
+    val assigned = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("cluster", greatest(scored: _*).getField("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join branches
+    val earlier = assigned
+      .select(col("cluster"), col("vid").as("vid_a"), col("vec").as("vec_a"))
+    val dropped = assigned.join(earlier, Seq("cluster"))
+      .filter(col("vid_a") < col("vid") &&
+        SimilarityOps.cosine(col("vec_a"), col("vec")) >= threshold)
+      .select(col("vid")).distinct()
+      .withColumn("kept", lit(false))
+    assigned.join(dropped, Seq("vid"), "left_outer")
+      .select(col("vid").as(idCol), col("cluster"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
 }

@@ -597,6 +597,52 @@ object OpsQueries {
         FROM wins w LEFT JOIN dups d USING (doc_id)
         ORDER BY w.doc_id""")),
 
+    // ---------------------------------------------------------------- d14
+    // SemDeDup (Abbas et al. 2023): SEMANTIC dedup — cluster the embedding
+    // space (IVF seed centroids, map-only assignment), then within each
+    // cluster drop every vector with a smaller-id twin at cosine >= 0.95.
+    // Clustering localizes the quadratic step: pairs form only inside a
+    // cluster (key-equality shuffle), never corpus-wide. Planted scaled
+    // copies (same direction, cosine ~1) must be dropped; at this
+    // dimensionality random same-cluster neighbors never reach 0.95, so
+    // the oracle's exact within-cluster EXISTS reproduces the decision for
+    // every row — assignment, pairing, and keep rule all checked.
+    QueryDef(
+      "d14_semantic_dedup",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val planted = e.select(col("vec_id"), col("embedding")).unionByName(
+          e.filter(col("vec_id") % 25 === 0)
+            .select(col("vec_id") + 1000000L as "vec_id",
+              transform(col("embedding"),
+                v => (v * lit(1.01f)).cast(FloatType)).as("embedding")))
+        DedupOps.semanticDedup(planted, "vec_id", "embedding",
+            kCentroids = 8, threshold = 0.95)
+          .orderBy("vec_id")
+      },
+      Some("""WITH vecs AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(embedding, v -> CAST(v * CAST(1.01 AS FLOAT) AS FLOAT))
+          FROM embeddings WHERE vec_id % 25 = 0),
+        cents AS (
+          SELECT CAST(vec_id AS INTEGER) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM vecs WHERE vec_id < 8),
+        assigned AS (
+          SELECT v.vec_id, v.embedding,
+            (SELECT c.cid FROM cents c
+             ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.cid DESC
+             LIMIT 1) AS cluster
+          FROM vecs v)
+        SELECT a.vec_id, a.cluster,
+          NOT EXISTS (SELECT 1 FROM assigned b
+            WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.95) AS kept
+        FROM assigned a ORDER BY a.vec_id""")),
+
     // ---------------------------------------------------------------- t10
     // Sequence packing: each source's docs (ordered by id) concatenated
     // into a token stream and cut into 512-token sequences; one row per

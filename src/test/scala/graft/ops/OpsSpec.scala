@@ -570,4 +570,29 @@ class OpsSpec extends SparkSuite {
     assert(scored.filter($"q" < 0.0 || $"q" > 1.0 || $"q".isNull).count() == 0)
     assert(scored.filter($"lang".isNull).count() == 0)
   }
+
+  test("semantic dedup drops planted same-direction copies, keeps originals") {
+    import org.apache.spark.sql.types.FloatType
+    val base = embs.select($"vec_id", $"embedding")
+    val corpus = base.unionByName(
+      base.filter($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding", v => (v * lit(2.0f)).cast(FloatType))
+            .as("embedding")))
+    val out = DedupOps.semanticDedup(corpus, "vec_id", "embedding",
+      kCentroids = 4, threshold = 0.95)
+    assert(out.count() == corpus.count(), "one verdict per input row")
+    // every planted copy shares its source's direction (cosine 1) and a
+    // larger id — all must be dropped; every original must survive (random
+    // vectors at this dimensionality never reach 0.95 pairwise)
+    assert(out.filter($"vec_id" >= 1000000L && $"kept").count() == 0,
+      "planted copies must be dropped")
+    assert(out.filter($"vec_id" < 1000000L && !$"kept").count() == 0,
+      "originals must all be kept")
+    // determinism across partitionings (the keep rule is id-based)
+    val again = DedupOps.semanticDedup(corpus.repartition(7), "vec_id",
+      "embedding", kCentroids = 4, threshold = 0.95)
+    assert(out.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+  }
 }
