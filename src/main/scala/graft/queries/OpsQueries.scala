@@ -2345,6 +2345,61 @@ object OpsQueries {
       Some("""SELECT s.doc_id + 2000000 AS new_id, c.doc_id AS corpus_id
         FROM documents s JOIN documents c ON c.text = s.text
         WHERE s.doc_id % 2 = 0
-        ORDER BY new_id, corpus_id"""))
+        ORDER BY new_id, corpus_id""")),
+
+    // --------------------------------------------------------------- st14
+    // transformWithState (the Spark 4.x arbitrary-state API, RocksDB state
+    // store): live per-user event stats in MULTIPLE typed state variables —
+    // ValueState running total + MapState per-type breakdown + ValueState
+    // version ([[graft.streaming.UserEventStatsProcessor]]) — composite
+    // keyed state the older mapGroupsWithState single-object API could not
+    // hold incrementally. Two micro-batches off the hadro source (early
+    // then late events by id); the latest version per user must equal the
+    // batch aggregation, which the oracle computes from parquet.
+    QueryDef(
+      "st14_transform_with_state",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        val src = table(s, dir, "events")
+          .filter(col("user_id") < 200)
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st14"
+        val c = graft.api.Collection.create(s, colPath,
+          src.filter(col("event_id") % 2 === 0))
+        val savedProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+          val stream = s.readStream.format("hadro").load(colPath)
+            .select($"user_id", $"event_type").as[(Long, String)]
+          val stats = stream.groupByKey(_._1)
+            .transformWithState(new graft.streaming.UserEventStatsProcessor(),
+              TimeMode.None(), OutputMode.Update())
+          val name = s"st14_sink_${System.nanoTime()}"
+          val q = stats
+            .toDF("user_id", "version", "n_events", "n_click", "n_purchase")
+            .writeStream.outputMode("update").format("memory").queryName(name).start()
+          q.processAllAvailable() // batch 1: even event ids
+          c.append(src.filter(col("event_id") % 2 === 1))
+          q.processAllAvailable() // batch 2: odd event ids
+          q.stop()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"version".desc)
+          s.table(name)
+            .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+            .select($"user_id", $"n_events", $"n_click", $"n_purchase")
+            .orderBy($"user_id")
+        } finally savedProvider match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_purchase
+        FROM events WHERE user_id < 200
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }
