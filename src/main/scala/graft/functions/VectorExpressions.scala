@@ -160,6 +160,102 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
+/** Int8 scalar quantization ENCODER: each float component maps to one byte
+  * code `clamp(floor((v - minv) / scale), 0, 255)` with `scale =
+  * (maxv - minv) / 256` — a 4× compression of float32 embeddings into a
+  * BINARY column, the simplest storage-side quantization an ANN index uses
+  * before PQ. `floor` (not round) keeps the arithmetic engine-portable:
+  * half-way cases never depend on a rounding mode, so an exact SQL twin
+  * exists. One fused loop, no allocation beyond the output bytes, spliced
+  * into whole-stage codegen. Codes are stored as raw bytes; the decoder
+  * masks back to [0, 255]. */
+case class Sq8Encode(child: Expression, minv: Double, scale: Double)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "sq8_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = math.floor((vec.getFloat(i).toDouble - minv) / scale)
+      out(i) = math.min(math.max(c, 0.0), 255.0).toInt.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val c = ctx.freshName("c")
+      s"""
+        int $n = $x.numElements();
+        byte[] $out = new byte[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          double $c = java.lang.Math.floor(((double) $x.getFloat($i) - $minv) / $scale);
+          $out[$i] = (byte) (int) java.lang.Math.min(java.lang.Math.max($c, 0.0), 255.0);
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Int8 scalar quantization DECODER: byte code c reconstructs to the cell
+  * MIDPOINT `minv + (c + 0.5) * scale` as `array<double>` — composable
+  * with [[CosineSimilarity]]'s double path and exactly replicable in SQL
+  * (the oracle re-derives codes and midpoints from the raw vectors with
+  * the same floor/clamp/midpoint arithmetic). */
+case class Sq8Decode(child: Expression, minv: Double, scale: Double)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_decode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Double](codes.length)
+    var i = 0
+    while (i < codes.length) {
+      out(i) = minv + ((codes(i) & 0xFF).toDouble + 0.5) * scale
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+        double[] $out = new double[$x.length];
+        for (int $i = 0; $i < $x.length; $i++) {
+          $out[$i] = $minv + (((double) ($x[$i] & 0xFF)) + 0.5) * $scale;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column-world handle for [[PqEncode]]. */
@@ -184,6 +280,14 @@ object VectorExpressions {
   /** Column-world handle for [[CosineSimilarity]]. */
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Column-world handle for [[Sq8Encode]]. */
+  def sq8_encode(vec: Column, minv: Double, scale: Double): Column =
+    column(Sq8Encode(expression(vec), minv, scale))
+
+  /** Column-world handle for [[Sq8Decode]]. */
+  def sq8_decode(codes: Column, minv: Double, scale: Double): Column =
+    column(Sq8Decode(expression(codes), minv, scale))
 
   /** SQL registration: `SELECT cosine_similarity(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

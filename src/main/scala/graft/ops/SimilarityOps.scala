@@ -557,4 +557,77 @@ object SimilarityOps {
     }
     d / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  // ----------------------------------------------- int8 scalar quantization
+
+  /** Build an int8 SCALAR-QUANTIZATION index: one global (min, max) over
+    * all vector components (a single tiny agg job — two scalars, exact
+    * selections with no arithmetic, so any engine reproduces them), then
+    * every embedding encoded to one byte per component
+    * ([[graft.functions.Sq8Encode]], a fused codegen'd loop) and persisted
+    * as a BINARY column with the quantizer params in a sidecar.
+    *
+    * The 100 TB story is bytes: the compressed corpus is 4× smaller than
+    * float32, so an exhaustive quantized scan does a quarter of the I/O —
+    * the standard first rung below PQ's 32×, trading less compression for
+    * a simpler, near-lossless distance. Query time never reads the
+    * original embeddings. */
+  def buildSqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String,
+      numSegments: Int = 8): graft.api.Collection = {
+    val row = df.select(
+      min(array_min(col(vecCol))).cast("double"),
+      max(array_max(col(vecCol))).cast("double")).head()
+    val minv = row.getDouble(0)
+    val scale = (row.getDouble(1) - minv) / 256.0
+    require(scale > 0.0, "sq8: degenerate corpus (all components equal)")
+    val codes = df.select(col(idCol).as("vid"),
+      graft.functions.VectorExpressions.sq8_encode(col(vecCol), minv, scale)
+        .as("codes"))
+    val collection = graft.api.Collection.create(spark, path,
+      codes.repartition(numSegments))
+    saveSqParams(java.nio.file.Paths.get(path), minv, scale)
+    collection
+  }
+
+  /** Top-k over a [[buildSqIndex]] collection: decode each byte code to
+    * its cell midpoint ([[graft.functions.Sq8Decode]]) and rank by exact
+    * cosine against the full-precision query — asymmetric distance
+    * computation over the compressed corpus only. Map-only + top-k heap;
+    * no shuffle, no original-embedding read. */
+  def sqTopK(index: graft.api.Collection, idCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val (minv, scale) = loadSqParams(java.nio.file.Paths.get(index.path))
+      .getOrElse(
+        throw new IllegalStateException(s"no sq8 params sidecar at ${index.path}"))
+    val decoded = graft.functions.VectorExpressions.sq8_decode(
+      col("codes"), minv, scale)
+    val q = typedlit(query.map(_.toDouble))
+    index.scan()
+      .select(col("vid").as(idCol), cosineComposed(decoded, q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def sqParamsFile(dir: java.nio.file.Path): java.nio.file.Path =
+    dir.resolve("_hadro").resolve("sq8-params.json")
+
+  private def saveSqParams(dir: java.nio.file.Path, minv: Double,
+      scale: Double): Unit = {
+    java.nio.file.Files.createDirectories(dir.resolve("_hadro"))
+    java.nio.file.Files.write(sqParamsFile(dir),
+      s"""{"minv":$minv,"scale":$scale}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Quantizer params persisted by [[buildSqIndex]], if any. */
+  def loadSqParams(dir: java.nio.file.Path): Option[(Double, Double)] = {
+    val f = sqParamsFile(dir)
+    if (!java.nio.file.Files.exists(f)) return None
+    val root = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val m = root.extract[Map[String, Double]]
+    Some((m("minv"), m("scale")))
+  }
 }

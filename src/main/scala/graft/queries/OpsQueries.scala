@@ -1306,6 +1306,45 @@ object OpsQueries {
             (SELECT COUNT(*) FROM pqtrained10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0
         ) ORDER BY method""")),
 
+    // ---------------------------------------------------------------- s10
+    // Int8 scalar-quantization ANN: global (min, max) over all components
+    // (exact selections — engine-portable), one byte per component via
+    // floor/clamp (native codegen'd sq8_encode, 4× smaller than float32,
+    // persisted BINARY), ranking by exact cosine against cell-MIDPOINT
+    // decodes (asymmetric distance: full-precision query, compressed
+    // corpus — the original embeddings are never read at query time). The
+    // oracle re-derives codes and midpoints from the raw vectors with the
+    // identical floor/clamp/midpoint arithmetic — byte bugs cannot hide.
+    QueryDef(
+      "s10_sq8_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s10_index", e, "vec_id", "embedding")
+        SimilarityOps.sqTopK(idx, "vec_id", q, 20)
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        bounds AS (
+          SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS minv,
+                 CAST(MAX(list_max(embedding)) AS DOUBLE) AS maxv
+          FROM embeddings),
+        params AS (SELECT minv, (maxv - minv) / 256 AS scale FROM bounds),
+        decoded AS (
+          SELECT e.vec_id,
+            list_transform(e.embedding, v ->
+              p.minv + (LEAST(GREATEST(floor((CAST(v AS DOUBLE) - p.minv) / p.scale),
+                0), 255) + 0.5) * p.scale) AS dv
+          FROM embeddings e, params p)
+        SELECT d.vec_id, ROUND(list_cosine_similarity(d.dv, q.qv), 4) AS cosine
+        FROM decoded d, q
+        ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id
+        LIMIT 20""")),
+
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.
     QueryDef(

@@ -571,6 +571,29 @@ class OpsSpec extends SparkSuite {
     assert(scored.filter($"lang".isNull).count() == 0)
   }
 
+  test("sq8 index: round-trip error bounded by half a cell, planted copy ranks first") {
+    import org.apache.spark.sql.functions.{array_max, array_min, transform => atransform, abs => aabs, zip_with, max => amax}
+    val base = embs.select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("sq8").resolve("idx").toString
+    val idx = SimilarityOps.buildSqIndex(spark, dir, base, "vec_id", "embedding")
+    val (minv, scale) = SimilarityOps.loadSqParams(
+      java.nio.file.Paths.get(dir)).get
+    assert(scale > 0.0)
+    // decode(encode(v)) stays within half a quantization cell of v
+    val decoded = graft.functions.VectorExpressions.sq8_decode(
+      graft.functions.VectorExpressions.sq8_encode($"embedding", minv, scale),
+      minv, scale)
+    val maxErr = base
+      .select(array_max(zip_with(decoded, $"embedding",
+        (d, v) => aabs(d - v.cast("double")))).as("err"))
+      .agg(amax($"err")).head().getDouble(0)
+    assert(maxErr <= scale * 0.5000001, s"max error $maxErr vs half-cell ${scale / 2}")
+    // the query vector itself is in the index: its own code must rank first
+    val q = base.filter($"vec_id" === 7L).select($"embedding").head().getSeq[Float](0)
+    val top = SimilarityOps.sqTopK(idx, "vec_id", q, 5).collect()
+    assert(top.head.getLong(0) == 7L, s"expected vec 7 first, got ${top.head}")
+  }
+
   test("semantic dedup drops planted same-direction copies, keeps originals") {
     import org.apache.spark.sql.types.FloatType
     val base = embs.select($"vec_id", $"embedding")
