@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.api.Collection
@@ -24,6 +24,7 @@ import graft.api.Collection
   * CALL graft.system.cluster('db.events', 'ts', 32);
   * CALL graft.system.rebuild_index('db.events', 'by_user');
   * CALL graft.system.vacuum('db.events');
+  * CALL graft.system.history('db.events');
   * }}}
   *
   * Each procedure returns a one-row result describing what happened (the
@@ -34,7 +35,8 @@ import graft.api.Collection
   * as `SELECT`. */
 object HadroProcedures {
 
-  val names: Seq[String] = Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum")
+  val names: Seq[String] =
+    Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -82,6 +84,19 @@ object HadroProcedures {
         new StructType().add("version", LongType)) { in =>
           val c = coll(in); c.vacuum()
           Seq(InternalRow(c.version))
+        }
+      case "history" => proc("history",
+        "commit audit over the retained manifest versions, newest first " +
+          "(DESCRIBE HISTORY analog)",
+        Seq(p("table", StringType)),
+        new StructType().add("version", LongType).add("operation", StringType)
+          .add("n_segments", LongType).add("n_rows", LongType)
+          .add("n_bytes", LongType).add("mutated", BooleanType)
+          .add("generation", LongType)) { in =>
+          // bounded: one row per RETAINED manifest (retention-capped)
+          coll(in).history().collect().toSeq.map(r => InternalRow(
+            r.getLong(0), UTF8String.fromString(r.getString(1)), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6)))
         }
       case other => throw new IllegalArgumentException(
         s"hadro: no procedure system.$other (available: ${names.mkString(", ")})")
