@@ -368,11 +368,83 @@ final class Collection private (spark: SparkSession, val path: String) {
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit = {
     val meta = CollectionMeta.readSchema(dir).getOrElse(throw new IllegalArgumentException(
       s"addColumn requires an existing collection at $path"))
+    require(!name.startsWith(CollectionMeta.DroppedPrefix) &&
+      !name.startsWith("_hadro_"), s"column name '$name' is reserved")
     require(!meta.schema.fieldNames.contains(name),
       s"column '$name' already exists in ${meta.schema.simpleString}")
     CollectionMeta.writeSchema(dir,
       org.apache.spark.sql.types.StructType(meta.schema.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true)),
+      meta.keyField, meta.bucketBy, meta.numBuckets)
+  }
+
+  /** Column RENAME: pure metadata — record decode is positional, so the
+    * stored bytes never reference names. The schema file takes the new
+    * name, and ONE metadata-only manifest commit remaps every name-keyed
+    * reference (per-segment stats and key-bloom column, declared index
+    * field lists, the sort/bucket declarations), so stats pruning keeps
+    * working across the rename with zero data movement. Manifest first,
+    * then schema: between the two, lookups under the OLD name miss stats
+    * and fall back to scanning — conservative, never wrong. */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    val meta = CollectionMeta.readSchema(dir).getOrElse(throw new IllegalArgumentException(
+      s"renameColumn requires an existing collection at $path"))
+    val ord = meta.schema.fieldNames.indexOf(oldName)
+    require(ord >= 0 && !CollectionMeta.isDropped(meta.schema.fields(ord)),
+      s"no column '$oldName' in ${CollectionMeta.logicalSchema(meta.schema).simpleString}")
+    require(!newName.startsWith(CollectionMeta.DroppedPrefix) &&
+      !newName.startsWith("_hadro_"), s"column name '$newName' is reserved")
+    require(!CollectionMeta.logicalSchema(meta.schema).fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    def ren(c: String): String = if (c == oldName) newName else c
+    def renList(s: String): String = s.split(",").map(ren).mkString(",")
+    CollectionMeta.commit(dir, cur => cur.copy(
+      segments = cur.segments.map(s => s.copy(
+        stats = s.stats.map { case (k, v) => (ren(k), v) },
+        bloomCol = s.bloomCol.map(ren))),
+      indexes = cur.indexes.map { case (n, fs) => n -> fs.map(ren) },
+      bucketBy = cur.bucketBy.map(renList),
+      sortedBy = cur.sortedBy.map(ren)))
+    CollectionMeta.writeSchema(dir,
+      org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,
+        meta.schema.fields(ord).copy(name = newName))),
+      meta.keyField.map(ren), meta.bucketBy.map(renList), meta.numBuckets)
+  }
+
+  /** Column DROP: metadata-only — the field stays in the PHYSICAL schema
+    * under a reserved invisible name (positional decode must know its
+    * position and type forever to skip its bytes) and disappears from
+    * every reported schema. New writes null-fill the slot (one bitmap bit
+    * per row); re-adding the same name later creates a FRESH physical
+    * field, so old segments null-fill it and dropped values never
+    * resurrect. The key, bucket columns, and indexed columns cannot be
+    * dropped (remove the index first); a sort declaration on the column
+    * is simply cleared. Stats entries for the column are removed in the
+    * same metadata commit — that removal is what guarantees a later
+    * same-name column never matches stale statistics. */
+  def dropColumn(name: String): Unit = {
+    val meta = CollectionMeta.readSchema(dir).getOrElse(throw new IllegalArgumentException(
+      s"dropColumn requires an existing collection at $path"))
+    val ord = meta.schema.fieldNames.indexOf(name)
+    require(ord >= 0 && !CollectionMeta.isDropped(meta.schema.fields(ord)),
+      s"no column '$name' in ${CollectionMeta.logicalSchema(meta.schema).simpleString}")
+    require(CollectionMeta.logicalSchema(meta.schema).length > 1,
+      "cannot drop the last column")
+    require(!meta.keyField.contains(name), s"cannot drop the key column '$name'")
+    require(!meta.bucketBy.exists(_.split(",").contains(name)),
+      s"cannot drop bucket column '$name'")
+    val manifest = CollectionMeta.currentManifest(dir)
+    manifest.indexes.collectFirst { case (n, fs) if fs.contains(name) => n }
+      .foreach(n => throw new IllegalArgumentException(
+        s"column '$name' is indexed by '$n' — removeIndex first"))
+    CollectionMeta.commit(dir, cur => cur.copy(
+      segments = cur.segments.map(s => s.copy(stats = s.stats - name)),
+      sortedBy = cur.sortedBy.filterNot(_ == name)))
+    CollectionMeta.writeSchema(dir,
+      org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,
+        org.apache.spark.sql.types.StructField(
+          s"${CollectionMeta.DroppedPrefix}$ord",
+          meta.schema.fields(ord).dataType, nullable = true))),
       meta.keyField, meta.bucketBy, meta.numBuckets)
   }
 
@@ -543,7 +615,10 @@ final class Collection private (spark: SparkSession, val path: String) {
     flush()
     if (bins.isEmpty) return 0
 
-    val storedCols = CollectionMeta.readSchema(dir).get.schema.fieldNames.toSeq
+    // logical columns only: dropped physical slots are invisible to scans
+    // (the rewrite's write path re-null-fills them)
+    val storedCols = CollectionMeta.logicalSchema(
+      CollectionMeta.readSchema(dir).get.schema).fieldNames.toSeq
     var committed = 0
     bins.foreach { bin =>
       val files = bin.map(_.file).mkString(",")

@@ -117,6 +117,20 @@ object CollectionMeta {
   final case class SchemaMeta(schema: StructType, keyField: Option[String],
       bucketBy: Option[String] = None, numBuckets: Option[Int] = None)
 
+  /** DROPPED-column marker: the stored schema is the PHYSICAL layout — a
+    * dropped column's field stays in it under this reserved name (record
+    * decode is positional, so its position and type must be known forever
+    * to skip its bytes), but every reported schema filters it out. New
+    * writes null-fill dropped slots (one bitmap bit per row); re-adding
+    * the same logical name later appends a FRESH physical field, so old
+    * values can never resurrect. */
+  val DroppedPrefix = "__graft_dropped_"
+  def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.name.startsWith(DroppedPrefix)
+  /** The user-visible view of a physical schema: dropped slots hidden. */
+  def logicalSchema(physical: StructType): StructType =
+    StructType(physical.fields.filterNot(isDropped))
+
   def writeSchema(collection: Path, schema: StructType, keyField: Option[String],
       bucketBy: Option[String] = None, numBuckets: Option[Int] = None): Unit = {
     Files.createDirectories(metaDir(collection))

@@ -1072,6 +1072,37 @@ object StorageQueries {
           .orderBy($"o_totalprice", $"o_orderkey").limit(50)
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-        ORDER BY o_totalprice, o_orderkey LIMIT 50"""))
+        ORDER BY o_totalprice, o_orderkey LIMIT 50""")),
+
+    // ---------------------------------------------------------------- h44
+    // Schema evolution beyond append — DROP + RENAME, both metadata-only:
+    // the dropped column's physical slot stays under a reserved invisible
+    // name (positional decode skips its bytes forever), the rename remaps
+    // every name-keyed reference (stats, indexes, sort/bucket decls) in
+    // one manifest commit. Old segments (written pre-evolution, p_brand
+    // bytes still on disk) and post-evolution appends (no p_brand slot
+    // value, new column name) must read back as ONE consistent logical
+    // table — which the oracle reproduces from raw parquet. Guards and
+    // re-add-same-name freshness are spec-covered (EvolutionSpec).
+    QueryDef(
+      "h44_rename_drop_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "part")
+          .select($"p_partkey", $"p_name", $"p_brand", $"p_size")
+        val c = Collection.create(s, colPath(dir, "h44"), src, numSegments = 4)
+        c.dropColumn("p_brand")
+        c.renameColumn("p_size", "units")
+        c.append(src.filter($"p_partkey" % 3 === 0)
+          .select(($"p_partkey" + 1000000L).as("p_partkey"), $"p_name",
+            $"p_size".as("units")))
+        c.scan().select($"p_partkey", $"p_name", $"units")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_size AS units FROM part
+        UNION ALL
+        SELECT p_partkey + 1000000, p_name, p_size FROM part
+        WHERE p_partkey % 3 = 0
+        ORDER BY p_partkey"""))
   )
 }

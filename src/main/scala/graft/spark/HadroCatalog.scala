@@ -154,11 +154,13 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       viaCatalog = true)
   }
 
-  /** ALTER TABLE: additive evolution only — `ADD COLUMN <name> <type>`,
-    * nullable, top-level. Data is never rewritten: existing segments record
-    * their write-time width in the manifest and readers null-fill the new
-    * column for them. Renames/drops/type changes would invalidate persisted
-    * segment bytes, so they are rejected (compact-and-recreate instead). */
+  /** ALTER TABLE: in-place, metadata-only evolution — ADD COLUMN
+    * (nullable; old segments null-fill via write-time width), RENAME
+    * COLUMN (positional decode never references names; stats and index
+    * declarations are remapped in one manifest commit), and DROP COLUMN
+    * (the physical slot stays under a reserved invisible name so decode
+    * can skip its bytes forever; see [[graft.api.Collection.dropColumn]]).
+    * Type changes would invalidate persisted bytes and need a rewrite. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -178,10 +180,20 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           StructType(meta.schema.fields :+
             org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)),
           meta.keyField, meta.bucketBy, meta.numBuckets)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "hadro: only top-level RENAME COLUMN is supported")
+        graft.api.Collection(org.apache.spark.sql.SparkSession.active, dir.toString)
+          .renameColumn(rn.fieldNames().head, rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "hadro: only top-level DROP COLUMN is supported")
+        graft.api.Collection(org.apache.spark.sql.SparkSession.active, dir.toString)
+          .dropColumn(del.fieldNames().head)
       case other =>
         throw new UnsupportedOperationException(
-          s"hadro: unsupported ALTER TABLE change $other — only additive " +
-            "nullable ADD COLUMN evolves in place; use compaction for rewrites")
+          s"hadro: unsupported ALTER TABLE change $other — rename/drop/add " +
+            "evolve in place; type changes need a rewrite")
     }
     loadTable(ident)
   }

@@ -76,12 +76,14 @@ object HadroTable {
     * is an analysis error). Writes stay compatible: under the default
     * ANSI store-assignment policy Spark guards nullable inputs with a
     * runtime null check instead of rejecting the plan. */
-  def reportedSchema(meta: CollectionMeta.SchemaMeta): StructType =
+  def reportedSchema(meta: CollectionMeta.SchemaMeta): StructType = {
+    val logical = CollectionMeta.logicalSchema(meta.schema)
     meta.keyField match {
-      case Some(k) => StructType(meta.schema.fields.map(f =>
+      case Some(k) => StructType(logical.fields.map(f =>
         if (f.name == k) f.copy(nullable = false) else f))
-      case None => meta.schema
+      case None => logical
     }
+  }
   /** Bits reserved for the in-segment row index inside a record's global
     * sequence number: seq = segmentOrdinal << 40 | rowIndex. 2^40 rows per
     * segment and 2^23 segments per collection. */

@@ -55,9 +55,12 @@ final class HadroRowLevelOperationBuilder(path: Path, info: RowLevelOperationInf
   override def build(): RowLevelOperation = {
     val meta = CollectionMeta.readSchema(path).getOrElse(
       throw new IllegalStateException(s"hadro: no collection at $path"))
+    // the LOGICAL schema: row-level plans must never surface dropped
+    // physical slots (readers re-resolve the physical layout themselves)
+    val logical = CollectionMeta.logicalSchema(meta.schema)
     meta.keyField match {
-      case Some(k) => new HadroDeltaOperation(path, meta.schema, info.command(), k)
-      case None => new HadroCowOperation(path, meta.schema, info.command())
+      case Some(k) => new HadroDeltaOperation(path, logical, info.command(), k)
+      case None => new HadroCowOperation(path, logical, info.command())
     }
   }
 }

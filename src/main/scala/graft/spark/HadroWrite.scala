@@ -163,6 +163,10 @@ private[spark] object HadroWriteInit {
       keyField: Option[String], deleteCol: Option[String] = None,
       bucketSpec: Option[(Seq[String], Int)] = None): CollectionMeta.SchemaMeta = {
     Files.createDirectories(path)
+    // the dropped-column marker prefix is reserved: a user column with it
+    // would alias an invisible physical slot
+    schema.fieldNames.foreach(n => require(!n.startsWith(CollectionMeta.DroppedPrefix),
+      s"hadro: column name '$n' uses the reserved prefix ${CollectionMeta.DroppedPrefix}"))
     CollectionMeta.readSchema(path) match {
       case Some(meta) =>
         val stored = meta.schema

@@ -99,6 +99,16 @@ class CatalogSpec extends SparkSuite {
     spark.sql("CALL testcat.system.vacuum('db.mt')")
     assert(spark.sql("SELECT count(*) FROM testcat.db.mt").head.getLong(0) == 40)
 
+    // history returns the commit audit, newest first, consistent totals
+    // (compaction reset retention here, so another insert grows it again)
+    spark.sql("INSERT INTO testcat.db.mt SELECT id, id * 1.0 FROM range(100, 105, 1, 1)")
+    val hist = spark.sql("CALL testcat.system.history('db.mt')").collect()
+    assert(hist.length >= 2, s"expected several retained versions, got ${hist.length}")
+    assert(hist.head.getLong(0) == graft.meta.CollectionMeta.currentManifest(dir).version)
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sorted.reverse)
+    assert(hist.head.getLong(3) == 45L) // n_rows of the current version
+    assert(hist.head.getString(1) == "write")
+
     // unknown procedure / missing table fail with clear errors
     intercept[Exception](spark.sql("CALL testcat.system.nope('db.mt')"))
     intercept[Exception](spark.sql("CALL testcat.system.compact('db.missing')").collect())
@@ -133,16 +143,20 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.tt")
   }
 
-  test("schema contract: additive ALTER evolves, destructive ALTER and duplicate CREATE fail") {
+  test("schema contract: add/rename/drop ALTER evolve in place, type change and duplicate CREATE fail") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
     spark.sql("CREATE TABLE testcat.db.fixed (a INT) USING hadro")
     // additive nullable evolution is in-place (EvolutionSpec covers data)
     spark.sql("ALTER TABLE testcat.db.fixed ADD COLUMN b INT")
     assert(spark.table("testcat.db.fixed").schema.fieldNames.sameElements(Array("a", "b")))
-    // destructive changes would invalidate persisted segment bytes
-    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed DROP COLUMN a"))
-    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed RENAME COLUMN a TO z"))
+    // rename + drop are metadata-only in-place evolution (EvolutionSpec
+    // covers data/pruning); type changes still need a rewrite
+    spark.sql("ALTER TABLE testcat.db.fixed RENAME COLUMN a TO z")
+    spark.sql("ALTER TABLE testcat.db.fixed DROP COLUMN b")
+    assert(spark.table("testcat.db.fixed").schema.fieldNames.sameElements(Array("z")))
+    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed ALTER COLUMN z TYPE BIGINT"))
+    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed DROP COLUMN z")) // last column
     intercept[Exception](spark.sql("CREATE TABLE testcat.db.fixed (a INT) USING hadro"))
     spark.sql("DROP TABLE testcat.db.fixed")
   }

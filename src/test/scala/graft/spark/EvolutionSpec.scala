@@ -133,12 +133,85 @@ class EvolutionSpec extends SparkSuite {
       assert(rows.length == 3)
       assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
       assert(rows(2).getDouble(2) == 1.5)
-      // destructive changes are rejected
-      intercept[Exception](spark.sql("ALTER TABLE evocat.db.t RENAME COLUMN v TO w"))
-      intercept[Exception](spark.sql("ALTER TABLE evocat.db.t DROP COLUMN v"))
+      // type changes still need a rewrite
+      intercept[Exception](
+        spark.sql("ALTER TABLE evocat.db.t ALTER COLUMN v TYPE BIGINT"))
+      // rename + drop are metadata-only and in-place
+      spark.sql("ALTER TABLE evocat.db.t RENAME COLUMN v TO label")
+      spark.sql("ALTER TABLE evocat.db.t DROP COLUMN score")
+      val after = spark.sql("SELECT id, label FROM evocat.db.t ORDER BY id").collect()
+      assert(after.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+      assert(!spark.table("evocat.db.t").schema.fieldNames.contains("score"))
     } finally {
       spark.conf.unset("spark.sql.catalog.evocat")
       spark.conf.unset("spark.sql.catalog.evocat.warehouse")
     }
+  }
+
+  test("renamed column keeps data, key semantics, and stats pruning") {
+    val path = tmp("rename")
+    val src = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .repartitionByRange(8, $"c_custkey")
+    val c = Collection.create(spark, path, src)
+    c.renameColumn("c_acctbal", "balance")
+
+    val back = spark.read.format("hadro").load(path)
+    assert(back.schema.fieldNames.toSeq == Seq("c_custkey", "c_name", "balance"))
+    assert(back.agg(sum($"balance")).head().getDouble(0) ==
+      src.agg(sum($"c_acctbal")).head().getDouble(0))
+    // stats were remapped in the manifest: a point filter on the RENAMED
+    // range-clustered key still prunes segments
+    c.renameColumn("c_custkey", "ckey")
+    val df = spark.read.format("hadro").load(path).filter($"ckey" === 42L)
+    df.collect()
+    val node = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }.get
+    assert(node.metrics("hadroSegmentsRead").value == 1L,
+      s"rename must keep pruning: read ${node.metrics("hadroSegmentsRead").value} of 8")
+    // duplicate/reserved names rejected
+    intercept[Exception](c.renameColumn("c_name", "balance"))
+    intercept[Exception](c.renameColumn("c_name", "_hadro_seq"))
+  }
+
+  test("dropped column disappears; re-added name starts fresh with nulls") {
+    val path = tmp("drop")
+    val rows = spark.range(0, 60)
+      .select($"id", concat(lit("n"), $"id").as("name"),
+        ($"id" * 2).cast("double").as("score"), ($"id" % 5).as("grp"))
+    val c = Collection.create(spark, path, rows, numSegments = 3)
+    c.dropColumn("score")
+
+    val back = spark.read.format("hadro").load(path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "grp"))
+    // remaining columns decode correctly around the skipped physical slot
+    assert(back.agg(sum($"grp")).head().getLong(0) ==
+      rows.agg(sum($"grp")).head().getLong(0))
+    assert(back.filter($"name" === "n7").select($"id").head().getLong(0) == 7L)
+    // new writes omit the dropped column
+    c.append(spark.range(1000, 1030)
+      .select($"id", concat(lit("n"), $"id").as("name"), ($"id" % 5).as("grp")))
+    assert(spark.read.format("hadro").load(path).count() == 90)
+    // re-adding the NAME creates a fresh physical column: old rows are
+    // null — dropped doubles can never resurrect into the new long column
+    c.addColumn("score", LongType)
+    c.append(spark.range(2000, 2010)
+      .select($"id", concat(lit("n"), $"id").as("name"), ($"id" % 5).as("grp"),
+        lit(7L).as("score")))
+    val again = spark.read.format("hadro").load(path)
+    assert(again.filter($"id" < 2000 && $"score".isNotNull).count() == 0)
+    assert(again.filter($"score" === 7L).count() == 10)
+  }
+
+  test("drop guards: key, bucket, indexed, and last columns are protected") {
+    val path = tmp("dropguard")
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val c = Collection.create(spark, path, src, key = Some("n_nationkey"))
+    intercept[Exception](c.dropColumn("n_nationkey")) // key
+    c.indexes.add("byname", Seq("n_name"))
+    intercept[Exception](c.dropColumn("n_name")) // indexed
+    c.indexes.remove("byname")
+    c.dropColumn("n_name") // now allowed
+    assert(!spark.read.format("hadro").load(path).schema.fieldNames.contains("n_name"))
   }
 }
