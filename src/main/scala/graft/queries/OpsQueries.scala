@@ -2439,6 +2439,72 @@ object OpsQueries {
           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
             AS n_purchase
         FROM events WHERE user_id < 200
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- st15
+    // transformWithState + EVENT-TIME TIMERS: streaming gap sessionization
+    // where the state machine itself closes sessions — a session ends
+    // either inline (a later event for the user proves the gap) or when
+    // the WATERMARK crosses its re-armed `last + gap` timer
+    // (handleExpiredTimer; [[graft.streaming.SessionizeProcessor]]).
+    // Deterministic on static data exactly like st06: two time-split
+    // micro-batches advance the watermark, the final no-data batch fires
+    // every timer the global watermark (max ts - 1h) has passed. The
+    // oracle recomputes sessions with window SQL and keeps each user's
+    // non-final sessions (inline-emitted) plus final sessions closed by
+    // the terminal watermark.
+    QueryDef(
+      "st15_session_timers",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val stage = stagedEventHalves(s, dir)
+        val savedProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stage)
+            .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+            .withWatermark("event_ts", "1 hour")
+            .select($"user_id", expr("ts div 1000000").as("ts_ms"))
+            .as[(Long, Long)]
+          val sessions = stream.groupByKey(_._1)
+            .transformWithState(
+              new graft.streaming.SessionizeProcessor(30L * 60 * 1000),
+              TimeMode.EventTime(), OutputMode.Append())
+          val name = s"st15_sink_${System.nanoTime()}"
+          val q = sessions.toDF("user_id", "start_ms", "end_ms", "n_events")
+            .writeStream.outputMode("append").format("memory").queryName(name).start()
+          q.processAllAvailable()
+          q.stop()
+          s.table(name).orderBy("user_id", "start_ms")
+        } finally savedProvider match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""WITH g AS (
+          SELECT user_id, epoch_ms(ts) AS t,
+            CASE WHEN lag(epoch_ms(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL
+              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_ms(ts)) > 1800000
+              THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sl AS (SELECT user_id, t, SUM(new_s) OVER (PARTITION BY user_id
+            ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        sess AS (SELECT user_id, sid, MIN(t) AS start_ms, MAX(t) AS end_ms,
+            CAST(COUNT(*) AS BIGINT) AS n_events FROM sl GROUP BY 1, 2),
+        mx AS (SELECT MAX(epoch_ms(ts)) AS m FROM events),
+        lastsid AS (SELECT user_id, MAX(sid) AS msid FROM sess GROUP BY user_id)
+        SELECT se.user_id, se.start_ms, se.end_ms, se.n_events
+        FROM sess se JOIN lastsid l USING (user_id), mx
+        WHERE se.sid < l.msid OR se.end_ms + 1800000 <= mx.m - 3600000
+        ORDER BY se.user_id, se.start_ms"""))
   )
 }
