@@ -1103,6 +1103,31 @@ object StorageQueries {
         UNION ALL
         SELECT p_partkey + 1000000, p_name, p_size FROM part
         WHERE p_partkey % 3 = 0
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------------- h45
+    // Prefix + OR pruning: `source LIKE 'src1%' AND (lang = 'en' OR lang =
+    // 'de')` — the corpus-curation filter shape — prunes segments through
+    // min/max stats on a string-z-ordered layout: StartsWith intersects
+    // each segment's range with [prefix, asciiSuccessor), OR prunes only
+    // segments where BOTH branches are impossible (bound logic + an
+    // end-to-end pruned-scan assertion in PushdownSpec). The oracle proves
+    // the pruned plan returns the exact filter result.
+    QueryDef(
+      "h45_prefix_or_scan",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+        val c = Collection.create(s, colPath(dir, "h45"), src, numSegments = 4)
+        c.cluster(Seq("source", "lang"), numSegments = 16)
+        c.scan()
+          .filter(($"lang" === "en" || $"lang" === "de") && $"source".startsWith("src1"))
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+        WHERE lang IN ('en', 'de') AND source LIKE 'src1%'
+        ORDER BY doc_id"""))
   )
 }

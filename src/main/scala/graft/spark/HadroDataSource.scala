@@ -1069,8 +1069,10 @@ object OffsetIndexPlanner {
 object SegmentSkipper {
   def supports(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
-         _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull => true
+         _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+         _: StringStartsWith => true
     case And(l, r) => supports(l) && supports(r)
+    case Or(l, r) => supports(l) && supports(r)
     case _ => false
   }
 
@@ -1119,7 +1121,36 @@ object SegmentSkipper {
     case In(c, vs) => vs.isEmpty || vs.exists(v => mightMatch(seg, EqualTo(c, v), schema))
     case IsNull(c) => seg.stats.get(c).forall(_.nullCount > 0)
     case IsNotNull(c) => seg.stats.get(c).forall(_.nullCount < seg.rows)
+    // Prefix predicates (`url LIKE 'https://en.%'` — the corpus-curation
+    // filter shape): a segment can hold a prefix match only if its range
+    // intersects [prefix, nextPrefix): max >= prefix AND min < nextPrefix.
+    // The upper bound uses an ASCII-only successor — incrementing a
+    // non-ASCII char can produce an invalid UTF-16 unit whose UTF-8 bytes
+    // no longer upper-bound the range, so there we keep lower-bound-only
+    // pruning (still drops every segment entirely below the prefix).
+    case StringStartsWith(c, prefix) =>
+      (for { (mn, mx, _) <- bounds(seg, c, schema); ip <- toInternal(prefix, c, schema)
+             hi <- cmp(mx, ip) } yield {
+        val aboveLower = hi >= 0
+        val belowUpper = nextAsciiPrefix(prefix).forall { np =>
+          (for { inp <- toInternal(np, c, schema); lo <- cmp(mn, inp) }
+            yield lo < 0).getOrElse(true)
+        }
+        aboveLower && belowUpper
+      }).getOrElse(true)
     case And(l, r) => mightMatch(seg, l, schema) && mightMatch(seg, r, schema)
+    // OR prunes only segments where BOTH branches are impossible — the
+    // `lang = 'en' OR lang = 'de'` multi-value curation filter.
+    case Or(l, r) => mightMatch(seg, l, schema) || mightMatch(seg, r, schema)
     case _ => true
+  }
+
+  /** Smallest string strictly greater than every extension of `prefix`,
+    * when the last char admits a safe ASCII increment; None otherwise. */
+  private def nextAsciiPrefix(p: String): Option[String] = {
+    if (p.isEmpty) return None
+    val last = p.charAt(p.length - 1)
+    if (last >= 0x7f) None
+    else Some(p.substring(0, p.length - 1) + (last + 1).toChar)
   }
 }

@@ -50,6 +50,48 @@ class PushdownSpec extends SparkSuite {
     assert(SegmentSkipper.mightMatch(s, Array[Filter](IsNull("n")), strSchema))
   }
 
+  test("SegmentSkipper prunes prefix (StartsWith) and OR predicates") {
+    val s = SegmentInfo("f.data", 0, 10, 0, 0,
+      Map("s" -> ColumnStats(Some("https://de.site/a"), Some("https://de.site/z"), 0)))
+    // range entirely below the prefix
+    assert(!SegmentSkipper.mightMatch(s,
+      Array[Filter](StringStartsWith("s", "https://en.")), schema))
+    // range entirely above the prefix (ASCII successor upper bound)
+    assert(!SegmentSkipper.mightMatch(s,
+      Array[Filter](StringStartsWith("s", "https://aa.")), schema))
+    // intersecting range kept
+    assert(SegmentSkipper.mightMatch(s,
+      Array[Filter](StringStartsWith("s", "https://de.")), schema))
+    // non-ASCII last char: the upper bound is disabled, so a prefix BELOW
+    // the range (which only the successor bound could prune) is kept
+    assert(SegmentSkipper.mightMatch(s,
+      Array[Filter](StringStartsWith("s", "https://cé")), schema))
+    // OR: pruned only when BOTH branches are impossible
+    val k = seg(100, 200)
+    assert(!SegmentSkipper.mightMatch(k,
+      Array[Filter](Or(EqualTo("k", 50L), EqualTo("k", 300L))), schema))
+    assert(SegmentSkipper.mightMatch(k,
+      Array[Filter](Or(EqualTo("k", 50L), EqualTo("k", 150L))), schema))
+  }
+
+  test("prefix filter prunes segments end-to-end on a sorted layout") {
+    val path = Files.createTempDirectory("prefix").resolve("c").toString
+    val rows = spark.range(0, 400)
+      .select($"id", concat(lit("https://"),
+        element_at(typedlit(Seq("aa", "de", "en", "fr")), ($"id" % 4 + 1).cast("int")),
+        lit(".site/"), $"id".cast("string")).as("url"))
+    val c = Collection.create(spark, path, rows, numSegments = 2)
+    c.cluster(Seq("url"), numSegments = 8)
+
+    val df = spark.read.format("hadro").load(path).filter($"url".startsWith("https://en."))
+    val expected = rows.filter($"url".startsWith("https://en.")).collect().map(_.getLong(0)).sorted
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == expected.toSeq)
+    val node = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }.get
+    val read = node.metrics("hadroSegmentsRead").value
+    assert(read <= 3, s"prefix filter should prune the sorted layout, read $read of 8")
+  }
+
   test("point filter scans only matching segments") {
     val path = Files.createTempDirectory("push").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/customer.parquet")
