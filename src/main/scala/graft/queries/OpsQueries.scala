@@ -2505,6 +2505,66 @@ object OpsQueries {
         SELECT se.user_id, se.start_ms, se.end_ms, se.n_events
         FROM sess se JOIN lastsid l USING (user_id), mx
         WHERE se.sid < l.msid OR se.end_ms + 1800000 <= mx.m - 3600000
-        ORDER BY se.user_id, se.start_ms"""))
+        ORDER BY se.user_id, se.start_ms""")),
+
+    // --------------------------------------------------------------- st16
+    // transformWithState with INITIAL STATE: per-user counts WARM-STARTED
+    // from a batch aggregation over the historical half of the corpus
+    // ([[graft.streaming.WarmStartCountProcessor]]); the stream carries
+    // only the later half. Each user's final emission must equal the batch
+    // count over ALL events — proving the bootstrap handoff is lossless —
+    // which the oracle computes directly, restricted to users the stream
+    // actually touched (initial-state-only keys emit nothing by contract).
+    QueryDef(
+      "st16_warm_start_state",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        val ev = table(s, dir, "events")
+        val (mn, mx) = ev.agg(min($"ts"), max($"ts")).as[(Long, Long)].head()
+        val cut = mn + ((mx - mn) / 2 + 1)
+        val stage = java.nio.file.Paths.get(
+          s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_st16")
+        if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+          ev.filter($"ts" >= cut).coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+          java.nio.file.Files.createFile(stage.resolve("_staged"))
+        }
+        val init = ev.filter($"ts" < cut)
+          .groupBy($"user_id").agg(count(lit(1)).as("n"))
+          .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val savedProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+          val stream = s.readStream.schema(schema).parquet(stage.toString)
+            .select($"user_id").as[Long]
+          val totals = stream.groupByKey(identity[Long])
+            .transformWithState(new graft.streaming.WarmStartCountProcessor(),
+              TimeMode.None(), OutputMode.Update(), init)
+          val name = s"st16_sink_${System.nanoTime()}"
+          val q = totals.toDF("user_id", "n_total")
+            .writeStream.outputMode("update").format("memory").queryName(name).start()
+          q.processAllAvailable()
+          q.stop()
+          // counts are monotone: the max per user is the final total
+          s.table(name).groupBy($"user_id")
+            .agg(max($"n_total").as("n_total")).orderBy($"user_id")
+        } finally savedProvider match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      Some("""WITH b AS (SELECT MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx
+            FROM events),
+        cut AS (SELECT mn + ((mx - mn) // 2 + 1) AS c FROM b),
+        h2 AS (SELECT DISTINCT user_id FROM events, cut WHERE epoch_ns(ts) >= c)
+        SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM events e JOIN h2 USING (user_id)
+        GROUP BY e.user_id ORDER BY e.user_id"""))
   )
 }
