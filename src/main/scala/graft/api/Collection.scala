@@ -184,7 +184,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     * collection was never mutated; exact resolved count otherwise. */
   def count(): Long = {
     val m = manifest
-    if (!m.mutated) m.segments.map(_.rows).sum
+    if (!m.mutated) m.segments.map(s => s.rows - s.dvDeletes).sum
     else toDF().count()
   }
 
@@ -484,7 +484,7 @@ final class Collection private (spark: SparkSession, val path: String) {
         case None => "unknown" // parent GC'd
       }
       (m.version, op, m.segments.size.toLong,
-        m.segments.map(s => s.rows - s.tombstones).sum,
+        m.segments.map(s => s.rows - s.tombstones - s.dvDeletes).sum,
         m.segments.map(_.bytes).sum, m.mutated, m.generation)
     }
     rows.toDF("version", "operation", "n_segments", "n_rows", "n_bytes",
@@ -499,7 +499,8 @@ final class Collection private (spark: SparkSession, val path: String) {
     val m = manifest
     val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
       m.segments.flatMap(_.indexBlooms.values) ++
-      m.segments.flatMap(_.offsetIndex)).toSet
+      m.segments.flatMap(_.offsetIndex) ++
+      m.segments.flatMap(_.deleteVector)).toSet
     CollectionMeta.purgeDeferred(dir, live)
     // Full on-demand sweep of orphaned index sidecars: files no RETAINED
     // manifest references (the per-commit ageout sweep handles the steady

@@ -41,7 +41,13 @@ final case class SegmentInfo(
     indexBlooms: Map[String, String] = Map.empty,
     offsetIndex: Option[String] = None,
     nFields: Option[Int] = None,
-    bucket: Option[Int] = None)
+    bucket: Option[Int] = None,
+    // Deletion vector (merge-on-read row-level delete for non-keyed
+    // collections): sidecar bitmap of physically-deleted in-segment row
+    // indices + its cardinality. Immutable per manifest version — a later
+    // delete writes a NEW union sidecar.
+    deleteVector: Option[String] = None,
+    dvDeletes: Long = 0L)
 
 /** A committed collection version: the full list of live segments plus
   * collection-level flags. `mutated` records whether any committed write was
@@ -265,7 +271,7 @@ object CollectionMeta {
     val dead = listDir(collection)
       .map(_.getFileName.toString)
       .filter(n => (n.endsWith(".data") || n.endsWith(".bloom") ||
-        n.endsWith(".koff")) && !live(n))
+        n.endsWith(".koff") || n.endsWith(".dv")) && !live(n))
       .sorted
     if (dead.nonEmpty) {
       val f = dir.resolve(s"dead-${System.nanoTime()}.json")
@@ -326,16 +332,22 @@ object CollectionMeta {
     // them through their own deferred GC. A superseded index build's
     // sidecars, though, may be referenced ONLY by manifests dying here —
     // without this sweep they leak until the next index op or compaction.
+    // Superseded delete vectors age out exactly like superseded index
+    // builds: a newer DELETE's union vector replaces the old sidecar in
+    // later manifests, so the old file may be referenced only by manifests
+    // dying here.
     val dyingSidecars = aged.flatMap { p =>
       try {
-        JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-          .extract[Manifest].segments.flatMap(_.indexBlooms.values)
+        val segs = JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+          .extract[Manifest].segments
+        segs.flatMap(_.indexBlooms.values) ++ segs.flatMap(_.deleteVector)
       } catch { case _: Exception => Nil }
     }.toSet
     aged.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
     if (dyingSidecars.nonEmpty) {
-      val live = retainedManifests(collection)
-        .flatMap(_.segments).flatMap(_.indexBlooms.values).toSet
+      val retained = retainedManifests(collection).flatMap(_.segments)
+      val live = (retained.flatMap(_.indexBlooms.values) ++
+        retained.flatMap(_.deleteVector)).toSet
       (dyingSidecars -- live).foreach(n =>
         try Files.deleteIfExists(collection.resolve(n)) catch { case _: Exception => () })
     }

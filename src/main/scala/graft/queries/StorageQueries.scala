@@ -1128,6 +1128,38 @@ object StorageQueries {
       },
       Some("""SELECT doc_id, lang, source FROM documents
         WHERE lang IN ('en', 'de') AND source LIKE 'src1%'
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- h46
+    // DELETION-VECTOR delete (merge-on-read for non-keyed tables,
+    // `spark.hadro.delete.mode=dv`): the DELETE writes one bitmap sidecar
+    // per affected segment — O(matched rows) bytes — instead of h33's
+    // copy-on-write segment rewrite; readers skip vectored rows on both
+    // decode paths. At 100 TB this is the "delete 0.1% of every segment"
+    // shape where CoW would rewrite the whole corpus. No-rewrite,
+    // union/idempotence, time travel, and compaction fold-away are
+    // spec-asserted (DeleteVectorSpec); the oracle proves reads exact.
+    QueryDef(
+      "h46_dv_delete",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_dv/$tag"
+        s.conf.set("spark.sql.catalog.graft_h46",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h46.warehouse", wh)
+        table(s, dir, "lineitem").repartitionByRange(8, $"l_orderkey")
+          .write.format("hadro").mode("overwrite").save(s"$wh/db/li")
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try s.sql("DELETE FROM graft_h46.db.li WHERE l_quantity >= 30.0")
+        finally s.conf.unset("spark.hadro.delete.mode")
+        s.sql("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          FROM graft_h46.db.li GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem WHERE NOT (l_quantity >= 30.0)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

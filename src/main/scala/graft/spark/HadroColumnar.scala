@@ -49,8 +49,16 @@ object HadroColumnar {
   * vectors. Only reachable for flat schemas without metadata columns. */
 final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
     required: StructType, startOffset: Long = 0L, endOffset: Long = -1L,
-    nFields: Int = -1) extends PartitionReader[ColumnarBatch] {
+    nFields: Int = -1, startRow: Long = 0L, deleteVector: Option[String] = None)
+    extends PartitionReader[ColumnarBatch] {
   import HadroColumnar._
+
+  // Deletion vector: physically-deleted in-segment row indices — skipped
+  // like tombstones. rowIndex tracks this range's position in the segment.
+  private val dvBits: java.util.BitSet =
+    deleteVector.map(n => graft.format.DeleteVector.read(file.getParent.resolve(n)))
+      .orNull
+  private var rowIndex: Long = startRow - 1L
 
   // Additive schema evolution: records in this segment carry only the first
   // `n` schema fields; required columns beyond get per-row nulls.
@@ -86,7 +94,10 @@ final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
     var row = 0
     vectors.foreach(_.reset())
     while (row < BatchSize && { if (reader.advance()) true else { exhausted = true; false } }) {
-      if ((reader.flags & RecordCodec.DeletedFlag) == 0) { // tombstone skip
+      rowIndex += 1
+      if ((reader.flags & RecordCodec.DeletedFlag) == 0 &&
+          (dvBits == null || rowIndex > Int.MaxValue ||
+            !dvBits.get(rowIndex.toInt))) { // tombstone + deletion-vector skip
         val buf = ByteBuffer.wrap(reader.buffer, reader.payloadOffset, reader.payloadLength)
         buf.get(bitmap, 0, bitmapLen)
         var i = 0

@@ -334,7 +334,13 @@ object HadroAggPushdown {
     def presentIn(seg: SegmentInfo, ordinal: Int): Boolean =
       seg.nFields.forall(ordinal < _)
 
+    // Deletion vectors make per-column stats inexact (nullCount and
+    // min/max were computed over rows some of which are now deleted):
+    // only COUNT(*) stays answerable — the vector cardinality is exact.
+    val hasDv = live.exists(_.dvDeletes > 0)
+
     def countCol(f: StructField, ord: Int): Option[Long] = {
+      if (hasDv) return None
       var total = 0L
       live.foreach { s =>
         if (presentIn(s, ord)) s.stats.get(f.name) match {
@@ -349,6 +355,7 @@ object HadroAggPushdown {
     // round-trips exactly, but -0.0/NaN ordering for float/double is
     // engine-subtle, so those take the scan path.
     def minMax(f: StructField, ord: Int, wantMin: Boolean): Option[Option[Any]] = {
+      if (hasDv) return None // the extremum row may be vector-deleted
       f.dataType match {
         case FloatType | DoubleType => return None
         case dt if !StatsCollector.isOrderable(dt) => return None
@@ -377,7 +384,7 @@ object HadroAggPushdown {
     val planned: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         Some((StructField("count_star", LongType, nullable = false),
-          live.map(s => s.rows - s.tombstones).sum: Any))
+          live.map(s => s.rows - s.tombstones - s.dvDeletes).sum: Any))
       case c: Count if !c.isDistinct =>
         fieldOf(c.column).flatMap { case (f, ord) =>
           countCol(f, ord).map(n =>
@@ -532,7 +539,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       case (Some(n), true) =>
         var acc = 0L
         survivors.takeWhile { seg =>
-          val need = acc < n; acc += seg.rows - seg.tombstones; need
+          val need = acc < n; acc += seg.rows - seg.tombstones - seg.dvDeletes; need
         }
       case (None, true) => topNPrune(manifest, survivors)
       case _ => survivors
@@ -590,7 +597,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       var cutoff: Any = null
       keyed.sortWith((a, b) => before(a._2, b._2)).foreach { case (seg, _, worst) =>
         if (acc < n) {
-          acc += seg.rows
+          acc += seg.rows - seg.dvDeletes // live rows only (mutated is gated off)
           if (cutoff == null || before(cutoff, worst)) cutoff = worst
         }
       }
@@ -739,7 +746,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
         BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, pushed, storedSchema))
     val bytes = kept.map(_.bytes).sum
-    val rows = kept.map(s => s.rows - s.tombstones).sum
+    val rows = kept.map(s => s.rows - s.tombstones - s.dvDeletes).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
@@ -803,7 +810,7 @@ object HadroScan {
   * write-time prefix and null-fill appended columns. */
 final case class HadroInputPartition(file: String, ordinal: Long,
     startOffset: Long, startRow: Long, endOffset: Long,
-    nFields: Int = -1) extends InputPartition
+    nFields: Int = -1, deleteVector: Option[String] = None) extends InputPartition
 
 /** A hadro input partition carrying its storage bucket as the DSv2
   * partition key — what lets Spark group co-bucketed scans for
@@ -822,12 +829,13 @@ object HadroInputPartition {
     val file = path.resolve(seg.file).toString
     val nf = seg.nFields.getOrElse(-1)
     if (seg.splits.isEmpty)
-      Seq(HadroInputPartition(file, seg.ordinal, 0L, 0L, -1L, nf))
+      Seq(HadroInputPartition(file, seg.ordinal, 0L, 0L, -1L, nf, seg.deleteVector))
     else {
       val starts = graft.meta.SplitPoint(0L, 0L) +: seg.splits
       starts.zipWithIndex.map { case (sp, i) =>
         val end = if (i + 1 < starts.length) starts(i + 1).offset else -1L
-        HadroInputPartition(file, seg.ordinal, sp.offset, sp.row, end, nf)
+        HadroInputPartition(file, seg.ordinal, sp.offset, sp.row, end, nf,
+          seg.deleteVector)
       }
     }
   }
@@ -853,13 +861,13 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = unwrap(partition)
     new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
-      p.startOffset, p.startRow, p.endOffset, p.nFields)
+      p.startOffset, p.startRow, p.endOffset, p.nFields, p.deleteVector)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = unwrap(partition)
     new HadroColumnarPartitionReader(Paths.get(p.file), dataSchema, required,
-      p.startOffset, p.endOffset, p.nFields)
+      p.startOffset, p.endOffset, p.nFields, p.startRow, p.deleteVector)
   }
 }
 
@@ -869,7 +877,14 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType)
 final class HadroPartitionReader(file: Path, ordinal: Long,
     dataSchema: StructType, required: StructType,
     startOffset: Long = 0L, startRow: Long = 0L, endOffset: Long = -1L,
-    nFields: Int = -1) extends PartitionReader[InternalRow] {
+    nFields: Int = -1, deleteVector: Option[String] = None)
+    extends PartitionReader[InternalRow] {
+
+  // Deletion vector: rows whose in-segment index is set are PHYSICALLY
+  // deleted — skipped unconditionally, even in changefeed (raw) mode.
+  private val dvBits: java.util.BitSet =
+    deleteVector.map(n => graft.format.DeleteVector.read(file.getParent.resolve(n)))
+      .orNull
 
   private val dataFields = required.fields.filterNot(f => HadroTable.MetaColNames(f.name))
   private val wantSeq = required.fieldNames.contains(HadroTable.SeqCol)
@@ -902,6 +917,7 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   override def next(): Boolean = {
     while (reader.advance()) {
       rowIndex += 1
+      if (dvBits == null || rowIndex > Int.MaxValue || !dvBits.get(rowIndex.toInt)) {
       val deleted = (reader.flags & RecordCodec.DeletedFlag) != 0
       if (!deleted || wantDeleted) { // tombstone skip: engine.py:169
         val decoded = decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength)
@@ -920,6 +936,7 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
             out
           }
         return true
+      }
       }
     }
     false

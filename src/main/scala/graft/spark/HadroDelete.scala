@@ -158,7 +158,11 @@ object HadroDeleteSupport {
 
     meta.keyField match {
       case Some(k) => deleteKeyed(spark, path, k, cond, m0.mutated)
-      case None => deleteCopyOnWrite(spark, path, filters, cond, m0, meta)
+      case None =>
+        val mode = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.hadro.delete.mode", "cow")
+        if (mode.equalsIgnoreCase("dv")) deleteVectors(spark, path, cond, m0)
+        else deleteCopyOnWrite(spark, path, filters, cond, m0, meta)
     }
   }
 
@@ -221,5 +225,70 @@ object HadroDeleteSupport {
       case _ => ()
     }
     writer.save(path.toString)
+  }
+
+  /** Non-keyed delete via DELETION VECTORS (merge-on-read), opt-in with
+    * `spark.hadro.delete.mode=dv`: one bitmap sidecar per affected segment
+    * marks the matched in-segment row indices — O(matched rows) bytes
+    * written instead of CoW's O(affected segment bytes) rewrite, the right
+    * trade when deletes touch a small fraction of huge segments. Matching
+    * rides the normal pruned scan (stats/bloom segment skipping applies);
+    * bitmaps are built and written one EXECUTOR task per affected segment
+    * (the shuffle key is the segment ordinal, same shape as index builds);
+    * one metadata commit flips every segment to its new union vector.
+    * Readers skip vectored rows unconditionally, so the delete is
+    * idempotent — a re-run cannot re-match hidden rows. Sidecars are
+    * immutable: retained manifest versions keep their exact historical
+    * view (time travel), and a concurrent truncate/compaction aborts the
+    * commit with a retryable error instead of resurrecting rows. */
+  private def deleteVectors(spark: SparkSession, path: Path, cond: Column,
+      m0: graft.meta.Manifest): Unit = {
+    import org.apache.spark.sql.Encoders
+    val seqc = col(graft.spark.HadroTable.SeqCol)
+    val mask = (1L << HadroTable.SeqOrdinalShift) - 1
+    val pairs = spark.read.format("hadro").load(path.toString)
+      .filter(cond)
+      .select(
+        call_function("shiftright", seqc, lit(HadroTable.SeqOrdinalShift)).as("ord"),
+        seqc.bitwiseAND(lit(mask)).as("row"))
+      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val dirStr = path.toString
+    val existing: Map[Long, String] =
+      m0.segments.flatMap(s => s.deleteVector.map(s.ordinal -> _)).toMap
+    val segFiles: Map[Long, String] = m0.segments.map(s => s.ordinal -> s.file).toMap
+    val buildId = java.lang.Long.toHexString(System.nanoTime())
+    val results: Array[(Long, String, Long)] = pairs
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (ord, it) =>
+        val base = java.nio.file.Paths.get(dirStr)
+        val bits = existing.get(ord)
+          .map(n => graft.format.DeleteVector.read(base.resolve(n)))
+          .getOrElse(new java.util.BitSet())
+        it.foreach { case (_, r) =>
+          require(r <= Int.MaxValue, s"hadro: row index $r exceeds vector range")
+          bits.set(r.toInt)
+        }
+        val name = s"${segFiles(ord)}.dv-$buildId.dv"
+        graft.format.DeleteVector.write(base.resolve(name), bits)
+        (ord, name, bits.cardinality().toLong)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
+      .collect()
+    if (results.isEmpty) return // no matching rows anywhere
+    val byOrd = results.map(r => r._1 -> r).toMap
+    CollectionMeta.commit(path, cur => {
+      require(cur.generation == m0.generation,
+        "hadro: DELETE conflicted with a concurrent truncate/compaction — retry")
+      byOrd.keys.foreach { ord =>
+        require(cur.segments.exists(s => s.ordinal == ord && s.file == segFiles(ord)),
+          "hadro: DELETE conflicted with a concurrent segment rewrite — retry")
+      }
+      cur.copy(segments = cur.segments.map { s =>
+        byOrd.get(s.ordinal) match {
+          case Some((_, name, total)) =>
+            s.copy(deleteVector = Some(name), dvDeletes = total)
+          case None => s
+        }
+      })
+    })
   }
 }

@@ -404,7 +404,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       val m = CollectionMeta.currentManifest(path)
       val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
         m.segments.flatMap(_.indexBlooms.values) ++
-        m.segments.flatMap(_.offsetIndex)).toSet
+        m.segments.flatMap(_.offsetIndex) ++
+        m.segments.flatMap(_.deleteVector)).toSet
       CollectionMeta.deferredGc(path, live)
       CollectionMeta.gcManifestsBefore(path, m.version)
     }

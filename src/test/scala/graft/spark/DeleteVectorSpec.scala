@@ -1,0 +1,124 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** Deletion vectors: merge-on-read row-level delete for non-keyed
+  * collections (`spark.hadro.delete.mode=dv`). A DELETE writes one bitmap
+  * sidecar per affected segment instead of rewriting segment bytes; readers
+  * skip vectored rows on both the row and columnar paths; sidecars are
+  * immutable so retained versions time-travel exactly. */
+class DeleteVectorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def withDvMode[A](body: => A): A = {
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try body finally spark.conf.unset("spark.hadro.delete.mode")
+  }
+
+  private def catalogTable(name: String): (String, java.nio.file.Path) = {
+    val wh = Files.createTempDirectory("dv_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[HadroCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    (wh, java.nio.file.Paths.get(wh, "db", "t"))
+  }
+
+  test("dv delete hides rows without rewriting segments; cow stays default") {
+    val (_, dir) = catalogTable("dvcat")
+    spark.sql("CREATE TABLE dvcat.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO dvcat.db.t SELECT id, id * 1.0 FROM range(0, 500, 1, 4)")
+    val before = CollectionMeta.currentManifest(dir)
+    assert(before.segments.nonEmpty)
+
+    withDvMode {
+      // a V1-translatable predicate: only SupportsDeleteV2.deleteWhere has
+      // the dv hook (untranslatable predicates route to the row-level CoW op)
+      spark.sql("DELETE FROM dvcat.db.t WHERE id >= 100 AND id < 150")
+    }
+    val after = CollectionMeta.currentManifest(dir)
+    // same physical segment files — only vectors were added
+    assert(after.segments.map(_.file) == before.segments.map(_.file))
+    assert(after.segments.exists(_.deleteVector.isDefined))
+    assert(after.segments.map(_.dvDeletes).sum == 50L)
+    assert(!after.mutated, "dv deletes must not flip the LWW-resolution flag")
+
+    // row results: deleted ids gone, everything else intact (columnar path)
+    val left = spark.table("dvcat.db.t")
+    assert(left.count() == 450)
+    assert(left.filter($"id" >= 100 && $"id" < 150).count() == 0)
+    assert(left.agg(sum($"id")).head().getLong(0) ==
+      (0L until 500L).filterNot(i => i >= 100 && i < 150).sum)
+    // row-reader path (metadata column request) skips the same rows
+    val raw = spark.read.format("hadro").load(dir.toString)
+      .select($"id", col(HadroTable.SeqCol))
+    assert(raw.count() == 450)
+    // changefeed view: vectored rows are PHYSICALLY gone (unlike tombstones)
+    val feed = spark.read.format("hadro").option("hadro.changefeed", "full")
+      .load(dir.toString)
+    assert(feed.count() == 450)
+    spark.sql("DROP TABLE dvcat.db.t")
+  }
+
+  test("second dv delete unions; the delete is idempotent; COUNT(*) stays exact") {
+    val (_, dir) = catalogTable("dvcat2")
+    spark.sql("CREATE TABLE dvcat2.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO dvcat2.db.t SELECT id, id * 1.0 FROM range(0, 300, 1, 2)")
+    withDvMode {
+      spark.sql("DELETE FROM dvcat2.db.t WHERE id < 50")
+      val v1 = CollectionMeta.currentManifest(dir)
+      spark.sql("DELETE FROM dvcat2.db.t WHERE id >= 250")
+      val v2 = CollectionMeta.currentManifest(dir)
+      assert(v2.segments.map(_.dvDeletes).sum == 100L)
+      // a fresh union sidecar per delete — versions stay immutable
+      val dv1 = v1.segments.flatMap(_.deleteVector).toSet
+      val dv2 = v2.segments.flatMap(_.deleteVector).toSet
+      assert(dv1.nonEmpty && (dv2 -- dv1).nonEmpty)
+      // idempotent: hidden rows cannot re-match
+      spark.sql("DELETE FROM dvcat2.db.t WHERE id < 50")
+      assert(CollectionMeta.currentManifest(dir).segments.map(_.dvDeletes).sum == 100L)
+    }
+    assert(spark.table("dvcat2.db.t").count() == 200)
+    // COUNT(*) answers from the manifest (vector cardinality is exact)
+    assert(spark.sql("SELECT COUNT(*) FROM dvcat2.db.t").head().getLong(0) == 200)
+    // Collection.count() metadata fast path agrees
+    assert(Collection(spark, dir.toString).count() == 200)
+    spark.sql("DROP TABLE dvcat2.db.t")
+  }
+
+  test("time travel sees pre-delete state; compaction folds vectors away") {
+    val (_, dir) = catalogTable("dvcat3")
+    spark.sql("CREATE TABLE dvcat3.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO dvcat3.db.t SELECT id, id * 1.0 FROM range(0, 200, 1, 2)")
+    val v0 = CollectionMeta.currentManifest(dir).version
+    withDvMode { spark.sql("DELETE FROM dvcat3.db.t WHERE id >= 150") }
+
+    assert(spark.table("dvcat3.db.t").count() == 150)
+    val asOf = spark.read.option("hadro.versionAsOf", v0)
+      .format("hadro").load(dir.toString)
+    assert(asOf.count() == 200, "pinned pre-delete version must see all rows")
+
+    val c = Collection(spark, dir.toString)
+    c.compact()
+    val m = CollectionMeta.currentManifest(dir)
+    assert(m.segments.forall(_.deleteVector.isEmpty), "compaction clears vectors")
+    assert(m.segments.map(_.rows).sum == 150)
+    assert(spark.table("dvcat3.db.t").count() == 150)
+    spark.sql("DROP TABLE dvcat3.db.t")
+  }
+
+  test("a delete matching nothing commits nothing") {
+    val (_, dir) = catalogTable("dvcat4")
+    spark.sql("CREATE TABLE dvcat4.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO dvcat4.db.t SELECT id, id * 1.0 FROM range(0, 100, 1, 1)")
+    val v0 = CollectionMeta.currentManifest(dir).version
+    withDvMode { spark.sql("DELETE FROM dvcat4.db.t WHERE id > 10000") }
+    assert(CollectionMeta.currentManifest(dir).version == v0)
+    spark.sql("DROP TABLE dvcat4.db.t")
+  }
+}
