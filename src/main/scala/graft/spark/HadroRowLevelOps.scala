@@ -89,12 +89,19 @@ final class HadroDeltaOperation(path: Path, schema: StructType,
     * a distributed job, nothing driver-side — and scanned from there.
     * That is the honest merge-on-read price; `compact()` resets a
     * collection to pure-append and restores the direct path. */
+  /** Root of the statement-scoped resolved copy, if one was materialized;
+    * deleted by the write's commit/abort so repeated statements don't leak
+    * full-collection copies on local disk. */
+  @volatile private[spark] var resolvedTmpRoot: Option[Path] = None
+
   private lazy val scanPath: Path = {
     val m = CollectionMeta.currentManifest(path)
     if (!m.mutated || m.segments.isEmpty) path
     else {
       val spark = org.apache.spark.sql.SparkSession.active
-      val tmp = Files.createTempDirectory("hadro-rlo-resolved").resolve("view")
+      val root = Files.createTempDirectory("hadro-rlo-resolved")
+      resolvedTmpRoot = Some(root)
+      val tmp = root.resolve("view")
       val full = spark.read.format("hadro")
         .option("hadro.changefeed", "full").load(path.toString)
       val w = Window.partitionBy(col(key)).orderBy(col(HadroTable.SeqCol).desc)
@@ -107,18 +114,29 @@ final class HadroDeltaOperation(path: Path, schema: StructType,
     }
   }
 
+  /** Best-effort removal of the statement's resolved temp copy. */
+  private[spark] def cleanupResolved(): Unit = resolvedTmpRoot.foreach { root =>
+    resolvedTmpRoot = None
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Exception => () } // leak-on-error beats failing the op
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HadroScanBuilder(scanPath, schema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new HadroDeltaWrite(path, info, key)
+      override def build(): DeltaWrite =
+        new HadroDeltaWrite(path, info, key, HadroDeltaOperation.this)
     }
 }
 
 /** The delta write: appended data + tombstone segments in one commit. */
-final class HadroDeltaWrite(path: Path, info: LogicalWriteInfo, key: String)
-    extends DeltaWrite {
+final class HadroDeltaWrite(path: Path, info: LogicalWriteInfo, key: String,
+    op: HadroDeltaOperation) extends DeltaWrite {
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     // ensureSchema + commit/abort come from the plain append write path:
@@ -139,10 +157,22 @@ final class HadroDeltaWrite(path: Path, info: LogicalWriteInfo, key: String)
       new HadroDeltaWriterFactory(path.toString, storedSchema, info.schema(),
         rowIdSchema, keyOrdinal, indexOrdinals)
 
-    override def commit(messages: Array[WriterCommitMessage]): Unit =
-      underlying.commit(messages)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      // Ordinals are assigned across ALL tasks in message order at commit,
+      // so per-task ordering (tombs before data within one writer) is not
+      // enough: a key tombstoned by task B and re-inserted by task A would
+      // otherwise resolve to whichever task's message came later. Reorder
+      // globally — every tombstone segment before every data segment — so
+      // a delete of an old key can never shadow another row's insert of
+      // the same key within this statement.
+      val infos = messages.collect { case m: HadroCommitMessage => m.infos }.flatten
+      val (tombs, data) = infos.partition(_.tombstones > 0)
+      try underlying.commit(Array(HadroCommitMessage(tombs.toSeq ++ data.toSeq)))
+      finally op.cleanupResolved()
+    }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
-      underlying.abort(messages)
+      try underlying.abort(messages)
+      finally op.cleanupResolved()
   }
 }
 
@@ -157,11 +187,11 @@ final class HadroDeltaWriterFactory(path: String, storedSchema: StructType,
 
 /** Routes delta actions onto two plain segment writers: inserts (and the
   * insert half of updates) append full rows; deletes (and the delete half)
-  * append key-only tombstones. At commit the tombstone segments are listed
-  * FIRST so they take lower ordinals than the data segments — a key that
-  * is deleted and re-inserted in the same statement resolves to the
-  * insert. (A single statement produces at most one action per key: the
-  * scan is LWW-resolved, so each key appears once.) */
+  * append key-only tombstones. The STATEMENT-LEVEL commit
+  * ([[HadroDeltaWrite]]) reorders all tombstone segments before all data
+  * segments across tasks — a key that is deleted (old key of a
+  * key-changing update in one task) and re-inserted (new key produced by
+  * a different row in another task) resolves to the insert. */
 final class HadroDeltaWriter(dir: Path, storedSchema: StructType,
     rowSchema: StructType, rowIdSchema: StructType,
     partitionId: Int, taskId: Long, keyOrdinal: Option[Int],

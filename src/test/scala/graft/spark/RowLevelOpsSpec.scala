@@ -74,6 +74,29 @@ class RowLevelOpsSpec extends SparkSuite {
     assert(out == Seq((2L, "y"), (99L, "x")), s"got $out")
   }
 
+  test("key-changing UPDATE across scan tasks loses no rows") {
+    // SET id = id + 1 with one key per segment: key k's tombstone is
+    // written by the task scanning segment k, its re-insert (from key k-1)
+    // by a DIFFERENT task. Commit must order every tombstone segment
+    // before every data segment GLOBALLY — per-task ordering alone gives
+    // the tombstone of key k a higher ordinal than its insert whenever
+    // task k's message flattens after task k-1's, silently deleting the
+    // row under last-write-wins.
+    val wh = freshCatalog("rlo_kx")
+    val path = s"$wh/db/t"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s")
+      .repartition(4, $"id")
+    df.write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+    assert(CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+      .segments.count(_.rows > 0) >= 2, "need multiple scan tasks")
+
+    spark.sql("UPDATE rlo_kx.db.t SET id = id + 1")
+
+    val out = Collection(spark, path).toDF().select($"id", $"s").orderBy($"id")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "a"), (3L, "b"), (4L, "c"), (5L, "d")), s"got $out")
+  }
+
   test("UPDATE on a non-keyed collection rewrites only affected segments") {
     val wh = freshCatalog("rlo_cow")
     val path = s"$wh/db/t"
