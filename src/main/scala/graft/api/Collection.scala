@@ -519,7 +519,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     * prune segments for filters on ANY of them — the multi-predicate
     * layout a single-column sort can't give. Same atomicity/GC path as
     * [[compact]] (manifest swap, deferred physical GC). */
-  def cluster(cols: Seq[String], numSegments: Int = 16): Unit = {
+  def cluster(cols: Seq[String], numSegments: Int = 16): Unit = withConflictRetry {
     val schema = CollectionMeta.readSchema(dir).get.schema
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column '$c' not in ${schema.simpleString}"))
@@ -542,11 +542,31 @@ final class Collection private (spark: SparkSession, val path: String) {
     w.save(path)
   }
 
+  /** Bounded auto-retry for maintenance rewrites whose pinned snapshot a
+    * concurrent commit invalidated (truncate, overwrite, dv delete): the
+    * body re-reads the manifest each attempt, so retrying IS re-planning.
+    * After `attempts` consecutive conflicts the last error propagates —
+    * livelock beats silent data movement, and five lost races in a row
+    * means something is hammering the collection anyway. */
+  private def withConflictRetry[A](body: => A, attempts: Int = 5): A = {
+    var n = 0
+    while (true) {
+      try return body
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("conflicted") =>
+          n += 1
+          if (n >= attempts) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Rewrite the collection to only live, resolved rows (#23) — the
     * compaction/merge the reference names as a needed maintenance job but
     * never builds (`hadro/engine.py:53`). Atomic: readers see the old
     * manifest until the rewrite commits. */
-  def compact(): Unit = {
+  def compact(): Unit = withConflictRetry {
     // No dataset-sized cache: segments are immutable and the read plan is
     // pinned to manifest version v0, so write tasks stream resolved rows
     // from the OLD segment files into fresh ones; the manifest swap +
@@ -645,6 +665,10 @@ final class Collection private (spark: SparkSession, val path: String) {
       var w = packed.write.format("hadro").mode("append")
         .option("hadro.replaceFiles", files)
         .option("hadro.replaceGen", gen.toString)
+        // bin-time dv state: a concurrent dv DELETE on a binned segment
+        // conflicts (stop-and-report) instead of losing its deletions
+        .option("hadro.replaceDv",
+          bin.map(s => s"${s.file}=${s.deleteVector.getOrElse("")}").mkString(","))
       if (m0.mutated) w = w.option("hadro.deleteCol", "__hadro_delete")
       (m0.bucketBy, m0.numBuckets) match {
         case (Some(c), Some(n)) =>

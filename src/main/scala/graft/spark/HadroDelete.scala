@@ -161,9 +161,56 @@ object HadroDeleteSupport {
       case None =>
         val mode = org.apache.spark.sql.internal.SQLConf.get
           .getConfString("spark.hadro.delete.mode", "cow")
-        if (mode.equalsIgnoreCase("dv")) deleteVectors(spark, path, cond, m0)
-        else deleteCopyOnWrite(spark, path, filters, cond, m0, meta)
+        // Bounded auto-retry for BOTH modes: a conflicting dv delete /
+        // compaction / rewrite landing between our scan and commit is
+        // detected as a retryable conflict — re-plan against the fresh
+        // manifest and re-run the whole statement (idempotent: rows
+        // already deleted by the competing commit cannot re-match).
+        val useDv = mode.equalsIgnoreCase("dv")
+        var attempt = 0
+        var done = false
+        while (!done) {
+          val m = if (attempt == 0) m0 else CollectionMeta.currentManifest(path)
+          try {
+            if (useDv) deleteVectors(spark, path, cond, m)
+            else deleteCopyOnWrite(spark, path, filters, cond, m, meta)
+            done = true
+          } catch {
+            case e: Exception if isRetryableConflict(e) =>
+              attempt += 1
+              if (attempt >= 5) throw new IllegalStateException(
+                s"hadro: DELETE on $path kept conflicting after $attempt " +
+                  "attempts — giving up", e)
+          }
+        }
     }
+  }
+
+  /** A manifest commit declined because a concurrent commit invalidated
+    * the snapshot this operation planned against. Always safe to retry
+    * from a fresh manifest. */
+  private[spark] final class HadroConflictException(msg: String)
+      extends RuntimeException(msg)
+
+  /** True for errors that mean "the snapshot moved; re-plan and re-run":
+    * our own [[HadroConflictException]] and the replace-commit's
+    * "...conflicted..." IllegalStateException (also when Spark wraps
+    * either inside a job/write failure). */
+  private[spark] def isRetryableConflict(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 8) {
+      t match {
+        case _: HadroConflictException => return true
+        case ise: IllegalStateException
+            if ise.getMessage != null && ise.getMessage.contains("conflicted") =>
+          return true
+        case _ => ()
+      }
+      t = t.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Keyed delete: append one tombstone per key whose latest live version
@@ -218,6 +265,10 @@ object HadroDeleteSupport {
     var writer = keep.write.format("hadro").mode("append")
       .option("hadro.replaceFiles", affected.map(_.file).mkString(","))
       .option("hadro.replaceGen", m0.generation.toString)
+      // plan-time dv state per replaced file: a dv DELETE landing between
+      // this plan and the commit conflicts instead of being resurrected
+      .option("hadro.replaceDv",
+        affected.map(s => s"${s.file}=${s.deleteVector.getOrElse("")}").mkString(","))
     // a bucketed collection's rewritten segments re-tag under the same spec
     (m0.bucketBy, m0.numBuckets) match {
       case (Some(c), Some(n)) =>
@@ -239,8 +290,13 @@ object HadroDeleteSupport {
     * Readers skip vectored rows unconditionally, so the delete is
     * idempotent — a re-run cannot re-match hidden rows. Sidecars are
     * immutable: retained manifest versions keep their exact historical
-    * view (time travel), and a concurrent truncate/compaction aborts the
-    * commit with a retryable error instead of resurrecting rows. */
+    * view (time travel). Any concurrent conflicting commit — truncate,
+    * compaction, segment rewrite, or ANOTHER deletion-vector commit whose
+    * union this attempt did not build on — aborts with
+    * [[HadroConflictException]]; the statement-level loop in
+    * [[deleteWhere]] then re-plans against the fresh manifest and retries
+    * (bounded), so concurrent dv deletes serialize instead of silently
+    * resurrecting each other's rows. */
   private def deleteVectors(spark: SparkSession, path: Path, cond: Column,
       m0: graft.meta.Manifest): Unit = {
     import org.apache.spark.sql.Encoders
@@ -275,12 +331,29 @@ object HadroDeleteSupport {
       .collect()
     if (results.isEmpty) return // no matching rows anywhere
     val byOrd = results.map(r => r._1 -> r).toMap
+    def conflict(msg: String): Nothing = {
+      // drop this attempt's orphaned sidecars before re-planning
+      results.foreach { case (_, name, _) =>
+        try java.nio.file.Files.deleteIfExists(path.resolve(name))
+        catch { case _: Exception => () }
+      }
+      throw new HadroConflictException(msg)
+    }
     CollectionMeta.commit(path, cur => {
-      require(cur.generation == m0.generation,
+      if (cur.generation != m0.generation) conflict(
         "hadro: DELETE conflicted with a concurrent truncate/compaction — retry")
       byOrd.keys.foreach { ord =>
-        require(cur.segments.exists(s => s.ordinal == ord && s.file == segFiles(ord)),
-          "hadro: DELETE conflicted with a concurrent segment rewrite — retry")
+        val seg = cur.segments.find(s => s.ordinal == ord && s.file == segFiles(ord))
+          .getOrElse(conflict(
+            "hadro: DELETE conflicted with a concurrent segment rewrite — retry"))
+        // The union was built on top of m0's vector: if the CURRENT vector
+        // differs, another dv delete (or row-level op) committed in between
+        // and replacing its sidecar with ours would silently resurrect the
+        // rows it deleted. Identity (ordinal,file,generation) does NOT
+        // catch that — the base vector itself must be unchanged.
+        if (seg.deleteVector != existing.get(ord)) conflict(
+          "hadro: DELETE conflicted with a concurrent deletion-vector " +
+            "commit — retry")
       }
       cur.copy(segments = cur.segments.map { s =>
         byOrd.get(s.ordinal) match {

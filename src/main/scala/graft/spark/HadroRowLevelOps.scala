@@ -228,8 +228,11 @@ final class HadroDeltaWriter(dir: Path, storedSchema: StructType,
 final class HadroCowOperation(path: Path, schema: StructType,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
-  /** (planned files, pinned generation), set by the scan at planning. */
-  @volatile private[spark] var planned: Option[(Seq[String], Long)] = None
+  /** (planned files, pinned generation, per-file plan-time deletion
+    * vector), set by the scan at planning. The dv snapshot makes a
+    * concurrent dv DELETE a detected conflict instead of a silent
+    * resurrection (commit validates it). */
+  @volatile private[spark] var planned: Option[ReplaceSpec] = None
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -296,7 +299,8 @@ final class HadroCowScan(op: HadroCowOperation, path: Path,
       SegmentSkipper.mightMatch(seg, filters, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, filters, storedSchema) &&
         BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, filters, storedSchema))
-    op.planned = Some((affected.map(_.file), manifest.generation))
+    op.planned = Some(ReplaceSpec(affected.map(_.file), manifest.generation,
+      affected.map(s => s.file -> s.deleteVector).toMap))
     affected.flatMap(seg => HadroInputPartition.ranges(path, seg)).toArray
   }
 
@@ -311,7 +315,7 @@ final class HadroCowScan(op: HadroCowOperation, path: Path,
 final class HadroCowBatchWrite(path: Path, writeSchema: StructType,
     op: HadroCowOperation) extends BatchWrite {
 
-  private def delegate(replaceSpec: Option[(Seq[String], Long)]) =
+  private def delegate(replaceSpec: Option[ReplaceSpec]) =
     new HadroBatchWrite(path, writeSchema, graft.format.Consistency.Relaxed,
       tombstone = false, mutating = false, truncate = false, keyField = None,
       replaceSpec = replaceSpec)
@@ -320,11 +324,11 @@ final class HadroCowBatchWrite(path: Path, writeSchema: StructType,
     delegate(None).createBatchWriterFactory(info)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val (files, gen) = op.planned.getOrElse(throw new IllegalStateException(
+    val spec = op.planned.getOrElse(throw new IllegalStateException(
       "hadro: row-level write committed before its scan planned — " +
         "cannot determine which files to replace"))
-    if (files.isEmpty) { abort(messages); return } // statically-proven no-op
-    delegate(Some((files, gen))).commit(messages)
+    if (spec.files.isEmpty) { abort(messages); return } // statically-proven no-op
+    delegate(Some(spec)).commit(messages)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

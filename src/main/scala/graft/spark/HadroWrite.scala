@@ -81,7 +81,7 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     // hadro.replaceGen (the generation observed when the files were
     // chosen); a concurrent truncate/compaction/replace conflicts and
     // aborts instead of resurrecting or dropping data.
-    private def replaceSpec: Option[(Seq[String], Long)] = {
+    private def replaceSpec: Option[ReplaceSpec] = {
       val files = Option(opts.get("hadro.replaceFiles")).filter(_.nonEmpty)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       files.map { fs =>
@@ -89,7 +89,17 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
           .getOrElse(throw new IllegalArgumentException(
             "hadro: hadro.replaceFiles requires hadro.replaceGen (the pinned generation)"))
         require(fs.nonEmpty, "hadro: hadro.replaceFiles must name at least one file")
-        (fs, gen)
+        // "f1=dv1,f2=,f3=dv3": each replaced file's deletion-vector sidecar
+        // at plan time; empty value = no vector. Absent option = no check.
+        val dv = Option(opts.get("hadro.replaceDv")).filter(_.nonEmpty)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { pair =>
+            val i = pair.indexOf('=')
+            require(i >= 0, s"hadro: malformed hadro.replaceDv entry '$pair'")
+            val f = pair.substring(0, i)
+            val v = pair.substring(i + 1)
+            f -> (if (v.isEmpty) None else Some(v))
+          }.toMap).getOrElse(Map.empty[String, Option[String]])
+        ReplaceSpec(fs, gen, dv)
       }
     }
     // Storage bucketing: both options or neither. hadro.bucketBy accepts a
@@ -221,6 +231,16 @@ private[spark] object HadroWriteInit {
     }
 }
 
+/** A partial-rewrite replace commit: the write's new segments replace
+  * `files`, valid only while the manifest still carries pinned generation
+  * `gen`. `expectedDv` records each replaced file's deletion-vector
+  * sidecar at PLAN time — a commit observing different dv state conflicts
+  * (a concurrent dv DELETE landed whose rows this rewrite did not fold
+  * in; replacing the file would resurrect them). Empty map = no check
+  * (caller predates vectors or proved none can exist). */
+final case class ReplaceSpec(files: Seq[String], gen: Long,
+    expectedDv: Map[String, Option[String]] = Map.empty)
+
 final class HadroBatchWrite(path: Path, schema: StructType,
     consistency: Consistency.Value, tombstone: Boolean, mutating: Boolean,
     truncate: Boolean, keyField: Option[String],
@@ -231,7 +251,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     compactOfGen: Option[Long] = None,
     maxSegmentBytes: Long = 0L,
     bucketSpec: Option[(Seq[String], Int)] = None,
-    replaceSpec: Option[(Seq[String], Long)] = None,
+    replaceSpec: Option[ReplaceSpec] = None,
     sortedSpec: Option[String] = None) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
@@ -270,9 +290,16 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     var conflicted = false
 
     def replaceCommit(cur: graft.meta.Manifest, files: Seq[String],
-        gen: Long): graft.meta.Manifest = {
+        gen: Long, expectedDv: Map[String, Option[String]]): graft.meta.Manifest = {
       val fileSet = files.toSet
-      if (cur.generation != gen ||
+      // A deletion-vector commit landing between this rewrite's plan and
+      // its commit changes neither generation nor file identity, but the
+      // rewrite's output was derived WITHOUT those deletions — replacing
+      // the file would silently resurrect the vectored rows. Callers pass
+      // each replaced file's plan-time dv sidecar; any drift conflicts.
+      val dvMoved = expectedDv.nonEmpty && cur.segments.exists(s =>
+        fileSet(s.file) && expectedDv.get(s.file).exists(_ != s.deleteVector))
+      if (cur.generation != gen || dvMoved ||
           !fileSet.subsetOf(cur.segments.map(_.file).toSet)) {
         // a concurrent truncate/compaction/replace no longer carries the
         // files this rewrite covered — abandoning is the only safe move
@@ -308,7 +335,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     }
 
     CollectionMeta.commit(path, cur => replaceSpec match {
-      case Some((files, gen)) => replaceCommit(cur, files, gen)
+      case Some(ReplaceSpec(files, gen, dv)) => replaceCommit(cur, files, gen, dv)
       case None =>
       // A compaction is a rewrite of ONE pinned snapshot: segments that
       // committed after it (concurrent appends/upserts) are NOT part of
@@ -327,9 +354,19 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           } else {
             try {
               val o = CollectionMeta.manifestAt(path, v0)
+              // dv drift since the pin: the rewrite resolved rows as of v0,
+              // so a deletion vector committed after it would be silently
+              // undone by dropping the file — abort and let the caller
+              // re-run against the fresh manifest.
+              val pinnedDv = o.segments.map(s => s.file -> s.deleteVector).toMap
+              val dvMoved = cur.segments.exists(s =>
+                pinnedDv.get(s.file).exists(_ != s.deleteVector))
+              if (dvMoved) { conflicted = true; Seq.empty }
+              else {
               conflicted = false
               val rewritten = o.segments.map(_.file).toSet
               cur.segments.filterNot(s => rewritten.contains(s.file))
+              }
             } catch {
               case _: Exception =>
                 // the pinned manifest is gone (>KeepVersions commits since

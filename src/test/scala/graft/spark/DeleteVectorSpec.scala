@@ -112,6 +112,34 @@ class DeleteVectorSpec extends SparkSuite {
     spark.sql("DROP TABLE dvcat3.db.t")
   }
 
+  test("concurrent dv deletes all land (conflict detected, retried, unioned)") {
+    // Two dv deletes racing on the SAME segment each union against the
+    // pre-statement vector; committing both without a base-vector check
+    // would let the later replace the earlier's sidecar and resurrect its
+    // rows. The commit must detect the moved base and the statement loop
+    // must re-plan — every delete lands exactly once.
+    val (_, dir) = catalogTable("dvcat5")
+    spark.sql("CREATE TABLE dvcat5.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO dvcat5.db.t SELECT id, id * 1.0 FROM range(0, 400, 1, 1)")
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val ranges = Seq((0, 10), (100, 110), (200, 210), (300, 310))
+    withDvMode {
+      val fs = ranges.map { case (lo, hi) => Future {
+        spark.sql(s"DELETE FROM dvcat5.db.t WHERE id >= $lo AND id < $hi")
+      }}
+      Await.result(Future.sequence(fs), 120.seconds)
+    }
+    val m = CollectionMeta.currentManifest(dir)
+    assert(m.segments.map(_.dvDeletes).sum == 40L,
+      s"lost dv delete: ${m.segments.map(_.dvDeletes).sum} of 40 landed")
+    assert(spark.table("dvcat5.db.t").count() == 360)
+    spark.sql("DROP TABLE dvcat5.db.t")
+  }
+
   test("a delete matching nothing commits nothing") {
     val (_, dir) = catalogTable("dvcat4")
     spark.sql("CREATE TABLE dvcat4.db.t (id BIGINT, v DOUBLE) USING hadro")

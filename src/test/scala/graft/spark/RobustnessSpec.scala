@@ -122,6 +122,54 @@ class RobustnessSpec extends SparkSuite {
     assert(m.segments.map(_.ordinal).distinct.length == m.segments.length)
   }
 
+  test("concurrent append + SQL DELETE both land without user-visible failure") {
+    val wh = Files.createTempDirectory("rb_del_wh").toString
+    spark.conf.set("spark.sql.catalog.rb_del", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rb_del.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rb_del.db")
+    spark.sql("CREATE TABLE rb_del.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO rb_del.db.t SELECT id, id * 1.0 FROM range(0, 1000, 1, 2)")
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def worker(body: => Unit) = new Thread(() =>
+      try body catch { case t: Throwable => failures.add(t) })
+    val del = worker(spark.sql("DELETE FROM rb_del.db.t WHERE id >= 0 AND id < 100"))
+    val app = worker(spark.sql(
+      "INSERT INTO rb_del.db.t SELECT id, id * 1.0 FROM range(2000, 2100, 1, 1)"))
+    del.start(); app.start(); del.join(); app.join()
+    assert(failures.isEmpty, s"concurrent op failed: ${failures.peek()}")
+    assert(spark.table("rb_del.db.t").count() == 1000 - 100 + 100)
+    assert(spark.table("rb_del.db.t").filter($"id" < 100).count() == 0)
+    spark.sql("DROP TABLE rb_del.db.t")
+  }
+
+  test("compact racing a dv DELETE: both land, neither resurrects rows") {
+    val wh = Files.createTempDirectory("rb_dvc_wh").toString
+    spark.conf.set("spark.sql.catalog.rb_dvc", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rb_dvc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rb_dvc.db")
+    spark.sql("CREATE TABLE rb_dvc.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO rb_dvc.db.t SELECT id, id * 1.0 FROM range(0, 1000, 1, 2)")
+    val dir = java.nio.file.Paths.get(wh, "db", "t")
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def worker(body: => Unit) = new Thread(() =>
+      try body catch { case t: Throwable => failures.add(t) })
+    val del = worker {
+      spark.conf.set("spark.hadro.delete.mode", "dv")
+      try spark.sql("DELETE FROM rb_dvc.db.t WHERE id >= 500 AND id < 550")
+      finally spark.conf.unset("spark.hadro.delete.mode")
+    }
+    val cmp = worker(Collection(spark, dir.toString).compact())
+    del.start(); cmp.start(); del.join(); cmp.join()
+    assert(failures.isEmpty, s"concurrent op failed: ${failures.peek()}")
+    // whichever order the commits serialized in, the deletion must survive
+    assert(spark.table("rb_dvc.db.t").count() == 950,
+      "a maintenance rewrite resurrected dv-deleted rows")
+    assert(spark.table("rb_dvc.db.t").filter($"id" >= 500 && $"id" < 550).count() == 0)
+    spark.sql("DROP TABLE rb_dvc.db.t")
+  }
+
   test("torn writes are invisible: only manifest-committed segments are scanned") {
     val path = Files.createTempDirectory("torn").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/region.parquet")
