@@ -17,9 +17,13 @@ object Bench {
     // JMH methodology: the timed pass then measures steady-state execution,
     // not first-run JIT/janino/codegen compilation (~25% of a cold full
     // pass is that compile tax). Disable with SPARK_GRAFT_WARMUP=off.
+    // A warmup failure is NOT swallowed silently: the timed pass will hit
+    // (and record) it too, but the earliest stack is often the clearest.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "on") != "off") {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, sfDir).count() catch {
+          case t: Throwable => System.err.println(s"BENCH warmup failure in $name: $t")
+        }
         spark.catalog.clearCache()
       }
     }
@@ -27,29 +31,47 @@ object Bench {
     // microbenchmark statistic — it strips scheduler/GC noise (±40%
     // run-to-run on this container) while never flattering a query that
     // is genuinely slow. SPARK_GRAFT_REPEATS=1 restores single-shot.
+    //
+    // Each rep is timed in TWO phases: `setup` covers fn(spark, sfDir) —
+    // where lifecycle queries eagerly build collections/indexes/codebooks
+    // (h41/h42-style maintenance cost) — and `query` covers the .count()
+    // on the frame it returned, i.e. the actual read path. The per-query
+    // map and query_total report the read path; setup_total aggregates
+    // the build cost so a setup-heavy query can't mask (or fake) a
+    // query-path regression.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt)
     val failures = scala.collection.mutable.Buffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case t: Throwable =>
-            // A broken query must be VISIBLE, not a silently-timed -1:
-            // record it, shout on stderr, and surface it in the JSON.
-            if (!failures.contains(name)) {
-              failures += name
-              System.err.println(s"BENCH FAILURE in $name: $t")
-              t.printStackTrace()
-            }
+    val results: Seq[(String, (Double, Double))] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times: Seq[(Double, Double)] = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          var t1 = t0
+          try {
+            val df = fn(spark, sfDir) // eager setup happens in here
+            t1 = System.nanoTime()
+            df.count() // the read path
+          } catch {
+            case t: Throwable =>
+              // A broken query must be VISIBLE, not a silently-timed -1:
+              // record it, shout on stderr, and surface it in the JSON.
+              if (t1 == t0) t1 = System.nanoTime()
+              if (!failures.contains(name)) {
+                failures += name
+                System.err.println(s"BENCH FAILURE in $name: $t")
+                t.printStackTrace()
+              }
+          }
+          val t2 = System.nanoTime()
+          // Queries are self-contained: drop their persisted frames so one
+          // query's cache pressure can't distort the next one's timing.
+          spark.catalog.clearCache()
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Queries are self-contained: drop their persisted frames so one
-        // query's cache pressure can't distort the next one's timing.
-        spark.catalog.clearCache()
-        dt
+        name -> ((times.map(_._1).min, times.map(_._2).min))
       }
-      name -> times.min
-    }.toMap
+    val queryTimes: Map[String, Double] = results.map { case (n, t) => n -> t._2 }.toMap
+    val setupTotal = results.map(_._2._1).sum
+    val queryTotal = results.map(_._2._2).sum
     // Failures are part of the parsed line; cap the enumeration so a
     // mass-failure run cannot by itself blow the tail budget (the count is
     // always visible via n vs queries, and stderr lists every name).
@@ -59,7 +81,7 @@ object Bench {
     // consumer reading failures as names never sees a synthetic entry.
     val fs = fsAll.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
     val fsElided = math.max(0, fsAll.size - 12)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = setupTotal + queryTotal
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that tail; sbt appends its own "[success] ..." line
     // after us. With 113 queries a full-precision per-query map is ~4 KB and
@@ -69,30 +91,33 @@ object Bench {
     // budget — and the complete full-precision map goes to BENCH_FULL.json.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val bySlowest = results.toSeq.sortBy(-_._2)
-    val fullQs = bySlowest
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val bySlowest = queryTimes.toSeq.sortBy(-_._2)
     val totalS = fmt(total)
     def line(qs: Seq[(String, Double)], elided: Int): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$totalS,"unit":"sec","n":${results.size},"elided":$elided,"queries":$m,"failures":$fs,"failures_elided":$fsElided,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","setup_total":${fmt(setupTotal)},"query_total":${fmt(queryTotal)},"n":${queryTimes.size},"elided":$elided,"queries":$m,"failures":$fs,"failures_elided":$fsElided,"sf":"$sfDir"}"""
     }
     var keep = bySlowest
     // 1700-char budget: the 2000-char tail window must also fit sbt's
     // trailing "[success] ..." line plus any stray trailing output — at
     // 124 queries the full 3-decimal map is ~1780 chars, so a wider
     // margin costs only a few elided (fast) queries.
-    while (line(keep, results.size - keep.size).length > 1700 && keep.nonEmpty)
+    while (line(keep, queryTimes.size - keep.size).length > 1700 && keep.nonEmpty)
       keep = keep.dropRight(math.max(1, keep.size / 10))
-    // Full-precision map: resolved against the working directory (env
-    // SPARK_GRAFT_BENCH_FULL overrides) so any checkout location gets the
-    // file; a write failure is LOGGED, never silently discarded — but the
-    // stdout line is the contract, so it must not abort the run either.
+    // Full-precision maps (query AND setup): resolved against the working
+    // directory (env SPARK_GRAFT_BENCH_FULL overrides) so any checkout
+    // location gets the file; a write failure is LOGGED, never silently
+    // discarded — but the stdout line is the contract, so it must not
+    // abort the run either.
     try {
       val fullFs = fsAll.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val fullQs = bySlowest
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val fullSetup = results.sortBy(-_._2._1)
+        .map { case (k, t) => "\"" + k + "\":" + t._1 }.mkString("{", ",", "}")
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failures":$fullFs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","setup_total":$setupTotal,"query_total":$queryTotal,"queries":$fullQs,"setup":$fullSetup,"failures":$fullFs,"sf":"$sfDir"}"""
       val dest = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
         .toAbsolutePath
@@ -106,10 +131,12 @@ object Bench {
       System.err.println(s"BENCH: ${failures.size} queries FAILED: ${failures.mkString(", ")}")
     // Stop Spark BEFORE printing the contract line so its shutdown logging
     // cannot land after the JSON and push it out of the driver's 2000-char
-    // stdout tail. Leading newline guarantees the JSON starts at column 0
-    // even if some earlier stdout write lacked a trailing newline.
-    spark.stop()
-    println("\n" + line(keep, results.size - keep.size))
+    // stdout tail — but NEVER let a failing stop() (shutdown-hook/FS
+    // hiccup) swallow the line: the println must execute regardless.
+    try spark.stop() catch {
+      case t: Throwable => System.err.println(s"BENCH: spark.stop() failed: $t")
+    }
+    println("\n" + line(keep, queryTimes.size - keep.size))
     System.out.flush()
   }
 }

@@ -411,6 +411,55 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField.map(ren), meta.bucketBy.map(renList), meta.numBuckets)
   }
 
+  /** Column type WIDENING: metadata-only `ALTER COLUMN ... TYPE` for the
+    * safe promotions (int→long, float→double, decimal precision/scale-up
+    * that loses no digits). No byte is rewritten: one manifest commit
+    * records, per live segment, the type the column's bytes were written
+    * with (`SegmentInfo.writeTypes`); readers decode each segment at its
+    * write-time type and widen values on the fly, while post-ALTER
+    * appends encode the new type directly. Narrowing (or any conversion
+    * that can lose values) is rejected. The key column, bucket columns,
+    * and indexed columns cannot be widened — their persisted hashes
+    * (bloom/key-offset/bucket tags) are computed from the typed value and
+    * would go silently stale. Manifest first, then schema: between the
+    * two, readers see old types everywhere — consistent, never wrong. */
+  def widenColumn(name: String, newType: org.apache.spark.sql.types.DataType): Unit = {
+    val meta = CollectionMeta.readSchema(dir).getOrElse(throw new IllegalArgumentException(
+      s"widenColumn requires an existing collection at $path"))
+    val ord = meta.schema.fieldNames.indexOf(name)
+    require(ord >= 0 && !CollectionMeta.isDropped(meta.schema.fields(ord)),
+      s"no column '$name' in ${CollectionMeta.logicalSchema(meta.schema).simpleString}")
+    val oldType = meta.schema.fields(ord).dataType
+    if (oldType == newType) return
+    require(Collection.safeWidening(oldType, newType),
+      s"unsafe type change $oldType -> $newType for '$name': only int->long, " +
+        "float->double, and lossless decimal widening evolve in place; " +
+        "anything else needs an explicit rewrite")
+    require(!meta.keyField.contains(name),
+      s"cannot widen the key column '$name' — persisted key hashes are type-sensitive")
+    require(!meta.bucketBy.exists(_.split(",").contains(name)),
+      s"cannot widen bucket column '$name' — bucket tags hash the typed value")
+    val m0 = CollectionMeta.currentManifest(dir)
+    m0.indexes.collectFirst { case (n, fs) if fs.contains(name) => n }
+      .foreach(n => throw new IllegalArgumentException(
+        s"column '$name' is indexed by '$n' — removeIndex first"))
+    val ddl = oldType.sql
+    CollectionMeta.commit(dir, cur => cur.copy(
+      segments = cur.segments.map { s =>
+        // Only segments whose write-time width REACHED the column carry
+        // its bytes; record the original type once (a second widening
+        // keeps the FIRST write-time type — that is what the bytes are).
+        val width = s.nFields.getOrElse(meta.schema.length)
+        if (ord < width && !s.writeTypes.contains(ord.toString))
+          s.copy(writeTypes = s.writeTypes + (ord.toString -> ddl))
+        else s
+      }))
+    CollectionMeta.writeSchema(dir,
+      org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,
+        meta.schema.fields(ord).copy(dataType = newType))),
+      meta.keyField, meta.bucketBy, meta.numBuckets)
+  }
+
   /** Column DROP: metadata-only — the field stays in the PHYSICAL schema
     * under a reserved invisible name (positional decode must know its
     * position and type forever to skip its bytes) and disappears from
@@ -709,6 +758,21 @@ object Collection {
   /** Open or create (`HadroDB(collection)` analog, engine.py:80-120). */
   def apply(spark: SparkSession, path: String): Collection =
     new Collection(spark, path)
+
+  /** The promotions [[Collection.widenColumn]] accepts: every value the
+    * old type can hold is exactly representable in the new one. */
+  private[graft] def safeWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+  }
 
   /** True when a plan's row POSITIONS are stable across re-evaluations, so
     * a position-derived id (monotonically_increasing_id) is reproducible.

@@ -299,4 +299,21 @@ object RecordCodec {
     def full(schema: StructType): Decoder =
       new Decoder(schema, schema.indices.toArray)
   }
+
+  /** Value conversion for type-widening evolution: turns a non-null value
+    * decoded at the segment's write-time type into the current (wider)
+    * schema type. Only [[graft.api.Collection.safeWidening]] pairs reach
+    * here — anything else is a metadata bug worth failing loudly on. */
+  def widener(from: DataType, to: DataType): AnyRef => AnyRef = (from, to) match {
+    case (IntegerType, LongType) =>
+      v => java.lang.Long.valueOf(v.asInstanceOf[java.lang.Integer].longValue())
+    case (FloatType, DoubleType) =>
+      v => java.lang.Double.valueOf(v.asInstanceOf[java.lang.Float].doubleValue())
+    case (f: DecimalType, t: DecimalType)
+        if t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale =>
+      v => Decimal(v.asInstanceOf[Decimal].toBigDecimal.setScale(t.scale),
+        t.precision, t.scale)
+    case _ => throw new IllegalStateException(
+      s"hadro: no widening conversion $from -> $to — manifest writeTypes corrupt?")
+  }
 }

@@ -47,7 +47,14 @@ final case class SegmentInfo(
     // indices + its cardinality. Immutable per manifest version — a later
     // delete writes a NEW union sidecar.
     deleteVector: Option[String] = None,
-    dvDeletes: Long = 0L)
+    dvDeletes: Long = 0L,
+    // Type-widening evolution (ALTER COLUMN ... TYPE, safe promotions
+    // only): field ordinal (as string — JSON map keys) -> the DDL type the
+    // segment's bytes were WRITTEN with, recorded metadata-only at ALTER
+    // time. Readers decode with the write-time type and widen per value;
+    // absent = written with the current schema type. Rewrites (compaction,
+    // CoW) re-encode at the current type and clear the entry naturally.
+    writeTypes: Map[String, String] = Map.empty)
 
 /** A committed collection version: the full list of live segments plus
   * collection-level flags. `mutated` records whether any committed write was

@@ -1161,5 +1161,48 @@ object StorageQueries {
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem WHERE NOT (l_quantity >= 30.0)
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
+    ,
+
+    // ---------------------------------------------------------------- h47
+    // Type-WIDENING evolution (ALTER COLUMN ... TYPE, metadata-only): the
+    // narrow segments stay byte-identical on disk; one manifest commit
+    // records their write-time types (SegmentInfo.writeTypes) and readers
+    // widen per value at decode (int->long, float->double, decimal
+    // scale-up), while post-ALTER appends encode the wide type directly.
+    // Old-narrow + new-wide segments must read back as ONE table at the
+    // wide schema — the oracle reproduces exactly that from raw parquet.
+    // Unsafe narrowing and key/bucket/indexed-column widening are
+    // rejected (EvolutionSpec).
+    QueryDef(
+      "h47_type_widening",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.{LongType, DoubleType, DecimalType}
+        val src = table(s, dir, "part").select(
+          $"p_partkey", $"p_size",
+          $"p_retailprice".cast("float").as("price_f"),
+          $"p_retailprice".cast("decimal(10,2)").as("price_d"))
+        val c = Collection.create(s, colPath(dir, "h47"), src, numSegments = 4)
+        c.widenColumn("p_size", LongType)
+        c.widenColumn("price_f", DoubleType)
+        c.widenColumn("price_d", DecimalType(14, 4))
+        c.append(src.filter($"p_partkey" % 5 === 0).select(
+          ($"p_partkey" + 2000000L).as("p_partkey"),
+          ($"p_size".cast("long") + 1000L).as("p_size"),
+          $"price_f".cast("double").as("price_f"),
+          $"price_d".cast("decimal(14,4)").as("price_d")))
+        c.scan().select($"p_partkey", $"p_size", $"price_f", $"price_d")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+          CAST(CAST(p_retailprice AS REAL) AS DOUBLE) AS price_f,
+          CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS DECIMAL(14,4)) AS price_d
+        FROM part
+        UNION ALL
+        SELECT p_partkey + 2000000, CAST(p_size AS BIGINT) + 1000,
+          CAST(CAST(p_retailprice AS REAL) AS DOUBLE),
+          CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS DECIMAL(14,4))
+        FROM part WHERE p_partkey % 5 = 0
+        ORDER BY p_partkey"""))
   )
 }

@@ -190,10 +190,15 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "hadro: only top-level DROP COLUMN is supported")
         graft.api.Collection(org.apache.spark.sql.SparkSession.active, dir.toString)
           .dropColumn(del.fieldNames().head)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "hadro: only top-level ALTER COLUMN TYPE is supported")
+        graft.api.Collection(org.apache.spark.sql.SparkSession.active, dir.toString)
+          .widenColumn(ut.fieldNames().head, ut.newDataType())
       case other =>
         throw new UnsupportedOperationException(
           s"hadro: unsupported ALTER TABLE change $other — rename/drop/add " +
-            "evolve in place; type changes need a rewrite")
+            "and safe type WIDENING evolve in place; anything else needs a rewrite")
     }
     loadTable(ident)
   }

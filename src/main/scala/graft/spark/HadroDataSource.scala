@@ -711,7 +711,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new HadroReaderFactory(storedSchema, required)
+    new HadroReaderFactory(storedSchema, required,
+      typeWidened = manifestSnapshot.segments.exists(_.writeTypes.nonEmpty))
 
   // ------------------------------------------------------ custom metrics
   // Pruning effectiveness in the SQL UI: segments read vs segments pruned
@@ -810,7 +811,9 @@ object HadroScan {
   * write-time prefix and null-fill appended columns. */
 final case class HadroInputPartition(file: String, ordinal: Long,
     startOffset: Long, startRow: Long, endOffset: Long,
-    nFields: Int = -1, deleteVector: Option[String] = None) extends InputPartition
+    nFields: Int = -1, deleteVector: Option[String] = None,
+    writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty)
+    extends InputPartition
 
 /** A hadro input partition carrying its storage bucket as the DSv2
   * partition key — what lets Spark group co-bucketed scans for
@@ -825,29 +828,43 @@ object HadroInputPartition {
   /** One task per recorded split range — read parallelism is #split-ranges,
     * not #segments, so a single 50 GB ingest task doesn't become a single
     * 50 GB scan task. Segments without split points scan whole. */
+  /** A segment's write-time type overrides, parsed once at planning so
+    * executors receive ready DataTypes (driver-side catalyst parse). */
+  def typesOf(seg: SegmentInfo): Map[Int, org.apache.spark.sql.types.DataType] =
+    seg.writeTypes.map { case (ord, ddl) =>
+      ord.toInt -> org.apache.spark.sql.types.DataType.fromDDL(ddl)
+    }
+
   def ranges(path: Path, seg: SegmentInfo): Seq[InputPartition] = {
     val file = path.resolve(seg.file).toString
     val nf = seg.nFields.getOrElse(-1)
+    val wt = typesOf(seg)
     if (seg.splits.isEmpty)
-      Seq(HadroInputPartition(file, seg.ordinal, 0L, 0L, -1L, nf, seg.deleteVector))
+      Seq(HadroInputPartition(file, seg.ordinal, 0L, 0L, -1L, nf, seg.deleteVector, wt))
     else {
       val starts = graft.meta.SplitPoint(0L, 0L) +: seg.splits
       starts.zipWithIndex.map { case (sp, i) =>
         val end = if (i + 1 < starts.length) starts(i + 1).offset else -1L
         HadroInputPartition(file, seg.ordinal, sp.offset, sp.row, end, nf,
-          seg.deleteVector)
+          seg.deleteVector, wt)
       }
     }
   }
 }
 
-final class HadroReaderFactory(dataSchema: StructType, required: StructType)
-    extends PartitionReaderFactory {
+final class HadroReaderFactory(dataSchema: StructType, required: StructType,
+    typeWidened: Boolean = false) extends PartitionReaderFactory {
 
   // Columnar path for flat schemas without metadata columns; nested types
   // or _hadro_* requests use the row reader (decided once per scan).
+  // A scan containing ANY type-widened segment goes row-based wholesale:
+  // the decision must be uniform across partitions (Spark rejects mixed
+  // row/columnar scans), and the per-value widening lives in the row
+  // reader. Compaction re-encodes at the current type and restores the
+  // columnar path.
   private val columnar =
-    HadroColumnar.supportsSchema(dataSchema) &&
+    !typeWidened &&
+      HadroColumnar.supportsSchema(dataSchema) &&
       !required.fieldNames.exists(HadroTable.MetaColNames)
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
@@ -861,7 +878,8 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = unwrap(partition)
     new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
-      p.startOffset, p.startRow, p.endOffset, p.nFields, p.deleteVector)
+      p.startOffset, p.startRow, p.endOffset, p.nFields, p.deleteVector,
+      p.writeTypes)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -877,7 +895,8 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType)
 final class HadroPartitionReader(file: Path, ordinal: Long,
     dataSchema: StructType, required: StructType,
     startOffset: Long = 0L, startRow: Long = 0L, endOffset: Long = -1L,
-    nFields: Int = -1, deleteVector: Option[String] = None)
+    nFields: Int = -1, deleteVector: Option[String] = None,
+    writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // Deletion vector: rows whose in-segment index is set are PHYSICALLY
@@ -894,14 +913,43 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   // null-fill required columns appended since.
   private val writeWidth =
     if (nFields > 0) math.min(nFields, dataSchema.length) else dataSchema.length
-  private val writeSchema =
-    if (writeWidth == dataSchema.length) dataSchema
-    else StructType(dataSchema.fields.take(writeWidth))
+  // Type-widening evolution: this segment's bytes carry `writeTypes`'
+  // original types at those ordinals — decode with the WRITE-TIME schema
+  // (prefix width + per-ordinal type), then widen values to the current
+  // schema type per row below.
+  private val writeSchema = {
+    val prefix =
+      if (writeWidth == dataSchema.length) dataSchema
+      else StructType(dataSchema.fields.take(writeWidth))
+    if (writeTypes.isEmpty) prefix
+    else StructType(prefix.fields.zipWithIndex.map { case (f, i) =>
+      writeTypes.get(i).map(t => f.copy(dataType = t)).getOrElse(f)
+    })
+  }
   private val presentIdx: Array[Int] = dataFields.indices
     .filter(i => dataSchema.fieldIndex(dataFields(i).name) < writeWidth).toArray
   private val allPresent = presentIdx.length == dataFields.length
   private val requiredOrdinals = presentIdx.map(i => dataSchema.fieldIndex(dataFields(i).name))
   private val decoder = new RecordCodec.Decoder(writeSchema, requiredOrdinals)
+  // out-position -> widener for required columns whose write-time type
+  // differs from the current one (null values pass through untouched)
+  private val wideners: Array[(Int, org.apache.spark.sql.types.DataType, AnyRef => AnyRef)] =
+    if (writeTypes.isEmpty) Array.empty
+    else requiredOrdinals.zipWithIndex.flatMap { case (fullOrd, outPos) =>
+      writeTypes.get(fullOrd).map { wt =>
+        (outPos, wt, RecordCodec.widener(wt, dataSchema.fields(fullOrd).dataType))
+      }
+    }
+  private def widen(row: InternalRow): InternalRow = {
+    var i = 0
+    while (i < wideners.length) {
+      val (pos, wt, f) = wideners(i)
+      if (!row.isNullAt(pos))
+        row.update(pos, f(row.get(pos, wt).asInstanceOf[AnyRef]))
+      i += 1
+    }
+    row
+  }
   // Positions of each required column in the output row (data cols keep
   // required-schema order; metadata cols sit at their required positions).
   private val outWidth = required.length
@@ -920,7 +968,8 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
       if (dvBits == null || rowIndex > Int.MaxValue || !dvBits.get(rowIndex.toInt)) {
       val deleted = (reader.flags & RecordCodec.DeletedFlag) != 0
       if (!deleted || wantDeleted) { // tombstone skip: engine.py:169
-        val decoded = decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength)
+        val decoded = widen(
+          decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength))
         current =
           if (!wantSeq && !wantDeleted && allPresent) decoded
           else {
@@ -1068,8 +1117,10 @@ object OffsetIndexPlanner {
     } yield {
       val file = path.resolve(seg.file).toString
       val nf = seg.nFields.getOrElse(-1)
+      val wt = HadroInputPartition.typesOf(seg)
       internals.flatMap(idx.lookup).distinct.sortBy(_._1).map { case (off, row) =>
-        HadroInputPartition(file, seg.ordinal, off, row, off + 1, nf): InputPartition
+        HadroInputPartition(file, seg.ordinal, off, row, off + 1, nf,
+          seg.deleteVector, wt): InputPartition
       }
     }
 

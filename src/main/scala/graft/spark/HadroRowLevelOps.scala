@@ -305,7 +305,9 @@ final class HadroCowScan(op: HadroCowOperation, path: Path,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new HadroReaderFactory(storedSchema, required)
+    new HadroReaderFactory(storedSchema, required,
+      typeWidened = CollectionMeta.currentManifest(path)
+        .segments.exists(_.writeTypes.nonEmpty))
 }
 
 /** The CoW write: plain segment writers; commit replaces exactly the files

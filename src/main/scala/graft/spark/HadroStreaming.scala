@@ -132,7 +132,9 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new HadroReaderFactory(storedSchema, required)
+    new HadroReaderFactory(storedSchema, required,
+      typeWidened = CollectionMeta.currentManifest(path)
+        .segments.exists(_.writeTypes.nonEmpty))
 
   override def commit(end: Offset): Unit = () // no source-side state to clean
 

@@ -155,7 +155,13 @@ class CatalogSpec extends SparkSuite {
     spark.sql("ALTER TABLE testcat.db.fixed RENAME COLUMN a TO z")
     spark.sql("ALTER TABLE testcat.db.fixed DROP COLUMN b")
     assert(spark.table("testcat.db.fixed").schema.fieldNames.sameElements(Array("z")))
-    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed ALTER COLUMN z TYPE BIGINT"))
+    // safe WIDENING evolves in place (EvolutionSpec covers data) ...
+    spark.sql("ALTER TABLE testcat.db.fixed ALTER COLUMN z TYPE BIGINT")
+    assert(spark.table("testcat.db.fixed").schema("z").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // ... but narrowing and cross-family changes still need a rewrite
+    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed ALTER COLUMN z TYPE INT"))
+    intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed ALTER COLUMN z TYPE STRING"))
     intercept[Exception](spark.sql("ALTER TABLE testcat.db.fixed DROP COLUMN z")) // last column
     intercept[Exception](spark.sql("CREATE TABLE testcat.db.fixed (a INT) USING hadro"))
     spark.sql("DROP TABLE testcat.db.fixed")

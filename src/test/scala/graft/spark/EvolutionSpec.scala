@@ -214,4 +214,102 @@ class EvolutionSpec extends SparkSuite {
     c.dropColumn("n_name") // now allowed
     assert(!spark.read.format("hadro").load(path).schema.fieldNames.contains("n_name"))
   }
+
+  test("widenColumn reads narrow + wide segments as one table, metadata-only") {
+    val path = tmp("widen")
+    val src = spark.range(0, 100)
+      .select($"id", ($"id" % 7).cast("int").as("n"),
+        ($"id" * 1.5).cast("float").as("f"),
+        ($"id" * 0.25).cast("decimal(10,2)").as("d"))
+    val c = Collection.create(spark, path, src, numSegments = 3)
+    val filesBefore = CollectionMeta.currentManifest(
+      java.nio.file.Paths.get(path)).segments.map(_.file)
+
+    c.widenColumn("n", LongType)
+    c.widenColumn("f", DoubleType)
+    c.widenColumn("d", DecimalType(14, 4))
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.segments.map(_.file) == filesBefore, "widening must not rewrite data")
+    assert(m.segments.forall(_.writeTypes.size == 3))
+
+    c.append(spark.range(100, 110)
+      .select($"id", ($"id" % 7).as("n"), ($"id" * 1.5).as("f"),
+        ($"id" * 0.25).cast("decimal(14,4)").as("d")))
+    val back = spark.read.format("hadro").load(path)
+    assert(back.schema("n").dataType == LongType)
+    assert(back.schema("f").dataType == DoubleType)
+    assert(back.schema("d").dataType == DecimalType(14, 4))
+    val out = back.orderBy($"id").collect()
+    assert(out.length == 110)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id % 7)
+      assert(r.getDouble(2) == (id * 1.5f).toFloat.toDouble || id >= 100)
+      assert(r.getDecimal(3).compareTo(new java.math.BigDecimal(id * 0.25)
+        .setScale(4, java.math.RoundingMode.HALF_UP)) == 0)
+      if (id >= 100) assert(r.getDouble(2) == id * 1.5)
+    }
+    // filters over the widened column still prune/evaluate correctly
+    assert(back.filter($"n" === 3L).count() == out.count(_.getLong(1) == 3L))
+  }
+
+  test("widen guards: narrowing, key, bucket, and indexed columns rejected") {
+    val path = tmp("widenguard")
+    val src = spark.range(0, 20)
+      .select($"id".cast("int").as("id"), ($"id" % 3).cast("int").as("b"),
+        ($"id" % 5).cast("int").as("x"), $"id".cast("float").as("f"))
+    val c = Collection.create(spark, path, src, key = Some("id"))
+    intercept[Exception](c.widenColumn("f", IntegerType)) // not a widening
+    intercept[Exception](c.widenColumn("x", FloatType)) // int->float loses 2^24+
+    intercept[Exception](c.widenColumn("id", LongType)) // key
+    c.indexes.add("byx", Seq("x"))
+    intercept[Exception](c.widenColumn("x", LongType)) // indexed
+    c.indexes.remove("byx")
+    c.widenColumn("x", LongType) // now allowed
+    assert(spark.read.format("hadro").load(path).schema("x").dataType == LongType)
+    // decimal: scale-up that can't hold the integer part is rejected
+    val p2 = tmp("widenguard2")
+    val c2 = Collection.create(spark, p2,
+      spark.range(0, 5).select($"id", $"id".cast("decimal(10,2)").as("d")))
+    intercept[Exception](c2.widenColumn("d", DecimalType(10, 4)))
+    c2.widenColumn("d", DecimalType(12, 4))
+  }
+
+  test("widen then compact restores the columnar path at the wide type") {
+    val path = tmp("widencompact")
+    val src = spark.range(0, 50).select($"id", ($"id" % 9).cast("int").as("n"))
+    val c = Collection.create(spark, path, src, numSegments = 2)
+    c.widenColumn("n", LongType)
+    // widened segments force the row path (uniform per scan)
+    val before = spark.read.format("hadro").load(path)
+    before.collect()
+    assert(!before.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    c.compact()
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.segments.forall(_.writeTypes.isEmpty),
+      "compaction re-encodes at the current type and clears writeTypes")
+    val after = spark.read.format("hadro").load(path)
+    assert(after.orderBy($"id").select(sum($"n")).head().getLong(0) ==
+      (0L until 50L).map(_ % 9).sum)
+    after.collect()
+    assert(after.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+  }
+
+  test("SQL ALTER TABLE ALTER COLUMN TYPE widens catalog tables in place") {
+    val wh = Files.createTempDirectory("evo_sqlwiden").toString
+    spark.conf.set("spark.sql.catalog.evo_w", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evo_w.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evo_w.db")
+    spark.sql("CREATE TABLE evo_w.db.t (id BIGINT, n INT) USING hadro")
+    spark.sql("INSERT INTO evo_w.db.t SELECT id, CAST(id % 10 AS INT) FROM range(0, 30)")
+    spark.sql("ALTER TABLE evo_w.db.t ALTER COLUMN n TYPE BIGINT")
+    assert(spark.table("evo_w.db.t").schema("n").dataType == LongType)
+    spark.sql("INSERT INTO evo_w.db.t VALUES (100, 5000000000)")
+    val out = spark.sql(
+      "SELECT CAST(SUM(n) AS BIGINT) FROM evo_w.db.t").head().getLong(0)
+    assert(out == (0L until 30L).map(_ % 10).sum + 5000000000L)
+    intercept[Exception](
+      spark.sql("ALTER TABLE evo_w.db.t ALTER COLUMN n TYPE INT")) // narrowing
+    spark.sql("DROP TABLE evo_w.db.t")
+  }
 }
