@@ -1204,5 +1204,64 @@ object StorageQueries {
           CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS DECIMAL(14,4))
         FROM part WHERE p_partkey % 5 = 0
         ORDER BY p_partkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h48
+    // MERGE with ALL THREE clause families — WHEN MATCHED (update +
+    // conditional delete), WHEN NOT MATCHED (insert), and WHEN NOT
+    // MATCHED BY SOURCE (conditional delete + update) — the full
+    // SQL:2023 MERGE surface over the keyed delta (merge-on-read) path:
+    // every branch lands as appended versions/tombstones in ONE manifest
+    // commit, tombstone segments globally ordered before data segments.
+    // The oracle reproduces the exact clause semantics with joins.
+    QueryDef(
+      "h48_merge_not_matched_by_source",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_h48/$tag"
+        s.conf.set("spark.sql.catalog.graft_h48",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h48.warehouse", wh)
+        val path = s"$wh/db/customer"
+        table(s, dir, "customer").select($"c_custkey", $"c_acctbal")
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "c_custkey").save(path)
+        table(s, dir, "customer").filter($"c_custkey" % 4 === 0)
+          .select($"c_custkey", $"c_acctbal")
+          .unionByName(table(s, dir, "customer").filter($"c_custkey" % 9 === 0)
+            .select(($"c_custkey" + 1000000L).as("c_custkey"),
+              lit(55.5).as("c_acctbal")))
+          .createOrReplaceTempView("graft_h48_src")
+        s.sql("""MERGE INTO graft_h48.db.customer t USING graft_h48_src s
+          ON t.c_custkey = s.c_custkey
+          WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 10
+          WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
+            VALUES (s.c_custkey, s.c_acctbal)
+          WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_acctbal = t.c_acctbal - 1""")
+        Collection(s, path).toDF().select($"c_custkey", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      Some("""WITH src AS (
+          SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 4 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000 AS c_custkey, 55.5 AS c_acctbal
+          FROM customer WHERE c_custkey % 9 = 0),
+        kept AS (
+          SELECT t.c_custkey,
+            CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal + 10
+                 ELSE t.c_acctbal - 1 END AS c_acctbal
+          FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+          WHERE NOT (s.c_custkey IS NOT NULL AND s.c_acctbal < 0)
+            AND NOT (s.c_custkey IS NULL AND t.c_acctbal < 0)),
+        ins AS (
+          SELECT s.c_custkey, s.c_acctbal FROM src s
+          LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+          WHERE t.c_custkey IS NULL)
+        SELECT c_custkey, c_acctbal
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        ORDER BY c_custkey"""))
   )
 }

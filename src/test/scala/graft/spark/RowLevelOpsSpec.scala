@@ -142,6 +142,27 @@ class RowLevelOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 11.0), (2L, 20.0), (4L, 40.0)), s"got $out")
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE: delete + update branches") {
+    val wh = freshCatalog("rlo_ms")
+    val path = s"$wh/db/t"
+    Seq((1L, 10.0), (2L, -5.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v")
+      .write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+    Seq((1L, 100.0), (5L, 50.0)).toDF("id", "v")
+      .createOrReplaceTempView("rlo_ms_src")
+
+    spark.sql("""MERGE INTO rlo_ms.db.t t USING rlo_ms_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+      WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1""")
+
+    // 1 matched-updated, 2 deleted (v<0, no source match), 3/4 bumped,
+    // 5 inserted
+    val out = Collection(spark, path).toDF().select($"id", $"v").orderBy($"id")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 100.0), (3L, 31.0), (4L, 41.0), (5L, 50.0)), s"got $out")
+  }
+
   test("MERGE INTO a non-keyed collection takes the CoW path") {
     val wh = freshCatalog("rlo_mgc")
     val path = s"$wh/db/t"
