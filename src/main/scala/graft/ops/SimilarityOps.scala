@@ -609,6 +609,23 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Two-stage ANN re-ranking (the standard serving shape): stage 1 ranks
+    * the COMPRESSED corpus — [[sqTopK]]'s asymmetric distance over the 4×
+    * smaller int8 codes, map-only — down to a `candidates`-sized pool;
+    * stage 2 re-scores ONLY that pool with exact cosine over the original
+    * embeddings and returns its true top-k. At 100 TB the full-corpus I/O
+    * touches only codes; the exact pass reads O(candidates) rows via a
+    * broadcast semi-join, so its cost is independent of corpus size.
+    * Recall dominates single-stage quantized ranking because the final
+    * order is exact wherever it matters (asserted in SimilaritySpec). */
+  def rerankTopK(index: graft.api.Collection, corpus: DataFrame,
+      idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      candidates: Int = 100): DataFrame = {
+    val pool = sqTopK(index, idCol, query, candidates).select(col(idCol))
+    corpus.join(broadcast(pool), Seq(idCol), "left_semi")
+      .transform(c => bruteForceTopK(c, idCol, vecCol, query, k))
+  }
+
   private def sqParamsFile(dir: java.nio.file.Path): java.nio.file.Path =
     dir.resolve("_hadro").resolve("sq8-params.json")
 

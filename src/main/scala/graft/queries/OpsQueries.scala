@@ -1345,6 +1345,51 @@ object OpsQueries {
         ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id
         LIMIT 20""")),
 
+    // ---------------------------------------------------------------- s11
+    // Two-stage ANN re-ranking — the standard serving shape: sq8 codes
+    // rank the whole corpus (4x less I/O, map-only) to a top-100 pool,
+    // then exact cosine re-scores ONLY the pool (broadcast semi-join,
+    // O(100) rows regardless of corpus size) for the final top-10. The
+    // oracle mirrors BOTH stages arithmetically — same quantizer, same
+    // midpoint decode, same candidate boundary — so the gate checks the
+    // pipeline, not a recall approximation. Recall >= single-stage s10 is
+    // spec-asserted (SimilaritySpec).
+    QueryDef(
+      "s11_rerank_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s11_index", e, "vec_id", "embedding")
+        SimilarityOps.rerankTopK(idx, e, "vec_id", "embedding", q, 10,
+            candidates = 100)
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        bounds AS (
+          SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS minv,
+                 CAST(MAX(list_max(embedding)) AS DOUBLE) AS maxv
+          FROM embeddings),
+        params AS (SELECT minv, (maxv - minv) / 256 AS scale FROM bounds),
+        decoded AS (
+          SELECT e.vec_id,
+            list_transform(e.embedding, v ->
+              p.minv + (LEAST(GREATEST(floor((CAST(v AS DOUBLE) - p.minv) / p.scale),
+                0), 255) + 0.5) * p.scale) AS dv
+          FROM embeddings e, params p),
+        cand AS (
+          SELECT d.vec_id FROM decoded d, q
+          ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id
+          LIMIT 100)
+        SELECT e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine
+        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+        LIMIT 10""")),
+
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.
     QueryDef(

@@ -594,6 +594,29 @@ class OpsSpec extends SparkSuite {
     assert(top.head.getLong(0) == 7L, s"expected vec 7 first, got ${top.head}")
   }
 
+  test("two-stage re-ranking: recall@10 >= single-stage sq8, exact within pool") {
+    val base = embs.select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("rerank").resolve("idx").toString
+    val idx = SimilarityOps.buildSqIndex(spark, dir, base, "vec_id", "embedding")
+    val qids = 0L until 500L by 50L
+    val (rr, ss) = qids.map { qid =>
+      val q = base.filter($"vec_id" === qid)
+        .select($"embedding").head().getSeq[Float](0)
+      val exact = SimilarityOps.bruteForceTopK(base, "vec_id", "embedding", q, 10)
+      val both = SimilarityOps.recallAtK(exact, Seq(
+          "rerank" -> SimilarityOps.rerankTopK(idx, base, "vec_id", "embedding",
+            q, 10, candidates = 100),
+          "sq" -> SimilarityOps.sqTopK(idx, "vec_id", q, 10)),
+        "vec_id", 10)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      (both("rerank"), both("sq"))
+    }.unzip
+    val (rMean, sMean) = (rr.sum / rr.size, ss.sum / ss.size)
+    assert(rMean >= sMean,
+      s"re-ranking must not lose recall: rerank $rMean < single-stage $sMean")
+    assert(rMean > 0.9, s"re-ranked recall@10 suspiciously low: $rMean")
+  }
+
   test("semantic dedup drops planted same-direction copies, keeps originals") {
     import org.apache.spark.sql.types.FloatType
     val base = embs.select($"vec_id", $"embedding")
