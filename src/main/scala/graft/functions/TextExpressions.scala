@@ -209,6 +209,102 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Greedy longest-match subword tokenizer over a fixed vocabulary — the
+  * WordPiece-style segmentation step of a training-data pipeline, as a
+  * native expression spliced into whole-stage codegen (a Scala UDF here
+  * would leave codegen on the hottest per-document loop in the corpus).
+  *
+  * Semantics (deliberately simple enough to re-derive in SQL, which the
+  * t14 oracle does with a recursive CTE over the same vocab literal):
+  * the text splits on single spaces; each word is segmented left to
+  * right, at each position consuming the LONGEST vocab piece that
+  * matches (piece ids are 1-based vocab positions); a position no piece
+  * matches emits UNK id 0 and advances one character. Output is the
+  * concatenated id sequence over all words. The vocabulary typically
+  * comes from a collection's persisted sidecar
+  * ([[graft.ops.TextOps.saveVocab]]/`loadVocab`). */
+case class GreedyTokenize(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  require(vocab.nonEmpty, "greedy_tokenize needs a non-empty vocabulary")
+  require(vocab.distinct.length == vocab.length,
+    "greedy_tokenize vocabulary has duplicate pieces")
+  require(vocab.forall(p => p.nonEmpty && !p.contains(' ')),
+    "vocabulary pieces must be non-empty and contain no spaces")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "greedy_tokenize"
+
+  @transient private lazy val matcher = new GreedyTokenize.Matcher(vocab.toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    matcher.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matcher", matcher,
+      classOf[GreedyTokenize.Matcher].getName)
+    defineCodeGen(ctx, ev, c => s"$m.tokenize($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GreedyTokenize {
+  /** The segmentation kernel: one hash probe per candidate length per
+    * position, longest first. Broadcast-shipped inside the expression
+    * (serializable); vocabularies are tiny next to the corpus. */
+  final class Matcher(pieces: Array[String]) extends Serializable {
+    private val byPiece: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](pieces.length * 2)
+      var i = 0
+      while (i < pieces.length) { m.put(pieces(i), i + 1); i += 1 }
+      m
+    }
+    // distinct piece lengths, longest first — the greedy probe order
+    private val lengths: Array[Int] =
+      pieces.map(_.length).distinct.sortBy(l => -l)
+
+    def tokenize(s: UTF8String): ArrayData = {
+      val text = s.toString
+      val out = new java.util.ArrayList[Integer](text.length / 2 + 4)
+      var w0 = 0
+      val n = text.length
+      while (w0 <= n) {
+        val sp = text.indexOf(' ', w0)
+        val end = if (sp < 0) n else sp
+        var pos = w0
+        while (pos < end) {
+          var matched = 0
+          var len = 1
+          var li = 0
+          while (matched == 0 && li < lengths.length) {
+            val l = lengths(li)
+            if (pos + l <= end) {
+              val id = byPiece.get(text.substring(pos, pos + l))
+              if (id != null) { matched = id.intValue(); len = l }
+            }
+            li += 1
+          }
+          out.add(matched) // 0 = UNK, advances one char
+          pos += len
+        }
+        w0 = if (sp < 0) n + 1 else sp + 1
+      }
+      val arr = new Array[Int](out.size())
+      var i = 0
+      while (i < arr.length) { arr(i) = out.get(i).intValue(); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+  }
+}
+
 object TextExpressions {
   /** Column-world handle for [[MinHashSignature]]. */
   def minhash_signature(shingles: Column, n: Int): Column =
@@ -221,6 +317,10 @@ object TextExpressions {
   /** Column-world handle for [[NfcNormalize]]. */
   def nfc_normalize(text: Column): Column =
     VectorExpressions.columnOf(NfcNormalize(VectorExpressions.expressionOf(text)))
+
+  /** Column-world handle for [[GreedyTokenize]]. */
+  def greedy_tokenize(text: Column, vocab: Seq[String]): Column =
+    VectorExpressions.columnOf(GreedyTokenize(VectorExpressions.expressionOf(text), vocab))
 
   /** JVM kernel for [[NfcNormalize]] — public static so generated code can
     * call it. Already-normalized strings (any ASCII corpus) return the

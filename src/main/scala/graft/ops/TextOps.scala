@@ -222,6 +222,40 @@ object TextOps {
 
   // --------------------------------------------------------------- quality
 
+  // ------------------------------------------------- vocab-sidecar tokenizer
+
+  /** Persist a tokenizer vocabulary as a collection sidecar
+    * (`_hadro/vocab.json`, piece ids = 1-based list positions) — the
+    * model-adjacent artifact a tokenization pipeline ships with its data.
+    * Tiny (vocabularies are KBs), loaded once driver-side and broadcast
+    * inside the expression. */
+  def saveVocab(dir: java.nio.file.Path, pieces: Seq[String]): Unit = {
+    require(pieces.nonEmpty && pieces.distinct.length == pieces.length,
+      "vocab must be non-empty with distinct pieces")
+    java.nio.file.Files.createDirectories(dir.resolve("_hadro"))
+    val json = org.json4s.jackson.Serialization.write(pieces)(
+      org.json4s.DefaultFormats)
+    java.nio.file.Files.write(dir.resolve("_hadro").resolve("vocab.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The vocabulary persisted by [[saveVocab]], if any. */
+  def loadVocab(dir: java.nio.file.Path): Option[Seq[String]] = {
+    val f = dir.resolve("_hadro").resolve("vocab.json")
+    if (!java.nio.file.Files.exists(f)) return None
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    Some(org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)).extract[Seq[String]])
+  }
+
+  /** Greedy longest-match subword tokenization over `vocab`
+    * ([[graft.functions.GreedyTokenize]]): array of 1-based piece ids,
+    * UNK = 0. Codegen'd; one hash probe per candidate piece length per
+    * character — the per-document hot loop stays allocation-light. */
+  def tokenizeGreedy(text: Column, vocab: Seq[String]): Column =
+    graft.functions.TextExpressions.greedy_tokenize(text, vocab)
+
   /** Composite quality score in [0,1] from cheap per-row signals: token
     * count band, mean token length band, stopword presence, alpha ratio.
     * Deterministic arithmetic only (cross-engine reproducible). */

@@ -1522,6 +1522,66 @@ object OpsQueries {
             AS n_consistent
         FROM pred GROUP BY lang ORDER BY lang""")),
 
+    // ---------------------------------------------------------------- t14
+    // Vocab-sidecar tokenizer: a WordPiece-style greedy longest-match
+    // subword segmentation as a native codegen'd expression
+    // (GreedyTokenize), with the vocabulary persisted as a collection
+    // sidecar (_hadro/vocab.json) and loaded back for the query — the
+    // ship-the-tokenizer-with-the-data shape. The oracle re-derives every
+    // token id in SQL from the SAME vocab literal with a recursive CTE
+    // (longest-match step per position), so the id sequences are checked
+    // exactly, not statistically.
+    QueryDef(
+      "t14_vocab_tokenize",
+      (s, dir) => {
+        val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"/tmp/graft_collections/$tag/t14_corpus"
+        val vocab = Seq("que", "ry", "ta", "ble", "col", "umn", "str", "eam",
+          "fil", "ter", "sca", "ord", "er", "va", "lue", "ha", "sh", "jo",
+          "in", "me", "rge", "ro") ++ ('a' to 'z').map(_.toString)
+        val c = graft.api.Collection.create(s, path, d, numSegments = 4)
+        TextOps.saveVocab(java.nio.file.Paths.get(path), vocab)
+        val loaded = TextOps.loadVocab(java.nio.file.Paths.get(path)).get
+        val ids = TextOps.tokenizeGreedy(col("text"), loaded)
+        c.scan().select(col("doc_id"),
+            array_join(ids.cast("array<string>"), ",").as("ids"),
+            size(ids).cast("long").as("n_pieces"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE vocab(id, piece) AS (
+          VALUES (1,'que'),(2,'ry'),(3,'ta'),(4,'ble'),(5,'col'),(6,'umn'),
+            (7,'str'),(8,'eam'),(9,'fil'),(10,'ter'),(11,'sca'),(12,'ord'),
+            (13,'er'),(14,'va'),(15,'lue'),(16,'ha'),(17,'sh'),(18,'jo'),
+            (19,'in'),(20,'me'),(21,'rge'),(22,'ro'),
+            (23,'a'),(24,'b'),(25,'c'),(26,'d'),(27,'e'),(28,'f'),(29,'g'),
+            (30,'h'),(31,'i'),(32,'j'),(33,'k'),(34,'l'),(35,'m'),(36,'n'),
+            (37,'o'),(38,'p'),(39,'q'),(40,'r'),(41,'s'),(42,'t'),(43,'u'),
+            (44,'v'),(45,'w'),(46,'x'),(47,'y'),(48,'z')),
+        words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        seg AS (
+          SELECT w, 1 AS pos, '' AS ids FROM words
+          UNION ALL
+          SELECT s.w, s.pos + length(v.piece),
+            CASE WHEN s.ids = '' THEN CAST(v.id AS VARCHAR)
+                 ELSE s.ids || ',' || CAST(v.id AS VARCHAR) END
+          FROM seg s JOIN vocab v ON substr(s.w, s.pos, length(v.piece)) = v.piece
+          WHERE s.pos <= length(s.w)
+            AND length(v.piece) = (SELECT max(length(v2.piece)) FROM vocab v2
+                WHERE substr(s.w, s.pos, length(v2.piece)) = v2.piece)),
+        done AS (SELECT w, ids,
+            (length(ids) - length(replace(ids, ',', '')) + 1) AS n
+          FROM seg WHERE pos = length(w) + 1),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+            generate_subscripts(string_split(text, ' '), 1) AS i
+          FROM documents)
+        SELECT t.doc_id, string_agg(d.ids, ',' ORDER BY t.i) AS ids,
+          CAST(SUM(d.n) AS BIGINT) AS n_pieces
+        FROM tok t JOIN done d USING (w)
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // ---------------------------------------------------------------- t04
     // Order-sensitive rolling-hash fingerprint; output the fingerprint of
     // each doc (dup-detection primitive that distinguishes permutations).

@@ -142,6 +142,32 @@ class FunctionsSpec extends SparkSuite {
       row.getLong(2) == r.getLong(2))
   }
 
+  test("greedy tokenizer: longest match wins, UNK advances, codegen engages") {
+    val vocab = Seq("ab", "abc", "b", "a", "c")
+    val df = spark.range(0, 3)
+      .select(element_at(
+        typedlit(Seq("abc ab ba", "zzz", "abcabc")), ($"id" + 1).cast("int")).as("t"))
+      .select(TextExpressions.greedy_tokenize($"t", vocab).as("ids"))
+    val out = df.collect().map(_.getSeq[Int](0))
+    // "abc"(2) " " "ab"(1) " " "b"(3),"a"(4); unknown 'z' -> 0 each;
+    // "abcabc" -> abc,abc
+    assert(out(0) == Seq(2, 1, 3, 4), s"got ${out(0)}")
+    assert(out(1) == Seq(0, 0, 0), s"got ${out(1)}")
+    assert(out(2) == Seq(2, 2), s"got ${out(2)}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("greedy_tokenize"), plan)
+    // interpreted eval agrees with codegen
+    val row = GreedyTokenize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc ab ba")), vocab)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(row.toIntArray().toSeq == Seq(2, 1, 3, 4))
+    // guards: duplicate / empty / space-bearing pieces rejected
+    intercept[Exception](TextExpressions.greedy_tokenize($"t", Seq("a", "a")))
+    intercept[Exception](TextExpressions.greedy_tokenize($"t", Seq("a b")))
+    intercept[Exception](TextExpressions.greedy_tokenize($"t", Seq("")))
+  }
+
   test("product UDAF handles empty and null groups") {
     val df = Seq((1, Some(2.0)), (1, Some(3.0)), (2, None), (3, Some(0.5)))
       .toDF("k", "v")
