@@ -2671,5 +2671,37 @@ object OpsQueries {
         SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_total
         FROM events e JOIN h2 USING (user_id)
         GROUP BY e.user_id ORDER BY e.user_id"""))
+    ,
+
+    // --------------------------------------------------------------- st17
+    // Trigger.AvailableNow over the hadro source: the query start PINS
+    // the manifest end, admission-bounded triggers drain exactly to it,
+    // and the query STOPS BY ITSELF (awaitTermination returns true with
+    // no stop() call) — batch-job scheduling over streaming semantics,
+    // sink content identical to a batch read of the pinned log. The pin
+    // excluding mid-run appends and a checkpointed second run resuming
+    // exactly once (no duplicate epochs) are spec-asserted
+    // (StreamSinkSpec — deterministic there via direct source calls).
+    QueryDef(
+      "st17_available_now",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.functions.col
+        val src = table(s, dir, "nation")
+        val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st17"
+        val c = graft.api.Collection.create(s, colPath, src, numSegments = 6)
+        val name = s"st17_sink_${System.nanoTime()}"
+        val q = s.readStream.format("hadro")
+          .option("hadro.maxOrdinalsPerTrigger", "2").load(colPath)
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(120000),
+          "AvailableNow query must terminate by itself")
+        // post-pin appends belong to the NEXT run, not this one
+        c.append(src.select((col("n_nationkey") + 100).as("n_nationkey"),
+          col("n_name"), col("n_regionkey")))
+        s.table(name).select(col("n_nationkey"), col("n_name"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""))
   )
 }

@@ -3,7 +3,7 @@ package graft.spark
 import java.nio.file.Path
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 import graft.meta.CollectionMeta
@@ -39,7 +39,8 @@ final case class HadroOffset(nextOrdinal: Long, generation: Long = 0L) extends O
 final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     required: StructType, onTruncate: String = "fail",
     maxOrdinalsPerTrigger: Long = 0L)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   require(onTruncate == "fail" || onTruncate == "restart",
     s"hadro.onTruncate must be fail|restart, got '$onTruncate'")
@@ -52,6 +53,19 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
   override def latestOffset(): Offset = {
     val m = CollectionMeta.currentManifest(path)
     HadroOffset(m.nextOrdinal, m.generation)
+  }
+
+  // ------------------------------------------- Trigger.AvailableNow
+  // Catch-up-then-stop: the query start PINS the manifest end; triggers
+  // (still admission-bounded) drain up to exactly that offset and the
+  // query terminates by itself. Appends landing after the pin are left
+  // for the next run — with a checkpoint, that run resumes from the
+  // committed offset, so no epoch replays and no record is read twice.
+  @volatile private var availableNowEnd: Option[HadroOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val m = CollectionMeta.currentManifest(path)
+    availableNowEnd = Some(HadroOffset(m.nextOrdinal, m.generation))
   }
 
   // ------------------------------------------------- admission control
@@ -67,10 +81,18 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val m = CollectionMeta.currentManifest(path)
     val so = start.asInstanceOf[HadroOffset]
+    // AvailableNow cap applies only while the log it pinned still exists;
+    // a truncate under the run falls back to live-end (and the normal
+    // generation machinery below decides fail vs restart).
+    val end = availableNowEnd match {
+      case Some(cap) if cap.generation == m.generation =>
+        math.min(cap.nextOrdinal, m.nextOrdinal)
+      case _ => m.nextOrdinal
+    }
     if (maxOrdinalsPerTrigger <= 0 || m.generation != so.generation)
-      HadroOffset(m.nextOrdinal, m.generation) // truncate: re-admit whole log
+      HadroOffset(end, m.generation) // truncate: re-admit whole log
     else
-      HadroOffset(math.min(m.nextOrdinal, so.nextOrdinal + maxOrdinalsPerTrigger),
+      HadroOffset(math.min(end, so.nextOrdinal + maxOrdinalsPerTrigger),
         m.generation)
   }
 

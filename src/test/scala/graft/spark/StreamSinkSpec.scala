@@ -132,4 +132,62 @@ class StreamSinkSpec extends SparkSuite {
     assert(spark.table(name).count() == src.count() + 13)
     q.stop()
   }
+
+  test("AvailableNow: pin excludes post-pin appends; capped drain reaches exactly the pin") {
+    // Deterministic pin semantics via direct source calls: prepare pins
+    // the end, an append lands AFTER the pin, and latestOffset must drain
+    // admission-bounded batches to exactly the pinned ordinal — never the
+    // live end.
+    val colPath = Files.createTempDirectory("an_pin").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    graft.api.Collection.create(spark, colPath, src, numSegments = 6)
+    val stream = new HadroMicroBatchStream(Paths.get(colPath),
+      src.schema, src.schema, maxOrdinalsPerTrigger = 2L)
+    stream.prepareForTriggerAvailableNow()
+    val pinned = CollectionMeta.currentManifest(Paths.get(colPath)).nextOrdinal
+    graft.api.Collection(spark, colPath).append(src) // post-pin: next run's data
+    var off = stream.initialOffset().asInstanceOf[HadroOffset]
+    val seen = scala.collection.mutable.Buffer.empty[Long]
+    var i = 0
+    while (off.nextOrdinal < pinned && i < 100) {
+      off = stream.latestOffset(off, stream.getDefaultReadLimit)
+        .asInstanceOf[HadroOffset]
+      seen += off.nextOrdinal
+      i += 1
+    }
+    assert(off.nextOrdinal == pinned,
+      s"drain must stop exactly at the pin $pinned, got ${off.nextOrdinal}")
+    assert(seen.size >= 3, s"2-ordinal cap over 6 segments needs >=3 steps: $seen")
+    // and it never advances past the pin even though the live log is longer
+    val again = stream.latestOffset(off, stream.getDefaultReadLimit)
+      .asInstanceOf[HadroOffset]
+    assert(again.nextOrdinal == pinned)
+  }
+
+  test("AvailableNow: end-to-end self-stop, then a checkpointed second run resumes exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val colPath = Files.createTempDirectory("an_e2e").resolve("c").toString
+    val sinkPath = Files.createTempDirectory("an_sink").resolve("out").toString
+    val ckpt = Files.createTempDirectory("an_ckpt").toString
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val c = graft.api.Collection.create(spark, colPath, src, numSegments = 4)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("hadro")
+        .option("hadro.maxOrdinalsPerTrigger", "2").load(colPath)
+        .writeStream.format("hadro").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sinkPath)
+      assert(q.awaitTermination(120000), "AvailableNow must stop by itself")
+    }
+    run()
+    assert(spark.read.format("hadro").load(sinkPath).count() == src.count())
+
+    c.append(src.select(($"n_nationkey" + 100).as("n_nationkey"), $"n_name",
+      $"n_regionkey"))
+    run() // resumes from the committed offset: ONLY the new segments
+    val out = spark.read.format("hadro").load(sinkPath)
+    assert(out.count() == src.count() * 2,
+      "second run must emit exactly the post-pin appends, no replays")
+    assert(out.filter($"n_nationkey" >= 100).count() == src.count())
+  }
 }
