@@ -364,17 +364,52 @@ final class Collection private (spark: SparkSession, val path: String) {
     * width (recorded per segment in the manifest); readers null-fill the
     * new column for them, and new writes carry it. Only additive, nullable,
     * top-level evolution is supported — anything else needs a rewrite
-    * (compact() re-materializes every row at full width). */
-  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Unit = {
+    * (compact() re-materializes every row at full width).
+    *
+    * `default` (a constant SQL expression, e.g. `"5"`, `"'unknown'"`,
+    * `"CAST(2.5 AS DOUBLE)"`) gives the column a DEFAULT: rows written
+    * before the column existed READ BACK as the at-ALTER-time folded
+    * constant instead of null (metadata-only back-fill — no data touched),
+    * and SQL INSERTs that omit the column get it filled by the analyzer.
+    * The frozen literal lives in the field's metadata under Spark's own
+    * EXISTS_DEFAULT/CURRENT_DEFAULT keys. Atomic types only — array/map/
+    * struct defaults would defeat the vectorized reader's constant fill. */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): Unit = {
     val meta = CollectionMeta.readSchema(dir).getOrElse(throw new IllegalArgumentException(
       s"addColumn requires an existing collection at $path"))
     require(!name.startsWith(CollectionMeta.DroppedPrefix) &&
       !name.startsWith("_hadro_"), s"column name '$name' is reserved")
     require(!meta.schema.fieldNames.contains(name),
       s"column '$name' already exists in ${meta.schema.simpleString}")
+    val metadata = default match {
+      case None => org.apache.spark.sql.types.Metadata.empty
+      case Some(txt) =>
+        dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.StructType =>
+            throw new IllegalArgumentException(
+              s"hadro: DEFAULT is supported for atomic column types only, " +
+                s"not ${dataType.simpleString}")
+          case _ =>
+        }
+        val lit = CollectionMeta.foldDefault(txt, dataType) match {
+          case Left(err) => throw new IllegalArgumentException(s"hadro: $err")
+          case Right(l) => l
+        }
+        // Freeze the FOLDED literal (Spark's EXISTS_DEFAULT contract): a
+        // non-deterministic-looking text like CURRENT_DATE must not drift
+        // between the alter and later reads.
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(CollectionMeta.CurrentDefaultKey, txt)
+          .putString(CollectionMeta.ExistsDefaultKey, lit.sql)
+          .build()
+    }
     CollectionMeta.writeSchema(dir,
       org.apache.spark.sql.types.StructType(meta.schema.fields :+
-        org.apache.spark.sql.types.StructField(name, dataType, nullable = true)),
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true,
+          metadata = metadata)),
       meta.keyField, meta.bucketBy, meta.numBuckets)
   }
 
@@ -497,21 +532,53 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField, meta.bucketBy, meta.numBuckets)
   }
 
-  /** Rewind the collection to a retained version (RESTORE analog):
-    * metadata-only — the target version's segment list is committed as the
-    * new current state (segments are immutable, so the bytes are already
-    * on disk). Fails fast if the version was GC'd or crosses a
-    * compaction. The log generation bumps: a rewind is a discontinuity,
-    * and tailing streams must detect it exactly like a truncate. Files
-    * committed after the target become unreferenced and are collected as
-    * dead by the next truncate/vacuum cycle. */
-  def restoreVersion(v: Long): Unit = {
+  /** Rewind the collection to a retained version (Delta RESTORE / Iceberg
+    * rollback_to_snapshot analog): metadata-only regardless of data size —
+    * the target version's full manifest state (segments, deletion vectors,
+    * indexes, layout declarations) is committed as the new current state;
+    * segments are immutable, so the bytes are already on disk. Fails fast
+    * if the version was GC'd or crosses a compaction. Returns the newly
+    * committed version.
+    *
+    * Semantics at the new head:
+    *   - rows appended/deleted/vectored after `v` disappear (and deletes
+    *     after `v` resurrect); layout metadata (`sortedBy`/`bucketBy`)
+    *     reverts WITH the segments, so scans never report an ordering or
+    *     clustering the restored files don't actually have;
+    *   - `writeTypes` recorded by LATER type-widening alters are merged
+    *     forward per segment: they describe the immutable bytes on disk
+    *     (which the current schema still decodes through), not state being
+    *     rolled back — without the merge a post-widen restore would decode
+    *     narrow bytes at the wide type;
+    *   - `streamEpochs` keeps the CURRENT map so a sink epoch can never
+    *     re-commit twice, and `generation` bumps: a rewind is a log
+    *     discontinuity tailing streams must detect exactly like a truncate;
+    *   - files only the undone suffix referenced join the deferred-GC dead
+    *     list — space returns at the next [[vacuum]]/rewrite, while
+    *     in-flight readers of the old head keep streaming their immutable
+    *     segments (reclaim kills forward time travel, same contract as
+    *     vacuum after truncate). */
+  def restoreVersion(v: Long): Long = {
     val target = CollectionMeta.manifestAt(dir, v)
-    CollectionMeta.commit(dir, cur => cur.copy(
-      segments = target.segments,
-      mutated = target.mutated,
-      indexes = target.indexes,
-      generation = cur.generation + 1))
+    val committed = CollectionMeta.commit(dir, cur => {
+      if (cur.version == v) cur // already there: decline, publish nothing
+      else {
+        val laterTypes: Map[String, Map[String, String]] =
+          cur.segments.map(s => s.file -> s.writeTypes).toMap
+        target.copy(
+          segments = target.segments.map(s =>
+            s.copy(writeTypes = laterTypes.getOrElse(s.file, Map.empty) ++ s.writeTypes)),
+          streamEpochs = cur.streamEpochs,
+          generation = cur.generation + 1)
+      }
+    })
+    val m = CollectionMeta.currentManifest(dir)
+    val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
+      m.segments.flatMap(_.indexBlooms.values) ++
+      m.segments.flatMap(_.offsetIndex) ++
+      m.segments.flatMap(_.deleteVector)).toSet
+    CollectionMeta.deferredGc(dir, live)
+    committed.version
   }
 
   /** Commit history over the retained manifest versions (newest first) —

@@ -26,6 +26,15 @@ object IndexBuilder {
     val decoder = new RecordCodec.Decoder(writeSchema, liveOrds)
     val types = liveOrds.map(schema(_).dataType)
     val posOf = liveOrds.map(o => ords.indexOf(o)) // decoded index -> tuple position
+    // Indexed columns appended (with a DEFAULT) after this segment was
+    // written read back as the frozen constant, so the bloom must hash
+    // THAT — hashing null would let an equality probe on the default
+    // value wrongly skip the segment.
+    val absentDefaults: Seq[(Int, Any)] = ords.zipWithIndex
+      .filter { case (o, _) => o >= writeWidth }
+      .flatMap { case (o, pos) =>
+        graft.meta.CollectionMeta.defaultValueOf(schema(o)).map(pos -> _)
+      }.toSeq
     val bloom = KeyBloom()
     val reader = new SegmentReader(seg)
     try {
@@ -39,6 +48,7 @@ object IndexBuilder {
           values(posOf(i)) = if (row.isNullAt(i)) null else row.get(i, types(i))
           i += 1
         }
+        absentDefaults.foreach { case (pos, v) => values(pos) = v }
         bloom.addHash(KeyBloom.canonicalComposite(values.toSeq))
       }
     } finally reader.close()

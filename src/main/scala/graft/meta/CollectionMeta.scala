@@ -140,6 +140,45 @@ object CollectionMeta {
   val DroppedPrefix = "__graft_dropped_"
   def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
     f.name.startsWith(DroppedPrefix)
+
+  // ------------------------------------------------- column default values
+  // Spark's OWN StructField metadata keys for column defaults: storing
+  // under these names makes the analyzer fill INSERTs that omit the column
+  // (CURRENT_DEFAULT, given the catalog declares the capability), while
+  // EXISTS_DEFAULT carries the frozen at-ALTER-time literal that readers
+  // back-fill into segments written before the column existed.
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** Constant-fold a default-value SQL text to a Catalyst literal of
+    * `dt`. Fails (Left) on unparseable/non-foldable/uncastable input —
+    * callers at ALTER time surface that; read-time callers only ever see
+    * texts this validated. */
+  def foldDefault(sqlText: String,
+      dt: DataType): Either[String, org.apache.spark.sql.catalyst.expressions.Literal] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    try {
+      val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sqlText)
+      if (!e.foldable) Left(s"DEFAULT '$sqlText' is not a constant expression")
+      else {
+        val v = Cast(e, dt, Some("UTC")).eval(null)
+        if (v == null && e.eval(null) != null)
+          Left(s"DEFAULT '$sqlText' cannot be cast to ${dt.simpleString}")
+        else Right(Literal(v, dt))
+      }
+    } catch {
+      case ex: Exception => Left(s"DEFAULT '$sqlText' failed to parse: ${ex.getMessage}")
+    }
+  }
+
+  /** The read-time back-fill value for a field added with a DEFAULT:
+    * segments written before the field existed read this instead of null.
+    * None = no default (plain additive evolution: null-fill). Catalyst
+    * representation, ready for InternalRow/vector fill. */
+  def defaultValueOf(f: org.apache.spark.sql.types.StructField): Option[Any] =
+    if (!f.metadata.contains(ExistsDefaultKey)) None
+    else foldDefault(f.metadata.getString(ExistsDefaultKey), f.dataType)
+      .toOption.map(_.value).filter(_ != null)
   /** The user-visible view of a physical schema: dropped slots hidden. */
   def logicalSchema(physical: StructType): StructType =
     StructType(physical.fields.filterNot(isDropped))

@@ -138,6 +138,75 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** FUZZY decontamination: training-corpus documents that are NEAR
+    * duplicates (shingle Jaccard >= `threshold`) of any evaluation/
+    * benchmark document — the recall-hardened complement of the exact
+    * n-gram overlap in [[decontaminate]], catching eval items that were
+    * lightly paraphrased or template-perturbed before leaking into the
+    * corpus. Returns one row per contaminated corpus doc:
+    * (doc_id, n_eval_matches, max_jaccard).
+    *
+    * Same banded-MinHash candidate machinery as [[minhashLshPairs]], but
+    * the band join is corpus x eval (key-equality on (band, band_hash) —
+    * never a cross product) and only the corpus side needs the
+    * band-bucket boilerplate cap: the eval side is benchmark-sized.
+    * Identical-signature pairs are additionally joined directly on the
+    * full-signature hash, so exact leaks survive even when every band
+    * bucket they occupy is capped. At 100 TB the eval side is broadcast-
+    * small, the corpus side is one shuffle on 8-byte band keys, and
+    * verification touches only candidate pairs' hashed shingle sets.
+    * `mustCheck` pins known (doc_id, eval_id) pairs past the
+    * probabilistic candidate stage, same contract as minhashLshPairs. */
+  def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBandBucket: Int = 200,
+      mustCheck: Option[DataFrame] = None): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def signed(df: DataFrame, as: String): DataFrame = df.select(
+      col(idCol).as(as),
+      TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
+      .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
+    val c = signed(corpus, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = signed(benchmark, "eval_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(df: DataFrame, id: String): DataFrame = df.select(col(id),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cb = banded(c, "doc_id")
+    val eb = banded(e, "eval_id")
+    // Boilerplate cap on the CORPUS side only (the side that can explode):
+    // a band bucket shared by more docs than maxBandBucket identifies
+    // nothing and joins linearly-in-cap anyway; dropped buckets' true
+    // pairs still surface through other bands or the sig-equality rescue.
+    val usable = cb.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= maxBandBucket)
+      .select(col("band"), col("band_hash"))
+    val bandCandidates = cb.join(usable, Seq("band", "band_hash"))
+      .join(eb, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("eval_id"))
+    // Exact-leak rescue: identical full signatures collide in EVERY band,
+    // so a capped boilerplate cluster would otherwise hide them.
+    val sigPairs = c.select(col("doc_id"), xxhash64(col("sig")).as("sig_h"))
+      .join(e.select(col("eval_id"), xxhash64(col("sig")).as("sig_h")), Seq("sig_h"))
+      .select(col("doc_id"), col("eval_id"))
+    val candidates = mustCheck.foldLeft(bandCandidates.unionByName(sigPairs))(
+      _ unionByName _).distinct()
+    candidates
+      .join(c.select(col("doc_id"),
+        transform(col("shingles"), s => xxhash64(s)).as("sh_c")), Seq("doc_id"))
+      .join(e.select(col("eval_id"),
+        transform(col("shingles"), s => xxhash64(s)).as("sh_e")), Seq("eval_id"))
+      .select(col("doc_id"), col("eval_id"),
+        TextOps.jaccard(col("sh_c"), col("sh_e")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Cross-document duplicated-span profile (the "substring dedup" measure:
     * exact long-span duplication is the highest-value removal in training
     * corpora). For each doc: how many of its distinct `w`-token windows

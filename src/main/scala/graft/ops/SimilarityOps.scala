@@ -626,6 +626,53 @@ object SimilarityOps {
       .transform(c => bruteForceTopK(c, idCol, vecCol, query, k))
   }
 
+  /** Build a persistent BINARY-code ANN index: each vector reduced to a
+    * single BIGINT of `bits` sign bits (the [[signLshSignature]] hyperplane
+    * signs packed into one machine word — 8 bytes/vector vs 256 for the
+    * raw float[64], a 32× scan-size reduction, 4× smaller than even the
+    * int8 SQ codes). Range-clustering on the code keeps each segment's
+    * code range narrow, so probe-side filters still prune via manifest
+    * stats. The index stores (vid, sig) ONLY — candidates re-join the
+    * corpus for exact scoring, so the full-corpus pass of every query
+    * touches nothing but 16-byte rows. */
+  def buildHammingIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 64, numSegments: Int = 8): graft.api.Collection = {
+    val coded = df
+      .select(col(idCol).as("vid"),
+        signLshSignature(col(vecCol), bits).as("sig"))
+      .repartitionByRange(numSegments, col("sig"))
+    graft.api.Collection.create(spark, path, coded)
+  }
+
+  /** Two-stage ANN over a [[buildHammingIndex]] collection: stage 1 ranks
+    * the WHOLE corpus by Hamming distance between 64-bit codes — one
+    * `bit_count(xor)` per row, the cheapest distance computable, map-only
+    * with a per-partition top-`candidates` heap (TakeOrderedAndProject), no
+    * shuffle of the corpus; stage 2 re-scores only the candidate pool with
+    * exact cosine over the original embeddings via a broadcast semi-join.
+    * Hamming over sign bits is a monotone estimator of angular distance
+    * (cos(pi * hd/bits) approximates the true cosine), so the coarse stage
+    * is recall-effective while reading 32× fewer bytes than the exact
+    * stage would. Ties in the coarse stage break on id — fully
+    * deterministic, which is what lets DuckDB reproduce the exact
+    * candidate pool in the oracle. */
+  def hammingTopK(index: graft.api.Collection, corpus: DataFrame,
+      idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      candidates: Int = 100, bits: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val qSig = spark.range(1).select(typedlit(query).as("q"))
+      .select(signLshSignature(col("q"), bits).as("sig")).head().getLong(0)
+    val pool = index.scan()
+      .select(col("vid").as(idCol),
+        bit_count(col("sig").bitwiseXOR(lit(qSig))).as("hd"))
+      .orderBy(col("hd"), col(idCol))
+      .limit(candidates)
+      .select(col(idCol))
+    corpus.join(broadcast(pool), Seq(idCol), "left_semi")
+      .transform(c => bruteForceTopK(c, idCol, vecCol, query, k))
+  }
+
   private def sqParamsFile(dir: java.nio.file.Path): java.nio.file.Path =
     dir.resolve("_hadro").resolve("sq8-params.json")
 

@@ -259,6 +259,57 @@ object TextOps {
   /** Composite quality score in [0,1] from cheap per-row signals: token
     * count band, mean token length band, stopword presence, alpha ratio.
     * Deterministic arithmetic only (cross-engine reproducible). */
+  /** Gopher-style repetition-free quality RULES (Rae et al. 2021, the
+    * filter battery every large-scale text pipeline reimplements): per-doc
+    * structural metrics plus the boolean `keep` verdict of the canonical
+    * bounds — word count in [50, 100k], mean word length in [3, 10],
+    * hash/ellipsis symbol-to-word ratio < 0.1, < 90% bullet-led lines,
+    * < 30% ellipsis-ended lines, > 80% of words containing an alphabetic
+    * character, and at least 2 distinct required stopwords present.
+    * Pure codegen'd expressions over one row at a time — map-only at any
+    * scale, no shuffle, no UDFs; every metric is re-derivable in ANSI SQL,
+    * which is how the oracle pins it. */
+  /** Gopher's canonical required-stopword inventory (distinct-presence
+    * count, not frequency) — deliberately NOT the langId list above. Real
+    * pipelines swap a corpus/language-appropriate function-word list in
+    * via `requiredStopwords`. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      requiredStopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val wordsLower = transform(words, w => lower(w))
+    val nW = size(words)
+    val n = nW.cast("double")
+    val lines = split(t, "\n")
+    val nL = size(lines).cast("double")
+    val gopherStops = requiredStopwords
+    val meanLen = aggregate(words, lit(0), (a, w) => a + length(w)).cast("double") / n
+    // non-overlapping leftmost replacement on both engines, so the length
+    // delta of stripping "..." is always a multiple of 3
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val ellipses = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))).cast("double") / 3.0
+    val symbolRatio = (hashes + ellipses) / n
+    val bulletFrac = size(filter(lines,
+      l => substring(trim(l), 1, 1).isin("-", "•", "*"))).cast("double") / nL
+    val ellipsisFrac = size(filter(lines, l => trim(l).endsWith("..."))).cast("double") / nL
+    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / n
+    val nStop = size(filter(typedlit(gopherStops), s => array_contains(wordsLower, s)))
+    df.select(col(idCol),
+      nW.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_frac"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      nStop.as("n_stopwords"),
+      (nW.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symbolRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+        alphaFrac > 0.8 && nStop >= 2).as("keep"))
+  }
+
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks).cast("double")

@@ -63,15 +63,18 @@ object OpsQueries {
     * (xxhash64 of the integers 1..8256), computed here through the SAME
     * public Spark expression the engine evaluates, so the oracle twin
     * reproduces the bucketing without reimplementing the int hash in SQL. */
-  private lazy val s02SignsSql: String = {
+  private def signsSqlFor(bits: Int): String = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    (0 until 8).map { b =>
+    (0 until bits).map { b =>
       (1 to 64).map { j =>
         val h = new XxHash64(Seq(Literal(b * 1024 + j))).eval(null).asInstanceOf[Long]
         if (java.lang.Math.floorMod(h, 2L) == 0L) "1" else "-1"
       }.mkString("[", ",", "]")
     }.mkString("[", ",", "]")
   }
+  private lazy val s02SignsSql: String = signsSqlFor(8)
+  /** s12's 64-plane variant of the same matrix (one sign bit per plane). */
+  private lazy val s12SignsSql: String = signsSqlFor(64)
 
   /** Planted non-NFC / messy-whitespace rows for t11, shared verbatim by
     * the Spark query and the DuckDB oracle (no quotes allowed in texts —
@@ -642,6 +645,60 @@ object OpsQueries {
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])) >= 0.95) AS kept
         FROM assigned a ORDER BY a.vec_id""")),
+
+    // ---------------------------------------------------------------- d15
+    // FUZZY decontamination: corpus docs that NEAR-duplicate (Jaccard >=
+    // 0.8 on 3-gram shingles) any eval-set document — catching benchmark
+    // items that leaked with light edits, which d09's exact n-gram overlap
+    // can undercount. Eval set = every 25th doc with an appended token
+    // (paraphrase-ish leak) + every 40th verbatim (exact leak). Candidates
+    // come from a corpus x eval banded-MinHash key-equality join (the eval
+    // side is benchmark-small; only the corpus side is bucket-capped);
+    // the oracle brute-forces the exact cross-set Jaccard, so matching it
+    // proves recall, not plausibility. Planted pairs are pinned past the
+    // probabilistic stage, same contract as d02.
+    QueryDef(
+      "d15_fuzzy_decontamination",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val evalSet = d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(" benchleaktoken")).as("text"))
+          .unionByName(d.filter(col("doc_id") % 40 === 0)
+            .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+        val known = d.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), (col("doc_id") + 5000000L).as("eval_id"))
+          .unionByName(d.filter(col("doc_id") % 40 === 0)
+            .select(col("doc_id"), (col("doc_id") + 6000000L).as("eval_id")))
+        DedupOps.fuzzyDecontaminate(d, evalSet, "doc_id", "text",
+            mustCheck = Some(known))
+          .withColumn("max_jaccard", round(col("max_jaccard"), 3))
+          .orderBy("doc_id")
+      },
+      Some("""WITH eval AS (
+          SELECT doc_id + 5000000 AS eval_id, text || ' benchleaktoken' AS text
+          FROM documents WHERE doc_id % 25 = 0
+          UNION ALL
+          SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 40 = 0),
+        csets AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM documents),
+        esets AS (
+          SELECT eval_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM eval),
+        scored AS (
+          SELECT c.doc_id, e.eval_id,
+            CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(c.sh || e.sh)) AS DOUBLE) AS j
+          FROM csets c CROSS JOIN esets e)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+          ROUND(MAX(j), 3) AS max_jaccard
+        FROM scored WHERE j >= 0.8
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- t10
     // Sequence packing: each source's docs (ordered by id) concatenated
@@ -1390,6 +1447,55 @@ object OpsQueries {
         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
         LIMIT 10""")),
 
+    // ---------------------------------------------------------------- s12
+    // Binary-code ANN: every vector packed to ONE BIGINT of 64 hyperplane
+    // sign bits (8 bytes/vector — 32x smaller than the raw floats, 4x
+    // smaller than sq8), coarse-ranked by bit_count(xor) Hamming distance
+    // (map-only, per-partition top-k heap), then the top-100 pool exactly
+    // re-scored. The oracle reproduces the plane signs (same xxhash64
+    // derivation as the engine), the per-bit signatures, the Hamming
+    // ranking with its (hd, vec_id) tie-break, and the exact re-rank —
+    // candidate pool equality, not just result plausibility.
+    QueryDef(
+      "s12_hamming_ann_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildHammingIndex(
+          s, s"/tmp/graft_collections/$tag/s12_index", e, "vec_id", "embedding")
+        SimilarityOps.hammingTopK(idx, e, "vec_id", "embedding", q, 20,
+            candidates = 100)
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      // The oracle compares sign BITS per plane instead of packing them
+      // into a shifted integer — Hamming(xor) over packed words and the
+      // count of differing bits are the same number, and the unpacked form
+      // avoids 64-bit shift semantics differences between engines.
+      Some(s"""WITH planes AS (SELECT ${s12SignsSql}::TINYINT[][] AS s),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sigs AS (
+          SELECT vec_id, v,
+            list_transform(generate_series(0, 63), b ->
+              CASE WHEN list_reduce(
+                     list_transform(generate_series(1, 64), j -> v[j] * s[b+1][j]),
+                     (a, x) -> a + x) >= 0.0
+                   THEN 1 ELSE 0 END) AS bits
+          FROM emb, planes),
+        q AS (SELECT v AS qv, bits AS qbits FROM sigs WHERE vec_id = 0),
+        hd AS (
+          SELECT s.vec_id, s.v,
+            list_sum(list_transform(generate_series(1, 64),
+              i -> CASE WHEN s.bits[i] <> q.qbits[i] THEN 1 ELSE 0 END)) AS hd
+          FROM sigs s, q),
+        pool AS (SELECT vec_id, v FROM hd ORDER BY hd, vec_id LIMIT 100),
+        scored AS (
+          SELECT p.vec_id, list_cosine_similarity(p.v, q.qv) AS cosine
+          FROM pool p, q)
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND(cosine, 4) AS cosine
+        FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")),
+
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.
     QueryDef(
@@ -1581,6 +1687,60 @@ object OpsQueries {
           CAST(SUM(d.n) AS BIGINT) AS n_pieces
         FROM tok t JOIN done d USING (w)
         GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // ---------------------------------------------------------------- t15
+    // Gopher quality rules (Rae et al. 2021): the canonical structural
+    // document filter — word-count band, mean word length band, symbol-to-
+    // word ratio, bullet-led and ellipsis-ended line fractions, alphabetic-
+    // word fraction, required-stopword presence — each metric emitted plus
+    // the composite keep verdict. Map-only codegen'd expressions; the
+    // oracle re-derives every metric AND the unrounded keep decision in
+    // DuckDB, so threshold arithmetic is pinned cross-engine.
+    QueryDef(
+      "t15_gopher_rules",
+      (s, dir) => {
+        // corpus-localized required-stopword inventory (the synthetic
+        // corpus has its own function words) — the canonical English list
+        // is the TextOps default and spec-covered
+        TextOps.gopherQuality(table(s, dir, "documents"), "doc_id", "text",
+            requiredStopwords = Seq("the", "a", "line", "value", "table"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, text AS t,
+            regexp_split_to_array(trim(text), '\s+') AS words,
+            string_split(text, chr(10)) AS lines
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            len(words) AS n_words,
+            CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+              / len(words) AS mean_word_len,
+            (CAST(length(t) - length(regexp_replace(t, '#', '', 'g')) AS DOUBLE)
+              + CAST(length(t) - length(regexp_replace(t, '\.\.\.', '', 'g')) AS DOUBLE)
+                / 3.0) / len(words) AS symbol_ratio,
+            CAST(len(list_filter(lines, l -> left(trim(l), 1) IN ('-', '•', '*')))
+              AS DOUBLE) / len(lines) AS bullet_frac,
+            CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS DOUBLE)
+              / len(lines) AS ellipsis_frac,
+            CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) / len(words) AS alpha_frac,
+            len(list_filter(['the','a','line','value','table'],
+              s -> list_contains(list_transform(words, x -> lower(x)), s)))
+              AS n_stopwords
+          FROM w)
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+          ROUND(mean_word_len, 4) AS mean_word_len,
+          ROUND(symbol_ratio, 4) AS symbol_ratio,
+          ROUND(bullet_frac, 4) AS bullet_frac,
+          ROUND(ellipsis_frac, 4) AS ellipsis_frac,
+          ROUND(alpha_frac, 4) AS alpha_frac,
+          CAST(n_stopwords AS INT) AS n_stopwords,
+          (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+            AND ellipsis_frac < 0.3 AND alpha_frac > 0.8
+            AND n_stopwords >= 2) AS keep
+        FROM m ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- t04
     // Order-sensitive rolling-hash fingerprint; output the fingerprint of

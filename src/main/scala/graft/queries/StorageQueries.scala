@@ -1263,5 +1263,103 @@ object StorageQueries {
         SELECT c_custkey, c_acctbal
         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         ORDER BY c_custkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h49
+    // SQL rollback (Delta RESTORE / Iceberg rollback_to_snapshot analog):
+    // insert the base table, commit two rounds of damage (a bad append and
+    // a DELETE), then CALL graft.system.rollback back to the good version
+    // — metadata-only, regardless of table size. The read after rollback
+    // must equal the original table exactly: appended rows are gone AND
+    // deleted rows are resurrected. A follow-up append proves the restored
+    // head is fully writable (ordinals continue, generation bumped).
+    QueryDef(
+      "h49_sql_rollback",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h49"
+        s.conf.set("spark.sql.catalog.graft_h49", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h49.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h49.db")
+        s.sql("DROP TABLE IF EXISTS graft_h49.db.suppliers")
+        s.sql("""CREATE TABLE graft_h49.db.suppliers
+          (s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE) USING hadro""")
+        QueryDef.table(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal")
+          .createOrReplaceTempView("h49_src")
+        s.sql("INSERT INTO graft_h49.db.suppliers SELECT * FROM h49_src")
+        val good = graft.api.Collection(s, s"$wh/db/suppliers").version
+        // damage round 1: a bad append; round 2: a destructive delete.
+        // The delete runs MERGE-ON-READ (deletion vectors) — a CoW delete
+        // is a partial rewrite whose commit GCs pre-rewrite manifests, so
+        // there would be nothing left to restore; dv deletes are
+        // metadata-only and keep history intact. Rolling back then proves
+        // the restored head drops the later DV sidecar reference, exactly
+        // resurrecting the vectored rows.
+        s.sql("""INSERT INTO graft_h49.db.suppliers
+          SELECT s_suppkey + 9000000, s_name, -1.0 FROM h49_src""")
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try s.sql("DELETE FROM graft_h49.db.suppliers WHERE s_suppkey % 2 = 0")
+        finally s.conf.unset("spark.hadro.delete.mode")
+        s.sql(s"CALL graft_h49.system.rollback('db.suppliers', $good)")
+        // restored head stays writable: append a disjoint tail on top
+        s.sql("""INSERT INTO graft_h49.db.suppliers
+          SELECT s_suppkey + 5000000, s_name, s_acctbal + 1 FROM h49_src
+          WHERE s_suppkey % 10 = 0""")
+        s.sql("""SELECT s_suppkey, s_name, s_acctbal
+          FROM graft_h49.db.suppliers ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 5000000, s_name, s_acctbal + 1 FROM supplier
+        WHERE s_suppkey % 10 = 0
+        ORDER BY s_suppkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h50
+    // ADD COLUMN ... DEFAULT: metadata-only evolution where rows written
+    // BEFORE the column existed read back the frozen at-ALTER-time
+    // constant (not null), while later INSERTs may omit the column and get
+    // it analyzer-filled, or supply explicit values (including NULL, which
+    // stays NULL — the default only back-fills physically-absent fields).
+    // Exercises both reader paths (the row reader via the changefeed-free
+    // scan and the vectorized reader) plus insert-fill; the oracle builds
+    // the same three-era table from raw parquet.
+    QueryDef(
+      "h50_add_column_default",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h50"
+        s.conf.set("spark.sql.catalog.graft_h50", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h50.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h50.db")
+        s.sql("DROP TABLE IF EXISTS graft_h50.db.nations")
+        s.sql("""CREATE TABLE graft_h50.db.nations
+          (n_nationkey INT, n_name STRING) USING hadro""")
+        QueryDef.table(s, dir, "nation").select("n_nationkey", "n_name")
+          .createOrReplaceTempView("h50_src")
+        s.sql("INSERT INTO graft_h50.db.nations SELECT * FROM h50_src")
+        s.sql("""ALTER TABLE graft_h50.db.nations
+          ADD COLUMN region_code STRING DEFAULT 'UNASSIGNED'""")
+        // era 2: INSERT omitting the column — analyzer fills the default
+        s.sql("""INSERT INTO graft_h50.db.nations (n_nationkey, n_name)
+          SELECT n_nationkey + 100, n_name FROM h50_src WHERE n_nationkey % 5 = 0""")
+        // era 3: explicit values, including an explicit NULL
+        s.sql("""INSERT INTO graft_h50.db.nations
+          SELECT n_nationkey + 200, n_name,
+            CASE WHEN n_nationkey % 2 = 0 THEN 'ZONE-' || n_nationkey ELSE NULL END
+          FROM h50_src WHERE n_nationkey % 3 = 0""")
+        s.sql("""SELECT n_nationkey, n_name, region_code
+          FROM graft_h50.db.nations ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, 'UNASSIGNED' AS region_code FROM nation
+        UNION ALL
+        SELECT n_nationkey + 100, n_name, 'UNASSIGNED' FROM nation
+        WHERE n_nationkey % 5 = 0
+        UNION ALL
+        SELECT n_nationkey + 200, n_name,
+          CASE WHEN n_nationkey % 2 = 0 THEN 'ZONE-' || n_nationkey ELSE NULL END
+        FROM nation WHERE n_nationkey % 3 = 0
+        ORDER BY n_nationkey"""))
   )
 }

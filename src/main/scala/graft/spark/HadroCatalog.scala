@@ -50,6 +50,14 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def name(): String = catalogName
 
+  /** Declares column-DEFAULT support so the analyzer accepts
+    * `ADD COLUMN ... DEFAULT <expr>` for hadro tables and fills INSERTs
+    * that omit a defaulted column from the schema's CURRENT_DEFAULT. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def tableDir(ident: Identifier): Path =
     ident.namespace().foldLeft(warehouse)(_ resolve _).resolve(ident.name())
 
@@ -170,16 +178,13 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "hadro: only top-level ADD COLUMN is supported")
         require(add.isNullable,
           "hadro: added columns must be nullable (existing rows have no value)")
-        val meta = CollectionMeta.readSchema(dir).get
-        val name = add.fieldNames().head
-        require(!meta.schema.fieldNames.contains(name),
-          s"hadro: column '$name' already exists")
-        // carry the FULL stored metadata — dropping bucketBy here would
-        // silently un-declare a bucketed table on its first ADD COLUMN
-        CollectionMeta.writeSchema(dir,
-          StructType(meta.schema.fields :+
-            org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)),
-          meta.keyField, meta.bucketBy, meta.numBuckets)
+        // ADD COLUMN ... DEFAULT <expr>: the parsed SQL text rides in the
+        // change; Collection.addColumn freezes its folded literal into the
+        // field metadata (EXISTS_DEFAULT back-fill + CURRENT_DEFAULT
+        // insert-fill) and keeps key/bucket declarations intact.
+        graft.api.Collection(org.apache.spark.sql.SparkSession.active, dir.toString)
+          .addColumn(add.fieldNames().head, add.dataType(),
+            Option(add.defaultValue()).flatMap(d => Option(d.getSql)))
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames().length == 1,
           "hadro: only top-level RENAME COLUMN is supported")

@@ -42,6 +42,35 @@ object HadroColumnar {
 
   def supportsSchema(schema: StructType): Boolean =
     schema.fields.forall(f => supports(f.dataType))
+
+  /** Vector writer for one constant Catalyst value — the DEFAULT back-fill
+    * of a column added after a segment was written. Atomic types only
+    * (enforced at ALTER time by Collection.addColumn). */
+  private[spark] def constFill(dt: DataType,
+      value: Any): (OnHeapColumnVector, Int) => Unit = dt match {
+    case BooleanType =>
+      val v = value.asInstanceOf[Boolean]; (c, r) => c.putBoolean(r, v)
+    case ByteType =>
+      val v = value.asInstanceOf[Byte]; (c, r) => c.putByte(r, v)
+    case ShortType =>
+      val v = value.asInstanceOf[Short]; (c, r) => c.putShort(r, v)
+    case IntegerType | DateType =>
+      val v = value.asInstanceOf[Int]; (c, r) => c.putInt(r, v)
+    case LongType | TimestampType | TimestampNTZType =>
+      val v = value.asInstanceOf[Long]; (c, r) => c.putLong(r, v)
+    case FloatType =>
+      val v = value.asInstanceOf[Float]; (c, r) => c.putFloat(r, v)
+    case DoubleType =>
+      val v = value.asInstanceOf[Double]; (c, r) => c.putDouble(r, v)
+    case StringType =>
+      val b = value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      (c, r) => { c.putByteArray(r, b); () }
+    case BinaryType =>
+      val b = value.asInstanceOf[Array[Byte]]
+      (c, r) => { c.putByteArray(r, b); () }
+    case other => // unreachable for vectorized schemas; stay safe anyway
+      (c, r) => c.putNull(r)
+  }
 }
 
 /** Columnar partition reader over one segment. Mirrors the row reader's
@@ -79,9 +108,23 @@ final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
       HadroColumnarPartitionReader.FieldStep(i, outOrd(i), f.dataType)
     }
   }
-  // Output positions of required columns this segment predates.
-  private val absentOuts: Array[Int] =
-    (n until dataSchema.length).map(outOrd).filter(_ >= 0).toArray
+  // Required columns this segment predates: per-row null — or, for a
+  // column added WITH a DEFAULT, the frozen constant (vector fill of a
+  // literal; defaults are restricted to atomic types at ALTER time, all
+  // of which this reader vectorizes).
+  private val absentFills: Array[(Int, (OnHeapColumnVector, Int) => Unit)] =
+    (n until dataSchema.length).flatMap { i =>
+      val out = outOrd(i)
+      if (out < 0) None
+      else {
+        val f = dataSchema.fields(i)
+        val fill = graft.meta.CollectionMeta.defaultValueOf(f) match {
+          case None => (v: OnHeapColumnVector, r: Int) => v.putNull(r)
+          case Some(value) => HadroColumnar.constFill(f.dataType, value)
+        }
+        Some((out, fill))
+      }
+    }.toArray
 
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(BatchSize, required)
@@ -111,7 +154,9 @@ final class HadroColumnarPartitionReader(file: Path, dataSchema: StructType,
           i += 1
         }
         var a = 0
-        while (a < absentOuts.length) { vectors(absentOuts(a)).putNull(row); a += 1 }
+        while (a < absentFills.length) {
+          val (out, fill) = absentFills(a); fill(vectors(out), row); a += 1
+        }
         row += 1
       }
     }

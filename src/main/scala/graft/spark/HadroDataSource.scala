@@ -341,12 +341,15 @@ object HadroAggPushdown {
 
     def countCol(f: StructField, ord: Int): Option[Long] = {
       if (hasDv) return None
+      // Column added with a DEFAULT: pre-column segments read the constant
+      // back, so every one of their rows is non-null for COUNT(col).
+      val dflt = graft.meta.CollectionMeta.defaultValueOf(f)
       var total = 0L
       live.foreach { s =>
         if (presentIn(s, ord)) s.stats.get(f.name) match {
           case Some(st) => total += s.rows - st.nullCount
           case None => return None
-        }
+        } else if (dflt.isDefined) total += s.rows
       }
       Some(total)
     }
@@ -361,7 +364,14 @@ object HadroAggPushdown {
         case dt if !StatsCollector.isOrderable(dt) => return None
         case _ =>
       }
+      // Column added with a DEFAULT: pre-column segments contribute the
+      // frozen constant to the extremum (their rows all read it back).
+      val dflt = graft.meta.CollectionMeta.defaultValueOf(f)
       var acc: Any = null
+      def fold(v: Any): Unit =
+        if (acc == null ||
+            (if (wantMin) StatsCollector.lt(v, acc) else StatsCollector.lt(acc, v)))
+          acc = v
       live.foreach { s =>
         if (presentIn(s, ord)) s.stats.get(f.name) match {
           case Some(st) =>
@@ -369,14 +379,12 @@ object HadroAggPushdown {
               case Some(rendered) =>
                 val v = StatsCollector.parse(rendered, f.dataType)
                 if (v == null) return None
-                if (acc == null ||
-                    (if (wantMin) StatsCollector.lt(v, acc) else StatsCollector.lt(acc, v)))
-                  acc = v
+                fold(v)
               case None => // no bound recorded: fine only if the segment is all-null
                 if (st.nullCount < s.rows) return None
             }
           case None => return None
-        }
+        } else dflt.foreach(fold)
       }
       Some(Option(acc))
     }
@@ -929,6 +937,14 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   private val presentIdx: Array[Int] = dataFields.indices
     .filter(i => dataSchema.fieldIndex(dataFields(i).name) < writeWidth).toArray
   private val allPresent = presentIdx.length == dataFields.length
+  // Columns appended (with a DEFAULT) after this segment was written:
+  // back-fill the frozen at-ALTER-time constant instead of null.
+  // (out-position, catalyst value); computed once per reader.
+  private val absentDefaults: Array[(Int, Any)] = dataFields.indices
+    .filterNot(i => dataSchema.fieldIndex(dataFields(i).name) < writeWidth)
+    .flatMap { i =>
+      graft.meta.CollectionMeta.defaultValueOf(dataFields(i)).map(v => (i, v))
+    }.toArray
   private val requiredOrdinals = presentIdx.map(i => dataSchema.fieldIndex(dataFields(i).name))
   private val decoder = new RecordCodec.Decoder(writeSchema, requiredOrdinals)
   // out-position -> widener for required columns whose write-time type
@@ -978,6 +994,10 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
             while (i < presentIdx.length) {
               val di = presentIdx(i)
               out.update(dataOut(di), decoded.get(i, dataFields(di).dataType)); i += 1
+            }
+            var ad = 0 // ...unless the column carries a DEFAULT back-fill
+            while (ad < absentDefaults.length) {
+              val (di, v) = absentDefaults(ad); out.update(dataOut(di), v); ad += 1
             }
             if (seqPos >= 0)
               out.update(seqPos, (ordinal << HadroTable.SeqOrdinalShift) | rowIndex)

@@ -36,7 +36,8 @@ import graft.api.Collection
 object HadroProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history")
+    Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
+      "rollback")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -84,6 +85,15 @@ object HadroProcedures {
         new StructType().add("version", LongType)) { in =>
           val c = coll(in); c.vacuum()
           Seq(InternalRow(c.version))
+        }
+      case "rollback" => proc("rollback",
+        "restore a previously committed version as a new commit " +
+          "(RESTORE analog; metadata-only, history preserved)",
+        Seq(p("table", StringType), p("version", LongType)),
+        new StructType().add("restored_version", LongType)
+          .add("committed_version", LongType)) { in =>
+          val c = coll(in); val v = in.getLong(1)
+          Seq(InternalRow(v, c.restoreVersion(v)))
         }
       case "history" => proc("history",
         "commit audit over the retained manifest versions, newest first " +

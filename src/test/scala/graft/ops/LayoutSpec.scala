@@ -112,6 +112,33 @@ class LayoutSpec extends SparkSuite {
       .sortedBy.isEmpty, "unsorted append must clear sortedBy")
   }
 
+  test("restoreVersion reverts layout declarations with their segments") {
+    val path = Files.createTempDirectory("zrestore").resolve("c").toString
+    val src = spark.range(0, 500).select(
+      (($"id" * 37) % 500).as("k"), $"id".as("v"))
+    val c = Collection.create(spark, path, src, numSegments = 2)
+    c.cluster(Seq("k"), numSegments = 4)
+    val vSorted = c.version
+    // an unsorted append clears the declaration...
+    c.append(src.limit(5))
+    assert(CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+      .sortedBy.isEmpty)
+    // ...and a restore must bring it BACK with the segments it describes —
+    // restoring segments but keeping the cleared (or, worse, a later
+    // re-declared) flag would let scans report an ordering the files
+    // don't have.
+    c.restoreVersion(vSorted)
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.sortedBy.contains("k"),
+      "restore must revert sortedBy with the segment list")
+    assert(c.scan().count() == 500, "the unsorted append must be gone")
+    val sorted = c.scan().sortWithinPartitions("k")
+    sorted.collect()
+    assert(!sorted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head.contains("Sort ["),
+      "restored declared sort must plan sorts away again")
+  }
+
   test("cluster validates columns and preserves keyed resolution") {
     val path = Files.createTempDirectory("zkeyed").resolve("c").toString
     val src = Seq.tabulate(100)(i => (i.toLong, i * 2L, s"v$i")).toDF("k", "m", "v")

@@ -617,6 +617,71 @@ class OpsSpec extends SparkSuite {
     assert(rMean > 0.9, s"re-ranked recall@10 suspiciously low: $rMean")
   }
 
+  test("hamming binary-code ANN: two-stage recall@10 strong, 8-byte codes") {
+    val base = embs.select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("hamm").resolve("idx").toString
+    val idx = SimilarityOps.buildHammingIndex(spark, dir, base, "vec_id", "embedding")
+    // the index stores exactly (vid, sig): one BIGINT code per vector
+    assert(idx.scan().schema.fieldNames.toSeq == Seq("vid", "sig"))
+    val recalls = (0L until 500L by 100L).map { qid =>
+      val q = base.filter($"vec_id" === qid)
+        .select($"embedding").head().getSeq[Float](0)
+      val exact = SimilarityOps.bruteForceTopK(base, "vec_id", "embedding", q, 10)
+      SimilarityOps.recallAtK(exact, Seq(
+          "hamming" -> SimilarityOps.hammingTopK(idx, base, "vec_id",
+            "embedding", q, 10, candidates = 100)),
+        "vec_id", 10)
+        .collect().head.getDouble(1)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.7, s"hamming two-stage recall@10 suspiciously low: $mean")
+    // within the candidate pool the final order is EXACT: the query point
+    // itself (hamming 0 to its own code) must always rank first
+    val q0 = base.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
+    val top = SimilarityOps.hammingTopK(idx, base, "vec_id", "embedding",
+      q0, 10, candidates = 100).collect()
+    assert(top.head.getLong(0) == 0L, "self must be the top hit")
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("gopher rules: structural failures flagged, clean doc kept") {
+    val filler = Seq.fill(60)("alpha").mkString(" ")
+    val rows = Seq(
+      (1L, s"the be to of and that have with $filler"), // passes every bound
+      (2L, Seq.fill(60)("####").mkString(" ")),        // symbols, no alpha/stops
+      (3L, "the be short text only"),                  // under the 50-word floor
+      (4L, Seq.fill(60)("- the be bullet line ...").mkString("\n")) // bullet+ellipsis lines
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), "clean doc must pass")
+    assert(out(1L).getAs[Int]("n_stopwords") == 8)
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("symbol_ratio") > 0.1, "#### must count as symbols")
+    assert(out(2L).getAs[Double]("alpha_frac") == 0.0)
+    assert(!out(3L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Int]("n_words") < 50)
+    assert(!out(4L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Double]("bullet_frac") == 1.0)
+    assert(out(4L).getAs[Double]("ellipsis_frac") == 1.0)
+  }
+
+  test("fuzzy decontamination recalls planted eval leaks") {
+    val base = docs.select($"doc_id", $"text")
+    val evalSet = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 5000000L).as("doc_id"),
+        concat($"text", lit(" leakedtoken")).as("text"))
+    val out = DedupOps.fuzzyDecontaminate(base, evalSet, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val planted = base.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect()
+    // every source of a lightly-perturbed leak must surface, through the
+    // probabilistic band join alone (no mustCheck pinning here)
+    planted.foreach(id => assert(out.contains(id),
+      s"planted leak source $id not flagged"))
+    out.values.foreach(j => assert(j >= 0.8 && j <= 1.0))
+  }
+
   test("semantic dedup drops planted same-direction copies, keeps originals") {
     import org.apache.spark.sql.types.FloatType
     val base = embs.select($"vec_id", $"embedding")

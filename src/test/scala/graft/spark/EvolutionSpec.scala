@@ -253,6 +253,70 @@ class EvolutionSpec extends SparkSuite {
     assert(back.filter($"n" === 3L).count() == out.count(_.getLong(1) == 3L))
   }
 
+  test("ADD COLUMN DEFAULT back-fills old rows on both reader paths") {
+    val path = tmp("default")
+    val src = spark.range(0, 40).select($"id", ($"id" * 2).as("v"))
+    val c = Collection.create(spark, path, src, numSegments = 2)
+    c.addColumn("tag", StringType, default = Some("'legacy'"))
+    c.append(spark.range(40, 50).select($"id", ($"id" * 2).as("v"),
+      when($"id" % 2 === 0, lit("fresh")).as("tag")))
+
+    val back = spark.read.format("hadro").load(path)
+    // columnar path (flat schema, no metadata columns)
+    val rows = back.orderBy($"id").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id < 40) assert(r.getString(2) == "legacy", s"row $id must back-fill")
+      else if (id % 2 == 0) assert(r.getString(2) == "fresh")
+      else assert(r.isNullAt(2), "explicit null stays null — no default rewrite")
+    }
+    // row path (metadata column request disables vectorization)
+    val viaRow = back.select($"id", $"tag", col("_hadro_seq"))
+      .filter($"id" < 40).collect()
+    assert(viaRow.forall(_.getString(1) == "legacy"))
+    // filters evaluate over the FILLED value
+    assert(back.filter($"tag" === "legacy").count() == 40)
+    assert(back.filter($"tag".isNull).count() == 5)
+    // min/max/count agg pushdown folds the default for pre-column segments
+    val agg = back.agg(count($"tag"), min($"tag"), max($"tag")).head()
+    assert(agg.getLong(0) == 45) // 40 back-filled + 5 explicit
+    assert(agg.getString(1) == "fresh")
+    assert(agg.getString(2) == "legacy")
+    // a plain added column (no default) still null-fills
+    c.addColumn("extra", IntegerType)
+    assert(spark.read.format("hadro").load(path)
+      .filter($"extra".isNull).count() == 50)
+    // invalid defaults are rejected at ALTER time
+    intercept[IllegalArgumentException](
+      c.addColumn("bad", IntegerType, default = Some("'not-an-int'")))
+    intercept[IllegalArgumentException](
+      c.addColumn("bad2", IntegerType, default = Some("id + 1")))
+  }
+
+  test("restoreVersion across a widen keeps narrow segments decodable") {
+    val path = tmp("restore_widen")
+    val src = spark.range(0, 50)
+      .select($"id", ($"id" % 5).cast("int").as("n"))
+    val c = Collection.create(spark, path, src, numSegments = 2)
+    val v1 = c.version
+    c.widenColumn("n", LongType)
+    c.append(spark.range(50, 60).select($"id", ($"id" % 5).as("n")))
+    // rewind past the append — but NOT past the widen's physical truth:
+    // the restored segments' bytes are int-encoded while the schema stays
+    // long, so the write-time types recorded by the (undone) widen commit
+    // must ride forward into the restored manifest or decode corrupts.
+    c.restoreVersion(v1)
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    assert(m.segments.forall(_.writeTypes.nonEmpty),
+      "later widen's write-time types must merge into the restored manifest")
+    val back = spark.read.format("hadro").load(path)
+    assert(back.schema("n").dataType == LongType, "schema is not rolled back")
+    val out = back.orderBy($"id").collect()
+    assert(out.length == 50, "the post-widen append must be gone")
+    out.foreach(r => assert(r.getLong(1) == r.getLong(0) % 5))
+  }
+
   test("widen guards: narrowing, key, bucket, and indexed columns rejected") {
     val path = tmp("widenguard")
     val src = spark.range(0, 20)
