@@ -14,8 +14,10 @@ object SparkEntry {
   /** Session settings every entry point needs. Applied idempotently (runtime
     * confs only) — the driver may hand us an already-built session. */
   def configure(spark: SparkSession): SparkSession = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark refuses unless
-    // read as epoch-nano bigint.
+    // Earlier testdata generations wrote events.ts as TIMESTAMP(NANOS),
+    // which Spark refuses unless read as epoch-nano bigint; the conf is
+    // kept so either generation loads. QueryDef.table normalizes ts to
+    // epoch-nano BIGINT whichever physical type the file carries.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark

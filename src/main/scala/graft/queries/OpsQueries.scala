@@ -39,6 +39,21 @@ object OpsQueries {
     * cycle of fixed streaming overhead. A hash split would make every batch
     * span the full range and the watermark would rightly DROP most of
     * batch 2 as late data. */
+  /** Read schema for streams over the RAW driver events.parquet (symlink
+    * staging): since the 2026-08-13 testdata regeneration `ts` is
+    * TIMESTAMP(MICROS) → TIMESTAMP_NTZ. [[rawTsToNanos]] converts it to the
+    * epoch-nano BIGINT every downstream computation (and every shipped
+    * oracle's `epoch_ns(ts)`) expects — the same contract QueryDef.table
+    * applies on the batch side. Streams over RE-STAGED event files (e.g.
+    * [[stagedEventHalves]]) keep a LongType `ts`: those files are written
+    * FROM QueryDef.table output, already nanos. */
+  private val rawEventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+  private def rawTsToNanos(df: DataFrame): DataFrame =
+    df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+
   private def stagedEventHalves(s: SparkSession, dir: String): String = {
     import s.implicits._
     val stage = java.nio.file.Paths.get(
@@ -1947,10 +1962,7 @@ object OpsQueries {
     QueryDef(
       "st01_streaming_hourly",
       (s, dir) => withShufflePartitions(s, 8) {
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        val schema = rawEventsSchema
         // The parquet streaming source requires a directory: stage one with
         // a symlink to the (read-only) events file.
         val stageDir = java.nio.file.Paths.get(
@@ -1960,7 +1972,8 @@ object OpsQueries {
         if (!java.nio.file.Files.exists(link))
           java.nio.file.Files.createSymbolicLink(
             link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-        val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+        val stream = rawTsToNanos(
+          s.readStream.schema(schema).parquet(stageDir.toString))
         val agg = stream
           .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
           .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -1990,10 +2003,7 @@ object OpsQueries {
     QueryDef(
       "st02_streaming_sink_hadro",
       (s, dir) => {
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        val schema = rawEventsSchema
         val stageDir = java.nio.file.Paths.get(
           s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
         java.nio.file.Files.createDirectories(stageDir)
@@ -2010,7 +2020,8 @@ object OpsQueries {
             .foreach(java.nio.file.Files.deleteIfExists)
           finally walk.close()
         }
-        val q = s.readStream.schema(schema).parquet(stageDir.toString)
+        val q = rawTsToNanos(
+          s.readStream.schema(schema).parquet(stageDir.toString))
           .filter(col("event_type") === "purchase")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -2328,10 +2339,7 @@ object OpsQueries {
     QueryDef(
       "st07_native_stream_sink",
       (s, dir) => {
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        val schema = rawEventsSchema
         val stageDir = java.nio.file.Paths.get(
           s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
         java.nio.file.Files.createDirectories(stageDir)
@@ -2349,7 +2357,8 @@ object OpsQueries {
           finally walk.close()
         }
         val ckpt = java.nio.file.Files.createTempDirectory("st07_ckpt").toString
-        val q = s.readStream.schema(schema).parquet(stageDir.toString)
+        val q = rawTsToNanos(
+          s.readStream.schema(schema).parquet(stageDir.toString))
           .filter(col("event_type") === "view")
           .writeStream.format("hadro")
           .option("checkpointLocation", ckpt)

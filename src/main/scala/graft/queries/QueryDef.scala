@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** One named query: a Spark DataFrame program over the driver testdata plus
   * (where SQL-expressible) an equivalent DuckDB oracle statement over the same
@@ -13,7 +15,25 @@ final case class QueryDef(
     oracle: Option[String])
 
 object QueryDef {
-  /** Load a driver testdata table (see /root/repo/TESTDATA.md). */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load a driver testdata table (see /root/repo/TESTDATA.md).
+    *
+    * `events.ts` is normalized to epoch-NANOS BIGINT regardless of the
+    * file's physical type. Earlier testdata generations wrote
+    * TIMESTAMP(NANOS) (readable only as epoch-nano longs via
+    * `spark.sql.legacy.parquet.nanosAsLong`); the 2026-08-13 regeneration
+    * writes TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Every
+    * query (and every shipped DuckDB oracle — `epoch_ns(ts)` works on both
+    * generations) computes on epoch-nano longs, so the conversion lives
+    * here, once. Session timezone is pinned to UTC, making the NTZ→TZ cast
+    * an epoch-identity.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name != "events") df
+    else df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df // LongType already (legacy nanosAsLong read) or absent
+    }
+  }
 }
