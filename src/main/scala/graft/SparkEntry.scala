@@ -16,8 +16,11 @@ object SparkEntry {
   def configure(spark: SparkSession): SparkSession = {
     // Earlier testdata generations wrote events.ts as TIMESTAMP(NANOS),
     // which Spark refuses unless read as epoch-nano bigint; the conf is
-    // kept so either generation loads. QueryDef.table normalizes ts to
-    // epoch-nano BIGINT whichever physical type the file carries.
+    // kept so either generation loads ON THE BATCH PATH (QueryDef.table
+    // normalizes ts to epoch-nano BIGINT whichever physical type the file
+    // carries). The streaming raw-file queries (st01/st02/st07) declare a
+    // fixed read schema and support only the current TIMESTAMP(MICROS)
+    // generation — see OpsQueries.rawEventsSchema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark

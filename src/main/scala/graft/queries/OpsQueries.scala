@@ -30,21 +30,14 @@ object OpsQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Stage the events table as TWO half-range parquet files in ASCENDING
-    * TIME ORDER (written sequentially, so modification times order the
-    * micro-batches the way a real stream arrives) — shared by every
-    * streaming query that needs time-ordered file micro-batches (st06,
-    * st11). Two batches are the minimum that still demonstrates cross-batch
-    * watermark progression; each extra staged file costs a full micro-batch
-    * cycle of fixed streaming overhead. A hash split would make every batch
-    * span the full range and the watermark would rightly DROP most of
-    * batch 2 as late data. */
   /** Read schema for streams over the RAW driver events.parquet (symlink
-    * staging): since the 2026-08-13 testdata regeneration `ts` is
-    * TIMESTAMP(MICROS) → TIMESTAMP_NTZ. [[rawTsToNanos]] converts it to the
-    * epoch-nano BIGINT every downstream computation (and every shipped
-    * oracle's `epoch_ns(ts)`) expects — the same contract QueryDef.table
-    * applies on the batch side. Streams over RE-STAGED event files (e.g.
+    * staging): `ts` is declared TIMESTAMP_NTZ, which matches ONLY the
+    * 2026-08-13 TIMESTAMP(MICROS) testdata generation — streams declare a
+    * fixed schema up front, so unlike the batch path (QueryDef.table
+    * inspects the file and branches) a legacy TIMESTAMP(NANOS) file is NOT
+    * supported here. [[rawTsToNanos]] converts to the epoch-nano BIGINT
+    * every downstream computation (and every shipped oracle's
+    * `epoch_ns(ts)`) expects. Streams over RE-STAGED event files (e.g.
     * [[stagedEventHalves]]) keep a LongType `ts`: those files are written
     * FROM QueryDef.table output, already nanos. */
   private val rawEventsSchema = StructType(Seq(
@@ -54,6 +47,15 @@ object OpsQueries {
   private def rawTsToNanos(df: DataFrame): DataFrame =
     df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
 
+  /** Stage the events table as TWO half-range parquet files in ASCENDING
+    * TIME ORDER (written sequentially, so modification times order the
+    * micro-batches the way a real stream arrives) — shared by every
+    * streaming query that needs time-ordered file micro-batches (st06,
+    * st11). Two batches are the minimum that still demonstrates cross-batch
+    * watermark progression; each extra staged file costs a full micro-batch
+    * cycle of fixed streaming overhead. A hash split would make every batch
+    * span the full range and the watermark would rightly DROP most of
+    * batch 2 as late data. */
   private def stagedEventHalves(s: SparkSession, dir: String): String = {
     import s.implicits._
     val stage = java.nio.file.Paths.get(

@@ -32,6 +32,12 @@ object QueryDef {
     if (name != "events") df
     else df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampNTZType) | Some(TimestampType) =>
+        // The NTZ→TZ cast is only an epoch-identity under a UTC session —
+        // fail loudly here instead of silently shifting every ts by the
+        // local offset when a caller skipped SparkEntry.configure.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "graft: events.ts conversion requires spark.sql.session.timeZone=UTC " +
+            "(call SparkEntry.configure, or set the conf before loading)")
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case _ => df // LongType already (legacy nanosAsLong read) or absent
     }
