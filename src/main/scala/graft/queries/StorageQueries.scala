@@ -1361,5 +1361,43 @@ object StorageQueries {
           CASE WHEN n_nationkey % 2 = 0 THEN 'ZONE-' || n_nationkey ELSE NULL END
         FROM nation WHERE n_nationkey % 3 = 0
         ORDER BY n_nationkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h51
+    // MERGE-ON-READ UPDATE for a NON-KEYED table (Iceberg-v2 position-
+    // delete shape): `spark.hadro.update.mode=dv` routes the UPDATE through
+    // the deletion-vector delta operation — old row positions become bitmap
+    // bits, updated rows append as new segments, ONE manifest commit,
+    // O(matched rows) bytes written. The predicate is deliberately
+    // arithmetic (`% 3`) — not V1-pushable — proving merge-on-read needs no
+    // pushability, unlike the metadata `deleteWhere` hook. At 100 TB this
+    // is the difference between touching ~0.3% of rows and rewriting every
+    // affected multi-GB segment.
+    QueryDef(
+      "h51_mor_update",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h51"
+        s.conf.set("spark.sql.catalog.graft_h51", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h51.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h51.db")
+        s.sql("DROP TABLE IF EXISTS graft_h51.db.suppliers")
+        s.sql("""CREATE TABLE graft_h51.db.suppliers
+          (s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE) USING hadro""")
+        QueryDef.table(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal")
+          .createOrReplaceTempView("h51_src")
+        s.sql("INSERT INTO graft_h51.db.suppliers SELECT * FROM h51_src")
+        s.conf.set("spark.hadro.update.mode", "dv")
+        try s.sql("""UPDATE graft_h51.db.suppliers
+          SET s_acctbal = s_acctbal + 100 WHERE s_suppkey % 3 = 0""")
+        finally s.conf.unset("spark.hadro.update.mode")
+        s.sql("""SELECT s_suppkey, s_name, s_acctbal
+          FROM graft_h51.db.suppliers ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey, s_name,
+          CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100 ELSE s_acctbal END
+            AS s_acctbal
+        FROM supplier ORDER BY s_suppkey"""))
   )
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.format.SegmentWriter
-import graft.meta.CollectionMeta
+import graft.meta.{CollectionMeta, SegmentInfo}
 
 /** SQL `UPDATE` / `MERGE INTO` (and complex `DELETE`) for hadro tables via
   * DSv2 row-level operations ([[HadroTable]] implements
@@ -37,18 +37,30 @@ import graft.meta.CollectionMeta
   *     take LOWER ordinals than the data segments in the same commit, so
   *     resolution orders every key's delete before its re-insert.
   *
-  *   - '''Non-keyed collection → group-based copy-on-write.''' The
-  *     operation's scan prunes to the segments that MIGHT contain matching
-  *     rows (manifest stats + blooms — same pruning as the h33 CoW
-  *     delete), records exactly which files it planned, and Spark writes
-  *     back every surviving/updated row of those segments; commit replaces
-  *     precisely the planned files in one atomic generation-checked
-  *     replace commit. An UPDATE whose predicate prunes to 3 of 10k
-  *     segments rewrites exactly 3 files.
+  *   - '''Non-keyed collection, default → group-based copy-on-write.'''
+  *     The operation's scan prunes to the segments that MIGHT contain
+  *     matching rows (manifest stats + blooms — same pruning as the h33
+  *     CoW delete), records exactly which files it planned, and Spark
+  *     writes back every surviving/updated row of those segments; commit
+  *     replaces precisely the planned files in one atomic
+  *     generation-checked replace commit. An UPDATE whose predicate
+  *     prunes to 3 of 10k segments rewrites exactly 3 files.
+  *
+  *   - '''Non-keyed collection, merge-on-read opt-in → deletion-vector
+  *     delta.''' With `spark.hadro.{delete,update,merge}.mode=dv` (per
+  *     command), the operation implements `SupportsDelta` with the
+  *     `_hadro_seq` metadata column as the row id: deleted rows become
+  *     bitmap bits in per-segment deletion-vector sidecars, updated rows
+  *     become delete-bit + appended re-insert, merge inserts append — all
+  *     in ONE manifest commit, O(changed rows) bytes written. This is the
+  *     Iceberg-v2 position-delete shape, and unlike the `deleteWhere`
+  *     metadata path it has NO pushability constraint: an arbitrary
+  *     predicate (`s_suppkey % 2 = 0`) stays merge-on-read instead of
+  *     silently downgrading to a copy-on-write rewrite.
   *
   * At 100 TB the split matters: keyed mutations never touch existing data
-  * (append-only, O(delta)), and non-keyed rewrites are bounded by pruning,
-  * not table size.
+  * (append-only, O(delta)), non-keyed dv mutations write O(matched rows),
+  * and non-keyed CoW rewrites are bounded by pruning, not table size.
   */
 final class HadroRowLevelOperationBuilder(path: Path, info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
@@ -60,7 +72,17 @@ final class HadroRowLevelOperationBuilder(path: Path, info: RowLevelOperationInf
     val logical = CollectionMeta.logicalSchema(meta.schema)
     meta.keyField match {
       case Some(k) => new HadroDeltaOperation(path, logical, info.command(), k)
-      case None => new HadroCowOperation(path, logical, info.command())
+      case None =>
+        val confKey = info.command() match {
+          case RowLevelOperation.Command.DELETE => "spark.hadro.delete.mode"
+          case RowLevelOperation.Command.UPDATE => "spark.hadro.update.mode"
+          case _ => "spark.hadro.merge.mode"
+        }
+        val mode = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(confKey, "cow")
+        if (mode.equalsIgnoreCase("dv"))
+          new HadroDvDeltaOperation(path, logical, info.command())
+        else new HadroCowOperation(path, logical, info.command())
     }
   }
 }
@@ -335,4 +357,189 @@ final class HadroCowBatchWrite(path: Path, writeSchema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     delegate(None).abort(messages)
+}
+
+// ------------------------------------------------- non-keyed/dv (MoR)
+
+/** Deletion-vector delta operation for NON-KEYED collections (opt-in,
+  * `spark.hadro.{delete,update,merge}.mode=dv`): the row id is the
+  * `_hadro_seq` metadata column (segment ordinal << 40 | row index), so a
+  * deleted row is exactly one bitmap bit in its segment's deletion-vector
+  * sidecar. Deltas: DELETE → bit; UPDATE → bit + appended re-insert
+  * (represented as delete+insert); MERGE inserts → plain appends. One
+  * manifest commit flips every touched segment to its new UNION sidecar
+  * and appends the insert segments — O(matched rows) bytes written, no
+  * segment rewrite, time travel exact (sidecars are immutable; retained
+  * manifests keep their historical vectors).
+  *
+  * Conflicts: the operation pins the manifest at build time; commit
+  * verifies generation, per-segment file identity, and that each touched
+  * segment's CURRENT vector equals the pinned one (a concurrent dv commit
+  * would otherwise be silently overwritten — same check as the metadata
+  * `deleteVectors` path). Any drift aborts the statement with the
+  * retryable-conflict error; Spark surfaces it, the user (or the
+  * statement-level loop in `deleteWhere`, for the metadata path) retries. */
+final class HadroDvDeltaOperation(path: Path, schema: StructType,
+    cmd: RowLevelOperation.Command) extends SupportsDelta {
+
+  /** Manifest snapshot the deltas are built against — read at operation
+    * build, BEFORE the scan plans, so every scanned (ordinal,row) resolves
+    * within it; commit re-validates against the then-current manifest. */
+  private[spark] val pinned: graft.meta.Manifest = CollectionMeta.currentManifest(path)
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(HadroTable.SeqCol))
+  // UPDATE must vector-out the OLD row position and append the new row;
+  // delete+insert expresses that, an in-place update cannot.
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HadroScanBuilder(path, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new HadroDvDeltaWrite(path, info, HadroDvDeltaOperation.this)
+    }
+}
+
+/** The dv delta write: executor tasks accumulate per-segment bitmaps (and
+  * append insert segments); the driver unions bitmaps across tasks and
+  * with the pinned pre-existing vectors, writes one immutable union
+  * sidecar per touched segment, and publishes everything in one
+  * conflict-checked manifest commit. */
+final class HadroDvDeltaWrite(path: Path, info: LogicalWriteInfo,
+    op: HadroDvDeltaOperation) extends DeltaWrite {
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val storedSchema = CollectionMeta.readSchema(path).get.schema
+    private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
+
+    override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory =
+      new HadroDvDeltaWriterFactory(path.toString, storedSchema, info.schema(),
+        indexOrdinals)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.collect { case m: HadroDvCommitMessage => m }
+      val data = msgs.flatMap(_.infos).filter(_.rows > 0)
+      // rotation leftovers that saw no rows: unlink, never referenced
+      msgs.flatMap(_.infos).filter(_.rows == 0).foreach(i =>
+        Files.deleteIfExists(path.resolve(i.file)))
+      // union each segment's bitmap across tasks
+      val union = scala.collection.mutable.Map.empty[Long, java.util.BitSet]
+      msgs.foreach(_.dv.foreach { case (ord, bytes) =>
+        val b = java.util.BitSet.valueOf(bytes)
+        union.get(ord) match {
+          case Some(u) => u.or(b)
+          case None => union(ord) = b
+        }
+      })
+      if (data.isEmpty && union.isEmpty) return // statement matched nothing
+
+      val m0 = op.pinned
+      val segFiles: Map[Long, String] = m0.segments.map(s => s.ordinal -> s.file).toMap
+      val existing: Map[Long, Option[String]] =
+        m0.segments.map(s => s.ordinal -> s.deleteVector).toMap
+      var written: List[String] = Nil
+      def conflict(msg: String): Nothing = {
+        // drop this attempt's orphaned sidecars + data segments
+        written.foreach(n =>
+          try Files.deleteIfExists(path.resolve(n)) catch { case _: Exception => () })
+        abort(messages)
+        throw new HadroDeleteSupport.HadroConflictException(msg)
+      }
+      // fold the pinned pre-existing vector into each union and persist
+      val buildId = java.lang.Long.toHexString(System.nanoTime())
+      val sidecars: Map[Long, (String, Long)] = union.toMap.map { case (ord, b) =>
+        val file = segFiles.getOrElse(ord, conflict(
+          "hadro: row-level dv commit saw a row from a segment not in the " +
+            "pinned snapshot — a concurrent commit moved the table; retry"))
+        existing.getOrElse(ord, None).foreach(n =>
+          b.or(graft.format.DeleteVector.read(path.resolve(n))))
+        val name = s"$file.dv-$buildId.dv"
+        graft.format.DeleteVector.write(path.resolve(name), b)
+        written ::= name
+        ord -> (name, b.cardinality().toLong)
+      }
+      CollectionMeta.commit(path, cur => {
+        if (cur.generation != m0.generation) conflict(
+          "hadro: row-level dv commit conflicted with a concurrent " +
+            "truncate/compaction — retry")
+        sidecars.keys.foreach { ord =>
+          val seg = cur.segments.find(s => s.ordinal == ord && s.file == segFiles(ord))
+            .getOrElse(conflict(
+              "hadro: row-level dv commit conflicted with a concurrent " +
+                "segment rewrite — retry"))
+          // the union was built on the PINNED vector: drift means another
+          // dv commit landed in between; overwriting would resurrect its rows
+          if (seg.deleteVector != existing.getOrElse(ord, None)) conflict(
+            "hadro: row-level dv commit conflicted with a concurrent " +
+              "deletion-vector commit — retry")
+        }
+        var ord = cur.nextOrdinal
+        val withOrdinals = data.map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+        cur.copy(
+          segments = cur.segments.map { s =>
+            sidecars.get(s.ordinal) match {
+              case Some((name, total)) =>
+                s.copy(deleteVector = Some(name), dvDeletes = total)
+              case None => s
+            }
+          } ++ withOrdinals,
+          // appended re-inserts don't re-declare a recorded physical sort
+          sortedBy = if (data.isEmpty) cur.sortedBy else None)
+      })
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      messages.collect { case m: HadroDvCommitMessage => m.infos }.flatten.foreach { i =>
+        Files.deleteIfExists(path.resolve(i.file))
+        i.bloom.foreach(b => Files.deleteIfExists(path.resolve(b)))
+        i.offsetIndex.foreach(f => Files.deleteIfExists(path.resolve(f)))
+        i.indexBlooms.values.foreach(b => Files.deleteIfExists(path.resolve(b)))
+      }
+  }
+}
+
+/** Per-task delta state: one plain segment writer for inserts, one bitmap
+  * per touched segment ordinal for deletes. Serialized as raw BitSet bytes
+  * — bounded by matched rows, unioned driver-side at commit. */
+final case class HadroDvCommitMessage(infos: Seq[SegmentInfo],
+    dv: Map[Long, Array[Byte]]) extends WriterCommitMessage
+
+final class HadroDvDeltaWriterFactory(path: String, storedSchema: StructType,
+    rowSchema: StructType, indexOrdinals: Map[String, Seq[Int]])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new HadroDvDeltaWriter(Paths.get(path), storedSchema, rowSchema,
+      partitionId, taskId, indexOrdinals)
+}
+
+final class HadroDvDeltaWriter(dir: Path, storedSchema: StructType,
+    rowSchema: StructType, partitionId: Int, taskId: Long,
+    indexOrdinals: Map[String, Seq[Int]]) extends DeltaWriter[InternalRow] {
+
+  private val dataW = new HadroDataWriter(dir, storedSchema, rowSchema,
+    graft.format.Consistency.Relaxed, tombstone = false, partitionId, taskId,
+    keyOrdinal = None, SegmentWriter.DefaultSplitBytes, indexOrdinals)
+  private val bits = scala.collection.mutable.Map.empty[Long, java.util.BitSet]
+  private val rowMask = (1L << HadroTable.SeqOrdinalShift) - 1
+
+  override def insert(row: InternalRow): Unit = dataW.write(row)
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    dataW.write(row) // unreachable with representUpdateAsDeleteAndInsert=true
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val seq = id.getLong(0)
+    val r = seq & rowMask
+    require(r <= Int.MaxValue, s"hadro: row index $r exceeds vector range")
+    bits.getOrElseUpdate(seq >>> HadroTable.SeqOrdinalShift, new java.util.BitSet())
+      .set(r.toInt)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val data = dataW.commit().asInstanceOf[HadroCommitMessage].infos
+    HadroDvCommitMessage(data, bits.map { case (o, b) => o -> b.toByteArray }.toMap)
+  }
+  override def abort(): Unit = dataW.abort()
+  override def close(): Unit = dataW.close()
 }

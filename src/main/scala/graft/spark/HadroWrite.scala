@@ -432,19 +432,25 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           "truncate/overwrite — the rewrite was abandoned; retry if still needed")
     }
     if (truncate || replaceSpec.isDefined) {
-      // GC the manifests that pre-date this truncate/replace — a retained
-      // earlier manifest would point at dereferenced files, so
-      // scanVersion must fail fast with manifestAt's documented error.
       // Physical file deletion is DEFERRED one generation
-      // (CollectionMeta.deferredGc) so a reader that planned against a
-      // just-GC'd manifest still finds its segment files on disk.
+      // (CollectionMeta.deferredGc) so a reader that planned against an
+      // older manifest still finds its segment files on disk.
       val m = CollectionMeta.currentManifest(path)
       val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
         m.segments.flatMap(_.indexBlooms.values) ++
         m.segments.flatMap(_.offsetIndex) ++
         m.segments.flatMap(_.deleteVector)).toSet
       CollectionMeta.deferredGc(path, live)
-      CollectionMeta.gcManifestsBefore(path, m.version)
+      // Manifest history: GC'd only on TRUNCATE (the old log's ordinals
+      // restart — retained manifests would misread the new log). A partial
+      // REPLACE (CoW delete/update/merge, compactSmall bins) keeps every
+      // retained manifest: the replaced segment files survive one deferred
+      // generation, so `VERSION AS OF` and rollback across the rewrite
+      // keep working — the Delta/Iceberg retention shape — and once the
+      // files are physically purged, manifestAt fail-fasts with its
+      // documented crosses-a-rewrite error. Bounded growth is unchanged:
+      // gcOldManifests ages out manifests beyond KeepVersions regardless.
+      if (truncate) CollectionMeta.gcManifestsBefore(path, m.version)
     }
   }
 
