@@ -1173,6 +1173,11 @@ object StorageQueries {
     // wide schema — the oracle reproduces exactly that from raw parquet.
     // Unsafe narrowing and key/bucket/indexed-column widening are
     // rejected (EvolutionSpec).
+    // The widened decimal is PROJECTED AS STRING ("900.0000" — scale-4
+    // rendering, so the widened representation is still what's checked):
+    // a bare DECIMAL output column reads as decimal.Decimal via pyarrow
+    // but float64 via DuckDB's pandas bridge, and the driver's typed-value
+    // hash trips on that representation gap (the r8 h47 failure).
     QueryDef(
       "h47_type_widening",
       (s, dir) => {
@@ -1191,17 +1196,20 @@ object StorageQueries {
           ($"p_size".cast("long") + 1000L).as("p_size"),
           $"price_f".cast("double").as("price_f"),
           $"price_d".cast("decimal(14,4)").as("price_d")))
-        c.scan().select($"p_partkey", $"p_size", $"price_f", $"price_d")
+        c.scan().select($"p_partkey", $"p_size", $"price_f",
+            $"price_d".cast("string").as("price_d"))
           .orderBy($"p_partkey")
       },
       Some("""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
           CAST(CAST(p_retailprice AS REAL) AS DOUBLE) AS price_f,
-          CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS DECIMAL(14,4)) AS price_d
+          CAST(CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS DECIMAL(14,4))
+            AS VARCHAR) AS price_d
         FROM part
         UNION ALL
         SELECT p_partkey + 2000000, CAST(p_size AS BIGINT) + 1000,
           CAST(CAST(p_retailprice AS REAL) AS DOUBLE),
-          CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS DECIMAL(14,4))
+          CAST(CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS DECIMAL(14,4))
+            AS VARCHAR)
         FROM part WHERE p_partkey % 5 = 0
         ORDER BY p_partkey"""))
     ,

@@ -3,14 +3,25 @@
 
 Loads each Verify output parquet, runs the corresponding oracle SQL in
 DuckDB over the same testdata parquet tables, and compares: column names,
-row counts, and cell values (columns sorted by name, rows sorted).
+value kinds, row counts, and cell values (columns sorted by name, rows
+sorted).
+
+The Spark side is read via PYARROW (typed: parquet DECIMAL surfaces as
+decimal.Decimal objects, not float) while the oracle side comes from
+DuckDB's pandas conversion — the same asymmetry the driver's typed-value
+hash sees. A query whose output leaves a bare DECIMAL column therefore
+FAILS here (Decimal vs float64) exactly as it fails the driver, even
+though a %.10g text rendering of both sides would agree. Rule: cast
+DECIMAL output columns to DOUBLE or STRING in BOTH engines.
 
 Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
 """
-import json, math, sys
+import decimal, json, math, sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -18,11 +29,46 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm_cell(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    # typed decimal stays typed: a Decimal-vs-float divergence must FAIL
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return f"{v:.10g}"
+        return f"{f:.10g}"
     return str(v)
+
+
+def kind(series):
+    """Coarse value kind for the dtype gate: int width and container
+    library differences are representation, not value, differences —
+    but int-vs-float and decimal-vs-float are what the driver's typed
+    hash trips on."""
+    dt = str(series.dtype)
+    if dt.startswith(("int", "uint")):
+        return "int"
+    if dt.startswith("float"):
+        return "float"
+    if dt == "bool":
+        return "bool"
+    for v in series:
+        if v is None:
+            continue
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "seq"
+        if isinstance(v, bytes):
+            return "bytes"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        return type(v).__name__
+    return "null"
 
 
 def main(out_dir, sf_dir):
@@ -35,13 +81,13 @@ def main(out_dir, sf_dir):
     failures = 0
     for name, sql in sorted(oracle.items()):
         qdir = Path(out_dir) / name
-        files = list(qdir.glob("*.parquet"))
+        files = [str(f) for f in qdir.glob("*.parquet")]
         if not files:
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({[str(f) for f in files]!r})").fetchdf()
+        # pyarrow read: parquet logical types surface TYPED (the driver's view)
+        got = pd.read_parquet(files)
         try:
             want = con.execute(sql).fetchdf()
         except Exception as e:
@@ -53,15 +99,13 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: columns {gc} vs oracle {wc}")
             failures += 1
             continue
-        # Dtype gate: the driver hashes typed values, so a DuckDB HUGEINT
-        # (object/float64 in pandas) vs Spark BIGINT (int64) fails there even
-        # when the %.10g renderings below agree. Catch it locally.
-        dtype_bad = [
-            (c, str(got[c].dtype), str(want[c].dtype))
-            for c in gc if str(got[c].dtype) != str(want[c].dtype)
+        kind_bad = [
+            (c, kind(got[c]), kind(want[c]))
+            for c in gc if kind(got[c]) != kind(want[c])
+            and "null" not in (kind(got[c]), kind(want[c]))
         ]
-        if dtype_bad:
-            print(f"FAIL {name}: dtype mismatch {dtype_bad}")
+        if kind_bad:
+            print(f"FAIL {name}: value-kind mismatch {kind_bad}")
             failures += 1
             continue
         if len(got) != len(want):
