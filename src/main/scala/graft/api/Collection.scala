@@ -629,6 +629,17 @@ final class Collection private (spark: SparkSession, val path: String) {
       .foreach(f => Files.deleteIfExists(dir.resolve(f)))
   }
 
+  /** Age-based history retention (Iceberg `expire_snapshots` analog):
+    * drop retained manifest versions committed before `olderThanMs`
+    * (epoch millis), current head always kept, superseded index/dv
+    * sidecars swept. Bounds rollback/time-travel history by TIME —
+    * KeepVersions bounds it by count — so a daily maintenance job can
+    * enforce "one week of rollback" regardless of commit frequency.
+    * Metadata-only; segment-file reclaim stays with [[vacuum]]. Returns
+    * the number of versions expired. */
+  def expireSnapshots(olderThanMs: Long): Int =
+    CollectionMeta.expireManifestsOlderThan(dir, olderThanMs)
+
   /** Z-order the collection: rewrite resolved rows range-clustered on the
     * Morton-interleaved key of `cols` (1-4 numeric columns), so every
     * clustered column gets narrow per-segment min/max and manifest stats

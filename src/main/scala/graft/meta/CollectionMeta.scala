@@ -358,6 +358,39 @@ object CollectionMeta {
       .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
   }
 
+  /** AGE-based manifest retention (`expire_snapshots` analog): drop every
+    * retained manifest committed strictly before `cutoffMs` — except the
+    * current head, which always survives — and sweep the sidecars only the
+    * dying manifests referenced (same two classes as the count-based
+    * ageout: superseded index blooms and superseded deletion vectors).
+    * Complements KeepVersions (count-based, automatic): an operator
+    * running daily maintenance at 100 TB bounds history by TIME — "keep a
+    * week of rollback" — independent of commit frequency. Returns the
+    * number of manifests expired. Legacy manifests without a commit stamp
+    * (committedAtMs = 0) count as infinitely old. */
+  def expireManifestsOlderThan(collection: Path, cutoffMs: Long): Int = {
+    val dir = metaDir(collection)
+    if (!Files.exists(dir)) return 0
+    val cur = currentManifest(collection)
+    val aged = retainedManifests(collection)
+      .filter(m => m.version != cur.version && m.committedAtMs < cutoffMs)
+    if (aged.isEmpty) return 0
+    val dyingSidecars = aged.flatMap(m =>
+      m.segments.flatMap(_.indexBlooms.values) ++
+        m.segments.flatMap(_.deleteVector)).toSet
+    aged.foreach(m =>
+      try Files.deleteIfExists(manifestFile(collection, m.version))
+      catch { case _: Exception => () })
+    if (dyingSidecars.nonEmpty) {
+      val retained = retainedManifests(collection).flatMap(_.segments)
+      val live = (retained.flatMap(_.indexBlooms.values) ++
+        retained.flatMap(_.deleteVector)).toSet
+      (dyingSidecars -- live).foreach(n =>
+        try Files.deleteIfExists(collection.resolve(n)) catch { case _: Exception => () })
+    }
+    aged.size
+  }
+
   /** Manifest versions kept behind the newest one (readers planning against
     * an older version finish against its immutable segment files; only the
     * manifest JSONs are GC'd, never data). Bounds metadata growth to

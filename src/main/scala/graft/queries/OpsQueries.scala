@@ -1513,6 +1513,89 @@ object OpsQueries {
         SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND(cosine, 4) AS cosine
         FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")),
 
+    // ---------------------------------------------------------------- s13
+    // Recall@10 for the TWO-STAGE shapes (s11 sq8-rerank, s12 hamming) on
+    // the s09 scoreboard methodology, alongside their coarse single-stage
+    // baseline (sq8) — so "re-ranking lifts recall" is a measured,
+    // oracle-checked number, not a spec assertion. The oracle re-derives
+    // every stage (quantizer, midpoint decode, candidate boundary, sign
+    // planes, Hamming tie-break) and the same set intersections.
+    QueryDef(
+      "s13_twostage_recall",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag"
+        val sq = SimilarityOps.buildSqIndex(
+          s, s"$base/s13_sq", e, "vec_id", "embedding")
+        val ham = SimilarityOps.buildHammingIndex(
+          s, s"$base/s13_ham", e, "vec_id", "embedding")
+        val exact = SimilarityOps.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+        SimilarityOps.recallAtK(exact, Seq(
+            "hamming_rerank" -> SimilarityOps.hammingTopK(
+              ham, e, "vec_id", "embedding", q, 10, candidates = 100),
+            "sq8_coarse" -> SimilarityOps.sqTopK(sq, "vec_id", q, 10),
+            "sq8_rerank" -> SimilarityOps.rerankTopK(
+              sq, e, "vec_id", "embedding", q, 10, candidates = 100)),
+          "vec_id", 10)
+          .orderBy("method")
+      },
+      Some(s"""WITH planes AS (SELECT ${s12SignsSql}::TINYINT[][] AS s),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        exact10 AS (
+          SELECT vec_id FROM emb, q
+          ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10),
+        bounds AS (
+          SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS minv,
+                 CAST(MAX(list_max(embedding)) AS DOUBLE) AS maxv
+          FROM embeddings),
+        params AS (SELECT minv, (maxv - minv) / 256 AS scale FROM bounds),
+        decoded AS (
+          SELECT e.vec_id,
+            list_transform(e.v, x ->
+              p.minv + (LEAST(GREATEST(floor((x - p.minv) / p.scale),
+                0), 255) + 0.5) * p.scale) AS dv
+          FROM emb e, params p),
+        sq10 AS (
+          SELECT d.vec_id FROM decoded d, q
+          ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id LIMIT 10),
+        sqcand AS (
+          SELECT d.vec_id FROM decoded d, q
+          ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id LIMIT 100),
+        rerank10 AS (
+          SELECT e.vec_id
+          FROM emb e JOIN sqcand c ON e.vec_id = c.vec_id, q
+          ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id LIMIT 10),
+        sigs AS (
+          SELECT vec_id, v,
+            list_transform(generate_series(0, 63), b ->
+              CASE WHEN list_reduce(
+                     list_transform(generate_series(1, 64), j -> v[j] * s[b+1][j]),
+                     (a, x) -> a + x) >= 0.0
+                   THEN 1 ELSE 0 END) AS bits
+          FROM emb, planes),
+        qsig AS (SELECT bits AS qbits FROM sigs WHERE vec_id = 0),
+        hd AS (
+          SELECT s.vec_id, s.v,
+            list_sum(list_transform(generate_series(1, 64),
+              i -> CASE WHEN s.bits[i] <> qs.qbits[i] THEN 1 ELSE 0 END)) AS hd
+          FROM sigs s, qsig qs),
+        pool AS (SELECT vec_id, v FROM hd ORDER BY hd, vec_id LIMIT 100),
+        ham10 AS (
+          SELECT p.vec_id FROM pool p, q
+          ORDER BY list_cosine_similarity(p.v, q.qv) DESC, p.vec_id LIMIT 10)
+        SELECT * FROM (
+          SELECT 'hamming_rerank' AS method,
+            (SELECT COUNT(*) FROM ham10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0 AS recall
+          UNION ALL SELECT 'sq8_coarse',
+            (SELECT COUNT(*) FROM sq10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0
+          UNION ALL SELECT 'sq8_rerank',
+            (SELECT COUNT(*) FROM rerank10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0
+        ) ORDER BY method""")),
+
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.
     QueryDef(

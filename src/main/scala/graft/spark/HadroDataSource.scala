@@ -718,9 +718,26 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     }
   }
 
+  /** True iff a type-widened segment can appear among this scan's planned
+    * partitions — computed over the STATIC-filter survivor set, which is a
+    * superset of every actual plan (runtime filters only add conjuncts;
+    * limit/top-N cuts only shrink). Spark requires one uniform row-vs-
+    * columnar decision per scan, so ONE widened planned segment drops the
+    * whole scan to the row reader (which owns per-value widening) — but a
+    * scan whose pushed filters prune away every widened segment keeps the
+    * vectorized path. On a mostly-compacted collection with one widened
+    * straggler, filtered scans that miss it stay columnar. */
+  private lazy val widenedInPlan: Boolean = {
+    val manifest = manifestSnapshot
+    manifest.segments.exists(seg => seg.writeTypes.nonEmpty &&
+      onlyFiles.forall(_.contains(seg.file)) &&
+      SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
+      BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
+      BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, pushed, storedSchema))
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new HadroReaderFactory(storedSchema, required,
-      typeWidened = manifestSnapshot.segments.exists(_.writeTypes.nonEmpty))
+    new HadroReaderFactory(storedSchema, required, typeWidened = widenedInPlan)
 
   // ------------------------------------------------------ custom metrics
   // Pruning effectiveness in the SQL UI: segments read vs segments pruned

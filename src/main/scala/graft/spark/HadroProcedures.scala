@@ -37,7 +37,7 @@ object HadroProcedures {
 
   val names: Seq[String] =
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
-      "rollback")
+      "rollback", "expire_snapshots")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -94,6 +94,15 @@ object HadroProcedures {
           .add("committed_version", LongType)) { in =>
           val c = coll(in); val v = in.getLong(1)
           Seq(InternalRow(v, c.restoreVersion(v)))
+        }
+      case "expire_snapshots" => proc("expire_snapshots",
+        "drop manifest versions committed before the given epoch-ms cutoff " +
+          "(current head always kept) — age-based rollback/time-travel retention",
+        Seq(p("table", StringType), p("older_than_ms", LongType)),
+        new StructType().add("expired", IntegerType)
+          .add("current_version", LongType)) { in =>
+          val c = coll(in)
+          Seq(InternalRow(c.expireSnapshots(in.getLong(1)), c.version))
         }
       case "history" => proc("history",
         "commit audit over the retained manifest versions, newest first " +

@@ -115,6 +115,37 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.mt")
   }
 
+  test("CALL expire_snapshots bounds history by age, keeps the head") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.exp (id BIGINT) USING hadro")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO testcat.db.exp SELECT id FROM range(${i * 5}, ${i * 5 + 5}, 1, 1)"))
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/exp")
+    val before = graft.meta.CollectionMeta.retainedManifests(dir)
+    assert(before.size == 3)
+    val head = before.map(_.version).max
+
+    // cutoff in the far past expires nothing
+    assert(spark.sql("CALL testcat.system.expire_snapshots('db.exp', 1)")
+      .head.getInt(0) == 0)
+    // cutoff in the far future expires everything EXCEPT the current head
+    val out = spark.sql(
+      s"CALL testcat.system.expire_snapshots('db.exp', ${Long.MaxValue})").head
+    assert(out.getInt(0) == 2)
+    assert(out.getLong(1) == head)
+    val after = graft.meta.CollectionMeta.retainedManifests(dir)
+    assert(after.map(_.version) == Seq(head), "only the head survives")
+
+    // expired versions fail fast; the head still reads and writes
+    intercept[Exception](spark.read.option("hadro.versionAsOf", head - 1)
+      .format("hadro").load(dir.toString).collect())
+    assert(spark.sql("SELECT count(*) FROM testcat.db.exp").head.getLong(0) == 15)
+    spark.sql("INSERT INTO testcat.db.exp VALUES (99)")
+    assert(spark.sql("SELECT count(*) FROM testcat.db.exp").head.getLong(0) == 16)
+    spark.sql("DROP TABLE testcat.db.exp")
+  }
+
   test("catalog tables and path API address the same collection") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")

@@ -359,6 +359,39 @@ class EvolutionSpec extends SparkSuite {
     assert(after.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
   }
 
+  test("filters pruning every widened segment keep the columnar path") {
+    // widened OLD segments + unwidened NEW segments with disjoint id
+    // ranges: a filter selecting only new rows prunes the widened segments
+    // via manifest stats, so the scan stays vectorized; scans that may
+    // touch widened bytes drop to the row reader (uniform per scan) and
+    // still read the mixed table correctly.
+    val path = tmp("widenprune")
+    val src = spark.range(0, 40).select($"id", ($"id" % 9).cast("int").as("n"))
+    val c = Collection.create(spark, path, src, numSegments = 2)
+    c.widenColumn("n", LongType)
+    c.append(spark.range(1000, 1040).select($"id", ($"id" % 9).as("n")))
+
+    val back = spark.read.format("hadro").load(path)
+    // mixed scan: row reader, values correct across narrow + wide segments
+    val all = back.orderBy($"id").collect()
+    assert(all.length == 80)
+    all.foreach(r => assert(r.getLong(1) == r.getLong(0) % 9))
+    assert(!back.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+
+    // id >= 1000 prunes both widened segments -> columnar plan, same rows
+    val fresh = back.filter($"id" >= 1000L)
+    assert(fresh.count() == 40)
+    fresh.collect()
+    assert(fresh.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a plan that cannot touch widened segments must stay vectorized")
+
+    // a filter over the widened range keeps the row path and stays correct
+    val old = back.filter($"id" < 40L)
+    old.collect()
+    assert(!old.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(old.count() == 40)
+  }
+
   test("SQL ALTER TABLE ALTER COLUMN TYPE widens catalog tables in place") {
     val wh = Files.createTempDirectory("evo_sqlwiden").toString
     spark.conf.set("spark.sql.catalog.evo_w", classOf[HadroCatalog].getName)
