@@ -729,7 +729,10 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     * straggler, filtered scans that miss it stay columnar. */
   private lazy val widenedInPlan: Boolean = {
     val manifest = manifestSnapshot
-    manifest.segments.exists(seg => seg.writeTypes.nonEmpty &&
+    // common path first: no widened segments at all -> no pruning pass
+    // (stats are in-manifest but bloom checks read sidecar files)
+    val widened = manifest.segments.filter(_.writeTypes.nonEmpty)
+    widened.nonEmpty && widened.exists(seg =>
       onlyFiles.forall(_.contains(seg.file)) &&
       SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
       BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
