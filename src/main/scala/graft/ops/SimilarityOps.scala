@@ -572,18 +572,24 @@ object SimilarityOps {
     * the standard first rung below PQ's 32×, trading less compression for
     * a simpler, near-lossless distance. Query time never reads the
     * original embeddings. */
+  /** `metaCols`: filterable metadata columns carried INSIDE the index
+    * rows (the filtered-ANN serving shape) — a query predicate over them
+    * evaluates during the map-only coarse scan, before any join, so a
+    * filtered search reads exactly what an unfiltered one reads: the
+    * compressed codes. The quantizer is always trained on the FULL corpus
+    * (filters change per query; codes must not). */
   def buildSqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       df: DataFrame, idCol: String, vecCol: String,
-      numSegments: Int = 8): graft.api.Collection = {
+      numSegments: Int = 8, metaCols: Seq[String] = Nil): graft.api.Collection = {
     val row = df.select(
       min(array_min(col(vecCol))).cast("double"),
       max(array_max(col(vecCol))).cast("double")).head()
     val minv = row.getDouble(0)
     val scale = (row.getDouble(1) - minv) / 256.0
     require(scale > 0.0, "sq8: degenerate corpus (all components equal)")
-    val codes = df.select(col(idCol).as("vid"),
+    val codes = df.select(col(idCol).as("vid") +:
       graft.functions.VectorExpressions.sq8_encode(col(vecCol), minv, scale)
-        .as("codes"))
+        .as("codes") +: metaCols.map(col): _*)
     val collection = graft.api.Collection.create(spark, path,
       codes.repartition(numSegments))
     saveSqParams(java.nio.file.Paths.get(path), minv, scale)
@@ -622,6 +628,36 @@ object SimilarityOps {
       idCol: String, vecCol: String, query: Seq[Float], k: Int,
       candidates: Int = 100): DataFrame = {
     val pool = sqTopK(index, idCol, query, candidates).select(col(idCol))
+    corpus.join(broadcast(pool), Seq(idCol), "left_semi")
+      .transform(c => bruteForceTopK(c, idCol, vecCol, query, k))
+  }
+
+  /** FILTERED two-stage ANN (metadata predicate + vector search — the
+    * other half of the standard serving shape): `filter` evaluates over
+    * the metadata columns the index carries ([[buildSqIndex]]'s
+    * `metaCols`) DURING the coarse scan — map-only, before any ranking,
+    * so every candidate already satisfies the predicate and the pool is
+    * never diluted by rows a post-filter would discard (the classic
+    * filtered-ANN recall trap). Stage 2 re-scores only the pool exactly,
+    * same as [[rerankTopK]]. At 100 TB a filtered query costs what an
+    * unfiltered one costs: one pass over the compressed codes (manifest
+    * stats/blooms over indexed metadata prune segments on top), plus
+    * O(candidates) exact rows. */
+  def filteredRerankTopK(index: graft.api.Collection, corpus: DataFrame,
+      idCol: String, vecCol: String, filter: org.apache.spark.sql.Column,
+      query: Seq[Float], k: Int, candidates: Int = 100): DataFrame = {
+    val (minv, scale) = loadSqParams(java.nio.file.Paths.get(index.path))
+      .getOrElse(
+        throw new IllegalStateException(s"no sq8 params sidecar at ${index.path}"))
+    val decoded = graft.functions.VectorExpressions.sq8_decode(
+      col("codes"), minv, scale)
+    val q = typedlit(query.map(_.toDouble))
+    val pool = index.scan()
+      .filter(filter)
+      .select(col("vid").as(idCol), cosineComposed(decoded, q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(candidates)
+      .select(col(idCol))
     corpus.join(broadcast(pool), Seq(idCol), "left_semi")
       .transform(c => bruteForceTopK(c, idCol, vecCol, query, k))
   }

@@ -1596,6 +1596,52 @@ object OpsQueries {
             (SELECT COUNT(*) FROM rerank10 WHERE vec_id IN (SELECT vec_id FROM exact10)) / 10.0
         ) ORDER BY method""")),
 
+    // ---------------------------------------------------------------- s14
+    // FILTERED ANN — metadata predicate + vector search, the other half
+    // of the serving shape: the sq8 index CARRIES the filter column
+    // (label), so `label = 3` evaluates during the map-only coarse scan
+    // and every candidate already satisfies it (no post-filter pool
+    // dilution — the classic filtered-ANN recall trap); the exact re-rank
+    // then touches only the O(candidates) pool. The oracle mirrors both
+    // stages with the filter applied at the same point.
+    QueryDef(
+      "s14_filtered_ann_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s14_index", e, "vec_id", "embedding",
+          metaCols = Seq("label"))
+        SimilarityOps.filteredRerankTopK(idx, e, "vec_id", "embedding",
+            col("label") === 3, q, 10, candidates = 50)
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        bounds AS (
+          SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS minv,
+                 CAST(MAX(list_max(embedding)) AS DOUBLE) AS maxv
+          FROM embeddings),
+        params AS (SELECT minv, (maxv - minv) / 256 AS scale FROM bounds),
+        decoded AS (
+          SELECT e.vec_id,
+            list_transform(CAST(e.embedding AS DOUBLE[]), x ->
+              p.minv + (LEAST(GREATEST(floor((x - p.minv) / p.scale),
+                0), 255) + 0.5) * p.scale) AS dv
+          FROM embeddings e, params p
+          WHERE e.label = 3),
+        cand AS (
+          SELECT d.vec_id FROM decoded d, q
+          ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id
+          LIMIT 50)
+        SELECT e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine
+        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+        LIMIT 10""")),
+
     // ---------------------------------------------------------------- t01
     // Token statistics (whitespace tokenizer) — cross-engine exact.
     QueryDef(

@@ -644,6 +644,39 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("filtered ANN: every hit satisfies the predicate; exact when the pool covers") {
+    val base = embs.select($"vec_id", $"embedding", ($"vec_id" % 5).cast("int").as("label"))
+    val dir = java.nio.file.Files.createTempDirectory("fann").resolve("idx").toString
+    val idx = SimilarityOps.buildSqIndex(spark, dir, base, "vec_id", "embedding",
+      metaCols = Seq("label"))
+    val q = base.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
+
+    val hits = SimilarityOps.filteredRerankTopK(idx, base, "vec_id", "embedding",
+      $"label" === 2, q, 10, candidates = 50).collect()
+    assert(hits.length == 10)
+    val labels = base.filter($"label" === 2).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.forall(r => labels(r.getLong(0))),
+      "a filtered hit escaped the predicate")
+
+    // a pool covering the whole filtered slice makes the result EXACT:
+    // identical to brute force over the pre-filtered corpus
+    val slice = base.filter($"label" === 2)
+    val n = slice.count().toInt
+    val exact = SimilarityOps.bruteForceTopK(slice, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val covered = SimilarityOps.filteredRerankTopK(idx, base, "vec_id", "embedding",
+      $"label" === 2, q, 10, candidates = n).collect().map(_.getLong(0)).toSeq
+    assert(covered == exact, "full-coverage filtered ANN must equal filtered brute force")
+
+    // coarse-stage pre-filter: the pool is never diluted by non-matching
+    // rows, so even a small pool keeps decent recall within the slice
+    val small = SimilarityOps.filteredRerankTopK(idx, base, "vec_id", "embedding",
+      $"label" === 2, q, 10, candidates = 20).collect().map(_.getLong(0)).toSet
+    assert(small.intersect(exact.toSet).size >= 7,
+      s"filtered recall collapsed: ${small.intersect(exact.toSet).size}/10")
+  }
+
   test("gopher rules: structural failures flagged, clean doc kept") {
     val filler = Seq.fill(60)("alpha").mkString(" ")
     val rows = Seq(

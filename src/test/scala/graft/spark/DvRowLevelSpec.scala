@@ -161,6 +161,45 @@ class DvRowLevelSpec extends SparkSuite {
     spark.sql("DROP TABLE dvrlo6.db.t")
   }
 
+  test("rlo dv deletes racing a compaction stay atomic — no resurrection, no silent loss") {
+    // The rlo dv commit has NO statement-level retry (the bitmaps derive
+    // from the completed scan job): a conflicting compaction aborts the
+    // statement with the documented conflict error. What must hold under
+    // the race: every statement that REPORTED success has all its rows
+    // gone; every failed statement changed nothing (atomic-none); nothing
+    // the compaction folded in comes back.
+    val dir = catalogTable("dvrlo8")
+    spark.sql("CREATE TABLE dvrlo8.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO dvrlo8.db.t SELECT id, id * 1.0 FROM range(0, 500, 1, 2)")
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val outcomes = withMode("delete") {
+      val deletes = (0 until 4).map { k => Future {
+        try { spark.sql(s"DELETE FROM dvrlo8.db.t WHERE id % 4 = $k"); (k, true) }
+        catch { case e: Exception if HadroDeleteSupport.isRetryableConflict(e) => (k, false) }
+      }}
+      val compactor = Future {
+        try graft.api.Collection(spark, dir.toString).compact()
+        catch { case _: Exception => () } // its own conflict handling
+      }
+      val r = Await.result(Future.sequence(deletes), 180.seconds)
+      Await.result(compactor, 180.seconds)
+      r
+    }
+    val remaining = spark.table("dvrlo8.db.t")
+    outcomes.foreach { case (k, ok) =>
+      val left = remaining.filter($"id" % 4 === k).count()
+      if (ok) assert(left == 0, s"delete of id%4=$k reported success but $left rows remain")
+      else assert(left == 125, s"failed delete of id%4=$k must change nothing, $left left")
+    }
+    val expected = 500 - outcomes.count(_._2) * 125
+    assert(remaining.count() == expected)
+    spark.sql("DROP TABLE dvrlo8.db.t")
+  }
+
   test("dv-mode UPDATE falls back to CoW only when the conf says cow") {
     // sanity: WITHOUT the conf, non-keyed UPDATE keeps the CoW shape
     // (generation bump, files replaced) — the dv path is strictly opt-in
