@@ -56,6 +56,43 @@ object SampleOps {
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** TARGET-MIXTURE resampling: given target mixture weights per source
+    * (the static data-reweighting pass every pretraining corpus runs —
+    * "make the mix 40% web, 40% books, 20% code"), keep the LARGEST
+    * deterministic subsample whose source proportions match the targets.
+    * The binding source (smallest n_s/w_s) keeps everything; every other
+    * weighted source keeps the fraction p_s = w_s·T/n_s where
+    * T = min_s(n_s/w_s); unweighted sources drop. Membership is a pure
+    * map-side hash-threshold test — `md5(seed:id)`'s first 8 hex digits
+    * compared against the per-source bound as STRINGS (lowercase-hex
+    * lexicographic order IS numeric order) — so the only distributed work
+    * beyond one tiny per-source count agg is a codegen'd filter: no
+    * shuffle, no windows, reproducible on any engine at any parallelism.
+    * Proportions are binomial-exact (±O(√n)), which at corpus scale is
+    * the right trade against a per-source global sort. */
+  def mixtureResample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], seed: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "mixture weights must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no weighted source present in the corpus")
+    val t = present.map { case (s, w) => counts(s).toDouble / w }.min
+    val bounds: Map[String, String] = present.map { case (s, w) =>
+      val p = w * t / counts(s)
+      // 'g' sorts above every hex digit: a p>=1 source keeps every row
+      s -> (if (p >= 1.0) "g"
+            else f"${math.floor(p * 4294967296.0).toLong}%08x")
+    }
+    val key = substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8)
+    // unweighted sources fold to the empty bound: key < "" is never true
+    val bound = bounds.foldLeft(lit("")) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    df.filter(key < bound)
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates expressed
     * as hex bucket bounds ("80" = 50%, "10" = 6.25%), applied by stratum
     * value — the language/domain-rebalancing pass every corpus mix runs,

@@ -795,6 +795,47 @@ object OpsQueries {
         FROM tok JOIN model USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d16
+    // TARGET-MIXTURE resampling: keep the LARGEST deterministic subsample
+    // whose source proportions match target weights (40/40/20 over three
+    // sources here; everything else drops) — the static data-reweighting
+    // pass of every pretraining mix. The binding source keeps all rows;
+    // others keep the fraction that preserves the ratio, membership by an
+    // md5 hash-threshold (first 8 hex digits vs a per-source bound, string
+    // compare = numeric compare) — map-only after one tiny count agg, no
+    // shuffle, engine-portable. The oracle recomputes counts, the binding
+    // T, the bounds, and the same md5 threshold.
+    QueryDef(
+      "d16_mixture_resample",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        SampleOps.mixtureResample(d, "doc_id", "source",
+            Map("src0" -> 0.4, "src1" -> 0.4, "src2" -> 0.2))
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+          SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.4), ('src2', 0.2))
+            AS t(source, wt)),
+        counts AS (
+          SELECT d.source, COUNT(*) AS n FROM documents d
+          JOIN w ON d.source = w.source GROUP BY d.source),
+        tmin AS (
+          SELECT MIN(CAST(n AS DOUBLE) / CAST(wt AS DOUBLE)) AS t
+          FROM counts JOIN w USING (source)),
+        bounds AS (
+          SELECT c.source,
+            CASE WHEN CAST(w.wt AS DOUBLE) * tmin.t / CAST(c.n AS DOUBLE) >= 1.0
+                 THEN 'g'
+                 ELSE lpad(to_hex(CAST(floor(CAST(w.wt AS DOUBLE) * tmin.t
+                   / CAST(c.n AS DOUBLE) * 4294967296.0) AS BIGINT)), 8, '0')
+            END AS bound
+          FROM counts c JOIN w ON c.source = w.source, tmin)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN bounds b ON d.source = b.source
+        WHERE substring(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < b.bound
+        ORDER BY d.doc_id""")),
+
     // ---------------------------------------------------------------- m04
     // Cross-modal join: text rows joined to their embedding rows, emitting
     // per-document token counts next to vector norms — the alignment step

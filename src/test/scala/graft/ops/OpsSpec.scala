@@ -677,6 +677,36 @@ class OpsSpec extends SparkSuite {
       s"filtered recall collapsed: ${small.intersect(exact.toSet).size}/10")
   }
 
+  test("mixture resample hits target proportions; binding source keeps all") {
+    val corpus = spark.range(0, 6000).select($"id",
+      when($"id" < 2000, "a").when($"id" < 4000, "b").otherwise("c").as("src"))
+    val out = SampleOps.mixtureResample(corpus, "id", "src",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val by = out.groupBy($"src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(2000/0.5, 2000/0.3, 2000/0.2) = 4000: a binds and keeps all;
+    // b targets 1200, c targets 800 — binomial membership, so ±5% slack
+    assert(by("a") == 2000L, s"binding source must keep everything: ${by("a")}")
+    assert(math.abs(by("b") - 1200L) <= 60, s"b off target: ${by("b")}")
+    assert(math.abs(by("c") - 800L) <= 40, s"c off target: ${by("c")}")
+
+    // deterministic: same call, same membership
+    val again = SampleOps.mixtureResample(corpus, "id", "src",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    assert(out.select("id").except(again.select("id")).count() == 0)
+    assert(again.select("id").except(out.select("id")).count() == 0)
+
+    // unweighted sources drop entirely
+    val partial = SampleOps.mixtureResample(corpus, "id", "src", Map("a" -> 1.0))
+    assert(partial.filter($"src" =!= "a").count() == 0)
+    assert(partial.count() == 2000)
+
+    // a different seed reshuffles membership of the thinned sources
+    val reseeded = SampleOps.mixtureResample(corpus, "id", "src",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), seed = "other")
+    assert(reseeded.select("id").except(out.select("id")).count() > 0)
+  }
+
   test("gopher rules: structural failures flagged, clean doc kept") {
     val filler = Seq.fill(60)("alpha").mkString(" ")
     val rows = Seq(
