@@ -618,15 +618,28 @@ final class Collection private (spark: SparkSession, val path: String) {
       m.segments.flatMap(_.offsetIndex) ++
       m.segments.flatMap(_.deleteVector)).toSet
     CollectionMeta.purgeDeferred(dir, live)
-    // Full on-demand sweep of orphaned index sidecars: files no RETAINED
+    // Full on-demand sweep of orphaned sidecars: files no RETAINED
     // manifest references (the per-commit ageout sweep handles the steady
-    // state; this catches anything left behind by older layouts/crashes).
-    val idxLive = CollectionMeta.retainedManifests(dir)
-      .flatMap(_.segments).flatMap(_.indexBlooms.values).toSet
+    // state; this catches anything left behind by older layouts/crashes —
+    // including .dv bitmaps from a dv commit that died between writing
+    // its sidecars and publishing the manifest). AGE-GUARDED: an
+    // in-flight index build / dv delete writes its sidecars BEFORE its
+    // manifest commit, so only files comfortably older than any plausible
+    // in-flight statement are swept.
+    val retained = CollectionMeta.retainedManifests(dir).flatMap(_.segments)
+    val sidecarLive = (retained.flatMap(_.indexBlooms.values) ++
+      retained.flatMap(_.deleteVector)).toSet
+    val cutoff = System.currentTimeMillis() - Collection.OrphanSweepAgeMs
     CollectionMeta.listDir(dir)
-      .map(_.getFileName.toString)
-      .filter(f => f.contains(".idx-") && f.endsWith(".bloom") && !idxLive(f))
-      .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      .filter { p =>
+        val f = p.getFileName.toString
+        val sweepable = (f.contains(".idx-") && f.endsWith(".bloom")) ||
+          f.endsWith(".dv")
+        sweepable && !sidecarLive(f) &&
+          (try Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: Exception => false })
+      }
+      .foreach(p => Files.deleteIfExists(p))
   }
 
   /** Age-based history retention (Iceberg `expire_snapshots` analog):
@@ -836,6 +849,12 @@ object Collection {
   /** Open or create (`HadroDB(collection)` analog, engine.py:80-120). */
   def apply(spark: SparkSession, path: String): Collection =
     new Collection(spark, path)
+
+  /** Minimum age before [[Collection.vacuum]] sweeps an unreferenced
+    * sidecar file — generous headroom over any in-flight statement that
+    * has written sidecars but not yet committed its manifest. Overridable
+    * for tests only. */
+  @volatile private[graft] var OrphanSweepAgeMs: Long = 60L * 60L * 1000L
 
   /** The promotions [[Collection.widenColumn]] accepts: every value the
     * old type can hold is exactly representable in the new one. */

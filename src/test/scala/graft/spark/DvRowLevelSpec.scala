@@ -200,6 +200,33 @@ class DvRowLevelSpec extends SparkSuite {
     spark.sql("DROP TABLE dvrlo8.db.t")
   }
 
+  test("vacuum sweeps AGED orphan dv sidecars, keeps fresh and referenced ones") {
+    val dir = catalogTable("dvrlo9")
+    spark.sql("CREATE TABLE dvrlo9.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO dvrlo9.db.t SELECT id, id * 1.0 FROM range(0, 100, 1, 1)")
+    withMode("delete") { spark.sql("DELETE FROM dvrlo9.db.t WHERE id % 3 = 0") }
+    val referenced = CollectionMeta.currentManifest(dir)
+      .segments.flatMap(_.deleteVector)
+    assert(referenced.nonEmpty)
+
+    // plant two orphans: one aged (crashed commit long ago), one fresh
+    // (a statement that may be mid-commit right now)
+    val aged = dir.resolve("data-zzz.data.dv-dead.dv")
+    val fresh = dir.resolve("data-zzz.data.dv-inflight.dv")
+    Files.write(aged, Array[Byte](1, 2, 3))
+    Files.write(fresh, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(aged, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+
+    Collection(spark, dir.toString).vacuum()
+    assert(!Files.exists(aged), "aged orphan dv must be swept")
+    assert(Files.exists(fresh), "fresh orphan may be an in-flight commit — kept")
+    referenced.foreach(n => assert(Files.exists(dir.resolve(n)),
+      "manifest-referenced dv must survive vacuum"))
+    assert(spark.table("dvrlo9.db.t").count() == 66)
+    spark.sql("DROP TABLE dvrlo9.db.t")
+  }
+
   test("dv-mode UPDATE falls back to CoW only when the conf says cow") {
     // sanity: WITHOUT the conf, non-keyed UPDATE keeps the CoW shape
     // (generation bump, files replaced) — the dv path is strictly opt-in
