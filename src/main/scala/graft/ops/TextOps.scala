@@ -220,6 +220,32 @@ object TextOps {
       greatest(size(toks), lit(1)).cast("double"), 6)
   }
 
+  /** Gopher's duplicate-n-gram repetition signal: the fraction of a
+    * document's characters attributable to word n-grams that occur at
+    * least twice IN THAT DOCUMENT — sum over duplicated n-grams of
+    * (occurrences × n-gram chars) / document chars. (The standard public
+    * simplification of per-character coverage: overlapping occurrences
+    * count fully, so templated/looping text can exceed thresholds fast —
+    * which is the point of the filter.) Returns (id, dup_frac) per
+    * document. One explode + one (doc, gram) shuffle — the d04 shape;
+    * per-doc cardinality is bounded by token count, so the key space
+    * scales with the corpus, never a cross-doc hotspot. */
+  def dupNgramCharFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("gram"))
+    val dup = grams
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * length(col("gram"))).as("dup_chars"))
+    df.select(col(idCol), length(col(textCol)).as("__len"))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          greatest(col("__len"), lit(1)).cast("double"), 6).as("dup_frac"))
+  }
+
   // --------------------------------------------------------------- quality
 
   // ------------------------------------------------- vocab-sidecar tokenizer

@@ -795,6 +795,39 @@ object OpsQueries {
         FROM tok JOIN model USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- t16
+    // Gopher duplicate-5-gram character fraction: per document, the share
+    // of characters attributable to word 5-grams occurring >= 2 times in
+    // the document — the repetition filter that catches templated/looping
+    // text plain unique-token ratio (t07) misses. Top-20 most repetitive
+    // docs; deterministic tie-break on doc_id.
+    QueryDef(
+      "t16_dup_ngram_fraction",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        TextOps.dupNgramCharFraction(d, "doc_id", "text", n = 5)
+          .orderBy(col("dup_frac").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, length(text) AS len, string_split(text, ' ') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+          FROM (SELECT doc_id, t,
+                  unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+                FROM toks)),
+        dup AS (
+          SELECT doc_id, gram, COUNT(*) AS cnt FROM grams
+          GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+        agg AS (
+          SELECT doc_id, SUM(cnt * length(gram)) AS dc FROM dup GROUP BY doc_id)
+        SELECT t.doc_id,
+          ROUND(CAST(COALESCE(a.dc, 0) AS DOUBLE) / greatest(t.len, 1), 6)
+            AS dup_frac
+        FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        ORDER BY dup_frac DESC, t.doc_id LIMIT 20""")),
+
     // ---------------------------------------------------------------- d16
     // TARGET-MIXTURE resampling: keep the LARGEST deterministic subsample
     // whose source proportions match target weights (40/40/20 over three

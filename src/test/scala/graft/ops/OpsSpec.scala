@@ -677,6 +677,19 @@ class OpsSpec extends SparkSuite {
       s"filtered recall collapsed: ${small.intersect(exact.toSet).size}/10")
   }
 
+  test("dup-ngram fraction flags looping text, near-zero on distinct text") {
+    val looping = (Seq.fill(10)("spam and eggs and ham every day") :+ "tail").mkString(" ")
+    val distinctText = (0 until 70).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, looping), (2L, distinctText), (3L, "short text"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dupNgramCharFraction(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > 0.9, s"looping doc must be ~all duplicated 5-grams: ${out(1L)}")
+    assert(out(2L) == 0.0, "all-distinct tokens have no duplicated 5-grams")
+    assert(out(3L) == 0.0, "sub-n docs degenerate to one whole-text shingle")
+    assert(out.keySet == Set(1L, 2L, 3L), "every doc gets a row")
+  }
+
   test("mixture resample hits target proportions; binding source keeps all") {
     val corpus = spark.range(0, 6000).select($"id",
       when($"id" < 2000, "a").when($"id" < 4000, "b").otherwise("c").as("src"))
