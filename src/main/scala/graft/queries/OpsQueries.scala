@@ -3077,5 +3077,46 @@ object OpsQueries {
           .orderBy("n_nationkey")
       },
       Some("""SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""))
+    ,
+
+    // ---------------------------------------------------------------- st18
+    // Streaming over DELETION-VECTORED storage: a merge-on-read DELETE
+    // (dv sidecars, no rewrite — here via the row-level delta path, the
+    // predicate is arithmetic) commits BEFORE the stream starts; the
+    // catch-up stream must emit only live rows. Locks in the contract
+    // that vectored rows are physically gone on EVERY read path — batch,
+    // changefeed, columnar, and the streaming source's micro-batch
+    // planner (which snapshots each segment's vector at plan time).
+    QueryDef(
+      "st18_stream_skips_dv",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.functions.col
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_st18"
+        s.conf.set("spark.sql.catalog.graft_st18",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_st18.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st18.db")
+        s.sql("DROP TABLE IF EXISTS graft_st18.db.suppliers")
+        s.sql("""CREATE TABLE graft_st18.db.suppliers
+          (s_suppkey BIGINT, s_name STRING) USING hadro""")
+        QueryDef.table(s, dir, "supplier").select("s_suppkey", "s_name")
+          .createOrReplaceTempView("st18_src")
+        s.sql("INSERT INTO graft_st18.db.suppliers SELECT * FROM st18_src")
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try s.sql("DELETE FROM graft_st18.db.suppliers WHERE s_suppkey % 4 = 1")
+        finally s.conf.unset("spark.hadro.delete.mode")
+        val name = s"st18_sink_${System.nanoTime()}"
+        val q = s.readStream.format("hadro")
+          .option("hadro.maxOrdinalsPerTrigger", "2").load(s"$wh/db/suppliers")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(120000),
+          "AvailableNow query must terminate by itself")
+        s.table(name).select(col("s_suppkey"), col("s_name"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier
+        WHERE NOT (s_suppkey % 4 = 1) ORDER BY s_suppkey"""))
   )
 }
