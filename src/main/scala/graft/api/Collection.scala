@@ -642,6 +642,54 @@ final class Collection private (spark: SparkSession, val path: String) {
       .foreach(p => Files.deleteIfExists(p))
   }
 
+  /** ZERO-COPY snapshot clone (Delta SHALLOW CLONE analog, hard-link
+    * flavor): materialize the CURRENT version as an independent
+    * collection at `dstPath` without rewriting a byte of data — segment
+    * files and sidecars are immutable, so the clone hard-links them
+    * (falling back to copy when the filesystem refuses, e.g. across
+    * devices) and commits a fresh manifest listing the same segments.
+    * After the clone the two collections share storage but diverge
+    * freely: a delete/compaction in one unlinks ITS directory entry;
+    * the inode lives until every clone drops it. The clone starts a
+    * fresh history (version 1, generation 0, no stream epochs) — it is
+    * a new table whose contents equal the source snapshot, the instant
+    * dev/test-copy primitive at any scale. Non-manifest `_hadro`
+    * sidecars (tokenizer vocab, sq8 params) are copied so index
+    * collections stay queryable through their clones. */
+  def cloneTo(dstPath: String): Collection = {
+    val m = manifest
+    val dst = java.nio.file.Paths.get(dstPath)
+    require(CollectionMeta.readSchema(dst).isEmpty,
+      s"hadro: clone destination $dstPath already exists")
+    Files.createDirectories(dst)
+    val meta = CollectionMeta.readSchema(dir).getOrElse(
+      throw new IllegalStateException(s"hadro: no collection at $dir"))
+    CollectionMeta.writeSchema(dst, meta.schema, meta.keyField,
+      meta.bucketBy, meta.numBuckets)
+    val files = m.segments.flatMap(s =>
+      Seq(s.file) ++ s.bloom ++ s.offsetIndex ++ s.indexBlooms.values ++
+        s.deleteVector)
+    files.foreach { f =>
+      val srcF = dir.resolve(f)
+      val dstF = dst.resolve(f)
+      try Files.createLink(dstF, srcF)
+      catch { case _: Exception => Files.copy(srcF, dstF) }
+    }
+    // non-manifest metadata sidecars ride along (vocab.json, sq8-params…)
+    CollectionMeta.listDir(CollectionMeta.metaDir(dir))
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("manifest-") && !n.startsWith("dead-") &&
+          !n.startsWith(".tmp") && n != "schema.json"
+      }
+      .foreach(p => Files.copy(p,
+        CollectionMeta.metaDir(dst).resolve(p.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    CollectionMeta.commit(dst, _ =>
+      m.copy(streamEpochs = Map.empty, generation = 0L))
+    Collection(spark, dstPath)
+  }
+
   /** Age-based history retention (Iceberg `expire_snapshots` analog):
     * drop retained manifest versions committed before `olderThanMs`
     * (epoch millis), current head always kept, superseded index/dv

@@ -1407,5 +1407,45 @@ object StorageQueries {
           CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100 ELSE s_acctbal END
             AS s_acctbal
         FROM supplier ORDER BY s_suppkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h52
+    // ZERO-COPY CLONE (Delta SHALLOW CLONE analog): CALL clone hard-links
+    // the current version's immutable segment files into a NEW table with
+    // fresh history — no data rewritten, any table size, instant. The
+    // clone then DIVERGES: a merge-on-read delete in the clone must leave
+    // the source byte-identical (shared inodes, independent manifests).
+    // The result reads both sides after divergence.
+    QueryDef(
+      "h52_zero_copy_clone",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h52"
+        s.conf.set("spark.sql.catalog.graft_h52", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h52.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h52.db")
+        s.sql("DROP TABLE IF EXISTS graft_h52.db.suppliers")
+        s.sql("DROP TABLE IF EXISTS graft_h52.db.suppliers_dev")
+        s.sql("""CREATE TABLE graft_h52.db.suppliers
+          (s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE) USING hadro""")
+        QueryDef.table(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal")
+          .createOrReplaceTempView("h52_src")
+        s.sql("INSERT INTO graft_h52.db.suppliers SELECT * FROM h52_src")
+        s.sql("CALL graft_h52.system.clone('db.suppliers', 'db.suppliers_dev')")
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try s.sql("DELETE FROM graft_h52.db.suppliers_dev WHERE s_suppkey % 2 = 0")
+        finally s.conf.unset("spark.hadro.delete.mode")
+        s.sql("""SELECT 'clone' AS side, s_suppkey, s_acctbal
+            FROM graft_h52.db.suppliers_dev
+          UNION ALL
+          SELECT 'src', s_suppkey, s_acctbal FROM graft_h52.db.suppliers
+          ORDER BY side, s_suppkey""")
+      },
+      Some("""SELECT 'clone' AS side, s_suppkey, s_acctbal FROM supplier
+          WHERE NOT (s_suppkey % 2 = 0)
+        UNION ALL
+        SELECT 'src', s_suppkey, s_acctbal FROM supplier
+        ORDER BY side, s_suppkey"""))
   )
 }

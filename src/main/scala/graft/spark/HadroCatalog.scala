@@ -299,15 +299,20 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     require(ident.namespace().sameElements(Array("system")),
       s"hadro: procedures live in the 'system' namespace " +
         s"(CALL $catalogName.system.<proc>), got $ident")
-    HadroProcedures.load(ident.name(), { tbl =>
+    def dirOf(tbl: String): Path = {
       val parts = tbl.split("\\.").toSeq
       require(parts.nonEmpty && parts.forall(_.nonEmpty),
         s"hadro: procedure table argument must be 'ns.table', got '$tbl'")
-      val dir = tableDir(Identifier.of(parts.init.toArray, parts.last))
-      if (!isTable(dir))
+      tableDir(Identifier.of(parts.init.toArray, parts.last))
+    }
+    HadroProcedures.load(ident.name(), { tbl =>
+      val dir = dirOf(tbl)
+      if (!isTable(dir)) {
+        val parts = tbl.split("\\.").toSeq
         throw new NoSuchTableException(Identifier.of(parts.init.toArray, parts.last))
+      }
       dir
-    })
+    }, dirOf)
   }
 }
 

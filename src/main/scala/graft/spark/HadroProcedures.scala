@@ -37,15 +37,30 @@ object HadroProcedures {
 
   val names: Seq[String] =
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
-      "rollback", "expire_snapshots")
+      "rollback", "expire_snapshots", "clone")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
-    * the catalog's name resolution exactly. */
-  def load(procName: String, resolve: String => Path): UnboundProcedure = {
+    * the catalog's name resolution exactly. `resolveNew` is the same name
+    * resolution WITHOUT the existence check, for procedures that create
+    * their target (clone). */
+  def load(procName: String, resolve: String => Path,
+      resolveNew: String => Path): UnboundProcedure = {
     def coll(in: InternalRow): Collection =
       Collection(SparkSession.active, resolve(in.getUTF8String(0).toString).toString)
     procName match {
+      case "clone" => proc("clone",
+        "zero-copy snapshot clone: hard-link the current version's " +
+          "immutable files into a NEW table with a fresh history",
+        Seq(p("source", StringType), p("target", StringType)),
+        new StructType().add("cloned_version", LongType)
+          .add("n_segments", LongType)) { in =>
+          val out = coll(in).cloneTo(
+            resolveNew(in.getUTF8String(1).toString).toString)
+          Seq(InternalRow(out.version,
+            graft.meta.CollectionMeta.currentManifest(
+              java.nio.file.Paths.get(out.path)).segments.size.toLong))
+        }
       case "compact" => proc("compact",
         "rewrite the collection to only live, resolved rows",
         Seq(p("table", StringType)),

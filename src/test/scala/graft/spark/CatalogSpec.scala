@@ -146,6 +146,43 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.exp")
   }
 
+  test("CALL clone makes a zero-copy snapshot that diverges independently") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("DROP TABLE IF EXISTS testcat.db.cl_src")
+    spark.sql("CREATE TABLE testcat.db.cl_src (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO testcat.db.cl_src SELECT id, id * 1.0 FROM range(0, 200, 1, 2)")
+
+    val out = spark.sql("CALL testcat.system.clone('db.cl_src', 'db.cl_dst')").head
+    assert(out.getLong(1) >= 1L)
+    assert(spark.sql("SELECT count(*) FROM testcat.db.cl_dst").head.getLong(0) == 200)
+    // storage is shared, not copied: same inode behind both directory entries
+    val srcDir = java.nio.file.Paths.get(s"$warehouse/db/cl_src")
+    val dstDir = java.nio.file.Paths.get(s"$warehouse/db/cl_dst")
+    val seg = graft.meta.CollectionMeta.currentManifest(srcDir).segments.head.file
+    def inode(p: java.nio.file.Path) =
+      java.nio.file.Files.readAttributes(p, "unix:ino").get("ino")
+    assert(inode(srcDir.resolve(seg)) == inode(dstDir.resolve(seg)))
+
+    // divergence: a delete in the clone leaves the source untouched…
+    spark.sql("DELETE FROM testcat.db.cl_dst WHERE id < 50")
+    assert(spark.sql("SELECT count(*) FROM testcat.db.cl_dst").head.getLong(0) == 150)
+    assert(spark.sql("SELECT count(*) FROM testcat.db.cl_src").head.getLong(0) == 200)
+    // …and a compaction + vacuum of the source leaves the clone whole
+    spark.sql("CALL testcat.system.compact('db.cl_src')")
+    spark.sql("CALL testcat.system.compact('db.cl_src')") // purge deferred gen
+    spark.sql("CALL testcat.system.vacuum('db.cl_src')")
+    assert(spark.sql("SELECT count(*) FROM testcat.db.cl_dst").head.getLong(0) == 150)
+    assert(spark.sql("SELECT CAST(SUM(id) AS BIGINT) FROM testcat.db.cl_dst")
+      .head.getLong(0) == (50L until 200L).sum)
+
+    // cloning onto an existing table fails fast
+    intercept[Exception](
+      spark.sql("CALL testcat.system.clone('db.cl_src', 'db.cl_dst')").collect())
+    spark.sql("DROP TABLE testcat.db.cl_src")
+    spark.sql("DROP TABLE testcat.db.cl_dst")
+  }
+
   test("catalog tables and path API address the same collection") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
