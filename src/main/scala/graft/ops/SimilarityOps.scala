@@ -632,6 +632,45 @@ object SimilarityOps {
       .transform(c => bruteForceTopK(c, idCol, vecCol, query, k))
   }
 
+  /** BATCH two-stage re-ranking: a whole DataFrame of queries through the
+    * sq8-coarse → exact-re-rank pipeline in ONE plan (a query batch is
+    * data, not a driver loop — the s07 principle applied to the rerank
+    * shape). Stage 1 scores every (code row × query) pair over the
+    * broadcast batch — the corpus side reads only the 4×-compressed
+    * codes — and keeps `candidates` per query via a window on the slim
+    * (qid, ccos, vid) projection; stage 2 re-scores only the
+    * |batch|·candidates pool exactly, via a broadcast join back to the
+    * corpus. Work scales with |batch| × corpus for the coarse arithmetic
+    * (inherent to exhaustive codes; compose with IVF for probe pruning)
+    * but corpus I/O stays one compressed scan regardless of batch size. */
+  def rerankTopKBatch(index: graft.api.Collection, corpus: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, candidates: Int = 100): DataFrame = {
+    val (minv, scale) = loadSqParams(java.nio.file.Paths.get(index.path))
+      .getOrElse(
+        throw new IllegalStateException(s"no sq8 params sidecar at ${index.path}"))
+    val decoded = graft.functions.VectorExpressions.sq8_decode(
+      col("codes"), minv, scale)
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      col(qvecCol).cast("array<double>").as("qvd"))
+    val wPool = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ccos").desc, col("vid"))
+    val pool = index.scan().crossJoin(broadcast(q))
+      .withColumn("ccos", cosineComposed(decoded, col("qvd")))
+      .select(col("qid"), col("qvec"), col("vid"), col("ccos"))
+      .withColumn("prk", row_number().over(wPool))
+      .filter(col("prk") <= candidates)
+      .select(col("qid"), col("qvec"), col("vid").as(idCol))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))
+    corpus.join(broadcast(pool), Seq(idCol))
+      .select(col("qid"), col(idCol),
+        cosine(col(vecCol), col("qvec")).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col(idCol), col("cosine"), col("rk"))
+  }
+
   /** FILTERED two-stage ANN (metadata predicate + vector search — the
     * other half of the standard serving shape): `filter` evaluates over
     * the metadata columns the index carries ([[buildSqIndex]]'s

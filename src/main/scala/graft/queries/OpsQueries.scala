@@ -795,6 +795,61 @@ object OpsQueries {
         FROM tok JOIN model USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- s15
+    // BATCH two-stage re-ranking: a whole frame of queries through the
+    // sq8-coarse -> exact-re-rank pipeline in one plan (s07's batch
+    // principle applied to the s11 shape): coarse scores read only the
+    // compressed codes against the broadcast batch, a per-query window
+    // keeps the candidate pool, and the exact pass re-scores just
+    // |batch|*candidates rows. The oracle mirrors both stages per query.
+    QueryDef(
+      "s15_batch_rerank_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s15_index", e, "vec_id", "embedding")
+        val queries = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        SimilarityOps.rerankTopKBatch(idx, e, "vec_id", "embedding",
+            queries, "qid", "qvec", k = 5, candidates = 50)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id % 100 = 0),
+        bounds AS (
+          SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS minv,
+                 CAST(MAX(list_max(embedding)) AS DOUBLE) AS maxv
+          FROM embeddings),
+        params AS (SELECT minv, (maxv - minv) / 256 AS scale FROM bounds),
+        decoded AS (
+          SELECT e.vec_id,
+            list_transform(CAST(e.embedding AS DOUBLE[]), x ->
+              p.minv + (LEAST(GREATEST(floor((x - p.minv) / p.scale),
+                0), 255) + 0.5) * p.scale) AS dv
+          FROM embeddings e, params p),
+        pool AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, d.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid
+                ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id) AS prk
+            FROM decoded d, q)
+          WHERE prk <= 50),
+        scored AS (
+          SELECT p.qid, e.vec_id,
+            list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+          FROM pool p
+          JOIN embeddings e ON e.vec_id = p.vec_id
+          JOIN q ON q.qid = p.qid)
+        SELECT qid, vec_id, ROUND(cos, 4) AS cosine, CAST(rk AS INT) AS rk
+        FROM (
+          SELECT qid, vec_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          FROM scored)
+        WHERE rk <= 5 ORDER BY qid, rk""")),
+
     // ---------------------------------------------------------------- t16
     // Gopher duplicate-5-gram character fraction: per document, the share
     // of characters attributable to word 5-grams occurring >= 2 times in

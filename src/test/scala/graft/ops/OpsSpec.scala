@@ -677,6 +677,25 @@ class OpsSpec extends SparkSuite {
       s"filtered recall collapsed: ${small.intersect(exact.toSet).size}/10")
   }
 
+  test("batch rerank equals the single-query pipeline per query") {
+    val base = embs.select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("brr").resolve("idx").toString
+    val idx = SimilarityOps.buildSqIndex(spark, dir, base, "vec_id", "embedding")
+    val qids = Seq(0L, 150L, 300L)
+    val queries = base.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val batch = SimilarityOps.rerankTopKBatch(idx, base, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 10, candidates = 80)
+      .collect().groupBy(_.getLong(0))
+    qids.foreach { qid =>
+      val q = base.filter($"vec_id" === qid).select($"embedding").head().getSeq[Float](0)
+      val single = SimilarityOps.rerankTopK(idx, base, "vec_id", "embedding",
+        q, 10, candidates = 80).collect().map(_.getLong(0)).toSeq
+      val got = batch(qid).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(got == single, s"batch diverged from single-query rerank for qid=$qid")
+    }
+  }
+
   test("dup-ngram fraction flags looping text, near-zero on distinct text") {
     val looping = (Seq.fill(10)("spam and eggs and ham every day") :+ "tail").mkString(" ")
     val distinctText = (0 until 70).map(i => s"tok$i").mkString(" ")
