@@ -184,6 +184,61 @@ object MultimodalOps {
       .toDF("media_id", "width", "height", "top_left_rgb")
   }
 
+  /** PERCEPTUAL average-hash (aHash) over real decoded rasters: the image
+    * is nearest-neighbor resampled onto an `side`×`side` grid, each cell
+    * reduced to integer luma (ITU-R 601 in integer arithmetic:
+    * (299·R + 587·G + 114·B) / 1000 — deterministic, no floats), and each
+    * cell emits one bit of the packed hash: 1 iff its luma >= the grid
+    * mean (integer division). Identical rasters hash identically no
+    * matter how they were re-encoded, near-identical rasters land within
+    * small Hamming distance — the standard cheap image near-dup key,
+    * pairable with [[graft.ops.SimilarityOps.hammingTopK]]'s bit_count
+    * ranking. Map-only per-partition batches; None for undecodable
+    * media. */
+  def imagePerceptualHash(df: DataFrame, idCol: String, mediaCol: String,
+      side: Int = 8): DataFrame = {
+    require(side >= 2 && side * side <= 64, s"side^2 must fit 64 bits, got $side")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          if (!looksLikeImage(bytes)) (id, None: Option[Long])
+          else
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) (id, None: Option[Long])
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                val luma = new Array[Long](side * side)
+                var i = 0
+                while (i < side * side) {
+                  // nearest-neighbor sample of cell (gx, gy)
+                  val gx = (i % side) * w / side
+                  val gy = (i / side) * h / side
+                  val rgb = img.getRGB(gx, gy)
+                  val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                  luma(i) = (299L * r + 587L * g + 114L * b) / 1000L
+                  i += 1
+                }
+                val mean = luma.sum / (side * side)
+                var hash = 0L
+                i = 0
+                while (i < side * side) {
+                  if (luma(i) >= mean) hash |= 1L << i
+                  i += 1
+                }
+                (id, Some(hash))
+              }
+            } catch {
+              case _: Exception => (id, None: Option[Long])
+            }
+        }
+      }
+      .toDF("media_id", "phash")
+  }
+
   /** Resize: REAL nearest-neighbor downscale + PNG re-encode for decodable
     * images (deterministic — no interpolation, no float resampling); the
     * byte-skip STUB transform for everything else, so the pipeline stays

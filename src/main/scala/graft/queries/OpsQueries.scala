@@ -795,6 +795,51 @@ object OpsQueries {
         FROM tok JOIN model USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- m08
+    // IMAGE NEAR-DUP via perceptual average-hash over REAL decoded
+    // rasters: planted 8x8 PNGs carry vertical stripes whose width is
+    // doc_id-derived (7 visually distinct classes), so identical rasters
+    // — however re-encoded — must collapse into exactly the 7 analytic
+    // groups. Decode, resample, integer-luma threshold, and 64-bit pack
+    // all run distributed; the oracle predicts the group structure
+    // without reimplementing the hash (identical input => identical
+    // hash).
+    QueryDef(
+      "m08_image_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val planted = table(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val c = (id % 7 + 1).toInt // stripe width class
+              val img = new java.awt.image.BufferedImage(8, 8,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val on = (x / c) % 2 == 0
+                  img.setRGB(x, y, if (on) 0xffffff else 0x000000)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              (id, bos.toByteArray)
+            }
+          }.toDF("doc_id", "media")
+        MultimodalOps.imagePerceptualHash(planted, "doc_id", "media")
+          .groupBy(col("phash"))
+          .agg(min(col("media_id")).as("rep_id"), count(lit(1)).as("n"))
+          .select(col("rep_id"), col("n"))
+          .orderBy("rep_id")
+      },
+      Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+          COUNT(*) AS n
+        FROM documents GROUP BY doc_id % 7 ORDER BY rep_id"""))
+    ,
+
     // ---------------------------------------------------------------- s15
     // BATCH two-stage re-ranking: a whole frame of queries through the
     // sq8-coarse -> exact-re-rank pipeline in one plan (s07's batch

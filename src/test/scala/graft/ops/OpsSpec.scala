@@ -677,6 +677,36 @@ class OpsSpec extends SparkSuite {
       s"filtered recall collapsed: ${small.intersect(exact.toSet).size}/10")
   }
 
+  test("perceptual hash: re-encode invariant, near-dup lands nearby, garbage is null") {
+    def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val checker = (x: Int, y: Int) => if ((x + y) % 2 == 0) 0xffffff else 0
+    // same raster at two sizes (16x16 is the 8x8 pattern pixel-doubled…
+    // sampled on the same grid), plus a one-cell perturbation and garbage
+    val doubled = (x: Int, y: Int) => checker(x / 2, y / 2)
+    val perturbed = (x: Int, y: Int) =>
+      if (x == 0 && y == 0) 0 else checker(x, y)
+    val df = Seq(
+      (1L, png(8, 8, checker)), (2L, png(16, 16, doubled)),
+      (3L, png(8, 8, perturbed)), (4L, "not a png".getBytes))
+      .toDF("doc_id", "media")
+    val out = MultimodalOps.imagePerceptualHash(df, "doc_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined && out(1L) == out(2L),
+      "scale-doubled identical raster must hash identically")
+    assert(out(3L).isDefined && out(3L) != out(1L))
+    val hd = java.lang.Long.bitCount(out(1L).get ^ out(3L).get)
+    assert(hd <= 2, s"one-cell perturbation must stay within hamming 2, got $hd")
+    assert(out(4L).isEmpty, "undecodable media hashes to null")
+  }
+
   test("batch rerank equals the single-query pipeline per query") {
     val base = embs.select($"vec_id", $"embedding")
     val dir = java.nio.file.Files.createTempDirectory("brr").resolve("idx").toString
