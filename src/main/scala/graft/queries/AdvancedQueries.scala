@@ -83,6 +83,29 @@ object AdvancedQueries {
     // ---------------------------------------------------------------- a04
     // JSON scalar functions: extract a field from the events props JSON.
     QueryDef(
+      "a04b_variant_extract",
+      (s, dir) => {
+        // Spark 4 VARIANT: parse once into the binary semi-structured
+        // type, extract TYPED with variant_get — the shredded-JSON path
+        // that replaces per-access string re-parsing (at 100 TB, parse
+        // cost is per-row-once instead of per-extraction). Same analytic
+        // answer as a04's string-path twin, so the two queries
+        // cross-check each other through the oracle.
+        table(s, dir, "events")
+          .withColumn("v", parse_json(col("props")))
+          .withColumn("k", try_variant_get(col("v"), "$.k", "int"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k").cast(LongType)).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+          CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef(
       "a04_json_extract",
       (s, dir) => {
         table(s, dir, "events")

@@ -577,5 +577,32 @@ object RelationalQueries {
           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         FROM reach r JOIN customer c ON c.c_custkey = r.node
         GROUP BY r.root ORDER BY r.root"""))
+    ,
+
+    // ---------------------------------------------------------------- q24
+    // LATERAL correlated subquery join — per-outer-row top-N without a
+    // window over the whole table: for each nation, the lateral subquery
+    // computes its own ORDER BY ... LIMIT 2 over that nation's suppliers.
+    // Catalyst decorrelates this into a ranked join (same physical shape
+    // as q04's window top-N) — the declarative form survives optimization
+    // rather than forcing a per-row loop.
+    QueryDef(
+      "q24_lateral_join",
+      (s, dir) => {
+        QueryDef.table(s, dir, "nation").createOrReplaceTempView("q24_nation")
+        QueryDef.table(s, dir, "supplier").createOrReplaceTempView("q24_supplier")
+        s.sql("""SELECT n.n_name, t.s_name, t.s_acctbal
+          FROM q24_nation n,
+          LATERAL (SELECT s_name, s_acctbal FROM q24_supplier s
+                   WHERE s.s_nationkey = n.n_nationkey
+                   ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+          ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""")
+      },
+      Some("""SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM nation n,
+        LATERAL (SELECT s_name, s_acctbal FROM supplier s
+                 WHERE s.s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        ORDER BY n.n_name, t.s_acctbal DESC, t.s_name"""))
   )
 }
