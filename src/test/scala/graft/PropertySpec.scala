@@ -142,6 +142,57 @@ class PropertySpec extends SparkSuite {
       }
   }
 
+  test("property: interleaved row-level delete/update paths match a model") {
+    // Arbitrary sequences of row-level ops over a non-keyed table, each
+    // randomly routed through one of the four physical paths — metadata
+    // dv (pushable predicate + dv mode), dv DELTA (arithmetic predicate +
+    // dv mode), CoW replace (pushable, cow mode), group CoW (arithmetic,
+    // cow mode) — must all agree with a driver-side model of the rows.
+    spark.conf.set("spark.sql.catalog.propcat",
+      classOf[graft.spark.HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.propcat.warehouse",
+      Files.createTempDirectory("prop_rlo").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS propcat.db")
+    val rnd = new scala.util.Random(4242)
+    (0 until 3).foreach { round =>
+      val t = s"propcat.db.rlo$round"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE) USING hadro")
+      spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 FROM range(0, 400, 1, 3)")
+      var model: Map[Long, Double] = (0L until 400L).map(i => i -> i.toDouble).toMap
+      (0 until 5).foreach { _ =>
+        val mode = if (rnd.nextBoolean()) "dv" else "cow"
+        spark.conf.set("spark.hadro.delete.mode", mode)
+        spark.conf.set("spark.hadro.update.mode", mode)
+        try {
+          rnd.nextInt(3) match {
+            case 0 => // arithmetic delete (row-level path)
+              val m = rnd.nextInt(5) + 2; val r = rnd.nextInt(m)
+              spark.sql(s"DELETE FROM $t WHERE id % $m = $r AND v < 390")
+              model = model.filterNot { case (id, v) => id % m == r && v < 390 }
+            case 1 => // pushable range delete (metadata/replace path)
+              val lo = rnd.nextInt(400)
+              spark.sql(s"DELETE FROM $t WHERE id >= $lo AND id < ${lo + 40}")
+              model = model.filterNot { case (id, _) => id >= lo && id < lo + 40 }
+            case 2 => // arithmetic update (row-level path)
+              val m = rnd.nextInt(4) + 2; val r = rnd.nextInt(m)
+              spark.sql(s"UPDATE $t SET v = v + 1000 WHERE id % $m = $r")
+              model = model.map { case (id, v) =>
+                id -> (if (id % m == r) v + 1000 else v) }
+          }
+        } finally {
+          spark.conf.unset("spark.hadro.delete.mode")
+          spark.conf.unset("spark.hadro.update.mode")
+        }
+        val got = spark.table(t).as[(Long, Double)].collect().toMap
+        assert(got == model,
+          s"round $round diverged under mode=$mode: " +
+            s"${(got.toSet -- model.toSet).take(3)} vs ${(model.toSet -- got.toSet).take(3)}")
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("pcm_stats equals a JVM reference over arbitrary buffers") {
     val genPcm = Gen.choose(0, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
