@@ -1447,5 +1447,41 @@ object StorageQueries {
         UNION ALL
         SELECT 'src', s_suppkey, s_acctbal FROM supplier
         ORDER BY side, s_suppkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h53
+    // SQL METADATA TABLES (Iceberg `db.t.files` shape): the per-segment
+    // physical inventory is a plain queryable relation — here summed into
+    // engine-independent totals (physical rows, deletion-vectored rows)
+    // after a merge-on-read delete, which the oracle re-derives from the
+    // logical data alone. The operator's first question at 100 TB —
+    // "what is the physical state of this table" — answered by SELECT,
+    // no procedures, no logs.
+    QueryDef(
+      "h53_metadata_tables",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h53"
+        s.conf.set("spark.sql.catalog.graft_h53", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h53.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h53.db")
+        s.sql("DROP TABLE IF EXISTS graft_h53.db.suppliers")
+        s.sql("""CREATE TABLE graft_h53.db.suppliers
+          (s_suppkey BIGINT, s_name STRING) USING hadro""")
+        QueryDef.table(s, dir, "supplier").select("s_suppkey", "s_name")
+          .createOrReplaceTempView("h53_src")
+        s.sql("INSERT INTO graft_h53.db.suppliers SELECT * FROM h53_src")
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try s.sql("DELETE FROM graft_h53.db.suppliers WHERE s_suppkey % 5 = 0")
+        finally s.conf.unset("spark.hadro.delete.mode")
+        s.sql("""SELECT CAST(SUM(n_rows) AS BIGINT) AS physical_rows,
+            CAST(SUM(n_dv_deletes) AS BIGINT) AS vectored,
+            CAST(SUM(n_tombstones) AS BIGINT) AS tombstoned
+          FROM graft_h53.db.suppliers.files""")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS physical_rows,
+          CAST(COUNT(*) FILTER (WHERE s_suppkey % 5 = 0) AS BIGINT) AS vectored,
+          CAST(0 AS BIGINT) AS tombstoned
+        FROM supplier"""))
   )
 }

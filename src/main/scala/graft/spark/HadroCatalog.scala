@@ -77,7 +77,19 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // Iceberg-style METADATA TABLES: `SELECT * FROM cat.db.t.files` /
+      // `.history` — the identifier parses as namespace [db, t] + name
+      // "files". Resolved only when the base really is a table, so a
+      // genuine missing-table error is unchanged.
+      val ns = ident.namespace()
+      if (ns.nonEmpty && HadroMetadataTable.kinds(ident.name().toLowerCase)) {
+        val baseDir = tableDir(Identifier.of(ns.init, ns.last))
+        if (isTable(baseDir))
+          return new HadroMetadataTable(baseDir, ident.name().toLowerCase)
+      }
+      throw new NoSuchTableException(ident)
+    }
     new HadroTable(dir,
       HadroTable.reportedSchema(CollectionMeta.readSchema(dir).get),
       viaCatalog = true)
@@ -362,4 +374,62 @@ final class HadroBucketBound(keyTypes: Seq[DataType])
     }
     java.lang.Math.floorMod(h, n.toLong).toInt
   }
+}
+
+/** Read-only SQL METADATA TABLES over a collection's manifest state —
+  * `SELECT * FROM cat.db.t.files` / `cat.db.t.history` (Iceberg's
+  * metadata-table shape): the per-segment physical inventory and the
+  * commit audit as plain queryable relations, no CALL needed. Rows come
+  * straight from manifest JSON on the driver (metadata-scale: O(#segments)
+  * and O(retained versions) — never data-proportional), served via a
+  * local scan like the procedures' results. */
+final class HadroMetadataTable(dir: Path, kind: String) extends Table
+    with SupportsRead {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = s"$dir#$kind"
+  override def schema(): StructType = HadroMetadataTable.schemas(kind)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = schema()
+        override def rows(): Array[InternalRow] = kind match {
+          case "files" =>
+            CollectionMeta.currentManifest(dir).segments.map { s =>
+              InternalRow(
+                UTF8String.fromString(s.file), s.ordinal, s.rows,
+                s.tombstones, s.dvDeletes, s.bytes,
+                s.bucket.map(Int.box).orNull,
+                s.deleteVector.map(UTF8String.fromString).orNull)
+            }.toArray
+          case "history" =>
+            CollectionMeta.retainedManifests(dir).sortBy(-_.version).map { m =>
+              InternalRow(m.version, m.segments.size.toLong,
+                m.segments.map(s => s.rows - s.tombstones - s.dvDeletes).sum,
+                m.segments.map(_.bytes).sum, m.mutated, m.generation,
+                m.committedAtMs)
+            }.toArray
+        }
+      }
+    }
+}
+
+object HadroMetadataTable {
+  import org.apache.spark.sql.types.BooleanType
+  val schemas: Map[String, StructType] = Map(
+    "files" -> new StructType()
+      .add("file", StringType).add("ordinal", LongType)
+      .add("n_rows", LongType).add("n_tombstones", LongType)
+      .add("n_dv_deletes", LongType).add("n_bytes", LongType)
+      .add("bucket", IntegerType).add("delete_vector", StringType),
+    "history" -> new StructType()
+      .add("version", LongType).add("n_segments", LongType)
+      .add("n_rows", LongType).add("n_bytes", LongType)
+      .add("mutated", BooleanType).add("generation", LongType)
+      .add("committed_at_ms", LongType))
+  val kinds: Set[String] = schemas.keySet
 }

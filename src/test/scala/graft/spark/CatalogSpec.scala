@@ -183,6 +183,38 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.cl_dst")
   }
 
+  test("metadata tables: SELECT from t.files and t.history") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("DROP TABLE IF EXISTS testcat.db.meta")
+    spark.sql("CREATE TABLE testcat.db.meta (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO testcat.db.meta SELECT id, id * 1.0 FROM range(0, 300, 1, 3)")
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try spark.sql("DELETE FROM testcat.db.meta WHERE id % 3 = 0")
+    finally spark.conf.unset("spark.hadro.delete.mode")
+
+    val files = spark.sql("SELECT * FROM testcat.db.meta.files")
+    assert(files.columns.toSeq == Seq("file", "ordinal", "n_rows",
+      "n_tombstones", "n_dv_deletes", "n_bytes", "bucket", "delete_vector"))
+    val agg = spark.sql("""SELECT CAST(SUM(n_rows) AS BIGINT),
+      CAST(SUM(n_dv_deletes) AS BIGINT) FROM testcat.db.meta.files""").head
+    assert(agg.getLong(0) == 300L && agg.getLong(1) == 100L)
+    assert(files.count() == 3) // one segment per input partition
+
+    val hist = spark.sql(
+      "SELECT version, n_rows FROM testcat.db.meta.history ORDER BY version DESC")
+      .collect()
+    assert(hist.length >= 2)
+    assert(hist.head.getLong(1) == 200L, "current live rows after the dv delete")
+    assert(hist(1).getLong(1) == 300L, "pre-delete version shows all rows")
+
+    // a genuinely missing table still errors; metadata tables are read-only
+    intercept[Exception](spark.sql("SELECT * FROM testcat.db.nosuch.files").collect())
+    intercept[Exception](
+      spark.sql("INSERT INTO testcat.db.meta.files VALUES ('x',0,0,0,0,0,0,'y')"))
+    spark.sql("DROP TABLE testcat.db.meta")
+  }
+
   test("catalog tables and path API address the same collection") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
