@@ -138,6 +138,38 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** INCREMENTAL exact dedup: drop incoming-batch documents whose content
+    * already exists in a previously-ingested corpus (then self-dedup the
+    * survivors). This is the recurring-crawl shape — yesterday's 100 TB
+    * corpus is fixed, today's multi-TB batch must be admitted
+    * duplicate-free — where re-running a full-corpus [[exactDedup]] per
+    * batch would be O(corpus) every day instead of O(batch).
+    *
+    * Scale shape: both sides reduce to 32-byte sha2 content hashes before
+    * any shuffle, so the anti-join moves hashes, not documents; the corpus
+    * side prunes to distinct hashes (one shuffle that at 100 TB is the
+    * hash set, ~3 orders smaller than the text). Spark's runtime bloom
+    * filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`) then
+    * prunes the probe side of the anti-join before the shuffle — the
+    * classic broadcast-bloom prefilter without hand-building one. The
+    * survivors' within-batch self-dedup keeps the earliest id, same rule
+    * as [[exactDedup]].
+    *
+    * Returns the admitted batch rows: (id, n_batch_copies), one row per
+    * distinct admitted content, id = smallest batch id carrying it.
+    * Mirrors the reference's content-addressed put-if-absent semantics
+    * (`hadro/engine.py:74-88` single-copy keys) at corpus scale. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val h = sha2(col(textCol), 256)
+    val corpusHashes = corpus.select(h.as("content_hash")).distinct()
+    batch.select(col(idCol), h.as("content_hash"))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch_copies"))
+      .drop("content_hash")
+  }
+
   /** FUZZY decontamination: training-corpus documents that are NEAR
     * duplicates (shingle Jaccard >= `threshold`) of any evaluation/
     * benchmark document — the recall-hardened complement of the exact

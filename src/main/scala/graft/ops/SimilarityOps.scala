@@ -632,6 +632,30 @@ object SimilarityOps {
       .transform(c => bruteForceTopK(c, idCol, vecCol, query, k))
   }
 
+  /** MATRYOSHKA two-stage search (Kusupati et al. 2022): embeddings whose
+    * training nests coarse representations in their PREFIX let stage 1
+    * rank on just the first `coarseDims` components — `coarseDims/dim` of
+    * the flops and (with the prefix stored as its own column/index) of
+    * the bytes — and stage 2 re-score only the `candidates` pool with
+    * full-dimension exact cosine. Same two-stage cost law as
+    * [[rerankTopK]] but the compression axis is DIMENSIONS, not bits per
+    * component, so no codebook/params sidecar is needed at all: the
+    * "index" is a slice. Both stages are map-only TakeOrderedAndProject
+    * heaps; the re-rank pool joins back by broadcast. */
+  def matryoshkaTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, coarseDims: Int = 16,
+      candidates: Int = 100): DataFrame = {
+    val qCoarse = typedlit(query.take(coarseDims))
+    val pool = df
+      .select(col(idCol),
+        cosine(slice(col(vecCol), 1, coarseDims), qCoarse).as("ccos"))
+      .orderBy(col("ccos").desc, col(idCol))
+      .limit(candidates)
+      .select(col(idCol))
+    df.join(broadcast(pool), Seq(idCol), "left_semi")
+      .transform(c => bruteForceTopK(c, idCol, vecCol, query, k))
+  }
+
   /** BATCH two-stage re-ranking: a whole DataFrame of queries through the
     * sq8-coarse → exact-re-rank pipeline in ONE plan (a query batch is
     * data, not a driver loop — the s07 principle applied to the rerank

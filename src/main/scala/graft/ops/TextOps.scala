@@ -336,6 +336,35 @@ object TextOps {
         alphaFrac > 0.8 && nStop >= 2).as("keep"))
   }
 
+  /** C4-style structural cleaning (Raffel et al. 2020 §2.2, the "colossal
+    * clean crawled corpus" rules) as one narrow map-only pass: per document,
+    * count the lines that SURVIVE the line rules (ends in a terminal
+    * punctuation mark; at least `minLineWords` whitespace words) and apply
+    * the document rules (no "lorem ipsum", no '{' — the code heuristic —
+    * and at least `minKeptLines` surviving lines). Emits the counts plus
+    * the per-rule booleans so a pipeline can route rejects by reason; the
+    * span-level dedup C4 pairs with this is [[DedupOps]] d13. Everything is
+    * built-in higher-order functions over one `split` — codegen'd, no
+    * shuffle, no UDF — so at 100 TB this is a pure scan-side filter. */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val keptLines = filter(lines, l =>
+      substring(trim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(trim(l), "\\s+")) >= minLineWords)
+    val nLines = size(lines)
+    val nKept = size(keptLines)
+    val hasLorem = lower(t).contains("lorem ipsum")
+    val hasBrace = t.contains("{")
+    df.select(col(idCol),
+      nLines.as("n_lines"),
+      nKept.as("n_kept_lines"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (!hasLorem && !hasBrace && nKept >= minKeptLines).as("keep"))
+  }
+
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks).cast("double")

@@ -895,6 +895,35 @@ object OpsQueries {
           FROM scored)
         WHERE rk <= 5 ORDER BY qid, rk""")),
 
+    // ---------------------------------------------------------------- s16
+    // MATRYOSHKA two-stage search: coarse rank on the first 16 of 64
+    // dimensions (quarter the flops/bytes; with the prefix stored as its
+    // own column this is the dimension-truncation index), exact re-rank
+    // of the top-100 pool at full dimension. The oracle reproduces both
+    // stages with DuckDB list slicing — cutoff ties and all.
+    QueryDef(
+      "s16_matryoshka_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        SimilarityOps.matryoshkaTopK(e, "vec_id", "embedding", q, 20,
+            coarseDims = 16, candidates = 100)
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pool AS (
+          SELECT e.vec_id, e.v FROM e, q
+          ORDER BY list_cosine_similarity(e.v[1:16], q.v[1:16]) DESC, e.vec_id
+          LIMIT 100)
+        SELECT p.vec_id,
+          ROUND(list_cosine_similarity(p.v, q.v), 4) AS cosine
+        FROM pool p, q
+        ORDER BY list_cosine_similarity(p.v, q.v) DESC, p.vec_id
+        LIMIT 20""")),
+
     // ---------------------------------------------------------------- t16
     // Gopher duplicate-5-gram character fraction: per document, the share
     // of characters attributable to word 5-grams occurring >= 2 times in
@@ -927,6 +956,34 @@ object OpsQueries {
             AS dup_frac
         FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
         ORDER BY dup_frac DESC, t.doc_id LIMIT 20""")),
+
+    // ---------------------------------------------------------------- t17
+    // C4 structural rules: per-line terminal-punctuation + min-word
+    // survival counts and the document-level lorem-ipsum / brace / min-
+    // kept-lines gates — the companion to t15's Gopher rules; map-only
+    // higher-order functions, no shuffle.
+    QueryDef(
+      "t17_c4_rules",
+      (s, dir) => {
+        TextOps.c4Rules(table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH l AS (
+          SELECT doc_id, string_split(text, chr(10)) AS lines,
+            lower(text) LIKE '%lorem ipsum%' AS has_lorem,
+            text LIKE '%{%' AS has_brace
+          FROM documents),
+        m AS (
+          SELECT doc_id, len(lines) AS n_lines,
+            len(list_filter(lines, x ->
+              right(trim(x), 1) IN ('.', '!', '?', '"')
+              AND len(regexp_split_to_array(trim(x), '\s+')) >= 3)) AS n_kept,
+            has_lorem, has_brace
+          FROM l)
+        SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+          CAST(n_kept AS INT) AS n_kept_lines, has_lorem, has_brace,
+          (NOT has_lorem AND NOT has_brace AND n_kept >= 3) AS keep
+        FROM m ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- d16
     // TARGET-MIXTURE resampling: keep the LARGEST deterministic subsample
@@ -968,6 +1025,42 @@ object OpsQueries {
         FROM documents d JOIN bounds b ON d.source = b.source
         WHERE substring(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < b.bound
         ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- d17
+    // INCREMENTAL dedup: admit an incoming crawl batch against an already-
+    // ingested corpus — batch docs whose content (by sha2 hash) exists in
+    // the corpus are rejected, survivors are self-deduped keeping the
+    // earliest id. Both sides shuffle 32-byte hashes, never text; Spark's
+    // runtime bloom filter prunes the anti-join probe side. The planted
+    // re-crawls (%15==1 corpus copies) must drop; the planted batch-
+    // internal copies (%30==0, +2e6 ids) must collapse to n_copies 2.
+    QueryDef(
+      "d17_incremental_dedup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val corpus = d.filter(col("doc_id") % 3 =!= 0)
+        val batch = d.filter(col("doc_id") % 3 === 0)
+          .unionByName(d.filter(col("doc_id") % 15 === 1)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+          .unionByName(d.filter(col("doc_id") % 30 === 0)
+            .withColumn("doc_id", col("doc_id") + 2000000L))
+        DedupOps.incrementalDedup(corpus, batch, "doc_id", "text")
+          .orderBy("keep_id")
+      },
+      Some("""WITH corpus AS (
+          SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 15 = 1
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 30 = 0)
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+        FROM batch
+        WHERE sha256(text) NOT IN (SELECT h FROM corpus)
+        GROUP BY sha256(text)
+        ORDER BY keep_id""")),
 
     // ---------------------------------------------------------------- m04
     // Cross-modal join: text rows joined to their embedding rows, emitting

@@ -30,6 +30,38 @@ class OpsSpec extends SparkSuite {
     assert(out.agg(max($"keep_id")).head().getLong(0) < 5000L) // min id kept
   }
 
+  test("incremental dedup rejects corpus re-crawls and self-dedups the batch") {
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+    // batch = fresh docs + re-crawled corpus copies + one internal dup pair
+    val batch = fresh
+      .unionByName(corpus.limit(5).withColumn("doc_id", $"doc_id" + 1000000L))
+      .unionByName(fresh.limit(3).withColumn("doc_id", $"doc_id" + 2000000L))
+    val out = DedupOps.incrementalDedup(corpus, batch, "doc_id", "text")
+    val kept = out.select($"keep_id").as[Long].collect().toSet
+    // no re-crawl admitted, every admitted id is the batch-minimal one
+    assert(kept.forall(_ < 1000000L))
+    assert(out.count() == fresh.count()) // each fresh text admitted once
+    // the three internal dups collapsed onto their originals with count 2
+    val doubled = out.filter($"n_batch_copies" === 2).count()
+    assert(doubled == 3)
+  }
+
+  test("C4 rules count surviving lines and gate documents by reason") {
+    val rows = Seq(
+      (1L, "This is a good sentence.\nAnother fine long line!\nIs this kept too?\nshort."),
+      (2L, "Lorem Ipsum dolor sit amet.\nA perfectly good line.\nAnother good line here.\nThird good line here."),
+      (3L, "function f() { return 1; }\nA good line is here.\nAnother good line here.\nThird good line here."),
+      (4L, "no terminal punctuation at all\nterminates here.")
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Rules(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) == 3 && out(1L).getBoolean(5)) // "short." < 3 words
+    assert(out(2L).getBoolean(3) && !out(2L).getBoolean(5)) // lorem ipsum gate
+    assert(out(3L).getBoolean(4) && !out(3L).getBoolean(5)) // brace/code gate
+    assert(out(4L).getInt(2) == 0 && !out(4L).getBoolean(5)) // too few kept lines
+  }
+
   test("minhash-LSH recalls every planted near-dup pair") {
     val pairs = DedupOps.minhashLshPairs(planted, "doc_id", "text")
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
@@ -551,6 +583,22 @@ class OpsSpec extends SparkSuite {
     assert(trained > 0.0, "trained PQ recall must be nonzero")
     assert(trained >= seed,
       s"one Lloyd pass must not lose recall: trained $trained < seed $seed")
+  }
+
+  test("matryoshka search is exact at full dims and recalls well truncated") {
+    val q = embs.filter($"vec_id" === 7L).select($"embedding").head().getSeq[Float](0)
+    val exact = SimilarityOps.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+    // degenerate truncation (all dims, pool = corpus) must equal brute force
+    val dims = q.length
+    val full = SimilarityOps.matryoshkaTopK(embs, "vec_id", "embedding", q, 10,
+      coarseDims = dims, candidates = embs.count().toInt)
+    assert(full.collect().toSeq == exact.collect().toSeq)
+    // quarter-dims coarse stage with a 100-pool must keep recall@10 high
+    val trunc = SimilarityOps.matryoshkaTopK(embs, "vec_id", "embedding", q, 10,
+      coarseDims = dims / 4, candidates = 100)
+    val r = SimilarityOps.recallAtK(exact, Seq("mrl" -> trunc), "vec_id", 10)
+      .select($"recall").head().getDouble(0)
+    assert(r >= 0.5, s"matryoshka recall@10 $r < 0.5")
   }
 
   test("LM quality scores are positive, total, and partition-independent") {
