@@ -138,6 +138,32 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** Near-dup cluster CANONICALIZATION: group near-duplicates (n-gram
+    * Jaccard pairs → connected components) and keep exactly one
+    * representative per cluster — the LONGEST text, ties to the smallest
+    * id. "Keep the best copy, drop the rest" is the step real cleaning
+    * pipelines run after pair detection: pairwise drop rules (like
+    * [[semanticDedup]]'s keep-earliest) can drop every member of a
+    * transitive chain, while a per-cluster argmax provably keeps one.
+    *
+    * Returns one row per cluster: (cluster, keep_id, n_members). Scale
+    * shape: pairs and components are the existing bounded machinery; the
+    * argmax is one window over |clustered docs| — near-dup density, not
+    * corpus size. Docs in no cluster need no row (nothing to drop). */
+  def clusterKeepBest(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol,
+      shingleK = shingleK, threshold = threshold)
+    val cc = ClusterOps.connectedComponents(pairs, "doc_a", "doc_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      .orderBy(length(col(textCol)).desc, col(idCol))
+    cc.join(df, cc("node") === df(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(min(when(col("__rk") === 1, col(idCol))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** INCREMENTAL exact dedup: drop incoming-batch documents whose content
     * already exists in a previously-ingested corpus (then self-dedup the
     * survivors). This is the recurring-crawl shape — yesterday's 100 TB

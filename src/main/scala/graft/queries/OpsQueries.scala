@@ -1026,6 +1026,80 @@ object OpsQueries {
         WHERE substring(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < b.bound
         ORDER BY d.doc_id""")),
 
+    // ---------------------------------------------------------------- d18
+    // Cluster CANONICALIZATION: d07's planted near-dup clusters reduced to
+    // one kept representative each — longest text, ties to smallest id —
+    // with member counts. The oracle re-derives the exact components
+    // (d07's recursive CTE) and applies the same argmax.
+    QueryDef(
+      "d18_cluster_keep_best",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        def plant(shift: Long, suffix: String) =
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + shift)
+            .withColumn("text", concat(col("text"), lit(suffix)))
+        val corpus = d
+          .unionByName(plant(1000000L, " extraplantedtoken"))
+          .unionByName(plant(2000000L, " extraplantedtoken extrachained"))
+        DedupOps.clusterKeepBest(corpus, "doc_id", "text")
+          .orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' extraplantedtoken extrachained'
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 100),
+        post AS (SELECT i.doc_id, i.shingle FROM inv i JOIN rare r USING (shingle)),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM post a JOIN post b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN sets sa ON sa.doc_id = cand.doc_a
+          JOIN sets sb ON sb.doc_id = cand.doc_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= 0.6
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        comp AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        ranked AS (
+          SELECT c.cluster, c.doc_id,
+            ROW_NUMBER() OVER (PARTITION BY c.cluster
+              ORDER BY length(d.text) DESC, c.doc_id) AS rk
+          FROM comp c JOIN docs d USING (doc_id))
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM ranked GROUP BY cluster ORDER BY cluster""")),
+
     // ---------------------------------------------------------------- d17
     // INCREMENTAL dedup: admit an incoming crawl batch against an already-
     // ingested corpus — batch docs whose content (by sha2 hash) exists in

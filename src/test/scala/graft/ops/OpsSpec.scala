@@ -47,6 +47,19 @@ class OpsSpec extends SparkSuite {
     assert(doubled == 3)
   }
 
+  test("cluster keep-best keeps the longest member once per chain") {
+    val base = "many distinct words compose this long synthetic sentence for shingle tests"
+    val rows = Seq(
+      (1L, base), (2L, base + " extra"), (3L, base + " extra more"),
+      (10L, "a completely different unrelated text about nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.clusterKeepBest(rows, "doc_id", "text").collect()
+    assert(out.length == 1) // one chain; the unrelated doc has no cluster row
+    val r = out.head
+    assert(r.getLong(1) == 3L, "longest member must be kept")
+    assert(r.getLong(2) == 3L, "all three chain members counted")
+  }
+
   test("C4 rules count surviving lines and gate documents by reason") {
     val rows = Seq(
       (1L, "This is a good sentence.\nAnother fine long line!\nIs this kept too?\nshort."),
