@@ -632,6 +632,56 @@ object SimilarityOps {
       .transform(c => bruteForceTopK(c, idCol, vecCol, query, k))
   }
 
+  /** Maximal-marginal-relevance DIVERSIFIED top-k (Carbonell & Goldstein
+    * 1998): greedily select k results maximizing
+    * `lambda * rel(c) - (1-lambda) * max_{s in selected} sim(c, s)` —
+    * relevant results that are not near-copies of ones already chosen,
+    * the re-rank retrieval pipelines run so a near-dup cluster can't
+    * monopolize the context window.
+    *
+    * Scale split: relevance ranking and all candidate-pair similarities
+    * are DISTRIBUTED (one corpus top-`candidates` heap + one broadcast
+    * self-join of the pool — O(candidates²) pairs, corpus-size-
+    * independent); only the greedy selection itself runs on the driver
+    * over those precollected doubles, because each pick depends on the
+    * previous one — a k-step sequential recurrence over ≤ `candidates`
+    * scores, not data work. Both engines then see the identical double
+    * values, so the oracle's recursive-CTE greedy agrees exactly.
+    * Returns (rk, id) with rk = 1..k in selection order. */
+  def mmrTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, lambda: Double = 0.7,
+      candidates: Int = 30): DataFrame = {
+    val spark = df.sparkSession
+    val pool = bruteForceTopK(df, idCol, vecCol, query, candidates)
+    val rels: Map[Long, Double] = pool.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = df
+      .join(broadcast(pool.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol), col(vecCol))
+    val sims: Map[(Long, Long), Double] = vecs
+      .select(col(idCol).as("ia"), col(vecCol).as("va"))
+      .crossJoin(broadcast(vecs.select(col(idCol).as("ib"), col(vecCol).as("vb"))))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def sim(x: Long, y: Long): Double = if (x < y) sims((x, y)) else sims((y, x))
+    val mu = 1 - lambda
+    val ids = rels.keys.toSeq
+    var selected = Vector.empty[Long]
+    while (selected.size < math.min(k, ids.size)) {
+      val remaining = ids.filterNot(selected.contains)
+      val next =
+        if (selected.isEmpty) remaining.minBy(id => (-rels(id), id))
+        else remaining.minBy { id =>
+          (-(lambda * rels(id) - mu * selected.map(sim(id, _)).max), id)
+        }
+      selected :+= next
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case (id, i) => (i + 1, id) }
+      .toDF("rk", idCol)
+  }
+
   /** MATRYOSHKA two-stage search (Kusupati et al. 2022): embeddings whose
     * training nests coarse representations in their PREFIX let stage 1
     * rank on just the first `coarseDims` components — `coarseDims/dim` of

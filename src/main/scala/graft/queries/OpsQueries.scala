@@ -924,6 +924,44 @@ object OpsQueries {
         ORDER BY list_cosine_similarity(p.v, q.v) DESC, p.vec_id
         LIMIT 20""")),
 
+    // ---------------------------------------------------------------- s17
+    // MMR diversified top-10 from an exact top-30 pool (lambda = 0.7).
+    // Distributed relevance + pool pair-sims; k-step greedy recurrence on
+    // the driver over the collected doubles. The oracle replays the exact
+    // greedy with a recursive CTE — argmax per step, ties to smaller id —
+    // over the same double-precision cosines, so ranks match exactly.
+    QueryDef(
+      "s17_mmr_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        SimilarityOps.mmrTopK(e, "vec_id", "embedding", q, 10,
+            lambda = 0.7, candidates = 30)
+          .orderBy("rk")
+      },
+      Some("""WITH RECURSIVE
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id, v, rel FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) AS rel
+            FROM embeddings e, q
+            ORDER BY rel DESC, e.vec_id LIMIT 30)),
+        sel(step, ids) AS (
+          SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)]
+          UNION ALL
+          SELECT s.step + 1, list_append(s.ids, (
+              SELECT c.vec_id FROM cand c WHERE NOT list_contains(s.ids, c.vec_id)
+              ORDER BY 0.7 * c.rel - (1 - 0.7) * (
+                  SELECT MAX(list_cosine_similarity(c.v, c2.v)) FROM cand c2
+                  WHERE list_contains(s.ids, c2.vec_id)) DESC, c.vec_id
+              LIMIT 1))
+          FROM sel s WHERE s.step < 10)
+        SELECT CAST(unnest(generate_series(1, len(ids))) AS INT) AS rk,
+          CAST(unnest(ids) AS BIGINT) AS vec_id
+        FROM sel WHERE step = 10 ORDER BY rk""")),
+
     // ---------------------------------------------------------------- t16
     // Gopher duplicate-5-gram character fraction: per document, the share
     // of characters attributable to word 5-grams occurring >= 2 times in

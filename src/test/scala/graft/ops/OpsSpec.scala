@@ -614,6 +614,26 @@ class OpsSpec extends SparkSuite {
     assert(r >= 0.5, s"matryoshka recall@10 $r < 0.5")
   }
 
+  test("MMR degenerates to relevance order at lambda=1 and diversifies below") {
+    val q = embs.filter($"vec_id" === 3L).select($"embedding").head().getSeq[Float](0)
+    val rel = SimilarityOps.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .select($"vec_id").as[Long].collect().toSeq
+    val mmr1 = SimilarityOps.mmrTopK(embs, "vec_id", "embedding", q, 10,
+        lambda = 1.0, candidates = 30)
+      .orderBy($"rk").select($"vec_id").as[Long].collect().toSeq
+    assert(mmr1 == rel, "lambda=1 must reduce to pure relevance ranking")
+    // a planted near-copy of the top hit must be demoted once diversity counts
+    val top = rel.head
+    val topVec = embs.filter($"vec_id" === top).select($"embedding").head().getSeq[Float](0)
+    val planted = embs.select($"vec_id", $"embedding").unionByName(
+      Seq((999999L, topVec)).toDF("vec_id", "embedding"))
+    val div = SimilarityOps.mmrTopK(planted, "vec_id", "embedding", q, 5,
+        lambda = 0.5, candidates = 30)
+      .orderBy($"rk").select($"vec_id").as[Long].collect().toSeq
+    assert(div.head == top)
+    assert(div(1) != 999999L, "exact copy of rank-1 must not take rank 2 under MMR")
+  }
+
   test("LM quality scores are positive, total, and partition-independent") {
     val scores = TextOps.lmNllScores(docs, "doc_id", "text")
       .as[(Long, Double)].collect().toMap
