@@ -701,6 +701,77 @@ final class Collection private (spark: SparkSession, val path: String) {
   def expireSnapshots(olderThanMs: Long): Int =
     CollectionMeta.expireManifestsOlderThan(dir, olderThanMs)
 
+  /** ANALYZE TABLE analog: compute table-level per-column statistics over
+    * the RESOLVED data (what queries see) in ONE distributed aggregation
+    * pass — distinct count (HLL-approximate by default, `exact = true` for
+    * a full count-distinct shuffle), null count, avg/max string length,
+    * and numeric min/max — and publish them on the manifest, where the
+    * scan's `SupportsReportStatistics.columnStats` hands them to Spark's
+    * cost-based optimizer (join reordering, broadcast decisions, filter
+    * selectivity). At 100 TB the approximate pass is one scan + one
+    * HLL-sketch merge per column; stats then amortize over every query
+    * until the next analyze. Returns field-ordered (column, stats). */
+  def analyze(exact: Boolean = false): Seq[(String, graft.meta.ColumnStatMeta)] = {
+    import org.apache.spark.sql.types._
+    val logical = CollectionMeta.logicalSchema(CollectionMeta.readSchema(dir).get.schema)
+    val m0 = manifest
+    val df = toDF()
+    def n(field: String, what: String) = s"${field}__$what"
+    val aggs = logical.fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        (if (exact) count_distinct(c) else approx_count_distinct(c))
+          .as(n(f.name, "ndv")),
+        org.apache.spark.sql.functions.count(when(c.isNull, lit(1)))
+          .as(n(f.name, "nulls")))
+      val len = f.dataType match {
+        case StringType => Seq(
+          avg(length(c)).as(n(f.name, "avglen")),
+          max(length(c)).as(n(f.name, "maxlen")))
+        case BinaryType => Seq(
+          avg(octet_length(c)).as(n(f.name, "avglen")),
+          max(octet_length(c)).as(n(f.name, "maxlen")))
+        case _ => Nil
+      }
+      val rng = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Seq(
+          min(c).cast(LongType).as(n(f.name, "minl")),
+          max(c).cast(LongType).as(n(f.name, "maxl")))
+        case FloatType | DoubleType => Seq(
+          min(c).cast(DoubleType).as(n(f.name, "mind")),
+          max(c).cast(DoubleType).as(n(f.name, "maxd")))
+        case _ => Nil
+      }
+      base ++ len ++ rng
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def g[T](field: String, what: String): Option[T] = {
+      val name = n(field, what)
+      if (!row.schema.fieldNames.contains(name)) None
+      else {
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) None else Some(row.get(i).asInstanceOf[T])
+      }
+    }
+    val stats = logical.fields.toSeq.map { f =>
+      val default = f.dataType.defaultSize.toLong
+      f.name -> graft.meta.ColumnStatMeta(
+        distinctCount = g[Long](f.name, "ndv").getOrElse(0L),
+        nullCount = g[Long](f.name, "nulls").getOrElse(0L),
+        avgLen = g[java.lang.Number](f.name, "avglen")
+          .map(d => math.max(1L, math.round(d.doubleValue()))).getOrElse(default),
+        maxLen = g[java.lang.Number](f.name, "maxlen")
+          .map(_.longValue()).getOrElse(default),
+        minLong = g[Long](f.name, "minl"),
+        maxLong = g[Long](f.name, "maxl"),
+        minDouble = g[Double](f.name, "mind"),
+        maxDouble = g[Double](f.name, "maxd"))
+    }
+    CollectionMeta.commit(dir, cur =>
+      cur.copy(colStats = stats.toMap, analyzedVersion = m0.version))
+    stats
+  }
+
   /** Z-order the collection: rewrite resolved rows range-clustered on the
     * Morton-interleaved key of `cols` (1-4 numeric columns), so every
     * clustered column gets narrow per-segment min/max and manifest stats

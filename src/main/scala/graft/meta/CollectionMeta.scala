@@ -12,6 +12,26 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * segment skipping at scan planning time. */
 final case class ColumnStats(min: Option[String], max: Option[String], nullCount: Long)
 
+/** Table-level per-column statistics computed by `CALL system.analyze`
+  * (ANALYZE TABLE analog) and reported to Spark's cost-based optimizer via
+  * the scan's `SupportsReportStatistics.columnStats`. `distinctCount` is
+  * HLL-approximate by default (one mergeable pass at 100 TB) or exact on
+  * request. min/max carry only for types whose EXTERNAL and Catalyst
+  * representations coincide (integral/floating boxed primitives) — the
+  * optimizer consumes them raw. avgLen/maxLen are byte/char lengths for
+  * string columns, fixed defaultSize otherwise. Stats describe the version
+  * analyzed (`Manifest.analyzedVersion`) and go stale like every engine's
+  * ANALYZE output; re-run after bulk mutation. */
+final case class ColumnStatMeta(
+    distinctCount: Long,
+    nullCount: Long,
+    avgLen: Long,
+    maxLen: Long,
+    minLong: Option[Long] = None,
+    maxLong: Option[Long] = None,
+    minDouble: Option[Double] = None,
+    maxDouble: Option[Double] = None)
+
 /** A record-aligned resume point inside a segment: byte `offset` where a
   * record starts, and the in-segment `row` index of that record. Writers
   * emit one roughly every `hadro.splitBytes`; readers turn each inter-point
@@ -88,7 +108,13 @@ final case class Manifest(
     // .commit]]. Powers SQL `TIMESTAMP AS OF` time travel: the version read
     // is the newest one committed at or before the requested instant.
     // 0 = legacy manifest written before timestamps existed.
-    committedAtMs: Long = 0L) {
+    committedAtMs: Long = 0L,
+    // ANALYZE output: table-level column statistics for the CBO, carried
+    // forward by every commit until the next `CALL system.analyze`
+    // overwrites them. `analyzedVersion` records the version they
+    // describe (-1 = never analyzed) so readers can judge staleness.
+    colStats: Map[String, ColumnStatMeta] = Map.empty,
+    analyzedVersion: Long = -1L) {
   def nextOrdinal: Long = if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1
 }
 

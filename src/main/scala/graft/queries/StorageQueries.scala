@@ -1482,6 +1482,49 @@ object StorageQueries {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS physical_rows,
           CAST(COUNT(*) FILTER (WHERE s_suppkey % 5 = 0) AS BIGINT) AS vectored,
           CAST(0 AS BIGINT) AS tombstoned
-        FROM supplier"""))
+        FROM supplier""")),
+
+    // ---------------------------------------------------------------- h54
+    // ANALYZE TABLE: `CALL system.analyze` computes table-level column
+    // statistics in one distributed pass (exact ndv here so the oracle
+    // binds; HLL-approximate is the default 100 TB path) and publishes
+    // them on the manifest, where the scan's SupportsReportStatistics
+    // .columnStats hands them to the cost-based optimizer — StatsSpec
+    // asserts the optimizer-visible side; the procedure's own output is
+    // the oracle-checked surface here.
+    QueryDef(
+      "h54_analyze_stats",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h54"
+        s.conf.set("spark.sql.catalog.graft_h54", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h54.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h54.db")
+        s.sql("DROP TABLE IF EXISTS graft_h54.db.suppliers")
+        s.sql("""CREATE TABLE graft_h54.db.suppliers
+          (s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE)
+          USING hadro""")
+        QueryDef.table(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .createOrReplaceTempView("h54_src")
+        s.sql("INSERT INTO graft_h54.db.suppliers SELECT * FROM h54_src")
+        s.sql("CALL graft_h54.system.analyze('db.suppliers', true)")
+          .select(col("column").as("col_name"), col("ndv"), col("null_count"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT 's_suppkey' AS col_name,
+            CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS ndv,
+            CAST(COUNT(*) - COUNT(s_suppkey) AS BIGINT) AS null_count
+          FROM supplier
+        UNION ALL
+        SELECT 's_name', COUNT(DISTINCT s_name),
+            COUNT(*) - COUNT(s_name) FROM supplier
+        UNION ALL
+        SELECT 's_nationkey', COUNT(DISTINCT s_nationkey),
+            COUNT(*) - COUNT(s_nationkey) FROM supplier
+        UNION ALL
+        SELECT 's_acctbal', COUNT(DISTINCT s_acctbal),
+            COUNT(*) - COUNT(s_acctbal) FROM supplier
+        ORDER BY col_name"""))
   )
 }

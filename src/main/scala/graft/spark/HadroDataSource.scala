@@ -776,9 +776,52 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, pushed, storedSchema))
     val bytes = kept.map(_.bytes).sum
     val rows = kept.map(s => s.rows - s.tombstones - s.dvDeletes).sum
+    // ANALYZE output (CALL system.analyze): table-level column stats for
+    // the CBO. Spark's transformV2Stats keys them by NamedReference
+    // .describe() == attribute name and feeds join reordering / broadcast
+    // / selectivity estimation. min/max are boxed back to each column's
+    // EXTERNAL primitive so the catalyst ColumnStat sees its own type.
+    val colStats: JMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      manifest.colStats.foreach { case (name, cs) =>
+        dataSchema.fields.find(_.name == name).foreach { f =>
+          def box(l: Option[Long], d: Option[Double]): java.util.Optional[Object] =
+            (f.dataType match {
+              case ByteType => l.map(v => Byte.box(v.toByte))
+              case ShortType => l.map(v => Short.box(v.toShort))
+              case IntegerType => l.map(v => Int.box(v.toInt))
+              case LongType => l.map(Long.box)
+              case FloatType => d.map(v => Float.box(v.toFloat))
+              case DoubleType => d.map(Double.box)
+              case _ => None
+            }).map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+          m.put(Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(cs.distinctCount)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(cs.nullCount)
+              override def avgLen(): java.util.OptionalLong =
+                java.util.OptionalLong.of(cs.avgLen)
+              override def maxLen(): java.util.OptionalLong =
+                java.util.OptionalLong.of(cs.maxLen)
+              override def min(): java.util.Optional[Object] =
+                box(cs.minLong, cs.minDouble)
+              override def max(): java.util.Optional[Object] =
+                box(cs.maxLong, cs.maxDouble)
+            })
+        }
+      }
+      m
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): JMap[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 }

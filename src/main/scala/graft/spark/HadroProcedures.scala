@@ -37,7 +37,7 @@ object HadroProcedures {
 
   val names: Seq[String] =
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
-      "rollback", "expire_snapshots", "clone")
+      "rollback", "expire_snapshots", "clone", "analyze")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -118,6 +118,19 @@ object HadroProcedures {
           .add("current_version", LongType)) { in =>
           val c = coll(in)
           Seq(InternalRow(c.expireSnapshots(in.getLong(1)), c.version))
+        }
+      case "analyze" => proc("analyze",
+        "compute table-level column statistics (ANALYZE TABLE analog) and " +
+          "publish them to the cost-based optimizer via the scan's " +
+          "reported statistics; exact=false uses one HLL pass",
+        Seq(p("table", StringType), p("exact", BooleanType)),
+        new StructType().add("column", StringType).add("ndv", LongType)
+          .add("null_count", LongType).add("avg_len", LongType)
+          .add("max_len", LongType)) { in =>
+          coll(in).analyze(exact = in.getBoolean(1)).map { case (name, cs) =>
+            InternalRow(UTF8String.fromString(name), cs.distinctCount,
+              cs.nullCount, cs.avgLen, cs.maxLen)
+          }
         }
       case "history" => proc("history",
         "commit audit over the retained manifest versions, newest first " +

@@ -38,6 +38,58 @@ class StatsSpec extends SparkSuite {
     assert(some.numRows().getAsLong < all.numRows().getAsLong)
   }
 
+  test("analyze publishes column stats the optimizer can see") {
+    val path = tmp("analyze")
+    val src = spark.read.parquet(s"$sf0001/supplier.parquet")
+    Collection.create(spark, path, src)
+    val c = Collection(spark, path)
+    val stats = c.analyze(exact = true).toMap
+    // exact ndv/nulls/minmax for a key column match the data
+    val key = stats("s_suppkey")
+    assert(key.distinctCount == src.count())
+    assert(key.nullCount == 0L)
+    assert(key.minLong.contains(
+      src.agg(min($"s_suppkey")).head().getLong(0)))
+    assert(key.maxLong.contains(
+      src.agg(max($"s_suppkey")).head().getLong(0)))
+    val name = stats("s_name")
+    assert(name.maxLen >= name.avgLen && name.avgLen > 0)
+    // the scan reports them as V2 column statistics...
+    val b = new HadroScanBuilder(Paths.get(path),
+      spark.read.format("hadro").load(path).schema)
+    val v2 = b.build().asInstanceOf[HadroScan].estimateStatistics()
+    assert(!v2.columnStats().isEmpty)
+    val ks = v2.columnStats().entrySet().iterator()
+    var sawKey = false
+    while (ks.hasNext) {
+      val e = ks.next()
+      if (e.getKey.describe() == "s_suppkey") {
+        sawKey = true
+        assert(e.getValue.distinctCount().getAsLong == src.count())
+        assert(e.getValue.min().isPresent && e.getValue.max().isPresent)
+      }
+    }
+    assert(sawKey)
+    // ...and the optimizer's scan relation carries per-attribute stats
+    // (leaf node: non-leaf propagation needs CBO, asserted next)
+    val leaf = spark.read.format("hadro").load(path)
+      .filter($"s_suppkey" > -1).queryExecution.optimizedPlan.collectLeaves().head
+    val attrStats = leaf.stats.attributeStats
+    assert(attrStats.nonEmpty, "optimizer saw no attribute stats")
+    val a = attrStats.find(_._1.name == "s_suppkey").map(_._2)
+    assert(a.exists(_.distinctCount.exists(_.toLong == src.count())))
+    // with CBO on, a filter's row estimate uses the published ndv/min/max
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val filtered = spark.read.format("hadro").load(path)
+        .filter($"s_suppkey" > -1).queryExecution.optimizedPlan
+      val top = filtered.stats
+      assert(top.attributeStats.nonEmpty,
+        "CBO did not propagate attribute stats through the filter")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("small hadro dimension is broadcast without a hint") {
     val path = tmp("bcast")
     val dim = spark.read.parquet(s"$sf0001/nation.parquet")
