@@ -1525,6 +1525,28 @@ object StorageQueries {
         UNION ALL
         SELECT 's_acctbal', COUNT(DISTINCT s_acctbal),
             COUNT(*) - COUNT(s_acctbal) FROM supplier
-        ORDER BY col_name"""))
+        ORDER BY col_name""")),
+
+    // ---------------------------------------------------------------- h55
+    // OFFSET pushdown (pagination): on a range-clustered collection the
+    // scan's ordinal order IS the key order, so OFFSET m LIMIT n is the
+    // deterministic page [m, m+n) — fully pushed (Spark deletes its Offset
+    // operator; the scan plans past the skipped segments and the boundary
+    // reader drops the residual). OffsetPushdownSpec pins the plan shape
+    // and dv interaction; this binds the page content to a SQL oracle.
+    QueryDef(
+      "h55_offset_pushdown",
+      (s, dir) => {
+        val path = colPath(dir, "h55")
+        val src = QueryDef.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val c = graft.api.Collection.create(s, path, src, numSegments = 4)
+        c.cluster(Seq("o_orderkey"), numSegments = 8)
+        s.read.format("hadro").load(path)
+          .select(col("o_orderkey"))
+          .offset(500).limit(100)
+      },
+      Some("""SELECT o_orderkey FROM orders
+        ORDER BY o_orderkey LIMIT 100 OFFSET 500"""))
   )
 }

@@ -147,7 +147,8 @@ final class HadroTable(path: Path, dataSchema: StructType,
       options.getOrDefault("hadro.onTruncate", "fail"),
       options.getLong("hadro.maxOrdinalsPerTrigger", 0L),
       Option(options.get("hadro.files"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty),
+      Option(options.get("hadro.startingVersion")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -204,15 +205,34 @@ final class HadroTable(path: Path, dataSchema: StructType,
   * the WHOLE collection, not a file subset. */
 final class HadroScanBuilder(path: Path, dataSchema: StructType,
     versionAsOf: Option[Long] = None, onTruncate: String = "fail",
-    maxOrdinalsPerTrigger: Long = 0L, onlyFiles: Option[Set[String]] = None)
+    maxOrdinalsPerTrigger: Long = 0L, onlyFiles: Option[Set[String]] = None,
+    startingVersion: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, InternalRow)] = None
   private var limit: Option[Int] = None
   private var topN: Option[(String, Boolean, Int)] = None
+  private var offset: Option[Int] = None
+
+  // ------------------------------------------------------ offset pushdown
+  // `OFFSET m` (pagination / resumable bulk export): accepting is the
+  // FULLY-pushed contract — Spark deletes its Offset operator — so the
+  // scan itself must emit exactly (scan output minus its first m rows).
+  // Manifest live counts (rows - tombstones - dvDeletes) are exact, so
+  // whole leading segments are skipped at PLANNING (at 100 TB, OFFSET 1e9
+  // never opens the skipped terabytes) and the one boundary segment's
+  // reader drops the residual rows. Declined whenever anything above
+  // would re-shape the scan's output: pushed filters (residuals re-apply
+  // post-scan), top-N (the sort runs above), aggregate pushdown. A pushed
+  // LIMIT composes: the planned prefix covers limit + offset live rows.
+  override def pushOffset(m: Int): Boolean = {
+    if (m <= 0 || pushed.nonEmpty || topN.nonEmpty || aggResult.isDefined) false
+    else { offset = Some(m); true }
+  }
 
   // ------------------------------------------------------- limit pushdown
   // `LIMIT n` with no filters needs only enough SEGMENTS to cover n live
@@ -290,7 +310,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     case Some((aggSchema, row)) => new HadroLocalAggScan(path, aggSchema, row)
     case None =>
       new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
-        maxOrdinalsPerTrigger, limit, onlyFiles, topN)
+        maxOrdinalsPerTrigger, limit, onlyFiles, topN, offset, startingVersion)
   }
 }
 
@@ -420,7 +440,9 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushed: Array[Filter], versionAsOf: Option[Long] = None,
     onTruncate: String = "fail", maxOrdinalsPerTrigger: Long = 0L,
     pushedLimit: Option[Int] = None, onlyFiles: Option[Set[String]] = None,
-    pushedTopN: Option[(String, Boolean, Int)] = None)
+    pushedTopN: Option[(String, Boolean, Int)] = None,
+    pushedOffset: Option[Int] = None,
+    startingVersion: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -488,14 +510,15 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       "hadro: hadro.files is a batch-rewrite primitive, not a stream source option")
     validateAgainstStored()
     new HadroMicroBatchStream(path, storedSchema, required, onTruncate,
-      maxOrdinalsPerTrigger)
+      maxOrdinalsPerTrigger, startingVersion)
   }
   override def description(): String =
     s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]" +
       pushedLimit.map(n => s", PushedLimit: $n").getOrElse("") +
       pushedTopN.map { case (c, asc, n) =>
         s", PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $n"
-      }.getOrElse("")
+      }.getOrElse("") +
+      pushedOffset.map(m => s", PushedOffset: $m").getOrElse("")
 
   // Decode ALWAYS uses the stored on-disk schema; a user-supplied read
   // schema is only a projection request resolved by NAME. Types must agree
@@ -545,9 +568,12 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     // segment might be needed to fill the limit).
     val planned = (pushedLimit, filters.isEmpty) match {
       case (Some(n), true) =>
+        // a pushed offset consumes its own rows before the limit bites,
+        // so the planned prefix must cover limit + offset live rows
+        val cover = n.toLong + pushedOffset.getOrElse(0)
         var acc = 0L
         survivors.takeWhile { seg =>
-          val need = acc < n; acc += seg.rows - seg.tombstones - seg.dvDeletes; need
+          val need = acc < cover; acc += seg.rows - seg.tombstones - seg.dvDeletes; need
         }
       case (None, true) => topNPrune(manifest, survivors)
       case _ => survivors
@@ -636,6 +662,46 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     // filters are identical at report time and plan time, so they are
     // always safe to prune with.
     val (manifestStatic, plannedStatic) = (manifestSnapshot, staticPlanned)
+    // A pushed OFFSET owns exact row accounting over the planned prefix:
+    // runtime segment pruning and bucket-keyed reporting are both skipped
+    // (pruning would change which rows exist to skip; reported groups
+    // would not survive the dropped leading segments). Offset queries are
+    // pagination reads — neither optimization is load-bearing there.
+    pushedOffset.map(_.toLong).filter(_ > 0) match {
+      case Some(off) =>
+        metricSegmentsRead = 0L
+        metricSegmentsPruned = 0L
+        metricBytesPlanned = 0L
+        var remaining = off
+        val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+        // a changefeed (raw) scan EMITS tombstone records, so its
+        // emittable count per segment must include them — the reader's
+        // skip counts emitted rows, and both sides must agree exactly
+        val emitsTombstones = required.fieldNames.contains(HadroTable.DeletedCol)
+        plannedStatic.foreach { seg =>
+          val live = seg.rows - seg.dvDeletes -
+            (if (emitsTombstones) 0L else seg.tombstones)
+          if (remaining >= live) {
+            remaining -= live // wholly inside the offset: never opened
+            metricSegmentsPruned += 1
+          } else if (remaining > 0) {
+            // boundary segment: ONE unsplit partition whose reader drops
+            // the residual live rows before emitting
+            out += HadroInputPartition(path.resolve(seg.file).toString,
+              seg.ordinal, 0L, 0L, -1L, seg.nFields.getOrElse(-1),
+              seg.deleteVector, HadroInputPartition.typesOf(seg), remaining)
+            remaining = 0
+            metricSegmentsRead += 1
+            metricBytesPlanned += seg.bytes
+          } else {
+            out ++= HadroInputPartition.ranges(path, seg)
+            metricSegmentsRead += 1
+            metricBytesPlanned += seg.bytes
+          }
+        }
+        return out.toArray
+      case None => ()
+    }
     val bucketed = bucketedFor(manifestStatic, plannedStatic)
     val (manifest, planned) =
       if (bucketed.isDefined) (manifestStatic, plannedStatic)
@@ -709,6 +775,9 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     // matches the planned partitions (runtime filters never prune segments
     // on a reported-bucketed scan; see planInputPartitions).
     val (manifest, planned) = (manifestSnapshot, staticPlanned)
+    // offset planning drops leading segments and never tags bucket keys —
+    // reporting KeyGroupedPartitioning would disagree with the partitions
+    if (pushedOffset.exists(_ > 0)) return new UnknownPartitioning(0)
     bucketedFor(manifest, planned) match {
       case Some((cs, n)) =>
         val distinct = planned.flatMap(_.bucket).distinct.size
@@ -740,7 +809,11 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new HadroReaderFactory(storedSchema, required, typeWidened = widenedInPlan)
+    // typeWidened ALSO covers pushed-offset scans: both need the row
+    // reader (per-value widening / boundary-partition row skip) and the
+    // row-vs-columnar decision must be uniform across partitions
+    new HadroReaderFactory(storedSchema, required,
+      typeWidened = widenedInPlan || pushedOffset.exists(_ > 0))
 
   // ------------------------------------------------------ custom metrics
   // Pruning effectiveness in the SQL UI: segments read vs segments pruned
@@ -883,7 +956,10 @@ object HadroScan {
 final case class HadroInputPartition(file: String, ordinal: Long,
     startOffset: Long, startRow: Long, endOffset: Long,
     nFields: Int = -1, deleteVector: Option[String] = None,
-    writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty)
+    writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty,
+    // pushed-OFFSET residual: live (emittable) rows this partition's
+    // reader must drop before its first emit
+    skipLive: Long = 0L)
     extends InputPartition
 
 /** A hadro input partition carrying its storage bucket as the DSv2
@@ -950,7 +1026,7 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType,
     val p = unwrap(partition)
     new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
       p.startOffset, p.startRow, p.endOffset, p.nFields, p.deleteVector,
-      p.writeTypes)
+      p.writeTypes, p.skipLive)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -967,8 +1043,13 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
     dataSchema: StructType, required: StructType,
     startOffset: Long = 0L, startRow: Long = 0L, endOffset: Long = -1L,
     nFields: Int = -1, deleteVector: Option[String] = None,
-    writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty)
+    writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty,
+    skipLive: Long = 0L)
     extends PartitionReader[InternalRow] {
+
+  // pushed-OFFSET residual: drop this many would-be-emitted rows first
+  // (frame-advance only — the decoder never runs on skipped rows)
+  private var toSkip: Long = skipLive
 
   // Deletion vector: rows whose in-segment index is set are PHYSICALLY
   // deleted — skipped unconditionally, even in changefeed (raw) mode.
@@ -1046,7 +1127,8 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
       rowIndex += 1
       if (dvBits == null || rowIndex > Int.MaxValue || !dvBits.get(rowIndex.toInt)) {
       val deleted = (reader.flags & RecordCodec.DeletedFlag) != 0
-      if (!deleted || wantDeleted) { // tombstone skip: engine.py:169
+      if ((!deleted || wantDeleted) && toSkip > 0) toSkip -= 1
+      else if (!deleted || wantDeleted) { // tombstone skip: engine.py:169
         val decoded = widen(
           decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength))
         current =

@@ -38,7 +38,8 @@ final case class HadroOffset(nextOrdinal: Long, generation: Long = 0L) extends O
 
 final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     required: StructType, onTruncate: String = "fail",
-    maxOrdinalsPerTrigger: Long = 0L)
+    maxOrdinalsPerTrigger: Long = 0L,
+    startingVersion: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -46,9 +47,37 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     s"hadro.onTruncate must be fail|restart, got '$onTruncate'")
   require(maxOrdinalsPerTrigger >= 0,
     s"hadro.maxOrdinalsPerTrigger must be >= 0, got $maxOrdinalsPerTrigger")
+  require(startingVersion.forall(v =>
+      v.equalsIgnoreCase("latest") || v.forall(_.isDigit)),
+    s"hadro.startingVersion must be a version number or 'latest', got " +
+      s"'${startingVersion.getOrElse("")}'")
 
-  override def initialOffset(): Offset =
-    HadroOffset(0L, CollectionMeta.currentManifest(path).generation)
+  /** Where a FRESH query (no checkpoint) begins — Delta-style
+    * `startingVersion`. Default: ordinal 0, the whole retained log
+    * (backfill-then-tail). `latest`: only appends landing after query
+    * start. A version number v: every segment committed in version v or
+    * later, INCLUSIVE — the CDC resume point "give me all changes since
+    * snapshot v", positioned as version v-1's end ordinal. v-1 must still
+    * be retained (same fail-fast as time travel; at 100 TB resuming from
+    * an expired snapshot must error, not silently backfill everything).
+    * Restarts from a checkpoint never consult this — the committed offset
+    * wins (Spark only calls initialOffset absent a checkpoint). */
+  override def initialOffset(): Offset = startingVersion match {
+    case None =>
+      HadroOffset(0L, CollectionMeta.currentManifest(path).generation)
+    case Some(s) if s.equalsIgnoreCase("latest") =>
+      val m = CollectionMeta.currentManifest(path)
+      HadroOffset(m.nextOrdinal, m.generation)
+    case Some(s) =>
+      val v = s.toLong
+      // versions start at 1, so v <= 1 is the start of the log by
+      // definition; only v >= 2 needs v-1 to still be retained
+      if (v <= 1L) HadroOffset(0L, CollectionMeta.currentManifest(path).generation)
+      else {
+        val prev = CollectionMeta.manifestAt(path, v - 1)
+        HadroOffset(prev.nextOrdinal, prev.generation)
+      }
+  }
 
   override def latestOffset(): Offset = {
     val m = CollectionMeta.currentManifest(path)

@@ -1,0 +1,54 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.api.Collection
+
+/** Streaming-source start positioning: `hadro.startingVersion` picks where a
+  * FRESH query (no checkpoint) begins tailing the segment log — full
+  * backfill (default), a specific commit onward (CDC resume from a known
+  * snapshot), or `latest` (new appends only). Checkpointed restarts ignore
+  * it: the committed offset wins. */
+class StreamSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("startingVersion positions a fresh stream at the requested commit") {
+    val colPath = Files.createTempDirectory("sv_col").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val n = src.count()
+    src.write.format("hadro").mode("append").save(colPath)
+    val c = Collection(spark, colPath)
+    val v1 = c.version
+    src.write.format("hadro").mode("append").save(colPath)
+    src.write.format("hadro").mode("append").save(colPath)
+    val v3 = c.version
+    val v2 = v3 - 1
+
+    var i = 0
+    def countFrom(sv: String): Long = {
+      i += 1
+      val name = s"sv_mem_$i"
+      val q = spark.readStream.format("hadro")
+        .option("hadro.startingVersion", sv).load(colPath)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).count()
+    }
+
+    assert(countFrom(v1.toString) == 3 * n, "from the first commit: everything")
+    assert(countFrom(v2.toString) == 2 * n, "from v2: commits 2 and 3")
+    assert(countFrom(v3.toString) == n, "from the head commit: just its rows")
+    assert(countFrom("latest") == 0L, "latest: only future appends")
+
+    // resuming from an EXPIRED snapshot fails fast, like time travel
+    c.expireSnapshots(System.currentTimeMillis() + 60_000)
+    val ex = intercept[Exception] { countFrom(v2.toString) }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    assert(messages(ex).exists(_.contains("not available")),
+      s"expected a retention error, got: ${messages(ex).mkString(" | ")}")
+  }
+}
