@@ -3422,6 +3422,38 @@ object OpsQueries {
           .orderBy("s_suppkey")
       },
       Some("""SELECT s_suppkey, s_name FROM supplier
-        WHERE NOT (s_suppkey % 4 = 1) ORDER BY s_suppkey"""))
+        WHERE NOT (s_suppkey % 4 = 1) ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------------- st19
+    // CDC resume from a known snapshot: `hadro.startingVersion` positions
+    // a FRESH stream at a commit boundary — here two commits land before
+    // the stream starts, and tailing from the second version must emit
+    // exactly its rows (the first commit's backfill is skipped without
+    // ever being read). Expired-version fail-fast and checkpoint
+    // precedence are spec-asserted (StreamSourceSpec).
+    QueryDef(
+      "st19_starting_version",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.functions.col
+        val src = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val colPath =
+          s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st19"
+        val c = graft.api.Collection.create(s, colPath,
+          src.filter(col("c_custkey") % 2 === 0), numSegments = 2)
+        c.append(src.filter(col("c_custkey") % 2 === 1))
+        val fromVersion = c.version // the second commit, inclusive
+        val name = s"st19_sink_${System.nanoTime()}"
+        val q = s.readStream.format("hadro")
+          .option("hadro.startingVersion", fromVersion.toString).load(colPath)
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(120000),
+          "AvailableNow query must terminate by itself")
+        s.table(name).select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey % 2 = 1 ORDER BY c_custkey"""))
   )
 }
