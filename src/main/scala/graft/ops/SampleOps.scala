@@ -93,6 +93,25 @@ object SampleOps {
     df.filter(key < bound)
   }
 
+  /** Per-source QUOTA cap (domain balancing): keep at most `cap` documents
+    * from each source, chosen by deterministic content-hash priority (md5
+    * of the seeded id; ties to smaller id) — the "no domain may dominate
+    * the mix" pass crawled corpora run, reproducible on any engine at any
+    * parallelism because the priority is data-derived, not random. One
+    * shuffle on the source key + a windowed rank; a skewed mega-source is
+    * exactly the AQE skew-split shape, and sources already under quota
+    * pass through unchanged. Returns the kept rows. */
+  def sourceCap(df: DataFrame, idCol: String, sourceCol: String, cap: Int,
+      seed: String = "graft"): DataFrame = {
+    require(cap > 0, "source cap must be positive")
+    val pri = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(pri, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates expressed
     * as hex bucket bounds ("80" = 50%, "10" = 6.25%), applied by stratum
     * value — the language/domain-rebalancing pass every corpus mix runs,

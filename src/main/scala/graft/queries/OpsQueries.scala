@@ -1174,6 +1174,25 @@ object OpsQueries {
         GROUP BY sha256(text)
         ORDER BY keep_id""")),
 
+    // ---------------------------------------------------------------- d19
+    // Per-source QUOTA cap (domain balancing): at most 15 docs per
+    // source, deterministic hash priority, under-quota sources pass
+    // through whole. One source-key shuffle + windowed rank; the oracle
+    // replays the same md5 priority and rank.
+    QueryDef(
+      "d19_source_cap",
+      (s, dir) => {
+        SampleOps.sourceCap(table(s, dir, "documents"), "doc_id", "source", 15)
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 15 ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- m04
     // Cross-modal join: text rows joined to their embedding rows, emitting
     // per-document token counts next to vector norms — the alignment step

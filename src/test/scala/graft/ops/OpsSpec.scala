@@ -47,6 +47,22 @@ class OpsSpec extends SparkSuite {
     assert(doubled == 3)
   }
 
+  test("source cap bounds every source and passes small sources through") {
+    val capped = SampleOps.sourceCap(docs, "doc_id", "source", 10)
+    val per = capped.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(per.values.forall(_ <= 10), s"cap violated: $per")
+    assert(per.values.exists(_ == 10), "cap must actually bite on this corpus")
+    val before = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    before.filter(_._2 <= 10).foreach { case (src, n) =>
+      assert(per(src) == n, s"under-quota source $src must pass through whole")
+    }
+    // deterministic regardless of partitioning
+    val again = SampleOps.sourceCap(docs.repartition(7), "doc_id", "source", 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == capped.select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("cluster keep-best keeps the longest member once per chain") {
     val base = "many distinct words compose this long synthetic sentence for shingle tests"
     val rows = Seq(
