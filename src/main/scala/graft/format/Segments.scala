@@ -271,19 +271,49 @@ final class StatsCollector private (schema: StructType) {
   private val maxs = new Array[Any](n)
   private val nulls = new Array[Long](n)
   private val orderable: Array[Boolean] = schema.fields.map(f => StatsCollector.isOrderable(f.dataType))
+  // Exact per-segment SUMs for integral columns: a long accumulator that
+  // promotes to BigInteger on overflow — powers metadata-only SUM
+  // aggregate pushdown (a 100 TB SUM becomes a manifest read). Integral
+  // only: float/double sums are order-dependent, so the scan path keeps
+  // those honest.
+  private val summable: Array[Boolean] = schema.fields.map(f => f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  })
+  private val sums = new Array[Long](n)
+  private val sumsBig = new Array[java.math.BigInteger](n)
 
   def update(row: InternalRow): Unit = {
     var i = 0
     while (i < n) {
       if (row.isNullAt(i)) nulls(i) += 1
-      else if (orderable(i)) {
-        // Compare BEFORE cloning: row buffers may be reused (UnsafeRow), but
-        // a clone is only needed for the values we actually retain.
-        val v = row.get(i, schema(i).dataType)
-        if (mins(i) == null || StatsCollector.lt(v, mins(i)))
-          mins(i) = StatsCollector.retain(v)
-        if (maxs(i) == null || StatsCollector.lt(maxs(i), v))
-          maxs(i) = StatsCollector.retain(v)
+      else {
+        if (orderable(i)) {
+          // Compare BEFORE cloning: row buffers may be reused (UnsafeRow),
+          // but a clone is only needed for the values we actually retain.
+          val v = row.get(i, schema(i).dataType)
+          if (mins(i) == null || StatsCollector.lt(v, mins(i)))
+            mins(i) = StatsCollector.retain(v)
+          if (maxs(i) == null || StatsCollector.lt(maxs(i), v))
+            maxs(i) = StatsCollector.retain(v)
+        }
+        if (summable(i)) {
+          val l = schema(i).dataType match {
+            case ByteType => row.getByte(i).toLong
+            case ShortType => row.getShort(i).toLong
+            case IntegerType => row.getInt(i).toLong
+            case _ => row.getLong(i)
+          }
+          if (sumsBig(i) != null)
+            sumsBig(i) = sumsBig(i).add(java.math.BigInteger.valueOf(l))
+          else
+            try sums(i) = Math.addExact(sums(i), l)
+            catch {
+              case _: ArithmeticException =>
+                sumsBig(i) = java.math.BigInteger.valueOf(sums(i))
+                  .add(java.math.BigInteger.valueOf(l))
+            }
+        }
       }
       i += 1
     }
@@ -294,7 +324,11 @@ final class StatsCollector private (schema: StructType) {
       f.name -> ColumnStats(
         min = Option(mins(i)).map(StatsCollector.render),
         max = Option(maxs(i)).map(StatsCollector.render),
-        nullCount = nulls(i))
+        nullCount = nulls(i),
+        sum =
+          if (!summable(i)) None
+          else Some(
+            if (sumsBig(i) != null) sumsBig(i).toString else sums(i).toString))
     }.toMap
 }
 

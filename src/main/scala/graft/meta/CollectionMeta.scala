@@ -10,7 +10,11 @@ import org.json4s.jackson.{JsonMethods, Serialization}
 
 /** Per-column min/max/null statistics carried in the manifest; consumed for
   * segment skipping at scan planning time. */
-final case class ColumnStats(min: Option[String], max: Option[String], nullCount: Long)
+/** Per-segment column statistics. `sum` is the exact integral-column sum
+  * (decimal string, overflow-safe), recorded at write for SUM aggregate
+  * pushdown; None for non-integral columns and legacy segments. */
+final case class ColumnStats(min: Option[String], max: Option[String],
+    nullCount: Long, sum: Option[String] = None)
 
 /** Table-level per-column statistics computed by `CALL system.analyze`
   * (ANALYZE TABLE analog) and reported to Spark's cost-based optimizer via

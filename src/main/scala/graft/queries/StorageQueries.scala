@@ -1547,6 +1547,32 @@ object StorageQueries {
           .offset(500).limit(100)
       },
       Some("""SELECT o_orderkey FROM orders
-        ORDER BY o_orderkey LIMIT 100 OFFSET 500"""))
+        ORDER BY o_orderkey LIMIT 100 OFFSET 500""")),
+
+    // ---------------------------------------------------------------- h56
+    // SUM aggregate pushdown: exact per-segment integral sums recorded at
+    // write (overflow-safe) answer a global SUM as a LocalTableScan — no
+    // data file opened (plan asserted in AggPushdownSpec; double sums
+    // stay on the scan path, FP order-dependence). At 100 TB a SUM over
+    // the fact table becomes a manifest read.
+    QueryDef(
+      "h56_sum_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val c = Collection.create(s, colPath(dir, "h56"),
+          table(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_partkey", $"l_linenumber"),
+          numSegments = 4)
+        c.scan().agg(
+          sum($"l_orderkey").as("sum_okey"),
+          sum($"l_partkey").as("sum_pkey"),
+          sum($"l_linenumber").as("sum_line"),
+          count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+          CAST(SUM(l_partkey) AS BIGINT) AS sum_pkey,
+          CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem"""))
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, Expression => V2Expression, Literal => V2Literal, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
@@ -409,6 +409,46 @@ object HadroAggPushdown {
       Some(Option(acc))
     }
 
+    // Exact SUM from the per-segment integral sums recorded at write time
+    // (overflow-safe BigInteger fold). SQL semantics: all-null/empty input
+    // sums to NULL. Declines on: non-integral type, any live segment
+    // missing a recorded sum while holding values (legacy), deletion
+    // vectors (the summed rows may be gone), or a total outside Long range
+    // (the scan path's ANSI behavior must decide overflow, not metadata).
+    def sumCol(f: StructField, ord: Int): Option[Option[Long]] = {
+      if (hasDv) return None
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case _ => return None
+      }
+      val dflt = graft.meta.CollectionMeta.defaultValueOf(f)
+      var total = java.math.BigInteger.ZERO
+      var sawValue = false
+      live.foreach { s =>
+        if (presentIn(s, ord)) s.stats.get(f.name) match {
+          case Some(st) => st.sum match {
+            case Some(rendered) =>
+              total = total.add(new java.math.BigInteger(rendered))
+              if (st.nullCount < s.rows) sawValue = true
+            case None =>
+              // legacy segment: only safe when it is provably all-null
+              if (st.nullCount < s.rows) return None
+          }
+          case None => return None
+        } else dflt match {
+          // column added with a DEFAULT: pre-column rows read the constant
+          case Some(n: java.lang.Number) =>
+            total = total.add(java.math.BigInteger.valueOf(n.longValue())
+              .multiply(java.math.BigInteger.valueOf(s.rows)))
+            if (s.rows > 0) sawValue = true
+          case Some(_) => return None
+          case None => () // nulls contribute nothing
+        }
+      }
+      if (total.bitLength() > 62) return None
+      Some(if (sawValue) Some(total.longValueExact) else None)
+    }
+
     val planned: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         Some((StructField("count_star", LongType, nullable = false),
@@ -427,6 +467,13 @@ object HadroAggPushdown {
         fieldOf(m.column).flatMap { case (f, ord) =>
           minMax(f, ord, wantMin = false).map(v =>
             (StructField(s"max_${f.name}", f.dataType, nullable = true), v.orNull: Any))
+        }
+      case s: Sum if !s.isDistinct =>
+        fieldOf(s.column).flatMap { case (f, ord) =>
+          sumCol(f, ord).map(v =>
+            // integral SUM surfaces as LongType — catalyst Sum's result
+            // type for every integral input, so complete pushdown lines up
+            (StructField(s"sum_${f.name}", LongType, nullable = true), v.orNull: Any))
         }
       case _ => None
     }

@@ -40,6 +40,33 @@ class AggPushdownSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("integral SUM answered from per-segment sums with no data-file scan") {
+    val path = Files.createTempDirectory("aggsum").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    Collection.create(spark, path, src, numSegments = 4)
+    val df = spark.read.format("hadro").load(path)
+      .agg(sum($"o_orderkey").as("s"), sum($"o_custkey").as("sc"),
+        count(lit(1)).as("n"))
+    assert(isLocal(df), "expected LocalTableScan, got:\n" +
+      df.queryExecution.executedPlan.toString)
+    val got = df.head()
+    val want = src.agg(sum($"o_orderkey"), sum($"o_custkey"), count(lit(1))).head()
+    assert(got == want)
+    // double SUM is order-dependent — must take the scan path
+    val dbl = spark.read.format("hadro").load(path).agg(sum($"o_totalprice"))
+    assert(hasDataScan(dbl), "double sum must not be answered from metadata")
+  }
+
+  test("SUM over an all-null integral column is NULL, from metadata") {
+    val path = Files.createTempDirectory("aggsumnull").resolve("c").toString
+    val src = spark.range(0, 50).select($"id",
+      lit(null).cast("long").as("hole"))
+    Collection.create(spark, path, src.toDF())
+    val df = spark.read.format("hadro").load(path).agg(sum($"hole").as("s"))
+    assert(isLocal(df))
+    assert(df.head().isNullAt(0))
+  }
+
   test("empty collection answers count 0 and null min/max") {
     val path = Files.createTempDirectory("aggpush0").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/region.parquet")
