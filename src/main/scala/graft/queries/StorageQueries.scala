@@ -1567,11 +1567,16 @@ object StorageQueries {
           sum($"l_orderkey").as("sum_okey"),
           sum($"l_partkey").as("sum_pkey"),
           sum($"l_linenumber").as("sum_line"),
+          avg($"l_linenumber").as("avg_line"),
           count(lit(1)).as("n_rows"))
       },
+      // avg replayed as exact-sum / count division (the same two-longs
+      // double division both engines perform — bit-equal, no rounding)
       Some("""SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
           CAST(SUM(l_partkey) AS BIGINT) AS sum_pkey,
           CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+          CAST(SUM(l_linenumber) AS DOUBLE) / CAST(COUNT(l_linenumber) AS DOUBLE)
+            AS avg_line,
           CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM lineitem"""))
   )

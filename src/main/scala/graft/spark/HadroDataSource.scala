@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, Expression => V2Expression, Literal => V2Literal, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
@@ -474,6 +474,18 @@ object HadroAggPushdown {
             // integral SUM surfaces as LongType — catalyst Sum's result
             // type for every integral input, so complete pushdown lines up
             (StructField(s"sum_${f.name}", LongType, nullable = true), v.orNull: Any))
+        }
+      case a: Avg if !a.isDistinct =>
+        // exact integral sum / exact non-null count, divided in double —
+        // the same two-longs division catalyst's Avg performs, bit-equal
+        fieldOf(a.column).flatMap { case (f, ord) =>
+          for {
+            sumOpt <- sumCol(f, ord)
+            n <- countCol(f, ord)
+          } yield (StructField(s"avg_${f.name}", DoubleType, nullable = true),
+            sumOpt.filter(_ => n > 0)
+              .map(s => java.lang.Double.valueOf(s.toDouble / n.toDouble))
+              .orNull: Any)
         }
       case _ => None
     }

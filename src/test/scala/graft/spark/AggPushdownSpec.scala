@@ -57,6 +57,16 @@ class AggPushdownSpec extends SparkSuite {
     assert(hasDataScan(dbl), "double sum must not be answered from metadata")
   }
 
+  test("integral AVG answered exactly from metadata sum/count") {
+    val path = Files.createTempDirectory("aggavg").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    Collection.create(spark, path, src, numSegments = 4)
+    val df = spark.read.format("hadro").load(path).agg(avg($"o_orderkey").as("a"))
+    assert(isLocal(df), "expected LocalTableScan, got:\n" +
+      df.queryExecution.executedPlan.toString)
+    assert(df.head() == src.agg(avg($"o_orderkey")).head(), "avg must be bit-equal")
+  }
+
   test("SUM over an all-null integral column is NULL, from metadata") {
     val path = Files.createTempDirectory("aggsumnull").resolve("c").toString
     val src = spark.range(0, 50).select($"id",
