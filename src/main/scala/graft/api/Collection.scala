@@ -410,7 +410,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       org.apache.spark.sql.types.StructType(meta.schema.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true,
           metadata = metadata)),
-      meta.keyField, meta.bucketBy, meta.numBuckets)
+      meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress)
   }
 
   /** Column RENAME: pure metadata — record decode is positional, so the
@@ -443,7 +443,8 @@ final class Collection private (spark: SparkSession, val path: String) {
     CollectionMeta.writeSchema(dir,
       org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,
         meta.schema.fields(ord).copy(name = newName))),
-      meta.keyField.map(ren), meta.bucketBy.map(renList), meta.numBuckets)
+      meta.keyField.map(ren), meta.bucketBy.map(renList), meta.numBuckets,
+      meta.compress)
   }
 
   /** Column type WIDENING: metadata-only `ALTER COLUMN ... TYPE` for the
@@ -492,7 +493,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     CollectionMeta.writeSchema(dir,
       org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,
         meta.schema.fields(ord).copy(dataType = newType))),
-      meta.keyField, meta.bucketBy, meta.numBuckets)
+      meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress)
   }
 
   /** Column DROP: metadata-only — the field stays in the PHYSICAL schema
@@ -529,7 +530,7 @@ final class Collection private (spark: SparkSession, val path: String) {
         org.apache.spark.sql.types.StructField(
           s"${CollectionMeta.DroppedPrefix}$ord",
           meta.schema.fields(ord).dataType, nullable = true))),
-      meta.keyField, meta.bucketBy, meta.numBuckets)
+      meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress)
   }
 
   /** Rewind the collection to a retained version (Delta RESTORE / Iceberg
@@ -665,7 +666,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     val meta = CollectionMeta.readSchema(dir).getOrElse(
       throw new IllegalStateException(s"hadro: no collection at $dir"))
     CollectionMeta.writeSchema(dst, meta.schema, meta.keyField,
-      meta.bucketBy, meta.numBuckets)
+      meta.bucketBy, meta.numBuckets, meta.compress)
     val files = m.segments.flatMap(s =>
       Seq(s.file) ++ s.bloom ++ s.offsetIndex ++ s.indexBlooms.values ++
         s.deleteVector)

@@ -27,6 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object RecordCodec {
   val HeaderSize = 5
   val DeletedFlag: Int = 0x01 // tombstone, reference engine.py:26
+  // Payload is a zstd frame (per-record compression, collection-level
+  // opt-in). Self-describing: SegmentReader decompresses transparently and
+  // clears the bit, so no consumer above the frame parser ever sees it.
+  val CompressedFlag: Int = 0x02
 
   private type ValueWriter = (DataOutputStream, SpecializedGetters, Int) => Unit
   private type ValueReader = ByteBuffer => Any

@@ -30,7 +30,8 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     keyOrdinal: Option[Int] = None,
     splitBytes: Long = SegmentWriter.DefaultSplitBytes,
     indexFields: Map[String, Seq[Int]] = Map.empty,
-    offsetIndex: Boolean = true) {
+    offsetIndex: Boolean = true,
+    compress: Boolean = false) {
   private val fos = new FileOutputStream(path.toFile)
   private val out = new BufferedOutputStream(fos, SegmentReader.BlockSize)
   private val encoder = new RecordCodec.Encoder(schema)
@@ -62,20 +63,43 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   /** Records appended so far. */
   def rowCount: Long = rows
 
+  // scratch for per-record zstd frames (compression is opt-in per
+  // collection); grown as needed, reused across rows
+  private var zbuf: Array[Byte] = if (compress) new Array[Byte](64 * 1024) else null
+
   def append(row: InternalRow, deleted: Boolean = false): Unit = {
     if (bytesWritten >= nextSplit && rows > 0) {
       splits += graft.meta.SplitPoint(bytesWritten, rows)
       nextSplit = bytesWritten + splitBytes
     }
     val size = encoder.encode(row) // payload in encoder.buffer, zero-copy
-    bytesWritten += RecordCodec.HeaderSize + size
-    header(0) = if (deleted) RecordCodec.DeletedFlag.toByte else 0
-    header(1) = (size >>> 24).toByte
-    header(2) = (size >>> 16).toByte
-    header(3) = (size >>> 8).toByte
-    header(4) = size.toByte
+    // Per-record compression keeps every byte-offset structure (split
+    // points, key→offset index) exact: only the payload bytes shrink, and
+    // the flag bit makes each record self-describing. Stored only when it
+    // actually wins; tiny records skip the attempt entirely.
+    var payload = encoder.buffer
+    var storedSize = size
+    var flagByte = if (deleted) RecordCodec.DeletedFlag else 0
+    if (compress && size >= SegmentWriter.MinCompressBytes) {
+      val bound = com.github.luben.zstd.Zstd.compressBound(size.toLong).toInt
+      if (zbuf.length < bound) zbuf = new Array[Byte](Integer.highestOneBit(bound) * 2)
+      val n = com.github.luben.zstd.Zstd.compressByteArray(
+        zbuf, 0, zbuf.length, encoder.buffer, 0, size, SegmentWriter.ZstdLevel)
+      if (!com.github.luben.zstd.Zstd.isError(n) && n < size) {
+        payload = zbuf
+        storedSize = n.toInt
+        flagByte |= RecordCodec.CompressedFlag
+      }
+    }
+    val recordOffset = bytesWritten
+    bytesWritten += RecordCodec.HeaderSize + storedSize
+    header(0) = flagByte.toByte
+    header(1) = (storedSize >>> 24).toByte
+    header(2) = (storedSize >>> 16).toByte
+    header(3) = (storedSize >>> 8).toByte
+    header(4) = storedSize.toByte
     out.write(header)
-    out.write(encoder.buffer, 0, size)
+    out.write(payload, 0, storedSize)
     rows += 1
     if (deleted) tombstones += 1
     stats.update(row)
@@ -86,10 +110,7 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       if (!row.isNullAt(ko)) {
         val v = row.get(ko, schema(ko).dataType)
         bloom.get.add(v)
-        // bytesWritten already points at this record's header offset and
-        // `rows` was incremented above, so rowIndex = rows - 1
-        keyOffsets.foreach(_ += ((KeyBloom.canonical(v),
-          bytesWritten - RecordCodec.HeaderSize - size, rows - 1)))
+        keyOffsets.foreach(_ += ((KeyBloom.canonical(v), recordOffset, rows - 1)))
       }
     }
     indexBloomMap.foreach { case (_, (ords, b)) =>
@@ -154,6 +175,12 @@ object SegmentWriter {
     * ballpark as `spark.sql.files.maxPartitionBytes` (128 MB default). */
   val DefaultSplitBytes: Long = 64L * 1024 * 1024
 
+  /** Records smaller than this skip the compression attempt: zstd framing
+    * overhead (~13 bytes) plus CPU rarely wins on tiny payloads. */
+  val MinCompressBytes: Int = 256
+  /** zstd level 3: the bandwidth/ratio sweet spot for scan-heavy storage. */
+  val ZstdLevel: Int = 3
+
   /** Deterministic sidecar name for a named index over one segment —
     * derivable from (segment, index[, build]) alone, so a distributed index
     * build needs no task→driver result plumbing. `buildId` (used by
@@ -206,7 +233,11 @@ final class SegmentReader(path: Path, startOffset: Long = 0L, endOffset: Long = 
   var flags: Int = 0
   var payloadOffset: Int = 0
   var payloadLength: Int = 0
-  def buffer: Array[Byte] = buf
+  // Compressed records decompress into this scratch; `buffer` then points
+  // at it for exactly one record. Consumers never see the compressed bit.
+  private var zscratch: Array[Byte] = null
+  private var view: Array[Byte] = null
+  def buffer: Array[Byte] = if (view != null) view else buf
 
   /** Ensure >= n bytes available at the cursor; compacts + refills. */
   private def ensure(n: Int): Boolean = {
@@ -238,9 +269,28 @@ final class SegmentReader(path: Path, startOffset: Long = 0L, endOffset: Long = 
       ((buf(pos + 3) & 0xff) << 8) | (buf(pos + 4) & 0xff)
     pos += RecordCodec.HeaderSize
     if (!ensure(size)) throw new EOFException(s"truncated payload in $path")
+    view = null
     payloadOffset = pos
     payloadLength = size
     pos += size
+    if ((flags & RecordCodec.CompressedFlag) != 0) {
+      // transparent per-record zstd: decompress into the scratch and hand
+      // consumers the raw payload — the bit never escapes this parser
+      val raw = com.github.luben.zstd.Zstd
+        .decompressedSize(buf, payloadOffset, payloadLength)
+      if (raw <= 0 || raw > Int.MaxValue)
+        throw new java.io.IOException(s"corrupt compressed record in $path")
+      if (zscratch == null || zscratch.length < raw.toInt)
+        zscratch = new Array[Byte](Integer.highestOneBit(raw.toInt) * 2)
+      val n = com.github.luben.zstd.Zstd.decompressByteArray(
+        zscratch, 0, zscratch.length, buf, payloadOffset, payloadLength)
+      if (com.github.luben.zstd.Zstd.isError(n) || n != raw)
+        throw new java.io.IOException(s"corrupt compressed record in $path")
+      view = zscratch
+      payloadOffset = 0
+      payloadLength = raw.toInt
+      flags &= ~RecordCodec.CompressedFlag
+    }
     true
   }
 
@@ -252,7 +302,7 @@ final class SegmentReader(path: Path, startOffset: Long = 0L, endOffset: Long = 
   override def next(): (Int, Array[Byte]) = {
     if (!hasNext) throw new NoSuchElementException
     pending = false
-    (flags, java.util.Arrays.copyOfRange(buf, payloadOffset, payloadOffset + payloadLength))
+    (flags, java.util.Arrays.copyOfRange(buffer, payloadOffset, payloadOffset + payloadLength))
   }
 
   override def close(): Unit = in.close()

@@ -157,8 +157,13 @@ object CollectionMeta {
   /** `bucketBy`/`numBuckets`: declared storage bucketing (e.g. SQL
     * `PARTITIONED BY (bucket(8, key))`) — writes without explicit bucket
     * options inherit it, so every append keeps the collection join-ready. */
+  /** `compress`: collection-level payload codec ("zstd"), fixed at
+    * creation — every writer (batch, delta, streaming, CoW rewrite)
+    * consults it, so compressed and plain segments never mix by accident
+    * (records stay self-describing via the flag bit regardless). */
   final case class SchemaMeta(schema: StructType, keyField: Option[String],
-      bucketBy: Option[String] = None, numBuckets: Option[Int] = None)
+      bucketBy: Option[String] = None, numBuckets: Option[Int] = None,
+      compress: Option[String] = None)
 
   /** DROPPED-column marker: the stored schema is the PHYSICAL layout — a
     * dropped column's field stays in it under this reserved name (record
@@ -214,13 +219,15 @@ object CollectionMeta {
     StructType(physical.fields.filterNot(isDropped))
 
   def writeSchema(collection: Path, schema: StructType, keyField: Option[String],
-      bucketBy: Option[String] = None, numBuckets: Option[Int] = None): Unit = {
+      bucketBy: Option[String] = None, numBuckets: Option[Int] = None,
+      compress: Option[String] = None): Unit = {
     Files.createDirectories(metaDir(collection))
     val json = Serialization.write(Map(
       "sparkSchema" -> JsonMethods.parse(schema.json),
       "keyField" -> keyField,
       "bucketBy" -> bucketBy,
-      "numBuckets" -> numBuckets))
+      "numBuckets" -> numBuckets,
+      "compress" -> compress))
     val tmp = metaDir(collection).resolve(s"schema.json.tmp${System.nanoTime()}")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, schemaFile(collection), StandardCopyOption.ATOMIC_MOVE,
@@ -245,7 +252,11 @@ object CollectionMeta {
         case JInt(n) => Some(n.toInt)
         case _ => None
       }
-      Some(SchemaMeta(schema, key, bBy, bN))
+      val comp = (root \ "compress") match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      Some(SchemaMeta(schema, key, bBy, bN, comp))
     }
   }
 

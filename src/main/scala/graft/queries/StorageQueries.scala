@@ -1578,6 +1578,40 @@ object StorageQueries {
           CAST(SUM(l_linenumber) AS DOUBLE) / CAST(COUNT(l_linenumber) AS DOUBLE)
             AS avg_line,
           CAST(COUNT(*) AS BIGINT) AS n_rows
-        FROM lineitem"""))
+        FROM lineitem""")),
+
+    // ---------------------------------------------------------------- h57
+    // Per-record zstd compression (TBLPROPERTIES('compress'='zstd'), fixed
+    // at creation): payloads shrink behind a self-describing flag bit —
+    // split points, key→offset index, and deletion-vector row indices all
+    // stay exact, and every read path decompresses inside the frame
+    // parser. The query proves an end-to-end SQL round-trip (plus a dv
+    // DELETE over compressed segments) is byte-identical; the on-disk
+    // shrink and offset-machinery exactness are spec-asserted
+    // (CompressionSpec).
+    QueryDef(
+      "h57_zstd_roundtrip",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h57"
+        s.conf.set("spark.sql.catalog.graft_h57", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h57.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h57.db")
+        s.sql("DROP TABLE IF EXISTS graft_h57.db.docs")
+        s.sql("""CREATE TABLE graft_h57.db.docs
+          (doc_id BIGINT, text STRING, lang STRING, source STRING)
+          USING hadro TBLPROPERTIES('compress'='zstd')""")
+        QueryDef.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .createOrReplaceTempView("h57_src")
+        s.sql("INSERT INTO graft_h57.db.docs SELECT * FROM h57_src")
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try s.sql("DELETE FROM graft_h57.db.docs WHERE doc_id % 7 = 3")
+        finally s.conf.unset("spark.hadro.delete.mode")
+        s.sql("""SELECT doc_id, text, lang, source FROM graft_h57.db.docs
+          ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id, text, lang, source FROM documents
+        WHERE NOT (doc_id % 7 = 3) ORDER BY doc_id"""))
   )
 }

@@ -167,8 +167,14 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val key = Option(properties.get("key")).filter(_.nonEmpty)
     key.foreach(k => require(schema.fieldNames.contains(k),
       s"key '$k' not in schema ${schema.simpleString}"))
+    // `TBLPROPERTIES('compress'='zstd')` / OPTIONS: per-record payload
+    // compression, fixed at creation (see SchemaMeta.compress)
+    val compress = Option(properties.get("compress")).filter(_.nonEmpty)
+      .filterNot(_.equalsIgnoreCase("none")).map(_.toLowerCase)
+    compress.foreach(c => require(c == "zstd",
+      s"compress must be zstd|none, got '$c'"))
     CollectionMeta.writeSchema(dir, schema, key,
-      bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2))
+      bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2), compress)
     new HadroTable(dir,
       HadroTable.reportedSchema(CollectionMeta.readSchema(dir).get),
       viaCatalog = true)

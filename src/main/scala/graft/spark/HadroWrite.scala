@@ -102,6 +102,14 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
         ReplaceSpec(fs, gen, dv)
       }
     }
+    // Collection-level payload compression, fixed at creation: per-record
+    // zstd frames behind a flag bit (byte-offset structures stay exact).
+    private def compressSpec: Option[String] = {
+      val c = Option(opts.get("hadro.compress")).filter(_.nonEmpty).map(_.toLowerCase)
+      c.foreach(v => require(v == "zstd" || v == "none",
+        s"hadro.compress must be zstd|none, got '$v'"))
+      c // "none" stays explicit: flipping a zstd collection must error
+    }
     // Storage bucketing: both options or neither. hadro.bucketBy accepts a
     // comma-separated column list (multi-key joins bucket on all keys).
     private def sortedSpec: Option[String] =
@@ -154,7 +162,7 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
-        maxSegmentBytes, bucketSpec, replaceSpec, sortedSpec)
+        maxSegmentBytes, bucketSpec, replaceSpec, sortedSpec, compressSpec)
     }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -171,7 +179,8 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
 private[spark] object HadroWriteInit {
   def ensureSchema(path: Path, schema: StructType, tombstone: Boolean,
       keyField: Option[String], deleteCol: Option[String] = None,
-      bucketSpec: Option[(Seq[String], Int)] = None): CollectionMeta.SchemaMeta = {
+      bucketSpec: Option[(Seq[String], Int)] = None,
+      compressSpec: Option[String] = None): CollectionMeta.SchemaMeta = {
     Files.createDirectories(path)
     // the dropped-column marker prefix is reserved: a user column with it
     // would alias an invisible physical slot
@@ -179,6 +188,14 @@ private[spark] object HadroWriteInit {
       s"hadro: column name '$n' uses the reserved prefix ${CollectionMeta.DroppedPrefix}"))
     CollectionMeta.readSchema(path) match {
       case Some(meta) =>
+        // the codec is a creation-time property; silently diverging would
+        // fork the collection into mixed intent
+        compressSpec.foreach { c =>
+          val stored = meta.compress.getOrElse("none")
+          require(stored == c,
+            s"hadro: collection compression is '$stored', " +
+              s"cannot change to '$c' after creation")
+        }
         val stored = meta.schema
         schema.fields.filterNot(f => deleteCol.contains(f.name)).foreach { f =>
           val sf = stored.fields.find(_.name == f.name).getOrElse(
@@ -200,7 +217,8 @@ private[spark] object HadroWriteInit {
           require(schema.fieldNames.contains(k), s"hadro: key field '$k' not in schema")
         }
         CollectionMeta.writeSchema(path, schema, keyField,
-          bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2))
+          bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2),
+          compressSpec.filterNot(_ == "none"))
         CollectionMeta.readSchema(path).get
     }
   }
@@ -252,10 +270,11 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     maxSegmentBytes: Long = 0L,
     bucketSpec: Option[(Seq[String], Int)] = None,
     replaceSpec: Option[ReplaceSpec] = None,
-    sortedSpec: Option[String] = None) extends BatchWrite {
+    sortedSpec: Option[String] = None,
+    compressSpec: Option[String] = None) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
-    keyField, deleteCol, bucketSpec)
+    keyField, deleteCol, bucketSpec, compressSpec)
   private val storedSchema: StructType = storedMeta.schema
   private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
   // Explicit options win; otherwise the spec DECLARED on the collection
@@ -586,8 +605,14 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
 
   private def newSegmentFile() = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
+  // Collection-level codec, read once per task: EVERY write path (batch,
+  // delta, streaming, CoW rewrite) flows through this writer, so a
+  // compressed collection stays compressed without per-path threading.
+  private val zstdCompress: Boolean =
+    CollectionMeta.readSchema(dir).flatMap(_.compress).contains("zstd")
   private def newWriter() = new SegmentWriter(newSegmentFile(), storedSchema,
-    consistency, keyOrdinal, splitBytes, indexOrdinals, offsetIndex)
+    consistency, keyOrdinal, splitBytes, indexOrdinals, offsetIndex,
+    compress = zstdCompress)
   // Rotation: finished segments accumulate in task order — their relative
   // order is preserved through ordinal assignment at commit, which is what
   // keeps last-write-wins correct for repeated keys within one partition.

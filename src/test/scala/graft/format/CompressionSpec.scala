@@ -1,0 +1,78 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** Per-record zstd compression (`hadro.compress=zstd`, fixed at creation):
+  * payloads shrink behind a self-describing flag bit, so every byte-offset
+  * structure — split points, the key→offset index, deletion-vector row
+  * indices — stays exact, and every read path decompresses transparently
+  * inside the frame parser. At 100 TB a text corpus scan moves a fraction
+  * of the bytes. */
+class CompressionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("compressed collection round-trips exactly and shrinks on disk") {
+    val plain = Files.createTempDirectory("zstd_plain").resolve("c").toString
+    val comp = Files.createTempDirectory("zstd_comp").resolve("c").toString
+    docs.coalesce(1).write.format("hadro").mode("append").save(plain)
+    docs.coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd").save(comp)
+
+    def dataBytes(p: String): Long =
+      CollectionMeta.currentManifest(java.nio.file.Paths.get(p)).segments.map(_.bytes).sum
+    assert(dataBytes(comp) < dataBytes(plain),
+      s"zstd must shrink text segments: ${dataBytes(comp)} vs ${dataBytes(plain)}")
+
+    val a = spark.read.format("hadro").load(plain).orderBy("doc_id").collect().toSeq
+    val b = spark.read.format("hadro").load(comp).orderBy("doc_id").collect().toSeq
+    assert(a == b, "compressed read must be byte-identical")
+  }
+
+  test("point lookups and splits stay exact over compressed segments") {
+    val path = Files.createTempDirectory("zstd_keyed").resolve("c").toString
+    docs.coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd")
+      .option("hadro.key", "doc_id")
+      .option("hadro.splitBytes", "65536") // force several split ranges
+      .save(path)
+    val c = Collection(spark, path)
+    val got = c.get(42L).select($"text").as[String].head()
+    val want = docs.filter($"doc_id" === 42L).select($"text").as[String].head()
+    assert(got == want)
+    // split-ranged scan covers everything exactly once
+    assert(c.scan().count() == docs.count())
+    // mutation paths ride the same writer: tombstone + re-read
+    c.delete(7L)
+    assert(c.toDF().filter($"doc_id" === 7L).isEmpty)
+    assert(c.toDF().count() == docs.count() - 1)
+  }
+
+  test("the codec is fixed at creation and survives evolution") {
+    val path = Files.createTempDirectory("zstd_fixed").resolve("c").toString
+    docs.limit(10).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd").save(path)
+    // silently flipping the codec is refused
+    val ex = intercept[Exception] {
+      docs.limit(5).write.format("hadro").mode("append")
+        .option("hadro.compress", "none").save(path)
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(e => Option(e.getMessage)).exists(_.contains("compression")))
+    // plain appends inherit the stored codec; ALTER keeps the property
+    docs.limit(5).withColumn("doc_id", $"doc_id" + 100000L)
+      .write.format("hadro").mode("append").save(path)
+    val c = Collection(spark, path)
+    c.addColumn("extra", org.apache.spark.sql.types.StringType)
+    val meta = CollectionMeta.readSchema(java.nio.file.Paths.get(path)).get
+    assert(meta.compress.contains("zstd"), "evolution must not drop the codec")
+    assert(spark.read.format("hadro").load(path).count() == 15)
+  }
+}
