@@ -419,6 +419,22 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                 m.segments.map(_.bytes).sum, m.mutated, m.generation,
                 m.committedAtMs)
             }.toArray
+          case "stats" =>
+            // ANALYZE output (`CALL system.analyze`), schema field order
+            val m = CollectionMeta.currentManifest(dir)
+            val logical = CollectionMeta.readSchema(dir)
+              .map(s => CollectionMeta.logicalSchema(s.schema))
+              .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+            logical.flatMap(name => m.colStats.get(name).map { cs =>
+              def render(l: Option[Long], d: Option[Double]) =
+                l.map(_.toString).orElse(d.map(_.toString))
+                  .map(UTF8String.fromString).orNull
+              InternalRow(UTF8String.fromString(name), cs.distinctCount,
+                cs.nullCount, cs.avgLen, cs.maxLen,
+                render(cs.minLong, cs.minDouble),
+                render(cs.maxLong, cs.maxDouble),
+                m.analyzedVersion)
+            }).toArray
         }
       }
     }
@@ -436,6 +452,11 @@ object HadroMetadataTable {
       .add("version", LongType).add("n_segments", LongType)
       .add("n_rows", LongType).add("n_bytes", LongType)
       .add("mutated", BooleanType).add("generation", LongType)
-      .add("committed_at_ms", LongType))
+      .add("committed_at_ms", LongType),
+    "stats" -> new StructType()
+      .add("column", StringType).add("ndv", LongType)
+      .add("null_count", LongType).add("avg_len", LongType)
+      .add("max_len", LongType).add("min_value", StringType)
+      .add("max_value", StringType).add("analyzed_version", LongType))
   val kinds: Set[String] = schemas.keySet
 }

@@ -215,6 +215,27 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.meta")
   }
 
+  test("metadata table t.stats exposes the ANALYZE output") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("DROP TABLE IF EXISTS testcat.db.st")
+    spark.sql("CREATE TABLE testcat.db.st (id BIGINT, v DOUBLE, s STRING) USING hadro")
+    spark.sql("INSERT INTO testcat.db.st " +
+      "SELECT id, id * 1.0, CAST(id % 7 AS STRING) FROM range(0, 140, 1, 2)")
+    // before analyze: no rows (never analyzed)
+    assert(spark.sql("SELECT * FROM testcat.db.st.stats").count() == 0)
+    spark.sql("CALL testcat.system.analyze('db.st', true)")
+    val stats = spark.sql("SELECT * FROM testcat.db.st.stats ORDER BY column")
+    assert(stats.columns.toSeq == Seq("column", "ndv", "null_count",
+      "avg_len", "max_len", "min_value", "max_value", "analyzed_version"))
+    val byCol = stats.collect().map(r => r.getString(0) -> r).toMap
+    assert(byCol("id").getLong(1) == 140L)
+    assert(byCol("id").getString(5) == "0" && byCol("id").getString(6) == "139")
+    assert(byCol("s").getLong(1) == 7L)
+    assert(byCol("v").getString(5).toDouble == 0.0)
+    spark.sql("DROP TABLE testcat.db.st")
+  }
+
   test("catalog tables and path API address the same collection") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
