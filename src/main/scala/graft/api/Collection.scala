@@ -712,12 +712,19 @@ final class Collection private (spark: SparkSession, val path: String) {
     * selectivity). At 100 TB the approximate pass is one scan + one
     * HLL-sketch merge per column; stats then amortize over every query
     * until the next analyze. Returns field-ordered (column, stats). */
-  def analyze(exact: Boolean = false): Seq[(String, graft.meta.ColumnStatMeta)] = {
+  def analyze(exact: Boolean = false,
+      histogramBins: Int = 0): Seq[(String, graft.meta.ColumnStatMeta)] = {
     import org.apache.spark.sql.types._
+    require(histogramBins >= 0, "histogramBins must be >= 0")
     val logical = CollectionMeta.logicalSchema(CollectionMeta.readSchema(dir).get.schema)
     val m0 = manifest
     val df = toDF()
     def n(field: String, what: String) = s"${field}__$what"
+    def numeric(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false
+    }
     val aggs = logical.fields.toSeq.flatMap { f =>
       val c = col(f.name)
       val base = Seq(
@@ -743,7 +750,15 @@ final class Collection private (spark: SparkSession, val path: String) {
           max(c).cast(DoubleType).as(n(f.name, "maxd")))
         case _ => Nil
       }
-      base ++ len ++ rng
+      // equi-height bin bounds: bins+1 percentile cut points in the SAME
+      // single aggregation pass (no extra scan)
+      val histo =
+        if (histogramBins > 0 && numeric(f.dataType)) Seq(
+          percentile_approx(c.cast(DoubleType),
+            typedlit((0 to histogramBins).map(_.toDouble / histogramBins)),
+            lit(10000)).as(n(f.name, "histo")))
+        else Nil
+      base ++ len ++ rng ++ histo
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     def g[T](field: String, what: String): Option[T] = {
@@ -756,8 +771,16 @@ final class Collection private (spark: SparkSession, val path: String) {
     }
     val stats = logical.fields.toSeq.map { f =>
       val default = f.dataType.defaultSize.toLong
+      val ndv = g[Long](f.name, "ndv").getOrElse(0L)
+      val bins = g[scala.collection.Seq[Double]](f.name, "histo").map { cuts0 =>
+        val cuts = cuts0.toIndexedSeq // immutable: Seq pattern must match
+        val perBin = math.max(1L, ndv / math.max(1, cuts.size - 1))
+        cuts.sliding(2).collect { case Seq(lo, hi) =>
+          graft.meta.HistogramBinMeta(lo, hi, perBin)
+        }.toSeq
+      }.getOrElse(Nil)
       f.name -> graft.meta.ColumnStatMeta(
-        distinctCount = g[Long](f.name, "ndv").getOrElse(0L),
+        distinctCount = ndv,
         nullCount = g[Long](f.name, "nulls").getOrElse(0L),
         avgLen = g[java.lang.Number](f.name, "avglen")
           .map(d => math.max(1L, math.round(d.doubleValue()))).getOrElse(default),
@@ -766,7 +789,8 @@ final class Collection private (spark: SparkSession, val path: String) {
         minLong = g[Long](f.name, "minl"),
         maxLong = g[Long](f.name, "maxl"),
         minDouble = g[Double](f.name, "mind"),
-        maxDouble = g[Double](f.name, "maxd"))
+        maxDouble = g[Double](f.name, "maxd"),
+        histogram = bins)
     }
     CollectionMeta.commit(dir, cur =>
       cur.copy(colStats = stats.toMap, analyzedVersion = m0.version))

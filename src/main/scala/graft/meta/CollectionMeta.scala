@@ -34,7 +34,16 @@ final case class ColumnStatMeta(
     minLong: Option[Long] = None,
     maxLong: Option[Long] = None,
     minDouble: Option[Double] = None,
-    maxDouble: Option[Double] = None)
+    maxDouble: Option[Double] = None,
+    // Equi-height histogram (numeric columns, optional): bin bounds from
+    // one approx_percentile pass, per-bin ndv approximated as
+    // distinctCount / bins (equi-height bins hold ~equal ROW counts; the
+    // ndv split is the standard uniformity approximation). Powers CBO
+    // range-predicate selectivity beyond plain min/max.
+    histogram: Seq[HistogramBinMeta] = Nil)
+
+/** One equi-height histogram bin: [lo, hi] plus approximate ndv. */
+final case class HistogramBinMeta(lo: Double, hi: Double, ndv: Long)
 
 /** A record-aligned resume point inside a segment: byte `offset` where a
   * record starts, and the in-segment `row` index of that record. Writers

@@ -1508,7 +1508,7 @@ object StorageQueries {
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
           .createOrReplaceTempView("h54_src")
         s.sql("INSERT INTO graft_h54.db.suppliers SELECT * FROM h54_src")
-        s.sql("CALL graft_h54.system.analyze('db.suppliers', true)")
+        s.sql("CALL graft_h54.system.analyze('db.suppliers', true, 0)")
           .select(col("column").as("col_name"), col("ndv"), col("null_count"))
           .orderBy("col_name")
       },

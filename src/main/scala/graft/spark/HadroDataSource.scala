@@ -944,6 +944,26 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
                 box(cs.minLong, cs.minDouble)
               override def max(): java.util.Optional[Object] =
                 box(cs.maxLong, cs.maxDouble)
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                if (cs.histogram.isEmpty)
+                  java.util.Optional.empty()
+                else java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    // equi-height: rows-per-bin is the live count split
+                    // evenly over the bins (how the bounds were chosen)
+                    override def height(): Double =
+                      (rows - cs.nullCount).toDouble / cs.histogram.size
+                    override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                      cs.histogram.map { b =>
+                        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                          override def lo(): Double = b.lo
+                          override def hi(): Double = b.hi
+                          override def ndv(): Long = b.ndv
+                        }
+                      }.toArray
+                  })
             })
         }
       }

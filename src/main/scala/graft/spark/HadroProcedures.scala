@@ -122,14 +122,17 @@ object HadroProcedures {
       case "analyze" => proc("analyze",
         "compute table-level column statistics (ANALYZE TABLE analog) and " +
           "publish them to the cost-based optimizer via the scan's " +
-          "reported statistics; exact=false uses one HLL pass",
-        Seq(p("table", StringType), p("exact", BooleanType)),
+          "reported statistics; exact=false uses one HLL pass; " +
+          "histogram_bins>0 adds equi-height histograms on numeric columns",
+        Seq(p("table", StringType), p("exact", BooleanType),
+          p("histogram_bins", IntegerType)),
         new StructType().add("column", StringType).add("ndv", LongType)
           .add("null_count", LongType).add("avg_len", LongType)
-          .add("max_len", LongType)) { in =>
-          coll(in).analyze(exact = in.getBoolean(1)).map { case (name, cs) =>
+          .add("max_len", LongType).add("n_histogram_bins", IntegerType)) { in =>
+          coll(in).analyze(exact = in.getBoolean(1),
+              histogramBins = in.getInt(2)).map { case (name, cs) =>
             InternalRow(UTF8String.fromString(name), cs.distinctCount,
-              cs.nullCount, cs.avgLen, cs.maxLen)
+              cs.nullCount, cs.avgLen, cs.maxLen, cs.histogram.size)
           }
         }
       case "history" => proc("history",

@@ -224,7 +224,7 @@ class CatalogSpec extends SparkSuite {
       "SELECT id, id * 1.0, CAST(id % 7 AS STRING) FROM range(0, 140, 1, 2)")
     // before analyze: no rows (never analyzed)
     assert(spark.sql("SELECT * FROM testcat.db.st.stats").count() == 0)
-    spark.sql("CALL testcat.system.analyze('db.st', true)")
+    spark.sql("CALL testcat.system.analyze('db.st', true, 0)")
     val stats = spark.sql("SELECT * FROM testcat.db.st.stats ORDER BY column")
     assert(stats.columns.toSeq == Seq("column", "ndv", "null_count",
       "avg_len", "max_len", "min_value", "max_value", "analyzed_version"))

@@ -90,6 +90,28 @@ class StatsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("analyze histograms reach the optimizer's attribute stats") {
+    val path = tmp("histo")
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    Collection.create(spark, path, src)
+    val c = Collection(spark, path)
+    val stats = c.analyze(exact = true, histogramBins = 8).toMap
+    val hb = stats("o_totalprice").histogram
+    assert(hb.size == 8)
+    // bins tile min..max in order, each with some ndv
+    assert(hb.head.lo <= hb.head.hi && hb.forall(b => b.ndv > 0))
+    hb.sliding(2).foreach { case Seq(a, b) => assert(a.hi == b.lo); case _ => () }
+    assert(hb.head.lo == stats("o_totalprice").minDouble.get)
+    assert(hb.last.hi == stats("o_totalprice").maxDouble.get)
+    // the optimizer-facing catalyst stats carry the histogram
+    val leaf = spark.read.format("hadro").load(path)
+      .filter($"o_totalprice" > 0.0).queryExecution.optimizedPlan
+      .collectLeaves().head
+    val a = leaf.stats.attributeStats.find(_._1.name == "o_totalprice").map(_._2)
+    assert(a.exists(_.histogram.isDefined), "histogram missing from catalyst stats")
+    assert(a.flatMap(_.histogram).exists(_.bins.length == 8))
+  }
+
   test("small hadro dimension is broadcast without a hint") {
     val path = tmp("bcast")
     val dim = spark.read.parquet(s"$sf0001/nation.parquet")
