@@ -127,6 +127,17 @@ final class HadroTable(path: Path, dataSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
 
+  // DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface the collection-level
+  // declarations (key, codec); bucketing already shows via partitioning()
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    CollectionMeta.readSchema(path).foreach { meta =>
+      meta.keyField.foreach(k => m.put("key", k))
+      meta.compress.foreach(c => m.put("compress", c))
+    }
+    m
+  }
+
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name: String = HadroTable.SeqCol

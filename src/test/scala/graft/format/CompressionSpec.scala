@@ -74,5 +74,9 @@ class CompressionSpec extends SparkSuite {
     val meta = CollectionMeta.readSchema(java.nio.file.Paths.get(path)).get
     assert(meta.compress.contains("zstd"), "evolution must not drop the codec")
     assert(spark.read.format("hadro").load(path).count() == 15)
+    // the codec is visible as a table property (DESCRIBE EXTENDED surface)
+    val t = new graft.spark.HadroTable(java.nio.file.Paths.get(path),
+      spark.read.format("hadro").load(path).schema)
+    assert(t.properties().get("compress") == "zstd")
   }
 }
