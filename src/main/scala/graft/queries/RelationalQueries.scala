@@ -603,6 +603,31 @@ object RelationalQueries {
         LATERAL (SELECT s_name, s_acctbal FROM supplier s
                  WHERE s.s_nationkey = n.n_nationkey
                  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
-        ORDER BY n.n_name, t.s_acctbal DESC, t.s_name"""))
+        ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""")),
+
+    // ---------------------------------------------------------------- q25
+    // VALUE-RANGE window frame: per-user trailing one-hour sum over the
+    // event stream — RANGE BETWEEN <interval> PRECEDING, the time-window
+    // frame ROWS frames can't express (peers by VALUE distance, not row
+    // count). Sums ride DECIMAL on both engines (FP frame-order trap).
+    QueryDef(
+      "q25_range_frame_window",
+      (s, dir) => {
+        QueryDef.table(s, dir, "events").createOrReplaceTempView("q25_events")
+        s.sql("""SELECT user_id, ts,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS win_sum
+          FROM q25_events WHERE user_id % 20 = 0
+          ORDER BY user_id, ts""")
+      },
+      Some("""SELECT user_id, epoch_ns(ts) AS ts,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+            PARTITION BY user_id ORDER BY epoch_ns(ts)
+            RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS win_sum
+        FROM events WHERE user_id % 20 = 0
+        ORDER BY user_id, ts"""))
   )
 }
