@@ -55,6 +55,27 @@ class CompressionSpec extends SparkSuite {
     assert(c.toDF().count() == docs.count() - 1)
   }
 
+  test("a corrupt compressed payload fails loudly, not with wrong rows") {
+    val path = Files.createTempDirectory("zstd_corrupt").resolve("c").toString
+    docs.limit(20).coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd").save(path)
+    val seg = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+      .segments.head
+    val f = java.nio.file.Paths.get(path).resolve(seg.file)
+    val bytes = Files.readAllBytes(f)
+    // flip bytes in the middle of the file — inside some record's frame
+    val mid = bytes.length / 2
+    (mid until math.min(mid + 8, bytes.length)).foreach(i =>
+      bytes(i) = (bytes(i) ^ 0x5a).toByte)
+    Files.write(f, bytes)
+    // the contract is LOUD failure (zstd frame error, bounds check, or
+    // framing EOF depending on which bytes the flip hit) — never a
+    // silent wrong-rows read
+    intercept[Exception] {
+      spark.read.format("hadro").load(path).collect()
+    }
+  }
+
   test("the codec is fixed at creation and survives evolution") {
     val path = Files.createTempDirectory("zstd_fixed").resolve("c").toString
     docs.limit(10).write.format("hadro").mode("append")
