@@ -596,6 +596,30 @@ object SimilarityOps {
     collection
   }
 
+  /** INCREMENTAL index refresh: append newly-ingested vectors to an
+    * existing [[buildSqIndex]] collection WITHOUT a rebuild — the frozen
+    * quantizer params (min, scale) from the sidecar encode the new batch,
+    * one append commit publishes it, and every subsequent [[sqTopK]] /
+    * [[rerankTopK]] / [[filteredRerankTopK]] sees old + new rows in the
+    * same coarse scan. This is how an index tracks a growing corpus at
+    * 100 TB: O(batch) work per refresh instead of O(corpus), at the cost
+    * that out-of-range components CLAMP to the trained range (cells 0 /
+    * 255) — the standard drift trade; re-run the full build when drift
+    * accumulates (spec quantifies the clamp's bounded effect). The
+    * append is atomic (manifest commit), so concurrent queries see the
+    * old or the new index, never a torn one. */
+  def appendSqIndex(index: graft.api.Collection, df: DataFrame,
+      idCol: String, vecCol: String, metaCols: Seq[String] = Nil): graft.api.Collection = {
+    val (minv, scale) = loadSqParams(java.nio.file.Paths.get(index.path))
+      .getOrElse(
+        throw new IllegalStateException(s"no sq8 params sidecar at ${index.path}"))
+    val codes = df.select(col(idCol).as("vid") +:
+      graft.functions.VectorExpressions.sq8_encode(col(vecCol), minv, scale)
+        .as("codes") +: metaCols.map(col): _*)
+    index.append(codes)
+    index
+  }
+
   /** Top-k over a [[buildSqIndex]] collection: decode each byte code to
     * its cell midpoint ([[graft.functions.Sq8Decode]]) and rank by exact
     * cosine against the full-precision query — asymmetric distance

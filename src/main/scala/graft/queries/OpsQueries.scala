@@ -895,6 +895,55 @@ object OpsQueries {
           FROM scored)
         WHERE rk <= 5 ORDER BY qid, rk""")),
 
+    // ---------------------------------------------------------------- s18
+    // INCREMENTAL index refresh: the sq8 index is built on 80% of the
+    // corpus, the remaining batch is APPENDED under the frozen quantizer
+    // params (O(batch) work, one atomic commit, out-of-range components
+    // clamp), then a two-stage re-rank query runs over old+new together.
+    // The oracle re-derives the subset-trained params, clamped codes, the
+    // 50-pool, and the exact re-rank — so the refresh path is
+    // value-checked end to end, not just row-counted.
+    QueryDef(
+      "s18_index_refresh",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s18_index",
+          e.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding")
+        SimilarityOps.appendSqIndex(idx,
+          e.filter(col("vec_id") % 5 === 4), "vec_id", "embedding")
+        SimilarityOps.rerankTopK(idx, e, "vec_id", "embedding", q, 20,
+            candidates = 50)
+          .withColumn("cosine", round(col("cosine"), 4))
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        bounds AS (
+          SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS minv,
+                 CAST(MAX(list_max(embedding)) AS DOUBLE) AS maxv
+          FROM embeddings WHERE vec_id % 5 <> 4),
+        params AS (SELECT minv, (maxv - minv) / 256 AS scale FROM bounds),
+        decoded AS (
+          SELECT e.vec_id,
+            list_transform(CAST(e.embedding AS DOUBLE[]), x ->
+              p.minv + (LEAST(GREATEST(floor((x - p.minv) / p.scale),
+                0), 255) + 0.5) * p.scale) AS dv
+          FROM embeddings e, params p),
+        pool AS (
+          SELECT d.vec_id FROM decoded d, q
+          ORDER BY list_cosine_similarity(d.dv, q.qv) DESC, d.vec_id
+          LIMIT 50)
+        SELECT e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+            AS cosine
+        FROM embeddings e JOIN pool USING (vec_id), q
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+          DESC, e.vec_id
+        LIMIT 20""")),
+
     // ---------------------------------------------------------------- s16
     // MATRYOSHKA two-stage search: coarse rank on the first 16 of 64
     // dimensions (quarter the flops/bytes; with the prefix stored as its

@@ -614,6 +614,32 @@ class OpsSpec extends SparkSuite {
       s"one Lloyd pass must not lose recall: trained $trained < seed $seed")
   }
 
+  test("incremental sq8 refresh keeps recall and finds appended vectors") {
+    val pathRoot = java.nio.file.Files.createTempDirectory("sqrefresh")
+    val old = embs.filter($"vec_id" < 400L)
+    val fresh = embs.filter($"vec_id" >= 400L)
+    val idx = SimilarityOps.buildSqIndex(spark, pathRoot.resolve("ix").toString,
+      old, "vec_id", "embedding")
+    val v0 = idx.version
+    SimilarityOps.appendSqIndex(idx, fresh, "vec_id", "embedding")
+    assert(idx.version == v0 + 1, "refresh must be one atomic commit")
+    assert(idx.count() == embs.count())
+    // a query AT an appended vector must retrieve it first via re-rank
+    val qid = embs.agg(max($"vec_id")).head().getLong(0)
+    val q = embs.filter($"vec_id" === qid).select($"embedding").head().getSeq[Float](0)
+    val top = SimilarityOps.rerankTopK(idx, embs.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", q, 5, candidates = 50)
+      .select($"vec_id").as[Long].collect()
+    assert(top.head == qid, s"appended vector $qid must be its own nearest, got ${top.head}")
+    // refreshed-index recall vs brute force stays high despite clamping
+    val exact = SimilarityOps.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+    val got = SimilarityOps.rerankTopK(idx, embs.select($"vec_id", $"embedding"),
+      "vec_id", "embedding", q, 10, candidates = 50)
+    val r = SimilarityOps.recallAtK(exact, Seq("refreshed" -> got), "vec_id", 10)
+      .select($"recall").head().getDouble(0)
+    assert(r >= 0.8, s"post-refresh recall@10 $r < 0.8")
+  }
+
   test("matryoshka search is exact at full dims and recalls well truncated") {
     val q = embs.filter($"vec_id" === 7L).select($"embedding").head().getSeq[Float](0)
     val exact = SimilarityOps.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
