@@ -1612,6 +1612,34 @@ object StorageQueries {
           ORDER BY doc_id""")
       },
       Some("""SELECT doc_id, text, lang, source FROM documents
-        WHERE NOT (doc_id % 7 = 3) ORDER BY doc_id"""))
+        WHERE NOT (doc_id % 7 = 3) ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- h58
+    // INSERT OVERWRITE: SQL truncate-and-append in one statement — the
+    // stale rows vanish atomically with the new commit (TRUNCATE
+    // capability + append write), history records both versions.
+    QueryDef(
+      "h58_insert_overwrite",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h58"
+        s.conf.set("spark.sql.catalog.graft_h58", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h58.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h58.db")
+        s.sql("DROP TABLE IF EXISTS graft_h58.db.nations")
+        s.sql("""CREATE TABLE graft_h58.db.nations
+          (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT) USING hadro""")
+        QueryDef.table(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .createOrReplaceTempView("h58_src")
+        s.sql("INSERT INTO graft_h58.db.nations SELECT * FROM h58_src")
+        // overwrite with the odd half only: the even rows must be gone
+        s.sql("""INSERT OVERWRITE graft_h58.db.nations
+          SELECT * FROM h58_src WHERE n_nationkey % 2 = 1""")
+        s.sql("""SELECT n_nationkey, n_name, n_regionkey
+          FROM graft_h58.db.nations ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_nationkey % 2 = 1 ORDER BY n_nationkey"""))
   )
 }
