@@ -13,6 +13,31 @@ import graft.api.Collection
 class StreamSourceSpec extends SparkSuite {
   import spark.implicits._
 
+  test("source progress reports segmentsBehind and drains to zero") {
+    val colPath = Files.createTempDirectory("met_col").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    src.repartition(4).write.format("hadro").mode("append").save(colPath)
+    val q = spark.readStream.format("hadro").load(colPath)
+      .writeStream.format("memory").queryName("met_sink").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    val metrics = q.lastProgress.sources.head.metrics
+    assert(metrics.get("segmentsBehind") == "0",
+      s"drained stream must report zero backlog, got $metrics")
+    assert(metrics.containsKey("logGeneration"))
+    // new appends show up as backlog on the NEXT progress
+    src.write.format("hadro").mode("append").save(colPath)
+    val s0 = new HadroMicroBatchStream(
+      java.nio.file.Paths.get(colPath), src.schema, src.schema)
+    val lag = s0.metrics(java.util.Optional.of(
+      q.lastProgress.sources.head.endOffset match {
+        case s: String => s0.deserializeOffset(s)
+        case _ => fail("unexpected offset form")
+      }))
+    assert(lag.get("segmentsBehind").toLong >= 1L)
+    q.stop()
+  }
+
   test("startingVersion positions a fresh stream at the requested commit") {
     val colPath = Files.createTempDirectory("sv_col").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/nation.parquet")
