@@ -93,6 +93,53 @@ object SampleOps {
     df.filter(key < bound)
   }
 
+  /** TOKEN-BUDGET sampling: the deterministic hash-prefix subsample whose
+    * cumulative token count fits `budget` — "give me exactly ~N training
+    * tokens" without a random state. Selection order is md5(seed:id)
+    * (ties to id), so membership is content-derived and reproducible.
+    *
+    * Scale shape: the semantics are a global running sum in hash order,
+    * but the PLAN is two-phase: (1) one aggregation over 256 hash-prefix
+    * buckets gives the cutoff bucket on the driver (256 longs); every
+    * bucket wholly under budget passes with a map-only filter; (2) only
+    * the single BOUNDARY bucket (~1/256 of the corpus) pays a windowed
+    * running sum. Because md5 order = (bucket, rest) lexicographic order,
+    * the two phases compose to exactly the global running-sum semantics —
+    * the oracle checks against the one-window formulation. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, seed: String = "graft"): DataFrame = {
+    require(budget >= 0, "token budget must be >= 0")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val bucket = substring(key, 1, 2)
+    val toks = size(split(col(textCol), " ")).cast("long")
+    val perBucket = df
+      .groupBy(bucket.as("__b")).agg(sum(toks).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    var cum = 0L
+    var boundary: Option[String] = None
+    var before = 0L
+    val full = scala.collection.mutable.Buffer.empty[String]
+    perBucket.foreach { case (b, t) =>
+      if (boundary.isEmpty) {
+        if (cum + t <= budget) { full += b; cum += t }
+        else { boundary = Some(b); before = cum; cum += t }
+      }
+    }
+    val fullSet = full.toSet
+    val keepFull = df.filter(bucket.isin(fullSet.toSeq: _*))
+    boundary match {
+      case None => keepFull
+      case Some(b) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(key, col(idCol))
+        val edge = df.filter(bucket === b)
+          .withColumn("__cum", sum(toks).over(w))
+          .filter(col("__cum") + lit(before) <= budget)
+          .drop("__cum")
+        keepFull.unionByName(edge)
+    }
+  }
+
   /** Per-source QUOTA cap (domain balancing): keep at most `cap` documents
     * from each source, chosen by deterministic content-hash priority (md5
     * of the seeded id; ties to smaller id) — the "no domain may dominate

@@ -1187,6 +1187,26 @@ object OpsQueries {
           CAST(COUNT(*) AS BIGINT) AS n_members
         FROM ranked GROUP BY cluster ORDER BY cluster""")),
 
+    // ---------------------------------------------------------------- d20
+    // TOKEN-BUDGET sampling: the deterministic hash-order subsample whose
+    // running token total fits the budget — two-phase in the plan
+    // (bucket cutoff + one boundary-bucket window), a single global
+    // running sum in semantics, which is exactly what the oracle checks.
+    QueryDef(
+      "d20_token_budget",
+      (s, dir) => {
+        SampleOps.tokenBudgetSample(table(s, dir, "documents"),
+            "doc_id", "text", budget = 9000L)
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id,
+            SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+              ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS cum
+          FROM documents)
+        WHERE cum <= 9000 ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- d17
     // INCREMENTAL dedup: admit an incoming crawl batch against an already-
     // ingested corpus — batch docs whose content (by sha2 hash) exists in

@@ -47,6 +47,27 @@ class OpsSpec extends SparkSuite {
     assert(doubled == 3)
   }
 
+  test("token-budget sample fits the budget, maximal and partition-stable") {
+    def toks = sum(size(split($"text", " ")).cast("long"))
+    val total = docs.agg(toks).head().getLong(0)
+    val budget = total / 3
+    val kept = SampleOps.tokenBudgetSample(docs, "doc_id", "text", budget)
+    val keptTokens = kept.agg(toks).head().getLong(0)
+    assert(keptTokens <= budget, s"over budget: $keptTokens > $budget")
+    // maximal under the hash order: adding the NEXT doc would overflow
+    // (equivalently, kept tokens land within one max-doc of the budget)
+    val maxDoc = docs.agg(max(size(split($"text", " ")).cast("long"))).head().getLong(0)
+    assert(keptTokens + maxDoc > budget, "sample must be maximal for its order")
+    // degenerate budgets
+    assert(SampleOps.tokenBudgetSample(docs, "doc_id", "text", 0L).isEmpty)
+    assert(SampleOps.tokenBudgetSample(docs, "doc_id", "text", total).count()
+      == docs.count())
+    // deterministic under repartitioning
+    val again = SampleOps.tokenBudgetSample(docs.repartition(7), "doc_id", "text", budget)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept.select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("source cap bounds every source and passes small sources through") {
     val capped = SampleOps.sourceCap(docs, "doc_id", "source", 10)
     val per = capped.groupBy($"source").count()
