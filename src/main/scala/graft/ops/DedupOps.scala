@@ -138,6 +138,28 @@ object DedupOps {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** EDIT-DISTANCE near-duplicate pairs: candidate pairs from the
+    * inverted-index n-gram stage (key-equality shuffle, df-capped — never
+    * all-pairs), verified by Levenshtein distance <= `maxDist` instead of
+    * Jaccard. The right verifier when edits are CHARACTER-level (OCR
+    * noise, typo farms, template fill-ins) — token-set Jaccard barely
+    * moves under single-character edits inside words, while edit distance
+    * counts them directly. Levenshtein is Spark's builtin (codegen'd DP,
+    * O(len²) per CANDIDATE pair only). Returns (doc_a, doc_b, dist). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 10, shingleK: Int = 3, minShared: Int = 3,
+      maxDocFreq: Int = 100): DataFrame = {
+    val cands = ngramJaccardPairs(df, idCol, textCol, shingleK = shingleK,
+      minShared = minShared, threshold = 0.0, maxDocFreq = maxDocFreq)
+      .select(col("doc_a"), col("doc_b"))
+    val a = df.select(col(idCol).as("doc_a"), col(textCol).as("__ta"))
+    val b = df.select(col(idCol).as("doc_b"), col(textCol).as("__tb"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** Near-dup cluster CANONICALIZATION: group near-duplicates (n-gram
     * Jaccard pairs → connected components) and keep exactly one
     * representative per cluster — the LONGEST text, ties to the smallest

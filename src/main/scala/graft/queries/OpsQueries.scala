@@ -1187,6 +1187,53 @@ object OpsQueries {
           CAST(COUNT(*) AS BIGINT) AS n_members
         FROM ranked GROUP BY cluster ORDER BY cluster""")),
 
+    // ---------------------------------------------------------------- d21
+    // EDIT-DISTANCE near-dup: inverted-index candidates verified by
+    // Levenshtein <= 10 — the character-level verifier token-set Jaccard
+    // can't see (OCR noise, typo variants). Planted 3-char-suffix copies
+    // must surface with dist 3; the oracle replays the candidate stage
+    // and DuckDB's levenshtein.
+    QueryDef(
+      "d21_edit_distance_neardup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val corpus = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" qq"))))
+        DedupOps.editDistancePairs(corpus, "doc_id", "text", maxDist = 10)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' qq'
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 100),
+        post AS (SELECT i.doc_id, i.shingle FROM inv i JOIN rare r USING (shingle)),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM post a JOIN post b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        )
+        SELECT c.doc_a, c.doc_b,
+          CAST(levenshtein(da.text, db.text) AS INT) AS dist
+        FROM cand c
+        JOIN docs da ON da.doc_id = c.doc_a
+        JOIN docs db ON db.doc_id = c.doc_b
+        WHERE levenshtein(da.text, db.text) <= 10
+        ORDER BY doc_a, doc_b""")),
+
     // ---------------------------------------------------------------- d20
     // TOKEN-BUDGET sampling: the deterministic hash-order subsample whose
     // running token total fits the budget — two-phase in the plan

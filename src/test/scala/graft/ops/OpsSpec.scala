@@ -84,6 +84,23 @@ class OpsSpec extends SparkSuite {
     assert(again == capped.select($"doc_id").as[Long].collect().toSet)
   }
 
+  test("edit-distance pairs recall planted char-level variants exactly") {
+    val planted3 = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" % 20 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+        .withColumn("text", concat($"text", lit(" qq")))
+        .select($"doc_id", $"text"))
+    val pairs = DedupOps.editDistancePairs(planted3, "doc_id", "text", maxDist = 5)
+      .select($"doc_a", $"doc_b", $"dist").as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    plantedIds.foreach { id =>
+      assert(byPair.get((id, id + 1000000L)).contains(3),
+        s"planted 3-char variant of $id must verify at dist 3")
+    }
+    // verification is tight: nothing beyond maxDist slips through
+    assert(pairs.forall(_._3 <= 5))
+  }
+
   test("cluster keep-best keeps the longest member once per chain") {
     val base = "many distinct words compose this long synthetic sentence for shingle tests"
     val rows = Seq(
