@@ -55,6 +55,19 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("zstd round trip preserves arbitrary batches bit-for-bit") {
+    samples(genBatch, 6, seed = 43).foreach { rows =>
+      val path = Files.createTempDirectory("propz").resolve("c").toString
+      mkDf(rows).repartition(3).write.format("hadro").mode("append")
+        .option("hadro.compress", "zstd").save(path)
+      val back = spark.read.format("hadro").load(path)
+      assert(back.count() == rows.length)
+      val a = mkDf(rows).collect().map(_.toString).sorted
+      val b = back.collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    }
+  }
+
   test("pushed filter == post-scan filter for arbitrary thresholds") {
     val path = Files.createTempDirectory("prop").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/orders.parquet")
