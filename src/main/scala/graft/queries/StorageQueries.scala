@@ -1640,6 +1640,31 @@ object StorageQueries {
           FROM graft_h58.db.nations ORDER BY n_nationkey""")
       },
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
-        WHERE n_nationkey % 2 = 1 ORDER BY n_nationkey"""))
+        WHERE n_nationkey % 2 = 1 ORDER BY n_nationkey""")),
+
+    // ---------------------------------------------------------------- h59
+    // CTAS + RTAS: `CREATE TABLE ... AS SELECT` materializes a query
+    // straight into a hadro table (schema inferred from the plan);
+    // `REPLACE TABLE ... AS SELECT` swaps in a fresh table+history. The
+    // final state after a CTAS-then-REPLACE chain binds to the oracle.
+    QueryDef(
+      "h59_ctas",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h59"
+        s.conf.set("spark.sql.catalog.graft_h59", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h59.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h59.db")
+        s.sql("DROP TABLE IF EXISTS graft_h59.db.top_parts")
+        QueryDef.table(s, dir, "part").createOrReplaceTempView("h59_src")
+        s.sql("""CREATE TABLE graft_h59.db.top_parts USING hadro AS
+          SELECT p_partkey, p_name, p_size FROM h59_src WHERE p_size > 40""")
+        s.sql("""REPLACE TABLE graft_h59.db.top_parts USING hadro AS
+          SELECT p_partkey, p_name, p_size FROM h59_src WHERE p_size > 45""")
+        s.sql("""SELECT p_partkey, p_name, p_size
+          FROM graft_h59.db.top_parts ORDER BY p_partkey""")
+      },
+      Some("""SELECT p_partkey, p_name, p_size FROM part
+        WHERE p_size > 45 ORDER BY p_partkey"""))
   )
 }
