@@ -1187,6 +1187,52 @@ object OpsQueries {
           CAST(COUNT(*) AS BIGINT) AS n_members
         FROM ranked GROUP BY cluster ORDER BY cluster""")),
 
+    // ---------------------------------------------------------------- d22
+    // The CURATION PIPELINE composed end to end in ONE declarative plan:
+    // exact dedup (keep the earliest copy) → per-source quota cap →
+    // token-budget cut — the three passes every pretraining corpus runs,
+    // chained so Catalyst plans them together (the dedup anti-join feeds
+    // the cap's window feeds the budget's cutoff with no materialization
+    // between stages). The oracle nests the same three formulas.
+    QueryDef(
+      "d22_curation_pipeline",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val base = d.unionByName( // planted exact dups must collapse first
+          d.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        val keep = DedupOps.exactDedup(base, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val deduped = base.join(keep, Seq("doc_id"), "left_semi")
+        val capped = SampleOps.sourceCap(deduped, "doc_id", "source", 15)
+        SampleOps.tokenBudgetSample(capped, "doc_id", "text", budget = 6000L)
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text, source FROM documents
+          WHERE doc_id % 10 = 0),
+        dedup AS (
+          SELECT MIN(doc_id) AS doc_id FROM base GROUP BY text),
+        survivors AS (
+          SELECT b.doc_id, b.text, b.source FROM base b
+          JOIN dedup k USING (doc_id)),
+        capped AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM survivors)
+          WHERE rk <= 15)
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+              ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS cum
+          FROM capped)
+        WHERE cum <= 6000 ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- d21
     // EDIT-DISTANCE near-dup: inverted-index candidates verified by
     // Levenshtein <= 10 — the character-level verifier token-set Jaccard
