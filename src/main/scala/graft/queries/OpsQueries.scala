@@ -3635,6 +3635,41 @@ object OpsQueries {
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey % 2 = 1 ORDER BY c_custkey"""))
+        WHERE c_custkey % 2 = 1 ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- st20
+    // STREAMING curation: the same map-only text operators (token count +
+    // language gate) applied to a document STREAM — stateless curation
+    // ops compose onto readStream unchanged, so a filter written for
+    // batch runs as the ingest gate with zero rewrites. The sink
+    // receives only in-band docs; oracle = the batch formulation.
+    QueryDef(
+      "st20_streaming_curation",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.functions.col
+        val src = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val colPath =
+          s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st20"
+        graft.api.Collection.create(s, colPath, src, numSegments = 4)
+        val name = s"st20_sink_${System.nanoTime()}"
+        val stream = s.readStream.format("hadro").load(colPath)
+        val curated = stream
+          .withColumn("n_tokens", graft.ops.TextOps.tokenCount(col("text")))
+          .filter(col("n_tokens").between(40, 60) && col("lang") === "en")
+          .select(col("doc_id"), col("n_tokens"))
+        val q = curated.writeStream.outputMode("append").format("memory")
+          .queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(120000),
+          "AvailableNow query must terminate by itself")
+        s.table(name).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 40 AND 60
+          AND lang = 'en'
+        ORDER BY doc_id"""))
   )
 }
