@@ -149,9 +149,10 @@ object DedupOps {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 10, shingleK: Int = 3, minShared: Int = 3,
       maxDocFreq: Int = 100): DataFrame = {
-    val cands = ngramJaccardPairs(df, idCol, textCol, shingleK = shingleK,
-      minShared = minShared, threshold = 0.0, maxDocFreq = maxDocFreq)
-      .select(col("doc_a"), col("doc_b"))
+    // candidates only — no Jaccard verify join, no shingle-array shuffle;
+    // the DP below is the sole verification
+    val cands = ngramCandidates(
+      hashedShingleSets(df, idCol, textCol, shingleK), minShared, maxDocFreq)
     val a = df.select(col(idCol).as("doc_a"), col(textCol).as("__ta"))
     val b = df.select(col(idCol).as("doc_b"), col(textCol).as("__tb"))
     cands.join(a, "doc_a").join(b, "doc_b")
@@ -385,6 +386,38 @@ object DedupOps {
     * re-joining the shingle arrays. Pairs must share >= minShared shingles
     * to enter verification (prunes the long tail of 1-shingle collisions).
     */
+  /** Hashed shingle sets: 8-byte tokens instead of n-gram strings, so the
+    * inverted index joins on longs and verify joins ship long arrays. */
+  private def hashedShingleSets(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      transform(TextOps.shingleSet(col(textCol), shingleK), s => xxhash64(s)).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+
+  /** Candidate (doc_a, doc_b) pairs from the df-capped inverted index —
+    * the shared first stage of Jaccard and edit-distance verification.
+    * Document-frequency cap: shingles occurring in > maxDocFreq docs are
+    * dropped from CANDIDATE GENERATION only (a shingle shared by everyone
+    * identifies no one, but its postings join quadratically); callers'
+    * verification stages are immune to the cap by construction. */
+  private def ngramCandidates(sets: DataFrame, minShared: Int,
+      maxDocFreq: Int): DataFrame = {
+    val inverted = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = inverted.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
+      .select(col("shingle"))
+    val postings = inverted.join(rare, Seq("shingle"))
+    val a = postings.select(col("shingle"), col("doc_id").as("doc_a"))
+    val bb = postings.select(col("shingle"), col("doc_id").as("doc_b"))
+    a.join(bb, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, minShared: Int = 3, threshold: Double = 0.6,
       maxDocFreq: Int = 100): DataFrame = {
@@ -393,29 +426,9 @@ object DedupOps {
     // full-set verify join ships long arrays — same exact Jaccard
     // (cardinalities survive hashing; collision odds 2^-64 per pair) at a
     // fraction of the shuffle bytes.
-    val sets = df.select(col(idCol).as("doc_id"),
-      transform(TextOps.shingleSet(col(textCol), shingleK), s => xxhash64(s)).as("shingles"))
-      .withColumn("set_size", size(col("shingles")))
+    val sets = hashedShingleSets(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inverted = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    // Document-frequency cap: shingles occurring in > maxDocFreq docs are
-    // dropped from CANDIDATE GENERATION only (a shingle shared by everyone
-    // identifies no one, but its postings join quadratically). Verification
-    // below recomputes Jaccard on the FULL shingle sets, so the cap costs
-    // recall only for pairs sharing nothing but ultra-common shingles.
-    val rare = inverted.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
-      .select(col("shingle"))
-    val postings = inverted.join(rare, Seq("shingle"))
-    val a = postings.select(col("shingle"), col("doc_id").as("doc_a"))
-    val bb = postings.select(col("shingle"), col("doc_id").as("doc_b"))
-    val candidates = a.join(bb, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
-      .select(col("doc_a"), col("doc_b"))
+    val candidates = ngramCandidates(sets, minShared, maxDocFreq)
     // Exact verify on full sets (immune to the candidate-stage cap).
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
