@@ -150,9 +150,12 @@ object DedupOps {
       maxDist: Int = 10, shingleK: Int = 3, minShared: Int = 3,
       maxDocFreq: Int = 100): DataFrame = {
     // candidates only — no Jaccard verify join, no shingle-array shuffle;
-    // the DP below is the sole verification
+    // the DP below is the sole verification. Sets persist because the
+    // candidate stage reads the inverted index twice (df-count + join).
     val cands = ngramCandidates(
-      hashedShingleSets(df, idCol, textCol, shingleK), minShared, maxDocFreq)
+      hashedShingleSets(df, idCol, textCol, shingleK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      minShared, maxDocFreq)
     val a = df.select(col(idCol).as("doc_a"), col(textCol).as("__ta"))
     val b = df.select(col(idCol).as("doc_b"), col(textCol).as("__tb"))
     cands.join(a, "doc_a").join(b, "doc_b")
