@@ -371,19 +371,57 @@ final class StatsCollector private (schema: StructType) {
 
   def result(): Map[String, ColumnStats] =
     schema.fields.zipWithIndex.map { case (f, i) =>
+      // Long STRING bounds are truncated (Iceberg-style) so a document
+      // corpus never embeds whole texts in the manifest: min → 64-char
+      // prefix (a prefix is always <= the full string bytewise), max →
+      // ASCII-successor of the prefix (> every string carrying it), or no
+      // upper bound when no prefix char is incrementable. Conservative
+      // for pruning; `exact = false` makes aggregate pushdown decline.
+      val (mnR, mxR, exact) = (Option(mins(i)), Option(maxs(i))) match {
+        case (Some(a: UTF8String), b) =>
+          val minS = a.toString
+          val maxS = b.map(_.toString)
+          val cap = StatsCollector.MaxStringBound
+          if (minS.length <= cap && maxS.forall(_.length <= cap))
+            (Some(minS), maxS, true)
+          else (
+            Some(minS.take(cap)),
+            maxS.flatMap(s =>
+              if (s.length <= cap) Some(s)
+              else StatsCollector.asciiSuccessor(s.take(cap))),
+            false)
+        case (a, b) =>
+          (a.map(StatsCollector.render), b.map(StatsCollector.render), true)
+      }
       f.name -> ColumnStats(
-        min = Option(mins(i)).map(StatsCollector.render),
-        max = Option(maxs(i)).map(StatsCollector.render),
+        min = mnR,
+        max = mxR,
         nullCount = nulls(i),
         sum =
           if (!summable(i)) None
           else Some(
-            if (sumsBig(i) != null) sumsBig(i).toString else sums(i).toString))
+            if (sumsBig(i) != null) sumsBig(i).toString else sums(i).toString),
+        exact = exact)
     }.toMap
 }
 
 object StatsCollector {
   def apply(schema: StructType): StatsCollector = new StatsCollector(schema)
+
+  /** Longest string stored verbatim as a manifest bound. */
+  val MaxStringBound: Int = 64
+
+  /** A string strictly greater (bytewise UTF-8) than every string with
+    * prefix `p`: increment the rightmost ASCII (< 0x7f) char and drop the
+    * tail — positions before it compare equal, and at it the single-byte
+    * successor beats the original byte. None when no char is safely
+    * incrementable (then there is no cheap upper bound). */
+  def asciiSuccessor(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) >= 0x7f) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
 
   def isOrderable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |

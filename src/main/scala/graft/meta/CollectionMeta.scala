@@ -12,9 +12,14 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * segment skipping at scan planning time. */
 /** Per-segment column statistics. `sum` is the exact integral-column sum
   * (decimal string, overflow-safe), recorded at write for SUM aggregate
-  * pushdown; None for non-integral columns and legacy segments. */
+  * pushdown; None for non-integral columns and legacy segments. `exact`:
+  * whether min/max are the true extrema — long string bounds are
+  * TRUNCATED (valid conservative prefix/successor bounds, Iceberg-style)
+  * so a text corpus never embeds whole documents in the manifest; segment
+  * skipping stays correct with conservative bounds, but MIN/MAX aggregate
+  * pushdown must decline when exact = false. */
 final case class ColumnStats(min: Option[String], max: Option[String],
-    nullCount: Long, sum: Option[String] = None)
+    nullCount: Long, sum: Option[String] = None, exact: Boolean = true)
 
 /** Table-level per-column statistics computed by `CALL system.analyze`
   * (ANALYZE TABLE analog) and reported to Spark's cost-based optimizer via

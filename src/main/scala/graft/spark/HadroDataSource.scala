@@ -406,6 +406,9 @@ object HadroAggPushdown {
       live.foreach { s =>
         if (presentIn(s, ord)) s.stats.get(f.name) match {
           case Some(st) =>
+            // truncated (long-string) bounds are conservative, not the
+            // true extrema — pruning may use them, aggregates must not
+            if (!st.exact) return None
             (if (wantMin) st.min else st.max) match {
               case Some(rendered) =>
                 val v = StatsCollector.parse(rendered, f.dataType)

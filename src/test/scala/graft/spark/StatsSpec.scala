@@ -112,6 +112,38 @@ class StatsSpec extends SparkSuite {
     assert(a.flatMap(_.histogram).exists(_.bins.length == 8))
   }
 
+  test("long string bounds truncate in the manifest yet stay conservative") {
+    val path = tmp("strbounds")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    Collection.create(spark, path, docs, numSegments = 4)
+    val m = graft.meta.CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    m.segments.foreach { s =>
+      val st = s.stats("text")
+      assert(st.min.forall(_.length <= 64), "min bound must be truncated")
+      assert(st.max.forall(_.length <= 64), "max bound must be truncated")
+      assert(!st.exact, "truncated bounds must be marked inexact")
+      assert(s.stats("lang").exact, "short strings keep exact bounds")
+    }
+    // equality over the long column still finds its row (bounds widened,
+    // never narrowed)
+    val t = docs.orderBy($"doc_id").select($"text").head().getString(0)
+    assert(spark.read.format("hadro").load(path)
+      .filter($"text" === t).count() >= 1)
+    // MIN over the truncated column declines metadata answering but is
+    // still correct from the scan; the exact short column stays metadata
+    val longAgg = spark.read.format("hadro").load(path).agg(min($"text"))
+    assert(longAgg.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "inexact bounds must not answer MIN from metadata")
+    assert(longAgg.head().getString(0) ==
+      docs.agg(min($"text")).head().getString(0))
+    val shortAgg = spark.read.format("hadro").load(path).agg(min($"lang"))
+    assert(!shortAgg.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "exact bounds must keep the metadata fast path")
+    assert(shortAgg.head().getString(0) ==
+      docs.agg(min($"lang")).head().getString(0))
+  }
+
   test("small hadro dimension is broadcast without a hint") {
     val path = tmp("bcast")
     val dim = spark.read.parquet(s"$sf0001/nation.parquet")
