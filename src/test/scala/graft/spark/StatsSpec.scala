@@ -112,6 +112,22 @@ class StatsSpec extends SparkSuite {
     assert(a.flatMap(_.histogram).exists(_.bins.length == 8))
   }
 
+  test("analyze measures the RESOLVED view of a keyed collection") {
+    val path = tmp("analyzekeyed")
+    val base = spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    Collection.create(spark, path, base.toDF(), key = Some("id"))
+    val c = Collection(spark, path)
+    // shadow half the keys with new versions and delete a quarter
+    c.set(spark.range(0, 50).selectExpr("id", "CAST(id * 10 AS DOUBLE) AS v").toDF())
+    c.delete(spark.range(75, 100).toDF("id"))
+    val stats = c.analyze(exact = true).toMap
+    // ndv/nulls reflect the post-LWW, post-tombstone view, not the raw log
+    assert(stats("id").distinctCount == 75L)
+    assert(stats("id").maxLong.contains(74L))
+    assert(stats("v").distinctCount ==
+      c.toDF().select($"v").distinct().count())
+  }
+
   test("long string bounds truncate in the manifest yet stay conservative") {
     val path = tmp("strbounds")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
