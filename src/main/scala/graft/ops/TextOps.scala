@@ -100,6 +100,41 @@ object TextOps {
           count(lit(1)), 4).as("lm_nll"))
   }
 
+  /** BIGRAM-LM quality score: mean negative log-likelihood per document
+    * under the corpus' own add-one-smoothed bigram model —
+    * `nll(a,b) = -ln((c(ab)+1) / (c(a)+V))` — the conditional upgrade of
+    * [[lmNllScores]]'s unigram signal (catches locally-fluent-but-
+    * scrambled text a bag-of-words score misses; the KenLM-filter shape).
+    * Same exactness discipline: per-bigram log-probs pre-rounded to 6
+    * decimals and DECIMAL-summed, so the DuckDB twin matches despite ln()
+    * and aggregation order. Model and scores are two hash aggregations +
+    * one broadcast-or-shuffle join on the bigram key — no all-pairs, no
+    * driver collections beyond the vocab size V. Docs with fewer than two
+    * tokens carry no bigram and emit no row. */
+  def lmBigramNllScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val pairs = toks.select(col("doc_id"), explode(
+        zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val uni = toks.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ca"))
+    val v = uni.count()
+    val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val model = bi.join(uni, bi("a") === uni("tok"))
+      .select(col("a"), col("b"),
+        round(-log((col("cab") + 1).cast("double") / (col("ca") + v)), 6)
+          .as("nll"))
+    pairs.join(model, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(round(
+        sum(col("nll").cast(DecimalType(27, 12))).cast("double") /
+          count(lit(1)), 4).as("bigram_nll"))
+  }
+
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =

@@ -795,6 +795,40 @@ object OpsQueries {
         FROM tok JOIN model USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- t18
+    // Bigram-LM quality (the KenLM-filter shape): mean add-one-smoothed
+    // conditional nll per doc under the corpus' own bigram model —
+    // catches scrambled-but-lexical text the unigram score (t12) misses.
+    // Pre-rounded log-probs + DECIMAL sums keep the DuckDB twin exact.
+    QueryDef(
+      "t18_bigram_lm",
+      (s, dir) => {
+        TextOps.lmBigramNllScores(table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        pairs AS (
+          SELECT doc_id,
+            unnest(ts[1:len(ts) - 1]) AS a,
+            unnest(ts[2:len(ts)]) AS b
+          FROM toks),
+        uni AS (
+          SELECT tok, COUNT(*) AS ca
+          FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+        v AS (SELECT COUNT(*) AS nv FROM uni),
+        bi AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY a, b),
+        model AS (
+          SELECT bi.a, bi.b,
+            ROUND(-ln(CAST(bi.cab + 1 AS DOUBLE) / (uni.ca + v.nv)), 6) AS nll
+          FROM bi JOIN uni ON uni.tok = bi.a, v)
+        SELECT p.doc_id,
+          ROUND(CAST(SUM(CAST(m.nll AS DECIMAL(27,12))) AS DOUBLE)
+            / COUNT(*), 4) AS bigram_nll
+        FROM pairs p JOIN model m ON m.a = p.a AND m.b = p.b
+        GROUP BY p.doc_id ORDER BY p.doc_id""")),
+
     // ---------------------------------------------------------------- m08
     // IMAGE NEAR-DUP via perceptual average-hash over REAL decoded
     // rasters: planted 8x8 PNGs carry vertical stripes whose width is

@@ -714,6 +714,25 @@ class OpsSpec extends SparkSuite {
     assert(div(1) != 999999L, "exact copy of rank-1 must not take rank 2 under MMR")
   }
 
+  test("bigram LM penalizes rare transitions under equal contexts") {
+    // controlled model: 'a b' transitions dominate the corpus; doc 999
+    // uses the SAME tokens but rare 'a a'/'b b' transitions — with the
+    // context (first-token) counts shared, only conditional structure
+    // separates the scores, which is exactly what a bigram LM measures
+    // and a unigram LM cannot (identical bags).
+    val common = (1L to 50L).map(i => (i, Array.fill(10)("a b").mkString(" ")))
+    val rare = Seq((999L, Array.fill(5)("a a b b").mkString(" ")))
+    val corpus = (common ++ rare).toDF("doc_id", "text")
+    val scores = TextOps.lmBigramNllScores(corpus, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(scores(999L) > scores(1L),
+      s"rare transitions ${scores(999L)} must exceed common ${scores(1L)}")
+    // partition-independent (decimal-summed, no FP order sensitivity)
+    val again = TextOps.lmBigramNllScores(corpus.repartition(7), "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(scores == again)
+  }
+
   test("LM quality scores are positive, total, and partition-independent") {
     val scores = TextOps.lmNllScores(docs, "doc_id", "text")
       .as[(Long, Double)].collect().toMap
