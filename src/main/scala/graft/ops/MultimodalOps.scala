@@ -239,6 +239,56 @@ object MultimodalOps {
       .toDF("media_id", "phash")
   }
 
+  /** AUDIO near-dup fingerprint: energy-envelope hash over REAL decoded
+    * s16le mono WAV — mean |amplitude| per time window, thresholded at
+    * the envelope mean and packed into one long (the audio analog of
+    * [[imagePerceptualHash]]'s aHash). Loudness-structure-derived, so
+    * re-containered or globally-rescaled copies of the same material
+    * collide while different envelopes separate. Map-only per-partition
+    * batches, 8 bytes out per asset; clustering/ranking composes with the
+    * same hamming machinery as images (s12). Non-WAV / non-s16le-mono
+    * assets emit a null hash (pipeline stays total over mixed media). */
+  def audioEnvelopeHash(df: DataFrame, idCol: String, mediaCol: String,
+      windows: Int = 16): DataFrame = {
+    require(windows >= 2 && windows <= 64, s"windows must fit 64 bits, got $windows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val p = graft.functions.WavUtil.parse(bytes)
+          if (p == null || p(0) != 1 || p(1) != 1 || p(3) != 16)
+            (id, None: Option[Long])
+          else {
+            val off = p(4)
+            val n = p(5) / 2
+            if (n < windows) (id, None: Option[Long])
+            else {
+              val env = new Array[Long](windows)
+              val cnt = new Array[Long](windows)
+              var i = 0
+              while (i < n) {
+                val s = ((bytes(off + 2 * i) & 0xff) |
+                  (bytes(off + 2 * i + 1) << 8)).toShort
+                val w = (i.toLong * windows / n).toInt
+                env(w) += math.abs(s.toLong); cnt(w) += 1
+                i += 1
+              }
+              var j = 0
+              while (j < windows) { env(j) /= math.max(1L, cnt(j)); j += 1 }
+              val mean = env.sum / windows
+              var hash = 0L
+              j = 0
+              while (j < windows) { if (env(j) >= mean) hash |= 1L << j; j += 1 }
+              (id, Some(hash))
+            }
+          }
+        }
+      }
+      .toDF("media_id", "ehash")
+  }
+
   /** Resize: REAL nearest-neighbor downscale + PNG re-encode for decodable
     * images (deterministic — no interpolation, no float resampling); the
     * byte-skip STUB transform for everything else, so the pipeline stays

@@ -874,6 +874,42 @@ object OpsQueries {
         FROM documents GROUP BY doc_id % 7 ORDER BY rep_id"""))
     ,
 
+    // ---------------------------------------------------------------- m09
+    // AUDIO near-dup via energy-envelope hash over REAL WAVs: planted
+    // containers carry square loud/quiet envelopes whose burst period is
+    // doc_id-derived (5 analytically distinct loudness shapes; amplitude
+    // varies per doc but thresholding at the envelope mean erases it).
+    // Identical envelope SHAPE — whatever the gain — must collapse into
+    // exactly the 5 analytic groups; the oracle predicts the group
+    // structure without reimplementing the hash.
+    QueryDef(
+      "m09_audio_envelope_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val planted = table(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val c = (id % 5 + 1).toInt // burst period class (windows)
+              val gain = (500 + (id % 13) * 700).toInt // per-doc loudness
+              val n = 1600
+              val samples = Array.tabulate(n) { i =>
+                val w = i * 16 / n // 16 envelope windows
+                val loud = (w / c) % 2 == 0
+                (if (loud) gain else gain / 50).toShort
+              }
+              (id, graft.functions.WavUtil.encodeMono(8000, samples))
+            }
+          }.toDF("doc_id", "media")
+        MultimodalOps.audioEnvelopeHash(planted, "doc_id", "media")
+          .groupBy(col("ehash"))
+          .agg(min(col("media_id")).as("rep_id"), count(lit(1)).as("n"))
+          .select(col("rep_id"), col("n"))
+          .orderBy("rep_id")
+      },
+      Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+          COUNT(*) AS n
+        FROM documents GROUP BY doc_id % 5 ORDER BY rep_id""")),
+
     // ---------------------------------------------------------------- s15
     // BATCH two-stage re-ranking: a whole frame of queries through the
     // sq8-coarse -> exact-re-rank pipeline in one plan (s07's batch

@@ -714,6 +714,27 @@ class OpsSpec extends SparkSuite {
     assert(div(1) != 999999L, "exact copy of rank-1 must not take rank 2 under MMR")
   }
 
+  test("audio envelope hash is gain-invariant, shape-sensitive, total") {
+    def wav(period: Int, gain: Int): Array[Byte] = {
+      val n = 1600
+      graft.functions.WavUtil.encodeMono(8000, Array.tabulate(n) { i =>
+        val w = i * 16 / n
+        (if ((w / period) % 2 == 0) gain else gain / 50).toShort
+      })
+    }
+    val rows = Seq(
+      (1L, wav(2, 1000)), (2L, wav(2, 9000)), // same shape, 9x gain
+      (3L, wav(3, 1000)), // different burst period
+      (4L, "not a wav".getBytes)) // foreign bytes stay total
+    val out = MultimodalOps
+      .audioEnvelopeHash(rows.toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).isDefined && out(1L) == out(2L), "gain must not change the hash")
+    assert(out(1L) != out(3L), "different envelope shapes must separate")
+    assert(out(4L).isEmpty, "non-WAV bytes hash to null, not an error")
+  }
+
   test("bigram LM penalizes rare transitions under equal contexts") {
     // controlled model: 'a b' transitions dominate the corpus; doc 999
     // uses the SAME tokens but rare 'a a'/'b b' transitions — with the
