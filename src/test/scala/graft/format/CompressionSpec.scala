@@ -55,6 +55,23 @@ class CompressionSpec extends SparkSuite {
     assert(c.toDF().count() == docs.count() - 1)
   }
 
+  test("compaction rewrites stay compressed") {
+    val path = Files.createTempDirectory("zstd_compact").resolve("c").toString
+    val plain = Files.createTempDirectory("zstd_compact_ref").resolve("c").toString
+    docs.repartition(3).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd").save(path)
+    docs.repartition(3).write.format("hadro").mode("append").save(plain)
+    val c = Collection(spark, path)
+    c.compact()
+    val cp = Collection(spark, plain); cp.compact()
+    def bytes(p: String) = CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(p)).segments.map(_.bytes).sum
+    assert(bytes(path) < bytes(plain),
+      "post-compaction segments must still be compressed")
+    assert(spark.read.format("hadro").load(path).orderBy("doc_id").collect().toSeq
+      == docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("a corrupt compressed payload fails loudly, not with wrong rows") {
     val path = Files.createTempDirectory("zstd_corrupt").resolve("c").toString
     docs.limit(20).coalesce(1).write.format("hadro").mode("append")
