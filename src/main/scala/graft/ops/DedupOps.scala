@@ -159,8 +159,12 @@ object DedupOps {
     val a = df.select(col(idCol).as("doc_a"), col(textCol).as("__ta"))
     val b = df.select(col(idCol).as("doc_b"), col(textCol).as("__tb"))
     cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("dist") <= maxDist)
+      // |len(a)-len(b)| lower-bounds edit distance: most candidate pairs
+      // skip the DP entirely, and the THRESHOLDED levenshtein bands the
+      // rest (returns -1 past maxDist instead of filling the full table)
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
