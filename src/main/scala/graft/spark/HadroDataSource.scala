@@ -159,7 +159,8 @@ final class HadroTable(path: Path, dataSchema: StructType,
       options.getLong("hadro.maxOrdinalsPerTrigger", 0L),
       Option(options.get("hadro.files"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty),
-      Option(options.get("hadro.startingVersion")))
+      Option(options.get("hadro.startingVersion")),
+      options.getLong("hadro.maxBytesPerTrigger", 0L))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -217,7 +218,8 @@ final class HadroTable(path: Path, dataSchema: StructType,
 final class HadroScanBuilder(path: Path, dataSchema: StructType,
     versionAsOf: Option[Long] = None, onTruncate: String = "fail",
     maxOrdinalsPerTrigger: Long = 0L, onlyFiles: Option[Set[String]] = None,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    maxBytesPerTrigger: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownOffset {
@@ -321,7 +323,8 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     case Some((aggSchema, row)) => new HadroLocalAggScan(path, aggSchema, row)
     case None =>
       new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
-        maxOrdinalsPerTrigger, limit, onlyFiles, topN, offset, startingVersion)
+        maxOrdinalsPerTrigger, limit, onlyFiles, topN, offset, startingVersion,
+        maxBytesPerTrigger)
   }
 }
 
@@ -515,7 +518,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushedLimit: Option[Int] = None, onlyFiles: Option[Set[String]] = None,
     pushedTopN: Option[(String, Boolean, Int)] = None,
     pushedOffset: Option[Int] = None,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    maxBytesPerTrigger: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -583,7 +587,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       "hadro: hadro.files is a batch-rewrite primitive, not a stream source option")
     validateAgainstStored()
     new HadroMicroBatchStream(path, storedSchema, required, onTruncate,
-      maxOrdinalsPerTrigger, startingVersion)
+      maxOrdinalsPerTrigger, startingVersion, maxBytesPerTrigger)
   }
   override def description(): String =
     s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]" +

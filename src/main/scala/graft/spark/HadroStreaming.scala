@@ -39,7 +39,8 @@ final case class HadroOffset(nextOrdinal: Long, generation: Long = 0L) extends O
 final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     required: StructType, onTruncate: String = "fail",
     maxOrdinalsPerTrigger: Long = 0L,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    maxBytesPerTrigger: Long = 0L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
@@ -67,6 +68,8 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     s"hadro.onTruncate must be fail|restart, got '$onTruncate'")
   require(maxOrdinalsPerTrigger >= 0,
     s"hadro.maxOrdinalsPerTrigger must be >= 0, got $maxOrdinalsPerTrigger")
+  require(maxBytesPerTrigger >= 0,
+    s"hadro.maxBytesPerTrigger must be >= 0, got $maxBytesPerTrigger")
   require(startingVersion.forall(v =>
       v.equalsIgnoreCase("latest") || v.forall(_.isDigit)),
     s"hadro.startingVersion must be a version number or 'latest', got " +
@@ -124,7 +127,8 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
   // bounded cadence and a failed backfill resumes mid-log instead of
   // restarting a single giant batch. 0 = unbounded (default).
   override def getDefaultReadLimit: ReadLimit =
-    if (maxOrdinalsPerTrigger > 0) ReadLimit.maxRows(maxOrdinalsPerTrigger)
+    if (maxOrdinalsPerTrigger > 0 || maxBytesPerTrigger > 0)
+      ReadLimit.maxRows(math.max(maxOrdinalsPerTrigger, 1L))
     else ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -138,11 +142,40 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
         math.min(cap.nextOrdinal, m.nextOrdinal)
       case _ => m.nextOrdinal
     }
-    if (maxOrdinalsPerTrigger <= 0 || m.generation != so.generation)
+    val uncapped = maxOrdinalsPerTrigger <= 0 && maxBytesPerTrigger <= 0
+    if (uncapped || m.generation != so.generation)
       HadroOffset(end, m.generation) // truncate: re-admit whole log
-    else
-      HadroOffset(math.min(end, so.nextOrdinal + maxOrdinalsPerTrigger),
-        m.generation)
+    else {
+      // ordinal cap bounds manifest-planning work; BYTE cap bounds the
+      // micro-batch's I/O when segment sizes vary (a backfill over mixed
+      // 1 MB/1 GB segments must checkpoint by data volume, not file
+      // count). Both compose; at least one ordinal always admits so the
+      // stream can never stall on a single oversized segment.
+      var capped = end
+      if (maxOrdinalsPerTrigger > 0)
+        capped = math.min(capped, so.nextOrdinal + maxOrdinalsPerTrigger)
+      if (maxBytesPerTrigger > 0) {
+        val inRange = m.segments
+          .filter(s => s.ordinal >= so.nextOrdinal && s.ordinal < capped)
+          .sortBy(_.ordinal)
+        var bytes = 0L
+        var last = so.nextOrdinal
+        var stop = false
+        inRange.foreach { s =>
+          if (!stop) {
+            // offsets are RANGES: the first over-budget segment ends the
+            // batch (no skipping ahead), but the first segment always
+            // admits so one oversized file can never stall the stream
+            if (last == so.nextOrdinal || bytes + s.bytes <= maxBytesPerTrigger) {
+              bytes += s.bytes
+              last = s.ordinal + 1
+            } else stop = true
+          }
+        }
+        capped = math.min(capped, math.max(last, so.nextOrdinal + 1))
+      }
+      HadroOffset(capped, m.generation)
+    }
   }
 
   override def deserializeOffset(json: String): Offset = {

@@ -38,6 +38,48 @@ class StreamSourceSpec extends SparkSuite {
     q.stop()
   }
 
+  test("maxBytesPerTrigger bounds micro-batch volume, never stalls") {
+    val colPath = Files.createTempDirectory("bpt_col").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/orders.parquet")
+    src.repartition(6).write.format("hadro").mode("append").save(colPath)
+    val segs = graft.meta.CollectionMeta
+      .currentManifest(java.nio.file.Paths.get(colPath)).segments
+    val maxSeg = segs.map(_.bytes).max
+    // cap below a single segment: every batch admits exactly one ordinal
+    // (progress guarantee) and the stream still drains everything
+    val stream = new HadroMicroBatchStream(
+      java.nio.file.Paths.get(colPath), src.schema, src.schema,
+      maxBytesPerTrigger = maxSeg / 2)
+    var off = stream.initialOffset().asInstanceOf[HadroOffset]
+    var batches = 0
+    while (off.nextOrdinal < segs.size && batches < 100) {
+      val next = stream
+        .latestOffset(off, stream.getDefaultReadLimit)
+        .asInstanceOf[HadroOffset]
+      assert(next.nextOrdinal == off.nextOrdinal + 1,
+        "sub-segment cap must admit exactly one ordinal per batch")
+      off = next; batches += 1
+    }
+    assert(batches == segs.size)
+    // a roomy cap admits several segments per batch but bounds the bytes
+    val roomy = new HadroMicroBatchStream(
+      java.nio.file.Paths.get(colPath), src.schema, src.schema,
+      maxBytesPerTrigger = maxSeg * 3)
+    val first = roomy.latestOffset(roomy.initialOffset(),
+      roomy.getDefaultReadLimit).asInstanceOf[HadroOffset]
+    assert(first.nextOrdinal > 1 && first.nextOrdinal < segs.size,
+      s"roomy cap should admit a strict subset, got ${first.nextOrdinal}")
+    val admitted = segs.filter(_.ordinal < first.nextOrdinal).map(_.bytes).sum
+    assert(admitted <= maxSeg * 3)
+    // end-to-end: the capped stream drains the full collection
+    val q = spark.readStream.format("hadro")
+      .option("hadro.maxBytesPerTrigger", (maxSeg / 2).toString).load(colPath)
+      .writeStream.format("memory").queryName("bpt_sink").outputMode("append")
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("bpt_sink").count() == src.count())
+  }
+
   test("startingVersion positions a fresh stream at the requested commit") {
     val colPath = Files.createTempDirectory("sv_col").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/nation.parquet")
