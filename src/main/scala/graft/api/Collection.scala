@@ -702,6 +702,27 @@ final class Collection private (spark: SparkSession, val path: String) {
   def expireSnapshots(olderThanMs: Long): Int =
     CollectionMeta.expireManifestsOlderThan(dir, olderThanMs)
 
+  /** Pin a committed version under a name (Iceberg tag analog). A tagged
+    * version is exempt from EVERY retention sweep — count-based ageout,
+    * [[expireSnapshots]], rewrite GC — and its segment/sidecar files are
+    * excluded from deferred physical GC, so `VERSION AS OF '<name>'` (and
+    * [[restoreVersion]]) keep working across later compaction/truncate/CoW
+    * until [[dropTag]]. `version = -1` tags the current head. Returns the
+    * version tagged. At 100 TB a tag is the cheap "release snapshot" verb:
+    * one metadata write pins the exact bytes a training run consumed. */
+  def createTag(name: String, version: Long = -1L): Long = {
+    val v = if (version < 0) this.version else version
+    CollectionMeta.setRef(dir, name, v)
+    v
+  }
+
+  /** Drop a named tag; its pinned files return to normal GC at the next
+    * maintenance cycle. Returns whether the tag existed. */
+  def dropTag(name: String): Boolean = CollectionMeta.dropRef(dir, name)
+
+  /** All named tags: name -> pinned version. */
+  def tags: Map[String, Long] = CollectionMeta.readRefs(dir)
+
   /** ANALYZE TABLE analog: compute table-level per-column statistics over
     * the RESOLVED data (what queries see) in ONE distributed aggregation
     * pass — distinct count (HLL-approximate by default, `exact = true` for

@@ -274,6 +274,75 @@ object CollectionMeta {
     }
   }
 
+  // ----------------------------------------------------------------- refs
+  // Named refs (Iceberg tag analog): `_hadro/refs.json` maps tag name ->
+  // manifest version. A tagged version is PINNED: its manifest survives
+  // every retention sweep (count-based ageout, age-based expire, rewrite
+  // GC) and its segment/sidecar files are excluded from deferred physical
+  // GC — so `VERSION AS OF 'tag'` keeps planning across compaction,
+  // truncate and CoW rewrites until the tag is dropped. The whole map is
+  // replaced atomically (tmp + rename); tag ops are maintenance verbs, so
+  // last-writer-wins on concurrent SAME-INSTANT tag edits is acceptable
+  // and documented, unlike manifest commits which retry on races.
+
+  private def refsFile(collection: Path): Path = metaDir(collection).resolve("refs.json")
+
+  /** All named refs: tag name -> pinned manifest version. */
+  def readRefs(collection: Path): Map[String, Long] = {
+    val f = refsFile(collection)
+    if (!Files.exists(f)) Map.empty
+    else try {
+      JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+        .extract[Map[String, Long]]
+    } catch { case _: Exception => Map.empty }
+  }
+
+  private def writeRefs(collection: Path, refs: Map[String, Long]): Unit = {
+    Files.createDirectories(metaDir(collection))
+    if (refs.isEmpty) { Files.deleteIfExists(refsFile(collection)); return }
+    val tmp = metaDir(collection).resolve(s"refs.json.tmp${System.nanoTime()}")
+    Files.write(tmp, Serialization.write(refs).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, refsFile(collection), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Pin `version` under `name`. The version must be currently retained AND
+    * reconstructable (same fail-fast as time travel) — a tag protects
+    * history going FORWARD; it cannot resurrect what GC already took. */
+  def setRef(collection: Path, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"hadro: invalid tag name '$name' (allowed: letters, digits, . _ -)")
+    manifestAt(collection, version) // validates retention + reconstructability
+    writeRefs(collection, readRefs(collection) + (name -> version))
+  }
+
+  /** Drop a named ref. Returns whether it existed. The pinned version's
+    * manifest stays on disk until the next retention sweep. */
+  def dropRef(collection: Path, name: String): Boolean = {
+    val refs = readRefs(collection)
+    if (!refs.contains(name)) false
+    else { writeRefs(collection, refs - name); true }
+  }
+
+  /** Versions pinned by any ref — excluded from every manifest GC path. */
+  private def taggedVersions(collection: Path): Set[Long] =
+    readRefs(collection).values.toSet
+
+  /** Every file name referenced by a tagged (and still present) manifest:
+    * data segments plus all sidecar classes. Unioned into the live set by
+    * [[deferredGc]]/[[purgeDeferred]], so physical GC never reclaims a
+    * pinned snapshot's bytes. O(#tags × #segments) manifest JSON reads —
+    * metadata-scale, only on GC paths. */
+  private def taggedLiveFiles(collection: Path): Set[String] =
+    taggedVersions(collection).iterator.flatMap { v =>
+      try {
+        val segs = readManifest(collection, v).segments
+        segs.iterator.flatMap(s =>
+          Iterator(s.file) ++ s.bloom.iterator ++ s.offsetIndex.iterator ++
+            s.deleteVector.iterator ++ s.indexBlooms.valuesIterator)
+      } catch { case _: Exception => Iterator.empty }
+    }.toSet
+
   // ----------------------------------------------------------- manifest
 
   private val ManifestRe = "manifest-(\\d{10})\\.json".r
@@ -368,11 +437,12 @@ object CollectionMeta {
   def deferredGc(collection: Path, live: Set[String]): Unit = {
     val dir = metaDir(collection)
     Files.createDirectories(dir)
-    purgeDeferred(collection, live)
+    val keep = live ++ taggedLiveFiles(collection)
+    purgeDeferred(collection, keep)
     val dead = listDir(collection)
       .map(_.getFileName.toString)
       .filter(n => (n.endsWith(".data") || n.endsWith(".bloom") ||
-        n.endsWith(".koff") || n.endsWith(".dv")) && !live(n))
+        n.endsWith(".koff") || n.endsWith(".dv")) && !keep(n))
       .sorted
     if (dead.nonEmpty) {
       val f = dir.resolve(s"dead-${System.nanoTime()}.json")
@@ -385,15 +455,21 @@ object CollectionMeta {
   def purgeDeferred(collection: Path, live: Set[String]): Unit = {
     val dir = metaDir(collection)
     if (!Files.exists(dir)) return
+    val keep = live ++ taggedLiveFiles(collection)
     listDir(dir)
       .filter(_.getFileName.toString.matches("dead-\\d+\\.json"))
       .foreach { dl =>
         try {
           val names = JsonMethods.parse(
             new String(Files.readAllBytes(dl), StandardCharsets.UTF_8)).extract[Seq[String]]
-          names.filterNot(live).foreach(n =>
-            Files.deleteIfExists(collection.resolve(n)))
-          Files.deleteIfExists(dl)
+          val (pinned, purgeable) = names.partition(keep)
+          purgeable.foreach(n => Files.deleteIfExists(collection.resolve(n)))
+          // Tag-pinned names stay RECORDED dead: rewriting (not dropping)
+          // the dead-list lets a later sweep reclaim them once the tag is
+          // gone — deleting it here would leak those files forever.
+          if (pinned.isEmpty) Files.deleteIfExists(dl)
+          else Files.write(dl,
+            Serialization.write(pinned).getBytes(StandardCharsets.UTF_8))
         } catch { case _: Exception => () }
       }
   }
@@ -405,9 +481,10 @@ object CollectionMeta {
   def gcManifestsBefore(collection: Path, version: Long): Unit = {
     val dir = metaDir(collection)
     if (!Files.exists(dir)) return
+    val tagged = taggedVersions(collection)
     listDir(dir)
       .filter(p => p.getFileName.toString match {
-        case ManifestRe(v) => v.toLong < version
+        case ManifestRe(v) => v.toLong < version && !tagged(v.toLong)
         case _ => false
       })
       .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
@@ -427,8 +504,10 @@ object CollectionMeta {
     val dir = metaDir(collection)
     if (!Files.exists(dir)) return 0
     val cur = currentManifest(collection)
+    val tagged = taggedVersions(collection)
     val aged = retainedManifests(collection)
-      .filter(m => m.version != cur.version && m.committedAtMs < cutoffMs)
+      .filter(m => m.version != cur.version && m.committedAtMs < cutoffMs &&
+        !tagged(m.version))
     if (aged.isEmpty) return 0
     val dyingSidecars = aged.flatMap(m =>
       m.segments.flatMap(_.indexBlooms.values) ++
@@ -454,9 +533,10 @@ object CollectionMeta {
 
   private def gcOldManifests(collection: Path, newest: Long): Unit = {
     val dir = metaDir(collection)
+    val tagged = taggedVersions(collection)
     val aged = listDir(dir)
       .filter(p => p.getFileName.toString match {
-        case ManifestRe(v) => v.toLong < newest - KeepVersions
+        case ManifestRe(v) => v.toLong < newest - KeepVersions && !tagged(v.toLong)
         case _ => false
       })
     if (aged.isEmpty) return

@@ -1665,6 +1665,42 @@ object StorageQueries {
           FROM graft_h59.db.top_parts ORDER BY p_partkey""")
       },
       Some("""SELECT p_partkey, p_name, p_size FROM part
-        WHERE p_size > 45 ORDER BY p_partkey"""))
+        WHERE p_size > 45 ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------------- h60
+    // Named tags (Iceberg tag analog): `CALL system.create_tag` pins a
+    // committed version by name; the pin exempts its manifest from every
+    // retention sweep AND its files from physical GC, so `VERSION AS OF
+    // 'release'` still plans after the very sequence that normally destroys
+    // history — a row-level DELETE, a full compaction, and a vacuum. The
+    // oracle is the pre-mutation content: the tag must read back the exact
+    // snapshot it pinned. At 100 TB this is the "release snapshot" verb — a
+    // one-metadata-write pin of the bytes a training run consumed.
+    QueryDef(
+      "h60_tag_travel",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h60"
+        s.conf.set("spark.sql.catalog.graft_h60", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h60.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h60.db")
+        s.sql("DROP TABLE IF EXISTS graft_h60.db.suppliers")
+        s.sql("""CREATE TABLE graft_h60.db.suppliers
+          (s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT) USING hadro""")
+        QueryDef.table(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey")
+          .createOrReplaceTempView("h60_src")
+        s.sql("INSERT INTO graft_h60.db.suppliers SELECT * FROM h60_src")
+        s.sql("CALL graft_h60.system.create_tag('db.suppliers', 'release', -1)")
+        // history-destroying sequence the tag must survive
+        s.sql("DELETE FROM graft_h60.db.suppliers WHERE s_suppkey % 2 = 0")
+        s.sql("CALL graft_h60.system.compact('db.suppliers')")
+        s.sql("CALL graft_h60.system.vacuum('db.suppliers')")
+        s.sql("""SELECT s_suppkey, s_name, s_nationkey
+          FROM graft_h60.db.suppliers VERSION AS OF 'release'
+          ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        ORDER BY s_suppkey"""))
   )
 }

@@ -95,18 +95,25 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       viaCatalog = true)
   }
 
-  /** SQL time travel, version form: `SELECT ... FROM t VERSION AS OF 3`.
-    * The version is a manifest version (monotonic commit counter, the same
-    * number [[graft.api.Collection.version]] returns). Fails fast with the
-    * retained range when the version was GC'd or crosses a compaction. */
+  /** SQL time travel, version form: `SELECT ... FROM t VERSION AS OF 3` or
+    * `VERSION AS OF 'release-2026-08'`. A numeric version is a manifest
+    * version (monotonic commit counter, the same number
+    * [[graft.api.Collection.version]] returns); a non-numeric string is a
+    * named TAG (`CALL system.create_tag`) resolved through `refs.json`.
+    * Fails fast with the retained range when the version was GC'd or
+    * crosses a compaction — tagged versions never are (pinned). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val v =
       try version.toLong
       catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"hadro: VERSION AS OF expects a numeric manifest version, got '$version'")
+        case _: NumberFormatException =>
+          CollectionMeta.readRefs(dir).getOrElse(version,
+            throw new IllegalArgumentException(
+              s"hadro: VERSION AS OF expects a numeric manifest version or " +
+                s"a tag name, got '$version' (tags: " +
+                s"${CollectionMeta.readRefs(dir).keys.toSeq.sorted.mkString(", ")})"))
       }
     CollectionMeta.manifestAt(dir, v) // validates retention + reconstructability
     new HadroTable(dir,
@@ -419,6 +426,18 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                 m.segments.map(_.bytes).sum, m.mutated, m.generation,
                 m.committedAtMs)
             }.toArray
+          case "refs" =>
+            // named tags, pinned-version metadata joined from the manifest
+            CollectionMeta.readRefs(dir).toSeq.sortBy(_._1).map {
+              case (name, v) =>
+                val at = try Some(CollectionMeta.manifestAt(dir, v))
+                  catch { case _: Exception => None }
+                InternalRow(UTF8String.fromString(name), v,
+                  at.map(m => Long.box(m.committedAtMs)).orNull,
+                  at.map(m => Long.box(
+                    m.segments.map(s => s.rows - s.tombstones - s.dvDeletes).sum))
+                    .orNull)
+            }.toArray
           case "stats" =>
             // ANALYZE output (`CALL system.analyze`), schema field order
             val m = CollectionMeta.currentManifest(dir)
@@ -457,6 +476,9 @@ object HadroMetadataTable {
       .add("column", StringType).add("ndv", LongType)
       .add("null_count", LongType).add("avg_len", LongType)
       .add("max_len", LongType).add("min_value", StringType)
-      .add("max_value", StringType).add("analyzed_version", LongType))
+      .add("max_value", StringType).add("analyzed_version", LongType),
+    "refs" -> new StructType()
+      .add("tag", StringType).add("version", LongType)
+      .add("committed_at_ms", LongType).add("n_rows", LongType))
   val kinds: Set[String] = schemas.keySet
 }

@@ -37,7 +37,7 @@ object HadroProcedures {
 
   val names: Seq[String] =
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
-      "rollback", "expire_snapshots", "clone", "analyze")
+      "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -134,6 +134,24 @@ object HadroProcedures {
             InternalRow(UTF8String.fromString(name), cs.distinctCount,
               cs.nullCount, cs.avgLen, cs.maxLen, cs.histogram.size)
           }
+        }
+      case "create_tag" => proc("create_tag",
+        "pin a committed version under a name (Iceberg tag analog): exempt " +
+          "from every retention sweep and from physical GC until dropped; " +
+          "version -1 tags the current head",
+        Seq(p("table", StringType), p("name", StringType), p("version", LongType)),
+        new StructType().add("tag", StringType).add("tagged_version", LongType)) { in =>
+          val name = in.getUTF8String(1).toString
+          Seq(InternalRow(UTF8String.fromString(name),
+            coll(in).createTag(name, in.getLong(2))))
+        }
+      case "drop_tag" => proc("drop_tag",
+        "drop a named tag; pinned files return to normal GC at the next " +
+          "maintenance cycle",
+        Seq(p("table", StringType), p("name", StringType)),
+        new StructType().add("tag", StringType).add("existed", BooleanType)) { in =>
+          val name = in.getUTF8String(1).toString
+          Seq(InternalRow(UTF8String.fromString(name), coll(in).dropTag(name)))
         }
       case "history" => proc("history",
         "commit audit over the retained manifest versions, newest first " +

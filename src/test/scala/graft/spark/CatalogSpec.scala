@@ -146,6 +146,84 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.exp")
   }
 
+  test("named tags pin versions across expire_snapshots; VERSION AS OF reads by tag") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.tagged (id BIGINT) USING hadro")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO testcat.db.tagged SELECT id FROM range(${i * 5}, ${i * 5 + 5}, 1, 1)"))
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/tagged")
+    val v1 = graft.meta.CollectionMeta.retainedManifests(dir).map(_.version).min
+
+    val out = spark.sql(
+      s"CALL testcat.system.create_tag('db.tagged', 'first', $v1)").head
+    assert(out.getString(0) == "first" && out.getLong(1) == v1)
+    // -1 tags the current head
+    val head = graft.meta.CollectionMeta.currentManifest(dir).version
+    assert(spark.sql("CALL testcat.system.create_tag('db.tagged', 'head', -1)")
+      .head.getLong(1) == head)
+
+    // age-based expiry sweeps everything EXCEPT the head and the tags
+    spark.sql(s"CALL testcat.system.expire_snapshots('db.tagged', ${Long.MaxValue})")
+    val retained = graft.meta.CollectionMeta.retainedManifests(dir).map(_.version)
+    assert(retained.contains(v1), "tagged version survives expiry")
+
+    // VERSION AS OF by tag name; t.refs metadata table lists the tags
+    assert(spark.sql("SELECT count(*) FROM testcat.db.tagged VERSION AS OF 'first'")
+      .head.getLong(0) == 5)
+    val refs = spark.sql("SELECT tag, version FROM testcat.db.tagged.refs ORDER BY tag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(refs == Seq(("first", v1), ("head", head)))
+    // unknown tag fails fast, naming the available tags
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM testcat.db.tagged VERSION AS OF 'nope'").collect())
+    assert(err.getMessage.contains("first"))
+
+    // drop_tag releases the pin: the next expiry takes the version
+    assert(spark.sql("CALL testcat.system.drop_tag('db.tagged', 'first')")
+      .head.getBoolean(1))
+    spark.sql(s"CALL testcat.system.expire_snapshots('db.tagged', ${Long.MaxValue})")
+    assert(!graft.meta.CollectionMeta.retainedManifests(dir).map(_.version).contains(v1))
+    intercept[Exception](
+      spark.sql("SELECT * FROM testcat.db.tagged VERSION AS OF 'first'").collect())
+    spark.sql("DROP TABLE testcat.db.tagged")
+  }
+
+  test("a tag pins physical files across DELETE + compact + vacuum; drop releases them") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.pinned (id BIGINT, v STRING) USING hadro")
+    spark.sql("INSERT INTO testcat.db.pinned SELECT id, concat('r', id) FROM range(0, 100, 1, 1)")
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/pinned")
+    def dataFiles = graft.meta.CollectionMeta.listDir(dir)
+      .map(_.getFileName.toString).filter(_.endsWith(".data")).toSet
+    val pinnedFiles = dataFiles
+    spark.sql("CALL testcat.system.create_tag('db.pinned', 'release', -1)")
+
+    // the history-destroying sequence: CoW delete, compact, vacuum (twice —
+    // deferred GC purges the PREVIOUS generation's dead list each cycle)
+    spark.sql("DELETE FROM testcat.db.pinned WHERE id % 2 = 0")
+    spark.sql("CALL testcat.system.compact('db.pinned')")
+    spark.sql("CALL testcat.system.vacuum('db.pinned')")
+    spark.sql("CALL testcat.system.compact('db.pinned')")
+    spark.sql("CALL testcat.system.vacuum('db.pinned')")
+    assert(pinnedFiles.subsetOf(dataFiles), "tagged snapshot's files survive GC")
+    assert(spark.sql("SELECT count(*) FROM testcat.db.pinned VERSION AS OF 'release'")
+      .head.getLong(0) == 100)
+    assert(spark.sql("SELECT count(*) FROM testcat.db.pinned").head.getLong(0) == 50)
+
+    // dropping the tag returns the files to normal GC: within two
+    // maintenance cycles (record dead, then purge) they are reclaimed
+    spark.sql("CALL testcat.system.drop_tag('db.pinned', 'release')")
+    spark.sql("CALL testcat.system.compact('db.pinned')")
+    spark.sql("CALL testcat.system.vacuum('db.pinned')")
+    spark.sql("CALL testcat.system.compact('db.pinned')")
+    spark.sql("CALL testcat.system.vacuum('db.pinned')")
+    assert(pinnedFiles.intersect(dataFiles).isEmpty,
+      "dropped tag's files are reclaimed, not leaked")
+    spark.sql("DROP TABLE testcat.db.pinned")
+  }
+
   test("CALL clone makes a zero-copy snapshot that diverges independently") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
