@@ -57,6 +57,11 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   private var bytesWritten = 0L
   private var nextSplit = splitBytes
   private val splits = scala.collection.mutable.Buffer.empty[graft.meta.SplitPoint]
+  // Per-block stats (Parquet row-group analog): a second collector reset at
+  // every split point; closed blocks accumulate here. Only persisted when
+  // the segment ends up multi-block — see close().
+  private var blockStats = StatsCollector(schema)
+  private val closedBlocks = scala.collection.mutable.Buffer.empty[Map[String, graft.meta.ColumnStats]]
 
   /** Bytes appended so far (for writer-side segment rotation). */
   def bytes: Long = bytesWritten
@@ -71,6 +76,8 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     if (bytesWritten >= nextSplit && rows > 0) {
       splits += graft.meta.SplitPoint(bytesWritten, rows)
       nextSplit = bytesWritten + splitBytes
+      closedBlocks += blockStats.result(withSums = false)
+      blockStats = StatsCollector(schema)
     }
     val size = encoder.encode(row) // payload in encoder.buffer, zero-copy
     // Per-record compression keeps every byte-offset structure (split
@@ -103,6 +110,7 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     rows += 1
     if (deleted) tombstones += 1
     stats.update(row)
+    blockStats.update(row)
     // Key bloom includes TOMBSTONE keys too: last-write-wins resolution
     // must see a key's tombstones, so a point lookup may not skip segments
     // holding only the delete record.
@@ -156,7 +164,10 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       splits = splits.toSeq,
       indexBlooms = indexFiles,
       offsetIndex = koffFile,
-      nFields = Some(schema.length))
+      nFields = Some(schema.length),
+      blockStats =
+        if (splits.isEmpty) Nil // single block: stats == segment stats
+        else (closedBlocks :+ blockStats.result(withSums = false)).toSeq)
   }
 
   def abort(): Unit = {
@@ -369,7 +380,10 @@ final class StatsCollector private (schema: StructType) {
     }
   }
 
-  def result(): Map[String, ColumnStats] =
+  /** `withSums = false` (block stats) leaves sums out of the rendered map —
+    * aggregate pushdown is segment-granular, and per-block sums would only
+    * bloat the manifest. */
+  def result(withSums: Boolean = true): Map[String, ColumnStats] =
     schema.fields.zipWithIndex.map { case (f, i) =>
       // Long STRING bounds are truncated (Iceberg-style) so a document
       // corpus never embeds whole texts in the manifest: min → 64-char
@@ -398,7 +412,7 @@ final class StatsCollector private (schema: StructType) {
         max = mxR,
         nullCount = nulls(i),
         sum =
-          if (!summable(i)) None
+          if (!summable(i) || !withSums) None
           else Some(
             if (sumsBig(i) != null) sumsBig(i).toString else sums(i).toString),
         exact = exact)

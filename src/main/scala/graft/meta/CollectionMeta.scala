@@ -92,7 +92,18 @@ final case class SegmentInfo(
     // time. Readers decode with the write-time type and widen per value;
     // absent = written with the current schema type. Rewrites (compaction,
     // CoW) re-encode at the current type and clear the entry naturally.
-    writeTypes: Map[String, String] = Map.empty)
+    writeTypes: Map[String, String] = Map.empty,
+    // Per-BLOCK column stats (Parquet row-group analog, one finer than the
+    // segment stats): entry i describes the rows of split range i — block 0
+    // is [start, splits(0)), block i is [splits(i-1), splits(i)), the last
+    // block runs to EOF — so length is always splits.length + 1. Recorded
+    // only for MULTI-block segments (a single-block segment's block stats
+    // would duplicate `stats`); empty = no intra-segment pruning. Lets a
+    // selective filter over one oversized segment drop whole split ranges
+    // at planning time instead of scanning them. String bounds truncate
+    // exactly like segment stats; block sums are not recorded (aggregate
+    // pushdown stays segment-granular).
+    blockStats: Seq[Map[String, ColumnStats]] = Nil)
 
 /** A committed collection version: the full list of live segments plus
   * collection-level flags. `mutated` records whether any committed write was

@@ -1701,6 +1701,34 @@ object StorageQueries {
           ORDER BY s_suppkey""")
       },
       Some("""SELECT s_suppkey, s_name, s_nationkey FROM supplier
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------------- h61
+    // Intra-segment block skipping (Parquet row-group analog): one SORTED
+    // oversized segment with a tiny split cadence records per-block
+    // min/max in the manifest, and a selective range filter plans only the
+    // split ranges whose stats can match (SplitSpec asserts the partition
+    // count; here the oracle proves the pruned scan loses nothing). At
+    // 100 TB this is the difference between scanning a 50 GB clustered
+    // segment and scanning the two 64 MB blocks that can hold the band.
+    QueryDef(
+      "h61_block_skipping",
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        val path = colPath(dir, "h61")
+        Collection.create(s, path,
+          src.orderBy("o_orderkey").coalesce(1), numSegments = 0)
+        // rebuild the single segment with a small split cadence
+        val c = Collection(s, path)
+        c.scan().orderBy("o_orderkey").coalesce(1)
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.splitBytes", 64 * 1024).save(path)
+        c.scan().filter($"o_orderkey" between (1000L, 2000L))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 2000 ORDER BY o_orderkey"""))
   )
 }

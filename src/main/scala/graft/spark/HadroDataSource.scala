@@ -20,7 +20,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.format.{RecordCodec, SegmentReader, StatsCollector}
-import graft.meta.{CollectionMeta, Manifest, SegmentInfo}
+import graft.meta.{CollectionMeta, ColumnStats, Manifest, SegmentInfo}
 
 /** DSv2 entry point for the hadro storage format: register via
   * `spark.read/write.format("hadro")` (META-INF/services). A "collection" is
@@ -790,6 +790,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     metricSegmentsRead = planned.size.toLong
     metricSegmentsPruned = (manifest.segments.size - planned.size).toLong
     metricBytesPlanned = planned.map(_.bytes).sum
+    metricBlocksPruned = 0L
     planned
       .flatMap { seg =>
         // Point predicates on the key column consult the persisted
@@ -798,9 +799,21 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         // exact miss. Falls back to full split-range scanning otherwise.
         // Bypassed while REPORTING partitioning: an exact miss would drop
         // a bucket's partitions after the group count was reported.
+        // Block-level pruning is likewise bypassed while REPORTING
+        // partitioning: dropping every block of a bucket's only segment
+        // would erase a reported group (same constraint as runtime
+        // segment pruning above).
         val parts = (if (bucketed.isDefined) None
           else OffsetIndexPlanner.pointRanges(path, seg, filters, storedSchema))
-          .getOrElse(HadroInputPartition.ranges(path, seg))
+          .getOrElse {
+            if (bucketed.isDefined) HadroInputPartition.ranges(path, seg)
+            else {
+              val (kept, prunedBlocks) =
+                HadroInputPartition.prunedRanges(path, seg, filters, storedSchema)
+              metricBlocksPruned += prunedBlocks
+              kept
+            }
+          }
         // Storage-partitioned join: when the collection is uniformly
         // bucketed, every partition carries its bucket as the DSv2
         // partition key so Spark can group co-bucketed sides shuffle-free.
@@ -899,16 +912,19 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   private var metricSegmentsRead = 0L
   private var metricSegmentsPruned = 0L
   private var metricBytesPlanned = 0L
+  private[spark] var metricBlocksPruned = 0L
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
     new HadroScan.SumMetric("hadroSegmentsRead", "hadro segments read"),
     new HadroScan.SumMetric("hadroSegmentsPruned", "hadro segments pruned"),
-    new HadroScan.SumMetric("hadroBytesPlanned", "hadro bytes planned"))
+    new HadroScan.SumMetric("hadroBytesPlanned", "hadro bytes planned"),
+    new HadroScan.SumMetric("hadroBlocksPruned", "hadro blocks pruned"))
 
   override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
     HadroScan.taskMetric("hadroSegmentsRead", metricSegmentsRead),
     HadroScan.taskMetric("hadroSegmentsPruned", metricSegmentsPruned),
-    HadroScan.taskMetric("hadroBytesPlanned", metricBytesPlanned))
+    HadroScan.taskMetric("hadroBytesPlanned", metricBytesPlanned),
+    HadroScan.taskMetric("hadroBlocksPruned", metricBlocksPruned))
 
   /** Exact statistics from the manifest — no files touched, and computed
     * AFTER stats/bloom segment pruning, so a selective filter over a huge
@@ -1093,6 +1109,30 @@ object HadroInputPartition {
           seg.deleteVector, wt)
       }
     }
+  }
+
+  /** Like [[ranges]] but BLOCK-pruned: split ranges whose per-block stats
+    * (`SegmentInfo.blockStats`, the Parquet row-group analog) cannot match
+    * the pushed filters are dropped at planning time, so a selective
+    * filter over one oversized clustered segment scans only the blocks
+    * that can hold matches. Returns (surviving partitions, blocks pruned).
+    * Correctness: dropping a block only removes rows the filter would
+    * reject — NEVER use this for scans whose output must cover whole
+    * segments (CoW row-level rewrites plan through [[ranges]]). Falls back
+    * to all ranges when block stats are absent/misaligned (legacy
+    * manifests) or no filters pushed. */
+  def prunedRanges(path: Path, seg: SegmentInfo, filters: Array[Filter],
+      schema: StructType): (Seq[InputPartition], Long) = {
+    val all = ranges(path, seg)
+    if (filters.isEmpty || seg.blockStats.length != seg.splits.length + 1)
+      return (all, 0L)
+    val starts = graft.meta.SplitPoint(0L, 0L) +: seg.splits
+    val kept = all.zipWithIndex.filter { case (_, i) =>
+      val blockRows =
+        (if (i + 1 < starts.length) starts(i + 1).row else seg.rows) - starts(i).row
+      SegmentSkipper.mightMatchStats(seg.blockStats(i), blockRows, filters, schema)
+    }.map(_._1)
+    (kept, (all.length - kept.length).toLong)
   }
 }
 
@@ -1407,12 +1447,19 @@ object SegmentSkipper {
   }
 
   def mightMatch(seg: SegmentInfo, filters: Array[Filter], schema: StructType): Boolean =
-    filters.forall(f => mightMatch(seg, f, schema))
+    mightMatchStats(seg.stats, seg.rows, filters, schema)
 
-  private def bounds(seg: SegmentInfo, col: String, schema: StructType): Option[(Any, Any, Long)] =
+  /** Same pruning over any stats map — used with per-BLOCK stats so a
+    * selective filter drops split ranges inside a retained segment. */
+  def mightMatchStats(stats: Map[String, ColumnStats], rows: Long,
+      filters: Array[Filter], schema: StructType): Boolean =
+    filters.forall(f => mightMatch(stats, rows, f, schema))
+
+  private def bounds(stats: Map[String, ColumnStats], col: String,
+      schema: StructType): Option[(Any, Any, Long)] =
     for {
       field <- schema.fields.find(_.name == col)
-      st <- seg.stats.get(col)
+      st <- stats.get(col)
       mn <- st.min
       mx <- st.max
       pmn = StatsCollector.parse(mn, field.dataType) if pmn != null
@@ -1432,25 +1479,25 @@ object SegmentSkipper {
       else Some(if (StatsCollector.lt(a, b)) -1 else if (StatsCollector.lt(b, a)) 1 else 0)
     } catch { case _: Exception => None }
 
-  private def mightMatch(seg: SegmentInfo, f: Filter, schema: StructType): Boolean = f match {
+  private def mightMatch(stats: Map[String, ColumnStats], rows: Long, f: Filter, schema: StructType): Boolean = f match {
     case EqualTo(c, v) =>
-      (for { (mn, mx, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+      (for { (mn, mx, _) <- bounds(stats, c, schema); iv <- toInternal(v, c, schema)
              lo <- cmp(iv, mn); hi <- cmp(iv, mx) } yield lo >= 0 && hi <= 0).getOrElse(true)
     case GreaterThan(c, v) =>
-      (for { (_, mx, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+      (for { (_, mx, _) <- bounds(stats, c, schema); iv <- toInternal(v, c, schema)
              hi <- cmp(mx, iv) } yield hi > 0).getOrElse(true)
     case GreaterThanOrEqual(c, v) =>
-      (for { (_, mx, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+      (for { (_, mx, _) <- bounds(stats, c, schema); iv <- toInternal(v, c, schema)
              hi <- cmp(mx, iv) } yield hi >= 0).getOrElse(true)
     case LessThan(c, v) =>
-      (for { (mn, _, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+      (for { (mn, _, _) <- bounds(stats, c, schema); iv <- toInternal(v, c, schema)
              lo <- cmp(mn, iv) } yield lo < 0).getOrElse(true)
     case LessThanOrEqual(c, v) =>
-      (for { (mn, _, _) <- bounds(seg, c, schema); iv <- toInternal(v, c, schema)
+      (for { (mn, _, _) <- bounds(stats, c, schema); iv <- toInternal(v, c, schema)
              lo <- cmp(mn, iv) } yield lo <= 0).getOrElse(true)
-    case In(c, vs) => vs.isEmpty || vs.exists(v => mightMatch(seg, EqualTo(c, v), schema))
-    case IsNull(c) => seg.stats.get(c).forall(_.nullCount > 0)
-    case IsNotNull(c) => seg.stats.get(c).forall(_.nullCount < seg.rows)
+    case In(c, vs) => vs.isEmpty || vs.exists(v => mightMatch(stats, rows, EqualTo(c, v), schema))
+    case IsNull(c) => stats.get(c).forall(_.nullCount > 0)
+    case IsNotNull(c) => stats.get(c).forall(_.nullCount < rows)
     // Prefix predicates (`url LIKE 'https://en.%'` — the corpus-curation
     // filter shape): a segment can hold a prefix match only if its range
     // intersects [prefix, nextPrefix): max >= prefix AND min < nextPrefix.
@@ -1459,7 +1506,7 @@ object SegmentSkipper {
     // no longer upper-bound the range, so there we keep lower-bound-only
     // pruning (still drops every segment entirely below the prefix).
     case StringStartsWith(c, prefix) =>
-      (for { (mn, mx, _) <- bounds(seg, c, schema); ip <- toInternal(prefix, c, schema)
+      (for { (mn, mx, _) <- bounds(stats, c, schema); ip <- toInternal(prefix, c, schema)
              hi <- cmp(mx, ip) } yield {
         val aboveLower = hi >= 0
         val belowUpper = nextAsciiPrefix(prefix).forall { np =>
@@ -1468,10 +1515,10 @@ object SegmentSkipper {
         }
         aboveLower && belowUpper
       }).getOrElse(true)
-    case And(l, r) => mightMatch(seg, l, schema) && mightMatch(seg, r, schema)
+    case And(l, r) => mightMatch(stats, rows, l, schema) && mightMatch(stats, rows, r, schema)
     // OR prunes only segments where BOTH branches are impossible — the
     // `lang = 'en' OR lang = 'de'` multi-value curation filter.
-    case Or(l, r) => mightMatch(seg, l, schema) || mightMatch(seg, r, schema)
+    case Or(l, r) => mightMatch(stats, rows, l, schema) || mightMatch(stats, rows, r, schema)
     case _ => true
   }
 

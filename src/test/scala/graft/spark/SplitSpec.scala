@@ -43,6 +43,56 @@ class SplitSpec extends SparkSuite {
     assert(got.sameElements(want))
   }
 
+  test("block stats prune split ranges under selective filters, results unchanged") {
+    val path = tmp("blocks")
+    val src = spark.read.parquet(s"$sf0001/part.parquet")
+    // ONE sorted writer task + tiny split cadence: blocks carry disjoint
+    // p_partkey ranges, so per-block min/max can actually prune
+    src.orderBy("p_partkey").coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.splitBytes", 2 * 1024).save(path)
+
+    val m = CollectionMeta.currentManifest(Paths.get(path))
+    val seg = m.segments.head
+    assert(seg.splits.nonEmpty)
+    assert(seg.blockStats.length == seg.splits.length + 1,
+      "multi-block segment records one stats entry per split range")
+    // per-block sums are not recorded (aggregate pushdown is segment-level)
+    assert(seg.blockStats.forall(_.values.forall(_.sum.isEmpty)))
+
+    val nBlocks = seg.splits.size + 1
+    val probe = src.orderBy("p_partkey").limit(1).collect().head.getLong(0)
+
+    // point predicate: only the block(s) covering the key are planned
+    val point = spark.read.format("hadro").load(path)
+      .filter(col("p_partkey") === probe)
+    assert(point.rdd.getNumPartitions < nBlocks,
+      s"expected block pruning below $nBlocks partitions")
+    assert(point.count() == 1)
+
+    // range predicate: a prefix of blocks survives; results exact
+    val mid = src.selectExpr("percentile_approx(p_partkey, 0.5)").collect().head.getLong(0)
+    val range = spark.read.format("hadro").load(path)
+      .filter(col("p_partkey") <= mid)
+    assert(range.rdd.getNumPartitions < nBlocks)
+    val got = range.orderBy("p_partkey").collect()
+    val want = src.filter(col("p_partkey") <= mid).orderBy("p_partkey").collect()
+    assert(got.sameElements(want))
+
+    // unfiltered scans still plan every block
+    assert(spark.read.format("hadro").load(path).rdd.getNumPartitions == nBlocks)
+  }
+
+  test("single-block segments record no block stats; legacy pruning unchanged") {
+    val path = tmp("oneblock")
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    src.coalesce(1).write.format("hadro").mode("append").save(path)
+    val seg = CollectionMeta.currentManifest(Paths.get(path)).segments.head
+    assert(seg.splits.isEmpty && seg.blockStats.isEmpty)
+    val got = spark.read.format("hadro").load(path)
+      .filter(col("r_regionkey") === 1).collect()
+    assert(got.length == 1)
+  }
+
   test("_hadro_seq stays globally unique and ordered across split ranges") {
     val path = tmp("seq")
     val src = spark.read.parquet(s"$sf0001/part.parquet")
