@@ -639,6 +639,49 @@ object SimilarityOps {
       .limit(k)
   }
 
+  // --------------------------------------------------------- radius search
+
+  /** RADIUS (range) search: every corpus vector with cosine ≥ `minCosine`
+    * against one query — the all-neighbors dual of top-k (dedup sweeps and
+    * "everything similar to this exemplar" curation pulls want a
+    * threshold, not a count). Map-only: one codegen'd cosine + filter per
+    * partition, no shuffle, no heap — embarrassingly parallel at any
+    * corpus size. Returns (id, cosine) unordered; callers sort. */
+  def radiusSearch(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], minCosine: Double): DataFrame = {
+    val q = typedlit(query)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Two-stage radius search over a [[buildSqIndex]] collection: stage 1
+    * scans only the 4×-compressed codes and keeps ids whose APPROXIMATE
+    * cosine clears `minCosine - margin` (the slack absorbs quantization
+    * error — sq8 decodes to cell midpoints, so per-component error is
+    * bounded by scale/2 and the cosine error is far below the default
+    * margin on any non-adversarial corpus; SimilaritySpec asserts full
+    * recall vs [[radiusSearch]]); stage 2 exact-verifies ONLY that pool
+    * against the original embeddings via a broadcast semi-join, so
+    * precision is always 1 and the full-precision read is O(pool), not
+    * O(corpus). The 100 TB shape: threshold scans are I/O-bound, and the
+    * coarse pass reads a quarter of the bytes. */
+  def sqRadiusSearch(index: graft.api.Collection, corpus: DataFrame,
+      idCol: String, vecCol: String, query: Seq[Float], minCosine: Double,
+      margin: Double = 0.05): DataFrame = {
+    val (minv, scale) = loadSqParams(java.nio.file.Paths.get(index.path))
+      .getOrElse(
+        throw new IllegalStateException(s"no sq8 params sidecar at ${index.path}"))
+    val decoded = graft.functions.VectorExpressions.sq8_decode(
+      col("codes"), minv, scale)
+    val q = typedlit(query.map(_.toDouble))
+    val pool = index.scan()
+      .select(col("vid").as(idCol), cosineComposed(decoded, q).as("approx"))
+      .filter(col("approx") >= minCosine - margin)
+      .select(col(idCol))
+    corpus.join(broadcast(pool), Seq(idCol), "left_semi")
+      .transform(c => radiusSearch(c, idCol, vecCol, query, minCosine))
+  }
+
   /** Two-stage ANN re-ranking (the standard serving shape): stage 1 ranks
     * the COMPRESSED corpus — [[sqTopK]]'s asymmetric distance over the 4×
     * smaller int8 codes, map-only — down to a `candidates`-sized pool;

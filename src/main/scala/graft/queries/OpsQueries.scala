@@ -1014,6 +1014,74 @@ object OpsQueries {
           DESC, e.vec_id
         LIMIT 20""")),
 
+    // ---------------------------------------------------------------- s19
+    // RADIUS (range) search: every vector with cosine >= 0.2 against the
+    // query — the all-neighbors dual of top-k (threshold, not count).
+    // Map-only codegen'd cosine + filter: no shuffle, no heap,
+    // embarrassingly parallel at any corpus size.
+    QueryDef(
+      "s19_radius_search",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        SimilarityOps.radiusSearch(e, "vec_id", "embedding", q, 0.2)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 4)
+            AS cosine
+        FROM embeddings e, q
+        WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) >= 0.2
+        ORDER BY e.vec_id""")),
+
+    // ---------------------------------------------------------------- s20
+    // Two-stage radius search: coarse threshold scan over the 4×-smaller
+    // int8 codes (minCosine - margin absorbs quantization error), exact
+    // verify of ONLY the pool via broadcast semi-join — precision always
+    // 1, full-precision reads O(pool). The oracle replays BOTH stages
+    // (decode-to-midpoint coarse filter included), so it is exact even if
+    // the coarse stage were to leak or drop candidates.
+    QueryDef(
+      "s20_sq_radius_search",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s20_index", e, "vec_id", "embedding")
+        SimilarityOps.sqRadiusSearch(idx, e, "vec_id", "embedding", q, 0.2,
+            margin = 0.05)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        bounds AS (
+          SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS minv,
+                 CAST(MAX(list_max(embedding)) AS DOUBLE) AS maxv
+          FROM embeddings),
+        params AS (SELECT minv, (maxv - minv) / 256 AS scale FROM bounds),
+        decoded AS (
+          SELECT e.vec_id,
+            list_transform(CAST(e.embedding AS DOUBLE[]), x ->
+              p.minv + (LEAST(GREATEST(floor((x - p.minv) / p.scale),
+                0), 255) + 0.5) * p.scale) AS dv
+          FROM embeddings e, params p),
+        pool AS (
+          SELECT d.vec_id FROM decoded d, q
+          WHERE list_cosine_similarity(d.dv, q.qv) >= 0.15)
+        SELECT e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+            AS cosine
+        FROM embeddings e JOIN pool USING (vec_id), q
+        WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) >= 0.2
+        ORDER BY e.vec_id""")),
+
     // ---------------------------------------------------------------- s16
     // MATRYOSHKA two-stage search: coarse rank on the first 16 of 64
     // dimensions (quarter the flops/bytes; with the prefix stored as its

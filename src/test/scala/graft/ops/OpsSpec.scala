@@ -795,6 +795,29 @@ class OpsSpec extends SparkSuite {
     assert(top.head.getLong(0) == 7L, s"expected vec 7 first, got ${top.head}")
   }
 
+  test("radius search: exact matches brute-force threshold; sq two-stage loses nothing") {
+    val base = embs.select($"vec_id", $"embedding")
+    val q = base.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
+    val theta = 0.2
+    val exact = SimilarityOps.radiusSearch(base, "vec_id", "embedding", q, theta)
+      .select($"vec_id").as[Long].collect().toSet
+    // ground truth: every vector whose exact cosine clears the threshold
+    val truth = base
+      .select($"vec_id",
+        SimilarityOps.cosine($"embedding",
+          org.apache.spark.sql.functions.typedlit(q)).as("c"))
+      .filter($"c" >= theta).select($"vec_id").as[Long].collect().toSet
+    assert(exact == truth && exact.contains(0L) && exact.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("radius").resolve("idx").toString
+    val idx = SimilarityOps.buildSqIndex(spark, dir, base, "vec_id", "embedding")
+    val twoStage = SimilarityOps.sqRadiusSearch(idx, base, "vec_id", "embedding",
+      q, theta, margin = 0.05).select($"vec_id").as[Long].collect().toSet
+    // exact verify => precision 1; margin absorbs quantization => recall 1
+    assert(twoStage == exact,
+      s"two-stage radius diverged: missing ${exact -- twoStage}, extra ${twoStage -- exact}")
+  }
+
   test("two-stage re-ranking: recall@10 >= single-stage sq8, exact within pool") {
     val base = embs.select($"vec_id", $"embedding")
     val dir = java.nio.file.Files.createTempDirectory("rerank").resolve("idx").toString
