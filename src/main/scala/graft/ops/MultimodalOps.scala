@@ -350,6 +350,50 @@ object MultimodalOps {
     * SLICING is real byte work, only interpretation of the bytes would need
     * a codec. One output row per sampled frame: (media_id, frame_idx,
     * frame_len, first_byte). */
+  /** Per-FRAME content fingerprints for video-like binary columns: sample
+    * up to `maxFrames` frames every `stride` frames of `frameSize` bytes
+    * and md5 each frame's bytes — one (media_id, frame_idx, fhash) row per
+    * sampled frame. Fully declarative (sequence/explode + binary substring
+    * + md5, all codegen'd — no UDF, no mapPartitions): at 100 TB the
+    * explode is map-only and the output is ~33 bytes per sampled frame.
+    * The byte-slice "frame" stands in for a real codec's keyframe decode
+    * (not in this container — see the module doc); the sampling/hashing
+    * plumbing is the real, tested surface. */
+  def frameFingerprints(df: DataFrame, idCol: String, mediaCol: String,
+      frameSize: Int = 32, stride: Int = 1, maxFrames: Int = 16): DataFrame =
+    df.select(col(idCol).cast(LongType).as("media_id"), col(mediaCol).as("m"))
+      .select(col("media_id"), col("m"),
+        explode(sequence(lit(0), lit(maxFrames - 1))).as("i"))
+      .select(col("media_id"), col("m"), (col("i") * stride).as("frame_idx"))
+      .filter(col("frame_idx") * frameSize < length(col("m")))
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        md5(expr(s"substring(m, cast(frame_idx * $frameSize as int) + 1, $frameSize)"))
+          .as("fhash"))
+
+  /** VIDEO near-dup pairs by shared-frame overlap: two assets pair when
+    * they share at least `minShared` distinct frame fingerprints — the
+    * shot-level containment measure that catches re-cuts, trims and
+    * shifted copies exact-file hashing misses. Inverted index on fhash
+    * (the d04/d11 shape): ubiquitous frames — intros, color bars, black
+    * frames — are dropped by the `maxDf` document-frequency cap BEFORE
+    * the self-join, so no bucket explodes; the candidate join is linear
+    * in (frames × capped df), never all-pairs. Returns (a, b, shared). */
+  def videoNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      frameSize: Int = 32, stride: Int = 1, maxFrames: Int = 16,
+      minShared: Int = 4, maxDf: Int = 32): DataFrame = {
+    val f = frameFingerprints(df, idCol, mediaCol, frameSize, stride, maxFrames)
+      .select(col("media_id"), col("fhash")).distinct()
+    val rare = f.groupBy("fhash")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select("fhash")
+    val ff = f.join(rare, Seq("fhash"), "left_semi")
+    ff.as("x").join(ff.as("y"), "fhash")
+      .filter(col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("a"), col("y.media_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
       frameSize: Int = 64, stride: Int = 4, maxFrames: Int = 8): DataFrame = {
     val spark = df.sparkSession

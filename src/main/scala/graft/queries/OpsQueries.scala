@@ -2784,6 +2784,49 @@ object OpsQueries {
         FROM f WHERE frame_idx * 64 < blen
         ORDER BY media_id, frame_idx""")),
 
+    // ---------------------------------------------------------------- m10
+    // VIDEO near-dup via shared-frame fingerprints: every document's bytes
+    // stand in for a video, planted near-copies drop the leading frame
+    // (trimmed re-upload — exact-file hashing misses it). Frames are
+    // md5'd declaratively (binary substring + md5, codegen'd), ubiquitous
+    // frames df-capped before the inverted-index join, pairs gate on >= 4
+    // shared fingerprints. The oracle replays the whole pipeline in SQL —
+    // hash self-consistency per engine is all that's required, so md5
+    // stays internal.
+    QueryDef(
+      "m10_video_framehash_dedup",
+      (s, dir) => {
+        val base = table(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        val copies = table(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            encode(expr("substring(text, 33)"), "UTF-8").as("media"))
+        MultimodalOps.videoNearDupPairs(base.union(copies), "doc_id", "media",
+            frameSize = 32, stride = 1, maxFrames = 16, minShared = 4, maxDf = 32)
+          .orderBy("a", "b")
+      },
+      Some("""WITH vids AS (
+          SELECT doc_id AS media_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, substr(text, 33) FROM documents
+          WHERE doc_id % 10 = 0),
+        f0 AS (
+          SELECT media_id,
+            unnest(generate_series(0, 15)) AS fi, text
+          FROM vids),
+        frames AS (
+          SELECT DISTINCT media_id,
+            md5(substr(text, CAST(fi * 32 + 1 AS INT), 32)) AS fhash
+          FROM f0 WHERE fi * 32 < length(text)),
+        rare AS (
+          SELECT fhash FROM frames GROUP BY fhash HAVING COUNT(*) <= 32),
+        ff AS (SELECT f.* FROM frames f JOIN rare USING (fhash))
+        SELECT x.media_id AS a, y.media_id AS b, COUNT(*) AS shared
+        FROM ff x JOIN ff y ON x.fhash = y.fhash AND x.media_id < y.media_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 4
+        ORDER BY a, b""")),
+
     // ---------------------------------------------------------------- st01
     // Structured Streaming: hourly windowed counts over the events stream
     // (file source → window agg → memory sink, complete mode). One batch

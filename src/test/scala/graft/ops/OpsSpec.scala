@@ -714,6 +714,33 @@ class OpsSpec extends SparkSuite {
     assert(div(1) != 999999L, "exact copy of rank-1 must not take rank 2 under MMR")
   }
 
+  test("video frame dedup recalls trimmed copies, df-cap drops ubiquitous frames") {
+    import org.apache.spark.sql.functions.{col, encode, expr, length => flen}
+    val base = docs.filter(flen($"text") >= 300).limit(20)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+    // trimmed re-upload: drop the leading 32-byte frame
+    val copies = base.select(($"doc_id" + 1000000L).as("doc_id"),
+      expr("substring(media, 33, 100000)").as("media"))
+    val pairs = MultimodalOps.videoNearDupPairs(base.union(copies),
+        "doc_id", "media", minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missed planted trims: ${planted -- pairs}")
+
+    // a ubiquitous frame (same 32-byte intro on every asset) must not pair
+    // otherwise-unrelated assets once the df-cap drops it
+    val intro = "X" * 32
+    val branded = docs.limit(40)
+      .select($"doc_id", encode(concat(lit(intro), $"text"), "UTF-8").as("media"))
+    val bp = MultimodalOps.videoNearDupPairs(branded, "doc_id", "media",
+        minShared = 1, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the capped intro cannot pair the whole corpus by itself
+    assert(bp.size < 40 * 39 / 2, "intro frame alone paired the whole corpus")
+  }
+
   test("audio envelope hash is gain-invariant, shape-sensitive, total") {
     def wav(period: Int, gain: Int): Array[Byte] = {
       val n = 1600
