@@ -723,6 +723,36 @@ final class Collection private (spark: SparkSession, val path: String) {
   /** All named tags: name -> pinned version. */
   def tags: Map[String, Long] = CollectionMeta.readRefs(dir)
 
+  /** Add a CHECK constraint (SQL semantics: NULL passes, FALSE fails).
+    * Validates the expression against the schema (full analyzer — type
+    * coercion, builtin functions) AND retroactively proves EXISTING rows
+    * comply with one distributed scan before publishing; every subsequent
+    * write — batch, streaming, CoW rewrite, delta — then enforces it per
+    * row in the writer tasks. Declarable in SQL via
+    * `TBLPROPERTIES ('constraint.<name>' = '<expr>')`. */
+  def addConstraint(name: String, expression: String): Unit = {
+    val stored = CollectionMeta.readSchema(dir).getOrElse(
+      throw new IllegalStateException(s"hadro: no collection at $path")).schema
+    graft.spark.HadroWriteInit.bindConstraint(stored, name, expression)
+    val violated = toDF()
+      .filter(org.apache.spark.sql.functions.expr(expression) <=> lit(false))
+      .limit(1).count()
+    require(violated == 0L,
+      s"hadro: cannot add CHECK constraint '$name' ($expression) — existing rows violate it")
+    CollectionMeta.writeConstraints(dir,
+      CollectionMeta.readConstraints(dir) + (name -> expression))
+  }
+
+  /** Drop a CHECK constraint; returns whether it existed. */
+  def dropConstraint(name: String): Boolean = {
+    val cs = CollectionMeta.readConstraints(dir)
+    if (!cs.contains(name)) false
+    else { CollectionMeta.writeConstraints(dir, cs - name); true }
+  }
+
+  /** All CHECK constraints: name -> SQL expression text. */
+  def constraints: Map[String, String] = CollectionMeta.readConstraints(dir)
+
   /** ANALYZE TABLE analog: compute table-level per-column statistics over
     * the RESOLVED data (what queries see) in ONE distributed aggregation
     * pass — distinct count (HLL-approximate by default, `exact = true` for

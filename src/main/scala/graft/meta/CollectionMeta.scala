@@ -285,6 +285,38 @@ object CollectionMeta {
     }
   }
 
+  // ---------------------------------------------------------- constraints
+  // CHECK constraints: `_hadro/constraints.json` maps constraint name ->
+  // SQL boolean expression over the row. Declared via TBLPROPERTIES
+  // ('constraint.<name>' = '<expr>') at CREATE or ALTER ... SET; enforced
+  // DISTRIBUTED at write time (every writer task evaluates the codegen'd
+  // predicate per row — SQL CHECK semantics: NULL passes, FALSE fails the
+  // task before anything commits) and RETROACTIVELY at ALTER time on
+  // populated tables (one scan job proves existing rows comply). Atomic
+  // whole-map replace, like refs.
+
+  private def constraintsFile(collection: Path): Path =
+    metaDir(collection).resolve("constraints.json")
+
+  /** All CHECK constraints: name -> SQL expression text. */
+  def readConstraints(collection: Path): Map[String, String] = {
+    val f = constraintsFile(collection)
+    if (!Files.exists(f)) Map.empty
+    else try {
+      JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+        .extract[Map[String, String]]
+    } catch { case _: Exception => Map.empty }
+  }
+
+  def writeConstraints(collection: Path, cs: Map[String, String]): Unit = {
+    Files.createDirectories(metaDir(collection))
+    if (cs.isEmpty) { Files.deleteIfExists(constraintsFile(collection)); return }
+    val tmp = metaDir(collection).resolve(s"constraints.json.tmp${System.nanoTime()}")
+    Files.write(tmp, Serialization.write(cs).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, constraintsFile(collection), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   // ----------------------------------------------------------------- refs
   // Named refs (Iceberg tag analog): `_hadro/refs.json` maps tag name ->
   // manifest version. A tagged version is PINNED: its manifest survives

@@ -1729,6 +1729,39 @@ object StorageQueries {
           .orderBy($"o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        WHERE o_orderkey BETWEEN 1000 AND 2000 ORDER BY o_orderkey"""))
+        WHERE o_orderkey BETWEEN 1000 AND 2000 ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- h62
+    // CHECK constraints: declared at CREATE (TBLPROPERTIES 'constraint.*'),
+    // added retroactively via ALTER SET (analyzer-validated + one scan
+    // proving existing rows comply), enforced per row in every writer task
+    // (SQL semantics: NULL passes, FALSE fails the write before anything
+    // commits — violating inserts and the retro-check are spec-covered in
+    // CatalogSpec). The oracle proves constrained ingest is lossless.
+    QueryDef(
+      "h62_check_constraint",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h62"
+        s.conf.set("spark.sql.catalog.graft_h62", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h62.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h62.db")
+        s.sql("DROP TABLE IF EXISTS graft_h62.db.parts")
+        s.sql("""CREATE TABLE graft_h62.db.parts
+          (p_partkey BIGINT, p_name STRING, p_size INT) USING hadro
+          TBLPROPERTIES ('constraint.size_pos' = 'p_size > 0')""")
+        QueryDef.table(s, dir, "part")
+          .select("p_partkey", "p_name", "p_size")
+          .createOrReplaceTempView("h62_src")
+        s.sql("INSERT INTO graft_h62.db.parts SELECT * FROM h62_src")
+        s.sql("""ALTER TABLE graft_h62.db.parts
+          SET TBLPROPERTIES ('constraint.key_pos' = 'p_partkey >= 0')""")
+        s.sql("INSERT INTO graft_h62.db.parts VALUES (9999991, 'late-row', 7)")
+        s.sql("""SELECT p_partkey, p_name, p_size FROM graft_h62.db.parts
+          ORDER BY p_partkey""")
+      },
+      Some("""SELECT p_partkey, p_name, p_size FROM part
+        UNION ALL SELECT 9999991, 'late-row', 7
+        ORDER BY p_partkey"""))
   )
 }

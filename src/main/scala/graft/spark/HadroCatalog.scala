@@ -182,6 +182,18 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       s"compress must be zstd|none, got '$c'"))
     CollectionMeta.writeSchema(dir, schema, key,
       bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2), compress)
+    // CHECK constraints: TBLPROPERTIES ('constraint.<name>' = '<expr>') —
+    // validated through the full analyzer now, enforced per row by every
+    // writer task from the first insert on.
+    val constraintProps = properties.asScala.toSeq.collect {
+      case (k, v) if k.startsWith("constraint.") && k.length > "constraint.".length =>
+        k.stripPrefix("constraint.") -> v
+    }
+    constraintProps.foreach { case (n, text) =>
+      HadroWriteInit.bindConstraint(schema, n, text)
+    }
+    if (constraintProps.nonEmpty)
+      CollectionMeta.writeConstraints(dir, constraintProps.toMap)
     new HadroTable(dir,
       HadroTable.reportedSchema(CollectionMeta.readSchema(dir).get),
       viaCatalog = true)
@@ -225,6 +237,15 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "hadro: only top-level ALTER COLUMN TYPE is supported")
         graft.api.Collection(org.apache.spark.sql.SparkSession.active, dir.toString)
           .widenColumn(ut.fieldNames().head, ut.newDataType())
+      case sp: TableChange.SetProperty if sp.property.startsWith("constraint.") =>
+        // ALTER TABLE t SET TBLPROPERTIES ('constraint.<n>' = '<expr>'):
+        // analyzer-validated AND retro-checked against existing rows (one
+        // distributed scan) before it publishes.
+        graft.api.Collection(org.apache.spark.sql.SparkSession.active, dir.toString)
+          .addConstraint(sp.property.stripPrefix("constraint."), sp.value)
+      case rp: TableChange.RemoveProperty if rp.property.startsWith("constraint.") =>
+        graft.api.Collection(org.apache.spark.sql.SparkSession.active, dir.toString)
+          .dropConstraint(rp.property.stripPrefix("constraint."))
       case other =>
         throw new UnsupportedOperationException(
           s"hadro: unsupported ALTER TABLE change $other — rename/drop/add " +

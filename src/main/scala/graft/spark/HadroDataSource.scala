@@ -135,6 +135,9 @@ final class HadroTable(path: Path, dataSchema: StructType,
       meta.keyField.foreach(k => m.put("key", k))
       meta.compress.foreach(c => m.put("compress", c))
     }
+    CollectionMeta.readConstraints(path).foreach { case (n, text) =>
+      m.put(s"constraint.$n", text)
+    }
     m
   }
 

@@ -176,7 +176,7 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
   * create the collection dir (reference engine.py:97) and validate/persist
   * the schema (the intended semantics of hadro/schema.py:65-79 — field-name
   * + type conformance, fail fast). */
-private[spark] object HadroWriteInit {
+private[graft] object HadroWriteInit {
   def ensureSchema(path: Path, schema: StructType, tombstone: Boolean,
       keyField: Option[String], deleteCol: Option[String] = None,
       bucketSpec: Option[(Seq[String], Int)] = None,
@@ -222,6 +222,49 @@ private[spark] object HadroWriteInit {
         CollectionMeta.readSchema(path).get
     }
   }
+
+  /** Parse, ANALYZE (full type coercion + builtin functions) and BIND one
+    * CHECK-constraint expression against the stored physical schema —
+    * driver-side (the analyzer lives there); the bound expression is
+    * serializable and ships to writer tasks. Fails fast on unparseable,
+    * non-boolean, non-deterministic, or unknown-column expressions. */
+  def bindConstraint(stored: StructType, name: String,
+      text: String): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeSeq, BindReferences}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      CollectionMeta.logicalSchema(stored))
+    val cond =
+      try {
+        val parsed = spark.sessionState.sqlParser.parseExpression(text)
+        val analyzed = spark.sessionState.analyzer.execute(
+          Filter(parsed, LocalRelation(attrs)))
+        analyzed.collectFirst { case f: Filter => f.condition }.getOrElse(
+          throw new IllegalArgumentException("did not analyze to a predicate"))
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"hadro: CHECK constraint '$name' ($text) is invalid: ${e.getMessage}")
+      }
+    require(cond.deterministic,
+      s"hadro: CHECK constraint '$name' must be deterministic, got $text")
+    // Bind against the FULL physical schema (dropped slots included) so
+    // ordinals match projected writer rows; logical attrs resolve by name.
+    val physAttrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(stored)
+    val byName = physAttrs.map(a => a.name -> a).toMap
+    val rebased = cond.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        byName(a.name)
+    }
+    BindReferences.bindReference(rebased, AttributeSeq(physAttrs))
+  }
+
+  /** All of a collection's CHECK constraints, analyzed and bound — what
+    * every batch/streaming/CoW write enforces per row. */
+  def resolvedConstraints(path: Path, stored: StructType)
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+    CollectionMeta.readConstraints(path).toSeq.sortBy(_._1)
+      .map { case (n, text) => n -> bindConstraint(stored, n, text) }
 
   /** Resolve + type-check bucket columns against the stored schema. */
   def bucketOrdinals(storedSchema: StructType, cols: Seq[String]): Seq[Int] =
@@ -291,10 +334,13 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       (HadroWriteInit.bucketOrdinals(storedSchema, cs), n)
     }
 
+  // CHECK constraints, analyzed + bound on the driver once per write job
+  private val constraints = HadroWriteInit.resolvedConstraints(path, storedSchema)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
-      offsetIndex, deleteCol, maxSegmentBytes, bucketOrdSpec)
+      offsetIndex, deleteCol, maxSegmentBytes, bucketOrdSpec, constraints)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage => m.infos }
@@ -509,11 +555,13 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     n <- storedMeta.numBuckets
   } yield (HadroWriteInit.bucketOrdinals(storedSchema, c.split(",").toSeq), n)
 
+  private val constraints = HadroWriteInit.resolvedConstraints(path, storedSchema)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new HadroStreamingWriterFactory(path.toString, storedSchema, schema, consistency,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
-      offsetIndex, deleteCol, bucketOrdSpec)
+      offsetIndex, deleteCol, bucketOrdSpec, constraints)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage => m.infos }
@@ -559,14 +607,15 @@ final class HadroStreamingWriterFactory(path: String, storedSchema: StructType,
     keyOrdinal: Option[Int], splitBytes: Long,
     indexOrdinals: Map[String, Seq[Int]], offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
-    bucketSpec: Option[(Seq[Int], Int)] = None)
+    bucketSpec: Option[(Seq[Int], Int)] = None,
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
       tombstone = false, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals,
-      offsetIndex, deleteCol, 0L, bucketSpec)
+      offsetIndex, deleteCol, 0L, bucketSpec, constraints)
 }
 
 final class HadroWriterFactory(path: String, storedSchema: StructType,
@@ -576,12 +625,14 @@ final class HadroWriterFactory(path: String, storedSchema: StructType,
     offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
     maxSegmentBytes: Long = 0L,
-    bucketSpec: Option[(Seq[Int], Int)] = None) extends DataWriterFactory {
+    bucketSpec: Option[(Seq[Int], Int)] = None,
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
       tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals, offsetIndex,
-      deleteCol, maxSegmentBytes, bucketSpec)
+      deleteCol, maxSegmentBytes, bucketSpec, constraints)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -601,7 +652,20 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
     maxSegmentBytes: Long = 0L,
-    bucketSpec: Option[(Seq[Int], Int)] = None) extends DataWriter[InternalRow] {
+    bucketSpec: Option[(Seq[Int], Int)] = None,
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    extends DataWriter[InternalRow] {
+
+  // CHECK enforcement (SQL semantics: NULL passes, FALSE fails): a
+  // codegen'd VIOLATION predicate per constraint — `cond <=> false` — so
+  // the zero-constraint hot path costs one empty-list check per row.
+  private val constraintChecks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.BasePredicate)] =
+    constraints.map { case (n, e) =>
+      n -> org.apache.spark.sql.catalyst.expressions.Predicate.create(
+        org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          e, org.apache.spark.sql.catalyst.expressions.Literal(false)))
+    }
 
   private def newSegmentFile() = dir.resolve(
     f"data-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.data")
@@ -683,6 +747,12 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
           s"hadro: null in non-nullable field '${storedSchema(i).name}'")
       i += 1
     }
+    if (!deleted && constraintChecks.nonEmpty)
+      constraintChecks.foreach { case (n, p) =>
+        if (p.eval(out)) throw new IllegalArgumentException(
+          s"hadro: CHECK constraint '$n' violated " +
+            s"(${CollectionMeta.readConstraints(dir).getOrElse(n, "?")})")
+      }
     bucketSpec match {
       case Some((ords, n)) =>
         val b = bucketOf(out, ords, n)

@@ -224,6 +224,58 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.pinned")
   }
 
+  test("CHECK constraints: declared at CREATE, enforced per row, NULL passes") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("""CREATE TABLE testcat.db.checked (k BIGINT, v STRING) USING hadro
+      TBLPROPERTIES ('constraint.k_pos' = 'k > 0',
+                     'constraint.v_short' = 'length(v) <= 8')""")
+    spark.sql("INSERT INTO testcat.db.checked VALUES (1, 'ok'), (2, NULL)") // NULL passes
+    assert(spark.sql("SELECT count(*) FROM testcat.db.checked").head.getLong(0) == 2)
+
+    val e1 = intercept[Exception](
+      spark.sql("INSERT INTO testcat.db.checked VALUES (-5, 'ok')"))
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO testcat.db.checked VALUES (3, 'waytoolongvalue')"))
+    assert(e2.getMessage != null)
+    // failed writes leave nothing behind (task abort, no commit)
+    assert(spark.sql("SELECT count(*) FROM testcat.db.checked").head.getLong(0) == 2)
+
+    // surfaced as table properties
+    val props = spark.sql("SHOW TBLPROPERTIES testcat.db.checked").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("constraint.k_pos").contains("k > 0"))
+
+    // invalid expressions fail at CREATE, loudly
+    intercept[Exception](spark.sql(
+      """CREATE TABLE testcat.db.badc (x INT) USING hadro
+        TBLPROPERTIES ('constraint.broken' = 'nope(x)')"""))
+    spark.sql("DROP TABLE testcat.db.checked")
+  }
+
+  test("CHECK constraints: ALTER SET retro-checks existing rows, UNSET releases") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("CREATE TABLE testcat.db.retro (k BIGINT) USING hadro")
+    spark.sql("INSERT INTO testcat.db.retro SELECT id FROM range(1, 10)")
+
+    // compliant rows: constraint lands and enforces from then on
+    spark.sql("ALTER TABLE testcat.db.retro SET TBLPROPERTIES ('constraint.pos' = 'k > 0')")
+    intercept[Exception](spark.sql("INSERT INTO testcat.db.retro VALUES (0)"))
+
+    // a constraint existing rows violate is rejected wholesale
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE testcat.db.retro SET TBLPROPERTIES ('constraint.big' = 'k > 100')"))
+    assert(e.getMessage.contains("existing rows violate"))
+
+    // UNSET drops the constraint; the previously-rejected row now writes
+    spark.sql("ALTER TABLE testcat.db.retro UNSET TBLPROPERTIES ('constraint.pos')")
+    spark.sql("INSERT INTO testcat.db.retro VALUES (0)")
+    assert(spark.sql("SELECT count(*) FROM testcat.db.retro").head.getLong(0) == 10)
+    spark.sql("DROP TABLE testcat.db.retro")
+  }
+
   test("CALL clone makes a zero-copy snapshot that diverges independently") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
