@@ -628,6 +628,41 @@ object RelationalQueries {
             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
           AS DOUBLE) AS win_sum
         FROM events WHERE user_id % 20 = 0
-        ORDER BY user_id, ts"""))
+        ORDER BY user_id, ts""")),
+
+    // ---------------------------------------------------------------- q26
+    // Rank-family windows: ntile / percent_rank / cume_dist plus
+    // first_value IGNORE NULLS — the remaining ranked-analytics quartet
+    // (quartile bucketing, relative standing, null-skipping carry-forward)
+    // over per-customer order histories. Total orderings everywhere
+    // (orderkey tiebreaks) so both engines rank identically; the
+    // rank-fraction doubles are exact dyadic rationals, no rounding trap.
+    QueryDef(
+      "q26_window_rank_family",
+      (s, dir) => {
+        QueryDef.table(s, dir, "orders").createOrReplaceTempView("q26_orders")
+        s.sql("""SELECT o_custkey, o_orderkey,
+            NTILE(4) OVER w AS price_quartile,
+            ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+            ROUND(CUME_DIST() OVER w, 6) AS cd,
+            FIRST_VALUE(CASE WHEN o_totalprice > 200000 THEN o_orderkey END)
+              IGNORE NULLS OVER
+              (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+              AS first_big
+          FROM q26_orders WHERE o_custkey % 50 = 0
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+          ORDER BY o_custkey, o_orderkey""")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          NTILE(4) OVER w AS price_quartile,
+          ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+          ROUND(CUME_DIST() OVER w, 6) AS cd,
+          FIRST_VALUE(CASE WHEN o_totalprice > 200000 THEN o_orderkey END
+            IGNORE NULLS) OVER
+            (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+            AS first_big
+        FROM orders WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey"""))
   )
 }

@@ -447,6 +447,26 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                 m.segments.map(_.bytes).sum, m.mutated, m.generation,
                 m.committedAtMs)
             }.toArray
+          case "blocks" =>
+            // per-block stats inventory (multi-block segments only): one
+            // row per (split range, column) — the observability face of
+            // intra-segment pruning. Metadata-scale: manifest JSON only.
+            CollectionMeta.currentManifest(dir).segments
+              .filter(s => s.blockStats.length == s.splits.length + 1)
+              .flatMap { s =>
+                val starts = graft.meta.SplitPoint(0L, 0L) +: s.splits
+                s.blockStats.zipWithIndex.flatMap { case (bs, i) =>
+                  val rows = (if (i + 1 < starts.length) starts(i + 1).row
+                    else s.rows) - starts(i).row
+                  bs.toSeq.sortBy(_._1).map { case (c, cs) =>
+                    InternalRow(UTF8String.fromString(s.file), i,
+                      starts(i).row, rows, UTF8String.fromString(c),
+                      cs.min.map(UTF8String.fromString).orNull,
+                      cs.max.map(UTF8String.fromString).orNull,
+                      cs.nullCount)
+                  }
+                }
+              }.toArray
           case "refs" =>
             // named tags, pinned-version metadata joined from the manifest
             CollectionMeta.readRefs(dir).toSeq.sortBy(_._1).map {
@@ -500,6 +520,11 @@ object HadroMetadataTable {
       .add("max_value", StringType).add("analyzed_version", LongType),
     "refs" -> new StructType()
       .add("tag", StringType).add("version", LongType)
-      .add("committed_at_ms", LongType).add("n_rows", LongType))
+      .add("committed_at_ms", LongType).add("n_rows", LongType),
+    "blocks" -> new StructType()
+      .add("file", StringType).add("block_idx", IntegerType)
+      .add("start_row", LongType).add("n_rows", LongType)
+      .add("column", StringType).add("min_value", StringType)
+      .add("max_value", StringType).add("null_count", LongType))
   val kinds: Set[String] = schemas.keySet
 }

@@ -345,6 +345,29 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.meta")
   }
 
+  test("metadata table t.blocks exposes per-block stats for multi-block segments") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("DROP TABLE IF EXISTS testcat.db.blocky")
+    spark.sql("CREATE TABLE testcat.db.blocky (id BIGINT, v STRING) USING hadro")
+    // one sorted writer task + tiny split cadence -> multi-block segment
+    spark.range(0, 2000, 1, 1).selectExpr("id", "concat('v', id) AS v")
+      .orderBy("id").coalesce(1)
+      .write.format("hadro").mode("append")
+      .option("hadro.splitBytes", 4 * 1024).save(s"$warehouse/db/blocky")
+
+    val blocks = spark.sql(
+      """SELECT block_idx, start_row, n_rows, min_value, max_value
+        FROM testcat.db.blocky.blocks WHERE column = 'id' ORDER BY block_idx""")
+      .collect()
+    assert(blocks.length > 1, "expected multiple blocks")
+    // block rows partition the segment; sorted data -> disjoint id ranges
+    assert(blocks.map(_.getLong(2)).sum == 2000L)
+    val ranges = blocks.map(r => (r.getString(3).toLong, r.getString(4).toLong))
+    assert(ranges.sliding(2).forall { case Array((_, hi), (lo, _)) => hi < lo })
+    spark.sql("DROP TABLE testcat.db.blocky")
+  }
+
   test("metadata table t.stats exposes the ANALYZE output") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")

@@ -41,6 +41,36 @@ class StreamSinkSpec extends SparkSuite {
     assert(spark.read.format("hadro").load(colPath).count() == 2 * src.count())
   }
 
+  test("streaming writes enforce CHECK constraints through the shared writer path") {
+    val stage = Files.createTempDirectory("ck_src")
+    val colPath = Files.createTempDirectory("ck_col").resolve("c").toString
+    val ckpt = Files.createTempDirectory("ck_ckpt").toString
+    // seed batch-side with a constraint, then stream into the same
+    // collection: the constraint must gate the streaming epoch too
+    Seq((1L, "ok")).toDF("k", "v")
+      .write.format("hadro").mode("append").save(colPath)
+    graft.api.Collection(spark, colPath).addConstraint("k_pos", "k > 0")
+
+    Seq((2L, "fine")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(Seq((1L, "x")).toDF("k", "v").schema).parquet(stage.toString)
+        .writeStream.format("hadro").option("checkpointLocation", ckpt)
+        .start(colPath)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.format("hadro").load(colPath).count() == 2)
+
+    // a violating micro-batch fails the epoch; nothing commits
+    Seq((-7L, "bad")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(stage.toString)
+    intercept[Exception](run())
+    assert(spark.read.format("hadro").load(colPath).count() == 2,
+      "violating epoch must not commit")
+  }
+
   test("a replayed epoch's duplicate segments are dropped, not double-published") {
     val colPath = Files.createTempDirectory("replay_col").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/region.parquet")
