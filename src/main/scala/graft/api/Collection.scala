@@ -916,14 +916,33 @@ final class Collection private (spark: SparkSession, val path: String) {
     // rewrite silently turns storage-partitioned joins off: re-route the
     // rewritten rows with the same spec (one shuffle on the same bucket
     // expression the ingest used, so each task writes one bucket).
+    // A declared physical sort must survive compaction too: dropping it
+    // silently costs ordered scans (RemoveRedundantSorts) and SMB joins
+    // their sort-free plans, and block stats their disjoint ranges. Plain
+    // sorted collections re-range-partition on the sort column; bucketed
+    // ones re-sort WITHIN each bucket (per-bucket segment appends preserve
+    // task order, so each rewritten bucket segment comes out sorted).
     val writer0 = (m0.bucketBy, m0.numBuckets) match {
       case (Some(c), Some(n)) =>
         import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
         val cols = c.split(",").toSeq
-        resolvedAsOf(m0.version)
+        val routed = resolvedAsOf(m0.version)
           .repartition(n, pmod(xxhash64(cols.map(col): _*), lit(n)))
-          .write.option("hadro.bucketBy", c).option("hadro.buckets", n.toString)
-      case _ => resolvedAsOf(m0.version).write
+        val w = m0.sortedBy match {
+          case Some(sc) => routed.sortWithinPartitions(sc)
+            .write.option("hadro.sortedBy", sc)
+          case None => routed.write
+        }
+        w.option("hadro.bucketBy", c).option("hadro.buckets", n.toString)
+      case _ => m0.sortedBy match {
+        case Some(sc) =>
+          import org.apache.spark.sql.functions.col
+          resolvedAsOf(m0.version)
+            .repartitionByRange(math.max(1, m0.segments.size), col(sc))
+            .sortWithinPartitions(sc)
+            .write.option("hadro.sortedBy", sc)
+        case None => resolvedAsOf(m0.version).write
+      }
     }
     writer0.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)

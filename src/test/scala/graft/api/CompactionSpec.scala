@@ -168,6 +168,43 @@ class CompactionSpec extends SparkSuite {
     assert(c.count() == src.count())
   }
 
+  test("compact preserves the declared sort, plain and per-bucket") {
+    // plain sorted collection: cluster() declares the sort, delete + compact
+    // must keep it (and keep rows segment-ordered)
+    val p1 = tmp("sorted")
+    val src = spark.read.parquet(s"$sf0001/part.parquet")
+    val c1 = Collection.create(spark, p1, src, numSegments = 4)
+    c1.cluster(Seq("p_partkey"), numSegments = 4)
+    assert(CollectionMeta.currentManifest(Paths.get(p1)).sortedBy.contains("p_partkey"))
+    c1.compact()
+    val m1 = CollectionMeta.currentManifest(Paths.get(p1))
+    assert(m1.sortedBy.contains("p_partkey"),
+      "compaction must not drop the declared sort")
+    // disjoint, ordered per-segment key ranges prove physical order held
+    val bounds = m1.segments.map(s =>
+      (s.stats("p_partkey").min.get.toLong, s.stats("p_partkey").max.get.toLong))
+    assert(bounds.sortBy(_._1).sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    })
+    assert(c1.scan().count() == src.count())
+
+    // bucketed + sorted (the SMB layout): compaction keeps BOTH declarations
+    val p2 = tmp("smb")
+    src.repartition(4, pmod(xxhash64($"p_partkey"), lit(4)))
+      .sortWithinPartitions("p_partkey")
+      .write.format("hadro").mode("append")
+      .option("hadro.bucketBy", "p_partkey").option("hadro.buckets", "4")
+      .option("hadro.sortedBy", "p_partkey").save(p2)
+    val c2 = Collection(spark, p2)
+    c2.compact()
+    val m2 = CollectionMeta.currentManifest(Paths.get(p2))
+    assert(m2.sortedBy.contains("p_partkey") && m2.bucketBy.contains("p_partkey"),
+      s"SMB layout lost: sortedBy=${m2.sortedBy} bucketBy=${m2.bucketBy}")
+    assert(m2.segments.forall(_.bucket.isDefined))
+    assert(c2.scan().count() == src.count())
+  }
+
   test("compactSmall bin-packs small segments without a full rewrite") {
     val path = tmp("small")
     val src = spark.read.parquet(s"$sf0001/customer.parquet")
