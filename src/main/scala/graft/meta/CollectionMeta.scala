@@ -298,14 +298,20 @@ object CollectionMeta {
   private def constraintsFile(collection: Path): Path =
     metaDir(collection).resolve("constraints.json")
 
-  /** All CHECK constraints: name -> SQL expression text. */
+  /** All CHECK constraints: name -> SQL expression text. A present-but-
+    * unparseable file FAILS LOUDLY: silently reading "no constraints"
+    * would disable enforcement on every subsequent write. */
   def readConstraints(collection: Path): Map[String, String] = {
     val f = constraintsFile(collection)
     if (!Files.exists(f)) Map.empty
     else try {
       JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
         .extract[Map[String, String]]
-    } catch { case _: Exception => Map.empty }
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"hadro: corrupt constraints file $f — refusing to write without " +
+          s"enforcement (${e.getMessage})")
+    }
   }
 
   def writeConstraints(collection: Path, cs: Map[String, String]): Unit = {
@@ -330,14 +336,20 @@ object CollectionMeta {
 
   private def refsFile(collection: Path): Path = metaDir(collection).resolve("refs.json")
 
-  /** All named refs: tag name -> pinned manifest version. */
+  /** All named refs: tag name -> pinned manifest version. A present-but-
+    * unparseable file FAILS LOUDLY: silently reading "no tags" would hand
+    * every pinned snapshot's manifest and files to the next GC sweep. */
   def readRefs(collection: Path): Map[String, Long] = {
     val f = refsFile(collection)
     if (!Files.exists(f)) Map.empty
     else try {
       JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
         .extract[Map[String, Long]]
-    } catch { case _: Exception => Map.empty }
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"hadro: corrupt refs file $f — refusing to GC while tag pins are " +
+          s"unreadable (${e.getMessage})")
+    }
   }
 
   private def writeRefs(collection: Path, refs: Map[String, Long]): Unit = {

@@ -170,6 +170,31 @@ class RobustnessSpec extends SparkSuite {
     spark.sql("DROP TABLE rb_dvc.db.t")
   }
 
+  test("corrupt refs/constraints files fail loudly instead of silently disabling") {
+    val path = Files.createTempDirectory("corrupt_meta").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    val c = Collection.create(spark, path, src)
+    c.createTag("keep", -1)
+    c.addConstraint("key_ok", "r_regionkey >= 0")
+
+    val meta = java.nio.file.Paths.get(path).resolve("_hadro")
+    Files.write(meta.resolve("refs.json"), "not json{".getBytes)
+    // GC paths consult refs: a maintenance op must refuse, not un-pin
+    val e1 = intercept[IllegalStateException](c.compact())
+    assert(e1.getMessage.contains("refs"))
+    Files.write(meta.resolve("refs.json"),
+      """{"keep":1}""".getBytes) // restore
+
+    Files.write(meta.resolve("constraints.json"), "not json{".getBytes)
+    // writes consult constraints: inserting must refuse, not skip checks
+    val e2 = intercept[Exception](
+      src.limit(1).write.format("hadro").mode("append").save(path))
+    assert(e2.getMessage != null)
+    Files.delete(meta.resolve("constraints.json"))
+    src.limit(1).write.format("hadro").mode("append").save(path)
+    assert(c.scan().count() == src.count() + 1)
+  }
+
   test("torn writes are invisible: only manifest-committed segments are scanned") {
     val path = Files.createTempDirectory("torn").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/region.parquet")
