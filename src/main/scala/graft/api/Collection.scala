@@ -676,12 +676,14 @@ final class Collection private (spark: SparkSession, val path: String) {
       try Files.createLink(dstF, srcF)
       catch { case _: Exception => Files.copy(srcF, dstF) }
     }
-    // non-manifest metadata sidecars ride along (vocab.json, sq8-params…)
+    // non-manifest metadata sidecars ride along (vocab.json, sq8-params,
+    // constraints.json…) — but NOT refs.json: tags pin VERSIONS, and the
+    // clone starts a fresh history where those versions don't exist
     CollectionMeta.listDir(CollectionMeta.metaDir(dir))
       .filter { p =>
         val n = p.getFileName.toString
         !n.startsWith("manifest-") && !n.startsWith("dead-") &&
-          !n.startsWith(".tmp") && n != "schema.json"
+          !n.startsWith(".tmp") && n != "schema.json" && n != "refs.json"
       }
       .foreach(p => Files.copy(p,
         CollectionMeta.metaDir(dst).resolve(p.getFileName.toString),
@@ -689,6 +691,56 @@ final class Collection private (spark: SparkSession, val path: String) {
     CollectionMeta.commit(dst, _ =>
       m.copy(streamEpochs = Map.empty, generation = 0L))
     Collection(spark, dstPath)
+  }
+
+  /** WRITE-AUDIT-PUBLISH: atomically replace THIS collection's contents
+    * with the current state of a staged collection (typically a
+    * [[cloneTo]] branch the pipeline wrote and audited). The staged
+    * segments hard-link into this directory (zero-copy; UUID names never
+    * collide), and ONE commit swaps the manifest — readers see the old or
+    * the new state, never a mix, history stays rollback-able
+    * ([[restoreVersion]] / tags), and the replaced files go through the
+    * normal deferred GC. Requires an identical stored schema (publish is
+    * a data swap, not an evolution vehicle). Generation bumps: a publish
+    * is a log discontinuity tailing streams must detect, exactly like a
+    * truncate. Returns the committed version. The 100 TB pattern: stage =
+    * zero-copy clone, pipeline writes + quality audits run against stage,
+    * publish is one metadata commit — bad batches never touch prod. */
+  def publishFrom(stagedPath: String): Long = {
+    val staged = java.nio.file.Paths.get(stagedPath)
+    val stagedMeta = CollectionMeta.readSchema(staged).getOrElse(
+      throw new IllegalArgumentException(s"hadro: no collection at $stagedPath"))
+    val targetMeta = CollectionMeta.readSchema(dir).getOrElse(
+      throw new IllegalStateException(s"hadro: no collection at $path"))
+    require(stagedMeta.schema == targetMeta.schema,
+      s"hadro: publish requires identical schemas — staged " +
+        s"${stagedMeta.schema.simpleString} vs target ${targetMeta.schema.simpleString}")
+    val sm = CollectionMeta.currentManifest(staged)
+    sm.segments.flatMap(s =>
+      Seq(s.file) ++ s.bloom ++ s.offsetIndex ++ s.indexBlooms.values ++
+        s.deleteVector)
+      .foreach { f =>
+        val dstF = dir.resolve(f)
+        if (!Files.exists(dstF)) {
+          val srcF = staged.resolve(f)
+          try Files.createLink(dstF, srcF)
+          catch { case _: Exception => Files.copy(srcF, dstF) }
+        }
+      }
+    val committed = CollectionMeta.commit(dir, cur => cur.copy(
+      segments = sm.segments,
+      mutated = sm.mutated,
+      indexes = sm.indexes,
+      bucketBy = sm.bucketBy,
+      numBuckets = sm.numBuckets,
+      sortedBy = sm.sortedBy,
+      generation = cur.generation + 1))
+    val live = (sm.segments.map(_.file) ++ sm.segments.flatMap(_.bloom) ++
+      sm.segments.flatMap(_.indexBlooms.values) ++
+      sm.segments.flatMap(_.offsetIndex) ++
+      sm.segments.flatMap(_.deleteVector)).toSet
+    CollectionMeta.deferredGc(dir, live)
+    committed.version
   }
 
   /** Age-based history retention (Iceberg `expire_snapshots` analog):

@@ -1762,6 +1762,45 @@ object StorageQueries {
       },
       Some("""SELECT p_partkey, p_name, p_size FROM part
         UNION ALL SELECT 9999991, 'late-row', 7
-        ORDER BY p_partkey"""))
+        ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------------- h63
+    // WRITE-AUDIT-PUBLISH: the staging pattern that keeps bad batches out
+    // of prod at 100 TB — zero-copy clone branch, pipeline writes + audits
+    // run against the branch, `CALL system.publish` atomically swaps the
+    // target's contents in ONE commit (hard-linked segments, history
+    // rollback-able, generation bump). The oracle is the audited staged
+    // state: publish must surface exactly what was audited, nothing else.
+    QueryDef(
+      "h63_wap_publish",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h63"
+        s.conf.set("spark.sql.catalog.graft_h63", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h63.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h63.db")
+        s.sql("DROP TABLE IF EXISTS graft_h63.db.prod")
+        s.sql("DROP TABLE IF EXISTS graft_h63.db.stage")
+        s.sql("""CREATE TABLE graft_h63.db.prod
+          (n_nationkey INT, n_name STRING, n_regionkey INT) USING hadro""")
+        QueryDef.table(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .createOrReplaceTempView("h63_src")
+        s.sql("INSERT INTO graft_h63.db.prod SELECT * FROM h63_src")
+        s.sql("CALL graft_h63.system.clone('db.prod', 'db.stage')")
+        s.sql("DELETE FROM graft_h63.db.stage WHERE n_regionkey = 0")
+        s.sql("""INSERT INTO graft_h63.db.stage
+          SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM h63_src
+          WHERE n_regionkey = 1""")
+        s.sql("CALL graft_h63.system.publish('db.stage', 'db.prod')")
+        s.sql("""SELECT n_nationkey, n_name, n_regionkey FROM graft_h63.db.prod
+          ORDER BY n_nationkey""")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+          WHERE n_regionkey <> 0
+        UNION ALL
+        SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM nation
+          WHERE n_regionkey = 1
+        ORDER BY n_nationkey"""))
   )
 }

@@ -37,7 +37,8 @@ object HadroProcedures {
 
   val names: Seq[String] =
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
-      "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag")
+      "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag",
+      "publish")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -134,6 +135,17 @@ object HadroProcedures {
             InternalRow(UTF8String.fromString(name), cs.distinctCount,
               cs.nullCount, cs.avgLen, cs.maxLen, cs.histogram.size)
           }
+        }
+      case "publish" => proc("publish",
+        "write-audit-publish: atomically replace the target's contents " +
+          "with the staged table's current state (zero-copy hard links, " +
+          "one commit; history stays rollback-able)",
+        Seq(p("staged", StringType), p("target", StringType)),
+        new StructType().add("published_version", LongType)) { in =>
+          val stagedDir = resolve(in.getUTF8String(0).toString)
+          val target = Collection(SparkSession.active,
+            resolve(in.getUTF8String(1).toString).toString)
+          Seq(InternalRow(target.publishFrom(stagedDir.toString)))
         }
       case "create_tag" => proc("create_tag",
         "pin a committed version under a name (Iceberg tag analog): exempt " +

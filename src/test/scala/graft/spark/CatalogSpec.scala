@@ -224,6 +224,43 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.pinned")
   }
 
+  test("write-audit-publish: stage a clone, mutate, publish atomically; history survives") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("DROP TABLE IF EXISTS testcat.db.prod")
+    spark.sql("DROP TABLE IF EXISTS testcat.db.stage")
+    spark.sql("CREATE TABLE testcat.db.prod (id BIGINT, v STRING) USING hadro")
+    spark.sql("INSERT INTO testcat.db.prod SELECT id, concat('v', id) FROM range(0, 100, 1, 1)")
+    val prodDir = java.nio.file.Paths.get(s"$warehouse/db/prod")
+    val vBefore = graft.meta.CollectionMeta.currentManifest(prodDir).version
+
+    // WAP: zero-copy branch, pipeline writes + audit on the branch only
+    spark.sql("CALL testcat.system.clone('db.prod', 'db.stage')")
+    spark.sql("DELETE FROM testcat.db.stage WHERE id % 2 = 0")
+    spark.sql("INSERT INTO testcat.db.stage VALUES (999, 'audited')")
+    // prod untouched while the stage diverges
+    assert(spark.sql("SELECT count(*) FROM testcat.db.prod").head.getLong(0) == 100)
+
+    val out = spark.sql("CALL testcat.system.publish('db.stage', 'db.prod')").head
+    assert(out.getLong(0) == vBefore + 1, "publish is ONE commit")
+    assert(spark.sql("SELECT count(*) FROM testcat.db.prod").head.getLong(0) == 51)
+    assert(spark.sql("SELECT v FROM testcat.db.prod WHERE id = 999").head.getString(0)
+      == "audited")
+    // pre-publish state still reachable: rollback-able history
+    assert(spark.sql(
+      s"SELECT count(*) FROM testcat.db.prod VERSION AS OF $vBefore")
+      .head.getLong(0) == 100)
+    spark.sql(s"CALL testcat.system.rollback('db.prod', $vBefore)")
+    assert(spark.sql("SELECT count(*) FROM testcat.db.prod").head.getLong(0) == 100)
+
+    // schema drift refuses to publish
+    spark.sql("ALTER TABLE testcat.db.stage ADD COLUMN extra STRING")
+    intercept[Exception](
+      spark.sql("CALL testcat.system.publish('db.stage', 'db.prod')"))
+    spark.sql("DROP TABLE testcat.db.stage")
+    spark.sql("DROP TABLE testcat.db.prod")
+  }
+
   test("CHECK constraints: declared at CREATE, enforced per row, NULL passes") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
