@@ -715,6 +715,23 @@ final class Collection private (spark: SparkSession, val path: String) {
     require(stagedMeta.schema == targetMeta.schema,
       s"hadro: publish requires identical schemas — staged " +
         s"${stagedMeta.schema.simpleString} vs target ${targetMeta.schema.simpleString}")
+    // The target's CHECK constraints gate the publish too: a stage built
+    // without them (or whose constraints drifted) must not smuggle
+    // violating rows past enforcement. One audit scan, CHECK semantics.
+    val targetConstraints = CollectionMeta.readConstraints(dir)
+    if (targetConstraints.nonEmpty) {
+      val stagedData = Collection(spark, stagedPath).toDF()
+      val violated = targetConstraints.toSeq.sortBy(_._1).collectFirst {
+        case (n, text) if stagedData
+          .filter(org.apache.spark.sql.functions.expr(text) <=> lit(false))
+          .limit(1).count() > 0 => (n, text)
+      }
+      violated.foreach { case (n, text) =>
+        throw new IllegalArgumentException(
+          s"hadro: publish refused — staged rows violate the target's " +
+            s"CHECK constraint '$n' ($text)")
+      }
+    }
     val sm = CollectionMeta.currentManifest(staged)
     sm.segments.flatMap(s =>
       Seq(s.file) ++ s.bloom ++ s.offsetIndex ++ s.indexBlooms.values ++

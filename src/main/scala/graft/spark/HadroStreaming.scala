@@ -71,9 +71,11 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
   require(maxBytesPerTrigger >= 0,
     s"hadro.maxBytesPerTrigger must be >= 0, got $maxBytesPerTrigger")
   require(startingVersion.forall(v =>
-      v.equalsIgnoreCase("latest") || v.forall(_.isDigit)),
-    s"hadro.startingVersion must be a version number or 'latest', got " +
-      s"'${startingVersion.getOrElse("")}'")
+      v.equalsIgnoreCase("latest") || v.forall(_.isDigit) ||
+        CollectionMeta.readRefs(path).contains(v)),
+    s"hadro.startingVersion must be a version number, 'latest', or a tag " +
+      s"name, got '${startingVersion.getOrElse("")}' " +
+      s"(tags: ${CollectionMeta.readRefs(path).keys.toSeq.sorted.mkString(", ")})")
 
   /** Where a FRESH query (no checkpoint) begins — Delta-style
     * `startingVersion`. Default: ordinal 0, the whole retained log
@@ -92,7 +94,12 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
       val m = CollectionMeta.currentManifest(path)
       HadroOffset(m.nextOrdinal, m.generation)
     case Some(s) =>
-      val v = s.toLong
+      // a TAG resumes from "all changes AFTER the pinned snapshot" — the
+      // natural CDC handoff: tag the snapshot a consumer ingested, stream
+      // from the tag. Tags pin their manifest, so this never expires
+      // under the consumer (unlike a bare version number).
+      val tagged = CollectionMeta.readRefs(path).get(s)
+      val v = tagged.map(_ + 1).getOrElse(s.toLong)
       // versions start at 1, so v <= 1 is the start of the log by
       // definition; only v >= 2 needs v-1 to still be retained
       if (v <= 1L) HadroOffset(0L, CollectionMeta.currentManifest(path).generation)

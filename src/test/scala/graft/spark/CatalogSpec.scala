@@ -253,6 +253,14 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"CALL testcat.system.rollback('db.prod', $vBefore)")
     assert(spark.sql("SELECT count(*) FROM testcat.db.prod").head.getLong(0) == 100)
 
+    // the TARGET's constraints gate the publish: stage carries id=999,
+    // so a prod-side CHECK added after the clone refuses the swap
+    spark.sql("ALTER TABLE testcat.db.prod SET TBLPROPERTIES ('constraint.small' = 'id < 500')")
+    val ce = intercept[Exception](
+      spark.sql("CALL testcat.system.publish('db.stage', 'db.prod')"))
+    assert(ce.getMessage.contains("CHECK constraint 'small'"))
+    spark.sql("ALTER TABLE testcat.db.prod UNSET TBLPROPERTIES ('constraint.small')")
+
     // schema drift refuses to publish
     spark.sql("ALTER TABLE testcat.db.stage ADD COLUMN extra STRING")
     intercept[Exception](

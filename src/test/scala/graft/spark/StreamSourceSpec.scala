@@ -109,6 +109,11 @@ class StreamSourceSpec extends SparkSuite {
     assert(countFrom(v3.toString) == n, "from the head commit: just its rows")
     assert(countFrom("latest") == 0L, "latest: only future appends")
 
+    // a TAG resumes from "changes AFTER the pinned snapshot" — the CDC
+    // handoff: the pin keeps the resume point retained under expiry
+    c.createTag("ingested", v2)
+    assert(countFrom("ingested") == n, "after the v2 tag: commit 3 only")
+
     // resuming from an EXPIRED snapshot fails fast, like time travel
     c.expireSnapshots(System.currentTimeMillis() + 60_000)
     val ex = intercept[Exception] { countFrom(v2.toString) }
@@ -117,5 +122,10 @@ class StreamSourceSpec extends SparkSuite {
         .flatMap(e => Option(e.getMessage)).toSeq
     assert(messages(ex).exists(_.contains("not available")),
       s"expected a retention error, got: ${messages(ex).mkString(" | ")}")
+    // the tag survived the expiry: its resume point still positions
+    assert(countFrom("ingested") == n)
+    // unknown tags fail loudly, naming the available ones
+    val ex2 = intercept[Exception] { countFrom("nope") }
+    assert(messages(ex2).exists(_.contains("ingested")))
   }
 }
