@@ -394,6 +394,89 @@ object MultimodalOps {
       .filter(col("shared") >= minShared)
   }
 
+  // ------------------------------------------- content-defined chunking
+  // Gear table for the rolling hash: 256 deterministic 64-bit values from
+  // a fixed SplitMix64 walk (public-domain constant), so chunk boundaries
+  // are reproducible across engines, runs and partitions.
+  private[ops] val Gear: Array[Long] = {
+    var x = 0x9e3779b97f4a7c15L
+    Array.fill(256) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Content-defined chunks of a byte payload (gear rolling hash, the
+    * FastCDC shape): a boundary falls wherever the rolling hash masks to
+    * zero past `minSize` bytes — so boundaries are determined by CONTENT,
+    * not position, and an insertion or deletion only perturbs the chunk it
+    * lands in; everything downstream re-synchronizes. Returns each chunk's
+    * FNV-1a hash. This is what fixed-frame fingerprints ([[frameFingerprints]])
+    * structurally cannot do: one inserted byte shifts every later frame. */
+  private[ops] def cdcChunkHashes(bytes: Array[Byte], minSize: Int,
+      maskBits: Int): Seq[Long] = {
+    val mask = (1L << maskBits) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + Gear(bytes(i) & 0xff)
+      if (i - start + 1 >= minSize && (h & mask) == 0L) {
+        out += fnv1a(bytes, start, i + 1)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) out += fnv1a(bytes, start, bytes.length)
+    out.toSeq
+  }
+
+  private def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Binary near-dup pairs by shared CONTENT-DEFINED chunks: assets pair
+    * when they share >= `minShared` distinct chunk hashes. Because
+    * boundaries are content-derived, inserted/deleted spans only kill the
+    * chunks they touch — trims, splices and prepended headers all still
+    * pair, where fixed-frame hashing ([[videoNearDupPairs]]) loses every
+    * frame after the edit point. Same scale shape as the frame path:
+    * map-only chunking (mapPartitions — per-byte rolling state), df-cap
+    * drops ubiquitous chunks before the inverted-index join. */
+  def cdcNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      minSize: Int = 24, maskBits: Int = 5,
+      minShared: Int = 4, maxDf: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val f = df.select(col(idCol).cast(LongType), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        cdcChunkHashes(bytes, minSize, maskBits).distinct.map(h => (id, h))
+      })
+      .toDF("media_id", "chash")
+    val rare = f.groupBy("chash")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select("chash")
+    val ff = f.join(rare, Seq("chash"), "left_semi")
+    ff.as("x").join(ff.as("y"), "chash")
+      .filter(col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("a"), col("y.media_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
       frameSize: Int = 64, stride: Int = 4, maxFrames: Int = 8): DataFrame = {
     val spark = df.sparkSession

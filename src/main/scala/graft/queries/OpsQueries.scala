@@ -2827,6 +2827,30 @@ object OpsQueries {
         GROUP BY 1, 2 HAVING COUNT(*) >= 4
         ORDER BY a, b""")),
 
+    // ---------------------------------------------------------------- m11
+    // CDC (content-defined chunking) near-dup: gear-rolling-hash chunk
+    // boundaries re-synchronize after insertions/deletions, so spliced
+    // copies (7 bytes injected near the start) still pair — the edit class
+    // fixed-frame fingerprints (m10) structurally miss (OpsSpec asserts
+    // the contrast). Per-byte rolling state → mapPartitions; everything
+    // after is the same df-capped inverted-index shape. No SQL oracle (a
+    // per-byte rolling hash has no DuckDB replay) — rows-only check; the
+    // planted-recall and determinism contracts live in OpsSpec.
+    QueryDef(
+      "m11_cdc_chunk_dedup",
+      (s, dir) => {
+        val base = table(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        val spliced = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            expr("concat(substring(media, 1, 20), cast('XXSPLIC' as binary), " +
+              "substring(media, 21, 100000))").as("media"))
+        MultimodalOps.cdcNearDupPairs(base.union(spliced), "doc_id", "media",
+            minSize = 16, maskBits = 4, minShared = 2)
+          .orderBy("a", "b")
+      },
+      None),
+
     // ---------------------------------------------------------------- st01
     // Structured Streaming: hourly windowed counts over the events stream
     // (file source → window agg → memory sink, complete mode). One batch

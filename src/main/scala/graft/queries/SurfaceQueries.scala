@@ -288,6 +288,31 @@ object SurfaceQueries {
           ROUND(ANY_VALUE(d.med), 2) AS med,
           ROUND(ANY_VALUE(ma.mad), 2) AS mad
         FROM dev d JOIN mad ma USING (o_orderpriority)
-        GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority"""))
+        GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""")),
+
+    // ---------------------------------------------------------------- p10
+    // Higher-order array functions — filter / aggregate (fold) / transform
+    // + slice, the lambda surface pipelines lean on for array columns.
+    // All codegen'd builtins; the oracle is DuckDB's list_* family over
+    // identical token arrays.
+    QueryDef(
+      "p10_higher_order_functions",
+      (s, dir) => {
+        QueryDef.table(s, dir, "documents").createOrReplaceTempView("p10_docs")
+        s.sql("""SELECT doc_id,
+            size(filter(split(text, ' '), t -> length(t) > 5)) AS n_long,
+            aggregate(split(text, ' '), 0, (acc, t) -> acc + length(t)) AS chars,
+            array_join(transform(slice(split(text, ' '), 1, 3), t -> upper(t)), '_')
+              AS head3
+          FROM p10_docs ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id,
+          CAST(len(list_filter(str_split(text, ' '), t -> length(t) > 5)) AS INT)
+            AS n_long,
+          CAST(list_sum(list_transform(str_split(text, ' '), t -> length(t))) AS INT)
+            AS chars,
+          array_to_string(list_transform(str_split(text, ' ')[1:3], t -> upper(t)), '_')
+            AS head3
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -447,6 +447,24 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                 m.segments.map(_.bytes).sum, m.mutated, m.generation,
                 m.committedAtMs)
             }.toArray
+          case "detail" =>
+            // DESCRIBE DETAIL analog: one row of table-level facts
+            val m = CollectionMeta.currentManifest(dir)
+            val meta = CollectionMeta.readSchema(dir)
+            Array(InternalRow(
+              UTF8String.fromString(dir.toString),
+              m.version, m.generation,
+              m.segments.size.toLong,
+              m.segments.map(s => s.rows - s.tombstones - s.dvDeletes).sum,
+              m.segments.map(_.bytes).sum,
+              meta.flatMap(_.keyField).map(UTF8String.fromString).orNull,
+              meta.flatMap(_.compress).map(UTF8String.fromString).orNull,
+              m.sortedBy.map(UTF8String.fromString).orNull,
+              m.bucketBy.map(UTF8String.fromString).orNull,
+              m.numBuckets.map(Int.box).orNull,
+              CollectionMeta.readConstraints(dir).size,
+              CollectionMeta.readRefs(dir).size,
+              m.committedAtMs))
           case "blocks" =>
             // per-block stats inventory (multi-block segments only): one
             // row per (split range, column) — the observability face of
@@ -525,6 +543,14 @@ object HadroMetadataTable {
       .add("file", StringType).add("block_idx", IntegerType)
       .add("start_row", LongType).add("n_rows", LongType)
       .add("column", StringType).add("min_value", StringType)
-      .add("max_value", StringType).add("null_count", LongType))
+      .add("max_value", StringType).add("null_count", LongType),
+    "detail" -> new StructType()
+      .add("location", StringType).add("version", LongType)
+      .add("generation", LongType).add("n_segments", LongType)
+      .add("n_rows", LongType).add("n_bytes", LongType)
+      .add("key", StringType).add("compress", StringType)
+      .add("sorted_by", StringType).add("bucket_by", StringType)
+      .add("num_buckets", IntegerType).add("n_constraints", IntegerType)
+      .add("n_tags", IntegerType).add("committed_at_ms", LongType))
   val kinds: Set[String] = schemas.keySet
 }

@@ -206,6 +206,41 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: radius search equals a JVM reference over arbitrary corpora") {
+    import graft.ops.SimilarityOps
+    val genVec: Gen[Seq[Float]] =
+      Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)).map(_.toSeq)
+    val genCorpus: Gen[List[Seq[Float]]] =
+      Gen.choose(5, 60).flatMap(Gen.listOfN(_, genVec))
+    def cosRef(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    samples(Gen.zip(genCorpus, genVec, Gen.choose(-0.5, 0.9)), 5, seed = 97)
+      .foreach { case (corpus, q, theta) =>
+        val df = corpus.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+        val got = SimilarityOps.radiusSearch(df, "vec_id", "embedding", q, theta)
+          .select($"vec_id").as[Long].collect().toSet
+        // reference filters at a half-ulp guard: a corpus cosine landing
+        // EXACTLY on theta is genuinely ambiguous between float orders
+        val want = corpus.zipWithIndex
+          .filter { case (v, _) => cosRef(v, q) >= theta }
+          .map(_._2.toLong).toSet
+        val boundary = corpus.zipWithIndex
+          .filter { case (v, _) => math.abs(cosRef(v, q) - theta) < 1e-12 }
+          .map(_._2.toLong).toSet
+        assert((got -- boundary) == (want -- boundary),
+          s"theta=$theta diff=${(got diff want) union (want diff got)}")
+      }
+  }
+
   test("pcm_stats equals a JVM reference over arbitrary buffers") {
     val genPcm = Gen.choose(0, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))

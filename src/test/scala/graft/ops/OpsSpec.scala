@@ -741,6 +741,39 @@ class OpsSpec extends SparkSuite {
     assert(bp.size < 40 * 39 / 2, "intro frame alone paired the whole corpus")
   }
 
+  test("CDC chunk dedup survives insertions that break fixed-frame hashing") {
+    import org.apache.spark.sql.functions.{col, encode, length => flen}
+    val base = docs.filter(flen($"text") >= 300).limit(20)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+    // splice 7 bytes near the START: every fixed frame after the edit
+    // shifts, but content-defined boundaries re-synchronize
+    val spliced = base.select(($"doc_id" + 1000000L).as("doc_id"),
+      expr("concat(substring(media, 1, 20), cast('XXSPLIC' as binary), " +
+        "substring(media, 21, 100000))").as("media"))
+    val both = base.union(spliced)
+    val planted = base.select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+
+    val cdc = MultimodalOps.cdcNearDupPairs(both, "doc_id", "media",
+        minSize = 16, maskBits = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(cdc), s"CDC missed splices: ${planted -- cdc}")
+
+    // the fixed-frame path structurally loses post-edit frames: it must
+    // recall strictly fewer planted pairs than CDC on the same corpus
+    val framed = MultimodalOps.videoNearDupPairs(both, "doc_id", "media",
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.intersect(framed).size < planted.size,
+      "fixed frames should miss some spliced pairs — else the contrast claim is wrong")
+
+    // determinism: chunk hashes are partition-independent
+    val h1 = MultimodalOps.cdcNearDupPairs(both.repartition(7), "doc_id", "media",
+        minSize = 16, maskBits = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h1 == cdc)
+  }
+
   test("audio envelope hash is gain-invariant, shape-sensitive, total") {
     def wav(period: Int, gain: Int): Array[Byte] = {
       val n = 1600

@@ -413,6 +413,22 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.blocky")
   }
 
+  test("metadata table t.detail reports the one-row table summary") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("DROP TABLE IF EXISTS testcat.db.det")
+    spark.sql("""CREATE TABLE testcat.db.det (k BIGINT, v STRING) USING hadro
+      TBLPROPERTIES ('key'='k', 'constraint.pos'='k >= 0')""")
+    spark.sql("INSERT INTO testcat.db.det SELECT id, concat('v', id) FROM range(0, 10, 1, 1)")
+    spark.sql("CALL testcat.system.create_tag('db.det', 'r1', -1)")
+    val d = spark.sql(
+      """SELECT n_segments, n_rows, key, n_constraints, n_tags
+        FROM testcat.db.det.detail""").head
+    assert(d.getLong(0) == 1L && d.getLong(1) == 10L)
+    assert(d.getString(2) == "k" && d.getInt(3) == 1 && d.getInt(4) == 1)
+    spark.sql("DROP TABLE testcat.db.det")
+  }
+
   test("metadata table t.stats exposes the ANALYZE output") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
