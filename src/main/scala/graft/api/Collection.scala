@@ -760,6 +760,58 @@ final class Collection private (spark: SparkSession, val path: String) {
     committed.version
   }
 
+  /** ORPHAN data/sidecar files: present in the collection directory but
+    * referenced by NO retained manifest, NO tag-pinned manifest, and NO
+    * deferred-GC dead-list (dead-listed files are scheduled, not lost).
+    * Orphans come from crashed writers whose driver never committed (task
+    * files land before the manifest publish) and from interrupted clones.
+    * A later truncate/compaction WILL sweep strays into its deferred
+    * dead-list — but a collection that is only ever appended to never
+    * runs one, so at 100 TB crash leftovers are silent storage leaks
+    * until an operator asks. Returns (file, bytes). */
+  def orphanFiles(): Seq[(String, Long)] = {
+    val referenced = CollectionMeta.retainedManifests(dir)
+      .flatMap(_.segments)
+      .flatMap(s => Seq(s.file) ++ s.bloom ++ s.offsetIndex ++
+        s.indexBlooms.values ++ s.deleteVector)
+      .toSet
+    val deadListed = CollectionMeta.listDir(CollectionMeta.metaDir(dir))
+      .filter(_.getFileName.toString.matches("dead-\\d+\\.json"))
+      .flatMap { dl =>
+        try {
+          org.json4s.jackson.JsonMethods.parse(
+            new String(Files.readAllBytes(dl),
+              java.nio.charset.StandardCharsets.UTF_8)) match {
+            case org.json4s.JArray(vs) =>
+              vs.collect { case org.json4s.JString(s) => s }
+            case _ => Nil
+          }
+        } catch { case _: Exception => Nil }
+      }.toSet
+    CollectionMeta.listDir(dir)
+      .filter(p => Files.isRegularFile(p))
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".data") || n.endsWith(".bloom") ||
+        n.endsWith(".koff") || n.endsWith(".dv"))
+      .filterNot(referenced)
+      .filterNot(deadListed)
+      .map(n => n -> Files.size(dir.resolve(n)))
+  }
+
+  /** Delete the current [[orphanFiles]]; returns how many were removed.
+    * Safe by construction: the listing already excludes everything any
+    * retained or tagged manifest references and everything the deferred
+    * GC owns. Run it after crash recovery, not on a schedule racing
+    * in-flight writes (a writer's yet-uncommitted task files look
+    * orphaned until its driver commits). */
+  def removeOrphans(): Int = {
+    val orphans = orphanFiles()
+    orphans.foreach { case (n, _) =>
+      try Files.deleteIfExists(dir.resolve(n)) catch { case _: Exception => () }
+    }
+    orphans.size
+  }
+
   /** Age-based history retention (Iceberg `expire_snapshots` analog):
     * drop retained manifest versions committed before `olderThanMs`
     * (epoch millis), current head always kept, superseded index/dv

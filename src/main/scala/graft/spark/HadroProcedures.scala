@@ -38,7 +38,7 @@ object HadroProcedures {
   val names: Seq[String] =
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
       "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag",
-      "publish")
+      "publish", "orphan_files", "remove_orphans")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -135,6 +135,22 @@ object HadroProcedures {
             InternalRow(UTF8String.fromString(name), cs.distinctCount,
               cs.nullCount, cs.avgLen, cs.maxLen, cs.histogram.size)
           }
+        }
+      case "orphan_files" => proc("orphan_files",
+        "list data/sidecar files no retained or tagged manifest references " +
+          "and the deferred GC does not own — crash leftovers (storage leaks)",
+        Seq(p("table", StringType)),
+        new StructType().add("file", StringType).add("bytes", LongType)) { in =>
+          coll(in).orphanFiles().map { case (f, b) =>
+            InternalRow(UTF8String.fromString(f), b)
+          }
+        }
+      case "remove_orphans" => proc("remove_orphans",
+        "delete the currently-orphaned files (crash leftovers); never " +
+          "touches referenced, tagged, or deferred-GC-owned files",
+        Seq(p("table", StringType)),
+        new StructType().add("removed", IntegerType)) { in =>
+          Seq(InternalRow(coll(in).removeOrphans()))
         }
       case "publish" => proc("publish",
         "write-audit-publish: atomically replace the target's contents " +

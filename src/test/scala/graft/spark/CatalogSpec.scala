@@ -224,6 +224,37 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.pinned")
   }
 
+  test("orphan_files lists crash leftovers only; remove_orphans spares everything owned") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("DROP TABLE IF EXISTS testcat.db.orph")
+    spark.sql("CREATE TABLE testcat.db.orph (id BIGINT) USING hadro")
+    spark.sql("INSERT INTO testcat.db.orph SELECT id FROM range(0, 50, 1, 1)")
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/orph")
+    assert(spark.sql("CALL testcat.system.orphan_files('db.orph')").count() == 0)
+
+    // a dead-listed file (deferred GC owns it — NOT an orphan); note a
+    // compaction also dead-lists any stray file it finds, so the crash
+    // leftover below must land AFTER the last rewrite to be a true orphan
+    spark.sql("INSERT INTO testcat.db.orph VALUES (99)")
+    spark.sql("CALL testcat.system.compact('db.orph')")
+    // a crashed writer's never-committed task file
+    java.nio.file.Files.write(dir.resolve("data-99999-0-deadbeef.data"),
+      Array.fill[Byte](64)(1))
+
+    val orphans = spark.sql("CALL testcat.system.orphan_files('db.orph')")
+      .collect().map(_.getString(0))
+    assert(orphans.toSeq == Seq("data-99999-0-deadbeef.data"),
+      s"expected only the crash leftover, got ${orphans.mkString(",")}")
+
+    assert(spark.sql("CALL testcat.system.remove_orphans('db.orph')")
+      .head.getInt(0) == 1)
+    assert(!java.nio.file.Files.exists(dir.resolve("data-99999-0-deadbeef.data")))
+    // everything real is untouched
+    assert(spark.sql("SELECT count(*) FROM testcat.db.orph").head.getLong(0) == 51)
+    spark.sql("DROP TABLE testcat.db.orph")
+  }
+
   test("write-audit-publish: stage a clone, mutate, publish atomically; history survives") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
