@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, NfcNormalize, PcmStats, SimHash64}
+import graft.functions.{CosineSimilarity, GreedyTokenize, MinHashSignature, NfcNormalize, PcmStats, SimHash64, Sq8Decode, Sq8Encode, WavHeader, WavPcm}
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
   * first-class SQL functions in every session created with
@@ -65,6 +65,70 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "nfc_normalize(text) takes 1 argument")
         NfcNormalize(exprs.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    // scalar params arrive as expressions; quantizer params must be
+    // constants (they are index-level metadata, not per-row values)
+    def foldDouble(fn: String, arg: String, e: Expression): Double = {
+      require(e.foldable, s"$fn: $arg must be a constant")
+      e.eval(null) match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be numeric, got $other")
+      }
+    }
+
+    ext.injectFunction((
+      FunctionIdentifier("sq8_encode"),
+      new ExpressionInfo(classOf[Sq8Encode].getName, "sq8_encode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "sq8_encode(vec, min, scale) takes 3 arguments")
+        Sq8Encode(exprs.head, foldDouble("sq8_encode", "min", exprs(1)),
+          foldDouble("sq8_encode", "scale", exprs(2)))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("sq8_decode"),
+      new ExpressionInfo(classOf[Sq8Decode].getName, "sq8_decode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "sq8_decode(codes, min, scale) takes 3 arguments")
+        Sq8Decode(exprs.head, foldDouble("sq8_decode", "min", exprs(1)),
+          foldDouble("sq8_decode", "scale", exprs(2)))
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("wav_header"),
+      new ExpressionInfo(classOf[WavHeader].getName, "wav_header"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "wav_header(wav_binary) takes 1 argument")
+        WavHeader(exprs.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("wav_pcm"),
+      new ExpressionInfo(classOf[WavPcm].getName, "wav_pcm"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "wav_pcm(wav_binary) takes 1 argument")
+        WavPcm(exprs.head)
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    ext.injectFunction((
+      FunctionIdentifier("greedy_tokenize"),
+      new ExpressionInfo(classOf[GreedyTokenize].getName, "greedy_tokenize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "greedy_tokenize(text, vocab_array) takes 2 arguments")
+        require(exprs(1).foldable, "greedy_tokenize: vocab must be a constant array")
+        val vocab = exprs(1).eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"greedy_tokenize: vocab must be an array of strings, got $other")
+        }
+        GreedyTokenize(exprs.head, vocab)
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

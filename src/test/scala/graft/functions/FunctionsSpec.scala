@@ -168,6 +168,41 @@ class FunctionsSpec extends SparkSuite {
     intercept[Exception](TextExpressions.greedy_tokenize($"t", Seq("")))
   }
 
+  test("GraftExtensions registers the full native surface for pure-SQL sessions") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.spark.GraftExtensions).getOrCreate()
+      // every injected function resolves and computes from bare SQL
+      val r = s2.sql("""SELECT
+          cosine_similarity(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos,
+          minhash_signature(array('a', 'b'), 4) AS mh,
+          simhash64(array('a', 'b')) AS sh,
+          nfc_normalize('é') AS nfc,
+          sq8_decode(sq8_encode(array(0.5f, -0.5f), -1.0d, 0.0078125d),
+            -1.0d, 0.0078125d) AS rt,
+          wav_header(cast('' as binary)) AS wh,
+          wav_pcm(cast('' as binary)) AS wp,
+          greedy_tokenize('abc', array('ab', 'c')) AS toks
+        """).head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getSeq[Long](1).length == 4)
+      assert(r.getString(3) == "é")
+      val rt = r.getSeq[Double](4)
+      assert(rt.length == 2 && math.abs(rt.head - 0.5) < 0.01)
+      assert(r.isNullAt(5) && r.isNullAt(6), "non-WAV bytes decode to null")
+      assert(r.getSeq[Int](7) == Seq(1, 2)) // vocab ids, 1-based; 0 = UNK
+      // pcm_stats rides the same injection list (exercised with real WAVs
+      // in the audio specs); here just prove it resolves
+      assert(s2.sql("SELECT pcm_stats(cast('' as binary))").count() == 1)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("product UDAF handles empty and null groups") {
     val df = Seq((1, Some(2.0)), (1, Some(3.0)), (2, None), (3, Some(0.5)))
       .toDF("k", "v")
