@@ -156,6 +156,14 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
 
     override def requiredOrdering(): Array[SortOrder] = Array.empty
 
+    // Write-side observability (SQL UI): rows/bytes/segments per write
+    // job, reported from each task via DataWriter.currentMetricsValues.
+    override def supportedCustomMetrics(): Array[
+        org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+      new HadroScan.SumMetric("hadroRowsWritten", "hadro rows written"),
+      new HadroScan.SumMetric("hadroBytesWritten", "hadro bytes written"),
+      new HadroScan.SumMetric("hadroSegmentsWritten", "hadro segments written"))
+
     override def toBatch: BatchWrite = {
       require(replaceSpec.isEmpty || (!doTruncate && compactOf.isEmpty),
         "hadro: hadro.replaceFiles is append-mode-only and exclusive with hadro.compactOf")
@@ -753,6 +761,7 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
           s"hadro: CHECK constraint '$n' violated " +
             s"(${CollectionMeta.readConstraints(dir).getOrElse(n, "?")})")
       }
+    rowsWritten += 1
     bucketSpec match {
       case Some((ords, n)) =>
         val b = bucketOf(out, ords, n)
@@ -769,6 +778,22 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
           writer = newWriter()
         }
     }
+  }
+
+  // task-level write metrics, polled by Spark during the write
+  private var rowsWritten = 0L
+
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val openBytes = writer.bytes + bucketWriters.values.map(_.bytes).sum
+    val openSegs = (if (writer.rowCount > 0) 1 else 0) +
+      bucketWriters.values.count(_.rowCount > 0)
+    Array(
+      HadroScan.taskMetric("hadroRowsWritten", rowsWritten),
+      HadroScan.taskMetric("hadroBytesWritten",
+        finished.map(_.bytes).sum + openBytes),
+      HadroScan.taskMetric("hadroSegmentsWritten",
+        (finished.size + openSegs).toLong))
   }
 
   override def commit(): WriterCommitMessage = {

@@ -40,6 +40,31 @@ class ScanMetricsSpec extends SparkSuite {
     assert(m("hadroBytesPlanned").value > 0L)
   }
 
+  test("writes report rows/bytes/segments via DSv2 custom write metrics") {
+    val w = Files.createTempDirectory("wmetrics").toString
+    spark.conf.set("spark.sql.catalog.wmet", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wmet.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wmet.db")
+    spark.sql("CREATE TABLE wmet.db.t (id BIGINT) USING hadro")
+    val df = spark.sql("INSERT INTO wmet.db.t SELECT id FROM range(0, 1000, 1, 4)")
+    // eager commands wrap their physical plan in CommandResultExec
+    val plan0 = df.queryExecution.executedPlan
+    val phys = plan0.collectFirst {
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        c.commandPhysicalPlan
+    }.getOrElse(plan0)
+    val node = phys.collectFirst {
+      case a: org.apache.spark.sql.execution.datasources.v2.AppendDataExec => a
+    }
+    assert(node.nonEmpty, df.queryExecution.executedPlan.toString)
+    val m = node.get.metrics
+    assert(m.contains("hadroRowsWritten"), m.keys.mkString(", "))
+    assert(m("hadroRowsWritten").value == 1000L, m("hadroRowsWritten").value)
+    assert(m("hadroBytesWritten").value > 0L)
+    assert(m("hadroSegmentsWritten").value == 4L, m("hadroSegmentsWritten").value)
+    spark.sql("DROP TABLE wmet.db.t")
+  }
+
   test("unfiltered scan reports zero pruned") {
     val path = Files.createTempDirectory("metrics0").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/nation.parquet").repartition(4)
