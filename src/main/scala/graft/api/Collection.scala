@@ -574,10 +574,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       }
     })
     val m = CollectionMeta.currentManifest(dir)
-    val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
-      m.segments.flatMap(_.indexBlooms.values) ++
-      m.segments.flatMap(_.offsetIndex) ++
-      m.segments.flatMap(_.deleteVector)).toSet
+    val live = m.segments.flatMap(_.allFiles).toSet
     CollectionMeta.deferredGc(dir, live)
     committed.version
   }
@@ -614,10 +611,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     * the deferred-GC path — only files no current manifest references. */
   def vacuum(): Unit = {
     val m = manifest
-    val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
-      m.segments.flatMap(_.indexBlooms.values) ++
-      m.segments.flatMap(_.offsetIndex) ++
-      m.segments.flatMap(_.deleteVector)).toSet
+    val live = m.segments.flatMap(_.allFiles).toSet
     CollectionMeta.purgeDeferred(dir, live)
     // Full on-demand sweep of orphaned sidecars: files no RETAINED
     // manifest references (the per-commit ageout sweep handles the steady
@@ -667,9 +661,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       throw new IllegalStateException(s"hadro: no collection at $dir"))
     CollectionMeta.writeSchema(dst, meta.schema, meta.keyField,
       meta.bucketBy, meta.numBuckets, meta.compress)
-    val files = m.segments.flatMap(s =>
-      Seq(s.file) ++ s.bloom ++ s.offsetIndex ++ s.indexBlooms.values ++
-        s.deleteVector)
+    val files = m.segments.flatMap(_.allFiles)
     files.foreach { f =>
       val srcF = dir.resolve(f)
       val dstF = dst.resolve(f)
@@ -733,9 +725,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       }
     }
     val sm = CollectionMeta.currentManifest(staged)
-    sm.segments.flatMap(s =>
-      Seq(s.file) ++ s.bloom ++ s.offsetIndex ++ s.indexBlooms.values ++
-        s.deleteVector)
+    sm.segments.flatMap(_.allFiles)
       .foreach { f =>
         val dstF = dir.resolve(f)
         if (!Files.exists(dstF)) {
@@ -771,10 +761,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     * until an operator asks. Returns (file, bytes). */
   def orphanFiles(): Seq[(String, Long)] = {
     val referenced = CollectionMeta.retainedManifests(dir)
-      .flatMap(_.segments)
-      .flatMap(s => Seq(s.file) ++ s.bloom ++ s.offsetIndex ++
-        s.indexBlooms.values ++ s.deleteVector)
-      .toSet
+      .flatMap(_.segments).flatMap(_.allFiles).toSet
     val deadListed = CollectionMeta.listDir(CollectionMeta.metaDir(dir))
       .filter(_.getFileName.toString.matches("dead-\\d+\\.json"))
       .flatMap { dl =>
@@ -792,7 +779,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       .filter(p => Files.isRegularFile(p))
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".data") || n.endsWith(".bloom") ||
-        n.endsWith(".koff") || n.endsWith(".dv"))
+        n.endsWith(".koff") || n.endsWith(".dv") || n.endsWith(".zdict"))
       .filterNot(referenced)
       .filterNot(deadListed)
       .map(n => n -> Files.size(dir.resolve(n)))

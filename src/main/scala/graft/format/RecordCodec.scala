@@ -31,6 +31,9 @@ object RecordCodec {
   // opt-in). Self-describing: SegmentReader decompresses transparently and
   // clears the bit, so no consumer above the frame parser ever sees it.
   val CompressedFlag: Int = 0x02
+  // dictionary-zstd payload: decompress against the segment's trained
+  // `.zdict` sidecar (always set together with CompressedFlag)
+  val DictFlag: Int = 0x04
 
   private type ValueWriter = (DataOutputStream, SpecializedGetters, Int) => Unit
   private type ValueReader = ByteBuffer => Any

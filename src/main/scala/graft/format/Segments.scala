@@ -31,7 +31,8 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     splitBytes: Long = SegmentWriter.DefaultSplitBytes,
     indexFields: Map[String, Seq[Int]] = Map.empty,
     offsetIndex: Boolean = true,
-    compress: Boolean = false) {
+    compress: Boolean = false,
+    dictTrain: Boolean = false) {
   private val fos = new FileOutputStream(path.toFile)
   private val out = new BufferedOutputStream(fos, SegmentReader.BlockSize)
   private val encoder = new RecordCodec.Encoder(schema)
@@ -72,6 +73,23 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   // collection); grown as needed, reused across rows
   private var zbuf: Array[Byte] = if (compress) new Array[Byte](64 * 1024) else null
 
+  // Per-SEGMENT trained dictionary (compress = zstd-dict): the first
+  // ~DictTrainBytes of record payloads train a zstd dictionary (written
+  // plain-zstd meanwhile — no buffering, so byte offsets, fsync cadence
+  // and index structures stay untouched); once trained, every later
+  // record compresses against it (DictFlag). Per-segment training is the
+  // Parquet-dictionary-page shape: no cross-task coordination at 100 TB,
+  // and compaction retrains on the merged data automatically.
+  private val dictTrainer =
+    if (compress && dictTrain)
+      new com.github.luben.zstd.ZstdDictTrainer(
+        SegmentWriter.DictSampleCapacity, SegmentWriter.DictBytes)
+    else null
+  private var dictSampled = 0L
+  private var dictDone = false // trained OR given up
+  private var dictBytes: Array[Byte] = null
+  private var dictCtx: com.github.luben.zstd.ZstdCompressCtx = null
+
   def append(row: InternalRow, deleted: Boolean = false): Unit = {
     if (bytesWritten >= nextSplit && rows > 0) {
       splits += graft.meta.SplitPoint(bytesWritten, rows)
@@ -87,15 +105,44 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     var payload = encoder.buffer
     var storedSize = size
     var flagByte = if (deleted) RecordCodec.DeletedFlag else 0
-    if (compress && size >= SegmentWriter.MinCompressBytes) {
+    if (dictTrainer != null && !dictDone && size > 0) {
+      dictTrainer.addSample(java.util.Arrays.copyOfRange(encoder.buffer, 0, size))
+      dictSampled += size
+      if (dictSampled >= SegmentWriter.DictTrainBytes) {
+        dictDone = true
+        try {
+          dictBytes = dictTrainer.trainSamples()
+          dictCtx = new com.github.luben.zstd.ZstdCompressCtx()
+          dictCtx.setLevel(SegmentWriter.ZstdLevel)
+          dictCtx.loadDict(dictBytes)
+        } catch {
+          // degenerate sample (zstd refuses) -> this segment stays plain
+          case _: Throwable => dictBytes = null; dictCtx = null
+        }
+      }
+    }
+    val minCompress =
+      if (dictCtx != null) SegmentWriter.MinDictCompressBytes
+      else SegmentWriter.MinCompressBytes
+    if (compress && size >= minCompress) {
       val bound = com.github.luben.zstd.Zstd.compressBound(size.toLong).toInt
       if (zbuf.length < bound) zbuf = new Array[Byte](Integer.highestOneBit(bound) * 2)
-      val n = com.github.luben.zstd.Zstd.compressByteArray(
-        zbuf, 0, zbuf.length, encoder.buffer, 0, size, SegmentWriter.ZstdLevel)
-      if (!com.github.luben.zstd.Zstd.isError(n) && n < size) {
-        payload = zbuf
-        storedSize = n.toInt
-        flagByte |= RecordCodec.CompressedFlag
+      if (dictCtx != null) {
+        val n = try dictCtx.compressByteArray(zbuf, 0, zbuf.length, encoder.buffer, 0, size)
+          catch { case _: Throwable => -1 }
+        if (n > 0 && n < size) {
+          payload = zbuf
+          storedSize = n
+          flagByte |= RecordCodec.CompressedFlag | RecordCodec.DictFlag
+        }
+      } else {
+        val n = com.github.luben.zstd.Zstd.compressByteArray(
+          zbuf, 0, zbuf.length, encoder.buffer, 0, size, SegmentWriter.ZstdLevel)
+        if (!com.github.luben.zstd.Zstd.isError(n) && n < size) {
+          payload = zbuf
+          storedSize = n.toInt
+          flagByte |= RecordCodec.CompressedFlag
+        }
       }
     }
     val recordOffset = bytesWritten
@@ -152,6 +199,14 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       KeyOffsetIndex.fromEntries(entries.toSeq).writeTo(path.resolveSibling(fn))
       fn
     }
+    val dictFile =
+      if (dictBytes == null) None
+      else {
+        val fn = path.getFileName.toString + ".zdict"
+        Files.write(path.resolveSibling(fn), dictBytes)
+        Some(fn)
+      }
+    if (dictCtx != null) dictCtx.close()
     SegmentInfo(
       file = path.getFileName.toString,
       ordinal = -1L,
@@ -167,12 +222,15 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       nFields = Some(schema.length),
       blockStats =
         if (splits.isEmpty) Nil // single block: stats == segment stats
-        else (closedBlocks :+ blockStats.result(withSums = false)).toSeq)
+        else (closedBlocks :+ blockStats.result(withSums = false)).toSeq,
+      dict = dictFile)
   }
 
   def abort(): Unit = {
     out.close()
+    if (dictCtx != null) dictCtx.close()
     Files.deleteIfExists(path)
+    Files.deleteIfExists(path.resolveSibling(path.getFileName.toString + ".zdict"))
     Files.deleteIfExists(path.resolveSibling(path.getFileName.toString + ".bloom"))
     Files.deleteIfExists(path.resolveSibling(
       KeyOffsetIndex.sidecarName(path.getFileName.toString)))
@@ -189,8 +247,19 @@ object SegmentWriter {
   /** Records smaller than this skip the compression attempt: zstd framing
     * overhead (~13 bytes) plus CPU rarely wins on tiny payloads. */
   val MinCompressBytes: Int = 256
+  /** With a trained dictionary even small payloads win (the dictionary
+    * carries the shared context a lone small frame can't). */
+  val MinDictCompressBytes: Int = 64
   /** zstd level 3: the bandwidth/ratio sweet spot for scan-heavy storage. */
   val ZstdLevel: Int = 3
+  /** Trained dictionary size; 16 KB covers record-level redundancy without
+    * bloating the per-segment sidecar. */
+  val DictBytes: Int = 16 * 1024
+  /** Payload bytes sampled before training fires; records written before
+    * that stay plain-zstd (flag-bit mixing keeps them readable). */
+  val DictTrainBytes: Long = 64L * 1024
+  /** Trainer sample-buffer capacity (addSample past it is a no-op). */
+  val DictSampleCapacity: Int = 4 * 1024 * 1024
 
   /** Deterministic sidecar name for a named index over one segment —
     * derivable from (segment, index[, build]) alone, so a distributed index
@@ -293,16 +362,39 @@ final class SegmentReader(path: Path, startOffset: Long = 0L, endOffset: Long = 
         throw new java.io.IOException(s"corrupt compressed record in $path")
       if (zscratch == null || zscratch.length < raw.toInt)
         zscratch = new Array[Byte](Integer.highestOneBit(raw.toInt) * 2)
-      val n = com.github.luben.zstd.Zstd.decompressByteArray(
-        zscratch, 0, zscratch.length, buf, payloadOffset, payloadLength)
+      val n =
+        if ((flags & RecordCodec.DictFlag) != 0)
+          // dictionary frame: decompress against the segment's trained
+          // sidecar (loaded lazily once per reader)
+          try dictCtx().decompressByteArray(
+            zscratch, 0, zscratch.length, buf, payloadOffset, payloadLength).toLong
+          catch {
+            case e: java.io.IOException => throw e
+            case _: Throwable => -1L
+          }
+        else com.github.luben.zstd.Zstd.decompressByteArray(
+          zscratch, 0, zscratch.length, buf, payloadOffset, payloadLength)
       if (com.github.luben.zstd.Zstd.isError(n) || n != raw)
         throw new java.io.IOException(s"corrupt compressed record in $path")
       view = zscratch
       payloadOffset = 0
       payloadLength = raw.toInt
-      flags &= ~RecordCodec.CompressedFlag
+      flags &= ~(RecordCodec.CompressedFlag | RecordCodec.DictFlag)
     }
     true
+  }
+
+  private var dctx: com.github.luben.zstd.ZstdDecompressCtx = null
+  private def dictCtx(): com.github.luben.zstd.ZstdDecompressCtx = {
+    if (dctx == null) {
+      val sidecar = path.resolveSibling(path.getFileName.toString + ".zdict")
+      if (!java.nio.file.Files.exists(sidecar))
+        throw new java.io.IOException(
+          s"dictionary-compressed record but no sidecar $sidecar")
+      dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+      dctx.loadDict(java.nio.file.Files.readAllBytes(sidecar))
+    }
+    dctx
   }
 
   // Copying Iterator view (tests / retaining callers).
@@ -316,7 +408,10 @@ final class SegmentReader(path: Path, startOffset: Long = 0L, endOffset: Long = 
     (flags, java.util.Arrays.copyOfRange(buffer, payloadOffset, payloadOffset + payloadLength))
   }
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    in.close()
+    if (dctx != null) dctx.close()
+  }
 }
 
 object SegmentReader {

@@ -103,7 +103,19 @@ final case class SegmentInfo(
     // at planning time instead of scanning them. String bounds truncate
     // exactly like segment stats; block sums are not recorded (aggregate
     // pushdown stays segment-granular).
-    blockStats: Seq[Map[String, ColumnStats]] = Nil)
+    blockStats: Seq[Map[String, ColumnStats]] = Nil,
+    // Per-segment trained zstd dictionary sidecar (`<file>.zdict`), present
+    // only for `compress = zstd-dict` segments that accumulated enough
+    // sample bytes to train. Records carry a flag bit selecting plain vs
+    // dictionary frames, so mixed segments (head records plain while the
+    // trainer sampled) decode transparently.
+    dict: Option[String] = None) {
+  /** Every physical file this segment owns: the data file plus all sidecar
+    * classes. THE live-set unit — GC, clone, publish, tag pinning and
+    * orphan detection must all agree on it. */
+  def allFiles: Seq[String] =
+    Seq(file) ++ bloom ++ offsetIndex ++ indexBlooms.values ++ deleteVector ++ dict
+}
 
 /** A committed collection version: the full list of live segments plus
   * collection-level flags. `mutated` records whether any committed write was
@@ -392,9 +404,7 @@ object CollectionMeta {
     taggedVersions(collection).iterator.flatMap { v =>
       try {
         val segs = readManifest(collection, v).segments
-        segs.iterator.flatMap(s =>
-          Iterator(s.file) ++ s.bloom.iterator ++ s.offsetIndex.iterator ++
-            s.deleteVector.iterator ++ s.indexBlooms.valuesIterator)
+        segs.iterator.flatMap(_.allFiles)
       } catch { case _: Exception => Iterator.empty }
     }.toSet
 
@@ -497,7 +507,8 @@ object CollectionMeta {
     val dead = listDir(collection)
       .map(_.getFileName.toString)
       .filter(n => (n.endsWith(".data") || n.endsWith(".bloom") ||
-        n.endsWith(".koff") || n.endsWith(".dv")) && !keep(n))
+        n.endsWith(".koff") || n.endsWith(".dv") || n.endsWith(".zdict")) &&
+        !keep(n))
       .sorted
     if (dead.nonEmpty) {
       val f = dir.resolve(s"dead-${System.nanoTime()}.json")

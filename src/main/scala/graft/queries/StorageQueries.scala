@@ -1801,6 +1801,38 @@ object StorageQueries {
         UNION ALL
         SELECT n_nationkey + 100, upper(n_name), n_regionkey FROM nation
           WHERE n_regionkey = 1
-        ORDER BY n_nationkey"""))
+        ORDER BY n_nationkey""")),
+
+    // ---------------------------------------------------------------- h64
+    // Dictionary-trained zstd (`compress = zstd-dict`): each segment
+    // trains a zstd dictionary on its first ~64 KB of payloads (plain-zstd
+    // meanwhile — flag-bit mixing keeps every record self-describing) and
+    // compresses the rest against it, the Parquet-dictionary-page shape
+    // that wins exactly where lone frames lose: small records. The oracle
+    // proves dict-compressed storage is lossless through a delete +
+    // compact cycle; CompressionSpec asserts the ratio beats plain zstd.
+    QueryDef(
+      "h64_zstd_dict_roundtrip",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h64"
+        s.conf.set("spark.sql.catalog.graft_h64", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h64.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h64.db")
+        s.sql("DROP TABLE IF EXISTS graft_h64.db.docs")
+        s.sql("""CREATE TABLE graft_h64.db.docs
+          (doc_id BIGINT, text STRING, lang STRING, source STRING)
+          USING hadro TBLPROPERTIES('compress'='zstd-dict')""")
+        QueryDef.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .createOrReplaceTempView("h64_src")
+        s.sql("INSERT INTO graft_h64.db.docs SELECT * FROM h64_src")
+        s.sql("DELETE FROM graft_h64.db.docs WHERE doc_id % 9 = 4")
+        s.sql("CALL graft_h64.system.compact('db.docs')")
+        s.sql("""SELECT doc_id, text, lang, source FROM graft_h64.db.docs
+          ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id, text, lang, source FROM documents
+        WHERE NOT (doc_id % 9 = 4) ORDER BY doc_id"""))
   )
 }

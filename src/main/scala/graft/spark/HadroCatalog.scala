@@ -178,8 +178,8 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // compression, fixed at creation (see SchemaMeta.compress)
     val compress = Option(properties.get("compress")).filter(_.nonEmpty)
       .filterNot(_.equalsIgnoreCase("none")).map(_.toLowerCase)
-    compress.foreach(c => require(c == "zstd",
-      s"compress must be zstd|none, got '$c'"))
+    compress.foreach(c => require(c == "zstd" || c == "zstd-dict",
+      s"compress must be zstd|zstd-dict|none, got '$c'"))
     CollectionMeta.writeSchema(dir, schema, key,
       bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2), compress)
     // CHECK constraints: TBLPROPERTIES ('constraint.<name>' = '<expr>') —

@@ -106,8 +106,8 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     // zstd frames behind a flag bit (byte-offset structures stay exact).
     private def compressSpec: Option[String] = {
       val c = Option(opts.get("hadro.compress")).filter(_.nonEmpty).map(_.toLowerCase)
-      c.foreach(v => require(v == "zstd" || v == "none",
-        s"hadro.compress must be zstd|none, got '$v'"))
+      c.foreach(v => require(v == "zstd" || v == "zstd-dict" || v == "none",
+        s"hadro.compress must be zstd|zstd-dict|none, got '$v'"))
       c // "none" stays explicit: flipping a zstd collection must error
     }
     // Storage bucketing: both options or neither. hadro.bucketBy accepts a
@@ -509,10 +509,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       // (CollectionMeta.deferredGc) so a reader that planned against an
       // older manifest still finds its segment files on disk.
       val m = CollectionMeta.currentManifest(path)
-      val live = (m.segments.map(_.file) ++ m.segments.flatMap(_.bloom) ++
-        m.segments.flatMap(_.indexBlooms.values) ++
-        m.segments.flatMap(_.offsetIndex) ++
-        m.segments.flatMap(_.deleteVector)).toSet
+      val live = m.segments.flatMap(_.allFiles).toSet
       CollectionMeta.deferredGc(path, live)
       // Manifest history: GC'd only on TRUNCATE (the old log's ordinals
       // restart — retained manifests would misread the new log). A partial
@@ -680,11 +677,12 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
   // Collection-level codec, read once per task: EVERY write path (batch,
   // delta, streaming, CoW rewrite) flows through this writer, so a
   // compressed collection stays compressed without per-path threading.
+  private val codec: Option[String] = CollectionMeta.readSchema(dir).flatMap(_.compress)
   private val zstdCompress: Boolean =
-    CollectionMeta.readSchema(dir).flatMap(_.compress).contains("zstd")
+    codec.contains("zstd") || codec.contains("zstd-dict")
   private def newWriter() = new SegmentWriter(newSegmentFile(), storedSchema,
     consistency, keyOrdinal, splitBytes, indexOrdinals, offsetIndex,
-    compress = zstdCompress)
+    compress = zstdCompress, dictTrain = codec.contains("zstd-dict"))
   // Rotation: finished segments accumulate in task order — their relative
   // order is preserved through ordinal assignment at commit, which is what
   // keeps last-write-wins correct for repeated keys within one partition.

@@ -55,6 +55,52 @@ class CompressionSpec extends SparkSuite {
     assert(c.toDF().count() == docs.count() - 1)
   }
 
+  test("zstd-dict trains a per-segment dictionary and beats plain zstd on small records") {
+    val plain = Files.createTempDirectory("zd_plain").resolve("c").toString
+    val dict = Files.createTempDirectory("zd_dict").resolve("c").toString
+    // small structured records: exactly where a lone zstd frame loses and a
+    // shared dictionary wins
+    val rows = spark.range(0, 5000, 1, 1).selectExpr("id",
+      "concat('user-', cast(id % 97 as string), '@example-corp.com') AS email",
+      "concat('GET /api/v2/resource/', cast(id as string), ' HTTP/1.1 200') AS line")
+    rows.coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd").save(plain)
+    rows.coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd-dict").save(dict)
+
+    def dataBytes(p: String): Long =
+      CollectionMeta.currentManifest(java.nio.file.Paths.get(p)).segments.map(_.bytes).sum
+    val (pb, db) = (dataBytes(plain), dataBytes(dict))
+    assert(db < pb, s"dictionary must beat plain zstd on small records: $db vs $pb")
+
+    // sidecar recorded in the manifest and present on disk
+    val seg = CollectionMeta.currentManifest(java.nio.file.Paths.get(dict)).segments.head
+    assert(seg.dict.nonEmpty, "trained segment must record its .zdict sidecar")
+    assert(Files.exists(java.nio.file.Paths.get(dict).resolve(seg.dict.get)))
+
+    // mixed plain/dict records (pre-training head) round-trip exactly
+    val a = rows.orderBy("id").collect().toSeq
+    val b = spark.read.format("hadro").load(dict).orderBy("id").collect().toSeq
+    assert(a == b, "dict-compressed read must be byte-identical")
+
+    // clone carries the dictionary sidecar (allFiles contract)
+    val cl = Files.createTempDirectory("zd_clone").resolve("c").toString
+    Collection(spark, dict).cloneTo(cl)
+    val cseg = CollectionMeta.currentManifest(java.nio.file.Paths.get(cl)).segments.head
+    assert(cseg.dict.nonEmpty &&
+      Files.exists(java.nio.file.Paths.get(cl).resolve(cseg.dict.get)))
+    assert(spark.read.format("hadro").load(cl).count() == 5000)
+  }
+
+  test("a tiny zstd-dict segment that never trains stays plain and readable") {
+    val path = Files.createTempDirectory("zd_tiny").resolve("c").toString
+    docs.limit(20).coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd-dict").save(path)
+    val seg = CollectionMeta.currentManifest(java.nio.file.Paths.get(path)).segments.head
+    assert(seg.dict.isEmpty, "under the training budget: no sidecar")
+    assert(spark.read.format("hadro").load(path).count() == 20)
+  }
+
   test("compaction rewrites stay compressed") {
     val path = Files.createTempDirectory("zstd_compact").resolve("c").toString
     val plain = Files.createTempDirectory("zstd_compact_ref").resolve("c").toString
