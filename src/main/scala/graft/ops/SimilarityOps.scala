@@ -661,10 +661,11 @@ object SimilarityOps {
     * bounded by scale/2 and the cosine error is far below the default
     * margin on any non-adversarial corpus; SimilaritySpec asserts full
     * recall vs [[radiusSearch]]); stage 2 exact-verifies ONLY that pool
-    * against the original embeddings via a broadcast semi-join, so
-    * precision is always 1 and the full-precision read is O(pool), not
-    * O(corpus). The 100 TB shape: threshold scans are I/O-bound, and the
-    * coarse pass reads a quarter of the bytes. */
+    * against the original embeddings via a semi-join (AQE broadcasts it
+    * at runtime when small — see the body note), so precision is always 1
+    * and the full-precision read is O(pool), not O(corpus). The 100 TB
+    * shape: threshold scans are I/O-bound, and the coarse pass reads a
+    * quarter of the bytes. */
   def sqRadiusSearch(index: graft.api.Collection, corpus: DataFrame,
       idCol: String, vecCol: String, query: Seq[Float], minCosine: Double,
       margin: Double = 0.05): DataFrame = {
@@ -678,7 +679,12 @@ object SimilarityOps {
       .select(col("vid").as(idCol), cosineComposed(decoded, q).as("approx"))
       .filter(col("approx") >= minCosine - margin)
       .select(col(idCol))
-    corpus.join(broadcast(pool), Seq(idCol), "left_semi")
+    // No broadcast hint, deliberately: unlike top-k re-ranking (pool
+    // bounded by `candidates`), a radius pool is DATA-DEPENDENT — a loose
+    // threshold can match most of the corpus, and a forced broadcast of an
+    // unbounded id set is a driver OOM at 100 TB. AQE upgrades the
+    // semi-join to broadcast at runtime exactly when the pool is small.
+    corpus.join(pool, Seq(idCol), "left_semi")
       .transform(c => radiusSearch(c, idCol, vecCol, query, minCosine))
   }
 

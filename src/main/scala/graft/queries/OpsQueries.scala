@@ -1041,7 +1041,8 @@ object OpsQueries {
     // ---------------------------------------------------------------- s20
     // Two-stage radius search: coarse threshold scan over the 4×-smaller
     // int8 codes (minCosine - margin absorbs quantization error), exact
-    // verify of ONLY the pool via broadcast semi-join — precision always
+    // verify of ONLY the pool via semi-join (AQE broadcasts it when the
+    // pool is small; a radius pool is data-dependent) — precision always
     // 1, full-precision reads O(pool). The oracle replays BOTH stages
     // (decode-to-midpoint coarse filter included), so it is exact even if
     // the coarse stage were to leak or drop candidates.

@@ -101,6 +101,29 @@ class CompressionSpec extends SparkSuite {
     assert(spark.read.format("hadro").load(path).count() == 20)
   }
 
+  test("a dict-compressed segment with a missing sidecar fails loudly") {
+    val path = Files.createTempDirectory("zd_missing").resolve("c").toString
+    spark.range(0, 5000, 1, 1).selectExpr("id",
+      "concat('row-', cast(id as string), " +
+        "'-a-much-longer-shared-payload-template-with-enough-context-" +
+        "to-clear-the-dictionary-compression-minimum-') AS v")
+      .coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd-dict").save(path)
+    val p = java.nio.file.Paths.get(path)
+    val seg = CollectionMeta.currentManifest(p).segments.head
+    assume(seg.dict.nonEmpty) // trained (above the sample budget)
+    Files.delete(p.resolve(seg.dict.get))
+    val e = intercept[Exception] {
+      // a REAL data scan (count() alone is answered from the manifest)
+      spark.read.format("hadro").load(path).select("v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(messages(e).exists(_.contains("zdict")),
+      s"expected a sidecar error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("compaction rewrites stay compressed") {
     val path = Files.createTempDirectory("zstd_compact").resolve("c").toString
     val plain = Files.createTempDirectory("zstd_compact_ref").resolve("c").toString
