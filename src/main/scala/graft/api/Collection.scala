@@ -710,18 +710,24 @@ final class Collection private (spark: SparkSession, val path: String) {
     // The target's CHECK constraints gate the publish too: a stage built
     // without them (or whose constraints drifted) must not smuggle
     // violating rows past enforcement. One audit scan, CHECK semantics.
-    val targetConstraints = CollectionMeta.readConstraints(dir)
+    val targetConstraints = CollectionMeta.readConstraints(dir).toSeq.sortBy(_._1)
     if (targetConstraints.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr => fexpr}
       val stagedData = Collection(spark, stagedPath).toDF()
-      val violated = targetConstraints.toSeq.sortBy(_._1).collectFirst {
-        case (n, text) if stagedData
-          .filter(org.apache.spark.sql.functions.expr(text) <=> lit(false))
-          .limit(1).count() > 0 => (n, text)
+      // ONE pass over the staged data: evaluate every violation flag per
+      // row, keep the first row violating anything, name its constraints
+      val flags = targetConstraints.map { case (n, text) =>
+        (fexpr(text) <=> lit(false)).as(n)
       }
-      violated.foreach { case (n, text) =>
+      val firstBad = stagedData.select(flags: _*)
+        .filter(targetConstraints.map(c => col(c._1)).reduce(_ || _))
+        .limit(1).collect().headOption
+      firstBad.foreach { row =>
+        val bad = targetConstraints.zipWithIndex
+          .collect { case ((n, text), i) if row.getBoolean(i) => s"'$n' ($text)" }
         throw new IllegalArgumentException(
           s"hadro: publish refused — staged rows violate the target's " +
-            s"CHECK constraint '$n' ($text)")
+            s"CHECK constraint(s) ${bad.mkString(", ")}")
       }
     }
     val sm = CollectionMeta.currentManifest(staged)
@@ -742,10 +748,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       numBuckets = sm.numBuckets,
       sortedBy = sm.sortedBy,
       generation = cur.generation + 1))
-    val live = (sm.segments.map(_.file) ++ sm.segments.flatMap(_.bloom) ++
-      sm.segments.flatMap(_.indexBlooms.values) ++
-      sm.segments.flatMap(_.offsetIndex) ++
-      sm.segments.flatMap(_.deleteVector)).toSet
+    val live = sm.segments.flatMap(_.allFiles).toSet
     CollectionMeta.deferredGc(dir, live)
     committed.version
   }

@@ -379,6 +379,12 @@ object CollectionMeta {
   def setRef(collection: Path, name: String, version: Long): Unit = {
     require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
       s"hadro: invalid tag name '$name' (allowed: letters, digits, . _ -)")
+    // all-digit names are reserved for VERSION NUMBERS: every resolution
+    // surface (VERSION AS OF, startingVersion) tries a numeric parse, so a
+    // tag '7' would name version 7 on one surface and version tagged-'7'
+    // on another — the same identifier must never mean two snapshots
+    require(!name.forall(_.isDigit),
+      s"hadro: tag name '$name' is all digits — reserved for version numbers")
     manifestAt(collection, version) // validates retention + reconstructability
     writeRefs(collection, readRefs(collection) + (name -> version))
   }
@@ -503,7 +509,7 @@ object CollectionMeta {
     val dir = metaDir(collection)
     Files.createDirectories(dir)
     val keep = live ++ taggedLiveFiles(collection)
-    purgeDeferred(collection, keep)
+    purgeWith(collection, keep) // keep already includes the tag pins
     val dead = listDir(collection)
       .map(_.getFileName.toString)
       .filter(n => (n.endsWith(".data") || n.endsWith(".bloom") ||
@@ -518,10 +524,14 @@ object CollectionMeta {
 
   /** Delete every file recorded dead by earlier truncates (skipping any that
     * a later commit somehow re-references) and drop the dead-lists. */
-  def purgeDeferred(collection: Path, live: Set[String]): Unit = {
+  def purgeDeferred(collection: Path, live: Set[String]): Unit =
+    purgeWith(collection, live ++ taggedLiveFiles(collection))
+
+  /** [[purgeDeferred]] with the tag pins ALREADY unioned in — lets
+    * [[deferredGc]] read the tagged manifests once per cycle, not twice. */
+  private def purgeWith(collection: Path, keep: Set[String]): Unit = {
     val dir = metaDir(collection)
     if (!Files.exists(dir)) return
-    val keep = live ++ taggedLiveFiles(collection)
     listDir(dir)
       .filter(_.getFileName.toString.matches("dead-\\d+\\.json"))
       .foreach { dl =>

@@ -461,6 +461,7 @@ object MultimodalOps {
     val spark = df.sparkSession
     import spark.implicits._
     val f = df.select(col(idCol).cast(LongType), col(mediaCol))
+      .filter(col(mediaCol).isNotNull) // match the frame path's null-tolerance
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         cdcChunkHashes(bytes, minSize, maskBits).distinct.map(h => (id, h))

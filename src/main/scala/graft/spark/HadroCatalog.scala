@@ -180,11 +180,10 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .filterNot(_.equalsIgnoreCase("none")).map(_.toLowerCase)
     compress.foreach(c => require(c == "zstd" || c == "zstd-dict",
       s"compress must be zstd|zstd-dict|none, got '$c'"))
-    CollectionMeta.writeSchema(dir, schema, key,
-      bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2), compress)
     // CHECK constraints: TBLPROPERTIES ('constraint.<name>' = '<expr>') —
-    // validated through the full analyzer now, enforced per row by every
-    // writer task from the first insert on.
+    // validated through the full analyzer BEFORE the schema persists, so
+    // a bad constraint fails the CREATE cleanly instead of leaving a
+    // ghost table behind.
     val constraintProps = properties.asScala.toSeq.collect {
       case (k, v) if k.startsWith("constraint.") && k.length > "constraint.".length =>
         k.stripPrefix("constraint.") -> v
@@ -192,6 +191,8 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     constraintProps.foreach { case (n, text) =>
       HadroWriteInit.bindConstraint(schema, n, text)
     }
+    CollectionMeta.writeSchema(dir, schema, key,
+      bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2), compress)
     if (constraintProps.nonEmpty)
       CollectionMeta.writeConstraints(dir, constraintProps.toMap)
     new HadroTable(dir,

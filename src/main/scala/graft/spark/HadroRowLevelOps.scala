@@ -175,9 +175,11 @@ final class HadroDeltaWrite(path: Path, info: LogicalWriteInfo, key: String,
     private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
     private val keyOrdinal = Some(storedSchema.fieldIndex(key))
 
+    private val constraints = HadroWriteInit.resolvedConstraints(path, storedSchema)
+
     override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory =
       new HadroDeltaWriterFactory(path.toString, storedSchema, info.schema(),
-        rowIdSchema, keyOrdinal, indexOrdinals)
+        rowIdSchema, keyOrdinal, indexOrdinals, constraints)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // Ordinals are assigned across ALL tasks in message order at commit,
@@ -200,11 +202,12 @@ final class HadroDeltaWrite(path: Path, info: LogicalWriteInfo, key: String,
 
 final class HadroDeltaWriterFactory(path: String, storedSchema: StructType,
     rowSchema: StructType, rowIdSchema: StructType, keyOrdinal: Option[Int],
-    indexOrdinals: Map[String, Seq[Int]]) extends DeltaWriterFactory {
+    indexOrdinals: Map[String, Seq[Int]],
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new HadroDeltaWriter(Paths.get(path), storedSchema, rowSchema, rowIdSchema,
-      partitionId, taskId, keyOrdinal, indexOrdinals)
+      partitionId, taskId, keyOrdinal, indexOrdinals, constraints)
 }
 
 /** Routes delta actions onto two plain segment writers: inserts (and the
@@ -217,11 +220,15 @@ final class HadroDeltaWriterFactory(path: String, storedSchema: StructType,
 final class HadroDeltaWriter(dir: Path, storedSchema: StructType,
     rowSchema: StructType, rowIdSchema: StructType,
     partitionId: Int, taskId: Long, keyOrdinal: Option[Int],
-    indexOrdinals: Map[String, Seq[Int]]) extends DeltaWriter[InternalRow] {
+    indexOrdinals: Map[String, Seq[Int]],
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil) extends DeltaWriter[InternalRow] {
 
+  // CHECK constraints gate UPDATE/MERGE-produced rows exactly like plain
+  // inserts (tombstones are exempt — they never surface as data rows)
   private val dataW = new HadroDataWriter(dir, storedSchema, rowSchema,
     graft.format.Consistency.Relaxed, tombstone = false, partitionId, taskId,
-    keyOrdinal, SegmentWriter.DefaultSplitBytes, indexOrdinals)
+    keyOrdinal, SegmentWriter.DefaultSplitBytes, indexOrdinals,
+    constraints = constraints)
   private val tombW = new HadroDataWriter(dir, storedSchema, rowIdSchema,
     graft.format.Consistency.Relaxed, tombstone = true, partitionId, taskId,
     keyOrdinal, SegmentWriter.DefaultSplitBytes, indexOrdinals)
@@ -415,9 +422,11 @@ final class HadroDvDeltaWrite(path: Path, info: LogicalWriteInfo,
     private val storedSchema = CollectionMeta.readSchema(path).get.schema
     private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
 
+    private val constraints = HadroWriteInit.resolvedConstraints(path, storedSchema)
+
     override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory =
       new HadroDvDeltaWriterFactory(path.toString, storedSchema, info.schema(),
-        indexOrdinals)
+        indexOrdinals, constraints)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val msgs = messages.collect { case m: HadroDvCommitMessage => m }
@@ -508,20 +517,23 @@ final case class HadroDvCommitMessage(infos: Seq[SegmentInfo],
     dv: Map[Long, Array[Byte]]) extends WriterCommitMessage
 
 final class HadroDvDeltaWriterFactory(path: String, storedSchema: StructType,
-    rowSchema: StructType, indexOrdinals: Map[String, Seq[Int]])
+    rowSchema: StructType, indexOrdinals: Map[String, Seq[Int]],
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new HadroDvDeltaWriter(Paths.get(path), storedSchema, rowSchema,
-      partitionId, taskId, indexOrdinals)
+      partitionId, taskId, indexOrdinals, constraints)
 }
 
 final class HadroDvDeltaWriter(dir: Path, storedSchema: StructType,
     rowSchema: StructType, partitionId: Int, taskId: Long,
-    indexOrdinals: Map[String, Seq[Int]]) extends DeltaWriter[InternalRow] {
+    indexOrdinals: Map[String, Seq[Int]],
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil) extends DeltaWriter[InternalRow] {
 
   private val dataW = new HadroDataWriter(dir, storedSchema, rowSchema,
     graft.format.Consistency.Relaxed, tombstone = false, partitionId, taskId,
-    keyOrdinal = None, SegmentWriter.DefaultSplitBytes, indexOrdinals)
+    keyOrdinal = None, SegmentWriter.DefaultSplitBytes, indexOrdinals,
+    constraints = constraints)
   private val bits = scala.collection.mutable.Map.empty[Long, java.util.BitSet]
   private val rowMask = (1L << HadroTable.SeqOrdinalShift) - 1
 

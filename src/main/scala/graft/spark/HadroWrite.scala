@@ -254,6 +254,15 @@ private[graft] object HadroWriteInit {
         case e: Exception => throw new IllegalArgumentException(
           s"hadro: CHECK constraint '$name' ($text) is invalid: ${e.getMessage}")
       }
+    // analyzer.execute alone does NOT raise UNRESOLVED_COLUMN (that is
+    // CheckAnalysis's job) — an unresolved or non-boolean expression must
+    // fail HERE, at DDL time, not inside codegen on the first insert
+    require(cond.resolved,
+      s"hadro: CHECK constraint '$name' ($text) references unknown columns " +
+        s"or functions")
+    require(cond.dataType == org.apache.spark.sql.types.BooleanType,
+      s"hadro: CHECK constraint '$name' ($text) must be a BOOLEAN " +
+        s"expression, got ${cond.dataType.simpleString}")
     require(cond.deterministic,
       s"hadro: CHECK constraint '$name' must be deterministic, got $text")
     // Bind against the FULL physical schema (dropped slots included) so
@@ -525,13 +534,9 @@ final class HadroBatchWrite(path: Path, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: HadroCommitMessage => m.infos }.flatten.foreach { i =>
-      Files.deleteIfExists(Paths.get(path.toString, i.file))
-      i.bloom.foreach(b => Files.deleteIfExists(Paths.get(path.toString, b)))
-      i.offsetIndex.foreach(f => Files.deleteIfExists(Paths.get(path.toString, f)))
-      i.indexBlooms.values.foreach(b =>
-        Files.deleteIfExists(Paths.get(path.toString, b)))
-    }
+    messages.collect { case m: HadroCommitMessage => m.infos }.flatten
+      .flatMap(_.allFiles)
+      .foreach(f => Files.deleteIfExists(Paths.get(path.toString, f)))
 }
 
 /** All segments one task produced (writer-side rotation can yield several). */
@@ -599,12 +604,9 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     dropFiles(messages)
 
   private def dropFiles(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: HadroCommitMessage => m.infos }.flatten.foreach { i =>
-      Files.deleteIfExists(path.resolve(i.file))
-      i.bloom.foreach(b => Files.deleteIfExists(path.resolve(b)))
-      i.offsetIndex.foreach(f => Files.deleteIfExists(path.resolve(f)))
-      i.indexBlooms.values.foreach(b => Files.deleteIfExists(path.resolve(b)))
-    }
+    messages.collect { case m: HadroCommitMessage => m.infos }.flatten
+      .flatMap(_.allFiles)
+      .foreach(f => Files.deleteIfExists(path.resolve(f)))
 }
 
 final class HadroStreamingWriterFactory(path: String, storedSchema: StructType,
@@ -808,12 +810,8 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
   override def abort(): Unit = {
     writer.abort()
     bucketWriters.values.foreach(_.abort())
-    finished.foreach { i =>
-      Files.deleteIfExists(dir.resolve(i.file))
-      i.bloom.foreach(b => Files.deleteIfExists(dir.resolve(b)))
-      i.offsetIndex.foreach(f => Files.deleteIfExists(dir.resolve(f)))
-      i.indexBlooms.values.foreach(b => Files.deleteIfExists(dir.resolve(b)))
-    }
+    finished.flatMap(_.allFiles)
+      .foreach(f => Files.deleteIfExists(dir.resolve(f)))
   }
   override def close(): Unit = ()
 }

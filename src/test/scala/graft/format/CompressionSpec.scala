@@ -92,6 +92,34 @@ class CompressionSpec extends SparkSuite {
     assert(spark.read.format("hadro").load(cl).count() == 5000)
   }
 
+  test("publish keeps dict sidecars live through its GC cycle") {
+    // WAP on a dict-compressed collection: the publish's live set must
+    // include .zdict sidecars, or a later purge deletes them from under
+    // the committed manifest
+    val prod = Files.createTempDirectory("zd_pub").resolve("prod").toString
+    val rows = spark.range(0, 5000, 1, 1).selectExpr("id",
+      "concat('record-', cast(id as string), '-with-shared-template-context-長-') AS v")
+    rows.coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.compress", "zstd-dict").save(prod)
+    val stage = Files.createTempDirectory("zd_pub").resolve("stage").toString
+    Collection(spark, prod).cloneTo(stage)
+    spark.range(5000, 6000, 1, 1)
+      .selectExpr("id", "concat('record-', cast(id as string), '-late-') AS v")
+      .coalesce(1).write.format("hadro").mode("append").save(stage)
+
+    val c = Collection(spark, prod)
+    c.publishFrom(stage)
+    c.publishFrom(stage) // second publish purges the first's deferred list
+    c.vacuum()
+    // every manifest-referenced dict sidecar survived the GC cycles
+    val p = java.nio.file.Paths.get(prod)
+    CollectionMeta.currentManifest(p).segments.flatMap(_.dict).foreach(d =>
+      assert(Files.exists(p.resolve(d)), s"live dict sidecar $d purged"))
+    assert(spark.read.format("hadro").load(prod).count() == 6000)
+    assert(spark.read.format("hadro").load(prod)
+      .selectExpr("max(length(v))").head.getInt(0) > 0)
+  }
+
   test("a tiny zstd-dict segment that never trains stays plain and readable") {
     val path = Files.createTempDirectory("zd_tiny").resolve("c").toString
     docs.limit(20).coalesce(1).write.format("hadro").mode("append")

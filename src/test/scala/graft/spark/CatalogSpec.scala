@@ -289,7 +289,7 @@ class CatalogSpec extends SparkSuite {
     spark.sql("ALTER TABLE testcat.db.prod SET TBLPROPERTIES ('constraint.small' = 'id < 500')")
     val ce = intercept[Exception](
       spark.sql("CALL testcat.system.publish('db.stage', 'db.prod')"))
-    assert(ce.getMessage.contains("CHECK constraint 'small'"))
+    assert(ce.getMessage.contains("CHECK constraint(s) 'small'"))
     spark.sql("ALTER TABLE testcat.db.prod UNSET TBLPROPERTIES ('constraint.small')")
 
     // schema drift refuses to publish
@@ -328,6 +328,45 @@ class CatalogSpec extends SparkSuite {
       """CREATE TABLE testcat.db.badc (x INT) USING hadro
         TBLPROPERTIES ('constraint.broken' = 'nope(x)')"""))
     spark.sql("DROP TABLE testcat.db.checked")
+  }
+
+  test("CHECK constraints gate delta UPDATE/MERGE; bad DDL leaves no ghost table") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    spark.sql("DROP TABLE IF EXISTS testcat.db.cdelta")
+    spark.sql("""CREATE TABLE testcat.db.cdelta (k BIGINT, v BIGINT) USING hadro
+      TBLPROPERTIES ('key'='k', 'constraint.vpos'='v >= 0')""")
+    spark.sql("INSERT INTO testcat.db.cdelta VALUES (1, 5), (2, 7)")
+
+    // keyed UPDATE routes through the delta (merge-on-read) writer: a
+    // violating new row must fail there, not slip past enforcement
+    intercept[Exception](
+      spark.sql("UPDATE testcat.db.cdelta SET v = -1 WHERE k = 1"))
+    // MERGE insert takes the same path
+    intercept[Exception](spark.sql(
+      """MERGE INTO testcat.db.cdelta t USING (SELECT 9L AS k, -3L AS v) s
+        ON t.k = s.k WHEN NOT MATCHED THEN INSERT *"""))
+    val left = spark.sql("SELECT k, v FROM testcat.db.cdelta ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(left == Seq((1L, 5L), (2L, 7L)), s"violations must not land: $left")
+
+    // invalid constraints fail the CREATE cleanly — no ghost table
+    intercept[Exception](spark.sql(
+      """CREATE TABLE testcat.db.cghost (x INT) USING hadro
+        TBLPROPERTIES ('constraint.bad' = 'y > 0')""")) // unknown column
+    intercept[Exception](spark.sql(
+      """CREATE TABLE testcat.db.cghost (x INT) USING hadro
+        TBLPROPERTIES ('constraint.nb' = 'x + 1')""")) // non-boolean
+    // the corrected retry succeeds — the failed CREATEs left nothing
+    spark.sql("""CREATE TABLE testcat.db.cghost (x INT) USING hadro
+      TBLPROPERTIES ('constraint.ok' = 'x > 0')""")
+    spark.sql("DROP TABLE testcat.db.cghost")
+
+    // all-digit tag names are reserved for version numbers
+    val e = intercept[Exception](
+      spark.sql("CALL testcat.system.create_tag('db.cdelta', '7', -1)"))
+    assert(e.getMessage.contains("digits"))
+    spark.sql("DROP TABLE testcat.db.cdelta")
   }
 
   test("CHECK constraints: ALTER SET retro-checks existing rows, UNSET releases") {
