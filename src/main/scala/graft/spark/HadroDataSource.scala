@@ -157,7 +157,19 @@ final class HadroTable(path: Path, dataSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HadroScanBuilder(path, dataSchema,
-      Option(options.get("hadro.versionAsOf")).map(_.toLong).orElse(pinnedVersion),
+      // numeric version or a TAG name — same resolution the SQL
+      // `VERSION AS OF` surface applies (digit-only tags are rejected at
+      // creation, so the numeric parse can safely win)
+      Option(options.get("hadro.versionAsOf")).map(v =>
+        try v.toLong
+        catch {
+          case _: NumberFormatException =>
+            CollectionMeta.readRefs(path).getOrElse(v,
+              throw new IllegalArgumentException(
+                s"hadro: hadro.versionAsOf expects a version number or tag " +
+                  s"name, got '$v' (tags: " +
+                  s"${CollectionMeta.readRefs(path).keys.toSeq.sorted.mkString(", ")})"))
+        }).orElse(pinnedVersion),
       options.getOrDefault("hadro.onTruncate", "fail"),
       options.getLong("hadro.maxOrdinalsPerTrigger", 0L),
       Option(options.get("hadro.files"))

@@ -179,6 +179,12 @@ class CatalogSpec extends SparkSuite {
       spark.sql("SELECT * FROM testcat.db.tagged VERSION AS OF 'nope'").collect())
     assert(err.getMessage.contains("first"))
 
+    // the path-API read option resolves tags identically to SQL
+    assert(spark.read.format("hadro").option("hadro.versionAsOf", "first")
+      .load(dir.toString).count() == 5)
+    intercept[Exception](spark.read.format("hadro")
+      .option("hadro.versionAsOf", "ghost").load(dir.toString).count())
+
     // drop_tag releases the pin: the next expiry takes the version
     assert(spark.sql("CALL testcat.system.drop_tag('db.tagged', 'first')")
       .head.getBoolean(1))
