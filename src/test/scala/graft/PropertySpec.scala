@@ -206,6 +206,81 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: tags pin exact snapshots under arbitrary maintenance sequences") {
+    import graft.meta.CollectionMeta
+    // Model checking the GC/tag interplay: against a driver-side model of
+    // the collection's content, run random op sequences (append, delete,
+    // compact, vacuum, expire, tag, drop-tag) and after EVERY op assert
+    // each live tag still reads exactly the rows it pinned.
+    sealed trait Op
+    case object Append extends Op
+    case object Delete extends Op
+    case object Compact extends Op
+    case object Vacuum extends Op
+    case object Expire extends Op
+    case object Tag extends Op
+    case object DropTag extends Op
+    val genOp: Gen[Op] = Gen.frequency(
+      4 -> Append, 2 -> Delete, 2 -> Compact, 2 -> Vacuum,
+      1 -> Expire, 3 -> Tag, 1 -> DropTag)
+    val genSeq: Gen[List[Op]] = Gen.listOfN(14, genOp)
+
+    samples(genSeq, 3, seed = 1234).zipWithIndex.foreach { case (ops, trial) =>
+      val path = Files.createTempDirectory(s"tagprop$trial").resolve("c").toString
+      val p = java.nio.file.Paths.get(path)
+      var nextId = 0L
+      var model = Set.empty[Long] // current live ids
+      val pinned = scala.collection.mutable.Map.empty[String, Set[Long]]
+      var nextTag = 0
+      def write(ids: Seq[Long], mode: String): Unit =
+        ids.toDF("id").write.format("hadro").mode(mode).save(path)
+      write(0L until 5L, "append"); model = (0L until 5L).toSet; nextId = 5
+      val c = Collection(spark, path)
+
+      def readIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("id").as[Long].collect().toSet
+
+      ops.foreach { op =>
+        op match {
+          case Append =>
+            write(nextId until nextId + 3, "append")
+            model ++= (nextId until nextId + 3); nextId += 3
+          case Delete if model.nonEmpty =>
+            // copy-on-write delete: pinned rewrite to the filtered content
+            val victim = model.min
+            val m0 = CollectionMeta.currentManifest(p)
+            spark.read.format("hadro").load(path)
+              .filter(col("id") =!= victim)
+              .write.format("hadro").mode("overwrite")
+              .option("hadro.compactOf", m0.version.toString)
+              .option("hadro.compactOfGen", m0.generation.toString)
+              .save(path)
+            model -= victim
+          case Delete => ()
+          case Compact => c.compact()
+          case Vacuum => c.vacuum()
+          case Expire => c.expireSnapshots(System.currentTimeMillis() + 60000)
+          case Tag =>
+            val name = s"t$nextTag"; nextTag += 1
+            c.createTag(name)
+            pinned(name) = model
+          case DropTag if pinned.nonEmpty =>
+            val name = pinned.keys.head
+            c.dropTag(name); pinned -= name
+          case DropTag => ()
+        }
+        // invariants after EVERY op
+        assert(readIds(c.scan()) == model, s"trial $trial after $op: head diverged")
+        pinned.foreach { case (name, want) =>
+          val v = c.tags(name)
+          val got = readIds(c.scanVersion(v))
+          assert(got == want,
+            s"trial $trial after $op: tag $name pinned ${want.size} rows, read ${got.size}")
+        }
+      }
+    }
+  }
+
   test("property: radius search equals a JVM reference over arbitrary corpora") {
     import graft.ops.SimilarityOps
     val genVec: Gen[Seq[Float]] =
