@@ -16,7 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Split-and-mix double hashing (h1 + i·h2) over a canonical 64-bit form of
   * the key value; default 64 KiB / 7 hashes ≈ 0.5% FPR at 50k keys/segment.
   */
-final class KeyBloom private (words: Array[Long], k: Int) {
+final class KeyBloom private (private val words: Array[Long],
+    private val k: Int) extends Serializable {
   private val mBits = words.length * 64
 
   private def setBit(bit: Long): Unit = {
@@ -45,6 +46,16 @@ final class KeyBloom private (words: Array[Long], k: Int) {
     var i = 0
     while (i < k) { if (!getBit(h + i * h2)) return false; i += 1 }
     true
+  }
+
+  /** Bitwise OR of two same-shape filters into THIS one (distributed
+    * builds: per-partition partials merge associatively). */
+  def union(other: KeyBloom): KeyBloom = {
+    require(other.words.length == words.length && other.k == k,
+      s"bloom shape mismatch: ${words.length}x$k vs ${other.words.length}x${other.k}")
+    var i = 0
+    while (i < words.length) { words(i) |= other.words(i); i += 1 }
+    this
   }
 
   def writeTo(path: Path): Unit = {

@@ -226,6 +226,65 @@ object DedupOps {
       .drop("content_hash")
   }
 
+  /** Build a persisted ADMISSION BLOOM over the corpus' content hashes —
+    * the amortized half of [[bloomIncrementalDedup]]. One distributed
+    * pass: each partition folds its `xxhash64(sha2(text))` values into a
+    * local filter, partials OR together up a tree, the driver persists
+    * one file of `bits/8` bytes. Size `bits` at ~10x the expected doc
+    * count for ~1% fp with k=7 (the default 64 M bits / 8 MiB covers
+    * ~6 M docs). Rebuild after bulk corpus mutation; APPEND-only growth can
+    * instead fold each admitted batch in with [[graft.format.KeyBloom
+    * .union]] and re-persist. */
+  def buildAdmissionBloom(corpus: DataFrame, textCol: String,
+      path: String, bits: Int = 8 * 1024 * 1024 * 8): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val k = graft.format.KeyBloom.DefaultK
+    val bloom = corpus
+      .select(xxhash64(sha2(col(textCol), 256)).as("hx")).as[Long]
+      .rdd.treeAggregate(graft.format.KeyBloom(bits, k))(
+        (b, h) => { b.addHash(h); b }, (a, b) => a.union(b))
+    bloom.writeTo(java.nio.file.Paths.get(path))
+  }
+
+  /** EXACT incremental dedup with a bloom-prefiltered admission path:
+    * same semantics and output as [[incrementalDedup]] — batch rows whose
+    * content does not appear in the corpus, self-deduped — but the
+    * corpus-membership test is split by the persisted admission bloom:
+    *
+    *   - bloom NEGATIVES are PROVEN new (no false negatives) and admit
+    *     map-only — no join, no shuffle against the corpus;
+    *   - bloom POSITIVES (true dups + the filter's ~1% fps) are the ONLY
+    *     rows exact-verified against the corpus hash set.
+    *
+    * At 100 TB this is the difference between anti-joining every batch
+    * against the full historical corpus and shuffling just the suspected
+    * duplicates: a mostly-novel crawl batch admits at scan speed. The
+    * bloom is a PREFILTER, never an oracle — results stay exactly equal
+    * to [[incrementalDedup]] (spec-asserted), because positives are
+    * verified and negatives are sound by construction. */
+  def bloomIncrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, bloomPath: String): DataFrame = {
+    val bloom = graft.format.KeyBloom.readFrom(java.nio.file.Paths.get(bloomPath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no admission bloom at $bloomPath — run buildAdmissionBloom first"))
+    val spark = batch.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((hx: Long) => bc.value.mightContainHash(hx))
+    val hashed = batch
+      .select(col(idCol), sha2(col(textCol), 256).as("content_hash"))
+      .withColumn("hx", xxhash64(col("content_hash")))
+    val negatives = hashed.filter(!mightContain(col("hx"))) // proven new
+    val positives = hashed.filter(mightContain(col("hx")))
+    val corpusHashes = corpus
+      .select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    val verifiedNew = positives.join(corpusHashes, Seq("content_hash"), "left_anti")
+    negatives.unionByName(verifiedNew)
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch_copies"))
+      .drop("content_hash")
+  }
+
   /** FUZZY decontamination: training-corpus documents that are NEAR
     * duplicates (shingle Jaccard >= `threshold`) of any evaluation/
     * benchmark document — the recall-hardened complement of the exact

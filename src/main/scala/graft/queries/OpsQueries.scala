@@ -1475,6 +1475,41 @@ object OpsQueries {
         GROUP BY sha256(text)
         ORDER BY keep_id""")),
 
+    // ---------------------------------------------------------------- d23
+    // BLOOM-prefiltered incremental dedup: same EXACT semantics as d17 —
+    // the admission bloom only splits the work (negatives admit map-only,
+    // positives alone exact-verify against the corpus), so the oracle is
+    // the plain set-membership SQL. At 100 TB a mostly-novel crawl batch
+    // admits at scan speed instead of anti-joining the full history.
+    QueryDef(
+      "d23_bloom_incremental_dedup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val corpus = d.filter(col("doc_id") % 4 =!= 0)
+        val batch = d.filter(col("doc_id") % 4 === 0)
+          .unionByName(d.filter(col("doc_id") % 8 === 1)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val bloomPath = s"/tmp/graft_collections/$tag/d23.bloom"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(bloomPath).getParent)
+        DedupOps.buildAdmissionBloom(corpus, "text", bloomPath, bits = 1 << 22)
+        DedupOps.bloomIncrementalDedup(corpus, batch, "doc_id", "text", bloomPath)
+          .orderBy("keep_id")
+      },
+      Some("""WITH corpus AS (
+          SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 <> 0),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 1)
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+        FROM batch
+        WHERE sha256(text) NOT IN (SELECT h FROM corpus)
+        GROUP BY sha256(text)
+        ORDER BY keep_id""")),
+
     // ---------------------------------------------------------------- d19
     // Per-source QUOTA cap (domain balancing): at most 15 docs per
     // source, deterministic hash priority, under-quota sources pass

@@ -47,6 +47,33 @@ class OpsSpec extends SparkSuite {
     assert(doubled == 3)
   }
 
+  test("bloom incremental dedup equals the exact path; no false negatives") {
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+      .unionByName(docs.filter($"doc_id" % 6 === 1)
+        .withColumn("doc_id", $"doc_id" + 500000L))
+    val bloomPath = java.nio.file.Files.createTempDirectory("abloom")
+      .resolve("c.bloom").toString
+    DedupOps.buildAdmissionBloom(corpus, "text", bloomPath, bits = 1 << 20)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBloom = rows(DedupOps.bloomIncrementalDedup(
+      corpus, batch, "doc_id", "text", bloomPath))
+    val exact = rows(DedupOps.incrementalDedup(corpus, batch, "doc_id", "text"))
+    assert(viaBloom == exact,
+      s"bloom path diverged: ${(viaBloom diff exact) union (exact diff viaBloom)}")
+
+    // soundness: every corpus document is bloom-POSITIVE (no false
+    // negatives — a negative admits without verification)
+    val bloom = graft.format.KeyBloom.readFrom(
+      java.nio.file.Paths.get(bloomPath)).get
+    val corpusHx = corpus
+      .select(xxhash64(sha2($"text", 256))).as[Long].collect()
+    assert(corpusHx.forall(bloom.mightContainHash),
+      "admission bloom must never miss a corpus hash")
+  }
+
   test("token-budget sample fits the budget, maximal and partition-stable") {
     def toks = sum(size(split($"text", " ")).cast("long"))
     val total = docs.agg(toks).head().getLong(0)
