@@ -654,6 +654,23 @@ object SimilarityOps {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** BATCH radius search: every (query, corpus) pair with cosine >=
+    * `minCosine`, for a whole query FRAME in one plan — the serving shape
+    * when a worker answers many threshold subscriptions per corpus pass.
+    * The query side broadcasts (serving batches are small); the corpus
+    * scans ONCE and evaluates all queries per row, map-only — corpus
+    * bytes amortize over the batch instead of one scan per query.
+    * Returns (qid, id, cosine). */
+  def radiusSearchBatch(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      minCosine: Double): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    df.crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol),
+        cosine(col(vecCol), col("qvec")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Two-stage radius search over a [[buildSqIndex]] collection: stage 1
     * scans only the 4×-compressed codes and keeps ids whose APPROXIMATE
     * cosine clears `minCosine - margin` (the slack absorbs quantization

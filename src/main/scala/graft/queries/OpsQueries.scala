@@ -1083,6 +1083,31 @@ object OpsQueries {
         WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) >= 0.2
         ORDER BY e.vec_id""")),
 
+    // ---------------------------------------------------------------- s21
+    // BATCH radius search: a whole query frame's threshold neighborhoods
+    // in ONE corpus pass (queries broadcast, corpus scanned once,
+    // map-only) — the serving shape for many concurrent subscriptions.
+    QueryDef(
+      "s21_batch_radius_search",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        SimilarityOps.radiusSearchBatch(e, "vec_id", "embedding",
+            queries, "qid", "qvec", 0.2)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("qid", "vec_id")
+      },
+      Some("""WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 3)
+        SELECT q.qid, e.vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)
+            AS cosine
+        FROM embeddings e, q
+        WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) >= 0.2
+        ORDER BY q.qid, e.vec_id""")),
+
     // ---------------------------------------------------------------- s16
     // MATRYOSHKA two-stage search: coarse rank on the first 16 of 64
     // dimensions (quarter the flops/bytes; with the prefix stored as its
