@@ -486,6 +486,11 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                   }
                 }
               }.toArray
+          case "constraints" =>
+            CollectionMeta.readConstraints(dir).toSeq.sortBy(_._1).map {
+              case (n, text) =>
+                InternalRow(UTF8String.fromString(n), UTF8String.fromString(text))
+            }.toArray
           case "refs" =>
             // named tags, pinned-version metadata joined from the manifest
             CollectionMeta.readRefs(dir).toSeq.sortBy(_._1).map {
@@ -545,6 +550,8 @@ object HadroMetadataTable {
       .add("start_row", LongType).add("n_rows", LongType)
       .add("column", StringType).add("min_value", StringType)
       .add("max_value", StringType).add("null_count", LongType),
+    "constraints" -> new StructType()
+      .add("name", StringType).add("expression", StringType),
     "detail" -> new StructType()
       .add("location", StringType).add("version", LongType)
       .add("generation", LongType).add("n_segments", LongType)

@@ -68,6 +68,24 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("zstd-dict round trip preserves arbitrary batches bit-for-bit") {
+    // small arbitrary batches stay below the training budget (plain-zstd
+    // frames), the grown tail crosses it (mixed plain+dict frames) —
+    // both decode identically
+    samples(genBatch, 3, seed = 47).foreach { rows =>
+      val grown = rows ++ (0 until 3000).map(i =>
+        Row(i.toLong, s"grown-name-$i-with-shared-template-context", null, null))
+      val path = Files.createTempDirectory("propzd").resolve("c").toString
+      mkDf(grown).repartition(2).write.format("hadro").mode("append")
+        .option("hadro.compress", "zstd-dict").save(path)
+      val back = spark.read.format("hadro").load(path)
+      assert(back.count() == grown.length)
+      val a = mkDf(grown).collect().map(_.toString).sorted
+      val b = back.collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    }
+  }
+
   test("pushed filter == post-scan filter for arbitrary thresholds") {
     val path = Files.createTempDirectory("prop").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/orders.parquet")

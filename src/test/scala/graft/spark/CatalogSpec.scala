@@ -324,10 +324,14 @@ class CatalogSpec extends SparkSuite {
     // failed writes leave nothing behind (task abort, no commit)
     assert(spark.sql("SELECT count(*) FROM testcat.db.checked").head.getLong(0) == 2)
 
-    // surfaced as table properties
+    // surfaced as table properties AND the t.constraints metadata table
     val props = spark.sql("SHOW TBLPROPERTIES testcat.db.checked").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(props.get("constraint.k_pos").contains("k > 0"))
+    val ct = spark.sql(
+      "SELECT name, expression FROM testcat.db.checked.constraints ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ct == Seq(("k_pos", "k > 0"), ("v_short", "length(v) <= 8")))
 
     // invalid expressions fail at CREATE, loudly
     intercept[Exception](spark.sql(
