@@ -682,6 +682,16 @@ final class Collection private (spark: SparkSession, val path: String) {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING))
     CollectionMeta.commit(dst, _ =>
       m.copy(streamEpochs = Map.empty, generation = 0L))
+    // Branch bookkeeping for write-audit-publish: remember which source
+    // VERSION this clone branched from, so publishFrom can detect that
+    // the source advanced underneath the branch (optimistic concurrency —
+    // the Iceberg fast-forward refusal) instead of silently replacing
+    // concurrent commits.
+    Files.write(CollectionMeta.metaDir(dst).resolve("clone-origin.json"),
+      org.json4s.jackson.Serialization.write(Map(
+        "source" -> dir.toAbsolutePath.toString,
+        "version" -> m.version))(org.json4s.DefaultFormats)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Collection(spark, dstPath)
   }
 
@@ -698,10 +708,31 @@ final class Collection private (spark: SparkSession, val path: String) {
     * truncate. Returns the committed version. The 100 TB pattern: stage =
     * zero-copy clone, pipeline writes + quality audits run against stage,
     * publish is one metadata commit — bad batches never touch prod. */
-  def publishFrom(stagedPath: String): Long = {
+  def publishFrom(stagedPath: String, force: Boolean = false): Long = {
     val staged = java.nio.file.Paths.get(stagedPath)
     val stagedMeta = CollectionMeta.readSchema(staged).getOrElse(
       throw new IllegalArgumentException(s"hadro: no collection at $stagedPath"))
+    // Optimistic concurrency (the Iceberg fast-forward refusal): a clone
+    // records the source version it branched from; if the TARGET advanced
+    // past that base, commits landed that the swap would silently replace
+    // — refuse unless forced. A successful publish fast-forwards the
+    // branch base, so re-publishing the same stage stays allowed.
+    val originFile = CollectionMeta.metaDir(staged).resolve("clone-origin.json")
+    if (!force && Files.exists(originFile)) {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val root = org.json4s.jackson.JsonMethods.parse(new String(
+        Files.readAllBytes(originFile), java.nio.charset.StandardCharsets.UTF_8))
+      val osrc = (root \ "source").extract[String]
+      val base = (root \ "version").extract[Long]
+      if (osrc == dir.toAbsolutePath.toString) {
+        val cur = CollectionMeta.currentManifest(dir).version
+        require(cur == base,
+          s"hadro: publish refused — target advanced (version $base at " +
+            s"branch time, now $cur); commits would be silently replaced. " +
+            s"Re-stage from the current state, or publishFrom(force = true) " +
+            s"to replace anyway")
+      }
+    }
     val targetMeta = CollectionMeta.readSchema(dir).getOrElse(
       throw new IllegalStateException(s"hadro: no collection at $path"))
     require(stagedMeta.schema == targetMeta.schema,
@@ -750,6 +781,12 @@ final class Collection private (spark: SparkSession, val path: String) {
       generation = cur.generation + 1))
     val live = sm.segments.flatMap(_.allFiles).toSet
     CollectionMeta.deferredGc(dir, live)
+    // fast-forward the branch base onto what it just published
+    Files.write(originFile,
+      org.json4s.jackson.Serialization.write(Map(
+        "source" -> dir.toAbsolutePath.toString,
+        "version" -> committed.version))(org.json4s.DefaultFormats)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     committed.version
   }
 

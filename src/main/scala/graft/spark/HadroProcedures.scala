@@ -155,13 +155,17 @@ object HadroProcedures {
       case "publish" => proc("publish",
         "write-audit-publish: atomically replace the target's contents " +
           "with the staged table's current state (zero-copy hard links, " +
-          "one commit; history stays rollback-able)",
-        Seq(p("staged", StringType), p("target", StringType)),
+          "one commit; history stays rollback-able). Refuses when the " +
+          "target advanced past the branch base unless force = true",
+        Seq(p("staged", StringType), p("target", StringType),
+          ProcedureParameter.in("force", BooleanType)
+            .defaultValue("false").build()),
         new StructType().add("published_version", LongType)) { in =>
           val stagedDir = resolve(in.getUTF8String(0).toString)
           val target = Collection(SparkSession.active,
             resolve(in.getUTF8String(1).toString).toString)
-          Seq(InternalRow(target.publishFrom(stagedDir.toString)))
+          Seq(InternalRow(target.publishFrom(stagedDir.toString,
+            force = !in.isNullAt(2) && in.getBoolean(2))))
         }
       case "create_tag" => proc("create_tag",
         "pin a committed version under a name (Iceberg tag analog): exempt " +

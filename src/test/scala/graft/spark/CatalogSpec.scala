@@ -290,18 +290,30 @@ class CatalogSpec extends SparkSuite {
     spark.sql(s"CALL testcat.system.rollback('db.prod', $vBefore)")
     assert(spark.sql("SELECT count(*) FROM testcat.db.prod").head.getLong(0) == 100)
 
-    // the TARGET's constraints gate the publish: stage carries id=999,
-    // so a prod-side CHECK added after the clone refuses the swap
+    // OPTIMISTIC CONCURRENCY: the rollback advanced prod past the branch
+    // base, so an un-forced re-publish refuses instead of silently
+    // replacing the concurrent commit
+    val oc = intercept[Exception](
+      spark.sql("CALL testcat.system.publish('db.stage', 'db.prod')"))
+    assert(oc.getMessage.contains("target advanced"), oc.getMessage)
+
+    // the TARGET's constraints gate even a FORCED publish: stage carries
+    // id=999, so a prod-side CHECK added after the clone refuses the swap
     spark.sql("ALTER TABLE testcat.db.prod SET TBLPROPERTIES ('constraint.small' = 'id < 500')")
     val ce = intercept[Exception](
-      spark.sql("CALL testcat.system.publish('db.stage', 'db.prod')"))
+      spark.sql("CALL testcat.system.publish('db.stage', 'db.prod', true)"))
     assert(ce.getMessage.contains("CHECK constraint(s) 'small'"))
     spark.sql("ALTER TABLE testcat.db.prod UNSET TBLPROPERTIES ('constraint.small')")
 
-    // schema drift refuses to publish
+    // force overrides the concurrency refusal; the swap lands
+    assert(spark.sql("CALL testcat.system.publish('db.stage', 'db.prod', true)")
+      .head.getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM testcat.db.prod").head.getLong(0) == 51)
+
+    // schema drift refuses to publish (forced or not)
     spark.sql("ALTER TABLE testcat.db.stage ADD COLUMN extra STRING")
     intercept[Exception](
-      spark.sql("CALL testcat.system.publish('db.stage', 'db.prod')"))
+      spark.sql("CALL testcat.system.publish('db.stage', 'db.prod', true)"))
     spark.sql("DROP TABLE testcat.db.stage")
     spark.sql("DROP TABLE testcat.db.prod")
   }
