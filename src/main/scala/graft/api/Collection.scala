@@ -1049,7 +1049,17 @@ final class Collection private (spark: SparkSession, val path: String) {
     * compaction/merge the reference names as a needed maintenance job but
     * never builds (`hadro/engine.py:53`). Atomic: readers see the old
     * manifest until the rewrite commits. */
-  def compact(): Unit = withConflictRetry {
+  /** [[compact]] with a target segment size: writer-side rotation caps
+    * every rewritten segment at ~`targetSegmentBytes`, so one compaction
+    * both drops dead rows AND normalizes the file-size distribution (the
+    * OPTIMIZE target-file-size knob). 0 = no cap. */
+  def compact(targetSegmentBytes: Long): Unit = {
+    compactWith(targetSegmentBytes)
+  }
+
+  def compact(): Unit = compactWith(0L)
+
+  private def compactWith(targetSegmentBytes: Long): Unit = withConflictRetry {
     // No dataset-sized cache: segments are immutable and the read plan is
     // pinned to manifest version v0, so write tasks stream resolved rows
     // from the OLD segment files into fresh ones; the manifest swap +
@@ -1092,7 +1102,11 @@ final class Collection private (spark: SparkSession, val path: String) {
         case None => resolvedAsOf(m0.version).write
       }
     }
-    writer0.format("hadro").mode("overwrite")
+    val writer1 =
+      if (targetSegmentBytes > 0)
+        writer0.option("hadro.maxSegmentBytes", targetSegmentBytes.toString)
+      else writer0
+    writer1.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)
       .option("hadro.compactOfGen", m0.generation.toString).save(path)
   }

@@ -63,10 +63,16 @@ object HadroProcedures {
               java.nio.file.Paths.get(out.path)).segments.size.toLong))
         }
       case "compact" => proc("compact",
-        "rewrite the collection to only live, resolved rows",
-        Seq(p("table", StringType)),
+        "rewrite the collection to only live, resolved rows; " +
+          "target_bytes > 0 also caps every rewritten segment's size " +
+          "(the OPTIMIZE target-file-size knob)",
+        Seq(p("table", StringType),
+          ProcedureParameter.in("target_bytes", LongType)
+            .defaultValue("0").build()),
         new StructType().add("version", LongType)) { in =>
-          val c = coll(in); c.compact()
+          val c = coll(in)
+          val target = if (in.isNullAt(1)) 0L else in.getLong(1)
+          if (target > 0) c.compact(target) else c.compact()
           Seq(InternalRow(c.version))
         }
       case "compact_small" => proc("compact_small",

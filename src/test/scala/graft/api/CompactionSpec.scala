@@ -205,6 +205,22 @@ class CompactionSpec extends SparkSuite {
     assert(c2.scan().count() == src.count())
   }
 
+  test("compact with a target size rewrites into bounded segments, losslessly") {
+    val path = tmp("target")
+    val src = spark.read.parquet(s"$sf0001/part.parquet")
+    val c = Collection.create(spark, path, src.coalesce(1))
+    assert(CollectionMeta.currentManifest(Paths.get(path)).segments.size == 1)
+    c.compact(4 * 1024) // ~4 KB target -> many bounded files
+    val m = CollectionMeta.currentManifest(Paths.get(path))
+    assert(m.segments.size > 1, s"expected rotation, got ${m.segments.size}")
+    // rotation caps are approximate (rotate AFTER crossing), but bounded:
+    // every segment stays within one record of the target
+    assert(m.segments.map(_.bytes).max < 8 * 1024 * 2)
+    assert(c.scan().count() == src.count())
+    val got = c.scan().orderBy("p_partkey").collect()
+    assert(got.sameElements(src.orderBy("p_partkey").collect()))
+  }
+
   test("compactSmall bin-packs small segments without a full rewrite") {
     val path = tmp("small")
     val src = spark.read.parquet(s"$sf0001/customer.parquet")
