@@ -48,6 +48,9 @@ final class KeyBloom private (private val words: Array[Long],
     true
   }
 
+  /** (bits, k) — the shape a mergeable partial must match. */
+  private[graft] def shape: (Int, Int) = (words.length * 64, k)
+
   /** Bitwise OR of two same-shape filters into THIS one (distributed
     * builds: per-partition partials merge associatively). */
   def union(other: KeyBloom): KeyBloom = {

@@ -247,6 +247,35 @@ object DedupOps {
     bloom.writeTo(java.nio.file.Paths.get(path))
   }
 
+  /** Fold a newly-ADMITTED batch into the persisted admission bloom —
+    * the append-only growth path: after [[bloomIncrementalDedup]] admits
+    * a batch into the corpus, one O(batch) pass keeps the filter current
+    * without rebuilding over the whole history. The partial is built at
+    * the persisted filter's exact shape and OR-merged in; the rewrite is
+    * atomic (tmp + rename) so a concurrent reader sees the old or new
+    * filter, never a torn one — and either is SOUND for admission (the
+    * old filter just verifies a few more positives exactly). */
+  def updateAdmissionBloom(admitted: DataFrame, textCol: String,
+      path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val existing = graft.format.KeyBloom.readFrom(p).getOrElse(
+      throw new IllegalArgumentException(
+        s"no admission bloom at $path — run buildAdmissionBloom first"))
+    val (bits, k) = existing.shape
+    val spark = admitted.sparkSession
+    import spark.implicits._
+    val partial = admitted
+      .select(xxhash64(sha2(col(textCol), 256)).as("hx")).as[Long]
+      .rdd.treeAggregate(graft.format.KeyBloom(bits, k))(
+        (b, h) => { b.addHash(h); b }, (a, b) => a.union(b))
+    val merged = existing.union(partial)
+    val tmp = p.resolveSibling(p.getFileName.toString + s".tmp${System.nanoTime()}")
+    merged.writeTo(tmp)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** EXACT incremental dedup with a bloom-prefiltered admission path:
     * same semantics and output as [[incrementalDedup]] — batch rows whose
     * content does not appear in the corpus, self-deduped — but the

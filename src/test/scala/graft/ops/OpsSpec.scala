@@ -72,6 +72,21 @@ class OpsSpec extends SparkSuite {
       .select(xxhash64(sha2($"text", 256))).as[Long].collect()
     assert(corpusHx.forall(bloom.mightContainHash),
       "admission bloom must never miss a corpus hash")
+
+    // append-only growth: fold the admitted batch in, then a re-crawl of
+    // that batch against corpus+batch comes back fully deduplicated
+    DedupOps.updateAdmissionBloom(batch, "text", bloomPath)
+    val grown = corpus.select($"doc_id", $"text")
+      .unionByName(batch.select($"doc_id", $"text"))
+    val recrawl = rows(DedupOps.bloomIncrementalDedup(
+      grown, batch, "doc_id", "text", bloomPath))
+    assert(recrawl.isEmpty, s"re-crawled batch must fully dedup: $recrawl")
+    // the updated filter still has zero false negatives over the batch
+    val updated = graft.format.KeyBloom.readFrom(
+      java.nio.file.Paths.get(bloomPath)).get
+    val batchHx = batch
+      .select(xxhash64(sha2($"text", 256))).as[Long].collect()
+    assert(batchHx.forall(updated.mightContainHash))
   }
 
   test("token-budget sample fits the budget, maximal and partition-stable") {
