@@ -41,6 +41,20 @@ object Bench {
     // query-path regression.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt)
     val failures = scala.collection.mutable.Buffer.empty[String]
+    // Self-adjudication telemetry: a best-of-N minimum alone cannot tell
+    // "this run was contended" from "this query regressed" when the
+    // driver's number diverges from the builder's (it has twice). So the
+    // per-rep raw times go to BENCH_FULL, and the host load average is
+    // stamped at run start/end — a loadavg far above the core count says
+    // contention, not regression.
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+").take(3)
+        .mkString(" ")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
+    val perRep = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[(Double, Double)]]
     val results: Seq[(String, (Double, Double))] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times: Seq[(Double, Double)] = (1 to repeats).map { _ =>
@@ -67,8 +81,10 @@ object Bench {
           spark.catalog.clearCache()
           ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
         }
+        perRep(name) = times
         name -> ((times.map(_._1).min, times.map(_._2).min))
       }
+    val loadEnd = loadavg()
     val queryTimes: Map[String, Double] = results.map { case (n, t) => n -> t._2 }.toMap
     val setupTotal = results.map(_._2._1).sum
     val queryTotal = results.map(_._2._2).sum
@@ -116,8 +132,14 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val fullSetup = results.sortBy(-_._2._1)
         .map { case (k, t) => "\"" + k + "\":" + t._1 }.mkString("{", ",", "}")
+      // per-rep raw [setup, query] pairs, in execution order — the
+      // evidence that separates a contended rep from a regression
+      val fullReps = perRep.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map { case (s, q) => s"[$s,$q]" }
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","setup_total":$setupTotal,"query_total":$queryTotal,"queries":$fullQs,"setup":$fullSetup,"failures":$fullFs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","setup_total":$setupTotal,"query_total":$queryTotal,"repeats":$repeats,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":$fullQs,"setup":$fullSetup,"reps":$fullReps,"failures":$fullFs,"sf":"$sfDir"}"""
       val dest = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
         .toAbsolutePath

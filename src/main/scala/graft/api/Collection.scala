@@ -738,6 +738,21 @@ final class Collection private (spark: SparkSession, val path: String) {
     require(stagedMeta.schema == targetMeta.schema,
       s"hadro: publish requires identical schemas — staged " +
         s"${stagedMeta.schema.simpleString} vs target ${targetMeta.schema.simpleString}")
+    // Physical-layout metadata must agree too: the target's schema.json
+    // drives writer-side bucket routing and compression for FUTURE
+    // appends, while the published manifest declares the layout of the
+    // swapped-in segments. A stage not cloned from the target could
+    // otherwise leave schema.json (say, unbucketed) disagreeing with a
+    // manifest claiming bucketBy — and the next append would write
+    // unbucketed/uncompressed segments under that manifest.
+    require(stagedMeta.bucketBy == targetMeta.bucketBy &&
+        stagedMeta.numBuckets == targetMeta.numBuckets,
+      s"hadro: publish requires matching bucketing — staged " +
+        s"${stagedMeta.bucketBy}/${stagedMeta.numBuckets} vs target " +
+        s"${targetMeta.bucketBy}/${targetMeta.numBuckets}")
+    require(stagedMeta.compress == targetMeta.compress,
+      s"hadro: publish requires matching compression — staged " +
+        s"${stagedMeta.compress} vs target ${targetMeta.compress}")
     // The target's CHECK constraints gate the publish too: a stage built
     // without them (or whose constraints drifted) must not smuggle
     // violating rows past enforcement. One audit scan, CHECK semantics.

@@ -264,17 +264,48 @@ object DedupOps {
     val (bits, k) = existing.shape
     val spark = admitted.sparkSession
     import spark.implicits._
+    // the expensive distributed pass runs OUTSIDE the critical section —
+    // only the fold-into-base + rename is serialized
     val partial = admitted
       .select(xxhash64(sha2(col(textCol), 256)).as("hx")).as[Long]
       .rdd.treeAggregate(graft.format.KeyBloom(bits, k))(
         (b, h) => { b.addHash(h); b }, (a, b) => a.union(b))
-    val merged = existing.union(partial)
-    val tmp = p.resolveSibling(p.getFileName.toString + s".tmp${System.nanoTime()}")
-    merged.writeTo(tmp)
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Serialized read-merge-write: two concurrent folds must not both
+    // merge into the SAME base and have the second rename discard the
+    // first's bits — lost bits are false NEGATIVES, which would break
+    // [[bloomIncrementalDedup]]'s "negatives are proven new" invariant.
+    // A sibling lock file (OS file lock, held across re-read + rename)
+    // serializes writers across processes; the JVM-wide monitor
+    // serializes threads within one driver (FileLock is per-JVM).
+    val lockPath = p.resolveSibling(p.getFileName.toString + ".lock")
+    AdmissionBloomWriteLock.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          // re-read under the lock: pick up bits a concurrent fold
+          // published since our first read, then merge and swap
+          val base = graft.format.KeyBloom.readFrom(p).getOrElse(existing)
+          require(base.shape == partial.shape,
+            s"admission bloom at $path changed shape concurrently " +
+              s"(${base.shape} vs ${partial.shape}) — rebuild required")
+          val merged = base.union(partial)
+          val tmp = p.resolveSibling(
+            p.getFileName.toString + s".tmp${System.nanoTime()}")
+          merged.writeTo(tmp)
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally lock.release()
+      } finally ch.close()
+    }
   }
+
+  /** JVM-wide monitor serializing [[updateAdmissionBloom]]'s
+    * read-merge-write (complements the cross-process file lock). */
+  private object AdmissionBloomWriteLock
 
   /** EXACT incremental dedup with a bloom-prefiltered admission path:
     * same semantics and output as [[incrementalDedup]] — batch rows whose

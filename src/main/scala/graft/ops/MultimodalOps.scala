@@ -460,6 +460,11 @@ object MultimodalOps {
       minShared: Int = 4, maxDf: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persist: the chunk frame feeds the df-count aggregate, the
+    // left-semi join, and both sides of the self-join — without it each
+    // use re-runs the per-byte gear hashing over every payload (3x the
+    // scan+hash cost at 100 TB). Same discipline as editDistancePairs'
+    // persisted shingle stage (DedupOps.scala).
     val f = df.select(col(idCol).cast(LongType), col(mediaCol))
       .filter(col(mediaCol).isNotNull) // match the frame path's null-tolerance
       .as[(Long, Array[Byte])]
@@ -467,6 +472,7 @@ object MultimodalOps {
         cdcChunkHashes(bytes, minSize, maskBits).distinct.map(h => (id, h))
       })
       .toDF("media_id", "chash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = f.groupBy("chash")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select("chash")

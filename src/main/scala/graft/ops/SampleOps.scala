@@ -99,18 +99,30 @@ object SampleOps {
     * (ties to id), so membership is content-derived and reproducible.
     *
     * Scale shape: the semantics are a global running sum in hash order,
-    * but the PLAN is two-phase: (1) one aggregation over 256 hash-prefix
-    * buckets gives the cutoff bucket on the driver (256 longs); every
-    * bucket wholly under budget passes with a map-only filter; (2) only
-    * the single BOUNDARY bucket (~1/256 of the corpus) pays a windowed
-    * running sum. Because md5 order = (bucket, rest) lexicographic order,
-    * the two phases compose to exactly the global running-sum semantics —
-    * the oracle checks against the one-window formulation. */
+    * but the PLAN is two-phase: (1) one aggregation over 65,536
+    * hash-prefix buckets gives the cutoff bucket on the driver (64k
+    * longs — still trivially driver-sized); every bucket wholly under
+    * budget passes with a map-only filter; (2) only the single BOUNDARY
+    * bucket (~1/65,536 of the corpus — ~1.5 GB at 100 TB, one sane task,
+    * where a 2-hex-char bucket would push ~400 GB through one core) pays
+    * a windowed running sum. Because md5 order = (bucket, rest)
+    * lexicographic order, the two phases compose to exactly the global
+    * running-sum semantics regardless of the prefix width — the oracle
+    * checks against the one-window formulation, and SampleSpec asserts
+    * identity with the 2-hex phase split on the same seed. */
   def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
-      budget: Long, seed: String = "graft"): DataFrame = {
+      budget: Long, seed: String = "graft"): DataFrame =
+    tokenBudgetSampleWithPrefix(df, idCol, textCol, budget, seed, prefixLen = 4)
+
+  /** [[tokenBudgetSample]] with an explicit bucket-prefix width — the
+    * phase split is semantics-preserving for ANY width (md5 order =
+    * (prefix, rest) lexicographic order), which SampleSpec asserts by
+    * comparing widths on the same seed. */
+  private[ops] def tokenBudgetSampleWithPrefix(df: DataFrame, idCol: String,
+      textCol: String, budget: Long, seed: String, prefixLen: Int): DataFrame = {
     require(budget >= 0, "token budget must be >= 0")
     val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val bucket = substring(key, 1, 2)
+    val bucket = substring(key, 1, prefixLen)
     val toks = size(split(col(textCol), " ")).cast("long")
     val perBucket = df
       .groupBy(bucket.as("__b")).agg(sum(toks).as("__t"))

@@ -74,6 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.eval(null) match {
         case d: Double => d
         case f: Float => f.toDouble
+        // unsuffixed SQL literals like 0.0078125 parse as DecimalType, and
+        // Spark's Decimal is not a java.lang.Number
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case n: Number => n.doubleValue()
         case other => throw new IllegalArgumentException(
           s"$fn: $arg must be numeric, got $other")

@@ -99,7 +99,16 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
       // from the tag. Tags pin their manifest, so this never expires
       // under the consumer (unlike a bare version number).
       val tagged = CollectionMeta.readRefs(path).get(s)
-      val v = tagged.map(_ + 1).getOrElse(s.toLong)
+      // the constructor validated s against refs.json, but the tag may
+      // have been dropped between stream definition and first start —
+      // keep the descriptive error rather than a raw NumberFormatException
+      val v = tagged.map(_ + 1).getOrElse {
+        if (!s.forall(_.isDigit)) throw new IllegalArgumentException(
+          s"hadro.startingVersion must be a version number, 'latest', or " +
+            s"a tag name, got '$s' (tags: " +
+            s"${CollectionMeta.readRefs(path).keys.toSeq.sorted.mkString(", ")})")
+        s.toLong
+      }
       // versions start at 1, so v <= 1 is the start of the log by
       // definition; only v >= 2 needs v-1 to still be retained
       if (v <= 1L) HadroOffset(0L, CollectionMeta.currentManifest(path).generation)

@@ -108,6 +108,15 @@ class OpsSpec extends SparkSuite {
     val again = SampleOps.tokenBudgetSample(docs.repartition(7), "doc_id", "text", budget)
       .select($"doc_id").as[Long].collect().toSet
     assert(again == kept.select($"doc_id").as[Long].collect().toSet)
+    // the bucket-prefix width is a pure PLAN choice: the 4-hex split (the
+    // production width — ~1/65,536 of the corpus through the boundary
+    // window task) selects exactly the rows the 2-hex split does on the
+    // same seed, because md5 order = (prefix, rest) lex order at any width
+    val twoHex = SampleOps.tokenBudgetSampleWithPrefix(
+        docs, "doc_id", "text", budget, "graft", prefixLen = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(twoHex == kept.select($"doc_id").as[Long].collect().toSet,
+      "prefix width must not change token-budget semantics")
   }
 
   test("source cap bounds every source and passes small sources through") {
