@@ -409,6 +409,16 @@ object MultimodalOps {
     }
   }
 
+  /** The gear table's low 4 bits as a SQL array literal — all an external
+    * engine needs to replay maskBits<=4 boundary decisions: the boundary
+    * test `(h & mask) == 0` with `h = (h << 1) + Gear(b)` only ever reads
+    * the low `maskBits` bits of the last `maskBits` gear values (terms
+    * shifted left by >= maskBits contribute nothing mod 2^maskBits, and
+    * addition carries propagate upward only). This is what makes the m11
+    * DuckDB oracle possible without per-byte 64-bit arithmetic. */
+  private[graft] def gearLow4Literal: String =
+    Gear.map(g => (g & 15L).toString).mkString("[", ",", "]")
+
   /** Content-defined chunks of a byte payload (gear rolling hash, the
     * FastCDC shape): a boundary falls wherever the rolling hash masks to
     * zero past `minSize` bytes — so boundaries are determined by CONTENT,

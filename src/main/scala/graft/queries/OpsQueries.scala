@@ -2894,9 +2894,20 @@ object OpsQueries {
     // copies (7 bytes injected near the start) still pair — the edit class
     // fixed-frame fingerprints (m10) structurally miss (OpsSpec asserts
     // the contrast). Per-byte rolling state → mapPartitions; everything
-    // after is the same df-capped inverted-index shape. No SQL oracle (a
-    // per-byte rolling hash has no DuckDB replay) — rows-only check; the
-    // planted-recall and determinism contracts live in OpsSpec.
+    // after is the same df-capped inverted-index shape.
+    //
+    // The DuckDB oracle replays the chunking EXACTLY, no per-byte 64-bit
+    // state needed, via two observations: (1) the boundary test
+    // `(h & 15) == 0` with `h = (h << 1) + Gear(b)` depends only on the
+    // low 4 bits of the LAST FOUR gear values (higher shifts vanish mod
+    // 16; addition carries only propagate upward) — so a window lag over
+    // a 256-entry low-bits literal computes every position's mask-zero
+    // flag, valid wherever a boundary is legal (minSize=16 > 4 keeps the
+    // window full); (2) the minSize constraint is a greedy "next
+    // candidate >= previous + 16" selection, which a recursive CTE steps
+    // boundary-to-boundary (iterations = chunks per doc, not bytes).
+    // Chunk identity is the literal substring (the engine's FNV-1a names
+    // the same bytes; text is ASCII so byte == char positions).
     QueryDef(
       "m11_cdc_chunk_dedup",
       (s, dir) => {
@@ -2910,7 +2921,56 @@ object OpsQueries {
             minSize = 16, maskBits = 4, minShared = 2)
           .orderBy("a", "b")
       },
-      None),
+      Some(s"""WITH RECURSIVE vids AS (
+          SELECT doc_id AS media_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000,
+            substr(text, 1, 20) || 'XXSPLIC' || substr(text, 21, 100000)
+          FROM documents WHERE doc_id % 10 = 0),
+        chars AS (
+          SELECT media_id, i,
+            CAST(${graft.ops.MultimodalOps.gearLow4Literal} AS INT[])
+              [ascii(substr(text, CAST(i AS INT), 1)) + 1] AS gv
+          FROM vids, unnest(generate_series(1, length(text))) AS t(i)),
+        cand AS (
+          SELECT media_id, i FROM (
+            SELECT media_id, i,
+              (gv + 2 * lag(gv, 1) OVER w + 4 * lag(gv, 2) OVER w
+                  + 8 * lag(gv, 3) OVER w) % 16 = 0 AS isz
+            FROM chars WINDOW w AS (PARTITION BY media_id ORDER BY i))
+          WHERE isz AND i >= 16),
+        b(media_id, e) AS (
+          SELECT media_id, MIN(i) FROM cand GROUP BY media_id
+          UNION ALL
+          SELECT b.media_id, MIN(c.i)
+          FROM b JOIN cand c ON c.media_id = b.media_id AND c.i >= b.e + 16
+          GROUP BY b.media_id),
+        ends AS (
+          SELECT v.media_id, v.text, list_sort(COALESCE(list(b.e), [])) AS bs
+          FROM vids v LEFT JOIN b ON b.media_id = v.media_id
+          GROUP BY v.media_id, v.text),
+        ends2 AS (
+          SELECT media_id, text,
+            CASE WHEN len(bs) = 0 OR bs[-1] < length(text)
+                 THEN list_append(bs, CAST(length(text) AS BIGINT)) ELSE bs
+            END AS es
+          FROM ends),
+        chunks AS (
+          SELECT DISTINCT media_id,
+            unnest(list_transform(generate_series(1, len(es)), k ->
+              substr(text,
+                CAST((CASE WHEN k = 1 THEN 0
+                      ELSE es[CAST(k AS INT) - 1] END) + 1 AS INT),
+                CAST(es[CAST(k AS INT)]
+                  - (CASE WHEN k = 1 THEN 0
+                     ELSE es[CAST(k AS INT) - 1] END) AS INT)))) AS chunk
+          FROM ends2),
+        rare AS (SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(*) <= 32),
+        cc AS (SELECT c.* FROM chunks c JOIN rare USING (chunk))
+        SELECT x.media_id AS a, y.media_id AS b, COUNT(*) AS shared
+        FROM cc x JOIN cc y ON x.chunk = y.chunk AND x.media_id < y.media_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ORDER BY a, b""")),
 
     // ---------------------------------------------------------------- st01
     // Structured Streaming: hourly windowed counts over the events stream
