@@ -639,6 +639,55 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** DELETE-AWARE re-validation of index hits. ANN index sidecars are
+    * decoupled from the base collection, so a base-table DELETE
+    * (tombstone or deletion vector) never rewrites the index — a stale
+    * hit list can return vectors whose rows are gone. This re-validates
+    * a bounded candidate pool against the CURRENT base collection at
+    * query time: the pool's ids (a top-`pool` frame, never the corpus —
+    * same bounded-collect contract as [[mmrTopK]]) push down as an IN
+    * filter on the base key column, where the hadro scan's key bloom and
+    * segment min/max stats prune to only the touched segments, and the
+    * scan itself already skips tombstoned and dv-deleted rows. So the
+    * cost is O(candidates) index-assisted point reads — no index
+    * rewrite, no full base scan, works unchanged at 100 TB.
+    *
+    * Returns the top `k` LIVE hits by the `cosine` column. Size the pool
+    * with slack for expected delete churn: a result shorter than `k`
+    * means more than `pool - k` of the pool was deleted — re-query with
+    * a larger pool (or rebuild the index if churn is structural). */
+  def liveTopK(candidates: DataFrame, base: graft.api.Collection,
+      baseKeyCol: String, idCol: String, k: Int): DataFrame = {
+    val ids = candidates.select(col(idCol)).collect().map(_.get(0)).toSeq
+    // toDF(), not scan(): keyed tombstone deletes resolve in the LWW
+    // view (the raw scan still carries the pre-delete record from its
+    // original segment). The IN predicate is on the LWW window's own
+    // partitioning key, so Catalyst pushes it beneath the window into
+    // the scan — pruning is preserved. DV/CoW deletes are already gone
+    // at scan level either way.
+    val live = base.toDF()
+      .filter(col(baseKeyCol).isin(ids: _*))
+      .select(col(baseKeyCol).as(idCol))
+    candidates.join(broadcast(live), Seq(idCol), "left_semi")
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[sqTopK]] that excludes rows DELETED from `base` since the index
+    * was built or last refreshed: coarse top-`pool` over the compressed
+    * codes (unchanged map-only scan), then [[liveTopK]] re-validation.
+    * `pool` defaults to `max(4k, k + 16)` — enough slack that typical
+    * churn still yields k live hits. The radius twin needs no wrapper:
+    * [[sqRadiusSearch]] exact-verifies against the caller's corpus
+    * frame, so passing the live collection scan (`base.toDF()`) already
+    * excludes deleted rows there. */
+  def sqTopKLive(index: graft.api.Collection, base: graft.api.Collection,
+      baseKeyCol: String, idCol: String, query: Seq[Float], k: Int,
+      pool: Int = 0): DataFrame = {
+    val p = if (pool > 0) pool else math.max(4 * k, k + 16)
+    liveTopK(sqTopK(index, idCol, query, p), base, baseKeyCol, idCol, k)
+  }
+
   // --------------------------------------------------------- radius search
 
   /** RADIUS (range) search: every corpus vector with cosine ≥ `minCosine`

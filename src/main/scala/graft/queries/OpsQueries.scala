@@ -1108,6 +1108,62 @@ object OpsQueries {
         WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) >= 0.2
         ORDER BY q.qid, e.vec_id""")),
 
+    // ---------------------------------------------------------------- s22
+    // DELETE-AWARE ANN: the index sidecar is decoupled from the base
+    // collection, so a base-table DELETE never rewrites it — liveTopK
+    // re-validates the bounded candidate pool against the live LWW view
+    // (IN-pushdown on the key column → key-bloom/segment pruning →
+    // O(candidates) reads), so deleted vectors vanish from topK with no
+    // index rebuild. Here the query vector's own row and a second
+    // neighbor are deleted AFTER the index is built; the oracle replays
+    // the coarse sq8 ranking over ALL indexed vectors (the index still
+    // holds the deleted codes), then drops the deleted ids from the
+    // pool — exactly the operator's semantics.
+    QueryDef(
+      "s22_delete_aware_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 7L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = graft.api.Collection.create(s,
+          s"/tmp/graft_collections/$tag/s22_base",
+          e.select(col("vec_id"), col("embedding")), key = Some("vec_id"))
+        val idx = SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s22_index",
+          base.toDF(), "vec_id", "embedding")
+        base.delete(7L)
+        base.delete(107L)
+        SimilarityOps.sqTopKLive(idx, base, "vec_id", "vec_id", q, k = 5)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        bounds AS (
+          SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS minv,
+                 CAST(MAX(list_max(embedding)) AS DOUBLE) AS maxv
+          FROM embeddings),
+        params AS (SELECT minv, (maxv - minv) / 256 AS scale FROM bounds),
+        decoded AS (
+          SELECT e.vec_id,
+            list_transform(CAST(e.embedding AS DOUBLE[]), x ->
+              p.minv + (LEAST(GREATEST(floor((x - p.minv) / p.scale),
+                0), 255) + 0.5) * p.scale) AS dv
+          FROM embeddings e, params p),
+        pool AS (
+          SELECT vec_id, cos FROM (
+            SELECT d.vec_id, list_cosine_similarity(d.dv, q.qv) AS cos,
+              ROW_NUMBER() OVER (ORDER BY list_cosine_similarity(d.dv, q.qv)
+                DESC, d.vec_id) AS prk
+            FROM decoded d, q)
+          WHERE prk <= 20),
+        live AS (
+          SELECT vec_id, cos FROM pool WHERE vec_id NOT IN (7, 107)
+          ORDER BY cos DESC, vec_id LIMIT 5)
+        SELECT vec_id, ROUND(cos, 4) AS cosine FROM live
+        ORDER BY vec_id""")),
+
     // ---------------------------------------------------------------- s16
     // MATRYOSHKA two-stage search: coarse rank on the first 16 of 64
     // dimensions (quarter the flops/bytes; with the prefix stored as its

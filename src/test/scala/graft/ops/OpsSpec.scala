@@ -906,6 +906,35 @@ class OpsSpec extends SparkSuite {
     assert(top.head.getLong(0) == 7L, s"expected vec 7 first, got ${top.head}")
   }
 
+  test("delete-aware ANN: base-table deletes vanish from topK, live ranking exact") {
+    val base = embs.select($"vec_id", $"embedding")
+    val root = java.nio.file.Files.createTempDirectory("liveann")
+    val coll = graft.api.Collection.create(spark,
+      root.resolve("base").toString, base, key = Some("vec_id"))
+    val idx = SimilarityOps.buildSqIndex(spark, root.resolve("idx").toString,
+      coll.toDF(), "vec_id", "embedding")
+    val q = base.filter($"vec_id" === 7L).select($"embedding").head().getSeq[Float](0)
+    // vec 7 is its own nearest neighbor: the stale index must return it...
+    val stale = SimilarityOps.sqTopK(idx, "vec_id", q, 5)
+      .select($"vec_id").as[Long].collect()
+    assert(stale.head == 7L)
+    // ...until the BASE row is deleted — no index rebuild, no refresh
+    coll.delete(7L)
+    val live = SimilarityOps.sqTopKLive(idx, coll, "vec_id", "vec_id", q, 5)
+      .select($"vec_id").as[Long].collect()
+    assert(!live.contains(7L), s"deleted vec 7 still served: ${live.toSeq}")
+    assert(live.length == 5, s"pool slack must still yield k live hits: ${live.toSeq}")
+    // the live ranking is exactly the stale ranking minus the deleted row
+    assert(live.toSeq == stale.filterNot(_ == 7L).toSeq :+ SimilarityOps
+      .sqTopK(idx, "vec_id", q, 6).select($"vec_id").as[Long].collect()(5),
+      "live topK must be the stale order with deleted rows dropped")
+    // a second delete deeper in the pool is excluded the same way
+    coll.delete(live.head)
+    val live2 = SimilarityOps.sqTopKLive(idx, coll, "vec_id", "vec_id", q, 5)
+      .select($"vec_id").as[Long].collect()
+    assert(!live2.contains(7L) && !live2.contains(live.head) && live2.length == 5)
+  }
+
   test("radius search: exact matches brute-force threshold; sq two-stage loses nothing") {
     val base = embs.select($"vec_id", $"embedding")
     val q = base.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
