@@ -410,7 +410,8 @@ final class Collection private (spark: SparkSession, val path: String) {
       org.apache.spark.sql.types.StructType(meta.schema.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true,
           metadata = metadata)),
-      meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress)
+      meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress,
+      meta.partitionBy, meta.partitionTransform)
   }
 
   /** Column RENAME: pure metadata — record decode is positional, so the
@@ -444,7 +445,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,
         meta.schema.fields(ord).copy(name = newName))),
       meta.keyField.map(ren), meta.bucketBy.map(renList), meta.numBuckets,
-      meta.compress)
+      meta.compress, meta.partitionBy.map(ren), meta.partitionTransform)
   }
 
   /** Column type WIDENING: metadata-only `ALTER COLUMN ... TYPE` for the
@@ -493,7 +494,8 @@ final class Collection private (spark: SparkSession, val path: String) {
     CollectionMeta.writeSchema(dir,
       org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,
         meta.schema.fields(ord).copy(dataType = newType))),
-      meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress)
+      meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress,
+      meta.partitionBy, meta.partitionTransform)
   }
 
   /** Column DROP: metadata-only — the field stays in the PHYSICAL schema
@@ -518,6 +520,8 @@ final class Collection private (spark: SparkSession, val path: String) {
     require(!meta.keyField.contains(name), s"cannot drop the key column '$name'")
     require(!meta.bucketBy.exists(_.split(",").contains(name)),
       s"cannot drop bucket column '$name'")
+    require(!meta.partitionBy.contains(name),
+      s"cannot drop partition column '$name'")
     val manifest = CollectionMeta.currentManifest(dir)
     manifest.indexes.collectFirst { case (n, fs) if fs.contains(name) => n }
       .foreach(n => throw new IllegalArgumentException(
@@ -530,7 +534,8 @@ final class Collection private (spark: SparkSession, val path: String) {
         org.apache.spark.sql.types.StructField(
           s"${CollectionMeta.DroppedPrefix}$ord",
           meta.schema.fields(ord).dataType, nullable = true))),
-      meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress)
+      meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress,
+      meta.partitionBy, meta.partitionTransform)
   }
 
   /** Rewind the collection to a retained version (Delta RESTORE / Iceberg
@@ -660,7 +665,8 @@ final class Collection private (spark: SparkSession, val path: String) {
     val meta = CollectionMeta.readSchema(dir).getOrElse(
       throw new IllegalStateException(s"hadro: no collection at $dir"))
     CollectionMeta.writeSchema(dst, meta.schema, meta.keyField,
-      meta.bucketBy, meta.numBuckets, meta.compress)
+      meta.bucketBy, meta.numBuckets, meta.compress,
+      meta.partitionBy, meta.partitionTransform)
     val files = m.segments.flatMap(_.allFiles)
     files.foreach { f =>
       val srcF = dir.resolve(f)
@@ -753,6 +759,11 @@ final class Collection private (spark: SparkSession, val path: String) {
     require(stagedMeta.compress == targetMeta.compress,
       s"hadro: publish requires matching compression — staged " +
         s"${stagedMeta.compress} vs target ${targetMeta.compress}")
+    require(stagedMeta.partitionBy == targetMeta.partitionBy &&
+        stagedMeta.partitionTransform == targetMeta.partitionTransform,
+      s"hadro: publish requires matching partitioning — staged " +
+        s"${stagedMeta.partitionTransform}(${stagedMeta.partitionBy}) vs " +
+        s"target ${targetMeta.partitionTransform}(${targetMeta.partitionBy})")
     // The target's CHECK constraints gate the publish too: a stage built
     // without them (or whose constraints drifted) must not smuggle
     // violating rows past enforcement. One audit scan, CHECK semantics.

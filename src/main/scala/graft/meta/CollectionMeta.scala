@@ -80,6 +80,12 @@ final case class SegmentInfo(
     offsetIndex: Option[String] = None,
     nFields: Option[Int] = None,
     bucket: Option[Int] = None,
+    // Declared-partitioning tag: the transform VALUE every row of this
+    // segment shares (e.g. "20310" for days(ts)). Layout metadata for
+    // observability and partition-aware maintenance — pruning itself
+    // rides the per-segment min/max stats on the source column, which
+    // the per-value routing makes one-partition tight.
+    partition: Option[String] = None,
     // Deletion vector (merge-on-read row-level delete for non-keyed
     // collections): sidecar bitmap of physically-deleted in-segment row
     // indices + its cardinality. Immutable per manifest version — a later
@@ -198,9 +204,18 @@ object CollectionMeta {
     * creation — every writer (batch, delta, streaming, CoW rewrite)
     * consults it, so compressed and plain segments never mix by accident
     * (records stay self-describing via the flag bit regardless). */
+  /** `partitionBy`/`partitionTransform`: declared value partitioning (e.g.
+    * SQL `PARTITIONED BY (days(ts))` or `PARTITIONED BY (region)`) — every
+    * write routes rows to one segment per transform VALUE it sees, so the
+    * existing per-segment min/max stats on the source column become
+    * one-partition tight and range filters prune whole partitions at
+    * planning time. Transform names: identity, years, months, days,
+    * hours. Mutually exclusive with bucketing. */
   final case class SchemaMeta(schema: StructType, keyField: Option[String],
       bucketBy: Option[String] = None, numBuckets: Option[Int] = None,
-      compress: Option[String] = None)
+      compress: Option[String] = None,
+      partitionBy: Option[String] = None,
+      partitionTransform: Option[String] = None)
 
   /** DROPPED-column marker: the stored schema is the PHYSICAL layout — a
     * dropped column's field stays in it under this reserved name (record
@@ -257,14 +272,18 @@ object CollectionMeta {
 
   def writeSchema(collection: Path, schema: StructType, keyField: Option[String],
       bucketBy: Option[String] = None, numBuckets: Option[Int] = None,
-      compress: Option[String] = None): Unit = {
+      compress: Option[String] = None,
+      partitionBy: Option[String] = None,
+      partitionTransform: Option[String] = None): Unit = {
     Files.createDirectories(metaDir(collection))
     val json = Serialization.write(Map(
       "sparkSchema" -> JsonMethods.parse(schema.json),
       "keyField" -> keyField,
       "bucketBy" -> bucketBy,
       "numBuckets" -> numBuckets,
-      "compress" -> compress))
+      "compress" -> compress,
+      "partitionBy" -> partitionBy,
+      "partitionTransform" -> partitionTransform))
     val tmp = metaDir(collection).resolve(s"schema.json.tmp${System.nanoTime()}")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, schemaFile(collection), StandardCopyOption.ATOMIC_MOVE,
@@ -293,7 +312,15 @@ object CollectionMeta {
         case JString(s) => Some(s)
         case _ => None
       }
-      Some(SchemaMeta(schema, key, bBy, bN, comp))
+      val pBy = (root \ "partitionBy") match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      val pTr = (root \ "partitionTransform") match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      Some(SchemaMeta(schema, key, bBy, bN, comp, pBy, pTr))
     }
   }
 

@@ -1833,6 +1833,49 @@ object StorageQueries {
           ORDER BY doc_id""")
       },
       Some("""SELECT doc_id, text, lang, source FROM documents
-        WHERE NOT (doc_id % 9 = 4) ORDER BY doc_id"""))
+        WHERE NOT (doc_id % 9 = 4) ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- h65
+    // Declarative time partitioning: PARTITIONED BY (days(ts)) routes
+    // every write to one segment per day (the catalog INSERT clusters by
+    // the transform — a month of events lands in ~30 day-segments, not
+    // tasks x 30), and the per-segment ts min/max stats become
+    // one-day tight, so the 3-day range scan below plans only 3 of ~30
+    // segments through the existing stats skipper (PartitionSpec asserts
+    // the hadroSegmentsPruned metric; this query proves the answers).
+    // The 100 TB event-log layout: partition pruning IS stats pruning
+    // once the layout guarantees value-disjoint segments.
+    QueryDef(
+      "h65_days_partition_prune",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h65"
+        s.conf.set("spark.sql.catalog.graft_h65", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h65.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h65.db")
+        s.sql("DROP TABLE IF EXISTS graft_h65.db.events")
+        s.sql("""CREATE TABLE graft_h65.db.events
+          (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+           value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("h65_src")
+        s.sql("INSERT INTO graft_h65.db.events SELECT * FROM h65_src")
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h65.db.events
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+            AND ts < TIMESTAMP '2024-01-13 00:00:00'
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -137,14 +137,23 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    // The one declarable layout is storage bucketing:
+    // Two declarable layouts:
     //   CREATE TABLE t (...) USING hadro PARTITIONED BY (bucket(8, k))
-    // Every write then routes rows to per-bucket segments and scans report
-    // KeyGroupedPartitioning (storage-partitioned joins). Hive-style value
-    // partitions stay rejected — collections cluster by write order and
-    // prune by manifest stats instead.
-    val bucketSpec: Option[(Seq[String], Int)] = partitions.toSeq match {
-      case Seq() => None
+    //     — storage bucketing: writes route rows to per-bucket segments
+    //       and scans report KeyGroupedPartitioning (storage-partitioned
+    //       joins).
+    //   CREATE TABLE t (...) USING hadro PARTITIONED BY (days(ts))
+    //     — value partitioning (identity/years/months/days/hours): writes
+    //       route rows to one segment per transform VALUE, so segment
+    //       min/max stats on the source column become one-partition tight
+    //       and the stats skipper prunes time-range scans to exactly the
+    //       matching partitions. The 100 TB event-log layout.
+    // Multi-transform specs stay rejected — one declared dimension;
+    // further clustering comes from write order + cluster().
+    var bucketSpec: Option[(Seq[String], Int)] = None
+    var partitionSpec: Option[(String, String)] = None // (col, transform)
+    partitions.toSeq match {
+      case Seq() => ()
       case Seq(t) if t.name() == "bucket" =>
         val cols = t.references().flatMap(_.fieldNames()).toSeq
         val n = t.arguments().collectFirst {
@@ -163,9 +172,16 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               s"hadro: bucketBy supports long/int/string columns, '$c' is ${dt.simpleString}")
           }
         }
-        Some((cols, n.get))
+        bucketSpec = Some((cols, n.get))
+      case Seq(t) if HadroPartition.Transforms.contains(t.name()) =>
+        val cols = t.references().flatMap(_.fieldNames()).toSeq
+        require(cols.length == 1,
+          s"hadro: ${t.name()} partition transform takes one column, got $t")
+        HadroPartition.validate(schema, cols.head, t.name())
+        partitionSpec = Some((cols.head, t.name()))
       case _ => throw new IllegalArgumentException(
-        "hadro: only a single bucket(<n>, <col>...) transform is supported; " +
+        "hadro: PARTITIONED BY supports a single bucket(<n>, <col>...), " +
+          "identity (<col>), or years/months/days/hours(<ts>) transform; " +
           "tables otherwise cluster by write partitioning")
     }
     val dir = tableDir(ident)
@@ -192,7 +208,8 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       HadroWriteInit.bindConstraint(schema, n, text)
     }
     CollectionMeta.writeSchema(dir, schema, key,
-      bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2), compress)
+      bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2), compress,
+      partitionSpec.map(_._1), partitionSpec.map(_._2))
     if (constraintProps.nonEmpty)
       CollectionMeta.writeConstraints(dir, constraintProps.toMap)
     new HadroTable(dir,
@@ -317,18 +334,27 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   // ---------------------------------------------------------- functions
-  // FunctionCatalog exists for ONE reason: scans of bucketed collections
-  // report `bucket(n, col)` KeyGroupedPartitioning, and Spark resolves
-  // that transform against the relation's function catalog — without this,
-  // the reported partitioning is silently dropped and storage-partitioned
-  // joins never engage.
+  // FunctionCatalog exists for TWO reasons: (1) scans of bucketed
+  // collections report `bucket(n, col)` KeyGroupedPartitioning, and Spark
+  // resolves that transform against the relation's function catalog —
+  // without this, the reported partitioning is silently dropped and
+  // storage-partitioned joins never engage; (2) writes into a
+  // time-partitioned table require a distribution clustered by the
+  // declared transform (`days(ts)`), which the planner likewise resolves
+  // here before it can plan the shuffle.
+
+  private val timeTransforms = Seq("years", "months", "days", "hours")
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty[String], "bucket"))
+    ("bucket" +: timeTransforms)
+      .map(n => Identifier.of(Array.empty[String], n)).toArray
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket") && ident.namespace().isEmpty)
       HadroBucketFunction
+    else if (ident.namespace().isEmpty &&
+        timeTransforms.contains(ident.name().toLowerCase))
+      new HadroTimeTransformFunction(ident.name().toLowerCase)
     else throw new NoSuchFunctionException(ident)
 
   // --------------------------------------------------------- procedures

@@ -119,7 +119,12 @@ final class HadroTable(path: Path, dataSchema: StructType,
       (m.bucketBy, m.numBuckets) match {
         case (Some(c), Some(n)) =>
           Array(Expressions.bucket(n, c.split(","): _*))
-        case _ => Array.empty[Transform]
+        case _ => (m.partitionBy, m.partitionTransform) match {
+          case (Some(c), Some("identity")) => Array(Expressions.identity(c))
+          case (Some(c), Some(t)) => Array(Expressions.apply(t,
+            Expressions.column(c)): Transform)
+          case _ => Array.empty[Transform]
+        }
       }
     }
   override def capabilities(): java.util.Set[TableCapability] =

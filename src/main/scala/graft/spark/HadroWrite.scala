@@ -142,12 +142,28 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
         for { c <- m.bucketBy; n <- m.numBuckets }
           yield (c.split(",").toSeq, n)))
 
+    // Declared value partitioning (PARTITIONED BY (days(ts)) / identity):
+    // catalog INSERTs cluster the input by the transform so a task
+    // normally sees ONE partition value — a month's backfill produces
+    // ~30 day-segments instead of tasks×30. Resolution of the time
+    // transforms rides the same FunctionCatalog the bucket path uses.
+    private def declaredPartitionSpec: Option[(String, String)] =
+      CollectionMeta.readSchema(path).flatMap(m =>
+        for { c <- m.partitionBy; t <- m.partitionTransform } yield (c, t))
+
     override def requiredDistribution(): Distribution =
       if (viaCatalog)
         declaredOrExplicitSpec match {
           case Some((cs, n)) =>
             Distributions.clustered(Array(Expressions.bucket(n, cs: _*)))
-          case None => Distributions.unspecified()
+          case None => declaredPartitionSpec match {
+            case Some((c, "identity")) =>
+              Distributions.clustered(Array(Expressions.identity(c)))
+            case Some((c, t)) =>
+              Distributions.clustered(Array(
+                Expressions.apply(t, Expressions.column(c))))
+            case None => Distributions.unspecified()
+          }
         }
       else Distributions.unspecified()
 
@@ -283,6 +299,16 @@ private[graft] object HadroWriteInit {
     CollectionMeta.readConstraints(path).toSeq.sortBy(_._1)
       .map { case (n, text) => n -> bindConstraint(stored, n, text) }
 
+  /** Resolve the declared partition transform (if any) against the
+    * stored schema: (source ordinal, transform name). */
+  def partitionOrdSpec(meta: CollectionMeta.SchemaMeta,
+      storedSchema: StructType): Option[(Int, String)] =
+    for { c <- meta.partitionBy; t <- meta.partitionTransform } yield {
+      val ord = storedSchema.fieldNames.indexOf(c)
+      require(ord >= 0, s"hadro: partition column '$c' not in collection schema")
+      (ord, t)
+    }
+
   /** Resolve + type-check bucket columns against the stored schema. */
   def bucketOrdinals(storedSchema: StructType, cols: Seq[String]): Seq[Int] =
     cols.map { c =>
@@ -351,13 +377,19 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       (HadroWriteInit.bucketOrdinals(storedSchema, cs), n)
     }
 
+  // Declared value partitioning: every write path consults the schema
+  // spec (like compression), so plain appends keep the layout.
+  private val partitionOrdSpec: Option[(Int, String)] =
+    HadroWriteInit.partitionOrdSpec(storedMeta, storedSchema)
+
   // CHECK constraints, analyzed + bound on the driver once per write job
   private val constraints = HadroWriteInit.resolvedConstraints(path, storedSchema)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
-      offsetIndex, deleteCol, maxSegmentBytes, bucketOrdSpec, constraints)
+      offsetIndex, deleteCol, maxSegmentBytes, bucketOrdSpec, constraints,
+      partitionOrdSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage => m.infos }
@@ -565,13 +597,16 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     n <- storedMeta.numBuckets
   } yield (HadroWriteInit.bucketOrdinals(storedSchema, c.split(",").toSeq), n)
 
+  private val partitionOrdSpec: Option[(Int, String)] =
+    HadroWriteInit.partitionOrdSpec(storedMeta, storedSchema)
+
   private val constraints = HadroWriteInit.resolvedConstraints(path, storedSchema)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new HadroStreamingWriterFactory(path.toString, storedSchema, schema, consistency,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
-      offsetIndex, deleteCol, bucketOrdSpec, constraints)
+      offsetIndex, deleteCol, bucketOrdSpec, constraints, partitionOrdSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage => m.infos }
@@ -615,14 +650,15 @@ final class HadroStreamingWriterFactory(path: String, storedSchema: StructType,
     indexOrdinals: Map[String, Seq[Int]], offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
     bucketSpec: Option[(Seq[Int], Int)] = None,
-    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    partitionSpec: Option[(Int, String)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
       tombstone = false, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals,
-      offsetIndex, deleteCol, 0L, bucketSpec, constraints)
+      offsetIndex, deleteCol, 0L, bucketSpec, constraints, partitionSpec)
 }
 
 final class HadroWriterFactory(path: String, storedSchema: StructType,
@@ -633,13 +669,14 @@ final class HadroWriterFactory(path: String, storedSchema: StructType,
     deleteCol: Option[String] = None,
     maxSegmentBytes: Long = 0L,
     bucketSpec: Option[(Seq[Int], Int)] = None,
-    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    partitionSpec: Option[(Int, String)] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
       tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals, offsetIndex,
-      deleteCol, maxSegmentBytes, bucketSpec, constraints)
+      deleteCol, maxSegmentBytes, bucketSpec, constraints, partitionSpec)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -660,7 +697,8 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     deleteCol: Option[String] = None,
     maxSegmentBytes: Long = 0L,
     bucketSpec: Option[(Seq[Int], Int)] = None,
-    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    partitionSpec: Option[(Int, String)] = None)
     extends DataWriter[InternalRow] {
 
   // CHECK enforcement (SQL semantics: NULL passes, FALSE fails): a
@@ -698,6 +736,13 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
   // so a task normally sees one bucket; without it this degrades to at
   // most `numBuckets` open writers, never incorrectness.
   private val bucketWriters = scala.collection.mutable.Map.empty[Int, SegmentWriter]
+
+  // Declared value partitioning: one open segment PER TRANSFORM VALUE
+  // this task sees. Catalog INSERTs cluster the input by the transform
+  // (write builder distribution), so a task normally sees one value;
+  // without that clustering this degrades to one writer per distinct
+  // value in the task's slice — more segments, never incorrectness.
+  private val partitionWriters = scala.collection.mutable.Map.empty[String, SegmentWriter]
 
   /** pmod(xxhash64(col1, col2, ...), n) — EXACTLY Spark's `xxhash64`
     * (seed 42, left-to-right seed chaining, null arguments skipped) so
@@ -771,12 +816,22 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
           finished += w.close().copy(bucket = Some(b))
           bucketWriters(b) = newWriter()
         }
-      case None =>
-        writer.append(out, deleted = deleted)
-        if (maxSegmentBytes > 0 && writer.bytes >= maxSegmentBytes) {
-          finished += writer.close()
-          writer = newWriter()
-        }
+      case None => partitionSpec match {
+        case Some((ord, transform)) =>
+          val tag = HadroPartition.tagOf(storedSchema(ord).dataType, out, ord, transform)
+          val w = partitionWriters.getOrElseUpdate(tag, newWriter())
+          w.append(out, deleted = deleted)
+          if (maxSegmentBytes > 0 && w.bytes >= maxSegmentBytes) {
+            finished += w.close().copy(partition = Some(tag))
+            partitionWriters(tag) = newWriter()
+          }
+        case None =>
+          writer.append(out, deleted = deleted)
+          if (maxSegmentBytes > 0 && writer.bytes >= maxSegmentBytes) {
+            finished += writer.close()
+            writer = newWriter()
+          }
+      }
     }
   }
 
@@ -785,9 +840,11 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
 
   override def currentMetricsValues(): Array[
       org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
-    val openBytes = writer.bytes + bucketWriters.values.map(_.bytes).sum
+    val openBytes = writer.bytes + bucketWriters.values.map(_.bytes).sum +
+      partitionWriters.values.map(_.bytes).sum
     val openSegs = (if (writer.rowCount > 0) 1 else 0) +
-      bucketWriters.values.count(_.rowCount > 0)
+      bucketWriters.values.count(_.rowCount > 0) +
+      partitionWriters.values.count(_.rowCount > 0)
     Array(
       HadroScan.taskMetric("hadroRowsWritten", rowsWritten),
       HadroScan.taskMetric("hadroBytesWritten",
@@ -801,6 +858,10 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
       if (w.rowCount > 0) finished += w.close().copy(bucket = Some(b))
       else w.abort()
     }
+    partitionWriters.toSeq.sortBy(_._1).foreach { case (tag, w) =>
+      if (w.rowCount > 0) finished += w.close().copy(partition = Some(tag))
+      else w.abort()
+    }
     // a trailing writer that saw no rows leaves no file behind
     if (writer.rowCount > 0 || finished.isEmpty) finished += writer.close()
     else writer.abort()
@@ -810,6 +871,7 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
   override def abort(): Unit = {
     writer.abort()
     bucketWriters.values.foreach(_.abort())
+    partitionWriters.values.foreach(_.abort())
     finished.flatMap(_.allFiles)
       .foreach(f => Files.deleteIfExists(dir.resolve(f)))
   }

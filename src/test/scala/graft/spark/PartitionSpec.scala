@@ -1,0 +1,154 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** Declared value partitioning (`PARTITIONED BY (days(ts))` / identity):
+  * writes must route rows to one segment per transform value, the
+  * catalog INSERT must cluster the input so a day lands in one segment,
+  * and a time-range filter must prune to exactly the matching
+  * partitions through the existing stats skipper — the 100 TB event-log
+  * layout contract. */
+class PartitionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def scanNode(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val plan = df.queryExecution.executedPlan
+    walk(plan).collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail(s"no BatchScanExec in:\n$plan"))
+  }
+
+  private def setupCatalog(name: String): String = {
+    val w = Files.createTempDirectory(name).toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[HadroCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    w
+  }
+
+  test("days-partitioned table: one segment per day, range scan prunes to the day") {
+    val w = setupCatalog("pdays")
+    spark.sql("""CREATE TABLE pdays.db.events (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      USING hadro PARTITIONED BY (days(ts))""")
+    // 5 days x 48 rows, arriving interleaved (the write must route, not rely
+    // on input order)
+    spark.range(0, 240)
+      .select($"id",
+        to_timestamp(lit("2026-03-01 00:00:00")).cast("timestamp")
+          .plus(expr("make_interval(0, 0, 0, CAST(id % 5 AS INT), 0, CAST(id AS INT), 0)")).as("ts"),
+        ($"id" * 1.5).as("v"))
+      .createOrReplaceTempView("pdays_src")
+    spark.sql("INSERT INTO pdays.db.events SELECT * FROM pdays_src")
+
+    val dir = Paths.get(w, "db", "events")
+    val segs = CollectionMeta.currentManifest(dir).segments
+    // clustered INSERT: exactly one segment per day, every segment tagged
+    assert(segs.length == 5, s"expected 5 day-segments, got ${segs.length}")
+    val tags = segs.flatMap(_.partition)
+    assert(tags.length == 5 && tags.distinct.length == 5, tags.mkString(","))
+    // the declared layout survives round-trip
+    val meta = CollectionMeta.readSchema(dir).get
+    assert(meta.partitionBy.contains("ts") && meta.partitionTransform.contains("days"))
+
+    // a one-day range scan plans exactly 1 of 5 segments via segment stats
+    val df = spark.sql("""SELECT COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,2))) AS s
+      FROM pdays.db.events
+      WHERE ts >= TIMESTAMP '2026-03-03 00:00:00' AND ts < TIMESTAMP '2026-03-04 00:00:00'""")
+    val rows = df.collect()
+    assert(rows.head.getLong(0) == 48L, rows.head.toString)
+    val m = scanNode(df).metrics
+    assert(m("hadroSegmentsRead").value == 1L, m("hadroSegmentsRead").value)
+    assert(m("hadroSegmentsPruned").value == 4L, m("hadroSegmentsPruned").value)
+    spark.sql("DROP TABLE pdays.db.events")
+  }
+
+  test("identity-partitioned table routes per value and prunes equality scans") {
+    val w = setupCatalog("pident")
+    spark.sql("""CREATE TABLE pident.db.docs (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region)""")
+    spark.range(0, 90)
+      .select($"id", concat(lit("r"), ($"id" % 3).cast("string")).as("region"))
+      .createOrReplaceTempView("pident_src")
+    spark.sql("INSERT INTO pident.db.docs SELECT * FROM pident_src")
+    val dir = Paths.get(w, "db", "docs")
+    val segs = CollectionMeta.currentManifest(dir).segments
+    assert(segs.length == 3, s"expected 3 region-segments, got ${segs.length}")
+    assert(segs.flatMap(_.partition).sorted == Seq("r0", "r1", "r2"))
+    val df = spark.sql("SELECT COUNT(*) AS n FROM pident.db.docs WHERE region = 'r1'")
+    assert(df.collect().head.getLong(0) == 30L)
+    val m = scanNode(df).metrics
+    assert(m("hadroSegmentsRead").value == 1L && m("hadroSegmentsPruned").value == 2L)
+    spark.sql("DROP TABLE pident.db.docs")
+  }
+
+  test("plain appends (path API) keep the declared layout") {
+    val w = setupCatalog("pappend")
+    spark.sql("""CREATE TABLE pappend.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    val dir = Paths.get(w, "db", "ev").toString
+    // a path-based append (no catalog, no clustered distribution) must
+    // still route per day — more segments possible, never mixed days
+    val df = spark.range(0, 40).select($"id",
+      to_timestamp(lit("2026-04-01 00:00:00"))
+        .plus(expr("make_interval(0, 0, 0, CAST(id % 2 AS INT), 0, 0, 0)")).as("ts"))
+      .repartition(2)
+    df.write.format("hadro").mode("append").save(dir)
+    val segs = CollectionMeta.currentManifest(Paths.get(dir)).segments
+    assert(segs.nonEmpty && segs.forall(_.partition.isDefined))
+    // every segment holds exactly one day: its ts stats span < 1 day
+    segs.foreach { s =>
+      val st = s.stats("ts")
+      assert(st.min.isDefined && st.max.isDefined, s"no ts stats on ${s.file}")
+    }
+    val byTag = segs.groupBy(_.partition.get)
+    assert(byTag.keySet.size == 2, byTag.keySet.toString)
+    spark.sql("DROP TABLE pappend.db.ev")
+  }
+
+  test("transform validation fails fast at CREATE") {
+    setupCatalog("pval")
+    // time transform over a non-time column
+    val e1 = intercept[Exception](spark.sql(
+      """CREATE TABLE pval.db.bad1 (id BIGINT, s STRING)
+        USING hadro PARTITIONED BY (days(s))"""))
+    assert(e1.getMessage.contains("does not support"), e1.getMessage)
+    // hours needs sub-day resolution
+    val e2 = intercept[Exception](spark.sql(
+      """CREATE TABLE pval.db.bad2 (id BIGINT, d DATE)
+        USING hadro PARTITIONED BY (hours(d))"""))
+    assert(e2.getMessage.contains("does not support"), e2.getMessage)
+    // one declared dimension only
+    val e3 = intercept[Exception](spark.sql(
+      """CREATE TABLE pval.db.bad3 (id BIGINT, ts TIMESTAMP, s STRING)
+        USING hadro PARTITIONED BY (days(ts), s)"""))
+    assert(e3.getMessage.contains("single"), e3.getMessage)
+  }
+
+  test("schema evolution preserves the partition declaration") {
+    val w = setupCatalog("pevol")
+    spark.sql("""CREATE TABLE pevol.db.t (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    val dir = Paths.get(w, "db", "t")
+    val c = Collection(spark, dir.toString)
+    c.addColumn("note", org.apache.spark.sql.types.StringType)
+    val meta = CollectionMeta.readSchema(dir).get
+    assert(meta.partitionBy.contains("ts") && meta.partitionTransform.contains("days"),
+      s"evolution dropped the partition spec: $meta")
+    val e = intercept[Exception](c.dropColumn("ts"))
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    spark.sql("DROP TABLE pevol.db.t")
+  }
+}
