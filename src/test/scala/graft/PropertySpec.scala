@@ -299,6 +299,122 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: publish/clone/constraint branching matches a model (9 op types)") {
+    import graft.meta.CollectionMeta
+    // Model checking the WHOLE branching story: against driver-side models
+    // of the target AND its staged clone, run random op sequences over
+    // NINE op types — append, CoW delete, compact, vacuum, tag, clone,
+    // stage-append, publish (with the fast-forward refusal), constraint
+    // add/drop — and after EVERY op assert the target reads its model,
+    // the stage reads its model, every live tag still reads its pinned
+    // snapshot, and the constraint set matches.
+    sealed trait Op
+    case object Append extends Op
+    case object Delete extends Op
+    case object Compact extends Op
+    case object Vacuum extends Op
+    case object Tag extends Op
+    case object Clone extends Op
+    case object StageAppend extends Op
+    case object Publish extends Op
+    case object AddConstraint extends Op
+    case object DropConstraint extends Op
+    val genOp: Gen[Op] = Gen.frequency(
+      4 -> Append, 2 -> Delete, 1 -> Compact, 1 -> Vacuum, 2 -> Tag,
+      2 -> Clone, 3 -> StageAppend, 3 -> Publish,
+      2 -> AddConstraint, 1 -> DropConstraint)
+    val genSeq: Gen[List[Op]] = Gen.listOfN(16, genOp)
+
+    samples(genSeq, 3, seed = 4321).zipWithIndex.foreach { case (ops, trial) =>
+      val root = Files.createTempDirectory(s"pubprop$trial")
+      val path = root.resolve("target").toString
+      var nextId = 0L
+      var model = Set.empty[Long]
+      val pinned = scala.collection.mutable.Map.empty[String, Set[Long]]
+      var nextTag = 0
+      var nextStage = 0
+      var nextCons = 0
+      var consModel = Set.empty[String]
+      // (stage collection, its model, target version it branched from)
+      var stage: Option[(Collection, scala.collection.mutable.Set[Long], Long)] = None
+      def write(p: String, ids: Seq[Long]): Unit =
+        ids.toDF("id").write.format("hadro").mode("append").save(p)
+      write(path, 0L until 5L); model = (0L until 5L).toSet; nextId = 5
+      val c = Collection(spark, path)
+      def readIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("id").as[Long].collect().toSet
+
+      ops.foreach { op =>
+        op match {
+          case Append =>
+            write(path, nextId until nextId + 3)
+            model ++= (nextId until nextId + 3); nextId += 3
+          case Delete if model.nonEmpty =>
+            val victim = model.min
+            val m0 = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+            spark.read.format("hadro").load(path)
+              .filter(col("id") =!= victim)
+              .write.format("hadro").mode("overwrite")
+              .option("hadro.compactOf", m0.version.toString)
+              .option("hadro.compactOfGen", m0.generation.toString)
+              .save(path)
+            model -= victim
+          case Delete => ()
+          case Compact => c.compact()
+          case Vacuum => c.vacuum()
+          case Tag =>
+            val name = s"t$nextTag"; nextTag += 1
+            c.createTag(name)
+            pinned(name) = model
+          case Clone =>
+            val sp = root.resolve(s"stage$nextStage").toString; nextStage += 1
+            val sc = c.cloneTo(sp)
+            stage = Some((sc, scala.collection.mutable.Set(model.toSeq: _*), c.version))
+          case StageAppend => stage.foreach { case (sc, sm, _) =>
+            write(sc.path, nextId until nextId + 2)
+            sm ++= (nextId until nextId + 2); nextId += 2
+          }
+          case Publish => stage.foreach { case (sc, sm, base) =>
+            if (c.version != base) {
+              // target advanced past the branch point: the swap must
+              // refuse (it would silently replace those commits)...
+              val e = intercept[Exception](c.publishFrom(sc.path))
+              assert(e.getMessage.contains("publish refused"), e.getMessage)
+              // ...and force overrides explicitly
+              c.publishFrom(sc.path, force = true)
+            } else c.publishFrom(sc.path)
+            model = sm.toSet
+            // a successful publish fast-forwards the branch base
+            stage = Some((sc, sm, c.version))
+          }
+          case AddConstraint =>
+            val name = s"c$nextCons"; nextCons += 1
+            c.addConstraint(name, "id >= 0") // holds for every generated row
+            consModel += name
+          case DropConstraint if consModel.nonEmpty =>
+            val name = consModel.head
+            assert(c.dropConstraint(name))
+            consModel -= name
+          case DropConstraint => ()
+        }
+        // invariants after EVERY op
+        assert(readIds(c.scan()) == model, s"trial $trial after $op: target diverged")
+        assert(c.constraints.keySet == consModel,
+          s"trial $trial after $op: constraints diverged")
+        stage.foreach { case (sc, sm, _) =>
+          assert(readIds(sc.scan()) == sm.toSet,
+            s"trial $trial after $op: stage diverged")
+        }
+        pinned.foreach { case (name, want) =>
+          val v = c.tags(name)
+          val got = readIds(c.scanVersion(v))
+          assert(got == want,
+            s"trial $trial after $op: tag $name pinned ${want.size} rows, read ${got.size}")
+        }
+      }
+    }
+  }
+
   test("property: radius search equals a JVM reference over arbitrary corpora") {
     import graft.ops.SimilarityOps
     val genVec: Gen[Seq[Float]] =
