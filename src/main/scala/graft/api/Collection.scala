@@ -1118,15 +1118,41 @@ final class Collection private (spark: SparkSession, val path: String) {
           case None => routed.write
         }
         w.option("hadro.bucketBy", c).option("hadro.buckets", n.toString)
-      case _ => m0.sortedBy match {
-        case Some(sc) =>
-          import org.apache.spark.sql.functions.col
-          resolvedAsOf(m0.version)
-            .repartitionByRange(math.max(1, m0.segments.size), col(sc))
-            .sortWithinPartitions(sc)
-            .write.option("hadro.sortedBy", sc)
-        case None => resolvedAsOf(m0.version).write
-      }
+      case _ =>
+        // A value-partitioned collection (PARTITIONED BY days(ts)/...)
+        // re-routes per value in the WRITER regardless (the spec is
+        // schema-level), but clustering the rewrite by the transform
+        // keeps it one-segment-per-value instead of tasks x values.
+        // Equality is all repartitioning needs, so date_trunc stands in
+        // for the writer's epoch-ordinal tags.
+        val pSpec = CollectionMeta.readSchema(dir).flatMap(m =>
+          for { c <- m.partitionBy; t <- m.partitionTransform } yield (c, t))
+        pSpec match {
+          case Some((c, t)) =>
+            import org.apache.spark.sql.functions.{col, expr}
+            val pe = t match {
+              case "identity" => col(c)
+              case "days" => expr(s"date_trunc('DAY', `$c`)")
+              case "hours" => expr(s"date_trunc('HOUR', `$c`)")
+              case "months" => expr(s"date_trunc('MONTH', `$c`)")
+              case "years" => expr(s"date_trunc('YEAR', `$c`)")
+            }
+            val routed = resolvedAsOf(m0.version).repartition(pe)
+            m0.sortedBy match {
+              case Some(sc) => routed.sortWithinPartitions(sc)
+                .write.option("hadro.sortedBy", sc)
+              case None => routed.write
+            }
+          case None => m0.sortedBy match {
+            case Some(sc) =>
+              import org.apache.spark.sql.functions.col
+              resolvedAsOf(m0.version)
+                .repartitionByRange(math.max(1, m0.segments.size), col(sc))
+                .sortWithinPartitions(sc)
+                .write.option("hadro.sortedBy", sc)
+            case None => resolvedAsOf(m0.version).write
+          }
+        }
     }
     val writer1 =
       if (targetSegmentBytes > 0)
@@ -1162,6 +1188,15 @@ final class Collection private (spark: SparkSession, val path: String) {
   def compactSmall(minBytes: Long): Int = {
     require(minBytes > 0, s"minBytes must be positive, got $minBytes")
     val m0 = manifest
+    // KEYED + value-partitioned: bins must not cross partition tags. A
+    // key's rows can carry DIFFERENT transform values across upserts, so
+    // a mixed-tag bin would re-split per value on rewrite — and the new
+    // segments' relative ordinals (tag order) need not match record seq
+    // order, which could invert last-write-wins. Same-tag runs keep the
+    // order proof local, exactly like buckets (where a key always hashes
+    // to one bucket and the hazard cannot arise).
+    val tagSensitive = keyField.isDefined &&
+      CollectionMeta.readSchema(dir).exists(_.partitionBy.isDefined)
     val bins = scala.collection.mutable.Buffer.empty[Seq[graft.meta.SegmentInfo]]
     val cur = scala.collection.mutable.Buffer.empty[graft.meta.SegmentInfo]
     var curBytes = 0L
@@ -1170,6 +1205,8 @@ final class Collection private (spark: SparkSession, val path: String) {
       cur.clear(); curBytes = 0L
     }
     m0.segments.foreach { s =>
+      if (tagSensitive && cur.nonEmpty && cur.last.partition != s.partition)
+        flush() // a tag change breaks the run (order proof above)
       if (s.bytes < minBytes) {
         cur += s; curBytes += s.bytes
         if (curBytes >= minBytes) flush() // bin full: output lands in [minBytes, 2*minBytes)

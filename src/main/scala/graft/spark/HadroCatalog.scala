@@ -465,6 +465,7 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                 UTF8String.fromString(s.file), s.ordinal, s.rows,
                 s.tombstones, s.dvDeletes, s.bytes,
                 s.bucket.map(Int.box).orNull,
+                s.partition.map(UTF8String.fromString).orNull,
                 s.deleteVector.map(UTF8String.fromString).orNull)
             }.toArray
           case "history" =>
@@ -489,6 +490,8 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
               m.sortedBy.map(UTF8String.fromString).orNull,
               m.bucketBy.map(UTF8String.fromString).orNull,
               m.numBuckets.map(Int.box).orNull,
+              meta.flatMap(_.partitionBy).map(UTF8String.fromString).orNull,
+              meta.flatMap(_.partitionTransform).map(UTF8String.fromString).orNull,
               CollectionMeta.readConstraints(dir).size,
               CollectionMeta.readRefs(dir).size,
               m.committedAtMs))
@@ -557,7 +560,8 @@ object HadroMetadataTable {
       .add("file", StringType).add("ordinal", LongType)
       .add("n_rows", LongType).add("n_tombstones", LongType)
       .add("n_dv_deletes", LongType).add("n_bytes", LongType)
-      .add("bucket", IntegerType).add("delete_vector", StringType),
+      .add("bucket", IntegerType).add("partition", StringType)
+      .add("delete_vector", StringType),
     "history" -> new StructType()
       .add("version", LongType).add("n_segments", LongType)
       .add("n_rows", LongType).add("n_bytes", LongType)
@@ -584,7 +588,9 @@ object HadroMetadataTable {
       .add("n_rows", LongType).add("n_bytes", LongType)
       .add("key", StringType).add("compress", StringType)
       .add("sorted_by", StringType).add("bucket_by", StringType)
-      .add("num_buckets", IntegerType).add("n_constraints", IntegerType)
+      .add("num_buckets", IntegerType).add("partition_by", StringType)
+      .add("partition_transform", StringType)
+      .add("n_constraints", IntegerType)
       .add("n_tags", IntegerType).add("committed_at_ms", LongType))
   val kinds: Set[String] = schemas.keySet
 }

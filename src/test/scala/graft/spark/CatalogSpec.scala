@@ -462,7 +462,8 @@ class CatalogSpec extends SparkSuite {
 
     val files = spark.sql("SELECT * FROM testcat.db.meta.files")
     assert(files.columns.toSeq == Seq("file", "ordinal", "n_rows",
-      "n_tombstones", "n_dv_deletes", "n_bytes", "bucket", "delete_vector"))
+      "n_tombstones", "n_dv_deletes", "n_bytes", "bucket", "partition",
+      "delete_vector"))
     val agg = spark.sql("""SELECT CAST(SUM(n_rows) AS BIGINT),
       CAST(SUM(n_dv_deletes) AS BIGINT) FROM testcat.db.meta.files""").head
     assert(agg.getLong(0) == 300L && agg.getLong(1) == 100L)

@@ -91,6 +91,15 @@ class PartitionSpec extends SparkSuite {
     assert(df.collect().head.getLong(0) == 30L)
     val m = scanNode(df).metrics
     assert(m("hadroSegmentsRead").value == 1L && m("hadroSegmentsPruned").value == 2L)
+    // observability: the partition tag surfaces in the metadata tables
+    val files = spark.sql(
+      "SELECT partition FROM pident.db.docs.files ORDER BY partition")
+      .collect().map(_.getString(0)).toSeq
+    assert(files == Seq("r0", "r1", "r2"), files.toString)
+    val detail = spark.sql(
+      "SELECT partition_by, partition_transform FROM pident.db.docs.detail")
+      .collect().head
+    assert(detail.getString(0) == "region" && detail.getString(1) == "identity")
     spark.sql("DROP TABLE pident.db.docs")
   }
 
@@ -116,6 +125,34 @@ class PartitionSpec extends SparkSuite {
     val byTag = segs.groupBy(_.partition.get)
     assert(byTag.keySet.size == 2, byTag.keySet.toString)
     spark.sql("DROP TABLE pappend.db.ev")
+  }
+
+  test("compaction preserves the partition layout (one segment per day)") {
+    val w = setupCatalog("pcompact")
+    spark.sql("""CREATE TABLE pcompact.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    val dir = Paths.get(w, "db", "ev")
+    // three appends over the same 3 days -> 9 day-segments
+    (0 until 3).foreach { b =>
+      spark.range(b * 30, b * 30 + 30).select($"id",
+        to_timestamp(lit("2026-05-01 00:00:00"))
+          .plus(expr("make_interval(0, 0, 0, CAST(id % 3 AS INT), 0, 0, 0)")).as("ts"))
+        .createOrReplaceTempView("pcompact_src")
+      spark.sql("INSERT INTO pcompact.db.ev SELECT * FROM pcompact_src")
+    }
+    assert(CollectionMeta.currentManifest(dir).segments.length == 9)
+    Collection(spark, dir.toString).compact()
+    val segs = CollectionMeta.currentManifest(dir).segments
+    // the rewrite is clustered by the transform: back to one per day
+    assert(segs.length == 3, s"expected 3 day-segments after compact, got ${segs.length}")
+    assert(segs.flatMap(_.partition).distinct.length == 3)
+    val df = spark.sql("""SELECT COUNT(*) AS n FROM pcompact.db.ev
+      WHERE ts >= TIMESTAMP '2026-05-02 00:00:00'
+        AND ts < TIMESTAMP '2026-05-03 00:00:00'""")
+    assert(df.collect().head.getLong(0) == 30L)
+    val m = scanNode(df).metrics
+    assert(m("hadroSegmentsRead").value == 1L && m("hadroSegmentsPruned").value == 2L)
+    spark.sql("DROP TABLE pcompact.db.ev")
   }
 
   test("transform validation fails fast at CREATE") {
