@@ -610,6 +610,51 @@ final class Collection private (spark: SparkSession, val path: String) {
       "mutated", "generation")
   }
 
+  /** PARTITION RETENTION: drop every segment whose partition tag orders
+    * strictly before `before` — "expire events older than day N" as ONE
+    * metadata-only manifest commit, zero data movement. The 100 TB
+    * event-log retention primitive: a DELETE would copy-on-write or
+    * dv-mark terabytes the layout already isolates; this unlinks whole
+    * value-partitions from the manifest and lets the normal deferred GC /
+    * vacuum reclaim the files (older manifests and pinned tags keep
+    * reading them until then — time travel across the drop works).
+    *
+    * Tags compare numerically when both sides parse as longs (the time
+    * transforms' epoch ordinals), lexicographically otherwise (identity
+    * strings). Null-tag segments (`__null__`) never drop. Restricted to
+    * PURE-APPEND collections (`!mutated`): under upserts/deletes a
+    * dropped segment could carry the tombstone or newest version of a
+    * key whose other rows live elsewhere, silently resurrecting older
+    * state. Returns the number of segments dropped. */
+  def dropPartitions(before: String): Int = {
+    val meta = CollectionMeta.readSchema(dir).getOrElse(
+      throw new IllegalStateException(s"hadro: no collection at $path"))
+    require(meta.partitionBy.isDefined && meta.partitionTransform.isDefined,
+      "hadro: dropPartitions requires a declared partition transform " +
+        "(CREATE TABLE ... PARTITIONED BY (days(ts)) / identity)")
+    def lt(a: String, b: String): Boolean =
+      (a.toLongOption, b.toLongOption) match {
+        case (Some(x), Some(y)) => x < y
+        case _ => a < b
+      }
+    var dropped = 0
+    CollectionMeta.commit(dir, cur => {
+      require(!cur.mutated,
+        "hadro: dropPartitions supports pure-append collections only — " +
+          "an upserted/deleted collection could lose a key's newest " +
+          "version or its tombstone with the dropped segment")
+      val (dead, live) = cur.segments.partition(s =>
+        s.partition.exists(t => t != "__null__" && lt(t, before)))
+      dropped = dead.size
+      if (dead.isEmpty) cur else cur.copy(segments = live)
+    })
+    if (dropped > 0) {
+      val live = manifest.segments.flatMap(_.allFiles).toSet
+      CollectionMeta.deferredGc(dir, live)
+    }
+    dropped
+  }
+
   /** Reclaim space on demand: physically delete the files recorded dead by
     * earlier truncates/compactions (the deferred generation) instead of
     * waiting for the next rewrite to purge them. Same safety contract as

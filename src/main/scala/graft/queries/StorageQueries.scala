@@ -1877,5 +1877,49 @@ object StorageQueries {
         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
           AND ts < TIMESTAMP '2024-01-13 00:00:00'
         GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h66
+    // Partition retention: CALL system.drop_partitions expires whole
+    // value-partitions (here: every event day before 2024-01-15) as ONE
+    // metadata-only manifest commit — zero rows rewritten, files reclaimed
+    // by the normal deferred GC, time travel across the drop intact
+    // (PartitionSpec). The 100 TB answer to "keep 90 days of events": a
+    // DELETE would CoW or dv-mark terabytes the days(ts) layout already
+    // isolates. Equivalence with the DELETE semantics is what the oracle
+    // checks.
+    QueryDef(
+      "h66_partition_retention",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h66"
+        s.conf.set("spark.sql.catalog.graft_h66", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h66.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h66.db")
+        s.sql("DROP TABLE IF EXISTS graft_h66.db.events")
+        s.sql("""CREATE TABLE graft_h66.db.events
+          (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+           value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("h66_src")
+        s.sql("INSERT INTO graft_h66.db.events SELECT * FROM h66_src")
+        val cutoff = java.time.LocalDate.of(2024, 1, 15).toEpochDay
+        s.sql(s"CALL graft_h66.system.drop_partitions('db.events', '$cutoff')")
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(MIN(event_id) AS BIGINT) AS min_id,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h66.db.events
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MIN(event_id) AS BIGINT) AS min_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -38,7 +38,7 @@ object HadroProcedures {
   val names: Seq[String] =
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
       "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag",
-      "publish", "orphan_files", "remove_orphans")
+      "publish", "orphan_files", "remove_orphans", "drop_partitions")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -100,6 +100,18 @@ object HadroProcedures {
           val name = in.getUTF8String(1).toString
           coll(in).indexes.rebuild(name)
           Seq(InternalRow(UTF8String.fromString(name)))
+        }
+      case "drop_partitions" => proc("drop_partitions",
+        "drop every segment whose partition tag orders strictly before " +
+          "the cutoff (numeric when both parse, lexicographic otherwise) " +
+          "— metadata-only retention for value-partitioned, pure-append " +
+          "collections; time travel across the drop keeps working",
+        Seq(p("table", StringType), p("before", StringType)),
+        new StructType().add("segments_dropped", IntegerType)
+          .add("version", LongType)) { in =>
+          val c = coll(in)
+          val n = c.dropPartitions(in.getUTF8String(1).toString)
+          Seq(InternalRow(n, c.version))
         }
       case "vacuum" => proc("vacuum",
         "physically delete deferred-GC'd segment files and orphaned sidecars",

@@ -155,6 +155,51 @@ class PartitionSpec extends SparkSuite {
     spark.sql("DROP TABLE pcompact.db.ev")
   }
 
+  test("drop_partitions: metadata-only retention, time travel survives, guards hold") {
+    val w = setupCatalog("pdrop")
+    spark.sql("""CREATE TABLE pdrop.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    val dir = Paths.get(w, "db", "ev")
+    spark.range(0, 100).select($"id",
+      to_timestamp(lit("2026-06-01 00:00:00"))
+        .plus(expr("make_interval(0, 0, 0, CAST(id % 5 AS INT), 0, 0, 0)")).as("ts"))
+      .createOrReplaceTempView("pdrop_src")
+    spark.sql("INSERT INTO pdrop.db.ev SELECT * FROM pdrop_src")
+    val preDrop = Collection(spark, dir.toString).version
+    // cutoff = the day tag of 2026-06-03 (days since epoch, the writer's tag)
+    val cutoff = java.time.LocalDate.of(2026, 6, 3).toEpochDay.toString
+    val out = spark.sql(
+      s"CALL pdrop.system.drop_partitions('db.ev', '$cutoff')").collect().head
+    assert(out.getInt(0) == 2, s"expected 2 segments dropped, got $out")
+    // the head reads only the surviving days — zero data was rewritten
+    val n = spark.sql("SELECT COUNT(*) AS n FROM pdrop.db.ev").collect().head.getLong(0)
+    assert(n == 60L, s"expected 60 surviving rows, got $n")
+    assert(CollectionMeta.currentManifest(dir).segments.length == 3)
+    // time travel across the drop still reads the full snapshot
+    val before = spark.sql(
+      s"SELECT COUNT(*) AS n FROM pdrop.db.ev VERSION AS OF $preDrop")
+      .collect().head.getLong(0)
+    assert(before == 100L, s"pre-drop snapshot must keep all rows, got $before")
+    // guard: a mutated collection refuses (could lose tombstones/LWW heads)
+    spark.sql("""CREATE TABLE pdrop.db.kv (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts)) TBLPROPERTIES('key'='id')""")
+    spark.sql("INSERT INTO pdrop.db.kv SELECT * FROM pdrop_src")
+    val kv = Collection(spark, Paths.get(w, "db", "kv").toString)
+    kv.set(Seq((1L, java.sql.Timestamp.valueOf("2026-06-01 00:00:00")))
+      .toDF("id", "ts"))
+    val e = intercept[Exception](kv.dropPartitions(cutoff))
+    assert(e.getMessage.contains("pure-append"), e.getMessage)
+    // guard: undeclared layout refuses
+    spark.sql("CREATE TABLE pdrop.db.plain (id BIGINT) USING hadro")
+    spark.sql("INSERT INTO pdrop.db.plain VALUES (1)")
+    val e2 = intercept[Exception](
+      Collection(spark, Paths.get(w, "db", "plain").toString).dropPartitions("5"))
+    assert(e2.getMessage.contains("partition transform"), e2.getMessage)
+    spark.sql("DROP TABLE pdrop.db.ev")
+    spark.sql("DROP TABLE pdrop.db.kv")
+    spark.sql("DROP TABLE pdrop.db.plain")
+  }
+
   test("transform validation fails fast at CREATE") {
     setupCatalog("pval")
     // time transform over a non-time column

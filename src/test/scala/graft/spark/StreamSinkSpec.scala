@@ -41,6 +41,39 @@ class StreamSinkSpec extends SparkSuite {
     assert(spark.read.format("hadro").load(colPath).count() == 2 * src.count())
   }
 
+  test("streaming epochs keep a declared value-partitioned layout") {
+    import org.apache.spark.sql.functions._
+    val stage = Files.createTempDirectory("part_src")
+    val ckpt = Files.createTempDirectory("part_ckpt").toString
+    val w = Files.createTempDirectory("part_wh").toString
+    spark.conf.set("spark.sql.catalog.pstream", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pstream.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pstream.db")
+    spark.sql("""CREATE TABLE pstream.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    val colPath = Paths.get(w, "db", "ev").toString
+    // a micro-batch spanning 3 days must split into 3 tagged segments
+    // through the SAME writer routing the batch path uses
+    spark.range(0, 30).select($"id",
+      to_timestamp(lit("2026-07-01 00:00:00"))
+        .plus(expr("make_interval(0, 0, 0, CAST(id % 3 AS INT), 0, 0, 0)")).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      .parquet(stage.toString)
+      .writeStream.format("hadro").option("checkpointLocation", ckpt)
+      .start(colPath)
+    q.processAllAvailable()
+    q.stop()
+    val segs = CollectionMeta.currentManifest(Paths.get(colPath)).segments
+    assert(segs.length == 3, s"expected 3 day-segments, got ${segs.length}")
+    assert(segs.flatMap(_.partition).distinct.length == 3, segs.map(_.partition).toString)
+    assert(spark.read.format("hadro").load(colPath).count() == 30L)
+    spark.sql("DROP TABLE pstream.db.ev")
+  }
+
   test("streaming writes enforce CHECK constraints through the shared writer path") {
     val stage = Files.createTempDirectory("ck_src")
     val colPath = Files.createTempDirectory("ck_col").resolve("c").toString
