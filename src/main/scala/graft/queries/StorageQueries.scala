@@ -1921,5 +1921,70 @@ object StorageQueries {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h67
+    // Identity-partitioned storage-partitioned join: two collections
+    // PARTITIONED BY (nationkey) join on it with ZERO exchanges — each
+    // value-partition is provably single-valued via its exact min==max
+    // segment stats, so both scans report identity(nationkey)
+    // KeyGroupedPartitioning and Spark aligns them partition-wise
+    // (PartitionSpec asserts the exchange-free plan; this query proves
+    // the answers). The value-partitioned analog of the bucket SPJ path
+    // (h31/a09): the 100 TB tenant/region fact-fact join with no shuffle.
+    QueryDef(
+      "h67_identity_spj",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h67"
+        s.conf.set("spark.sql.catalog.graft_h67", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h67.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h67.db")
+        s.sql("DROP TABLE IF EXISTS graft_h67.db.cust")
+        s.sql("DROP TABLE IF EXISTS graft_h67.db.supp")
+        s.sql("""CREATE TABLE graft_h67.db.cust
+          (c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)
+          USING hadro PARTITIONED BY (c_nationkey)""")
+        s.sql("""CREATE TABLE graft_h67.db.supp
+          (s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)
+          USING hadro PARTITIONED BY (s_nationkey)""")
+        QueryDef.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+          .createOrReplaceTempView("h67_cust")
+        QueryDef.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .createOrReplaceTempView("h67_supp")
+        s.sql("INSERT INTO graft_h67.db.cust SELECT * FROM h67_cust")
+        s.sql("INSERT INTO graft_h67.db.supp SELECT * FROM h67_supp")
+        val savedSpj = try Some(s.conf.get("spark.sql.sources.v2.bucketing.enabled"))
+          catch { case _: Exception => None }
+        val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          s.sql("""SELECT c_nationkey AS nationkey,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(CAST(c_acctbal + s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_bal
+            FROM graft_h67.db.cust JOIN graft_h67.db.supp
+              ON c_nationkey = s_nationkey
+            GROUP BY c_nationkey ORDER BY nationkey""")
+            // EAGER checkpoint: the join must plan exchange-free while the
+            // scoped confs are live
+            .localCheckpoint(true)
+        } finally {
+          savedSpj match {
+            case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+        }
+      },
+      Some("""SELECT c_nationkey AS nationkey,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CAST(c_acctbal + s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_bal
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        GROUP BY c_nationkey ORDER BY nationkey"""))
   )
 }

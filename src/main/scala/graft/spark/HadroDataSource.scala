@@ -563,7 +563,16 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     manifestSnapshot.sortedBy match {
       case Some(c) if required.fieldNames.contains(c) =>
         val safe = bucketedFor(manifestSnapshot, staticPlanned) match {
-          case None => true
+          case None => identityFor(staticPlanned) match {
+            // identity-grouped mode coalesces a value's partitions the
+            // same way buckets do: report ordering only when every value
+            // group is ONE unsplit segment (one in-order run per group)
+            case Some((_, keys)) =>
+              val planned = staticPlanned
+              planned.forall(_.splits.isEmpty) &&
+                keys.values.toSeq.distinct.size == planned.size
+            case None => true
+          }
           case Some(_) =>
             val planned = staticPlanned
             planned.forall(_.splits.isEmpty) &&
@@ -800,8 +809,11 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       case None => ()
     }
     val bucketed = bucketedFor(manifestStatic, plannedStatic)
+    val identityKeyed =
+      if (bucketed.isDefined) None else identityFor(plannedStatic)
+    val reporting = bucketed.isDefined || identityKeyed.isDefined
     val (manifest, planned) =
-      if (bucketed.isDefined) (manifestStatic, plannedStatic)
+      if (reporting) (manifestStatic, plannedStatic)
       else plannedSegments(effectiveFilters)
     val filters = effectiveFilters
     // Operability at scale: a 100 TB scan's health is "how much did
@@ -823,10 +835,10 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         // partitioning: dropping every block of a bucket's only segment
         // would erase a reported group (same constraint as runtime
         // segment pruning above).
-        val parts = (if (bucketed.isDefined) None
+        val parts = (if (reporting) None
           else OffsetIndexPlanner.pointRanges(path, seg, filters, storedSchema))
           .getOrElse {
-            if (bucketed.isDefined) HadroInputPartition.ranges(path, seg)
+            if (reporting) HadroInputPartition.ranges(path, seg)
             else {
               val (kept, prunedBlocks) =
                 HadroInputPartition.prunedRanges(path, seg, filters, storedSchema)
@@ -835,12 +847,18 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
             }
           }
         // Storage-partitioned join: when the collection is uniformly
-        // bucketed, every partition carries its bucket as the DSv2
-        // partition key so Spark can group co-bucketed sides shuffle-free.
+        // bucketed (or identity-partitioned with provably single-valued
+        // segments), every partition carries its key as the DSv2
+        // partition key so Spark can group co-partitioned sides
+        // shuffle-free.
         if (bucketed.isDefined)
           parts.map(p => BucketKeyedPartition(
             p.asInstanceOf[HadroInputPartition], seg.bucket.get))
-        else parts
+        else identityKeyed match {
+          case Some((_, keys)) => parts.map(p => ValueKeyedPartition(
+            p.asInstanceOf[HadroInputPartition], keys(seg.file)))
+          case None => parts
+        }
       }
       .toArray
   }
@@ -879,6 +897,42 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       if planned.forall(s => s.bucket.exists(b => b >= 0 && b < n))
     } yield (cols, n)
 
+  /** Identity-partitioned SPJ: Some((col, segment -> key)) iff the scan
+    * may report `identity(col)` KeyGroupedPartitioning — the collection
+    * declares identity partitioning, the column survives pruning, and
+    * every PLANNED segment is provably single-valued on it via its
+    * EXACT min==max, zero-null segment stats (the per-value writer
+    * routing makes that the steady state; stats are also what make the
+    * check safe after any historical unrouted append). The partition
+    * key is the parsed stats bound itself — no tag parsing, so
+    * truncated identity-string tags can never mis-group (truncated
+    * stats are inexact and refuse reporting). Two co-partitioned
+    * collections then join with zero exchanges, the value-partitioned
+    * analog of the bucket SPJ path. */
+  private def identityFor(
+      planned: Seq[SegmentInfo]): Option[(String, Map[String, Any])] =
+    for {
+      _ <- if (v2BucketingEnabled) Some(()) else None
+      meta <- CollectionMeta.readSchema(path)
+      c <- meta.partitionBy
+      t <- meta.partitionTransform
+      if t == "identity"
+      if planned.nonEmpty
+      if required.fieldNames.contains(c)
+      ord = storedSchema.fieldNames.indexOf(c)
+      if ord >= 0
+      keys = planned.map { s =>
+        s.stats.get(c) match {
+          case Some(st) if st.exact && st.nullCount == 0L &&
+              st.min.isDefined && st.min == st.max =>
+            Option(graft.format.StatsCollector.parse(
+              st.min.get, storedSchema(ord).dataType))
+          case _ => None
+        }
+      }
+      if keys.forall(_.isDefined)
+    } yield (c, planned.map(_.file).zip(keys.map(_.get)).toMap)
+
   override def outputPartitioning(): Partitioning = {
     // Static pushed filters only — the SAME memoized list planInputPartitions
     // prunes with when partitioning is reported, so the group count always
@@ -893,7 +947,13 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         val distinct = planned.flatMap(_.bucket).distinct.size
         new KeyGroupedPartitioning(
           Array[V2Expression](Expressions.bucket(n, cs: _*)), distinct)
-      case None => new UnknownPartitioning(0)
+      case None => identityFor(planned) match {
+        case Some((c, keys)) =>
+          new KeyGroupedPartitioning(
+            Array[V2Expression](Expressions.identity(c)),
+            keys.values.toSeq.distinct.size)
+        case None => new UnknownPartitioning(0)
+      }
     }
   }
 
@@ -1104,6 +1164,17 @@ final case class BucketKeyedPartition(p: HadroInputPartition, bucketId: Int)
     new GenericInternalRow(Array[Any](bucketId))
 }
 
+/** A hadro input partition carrying its identity-partition VALUE (in
+  * Catalyst internal form — UTF8String for strings) as the DSv2
+  * partition key: the value-partitioned analog of
+  * [[BucketKeyedPartition]], grouping co-partitioned scans for
+  * zero-exchange joins on the partition column. */
+final case class ValueKeyedPartition(p: HadroInputPartition, key: Any)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
+
 object HadroInputPartition {
   /** One task per recorded split range — read parallelism is #split-ranges,
     * not #segments, so a single 50 GB ingest task doesn't become a single
@@ -1176,6 +1247,7 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType,
   private def unwrap(partition: InputPartition): HadroInputPartition =
     partition match {
       case b: BucketKeyedPartition => b.p
+      case v: ValueKeyedPartition => v.p
       case p: HadroInputPartition => p
     }
 

@@ -200,6 +200,46 @@ class PartitionSpec extends SparkSuite {
     spark.sql("DROP TABLE pdrop.db.plain")
   }
 
+  test("co-identity-partitioned collections join with zero exchanges (SPJ)") {
+    val w = setupCatalog("pspj")
+    spark.sql("""CREATE TABLE pspj.db.l (k BIGINT, v BIGINT)
+      USING hadro PARTITIONED BY (k)""")
+    spark.sql("""CREATE TABLE pspj.db.r (k BIGINT, t STRING)
+      USING hadro PARTITIONED BY (k)""")
+    spark.range(0, 100).select(($"id" % 5).as("k"), $"id".as("v"))
+      .createOrReplaceTempView("pspj_l")
+    spark.range(0, 60).select(($"id" % 5).as("k"),
+      concat(lit("t"), $"id").as("t")).createOrReplaceTempView("pspj_r")
+    spark.sql("INSERT INTO pspj.db.l SELECT * FROM pspj_l")
+    spark.sql("INSERT INTO pspj.db.r SELECT * FROM pspj_r")
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("pspj.db.l").join(spark.table("pspj.db.r"), "k")
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      val got = j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // 20 left rows x 12 right rows per key
+      assert(got == (0L until 5L).map(_ -> 240L).toMap, got.toString)
+      // value partitions are provably single-valued (exact min==max
+      // stats), so the scans report identity(k) KeyGroupedPartitioning
+      // and the join plans with ZERO exchanges — the value-partitioned
+      // analog of the bucket SPJ contract
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a zero-exchange identity-partitioned join plan:\n$plan")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.sql("DROP TABLE pspj.db.l")
+      spark.sql("DROP TABLE pspj.db.r")
+    }
+  }
+
   test("transform validation fails fast at CREATE") {
     setupCatalog("pval")
     // time transform over a non-time column
