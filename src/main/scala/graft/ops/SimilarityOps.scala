@@ -688,6 +688,25 @@ object SimilarityOps {
     liveTopK(sqTopK(index, idCol, query, p), base, baseKeyCol, idCol, k)
   }
 
+  /** PHYSICAL index sweep — the maintenance complement of [[liveTopK]]:
+    * rewrite the index collection keeping only rows whose base row is
+    * still live, so plain [[sqTopK]]/[[rerankTopK]] reflect deletes with
+    * no per-query re-validation cost. One semi-join against the live
+    * base keys + one atomic overwrite commit (concurrent queries see the
+    * old or the new index, never a torn one); the quantizer params
+    * sidecar is untouched, so incremental [[appendSqIndex]] refreshes
+    * keep composing afterwards. Run it when delete churn accumulates —
+    * [[liveTopK]] covers the gap between sweeps exactly. Returns the
+    * number of index rows swept away. */
+  def sweepSqIndex(index: graft.api.Collection, base: graft.api.Collection,
+      baseKeyCol: String): Long = {
+    val before = index.scan().count()
+    val live = base.toDF().select(col(baseKeyCol).as("vid"))
+    val kept = index.scan().join(live, Seq("vid"), "left_semi")
+    kept.write.format("hadro").mode("overwrite").save(index.path)
+    before - index.scan().count()
+  }
+
   // --------------------------------------------------------- radius search
 
   /** RADIUS (range) search: every corpus vector with cosine ≥ `minCosine`

@@ -933,6 +933,17 @@ class OpsSpec extends SparkSuite {
     val live2 = SimilarityOps.sqTopKLive(idx, coll, "vec_id", "vec_id", q, 5)
       .select($"vec_id").as[Long].collect()
     assert(!live2.contains(7L) && !live2.contains(live.head) && live2.length == 5)
+    // physical sweep: after rewriting the index against the live base,
+    // the PLAIN topK agrees with the delete-aware path — and incremental
+    // refresh still composes (params sidecar untouched)
+    val swept = SimilarityOps.sweepSqIndex(idx, coll, "vec_id")
+    assert(swept == 2L, s"expected 2 index rows swept, got $swept")
+    val plain = SimilarityOps.sqTopK(idx, "vec_id", q, 5)
+      .select($"vec_id").as[Long].collect()
+    assert(plain.toSeq == live2.toSeq,
+      s"swept index must serve the live ranking: $plain vs $live2")
+    assert(SimilarityOps.loadSqParams(
+      java.nio.file.Paths.get(idx.path)).isDefined, "params sidecar lost")
   }
 
   test("radius search: exact matches brute-force threshold; sq two-stage loses nothing") {

@@ -259,6 +259,50 @@ class PartitionSpec extends SparkSuite {
     assert(e3.getMessage.contains("single"), e3.getMessage)
   }
 
+  test("hours/months/years transforms: tag math and end-to-end hourly routing") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    // tag math against java.time ground truth (timestamps are epoch µs)
+    def microsOf(s: String): Long =
+      java.time.Instant.parse(s).toEpochMilli * 1000L
+    def tag(micros: Long, t: String): String =
+      HadroPartition.tagOf(TimestampType,
+        new GenericInternalRow(Array[Any](micros)), 0, t)
+    val ts = microsOf("2026-03-05T17:30:00Z")
+    assert(tag(ts, "days") == java.time.LocalDate.of(2026, 3, 5).toEpochDay.toString)
+    assert(tag(ts, "hours") == (microsOf("2026-03-05T17:00:00Z") / 3600000000L).toString)
+    assert(tag(ts, "months") == ((2026 - 1970) * 12 + 2).toString)
+    assert(tag(ts, "years") == (2026 - 1970).toString)
+    // negative epochs floor correctly (floorDiv, not integer division)
+    val pre = microsOf("1969-12-31T23:00:00Z")
+    assert(tag(pre, "days") == "-1" && tag(pre, "hours") == "-1")
+    // date-typed sources
+    def dtag(epochDay: Int, t: String): String =
+      HadroPartition.tagOf(DateType,
+        new GenericInternalRow(Array[Any](epochDay)), 0, t)
+    val d = java.time.LocalDate.of(2026, 3, 5).toEpochDay.toInt
+    assert(dtag(d, "days") == d.toString && dtag(d, "years") == "56")
+    // end-to-end: an hours-partitioned table routes per hour and prunes
+    val w = setupCatalog("phours")
+    spark.sql("""CREATE TABLE phours.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (hours(ts))""")
+    spark.range(0, 40).select($"id",
+      to_timestamp(lit("2026-03-05 10:00:00"))
+        .plus(expr("make_interval(0, 0, 0, 0, CAST(id % 4 AS INT), 0, 0)")).as("ts"))
+      .createOrReplaceTempView("phours_src")
+    spark.sql("INSERT INTO phours.db.ev SELECT * FROM phours_src")
+    val segs = CollectionMeta.currentManifest(Paths.get(w, "db", "ev")).segments
+    assert(segs.length == 4 && segs.flatMap(_.partition).distinct.length == 4,
+      segs.map(_.partition).toString)
+    val df = spark.sql("""SELECT COUNT(*) AS n FROM phours.db.ev
+      WHERE ts >= TIMESTAMP '2026-03-05 12:00:00'
+        AND ts < TIMESTAMP '2026-03-05 13:00:00'""")
+    assert(df.collect().head.getLong(0) == 10L)
+    val m = scanNode(df).metrics
+    assert(m("hadroSegmentsRead").value == 1L && m("hadroSegmentsPruned").value == 3L)
+    spark.sql("DROP TABLE phours.db.ev")
+  }
+
   test("schema evolution preserves the partition declaration") {
     val w = setupCatalog("pevol")
     spark.sql("""CREATE TABLE pevol.db.t (id BIGINT, ts TIMESTAMP)
