@@ -1986,5 +1986,61 @@ object StorageQueries {
             AS sum_bal
         FROM customer JOIN supplier ON c_nationkey = s_nationkey
         GROUP BY c_nationkey ORDER BY nationkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h68
+    // Streaming sink INTO a days-partitioned table: micro-batch epochs
+    // flow through the same per-value writer routing the batch path uses
+    // (StreamSinkSpec asserts the tagged layout), so a tailed event
+    // stream lands partition-correct with no downstream re-clustering —
+    // and the range scan below prunes the streamed segments exactly like
+    // batch-written ones. This is the 100 TB ingestion shape: stream in,
+    // day-partitioned at rest, retention via drop_partitions (h66).
+    QueryDef(
+      "h68_partitioned_stream_sink",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h68"
+        s.conf.set("spark.sql.catalog.graft_h68", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h68.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h68.db")
+        s.sql("DROP TABLE IF EXISTS graft_h68.db.events")
+        s.sql("""CREATE TABLE graft_h68.db.events
+          (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+           value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        // stage the events parquet as a streaming-source directory
+        val stageDir = java.nio.file.Paths.get(s"/tmp/graft_stream/${tag}_h68")
+        java.nio.file.Files.createDirectories(stageDir)
+        val link = stageDir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val raw = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val stream = s.readStream.schema(raw).parquet(stageDir.toString)
+          .select(col("event_id"),
+            col("ts").cast(TimestampType).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val q = stream.writeStream.format("hadro")
+          .option("checkpointLocation", s"/tmp/graft_stream/${tag}_h68_ckpt_${System.nanoTime()}")
+          .start(s"$wh/db/events")
+        q.processAllAvailable()
+        q.stop()
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h68.db.events
+          WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+            AND ts < TIMESTAMP '2024-01-24 00:00:00'
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+          AND ts < TIMESTAMP '2024-01-24 00:00:00'
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }
