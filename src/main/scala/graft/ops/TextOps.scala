@@ -135,6 +135,44 @@ object TextOps {
           count(lit(1)), 4).as("bigram_nll"))
   }
 
+  /** BM25 KEYWORD EXTRACTION: the top-`k` scoring terms per document
+    * under Okapi BM25 (Robertson/Sparck Jones) with the corpus as the
+    * collection — the classic relevance/quality feature pipelines attach
+    * to crawled documents (salient-term profiling, topic balancing,
+    * near-dup explanation). Fully declarative: one explode into (doc,
+    * term) counts, one vocabulary aggregation for document frequencies,
+    * one single-row corpus aggregate (N, avgdl) broadcast by the
+    * optimizer, and a per-doc window for the top-k — shuffles scale with
+    * tokens and vocabulary, never pairs, so the plan survives any corpus
+    * size. Scores round to 4 decimals BEFORE ranking so ranks (and the
+    * DuckDB twin) are deterministic; ties break to the lexicographically
+    * smaller term. Returns (doc_id, rk, term, score). */
+  def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), " "), t => length(t) > 0).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val tf = toks.select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val scored = tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(corpus)
+      .select(col("doc_id"), col("term"),
+        round(
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))),
+          4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+  }
+
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =

@@ -795,6 +795,46 @@ object OpsQueries {
         FROM tok JOIN model USING (tok)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- t19
+    // BM25 keyword extraction: top-3 salient terms per document under
+    // Okapi BM25 with the corpus as the collection — the relevance/
+    // quality feature pipelines attach for salient-term profiling and
+    // topic balancing. One explode + two hash aggregations + a
+    // broadcast single-row corpus aggregate + a per-doc window: shuffles
+    // scale with tokens and vocabulary, never pairs. Scores round to 4
+    // decimals BEFORE ranking so ranks match the oracle exactly.
+    QueryDef(
+      "t19_bm25_keywords",
+      (s, dir) => {
+        TextOps.bm25TopTerms(table(s, dir, "documents"), "doc_id", "text",
+            k = 3)
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+          FROM documents),
+        tf AS (
+          SELECT doc_id, unnest(ts) AS term FROM toks WHERE len(ts) > 0),
+        tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tfc GROUP BY 1),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        scored AS (
+          SELECT t.doc_id, t.term,
+            ROUND(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)), 4) AS score
+          FROM tfc t JOIN dl l USING (doc_id) JOIN dfreq d USING (term),
+            corpus c),
+        ranked AS (
+          SELECT doc_id, term, score,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, CAST(rk AS INT) AS rk, term, score
+        FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
     // ---------------------------------------------------------------- t18
     // Bigram-LM quality (the KenLM-filter shape): mean add-one-smoothed
     // conditional nll per doc under the corpus' own bigram model —
