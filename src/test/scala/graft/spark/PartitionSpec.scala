@@ -229,6 +229,17 @@ class PartitionSpec extends SparkSuite {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"expected a zero-exchange identity-partitioned join plan:\n$plan")
+      // a second append doubles the segments (two per value): Spark must
+      // coalesce same-key partitions into one group — still exchange-free,
+      // counts doubled on the left side
+      spark.sql("INSERT INTO pspj.db.l SELECT * FROM pspj_l")
+      val j2 = spark.table("pspj.db.l").join(spark.table("pspj.db.r"), "k")
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      val got2 = j2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == (0L until 5L).map(_ -> 480L).toMap, got2.toString)
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange"),
+        s"multi-segment-per-value join must stay exchange-free:\n$plan2")
     } finally {
       saved match {
         case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
