@@ -619,32 +619,51 @@ final class Collection private (spark: SparkSession, val path: String) {
     * vacuum reclaim the files (older manifests and pinned tags keep
     * reading them until then — time travel across the drop works).
     *
-    * Tags compare numerically when both sides parse as longs (the time
-    * transforms' epoch ordinals), lexicographically otherwise (identity
-    * strings). Null-tag segments (`__null__`) never drop. Restricted to
-    * PURE-APPEND collections (`!mutated`): under upserts/deletes a
-    * dropped segment could carry the tombstone or newest version of a
-    * key whose other rows live elsewhere, silently resurrecting older
-    * state. Returns the number of segments dropped. */
+    * For the time transforms (and identity over numeric/date columns)
+    * tags are epoch ordinals, so the cutoff MUST parse as an integer —
+    * a non-numeric cutoff (a date string, say) errors instead of
+    * falling back to string order, which would silently compare
+    * "20239" < "2024-01-15" and mass-drop nearly everything. Identity
+    * over STRING columns compares the segment's EXACT max stats bound
+    * against the cutoff (never the tag — long values truncate in the
+    * tag, and a truncated tag's order can disagree with the value's);
+    * segments without an exact bound are conservatively kept. Null-tag
+    * segments (`__null__`) never drop. Restricted to PURE-APPEND
+    * collections (`!mutated`): under upserts/deletes a dropped segment
+    * could carry the tombstone or newest version of a key whose other
+    * rows live elsewhere, silently resurrecting older state. Returns
+    * the number of segments dropped. */
   def dropPartitions(before: String): Int = {
     val meta = CollectionMeta.readSchema(dir).getOrElse(
       throw new IllegalStateException(s"hadro: no collection at $path"))
     require(meta.partitionBy.isDefined && meta.partitionTransform.isDefined,
       "hadro: dropPartitions requires a declared partition transform " +
         "(CREATE TABLE ... PARTITIONED BY (days(ts)) / identity)")
-    def lt(a: String, b: String): Boolean =
-      (a.toLongOption, b.toLongOption) match {
-        case (Some(x), Some(y)) => x < y
-        case _ => a < b
-      }
+    val pCol = meta.partitionBy.get
+    val stringIdentity = meta.partitionTransform.contains("identity") &&
+      meta.schema.fields.find(_.name == pCol)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    val cutoffNum: Option[Long] = before.toLongOption
+    require(stringIdentity || cutoffNum.isDefined,
+      s"hadro: dropPartitions cutoff for ${meta.partitionTransform.get}" +
+        s"($pCol) must be the transform's integer ordinal (e.g. epoch " +
+        s"days for days()), got '$before' — a lexicographic fallback " +
+        "would mis-order numeric tags against it")
+    def shouldDrop(s: graft.meta.SegmentInfo): Boolean =
+      s.partition.exists(t => t != "__null__" && {
+        if (stringIdentity)
+          // exact stats bound, not the (possibly truncated) tag
+          s.stats.get(pCol).exists(st => st.exact && st.nullCount == 0L &&
+            st.max.exists(_ < before))
+        else t.toLongOption.exists(_ < cutoffNum.get)
+      })
     var dropped = 0
     CollectionMeta.commit(dir, cur => {
       require(!cur.mutated,
         "hadro: dropPartitions supports pure-append collections only — " +
           "an upserted/deleted collection could lose a key's newest " +
           "version or its tombstone with the dropped segment")
-      val (dead, live) = cur.segments.partition(s =>
-        s.partition.exists(t => t != "__null__" && lt(t, before)))
+      val (dead, live) = cur.segments.partition(shouldDrop)
       dropped = dead.size
       if (dead.isEmpty) cur else cur.copy(segments = live)
     })
@@ -1170,17 +1189,38 @@ final class Collection private (spark: SparkSession, val path: String) {
         // keeps it one-segment-per-value instead of tasks x values.
         // Equality is all repartitioning needs, so date_trunc stands in
         // for the writer's epoch-ordinal tags.
-        val pSpec = CollectionMeta.readSchema(dir).flatMap(m =>
+        val metaOpt = CollectionMeta.readSchema(dir)
+        val pSpec = metaOpt.flatMap(m =>
           for { c <- m.partitionBy; t <- m.partitionTransform } yield (c, t))
         pSpec match {
           case Some((c, t)) =>
             import org.apache.spark.sql.functions.{col, expr}
-            val pe = t match {
-              case "identity" => col(c)
-              case "days" => expr(s"date_trunc('DAY', `$c`)")
-              case "hours" => expr(s"date_trunc('HOUR', `$c`)")
-              case "months" => expr(s"date_trunc('MONTH', `$c`)")
-              case "years" => expr(s"date_trunc('YEAR', `$c`)")
+            import org.apache.spark.sql.types.{DateType, TimestampType}
+            val dt = metaOpt.get.schema.fields.find(_.name == c).map(_.dataType)
+            // The grouping must mirror the WRITER's UTC-epoch-ordinal
+            // tags, so it is built timezone-free: date_trunc on a
+            // session-zoned TIMESTAMP groups by LOCAL day and would
+            // split every day across two segments in a non-UTC session.
+            // Raw-micros floor-division for zoned timestamps; wall-clock
+            // date_trunc/to_date (inherently tz-free) for NTZ and DATE.
+            val pe = (t, dt) match {
+              case ("identity", _) => col(c)
+              case ("days", Some(TimestampType)) =>
+                expr(s"floor(unix_micros(`$c`) / 86400000000)")
+              case ("days", Some(DateType)) => col(c)
+              case ("days", _) => expr(s"to_date(`$c`)") // NTZ: wall clock
+              case ("hours", Some(TimestampType)) =>
+                expr(s"floor(unix_micros(`$c`) / 3600000000)")
+              case ("hours", _) => expr(s"date_trunc('HOUR', `$c`)") // NTZ
+              case ("months" | "years", _) =>
+                val d = dt match {
+                  case Some(TimestampType) =>
+                    s"date_add(DATE '1970-01-01', " +
+                      s"cast(floor(unix_micros(`$c`) / 86400000000) as int))"
+                  case Some(DateType) => s"`$c`"
+                  case _ => s"to_date(`$c`)" // NTZ: wall clock
+                }
+                expr(s"trunc($d, '${if (t == "months") "MONTH" else "YEAR"}')")
             }
             val routed = resolvedAsOf(m0.version).repartition(pe)
             m0.sortedBy match {

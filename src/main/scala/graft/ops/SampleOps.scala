@@ -130,18 +130,21 @@ object SampleOps {
     var cum = 0L
     var boundary: Option[String] = None
     var before = 0L
-    val full = scala.collection.mutable.Buffer.empty[String]
     perBucket.foreach { case (b, t) =>
       if (boundary.isEmpty) {
-        if (cum + t <= budget) { full += b; cum += t }
+        if (cum + t <= budget) cum += t
         else { boundary = Some(b); before = cum; cum += t }
       }
     }
-    val fullSet = full.toSet
-    val keepFull = df.filter(bucket.isin(fullSet.toSeq: _*))
+    // The full buckets are exactly those sorted BEFORE the boundary (the
+    // cumulative scan consumes buckets in lexicographic order), so one
+    // constant-size range predicate replaces what would otherwise be an
+    // isin() of up to 65,535 literals — absent buckets hold no rows, so
+    // including their range is free.
     boundary match {
-      case None => keepFull
+      case None => df // every bucket fit: the whole corpus passes
       case Some(b) =>
+        val keepFull = df.filter(bucket < lit(b))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(key, col(idCol))
         val edge = df.filter(bucket === b)

@@ -700,11 +700,22 @@ object SimilarityOps {
     * number of index rows swept away. */
   def sweepSqIndex(index: graft.api.Collection, base: graft.api.Collection,
       baseKeyCol: String): Long = {
-    val before = index.scan().count()
+    // Pin the rewrite to the manifest version the sweep planned against
+    // (the compact() protocol): an appendSqIndex landing mid-sweep is
+    // PRESERVED by the commit instead of silently erased by a plain
+    // truncating overwrite — lost appends would be invisible recall loss.
+    val m0 = graft.meta.CollectionMeta.currentManifest(
+      java.nio.file.Paths.get(index.path))
+    val snapshot = index.scanVersion(m0.version)
+    val before = snapshot.count()
     val live = base.toDF().select(col(baseKeyCol).as("vid"))
-    val kept = index.scan().join(live, Seq("vid"), "left_semi")
-    kept.write.format("hadro").mode("overwrite").save(index.path)
-    before - index.scan().count()
+    val kept = snapshot.join(live, Seq("vid"), "left_semi")
+    val keptCount = kept.count()
+    kept.write.format("hadro").mode("overwrite")
+      .option("hadro.compactOf", m0.version.toString)
+      .option("hadro.compactOfGen", m0.generation.toString)
+      .save(index.path)
+    before - keptCount
   }
 
   // --------------------------------------------------------- radius search

@@ -563,7 +563,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     manifestSnapshot.sortedBy match {
       case Some(c) if required.fieldNames.contains(c) =>
         val safe = bucketedFor(manifestSnapshot, staticPlanned) match {
-          case None => identityFor(staticPlanned) match {
+          case None => identityStatic match {
             // identity-grouped mode coalesces a value's partitions the
             // same way buckets do: report ordering only when every value
             // group is ONE unsplit segment (one in-order run per group)
@@ -810,7 +810,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     }
     val bucketed = bucketedFor(manifestStatic, plannedStatic)
     val identityKeyed =
-      if (bucketed.isDefined) None else identityFor(plannedStatic)
+      if (bucketed.isDefined) None else identityStatic
     val reporting = bucketed.isDefined || identityKeyed.isDefined
     val (manifest, planned) =
       if (reporting) (manifestStatic, plannedStatic)
@@ -909,6 +909,15 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     * stats are inexact and refuse reporting). Two co-partitioned
     * collections then join with zero exchanges, the value-partitioned
     * analog of the bucket SPJ path. */
+  /** Memoized over the STATIC plan and computed ONCE — outputOrdering,
+    * outputPartitioning and planInputPartitions must all see the same
+    * answer (a concurrent schema change between those calls would
+    * otherwise flip the reported partitioning and fail the query with
+    * "must preserve the original partitioning"), and the schema-file
+    * read + stats parse must not repeat per planning entry point. */
+  private lazy val identityStatic: Option[(String, Map[String, Any])] =
+    identityFor(staticPlanned)
+
   private def identityFor(
       planned: Seq[SegmentInfo]): Option[(String, Map[String, Any])] =
     for {
@@ -947,7 +956,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         val distinct = planned.flatMap(_.bucket).distinct.size
         new KeyGroupedPartitioning(
           Array[V2Expression](Expressions.bucket(n, cs: _*)), distinct)
-      case None => identityFor(planned) match {
+      case None => identityStatic match {
         case Some((c, keys)) =>
           new KeyGroupedPartitioning(
             Array[V2Expression](Expressions.identity(c)),

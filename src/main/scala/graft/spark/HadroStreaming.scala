@@ -71,7 +71,8 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
   require(maxBytesPerTrigger >= 0,
     s"hadro.maxBytesPerTrigger must be >= 0, got $maxBytesPerTrigger")
   require(startingVersion.forall(v =>
-      v.equalsIgnoreCase("latest") || v.forall(_.isDigit) ||
+      v.equalsIgnoreCase("latest") ||
+        (v.nonEmpty && v.forall(_.isDigit)) ||
         CollectionMeta.readRefs(path).contains(v)),
     s"hadro.startingVersion must be a version number, 'latest', or a tag " +
       s"name, got '${startingVersion.getOrElse("")}' " +
@@ -103,7 +104,7 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
       // have been dropped between stream definition and first start —
       // keep the descriptive error rather than a raw NumberFormatException
       val v = tagged.map(_ + 1).getOrElse {
-        if (!s.forall(_.isDigit)) throw new IllegalArgumentException(
+        if (s.isEmpty || !s.forall(_.isDigit)) throw new IllegalArgumentException(
           s"hadro.startingVersion must be a version number, 'latest', or " +
             s"a tag name, got '$s' (tags: " +
             s"${CollectionMeta.readRefs(path).keys.toSeq.sorted.mkString(", ")})")

@@ -180,6 +180,12 @@ class PartitionSpec extends SparkSuite {
       s"SELECT COUNT(*) AS n FROM pdrop.db.ev VERSION AS OF $preDrop")
       .collect().head.getLong(0)
     assert(before == 100L, s"pre-drop snapshot must keep all rows, got $before")
+    // guard: a date-string cutoff on a numeric-ordinal transform errors
+    // instead of falling back to lexicographic order (which would compare
+    // "20239" < "2026-06-03" and silently mass-drop nearly everything)
+    val eNum = intercept[Exception](
+      Collection(spark, dir.toString).dropPartitions("2026-06-03"))
+    assert(eNum.getMessage.contains("integer ordinal"), eNum.getMessage)
     // guard: a mutated collection refuses (could lose tombstones/LWW heads)
     spark.sql("""CREATE TABLE pdrop.db.kv (id BIGINT, ts TIMESTAMP)
       USING hadro PARTITIONED BY (days(ts)) TBLPROPERTIES('key'='id')""")
