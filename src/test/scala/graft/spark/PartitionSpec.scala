@@ -155,6 +155,34 @@ class PartitionSpec extends SparkSuite {
     spark.sql("DROP TABLE pcompact.db.ev")
   }
 
+  test("compaction clustering is timezone-free (non-UTC session, days stay whole)") {
+    val w = setupCatalog("ptz")
+    spark.sql("""CREATE TABLE ptz.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    val dir = Paths.get(w, "db", "ev")
+    // rows straddling UTC midnight: a session-zoned date_trunc would
+    // group them by LOCAL day and split every UTC day across segments
+    (0 until 2).foreach { _ =>
+      spark.range(0, 48).select($"id",
+        to_timestamp(lit("2026-08-01 22:00:00"))
+          .plus(expr("make_interval(0, 0, 0, 0, CAST(id AS INT), 0, 0)")).as("ts"))
+        .createOrReplaceTempView("ptz_src")
+      spark.sql("INSERT INTO ptz.db.ev SELECT * FROM ptz_src")
+    }
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try Collection(spark, dir.toString).compact()
+    finally spark.conf.set("spark.sql.session.timeZone", savedTz)
+    val segs = CollectionMeta.currentManifest(dir).segments
+    // 48 hours from 22:00 UTC touch 3 UTC days -> exactly 3 segments,
+    // regardless of the session timezone the compaction ran under
+    assert(segs.length == 3, s"expected 3 UTC-day segments, got ${segs.length}")
+    assert(segs.flatMap(_.partition).distinct.length == 3)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM ptz.db.ev")
+      .collect().head.getLong(0) == 96L)
+    spark.sql("DROP TABLE ptz.db.ev")
+  }
+
   test("drop_partitions: metadata-only retention, time travel survives, guards hold") {
     val w = setupCatalog("pdrop")
     spark.sql("""CREATE TABLE pdrop.db.ev (id BIGINT, ts TIMESTAMP)
