@@ -415,6 +415,113 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: partitioned layout invariants under random maintenance (6 op types)") {
+    import graft.meta.CollectionMeta
+    // Model checking the days(ts) layout: random sequences over append /
+    // compact / compactSmall / drop_partitions / vacuum / tag, against a
+    // driver-side per-day model. After EVERY op: the scan reads exactly
+    // the model, every live segment carries a day tag, and every
+    // segment's ts stats stay inside its tagged day — the invariant that
+    // makes stats pruning equal partition pruning.
+    sealed trait Op
+    case object Append extends Op
+    case object Compact extends Op
+    case object Pack extends Op
+    case object DropOldest extends Op
+    case object Vacuum extends Op
+    case object Tag extends Op
+    val genOp: Gen[Op] = Gen.frequency(
+      5 -> Append, 2 -> Compact, 2 -> Pack, 2 -> DropOldest,
+      1 -> Vacuum, 1 -> Tag)
+    val genSeq: Gen[List[Op]] = Gen.listOfN(12, genOp)
+    val MicrosPerDay = 86400000000L
+    val day0 = java.time.LocalDate.of(2026, 9, 1).toEpochDay
+
+    samples(genSeq, 3, seed = 777).zipWithIndex.foreach { case (ops, trial) =>
+      val w = Files.createTempDirectory(s"partprop$trial").toString
+      val cat = s"partprop$trial"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.spark.HadroCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(s"""CREATE TABLE $cat.db.ev (id BIGINT, ts TIMESTAMP)
+        USING hadro PARTITIONED BY (days(ts))""")
+      val dir = java.nio.file.Paths.get(w, "db", "ev")
+      val c = Collection(spark, dir.toString)
+      var nextId = 0L
+      // model: live day-ordinal -> ids
+      val model = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      var minLiveDay = day0 // days before this were dropped
+      val pinned = scala.collection.mutable.Map.empty[String, Set[Long]]
+      var nextTag = 0
+
+      def append(): Unit = {
+        val ids = nextId until nextId + 8
+        nextId += 8
+        val rows = ids.map { id =>
+          val day = day0 + (id % 4) // 4-day spread, interleaved
+          (id, new java.sql.Timestamp(
+            (day * MicrosPerDay + (id % 7) * 3600000000L) / 1000L))
+        }
+        rows.toDF("id", "ts").write.format("hadro").mode("append")
+          .save(dir.toString)
+        rows.foreach { case (id, _) =>
+          val day = day0 + (id % 4)
+          if (day >= minLiveDay)
+            model(day) = model.getOrElse(day, Set.empty) + id
+          // ids landing in an already-dropped day STAY (drop is a
+          // point-in-time retention op, not a standing filter)
+          else model(day) = model.getOrElse(day, Set.empty) + id
+        }
+      }
+      append()
+
+      ops.foreach { op =>
+        op match {
+          case Append => append()
+          case Compact => c.compact()
+          case Pack => c.compactSmall(1 << 20)
+          case DropOldest =>
+            val cutoff = minLiveDay + 1
+            c.dropPartitions(cutoff.toString)
+            model.keys.filter(_ < cutoff).toSeq.foreach(model.remove)
+            minLiveDay = cutoff
+          case Vacuum => c.vacuum()
+          case Tag =>
+            val name = s"t$nextTag"; nextTag += 1
+            c.createTag(name)
+            pinned(name) = model.values.flatten.toSet
+        }
+        // invariants after EVERY op
+        val got = spark.read.format("hadro").load(dir.toString)
+          .select("id").as[Long].collect().toSet
+        assert(got == model.values.flatten.toSet,
+          s"trial $trial after $op: scan diverged " +
+            s"(${got.size} vs ${model.values.flatten.toSet.size})")
+        val segs = CollectionMeta.currentManifest(dir).segments
+        segs.foreach { s =>
+          val tag = s.partition.getOrElse(
+            fail(s"trial $trial after $op: untagged segment ${s.file}"))
+          val st = s.stats("ts")
+          val lo = st.min.get.toLong / MicrosPerDay
+          val hi = st.max.get.toLong / MicrosPerDay
+          assert(lo == tag.toLong && hi == tag.toLong,
+            s"trial $trial after $op: segment ${s.file} tagged $tag spans " +
+              s"days $lo..$hi")
+        }
+        pinned.foreach { case (name, want) =>
+          val got = spark.read.format("hadro")
+            .option("hadro.versionAsOf", c.tags(name).toString)
+            .load(dir.toString).select("id").as[Long].collect().toSet
+          assert(got == want,
+            s"trial $trial after $op: tag $name pinned ${want.size}, " +
+              s"read ${got.size}")
+        }
+      }
+      spark.sql(s"DROP TABLE $cat.db.ev")
+    }
+  }
+
   test("property: radius search equals a JVM reference over arbitrary corpora") {
     import graft.ops.SimilarityOps
     val genVec: Gen[Seq[Float]] =

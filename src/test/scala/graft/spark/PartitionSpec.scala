@@ -346,6 +346,18 @@ class PartitionSpec extends SparkSuite {
     val m = scanNode(df).metrics
     assert(m("hadroSegmentsRead").value == 1L && m("hadroSegmentsPruned").value == 3L)
     spark.sql("DROP TABLE phours.db.ev")
+    // months over a DATE column exercises the DateType V2-function
+    // binding on the INSERT's clustered distribution end-to-end
+    spark.sql("""CREATE TABLE phours.db.mv (id BIGINT, d DATE)
+      USING hadro PARTITIONED BY (months(d))""")
+    spark.range(0, 60).select($"id",
+      date_add(to_date(lit("2026-01-15")), ($"id" % 3 * 31).cast("int")).as("d"))
+      .createOrReplaceTempView("phours_msrc")
+    spark.sql("INSERT INTO phours.db.mv SELECT * FROM phours_msrc")
+    val msegs = CollectionMeta.currentManifest(Paths.get(w, "db", "mv")).segments
+    assert(msegs.length == 3 && msegs.flatMap(_.partition).sorted ==
+      Seq("672", "673", "674"), msegs.map(_.partition).toString)
+    spark.sql("DROP TABLE phours.db.mv")
   }
 
   test("schema evolution preserves the partition declaration") {
