@@ -38,6 +38,48 @@ class StreamSourceSpec extends SparkSuite {
     q.stop()
   }
 
+  test("a tailing stream survives drop_partitions beneath it") {
+    import org.apache.spark.sql.functions._
+    // retention under a live tail is the 100 TB steady state: the drop
+    // removes whole partitions from the manifest WITHOUT reassigning
+    // ordinals or bumping the generation, so a stream that already
+    // consumed them sees no discontinuity, and unread-but-dropped
+    // ordinals are simply absent from later batches (retention wins).
+    val w = Files.createTempDirectory("sdrop_wh").toString
+    spark.conf.set("spark.sql.catalog.sdrop", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sdrop.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sdrop.db")
+    spark.sql("""CREATE TABLE sdrop.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    val colPath = java.nio.file.Paths.get(w, "db", "ev").toString
+    def appendDays(fromId: Long): Unit =
+      spark.range(fromId, fromId + 20).select(col("id"),
+        to_timestamp(lit("2026-10-01 00:00:00"))
+          .plus(expr("make_interval(0, 0, 0, CAST(id % 2 AS INT), 0, 0, 0)"))
+          .as("ts"))
+        .write.format("hadro").mode("append").save(colPath)
+    appendDays(0)
+    val q = spark.readStream.format("hadro").load(colPath)
+      .writeStream.format("memory").queryName("sdrop_sink").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("sdrop_sink").count() == 20L)
+    // drop the older day UNDER the running stream, then keep appending
+    val c = graft.api.Collection(spark, colPath)
+    val day0 = java.time.LocalDate.of(2026, 10, 1).toEpochDay
+    // every day-0 segment drops (the parallel append wrote one per task)
+    assert(c.dropPartitions((day0 + 1).toString) >= 1)
+    assert(spark.read.format("hadro").load(colPath).count() == 10L)
+    appendDays(100)
+    q.processAllAvailable()
+    // the tail continued without a restart/failure and picked up the new
+    // rows; nothing was re-read
+    assert(q.exception.isEmpty, q.exception.toString)
+    assert(spark.table("sdrop_sink").count() == 40L)
+    q.stop()
+    spark.sql("DROP TABLE sdrop.db.ev")
+  }
+
   test("maxBytesPerTrigger bounds micro-batch volume, never stalls") {
     val colPath = Files.createTempDirectory("bpt_col").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/orders.parquet")
