@@ -674,6 +674,55 @@ final class Collection private (spark: SparkSession, val path: String) {
     dropped
   }
 
+  /** PARTITION-SCOPED compaction: rewrite only the segments of the given
+    * partition `tags` (every fragmented partition when empty) — each
+    * partition one atomic replace commit, one output segment. The 100 TB
+    * maintenance shape: a streamed hot day fragments into one segment
+    * per epoch, and fixing it must cost O(that day), not [[compact]]'s
+    * rewrite-the-world; untouched partitions' segments are carried by
+    * reference. Pure-append collections only (`!mutated`): with no LWW,
+    * tombstones, or deletion vectors, cross-segment record order has no
+    * semantic weight, so merging a partition's (possibly non-contiguous)
+    * segments is unconditionally safe — the keyed/mutated cases keep
+    * [[compactSmall]]'s contiguous-run discipline instead. Partial
+    * progress is safe progress (the [[compactSmall]] contract): a
+    * conflict on a later partition leaves earlier commits standing;
+    * returns how many partitions were rewritten. */
+  def compactPartitions(tags: Seq[String] = Nil): Int = {
+    val meta = CollectionMeta.readSchema(dir).getOrElse(
+      throw new IllegalStateException(s"hadro: no collection at $path"))
+    require(meta.partitionBy.isDefined && meta.partitionTransform.isDefined,
+      "hadro: compactPartitions requires a declared partition transform")
+    val m0 = manifest
+    require(!m0.mutated,
+      "hadro: compactPartitions supports pure-append collections only — " +
+        "use compact() or compactSmall() for keyed/mutated collections")
+    val byTag = m0.segments.filter(_.partition.isDefined)
+      .groupBy(_.partition.get)
+    val targets = (if (tags.nonEmpty) byTag.view.filterKeys(tags.contains).toMap
+      else byTag).filter(_._2.size >= 2)
+    var committed = 0
+    targets.toSeq.sortBy(_._1).foreach { case (_, segs) =>
+      val files = segs.map(_.file).mkString(",")
+      val gen = manifest.generation
+      val packed = spark.read.format("hadro")
+        .option("hadro.files", files).load(path)
+        .repartition(1)
+      val w = packed.write.format("hadro").mode("append")
+        .option("hadro.replaceFiles", files)
+        .option("hadro.replaceGen", gen.toString)
+        .option("hadro.replaceDv",
+          segs.map(s => s"${s.file}=${s.deleteVector.getOrElse("")}").mkString(","))
+      try { w.save(path); committed += 1 }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("conflicted") =>
+          return committed
+      }
+    }
+    committed
+  }
+
   /** Reclaim space on demand: physically delete the files recorded dead by
     * earlier truncates/compactions (the deferred generation) instead of
     * waiting for the next rewrite to purge them. Same safety contract as

@@ -38,7 +38,8 @@ object HadroProcedures {
   val names: Seq[String] =
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
       "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag",
-      "publish", "orphan_files", "remove_orphans", "drop_partitions")
+      "publish", "orphan_files", "remove_orphans", "drop_partitions",
+      "compact_partitions")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -100,6 +101,23 @@ object HadroProcedures {
           val name = in.getUTF8String(1).toString
           coll(in).indexes.rebuild(name)
           Seq(InternalRow(UTF8String.fromString(name)))
+        }
+      case "compact_partitions" => proc("compact_partitions",
+        "rewrite only the named partitions' segments (comma-separated " +
+          "tags; empty = every fragmented partition) — one atomic " +
+          "replace commit and one output segment per partition, " +
+          "untouched partitions carried by reference",
+        Seq(p("table", StringType),
+          ProcedureParameter.in("tags", StringType)
+            .defaultValue("''").build()),
+        new StructType().add("partitions_compacted", IntegerType)
+          .add("version", LongType)) { in =>
+          val c = coll(in)
+          val tags =
+            if (in.isNullAt(1)) Nil
+            else in.getUTF8String(1).toString
+              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          Seq(InternalRow(c.compactPartitions(tags), c.version))
         }
       case "drop_partitions" => proc("drop_partitions",
         "drop every segment whose partition tag orders strictly before " +

@@ -183,6 +183,50 @@ class PartitionSpec extends SparkSuite {
     spark.sql("DROP TABLE ptz.db.ev")
   }
 
+  test("compact_partitions: one partition rewritten, the rest carried by reference") {
+    val w = setupCatalog("pscoped")
+    spark.sql("""CREATE TABLE pscoped.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    val dir = Paths.get(w, "db", "ev")
+    (0 until 3).foreach { b =>
+      spark.range(b * 30, b * 30 + 30).select($"id",
+        to_timestamp(lit("2026-11-01 00:00:00"))
+          .plus(expr("make_interval(0, 0, 0, CAST(id % 3 AS INT), 0, 0, 0)")).as("ts"))
+        .coalesce(1).createOrReplaceTempView("pscoped_src")
+      spark.sql("INSERT INTO pscoped.db.ev SELECT * FROM pscoped_src")
+    }
+    val segs0 = CollectionMeta.currentManifest(dir).segments
+    assert(segs0.length == 9)
+    val day1 = (java.time.LocalDate.of(2026, 11, 2).toEpochDay).toString
+    val untouched = segs0.filterNot(_.partition.contains(day1)).map(_.file).toSet
+    // SQL: compact ONLY the hot day
+    val out = spark.sql(
+      s"CALL pscoped.system.compact_partitions('db.ev', '$day1')").collect().head
+    assert(out.getInt(0) == 1, out.toString)
+    val segs1 = CollectionMeta.currentManifest(dir).segments
+    assert(segs1.length == 7, s"expected 7 segments, got ${segs1.length}")
+    assert(segs1.count(_.partition.contains(day1)) == 1)
+    // the other partitions' files were carried by REFERENCE, not rewritten
+    assert(segs1.filterNot(_.partition.contains(day1)).map(_.file).toSet == untouched)
+    // empty tags = every fragmented partition
+    val c = Collection(spark, dir.toString)
+    assert(c.compactPartitions() == 2)
+    assert(CollectionMeta.currentManifest(dir).segments.length == 3)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM pscoped.db.ev")
+      .collect().head.getLong(0) == 90L)
+    // guard: mutated collections keep compactSmall's contiguity discipline
+    spark.sql("""CREATE TABLE pscoped.db.kv (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts)) TBLPROPERTIES('key'='id')""")
+    spark.sql("INSERT INTO pscoped.db.kv SELECT * FROM pscoped_src")
+    val kv = Collection(spark, Paths.get(w, "db", "kv").toString)
+    kv.set(Seq((1L, java.sql.Timestamp.valueOf("2026-11-01 00:00:00")))
+      .toDF("id", "ts"))
+    val e = intercept[Exception](kv.compactPartitions())
+    assert(e.getMessage.contains("pure-append"), e.getMessage)
+    spark.sql("DROP TABLE pscoped.db.ev")
+    spark.sql("DROP TABLE pscoped.db.kv")
+  }
+
   test("drop_partitions: metadata-only retention, time travel survives, guards hold") {
     val w = setupCatalog("pdrop")
     spark.sql("""CREATE TABLE pdrop.db.ev (id BIGINT, ts TIMESTAMP)
