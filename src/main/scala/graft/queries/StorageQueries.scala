@@ -1988,6 +1988,50 @@ object StorageQueries {
         GROUP BY c_nationkey ORDER BY nationkey"""))
     ,
 
+    // ---------------------------------------------------------------- h69
+    // Partition-scoped compaction: three interleaved INSERTs fragment a
+    // days(ts)-partitioned events table; CALL compact_partitions rewrites
+    // each fragmented day as ONE atomic replace commit (one output
+    // segment per day, untouched files carried by reference — never
+    // compact()'s rewrite-the-world), and the data reads back lossless.
+    // PartitionSpec asserts the layout/reference mechanics; the oracle
+    // proves the contents.
+    QueryDef(
+      "h69_partition_scoped_compaction",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h69"
+        s.conf.set("spark.sql.catalog.graft_h69", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h69.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h69.db")
+        s.sql("DROP TABLE IF EXISTS graft_h69.db.events")
+        s.sql("""CREATE TABLE graft_h69.db.events
+          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h69_src")
+        // three interleaved batches fragment every day across commits
+        (0 until 3).foreach { b =>
+          s.sql(s"INSERT INTO graft_h69.db.events SELECT * FROM h69_src " +
+            s"WHERE event_id % 3 = $b")
+        }
+        s.sql("CALL graft_h69.system.compact_partitions('db.events', '')")
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(MIN(event_id) AS BIGINT) AS min_id,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h69.db.events
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MIN(event_id) AS BIGINT) AS min_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM events
+        GROUP BY event_type ORDER BY event_type"""))
+    ,
+
     // ---------------------------------------------------------------- h68
     // Streaming sink INTO a days-partitioned table: micro-batch epochs
     // flow through the same per-value writer routing the batch path uses
