@@ -665,7 +665,12 @@ final class Collection private (spark: SparkSession, val path: String) {
           "version or its tombstone with the dropped segment")
       val (dead, live) = cur.segments.partition(shouldDrop)
       dropped = dead.size
-      if (dead.isEmpty) cur else cur.copy(segments = live)
+      if (dead.isEmpty) cur
+      // pin the ordinal watermark: dropping the max-ordinal segment must
+      // not let nextOrdinal regress, or the next append would reuse
+      // ordinals a tailing stream already consumed (lost rows)
+      else cur.copy(segments = live,
+        ordinalFloor = math.max(cur.ordinalFloor, cur.nextOrdinal))
     })
     if (dropped > 0) {
       val live = manifest.segments.flatMap(_.allFiles).toSet
@@ -699,6 +704,12 @@ final class Collection private (spark: SparkSession, val path: String) {
         "use compact() or compactSmall() for keyed/mutated collections")
     val byTag = m0.segments.filter(_.partition.isDefined)
       .groupBy(_.partition.get)
+    // an unknown requested tag is an error, not a silent zero — callers
+    // asking for a partition that does not exist should hear about it
+    val unknown = tags.filterNot(byTag.contains)
+    require(unknown.isEmpty,
+      s"hadro: no such partition(s) ${unknown.mkString(", ")} " +
+        s"(live: ${byTag.keys.toSeq.sorted.mkString(", ")})")
     val targets = (if (tags.nonEmpty) byTag.view.filterKeys(tags.contains).toMap
       else byTag).filter(_._2.size >= 2)
     var committed = 0
@@ -711,6 +722,10 @@ final class Collection private (spark: SparkSession, val path: String) {
       val w = packed.write.format("hadro").mode("append")
         .option("hadro.replaceFiles", files)
         .option("hadro.replaceGen", gen.toString)
+        // the up-front !mutated check is only a fast fail: a FIRST
+        // concurrent upsert flips `mutated` without a generation bump,
+        // so the atomic guard must live inside the replace commit
+        .option("hadro.replaceIfUnmutated", "true")
         .option("hadro.replaceDv",
           segs.map(s => s"${s.file}=${s.deleteVector.getOrElse("")}").mkString(","))
       try { w.save(path); committed += 1 }

@@ -161,8 +161,17 @@ final case class Manifest(
     // overwrites them. `analyzedVersion` records the version they
     // describe (-1 = never analyzed) so readers can judge staleness.
     colStats: Map[String, ColumnStatMeta] = Map.empty,
-    analyzedVersion: Long = -1L) {
-  def nextOrdinal: Long = if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1
+    analyzedVersion: Long = -1L,
+    // Ordinal watermark: nextOrdinal never falls below this, even when a
+    // metadata-only segment DROP (partition retention) removes the
+    // max-ordinal segment. Without it the derived max+1 would REGRESS
+    // and the next append would reuse ordinals a tailing stream already
+    // consumed — silently skipped rows. Generation-bumping rewrites
+    // (truncate, replace) reset it to 0: they restart the ordinal space
+    // and the generation change already tells streams so.
+    ordinalFloor: Long = 0L) {
+  def nextOrdinal: Long = math.max(ordinalFloor,
+    if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1)
 }
 
 /** Collection directory layout and metadata persistence.

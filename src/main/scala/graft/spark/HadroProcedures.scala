@@ -104,7 +104,8 @@ object HadroProcedures {
         }
       case "compact_partitions" => proc("compact_partitions",
         "rewrite only the named partitions' segments (comma-separated " +
-          "tags; empty = every fragmented partition) — one atomic " +
+          "tags; empty = every fragmented partition; identity-string " +
+          "tags containing commas need the Scala API) — one atomic " +
           "replace commit and one output segment per partition, " +
           "untouched partitions carried by reference",
         Seq(p("table", StringType),

@@ -99,7 +99,8 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
             val v = pair.substring(i + 1)
             f -> (if (v.isEmpty) None else Some(v))
           }.toMap).getOrElse(Map.empty[String, Option[String]])
-        ReplaceSpec(fs, gen, dv)
+        ReplaceSpec(fs, gen, dv,
+          opts.getBoolean("hadro.replaceIfUnmutated", false))
       }
     }
     // Collection-level payload compression, fixed at creation: per-record
@@ -343,7 +344,14 @@ private[graft] object HadroWriteInit {
   * in; replacing the file would resurrect them). Empty map = no check
   * (caller predates vectors or proved none can exist). */
 final case class ReplaceSpec(files: Seq[String], gen: Long,
-    expectedDv: Map[String, Option[String]] = Map.empty)
+    expectedDv: Map[String, Option[String]] = Map.empty,
+    // `hadro.replaceIfUnmutated`: conflict if the collection became
+    // keyed-mutated since the rewrite was planned. Plain appends flip
+    // `mutated` WITHOUT a generation bump, so the generation check alone
+    // cannot see a first concurrent upsert — but an order-scrambling
+    // merge planned under append-only assumptions must not commit once
+    // LWW resolution is in play (see Collection.compactPartitions).
+    requireUnmutated: Boolean = false)
 
 final class HadroBatchWrite(path: Path, schema: StructType,
     consistency: Consistency.Value, tombstone: Boolean, mutating: Boolean,
@@ -404,7 +412,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     var conflicted = false
 
     def replaceCommit(cur: graft.meta.Manifest, files: Seq[String],
-        gen: Long, expectedDv: Map[String, Option[String]]): graft.meta.Manifest = {
+        gen: Long, expectedDv: Map[String, Option[String]],
+        requireUnmutated: Boolean = false): graft.meta.Manifest = {
       val fileSet = files.toSet
       // A deletion-vector commit landing between this rewrite's plan and
       // its commit changes neither generation nor file identity, but the
@@ -414,6 +423,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       val dvMoved = expectedDv.nonEmpty && cur.segments.exists(s =>
         fileSet(s.file) && expectedDv.get(s.file).exists(_ != s.deleteVector))
       if (cur.generation != gen || dvMoved ||
+          (requireUnmutated && cur.mutated) ||
           !fileSet.subsetOf(cur.segments.map(_.file).toSet)) {
         // a concurrent truncate/compaction/replace no longer carries the
         // files this rewrite covered — abandoning is the only safe move
@@ -441,6 +451,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           segments = reordered,
           mutated = cur.mutated || mutating,
           generation = cur.generation + 1,
+          ordinalFloor = 0L, // ordinal space restarted; generation says so
           bucketBy = if (specConflict) None else cur.bucketBy,
           numBuckets = if (specConflict) None else cur.numBuckets,
           // a rewrite keeps the declared sort only if it re-declares it
@@ -449,7 +460,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     }
 
     CollectionMeta.commit(path, cur => replaceSpec match {
-      case Some(ReplaceSpec(files, gen, dv)) => replaceCommit(cur, files, gen, dv)
+      case Some(ReplaceSpec(files, gen, dv, reqUnmut)) =>
+        replaceCommit(cur, files, gen, dv, reqUnmut)
       case None =>
       // A compaction is a rewrite of ONE pinned snapshot: segments that
       // committed after it (concurrent appends/upserts) are NOT part of
@@ -528,6 +540,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           // ordinals restart at 0: bump the generation so tailing streams
           // detect the discontinuity instead of misreading new ordinals
           generation = if (truncate) cur.generation + 1 else cur.generation,
+          ordinalFloor = if (truncate) 0L else cur.ordinalFloor,
           bucketBy = bBy,
           numBuckets = bN,
           sortedBy = sBy)

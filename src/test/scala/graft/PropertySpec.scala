@@ -465,13 +465,11 @@ class PropertySpec extends SparkSuite {
         }
         rows.toDF("id", "ts").write.format("hadro").mode("append")
           .save(dir.toString)
+        // ids landing in an already-dropped day STAY LIVE: drop is a
+        // point-in-time retention op, not a standing filter
         rows.foreach { case (id, _) =>
           val day = day0 + (id % 4)
-          if (day >= minLiveDay)
-            model(day) = model.getOrElse(day, Set.empty) + id
-          // ids landing in an already-dropped day STAY (drop is a
-          // point-in-time retention op, not a standing filter)
-          else model(day) = model.getOrElse(day, Set.empty) + id
+          model(day) = model.getOrElse(day, Set.empty) + id
         }
       }
       append()

@@ -291,4 +291,36 @@ class CompactionSpec extends SparkSuite {
     assert(m1.segments.forall(_.bucket.exists(b => b >= 0 && b < 4)))
     assert(c.scan().count() == expected)
   }
+
+  test("replaceIfUnmutated conflicts when a first upsert lands mid-rewrite") {
+    // The TOCTOU the option exists for: a plain append flips `mutated`
+    // WITHOUT a generation bump, so a partition-scoped rewrite planned
+    // under append-only assumptions (order-scrambling merge) must be
+    // refused by the COMMIT, not just the up-front check.
+    val path = Files.createTempDirectory("replmut").resolve("c").toString
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    rows.coalesce(1).write.format("hadro").mode("append")
+      .option("hadro.key", "id").save(path)
+    rows.coalesce(1).write.format("hadro").mode("append").save(path)
+    val c = Collection(spark, path)
+    val m0 = CollectionMeta.currentManifest(Paths.get(path))
+    assert(!m0.mutated)
+    val files = m0.segments.map(_.file)
+    // "concurrent" first upsert between plan and commit: same generation,
+    // files untouched, but LWW resolution is now in play
+    c.set(Seq((1L, "newer")).toDF("id", "v"))
+    assert(CollectionMeta.currentManifest(Paths.get(path)).mutated)
+    val packed = spark.read.format("hadro")
+      .option("hadro.files", files.mkString(",")).load(path).repartition(1)
+    val e = intercept[IllegalStateException] {
+      packed.write.format("hadro").mode("append")
+        .option("hadro.replaceFiles", files.mkString(","))
+        .option("hadro.replaceGen", m0.generation.toString)
+        .option("hadro.replaceIfUnmutated", "true")
+        .save(path)
+    }
+    assert(e.getMessage.contains("conflicted"), e.getMessage)
+    // nothing replaced; the upsert's LWW view is intact
+    assert(c.toDF().filter($"id" === 1L).select($"v").head().getString(0) == "newer")
+  }
 }

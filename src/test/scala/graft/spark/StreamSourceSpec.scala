@@ -52,30 +52,38 @@ class StreamSourceSpec extends SparkSuite {
     spark.sql("""CREATE TABLE sdrop.db.ev (id BIGINT, ts TIMESTAMP)
       USING hadro PARTITIONED BY (days(ts))""")
     val colPath = java.nio.file.Paths.get(w, "db", "ev").toString
-    def appendDays(fromId: Long): Unit =
-      spark.range(fromId, fromId + 20).select(col("id"),
+    def appendDay(fromId: Long, dayOffset: Int, n: Int): Unit =
+      spark.range(fromId, fromId + n).select(col("id"),
         to_timestamp(lit("2026-10-01 00:00:00"))
-          .plus(expr("make_interval(0, 0, 0, CAST(id % 2 AS INT), 0, 0, 0)"))
-          .as("ts"))
+          .plus(expr(s"make_interval(0, 0, 0, $dayOffset, 0, 0, 0)")).as("ts"))
+        .coalesce(1)
         .write.format("hadro").mode("append").save(colPath)
-    appendDays(0)
+    // day-1 first, then day-0 LAST — so the day-0 segment holds the MAX
+    // ordinal and the drop exercises the ordinal-floor watermark (without
+    // it, nextOrdinal would regress and the next append would reuse
+    // ordinals the stream already consumed: silently lost rows)
+    appendDay(0, 1, 10)
+    appendDay(100, 0, 10)
     val q = spark.readStream.format("hadro").load(colPath)
       .writeStream.format("memory").queryName("sdrop_sink").outputMode("append")
       .start()
     q.processAllAvailable()
     assert(spark.table("sdrop_sink").count() == 20L)
-    // drop the older day UNDER the running stream, then keep appending
+    // drop the older day (the max-ordinal segment) UNDER the running
+    // stream, then keep appending
     val c = graft.api.Collection(spark, colPath)
     val day0 = java.time.LocalDate.of(2026, 10, 1).toEpochDay
-    // every day-0 segment drops (the parallel append wrote one per task)
-    assert(c.dropPartitions((day0 + 1).toString) >= 1)
+    assert(c.dropPartitions((day0 + 1).toString) == 1)
     assert(spark.read.format("hadro").load(colPath).count() == 10L)
-    appendDays(100)
+    appendDay(200, 1, 10)
     q.processAllAvailable()
-    // the tail continued without a restart/failure and picked up the new
-    // rows; nothing was re-read
+    // the tail continued without a restart/failure, picked up ALL the new
+    // rows (the watermark kept their ordinals past the consumed range),
+    // and nothing was re-read
     assert(q.exception.isEmpty, q.exception.toString)
-    assert(spark.table("sdrop_sink").count() == 40L)
+    assert(spark.table("sdrop_sink").count() == 30L)
+    assert(spark.table("sdrop_sink").select(col("id")).as[Long].collect().toSet
+      == ((0L until 10L) ++ (100L until 110L) ++ (200L until 210L)).toSet)
     q.stop()
     spark.sql("DROP TABLE sdrop.db.ev")
   }
