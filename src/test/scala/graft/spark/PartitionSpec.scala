@@ -329,6 +329,43 @@ class PartitionSpec extends SparkSuite {
     }
   }
 
+  test("over-long identity values: SPJ refuses (inexact stats), joins stay correct") {
+    // identity-string values past the 64-char stats bound truncate with
+    // exact=false — the scan must then NOT report KeyGroupedPartitioning
+    // (a truncated bound cannot prove single-valuedness), and the join
+    // falls back to ordinary exchanges with correct results. Retention
+    // is equally conservative: dropPartitions keeps inexact segments.
+    val w = setupCatalog("plong")
+    spark.sql("""CREATE TABLE plong.db.l (k STRING, v BIGINT)
+      USING hadro PARTITIONED BY (k)""")
+    spark.range(0, 30).select(
+        concat(lit("verylongtenantprefix_" * 4), ($"id" % 3).cast("string")).as("k"),
+        $"id".as("v"))
+      .createOrReplaceTempView("plong_src")
+    spark.sql("INSERT INTO plong.db.l SELECT * FROM plong_src")
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.table("plong.db.l").groupBy($"k").agg(count(lit(1)).as("n"))
+      assert(df.collect().map(_.getLong(1)).toSeq == Seq(10L, 10L, 10L))
+      // the scan must report UNKNOWN partitioning (an Exchange plans)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"),
+        s"inexact stats must refuse KeyGrouped reporting:\n$plan")
+      // retention: inexact bounds are conservatively KEPT, never dropped
+      val c = Collection(spark,
+        java.nio.file.Paths.get(w, "db", "l").toString)
+      assert(c.dropPartitions("zzzz") == 0,
+        "truncated-stats segments must never drop on a string cutoff")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.sql("DROP TABLE plong.db.l")
+    }
+  }
+
   test("transform validation fails fast at CREATE") {
     setupCatalog("pval")
     // time transform over a non-time column
