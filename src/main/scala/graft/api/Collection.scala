@@ -411,7 +411,8 @@ final class Collection private (spark: SparkSession, val path: String) {
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true,
           metadata = metadata)),
       meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress,
-      meta.partitionBy, meta.partitionTransform)
+      meta.partitionBy, meta.partitionTransform,
+      meta.priorPartitionTransforms)
   }
 
   /** Column RENAME: pure metadata — record decode is positional, so the
@@ -445,7 +446,8 @@ final class Collection private (spark: SparkSession, val path: String) {
       org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,
         meta.schema.fields(ord).copy(name = newName))),
       meta.keyField.map(ren), meta.bucketBy.map(renList), meta.numBuckets,
-      meta.compress, meta.partitionBy.map(ren), meta.partitionTransform)
+      meta.compress, meta.partitionBy.map(ren), meta.partitionTransform,
+      meta.priorPartitionTransforms)
   }
 
   /** Column type WIDENING: metadata-only `ALTER COLUMN ... TYPE` for the
@@ -495,7 +497,8 @@ final class Collection private (spark: SparkSession, val path: String) {
       org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,
         meta.schema.fields(ord).copy(dataType = newType))),
       meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress,
-      meta.partitionBy, meta.partitionTransform)
+      meta.partitionBy, meta.partitionTransform,
+      meta.priorPartitionTransforms)
   }
 
   /** Column DROP: metadata-only — the field stays in the PHYSICAL schema
@@ -535,7 +538,8 @@ final class Collection private (spark: SparkSession, val path: String) {
           s"${CollectionMeta.DroppedPrefix}$ord",
           meta.schema.fields(ord).dataType, nullable = true))),
       meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress,
-      meta.partitionBy, meta.partitionTransform)
+      meta.partitionBy, meta.partitionTransform,
+      meta.priorPartitionTransforms)
   }
 
   /** Rewind the collection to a retained version (Delta RESTORE / Iceberg
@@ -633,6 +637,47 @@ final class Collection private (spark: SparkSession, val path: String) {
     * could carry the tombstone or newest version of a key whose other
     * rows live elsewhere, silently resurrecting older state. Returns
     * the number of segments dropped. */
+  /** Forward-only partition-spec evolution: re-declare the time transform
+    * over the SAME source column at a FINER granularity (years → months →
+    * days → hours), for when data rates outgrow the original spec.
+    * Metadata-only and instant: segments written under the old spec keep
+    * their coarser tags — scan pruning is stats-based so it never cared,
+    * transform SPJ simply declines to report until they're compacted
+    * under the new spec, and [[dropPartitions]] compares exact stats
+    * bounds so retention stays correct across the respec boundary — while
+    * every NEW write routes one-segment-per-new-transform-value. The old
+    * transform is appended to the spec history
+    * ([[graft.meta.CollectionMeta.SchemaMeta.priorPartitionTransforms]]),
+    * surfaced by the `detail` metadata table. Coarsening is rejected:
+    * segments already routed finer than the declared spec would be
+    * indistinguishable from fragmentation, and every system that supports
+    * respec (Iceberg's partition evolution) makes it forward-only. */
+  def setPartitionTransform(transform: String): Unit = {
+    val meta = CollectionMeta.readSchema(dir).getOrElse(
+      throw new IllegalStateException(s"hadro: no collection at $path"))
+    require(meta.partitionBy.isDefined && meta.partitionTransform.isDefined,
+      "hadro: setPartitionTransform requires declared value partitioning " +
+        "(PARTITIONED BY at CREATE); adding partitioning to an " +
+        "unpartitioned collection is not supported")
+    val cur = meta.partitionTransform.get
+    val order = Seq("years", "months", "days", "hours")
+    require(order.contains(cur),
+      s"hadro: identity partition specs are fixed at CREATE (have '$cur')")
+    require(order.contains(transform),
+      s"hadro: unknown time transform '$transform' " +
+        s"(supported: ${order.mkString(", ")})")
+    require(order.indexOf(transform) > order.indexOf(cur),
+      s"hadro: partition-spec evolution is forward-only (finer), " +
+        s"cannot respec $cur(${meta.partitionBy.get}) to coarser-or-equal " +
+        s"$transform(${meta.partitionBy.get})")
+    // hours demands sub-day source resolution — validate before persisting
+    graft.spark.HadroPartition.validate(meta.schema, meta.partitionBy.get, transform)
+    CollectionMeta.writeSchema(dir, meta.schema, meta.keyField,
+      meta.bucketBy, meta.numBuckets, meta.compress,
+      meta.partitionBy, Some(transform),
+      meta.priorPartitionTransforms :+ cur)
+  }
+
   def dropPartitions(before: String): Int = {
     val meta = CollectionMeta.readSchema(dir).getOrElse(
       throw new IllegalStateException(s"hadro: no collection at $path"))
@@ -640,23 +685,43 @@ final class Collection private (spark: SparkSession, val path: String) {
       "hadro: dropPartitions requires a declared partition transform " +
         "(CREATE TABLE ... PARTITIONED BY (days(ts)) / identity)")
     val pCol = meta.partitionBy.get
+    val pColType = meta.schema.fields.find(_.name == pCol).map(_.dataType)
+      .getOrElse(throw new IllegalStateException(
+        s"hadro: partition column '$pCol' missing from schema"))
     val stringIdentity = meta.partitionTransform.contains("identity") &&
-      meta.schema.fields.find(_.name == pCol)
-        .exists(_.dataType == org.apache.spark.sql.types.StringType)
+      pColType == org.apache.spark.sql.types.StringType
     val cutoffNum: Option[Long] = before.toLongOption
     require(stringIdentity || cutoffNum.isDefined,
       s"hadro: dropPartitions cutoff for ${meta.partitionTransform.get}" +
         s"($pCol) must be the transform's integer ordinal (e.g. epoch " +
         s"days for days()), got '$before' — a lexicographic fallback " +
         "would mis-order numeric tags against it")
+    // The drop rule compares each segment's EXACT source-column stats
+    // bound against the cutoff ordinal's lower boundary under the CURRENT
+    // transform — never the tag. Tags truncate (identity strings) and can
+    // predate a partition-spec respec (a days-tagged segment in an
+    // hours-respec'd collection); stats are the same source of truth the
+    // scan-side skipper prunes with, so the drop boundary and filter
+    // semantics can never disagree.
+    val cutoffBound: Option[Long] = cutoffNum.map(n =>
+      graft.spark.HadroPartition.lowerBoundOf(
+        pColType, meta.partitionTransform.get, n))
     def shouldDrop(s: graft.meta.SegmentInfo): Boolean =
-      s.partition.exists(t => t != "__null__" && {
+      s.partition.exists(t => t != "__null__") && {
         if (stringIdentity)
-          // exact stats bound, not the (possibly truncated) tag
+          // exact stats bound compared in UTF8String (UTF-8 byte) order —
+          // the SAME ordering the stats were collected under; Java String
+          // '<' (UTF-16 code-unit order) disagrees for supplementary-
+          // plane characters
           s.stats.get(pCol).exists(st => st.exact && st.nullCount == 0L &&
-            st.max.exists(_ < before))
-        else t.toLongOption.exists(_ < cutoffNum.get)
-      })
+            st.max.exists(m =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(m)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(before)) < 0))
+        else
+          s.stats.get(pCol).exists(st => st.exact && st.nullCount == 0L &&
+            st.max.flatMap(_.toLongOption).exists(_ < cutoffBound.get))
+      }
     var dropped = 0
     CollectionMeta.commit(dir, cur => {
       require(!cur.mutated,
@@ -794,7 +859,8 @@ final class Collection private (spark: SparkSession, val path: String) {
       throw new IllegalStateException(s"hadro: no collection at $dir"))
     CollectionMeta.writeSchema(dst, meta.schema, meta.keyField,
       meta.bucketBy, meta.numBuckets, meta.compress,
-      meta.partitionBy, meta.partitionTransform)
+      meta.partitionBy, meta.partitionTransform,
+      meta.priorPartitionTransforms)
     val files = m.segments.flatMap(_.allFiles)
     files.foreach { f =>
       val srcF = dir.resolve(f)

@@ -220,11 +220,17 @@ object CollectionMeta {
     * one-partition tight and range filters prune whole partitions at
     * planning time. Transform names: identity, years, months, days,
     * hours. Mutually exclusive with bucketing. */
+  /** `priorPartitionTransforms`: forward-only partition-spec evolution
+    * history (oldest first) — e.g. `Seq("days")` after a days→hours
+    * respec. Segments written under a prior spec keep their coarser tags
+    * (pruning is stats-based and unaffected); the history is
+    * observability plus the respec validator's forward-only check. */
   final case class SchemaMeta(schema: StructType, keyField: Option[String],
       bucketBy: Option[String] = None, numBuckets: Option[Int] = None,
       compress: Option[String] = None,
       partitionBy: Option[String] = None,
-      partitionTransform: Option[String] = None)
+      partitionTransform: Option[String] = None,
+      priorPartitionTransforms: Seq[String] = Nil)
 
   /** DROPPED-column marker: the stored schema is the PHYSICAL layout — a
     * dropped column's field stays in it under this reserved name (record
@@ -283,7 +289,8 @@ object CollectionMeta {
       bucketBy: Option[String] = None, numBuckets: Option[Int] = None,
       compress: Option[String] = None,
       partitionBy: Option[String] = None,
-      partitionTransform: Option[String] = None): Unit = {
+      partitionTransform: Option[String] = None,
+      priorPartitionTransforms: Seq[String] = Nil): Unit = {
     Files.createDirectories(metaDir(collection))
     val json = Serialization.write(Map(
       "sparkSchema" -> JsonMethods.parse(schema.json),
@@ -292,7 +299,8 @@ object CollectionMeta {
       "numBuckets" -> numBuckets,
       "compress" -> compress,
       "partitionBy" -> partitionBy,
-      "partitionTransform" -> partitionTransform))
+      "partitionTransform" -> partitionTransform,
+      "priorPartitionTransforms" -> priorPartitionTransforms))
     val tmp = metaDir(collection).resolve(s"schema.json.tmp${System.nanoTime()}")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, schemaFile(collection), StandardCopyOption.ATOMIC_MOVE,
@@ -329,7 +337,11 @@ object CollectionMeta {
         case JString(s) => Some(s)
         case _ => None
       }
-      Some(SchemaMeta(schema, key, bBy, bN, comp, pBy, pTr))
+      val pHist = (root \ "priorPartitionTransforms") match {
+        case org.json4s.JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+      Some(SchemaMeta(schema, key, bBy, bN, comp, pBy, pTr, pHist))
     }
   }
 

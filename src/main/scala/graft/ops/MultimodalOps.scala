@@ -104,11 +104,139 @@ object MultimodalOps {
     Some((n, feats))
   }
 
-  /** STUB decoder for remaining media kinds (video / unknown bytes):
-    * deterministic pseudo-features from the raw bytes. ??? replace with a
-    * real video codec when available — the signature (bytes in, frame
-    * count + feature vector out) is the real contract; images take
-    * [[decodeImage]] and 16-bit PCM WAV audio takes [[decodeAudio]]. */
+  private[ops] def looksLikeGif(b: Array[Byte]): Boolean =
+    b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** REAL video frame decode for the containers the JDK can walk unaided:
+    * animated GIF (ImageIO frame iteration — palette frames are lossless,
+    * so decoded pixels are exact) and MJPEG (the raw concatenated-JPEG
+    * stream: split on SOI/EOI marker pairs, each part fed to the plain
+    * image decoder). Returns the decoded frame rasters, oldest first;
+    * None for single-frame media (that is an IMAGE — the image path owns
+    * it) and for anything that does not decode. */
+  private[ops] def decodeVideoFrames(
+      bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] = {
+    if (looksLikeGif(bytes)) {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        r.setInput(iis, false, true)
+        try {
+          val n = r.getNumImages(true)
+          if (n < 2) None // single-frame GIF = image
+          else Some((0 until n).map(r.read(_)))
+        } finally { r.dispose(); iis.close() }
+      } catch { case _: Exception => None }
+    } else if (bytes.length > 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) {
+      // MJPEG: scan for EOI (FFD9) immediately followed by SOI (FFD8) —
+      // each part is a complete baseline JPEG the plain decoder reads
+      val cuts = scala.collection.mutable.ArrayBuffer(0)
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd9 &&
+            (bytes(i + 2) & 0xff) == 0xff && (bytes(i + 3) & 0xff) == 0xd8) {
+          cuts += i + 2
+          i += 2
+        }
+        i += 1
+      }
+      if (cuts.length < 2) None // one JPEG = image
+      else try {
+        val bounds = cuts.toSeq :+ bytes.length
+        val frames = bounds.sliding(2).map { case Seq(a, b) =>
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(bytes, a, b)))
+        }.toSeq
+        if (frames.exists(_ == null)) None else Some(frames)
+      } catch { case _: Exception => None }
+    } else None
+  }
+
+  /** Encode rasters as one animated GIF (ImageIO write sequence) — the
+    * planted-fixture twin of [[decodeVideoFrames]]'s GIF path, the same
+    * way WavUtil.encodeMono feeds the WAV decoder: tests/queries plant
+    * real containers with formula-derived pixels, decode them with the
+    * real walker, and check pixels exactly (GIF palettes are lossless
+    * for solid frames). */
+  def encodeAnimatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeAnimatedGif needs at least one frame")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Per-frame pixel fingerprints from REAL video decode: one row per
+    * decoded frame with its dimensions, top-left pixel (packed 0xRRGGBB —
+    * proves pixels were decoded, the m05 discipline) and a packed
+    * fingerprint `fhash = (w << 44) | (h << 24) | rgb0`. Map-only
+    * per-partition decode; media that is not a multi-frame container
+    * emits no rows. The SQL-expressible fingerprint is what lets an
+    * exact oracle replay the whole near-dup pipeline from the planted
+    * pixel formula. */
+  def videoFrameTable(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeVideoFrames(bytes).toSeq.flatMap(_.zipWithIndex.map {
+            case (img, fi) =>
+              val w = img.getWidth
+              val h = img.getHeight
+              val rgb0 = img.getRGB(0, 0) & 0xffffff
+              val fhash = (w.toLong << 44) | (h.toLong << 24) | rgb0.toLong
+              (id, fi, w, h, rgb0, fhash)
+          })
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "rgb0", "fhash")
+  }
+
+  /** VIDEO near-dup pairs over DECODED frame fingerprints: assets pair
+    * when they share >= `minShared` distinct decoded-frame fingerprints
+    * ([[videoFrameTable]]) — trims and re-containered uploads of the same
+    * footage pair because the PIXELS collide, not the bytes (an MJPEG
+    * re-mux of a GIF pairs; byte-level hashing never can). Same scale
+    * shape as every dedup candidate stage: df-cap drops ubiquitous
+    * frames (test cards, black frames) before the inverted-index join. */
+  def decodedVideoNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      minShared: Int = 2, maxDf: Int = 32): DataFrame = {
+    val f = videoFrameTable(df, idCol, mediaCol)
+      .select(col("media_id"), col("fhash")).distinct()
+    val rare = f.groupBy("fhash")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select("fhash")
+    val ff = f.join(rare, Seq("fhash"), "left_semi")
+    ff.as("x").join(ff.as("y"), "fhash")
+      .filter(col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("a"), col("y.media_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** STUB decoder for UNKNOWN byte kinds only: deterministic
+    * pseudo-features from the raw bytes, keeping the pipeline total over
+    * media no JDK-native decoder covers (compressed video codecs —
+    * H.264 etc. — would need a codec library this container lacks). The
+    * signature (bytes in, frame count + feature vector out) is the real
+    * contract; images take [[decodeImage]], 16-bit PCM WAV audio takes
+    * [[decodeAudio]], and multi-frame GIF / MJPEG video takes
+    * [[decodeVideoFrames]] — all on real pixels/samples. */
   private[ops] def fakeDecode(bytes: Array[Byte]): (Int, Array[Float]) = {
     val frameSize = 64
     val nFrames = bytes.length / frameSize + 1
@@ -137,16 +265,50 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // real decodes first — images (1 frame, pixel-grid features) and
-          // PCM WAV audio (per-sample frames, windowed RMS features);
-          // remaining media falls back to the deterministic stub
-          decodeImage(bytes) match {
-            case Some((_, _, feats)) => (id, bytes.length, 1, feats.toSeq)
-            case None => decodeAudio(bytes) match {
-              case Some((nFrames, feats)) => (id, bytes.length, nFrames, feats.toSeq)
-              case None =>
-                val (nFrames, feats) = fakeDecode(bytes)
-                (id, bytes.length, nFrames, feats.toSeq)
+          // real decodes first — multi-frame video (GIF/MJPEG; checked
+          // BEFORE the image sniff, which would claim a GIF's first
+          // frame), images (1 frame, pixel-grid features), PCM WAV audio
+          // (per-sample frames, windowed RMS features); remaining media
+          // falls back to the deterministic stub
+          decodeVideoFrames(bytes) match {
+            case Some(frames) =>
+              // features = mean decoded luminance per temporal window
+              // (8 equal windows over the frame sequence) — the video
+              // analog of the audio path's windowed RMS envelope
+              val perFrame = frames.map { img =>
+                var sum = 0.0
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                      (rgb & 0xff) * 114) / 1000.0 / 255.0
+                    x += 1
+                  }
+                  y += 1
+                }
+                sum / (img.getWidth * img.getHeight)
+              }
+              val feats = new Array[Float](8)
+              var wdw = 0
+              while (wdw < 8) {
+                val lo = perFrame.length * wdw / 8
+                val hi = perFrame.length * (wdw + 1) / 8
+                feats(wdw) =
+                  if (hi > lo) (perFrame.slice(lo, hi).sum / (hi - lo)).toFloat
+                  else 0f
+                wdw += 1
+              }
+              (id, bytes.length, frames.length, feats.toSeq)
+            case None => decodeImage(bytes) match {
+              case Some((_, _, feats)) => (id, bytes.length, 1, feats.toSeq)
+              case None => decodeAudio(bytes) match {
+                case Some((nFrames, feats)) => (id, bytes.length, nFrames, feats.toSeq)
+                case None =>
+                  val (nFrames, feats) = fakeDecode(bytes)
+                  (id, bytes.length, nFrames, feats.toSeq)
+              }
             }
           }
         }
@@ -487,11 +649,18 @@ object MultimodalOps {
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select("chash")
     val ff = f.join(rare, Seq("chash"), "left_semi")
-    ff.as("x").join(ff.as("y"), "chash")
+    val pairs = ff.as("x").join(ff.as("y"), "chash")
       .filter(col("x.media_id") < col("y.media_id"))
       .groupBy(col("x.media_id").as("a"), col("y.media_id").as("b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+      // EAGER checkpoint of the (tiny, density-proportional) pair list so
+      // the chunk cache can be released HERE instead of leaking for the
+      // session lifetime — the unpersist discipline ClusterOps uses for
+      // its persisted edges
+      .localCheckpoint(true)
+    f.unpersist()
+    pairs
   }
 
   def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,

@@ -709,13 +709,22 @@ object SimilarityOps {
     val snapshot = index.scanVersion(m0.version)
     val before = snapshot.count()
     val live = base.toDF().select(col(baseKeyCol).as("vid"))
+    // Persist the survivor set: the index side is version-pinned but the
+    // base side is LIVE, so counting and writing from separate
+    // materializations could disagree (a delete landing between them
+    // makes the returned sweep count lie about what was written) — and
+    // the count would re-run the full semi-join. One materialization
+    // serves both.
     val kept = snapshot.join(live, Seq("vid"), "left_semi")
-    val keptCount = kept.count()
-    kept.write.format("hadro").mode("overwrite")
-      .option("hadro.compactOf", m0.version.toString)
-      .option("hadro.compactOfGen", m0.generation.toString)
-      .save(index.path)
-    before - keptCount
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keptCount = kept.count() // materializes; the write reuses this cache
+      kept.write.format("hadro").mode("overwrite")
+        .option("hadro.compactOf", m0.version.toString)
+        .option("hadro.compactOfGen", m0.generation.toString)
+        .save(index.path)
+      before - keptCount
+    } finally kept.unpersist()
   }
 
   // --------------------------------------------------------- radius search

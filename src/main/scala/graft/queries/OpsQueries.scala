@@ -962,8 +962,8 @@ object OpsQueries {
       (s, dir) => {
         val e = table(s, dir, "embeddings")
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildSqIndex(
-          s, s"/tmp/graft_collections/$tag/s15_index", e, "vec_id", "embedding")
+        val idx = Fixtures.readOnly(dir, "s15_index")(SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s15_index", e, "vec_id", "embedding"))
         val queries = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         SimilarityOps.rerankTopKBatch(idx, e, "vec_id", "embedding",
@@ -1093,8 +1093,8 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildSqIndex(
-          s, s"/tmp/graft_collections/$tag/s20_index", e, "vec_id", "embedding")
+        val idx = Fixtures.readOnly(dir, "s20_index")(SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s20_index", e, "vec_id", "embedding"))
         SimilarityOps.sqRadiusSearch(idx, e, "vec_id", "embedding", q, 0.2,
             margin = 0.05)
           .withColumn("cosine", round(col("cosine"), 4))
@@ -1704,8 +1704,8 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildAnnIndex(
-          s, s"/tmp/graft_collections/$tag/s02_index", e, "vec_id", "embedding")
+        val idx = Fixtures.readOnly(dir, "s02_index")(SimilarityOps.buildAnnIndex(
+          s, s"/tmp/graft_collections/$tag/s02_index", e, "vec_id", "embedding"))
         SimilarityOps.annTopK(idx, "vec_id", "embedding", q, 20)
           .withColumn("cosine", round(col("cosine"), 4))
       },
@@ -1748,8 +1748,8 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildIvfIndex(
-          s, s"/tmp/graft_collections/$tag/s03_index", e, "vec_id", "embedding")
+        val idx = Fixtures.readOnly(dir, "s03_index")(SimilarityOps.buildIvfIndex(
+          s, s"/tmp/graft_collections/$tag/s03_index", e, "vec_id", "embedding"))
         SimilarityOps.ivfTopK(idx, "vec_id", "embedding", q, 20)
           .withColumn("cosine", round(col("cosine"), 4))
       },
@@ -1787,8 +1787,8 @@ object OpsQueries {
       (s, dir) => {
         val e = table(s, dir, "embeddings")
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildIvfIndex(
-          s, s"/tmp/graft_collections/$tag/s07_index", e, "vec_id", "embedding")
+        val idx = Fixtures.readOnly(dir, "s07_index")(SimilarityOps.buildIvfIndex(
+          s, s"/tmp/graft_collections/$tag/s07_index", e, "vec_id", "embedding"))
         val queries = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         SimilarityOps.ivfTopKBatch(idx, "vec_id",
@@ -1886,9 +1886,9 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildPqIndex(
+        val idx = Fixtures.readOnly(dir, "s05_index")(SimilarityOps.buildPqIndex(
           s, s"/tmp/graft_collections/$tag/s05_index", e, "vec_id", "embedding",
-          iterations = 0)
+          iterations = 0))
         SimilarityOps.pqTopK(idx, "vec_id", q, 20)
           .withColumn("est_dist", round(col("est_dist"), 4))
       },
@@ -1937,9 +1937,9 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildIvfPqIndex(
+        val idx = Fixtures.readOnly(dir, "s06_index")(SimilarityOps.buildIvfPqIndex(
           s, s"/tmp/graft_collections/$tag/s06_index", e, "vec_id", "embedding",
-          iterations = 0)
+          iterations = 0))
         SimilarityOps.ivfPqTopK(idx, "vec_id", q, 20)
           .withColumn("est_dist", round(col("est_dist"), 4))
       },
@@ -2009,9 +2009,9 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildPqIndex(
+        val idx = Fixtures.readOnly(dir, "s08_index")(SimilarityOps.buildPqIndex(
           s, s"/tmp/graft_collections/$tag/s08_index", e, "vec_id", "embedding",
-          iterations = 1)
+          iterations = 1))
         SimilarityOps.pqTopK(idx, "vec_id", q, 20)
           .withColumn("est_dist", round(col("est_dist"), 4))
       },
@@ -2092,16 +2092,16 @@ object OpsQueries {
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val base = s"/tmp/graft_collections/$tag"
-        val lsh = SimilarityOps.buildAnnIndex(
-          s, s"$base/s09_lsh", e, "vec_id", "embedding")
-        val ivf = SimilarityOps.buildIvfIndex(
-          s, s"$base/s09_ivf", e, "vec_id", "embedding")
-        val pqSeed = SimilarityOps.buildPqIndex(
-          s, s"$base/s09_pq_seed", e, "vec_id", "embedding", iterations = 0)
-        val pqTrained = SimilarityOps.buildPqIndex(
-          s, s"$base/s09_pq_trained", e, "vec_id", "embedding", iterations = 1)
-        val ivfpq = SimilarityOps.buildIvfPqIndex(
-          s, s"$base/s09_ivfpq", e, "vec_id", "embedding", iterations = 0)
+        val lsh = Fixtures.readOnly(dir, "s09_lsh")(SimilarityOps.buildAnnIndex(
+          s, s"$base/s09_lsh", e, "vec_id", "embedding"))
+        val ivf = Fixtures.readOnly(dir, "s09_ivf")(SimilarityOps.buildIvfIndex(
+          s, s"$base/s09_ivf", e, "vec_id", "embedding"))
+        val pqSeed = Fixtures.readOnly(dir, "s09_pq_seed")(SimilarityOps.buildPqIndex(
+          s, s"$base/s09_pq_seed", e, "vec_id", "embedding", iterations = 0))
+        val pqTrained = Fixtures.readOnly(dir, "s09_pq_trained")(SimilarityOps.buildPqIndex(
+          s, s"$base/s09_pq_trained", e, "vec_id", "embedding", iterations = 1))
+        val ivfpq = Fixtures.readOnly(dir, "s09_ivfpq")(SimilarityOps.buildIvfPqIndex(
+          s, s"$base/s09_ivfpq", e, "vec_id", "embedding", iterations = 0))
         val exact = SimilarityOps.bruteForceTopK(e, "vec_id", "embedding", q, 10)
         SimilarityOps.recallAtK(exact, Seq(
             "ivf" -> SimilarityOps.ivfTopK(ivf, "vec_id", "embedding", q, 10),
@@ -2251,8 +2251,8 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildSqIndex(
-          s, s"/tmp/graft_collections/$tag/s10_index", e, "vec_id", "embedding")
+        val idx = Fixtures.readOnly(dir, "s10_index")(SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s10_index", e, "vec_id", "embedding"))
         SimilarityOps.sqTopK(idx, "vec_id", q, 20)
           .withColumn("cosine", round(col("cosine"), 4))
       },
@@ -2290,8 +2290,8 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildSqIndex(
-          s, s"/tmp/graft_collections/$tag/s11_index", e, "vec_id", "embedding")
+        val idx = Fixtures.readOnly(dir, "s11_index")(SimilarityOps.buildSqIndex(
+          s, s"/tmp/graft_collections/$tag/s11_index", e, "vec_id", "embedding"))
         SimilarityOps.rerankTopK(idx, e, "vec_id", "embedding", q, 10,
             candidates = 100)
           .withColumn("cosine", round(col("cosine"), 4))
@@ -2335,8 +2335,8 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildHammingIndex(
-          s, s"/tmp/graft_collections/$tag/s12_index", e, "vec_id", "embedding")
+        val idx = Fixtures.readOnly(dir, "s12_index")(SimilarityOps.buildHammingIndex(
+          s, s"/tmp/graft_collections/$tag/s12_index", e, "vec_id", "embedding"))
         SimilarityOps.hammingTopK(idx, e, "vec_id", "embedding", q, 20,
             candidates = 100)
           .withColumn("cosine", round(col("cosine"), 4))
@@ -2383,10 +2383,10 @@ object OpsQueries {
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val base = s"/tmp/graft_collections/$tag"
-        val sq = SimilarityOps.buildSqIndex(
-          s, s"$base/s13_sq", e, "vec_id", "embedding")
-        val ham = SimilarityOps.buildHammingIndex(
-          s, s"$base/s13_ham", e, "vec_id", "embedding")
+        val sq = Fixtures.readOnly(dir, "s13_sq")(SimilarityOps.buildSqIndex(
+          s, s"$base/s13_sq", e, "vec_id", "embedding"))
+        val ham = Fixtures.readOnly(dir, "s13_ham")(SimilarityOps.buildHammingIndex(
+          s, s"$base/s13_ham", e, "vec_id", "embedding"))
         val exact = SimilarityOps.bruteForceTopK(e, "vec_id", "embedding", q, 10)
         SimilarityOps.recallAtK(exact, Seq(
             "hamming_rerank" -> SimilarityOps.hammingTopK(
@@ -2466,9 +2466,9 @@ object OpsQueries {
         val q = e.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val idx = SimilarityOps.buildSqIndex(
+        val idx = Fixtures.readOnly(dir, "s14_index")(SimilarityOps.buildSqIndex(
           s, s"/tmp/graft_collections/$tag/s14_index", e, "vec_id", "embedding",
-          metaCols = Seq("label"))
+          metaCols = Seq("label")))
         SimilarityOps.filteredRerankTopK(idx, e, "vec_id", "embedding",
             col("label") === 3, q, 10, candidates = 50)
           .withColumn("cosine", round(col("cosine"), 4))
@@ -2647,8 +2647,11 @@ object OpsQueries {
         val vocab = Seq("que", "ry", "ta", "ble", "col", "umn", "str", "eam",
           "fil", "ter", "sca", "ord", "er", "va", "lue", "ha", "sh", "jo",
           "in", "me", "rge", "ro") ++ ('a' to 'z').map(_.toString)
-        val c = graft.api.Collection.create(s, path, d, numSegments = 4)
-        TextOps.saveVocab(java.nio.file.Paths.get(path), vocab)
+        val c = Fixtures.readOnly(dir, "t14_corpus") {
+          val built = graft.api.Collection.create(s, path, d, numSegments = 4)
+          TextOps.saveVocab(java.nio.file.Paths.get(path), vocab)
+          built
+        }
         val loaded = TextOps.loadVocab(java.nio.file.Paths.get(path)).get
         val ids = TextOps.tokenizeGreedy(col("text"), loaded)
         c.scan().select(col("doc_id"),
@@ -2942,47 +2945,108 @@ object OpsQueries {
         ORDER BY media_id, frame_idx""")),
 
     // ---------------------------------------------------------------- m10
-    // VIDEO near-dup via shared-frame fingerprints: every document's bytes
-    // stand in for a video, planted near-copies drop the leading frame
-    // (trimmed re-upload — exact-file hashing misses it). Frames are
-    // md5'd declaratively (binary substring + md5, codegen'd), ubiquitous
-    // frames df-capped before the inverted-index join, pairs gate on >= 4
-    // shared fingerprints. The oracle replays the whole pipeline in SQL —
-    // hash self-consistency per engine is all that's required, so md5
-    // stays internal.
+    // VIDEO near-dup over REAL decoded frames: every doc plants an
+    // animated GIF (3–5 solid 4x3 frames, colors from a doc_id/frame
+    // formula — GIF palettes are lossless, so decoded pixels ARE the
+    // formula); near-copies drop the leading frame (trimmed re-upload —
+    // exact-file hashing misses them, shared DECODED-frame fingerprints
+    // catch them). The fingerprint packs (width, height, top-left pixel)
+    // of each ImageIO-decoded frame, so the exact SQL oracle replaying
+    // the color formula proves pixels were decoded, not bytes sliced —
+    // the m05 pixel-check discipline applied to video.
     QueryDef(
       "m10_video_framehash_dedup",
       (s, dir) => {
-        val base = table(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-        val copies = table(s, dir, "documents")
-          .filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"),
-            encode(expr("substring(text, 33)"), "UTF-8").as("media"))
-        MultimodalOps.videoNearDupPairs(base.union(copies), "doc_id", "media",
-            frameSize = 32, stride = 1, maxFrames = 16, minShared = 4, maxDf = 32)
+        import s.implicits._
+        def gifs(copies: Boolean): org.apache.spark.sql.DataFrame =
+          table(s, dir, "documents").select(col("doc_id")).as[Long]
+            .filter((id: Long) => !copies || id % 10 == 0)
+            .mapPartitions { it =>
+              it.map { id =>
+                val nF = 3 + (id % 3).toInt
+                val range = if (copies) 1 until nF else 0 until nF
+                val frames = range.map { f =>
+                  val rgb = ((id * 131071 + f * 4097) % 16777216).toInt
+                  val img = new java.awt.image.BufferedImage(4, 3,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  var y = 0
+                  while (y < 3) {
+                    var x = 0
+                    while (x < 4) { img.setRGB(x, y, rgb); x += 1 }
+                    y += 1
+                  }
+                  img
+                }
+                (if (copies) id + 10000000L else id,
+                  MultimodalOps.encodeAnimatedGif(frames))
+              }
+            }.toDF("doc_id", "media")
+        MultimodalOps.decodedVideoNearDupPairs(
+            gifs(copies = false).union(gifs(copies = true)), "doc_id", "media",
+            minShared = 2, maxDf = 32)
           .orderBy("a", "b")
       },
       Some("""WITH vids AS (
-          SELECT doc_id AS media_id, text FROM documents
+          SELECT doc_id AS media_id, doc_id AS src, 0 AS lo,
+            3 + doc_id % 3 AS hi FROM documents
           UNION ALL
-          SELECT doc_id + 10000000, substr(text, 33) FROM documents
-          WHERE doc_id % 10 = 0),
-        f0 AS (
-          SELECT media_id,
-            unnest(generate_series(0, 15)) AS fi, text
-          FROM vids),
+          SELECT doc_id + 10000000, doc_id, 1, 3 + doc_id % 3
+          FROM documents WHERE doc_id % 10 = 0),
         frames AS (
           SELECT DISTINCT media_id,
-            md5(substr(text, CAST(fi * 32 + 1 AS INT), 32)) AS fhash
-          FROM f0 WHERE fi * 32 < length(text)),
+            (CAST(4 AS BIGINT) << 44) | (CAST(3 AS BIGINT) << 24)
+              | ((src * 131071 + f.fi * 4097) % 16777216) AS fhash
+          FROM vids, LATERAL unnest(generate_series(vids.lo, vids.hi - 1)) AS f(fi)),
         rare AS (
           SELECT fhash FROM frames GROUP BY fhash HAVING COUNT(*) <= 32),
         ff AS (SELECT f.* FROM frames f JOIN rare USING (fhash))
         SELECT x.media_id AS a, y.media_id AS b, COUNT(*) AS shared
         FROM ff x JOIN ff y ON x.fhash = y.fhash AND x.media_id < y.media_id
-        GROUP BY 1, 2 HAVING COUNT(*) >= 4
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ORDER BY a, b""")),
+
+    // ---------------------------------------------------------------- m12
+    // REAL video container decode, frame by frame: the planted animated
+    // GIFs walked with ImageIO frame iteration — one row per decoded
+    // frame with dimensions and the top-left pixel, all reproduced
+    // exactly by the oracle from the generating formula (lossless
+    // palettes). Proves the container walk (frame COUNT per asset) and
+    // the pixels (rgb0 per frame) — decodeFeatures' video branch rides
+    // the same decoder (OpsSpec covers its temporal-envelope features).
+    QueryDef(
+      "m12_video_frame_decode",
+      (s, dir) => {
+        import s.implicits._
+        val planted = table(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val nF = 3 + (id % 3).toInt
+              val frames = (0 until nF).map { f =>
+                val rgb = ((id * 131071 + f * 4097) % 16777216).toInt
+                val img = new java.awt.image.BufferedImage(4, 3,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < 3) {
+                  var x = 0
+                  while (x < 4) { img.setRGB(x, y, rgb); x += 1 }
+                  y += 1
+                }
+                img
+              }
+              (id, MultimodalOps.encodeAnimatedGif(frames))
+            }
+          }.toDF("doc_id", "media")
+        MultimodalOps.videoFrameTable(planted, "doc_id", "media")
+          .select(col("media_id"), col("frame_idx"), col("width"),
+            col("height"), col("rgb0"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT doc_id AS media_id, CAST(f.fi AS INT) AS frame_idx,
+          4 AS width, 3 AS height,
+          CAST((doc_id * 131071 + f.fi * 4097) % 16777216 AS INT) AS rgb0
+        FROM documents,
+          LATERAL unnest(generate_series(0, 2 + doc_id % 3)) AS f(fi)
+        ORDER BY media_id, frame_idx""")),
 
     // ---------------------------------------------------------------- m11
     // CDC (content-defined chunking) near-dup: gear-rolling-hash chunk

@@ -2086,5 +2086,165 @@ object StorageQueries {
         WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
           AND ts < TIMESTAMP '2024-01-24 00:00:00'
         GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h70
+    // Dynamic partition overwrite: INSERT OVERWRITE under
+    // partitionOverwriteMode=dynamic atomically replaces ONLY the
+    // day-partitions present in the incoming batch (here: two days,
+    // reprocessed with doubled values) — every other day is carried by
+    // reference, byte-identical (PartitionSpec asserts the untouched
+    // files). The daily-reprocess shape at 100 TB: re-deriving one bad
+    // day costs O(that day), never a table rewrite, and a concurrent
+    // append into a replaced day conflicts instead of being dropped.
+    QueryDef(
+      "h70_dynamic_overwrite",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h70"
+        s.conf.set("spark.sql.catalog.graft_h70", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h70.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h70.db")
+        s.sql("DROP TABLE IF EXISTS graft_h70.db.events")
+        s.sql("""CREATE TABLE graft_h70.db.events
+          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h70_src")
+        s.sql("INSERT INTO graft_h70.db.events SELECT * FROM h70_src")
+        // reprocess two days with corrected (doubled) values
+        val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try s.sql("""INSERT OVERWRITE graft_h70.db.events
+            SELECT event_id, ts, event_type, value * 2 FROM h70_src
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-12 00:00:00'""")
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h70.db.events
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(CASE
+            WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+             AND ts < TIMESTAMP '2024-01-12 00:00:00' THEN value * 2
+            ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM events
+        GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h71
+    // days()-transform storage-partitioned join: two days(ts)-partitioned
+    // tables join on the raw ts with ZERO exchanges — each planned
+    // segment is provably single-valued under the transform via its
+    // exact stats bounds (one day ordinal), so both scans report
+    // days(ts) KeyGroupedPartitioning and Spark aligns the day groups
+    // (PartitionSpec asserts the exchange-free plan; this query proves
+    // the answers). Generalizes the identity SPJ (h67) to time
+    // transforms: the 100 TB daily fact-fact join with no shuffle on
+    // either input.
+    QueryDef(
+      "h71_days_transform_spj",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h71"
+        s.conf.set("spark.sql.catalog.graft_h71", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h71.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h71.db")
+        s.sql("DROP TABLE IF EXISTS graft_h71.db.facts")
+        s.sql("DROP TABLE IF EXISTS graft_h71.db.labels")
+        s.sql("""CREATE TABLE graft_h71.db.facts
+          (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        s.sql("""CREATE TABLE graft_h71.db.labels
+          (ts TIMESTAMP, event_type STRING)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h71_src")
+        s.sql("INSERT INTO graft_h71.db.facts SELECT event_id, ts, value FROM h71_src")
+        s.sql("INSERT INTO graft_h71.db.labels SELECT ts, event_type FROM h71_src")
+        val savedSpj = try Some(s.conf.get("spark.sql.sources.v2.bucketing.enabled"))
+          catch { case _: Exception => None }
+        val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+            FROM graft_h71.db.facts f JOIN graft_h71.db.labels l
+              ON f.ts = l.ts
+            GROUP BY event_type ORDER BY event_type""")
+            // EAGER checkpoint: the join must plan exchange-free while the
+            // scoped confs are live
+            .localCheckpoint(true)
+        } finally {
+          savedSpj match {
+            case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+        }
+      },
+      Some("""WITH src AS (SELECT event_id, ts, event_type, value FROM events)
+        SELECT l.event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM src f JOIN src l ON f.ts = l.ts
+        GROUP BY l.event_type ORDER BY l.event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h72
+    // Partition-spec evolution: the table starts days(ts)-partitioned,
+    // is respec'd to hours(ts) mid-load (CALL set_partition_spec —
+    // metadata-only, forward-only), and the second half of the data
+    // routes one-segment-per-hour while the first half keeps its day
+    // tags. Scans spanning the respec boundary prune both vintages by
+    // the same exact stats rule (PartitionSpec asserts the layout and
+    // retention mechanics); the oracle proves the combined contents.
+    // The month-two shape at 100 TB: data rates outgrow the original
+    // spec and the layout must follow without rewriting history.
+    QueryDef(
+      "h72_partition_respec",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h72"
+        s.conf.set("spark.sql.catalog.graft_h72", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h72.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h72.db")
+        s.sql("DROP TABLE IF EXISTS graft_h72.db.events")
+        s.sql("""CREATE TABLE graft_h72.db.events
+          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h72_src")
+        s.sql("""INSERT INTO graft_h72.db.events SELECT * FROM h72_src
+          WHERE ts < TIMESTAMP '2024-01-15 00:00:00'""")
+        s.sql("CALL graft_h72.system.set_partition_spec('db.events', 'hours')")
+        // two post-respec days: ~48 hour-segments, the finer steady state
+        s.sql("""INSERT INTO graft_h72.db.events SELECT * FROM h72_src
+          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+            AND ts < TIMESTAMP '2024-01-17 00:00:00'""")
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h72.db.events
+          WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+            AND ts < TIMESTAMP '2024-01-17 00:00:00'
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+          AND ts < TIMESTAMP '2024-01-17 00:00:00'
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -492,6 +492,8 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
               m.numBuckets.map(Int.box).orNull,
               meta.flatMap(_.partitionBy).map(UTF8String.fromString).orNull,
               meta.flatMap(_.partitionTransform).map(UTF8String.fromString).orNull,
+              meta.map(_.priorPartitionTransforms).filter(_.nonEmpty)
+                .map(h => UTF8String.fromString(h.mkString(","))).orNull,
               CollectionMeta.readConstraints(dir).size,
               CollectionMeta.readRefs(dir).size,
               m.committedAtMs))
@@ -590,6 +592,7 @@ object HadroMetadataTable {
       .add("sorted_by", StringType).add("bucket_by", StringType)
       .add("num_buckets", IntegerType).add("partition_by", StringType)
       .add("partition_transform", StringType)
+      .add("prior_partition_transforms", StringType)
       .add("n_constraints", IntegerType)
       .add("n_tags", IntegerType).add("committed_at_ms", LongType))
   val kinds: Set[String] = schemas.keySet

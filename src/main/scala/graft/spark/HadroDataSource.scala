@@ -129,7 +129,8 @@ final class HadroTable(path: Path, dataSchema: StructType,
     }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
 
   // DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface the collection-level
@@ -567,7 +568,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
             // identity-grouped mode coalesces a value's partitions the
             // same way buckets do: report ordering only when every value
             // group is ONE unsplit segment (one in-order run per group)
-            case Some((_, keys)) =>
+            case Some((_, _, keys)) =>
               val planned = staticPlanned
               planned.forall(_.splits.isEmpty) &&
                 keys.values.toSeq.distinct.size == planned.size
@@ -855,7 +856,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
           parts.map(p => BucketKeyedPartition(
             p.asInstanceOf[HadroInputPartition], seg.bucket.get))
         else identityKeyed match {
-          case Some((_, keys)) => parts.map(p => ValueKeyedPartition(
+          case Some((_, _, keys)) => parts.map(p => ValueKeyedPartition(
             p.asInstanceOf[HadroInputPartition], keys(seg.file)))
           case None => parts
         }
@@ -897,50 +898,74 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       if planned.forall(s => s.bucket.exists(b => b >= 0 && b < n))
     } yield (cols, n)
 
-  /** Identity-partitioned SPJ: Some((col, segment -> key)) iff the scan
-    * may report `identity(col)` KeyGroupedPartitioning — the collection
-    * declares identity partitioning, the column survives pruning, and
-    * every PLANNED segment is provably single-valued on it via its
-    * EXACT min==max, zero-null segment stats (the per-value writer
+  /** Value-partitioned SPJ: Some((col, transform, segment -> key)) iff
+    * the scan may report `identity(col)` / `days(col)` / ... KeyGrouped
+    * partitioning — the collection declares value partitioning, the
+    * column survives pruning, and every PLANNED segment is provably
+    * single-valued UNDER THE TRANSFORM via its EXACT, zero-null segment
+    * stats: identity needs min == max; a time transform needs both
+    * bounds to land on the same transform ordinal (the per-value writer
     * routing makes that the steady state; stats are also what make the
-    * check safe after any historical unrouted append). The partition
-    * key is the parsed stats bound itself — no tag parsing, so
-    * truncated identity-string tags can never mis-group (truncated
-    * stats are inexact and refuse reporting). Two co-partitioned
-    * collections then join with zero exchanges, the value-partitioned
-    * analog of the bucket SPJ path. */
+    * check safe after any historical unrouted append, and after a
+    * partition-spec respec — old coarser-routed segments simply fail
+    * the finer single-value proof and the scan declines to report).
+    * The partition key is derived from the parsed stats bound itself —
+    * no tag parsing, so truncated identity-string tags can never
+    * mis-group (truncated stats are inexact and refuse reporting), and
+    * a time key is the same Int ordinal [[HadroTimeTransformBound]]
+    * produces, so the reported `days(ts)` transform resolves against
+    * the catalog's own function and both join sides agree by
+    * construction. Two co-partitioned collections then join with zero
+    * exchanges, the value-partitioned analog of the bucket SPJ path. */
   /** Memoized over the STATIC plan and computed ONCE — outputOrdering,
     * outputPartitioning and planInputPartitions must all see the same
     * answer (a concurrent schema change between those calls would
     * otherwise flip the reported partitioning and fail the query with
     * "must preserve the original partitioning"), and the schema-file
     * read + stats parse must not repeat per planning entry point. */
-  private lazy val identityStatic: Option[(String, Map[String, Any])] =
-    identityFor(staticPlanned)
+  private lazy val identityStatic: Option[(String, String, Map[String, Any])] =
+    valueKeyedFor(staticPlanned)
 
-  private def identityFor(
-      planned: Seq[SegmentInfo]): Option[(String, Map[String, Any])] =
+  private def valueKeyedFor(
+      planned: Seq[SegmentInfo]): Option[(String, String, Map[String, Any])] =
     for {
       _ <- if (v2BucketingEnabled) Some(()) else None
       meta <- CollectionMeta.readSchema(path)
       c <- meta.partitionBy
       t <- meta.partitionTransform
-      if t == "identity"
+      if t == "identity" || HadroPartition.Transforms.contains(t)
       if planned.nonEmpty
       if required.fieldNames.contains(c)
       ord = storedSchema.fieldNames.indexOf(c)
       if ord >= 0
+      dt = storedSchema(ord).dataType
       keys = planned.map { s =>
         s.stats.get(c) match {
           case Some(st) if st.exact && st.nullCount == 0L &&
-              st.min.isDefined && st.min == st.max =>
-            Option(graft.format.StatsCollector.parse(
-              st.min.get, storedSchema(ord).dataType))
+              st.min.isDefined && st.max.isDefined =>
+            if (t == "identity") {
+              if (st.min == st.max)
+                Option(graft.format.StatsCollector.parse(st.min.get, dt))
+              else None
+            } else {
+              // single-valued under the transform: both exact bounds map
+              // to the same ordinal (the tag arithmetic itself, so scan
+              // keys and writer tags can never disagree)
+              val lo = graft.format.StatsCollector.parse(st.min.get, dt)
+              val hi = graft.format.StatsCollector.parse(st.max.get, dt)
+              val tagLo = HadroPartition.tagOf(dt,
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](lo)), 0, t)
+              val tagHi = HadroPartition.tagOf(dt,
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](hi)), 0, t)
+              if (tagLo == tagHi) Some(Int.box(tagLo.toInt)) else None
+            }
           case _ => None
         }
       }
       if keys.forall(_.isDefined)
-    } yield (c, planned.map(_.file).zip(keys.map(_.get)).toMap)
+    } yield (c, t, planned.map(_.file).zip(keys.map(_.get)).toMap)
 
   override def outputPartitioning(): Partitioning = {
     // Static pushed filters only — the SAME memoized list planInputPartitions
@@ -957,10 +982,12 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         new KeyGroupedPartitioning(
           Array[V2Expression](Expressions.bucket(n, cs: _*)), distinct)
       case None => identityStatic match {
-        case Some((c, keys)) =>
+        case Some((c, t, keys)) =>
+          val expr: V2Expression =
+            if (t == "identity") Expressions.identity(c)
+            else Expressions.apply(t, Expressions.column(c))
           new KeyGroupedPartitioning(
-            Array[V2Expression](Expressions.identity(c)),
-            keys.values.toSeq.distinct.size)
+            Array[V2Expression](expr), keys.values.toSeq.distinct.size)
         case None => new UnknownPartitioning(0)
       }
     }
@@ -1004,10 +1031,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   private[spark] var metricBlocksPruned = 0L
 
   override def supportedCustomMetrics(): Array[CustomMetric] = Array(
-    new HadroScan.SumMetric("hadroSegmentsRead", "hadro segments read"),
-    new HadroScan.SumMetric("hadroSegmentsPruned", "hadro segments pruned"),
-    new HadroScan.SumMetric("hadroBytesPlanned", "hadro bytes planned"),
-    new HadroScan.SumMetric("hadroBlocksPruned", "hadro blocks pruned"))
+    new HadroSegmentsReadMetric, new HadroSegmentsPrunedMetric,
+    new HadroBytesPlannedMetric, new HadroBlocksPrunedMetric)
 
   override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
     HadroScan.taskMetric("hadroSegmentsRead", metricSegmentsRead),
@@ -1101,15 +1126,43 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   }
 }
 
-object HadroScan {
+/** DSv2 custom metrics MUST be top-level classes with a zero-argument
+  * constructor: at execution end the SQL-UI listener re-instantiates each
+  * metric class by reflection (`SQLAppStatusListener.aggregateMetrics` →
+  * `Utils.loadExtensions`) to aggregate the task values — a nested or
+  * parameterized class fails that load on a background thread (one
+  * swallowed SparkException per query) and the UI never aggregates. One
+  * class per metric name is the Spark contract. */
+final class HadroSegmentsReadMetric extends CustomSumMetric {
+  override def name(): String = "hadroSegmentsRead"
+  override def description(): String = "hadro segments read"
+}
+final class HadroSegmentsPrunedMetric extends CustomSumMetric {
+  override def name(): String = "hadroSegmentsPruned"
+  override def description(): String = "hadro segments pruned"
+}
+final class HadroBytesPlannedMetric extends CustomSumMetric {
+  override def name(): String = "hadroBytesPlanned"
+  override def description(): String = "hadro bytes planned"
+}
+final class HadroBlocksPrunedMetric extends CustomSumMetric {
+  override def name(): String = "hadroBlocksPruned"
+  override def description(): String = "hadro blocks pruned"
+}
+final class HadroRowsWrittenMetric extends CustomSumMetric {
+  override def name(): String = "hadroRowsWritten"
+  override def description(): String = "hadro rows written"
+}
+final class HadroBytesWrittenMetric extends CustomSumMetric {
+  override def name(): String = "hadroBytesWritten"
+  override def description(): String = "hadro bytes written"
+}
+final class HadroSegmentsWrittenMetric extends CustomSumMetric {
+  override def name(): String = "hadroSegmentsWritten"
+  override def description(): String = "hadro segments written"
+}
 
-  /** Sum-aggregated DSv2 custom metric (one value per scan from the
-    * driver; tasks would sum if they ever reported too). */
-  final class SumMetric(metricName: String, metricDescription: String)
-      extends CustomSumMetric {
-    override def name(): String = metricName
-    override def description(): String = metricDescription
-  }
+object HadroScan {
 
   private[spark] def taskMetric(metricName: String, v: Long): CustomTaskMetric =
     new CustomTaskMetric {

@@ -81,6 +81,30 @@ private[graft] object HadroPartition {
         s"hadro: unreachable partition tag $t over ${d.simpleString}")
     }
   }
+
+  /** The SMALLEST source value (internal representation: micros for
+    * timestamps, epoch days for dates, the value itself for numeric
+    * identity) whose [[tagOf]] ordinal is `ordinal` — i.e. the lower
+    * boundary of partition `ordinal` under `transform`. Lets retention
+    * compare exact per-segment stats bounds against a cutoff ordinal
+    * without ever parsing tags, so the comparison stays correct across a
+    * partition-spec respec (old segments tagged under a coarser prior
+    * transform drop by the same stats rule). */
+  def lowerBoundOf(dt: DataType, transform: String, ordinal: Long): Long =
+    (transform, dt) match {
+      case ("identity", _) => ordinal
+      case ("hours", _) => ordinal * MicrosPerHour
+      case ("days", DateType) => ordinal
+      case ("days", _) => ordinal * MicrosPerDay
+      case ("months", _) =>
+        val d = java.time.LocalDate.of(1970, 1, 1).plusMonths(ordinal)
+        if (dt == DateType) d.toEpochDay else d.toEpochDay * MicrosPerDay
+      case ("years", _) =>
+        val d = java.time.LocalDate.of(1970 + ordinal.toInt, 1, 1)
+        if (dt == DateType) d.toEpochDay else d.toEpochDay * MicrosPerDay
+      case (t, d) => throw new IllegalStateException(
+        s"hadro: no partition lower bound for $t over ${d.simpleString}")
+    }
 }
 
 /** V2 time-transform functions (`days(ts)` etc.) served by

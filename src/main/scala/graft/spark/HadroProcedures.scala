@@ -39,7 +39,7 @@ object HadroProcedures {
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
       "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag",
       "publish", "orphan_files", "remove_orphans", "drop_partitions",
-      "compact_partitions")
+      "compact_partitions", "set_partition_spec")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -121,16 +121,36 @@ object HadroProcedures {
           Seq(InternalRow(c.compactPartitions(tags), c.version))
         }
       case "drop_partitions" => proc("drop_partitions",
-        "drop every segment whose partition tag orders strictly before " +
-          "the cutoff (numeric when both parse, lexicographic otherwise) " +
-          "— metadata-only retention for value-partitioned, pure-append " +
-          "collections; time travel across the drop keeps working",
+        "drop every segment whose exact partition-column stats bound is " +
+          "strictly below the cutoff: the transform's integer ordinal " +
+          "(e.g. epoch days for days()) for time/numeric-identity " +
+          "transforms, an exact-stats string comparison for string " +
+          "identity — metadata-only retention for value-partitioned, " +
+          "pure-append collections; time travel across the drop keeps " +
+          "working",
         Seq(p("table", StringType), p("before", StringType)),
         new StructType().add("segments_dropped", IntegerType)
           .add("version", LongType)) { in =>
           val c = coll(in)
           val n = c.dropPartitions(in.getUTF8String(1).toString)
           Seq(InternalRow(n, c.version))
+        }
+      case "set_partition_spec" => proc("set_partition_spec",
+        "forward-only partition-spec evolution: re-declare the time " +
+          "transform over the same source column at a finer granularity " +
+          "(years -> months -> days -> hours) — metadata-only; old " +
+          "segments keep their coarser tags (stats pruning and retention " +
+          "are unaffected), new writes route under the new transform",
+        Seq(p("table", StringType), p("transform", StringType)),
+        new StructType().add("partition_transform", StringType)
+          .add("prior_transforms", StringType)) { in =>
+          val c = coll(in)
+          c.setPartitionTransform(in.getUTF8String(1).toString)
+          val meta = graft.meta.CollectionMeta.readSchema(
+            java.nio.file.Paths.get(c.path)).get
+          Seq(InternalRow(
+            UTF8String.fromString(meta.partitionTransform.getOrElse("")),
+            UTF8String.fromString(meta.priorPartitionTransforms.mkString(","))))
         }
       case "vacuum" => proc("vacuum",
         "physically delete deferred-GC'd segment files and orphaned sidecars",

@@ -41,10 +41,20 @@ import graft.meta.{CollectionMeta, SegmentInfo}
   */
 final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     viaCatalog: Boolean = false)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  // Dynamic partition overwrite (`INSERT OVERWRITE` under
+  // partitionOverwriteMode=dynamic / `DataFrameWriterV2.overwritePartitions`):
+  // atomically replace ONLY the value-partitions present in the incoming
+  // batch — the daily-reprocess shape. Untouched partitions are carried by
+  // reference, byte-identical.
+  private var doDynamicOverwrite = false
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    doDynamicOverwrite = true; this
+  }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     private def opts = info.options()
@@ -177,17 +187,21 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     // job, reported from each task via DataWriter.currentMetricsValues.
     override def supportedCustomMetrics(): Array[
         org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-      new HadroScan.SumMetric("hadroRowsWritten", "hadro rows written"),
-      new HadroScan.SumMetric("hadroBytesWritten", "hadro bytes written"),
-      new HadroScan.SumMetric("hadroSegmentsWritten", "hadro segments written"))
+      new HadroRowsWrittenMetric, new HadroBytesWrittenMetric,
+      new HadroSegmentsWrittenMetric)
 
     override def toBatch: BatchWrite = {
       require(replaceSpec.isEmpty || (!doTruncate && compactOf.isEmpty),
         "hadro: hadro.replaceFiles is append-mode-only and exclusive with hadro.compactOf")
+      require(!doDynamicOverwrite ||
+          (!doTruncate && replaceSpec.isEmpty && compactOf.isEmpty),
+        "hadro: dynamic partition overwrite is exclusive with truncate/" +
+          "replaceFiles/compactOf")
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
-        maxSegmentBytes, bucketSpec, replaceSpec, sortedSpec, compressSpec)
+        maxSegmentBytes, bucketSpec, replaceSpec, sortedSpec, compressSpec,
+        dynamicOverwrite = doDynamicOverwrite)
     }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -365,7 +379,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     bucketSpec: Option[(Seq[String], Int)] = None,
     replaceSpec: Option[ReplaceSpec] = None,
     sortedSpec: Option[String] = None,
-    compressSpec: Option[String] = None) extends BatchWrite {
+    compressSpec: Option[String] = None,
+    dynamicOverwrite: Boolean = false) extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
     keyField, deleteCol, bucketSpec, compressSpec)
@@ -392,6 +407,30 @@ final class HadroBatchWrite(path: Path, schema: StructType,
 
   // CHECK constraints, analyzed + bound on the driver once per write job
   private val constraints = HadroWriteInit.resolvedConstraints(path, storedSchema)
+
+  // Dynamic partition overwrite pin, captured at PLAN time (driver, before
+  // any task runs): the per-partition file+dv state of every live segment.
+  // At commit, partitions this write replaces must still match the pin —
+  // a concurrent append/compaction/dv-delete inside a replaced partition
+  // conflicts (its rows would be silently dropped with the old files);
+  // partitions the write does NOT touch may drift freely (concurrent
+  // appends to other days commute with the overwrite).
+  private val dynamicPin: Option[Map[Option[String], Seq[(String, Option[String])]]] =
+    if (!dynamicOverwrite) None
+    else {
+      require(partitionOrdSpec.isDefined,
+        "hadro: dynamic partition overwrite requires declared value " +
+          "partitioning (PARTITIONED BY (days(ts)) / identity); bucketed " +
+          "or unpartitioned collections use static INSERT OVERWRITE")
+      val m = CollectionMeta.currentManifest(path)
+      require(!m.mutated,
+        "hadro: dynamic partition overwrite supports pure-append " +
+          "collections only — under upserts/deletes a replaced partition " +
+          "could carry the newest version or tombstone of a key whose " +
+          "other rows live elsewhere")
+      Some(m.segments.groupBy(_.partition)
+        .map { case (t, ss) => t -> ss.map(s => (s.file, s.deleteVector)) })
+    }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
@@ -459,10 +498,49 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       }
     }
 
-    CollectionMeta.commit(path, cur => replaceSpec match {
-      case Some(ReplaceSpec(files, gen, dv, reqUnmut)) =>
+    // Dynamic partition overwrite: one atomic commit drops every live
+    // segment of the partitions present in the batch and appends the new
+    // segments. Untouched partitions keep their files by reference.
+    // Ordinals are re-numbered and the generation bumps, exactly like a
+    // replace commit — segments were removed mid-log, so tailing streams
+    // must see the discontinuity rather than misread surviving ordinals.
+    def dynamicOverwriteCommit(cur: graft.meta.Manifest,
+        pin: Map[Option[String], Seq[(String, Option[String])]]): graft.meta.Manifest = {
+      // every new segment is tagged by writer-side routing (the pin
+      // required a declared transform); an untagged one is a bug here,
+      // not a user conflict
+      require(segs.forall(_.partition.isDefined),
+        "hadro: dynamic overwrite produced an untagged segment")
+      val newTags: Set[Option[String]] = segs.map(_.partition).toSet
+      val drift = cur.mutated || newTags.exists { t =>
+        cur.segments.filter(_.partition == t)
+          .map(s => (s.file, s.deleteVector)) != pin.getOrElse(t, Seq.empty)
+      }
+      if (drift) { conflicted = true; cur }
+      else {
+        conflicted = false
+        val keep = cur.segments.filterNot(s => newTags.contains(s.partition))
+        var ord = 0L
+        val reordered = (keep ++ segs)
+          .map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+        cur.copy(
+          segments = reordered,
+          mutated = cur.mutated || mutating,
+          generation = cur.generation + 1,
+          ordinalFloor = 0L,
+          // partition-routed collections are not bucketed/sorted; if a
+          // spec is somehow recorded, a partial rewrite can't prove it
+          // still holds uniformly — keep bucket tags (unchanged files)
+          // but clear the declared sort unless re-declared
+          sortedBy = if (sortedSpec == cur.sortedBy) cur.sortedBy else None)
+      }
+    }
+
+    CollectionMeta.commit(path, cur => (replaceSpec, dynamicPin) match {
+      case (Some(ReplaceSpec(files, gen, dv, reqUnmut)), _) =>
         replaceCommit(cur, files, gen, dv, reqUnmut)
-      case None =>
+      case (None, Some(pin)) => dynamicOverwriteCommit(cur, pin)
+      case (None, None) =>
       // A compaction is a rewrite of ONE pinned snapshot: segments that
       // committed after it (concurrent appends/upserts) are NOT part of
       // the rewrite and must survive, re-ordered AFTER the rewritten data
@@ -553,6 +631,14 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           s"hadro: partial rewrite of $path conflicted with a concurrent " +
             "truncate/compaction/rewrite — the replace was abandoned; " +
             "re-plan against the current manifest and retry")
+      }
+      if (dynamicPin.isDefined) {
+        abort(messages) // clean up the orphaned new segment files
+        throw new IllegalStateException(
+          s"hadro: dynamic partition overwrite of $path conflicted — a " +
+            "concurrent commit changed a partition this write replaces " +
+            "(its rows would be dropped with the old files); the " +
+            "overwrite was abandoned, re-run against the current state")
       }
       throw new IllegalStateException(
         s"hadro: compaction of $path conflicted with a concurrent " +

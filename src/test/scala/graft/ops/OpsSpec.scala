@@ -456,6 +456,48 @@ class OpsSpec extends SparkSuite {
     assert(out.filter(size($"features") =!= 8).count() == 0)
   }
 
+  test("real video decode: GIF frame walk, MJPEG split, temporal envelope features") {
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    // animated GIF: frame iteration returns every frame with exact pixels
+    val colors = Seq(0x000000, 0xffffff, 0x102030, 0xff0000)
+    val gif = MultimodalOps.encodeAnimatedGif(colors.map(solid(4, 3, _)))
+    val frames = MultimodalOps.decodeVideoFrames(gif).get
+    assert(frames.length == 4)
+    frames.zip(colors).foreach { case (img, c) =>
+      assert(img.getWidth == 4 && img.getHeight == 3)
+      assert((img.getRGB(0, 0) & 0xffffff) == c, f"pixel ${img.getRGB(0, 0)}%x != $c%x")
+    }
+    // single-frame GIF is an IMAGE, not a video
+    assert(MultimodalOps.decodeVideoFrames(
+      MultimodalOps.encodeAnimatedGif(Seq(solid(2, 2, 0x123456)))).isEmpty)
+    // MJPEG: concatenated JPEGs split on EOI/SOI and decode per frame
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(solid(w, h, rgb), "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpeg = jpeg(6, 4, 0x808080) ++ jpeg(6, 4, 0x404040) ++ jpeg(6, 4, 0xc0c0c0)
+    val mframes = MultimodalOps.decodeVideoFrames(mjpeg).get
+    assert(mframes.length == 3)
+    assert(mframes.forall(f => f.getWidth == 6 && f.getHeight == 4))
+    assert(MultimodalOps.decodeVideoFrames(jpeg(6, 4, 0x808080)).isEmpty) // one JPEG = image
+    // decodeFeatures video branch: real frame count + windowed luminance
+    // envelope (black and white frames -> windows hit 0 and 1 exactly)
+    val media = Seq((7L, MultimodalOps.encodeAnimatedGif(
+      Seq.fill(4)(solid(4, 3, 0x000000)) ++ Seq.fill(4)(solid(4, 3, 0xffffff)))))
+      .toDF("doc_id", "media")
+    val row = MultimodalOps.decodeFeatures(media, "doc_id", "media").collect().head
+    assert(row.getAs[Int]("n_frames") == 8)
+    val feats = row.getSeq[Float](row.fieldIndex("features"))
+    assert(feats.take(4).forall(_ < 1e-6f) && feats.drop(4).forall(f => math.abs(f - 1f) < 1e-6f),
+      feats.toString)
+  }
+
   test("real image decode: dimensions, pixels, features, and resize round-trip") {
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,

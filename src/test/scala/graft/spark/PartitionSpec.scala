@@ -329,6 +329,55 @@ class PartitionSpec extends SparkSuite {
     }
   }
 
+  test("co-days-partitioned collections join with zero exchanges (transform SPJ)") {
+    val w = setupCatalog("pdspj")
+    spark.sql("""CREATE TABLE pdspj.db.l (ts TIMESTAMP, v BIGINT)
+      USING hadro PARTITIONED BY (days(ts))""")
+    spark.sql("""CREATE TABLE pdspj.db.r (ts TIMESTAMP, t STRING)
+      USING hadro PARTITIONED BY (days(ts))""")
+    // in-day spread (several hours per day): identity min==max can never
+    // hold, so only the transform-ordinal proof can enable the SPJ
+    spark.range(0, 100)
+      .select(to_timestamp(lit("2026-04-01 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, 0, 0, CAST(id % 5 AS INT), CAST(id % 3 AS INT), 0, 0)")).as("ts"),
+        $"id".as("v"))
+      .createOrReplaceTempView("pdspj_l")
+    spark.range(0, 60)
+      .select(to_timestamp(lit("2026-04-01 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, 0, 0, CAST(id % 5 AS INT), CAST(id % 3 AS INT), 0, 0)")).as("ts"),
+        concat(lit("t"), $"id").as("t"))
+      .createOrReplaceTempView("pdspj_r")
+    spark.sql("INSERT INTO pdspj.db.l SELECT * FROM pdspj_l")
+    spark.sql("INSERT INTO pdspj.db.r SELECT * FROM pdspj_r")
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("pdspj.db.l").join(spark.table("pdspj.db.r"), "ts")
+        .groupBy($"ts").agg(count(lit(1)).as("n"))
+      val got = j.collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      val want = spark.table("pdspj_l").join(spark.table("pdspj_r"), "ts")
+        .groupBy($"ts").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(got == want && got.nonEmpty, s"got $got want $want")
+      // every planned segment is provably single-valued under days(ts)
+      // (exact stats bounds on one ordinal), so both scans report
+      // days(ts) KeyGroupedPartitioning and the join needs NO exchange
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a zero-exchange days-partitioned join plan:\n$plan")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.sql("DROP TABLE pdspj.db.l")
+      spark.sql("DROP TABLE pdspj.db.r")
+    }
+  }
+
   test("over-long identity values: SPJ refuses (inexact stats), joins stay correct") {
     // identity-string values past the 64-char stats bound truncate with
     // exact=false — the scan must then NOT report KeyGroupedPartitioning
@@ -439,6 +488,175 @@ class PartitionSpec extends SparkSuite {
     assert(msegs.length == 3 && msegs.flatMap(_.partition).sorted ==
       Seq("672", "673", "674"), msegs.map(_.partition).toString)
     spark.sql("DROP TABLE phours.db.mv")
+  }
+
+  test("dynamic partition overwrite replaces only the batch's partitions") {
+    val w = setupCatalog("pdyn")
+    spark.sql("""CREATE TABLE pdyn.db.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      USING hadro PARTITIONED BY (days(ts))""")
+    spark.range(0, 240)
+      .select($"id",
+        to_timestamp(lit("2026-03-01 00:00:00")).cast("timestamp")
+          .plus(expr("make_interval(0, 0, 0, CAST(id % 5 AS INT), 0, 0, 0)")).as("ts"),
+        ($"id" * 1.5).as("v"))
+      .createOrReplaceTempView("pdyn_src")
+    spark.sql("INSERT INTO pdyn.db.ev SELECT * FROM pdyn_src")
+    val dir = Paths.get(w, "db", "ev")
+    val before = CollectionMeta.currentManifest(dir).segments
+      .map(s => s.partition.get -> s.file).toMap
+    assert(before.size == 5)
+
+    // reprocess days 2 and 3 (v doubled) — only those two partitions replace
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("""INSERT OVERWRITE pdyn.db.ev
+        SELECT id, ts, v * 2 FROM pdyn_src WHERE id % 5 IN (2, 3)""")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    val after = CollectionMeta.currentManifest(dir).segments
+    assert(after.length == 5, after.map(_.partition).toString)
+    val afterByTag = after.map(s => s.partition.get -> s.file).toMap
+    val sortedTags = before.keys.toSeq.sortBy(_.toLong)
+    val (d2, d3) = (sortedTags(2), sortedTags(3))
+    // untouched days carried byte-identical (same files, by reference)
+    before.keys.filterNot(Set(d2, d3)).foreach(t =>
+      assert(afterByTag(t) == before(t), s"untouched partition $t was rewritten"))
+    // replaced days got fresh files
+    assert(afterByTag(d2) != before(d2) && afterByTag(d3) != before(d3))
+    // content: replaced days doubled, others original
+    val rows = spark.sql("""SELECT CAST(id % 5 AS INT) AS d,
+        SUM(CAST(v AS DECIMAL(18,1))) AS s FROM pdyn.db.ev GROUP BY 1 ORDER BY 1""")
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val base = (0 until 5).map(d => d -> (0 until 240).filter(_ % 5 == d).map(_ * 1.5).sum).toMap
+    assert(rows(0) == base(0) && rows(1) == base(1) && rows(4) == base(4), rows.toString)
+    assert(rows(2) == base(2) * 2 && rows(3) == base(3) * 2, rows.toString)
+    spark.sql("DROP TABLE pdyn.db.ev")
+  }
+
+  test("dynamic overwrite conflicts with a concurrent append to a replaced partition") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo, SupportsDynamicOverwrite}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val w = setupCatalog("pdync")
+    spark.sql("""CREATE TABLE pdync.db.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      USING hadro PARTITIONED BY (days(ts))""")
+    spark.range(0, 100)
+      .select($"id",
+        to_timestamp(lit("2026-03-01 00:00:00")).cast("timestamp")
+          .plus(expr("make_interval(0, 0, 0, CAST(id % 2 AS INT), 0, 0, 0)")).as("ts"),
+        ($"id" * 1.0).as("v"))
+      .createOrReplaceTempView("pdync_src")
+    spark.sql("INSERT INTO pdync.db.ev SELECT * FROM pdync_src")
+    val dir = Paths.get(w, "db", "ev")
+
+    // drive the DSv2 write seam by hand so a concurrent append can land
+    // between PLAN (pin) and COMMIT — the window a single SQL statement
+    // never exposes in a test
+    val cat = spark.sessionState.catalogManager.catalog("pdync")
+      .asInstanceOf[TableCatalog]
+    val table = cat.loadTable(Identifier.of(Array("db"), "ev"))
+    val tblSchema = spark.table("pdync.db.ev").schema
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+      override def queryId(): String = "pdync-test"
+      override def schema(): org.apache.spark.sql.types.StructType = tblSchema
+    }
+    val batch = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).asInstanceOf[SupportsDynamicOverwrite]
+      .overwriteDynamicPartitions().build().toBatch // pin captured HERE
+
+    // concurrent append into day 0 — a partition the overwrite replaces
+    spark.sql("""INSERT INTO pdync.db.ev
+      SELECT id + 1000, ts, v FROM pdync_src WHERE id % 2 = 0 AND id < 10""")
+
+    // one writer task producing a day-0 replacement row
+    val factory = batch.createBatchWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+    val writer = factory.createWriter(0, 0L)
+    val day0Micros = java.time.LocalDate.of(2026, 3, 1).toEpochDay * 86400000000L
+    writer.write(new GenericInternalRow(Array[Any](9999L, day0Micros, 42.0)))
+    val msg = writer.commit()
+    val e = intercept[IllegalStateException](batch.commit(Array(msg)))
+    assert(e.getMessage.contains("dynamic partition overwrite"), e.getMessage)
+    // nothing dropped: original 100 rows + the concurrent 5 survive
+    assert(spark.table("pdync.db.ev").count() == 105L)
+    spark.sql("DROP TABLE pdync.db.ev")
+  }
+
+  test("partition-spec evolution: days->hours respec routes new writes finer") {
+    val w = setupCatalog("pevo")
+    spark.sql("""CREATE TABLE pevo.db.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      USING hadro PARTITIONED BY (days(ts))""")
+    // two days under the original spec
+    spark.range(0, 48)
+      .select($"id", to_timestamp(lit("2026-05-01 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, 0, 0, CAST(id % 2 AS INT), CAST(id % 4 AS INT), 0, 0)")).as("ts"),
+        ($"id" * 1.0).as("v"))
+      .createOrReplaceTempView("pevo_old")
+    spark.sql("INSERT INTO pevo.db.ev SELECT * FROM pevo_old")
+    val dir = Paths.get(w, "db", "ev")
+    val oldSegs = CollectionMeta.currentManifest(dir).segments
+    assert(oldSegs.length == 2, oldSegs.map(_.partition).toString)
+
+    val res = spark.sql("CALL pevo.system.set_partition_spec('db.ev', 'hours')")
+      .collect().head
+    assert(res.getString(0) == "hours" && res.getString(1) == "days", res.toString)
+
+    // a third day, three distinct hours: routes ONE SEGMENT PER HOUR now
+    spark.range(100, 130)
+      .select($"id", to_timestamp(lit("2026-05-03 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, 0, 0, 0, CAST(id % 3 AS INT), 0, 0)")).as("ts"),
+        ($"id" * 1.0).as("v"))
+      .createOrReplaceTempView("pevo_new")
+    spark.sql("INSERT INTO pevo.db.ev SELECT * FROM pevo_new")
+    val segs = CollectionMeta.currentManifest(dir).segments
+    assert(segs.length == 5, segs.map(_.partition).toString) // 2 day + 3 hour
+    val oldTags = oldSegs.flatMap(_.partition).toSet
+    val newTags = segs.flatMap(_.partition).toSet -- oldTags
+    assert(newTags.size == 3, s"expected 3 hour tags, got $newTags")
+    // hour ordinals are ~24x day ordinals — proves the finer routing
+    assert(newTags.forall(_.toLong > oldTags.map(_.toLong).max * 20), newTags.toString)
+
+    // detail reports both specs
+    val detail = spark.sql(
+      "SELECT partition_transform, prior_partition_transforms FROM pevo.db.ev.detail")
+      .collect().head
+    assert(detail.getString(0) == "hours" && detail.getString(1) == "days", detail.toString)
+
+    // queries across the respec boundary: range filter spanning old+new
+    val n = spark.sql("""SELECT COUNT(*) AS n FROM pevo.db.ev
+      WHERE ts >= TIMESTAMP '2026-05-02 00:00:00'""").collect().head.getLong(0)
+    assert(n == 24L + 30L, n.toString) // day 2 (old spec) + day 3 (new spec)
+
+    // an hours-granular scan prunes to one hour segment (new spec) while
+    // old day segments prune by the same stats rule
+    val oneHour = spark.sql("""SELECT COUNT(*) AS n FROM pevo.db.ev
+      WHERE ts >= TIMESTAMP '2026-05-03 01:00:00' AND ts < TIMESTAMP '2026-05-03 02:00:00'""")
+    assert(oneHour.collect().head.getLong(0) == 10L)
+    val m = scanNode(oneHour).metrics
+    assert(m("hadroSegmentsRead").value == 1L && m("hadroSegmentsPruned").value == 4L,
+      s"read=${m("hadroSegmentsRead").value} pruned=${m("hadroSegmentsPruned").value}")
+
+    // retention across the boundary: cutoff = hour ordinal of day-3 00:00
+    // must drop BOTH old day-tagged segments (stats-bound rule, not tags)
+    val hourCutoff = java.time.LocalDate.of(2026, 5, 3).toEpochDay * 24
+    val c = Collection(spark, dir.toString)
+    assert(c.dropPartitions(hourCutoff.toString) == 2)
+    assert(spark.table("pevo.db.ev").count() == 30L)
+
+    // forward-only: coarsening and identity respecs are rejected
+    val e1 = intercept[Exception](c.setPartitionTransform("days"))
+    assert(e1.getMessage.contains("forward-only"), e1.getMessage)
+    spark.sql("""CREATE TABLE pevo.db.ident (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region)""")
+    val e2 = intercept[Exception](
+      Collection(spark, Paths.get(w, "db", "ident").toString)
+        .setPartitionTransform("hours"))
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+    spark.sql("DROP TABLE pevo.db.ev")
+    spark.sql("DROP TABLE pevo.db.ident")
   }
 
   test("schema evolution preserves the partition declaration") {
