@@ -775,8 +775,15 @@ final class Collection private (spark: SparkSession, val path: String) {
     require(unknown.isEmpty,
       s"hadro: no such partition(s) ${unknown.mkString(", ")} " +
         s"(live: ${byTag.keys.toSeq.sorted.mkString(", ")})")
-    val targets = (if (tags.nonEmpty) byTag.view.filterKeys(tags.contains).toMap
-      else byTag).filter(_._2.size >= 2)
+    // Default sweep rewrites only FRAGMENTED partitions (>= 2 segments —
+    // merging one segment with itself is a no-op). EXPLICITLY requested
+    // tags always rewrite, single-segment ones included: the rewrite
+    // re-routes rows under the CURRENT declared spec, which is exactly
+    // the migration step after a partition-spec respec (a day-tagged
+    // segment compacted under an hours spec becomes per-hour segments).
+    val targets =
+      if (tags.nonEmpty) byTag.view.filterKeys(tags.contains).toMap
+      else byTag.filter(_._2.size >= 2)
     var committed = 0
     targets.toSeq.sortBy(_._1).foreach { case (_, segs) =>
       val files = segs.map(_.file).mkString(",")

@@ -512,11 +512,64 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       require(segs.forall(_.partition.isDefined),
         "hadro: dynamic overwrite produced an untagged segment")
       val newTags: Set[Option[String]] = segs.map(_.partition).toSet
-      val drift = cur.mutated || newTags.exists { t =>
+      // Spec drift re-checked INSIDE the commit closure: a respec landing
+      // between this write's plan and its commit re-routes concurrent
+      // inserts under the NEW (finer) spec — their segments carry tags the
+      // plan-time pin never saw, so neither the per-partition drift check
+      // (tag equality misses them) nor the overlap guard below (the
+      // plan-time schema predates the respec, so the history looks empty)
+      // would catch rows landing inside a "replaced" partition. The spec
+      // is commit-relevant state exactly like the manifest generation;
+      // compare the full (column, transform, history) triple.
+      val metaNow = CollectionMeta.readSchema(path)
+      val specDrift = !metaNow.exists(m =>
+        m.partitionBy == storedMeta.partitionBy &&
+          m.partitionTransform == storedMeta.partitionTransform &&
+          m.priorPartitionTransforms == storedMeta.priorPartitionTransforms)
+      val drift = cur.mutated || specDrift || newTags.exists { t =>
         cur.segments.filter(_.partition == t)
           .map(s => (s.file, s.deleteVector)) != pin.getOrElse(t, Seq.empty)
       }
-      if (drift) { conflicted = true; cur }
+      // Cross-spec overlap guard: after a partition-spec respec, a KEPT
+      // segment still tagged under the PRIOR (coarser) spec can contain
+      // rows that fall inside a partition this write replaces under the
+      // CURRENT spec — dropping only the current-spec segments would
+      // leave those rows in place and the "replaced" partition would
+      // read back as stale-plus-new. Prove disjointness from each kept
+      // segment's exact stats bounds (both bounds mapped through the
+      // current transform — the writer's own tag arithmetic); a kept
+      // segment whose ordinal range touches a replaced ordinal, or whose
+      // stats can't prove anything, conflicts: migrate the old partition
+      // first (compactPartitions(tag) re-routes it under the current
+      // spec). Only time-transform respecs have history, so the guard is
+      // free everywhere else.
+      val specOverlap = storedMeta.priorPartitionTransforms.nonEmpty &&
+        partitionOrdSpec.exists { case (ord, transform) =>
+          val pCol = storedSchema.fieldNames(ord)
+          val dt = storedSchema(ord).dataType
+          val replacedOrds = newTags.flatten.flatMap(_.toLongOption)
+          val keep = cur.segments.filterNot(s => newTags.contains(s.partition))
+          replacedOrds.nonEmpty && keep.exists { s =>
+            s.partition.exists(_ != "__null__") && {
+              val range = s.stats.get(pCol).flatMap { st =>
+                if (st.exact && st.nullCount == 0L && st.min.isDefined && st.max.isDefined)
+                  try {
+                    def ordOf(bound: String): Long = HadroPartition.tagOf(dt,
+                      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                        Array[Any](graft.format.StatsCollector.parse(bound, dt))),
+                      0, transform).toLong
+                    Some((ordOf(st.min.get), ordOf(st.max.get)))
+                  } catch { case _: Exception => None }
+                else None
+              }
+              range match {
+                case Some((lo, hi)) => replacedOrds.exists(o => o >= lo && o <= hi)
+                case None => true // cannot prove disjoint — conservative
+              }
+            }
+          }
+        }
+      if (drift || specOverlap) { conflicted = true; cur }
       else {
         conflicted = false
         val keep = cur.segments.filterNot(s => newTags.contains(s.partition))
@@ -644,10 +697,13 @@ final class HadroBatchWrite(path: Path, schema: StructType,
         s"hadro: compaction of $path conflicted with a concurrent " +
           "truncate/overwrite — the rewrite was abandoned; retry if still needed")
     }
-    if (truncate || replaceSpec.isDefined) {
+    if (truncate || replaceSpec.isDefined || dynamicPin.isDefined) {
       // Physical file deletion is DEFERRED one generation
       // (CollectionMeta.deferredGc) so a reader that planned against an
-      // older manifest still finds its segment files on disk.
+      // older manifest still finds its segment files on disk. The dynamic
+      // overwrite path removes the replaced partitions' segments from the
+      // manifest, so it must record them dead like any other replace —
+      // otherwise a daily overwrite leaks each day's old files forever.
       val m = CollectionMeta.currentManifest(path)
       val live = m.segments.flatMap(_.allFiles).toSet
       CollectionMeta.deferredGc(path, live)

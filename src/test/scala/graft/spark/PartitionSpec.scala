@@ -2,6 +2,8 @@ package graft.spark
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
@@ -378,6 +380,144 @@ class PartitionSpec extends SparkSuite {
     }
   }
 
+  test("hours-transform SPJ and the writerV2 overwritePartitions API") {
+    val w = setupCatalog("phspj")
+    spark.sql("""CREATE TABLE phspj.db.l (ts TIMESTAMP, v BIGINT)
+      USING hadro PARTITIONED BY (hours(ts))""")
+    spark.sql("""CREATE TABLE phspj.db.r (ts TIMESTAMP, t STRING)
+      USING hadro PARTITIONED BY (hours(ts))""")
+    // minute-level spread inside each hour: only the hours() ordinal
+    // proof can report the grouping
+    spark.range(0, 80)
+      .select(to_timestamp(lit("2026-06-01 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, 0, 0, 0, CAST(id % 4 AS INT), CAST(id % 7 AS INT), 0)")).as("ts"),
+        $"id".as("v"))
+      .createOrReplaceTempView("phspj_l")
+    spark.range(0, 40)
+      .select(to_timestamp(lit("2026-06-01 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, 0, 0, 0, CAST(id % 4 AS INT), CAST(id % 7 AS INT), 0)")).as("ts"),
+        concat(lit("t"), $"id").as("t"))
+      .createOrReplaceTempView("phspj_r")
+    spark.sql("INSERT INTO phspj.db.l SELECT * FROM phspj_l")
+    spark.sql("INSERT INTO phspj.db.r SELECT * FROM phspj_r")
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("phspj.db.l").join(spark.table("phspj.db.r"), "ts")
+        .groupBy($"ts").agg(count(lit(1)).as("n"))
+      val got = j.collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      val want = spark.table("phspj_l").join(spark.table("phspj_r"), "ts")
+        .groupBy($"ts").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(got == want && got.nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a zero-exchange hours-partitioned join plan:\n$plan")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+    // DataFrameWriterV2.overwritePartitions — the explicit dynamic API
+    // (no session conf involved) — replaces exactly the hour present in
+    // the written frame
+    val before = CollectionMeta.currentManifest(Paths.get(w, "db", "l")).segments
+      .map(s => s.partition.get -> s.file).toMap
+    spark.table("phspj_l").filter(hour($"ts") === 2)
+      .select($"ts", ($"v" * 10).as("v"))
+      .writeTo("phspj.db.l").overwritePartitions()
+    val after = CollectionMeta.currentManifest(Paths.get(w, "db", "l")).segments
+      .map(s => s.partition.get -> s.file).toMap
+    assert(after.size == before.size)
+    val changed = before.keys.filter(t => after(t) != before(t)).toSeq
+    assert(changed.length == 1, s"expected exactly one replaced hour, got $changed")
+    val sum = spark.table("phspj.db.l").agg(sum_distinct(lit(0L)) * 0 + expr("sum(v)"))
+      .collect().head.getLong(0)
+    val base = (0L until 80L).map(id => if (id % 4 == 2) id * 10 else id).sum
+    assert(sum == base, s"sum $sum != $base")
+    spark.sql("DROP TABLE phspj.db.l")
+    spark.sql("DROP TABLE phspj.db.r")
+  }
+
+  test("respec then compact_partitions migrates coarse partitions to the finer spec") {
+    val w = setupCatalog("pmig")
+    spark.sql("""CREATE TABLE pmig.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    // one day spanning 3 distinct hours, written under the days() spec
+    spark.range(0, 30)
+      .select($"id", to_timestamp(lit("2026-07-01 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, 0, 0, 0, CAST(id % 3 AS INT), 0, 0)")).as("ts"))
+      .createOrReplaceTempView("pmig_src")
+    spark.sql("INSERT INTO pmig.db.ev SELECT * FROM pmig_src")
+    val dir = Paths.get(w, "db", "ev")
+    assert(CollectionMeta.currentManifest(dir).segments.length == 1)
+    val c = Collection(spark, dir.toString)
+    c.setPartitionTransform("hours")
+    // migration = explicitly compacting the old coarse partition: an
+    // explicitly-named tag rewrites even as a single segment, and the
+    // rewrite re-routes rows under the CURRENT (finer) spec
+    val dayTag = java.time.LocalDate.of(2026, 7, 1).toEpochDay.toString
+    assert(c.compactPartitions(Seq(dayTag)) == 1)
+    val segs = CollectionMeta.currentManifest(dir).segments
+    assert(segs.length == 3, segs.map(_.partition).toString)
+    val tags = segs.flatMap(_.partition).map(_.toLong).sorted
+    val hour0 = java.time.LocalDate.of(2026, 7, 1).toEpochDay * 24
+    assert(tags == Seq(hour0, hour0 + 1, hour0 + 2), tags.toString)
+    assert(spark.table("pmig.db.ev").count() == 30L)
+    // the default sweep still ignores healthy single-segment partitions
+    assert(c.compactPartitions() == 0)
+    spark.sql("DROP TABLE pmig.db.ev")
+  }
+
+  test("dynamic overwrite refuses to replace across a respec until migration") {
+    val w = setupCatalog("pdynr")
+    spark.sql("""CREATE TABLE pdynr.db.ev (id BIGINT, ts TIMESTAMP)
+      USING hadro PARTITIONED BY (days(ts))""")
+    spark.range(0, 30)
+      .select($"id", to_timestamp(lit("2026-08-01 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, 0, 0, 0, CAST(id % 3 AS INT), 0, 0)")).as("ts"))
+      .createOrReplaceTempView("pdynr_src")
+    spark.sql("INSERT INTO pdynr.db.ev SELECT * FROM pdynr_src")
+    val dir = Paths.get(w, "db", "ev")
+    val c = Collection(spark, dir.toString)
+    c.setPartitionTransform("hours")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // hour 1 of the day is still inside the old DAY-tagged segment:
+      // replacing only the (nonexistent) hour partition would leave the
+      // stale rows in place — must conflict, not silently mix
+      val e = intercept[Exception](spark.sql("""INSERT OVERWRITE pdynr.db.ev
+        SELECT id + 1000, ts FROM pdynr_src
+        WHERE ts >= TIMESTAMP '2026-08-01 01:00:00'
+          AND ts < TIMESTAMP '2026-08-01 02:00:00'"""))
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(e).exists(x => Option(x.getMessage)
+        .exists(_.contains("dynamic partition overwrite"))), s"unexpected: $e")
+      assert(spark.table("pdynr.db.ev").count() == 30L) // nothing dropped
+      // migrate the coarse day under the new spec, then the same
+      // overwrite lands cleanly
+      val dayTag = java.time.LocalDate.of(2026, 8, 1).toEpochDay.toString
+      assert(c.compactPartitions(Seq(dayTag)) == 1)
+      spark.sql("""INSERT OVERWRITE pdynr.db.ev
+        SELECT id + 1000, ts FROM pdynr_src
+        WHERE ts >= TIMESTAMP '2026-08-01 01:00:00'
+          AND ts < TIMESTAMP '2026-08-01 02:00:00'""")
+      assert(spark.table("pdynr.db.ev").count() == 30L)
+      // hour 1 now holds ONLY the overwritten ids
+      assert(spark.table("pdynr.db.ev")
+        .filter($"ts" >= lit("2026-08-01 01:00:00") && $"ts" < lit("2026-08-01 02:00:00"))
+        .agg(min($"id")).collect().head.getLong(0) >= 1000L)
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql("DROP TABLE pdynr.db.ev")
+    }
+  }
+
   test("over-long identity values: SPJ refuses (inexact stats), joins stay correct") {
     // identity-string values past the 64-char stats bound truncate with
     // exact=false — the scan must then NOT report KeyGroupedPartitioning
@@ -529,6 +669,34 @@ class PartitionSpec extends SparkSuite {
     val base = (0 until 5).map(d => d -> (0 until 240).filter(_ % 5 == d).map(_ * 1.5).sum).toMap
     assert(rows(0) == base(0) && rows(1) == base(1) && rows(4) == base(4), rows.toString)
     assert(rows(2) == base(2) * 2 && rows(3) == base(3) * 2, rows.toString)
+
+    // The replaced files must be RECORDED dead (deletion deferred one
+    // generation so planned readers still find them) — without this a
+    // daily overwrite leaks each day's old files forever
+    assert(Files.exists(dir.resolve(before(d2))), "deferred: old file still on disk")
+    val metaDir = dir.resolve("_hadro")
+    def deadNames(): Set[String] = {
+      val s = Files.list(metaDir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.matches("dead-\\d+\\.json"))
+        .flatMap { f =>
+          val txt = new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
+          "\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1))
+        }.toSet
+      finally s.close()
+    }
+    val dead1 = deadNames()
+    assert(dead1.contains(before(d2)) && dead1.contains(before(d3)),
+      s"replaced files not recorded dead: $dead1")
+    // A later replace cycle physically purges them
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("""INSERT OVERWRITE pdyn.db.ev
+        SELECT id, ts, v * 4 FROM pdyn_src WHERE id % 5 = 2""")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert(!Files.exists(dir.resolve(before(d2))),
+      "second replace cycle should purge the first cycle's dead files")
+    assert(Files.exists(dir.resolve(afterByTag(d3))),
+      "still-live file must survive GC")
     spark.sql("DROP TABLE pdyn.db.ev")
   }
 
@@ -583,6 +751,58 @@ class PartitionSpec extends SparkSuite {
     // nothing dropped: original 100 rows + the concurrent 5 survive
     assert(spark.table("pdync.db.ev").count() == 105L)
     spark.sql("DROP TABLE pdync.db.ev")
+  }
+
+  test("dynamic overwrite conflicts with a respec landing between plan and commit") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo, SupportsDynamicOverwrite}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val w = setupCatalog("pdynsp")
+    spark.sql("""CREATE TABLE pdynsp.db.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      USING hadro PARTITIONED BY (days(ts))""")
+    spark.range(0, 48)
+      .select($"id",
+        to_timestamp(lit("2026-03-01 00:00:00")).cast("timestamp")
+          .plus(expr("make_interval(0, 0, 0, 0, CAST(id % 24 AS INT), 0, 0)")).as("ts"),
+        ($"id" * 1.0).as("v"))
+      .createOrReplaceTempView("pdynsp_src")
+    spark.sql("INSERT INTO pdynsp.db.ev SELECT * FROM pdynsp_src")
+    val dir = Paths.get(w, "db", "ev")
+
+    val cat = spark.sessionState.catalogManager.catalog("pdynsp")
+      .asInstanceOf[TableCatalog]
+    val table = cat.loadTable(Identifier.of(Array("db"), "ev"))
+    val tblSchema = spark.table("pdynsp.db.ev").schema
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+      override def queryId(): String = "pdynsp-test"
+      override def schema(): org.apache.spark.sql.types.StructType = tblSchema
+    }
+    val batch = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).asInstanceOf[SupportsDynamicOverwrite]
+      .overwriteDynamicPartitions().build().toBatch // plan-time pin + spec
+
+    // a respec + an hour-routed concurrent insert land mid-flight: the new
+    // segments carry hour tags the plan-time pin never saw, so only the
+    // in-commit spec re-check can refuse to drop the day around them
+    Collection(spark, dir.toString).setPartitionTransform("hours")
+    spark.sql("""INSERT INTO pdynsp.db.ev
+      SELECT id + 1000, ts, v FROM pdynsp_src WHERE id < 3""")
+
+    val factory = batch.createBatchWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+    val writer = factory.createWriter(0, 0L)
+    val day0Micros = java.time.LocalDate.of(2026, 3, 1).toEpochDay * 86400000000L
+    writer.write(new GenericInternalRow(Array[Any](9999L, day0Micros, 42.0)))
+    val msg = writer.commit()
+    val e = intercept[IllegalStateException](batch.commit(Array(msg)))
+    assert(e.getMessage.contains("dynamic partition overwrite"), e.getMessage)
+    // nothing dropped: the original 48 rows + the concurrent 3 survive
+    assert(spark.table("pdynsp.db.ev").count() == 51L)
+    spark.sql("DROP TABLE pdynsp.db.ev")
   }
 
   test("partition-spec evolution: days->hours respec routes new writes finer") {
