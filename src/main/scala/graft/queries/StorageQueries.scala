@@ -2246,5 +2246,162 @@ object StorageQueries {
         WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
           AND ts < TIMESTAMP '2024-01-17 00:00:00'
         GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h73
+    // REPLACE WHERE (predicate-scoped atomic overwrite,
+    // `df.writeTo(t).overwrite(cond)`): delete every row in a
+    // boundary-aligned time region and append the corrected batch in ONE
+    // commit. Unlike dynamic overwrite (h70) the region is replaced even
+    // where the new batch is thinner — here the two reprocessed days
+    // keep only even event_ids (value tripled), the canonical
+    // "recompute a bad day from a filtered upstream" shape. Whole-segment
+    // replacement is proven from manifest min/max bounds (see
+    // HadroReplaceWhere): manifest-only planning, O(new batch) write,
+    // replaced terabytes dropped by reference.
+    QueryDef(
+      "h73_replace_where",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h73"
+        s.conf.set("spark.sql.catalog.graft_h73", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h73.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h73.db")
+        s.sql("DROP TABLE IF EXISTS graft_h73.db.events")
+        s.sql("""CREATE TABLE graft_h73.db.events
+          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h73_src")
+        s.sql("INSERT INTO graft_h73.db.events SELECT * FROM h73_src")
+        s.sql("""SELECT event_id, ts, event_type, value * 3 AS value
+            FROM h73_src
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-12 00:00:00'
+              AND event_id % 2 = 0""")
+          .writeTo("graft_h73.db.events")
+          .overwrite(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")
+            && col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h73.db.events
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""WITH replaced AS (
+          SELECT event_type, value FROM events
+          WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+             OR ts >= TIMESTAMP '2024-01-12 00:00:00'
+          UNION ALL
+          SELECT event_type, value * 3 AS value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+            AND ts < TIMESTAMP '2024-01-12 00:00:00'
+            AND event_id % 2 = 0)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM replaced GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h74
+    // Batch changefeed window (`hadro.changesStart`): an incremental
+    // batch consumer reads ONLY the records committed after the version
+    // it last processed — planned from the manifest ordinal floor, so at
+    // 100 TB a nightly downstream job reads the night's segments, never
+    // the table. The append-shaped-window proof (same generation, no
+    // drops, no dv drift) runs at plan time; here the window is the
+    // second half of the log.
+    QueryDef(
+      "h74_batch_changes",
+      (s, dir) => {
+        val path = colPath(dir, "h74")
+        val src = QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+        Collection.create(s, path,
+          src.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")))
+        val v1 = Collection(s, path).version
+        Collection(s, path).append(
+          src.filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp")))
+        s.read.format("hadro")
+          .option("hadro.changesStart", v1.toString).load(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h75
+    // `t.partitions` metadata table: the per-partition physical inventory
+    // (segment count, live rows, bytes, ordinal span) straight from
+    // manifest JSON — the numbers behind a drop_partitions / overwrite /
+    // compact_partitions decision, at metadata scale (no data read). The
+    // oracle replays the day-ordinal row counts from the raw events.
+    QueryDef(
+      "h75_partitions_metadata",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h75"
+        s.conf.set("spark.sql.catalog.graft_h75", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h75.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h75.db")
+        s.sql("DROP TABLE IF EXISTS graft_h75.db.events")
+        s.sql("""CREATE TABLE graft_h75.db.events
+          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h75_src")
+        s.sql("INSERT INTO graft_h75.db.events SELECT * FROM h75_src")
+        s.sql("""SELECT CAST(partition AS BIGINT) AS day_ord, n_rows
+          FROM graft_h75.db.events.partitions ORDER BY day_ord""")
+      },
+      Some("""SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day_ord,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---------------------------------------------------------------- h76
+    // Schema merge on write (`hadro.mergeSchema=true`): a pipeline whose
+    // upstream grew a column keeps flowing — unseen fields are ADDED
+    // (nullable, appended after the stored layout, addColumn semantics)
+    // before validation, old segments null-fill via the per-segment
+    // nFields machinery, and type changes to EXISTING columns still fail
+    // fast. Here the first half of the log predates the `value` column;
+    // the second half merges it in, and one scan reads both vintages.
+    QueryDef(
+      "h76_merge_schema",
+      (s, dir) => {
+        val path = colPath(dir, "h76")
+        val src = QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+        Collection.create(s, path,
+          src.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+            .drop("value"))
+        src.filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+          .write.format("hadro").mode("append")
+          .option("hadro.mergeSchema", "true").save(path)
+        s.read.format("hadro").load(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_v
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

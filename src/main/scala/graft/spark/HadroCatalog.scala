@@ -517,6 +517,24 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                   }
                 }
               }.toArray
+          case "partitions" =>
+            // per-partition physical inventory: the observability face of
+            // partition routing — one row per live value-partition tag
+            // (untagged segments roll up under a NULL partition). The
+            // numbers a user needs before a drop_partitions/overwrite/
+            // compact_partitions decision, straight from manifest JSON.
+            CollectionMeta.currentManifest(dir).segments
+              .groupBy(_.partition).toSeq
+              .sortBy { case (t, _) => (t.isEmpty, t.getOrElse("")) }
+              .map { case (tag, ss) =>
+                InternalRow(
+                  tag.map(UTF8String.fromString).orNull,
+                  ss.size.toLong,
+                  ss.map(s => s.rows - s.tombstones - s.dvDeletes).sum,
+                  ss.map(_.tombstones).sum, ss.map(_.dvDeletes).sum,
+                  ss.map(_.bytes).sum,
+                  ss.map(_.ordinal).min, ss.map(_.ordinal).max)
+              }.toArray
           case "constraints" =>
             CollectionMeta.readConstraints(dir).toSeq.sortBy(_._1).map {
               case (n, text) =>
@@ -582,6 +600,11 @@ object HadroMetadataTable {
       .add("start_row", LongType).add("n_rows", LongType)
       .add("column", StringType).add("min_value", StringType)
       .add("max_value", StringType).add("null_count", LongType),
+    "partitions" -> new StructType()
+      .add("partition", StringType).add("n_segments", LongType)
+      .add("n_rows", LongType).add("n_tombstones", LongType)
+      .add("n_dv_deletes", LongType).add("n_bytes", LongType)
+      .add("min_ordinal", LongType).add("max_ordinal", LongType),
     "constraints" -> new StructType()
       .add("name", StringType).add("expression", StringType),
     "detail" -> new StructType()

@@ -130,6 +130,7 @@ final class HadroTable(path: Path, dataSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE).asJava
 
@@ -161,27 +162,39 @@ final class HadroTable(path: Path, dataSchema: StructType,
       override def comment: String = "hadro tombstone flag; selecting it includes tombstone records"
     })
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HadroScanBuilder(path, dataSchema,
-      // numeric version or a TAG name — same resolution the SQL
-      // `VERSION AS OF` surface applies (digit-only tags are rejected at
-      // creation, so the numeric parse can safely win)
-      Option(options.get("hadro.versionAsOf")).map(v =>
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // numeric version or a TAG name — same resolution the SQL
+    // `VERSION AS OF` surface applies (digit-only tags are rejected at
+    // creation, so the numeric parse can safely win)
+    def resolveVersion(opt: String): Option[Long] =
+      Option(options.get(opt)).map(v =>
         try v.toLong
         catch {
           case _: NumberFormatException =>
             CollectionMeta.readRefs(path).getOrElse(v,
               throw new IllegalArgumentException(
-                s"hadro: hadro.versionAsOf expects a version number or tag " +
+                s"hadro: $opt expects a version number or tag " +
                   s"name, got '$v' (tags: " +
                   s"${CollectionMeta.readRefs(path).keys.toSeq.sorted.mkString(", ")})"))
-        }).orElse(pinnedVersion),
+        })
+    // Batch changefeed window: `hadro.changesStart` restricts the scan to
+    // records committed AFTER that version — `hadro.changesEnd` (or
+    // versionAsOf) pins the other edge. The end edge rides the ordinary
+    // snapshot pin; the start edge is a per-segment ordinal floor resolved
+    // in [[HadroScan]] (append-only window proof lives there too).
+    val changesEnd = resolveVersion("hadro.changesEnd")
+    require(changesEnd.isEmpty || Option(options.get("hadro.versionAsOf")).isEmpty,
+      "hadro: hadro.changesEnd and hadro.versionAsOf are the same pin — set one")
+    new HadroScanBuilder(path, dataSchema,
+      resolveVersion("hadro.versionAsOf").orElse(changesEnd).orElse(pinnedVersion),
       options.getOrDefault("hadro.onTruncate", "fail"),
       options.getLong("hadro.maxOrdinalsPerTrigger", 0L),
       Option(options.get("hadro.files"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty),
       Option(options.get("hadro.startingVersion")),
-      options.getLong("hadro.maxBytesPerTrigger", 0L))
+      options.getLong("hadro.maxBytesPerTrigger", 0L),
+      resolveVersion("hadro.changesStart"))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -240,7 +253,8 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     versionAsOf: Option[Long] = None, onTruncate: String = "fail",
     maxOrdinalsPerTrigger: Long = 0L, onlyFiles: Option[Set[String]] = None,
     startingVersion: Option[String] = None,
-    maxBytesPerTrigger: Long = 0L)
+    maxBytesPerTrigger: Long = 0L,
+    changesStart: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownOffset {
@@ -263,8 +277,14 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // would re-shape the scan's output: pushed filters (residuals re-apply
   // post-scan), top-N (the sort runs above), aggregate pushdown. A pushed
   // LIMIT composes: the planned prefix covers limit + offset live rows.
+  // A changes-window scan (`hadro.changesStart`) declines every
+  // manifest-accounting pushdown (offset/limit/top-N/aggregate): those
+  // plans reason over the WHOLE collection's live counts and stats, not
+  // the window's segment subset — a CDC replay is a full window read
+  // anyway, so nothing of value is lost.
   override def pushOffset(m: Int): Boolean = {
-    if (m <= 0 || pushed.nonEmpty || topN.nonEmpty || aggResult.isDefined) false
+    if (m <= 0 || pushed.nonEmpty || topN.nonEmpty || aggResult.isDefined ||
+      changesStart.isDefined) false
     else { offset = Some(m); true }
   }
 
@@ -279,7 +299,8 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // limit of matches. isPartiallyPushed stays true (the default): Spark
   // keeps its own global limit, we only shrink what is read.
   override def pushLimit(l: Int): Boolean = {
-    if (pushed.isEmpty) { limit = Some(l); true } else false
+    if (pushed.isEmpty && changesStart.isEmpty) { limit = Some(l); true }
+    else false
   }
 
   // ------------------------------------------------------- top-N pushdown
@@ -295,7 +316,8 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // isPartiallyPushed = true also keeps the pushed-LIMIT contract (Spark
   // retains its global limit; we only shrink what is read).
   override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
-    if (pushed.nonEmpty || orders.isEmpty || l <= 0) return false
+    if (pushed.nonEmpty || orders.isEmpty || l <= 0 ||
+      changesStart.isDefined) return false
     val head = orders.head
     val colName = head.expression() match {
       case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
@@ -329,13 +351,14 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // matching pushAggregation, so only pushAggregation may latch state —
   // otherwise build() could return the single-row agg scan for a plain scan.
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    onlyFiles.isEmpty &&
+    onlyFiles.isEmpty && changesStart.isEmpty &&
       HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // Assignment (not |=) so a failed plan also RESETS any earlier latch.
     aggResult =
-      if (onlyFiles.isDefined) None // manifest stats cover the whole collection
+      // manifest stats cover the whole collection, not a file/window subset
+      if (onlyFiles.isDefined || changesStart.isDefined) None
       else HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed)
     aggResult.isDefined
   }
@@ -345,7 +368,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     case None =>
       new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
         maxOrdinalsPerTrigger, limit, onlyFiles, topN, offset, startingVersion,
-        maxBytesPerTrigger)
+        maxBytesPerTrigger, changesStart)
   }
 }
 
@@ -540,7 +563,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushedTopN: Option[(String, Boolean, Int)] = None,
     pushedOffset: Option[Int] = None,
     startingVersion: Option[String] = None,
-    maxBytesPerTrigger: Long = 0L)
+    maxBytesPerTrigger: Long = 0L,
+    changesStart: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -615,6 +639,9 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(onlyFiles.isEmpty,
       "hadro: hadro.files is a batch-rewrite primitive, not a stream source option")
+    require(changesStart.isEmpty,
+      "hadro: hadro.changesStart is the BATCH changes window — a stream " +
+        "replays from a version with hadro.startingVersion instead")
     validateAgainstStored()
     new HadroMicroBatchStream(path, storedSchema, required, onTruncate,
       maxOrdinalsPerTrigger, startingVersion, maxBytesPerTrigger)
@@ -657,6 +684,46 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     .map(v => CollectionMeta.manifestAt(path, v))
     .getOrElse(CollectionMeta.currentManifest(path))
 
+  /** Batch changefeed window floor: with `hadro.changesStart = v`, only
+    * records committed AFTER version v are scanned — the batch twin of the
+    * streaming source's `startingVersion` replay, bounded by this scan's
+    * snapshot pin (`hadro.changesEnd` / current). Sound only while the
+    * window is APPEND-SHAPED, proved against the start manifest:
+    *   - same generation (any truncate/compaction/overwrite renumbers the
+    *     ordinal space — a window across it is meaningless),
+    *   - every start-side file still live at the end (a metadata-only
+    *     partition drop removes rows without an ordinal event),
+    *   - no deletion-vector drift on surviving files (dv deletes are
+    *     row-level erasures, not appended tombstones — invisible to an
+    *     ordinal window).
+    * Upserts and keyed tombstone deletes ARE ordinal appends, so they
+    * replay exactly; compose with `hadro.changefeed=full` to see them as
+    * CDC rows. Planning cost is O(#segments) manifest work — at 100 TB an
+    * incremental consumer reads only the window's segments, never the
+    * table. */
+  private lazy val changesFloor: Option[Long] = changesStart.map { v =>
+    val end = manifestSnapshot
+    val start = CollectionMeta.manifestAt(path, v)
+    require(start.generation == end.generation,
+      s"hadro: changes window ($v, ${end.version}] crosses a truncate/" +
+        "compaction/overwrite (generation " +
+        s"${start.generation} -> ${end.generation}) — the ordinal space " +
+        "was rewritten; replay from a full snapshot instead")
+    val endByFile = end.segments.map(s => s.file -> s).toMap
+    start.segments.foreach { s =>
+      val live = endByFile.get(s.file)
+      require(live.isDefined,
+        s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
+          "was dropped (drop_partitions) inside the window; its rows' " +
+          "removal is not an ordinal event, replay from a full snapshot")
+      require(live.get.deleteVector == s.deleteVector,
+        s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
+          "gained row-level (deletion-vector) deletes inside the window; " +
+          "those are not ordinal events, replay from a full snapshot")
+    }
+    start.nextOrdinal
+  }
+
   /** The post-pruning segment list (and its manifest) — shared by
     * planInputPartitions and outputPartitioning so the reported
     * partitioning always describes the partitions actually planned. */
@@ -664,6 +731,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       filters: Array[Filter]): (Manifest, Seq[SegmentInfo]) = {
     val manifest = manifestSnapshot
     val survivors = manifest.segments
+      .filter(seg => changesFloor.forall(seg.ordinal >= _))
       .filter(seg => onlyFiles.forall(_.contains(seg.file)))
       .filter(seg => SegmentSkipper.mightMatch(seg, filters, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, filters, storedSchema) &&
@@ -1050,6 +1118,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   override def estimateStatistics(): Statistics = {
     val manifest = manifestSnapshot
     val kept = manifest.segments
+      .filter(seg => changesFloor.forall(seg.ordinal >= _))
       .filter(seg => onlyFiles.forall(_.contains(seg.file)))
       .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&

@@ -41,10 +41,26 @@ import graft.meta.{CollectionMeta, SegmentInfo}
   */
 final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     viaCatalog: Boolean = false)
-    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite
+    with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  // REPLACE WHERE (`df.writeTo(t).overwrite(cond)` / SQL static
+  // `INSERT OVERWRITE t PARTITION (p = v)`): one atomic commit deletes
+  // every row matching the predicate and appends the batch. The engine's
+  // contract is whole-segment replacement proven by manifest statistics —
+  // see [[HadroReplaceWhere]]. Spark routes the all-rows case
+  // (`AlwaysTrue`) to truncate() above, never here. The predicates are
+  // compiled (and the guidance error raised) at build time, not commit
+  // time, so an unsupported predicate fails before any task runs.
+  private var replaceWhere: Option[Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate]] = None
+  override def overwrite(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): WriteBuilder = {
+    replaceWhere = Some(predicates); this
+  }
 
   // Dynamic partition overwrite (`INSERT OVERWRITE` under
   // partitionOverwriteMode=dynamic / `DataFrameWriterV2.overwritePartitions`):
@@ -197,17 +213,25 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
           (!doTruncate && replaceSpec.isEmpty && compactOf.isEmpty),
         "hadro: dynamic partition overwrite is exclusive with truncate/" +
           "replaceFiles/compactOf")
+      require(replaceWhere.isEmpty ||
+          (!doTruncate && !doDynamicOverwrite && replaceSpec.isEmpty &&
+            compactOf.isEmpty),
+        "hadro: REPLACE WHERE is exclusive with truncate/dynamic overwrite/" +
+          "replaceFiles/compactOf")
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
         maxSegmentBytes, bucketSpec, replaceSpec, sortedSpec, compressSpec,
-        dynamicOverwrite = doDynamicOverwrite)
+        dynamicOverwrite = doDynamicOverwrite,
+        replaceWhere = replaceWhere.map(_.toSeq),
+        mergeSchema = opts.getBoolean("hadro.mergeSchema", false))
     }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new HadroStreamingWrite(path, info.schema(), consistency,
         upsert || tombstone || deleteCol.nonEmpty, keyField, splitBytes,
-        info.queryId(), offsetIndex, deleteCol)
+        info.queryId(), offsetIndex, deleteCol,
+        mergeSchema = opts.getBoolean("hadro.mergeSchema", false))
   }
 }
 
@@ -219,14 +243,41 @@ private[graft] object HadroWriteInit {
   def ensureSchema(path: Path, schema: StructType, tombstone: Boolean,
       keyField: Option[String], deleteCol: Option[String] = None,
       bucketSpec: Option[(Seq[String], Int)] = None,
-      compressSpec: Option[String] = None): CollectionMeta.SchemaMeta = {
+      compressSpec: Option[String] = None,
+      mergeSchema: Boolean = false): CollectionMeta.SchemaMeta = {
     Files.createDirectories(path)
     // the dropped-column marker prefix is reserved: a user column with it
     // would alias an invisible physical slot
     schema.fieldNames.foreach(n => require(!n.startsWith(CollectionMeta.DroppedPrefix),
       s"hadro: column name '$n' uses the reserved prefix ${CollectionMeta.DroppedPrefix}"))
     CollectionMeta.readSchema(path) match {
-      case Some(meta) =>
+      case Some(meta0) =>
+        // `hadro.mergeSchema=true`: fields the collection has never seen
+        // are ADDED (nullable, appended after the stored layout — exactly
+        // `addColumn` without a default) before validation, so a pipeline
+        // whose upstream grew a column keeps flowing without a manual
+        // ALTER. Additive only — type changes still fail below, and the
+        // per-segment nFields machinery (schema evolution) makes old
+        // segments null-fill the new slots. Same last-writer-wins
+        // schema-file semantics as concurrent addColumn DDL.
+        val meta = if (mergeSchema) {
+          val newFields = schema.fields.filterNot(f =>
+            deleteCol.contains(f.name) ||
+              meta0.schema.fieldNames.contains(f.name))
+          if (newFields.isEmpty) meta0
+          else {
+            newFields.foreach(f => require(!f.name.startsWith("_hadro_"),
+              s"hadro: mergeSchema cannot add reserved column '${f.name}'"))
+            CollectionMeta.writeSchema(path,
+              StructType(meta0.schema.fields ++ newFields.map(f =>
+                f.copy(nullable = true,
+                  metadata = org.apache.spark.sql.types.Metadata.empty))),
+              meta0.keyField, meta0.bucketBy, meta0.numBuckets,
+              meta0.compress, meta0.partitionBy, meta0.partitionTransform,
+              meta0.priorPartitionTransforms)
+            CollectionMeta.readSchema(path).get
+          }
+        } else meta0
         // the codec is a creation-time property; silently diverging would
         // fork the collection into mixed intent
         compressSpec.foreach { c =>
@@ -380,10 +431,14 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     replaceSpec: Option[ReplaceSpec] = None,
     sortedSpec: Option[String] = None,
     compressSpec: Option[String] = None,
-    dynamicOverwrite: Boolean = false) extends BatchWrite {
+    dynamicOverwrite: Boolean = false,
+    replaceWhere: Option[Seq[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]] = None,
+    mergeSchema: Boolean = false)
+    extends BatchWrite {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
-    keyField, deleteCol, bucketSpec, compressSpec)
+    keyField, deleteCol, bucketSpec, compressSpec, mergeSchema)
   private val storedSchema: StructType = storedMeta.schema
   private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
   // Explicit options win; otherwise the spec DECLARED on the collection
@@ -432,6 +487,35 @@ final class HadroBatchWrite(path: Path, schema: StructType,
         .map { case (t, ss) => t -> ss.map(s => (s.file, s.deleteVector)) })
     }
 
+  // REPLACE WHERE: compile the predicate region and classify every live
+  // segment at PLAN time — provably inside (replaced) or provably
+  // disjoint (kept); anything else fails fast with guidance before a
+  // single task runs. The pinned (file, dv) list of the inside set is the
+  // drift guard: at commit the classification re-runs against the current
+  // manifest and must produce the same inside set, so a concurrent append
+  // into the region (its rows would vanish with the old files), a dv
+  // delete, or a compaction conflicts and aborts. Disjoint partitions
+  // drift freely — appends elsewhere commute with the overwrite.
+  private val replaceWherePin: Option[(HadroReplaceWhere.Interval,
+      Seq[(String, Option[String])])] = replaceWhere.map { preds =>
+    val iv = HadroReplaceWhere.compile(preds, storedSchema)
+    val m = CollectionMeta.currentManifest(path)
+    require(!m.mutated,
+      "hadro: REPLACE WHERE supports pure-append collections only — " +
+        "under upserts/deletes a replaced segment could carry the newest " +
+        "version or tombstone of a key whose other rows live elsewhere")
+    HadroReplaceWhere.split(m.segments, iv) match {
+      case Left(file) => throw new IllegalArgumentException(
+        s"hadro: REPLACE WHERE cannot prove segment $file wholly inside " +
+          s"or outside the region on '${iv.col}' from its manifest " +
+          "bounds — align the predicate to the partition/cluster layout " +
+          "(whole partitions, boundary-aligned ranges), or run DELETE " +
+          "then append")
+      case Right((inside, _)) =>
+        (iv, inside.map(s => (s.file, s.deleteVector)))
+    }
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
@@ -447,7 +531,10 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     // resolution-free fast paths — without writing a single record.
     // (A replace commit with zero new segments is NOT a no-op: it still
     // removes the replaced files — a DELETE that emptied them.)
-    if (segs.isEmpty && !truncate && replaceSpec.isEmpty) return
+    // (A REPLACE WHERE with zero new segments is a region-delete: it
+    // still drops the replaced files.)
+    if (segs.isEmpty && !truncate && replaceSpec.isEmpty &&
+      replaceWherePin.isEmpty) return
     var conflicted = false
 
     def replaceCommit(cur: graft.meta.Manifest, files: Seq[String],
@@ -589,10 +676,47 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       }
     }
 
+    // REPLACE WHERE: drop the region's pinned segments, append the batch,
+    // one commit. The safety argument re-runs INSIDE the commit closure
+    // (the round-10 lesson): classification against the CURRENT manifest
+    // must reproduce the plan-time inside set exactly — a concurrent
+    // append that landed inside the region, a segment that now straddles
+    // it, a dv delete, or a first upsert (`mutated`, no generation bump)
+    // all conflict; drift outside the region commutes and is kept by
+    // reference. Replace-commit semantics on success: renumber +
+    // generation bump, so tailing streams see the discontinuity.
+    def replaceWhereCommit(cur: graft.meta.Manifest,
+        iv: HadroReplaceWhere.Interval,
+        pinned: Seq[(String, Option[String])]): graft.meta.Manifest =
+      HadroReplaceWhere.split(cur.segments, iv) match {
+        case Left(_) => conflicted = true; cur
+        case Right((inside, kept)) =>
+          if (cur.mutated ||
+            inside.map(s => (s.file, s.deleteVector)) != pinned) {
+            conflicted = true; cur
+          } else {
+            conflicted = false
+            var ord = 0L
+            val reordered = (kept ++ segs)
+              .map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+            cur.copy(
+              segments = reordered,
+              mutated = cur.mutated || mutating,
+              generation = cur.generation + 1,
+              ordinalFloor = 0L,
+              // a partial rewrite can't prove a declared sort still holds
+              // uniformly unless this write re-declares it
+              sortedBy = if (sortedSpec == cur.sortedBy) cur.sortedBy else None)
+          }
+      }
+
     CollectionMeta.commit(path, cur => (replaceSpec, dynamicPin) match {
       case (Some(ReplaceSpec(files, gen, dv, reqUnmut)), _) =>
         replaceCommit(cur, files, gen, dv, reqUnmut)
       case (None, Some(pin)) => dynamicOverwriteCommit(cur, pin)
+      case (None, None) if replaceWherePin.isDefined =>
+        val (iv, pinned) = replaceWherePin.get
+        replaceWhereCommit(cur, iv, pinned)
       case (None, None) =>
       // A compaction is a rewrite of ONE pinned snapshot: segments that
       // committed after it (concurrent appends/upserts) are NOT part of
@@ -693,11 +817,21 @@ final class HadroBatchWrite(path: Path, schema: StructType,
             "(its rows would be dropped with the old files); the " +
             "overwrite was abandoned, re-run against the current state")
       }
+      if (replaceWherePin.isDefined) {
+        abort(messages) // clean up the orphaned new segment files
+        throw new IllegalStateException(
+          s"hadro: REPLACE WHERE on $path conflicted — a concurrent " +
+            "commit changed the replaced region (rows would be dropped " +
+            "with the old files, or a segment now straddles the " +
+            "boundary); the overwrite was abandoned, re-run against the " +
+            "current state")
+      }
       throw new IllegalStateException(
         s"hadro: compaction of $path conflicted with a concurrent " +
           "truncate/overwrite — the rewrite was abandoned; retry if still needed")
     }
-    if (truncate || replaceSpec.isDefined || dynamicPin.isDefined) {
+    if (truncate || replaceSpec.isDefined || dynamicPin.isDefined ||
+      replaceWherePin.isDefined) {
       // Physical file deletion is DEFERRED one generation
       // (CollectionMeta.deferredGc) so a reader that planned against an
       // older manifest still finds its segment files on disk. The dynamic
@@ -738,10 +872,12 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     consistency: Consistency.Value, mutating: Boolean,
     keyField: Option[String], splitBytes: Long, queryId: String,
     offsetIndex: Boolean = true,
-    deleteCol: Option[String] = None)
+    deleteCol: Option[String] = None,
+    mergeSchema: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
-  private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone = false, keyField, deleteCol)
+  private val storedMeta = HadroWriteInit.ensureSchema(path, schema,
+    tombstone = false, keyField, deleteCol, mergeSchema = mergeSchema)
   private val storedSchema: StructType = storedMeta.schema
   private val indexOrdinals = HadroWriteInit.indexOrdinals(path, storedSchema)
   // Streaming epochs into a DECLARED-bucketed collection keep the layout:

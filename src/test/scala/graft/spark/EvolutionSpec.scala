@@ -409,4 +409,39 @@ class EvolutionSpec extends SparkSuite {
       spark.sql("ALTER TABLE evo_w.db.t ALTER COLUMN n TYPE INT")) // narrowing
     spark.sql("DROP TABLE evo_w.db.t")
   }
+
+  test("mergeSchema write auto-adds unseen columns; off by default; types still checked") {
+    val w = tmp("evo_merge")
+    Collection.create(spark, w, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // default: an unknown column still fails fast
+    val e = intercept[Exception] {
+      Seq((3L, "c", 1.5)).toDF("id", "s", "score").write.format("hadro")
+        .mode("append").save(w)
+    }
+    assert(e.getMessage.contains("not in collection schema"), e.getMessage)
+    // opt-in: the column is added (nullable, appended), old rows null-fill
+    Seq((3L, "c", 1.5)).toDF("id", "s", "score").write.format("hadro")
+      .mode("append").option("hadro.mergeSchema", "true").save(w)
+    val rows = spark.read.format("hadro").load(w)
+      .select("id", "s", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", null), (2L, "b", null), (3L, "c", 1.5)),
+      rows.toString)
+    val meta = CollectionMeta.readSchema(java.nio.file.Paths.get(w)).get
+    assert(meta.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    assert(meta.schema("score").nullable, "merged columns are nullable")
+    // merge never changes an EXISTING column's type
+    val e2 = intercept[Exception] {
+      Seq((4, "d", 2.5)).toDF("id", "s", "score").write.format("hadro")
+        .mode("append").option("hadro.mergeSchema", "true").save(w)
+    }
+    assert(e2.getMessage.contains("type"), e2.getMessage)
+    // reserved names refuse to merge
+    val e3 = intercept[Exception] {
+      Seq((5L, "e", true)).toDF("id", "s", "_hadro_x").write.format("hadro")
+        .mode("append").option("hadro.mergeSchema", "true").save(w)
+    }
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+  }
 }

@@ -1,0 +1,277 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** REPLACE WHERE (predicate-scoped atomic overwrite,
+  * `df.writeTo(t).overwrite(cond)` / SQL
+  * `INSERT OVERWRITE t PARTITION (p = v)`): whole-segment replacement
+  * proven by manifest statistics — replaced segments provably inside the
+  * predicate region, kept segments provably disjoint, anything
+  * unclassifiable fails fast; concurrent commits into the region
+  * conflict at commit time. */
+class ReplaceWhereSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def setupCatalog(name: String): String = {
+    val w = Files.createTempDirectory(name).toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[HadroCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    w
+  }
+
+  test("boundary-aligned time range replaces whole days; untouched files by reference") {
+    val w = setupCatalog("rwdays")
+    spark.sql("""CREATE TABLE rwdays.db.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      USING hadro PARTITIONED BY (days(ts))""")
+    spark.range(0, 200)
+      .select($"id",
+        to_timestamp(lit("2026-05-01 00:00:00"))
+          .plus(expr("make_interval(0, 0, 0, CAST(id % 4 AS INT), 0, CAST(id AS INT), 0)")).as("ts"),
+        ($"id" * 1.5).as("v"))
+      .createOrReplaceTempView("rwdays_src")
+    spark.sql("INSERT INTO rwdays.db.ev SELECT * FROM rwdays_src")
+    val dir = Paths.get(w, "db", "ev")
+    val before = CollectionMeta.currentManifest(dir)
+    val byTag = before.segments.map(s => s.partition.get -> s.file).toMap
+    assert(byTag.size == 4)
+
+    // reprocess days 1-2 (v * 10) via the declarative API
+    spark.sql("""SELECT id, ts, v * 10 AS v FROM rwdays_src
+        WHERE id % 4 IN (1, 2)""")
+      .writeTo("rwdays.db.ev")
+      .overwrite($"ts" >= to_timestamp(lit("2026-05-02 00:00:00")) &&
+        $"ts" < to_timestamp(lit("2026-05-04 00:00:00")))
+
+    val after = CollectionMeta.currentManifest(dir)
+    assert(after.generation == before.generation + 1, "replace bumps the generation")
+    val afterByTag = after.segments.map(s => s.partition.get -> s.file).toMap
+    val tags = byTag.keys.toSeq.sortBy(_.toLong)
+    // untouched days 0 and 3 carried byte-identical (same files)
+    assert(afterByTag(tags(0)) == byTag(tags(0)))
+    assert(afterByTag(tags(3)) == byTag(tags(3)))
+    // replaced days got fresh files; old ones recorded dead but deferred
+    assert(afterByTag(tags(1)) != byTag(tags(1)))
+    assert(Files.exists(dir.resolve(byTag(tags(1)))), "deferred GC keeps the old file one generation")
+    // content: days 0/3 original, days 1/2 the reprocessed half
+    val sums = spark.sql("""SELECT CAST(id % 4 AS INT) AS d,
+        SUM(CAST(v AS DECIMAL(18,1))) AS s, COUNT(*) AS n
+        FROM rwdays.db.ev GROUP BY 1 ORDER BY 1""")
+      .collect().map(r => r.getInt(0) -> ((r.getDecimal(1).doubleValue(), r.getLong(2)))).toMap
+    def base(d: Int) = (0 until 200).filter(_ % 4 == d)
+    assert(sums(0) == ((base(0).map(_ * 1.5).sum, base(0).size.toLong)))
+    assert(sums(3) == ((base(3).map(_ * 1.5).sum, base(3).size.toLong)))
+    assert(sums(1) == ((base(1).map(_ * 15.0).sum, base(1).size.toLong)))
+    assert(sums(2) == ((base(2).map(_ * 15.0).sum, base(2).size.toLong)))
+    spark.sql("DROP TABLE rwdays.db.ev")
+  }
+
+  test("SQL static partition overwrite replaces exactly the named identity partition") {
+    val w = setupCatalog("rwident")
+    spark.sql("""CREATE TABLE rwident.db.docs (id BIGINT, region STRING, v DOUBLE)
+      USING hadro PARTITIONED BY (region)""")
+    spark.range(0, 90)
+      .select($"id", concat(lit("r"), ($"id" % 3).cast("string")).as("region"),
+        ($"id" * 1.0).as("v"))
+      .createOrReplaceTempView("rwident_src")
+    spark.sql("INSERT INTO rwident.db.docs SELECT * FROM rwident_src")
+    val dir = Paths.get(w, "db", "docs")
+    val byTag = CollectionMeta.currentManifest(dir).segments
+      .map(s => s.partition.get -> s.file).toMap
+
+    // static `PARTITION (region = 'r1')`: Spark plans OverwriteByExpression
+    // (region = 'r1') and fills the column — REPLACE WHERE's SQL face
+    spark.sql("""INSERT OVERWRITE rwident.db.docs PARTITION (region = 'r1')
+      SELECT id, v * 100 FROM rwident_src WHERE region = 'r1' AND id < 10""")
+
+    val afterByTag = CollectionMeta.currentManifest(dir).segments
+      .map(s => s.partition.get -> s.file).toMap
+    assert(afterByTag("r0") == byTag("r0") && afterByTag("r2") == byTag("r2"))
+    assert(afterByTag("r1") != byTag("r1"))
+    val counts = spark.sql("""SELECT region, COUNT(*) AS n,
+        SUM(CAST(v AS DECIMAL(18,1))) AS s
+        FROM rwident.db.docs GROUP BY 1 ORDER BY 1""")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    assert(counts("r0") == ((30L, (0 until 90).filter(_ % 3 == 0).map(_ * 1.0).sum)))
+    assert(counts("r1") == ((3L, Seq(1, 4, 7).map(_ * 100.0).sum + 0.0)))
+    assert(counts("r2") == ((30L, (0 until 90).filter(_ % 3 == 2).map(_ * 1.0).sum)))
+    spark.sql("DROP TABLE rwident.db.docs")
+  }
+
+  test("empty input region-delete drops the region's segments atomically") {
+    val w = setupCatalog("rwdel")
+    spark.sql("""CREATE TABLE rwdel.db.docs (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region)""")
+    spark.range(0, 60)
+      .select($"id", concat(lit("r"), ($"id" % 2).cast("string")).as("region"))
+      .createOrReplaceTempView("rwdel_src")
+    spark.sql("INSERT INTO rwdel.db.docs SELECT * FROM rwdel_src")
+    spark.table("rwdel.db.docs").where(lit(false))
+      .writeTo("rwdel.db.docs").overwrite($"region" === "r0")
+    val left = spark.table("rwdel.db.docs").select("region").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("r1"), left.toString)
+    assert(spark.table("rwdel.db.docs").count() == 30L)
+    spark.sql("DROP TABLE rwdel.db.docs")
+  }
+
+  test("unaligned region (straddling segment) fails fast with guidance") {
+    val w = setupCatalog("rwbad")
+    spark.sql("CREATE TABLE rwbad.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.range(0, 100).select($"id", ($"id" * 1.0).as("v"))
+      .coalesce(1).createOrReplaceTempView("rwbad_src")
+    spark.sql("INSERT INTO rwbad.db.t SELECT * FROM rwbad_src")
+    val e = intercept[Exception] {
+      spark.range(0, 10).select($"id", lit(0.0).as("v"))
+        .writeTo("rwbad.db.t").overwrite($"id" < 50)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("cannot prove segment")), e.getMessage)
+    // nothing changed
+    assert(spark.table("rwbad.db.t").count() == 100L)
+    spark.sql("DROP TABLE rwbad.db.t")
+  }
+
+  test("nulls inside the region block the proof; an all-null segment is disjoint") {
+    val w = setupCatalog("rwnull")
+    // one segment carrying BOTH r0 and NULL regions: region = 'r0' must
+    // not drop it (the null rows don't match the predicate)
+    spark.sql("CREATE TABLE rwnull.db.t (id BIGINT, region STRING) USING hadro")
+    spark.range(0, 20)
+      .select($"id", when($"id" % 2 === 0, lit("r0")).otherwise(lit(null)).as("region"))
+      .coalesce(1).createOrReplaceTempView("rwnull_src")
+    spark.sql("INSERT INTO rwnull.db.t SELECT * FROM rwnull_src")
+    val e = intercept[Exception] {
+      spark.range(0, 1).select($"id", lit("r0").as("region"))
+        .writeTo("rwnull.db.t").overwrite($"region" === "r0")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("cannot prove segment")), e.getMessage)
+    spark.sql("DROP TABLE rwnull.db.t")
+  }
+
+  test("pure-append only: a keyed (upsertable) collection refuses") {
+    val w = Files.createTempDirectory("rwkeyed").resolve("c").toString
+    Collection.create(spark, w,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), key = Some("id"))
+    val c = Collection(spark, w)
+    c.set(Seq((1L, "a2")).toDF("id", "s"))
+    // drive the v2 overwrite() path directly (SQL routes AlwaysTrue to
+    // truncate, which keyed collections do allow)
+    val e2 = intercept[Exception] {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+      import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2}
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      val tbl = new HadroTable(Paths.get(w),
+        HadroTable.reportedSchema(CollectionMeta.readSchema(Paths.get(w)).get))
+      val info = new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap =
+          new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+        override def queryId(): String = "rwkeyed-test"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          spark.read.format("hadro").load(w).schema
+      }
+      val pred = new Predicate("=", Array(Expressions.column("id"),
+        Expressions.literal(Long.box(1L))))
+      tbl.newWriteBuilder(info).asInstanceOf[SupportsOverwriteV2]
+        .overwrite(Array(pred)).build().toBatch
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("pure-append"),
+      e2.getMessage)
+  }
+
+  test("concurrent append into the region conflicts at commit; outside commutes") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwriteV2}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val w = setupCatalog("rwconc")
+    spark.sql("""CREATE TABLE rwconc.db.docs (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region)""")
+    spark.range(0, 40)
+      .select($"id", concat(lit("r"), ($"id" % 2).cast("string")).as("region"))
+      .createOrReplaceTempView("rwconc_src")
+    spark.sql("INSERT INTO rwconc.db.docs SELECT * FROM rwconc_src")
+
+    val cat = spark.sessionState.catalogManager.catalog("rwconc")
+      .asInstanceOf[TableCatalog]
+    def plannedOverwrite() = {
+      val table = cat.loadTable(Identifier.of(Array("db"), "docs"))
+      val info = new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap =
+          new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+        override def queryId(): String = "rwconc-test"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          spark.table("rwconc.db.docs").schema
+      }
+      // a V2 literal must carry the INTERNAL value (UTF8String) — the
+      // Expressions.literal factory stores the raw external object
+      val strLit = new org.apache.spark.sql.connector.expressions.Literal[Any] {
+        override def value(): Any = UTF8String.fromString("r0")
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+      }
+      val pred = new Predicate("=", Array(Expressions.column("region"), strLit))
+      table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(info).asInstanceOf[SupportsOverwriteV2]
+        .overwrite(Array(pred)).build().toBatch // region pinned HERE
+    }
+    def oneRow(batch: org.apache.spark.sql.connector.write.BatchWrite) = {
+      val factory = batch.createBatchWriterFactory(new PhysicalWriteInfo {
+        override def numPartitions(): Int = 1
+      })
+      val writer = factory.createWriter(0, 0L)
+      writer.write(new GenericInternalRow(
+        Array[Any](9999L, UTF8String.fromString("r0"))))
+      writer.commit()
+    }
+
+    // concurrent append INTO the region between plan and commit: conflict
+    val b1 = plannedOverwrite()
+    spark.sql("INSERT INTO rwconc.db.docs VALUES (1000, 'r0')")
+    val e = intercept[IllegalStateException](b1.commit(Array(oneRow(b1))))
+    assert(e.getMessage.contains("REPLACE WHERE"), e.getMessage)
+    assert(spark.table("rwconc.db.docs").count() == 41L, "nothing dropped on conflict")
+
+    // concurrent append OUTSIDE the region commutes: commit succeeds
+    val b2 = plannedOverwrite()
+    spark.sql("INSERT INTO rwconc.db.docs VALUES (2000, 'r1')")
+    b2.commit(Array(oneRow(b2)))
+    val counts = spark.table("rwconc.db.docs").groupBy("region").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("r0") == 1L, s"region replaced by the single new row: $counts")
+    assert(counts("r1") == 21L, s"outside region kept + concurrent append: $counts")
+    spark.sql("DROP TABLE rwconc.db.docs")
+  }
+
+  test("interval compile rejects multi-column and non-range predicates with guidance") {
+    val w = setupCatalog("rwcomp")
+    spark.sql("""CREATE TABLE rwcomp.db.t (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region)""")
+    spark.sql("INSERT INTO rwcomp.db.t VALUES (1, 'r0'), (2, 'r1')")
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val e = intercept[Exception] {
+      spark.table("rwcomp.db.t").where(lit(false))
+        .writeTo("rwcomp.db.t")
+        .overwrite($"region" === "r0" && $"id" < 5)
+    }
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("ONE orderable column")), e.getMessage)
+    spark.sql("DROP TABLE rwcomp.db.t")
+  }
+}
