@@ -203,6 +203,11 @@ object CollectionMeta {
 
   def metaDir(collection: Path): Path = collection.resolve("_hadro")
   private def schemaFile(collection: Path): Path = metaDir(collection).resolve("schema.json")
+  /** Sibling lock for serialized schema read-merge-write (mergeSchema). */
+  def schemaLockFile(collection: Path): Path = {
+    java.nio.file.Files.createDirectories(metaDir(collection))
+    metaDir(collection).resolve("schema.json.lock")
+  }
 
   // ------------------------------------------------------------- schema
 

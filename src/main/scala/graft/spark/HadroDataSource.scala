@@ -704,6 +704,9 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   private lazy val changesFloor: Option[Long] = changesStart.map { v =>
     val end = manifestSnapshot
     val start = CollectionMeta.manifestAt(path, v)
+    require(start.version <= end.version,
+      s"hadro: changes window ($v, ${end.version}] is inverted — " +
+        "changesStart must not exceed changesEnd/versionAsOf")
     require(start.generation == end.generation,
       s"hadro: changes window ($v, ${end.version}] crosses a truncate/" +
         "compaction/overwrite (generation " +

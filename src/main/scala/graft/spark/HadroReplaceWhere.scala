@@ -47,12 +47,19 @@ import graft.meta.SegmentInfo
   * the replaced terabytes are dropped by reference. */
 private[spark] object HadroReplaceWhere {
 
-  /** One-column region: internal-typed bounds, each (value, inclusive).
-    * `lo`/`hi` absent = unbounded on that side. Rows with NULL in `col`
-    * never match (SQL comparison semantics), so a segment is inside only
-    * if it has zero nulls in `col`. */
+  /** One-column region. Rows with NULL in `col` never match (SQL
+    * comparison semantics), so a segment is inside only if it has zero
+    * nulls in `col`. Two shapes:
+    *   - [[Interval]]: internal-typed bounds, each (value, inclusive);
+    *     `lo`/`hi` absent = unbounded on that side.
+    *   - [[PointSet]]: `col IN (v1, v2, ...)` / a conjunction of
+    *     equalities — the "reprocess these partitions" shape; a segment
+    *     is inside only when provably single-valued on a member. */
+  sealed trait Region { def col: String; def dt: DataType }
   final case class Interval(col: String, dt: DataType,
-      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)])
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]) extends Region
+  final case class PointSet(col: String, dt: DataType,
+      points: Seq[Any]) extends Region
 
   sealed trait Cls
   case object Inside extends Cls
@@ -63,12 +70,12 @@ private[spark] object HadroReplaceWhere {
   private def eq(a: Any, b: Any): Boolean = !lt(a, b) && !lt(b, a)
 
   /** Compile the overwrite predicates (implicitly conjoined) into the
-    * value interval, or throw with guidance. */
-  def compile(predicates: Seq[Predicate], schema: StructType): Interval = {
+    * value region, or throw with guidance. */
+  def compile(predicates: Seq[Predicate], schema: StructType): Region = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       "hadro: REPLACE WHERE (overwrite-by-predicate) supports " +
-        "conjunctions of =, <, <=, >, >= over ONE orderable column, " +
-        s"proving whole segments in or out of the region — $why. " +
+        "conjunctions of =, <, <=, >, >=, or a single IN, over ONE " +
+        s"orderable column, proving whole segments in or out of the region — $why. " +
         "For arbitrary predicates run DELETE then append, or use " +
         "dynamic partition overwrite (`overwritePartitions`).")
     def flat(f: Filter): Seq[Filter] = f match {
@@ -116,6 +123,24 @@ private[spark] object HadroReplaceWhere {
         else if (eq(b, v)) Some((b, bi && incl))
         else Some((b, bi))
     }
+    // `col IN (...)` (or IN ∧ equalities): a finite point set — the
+    // "reprocess these partitions" shape. Mixing IN with range bounds
+    // is rejected (the combined region would need both proof forms).
+    if (cmps.exists(_.isInstanceOf[In])) {
+      var points: Option[Seq[Any]] = None
+      def intersect(vs: Seq[Any]): Unit = points = points match {
+        case None => Some(vs)
+        case Some(cur) => Some(cur.filter(c => vs.exists(v => eq(c, v))))
+      }
+      cmps.foreach {
+        case In(_, vs) =>
+          intersect(vs.toSeq.filter(_ != null).map(toInternal))
+        case EqualTo(_, v) => intersect(Seq(toInternal(v)))
+        case EqualNullSafe(_, v) if v != null => intersect(Seq(toInternal(v)))
+        case other => fail(s"IN mixed with unsupported predicate $other")
+      }
+      return PointSet(col, field.dataType, points.getOrElse(Seq.empty))
+    }
     cmps.foreach {
       case EqualTo(_, v) =>
         val iv = toInternal(v); tightenLo(iv, incl = true); tightenHi(iv, incl = true)
@@ -141,40 +166,56 @@ private[spark] object HadroReplaceWhere {
     * additionally requires zero nulls and zero tombstones (neither is
     * deleted by a value predicate, so a segment carrying them is never
     * wholly replaceable). */
-  def classify(seg: SegmentInfo, iv: Interval): Cls =
-    seg.stats.get(iv.col) match {
+  def classify(seg: SegmentInfo, region: Region): Cls =
+    seg.stats.get(region.col) match {
       case None => Straddle
       case Some(cs) if cs.min.isEmpty || cs.max.isEmpty =>
         // all-null column (or no bounds recorded): null rows never match
         // a comparison, so an all-null segment is untouched by the region
         if (cs.nullCount >= seg.rows && seg.rows > 0) Disjoint else Straddle
       case Some(cs) =>
-        val pmn = StatsCollector.parse(cs.min.get, iv.dt)
-        val pmx = StatsCollector.parse(cs.max.get, iv.dt)
+        val pmn = StatsCollector.parse(cs.min.get, region.dt)
+        val pmx = StatsCollector.parse(cs.max.get, region.dt)
         if (pmn == null || pmx == null) return Straddle
-        val disjoint =
-          iv.lo.exists { case (b, incl) =>
-            lt(pmx, b) || (!incl && eq(pmx, b)) } ||
-          iv.hi.exists { case (b, incl) =>
-            lt(b, pmn) || (!incl && eq(pmn, b)) }
-        if (disjoint) return Disjoint
-        val inside = cs.nullCount == 0L && seg.tombstones == 0L &&
-          seg.dvDeletes == 0L &&
-          iv.lo.forall { case (b, incl) =>
-            if (incl) !lt(pmn, b) else lt(b, pmn) } &&
-          iv.hi.forall { case (b, incl) =>
-            if (incl) !lt(b, pmx) else lt(pmx, b) }
-        if (inside) Inside else Straddle
+        val wholly = cs.nullCount == 0L && seg.tombstones == 0L &&
+          seg.dvDeletes == 0L
+        region match {
+          case iv: Interval =>
+            val disjoint =
+              iv.lo.exists { case (b, incl) =>
+                lt(pmx, b) || (!incl && eq(pmx, b)) } ||
+              iv.hi.exists { case (b, incl) =>
+                lt(b, pmn) || (!incl && eq(pmn, b)) }
+            if (disjoint) return Disjoint
+            val inside = wholly &&
+              iv.lo.forall { case (b, incl) =>
+                if (incl) !lt(pmn, b) else lt(b, pmn) } &&
+              iv.hi.forall { case (b, incl) =>
+                if (incl) !lt(b, pmx) else lt(pmx, b) }
+            if (inside) Inside else Straddle
+          case ps: PointSet =>
+            // disjoint: no member lands within [min, max] (sound on
+            // widened bounds — a wider range missing every member means
+            // the true range does too)
+            if (ps.points.forall(v => lt(v, pmn) || lt(pmx, v))) Disjoint
+            // inside: the segment is provably single-valued on a member.
+            // Inexact (truncated) bounds can never prove min == max —
+            // the truncated min prefix is strictly below its successor —
+            // so this clause only fires on exact stats, by construction.
+            else if (wholly && eq(pmn, pmx) &&
+              ps.points.exists(v => eq(v, pmn))) Inside
+            else Straddle
+        }
     }
 
   /** Partition the live segments into (inside, kept), or Left(file) of
     * the first segment the stats cannot classify. */
   def split(segments: Seq[SegmentInfo],
-      iv: Interval): Either[String, (Seq[SegmentInfo], Seq[SegmentInfo])] = {
+      region: Region): Either[String, (Seq[SegmentInfo], Seq[SegmentInfo])] = {
     val inside = Seq.newBuilder[SegmentInfo]
     val kept = Seq.newBuilder[SegmentInfo]
     segments.foreach { s =>
-      classify(s, iv) match {
+      classify(s, region) match {
         case Inside => inside += s
         case Disjoint => kept += s
         case Straddle => return Left(s.file)

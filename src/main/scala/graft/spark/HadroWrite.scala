@@ -240,6 +240,10 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
   * the schema (the intended semantics of hadro/schema.py:65-79 — field-name
   * + type conformance, fail fast). */
 private[graft] object HadroWriteInit {
+  /** JVM-wide monitor for mergeSchema's serialized read-merge-write
+    * (java.nio FileLock is per-JVM; threads need their own fence). */
+  private[graft] object MergeSchemaLock
+
   def ensureSchema(path: Path, schema: StructType, tombstone: Boolean,
       keyField: Option[String], deleteCol: Option[String] = None,
       bucketSpec: Option[(Seq[String], Int)] = None,
@@ -261,20 +265,45 @@ private[graft] object HadroWriteInit {
         // segments null-fill the new slots. Same last-writer-wins
         // schema-file semantics as concurrent addColumn DDL.
         val meta = if (mergeSchema) {
-          val newFields = schema.fields.filterNot(f =>
-            deleteCol.contains(f.name) ||
-              meta0.schema.fieldNames.contains(f.name))
-          if (newFields.isEmpty) meta0
+          val wantNew = schema.fields.exists(f =>
+            !deleteCol.contains(f.name) &&
+              !meta0.schema.fieldNames.contains(f.name))
+          if (!wantNew) meta0
           else {
-            newFields.foreach(f => require(!f.name.startsWith("_hadro_"),
-              s"hadro: mergeSchema cannot add reserved column '${f.name}'"))
-            CollectionMeta.writeSchema(path,
-              StructType(meta0.schema.fields ++ newFields.map(f =>
-                f.copy(nullable = true,
-                  metadata = org.apache.spark.sql.types.Metadata.empty))),
-              meta0.keyField, meta0.bucketBy, meta0.numBuckets,
-              meta0.compress, meta0.partitionBy, meta0.partitionTransform,
-              meta0.priorPartitionTransforms)
+            // Serialized read-merge-write (the admission-bloom discipline):
+            // two concurrent merging writers each do read → append column →
+            // atomic-move, so without a lock the second move would DISCARD
+            // the first's column while its data segments were already
+            // written at the wider nFields — later decodes would misalign.
+            // A sibling OS file lock serializes processes; the JVM monitor
+            // serializes driver threads (FileLock is per-JVM).
+            val lockPath = CollectionMeta.schemaLockFile(path)
+            HadroWriteInit.MergeSchemaLock.synchronized {
+              val ch = java.nio.channels.FileChannel.open(lockPath,
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.WRITE)
+              try {
+                val lock = ch.lock()
+                try {
+                  // re-read under the lock: pick up columns a concurrent
+                  // merge published since our first read
+                  val cur = CollectionMeta.readSchema(path).getOrElse(meta0)
+                  val newFields = schema.fields.filterNot(f =>
+                    deleteCol.contains(f.name) ||
+                      cur.schema.fieldNames.contains(f.name))
+                  newFields.foreach(f => require(!f.name.startsWith("_hadro_"),
+                    s"hadro: mergeSchema cannot add reserved column '${f.name}'"))
+                  if (newFields.nonEmpty)
+                    CollectionMeta.writeSchema(path,
+                      StructType(cur.schema.fields ++ newFields.map(f =>
+                        f.copy(nullable = true,
+                          metadata = org.apache.spark.sql.types.Metadata.empty))),
+                      cur.keyField, cur.bucketBy, cur.numBuckets,
+                      cur.compress, cur.partitionBy, cur.partitionTransform,
+                      cur.priorPartitionTransforms)
+                } finally lock.release()
+              } finally ch.close()
+            }
             CollectionMeta.readSchema(path).get
           }
         } else meta0
@@ -496,7 +525,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
   // into the region (its rows would vanish with the old files), a dv
   // delete, or a compaction conflicts and aborts. Disjoint partitions
   // drift freely — appends elsewhere commute with the overwrite.
-  private val replaceWherePin: Option[(HadroReplaceWhere.Interval,
+  private val replaceWherePin: Option[(HadroReplaceWhere.Region,
       Seq[(String, Option[String])])] = replaceWhere.map { preds =>
     val iv = HadroReplaceWhere.compile(preds, storedSchema)
     val m = CollectionMeta.currentManifest(path)
@@ -686,7 +715,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     // reference. Replace-commit semantics on success: renumber +
     // generation bump, so tailing streams see the discontinuity.
     def replaceWhereCommit(cur: graft.meta.Manifest,
-        iv: HadroReplaceWhere.Interval,
+        iv: HadroReplaceWhere.Region,
         pinned: Seq[(String, Option[String])]): graft.meta.Manifest =
       HadroReplaceWhere.split(cur.segments, iv) match {
         case Left(_) => conflicted = true; cur

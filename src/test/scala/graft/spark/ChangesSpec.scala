@@ -175,6 +175,17 @@ class ChangesSpec extends SparkSuite {
     }
     assert(chain(e2).exists(c => c.getMessage != null &&
       c.getMessage.contains("same pin")), e2.getMessage)
+
+    // inverted window: start beyond end
+    Collection(spark, w).append(Seq((2L, "b")).toDF("id", "s"))
+    val vNew = Collection(spark, w).version
+    val e3 = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.changesStart", vNew.toString)
+        .option("hadro.changesEnd", v.toString).load(w).count()
+    }
+    assert(chain(e3).exists(c => c.getMessage != null &&
+      c.getMessage.contains("inverted")), e3.getMessage)
   }
 
   test("partitions metadata table summarizes per-partition inventory") {

@@ -444,4 +444,29 @@ class EvolutionSpec extends SparkSuite {
     }
     assert(e3.getMessage.contains("reserved"), e3.getMessage)
   }
+
+  test("concurrent mergeSchema writers lose no columns (serialized read-merge-write)") {
+    val w = tmp("evo_merge_conc")
+    Collection.create(spark, w, Seq((1L, "a")).toDF("id", "s"))
+    // two writers racing to add DIFFERENT columns: without the schema
+    // lock one read-merge-write would discard the other's column while
+    // its segments were already written at the wider nFields
+    val t1 = new Thread(() =>
+      Seq((2L, "b", 1.5)).toDF("id", "s", "x").write.format("hadro")
+        .mode("append").option("hadro.mergeSchema", "true").save(w))
+    val t2 = new Thread(() =>
+      Seq((3L, "c", 7L)).toDF("id", "s", "y").write.format("hadro")
+        .mode("append").option("hadro.mergeSchema", "true").save(w))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val meta = CollectionMeta.readSchema(java.nio.file.Paths.get(w)).get
+    assert(meta.schema.fieldNames.toSet == Set("id", "s", "x", "y"),
+      meta.schema.simpleString)
+    val rows = spark.read.format("hadro").load(w)
+      .select("id", "x", "y").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, null, null), (2L, 1.5, null), (3L, null, 7L)),
+      rows.toString)
+  }
 }

@@ -258,6 +258,32 @@ class ReplaceWhereSpec extends SparkSuite {
     spark.sql("DROP TABLE rwconc.db.docs")
   }
 
+  test("IN-set region replaces exactly the named identity partitions") {
+    val w = setupCatalog("rwin")
+    spark.sql("""CREATE TABLE rwin.db.docs (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region)""")
+    spark.range(0, 100)
+      .select($"id", concat(lit("r"), ($"id" % 5).cast("string")).as("region"))
+      .createOrReplaceTempView("rwin_src")
+    spark.sql("INSERT INTO rwin.db.docs SELECT * FROM rwin_src")
+    val dir = Paths.get(w, "db", "docs")
+    val byTag = CollectionMeta.currentManifest(dir).segments
+      .map(s => s.partition.get -> s.file).toMap
+    // reprocess r1 and r3 only
+    spark.sql("""SELECT id + 10000 AS id, region FROM rwin_src
+        WHERE region IN ('r1', 'r3') AND id < 20""")
+      .writeTo("rwin.db.docs").overwrite($"region".isin("r1", "r3"))
+    val afterByTag = CollectionMeta.currentManifest(dir).segments
+      .map(s => s.partition.get -> s.file).toMap
+    Seq("r0", "r2", "r4").foreach(t =>
+      assert(afterByTag(t) == byTag(t), s"untouched $t rewritten"))
+    val counts = spark.table("rwin.db.docs").groupBy("region").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("r0" -> 20L, "r1" -> 4L, "r2" -> 20L,
+      "r3" -> 4L, "r4" -> 20L), counts.toString)
+    spark.sql("DROP TABLE rwin.db.docs")
+  }
+
   test("interval compile rejects multi-column and non-range predicates with guidance") {
     val w = setupCatalog("rwcomp")
     spark.sql("""CREATE TABLE rwcomp.db.t (id BIGINT, region STRING)
