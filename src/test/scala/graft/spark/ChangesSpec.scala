@@ -50,13 +50,34 @@ class ChangesSpec extends SparkSuite {
     assert(empty.count() == 0L)
 
     // planning reads ONLY the window's segments (incremental consumers
-    // never rescan the table)
+    // never rescan the table) — proven by the scan metrics: 1 of 3
+    // segments planned, 2 skipped at the ordinal floor
     val scan = spark.read.format("hadro")
       .option("hadro.changesStart", v1.toString)
-      .option("hadro.changesEnd", v2.toString).load(w)
-    val planned = scan.queryExecution.executedPlan.toString
-    assert(scan.inputFiles.length <= 1 || true) // plan shape asserted via count below
+      .option("hadro.changesEnd", v2.toString).load(w).select("id", "s")
     assert(scan.count() == 2L)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val probe = spark.read.format("hadro")
+      .option("hadro.changesStart", v1.toString)
+      .option("hadro.changesEnd", v2.toString).load(w).select("id")
+    probe.collect()
+    val b = walk(probe.queryExecution.executedPlan)
+      .collectFirst { case x: BatchScanExec => x }.get
+    val p = Paths.get(w)
+    val floor = CollectionMeta.manifestAt(p, v1).nextOrdinal
+    val inWindow = CollectionMeta.manifestAt(p, v2).segments
+      .count(_.ordinal >= floor)
+    val total = CollectionMeta.manifestAt(p, v2).segments.size
+    assert(inWindow < total, "window must exclude the first batch")
+    assert(b.metrics("hadroSegmentsRead").value == inWindow.toLong,
+      s"read ${b.metrics("hadroSegmentsRead").value}, window $inWindow of $total")
   }
 
   test("changes window composes with changefeed=full: upserts and tombstones as CDC rows") {
