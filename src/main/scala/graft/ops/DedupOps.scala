@@ -414,6 +414,43 @@ object DedupOps {
       .agg(count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("max_jaccard"))
   }
 
+  /** ASYMMETRIC containment decontamination: corpus documents that
+    * CONTAIN an evaluation item — |corpus ∩ eval| / |eval| over k-gram
+    * shingles ≥ `threshold` — the GPT-3/Pile-style overlap check.
+    * Complements [[fuzzyDecontaminate]]'s symmetric Jaccard: a long
+    * training document that embeds a whole benchmark item verbatim has
+    * near-zero Jaccard (the doc's own size swamps the union) but
+    * containment 1.0, so Jaccard-only decontamination misses exactly the
+    * worst leaks. Returns one row per contaminated corpus doc:
+    * (doc_id, n_eval_contained, max_containment).
+    *
+    * Scale shape: the eval side is benchmark-sized — its exploded
+    * (shingle-hash, eval_id, |eval|) table broadcasts; the corpus side
+    * is one map-only scan whose exploded shingles drop on broadcast miss,
+    * so the only shuffle is the partial-aggregated (doc, eval) hit
+    * counts — proportional to actual overlap, never to the corpus. At
+    * 100 TB that is a broadcast-join scan, the same shape as
+    * [[decontaminate]], with the per-pair arithmetic done by counts
+    * (no shingle-set materialization per pair). */
+  def containmentDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val e = benchmark.select(col(idCol).as("eval_id"),
+        TextOps.shingleSet(col(textCol), shingleK).as("sh"))
+      .select(col("eval_id"), size(col("sh")).as("n_eval"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("sh_h"))
+    val c = corpus.select(col(idCol).as("doc_id"),
+      explode(transform(TextOps.shingleSet(col(textCol), shingleK),
+        s => xxhash64(s))).as("sh_h"))
+    c.join(broadcast(e), Seq("sh_h"))
+      .groupBy(col("doc_id"), col("eval_id"), col("n_eval"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits").cast("double") / col("n_eval") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_contained"),
+        max(col("hits").cast("double") / col("n_eval")).as("max_containment"))
+  }
+
   /** Cross-document duplicated-span profile (the "substring dedup" measure:
     * exact long-span duplication is the highest-value removal in training
     * corpora). For each doc: how many of its distinct `w`-token windows

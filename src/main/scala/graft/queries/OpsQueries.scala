@@ -1631,6 +1631,49 @@ object OpsQueries {
         GROUP BY sha256(text)
         ORDER BY keep_id""")),
 
+    // ---------------------------------------------------------------- d24
+    // ASYMMETRIC containment decontamination (|corpus ∩ eval| / |eval| —
+    // the GPT-3/Pile overlap check): eval items are PREFIXES of corpus
+    // docs, so every planted leak has containment 1.0 against its host
+    // while symmetric Jaccard (d15's metric) stays far below threshold —
+    // the leak shape Jaccard-only decontamination misses. Eval side
+    // broadcast, corpus side map-only; the only shuffle is actual-hit
+    // pair counts.
+    QueryDef(
+      "d24_containment_decontamination",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val evalSet = d.filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("text"))
+        DedupOps.containmentDecontaminate(d, evalSet, "doc_id", "text")
+          .withColumn("max_containment", round(col("max_containment"), 3))
+          .orderBy("doc_id")
+      },
+      Some("""WITH eval AS (
+          SELECT doc_id + 7000000 AS eval_id,
+            array_to_string((string_split(text, ' '))[1:8], ' ') AS text
+          FROM documents WHERE doc_id % 30 = 0),
+        csets AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM documents),
+        esets AS (
+          SELECT eval_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM eval),
+        scored AS (
+          SELECT c.doc_id, e.eval_id,
+            CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
+              / CAST(len(e.sh) AS DOUBLE) AS cont
+          FROM csets c CROSS JOIN esets e)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_contained,
+          ROUND(MAX(cont), 3) AS max_containment
+        FROM scored WHERE cont >= 0.8
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- d19
     // Per-source QUOTA cap (domain balancing): at most 15 docs per
     // source, deterministic hash priority, under-quota sources pass
@@ -4122,6 +4165,40 @@ object OpsQueries {
       },
       Some("""SELECT c_custkey, c_name FROM customer
         WHERE c_custkey % 2 = 1 ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- st21
+    // BOUNDED replay: `hadro.startingVersion` + `hadro.endingVersion`
+    // replay exactly one version window on the streaming API — here three
+    // commits land BEFORE the stream starts and the (v1, v2] window must
+    // emit exactly the middle commit's rows, reproducibly, while the live
+    // log has already grown past it. The truncate-crossing fail-fast and
+    // batch-read rejection are spec-asserted (StreamSourceSpec).
+    QueryDef(
+      "st21_bounded_replay",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.functions.col
+        val src = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val colPath =
+          s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st21"
+        val c = graft.api.Collection.create(s, colPath,
+          src.filter(col("c_custkey") % 3 === 0), numSegments = 2)
+        c.append(src.filter(col("c_custkey") % 3 === 1))
+        val midVersion = c.version
+        c.append(src.filter(col("c_custkey") % 3 === 2))
+        val name = s"st21_sink_${System.nanoTime()}"
+        val q = s.readStream.format("hadro")
+          .option("hadro.startingVersion", midVersion.toString)
+          .option("hadro.endingVersion", midVersion.toString).load(colPath)
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(120000),
+          "AvailableNow query must terminate by itself")
+        s.table(name).select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey % 3 = 1 ORDER BY c_custkey""")),
 
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +

@@ -193,7 +193,8 @@ final class HadroTable(path: Path, dataSchema: StructType,
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty),
       Option(options.get("hadro.startingVersion")),
       options.getLong("hadro.maxBytesPerTrigger", 0L),
-      resolveVersion("hadro.changesStart"))
+      resolveVersion("hadro.changesStart"),
+      Option(options.get("hadro.endingVersion")))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -254,7 +255,8 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     maxOrdinalsPerTrigger: Long = 0L, onlyFiles: Option[Set[String]] = None,
     startingVersion: Option[String] = None,
     maxBytesPerTrigger: Long = 0L,
-    changesStart: Option[Long] = None)
+    changesStart: Option[Long] = None,
+    endingVersion: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownOffset {
@@ -351,14 +353,17 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // matching pushAggregation, so only pushAggregation may latch state —
   // otherwise build() could return the single-row agg scan for a plain scan.
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    onlyFiles.isEmpty && changesStart.isEmpty &&
+    onlyFiles.isEmpty && changesStart.isEmpty && endingVersion.isEmpty &&
       HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // Assignment (not |=) so a failed plan also RESETS any earlier latch.
     aggResult =
-      // manifest stats cover the whole collection, not a file/window subset
-      if (onlyFiles.isDefined || changesStart.isDefined) None
+      // manifest stats cover the whole collection, not a file/window
+      // subset; an endingVersion scan must reach toBatch's stream-only
+      // guard instead of silently answering from the manifest
+      if (onlyFiles.isDefined || changesStart.isDefined ||
+        endingVersion.isDefined) None
       else HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed)
     aggResult.isDefined
   }
@@ -368,7 +373,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     case None =>
       new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
         maxOrdinalsPerTrigger, limit, onlyFiles, topN, offset, startingVersion,
-        maxBytesPerTrigger, changesStart)
+        maxBytesPerTrigger, changesStart, endingVersion)
   }
 }
 
@@ -564,7 +569,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     pushedOffset: Option[Int] = None,
     startingVersion: Option[String] = None,
     maxBytesPerTrigger: Long = 0L,
-    changesStart: Option[Long] = None)
+    changesStart: Option[Long] = None,
+    endingVersion: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -635,7 +641,12 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   private def effectiveFilters: Array[Filter] = pushed ++ runtimeFilters
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(endingVersion.isEmpty,
+      "hadro: hadro.endingVersion bounds a STREAM replay — a batch read " +
+        "pins its end with hadro.changesEnd or hadro.versionAsOf")
+    this
+  }
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(onlyFiles.isEmpty,
       "hadro: hadro.files is a batch-rewrite primitive, not a stream source option")
@@ -644,7 +655,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         "replays from a version with hadro.startingVersion instead")
     validateAgainstStored()
     new HadroMicroBatchStream(path, storedSchema, required, onTruncate,
-      maxOrdinalsPerTrigger, startingVersion, maxBytesPerTrigger)
+      maxOrdinalsPerTrigger, startingVersion, maxBytesPerTrigger,
+      endingVersion)
   }
   override def description(): String =
     s"hadro collection $path, PushedFilters: [${pushed.mkString(", ")}]" +

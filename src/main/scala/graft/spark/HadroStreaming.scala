@@ -40,7 +40,8 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     required: StructType, onTruncate: String = "fail",
     maxOrdinalsPerTrigger: Long = 0L,
     startingVersion: Option[String] = None,
-    maxBytesPerTrigger: Long = 0L)
+    maxBytesPerTrigger: Long = 0L,
+    endingVersion: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
@@ -77,6 +78,48 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     s"hadro.startingVersion must be a version number, 'latest', or a tag " +
       s"name, got '${startingVersion.getOrElse("")}' " +
       s"(tags: ${CollectionMeta.readRefs(path).keys.toSeq.sorted.mkString(", ")})")
+  require(endingVersion.forall(v =>
+      (v.nonEmpty && v.forall(_.isDigit)) ||
+        CollectionMeta.readRefs(path).contains(v)),
+    s"hadro.endingVersion must be a version number or a tag name, got " +
+      s"'${endingVersion.getOrElse("")}' " +
+      s"(tags: ${CollectionMeta.readRefs(path).keys.toSeq.sorted.mkString(", ")})")
+
+  /** Bounded replay (Delta's `endingVersion`): the stream consumes every
+    * change committed AT OR BEFORE version v (inclusive, by ordinal cap —
+    * the dual of `startingVersion`'s resume point) and then idles;
+    * composed with `Trigger.AvailableNow` it terminates, giving a
+    * reproducible replay of an exact version window on the streaming
+    * API. Resolved lazily so a dropped tag errors at first use with the
+    * descriptive message, like startingVersion. The version must still
+    * be retained, and its generation must match the live log when a
+    * batch is planned — a truncate/compaction past the cap makes the
+    * ordinal window meaningless (fail, regardless of onTruncate:
+    * restarting from 0 under a bounded replay would silently change
+    * what "version v" means). */
+  private lazy val endingCap: Option[HadroOffset] = endingVersion.map { s =>
+    val v = CollectionMeta.readRefs(path).get(s).getOrElse {
+      if (s.isEmpty || !s.forall(_.isDigit)) throw new IllegalArgumentException(
+        s"hadro.endingVersion must be a version number or a tag name, " +
+          s"got '$s' (tags: " +
+          s"${CollectionMeta.readRefs(path).keys.toSeq.sorted.mkString(", ")})")
+      s.toLong
+    }
+    val m = CollectionMeta.manifestAt(path, v)
+    HadroOffset(m.nextOrdinal, m.generation)
+  }
+
+  private def applyEndingCap(end: Long, liveGeneration: Long): Long =
+    endingCap match {
+      case Some(cap) =>
+        require(cap.generation == liveGeneration,
+          s"hadro: endingVersion ${endingVersion.get} predates a " +
+            "truncate/compaction/overwrite of the log (generation " +
+            s"${cap.generation} vs $liveGeneration) — the bounded replay " +
+            "window no longer exists; replay from a full snapshot")
+        math.min(cap.nextOrdinal, end)
+      case None => end
+    }
 
   /** Where a FRESH query (no checkpoint) begins — Delta-style
     * `startingVersion`. Default: ordinal 0, the whole retained log
@@ -121,7 +164,7 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
 
   override def latestOffset(): Offset = {
     val m = CollectionMeta.currentManifest(path)
-    HadroOffset(m.nextOrdinal, m.generation)
+    HadroOffset(applyEndingCap(m.nextOrdinal, m.generation), m.generation)
   }
 
   // ------------------------------------------- Trigger.AvailableNow
@@ -154,11 +197,11 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     // AvailableNow cap applies only while the log it pinned still exists;
     // a truncate under the run falls back to live-end (and the normal
     // generation machinery below decides fail vs restart).
-    val end = availableNowEnd match {
+    val end = applyEndingCap(availableNowEnd match {
       case Some(cap) if cap.generation == m.generation =>
         math.min(cap.nextOrdinal, m.nextOrdinal)
       case _ => m.nextOrdinal
-    }
+    }, m.generation)
     val uncapped = maxOrdinalsPerTrigger <= 0 && maxBytesPerTrigger <= 0
     if (uncapped || m.generation != so.generation)
       HadroOffset(end, m.generation) // truncate: re-admit whole log

@@ -415,14 +415,18 @@ class PropertySpec extends SparkSuite {
     }
   }
 
-  test("property: partitioned layout invariants under random maintenance (6 op types)") {
+  test("property: partitioned layout invariants under random maintenance (7 op types)") {
     import graft.meta.CollectionMeta
     // Model checking the days(ts) layout: random sequences over append /
-    // compact / compactSmall / drop_partitions / vacuum / tag, against a
-    // driver-side per-day model. After EVERY op: the scan reads exactly
-    // the model, every live segment carries a day tag, and every
-    // segment's ts stats stay inside its tagged day — the invariant that
-    // makes stats pruning equal partition pruning.
+    // compact / compactSmall / drop_partitions / vacuum / tag / REPLACE
+    // WHERE (whole-day region overwrite), against a driver-side per-day
+    // model. After EVERY op: the scan reads exactly the model, every
+    // live segment carries a day tag, and every segment's ts stats stay
+    // inside its tagged day — the invariant that makes stats pruning
+    // equal partition pruning. ReplaceDay additionally exercises the
+    // replace-commit interplay with tag pinning (pinned snapshots must
+    // survive the deferred GC of replaced files) and with dropped-day
+    // ordinal floors.
     sealed trait Op
     case object Append extends Op
     case object Compact extends Op
@@ -430,9 +434,10 @@ class PropertySpec extends SparkSuite {
     case object DropOldest extends Op
     case object Vacuum extends Op
     case object Tag extends Op
+    case object ReplaceDay extends Op
     val genOp: Gen[Op] = Gen.frequency(
       5 -> Append, 2 -> Compact, 2 -> Pack, 2 -> DropOldest,
-      1 -> Vacuum, 1 -> Tag)
+      1 -> Vacuum, 1 -> Tag, 2 -> ReplaceDay)
     val genSeq: Gen[List[Op]] = Gen.listOfN(12, genOp)
     val MicrosPerDay = 86400000000L
     val day0 = java.time.LocalDate.of(2026, 9, 1).toEpochDay
@@ -489,6 +494,20 @@ class PropertySpec extends SparkSuite {
             val name = s"t$nextTag"; nextTag += 1
             c.createTag(name)
             pinned(name) = model.values.flatten.toSet
+          case ReplaceDay =>
+            // overwrite ONE whole day with a fresh (smaller) batch —
+            // the daily-reprocess shape; region = the day's time window
+            val day = day0 + (nextId % 4) // may be live, dropped, or empty
+            val ids = nextId until nextId + 3
+            nextId += 3
+            val lo = new java.sql.Timestamp(day * MicrosPerDay / 1000L)
+            val hi = new java.sql.Timestamp((day + 1) * MicrosPerDay / 1000L)
+            ids.map(id => (id, new java.sql.Timestamp(
+                (day * MicrosPerDay + (id % 7) * 3600000000L) / 1000L)))
+              .toDF("id", "ts")
+              .writeTo(s"$cat.db.ev")
+              .overwrite(col("ts") >= lit(lo) && col("ts") < lit(hi))
+            model(day) = ids.toSet
         }
         // invariants after EVERY op
         val got = spark.read.format("hadro").load(dir.toString)

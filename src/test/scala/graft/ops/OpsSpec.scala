@@ -1297,6 +1297,32 @@ class OpsSpec extends SparkSuite {
     out.values.foreach(j => assert(j >= 0.8 && j <= 1.0))
   }
 
+  test("containment decontamination catches embedded evals Jaccard misses") {
+    val base = docs.select($"doc_id", $"text")
+    // eval items are PREFIXES of corpus docs: containment vs the host is
+    // exactly 1.0 while symmetric Jaccard ~ |eval| / |doc| — the leak
+    // shape a Jaccard-threshold decontamination cannot flag
+    val evalSet = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 7000000L).as("doc_id"),
+        concat_ws(" ", slice(split($"text", " "), 1, 6)).as("text"))
+    val out = DedupOps.containmentDecontaminate(base, evalSet, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val hosts = base.filter($"doc_id" % 10 === 0)
+      .filter(size(split($"text", " ")) >= 6)
+      .select($"doc_id").as[Long].collect()
+    hosts.foreach(id => assert(out.get(id).contains(1.0),
+      s"host $id of an embedded eval must have containment 1.0, got ${out.get(id)}"))
+    // the same planted set under SYMMETRIC Jaccard stays sub-threshold
+    // for long hosts — prove at least one host is Jaccard-invisible
+    val fj = DedupOps.fuzzyDecontaminate(base, evalSet, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val longHosts = base.filter($"doc_id" % 10 === 0)
+      .filter(size(split($"text", " ")) >= 30)
+      .select($"doc_id").as[Long].collect()
+    assert(longHosts.exists(id => !fj.contains(id) && out.contains(id)),
+      "expected at least one long host flagged by containment but not Jaccard")
+  }
+
   test("semantic dedup drops planted same-direction copies, keeps originals") {
     import org.apache.spark.sql.types.FloatType
     val base = embs.select($"vec_id", $"embedding")

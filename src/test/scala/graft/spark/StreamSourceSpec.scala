@@ -178,4 +178,54 @@ class StreamSourceSpec extends SparkSuite {
     val ex2 = intercept[Exception] { countFrom("nope") }
     assert(messages(ex2).exists(_.contains("ingested")))
   }
+
+  test("endingVersion bounds the replay window; composes with startingVersion") {
+    val colPath = Files.createTempDirectory("ev_col").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+    val n = src.count()
+    src.write.format("hadro").mode("append").save(colPath)
+    val c = Collection(spark, colPath)
+    val v1 = c.version
+    src.write.format("hadro").mode("append").save(colPath)
+    val v2 = c.version
+    src.write.format("hadro").mode("append").save(colPath)
+
+    var i = 0
+    def windowCount(opts: Map[String, String]): Long = {
+      i += 1
+      val name = s"ev_mem_$i"
+      val reader = opts.foldLeft(spark.readStream.format("hadro")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(colPath)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).count()
+    }
+
+    // bounded replay of an exact version window — reproducible even
+    // while the live log keeps growing
+    assert(windowCount(Map("hadro.endingVersion" -> v1.toString)) == n,
+      "up to v1: only the first commit")
+    assert(windowCount(Map(
+      "hadro.startingVersion" -> v2.toString,
+      "hadro.endingVersion" -> v2.toString)) == n,
+      "the (v1, v2] window: exactly commit 2")
+    assert(windowCount(Map("hadro.endingVersion" -> v2.toString)) == 2 * n)
+
+    // a tag names the window edge too
+    c.createTag("cut", v2)
+    assert(windowCount(Map("hadro.endingVersion" -> "cut")) == 2 * n)
+
+    // a batch read must use changesEnd/versionAsOf instead
+    val e = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.endingVersion", v1.toString).load(colPath).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(messages(e).exists(_.contains("changesEnd")), messages(e).toString)
+  }
 }
