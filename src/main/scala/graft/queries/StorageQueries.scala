@@ -2403,5 +2403,61 @@ object StorageQueries {
           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
             THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_v
         FROM events GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h77
+    // Row-level REPLACE WHERE (`spark.hadro.overwrite.mode=rowlevel`):
+    // the region is deliberately UNALIGNED to the day layout (noon to
+    // noon), so both boundary days straddle — their matching rows are
+    // deletion-vectored in the SAME atomic commit that appends the
+    // corrected batch; whole-day inside segments (none here) would drop
+    // by reference. Makes predicate-scoped overwrite exact for arbitrary
+    // one-column regions: O(matched rows) sidecar bytes, never a segment
+    // rewrite, time travel intact.
+    QueryDef(
+      "h77_replace_where_rowlevel",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h77"
+        s.conf.set("spark.sql.catalog.graft_h77", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h77.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h77.db")
+        s.sql("DROP TABLE IF EXISTS graft_h77.db.events")
+        s.sql("""CREATE TABLE graft_h77.db.events
+          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h77_src")
+        s.sql("INSERT INTO graft_h77.db.events SELECT * FROM h77_src")
+        s.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+        try s.sql("""SELECT event_id, ts, event_type, value * 5 AS value
+            FROM h77_src
+            WHERE ts >= TIMESTAMP '2024-01-10 12:00:00'
+              AND ts < TIMESTAMP '2024-01-11 12:00:00'
+              AND event_id % 3 = 0""")
+          .writeTo("graft_h77.db.events")
+          .overwrite(col("ts") >= lit("2024-01-10 12:00:00").cast("timestamp")
+            && col("ts") < lit("2024-01-11 12:00:00").cast("timestamp"))
+        finally s.conf.unset("spark.hadro.overwrite.mode")
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h77.db.events
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""WITH replaced AS (
+          SELECT event_type, value FROM events
+          WHERE ts < TIMESTAMP '2024-01-10 12:00:00'
+             OR ts >= TIMESTAMP '2024-01-11 12:00:00'
+          UNION ALL
+          SELECT event_type, value * 5 AS value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10 12:00:00'
+            AND ts < TIMESTAMP '2024-01-11 12:00:00'
+            AND event_id % 3 = 0)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM replaced GROUP BY event_type ORDER BY event_type"""))
   )
 }

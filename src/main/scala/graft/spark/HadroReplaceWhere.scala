@@ -208,19 +208,34 @@ private[spark] object HadroReplaceWhere {
         }
     }
 
-  /** Partition the live segments into (inside, kept), or Left(file) of
-    * the first segment the stats cannot classify. */
-  def split(segments: Seq[SegmentInfo],
-      region: Region): Either[String, (Seq[SegmentInfo], Seq[SegmentInfo])] = {
+  /** Partition the live segments into (inside, kept, straddling). In the
+    * default segment mode a straddler is a refusal; in row-level mode it
+    * is exact work — the predicate is evaluated per row and the matches
+    * get deletion-vectored, so inside/disjoint proofs become pure
+    * optimizations (drop whole / skip entirely). */
+  def split3(segments: Seq[SegmentInfo], region: Region)
+      : (Seq[SegmentInfo], Seq[SegmentInfo], Seq[SegmentInfo]) = {
     val inside = Seq.newBuilder[SegmentInfo]
     val kept = Seq.newBuilder[SegmentInfo]
+    val straddle = Seq.newBuilder[SegmentInfo]
     segments.foreach { s =>
       classify(s, region) match {
         case Inside => inside += s
         case Disjoint => kept += s
-        case Straddle => return Left(s.file)
+        case Straddle => straddle += s
       }
     }
-    Right((inside.result(), kept.result()))
+    (inside.result(), kept.result(), straddle.result())
+  }
+
+  /** Partition the live segments into (inside, kept), or Left(file) of
+    * the first segment the stats cannot classify. */
+  def split(segments: Seq[SegmentInfo],
+      region: Region): Either[String, (Seq[SegmentInfo], Seq[SegmentInfo])] = {
+    val (inside, kept, straddle) = split3(segments, region)
+    straddle.headOption match {
+      case Some(s) => Left(s.file)
+      case None => Right((inside, kept))
+    }
   }
 }

@@ -447,6 +447,19 @@ final case class ReplaceSpec(files: Seq[String], gen: Long,
     // LWW resolution is in play (see Collection.compactPartitions).
     requireUnmutated: Boolean = false)
 
+object HadroBatchWrite {
+  /** Plan-time REPLACE WHERE state: the compiled region, the pinned
+    * (file, dv) identity of every segment the classification placed
+    * inside (dropped at commit) or straddling (row-level vectored at
+    * commit, rowLevel mode only), and the mode. The pins are the commit
+    * drift guard — commit re-classifies and must reproduce them. */
+  private[spark] final case class ReplaceWherePlan(
+      region: HadroReplaceWhere.Region,
+      insidePin: Seq[(String, Option[String])],
+      straddlePin: Seq[(String, Long, Option[String])],
+      rowLevel: Boolean)
+}
+
 final class HadroBatchWrite(path: Path, schema: StructType,
     consistency: Consistency.Value, tombstone: Boolean, mutating: Boolean,
     truncate: Boolean, keyField: Option[String],
@@ -525,24 +538,92 @@ final class HadroBatchWrite(path: Path, schema: StructType,
   // into the region (its rows would vanish with the old files), a dv
   // delete, or a compaction conflicts and aborts. Disjoint partitions
   // drift freely — appends elsewhere commute with the overwrite.
-  private val replaceWherePin: Option[(HadroReplaceWhere.Region,
-      Seq[(String, Option[String])])] = replaceWhere.map { preds =>
-    val iv = HadroReplaceWhere.compile(preds, storedSchema)
-    val m = CollectionMeta.currentManifest(path)
-    require(!m.mutated,
-      "hadro: REPLACE WHERE supports pure-append collections only — " +
-        "under upserts/deletes a replaced segment could carry the newest " +
-        "version or tombstone of a key whose other rows live elsewhere")
-    HadroReplaceWhere.split(m.segments, iv) match {
-      case Left(file) => throw new IllegalArgumentException(
-        s"hadro: REPLACE WHERE cannot prove segment $file wholly inside " +
-          s"or outside the region on '${iv.col}' from its manifest " +
-          "bounds — align the predicate to the partition/cluster layout " +
-          "(whole partitions, boundary-aligned ranges), or run DELETE " +
-          "then append")
-      case Right((inside, _)) =>
-        (iv, inside.map(s => (s.file, s.deleteVector)))
+  private val replaceWherePin: Option[HadroBatchWrite.ReplaceWherePlan] =
+    replaceWhere.map { preds =>
+      val iv = HadroReplaceWhere.compile(preds, storedSchema)
+      val m = CollectionMeta.currentManifest(path)
+      require(!m.mutated,
+        "hadro: REPLACE WHERE supports pure-append collections only — " +
+          "under upserts/deletes a replaced segment could carry the newest " +
+          "version or tombstone of a key whose other rows live elsewhere")
+      // `spark.hadro.overwrite.mode=rowlevel` (opt-in, like delete.mode):
+      // straddling segments stop being a refusal — the predicate is
+      // evaluated per row and matches are DELETION-VECTORED in the same
+      // commit, making REPLACE WHERE exact for ARBITRARY one-column
+      // regions; the inside/disjoint proofs remain as optimizations
+      // (drop whole / never scan). Default stays the strict whole-segment
+      // contract (a refusal names the unprovable segment).
+      val rowLevel = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.hadro.overwrite.mode", "segment") match {
+        case "rowlevel" => true
+        case "segment" => false
+        case other => throw new IllegalArgumentException(
+          s"hadro: spark.hadro.overwrite.mode must be segment|rowlevel, got '$other'")
+      }
+      val (inside, _, straddle) = HadroReplaceWhere.split3(m.segments, iv)
+      if (!rowLevel && straddle.nonEmpty)
+        throw new IllegalArgumentException(
+          s"hadro: REPLACE WHERE cannot prove segment ${straddle.head.file} " +
+            s"wholly inside or outside the region on '${iv.col}' from its " +
+            "manifest bounds — align the predicate to the partition/" +
+            "cluster layout (whole partitions, boundary-aligned ranges), " +
+            "set spark.hadro.overwrite.mode=rowlevel (deletion-vector the " +
+            "matching rows), or run DELETE then append")
+      HadroBatchWrite.ReplaceWherePlan(iv,
+        inside.map(s => (s.file, s.deleteVector)),
+        straddle.map(s => (s.file, s.ordinal, s.deleteVector)),
+        rowLevel)
     }
+
+  /** Row-level REPLACE WHERE: build one deletion-vector sidecar per
+    * straddling segment covering exactly the predicate-matching rows —
+    * the [[HadroDeleteSupport]] dv-build shape (one executor task per
+    * segment, union with the pinned existing vector), but the COMMIT is
+    * deferred to this write's own closure so drop-inside + vector-
+    * straddlers + append-batch stay one atomic manifest publish.
+    * Returns ordinal -> (sidecar name, total vectored rows). */
+  private def buildReplaceWhereVectors(
+      plan: HadroBatchWrite.ReplaceWherePlan): Map[Long, (String, Long)] = {
+    import org.apache.spark.sql.{Encoders, functions => F}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = replaceWhere.get
+      .map(p => HadroDeleteSupport.toV1(p).map(HadroDeleteSupport.toColumn)
+        .getOrElse(throw new IllegalStateException(
+          s"hadro: REPLACE WHERE predicate $p compiled but does not " +
+            "translate to a row filter")))
+      .reduce(_ && _)
+    val seqc = F.col(HadroTable.SeqCol)
+    val mask = (1L << HadroTable.SeqOrdinalShift) - 1
+    val dirStr = path.toString
+    val existing: Map[Long, String] =
+      plan.straddlePin.flatMap { case (_, ord, dv) => dv.map(ord -> _) }.toMap
+    val segFiles: Map[Long, String] =
+      plan.straddlePin.map { case (f, ord, _) => ord -> f }.toMap
+    val buildId = java.lang.Long.toHexString(System.nanoTime())
+    spark.read.format("hadro")
+      .option("hadro.files", plan.straddlePin.map(_._1).mkString(","))
+      .load(dirStr)
+      .filter(cond)
+      .select(
+        F.call_function("shiftright", seqc, F.lit(HadroTable.SeqOrdinalShift)).as("ord"),
+        seqc.bitwiseAND(F.lit(mask)).as("row"))
+      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (ord, it) =>
+        val base = Paths.get(dirStr)
+        val bits = existing.get(ord)
+          .map(n => graft.format.DeleteVector.read(base.resolve(n)))
+          .getOrElse(new java.util.BitSet())
+        it.foreach { case (_, r) =>
+          require(r <= Int.MaxValue, s"hadro: row index $r exceeds vector range")
+          bits.set(r.toInt)
+        }
+        val name = s"${segFiles(ord)}.dv-$buildId.dv"
+        graft.format.DeleteVector.write(base.resolve(name), bits)
+        (ord, name, bits.cardinality().toLong)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
+      .collect()
+      .map { case (ord, name, total) => ord -> ((name, total)) }.toMap
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -714,38 +795,60 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     // all conflict; drift outside the region commutes and is kept by
     // reference. Replace-commit semantics on success: renumber +
     // generation bump, so tailing streams see the discontinuity.
+    // Row-level REPLACE WHERE: build the straddlers' vectors BEFORE the
+    // commit closure (they are files on disk; only the manifest flip is
+    // the commit). A conflict cleans them up like an abandoned dv delete.
+    val rwVectors: Map[Long, (String, Long)] = replaceWherePin match {
+      case Some(plan) if plan.rowLevel && plan.straddlePin.nonEmpty =>
+        buildReplaceWhereVectors(plan)
+      case _ => Map.empty
+    }
+    def cleanupRwVectors(): Unit = rwVectors.values.foreach { case (name, _) =>
+      try Files.deleteIfExists(path.resolve(name))
+      catch { case _: Exception => () }
+    }
+
     def replaceWhereCommit(cur: graft.meta.Manifest,
-        iv: HadroReplaceWhere.Region,
-        pinned: Seq[(String, Option[String])]): graft.meta.Manifest =
-      HadroReplaceWhere.split(cur.segments, iv) match {
-        case Left(_) => conflicted = true; cur
-        case Right((inside, kept)) =>
-          if (cur.mutated ||
-            inside.map(s => (s.file, s.deleteVector)) != pinned) {
-            conflicted = true; cur
-          } else {
-            conflicted = false
-            var ord = 0L
-            val reordered = (kept ++ segs)
-              .map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
-            cur.copy(
-              segments = reordered,
-              mutated = cur.mutated || mutating,
-              generation = cur.generation + 1,
-              ordinalFloor = 0L,
-              // a partial rewrite can't prove a declared sort still holds
-              // uniformly unless this write re-declares it
-              sortedBy = if (sortedSpec == cur.sortedBy) cur.sortedBy else None)
-          }
+        plan: HadroBatchWrite.ReplaceWherePlan): graft.meta.Manifest = {
+      val (inside, _, straddle) = HadroReplaceWhere.split3(cur.segments, plan.region)
+      val straddleNow = straddle.map(s => (s.file, s.ordinal, s.deleteVector))
+      if (cur.mutated ||
+        inside.map(s => (s.file, s.deleteVector)) != plan.insidePin ||
+        straddleNow != plan.straddlePin) {
+        // a concurrent commit changed the region's segments (append into
+        // the region, dv delete, rewrite, or a new straddler appeared) —
+        // the pinned classification no longer describes reality
+        conflicted = true; cur
+      } else {
+        conflicted = false
+        val insideFiles = inside.map(_.file).toSet
+        var ord = 0L
+        val reordered = (cur.segments.filterNot(s => insideFiles(s.file))
+          .map { s =>
+            rwVectors.get(s.ordinal) match {
+              case Some((name, total)) =>
+                s.copy(deleteVector = Some(name), dvDeletes = total)
+              case None => s
+            }
+          } ++ segs)
+          .map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+        cur.copy(
+          segments = reordered,
+          mutated = cur.mutated || mutating,
+          generation = cur.generation + 1,
+          ordinalFloor = 0L,
+          // a partial rewrite can't prove a declared sort still holds
+          // uniformly unless this write re-declares it
+          sortedBy = if (sortedSpec == cur.sortedBy) cur.sortedBy else None)
       }
+    }
 
     CollectionMeta.commit(path, cur => (replaceSpec, dynamicPin) match {
       case (Some(ReplaceSpec(files, gen, dv, reqUnmut)), _) =>
         replaceCommit(cur, files, gen, dv, reqUnmut)
       case (None, Some(pin)) => dynamicOverwriteCommit(cur, pin)
       case (None, None) if replaceWherePin.isDefined =>
-        val (iv, pinned) = replaceWherePin.get
-        replaceWhereCommit(cur, iv, pinned)
+        replaceWhereCommit(cur, replaceWherePin.get)
       case (None, None) =>
       // A compaction is a rewrite of ONE pinned snapshot: segments that
       // committed after it (concurrent appends/upserts) are NOT part of
@@ -848,6 +951,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       }
       if (replaceWherePin.isDefined) {
         abort(messages) // clean up the orphaned new segment files
+        cleanupRwVectors()
         throw new IllegalStateException(
           s"hadro: REPLACE WHERE on $path conflicted — a concurrent " +
             "commit changed the replaced region (rows would be dropped " +

@@ -209,6 +209,23 @@ class ChangesSpec extends SparkSuite {
       c.getMessage.contains("inverted")), e3.getMessage)
   }
 
+  test("changes window flows through spark.read.options().table() on catalog tables") {
+    val w = Files.createTempDirectory("chgcat").toString
+    spark.conf.set("spark.sql.catalog.chgcat", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chgcat.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chgcat.db")
+    spark.sql("CREATE TABLE chgcat.db.t (id BIGINT) USING hadro")
+    spark.sql("INSERT INTO chgcat.db.t VALUES (1), (2)")
+    val v1 = Collection(spark, Paths.get(w, "db", "t").toString).version
+    spark.sql("INSERT INTO chgcat.db.t VALUES (3)")
+    val since = spark.read
+      .option("hadro.changesStart", v1.toString)
+      .table("chgcat.db.t")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(since == Seq(3L), since.toString)
+    spark.sql("DROP TABLE chgcat.db.t")
+  }
+
   test("partitions metadata table summarizes per-partition inventory") {
     val w = Files.createTempDirectory("chgparts").toString
     spark.conf.set("spark.sql.catalog.chgparts", classOf[HadroCatalog].getName)

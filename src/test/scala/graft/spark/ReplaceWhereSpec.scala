@@ -284,6 +284,106 @@ class ReplaceWhereSpec extends SparkSuite {
     spark.sql("DROP TABLE rwin.db.docs")
   }
 
+  test("rowlevel mode: arbitrary region — inside dropped whole, straddler vectored, atomic") {
+    val w = setupCatalog("rwrl")
+    spark.sql("CREATE TABLE rwrl.db.t (id BIGINT, v DOUBLE) USING hadro")
+    // segment A: ids 0..49 (fully inside id < 60), segment B: ids 50..99
+    // (straddles the boundary)
+    spark.range(0, 50).select($"id", ($"id" * 1.0).as("v")).coalesce(1)
+      .createOrReplaceTempView("rwrl_a")
+    spark.range(50, 100).select($"id", ($"id" * 1.0).as("v")).coalesce(1)
+      .createOrReplaceTempView("rwrl_b")
+    spark.sql("INSERT INTO rwrl.db.t SELECT * FROM rwrl_a")
+    spark.sql("INSERT INTO rwrl.db.t SELECT * FROM rwrl_b")
+    val dir = Paths.get(w, "db", "t")
+    val before = CollectionMeta.currentManifest(dir)
+    assert(before.segments.length == 2)
+    val (fileA, fileB) = (before.segments(0).file, before.segments(1).file)
+    val vBefore = before.version
+
+    // strict mode refuses the unaligned region...
+    val e = intercept[Exception] {
+      spark.range(0, 5).select(($"id" + 1000).as("id"), lit(0.0).as("v"))
+        .writeTo("rwrl.db.t").overwrite($"id" < 60)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("rowlevel")), "refusal must name the opt-in")
+
+    // ...rowlevel mode vectors the straddler's matching rows exactly
+    spark.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+    try spark.range(0, 5).select(($"id" + 1000).as("id"), lit(7.0).as("v"))
+      .writeTo("rwrl.db.t").overwrite($"id" < 60)
+    finally spark.conf.unset("spark.hadro.overwrite.mode")
+
+    val after = CollectionMeta.currentManifest(dir)
+    val files = after.segments.map(_.file)
+    assert(!files.contains(fileA), "fully-inside segment dropped whole")
+    val segB = after.segments.find(_.file == fileB).getOrElse(
+      fail("straddling segment must keep its file"))
+    assert(segB.deleteVector.isDefined && segB.dvDeletes == 10L,
+      s"straddler must vector ids 50..59, got ${segB.dvDeletes}")
+    assert(after.generation == before.generation + 1)
+
+    val ids = spark.table("rwrl.db.t").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((60L until 100L) ++ (1000L until 1005L)).toSeq, ids.take(10).toString)
+    // time travel: the pre-overwrite snapshot still reads every row
+    assert(spark.read.format("hadro")
+      .option("hadro.versionAsOf", vBefore.toString)
+      .load(dir.toString).count() == 100L)
+    spark.sql("DROP TABLE rwrl.db.t")
+  }
+
+  test("rowlevel mode: concurrent dv delete on a straddler conflicts at commit") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwriteV2}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val w = setupCatalog("rwrlc")
+    spark.sql("CREATE TABLE rwrlc.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO rwrlc.db.t SELECT id, id * 1.0 FROM range(0, 100, 1, 1)")
+    val cat = spark.sessionState.catalogManager.catalog("rwrlc")
+      .asInstanceOf[TableCatalog]
+    spark.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+    val batch = try {
+      val table = cat.loadTable(Identifier.of(Array("db"), "t"))
+      val info = new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap =
+          new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+        override def queryId(): String = "rwrlc-test"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          spark.table("rwrlc.db.t").schema
+      }
+      val pred = new Predicate("<", Array(Expressions.column("id"),
+        Expressions.literal(Long.box(60L))))
+      table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(info).asInstanceOf[SupportsOverwriteV2]
+        .overwrite(Array(pred)).build().toBatch // straddler pinned HERE
+    } finally spark.conf.unset("spark.hadro.overwrite.mode")
+
+    // concurrent dv DELETE changes the straddler's vector between plan
+    // and commit — replacing it with ours would resurrect those rows
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try spark.sql("DELETE FROM rwrlc.db.t WHERE id >= 90 AND id < 95")
+    finally spark.conf.unset("spark.hadro.delete.mode")
+
+    val factory = batch.createBatchWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    })
+    val writer = factory.createWriter(0, 0L)
+    writer.write(new GenericInternalRow(Array[Any](9999L, 1.0)))
+    val msg = writer.commit()
+    val ex = intercept[IllegalStateException](batch.commit(Array(msg)))
+    assert(ex.getMessage.contains("REPLACE WHERE"), ex.getMessage)
+    // nothing replaced: 100 - 5 dv-deleted rows remain
+    assert(spark.table("rwrlc.db.t").count() == 95L)
+    spark.sql("DROP TABLE rwrlc.db.t")
+  }
+
   test("interval compile rejects multi-column and non-range predicates with guidance") {
     val w = setupCatalog("rwcomp")
     spark.sql("""CREATE TABLE rwcomp.db.t (id BIGINT, region STRING)
