@@ -2459,5 +2459,65 @@ object StorageQueries {
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         FROM replaced GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h78
+    // Multi-column REPLACE WHERE region: "reprocess one event type for a
+    // day window" (`event_type = 'click' AND D1 <= ts < D2`) — the region
+    // is an AND tree over TWO columns, so no day segment can prove whole-
+    // segment membership (each day mixes event types): every planned day
+    // straddles and rowlevel mode deletion-vectors exactly the matching
+    // rows; days outside the window classify DISJOINT on the ts leaf
+    // alone and are never scanned. At 100 TB: O(window days) segment
+    // scans + O(matched rows) sidecar bytes, untouched days by reference.
+    QueryDef(
+      "h78_replace_where_multicol",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h78"
+        s.conf.set("spark.sql.catalog.graft_h78", classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h78.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h78.db")
+        s.sql("DROP TABLE IF EXISTS graft_h78.db.events")
+        s.sql("""CREATE TABLE graft_h78.db.events
+          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        QueryDef.table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h78_src")
+        s.sql("INSERT INTO graft_h78.db.events SELECT * FROM h78_src")
+        s.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+        try s.sql("""SELECT event_id, ts, event_type, value * 3 AS value
+            FROM h78_src
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+              AND ts < TIMESTAMP '2024-01-12 00:00:00'
+              AND event_id % 2 = 0""")
+          .writeTo("graft_h78.db.events")
+          .overwrite(col("event_type") === lit("click")
+            && col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp")
+            && col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+        finally s.conf.unset("spark.hadro.overwrite.mode")
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h78.db.events
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""WITH replaced AS (
+          SELECT event_type, value FROM events
+          WHERE NOT (event_type = 'click'
+            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-12 00:00:00')
+          UNION ALL
+          SELECT event_type, value * 3 AS value FROM events
+          WHERE event_type = 'click'
+            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+            AND ts < TIMESTAMP '2024-01-12 00:00:00'
+            AND event_id % 2 = 0)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM replaced GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -80,6 +80,10 @@ object HadroDeleteSupport {
         for { c <- ref(ch.head); if vs.forall(_.isDefined) }
           yield In(c, vs.map(_.get).toArray)
       case "=" if ch.length == 2 => cmp(ch(0), ch(1), EqualTo, EqualTo)
+      // a <> b is NOT(a = b) under SQL semantics (NULL stays NULL)
+      case "<>" if ch.length == 2 =>
+        cmp(ch(0), ch(1), (c, v) => Not(EqualTo(c, v)),
+          (c, v) => Not(EqualTo(c, v)))
       case "<=>" if ch.length == 2 => cmp(ch(0), ch(1), EqualNullSafe, EqualNullSafe)
       case "<" if ch.length == 2 => cmp(ch(0), ch(1), LessThan, GreaterThan)
       case "<=" if ch.length == 2 => cmp(ch(0), ch(1), LessThanOrEqual, GreaterThanOrEqual)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.format.StatsCollector
 import graft.meta.SegmentInfo
@@ -14,15 +15,23 @@ import graft.meta.SegmentInfo
   * matching the predicate and appends the incoming batch.
   *
   * The engine's contract is WHOLE-SEGMENT replacement proven by
-  * statistics. The predicate must compile to a one-column value interval
-  * (conjunctions of `=`, `<`, `<=`, `>`, `>=` over a single orderable
-  * column), and every live segment must be provably INSIDE the interval
-  * (dropped with the commit) or provably DISJOINT from it (kept, its file
-  * untouched) from its min/max manifest bounds. A segment the stats
-  * cannot classify — one that straddles the boundary, carries nulls
-  * inside the region, or lacks bounds — fails fast with guidance instead
-  * of guessing: the user either aligns the predicate to the layout or
-  * runs DELETE + append.
+  * statistics. The predicate compiles to a [[RegionExpr]] — an AND/OR
+  * tree whose leaves are one-column value intervals, `IN` point sets, and
+  * null tests — and every live segment is classified against the tree
+  * from its min/max manifest bounds: provably INSIDE (every live row
+  * matches; dropped with the commit), provably DISJOINT (no row matches;
+  * kept, its file untouched), or STRADDLING. Tree nodes compose the
+  * three-valued leaf proofs under SQL semantics: `AND` is inside when
+  * both sides are, disjoint when either side is (a conjunct that is
+  * never TRUE makes the conjunction never TRUE, NULLs included); `OR`
+  * mirrors. Multi-column regions (`region = 'eu' AND ts >= D`) and
+  * unions of ranges therefore classify segment-by-segment with no
+  * single-column restriction. A segment the stats cannot classify —
+  * one that straddles a boundary, carries nulls inside the region, or
+  * lacks bounds — fails fast with guidance in the default segment mode
+  * (the user aligns the predicate to the layout, runs DELETE + append,
+  * or opts into `spark.hadro.overwrite.mode=rowlevel`, which
+  * deletion-vectors straddlers' matching rows exactly).
   *
   * Two properties follow from proving over the SOURCE column's bounds
   * rather than partition tags:
@@ -61,6 +70,25 @@ private[spark] object HadroReplaceWhere {
   final case class PointSet(col: String, dt: DataType,
       points: Seq[Any]) extends Region
 
+  /** AND/OR proof tree over region leaves. Each node classifies a
+    * segment three-valued (every-row-matches / no-row-matches / unknown)
+    * and the combinators are sound under SQL NULL semantics: a conjunct
+    * that is never TRUE makes the AND never TRUE (even where the other
+    * side is NULL), a disjunct that is always TRUE makes the OR always
+    * TRUE. [[ROpaque]] wraps a filter that translates to a row filter
+    * but has no stats proof (NOT, string affixes) — it classifies every
+    * segment Straddle, so it is only ever usable in row-level mode. */
+  sealed trait RegionExpr
+  final case class RLeaf(region: Region) extends RegionExpr
+  final case class RNull(col: String) extends RegionExpr
+  final case class RNotNull(col: String) extends RegionExpr
+  final case class ROpaque(desc: String) extends RegionExpr
+  final case class RAnd(l: RegionExpr, r: RegionExpr) extends RegionExpr
+  final case class ROr(l: RegionExpr, r: RegionExpr) extends RegionExpr
+  final case class RNot(inner: RegionExpr) extends RegionExpr
+  case object RTrue extends RegionExpr
+  case object RFalse extends RegionExpr
+
   sealed trait Cls
   case object Inside extends Cls
   case object Disjoint extends Cls
@@ -69,93 +97,130 @@ private[spark] object HadroReplaceWhere {
   private def lt(a: Any, b: Any): Boolean = StatsCollector.lt(a, b)
   private def eq(a: Any, b: Any): Boolean = !lt(a, b) && !lt(b, a)
 
+  /** Columns the tree proves over (for error messages and the
+    * NOT-negation null check). */
+  def cols(e: RegionExpr): Seq[String] = e match {
+    case RLeaf(r) => Seq(r.col)
+    case RNull(c) => Seq(c)
+    case RNotNull(c) => Seq(c)
+    case RAnd(l, r) => (cols(l) ++ cols(r)).distinct
+    case ROr(l, r) => (cols(l) ++ cols(r)).distinct
+    case RNot(i) => cols(i)
+    case _ => Seq.empty
+  }
+
+  /** True if any leaf is stats-opaque — segment mode can then never
+    * classify, so its refusal should point at row-level mode directly. */
+  def hasOpaque(e: RegionExpr): Boolean = e match {
+    case ROpaque(_) => true
+    case RAnd(l, r) => hasOpaque(l) || hasOpaque(r)
+    case ROr(l, r) => hasOpaque(l) || hasOpaque(r)
+    case RNot(i) => hasOpaque(i)
+    case _ => false
+  }
+
+  /** Exclusive upper bound of the `startsWith(p)` set under UTF8String's
+    * unsigned-byte order: increment p's last non-0xFF byte and truncate.
+    * [p, successor) is then EXACTLY the prefix set (a string sorts inside
+    * iff its first bytes equal p), so the interval proof is not merely
+    * conservative. All-0xFF prefixes have no successor — the prefix set
+    * is the whole tail `>= p` (any string sorting at-or-after p must
+    * reproduce p's maximal bytes). The successor may not be valid UTF-8;
+    * it exists only in-memory for binary comparison against parsed
+    * bounds and is never rendered to the manifest. */
+  private[spark] def prefixSuccessor(p: UTF8String): Option[UTF8String] = {
+    val b = p.getBytes.clone()
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val t = java.util.Arrays.copyOf(b, i + 1)
+      t(i) = (t(i) + 1).toByte
+      Some(UTF8String.fromBytes(t))
+    }
+  }
+
   /** Compile the overwrite predicates (implicitly conjoined) into the
-    * value region, or throw with guidance. */
-  def compile(predicates: Seq[Predicate], schema: StructType): Region = {
+    * proof tree, or throw with guidance. Every predicate must translate
+    * to a V1 row filter (both modes evaluate or prove exactly that
+    * filter); comparisons and null tests become provable leaves, other
+    * translatable filters become [[ROpaque]]. */
+  def compile(predicates: Seq[Predicate], schema: StructType): RegionExpr = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
-      "hadro: REPLACE WHERE (overwrite-by-predicate) supports " +
-        "conjunctions of =, <, <=, >, >=, or a single IN, over ONE " +
-        s"orderable column, proving whole segments in or out of the region — $why. " +
-        "For arbitrary predicates run DELETE then append, or use " +
-        "dynamic partition overwrite (`overwritePartitions`).")
-    def flat(f: Filter): Seq[Filter] = f match {
-      case And(l, r) => flat(l) ++ flat(r)
-      case x => Seq(x)
+      "hadro: REPLACE WHERE (overwrite-by-predicate) supports AND/OR " +
+        "trees of =, <, <=, >, >=, IN and null tests over orderable " +
+        s"columns, proving whole segments in or out of the region — $why. " +
+        "For arbitrary predicates run DELETE then append, use dynamic " +
+        "partition overwrite (`overwritePartitions`), or set " +
+        "spark.hadro.overwrite.mode=rowlevel.")
+    val v1 = predicates.map(p => HadroDeleteSupport.toV1(p).getOrElse(
+      fail(s"predicate $p does not translate to a row filter")))
+    if (v1.isEmpty) fail("no predicate given")
+
+    def interval(col: String,
+        lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]): RegionExpr = {
+      val field = schema.fields.find(_.name == col).getOrElse(
+        fail(s"column '$col' not in collection schema"))
+      if (!StatsCollector.isOrderable(field.dataType))
+        return ROpaque(s"$col:${field.dataType.simpleString}")
+      val conv = CatalystTypeConverters.createToCatalystConverter(field.dataType)
+      def toInternal(v: Any): Option[Any] =
+        if (v == null) None
+        else try Option(conv(v)) catch { case _: Exception => None }
+      val li = lo.map { case (v, i) => toInternal(v).map((_, i)) }
+      val hiI = hi.map { case (v, i) => toInternal(v).map((_, i)) }
+      if (li.exists(_.isEmpty) || hiI.exists(_.isEmpty))
+        // null/inconvertible literal: the comparison is never TRUE
+        RFalse
+      else RLeaf(Interval(col, field.dataType, li.flatten, hiI.flatten))
     }
-    val leaves = predicates.map(p => HadroDeleteSupport.toV1(p).getOrElse(
-      fail(s"predicate $p does not translate"))).flatMap(flat)
-    // IS NOT NULL conjuncts are implied by any comparison (and by the
-    // inside-proof's zero-null requirement) — drop them before the
-    // single-column check so Spark's null-guard injection never rejects.
-    val cmps = leaves.filterNot(_.isInstanceOf[IsNotNull])
-    if (cmps.isEmpty) fail("no comparison predicate remains")
-    val cols = cmps.flatMap(_.references).distinct
-    if (cols.length != 1) fail(
-      s"predicates reference columns ${cols.mkString(", ")}")
-    val col = cols.head
-    val field = schema.fields.find(_.name == col).getOrElse(
-      fail(s"column '$col' not in collection schema"))
-    if (!StatsCollector.isOrderable(field.dataType))
-      fail(s"column '$col' type ${field.dataType.simpleString} has no " +
-        "manifest min/max bounds")
-    val conv = CatalystTypeConverters.createToCatalystConverter(field.dataType)
-    var lo: Option[(Any, Boolean)] = None
-    var hi: Option[(Any, Boolean)] = None
-    def toInternal(v: Any): Any = {
-      val iv = try conv(v) catch {
-        case _: Exception => fail(s"literal $v does not convert to " +
-          field.dataType.simpleString)
-      }
-      if (iv == null) fail("null literal in comparison")
-      iv
+    def points(col: String, vs: Seq[Any]): RegionExpr = {
+      val field = schema.fields.find(_.name == col).getOrElse(
+        fail(s"column '$col' not in collection schema"))
+      if (!StatsCollector.isOrderable(field.dataType))
+        return ROpaque(s"$col:${field.dataType.simpleString}")
+      val conv = CatalystTypeConverters.createToCatalystConverter(field.dataType)
+      val internal = vs.filter(_ != null).flatMap(v =>
+        try Option(conv(v)) catch { case _: Exception => None })
+      if (internal.isEmpty) RFalse
+      else RLeaf(PointSet(col, field.dataType, internal))
     }
-    def tightenLo(v: Any, incl: Boolean): Unit = lo = lo match {
-      case None => Some((v, incl))
-      case Some((b, bi)) =>
-        if (lt(b, v)) Some((v, incl))
-        else if (eq(b, v)) Some((b, bi && incl))
-        else Some((b, bi))
+    def build(f: Filter): RegionExpr = f match {
+      case And(l, r) => RAnd(build(l), build(r))
+      case Or(l, r) => ROr(build(l), build(r))
+      case IsNull(c) => RNull(c)
+      case IsNotNull(c) => RNotNull(c)
+      case AlwaysTrue() => RTrue
+      case AlwaysFalse() => RFalse
+      case EqualTo(c, v) =>
+        interval(c, Some((v, true)), Some((v, true)))
+      // SQL static partition overwrite (`PARTITION (p = v)`) arrives as
+      // a null-safe equality; with a non-null literal it is plain
+      // equality (null <=> v is false); `p <=> NULL` is IS NULL.
+      case EqualNullSafe(c, null) => RNull(c)
+      case EqualNullSafe(c, v) =>
+        interval(c, Some((v, true)), Some((v, true)))
+      case GreaterThan(c, v) => interval(c, Some((v, false)), None)
+      case GreaterThanOrEqual(c, v) => interval(c, Some((v, true)), None)
+      case LessThan(c, v) => interval(c, None, Some((v, false)))
+      case LessThanOrEqual(c, v) => interval(c, None, Some((v, true)))
+      case In(c, vs) => points(c, vs.toIndexedSeq)
+      // startsWith compiles to an EXACT binary-order interval
+      // [p, prefixSuccessor(p)) — the "replace this source prefix"
+      // shape on a prefix-clustered collection proves whole segments.
+      case StringStartsWith(c, p) if p.isEmpty => RNotNull(c)
+      case StringStartsWith(c, p)
+          if schema.fields.exists(f => f.name == c &&
+            f.dataType == org.apache.spark.sql.types.StringType) =>
+        val lo = UTF8String.fromString(p)
+        RLeaf(Interval(c, org.apache.spark.sql.types.StringType,
+          Some((lo, true)), prefixSuccessor(lo).map((_, false))))
+      case Not(f) => RNot(build(f))
+      // translatable but not stats-provable (string affixes):
+      // row-level mode evaluates it exactly; segment mode refuses.
+      case other => ROpaque(other.toString)
     }
-    def tightenHi(v: Any, incl: Boolean): Unit = hi = hi match {
-      case None => Some((v, incl))
-      case Some((b, bi)) =>
-        if (lt(v, b)) Some((v, incl))
-        else if (eq(b, v)) Some((b, bi && incl))
-        else Some((b, bi))
-    }
-    // `col IN (...)` (or IN ∧ equalities): a finite point set — the
-    // "reprocess these partitions" shape. Mixing IN with range bounds
-    // is rejected (the combined region would need both proof forms).
-    if (cmps.exists(_.isInstanceOf[In])) {
-      var points: Option[Seq[Any]] = None
-      def intersect(vs: Seq[Any]): Unit = points = points match {
-        case None => Some(vs)
-        case Some(cur) => Some(cur.filter(c => vs.exists(v => eq(c, v))))
-      }
-      cmps.foreach {
-        case In(_, vs) =>
-          intersect(vs.toSeq.filter(_ != null).map(toInternal))
-        case EqualTo(_, v) => intersect(Seq(toInternal(v)))
-        case EqualNullSafe(_, v) if v != null => intersect(Seq(toInternal(v)))
-        case other => fail(s"IN mixed with unsupported predicate $other")
-      }
-      return PointSet(col, field.dataType, points.getOrElse(Seq.empty))
-    }
-    cmps.foreach {
-      case EqualTo(_, v) =>
-        val iv = toInternal(v); tightenLo(iv, incl = true); tightenHi(iv, incl = true)
-      // SQL static partition overwrite (`PARTITION (p = v)`) arrives as a
-      // null-safe equality; with a non-null literal it is plain equality
-      // (null <=> v is false). `p <=> NULL` has no interval form — fail.
-      case EqualNullSafe(_, v) if v != null =>
-        val iv = toInternal(v); tightenLo(iv, incl = true); tightenHi(iv, incl = true)
-      case GreaterThan(_, v) => tightenLo(toInternal(v), incl = false)
-      case GreaterThanOrEqual(_, v) => tightenLo(toInternal(v), incl = true)
-      case LessThan(_, v) => tightenHi(toInternal(v), incl = false)
-      case LessThanOrEqual(_, v) => tightenHi(toInternal(v), incl = true)
-      case other => fail(s"unsupported predicate $other")
-    }
-    Interval(col, field.dataType, lo, hi)
+    v1.map(build).reduce(RAnd(_, _))
   }
 
   /** Classify one live segment against the region from its manifest
@@ -208,34 +273,77 @@ private[spark] object HadroReplaceWhere {
         }
     }
 
+  /** Classify one segment against the proof tree. Combinator soundness
+    * (SQL three-valued logic, where Inside = "every live row evaluates
+    * TRUE" and Disjoint = "no live row evaluates TRUE"):
+    *   - AND: either side never TRUE ⇒ conjunction never TRUE (NULL on
+    *     the other side cannot rescue it); both sides always TRUE ⇒
+    *     always TRUE.
+    *   - OR: either side always TRUE ⇒ always TRUE; both sides never
+    *     TRUE ⇒ never TRUE (NULL|FALSE is not TRUE).
+    * Null-test leaves prove from the column's manifest nullCount; the
+    * Inside proofs keep the leaf rule's zero-tombstone/zero-dv
+    * conservatism so a wholly-dropped file never carries resolution
+    * state. */
+  def classifyTree(seg: SegmentInfo, e: RegionExpr): Cls = e match {
+    case RLeaf(r) => classify(seg, r)
+    case RTrue => Inside
+    case RFalse => Disjoint
+    case ROpaque(_) => Straddle
+    case RNull(c) => seg.stats.get(c) match {
+      case Some(cs) if cs.nullCount == 0L => Disjoint
+      case Some(cs) if cs.nullCount >= seg.rows && seg.rows > 0 &&
+        seg.tombstones == 0L && seg.dvDeletes == 0L => Inside
+      case _ => Straddle
+    }
+    case RNotNull(c) => seg.stats.get(c) match {
+      case Some(cs) if cs.nullCount >= seg.rows && seg.rows > 0 => Disjoint
+      case Some(cs) if cs.nullCount == 0L &&
+        seg.tombstones == 0L && seg.dvDeletes == 0L => Inside
+      case _ => Straddle
+    }
+    case RAnd(l, r) => (classifyTree(seg, l), classifyTree(seg, r)) match {
+      case (Disjoint, _) | (_, Disjoint) => Disjoint
+      case (Inside, Inside) => Inside
+      case _ => Straddle
+    }
+    case ROr(l, r) => (classifyTree(seg, l), classifyTree(seg, r)) match {
+      case (Inside, _) | (_, Inside) => Inside
+      case (Disjoint, Disjoint) => Disjoint
+      case _ => Straddle
+    }
+    // NOT negates under three-valued logic: inner always-TRUE ⇒ NOT
+    // never TRUE (NULLs cannot occur where inner is TRUE). The converse
+    // needs inner ALWAYS-FALSE, not merely never-TRUE — guaranteed when
+    // every referenced column is null-free and no leaf is opaque (each
+    // leaf then evaluates two-valued), plus the usual zero-tombstone/
+    // zero-dv conservatism for a wholly-dropped file.
+    case RNot(inner) => classifyTree(seg, inner) match {
+      case Inside => Disjoint
+      case Disjoint if !hasOpaque(inner) &&
+        cols(inner).forall(c => seg.stats.get(c).exists(_.nullCount == 0L)) &&
+        seg.tombstones == 0L && seg.dvDeletes == 0L => Inside
+      case _ => Straddle
+    }
+  }
+
   /** Partition the live segments into (inside, kept, straddling). In the
     * default segment mode a straddler is a refusal; in row-level mode it
     * is exact work — the predicate is evaluated per row and the matches
     * get deletion-vectored, so inside/disjoint proofs become pure
     * optimizations (drop whole / skip entirely). */
-  def split3(segments: Seq[SegmentInfo], region: Region)
+  def split3(segments: Seq[SegmentInfo], region: RegionExpr)
       : (Seq[SegmentInfo], Seq[SegmentInfo], Seq[SegmentInfo]) = {
     val inside = Seq.newBuilder[SegmentInfo]
     val kept = Seq.newBuilder[SegmentInfo]
     val straddle = Seq.newBuilder[SegmentInfo]
     segments.foreach { s =>
-      classify(s, region) match {
+      classifyTree(s, region) match {
         case Inside => inside += s
         case Disjoint => kept += s
         case Straddle => straddle += s
       }
     }
     (inside.result(), kept.result(), straddle.result())
-  }
-
-  /** Partition the live segments into (inside, kept), or Left(file) of
-    * the first segment the stats cannot classify. */
-  def split(segments: Seq[SegmentInfo],
-      region: Region): Either[String, (Seq[SegmentInfo], Seq[SegmentInfo])] = {
-    val (inside, kept, straddle) = split3(segments, region)
-    straddle.headOption match {
-      case Some(s) => Left(s.file)
-      case None => Right((inside, kept))
-    }
   }
 }

@@ -454,7 +454,7 @@ object HadroBatchWrite {
     * commit, rowLevel mode only), and the mode. The pins are the commit
     * drift guard — commit re-classifies and must reproduce them. */
   private[spark] final case class ReplaceWherePlan(
-      region: HadroReplaceWhere.Region,
+      region: HadroReplaceWhere.RegionExpr,
       insidePin: Seq[(String, Option[String])],
       straddlePin: Seq[(String, Long, Option[String])],
       rowLevel: Boolean)
@@ -549,8 +549,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       // `spark.hadro.overwrite.mode=rowlevel` (opt-in, like delete.mode):
       // straddling segments stop being a refusal — the predicate is
       // evaluated per row and matches are DELETION-VECTORED in the same
-      // commit, making REPLACE WHERE exact for ARBITRARY one-column
-      // regions; the inside/disjoint proofs remain as optimizations
+      // commit, making REPLACE WHERE exact for ARBITRARY translatable
+      // predicates; the inside/disjoint proofs remain as optimizations
       // (drop whole / never scan). Default stays the strict whole-segment
       // contract (a refusal names the unprovable segment).
       val rowLevel = org.apache.spark.sql.internal.SQLConf.get
@@ -561,14 +561,18 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           s"hadro: spark.hadro.overwrite.mode must be segment|rowlevel, got '$other'")
       }
       val (inside, _, straddle) = HadroReplaceWhere.split3(m.segments, iv)
-      if (!rowLevel && straddle.nonEmpty)
+      if (!rowLevel && straddle.nonEmpty) {
+        val why = if (HadroReplaceWhere.hasOpaque(iv))
+          "the predicate has no manifest-stats proof form" else
+          s"its manifest bounds on ${HadroReplaceWhere.cols(iv).map("'" + _ + "'").mkString(", ")} cannot place it"
         throw new IllegalArgumentException(
           s"hadro: REPLACE WHERE cannot prove segment ${straddle.head.file} " +
-            s"wholly inside or outside the region on '${iv.col}' from its " +
-            "manifest bounds — align the predicate to the partition/" +
-            "cluster layout (whole partitions, boundary-aligned ranges), " +
-            "set spark.hadro.overwrite.mode=rowlevel (deletion-vector the " +
+            s"wholly inside or outside the region — $why. Align the " +
+            "predicate to the partition/cluster layout (whole partitions, " +
+            "boundary-aligned ranges), set " +
+            "spark.hadro.overwrite.mode=rowlevel (deletion-vector the " +
             "matching rows), or run DELETE then append")
+      }
       HadroBatchWrite.ReplaceWherePlan(iv,
         inside.map(s => (s.file, s.deleteVector)),
         straddle.map(s => (s.file, s.ordinal, s.deleteVector)),

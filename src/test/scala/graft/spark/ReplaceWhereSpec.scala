@@ -384,20 +384,205 @@ class ReplaceWhereSpec extends SparkSuite {
     spark.sql("DROP TABLE rwrlc.db.t")
   }
 
-  test("interval compile rejects multi-column and non-range predicates with guidance") {
+  test("multi-column AND region classifies per leaf: aligned segments replace") {
+    val w = setupCatalog("rwmc")
+    spark.sql("""CREATE TABLE rwmc.db.t (id BIGINT, region STRING, v DOUBLE)
+      USING hadro PARTITIONED BY (region)""")
+    spark.range(0, 90)
+      .select($"id",
+        concat(lit("r"), ($"id" % 3).cast("string")).as("region"),
+        ($"id" * 1.0).as("v"))
+      .createOrReplaceTempView("rwmc_src")
+    spark.sql("INSERT INTO rwmc.db.t SELECT * FROM rwmc_src")
+    val dir = Paths.get(w, "db", "t")
+    val before = CollectionMeta.currentManifest(dir)
+    val untouched = before.segments.filter(_.partition.exists(_ != "r0"))
+      .map(_.file).toSet
+    assert(untouched.nonEmpty)
+
+    // r0 segment: ids 0,3,...,87 — all < 100, so BOTH leaves prove inside
+    // on it; r1/r2 segments disjoint on the region leaf alone.
+    spark.sql("SELECT id, region, v * 10 AS v FROM rwmc_src WHERE id % 3 = 0")
+      .writeTo("rwmc.db.t")
+      .overwrite($"region" === "r0" && $"id" < 100)
+
+    val after = CollectionMeta.currentManifest(dir)
+    assert(untouched.subsetOf(after.segments.map(_.file).toSet),
+      "disjoint-region segments carried by reference")
+    val got = spark.table("rwmc.db.t")
+      .groupBy($"region").agg(sum($"v").as("sv")).orderBy($"region")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expect = (0L until 90L).groupBy(i => s"r${i % 3}")
+      .map { case (rg, ids) =>
+        (rg, ids.map(i => if (rg == "r0") i * 10.0 else i * 1.0).sum) }
+    got.foreach { case (rg, sv) => assert(sv == expect(rg), rg) }
+    spark.sql("DROP TABLE rwmc.db.t")
+  }
+
+  test("OR of regions: union drops both branches' segments, keeps the rest") {
+    val w = setupCatalog("rwor")
+    spark.sql("""CREATE TABLE rwor.db.t (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region)""")
+    spark.range(0, 30)
+      .select($"id", concat(lit("r"), ($"id" % 3).cast("string")).as("region"))
+      .createOrReplaceTempView("rwor_src")
+    spark.sql("INSERT INTO rwor.db.t SELECT * FROM rwor_src")
+    val dir = Paths.get(w, "db", "t")
+    val keepFile = CollectionMeta.currentManifest(dir).segments
+      .filter(_.partition.exists(_ == "r1")).map(_.file)
+
+    spark.sql("SELECT id + 1000 AS id, region FROM rwor_src WHERE id % 3 <> 1")
+      .writeTo("rwor.db.t")
+      .overwrite($"region" === "r0" || $"region" === "r2")
+
+    val after = CollectionMeta.currentManifest(dir)
+    assert(keepFile.forall(after.segments.map(_.file).toSet),
+      "the disjoint-from-both-branches segment survives by reference")
+    assert(spark.table("rwor.db.t").where($"region" !== "r1")
+      .agg(min($"id")).head.getLong(0) >= 1000L)
+    assert(spark.table("rwor.db.t").where($"region" === "r1").count() == 10L)
+    spark.sql("DROP TABLE rwor.db.t")
+  }
+
+  test("multi-column straddler: segment mode refuses, rowlevel vectors exactly") {
+    val w = setupCatalog("rwmcrl")
+    spark.sql("""CREATE TABLE rwmcrl.db.t (id BIGINT, region STRING, v DOUBLE)
+      USING hadro""")
+    // ONE segment mixing regions: region leaf can never prove it in/out
+    spark.range(0, 40)
+      .select($"id", concat(lit("r"), ($"id" % 2).cast("string")).as("region"),
+        ($"id" * 1.0).as("v"))
+      .coalesce(1).createOrReplaceTempView("rwmcrl_src")
+    spark.sql("INSERT INTO rwmcrl.db.t SELECT * FROM rwmcrl_src")
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM rwmcrl_src WHERE 1 = 0")
+        .writeTo("rwmcrl.db.t")
+        .overwrite($"region" === "r0" && $"id" < 20)
+    }
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("rowlevel")), e.getMessage)
+
+    spark.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+    try spark.sql(
+      "SELECT id, region, v + 0.5 AS v FROM rwmcrl_src WHERE id % 2 = 0 AND id < 20")
+      .writeTo("rwmcrl.db.t")
+      .overwrite($"region" === "r0" && $"id" < 20)
+    finally spark.conf.unset("spark.hadro.overwrite.mode")
+    // even ids < 20 (region r0 ∧ id<20) replaced with v+0.5; all else intact
+    val rows = spark.table("rwmcrl.db.t").orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length == 40)
+    rows.foreach { case (id, v) =>
+      val expect = if (id % 2 == 0 && id < 20) id + 0.5 else id * 1.0
+      assert(v == expect, s"id=$id")
+    }
+    spark.sql("DROP TABLE rwmcrl.db.t")
+  }
+
+  test("stats-opaque predicate (contains): segment mode refuses, rowlevel exact") {
+    val w = setupCatalog("rwop")
+    spark.sql("CREATE TABLE rwop.db.t (id BIGINT, name STRING) USING hadro")
+    spark.range(0, 20)
+      .select($"id", concat(lit("u"), ($"id" % 4).cast("string"), lit("-x")).as("name"))
+      .coalesce(1).createOrReplaceTempView("rwop_src")
+    spark.sql("INSERT INTO rwop.db.t SELECT * FROM rwop_src")
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM rwop_src WHERE 1 = 0")
+        .writeTo("rwop.db.t").overwrite($"name".contains("u1"))
+    }
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no manifest-stats proof")), e.getMessage)
+
+    spark.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+    try spark.sql("SELECT id, 'fresh' AS name FROM rwop_src WHERE id % 4 = 1")
+      .writeTo("rwop.db.t").overwrite($"name".contains("u1"))
+    finally spark.conf.unset("spark.hadro.overwrite.mode")
+    assert(spark.table("rwop.db.t").where($"name" === "fresh").count() == 5L)
+    assert(spark.table("rwop.db.t").where($"name".contains("u1")).count() == 0L)
+    assert(spark.table("rwop.db.t").count() == 20L)
+    spark.sql("DROP TABLE rwop.db.t")
+  }
+
+  test("startsWith region proves whole prefix-clustered segments in segment mode") {
+    val w = setupCatalog("rwpre")
+    spark.sql("CREATE TABLE rwpre.db.t (id BIGINT, src STRING) USING hadro")
+    // two prefix-homogeneous segments
+    spark.range(0, 10).select($"id", concat(lit("web-"), $"id".cast("string")).as("src"))
+      .coalesce(1).createOrReplaceTempView("rwpre_a")
+    spark.range(10, 20).select($"id", concat(lit("wiki-"), $"id".cast("string")).as("src"))
+      .coalesce(1).createOrReplaceTempView("rwpre_b")
+    spark.sql("INSERT INTO rwpre.db.t SELECT * FROM rwpre_a")
+    spark.sql("INSERT INTO rwpre.db.t SELECT * FROM rwpre_b")
+    val dir = Paths.get(w, "db", "t")
+    val wikiFile = CollectionMeta.currentManifest(dir).segments
+      .filter(_.stats.get("src").exists(_.min.exists(_.startsWith("wiki")))).map(_.file)
+    assert(wikiFile.length == 1)
+
+    // default SEGMENT mode: 'web-' segment provably inside [web-, web.),
+    // 'wiki-' segment provably disjoint — no rowlevel opt-in needed
+    spark.sql("SELECT id + 100 AS id, concat('web-', id) AS src FROM rwpre_a")
+      .writeTo("rwpre.db.t").overwrite($"src".startsWith("web-"))
+
+    val after = CollectionMeta.currentManifest(dir)
+    assert(wikiFile.forall(after.segments.map(_.file).toSet),
+      "disjoint prefix segment carried by reference")
+    assert(spark.table("rwpre.db.t").where($"src".startsWith("web-"))
+      .agg(min($"id")).head.getLong(0) >= 100L)
+    assert(spark.table("rwpre.db.t").where($"src".startsWith("wiki-")).count() == 10L)
+    spark.sql("DROP TABLE rwpre.db.t")
+  }
+
+  test("NOT region: negation keeps the matched segment, replaces the null-free rest") {
+    val w = setupCatalog("rwnot")
+    spark.sql("""CREATE TABLE rwnot.db.t (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region)""")
+    spark.range(0, 30)
+      .select($"id", concat(lit("r"), ($"id" % 3).cast("string")).as("region"))
+      .createOrReplaceTempView("rwnot_src")
+    spark.sql("INSERT INTO rwnot.db.t SELECT * FROM rwnot_src")
+    val dir = Paths.get(w, "db", "t")
+    val r0File = CollectionMeta.currentManifest(dir).segments
+      .filter(_.partition.exists(_ == "r0")).map(_.file)
+
+    // NOT(region = 'r0'): r0 segment inner-Inside -> Disjoint (kept);
+    // r1/r2 inner-Disjoint + null-free -> Inside (replaced) — segment mode
+    spark.sql("SELECT id + 500 AS id, region FROM rwnot_src WHERE id % 3 <> 0")
+      .writeTo("rwnot.db.t").overwrite(!($"region" === "r0"))
+
+    val after = CollectionMeta.currentManifest(dir)
+    assert(r0File.forall(after.segments.map(_.file).toSet),
+      "negated-region segment survives by reference")
+    assert(spark.table("rwnot.db.t").where($"region" === "r0").count() == 10L)
+    assert(spark.table("rwnot.db.t").where($"region" !== "r0")
+      .agg(min($"id")).head.getLong(0) >= 500L)
+    spark.sql("DROP TABLE rwnot.db.t")
+  }
+
+  test("untranslatable predicate still fails with guidance in both modes") {
     val w = setupCatalog("rwcomp")
     spark.sql("""CREATE TABLE rwcomp.db.t (id BIGINT, region STRING)
       USING hadro PARTITIONED BY (region)""")
     spark.sql("INSERT INTO rwcomp.db.t VALUES (1, 'r0'), (2, 'r1')")
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)
-    val e = intercept[Exception] {
-      spark.table("rwcomp.db.t").where(lit(false))
-        .writeTo("rwcomp.db.t")
-        .overwrite($"region" === "r0" && $"id" < 5)
+    for (mode <- Seq("segment", "rowlevel")) {
+      spark.conf.set("spark.hadro.overwrite.mode", mode)
+      try {
+        val e = intercept[Exception] {
+          spark.table("rwcomp.db.t").where(lit(false))
+            .writeTo("rwcomp.db.t")
+            .overwrite($"id" % 2 === 0)
+        }
+        assert(chain(e).exists(c => c.getMessage != null &&
+          (c.getMessage.contains("does not translate") ||
+            c.getMessage.contains("Table does not support overwrite by expression") ||
+            c.getMessage.contains("cannot be represented"))), s"$mode: ${e.getMessage}")
+      } finally spark.conf.unset("spark.hadro.overwrite.mode")
     }
-    assert(chain(e).exists(c => c.getMessage != null &&
-      c.getMessage.contains("ONE orderable column")), e.getMessage)
     spark.sql("DROP TABLE rwcomp.db.t")
   }
 }
