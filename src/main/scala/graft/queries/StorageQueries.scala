@@ -2519,5 +2519,38 @@ object StorageQueries {
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         FROM replaced GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h79
+    // Auto-compaction (`hadro.autoCompact`, Delta autoCompact shape): 8
+    // tiny appends trip the minSegments gate mid-stream — small segments
+    // pack through compactSmall's atomic replace bins INSIDE the write
+    // commit path, and the read back is byte-equal to the union of the
+    // appends. At 100 TB this bounds the small-file count of drip
+    // ingestion without an external scheduler; the minSegments gate
+    // bounds write amplification.
+    QueryDef(
+      "h79_auto_compact",
+      (s, dir) => {
+        val p = colPath(dir, "h79")
+        val src = table(s, dir, "region")
+        (0 until 8).foreach { i =>
+          src.withColumn("r_regionkey", col("r_regionkey") + lit(i * 100L))
+            .coalesce(1)
+            .write.format("hadro").mode(if (i == 0) "overwrite" else "append")
+            .option("hadro.autoCompact", (1L << 20).toString)
+            .option("hadro.autoCompact.minSegments", "4")
+            .save(p)
+        }
+        val segs = graft.meta.CollectionMeta
+          .currentManifest(java.nio.file.Paths.get(p)).segments.length
+        require(segs < 8, s"auto-compact must have packed, got $segs segments")
+        s.read.format("hadro").load(p)
+          .select(col("r_regionkey"), col("r_name"))
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT r_regionkey + i * 100 AS r_regionkey, r_name
+        FROM region, (SELECT unnest(range(8)) AS i)
+        ORDER BY r_regionkey"""))
   )
 }

@@ -140,12 +140,20 @@ private[spark] object HadroReplaceWhere {
     }
   }
 
-  /** Compile the overwrite predicates (implicitly conjoined) into the
-    * proof tree, or throw with guidance. Every predicate must translate
-    * to a V1 row filter (both modes evaluate or prove exactly that
-    * filter); comparisons and null tests become provable leaves, other
-    * translatable filters become [[ROpaque]]. */
-  def compile(predicates: Seq[Predicate], schema: StructType): RegionExpr = {
+  /** Translate the V2 overwrite predicates to V1 row filters, or throw
+    * with guidance — both modes evaluate or prove exactly these filters,
+    * so an untranslatable predicate fails in either. */
+  def toFilters(predicates: Seq[Predicate]): Seq[Filter] =
+    predicates.map(p => HadroDeleteSupport.toV1(p).getOrElse(
+      throw new IllegalArgumentException(
+        s"hadro: REPLACE WHERE predicate $p does not translate to a row " +
+          "filter — run DELETE then append, or use dynamic partition " +
+          "overwrite (`overwritePartitions`)")))
+
+  /** Compile the overwrite row filters (implicitly conjoined) into the
+    * proof tree, or throw with guidance. Comparisons and null tests
+    * become provable leaves, other filters become [[ROpaque]]. */
+  def compile(v1: Seq[Filter], schema: StructType): RegionExpr = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       "hadro: REPLACE WHERE (overwrite-by-predicate) supports AND/OR " +
         "trees of =, <, <=, >, >=, IN and null tests over orderable " +
@@ -153,8 +161,6 @@ private[spark] object HadroReplaceWhere {
         "For arbitrary predicates run DELETE then append, use dynamic " +
         "partition overwrite (`overwritePartitions`), or set " +
         "spark.hadro.overwrite.mode=rowlevel.")
-    val v1 = predicates.map(p => HadroDeleteSupport.toV1(p).getOrElse(
-      fail(s"predicate $p does not translate to a row filter")))
     if (v1.isEmpty) fail("no predicate given")
 
     def interval(col: String,
@@ -325,6 +331,102 @@ private[spark] object HadroReplaceWhere {
         seg.tombstones == 0L && seg.dvDeletes == 0L => Inside
       case _ => Straddle
     }
+  }
+
+  /** Parse a `hadro.replaceWhere` option condition (the Delta-style
+    * `df.write.mode("overwrite").option("replaceWhere", cond)` shape for
+    * path-based writes without a catalog) into V1 row filters. The
+    * string is parsed by Catalyst's SQL expression parser; attributes
+    * must be top-level columns of the stored schema and literals are
+    * cast to the column's type eagerly (a literal the column type cannot
+    * represent is an error here, never a silently-empty region). */
+  def parseCondition(cond: String, schema: StructType): Seq[Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"hadro: hadro.replaceWhere condition '$cond' is not a supported " +
+        s"overwrite predicate — $why. Supported: AND/OR/NOT trees of " +
+        "=, <=>, <, <=, >, >=, IN, IS [NOT] NULL, LIKE-prefix " +
+        "(startsWith), over the collection's columns.")
+    val parsed = try
+      new org.apache.spark.sql.catalyst.parser.CatalystSqlParser()
+        .parseExpression(cond)
+    catch { case e: Exception => fail(s"parse error: ${e.getMessage}") }
+    def colName(e: ce.Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    def field(c: String): org.apache.spark.sql.types.StructField =
+      schema.fields.find(_.name == c).getOrElse(
+        fail(s"column '$c' not in collection schema"))
+    // Cast the literal to the COLUMN's type up front (session timezone
+    // for timestamp strings) and surface an un-representable literal as
+    // an error: the downstream compiler treats an inconvertible literal
+    // as never-TRUE, which is correct for typed nulls but would silently
+    // no-op a typo'd option string.
+    def litVal(l: ce.Literal, c: String): Any = {
+      val dt = field(c).dataType
+      val internal =
+        if (l.dataType == dt) l.value
+        else {
+          val cast = ce.Cast(l, dt, Option(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+          if (!cast.resolved) fail(
+            s"literal ${l.sql} cannot cast to '$c' ${dt.simpleString}")
+          try cast.eval(null) catch {
+            case e: Exception => fail(s"literal ${l.sql} does not convert " +
+              s"to '$c' ${dt.simpleString}: ${e.getMessage}")
+          }
+        }
+      if (internal == null && l.value != null) fail(
+        s"literal ${l.sql} does not convert to '$c' ${dt.simpleString}")
+      CatalystTypeConverters.createToScalaConverter(dt)(internal)
+    }
+    def cmp(l: ce.Expression, r: ce.Expression,
+        direct: (String, Any) => Filter,
+        flipped: (String, Any) => Filter): Option[Filter] = (l, r) match {
+      case (a, lit: ce.Literal) =>
+        colName(a).map(c => direct(c, litVal(lit, c)))
+      case (lit: ce.Literal, a) =>
+        colName(a).map(c => flipped(c, litVal(lit, c)))
+      case _ => None
+    }
+    def build(e: ce.Expression): Filter = e match {
+      case ce.And(l, r) => And(build(l), build(r))
+      case ce.Or(l, r) => Or(build(l), build(r))
+      case ce.Not(c) => Not(build(c))
+      case ce.EqualTo(l, r) =>
+        cmp(l, r, EqualTo, EqualTo).getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.EqualNullSafe(l, r) =>
+        cmp(l, r, EqualNullSafe, EqualNullSafe)
+          .getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.LessThan(l, r) =>
+        cmp(l, r, LessThan, GreaterThan).getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.LessThanOrEqual(l, r) =>
+        cmp(l, r, LessThanOrEqual, GreaterThanOrEqual)
+          .getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.GreaterThan(l, r) =>
+        cmp(l, r, GreaterThan, LessThan).getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.GreaterThanOrEqual(l, r) =>
+        cmp(l, r, GreaterThanOrEqual, LessThanOrEqual)
+          .getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.In(a, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        colName(a).map(c => In(c,
+          vs.map(v => litVal(v.asInstanceOf[ce.Literal], c)).toArray))
+          .getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.IsNull(a) =>
+        colName(a).map(IsNull).getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.IsNotNull(a) =>
+        colName(a).map(IsNotNull).getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.StartsWith(a, p: ce.Literal) =>
+        colName(a).map(c => StringStartsWith(c,
+          litVal(p, c).asInstanceOf[String]))
+          .getOrElse(fail(s"unsupported ${e.sql}"))
+      case ce.Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) =>
+        if (b) AlwaysTrue else AlwaysFalse
+      case other => fail(s"unsupported ${other.sql}")
+    }
+    Seq(build(parsed))
   }
 
   /** Partition the live segments into (inside, kept, straddling). In the

@@ -141,6 +141,27 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     // comma-separated column list (multi-key joins bucket on all keys).
     private def sortedSpec: Option[String] =
       Option(opts.get("hadro.sortedBy")).filter(_.nonEmpty)
+    // Auto-compaction opt-in: write option first, session conf as the
+    // fleet-wide default (`spark.hadro.autoCompact.minBytes` /
+    // `.minSegments`). (minBytes, minSegments): after a plain append (or
+    // streaming epoch), >= minSegments segments under minBytes trigger a
+    // best-effort compactSmall — see the commit hooks.
+    private def autoCompactSpec: Option[(Long, Int)] = {
+      val sc = org.apache.spark.sql.internal.SQLConf.get
+      Option(opts.get("hadro.autoCompact")).filter(_.nonEmpty)
+        .orElse(Option(sc.getConfString(
+          "spark.hadro.autoCompact.minBytes", "")).filter(_.nonEmpty))
+        .map { s =>
+          val b = s.toLong
+          require(b > 0, s"hadro.autoCompact minBytes must be positive, got $b")
+          val n = Option(opts.get("hadro.autoCompact.minSegments"))
+            .filter(_.nonEmpty)
+            .getOrElse(sc.getConfString(
+              "spark.hadro.autoCompact.minSegments", "8")).toInt
+          require(n >= 2, s"hadro.autoCompact.minSegments must be >= 2, got $n")
+          (b, n)
+        }
+    }
     private def bucketSpec: Option[(Seq[String], Int)] = {
       val cols = Option(opts.get("hadro.bucketBy")).filter(_.nonEmpty)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -218,20 +239,44 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
             compactOf.isEmpty),
         "hadro: REPLACE WHERE is exclusive with truncate/dynamic overwrite/" +
           "replaceFiles/compactOf")
+      // `hadro.replaceWhere` option (the Delta-style shape for path-based
+      // writes, where no catalog resolves `writeTo(...).overwrite(cond)`):
+      // a SQL condition string that scopes mode("overwrite") to the
+      // matching region. Requires overwrite mode — scoping an append is
+      // a contradiction — and is parsed against the STORED schema at
+      // plan time so a typo fails before any task runs.
+      val rwOptionFilters = Option(opts.get("hadro.replaceWhere"))
+        .filter(_.nonEmpty).map { cond =>
+          require(replaceWhere.isEmpty && !doDynamicOverwrite &&
+            replaceSpec.isEmpty && compactOf.isEmpty,
+            "hadro: the hadro.replaceWhere option is exclusive with " +
+              "overwrite-by-predicate/dynamic overwrite/replaceFiles/compactOf")
+          require(doTruncate,
+            "hadro: hadro.replaceWhere requires mode(\"overwrite\") — an " +
+              "append cannot be scoped to a region")
+          val stored = CollectionMeta.readSchema(path).map(_.schema)
+            .getOrElse(info.schema())
+          HadroReplaceWhere.parseCondition(cond, stored)
+        }
+      val rwFilters = rwOptionFilters.orElse(
+        replaceWhere.map(ps => HadroReplaceWhere.toFilters(ps.toSeq)))
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
-        upsert || tombstone || deleteCol.nonEmpty, doTruncate, keyField,
+        upsert || tombstone || deleteCol.nonEmpty,
+        doTruncate && rwOptionFilters.isEmpty, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
         maxSegmentBytes, bucketSpec, replaceSpec, sortedSpec, compressSpec,
         dynamicOverwrite = doDynamicOverwrite,
-        replaceWhere = replaceWhere.map(_.toSeq),
-        mergeSchema = opts.getBoolean("hadro.mergeSchema", false))
+        replaceWhere = rwFilters,
+        mergeSchema = opts.getBoolean("hadro.mergeSchema", false),
+        autoCompact = autoCompactSpec)
     }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new HadroStreamingWrite(path, info.schema(), consistency,
         upsert || tombstone || deleteCol.nonEmpty, keyField, splitBytes,
         info.queryId(), offsetIndex, deleteCol,
-        mergeSchema = opts.getBoolean("hadro.mergeSchema", false))
+        mergeSchema = opts.getBoolean("hadro.mergeSchema", false),
+        autoCompact = autoCompactSpec)
   }
 }
 
@@ -474,10 +519,10 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     sortedSpec: Option[String] = None,
     compressSpec: Option[String] = None,
     dynamicOverwrite: Boolean = false,
-    replaceWhere: Option[Seq[
-      org.apache.spark.sql.connector.expressions.filter.Predicate]] = None,
-    mergeSchema: Boolean = false)
-    extends BatchWrite {
+    replaceWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+    mergeSchema: Boolean = false,
+    autoCompact: Option[(Long, Int)] = None)
+    extends BatchWrite with org.apache.spark.internal.Logging {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
     keyField, deleteCol, bucketSpec, compressSpec, mergeSchema)
@@ -591,11 +636,7 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     import org.apache.spark.sql.{Encoders, functions => F}
     val spark = org.apache.spark.sql.SparkSession.active
     val cond = replaceWhere.get
-      .map(p => HadroDeleteSupport.toV1(p).map(HadroDeleteSupport.toColumn)
-        .getOrElse(throw new IllegalStateException(
-          s"hadro: REPLACE WHERE predicate $p compiled but does not " +
-            "translate to a row filter")))
-      .reduce(_ && _)
+      .map(HadroDeleteSupport.toColumn).reduce(_ && _)
     val seqc = F.col(HadroTable.SeqCol)
     val mask = (1L << HadroTable.SeqOrdinalShift) - 1
     val dirStr = path.toString
@@ -989,6 +1030,36 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       // gcOldManifests ages out manifests beyond KeepVersions regardless.
       if (truncate) CollectionMeta.gcManifestsBefore(path, m.version)
     }
+    // Auto-compaction (opt-in, Delta autoCompact shape): after a
+    // successful PLAIN APPEND, if the manifest now holds >= minSegments
+    // segments under minBytes, pack them through compactSmall's atomic
+    // replace bins — the small-file count stays bounded without an
+    // external scheduler, and the minSegments gate bounds write
+    // amplification (a tiny tail is not re-packed on every append).
+    // Best-effort by contract: a conflict or failure logs and never
+    // fails the append that triggered it. compactSmall's own rewrites
+    // carry hadro.replaceFiles (replaceSpec non-empty), which this gate
+    // excludes — no recursion.
+    autoCompact.foreach { case (minBytes, minSegs) =>
+      val plainAppend = !truncate && replaceSpec.isEmpty &&
+        dynamicPin.isEmpty && replaceWherePin.isEmpty && compactOf.isEmpty
+      if (plainAppend) {
+        try {
+          val m = CollectionMeta.currentManifest(path)
+          if (m.segments.count(_.bytes < minBytes) >= minSegs) {
+            val bins = graft.api.Collection(
+              org.apache.spark.sql.SparkSession.active, path.toString)
+              .compactSmall(minBytes)
+            if (bins > 0) logInfo(s"hadro: auto-compacted $bins small-" +
+              s"segment bin(s) under $minBytes bytes in $path")
+          }
+        } catch {
+          case e: Exception =>
+            logWarning(s"hadro: auto-compaction after append to $path " +
+              s"skipped: ${e.getMessage}")
+        }
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1010,8 +1081,10 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     keyField: Option[String], splitBytes: Long, queryId: String,
     offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
-    mergeSchema: Boolean = false)
-    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    mergeSchema: Boolean = false,
+    autoCompact: Option[(Long, Int)] = None)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite
+    with org.apache.spark.internal.Logging {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema,
     tombstone = false, keyField, deleteCol, mergeSchema = mergeSchema)
@@ -1061,6 +1134,29 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
       }
     })
     if (replayed) dropFiles(messages)
+    // Auto-compaction for micro-batch sinks — the place small files
+    // actually explode (one tiny segment per epoch per task). Same
+    // opt-in, gate, and best-effort contract as the batch path; the
+    // compaction's replace commit bumps the generation, which a stream
+    // TAILING this same collection treats as a rewrite (by design — see
+    // HadroStreaming's generation guard), so co-tailed collections
+    // should compact between queries instead.
+    if (!replayed) autoCompact.foreach { case (minBytes, minSegs) =>
+      try {
+        val m = CollectionMeta.currentManifest(path)
+        if (m.segments.count(_.bytes < minBytes) >= minSegs) {
+          val bins = graft.api.Collection(
+            org.apache.spark.sql.SparkSession.active, path.toString)
+            .compactSmall(minBytes)
+          if (bins > 0) logInfo(s"hadro: auto-compacted $bins small-" +
+            s"segment bin(s) after epoch $epochId in $path")
+        }
+      } catch {
+        case e: Exception =>
+          logWarning(s"hadro: auto-compaction after epoch $epochId in " +
+            s"$path skipped: ${e.getMessage}")
+      }
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -323,4 +323,44 @@ class CompactionSpec extends SparkSuite {
     // nothing replaced; the upsert's LWW view is intact
     assert(c.toDF().filter($"id" === 1L).select($"v").head().getString(0) == "newer")
   }
+
+  test("auto-compact packs small appends once the minSegments gate trips") {
+    val path = tmp("auto")
+    for (i <- 0 until 5) {
+      spark.range(i * 10L, i * 10L + 10L)
+        .select($"id", ($"id" * 2.0).as("v")).coalesce(1)
+        .write.format("hadro").mode(if (i == 0) "overwrite" else "append")
+        .option("hadro.autoCompact", (1L << 20).toString)
+        .option("hadro.autoCompact.minSegments", "4")
+        .save(path)
+    }
+    val m = CollectionMeta.currentManifest(Paths.get(path))
+    // the 4th append tripped the gate: segments 1-4 packed into one bin;
+    // the 5th append then sits beside the packed segment (2 < gate 4)
+    assert(m.segments.length == 2, m.segments.map(_.bytes).mkString(","))
+    val got = spark.read.format("hadro").load(path).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 50)
+    got.zipWithIndex.foreach { case ((id, v), i) =>
+      assert(id == i && v == i * 2.0, s"row $i")
+    }
+  }
+
+  test("auto-compact never fires without the opt-in and skips non-append commits") {
+    val path = tmp("autoff")
+    for (i <- 0 until 5) {
+      spark.range(i * 10L, i * 10L + 10L).select($"id").coalesce(1)
+        .write.format("hadro").mode(if (i == 0) "overwrite" else "append")
+        .save(path)
+    }
+    assert(CollectionMeta.currentManifest(Paths.get(path)).segments.length == 5)
+    // an overwrite carrying the option truncates without auto-compacting
+    // (the new single segment is trivially the whole collection)
+    spark.range(0, 10).select($"id").coalesce(1)
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.autoCompact", (1L << 20).toString)
+      .option("hadro.autoCompact.minSegments", "2")
+      .save(path)
+    assert(CollectionMeta.currentManifest(Paths.get(path)).segments.length == 1)
+  }
 }

@@ -562,6 +562,82 @@ class ReplaceWhereSpec extends SparkSuite {
     spark.sql("DROP TABLE rwnot.db.t")
   }
 
+  test("hadro.replaceWhere option scopes a path-based overwrite (no catalog)") {
+    val dir = Files.createTempDirectory("rwopt").resolve("c").toString
+    // two aligned segments: ids 0..49 and 50..99
+    spark.range(0, 50).select($"id", ($"id" * 1.0).as("v")).coalesce(1)
+      .write.format("hadro").mode("overwrite").save(dir)
+    spark.range(50, 100).select($"id", ($"id" * 1.0).as("v")).coalesce(1)
+      .write.format("hadro").mode("append").save(dir)
+    val before = CollectionMeta.currentManifest(Paths.get(dir))
+    assert(before.segments.length == 2)
+    val keptFile = before.segments.head.file
+
+    spark.range(50, 100).select($"id", ($"id" + 0.25).as("v")).coalesce(1)
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.replaceWhere", "id >= 50").save(dir)
+
+    val after = CollectionMeta.currentManifest(Paths.get(dir))
+    assert(after.segments.map(_.file).contains(keptFile),
+      "disjoint segment carried by reference")
+    val got = spark.read.format("hadro").load(dir).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 100)
+    got.foreach { case (id, v) =>
+      assert(v == (if (id >= 50) id + 0.25 else id * 1.0), s"id=$id") }
+
+    // append mode cannot be region-scoped
+    val e = intercept[Exception] {
+      spark.range(0, 1).select($"id", lit(0.0).as("v"))
+        .write.format("hadro").mode("append")
+        .option("hadro.replaceWhere", "id >= 50").save(dir)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("requires mode")), e.getMessage)
+
+    // a literal the column type cannot represent fails loudly, never a
+    // silently-empty region
+    val e2 = intercept[Exception] {
+      spark.range(0, 1).select($"id", lit(0.0).as("v"))
+        .write.format("hadro").mode("overwrite")
+        .option("hadro.replaceWhere", "id >= 'notanumber'").save(dir)
+    }
+    assert(chain(e2).exists(c => c.getMessage != null &&
+      (c.getMessage.contains("does not convert") ||
+        c.getMessage.contains("not a supported overwrite predicate"))),
+      e2.getMessage)
+  }
+
+  test("hadro.replaceWhere option: timestamp casts + rowlevel straddler") {
+    val dir = Files.createTempDirectory("rwoptts").resolve("c").toString
+    spark.range(0, 48)
+      .select($"id",
+        to_timestamp(lit("2026-06-01 00:00:00"))
+          .plus(expr("make_interval(0,0,0,0, CAST(id AS INT), 0, 0)")).as("ts"),
+        ($"id" * 1.0).as("v"))
+      .coalesce(1).write.format("hadro").mode("overwrite").save(dir)
+
+    spark.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+    try spark.range(24, 30)
+      .select($"id",
+        to_timestamp(lit("2026-06-01 00:00:00"))
+          .plus(expr("make_interval(0,0,0,0, CAST(id AS INT), 0, 0)")).as("ts"),
+        lit(9.0).as("v"))
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.replaceWhere",
+        "ts >= TIMESTAMP '2026-06-02 00:00:00' AND id < 30").save(dir)
+    finally spark.conf.unset("spark.hadro.overwrite.mode")
+
+    val got = spark.read.format("hadro").load(dir).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == 48)
+    got.foreach { case (id, v) =>
+      // region = hours 24..29: replaced with v = 9.0
+      assert(v == (if (id >= 24 && id < 30) 9.0 else id * 1.0), s"id=$id") }
+  }
+
   test("untranslatable predicate still fails with guidance in both modes") {
     val w = setupCatalog("rwcomp")
     spark.sql("""CREATE TABLE rwcomp.db.t (id BIGINT, region STRING)

@@ -41,6 +41,35 @@ class StreamSinkSpec extends SparkSuite {
     assert(spark.read.format("hadro").load(colPath).count() == 2 * src.count())
   }
 
+  test("auto-compact packs micro-batch epochs once the gate trips") {
+    val stage = Files.createTempDirectory("ac_src")
+    val colPath = Files.createTempDirectory("ac_col").resolve("c").toString
+    val ckpt = Files.createTempDirectory("ac_ckpt").toString
+    val schema = spark.range(1).select($"id", ($"id" * 1.0).as("v")).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(stage.toString)
+        .writeStream.format("hadro").option("checkpointLocation", ckpt)
+        .option("hadro.autoCompact", (1L << 20).toString)
+        .option("hadro.autoCompact.minSegments", "3")
+        .option("maxFilesPerTrigger", "1") // one tiny segment per epoch
+        .start(colPath)
+      q.processAllAvailable()
+      q.stop()
+    }
+    for (i <- 0 until 4)
+      spark.range(i * 10L, i * 10L + 10L).select($"id", ($"id" * 1.0).as("v"))
+        .coalesce(1).write.mode("append").parquet(stage.toString)
+    run()
+    val m = CollectionMeta.currentManifest(Paths.get(colPath))
+    assert(m.segments.length < 4,
+      s"gate at 3 must have packed: ${m.segments.map(_.bytes).mkString(",")}")
+    val got = spark.read.format("hadro").load(colPath).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 40)
+    got.zipWithIndex.foreach { case ((id, v), i) =>
+      assert(id == i && v == i * 1.0, s"row $i") }
+  }
+
   test("streaming epochs keep a declared value-partitioned layout") {
     import org.apache.spark.sql.functions._
     val stage = Files.createTempDirectory("part_src")
