@@ -18,6 +18,30 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("content_hash")
 
+  /** Canonical form of a URL for crawl-level dedup (the RefinedWeb /
+    * CCNet first pass): case-fold, strip scheme and leading `www.`, drop
+    * the fragment, remove `utm_*` tracking parameters (and any dangling
+    * `?`/`&` they leave), strip a trailing slash. Pure codegen'd string
+    * expressions — map-only, no UDF. */
+  def canonicalUrl(u: Column): Column = {
+    val lowered = lower(u)
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "utm_[a-z]+=[^&]*&?", "")
+    val noDangling = regexp_replace(noUtm, "[?&]+$", "")
+    regexp_replace(noDangling, "/$", "")
+  }
+
+  /** URL dedup: canonicalize, then group on the canonical form keeping
+    * the smallest id. The only shuffle is the final group on the
+    * canonical-URL key (bounded-length strings) — identical in shape to
+    * [[exactDedup]], so it holds at crawl scale. Returns
+    * (canonical_url, keep_id, n_dups). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.groupBy(canonicalUrl(col(urlCol)).as("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle(k) → MinHash(numHashes) → band into `bands` groups of

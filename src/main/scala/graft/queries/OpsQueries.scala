@@ -1674,6 +1674,62 @@ object OpsQueries {
         FROM scored WHERE cont >= 0.8
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d25
+    // URL dedup (RefinedWeb/CCNet first pass): canonicalize crawl URLs —
+    // case, scheme, www., fragment, utm_* tracking params, trailing
+    // slash — with codegen'd string expressions, then exact-dedup on the
+    // canonical form. URLs are synthesized deterministically from doc_id
+    // with every variance the canonicalizer must fold (40 hosts x 7
+    // paths under ~500+ docs guarantees collisions). Map-only until the
+    // single bounded-key group shuffle — identical shape to d01.
+    QueryDef(
+      "d25_url_dedup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val urls = d.select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 4 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+            when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+            lit("site"), (col("doc_id") % 40).cast("string"),
+            lit(".com/page/"), (col("doc_id") % 7).cast("string"),
+            when(col("doc_id") % 11 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("?utm_source=feed&utm_id="),
+                (col("doc_id") % 6).cast("string"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
+              .otherwise(lit(""))).as("url"))
+        DedupOps.urlDedup(urls, "doc_id", "url")
+          .orderBy("canonical_url")
+      },
+      Some("""WITH urls AS (
+          SELECT doc_id,
+            concat(
+              CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+              CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+              'site', CAST(doc_id % 40 AS VARCHAR),
+              '.com/page/', CAST(doc_id % 7 AS VARCHAR),
+              CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END,
+              CASE WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&utm_id=',
+                CAST(doc_id % 6 AS VARCHAR)) ELSE '' END,
+              CASE WHEN doc_id % 5 = 0 THEN concat('#sec',
+                CAST(doc_id % 4 AS VARCHAR)) ELSE '' END) AS url
+          FROM documents),
+        canon AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(lower(url),
+                '^https?://', ''),
+                '^www\.', ''),
+                '#.*$', ''),
+                'utm_[a-z]+=[^&]*&?', '', 'g'),
+                '[?&]+$', ''),
+                '/$', '') AS canonical_url
+          FROM urls)
+        SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM canon GROUP BY canonical_url ORDER BY canonical_url""")),
+
     // ---------------------------------------------------------------- d19
     // Per-source QUOTA cap (domain balancing): at most 15 docs per
     // source, deterministic hash priority, under-quota sources pass

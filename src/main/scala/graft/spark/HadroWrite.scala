@@ -565,6 +565,10 @@ final class HadroBatchWrite(path: Path, schema: StructType,
           "partitioning (PARTITIONED BY (days(ts)) / identity); bucketed " +
           "or unpartitioned collections use static INSERT OVERWRITE")
       val m = CollectionMeta.currentManifest(path)
+      // NEVER-mutated keyed collections are fine: they scan unresolved
+      // (row-bag semantics), so dropping a partition deletes exactly its
+      // rows — and a later upsert's resolution sees only survivors,
+      // which is the row-predicate-delete contract.
       require(!m.mutated,
         "hadro: dynamic partition overwrite supports pure-append " +
           "collections only — under upserts/deletes a replaced partition " +
@@ -587,6 +591,10 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     replaceWhere.map { preds =>
       val iv = HadroReplaceWhere.compile(preds, storedSchema)
       val m = CollectionMeta.currentManifest(path)
+      // NEVER-mutated keyed collections are fine: they scan unresolved
+      // (row-bag semantics), so replacing the region deletes exactly the
+      // matching rows — and a later upsert's resolution sees only
+      // survivors, which is the row-predicate-delete contract.
       require(!m.mutated,
         "hadro: REPLACE WHERE supports pure-append collections only — " +
           "under upserts/deletes a replaced segment could carry the newest " +

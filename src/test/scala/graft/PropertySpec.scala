@@ -173,6 +173,58 @@ class PropertySpec extends SparkSuite {
       }
   }
 
+  test("property: rowlevel REPLACE WHERE equals filter-delete + append") {
+    // Arbitrary predicate trees (AND/OR/NOT over long comparisons, string
+    // equality/prefix, null tests) against arbitrary nullable data: the
+    // result of `batch.writeTo(t).overwrite(pred)` under rowlevel mode
+    // must equal (rows where pred is NOT TRUE) ∪ batch, with Spark's own
+    // filter as the semantics oracle — every segment classification
+    // (inside / disjoint / straddle-vectored) must agree with it.
+    import org.apache.spark.sql.Column
+    spark.conf.set("spark.sql.catalog.proprw",
+      classOf[graft.spark.HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.proprw.warehouse",
+      Files.createTempDirectory("prop_rw").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS proprw.db")
+    val names = Seq("alpha", "beta", "gamma", "delta", null)
+    def genLeaf: Gen[Column] = Gen.oneOf(
+      Gen.choose(0L, 400L).map(c => $"id" < c),
+      Gen.choose(0L, 400L).map(c => $"id" >= c),
+      Gen.choose(0L, 400L).map(c => $"id" === c),
+      Gen.oneOf(names.filter(_ != null)).map(s => $"name" === s),
+      Gen.const($"name".isNull),
+      Gen.oneOf("al", "be", "ga", "de").map(p => $"name".startsWith(p)))
+    def genTree(d: Int): Gen[Column] =
+      if (d == 0) genLeaf
+      else Gen.frequency(
+        3 -> genLeaf,
+        2 -> (for { l <- genTree(d - 1); r <- genTree(d - 1) } yield l && r),
+        2 -> (for { l <- genTree(d - 1); r <- genTree(d - 1) } yield l || r),
+        1 -> genTree(d - 1).map(c => !c))
+    val preds = samples(genTree(2), 8, seed = 4711)
+    preds.zipWithIndex.foreach { case (pred, i) =>
+      val t = s"proprw.db.rw$i"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (id BIGINT, name STRING) USING hadro")
+      val base = spark.range(0, 400, 1, 4)
+        .select($"id", element_at(
+          typedLit(names), ($"id" % 5 + 1).cast("int")).as("name"))
+      base.createOrReplaceTempView(s"proprw_src_$i")
+      spark.sql(s"INSERT INTO $t SELECT * FROM proprw_src_$i")
+      val batch = spark.range(1000, 1010).select($"id", lit("fresh").as("name"))
+      val expected = base.where(!coalesce(pred, lit(false))).unionByName(batch)
+        .collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+      try batch.writeTo(t).overwrite(pred)
+      finally spark.conf.unset("spark.hadro.overwrite.mode")
+      val got = spark.table(t).collect().map(_.toString).sorted.toSeq
+      assert(got == expected,
+        s"pred #$i ${pred.toString} mismatch: got ${got.length}, " +
+          s"expected ${expected.length}")
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("property: interleaved row-level delete/update paths match a model") {
     // Arbitrary sequences of row-level ops over a non-keyed table, each
     // randomly routed through one of the four physical paths — metadata

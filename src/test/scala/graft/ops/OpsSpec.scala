@@ -30,6 +30,31 @@ class OpsSpec extends SparkSuite {
     assert(out.agg(max($"keep_id")).head().getLong(0) < 5000L) // min id kept
   }
 
+  test("url canonicalization folds scheme/www/fragment/utm/slash variants") {
+    val variants = Seq(
+      "https://site1.com/page/3",
+      "HTTPS://site1.com/page/3",
+      "https://www.site1.com/page/3",
+      "https://WWW.site1.com/page/3/",
+      "https://site1.com/page/3?utm_source=feed&utm_id=2",
+      "https://site1.com/page/3/?utm_campaign=x#frag",
+      "https://site1.com/page/3#sec2")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val out = DedupOps.urlDedup(variants, "doc_id", "url")
+    assert(out.count() == 1L, out.collect().mkString(","))
+    val row = out.head()
+    assert(row.getAs[String]("canonical_url") == "site1.com/page/3")
+    assert(row.getAs[Long]("keep_id") == 0L)
+    assert(row.getAs[Long]("n_dups") == 7L)
+    // a REAL (non-tracking) query parameter survives canonicalization
+    val kept = DedupOps.urlDedup(Seq(
+      (0L, "https://site1.com/page/3?id=7"),
+      (1L, "https://site1.com/page/3?id=8")).toDF("doc_id", "url"),
+      "doc_id", "url")
+    assert(kept.count() == 2L)
+  }
+
   test("incremental dedup rejects corpus re-crawls and self-dedups the batch") {
     val corpus = docs.filter($"doc_id" % 2 === 0)
     val fresh = docs.filter($"doc_id" % 2 === 1)

@@ -562,6 +562,31 @@ class ReplaceWhereSpec extends SparkSuite {
     spark.sql("DROP TABLE rwnot.db.t")
   }
 
+  test("keyed-but-never-mutated collection replaces under row-bag semantics") {
+    // plain appends never flip `mutated`, so the collection scans
+    // UNRESOLVED (both copies of a twice-appended key are live rows);
+    // REPLACE WHERE is then a plain row-predicate delete + append — it
+    // removes exactly the matching rows, duplicates included, and the
+    // region proof needs no LWW reasoning
+    val w = Files.createTempDirectory("rwkeyed2").resolve("c").toString
+    Seq((1L, "v1"), (2L, "v1")).toDF("id", "s").coalesce(1)
+      .write.format("hadro").mode("overwrite").option("hadro.key", "id").save(w)
+    Seq((1L, "v2")).toDF("id", "s").coalesce(1)
+      .write.format("hadro").mode("append").save(w)
+    assert(!CollectionMeta.currentManifest(Paths.get(w)).mutated)
+    assert(spark.read.format("hadro").load(w).where($"id" === 1L).count() == 2L)
+
+    // region = the second segment exactly (it holds only the id=1 dupe)
+    spark.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+    try Seq((9L, "x")).toDF("id", "s")
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.replaceWhere", "s = 'v2'").save(w)
+    finally spark.conf.unset("spark.hadro.overwrite.mode")
+    val got = spark.read.format("hadro").load(w).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "v1"), (2L, "v1"), (9L, "x")), got.mkString(","))
+  }
+
   test("hadro.replaceWhere option scopes a path-based overwrite (no catalog)") {
     val dir = Files.createTempDirectory("rwopt").resolve("c").toString
     // two aligned segments: ids 0..49 and 50..99
@@ -636,6 +661,42 @@ class ReplaceWhereSpec extends SparkSuite {
     got.foreach { case (id, v) =>
       // region = hours 24..29: replaced with v = 9.0
       assert(v == (if (id >= 24 && id < 30) 9.0 else id * 1.0), s"id=$id") }
+  }
+
+  test("prefixSuccessor byte edges: increment, 0xFF truncation, all-0xFF tail") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def succ(b: Array[Byte]): Option[Array[Byte]] =
+      HadroReplaceWhere.prefixSuccessor(UTF8String.fromBytes(b)).map(_.getBytes)
+    assert(succ("web-".getBytes("UTF-8")).map(new String(_, "ISO-8859-1"))
+      .contains("web."))
+    // last byte 0xFF: increment the PREVIOUS byte and truncate
+    assert(succ(Array('a'.toByte, 0xFF.toByte)).map(_.toSeq)
+      .contains(Seq('b'.toByte)))
+    // all-0xFF prefix: no successor — the prefix set is the >= tail
+    assert(succ(Array(0xFF.toByte, 0xFF.toByte)).isEmpty)
+    // multi-byte UTF-8 prefix increments its final byte
+    val snow = "☃".getBytes("UTF-8") // e2 98 83
+    assert(succ(snow).map(_.toSeq)
+      .contains(Seq(0xE2.toByte, 0x98.toByte, 0x84.toByte)))
+  }
+
+  test("parseCondition covers IN / IS NULL / <=> / boolean literals") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.sources
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("region", StringType)))
+    def p(cond: String) = HadroReplaceWhere.parseCondition(cond, schema)
+    assert(p("region IN ('r0', 'r1')") ==
+      Seq(sources.In("region", Array[Any]("r0", "r1"))))
+    assert(p("region IS NULL") == Seq(sources.IsNull("region")))
+    assert(p("region <=> 'r0'") == Seq(sources.EqualNullSafe("region", "r0")))
+    assert(p("NOT (id < 5 OR id > 10)") == Seq(sources.Not(
+      sources.Or(sources.LessThan("id", 5L), sources.GreaterThan("id", 10L)))))
+    assert(p("true") == Seq(sources.AlwaysTrue))
+    val e = intercept[IllegalArgumentException](p("id % 2 = 0"))
+    assert(e.getMessage.contains("not a supported overwrite predicate"))
+    val e2 = intercept[IllegalArgumentException](p("missing_col = 1"))
+    assert(e2.getMessage.contains("not in collection schema"))
   }
 
   test("untranslatable predicate still fails with guidance in both modes") {
