@@ -422,6 +422,28 @@ private[spark] object HadroReplaceWhere {
         colName(a).map(c => StringStartsWith(c,
           litVal(p, c).asInstanceOf[String]))
           .getOrElse(fail(s"unsupported ${e.sql}"))
+      // LIKE with a literal pattern whose only wildcards are a leading
+      // and/or trailing bare `%` maps to the affix filters ('ab%' is the
+      // provable prefix-interval leaf; '%ab' / '%ab%' are stats-opaque
+      // but exact in rowlevel mode); no-wildcard patterns are equality.
+      case ce.Like(a, p: ce.Literal, escape) =>
+        val c = colName(a).getOrElse(fail(s"unsupported ${e.sql}"))
+        val pat = litVal(p, c).asInstanceOf[String]
+        def clean(s: String): Boolean =
+          !s.contains('%') && !s.contains('_') && !s.contains(escape)
+        val leading = pat.startsWith("%")
+        val trailing = pat.endsWith("%") && pat.length > (if (leading) 1 else 0)
+        val core = pat.substring(if (leading) 1 else 0,
+          pat.length - (if (trailing) 1 else 0))
+        if (!clean(core)) fail(
+          s"LIKE pattern '$pat' has interior wildcards — only prefix%, " +
+            "%suffix, %infix% and exact literal patterns are supported")
+        (leading, trailing) match {
+          case (false, false) => EqualTo(c, core)
+          case (false, true) => StringStartsWith(c, core)
+          case (true, false) => StringEndsWith(c, core)
+          case (true, true) => StringContains(c, core)
+        }
       case ce.Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) =>
         if (b) AlwaysTrue else AlwaysFalse
       case other => fail(s"unsupported ${other.sql}")

@@ -380,6 +380,51 @@ class PartitionSpec extends SparkSuite {
     }
   }
 
+  test("months-transform SPJ: coarse granularities ride the same ordinal proof") {
+    val w = setupCatalog("pmspj")
+    spark.sql("""CREATE TABLE pmspj.db.l (ts TIMESTAMP, v BIGINT)
+      USING hadro PARTITIONED BY (months(ts))""")
+    spark.sql("""CREATE TABLE pmspj.db.r (ts TIMESTAMP, t STRING)
+      USING hadro PARTITIONED BY (months(ts))""")
+    // in-month day/hour spread: identity min==max can never hold
+    spark.range(0, 90)
+      .select(to_timestamp(lit("2026-01-01 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, CAST(id % 4 AS INT), 0, CAST(id % 20 AS INT), CAST(id % 7 AS INT), 0, 0)")).as("ts"),
+        $"id".as("v"))
+      .createOrReplaceTempView("pmspj_l")
+    spark.range(0, 50)
+      .select(to_timestamp(lit("2026-01-01 00:00:00")).cast("timestamp")
+        .plus(expr("make_interval(0, CAST(id % 4 AS INT), 0, CAST(id % 20 AS INT), CAST(id % 7 AS INT), 0, 0)")).as("ts"),
+        concat(lit("t"), $"id").as("t"))
+      .createOrReplaceTempView("pmspj_r")
+    spark.sql("INSERT INTO pmspj.db.l SELECT * FROM pmspj_l")
+    spark.sql("INSERT INTO pmspj.db.r SELECT * FROM pmspj_r")
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("pmspj.db.l").join(spark.table("pmspj.db.r"), "ts")
+        .groupBy($"ts").agg(count(lit(1)).as("n"))
+      val got = j.collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      val want = spark.table("pmspj_l").join(spark.table("pmspj_r"), "ts")
+        .groupBy($"ts").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(got == want && got.nonEmpty, s"got $got want $want")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a zero-exchange months-partitioned join plan:\n$plan")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.sql("DROP TABLE pmspj.db.l")
+      spark.sql("DROP TABLE pmspj.db.r")
+    }
+  }
+
   test("hours-transform SPJ and the writerV2 overwritePartitions API") {
     val w = setupCatalog("phspj")
     spark.sql("""CREATE TABLE phspj.db.l (ts TIMESTAMP, v BIGINT)

@@ -693,10 +693,83 @@ class ReplaceWhereSpec extends SparkSuite {
     assert(p("NOT (id < 5 OR id > 10)") == Seq(sources.Not(
       sources.Or(sources.LessThan("id", 5L), sources.GreaterThan("id", 10L)))))
     assert(p("true") == Seq(sources.AlwaysTrue))
+    // LIKE: affix-only patterns map to the affix filters
+    assert(p("region LIKE 'ab%'") == Seq(sources.StringStartsWith("region", "ab")))
+    assert(p("region LIKE '%ab'") == Seq(sources.StringEndsWith("region", "ab")))
+    assert(p("region LIKE '%ab%'") == Seq(sources.StringContains("region", "ab")))
+    assert(p("region LIKE 'ab'") == Seq(sources.EqualTo("region", "ab")))
+    val eLike = intercept[IllegalArgumentException](p("region LIKE 'a%b'"))
+    assert(eLike.getMessage.contains("interior wildcards"))
     val e = intercept[IllegalArgumentException](p("id % 2 = 0"))
     assert(e.getMessage.contains("not a supported overwrite predicate"))
     val e2 = intercept[IllegalArgumentException](p("missing_col = 1"))
     assert(e2.getMessage.contains("not in collection schema"))
+  }
+
+  test("rowlevel vector build scans ONLY straddling segments (scan metrics)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val w = setupCatalog("rwmet")
+    spark.sql("""CREATE TABLE rwmet.db.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      USING hadro PARTITIONED BY (days(ts))""")
+    spark.range(0, 144)
+      .select($"id",
+        to_timestamp(lit("2026-07-01 00:00:00"))
+          .plus(expr("make_interval(0,0,0,0, CAST(id AS INT), 0, 0)")).as("ts"),
+        ($"id" * 1.0).as("v"))
+      .createOrReplaceTempView("rwmet_src")
+    spark.sql("INSERT INTO rwmet.db.ev SELECT * FROM rwmet_src")
+    val dir = Paths.get(w, "db", "ev")
+    assert(CollectionMeta.currentManifest(dir).segments.length == 6) // 6 days
+
+    // region = day-1 noon .. day-2 noon: straddles exactly days 1 and 2;
+    // days 0, 3, 4, 5 are provably disjoint and must never be scanned
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val seen = scala.collection.mutable.Buffer.empty[Long]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        walk(qe.executedPlan).foreach {
+          case b: BatchScanExec if b.metrics.contains("hadroSegmentsRead") =>
+            seen.synchronized { seen += b.metrics("hadroSegmentsRead").value }
+          case _ => ()
+        }
+      override def onFailure(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+      try spark.sql("""SELECT id, ts, v * 10 AS v FROM rwmet_src
+          WHERE ts >= TIMESTAMP '2026-07-02 12:00:00'
+            AND ts < TIMESTAMP '2026-07-03 12:00:00'""")
+        .writeTo("rwmet.db.ev")
+        .overwrite($"ts" >= lit("2026-07-02 12:00:00").cast("timestamp")
+          && $"ts" < lit("2026-07-03 12:00:00").cast("timestamp"))
+      finally spark.conf.unset("spark.hadro.overwrite.mode")
+      // the listener bus is async — poll for the DV-build execution
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (seen.synchronized(!seen.contains(2L)) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    val reads = seen.synchronized(seen.toList)
+    assert(reads.contains(2L),
+      s"DV build must scan exactly the 2 straddlers, saw $reads")
+    assert(!reads.exists(_ > 2L),
+      s"no hadro scan during the overwrite may read disjoint days, saw $reads")
+    // correctness of the replace itself
+    val got = spark.table("rwmet.db.ev").agg(sum($"v")).head.getDouble(0)
+    val expect = (0 until 144).map { i =>
+      if (i >= 36 && i < 60) i * 10.0 else i * 1.0 }.sum
+    assert(got == expect)
+    spark.sql("DROP TABLE rwmet.db.ev")
   }
 
   test("untranslatable predicate still fails with guidance in both modes") {
