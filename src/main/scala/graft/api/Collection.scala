@@ -1489,6 +1489,91 @@ final class Collection private (spark: SparkSession, val path: String) {
     }
     committed
   }
+
+  /** Materialize deletion vectors: rewrite ONLY the segments whose
+    * DV-deleted row fraction is at least `minFraction`, dropping the
+    * vectored rows physically — and the bitmap sidecar with them (Delta's
+    * `REORG TABLE ... APPLY (PURGE)` shape). DVs make deletes O(deleted
+    * rows) at write time, but every subsequent scan pays the bitmap probe
+    * and the dead bytes stay on disk; at 100 TB the reclaim must be
+    * surgical — a per-segment atomic replace commit
+    * (`hadro.replaceFiles`), never [[compact]]'s rewrite-the-world.
+    * Untouched segments are carried by reference, byte-identical on disk.
+    *
+    * Each rewritten segment re-inserts at its own manifest position with
+    * intra-segment record order preserved (sequence order for
+    * keyed/mutated collections, tombstone records included via the
+    * changefeed view), so last-write-wins resolution is identical before
+    * and after. A fully-vectored segment (every row deleted) is dropped
+    * outright — the zero-new-segments replace commit. A concurrent DV
+    * delete or rewrite of a target conflicts via the pinned (file, dv)
+    * pair; partial progress is safe progress (the [[compactSmall]]
+    * contract): the method stops and returns how many segments landed,
+    * and the caller can simply run it again.
+    *
+    * `minFraction` is the cost gate: 0.0 purges every vectored segment
+    * (full reclaim before an archival snapshot); 0.3 is the maintenance
+    * sweep that only rewrites segments where at least 30% of the bytes
+    * are dead, bounding write amplification.
+    *
+    * Returns the number of segments rewritten or dropped. */
+  def purgeDeletes(minFraction: Double = 0.0): Int = {
+    require(minFraction >= 0.0 && minFraction <= 1.0,
+      s"minFraction must be in [0, 1], got $minFraction")
+    val m0 = manifest
+    val targets = m0.segments.filter(s => s.deleteVector.isDefined &&
+      s.dvDeletes.toDouble / math.max(1L, s.rows) >= minFraction)
+    if (targets.isEmpty) return 0
+    // logical columns only: dropped physical slots are invisible to scans
+    // (the rewrite's write path re-null-fills them)
+    val storedCols = CollectionMeta.logicalSchema(
+      CollectionMeta.readSchema(dir).get.schema).fieldNames.toSeq
+    var committed = 0
+    targets.foreach { seg =>
+      // earlier purges bumped the generation; pin the CURRENT one — a
+      // conflicting external commit still aborts the replace cleanly
+      val gen = manifest.generation
+      val survivors =
+        if (m0.mutated) {
+          // tombstones shadow keys in OLDER segments: they must survive
+          // the purge, in sequence order — the changefeed view carries
+          // both; the reader drops DV'd rows unconditionally, so the
+          // surviving rows are exactly the segment minus its vector
+          spark.read.format("hadro")
+            .option("hadro.changefeed", "full")
+            .option("hadro.files", seg.file)
+            .load(path)
+            .repartition(1)
+            .sortWithinPartitions(col(HadroTable.SeqCol))
+            .select(storedCols.map(col) :+
+              col(HadroTable.DeletedCol).as("__hadro_delete"): _*)
+        } else {
+          val base = spark.read.format("hadro")
+            .option("hadro.files", seg.file).load(path).repartition(1)
+          m0.sortedBy.fold(base)(sc => base.sortWithinPartitions(col(sc)))
+        }
+      var w = survivors.write.format("hadro").mode("append")
+        .option("hadro.replaceFiles", seg.file)
+        .option("hadro.replaceGen", gen.toString)
+        // plan-time dv pin: a concurrent DV delete on this segment
+        // conflicts (stop-and-report) instead of losing its deletions
+        .option("hadro.replaceDv", s"${seg.file}=${seg.deleteVector.get}")
+      if (m0.mutated) w = w.option("hadro.deleteCol", "__hadro_delete")
+      else m0.sortedBy.foreach(sc => w = w.option("hadro.sortedBy", sc))
+      (m0.bucketBy, m0.numBuckets) match {
+        case (Some(c), Some(n)) =>
+          w = w.option("hadro.bucketBy", c).option("hadro.buckets", n.toString)
+        case _ => ()
+      }
+      try { w.save(path); committed += 1 }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("conflicted") =>
+          return committed
+      }
+    }
+    committed
+  }
 }
 
 /** Staging area for [[Collection.transaction]]: frames accumulate lazily;

@@ -503,6 +503,54 @@ object DedupOps {
           greatest(col("n_windows"), lit(1)), 4).as("dup_ratio"))
   }
 
+  /** ExactSubstr duplicate-span REMOVAL (Lee et al. 2022, arXiv:2107.06499
+    * — the rewrite counterpart of [[duplicatedSpanProfile]]): every
+    * w-token window appearing in >= 2 documents is "shared", and every
+    * token covered by a shared window is cut from EVERY document — the
+    * paper's drop-all-copies variant, which needs no global owner
+    * election (they measure that keeping one copy vs none is a wash at
+    * corpus scale). Returns (doc_id, n_tokens, n_removed, clean_text)
+    * with surviving tokens reassembled in original order; a doc whose
+    * every token is covered comes back with empty clean_text, letting the
+    * caller decide whether to drop the row.
+    *
+    * Scale shape: the window inventory is ONE posexplode; shared windows
+    * come from a key-equality groupBy (at 100 TB hash the w-token window
+    * to 8 bytes with xxhash64 so the shuffle carries hashes, not text —
+    * kept window-exact here because the oracle compares strings); covered
+    * starts join back hits-proportionally (left_semi) and collapse per
+    * doc into a list bounded by doc length; the rewrite is per-row lambda
+    * work. No quadratic stage, no driver collect. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    // positional windows — wordShingles' exact formula, plus the 1-based
+    // start offset (degenerate short docs = one whole-text window)
+    val windows = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - lit(w - 1), lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(w)))))
+        .as(Seq("off", "win")))
+    val shared = windows.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("df_count"))
+      .filter(col("df_count") >= 2).select(col("win"))
+    val starts = windows.join(shared, Seq("win"), "left_semi")
+      .select(col("doc_id"), (col("off") + 1).as("s"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("s"))).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        filter(sequence(lit(1), col("n_tokens")),
+          p => !exists(col("starts"), s => s <= p && p < s + lit(w)))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", transform(col("kept"),
+          p => element_at(col("toks"), p))).as("clean_text"))
+  }
+
   /** Cross-document boilerplate line removal (the CCNet/RefinedWeb cleaning
     * step): a line that appears in at least `minCount` docs — and in at
     * least (numerator/denominator) of the docs — of the same `groupCol`

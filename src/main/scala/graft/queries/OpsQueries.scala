@@ -1730,6 +1730,57 @@ object OpsQueries {
           CAST(COUNT(*) AS BIGINT) AS n_dups
         FROM canon GROUP BY canonical_url ORDER BY canonical_url""")),
 
+    // ---------------------------------------------------------------- d26
+    // ExactSubstr duplicate-span REMOVAL (Lee et al. 2022): d13 profiles
+    // the duplicated 10-token windows; this op actually cuts them — every
+    // token covered by a window shared across >= 2 docs is removed from
+    // every doc (the paper's drop-all-copies variant: no global owner
+    // election needed). Same planted sentence as d13, so its interior
+    // windows are provably shared; the oracle recomputes the identical
+    // window inventory, coverage set, and reassembled text, so natural
+    // cross-doc repeats in the corpus agree too. One posexplode + one
+    // window-key group + a hits-proportional semi-join — never quadratic.
+    QueryDef(
+      "d26_span_removal",
+      (s, dir) => {
+        val planted = " shared boiler sentence tokens repeated verbatim " +
+          "across many documents in corpus"
+        val d = table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0, lit(planted)).otherwise(lit("")))
+            .as("text"))
+        DedupOps.removeDuplicateSpans(d, "doc_id", "text", w = 10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text || CASE WHEN doc_id % 10 = 0
+            THEN ' shared boiler sentence tokens repeated verbatim across many documents in corpus'
+            ELSE '' END AS text
+          FROM documents),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        wins AS (
+          SELECT doc_id,
+            unnest(generate_series(1, greatest(len(t) - 9, 1))) AS s,
+            unnest(list_transform(generate_series(1, greatest(len(t) - 9, 1)),
+              i -> array_to_string(t[i:i+9], ' '))) AS win
+          FROM toks),
+        shared AS (SELECT win FROM wins GROUP BY win
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        starts AS (SELECT doc_id, list_sort(list(s)) AS ss
+          FROM wins JOIN shared USING (win) GROUP BY doc_id),
+        outt AS (
+          SELECT tk.doc_id, len(tk.t) AS n_tokens,
+            list_filter(generate_series(1, len(tk.t)),
+              p -> len(list_filter(coalesce(st.ss, CAST([] AS BIGINT[])),
+                s -> s <= p AND p < s + 10)) = 0) AS kept,
+            tk.t AS toklist
+          FROM toks tk LEFT JOIN starts st USING (doc_id))
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          CAST(n_tokens - len(kept) AS INT) AS n_removed,
+          COALESCE(array_to_string(
+            list_transform(kept, p -> toklist[p]), ' '), '') AS clean_text
+        FROM outt ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- d19
     // Per-source QUOTA cap (domain balancing): at most 15 docs per
     // source, deterministic hash priority, under-quota sources pass

@@ -2552,5 +2552,56 @@ object StorageQueries {
       Some("""SELECT r_regionkey + i * 100 AS r_regionkey, r_name
         FROM region, (SELECT unnest(range(8)) AS i)
         ORDER BY r_regionkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h80
+    // Deletion-vector PURGE (`REORG TABLE ... APPLY (PURGE)` shape): h46's
+    // DV delete leaves every affected segment carrying a bitmap sidecar —
+    // O(deleted rows) at delete time, but each subsequent scan pays the
+    // bitmap probe and the dead bytes stay on disk forever. CALL
+    // system.purge_deletes rewrites ONLY the vectored segments (surgical
+    // per-segment replace commits — untouched segments carried by
+    // reference), materializing the deletes and dropping the sidecars; at
+    // 100 TB this is the weekly reclaim job after a GDPR-delete wave,
+    // never compact()'s rewrite-the-world. The query asserts the manifest
+    // really held vectors before and none after, then proves the purged
+    // table still answers exactly (oracle = rows the DELETE kept).
+    QueryDef(
+      "h80_purge_deletes",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_purge/$tag"
+        s.conf.set("spark.sql.catalog.graft_h80",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h80.warehouse", wh)
+        table(s, dir, "lineitem").repartitionByRange(8, $"l_orderkey")
+          .write.format("hadro").mode("overwrite").save(s"$wh/db/li")
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try s.sql("DELETE FROM graft_h80.db.li WHERE l_quantity >= 30.0")
+        finally s.conf.unset("spark.hadro.delete.mode")
+        val liDir = java.nio.file.Paths.get(s"$wh/db/li")
+        val before = graft.meta.CollectionMeta.currentManifest(liDir)
+        require(before.segments.exists(_.deleteVector.isDefined),
+          "h80 precondition: the DV delete must leave bitmap sidecars")
+        val purged = s.sql(
+          "CALL graft_h80.system.purge_deletes('db.li')")
+          .collect()(0).getInt(0)
+        val after = graft.meta.CollectionMeta.currentManifest(liDir)
+        require(after.segments.forall(_.deleteVector.isEmpty),
+          "h80: purge must drop every deletion-vector sidecar")
+        require(after.segments.forall(_.dvDeletes == 0L),
+          "h80: purged segments must report zero vectored rows")
+        require(purged == before.segments.count(_.deleteVector.isDefined),
+          s"h80: purged $purged of " +
+            s"${before.segments.count(_.deleteVector.isDefined)} targets")
+        s.sql("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          FROM graft_h80.db.li GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem WHERE NOT (l_quantity >= 30.0)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

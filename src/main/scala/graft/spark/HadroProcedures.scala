@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.api.Collection
@@ -39,7 +39,7 @@ object HadroProcedures {
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
       "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag",
       "publish", "orphan_files", "remove_orphans", "drop_partitions",
-      "compact_partitions", "set_partition_spec")
+      "compact_partitions", "set_partition_spec", "purge_deletes")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -75,6 +75,20 @@ object HadroProcedures {
           val target = if (in.isNullAt(1)) 0L else in.getLong(1)
           if (target > 0) c.compact(target) else c.compact()
           Seq(InternalRow(c.version))
+        }
+      case "purge_deletes" => proc("purge_deletes",
+        "materialize deletion vectors (REORG ... APPLY (PURGE) shape): " +
+          "rewrite only the segments whose DV-deleted row fraction is " +
+          ">= min_fraction, dropping vectored rows and bitmap sidecars; " +
+          "untouched segments are carried by reference",
+        Seq(p("table", StringType),
+          ProcedureParameter.in("min_fraction", DoubleType)
+            .defaultValue("0.0").build()),
+        new StructType().add("segments_purged", IntegerType)
+          .add("version", LongType)) { in =>
+          val c = coll(in)
+          val f = if (in.isNullAt(1)) 0.0 else in.getDouble(1)
+          Seq(InternalRow(c.purgeDeletes(f), c.version))
         }
       case "compact_small" => proc("compact_small",
         "bin-pack contiguous runs of segments smaller than min_bytes",

@@ -149,4 +149,143 @@ class DeleteVectorSpec extends SparkSuite {
     assert(CollectionMeta.currentManifest(dir).version == v0)
     spark.sql("DROP TABLE dvcat4.db.t")
   }
+
+  test("purge_deletes rewrites only vectored segments, carries the rest by reference") {
+    val (_, dir) = catalogTable("dvp1")
+    spark.sql("CREATE TABLE dvp1.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO dvp1.db.t SELECT id, id * 1.0 FROM range(0, 500, 1, 4)")
+    withDvMode { spark.sql("DELETE FROM dvp1.db.t WHERE id >= 100 AND id < 150") }
+    val before = CollectionMeta.currentManifest(dir)
+    val vectored = before.segments.filter(_.deleteVector.isDefined).map(_.file)
+    val untouched = before.segments.filterNot(_.deleteVector.isDefined).map(_.file)
+    assert(vectored.nonEmpty && untouched.nonEmpty)
+
+    val row = spark.sql("CALL dvp1.system.purge_deletes('db.t')").head()
+    assert(row.getInt(0) == vectored.size, s"purged ${row.getInt(0)}")
+
+    val after = CollectionMeta.currentManifest(dir)
+    // untouched segments: same files, by reference; vectored ones: rewritten
+    assert(untouched.forall(after.segments.map(_.file).contains))
+    assert(vectored.forall(f => !after.segments.map(_.file).contains(f)))
+    assert(after.segments.forall(_.deleteVector.isEmpty))
+    assert(after.segments.forall(_.dvDeletes == 0L))
+    assert(after.segments.map(_.rows).sum == 450L)
+    assert(!after.mutated)
+    // data exact, manifest fast paths agree
+    assert(spark.table("dvp1.db.t").count() == 450)
+    assert(spark.table("dvp1.db.t").agg(sum($"id")).head().getLong(0) ==
+      (0L until 500L).filterNot(i => i >= 100 && i < 150).sum)
+    assert(graft.api.Collection(spark, dir.toString).count() == 450)
+    // a second purge is a no-op: nothing vectored remains
+    assert(spark.sql("CALL dvp1.system.purge_deletes('db.t')").head().getInt(0) == 0)
+    spark.sql("DROP TABLE dvp1.db.t")
+  }
+
+  test("purge min_fraction gates the rewrite to heavily-deleted segments") {
+    val (_, dir) = catalogTable("dvp2")
+    spark.sql("CREATE TABLE dvp2.db.t (id BIGINT, v DOUBLE) USING hadro")
+    // two 100-row segments: ids 0..99 and 100..199
+    spark.sql("INSERT INTO dvp2.db.t SELECT id, id * 1.0 FROM range(0, 100, 1, 1)")
+    spark.sql("INSERT INTO dvp2.db.t SELECT id, id * 1.0 FROM range(100, 200, 1, 1)")
+    withDvMode {
+      spark.sql("DELETE FROM dvp2.db.t WHERE id = 7") // 1% of segment 1
+      spark.sql("DELETE FROM dvp2.db.t WHERE id >= 150") // 50% of segment 2
+    }
+    val c = graft.api.Collection(spark, dir.toString)
+    assert(c.purgeDeletes(0.3) == 1, "only the 50%-dead segment qualifies")
+    val mid = CollectionMeta.currentManifest(dir)
+    assert(mid.segments.count(_.deleteVector.isDefined) == 1,
+      "the 1%-dead segment keeps its vector under the gate")
+    assert(spark.table("dvp2.db.t").count() == 149)
+    assert(c.purgeDeletes() == 1, "fraction 0 reclaims the rest")
+    assert(CollectionMeta.currentManifest(dir).segments
+      .forall(_.deleteVector.isEmpty))
+    assert(spark.table("dvp2.db.t").count() == 149)
+    spark.sql("DROP TABLE dvp2.db.t")
+  }
+
+  test("purge drops a fully-vectored segment via the zero-segment replace") {
+    val (_, dir) = catalogTable("dvp3")
+    spark.sql("CREATE TABLE dvp3.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO dvp3.db.t SELECT id, id * 1.0 FROM range(0, 100, 1, 1)")
+    spark.sql("INSERT INTO dvp3.db.t SELECT id, id * 1.0 FROM range(100, 200, 1, 1)")
+    withDvMode { spark.sql("DELETE FROM dvp3.db.t WHERE id >= 100") }
+    assert(CollectionMeta.currentManifest(dir).segments.length == 2)
+    assert(graft.api.Collection(spark, dir.toString).purgeDeletes() == 1)
+    val m = CollectionMeta.currentManifest(dir)
+    assert(m.segments.length == 1, "the all-dead segment is gone, not rewritten")
+    assert(m.segments.head.deleteVector.isEmpty)
+    assert(spark.table("dvp3.db.t").count() == 100)
+    spark.sql("DROP TABLE dvp3.db.t")
+  }
+
+  test("purge preserves LWW + tombstones on a collection mutated after its DVs") {
+    // The one seam where a MUTATED collection carries deletion vectors: a
+    // keyed-but-never-mutated (row-bag) collection takes a rowlevel
+    // REPLACE WHERE (DV on the straddling segment), then a later upsert
+    // flips `mutated`. The purge must rewrite through the changefeed view
+    // in sequence order — tombstone records included — so last-write-wins
+    // resolution is identical before and after.
+    val w = Files.createTempDirectory("dvp4").resolve("c").toString
+    Seq((1L, "a1"), (2L, "b1")).toDF("id", "s").coalesce(1)
+      .write.format("hadro").mode("overwrite").option("hadro.key", "id").save(w)
+    Seq((1L, "a2"), (3L, "c1")).toDF("id", "s").coalesce(1)
+      .write.format("hadro").mode("append").save(w)
+    // region-delete the a2 row: segment 2 straddles -> deletion vector
+    spark.conf.set("spark.hadro.overwrite.mode", "rowlevel")
+    try spark.emptyDataFrame
+      .select(lit(0L).as("id"), lit("").as("s")).limit(0)
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.replaceWhere", "s = 'a2'").save(w)
+    finally spark.conf.unset("spark.hadro.overwrite.mode")
+    val dir = java.nio.file.Paths.get(w)
+    val m0 = CollectionMeta.currentManifest(dir)
+    assert(m0.segments.exists(_.deleteVector.isDefined) && !m0.mutated)
+
+    val c = graft.api.Collection(spark, w)
+    c.set(Seq((2L, "b2")).toDF("id", "s")) // flips mutated
+    c.delete(3L) // tombstone record for key 3
+    assert(CollectionMeta.currentManifest(dir).mutated)
+
+    assert(c.purgeDeletes() >= 1)
+    val m1 = CollectionMeta.currentManifest(dir)
+    assert(m1.segments.forall(_.deleteVector.isEmpty))
+    // resolved view: 1 -> a1 (a2 was DV'd), 2 -> b2 (upsert), 3 gone
+    // (tombstone); the raw row-bag scan still shows the shadowed b1/c1
+    val got = c.toDF().orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a1"), (2L, "b2")), got.mkString(","))
+    val raw = spark.read.format("hadro").load(w).orderBy($"id", $"s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(raw == Seq((1L, "a1"), (2L, "b1"), (2L, "b2"), (3L, "c1")),
+      raw.mkString(","))
+    assert(c.count() == 2)
+    // the tombstone survived the purge physically (changefeed carries it)
+    val feed = spark.read.format("hadro").option("hadro.changefeed", "full")
+      .load(w)
+    assert(feed.filter(col(HadroTable.DeletedCol) && $"id" === 3L).count() == 1)
+  }
+
+  test("purge keeps the physical sort declaration and rewrites in sort order") {
+    val (_, dir) = catalogTable("dvp5")
+    spark.range(0, 200).select($"id", ($"id" % 7).cast("long").as("k"))
+      .orderBy($"id").coalesce(1)
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.sortedBy", "id").save(dir.toString)
+    // the dv-mode DELETE is a manifest-only commit: the sort declaration
+    // survives it (nothing was rewritten out of order)
+    withDvMode { spark.sql("DELETE FROM dvp5.db.t WHERE id >= 50 AND id < 60") }
+    val m0 = CollectionMeta.currentManifest(dir)
+    assert(m0.sortedBy.contains("id") &&
+      m0.segments.exists(_.deleteVector.isDefined))
+    assert(graft.api.Collection(spark, dir.toString).purgeDeletes() == 1)
+    val m = CollectionMeta.currentManifest(dir)
+    assert(m.sortedBy.contains("id"), "sort declaration survives the purge")
+    assert(m.segments.forall(_.deleteVector.isEmpty))
+    val got = spark.read.format("hadro").load(dir.toString).select($"id")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == (0L until 200L).filterNot(i => i >= 50 && i < 60),
+      "file order stays the declared sort order")
+    spark.sql("DROP TABLE dvp5.db.t")
+  }
 }
