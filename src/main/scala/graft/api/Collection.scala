@@ -744,6 +744,46 @@ final class Collection private (spark: SparkSession, val path: String) {
     dropped
   }
 
+  /** Exact-tag partition drop — the engine behind SQL
+    * `ALTER TABLE ... DROP PARTITION (...)` / `TRUNCATE ... PARTITION`:
+    * one atomic metadata commit unlinks every segment whose partition tag
+    * is in `tags`, the deferred-GC ledger records the files dead, and the
+    * normal vacuum reclaims them a generation later (older manifests and
+    * pinned version tags keep reading them until then — time travel
+    * across the drop works). Unlike the cutoff-based [[dropPartitions]]
+    * this matches tags AS ROUTED: after a partition-spec respec, `SHOW
+    * PARTITIONS` lists both old coarse and new fine tags, and dropping a
+    * listed tag removes exactly that routed unit. Restricted to
+    * PURE-APPEND collections for the same reason as [[dropPartitions]]
+    * (a dropped segment could carry a key's newest version or its
+    * tombstone). Returns the number of segments dropped. */
+  def dropPartitionTags(tags: Set[String]): Int = {
+    require(tags.nonEmpty, "hadro: dropPartitionTags needs at least one tag")
+    val meta = CollectionMeta.readSchema(dir).getOrElse(
+      throw new IllegalStateException(s"hadro: no collection at $path"))
+    require(meta.partitionBy.isDefined,
+      "hadro: dropPartitionTags requires declared value partitioning")
+    var dropped = 0
+    CollectionMeta.commit(dir, cur => {
+      require(!cur.mutated,
+        "hadro: dropPartitionTags supports pure-append collections only — " +
+          "an upserted/deleted collection could lose a key's newest " +
+          "version or its tombstone with the dropped segment")
+      val (dead, live) = cur.segments.partition(_.partition.exists(tags))
+      dropped = dead.size
+      if (dead.isEmpty) cur
+      // pin the ordinal watermark: dropping the max-ordinal segment must
+      // not let nextOrdinal regress (tailing streams, see dropPartitions)
+      else cur.copy(segments = live,
+        ordinalFloor = math.max(cur.ordinalFloor, cur.nextOrdinal))
+    })
+    if (dropped > 0) {
+      val live = manifest.segments.flatMap(_.allFiles).toSet
+      CollectionMeta.deferredGc(dir, live)
+    }
+    dropped
+  }
+
   /** PARTITION-SCOPED compaction: rewrite only the segments of the given
     * partition `tags` (every fragmented partition when empty) — each
     * partition one atomic replace commit, one output segment. The 100 TB

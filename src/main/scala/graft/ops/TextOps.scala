@@ -438,6 +438,80 @@ object TextOps {
       (!hasLorem && !hasBrace && nKept >= minKeptLines).as("keep"))
   }
 
+  /** CCNet perplexity-bucket filter (Wenzek et al. 2020): score every doc
+    * with the corpus' own unigram LM ([[lmNllScores]]), split each
+    * language into head / middle / tail perplexity terciles, KEEP head +
+    * middle, drop the tail — the cleaning step CCNet applies per language
+    * before training-data export. Boundary rule is value-based and
+    * deterministic: with n docs in a language, `cut_keep` is the
+    * (n - floor(n/3))-th smallest score and `cut_head` the ceil(n/3)-th;
+    * a doc stays iff `score <= cut_keep` (ties at the boundary all stay,
+    * on every engine, regardless of sort stability).
+    *
+    * Scale shape: threshold derivation runs on the per-(lang, score)
+    * HISTOGRAM — a key-equality aggregation, then a cumulative window
+    * over distinct rounded scores (4-decimal scores, so the window input
+    * is tiny next to the corpus) — and the per-language cutoffs broadcast
+    * back for a MAP-ONLY corpus pass. No per-document window, no
+    * one-task-per-language funnel over raw docs. At 100 TB, production
+    * CCNet substitutes static per-language cutoffs (or percentile_approx)
+    * for the exact histogram walk; the corpus side is unchanged. */
+  def perplexityBucketFilter(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scores = lmNllScores(df, idCol, textCol)
+    val withLang = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(scores, Seq("doc_id"))
+    val hist = withLang.groupBy(col("lang"), col("lm_nll"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("lm_nll")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val th = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("lang")).agg(
+        min(when(col("cum") >= col("n") - floor(col("n") / lit(3)),
+          col("lm_nll"))).as("cut_keep"),
+        min(when(col("cum") >= floor((col("n") + lit(2)) / lit(3)),
+          col("lm_nll"))).as("cut_head"))
+    withLang.join(broadcast(th), Seq("lang"))
+      .filter(col("lm_nll") <= col("cut_keep"))
+      .select(col("doc_id"), col("lang"), col("lm_nll"),
+        when(col("lm_nll") <= col("cut_head"), lit("head"))
+          .otherwise(lit("middle")).as("ppl_bucket"))
+  }
+
+  /** Hashed-feature linear quality classifier — fastText-inference shape
+    * (Joulin et al. 2016): each token hashes into one of `dim` buckets
+    * (`xxhash64`, Spark's codegen'd hash — no UDF) and the doc's logit is
+    * the mean bucket weight. Weights here are a fixed deterministic
+    * integer formula standing in for a trained vector — in production the
+    * trained `Array[Int]` (milli-units) broadcasts and `element_at`
+    * replaces the formula; everything else (hashing, aggregation,
+    * thresholding) is exactly this plan. All arithmetic is integer until
+    * one final double division of exact operands, so the score is
+    * bit-identical across engines and partitionings. Entirely per-row
+    * (higher-order functions, whole-stage codegen): zero shuffles, the
+    * map-only classifier pass a 100 TB quality gate needs. */
+  def hashedQualityScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    val ts = tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        aggregate(
+          transform(col("ts"), t => {
+            val b = pmod(xxhash64(t), lit(dim.toLong))
+            pmod(b * lit(2654435761L) + lit(12345L), lit(2001L)) - lit(1000L)
+          }),
+          lit(0L), (acc, x) => acc + x).as("score_milli"))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        round(col("score_milli").cast("double") /
+          (col("n_tokens") * lit(1000.0)), 6).as("quality_logit"),
+        (col("score_milli") >= 0L).as("keep"))
+  }
+
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks).cast("double")

@@ -835,6 +835,37 @@ object OpsQueries {
         SELECT doc_id, CAST(rk AS INT) AS rk, term, score
         FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
+    // ---------------------------------------------------------------- t20
+    // Hashed-feature linear quality classifier (fastText-inference shape):
+    // token -> xxhash64 bucket -> weight, doc logit = mean bucket weight.
+    // Weights are a fixed integer formula standing in for the trained
+    // vector (broadcast element_at in production — same plan otherwise).
+    // Integer arithmetic until one final exact double division: zero
+    // shuffles, whole-stage codegen, the map-only 100 TB quality gate.
+    // The oracle replays the hash bit-for-bit (OracleXxh64) and the same
+    // weight formula over the token vocabulary.
+    QueryDef(
+      "t20_linear_quality",
+      (s, dir) => {
+        TextOps.hashedQualityScore(table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        tok AS (SELECT doc_id, unnest(ts) AS t FROM toks WHERE len(ts) > 0),
+        vocab AS (SELECT DISTINCT t FROM tok),
+        wt AS (SELECT t,
+          ((CAST(${OracleXxh64.expr("t")} % 1024 AS BIGINT) * 2654435761
+            + 12345) % 2001) - 1000 AS w
+          FROM vocab),
+        agg AS (SELECT k.doc_id, COUNT(*) AS n_tokens, SUM(w.w) AS score_milli
+          FROM tok k JOIN wt w USING (t) GROUP BY k.doc_id)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          ROUND(CAST(score_milli AS DOUBLE) / (n_tokens * 1000.0), 6)
+            AS quality_logit,
+          score_milli >= 0 AS keep
+        FROM agg ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- t18
     // Bigram-LM quality (the KenLM-filter shape): mean add-one-smoothed
     // conditional nll per doc under the corpus' own bigram model —
@@ -1780,6 +1811,45 @@ object OpsQueries {
           COALESCE(array_to_string(
             list_transform(kept, p -> toklist[p]), ' '), '') AS clean_text
         FROM outt ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d27
+    // CCNet perplexity-bucket filter (Wenzek et al. 2020): per-language
+    // head/middle/tail terciles under the corpus' own unigram LM (t12's
+    // score), keep head+middle, drop the tail — the per-language cleaning
+    // gate before training export. Thresholds derive from the
+    // per-(lang, score) HISTOGRAM (key-equality agg + a window over
+    // distinct 4-decimal scores), then broadcast back for a map-only
+    // corpus pass — no per-document window, no one-task-per-language
+    // funnel. Boundary rule is value-based (ties all stay), so the
+    // DuckDB rank replay agrees on any engine.
+    QueryDef(
+      "d27_ppl_bucket_filter",
+      (s, dir) => {
+        TextOps.perplexityBucketFilter(table(s, dir, "documents"),
+            "doc_id", "text", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        tot AS (SELECT SUM(c) AS t FROM vocab),
+        model AS (
+          SELECT tok, ROUND(-ln(CAST(c AS DOUBLE) / t), 6) AS nll
+          FROM vocab, tot),
+        scores AS (
+          SELECT doc_id,
+            ROUND(CAST(SUM(CAST(nll AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 4)
+              AS lm_nll
+          FROM tok JOIN model USING (tok) GROUP BY doc_id),
+        sc AS (SELECT d.doc_id, d.lang, s.lm_nll
+          FROM documents d JOIN scores s USING (doc_id)),
+        st AS (SELECT doc_id, lang, lm_nll,
+          RANK() OVER (PARTITION BY lang ORDER BY lm_nll) AS rk,
+          COUNT(*) OVER (PARTITION BY lang) AS n FROM sc)
+        SELECT doc_id, lang, lm_nll,
+          CASE WHEN rk <= (n + 2) // 3 THEN 'head' ELSE 'middle' END
+            AS ppl_bucket
+        FROM st WHERE rk <= n - n // 3 ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- d19
     // Per-source QUOTA cap (domain balancing): at most 15 docs per

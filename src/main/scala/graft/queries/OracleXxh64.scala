@@ -55,6 +55,24 @@ private[queries] object OracleXxh64 {
       s"CAST(${byt(hx, s"($off)+$k")} AS HUGEINT) * ${1L << (8 * k)}")
       .mkString("(", " + ", ")")
 
+  /** A DuckDB scalar expression computing XXH64(little-endian-8-bytes(`w`),
+    * `seed`) as HUGEINT in [0, 2^64) — Spark's `XXH64.hashLong` (what
+    * `xxhash64(BIGINT)` computes, and what the TABLESAMPLE-pushdown reader
+    * hashes record sequence numbers with). `w` must be a NON-NEGATIVE SQL
+    * integer expression (< 2^63, so the two's-complement bit pattern is the
+    * value itself); `seed` a non-negative integer literal/expression.
+    * Exactly the one-word fold + avalanche of [[expr]] with n = 8. */
+  def longExpr(w: String, seed: String): String = {
+    val h0 = addmod(addmod(s"($seed)", P5), "8")
+    val k1 = mulmod(rotl(mulmod(s"($w)", P2), 31), P1)
+    val hv = addmod(mulmod(rotl(xor(h0, k1), 27), P1), P4)
+    val av1 = mulmod(xor("hv", "(hv) // 8589934592"), P2)
+    val av2 = mulmod(xor("h1", "(h1) // 536870912"), P3)
+    val av3 = xor("h2", "(h2) // 4294967296")
+    s"(SELECT $av3 FROM (SELECT $av2 AS h2 FROM (SELECT $av1 AS h1 FROM " +
+      s"(SELECT $hv AS hv) ) ) )"
+  }
+
   /** A DuckDB scalar expression computing XXH64(bytes(`t`), 42) as HUGEINT
     * in [0, 2^64), for `t` a SQL expression of byte length < 32. */
   def expr(t: String): String = {

@@ -2603,5 +2603,90 @@ object StorageQueries {
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem WHERE NOT (l_quantity >= 30.0)
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
+    ,
+
+    // ---------------------------------------------------------------- h81
+    // TABLESAMPLE pushdown (SupportsPushDownTableSample): accepting is the
+    // FULLY-pushed contract — Spark deletes its Sample operator and the
+    // scan emits the subset itself. The decision is a seeded XXH64 of each
+    // record's stable sequence number mapped onto [0, 1): layout-stable
+    // (independent of read parallelism — Spark's own Bernoulli sampler
+    // reseeds per partition index, so ITS sample changes under
+    // repartitioning; ours never does) and decode-skipping (a rejected
+    // row is frame-advanced, its payload never field-decoded — a 1%
+    // sample of 100 TB pays ~1% of the decode CPU). The oracle replays
+    // the exact hash over insertion order — the sample is a deterministic
+    // function, not a statistical claim.
+    QueryDef(
+      "h81_tablesample_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val p = colPath(dir, "h81")
+        // one segment, written in o_orderkey order: seq == 0-based
+        // insertion rank, which ROW_NUMBER reconstructs oracle-side
+        table(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+          .repartition(1).sortWithinPartitions($"o_orderkey")
+          .write.format("hadro").mode("overwrite").save(p)
+        val sampled = s.read.format("hadro").load(p).sample(0.37, 1234L)
+        val plan = sampled.queryExecution.executedPlan.toString
+        require(plan.contains("PushedSample"),
+          s"h81: TABLESAMPLE did not push into the scan:\n$plan")
+        sampled.orderBy($"o_orderkey")
+      },
+      Some(s"""WITH base AS (
+          SELECT o_orderkey, o_totalprice,
+            CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS HUGEINT) AS rid
+          FROM orders)
+        SELECT o_orderkey, o_totalprice FROM base
+        WHERE CAST(${OracleXxh64.longExpr("rid", "1234")} // 2048 AS DOUBLE)
+          / 9007199254740992.0 < 0.37
+        ORDER BY o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h82
+    // SQL partition management (SupportsAtomicPartitionManagement): SHOW
+    // PARTITIONS lists the manifest's routed tags (a metadata read — no
+    // files opened), ALTER TABLE ... DROP PARTITION unlinks exactly the
+    // named day's segments in one atomic commit. At 100 TB this is the
+    // event-log retention surface ops tooling actually speaks — the SQL
+    // twin of CALL system.drop_partitions. The oracle proves the
+    // surviving data exact: every remaining day byte-identical, the
+    // dropped day gone.
+    QueryDef(
+      "h82_sql_partition_mgmt",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_pmgmt/$tag"
+        s.conf.set("spark.sql.catalog.graft_h82",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h82.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h82.db")
+        s.sql("DROP TABLE IF EXISTS graft_h82.db.ev")
+        s.sql("""CREATE TABLE graft_h82.db.ev (o_orderkey BIGINT,
+          ts TIMESTAMP, o_totalprice DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        // 4 deterministic days keyed off o_orderkey
+        table(s, dir, "orders")
+          .select($"o_orderkey",
+            (lit("2024-06-01 12:00:00").cast("timestamp") +
+              make_dt_interval($"o_orderkey" % 4)).as("ts"),
+            $"o_totalprice")
+          .createOrReplaceTempView("h82_src")
+        s.sql("INSERT INTO graft_h82.db.ev SELECT * FROM h82_src")
+        // 2024-06-02 = epoch day 19876
+        val shown = s.sql("SHOW PARTITIONS graft_h82.db.ev")
+          .collect().map(_.getString(0)).toSeq
+        require(shown == (19875 to 19878).map(d => s"ts_days=$d"),
+          s"h82: SHOW PARTITIONS listed $shown")
+        s.sql("ALTER TABLE graft_h82.db.ev DROP PARTITION (ts_days = 19876)")
+        require(s.sql("SHOW PARTITIONS graft_h82.db.ev").count() == 3,
+          "h82: dropped day must vanish from the listing")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM graft_h82.db.ev
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 4 <> 1
+        ORDER BY o_orderkey"""))
   )
 }

@@ -108,7 +108,8 @@ final class HadroTable(path: Path, dataSchema: StructType,
     // this Table instance to it. A pinned table is read-only.
     val pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
-    with SupportsDeleteV2 with SupportsRowLevelOperations {
+    with SupportsDeleteV2 with SupportsRowLevelOperations
+    with SupportsAtomicPartitionManagement {
 
   override def name(): String = s"hadro.`$path`"
   override def schema(): StructType = dataSchema
@@ -146,6 +147,132 @@ final class HadroTable(path: Path, dataSchema: StructType,
       m.put(s"constraint.$n", text)
     }
     m
+  }
+
+  // ------------------------------------------------ partition management
+  // SQL `SHOW PARTITIONS` / `ALTER TABLE ... DROP PARTITION` /
+  // `TRUNCATE TABLE ... PARTITION` over declared value partitioning.
+  // Partitions in hadro are IMPLICIT (a partition exists iff segments
+  // carry its tag), so the managed identifier space is the manifest's
+  // distinct tags: identity transforms expose the source column itself
+  // (typed), time transforms expose `<col>_<transform>` as the epoch
+  // ordinal INT — the same representation the `t.partitions` metadata
+  // table and `drop_partitions` cutoffs use. Listing is a manifest read
+  // (no files opened); dropping is [[graft.api.Collection.dropPartitionTags]]'
+  // atomic metadata commit. ADD PARTITION is meaningless here and says so.
+
+  /** (source column, transform, source type) when value-partitioned. */
+  private def partitionMeta: Option[(String, String, DataType)] =
+    CollectionMeta.readSchema(path).flatMap { m =>
+      (m.partitionBy, m.partitionTransform) match {
+        case (Some(c), Some(t)) =>
+          m.schema.fields.find(_.name == c).map(f => (c, t, f.dataType))
+        case _ => None
+      }
+    }
+
+  override def partitionSchema(): StructType = partitionMeta match {
+    case Some((c, "identity", dt)) => new StructType().add(c, dt)
+    case Some((c, t, _)) => new StructType().add(s"${c}_$t", IntegerType)
+    case None => new StructType()
+  }
+
+  private def requirePartitioned: (String, String, DataType) =
+    partitionMeta.getOrElse(throw new UnsupportedOperationException(
+      s"hadro: table ${name()} declares no value partitioning " +
+        "(PARTITIONED BY at CREATE)"))
+
+  /** A resolved partition identifier -> the writer's segment tag. */
+  private def tagOfIdent(ident: InternalRow): String = {
+    val (_, t, dt) = requirePartitioned
+    if (ident.numFields < 1 || ident.isNullAt(0)) "__null__"
+    else (t, dt) match {
+      case ("identity", LongType) => ident.getLong(0).toString
+      case ("identity", IntegerType | DateType) => ident.getInt(0).toString
+      case ("identity", StringType) =>
+        HadroPartition.stringTag(ident.getUTF8String(0).toString)
+      case _ => ident.getInt(0).toString
+    }
+  }
+
+  private def identOfTag(tag: String): InternalRow = {
+    val (_, t, dt) = requirePartitioned
+    val v: Any =
+      if (tag == "__null__") null
+      else (t, dt) match {
+        case ("identity", LongType) => tag.toLong
+        case ("identity", IntegerType | DateType) => tag.toInt
+        case ("identity", StringType) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(tag)
+        case _ => tag.toInt
+      }
+    new GenericInternalRow(Array[Any](v))
+  }
+
+  private def liveTags: Seq[String] = {
+    val m = pinnedVersion.map(v => CollectionMeta.manifestAt(path, v))
+      .getOrElse(CollectionMeta.currentManifest(path))
+    m.segments.flatMap(_.partition).distinct
+      .sortBy(t => (t.toLongOption.getOrElse(Long.MaxValue), t))
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    requirePartitioned
+    val tags =
+      if (names.isEmpty) liveTags
+      else { val w = tagOfIdent(ident); liveTags.filter(_ == w) }
+    tags.map(identOfTag).toArray
+  }
+
+  override def dropPartitions(idents: Array[InternalRow]): Boolean = {
+    require(pinnedVersion.isEmpty,
+      "hadro: a time-travel-pinned table is read-only")
+    val tags = idents.map(tagOfIdent).toSet
+    graft.api.Collection(org.apache.spark.sql.SparkSession.active,
+      path.toString).dropPartitionTags(tags) > 0
+  }
+  override def dropPartition(ident: InternalRow): Boolean =
+    dropPartitions(Array(ident))
+  // PURGE skips the deferred grace generation: the dropped segments'
+  // files are reclaimed NOW (pinned version tags still protect theirs).
+  override def purgePartitions(idents: Array[InternalRow]): Boolean = {
+    val any = dropPartitions(idents)
+    val live = CollectionMeta.currentManifest(path).segments
+      .flatMap(_.allFiles).toSet
+    CollectionMeta.purgeDeferred(path, live)
+    any
+  }
+  override def purgePartition(ident: InternalRow): Boolean =
+    purgePartitions(Array(ident))
+  // TRUNCATE ... PARTITION: partitions are implicit, so emptying one IS
+  // unlinking its segments — same atomic commit as DROP.
+  override def truncatePartitions(idents: Array[InternalRow]): Boolean =
+    dropPartitions(idents)
+  override def truncatePartition(ident: InternalRow): Boolean =
+    dropPartitions(Array(ident))
+
+  override def createPartitions(idents: Array[InternalRow],
+      props: Array[java.util.Map[String, String]]): Unit =
+    throw new UnsupportedOperationException(
+      "hadro: partitions are implicit — a partition exists once a write " +
+        "routes rows to it; ADD PARTITION has nothing to create")
+  override def replacePartitionMetadata(ident: InternalRow,
+      props: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "hadro: partitions carry no mutable metadata")
+  override def loadPartitionMetadata(ident: InternalRow):
+      java.util.Map[String, String] = {
+    val tag = tagOfIdent(ident)
+    val m = pinnedVersion.map(v => CollectionMeta.manifestAt(path, v))
+      .getOrElse(CollectionMeta.currentManifest(path))
+    val segs = m.segments.filter(_.partition.contains(tag))
+    val out = new java.util.HashMap[String, String]()
+    out.put("numSegments", segs.size.toString)
+    out.put("numRows",
+      segs.map(s => s.rows - s.tombstones - s.dvDeletes).sum.toString)
+    out.put("numBytes", segs.map(_.bytes).sum.toString)
+    out
   }
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
@@ -259,7 +386,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     endingVersion: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownOffset {
+    with SupportsPushDownOffset with SupportsPushDownTableSample {
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
@@ -267,6 +394,40 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   private var limit: Option[Int] = None
   private var topN: Option[(String, Boolean, Int)] = None
   private var offset: Option[Int] = None
+  private var sample: Option[(Double, Double, Long)] = None
+
+  // ------------------------------------------------- TABLESAMPLE pushdown
+  // `TABLESAMPLE (p PERCENT) REPEATABLE (seed)` / df.sample(p, seed):
+  // accepting is the FULLY-pushed contract — Spark deletes its Sample
+  // operator — so the scan itself emits the sampled subset. The sampling
+  // decision is a seeded hash of each record's stable sequence number
+  // (`_hadro_seq` = segment ordinal << 40 | row index): membership in
+  // [lower, upper) of XXH64(seq, seed) / 2^53. That makes the sample
+  //   - LAYOUT-stable: independent of read parallelism, split ranges, and
+  //     partition count (Spark's own Bernoulli sampler reseeds per
+  //     partition index — repartitioning changes its output; ours never
+  //     does), so a 1000-executor cluster and local[1] draw the SAME rows;
+  //   - DECODE-skipping: a rejected row is frame-advanced, its payload is
+  //     never field-decoded — a 1% sample of 100 TB pays full I/O but ~1%
+  //     of decode CPU (columnar batching is disabled for sampled scans;
+  //     the row reader's skip is what realizes the saving);
+  //   - STRATIFIABLE: [0.0, 0.3) and [0.3, 0.5) from the same seed are
+  //     disjoint, exactly like Spark's randomSplit contract.
+  // This rule runs FIRST (before filter/aggregate/limit pushdown), so the
+  // later hooks below decline whenever a sample is latched: a pushed
+  // LIMIT's covering-prefix row accounting, top-N pruning bounds, OFFSET's
+  // exact skip counts, and the manifest-answered aggregates all reason
+  // over FULL live counts — each would be wrong on a sampled stream.
+  // Declined for: replacement sampling (per-row Bernoulli can't emit
+  // duplicates), changefeed windows and version-bounded replays (sampling
+  // a CDC replay silently corrupts downstream merges), and rewrite-
+  // primitive file-scoped scans.
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || changesStart.isDefined || endingVersion.isDefined ||
+      onlyFiles.isDefined || startingVersion.isDefined) false
+    else { sample = Some((lowerBound, upperBound, seed)); true }
+  }
 
   // ------------------------------------------------------ offset pushdown
   // `OFFSET m` (pagination / resumable bulk export): accepting is the
@@ -286,7 +447,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // anyway, so nothing of value is lost.
   override def pushOffset(m: Int): Boolean = {
     if (m <= 0 || pushed.nonEmpty || topN.nonEmpty || aggResult.isDefined ||
-      changesStart.isDefined) false
+      changesStart.isDefined || sample.isDefined) false
     else { offset = Some(m); true }
   }
 
@@ -301,8 +462,9 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // limit of matches. isPartiallyPushed stays true (the default): Spark
   // keeps its own global limit, we only shrink what is read.
   override def pushLimit(l: Int): Boolean = {
-    if (pushed.isEmpty && changesStart.isEmpty) { limit = Some(l); true }
-    else false
+    if (pushed.isEmpty && changesStart.isEmpty && sample.isEmpty) {
+      limit = Some(l); true
+    } else false
   }
 
   // ------------------------------------------------------- top-N pushdown
@@ -319,7 +481,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // retains its global limit; we only shrink what is read).
   override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
     if (pushed.nonEmpty || orders.isEmpty || l <= 0 ||
-      changesStart.isDefined) return false
+      changesStart.isDefined || sample.isDefined) return false
     val head = orders.head
     val colName = head.expression() match {
       case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
@@ -354,6 +516,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   // otherwise build() could return the single-row agg scan for a plain scan.
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     onlyFiles.isEmpty && changesStart.isEmpty && endingVersion.isEmpty &&
+      sample.isEmpty &&
       HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
@@ -362,8 +525,11 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
       // manifest stats cover the whole collection, not a file/window
       // subset; an endingVersion scan must reach toBatch's stream-only
       // guard instead of silently answering from the manifest
+      // a pushed SAMPLE means the scan's output is a subset of the rows
+      // the manifest counts — COUNT(*) over TABLESAMPLE must never be
+      // answered from whole-collection statistics
       if (onlyFiles.isDefined || changesStart.isDefined ||
-        endingVersion.isDefined) None
+        endingVersion.isDefined || sample.isDefined) None
       else HadroAggPushdown.plan(path, versionAsOf, aggregation, dataSchema, pushed)
     aggResult.isDefined
   }
@@ -373,7 +539,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
     case None =>
       new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
         maxOrdinalsPerTrigger, limit, onlyFiles, topN, offset, startingVersion,
-        maxBytesPerTrigger, changesStart, endingVersion)
+        maxBytesPerTrigger, changesStart, endingVersion, sample)
   }
 }
 
@@ -570,7 +736,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     startingVersion: Option[String] = None,
     maxBytesPerTrigger: Long = 0L,
     changesStart: Option[Long] = None,
-    endingVersion: Option[String] = None)
+    endingVersion: Option[String] = None,
+    pushedSample: Option[(Double, Double, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning with SupportsReportOrdering {
 
@@ -664,7 +831,10 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       pushedTopN.map { case (c, asc, n) =>
         s", PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $n"
       }.getOrElse("") +
-      pushedOffset.map(m => s", PushedOffset: $m").getOrElse("")
+      pushedOffset.map(m => s", PushedOffset: $m").getOrElse("") +
+      pushedSample.map { case (lo, hi, seed) =>
+        s", PushedSample: [$lo, $hi) seed=$seed"
+      }.getOrElse("")
 
   // Decode ALWAYS uses the stored on-disk schema; a user-supplied read
   // schema is only a projection request resolved by NAME. Types must agree
@@ -1102,7 +1272,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     // reader (per-value widening / boundary-partition row skip) and the
     // row-vs-columnar decision must be uniform across partitions
     new HadroReaderFactory(storedSchema, required,
-      typeWidened = widenedInPlan || pushedOffset.exists(_ > 0))
+      typeWidened = widenedInPlan || pushedOffset.exists(_ > 0),
+      sample = pushedSample)
 
   // ------------------------------------------------------ custom metrics
   // Pruning effectiveness in the SQL UI: segments read vs segments pruned
@@ -1201,9 +1372,15 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       }
       m
     }
+    // a pushed TABLESAMPLE keeps each row with probability (hi - lo):
+    // scale the reported cardinality so Catalyst sizes joins over the
+    // sampled relation (a 1% sample of a huge table IS broadcast-able)
+    val frac = pushedSample.map { case (lo, hi, _) => hi - lo }.getOrElse(1.0)
+    val sBytes = (bytes * frac).toLong
+    val sRows = (rows * frac).toLong
     new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(sBytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(sRows)
       override def columnStats(): JMap[NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
@@ -1374,7 +1551,8 @@ object HadroInputPartition {
 }
 
 final class HadroReaderFactory(dataSchema: StructType, required: StructType,
-    typeWidened: Boolean = false) extends PartitionReaderFactory {
+    typeWidened: Boolean = false,
+    sample: Option[(Double, Double, Long)] = None) extends PartitionReaderFactory {
 
   // Columnar path for flat schemas without metadata columns; nested types
   // or _hadro_* requests use the row reader (decided once per scan).
@@ -1382,9 +1560,11 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType,
   // the decision must be uniform across partitions (Spark rejects mixed
   // row/columnar scans), and the per-value widening lives in the row
   // reader. Compaction re-encodes at the current type and restores the
-  // columnar path.
+  // columnar path. Sampled scans also go row-based: the per-row hash
+  // decision lives in the row reader, where a rejected row skips payload
+  // decode entirely (the point of pushing the sample down).
   private val columnar =
-    !typeWidened &&
+    !typeWidened && sample.isEmpty &&
       HadroColumnar.supportsSchema(dataSchema) &&
       !required.fieldNames.exists(HadroTable.MetaColNames)
 
@@ -1401,7 +1581,7 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType,
     val p = unwrap(partition)
     new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
       p.startOffset, p.startRow, p.endOffset, p.nFields, p.deleteVector,
-      p.writeTypes, p.skipLive)
+      p.writeTypes, p.skipLive, sample)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1419,12 +1599,24 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
     startOffset: Long = 0L, startRow: Long = 0L, endOffset: Long = -1L,
     nFields: Int = -1, deleteVector: Option[String] = None,
     writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty,
-    skipLive: Long = 0L)
+    skipLive: Long = 0L,
+    sample: Option[(Double, Double, Long)] = None)
     extends PartitionReader[InternalRow] {
 
   // pushed-OFFSET residual: drop this many would-be-emitted rows first
   // (frame-advance only — the decoder never runs on skipped rows)
   private var toSkip: Long = skipLive
+
+  // pushed TABLESAMPLE: seeded-hash membership of the record's stable
+  // sequence number. A rejected row is frame-advanced only — its payload
+  // is never decoded (2^-53 maps the hash's top 53 bits onto [0, 1)).
+  private val sampleOn = sample.isDefined
+  private val (sampleLo, sampleHi, sampleSeed) = sample.getOrElse((0.0, 0.0, 0L))
+  @inline private def sampled(seq: Long): Boolean = {
+    val u = (org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(seq, sampleSeed) >>> 11) * (1.0 / 9007199254740992.0) // 2^-53
+    u >= sampleLo && u < sampleHi
+  }
 
   // Deletion vector: rows whose in-segment index is set are PHYSICALLY
   // deleted — skipped unconditionally, even in changefeed (raw) mode.
@@ -1501,6 +1693,8 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
     while (reader.advance()) {
       rowIndex += 1
       if (dvBits == null || rowIndex > Int.MaxValue || !dvBits.get(rowIndex.toInt)) {
+      if (!sampleOn ||
+        sampled((ordinal << HadroTable.SeqOrdinalShift) | rowIndex)) {
       val deleted = (reader.flags & RecordCodec.DeletedFlag) != 0
       if ((!deleted || wantDeleted) && toSkip > 0) toSkip -= 1
       else if (!deleted || wantDeleted) { // tombstone skip: engine.py:169
@@ -1525,6 +1719,7 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
             out
           }
         return true
+      }
       }
       }
     }

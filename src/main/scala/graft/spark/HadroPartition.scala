@@ -52,6 +52,13 @@ private[graft] object HadroPartition {
     (d.getYear - 1970L) * 12L + (d.getMonthValue - 1L)
   }
 
+  /** Identity-string tag: cap pathological identity strings — two values
+    * sharing a truncated tag merely share a segment, never a result.
+    * Shared with the partition-management surface so a DROP PARTITION
+    * identifier maps to the exact tag the writer produced. */
+  def stringTag(s: String): String =
+    if (s.length <= 48) s else s.take(40) + "~" + Integer.toHexString(s.hashCode)
+
   /** Transform value for one row, as the segment tag. Deterministic and
     * engine-internal — only EQUALITY matters (equal value = same
     * segment); pruning reads the source column's stats, not the tag. */
@@ -61,11 +68,7 @@ private[graft] object HadroPartition {
     (transform, dt) match {
       case ("identity", LongType) => row.getLong(ord).toString
       case ("identity", IntegerType | DateType) => row.getInt(ord).toString
-      case ("identity", StringType) =>
-        // layout-only tag: cap pathological identity strings — two values
-        // sharing a truncated tag merely share a segment, never a result
-        val s = row.getUTF8String(ord).toString
-        if (s.length <= 48) s else s.take(40) + "~" + Integer.toHexString(s.hashCode)
+      case ("identity", StringType) => stringTag(row.getUTF8String(ord).toString)
       case ("days", DateType) => row.getInt(ord).toString
       case ("days", _) => java.lang.Math.floorDiv(micros, MicrosPerDay).toString
       case ("hours", _) => java.lang.Math.floorDiv(micros, MicrosPerHour).toString

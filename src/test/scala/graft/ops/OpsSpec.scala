@@ -1372,4 +1372,60 @@ class OpsSpec extends SparkSuite {
     assert(out.orderBy("vec_id").collect().toSeq ==
       again.orderBy("vec_id").collect().toSeq)
   }
+
+  test("perplexity buckets: tail dropped by value, boundary ties all stay") {
+    val out = TextOps.perplexityBucketFilter(docs, "doc_id", "text", "lang")
+    val scored = TextOps.lmNllScores(docs, "doc_id", "text")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val perLangN = scored.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    val keptByLang = kept.groupBy(_._2)
+    perLangN.foreach { case (lang, n) =>
+      val k = keptByLang.get(lang).map(_.length).getOrElse(0)
+      assert(k >= n - n / 3, s"$lang kept $k of $n — below the tercile floor")
+      // value rule: every dropped doc scores strictly above every kept one
+      val cutKeep = keptByLang(lang).map(_._3).max
+      val dropped = scored.filter($"lang" === lang)
+        .join(out.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"lm_nll").as[Double].collect()
+      assert(dropped.forall(_ > cutKeep),
+        s"$lang: a dropped doc scored <= the keep cutoff $cutKeep")
+      // head floor: at least ceil(n/3) head rows, all scoring <= middles
+      val heads = keptByLang(lang).filter(_._4 == "head").map(_._3)
+      val mids = keptByLang(lang).filter(_._4 == "middle").map(_._3)
+      assert(heads.length >= (n + 2) / 3)
+      if (mids.nonEmpty) assert(heads.max <= mids.min)
+    }
+    // boundary ties all stay: one language, 9 identical docs (one score)
+    val tied = (1 to 9).map(i => (i.toLong, "same text here", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val tiedOut = TextOps.perplexityBucketFilter(tied, "doc_id", "text", "lang")
+    assert(tiedOut.count() == 9, "a single tied score can never be 'tail'")
+    assert(tiedOut.select($"ppl_bucket").distinct().as[String].collect()
+      .toSeq == Seq("head"))
+  }
+
+  test("hashed linear quality: exact hash replay, map-only plan") {
+    val out = TextOps.hashedQualityScore(docs, "doc_id", "text")
+    // no shuffle anywhere: the classifier is a per-row projection
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier pass must be map-only:\n$plan")
+    // bit-exact replay of one doc through the same formula
+    val row = docs.orderBy($"doc_id").select($"doc_id", $"text").head()
+    val toks = row.getString(1).split(" ", -1)
+    val score = toks.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L)
+      val b = java.lang.Math.floorMod(h, 1024L)
+      java.lang.Math.floorMod(b * 2654435761L + 12345L, 2001L) - 1000L
+    }.sum
+    val got = out.filter($"doc_id" === row.getLong(0)).head()
+    assert(got.getInt(1) == toks.length)
+    assert(got.getDouble(2) ==
+      BigDecimal(score.toDouble / (toks.length * 1000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getBoolean(3) == (score >= 0))
+  }
 }

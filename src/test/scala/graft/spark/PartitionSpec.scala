@@ -938,4 +938,94 @@ class PartitionSpec extends SparkSuite {
     assert(e.getMessage.contains("partition column"), e.getMessage)
     spark.sql("DROP TABLE pevol.db.t")
   }
+
+  test("SHOW PARTITIONS lists routed tags; DROP PARTITION unlinks exactly one") {
+    val w = setupCatalog("pmgmt")
+    spark.sql("""CREATE TABLE pmgmt.db.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+      USING hadro PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO pmgmt.db.ev
+      SELECT id, timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,CAST(id % 5 AS INT),0,0,0), id * 0.5
+      FROM range(0, 500)""")
+    val days = spark.sql("SHOW PARTITIONS pmgmt.db.ev")
+      .collect().map(_.getString(0)).toSeq
+    // 2024-03-01..05 = epoch days 19783..19787
+    assert(days == (19783 to 19787).map(d => s"ts_days=$d"),
+      days.mkString(","))
+    // scoped listing
+    assert(spark.sql("SHOW PARTITIONS pmgmt.db.ev PARTITION (ts_days = 19785)")
+      .count() == 1)
+
+    val dir = Paths.get(w, "db", "ev")
+    val before = CollectionMeta.currentManifest(dir)
+    spark.sql("ALTER TABLE pmgmt.db.ev DROP PARTITION (ts_days = 19785)")
+    val after = CollectionMeta.currentManifest(dir)
+    assert(after.segments.size == before.segments.size - 1)
+    assert(!after.segments.exists(_.partition.contains("19785")))
+    // rows of the dropped day gone, the rest intact
+    assert(spark.table("pmgmt.db.ev").count() == 400)
+    assert(spark.table("pmgmt.db.ev")
+      .filter($"id" % 5 === 2).count() == 0)
+    // SHOW PARTITIONS reflects the drop
+    assert(spark.sql("SHOW PARTITIONS pmgmt.db.ev").count() == 4)
+    // dropping a missing partition: IF EXISTS passes, bare form errors
+    spark.sql("ALTER TABLE pmgmt.db.ev DROP IF EXISTS PARTITION (ts_days = 19785)")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE pmgmt.db.ev DROP PARTITION (ts_days = 19785)"))
+    assert(e.getMessage.toLowerCase.contains("partition"), e.getMessage)
+    spark.sql("DROP TABLE pmgmt.db.ev")
+  }
+
+  test("identity partition management: typed identifiers, purge reclaims now") {
+    val w = setupCatalog("pmgmt2")
+    spark.sql("""CREATE TABLE pmgmt2.db.docs (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO pmgmt2.db.docs
+      SELECT id, CASE WHEN id % 3 = 0 THEN 'emea' WHEN id % 3 = 1 THEN 'apac'
+        ELSE 'amer' END FROM range(0, 300)""")
+    val parts = spark.sql("SHOW PARTITIONS pmgmt2.db.docs")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("region=amer", "region=apac", "region=emea"), parts)
+
+    val dir = Paths.get(w, "db", "docs")
+    val apacFiles = CollectionMeta.currentManifest(dir).segments
+      .filter(_.partition.contains("apac")).map(_.file)
+    assert(apacFiles.nonEmpty)
+    // PURGE skips the deferred-GC grace generation: files gone NOW
+    spark.sql("ALTER TABLE pmgmt2.db.docs DROP PARTITION (region = 'apac') PURGE")
+    assert(apacFiles.forall(f => !Files.exists(Paths.get(w, "db", "docs", f))),
+      "purged partition files must be physically reclaimed")
+    assert(spark.table("pmgmt2.db.docs").count() == 200)
+    // TRUNCATE ... PARTITION is the same unlink (partitions are implicit)
+    spark.sql("TRUNCATE TABLE pmgmt2.db.docs PARTITION (region = 'emea')")
+    assert(spark.table("pmgmt2.db.docs").count() == 100)
+    assert(spark.sql("SHOW PARTITIONS pmgmt2.db.docs").count() == 1)
+    // ADD PARTITION is meaningless on implicit partitions and says so
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE pmgmt2.db.docs ADD PARTITION (region = 'x')"))
+    assert(e.getMessage.contains("implicit"), e.getMessage)
+    spark.sql("DROP TABLE pmgmt2.db.docs")
+  }
+
+  test("partition management guards: unpartitioned and mutated tables refuse") {
+    val w = setupCatalog("pmgmt3")
+    spark.sql("CREATE TABLE pmgmt3.db.plain (id BIGINT) USING hadro")
+    spark.sql("INSERT INTO pmgmt3.db.plain SELECT id FROM range(10)")
+    val e1 = intercept[Exception](
+      spark.sql("SHOW PARTITIONS pmgmt3.db.plain").collect())
+    assert(e1.getMessage.contains("partition") ||
+      e1.getMessage.contains("PARTITION"), e1.getMessage)
+
+    // keyed + mutated: dropping a tag could lose a key's newest version
+    spark.sql("""CREATE TABLE pmgmt3.db.kv (id BIGINT, region STRING)
+      USING hadro PARTITIONED BY (region) TBLPROPERTIES ('key' = 'id')""")
+    spark.sql("INSERT INTO pmgmt3.db.kv VALUES (1, 'a'), (2, 'b')")
+    val dir = Paths.get(w, "db", "kv")
+    Collection(spark, dir.toString)
+      .set(Seq((1L, "b")).toDF("id", "region")) // flips mutated
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE pmgmt3.db.kv DROP PARTITION (region = 'a')"))
+    assert(e2.getMessage.contains("pure-append"), e2.getMessage)
+    spark.sql("DROP TABLE pmgmt3.db.plain")
+    spark.sql("DROP TABLE pmgmt3.db.kv")
+  }
 }
