@@ -2688,5 +2688,51 @@ object StorageQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_orderkey % 4 <> 1
         ORDER BY o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h83
+    // GROUPED aggregate pushdown: GROUP BY the identity partition column
+    // answered ENTIRELY from manifest statistics — the physical plan is a
+    // LocalTableScan, zero tasks, zero data bytes. Each partition's
+    // segments are provably single-valued (exact zero-null min == max, the
+    // h65 routing invariant), so per-group COUNT/SUM/MIN/MAX fold the same
+    // per-segment stats the global h17/h56 paths use. At 100 TB the
+    // canonical ops rollup (`SELECT day, COUNT(*), SUM(bytes) GROUP BY
+    // day`) becomes a metadata read; the proof is stats-based, so it also
+    // holds for unpartitioned-but-exactly-clustered layouts and survives
+    // partition-spec respecs.
+    QueryDef(
+      "h83_grouped_agg_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_gagg/$tag"
+        s.conf.set("spark.sql.catalog.graft_h83",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h83.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h83.db")
+        s.sql("DROP TABLE IF EXISTS graft_h83.db.t")
+        s.sql("""CREATE TABLE graft_h83.db.t (o_orderkey BIGINT,
+          o_orderpriority STRING, o_custkey BIGINT)
+          USING hadro PARTITIONED BY (o_orderpriority)""")
+        table(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_custkey")
+          .createOrReplaceTempView("h83_src")
+        s.sql("INSERT INTO graft_h83.db.t SELECT * FROM h83_src")
+        val df = s.sql("""SELECT o_orderpriority,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+            MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+          FROM graft_h83.db.t GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+          s"h83: grouped aggregate must answer from the manifest:\n$plan")
+        df
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -390,7 +390,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
 
   private var required: StructType = dataSchema
   private var pushed: Array[Filter] = Array.empty
-  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var aggResult: Option[(StructType, Array[InternalRow])] = None
   private var limit: Option[Int] = None
   private var topN: Option[(String, Boolean, Int)] = None
   private var offset: Option[Int] = None
@@ -535,7 +535,7 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   }
 
   override def build(): Scan = aggResult match {
-    case Some((aggSchema, row)) => new HadroLocalAggScan(path, aggSchema, row)
+    case Some((aggSchema, rows)) => new HadroLocalAggScan(path, aggSchema, rows)
     case None =>
       new HadroScan(path, dataSchema, required, pushed, versionAsOf, onTruncate,
         maxOrdinalsPerTrigger, limit, onlyFiles, topN, offset, startingVersion,
@@ -543,26 +543,40 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   }
 }
 
-/** Completely-pushed-down aggregate over a hadro collection: the result row
-  * is computed on the DRIVER from manifest statistics alone (no segment
-  * file is opened, no executor task runs — Spark plans a LocalTableScan).
-  * Only built when [[HadroAggPushdown.plan]] proved the manifest exact. */
-final class HadroLocalAggScan(path: Path, aggSchema: StructType, row: InternalRow)
-    extends LocalScan {
+/** Completely-pushed-down aggregate over a hadro collection: the result
+  * rows (one for a global aggregate, one per group for a GROUP BY on a
+  * provably single-valued-per-segment column) are computed on the DRIVER
+  * from manifest statistics alone (no segment file is opened, no executor
+  * task runs — Spark plans a LocalTableScan). Only built when
+  * [[HadroAggPushdown.plan]] proved the manifest exact. */
+final class HadroLocalAggScan(path: Path, aggSchema: StructType,
+    resultRows: Array[InternalRow]) extends LocalScan {
   override def readSchema(): StructType = aggSchema
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = resultRows
   override def description(): String =
     s"hadro manifest-aggregate $path -> [${aggSchema.fieldNames.mkString(", ")}]"
 }
 
 /** Decides whether an [[Aggregation]] can be answered EXACTLY from manifest
-  * stats, and computes the single result row if so. Strictly conservative:
-  * any filter, grouping, mutation, distinct, missing stat, or inexact type
-  * returns None and the normal scan runs. */
+  * stats, and computes the result rows if so. Strictly conservative: any
+  * filter, mutation, distinct, missing stat, or inexact type returns None
+  * and the normal scan runs.
+  *
+  * GROUP BY pushdown: a GROUP BY (one or more columns) is answerable when
+  * every live segment is provably SINGLE-VALUED on every group column
+  * (exact zero-null min == max stats — the identity-partitioned layout's
+  * steady state, and equally any value-routed or exactly-clustered
+  * collection). Segments then group by their value vector and each group
+  * folds the same per-segment statistics the global path uses. At 100 TB this turns the
+  * canonical per-partition rollup (`SELECT region, COUNT(*), SUM(x) GROUP
+  * BY region`) into a manifest read — zero tasks, zero bytes scanned —
+  * with driver work and result size bounded by the segment count. The
+  * proof is stats-based, never tag-based, so it survives partition-spec
+  * respecs and holds for unpartitioned-but-clustered layouts. */
 object HadroAggPushdown {
   def plan(path: Path, versionAsOf: Option[Long], agg: Aggregation,
-      schema: StructType, pushedFilters: Array[Filter]): Option[(StructType, InternalRow)] = {
-    if (pushedFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+      schema: StructType, pushedFilters: Array[Filter]): Option[(StructType, Array[InternalRow])] = {
+    if (pushedFilters.nonEmpty) return None
     val manifest =
       try versionAsOf.map(v => CollectionMeta.manifestAt(path, v))
         .getOrElse(CollectionMeta.currentManifest(path))
@@ -582,6 +596,79 @@ object HadroAggPushdown {
     // only nulls for it (manifest nFields is the write-time width).
     def presentIn(seg: SegmentInfo, ordinal: Int): Boolean =
       seg.nFields.forall(ordinal < _)
+
+    agg.groupByExpressions.toSeq match {
+      case Nil =>
+        computeAggs(agg, schema, live, fieldOf, presentIn)
+          .map { case (st, vals) =>
+            (st, Array[InternalRow](new GenericInternalRow(vals)))
+          }
+      case gs =>
+        val groupFields: Seq[(StructField, Int)] = gs.map { g =>
+          val (gf, gOrd) = fieldOf(g).getOrElse(return None)
+          gf.dataType match {
+            // float/double: -0.0/NaN grouping semantics are engine-subtle
+            case FloatType | DoubleType => return None
+            case dt if !StatsCollector.isOrderable(dt) => return None
+            case _ =>
+          }
+          (gf, gOrd)
+        }
+        // every live segment must prove single-valued on EVERY group
+        // column: exact zero-null min == max (compared as rendered
+        // strings — exact renders are injective, so equal strings ==
+        // equal values). Multi-column grouping needs no cross-column
+        // proof: a segment single-valued on each column holds exactly one
+        // combination, so segments group by their rendered value vector.
+        val keyed: Seq[(Seq[String], SegmentInfo)] = live.map { s =>
+          val key = groupFields.map { case (gf, gOrd) =>
+            if (!presentIn(s, gOrd)) return None
+            val st = s.stats.getOrElse(gf.name, return None)
+            if (!st.exact || st.nullCount != 0L) return None
+            val mn = st.min.getOrElse(return None)
+            val mx = st.max.getOrElse(return None)
+            if (mn != mx) return None
+            mn
+          }
+          (key, s)
+        }
+        // schema is value-independent: derive it once from the empty fold
+        val (aggSchema, _) =
+          computeAggs(agg, schema, Seq.empty, fieldOf, presentIn)
+            .getOrElse(return None)
+        val outSchema = StructType(
+          groupFields.map { case (gf, _) =>
+            StructField(gf.name, gf.dataType, nullable = false)
+          } ++ aggSchema.fields)
+        val rows = keyed.groupBy(_._1).toSeq
+          .sortBy(_._1.mkString("\u0000"))
+          // SQL GROUP BY never emits a group with no surviving rows: a
+          // partition whose every row is deletion-vectored (or whose
+          // segments hold only tombstones) must vanish, not report 0s
+          .filter { case (_, ss) =>
+            ss.map { case (_, s) => s.rows - s.tombstones - s.dvDeletes }.sum > 0
+          }
+          .map { case (rendered, ss) =>
+            val vs = rendered.zip(groupFields).map { case (r, (gf, _)) =>
+              val v = StatsCollector.parse(r, gf.dataType)
+              if (v == null) return None
+              v
+            }
+            val (_, vals) =
+              computeAggs(agg, schema, ss.map(_._2), fieldOf, presentIn)
+                .getOrElse(return None)
+            new GenericInternalRow((vs ++ vals.toSeq).toArray): InternalRow
+          }
+        Some((outSchema, rows.toArray))
+    }
+  }
+
+  /** Folds the aggregate list over `live`'s statistics; None = any
+    * aggregate the manifest cannot answer exactly. */
+  private def computeAggs(agg: Aggregation, schema: StructType,
+      live: Seq[SegmentInfo],
+      fieldOf: V2Expression => Option[(StructField, Int)],
+      presentIn: (SegmentInfo, Int) => Boolean): Option[(StructType, Array[Any])] = {
 
     // Deletion vectors make per-column stats inexact (nullCount and
     // min/max were computed over rows some of which are now deleted):
@@ -722,8 +809,7 @@ object HadroAggPushdown {
       case _ => None
     }
     if (planned.isEmpty || planned.exists(_.isEmpty)) return None
-    Some((StructType(planned.map(_.get._1)),
-      new GenericInternalRow(planned.map(_.get._2).toArray)))
+    Some((StructType(planned.map(_.get._1)), planned.map(_.get._2).toArray))
   }
 }
 

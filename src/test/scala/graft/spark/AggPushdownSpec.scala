@@ -100,7 +100,8 @@ class AggPushdownSpec extends SparkSuite {
     assert(f.head().getLong(0) == src.filter($"c_nationkey" === 3).count())
     // double min/max -> real scan (exactness not provable from stats)
     assert(hasDataScan(load().agg(min($"c_acctbal"))))
-    // group by -> real scan
+    // group by a NON-single-valued-per-segment column -> real scan
+    // (grouped pushdown needs exact min == max proof on every segment)
     assert(hasDataScan(load().groupBy($"c_nationkey").agg(count(lit(1)))))
     // distinct count -> real scan
     assert(hasDataScan(load().agg(countDistinct($"c_mktsegment"))))
@@ -172,5 +173,143 @@ class AggPushdownSpec extends SparkSuite {
     val pushed = new HadroScanBuilder(java.nio.file.Paths.get(path), schema)
     assert(pushed.supportCompletePushDown(countStar) && pushed.pushAggregation(countStar))
     assert(pushed.build().isInstanceOf[HadroLocalAggScan])
+  }
+
+  test("GROUP BY a single-valued-per-segment column answers from the manifest") {
+    val w = Files.createTempDirectory("agggrp").toString
+    spark.conf.set("spark.sql.catalog.agggrp", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.agggrp.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS agggrp.db")
+    spark.sql("""CREATE TABLE agggrp.db.t (id BIGINT, region STRING, v INT)
+      USING hadro PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO agggrp.db.t
+      SELECT id, CASE WHEN id % 3 = 0 THEN 'emea' WHEN id % 3 = 1 THEN 'apac'
+        ELSE 'amer' END, CAST(id % 100 AS INT) FROM range(0, 3000)""")
+    // second insert: several segments per region (per-group fold, not 1:1)
+    spark.sql("""INSERT INTO agggrp.db.t
+      SELECT id + 3000, CASE WHEN id % 3 = 0 THEN 'emea' ELSE 'apac' END,
+        CAST(7 AS INT) FROM range(0, 300)""")
+
+    val df = spark.table("agggrp.db.t").groupBy($"region")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        min($"id").as("mn"), max($"id").as("mx"), avg($"v").as("av"))
+    assert(isLocal(df), "expected manifest-answered GROUP BY, got:\n" +
+      df.queryExecution.executedPlan.toString)
+    val got = df.orderBy($"region").collect().map(_.toSeq).toSeq
+    // ground truth from a forced full scan (sampling declines agg pushdown
+    // is unrelated; use a filter-shaped no-op to keep the real scan)
+    val want = spark.table("agggrp.db.t").filter(length($"region") >= 0)
+      .groupBy($"region")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        min($"id").as("mn"), max($"id").as("mx"), avg($"v").as("av"))
+      .orderBy($"region").collect().map(_.toSeq).toSeq
+    assert(got == want, s"got $got\nwant $want")
+
+    // even a PATH-based append routes one segment per value (the h65
+    // writer invariant) — the single-valued proof survives any write path
+    val dir = java.nio.file.Paths.get(w, "db", "t")
+    Seq((9000L, "emea", 1), (9001L, "apac", 2)).toDF("id", "region", "v")
+      .coalesce(1).write.format("hadro").mode("append").save(dir.toString)
+    val after = spark.table("agggrp.db.t").groupBy($"region")
+      .agg(count(lit(1)).as("n"))
+    assert(isLocal(after), "writer routing must keep the grouped pushdown")
+    assert(after.orderBy($"region").collect().map(_.getLong(1)).toSeq ==
+      Seq(1000L, 1200L + 1L, 1100L + 1L))
+    spark.sql("DROP TABLE agggrp.db.t")
+  }
+
+  test("multi-column GROUP BY answers from the manifest when every group " +
+      "column is single-valued per segment") {
+    // no partition spec at all: the proof is stats-based, so ANY layout
+    // whose segments happen to be exactly clustered qualifies — here,
+    // constant-per-batch appends (one coalesced segment per batch)
+    val path = Files.createTempDirectory("aggmc").resolve("c").toString
+    val batches = for {
+      region <- Seq("emea", "apac"); tier <- Seq(1, 2)
+      rep <- Seq(0, 1) // two segments per (region, tier): per-group fold
+    } yield (region, tier, rep)
+    batches.zipWithIndex.foreach { case ((region, tier, rep), i) =>
+      val rows = (0 until 50).map(j =>
+        (i * 1000L + j, region, tier, (j + rep).toLong))
+      val df = rows.toDF("id", "region", "tier", "v").coalesce(1)
+      if (i == 0) df.write.format("hadro").mode("overwrite").save(path)
+      else df.write.format("hadro").mode("append").save(path)
+    }
+    val df = spark.read.format("hadro").load(path)
+      .groupBy($"region", $"tier")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        min($"id").as("mn"), max($"id").as("mx"))
+    assert(isLocal(df), "expected manifest-answered multi-col GROUP BY:\n" +
+      df.queryExecution.executedPlan.toString)
+    val got = df.orderBy($"region", $"tier").collect().map(_.toSeq).toSeq
+    val want = spark.read.format("hadro").load(path)
+      .filter(length($"region") >= 0) // keeps the real scan for ground truth
+      .groupBy($"region", $"tier")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        min($"id").as("mn"), max($"id").as("mx"))
+      .orderBy($"region", $"tier").collect().map(_.toSeq).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.size == 4)
+
+    // one segment multi-valued on ONE of the group columns -> real scan
+    Seq((90000L, "emea", 1, 0L), (90001L, "emea", 2, 0L))
+      .toDF("id", "region", "tier", "v")
+      .coalesce(1).write.format("hadro").mode("append").save(path)
+    val mixed = spark.read.format("hadro").load(path)
+      .groupBy($"region", $"tier").agg(count(lit(1)).as("n"))
+    assert(hasDataScan(mixed),
+      "a segment spanning two tiers must decline the grouped pushdown")
+  }
+
+  test("grouped pushdown: int group keys, DV presence declines, empty table") {
+    val w = Files.createTempDirectory("agggrp2").toString
+    spark.conf.set("spark.sql.catalog.agggrp2", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.agggrp2.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS agggrp2.db")
+    spark.sql("""CREATE TABLE agggrp2.db.t (id BIGINT, bucket BIGINT)
+      USING hadro PARTITIONED BY (bucket)""")
+    // empty table: zero groups, still manifest-answered
+    val empty = spark.table("agggrp2.db.t").groupBy($"bucket").agg(count(lit(1)))
+    assert(isLocal(empty) && empty.count() == 0)
+
+    spark.sql("""INSERT INTO agggrp2.db.t
+      SELECT id, id % 4 FROM range(0, 400)""")
+    val df = spark.table("agggrp2.db.t").groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"id").as("s"))
+    assert(isLocal(df))
+    val got = df.orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = (0L until 4L).map(b =>
+      (b, 100L, (0L until 400L).filter(_ % 4 == b).sum))
+    assert(got == want, got.mkString(","))
+
+    // deletion vectors: COUNT(*) stays exact (vector cardinality is
+    // exact; a single-valued segment's remaining rows keep the value)...
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try spark.sql("DELETE FROM agggrp2.db.t WHERE id = 5")
+    finally spark.conf.unset("spark.hadro.delete.mode")
+    val dv = spark.table("agggrp2.db.t").groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+    assert(isLocal(dv), "grouped COUNT(*) under DVs is still manifest-exact")
+    assert(dv.filter($"bucket" === 1L).head().getLong(1) == 99L)
+    // ...but per-column stats are stale -> SUM/MIN/COUNT(col) decline
+    val dvSum = spark.table("agggrp2.db.t").groupBy($"bucket")
+      .agg(sum($"id").as("s"))
+    assert(hasDataScan(dvSum), "DV'd segments must scan for column aggs")
+    assert(dvSum.filter($"bucket" === 1L).head().getLong(1) ==
+      (0L until 400L).filter(i => i % 4 == 1 && i != 5).sum)
+    // a FULLY-deleted partition must vanish from the grouped result —
+    // SQL GROUP BY never emits an empty group
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try spark.sql("DELETE FROM agggrp2.db.t WHERE bucket = 2")
+    finally spark.conf.unset("spark.hadro.delete.mode")
+    val gone = spark.table("agggrp2.db.t").groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+    assert(isLocal(gone))
+    assert(gone.orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 100L), (1L, 99L), (3L, 100L)),
+      "the all-deleted bucket 2 group must be absent, not zero")
+    spark.sql("DROP TABLE agggrp2.db.t")
   }
 }
