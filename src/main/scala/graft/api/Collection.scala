@@ -916,13 +916,15 @@ final class Collection private (spark: SparkSession, val path: String) {
       catch { case _: Exception => Files.copy(srcF, dstF) }
     }
     // non-manifest metadata sidecars ride along (vocab.json, sq8-params,
-    // constraints.json…) — but NOT refs.json: tags pin VERSIONS, and the
-    // clone starts a fresh history where those versions don't exist
+    // constraints.json…) — but NOT refs.json/branches.json: tags and
+    // branch heads pin VERSIONS, and the clone starts a fresh history
+    // where those versions don't exist
     CollectionMeta.listDir(CollectionMeta.metaDir(dir))
       .filter { p =>
         val n = p.getFileName.toString
         !n.startsWith("manifest-") && !n.startsWith("dead-") &&
-          !n.startsWith(".tmp") && n != "schema.json" && n != "refs.json"
+          !n.startsWith(".tmp") && n != "schema.json" && n != "refs.json" &&
+          n != "branches.json" && n != "branch.lock"
       }
       .foreach(p => Files.copy(p,
         CollectionMeta.metaDir(dst).resolve(p.getFileName.toString),
@@ -1126,6 +1128,9 @@ final class Collection private (spark: SparkSession, val path: String) {
     * version tagged. At 100 TB a tag is the cheap "release snapshot" verb:
     * one metadata write pins the exact bytes a training run consumed. */
   def createTag(name: String, version: Long = -1L): Long = {
+    require(!CollectionMeta.readBranches(dir).contains(name),
+      s"hadro: '$name' is a branch — tags and branches share the " +
+        "VERSION AS OF namespace (drop the branch first)")
     val v = if (version < 0) this.version else version
     CollectionMeta.setRef(dir, name, v)
     v
@@ -1133,10 +1138,58 @@ final class Collection private (spark: SparkSession, val path: String) {
 
   /** Drop a named tag; its pinned files return to normal GC at the next
     * maintenance cycle. Returns whether the tag existed. */
-  def dropTag(name: String): Boolean = CollectionMeta.dropRef(dir, name)
+  def dropTag(name: String): Boolean = {
+    require(!CollectionMeta.readBranches(dir).contains(name),
+      s"hadro: '$name' is a branch — use dropBranch/system.drop_branch")
+    CollectionMeta.dropRef(dir, name)
+  }
 
-  /** All named tags: name -> pinned version. */
+  /** All named tags: name -> pinned version (branch heads included —
+    * they live in the same ref namespace). */
   def tags: Map[String, Long] = CollectionMeta.readRefs(dir)
+
+  /** Fork a BRANCH (Iceberg branch analog) at `version` (-1 = current
+    * head) — the write-audit-publish staging surface. Writes routed to
+    * the branch (`option("hadro.branch", name)` or session conf
+    * `spark.hadro.writeBranch`) commit manifests main readers never see;
+    * `VERSION AS OF '<name>'` reads the staged state for auditing; and
+    * [[fastForward]] publishes it as one atomic main commit. The head is
+    * pinned like a tag, so no retention sweep reclaims staged state. At
+    * 100 TB this is the ingest-gate shape: land a day's data on a branch,
+    * run quality checks against the staged snapshot, publish or drop —
+    * main readers never observe unaudited rows. Returns the fork version. */
+  def createBranch(name: String, version: Long = -1L): Long =
+    CollectionMeta.createBranch(dir, name, version)
+
+  /** Drop a branch: staged manifests age out with normal retention and
+    * staged segment files become reclaimable (the audit-failed path).
+    * Returns whether the branch existed. */
+  def dropBranch(name: String): Boolean = CollectionMeta.dropBranch(dir, name)
+
+  /** All branches: name -> (head version, fork-base version). */
+  def branches: Map[String, (Long, Long)] = {
+    val refs = CollectionMeta.readRefs(dir)
+    CollectionMeta.readBranches(dir).map { case (n, base) =>
+      n -> (refs.getOrElse(n, base), base)
+    }
+  }
+
+  /** Publish a branch: republish its head as one atomic MAIN commit, iff
+    * main has not moved since the fork (otherwise conflict — staged state
+    * would drop main's newer rows). Advances the fork base so the
+    * audit-publish cycle continues on the same branch. Returns the
+    * published main version. */
+  def fastForward(name: String): Long =
+    CollectionMeta.fastForwardBranch(dir, name)
+
+  /** Publish a branch by REBASE (Iceberg cherry-pick analog): re-apply
+    * its staged append segments onto the CURRENT main head — the publish
+    * that still works after main moved (where [[fastForward]] refuses).
+    * Metadata-only (segments are immutable; re-apply appends them with
+    * fresh ordinals, so staged rows rank newest under last-write-wins);
+    * the branch is then re-forked at the published version and the cycle
+    * continues. Returns the published main version. */
+  def rebase(name: String): Long = CollectionMeta.rebaseBranch(dir, name)
 
   /** Add a CHECK constraint (SQL semantics: NULL passes, FALSE fails).
     * Validates the expression against the schema (full analyzer — type

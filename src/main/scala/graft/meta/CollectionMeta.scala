@@ -169,7 +169,16 @@ final case class Manifest(
     // consumed — silently skipped rows. Generation-bumping rewrites
     // (truncate, replace) reset it to 0: they restart the ordinal space
     // and the generation change already tells streams so.
-    ordinalFloor: Long = 0L) {
+    ordinalFloor: Long = 0L,
+    // BRANCH commits (write-audit-publish staging): Some(name) marks this
+    // manifest as a snapshot of the named branch, NOT of the main line —
+    // [[CollectionMeta.currentManifest]] and `TIMESTAMP AS OF` skip it,
+    // so staged writes are invisible to every main reader until
+    // fast-forward publishes the branch head as a main commit. Branch
+    // manifests share the main line's version-number space (one atomic
+    // slot-claim protocol for everything); the branch head is pinned via
+    // refs.json like a tag, so retention/GC never reclaims staged state.
+    branch: Option[String] = None) {
   def nextOrdinal: Long = math.max(ordinalFloor,
     if (segments.isEmpty) 0L else segments.map(_.ordinal).max + 1)
 }
@@ -484,11 +493,45 @@ object CollectionMeta {
       }).sorted(Ordering[Long].reverse)
     // A concurrent committer claims a version slot (empty file) before the
     // atomic rename fills it; a read in that window must fall back to the
-    // newest PARSEABLE version — momentarily stale, never broken.
+    // newest PARSEABLE version — momentarily stale, never broken. Branch
+    // manifests (staged write-audit-publish state) are never the main
+    // head: skip them like the in-flight slots.
     versions.iterator
       .map(v => try Some(readManifest(collection, v)) catch { case _: Exception => None })
-      .collectFirst { case Some(m) => m }
+      .collectFirst { case Some(m) if m.branch.isEmpty => m }
       .getOrElse(Manifest(0L, Nil, mutated = false))
+  }
+
+  /** ONE directory scan yielding (newest parseable MAIN manifest, newest
+    * parseable version of EITHER line) — the committer's view. The pair
+    * MUST come from a single listing: reading them separately lets a
+    * concurrent fill land between the two reads, and a committer that
+    * then claims past the filled slot has based its update on pre-fill
+    * state — a lost update (caught by RobustnessSpec's contention
+    * property). In-flight claimed-but-unfilled slots are deliberately NOT
+    * counted in either component: a committer must collide with them and
+    * back off. */
+  private def scanHeads(collection: Path): (Manifest, Long) = {
+    val empty = Manifest(0L, Nil, mutated = false)
+    val dir = metaDir(collection)
+    if (!Files.exists(dir)) return (empty, 0L)
+    val versions = listDir(dir)
+      .flatMap(p => p.getFileName.toString match {
+        case ManifestRe(v) => Some(v.toLong)
+        case _ => None
+      }).sorted(Ordering[Long].reverse)
+    var maxParseable = 0L
+    var main: Option[Manifest] = None
+    val it = versions.iterator
+    while (main.isEmpty && it.hasNext) {
+      val v = it.next()
+      try {
+        val m = readManifest(collection, v)
+        if (maxParseable == 0L) maxParseable = v
+        if (m.branch.isEmpty) main = Some(m)
+      } catch { case _: Exception => () }
+    }
+    (main.getOrElse(empty), maxParseable)
   }
 
   /** Every retained (parseable) manifest version — the commit history. */
@@ -539,7 +582,9 @@ object CollectionMeta {
     * the retained history. */
   def versionAsOfTimestamp(collection: Path, tsMicros: Long): Long = {
     val tsMs = Math.floorDiv(tsMicros, 1000L)
-    val retained = retainedManifests(collection)
+    // main-line history only: staged branch snapshots are not "the table
+    // as of <instant>" until fast-forward publishes them
+    val retained = retainedManifests(collection).filter(_.branch.isEmpty)
     retained.filter(_.committedAtMs <= tsMs) match {
       case Nil =>
         val earliest = retained.headOption.map(_.committedAtMs).getOrElse(0L)
@@ -705,14 +750,34 @@ object CollectionMeta {
     * callers make decide-then-commit atomic (e.g. streaming replay checks
     * re-run INSIDE the closure, so a zombie driver racing a failover cannot
     * double-publish an epoch). */
-  def commit(collection: Path, update: Manifest => Manifest): Manifest = {
+  def commit(collection: Path, update: Manifest => Manifest): Manifest =
+    commitWith(collection, baseOverride = None, update, branch = None)
+
+  /** [[commit]] with an optional caller-chosen base snapshot and a branch
+    * marker — the shared slot-claim protocol. With no override the base
+    * is the newest MAIN manifest FROM THE SAME scan that sets the claim
+    * floor (atomicity is load-bearing — see [[scanHeads]]); a branch
+    * commit overrides the base with its lock-stable head (the ref only
+    * moves under the branch lock the caller holds, so the single-scan
+    * argument is not needed there). `branch` stamps the published
+    * manifest (None = main line — force-set either way, so content
+    * copied from a branch snapshot can never leak its marker into main
+    * or vice versa). The claimed slot is (newest parseable version of
+    * EITHER line) + 1: branch and main share one version-number space,
+    * so every slot names exactly one snapshot, and anything committed
+    * after the scan makes the claim collide and retry. */
+  private def commitWith(collection: Path, baseOverride: Option[() => Manifest],
+      update: Manifest => Manifest, branch: Option[String]): Manifest = {
     var attempts = 0
     while (true) {
-      val cur = currentManifest(collection)
+      val (mainHead, maxParseable) = scanHeads(collection)
+      val cur = baseOverride.map(_()).getOrElse(mainHead)
       val next0 = update(cur)
       if (next0 eq cur) return cur // update declined: publish nothing
-      val next = next0.copy(version = cur.version + 1,
-        committedAtMs = System.currentTimeMillis())
+      val next = next0.copy(
+        version = math.max(cur.version, maxParseable) + 1,
+        committedAtMs = System.currentTimeMillis(),
+        branch = branch)
       val target = manifestFile(collection, next.version)
       // The tmp name MUST be unique per committer: System.nanoTime alone
       // can tie across threads (coarse clock), and two committers sharing
@@ -751,4 +816,196 @@ object CollectionMeta {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  // ----------------------------------------------------------- branches
+  //
+  // A BRANCH is a movable ref (Iceberg branch analog): its head version
+  // lives in refs.json exactly like a tag — so every retention sweep, GC
+  // path, and `VERSION AS OF '<name>'` resolution that protects/resolves
+  // tags covers branch heads with zero extra code — plus a fork-base
+  // entry in branches.json recording the main version it forked from.
+  // Branch commits publish manifests flagged `branch = Some(name)` into
+  // the shared version-number space; main readers never see them
+  // (currentManifest/TIMESTAMP AS OF skip). fast-forward republishes the
+  // branch head as a main commit iff main has not moved since the fork —
+  // the write-audit-publish contract.
+
+  private def branchesFile(collection: Path): Path =
+    metaDir(collection).resolve("branches.json")
+
+  /** All branches: name -> fork-base main version (the head lives in
+    * refs.json). Same fail-loudly contract as [[readRefs]]. */
+  def readBranches(collection: Path): Map[String, Long] = {
+    val f = branchesFile(collection)
+    if (!Files.exists(f)) Map.empty
+    else try {
+      JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+        .extract[Map[String, Long]]
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"hadro: corrupt branches file $f — refusing to operate while " +
+          s"branch state is unreadable (${e.getMessage})")
+    }
+  }
+
+  private def writeBranches(collection: Path, bs: Map[String, Long]): Unit = {
+    Files.createDirectories(metaDir(collection))
+    if (bs.isEmpty) { Files.deleteIfExists(branchesFile(collection)); return }
+    val tmp = metaDir(collection).resolve(s"branches.json.tmp${System.nanoTime()}")
+    Files.write(tmp, Serialization.write(bs).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, branchesFile(collection), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** JVM monitor for branch-pointer read-modify-write (FileLock is
+    * per-JVM; threads need their own fence — the mergeSchema discipline). */
+  private object BranchLock
+
+  /** Serializes branch-pointer updates across processes AND driver
+    * threads: the head ref and its manifest are two files, so concurrent
+    * branch committers without this fence could base on a stale head and
+    * silently drop each other's staged segments. Branch writes are
+    * staging-cadence (not ingest-cadence), so a coarse lock costs nothing. */
+  private def withBranchLock[T](collection: Path)(body: => T): T =
+    BranchLock.synchronized {
+      Files.createDirectories(metaDir(collection))
+      val ch = java.nio.channels.FileChannel.open(
+        metaDir(collection).resolve("branch.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try body finally l.release() }
+      finally ch.close()
+    }
+
+  /** Fork a branch at `version` (-1 = current main head). The name must
+    * collide with no tag and no branch; the head ref pins the fork
+    * version immediately, so GC can never reclaim the forked snapshot. */
+  def createBranch(collection: Path, name: String, version: Long = -1L): Long =
+    withBranchLock(collection) {
+      val v = if (version < 0) currentManifest(collection).version else version
+      require(!readBranches(collection).contains(name),
+        s"hadro: branch '$name' already exists")
+      require(!readRefs(collection).contains(name),
+        s"hadro: '$name' is already a tag — tags and branches share the " +
+          "VERSION AS OF namespace")
+      setRef(collection, name, v) // validates name + retention
+      writeBranches(collection, readBranches(collection) + (name -> v))
+      v
+    }
+
+  /** Drop a branch: its staged manifests lose their pin and age out with
+    * normal retention; staged segment files become reclaimable at the
+    * next physical sweep. Returns whether the branch existed. */
+  def dropBranch(collection: Path, name: String): Boolean =
+    withBranchLock(collection) {
+      val bs = readBranches(collection)
+      if (!bs.contains(name)) false
+      else {
+        writeBranches(collection, bs - name)
+        dropRef(collection, name)
+        true
+      }
+    }
+
+  /** The branch's current head version (refs.json), failing with the
+    * known-branch list when absent. */
+  def branchHeadVersion(collection: Path, name: String): Long = {
+    require(readBranches(collection).contains(name),
+      s"hadro: no branch '$name' (branches: " +
+        s"${readBranches(collection).keys.toSeq.sorted.mkString(", ")})")
+    readRefs(collection).getOrElse(name, throw new IllegalStateException(
+      s"hadro: branch '$name' has no head ref — refs.json out of sync"))
+  }
+
+  /** [[commit]] onto a branch: `update` maps the BRANCH head snapshot to
+    * the next staged state; the published manifest is flagged for the
+    * branch and the head ref moves to it. Main readers see nothing. */
+  def commitOnBranch(collection: Path, name: String,
+      update: Manifest => Manifest): Manifest =
+    withBranchLock(collection) {
+      val headV = branchHeadVersion(collection, name)
+      val committed = commitWith(collection,
+        Some(() => manifestAt(collection, headV)), update, branch = Some(name))
+      if (committed.version > headV) // update may have declined (same ref)
+        writeRefs(collection, readRefs(collection) + (name -> committed.version))
+      committed
+    }
+
+  /** Publish (fast-forward): republish the branch head's content as a
+    * MAIN commit, iff main still sits at the branch's fork base — a main
+    * commit since the fork means the staged snapshot no longer contains
+    * main's latest data, and publishing it would silently drop those
+    * rows. On success the fork base advances to the published version, so
+    * the audit-publish cycle can continue on the same branch. Returns the
+    * published main version. */
+  def fastForwardBranch(collection: Path, name: String): Long =
+    withBranchLock(collection) {
+      val base = readBranches(collection).getOrElse(name,
+        throw new IllegalArgumentException(s"hadro: no branch '$name' (branches: " +
+          s"${readBranches(collection).keys.toSeq.sorted.mkString(", ")})"))
+      val headV = branchHeadVersion(collection, name)
+      if (headV == base) return currentManifest(collection).version // nothing staged
+      val head = manifestAt(collection, headV)
+      var conflicted = false
+      val committed = commit(collection, cur => {
+        if (cur.version != base) { conflicted = true; cur }
+        else { conflicted = false; head }
+      })
+      if (conflicted) throw new IllegalStateException(
+        s"hadro: fast-forward of branch '$name' conflicted — main moved " +
+          s"from version $base to ${committed.version} since the fork; " +
+          "rebase the branch (CALL system.rebase) to re-apply the staged " +
+          "appends onto the moved main, or drop it")
+      writeBranches(collection, readBranches(collection) + (name -> committed.version))
+      committed.version
+    }
+
+  /** Publish by REBASE (Iceberg cherry-pick analog): re-apply the
+    * branch's staged APPEND segments — those in the head but not in the
+    * fork-base manifest — onto the CURRENT main head as one atomic
+    * commit, even when main moved since the fork (the case fast-forward
+    * refuses). Staged segments are immutable files, so the re-apply is
+    * metadata-only: they are appended to main's segment list with fresh
+    * ordinals AFTER main's existing data, which places staged rows newest
+    * under last-write-wins — re-apply semantics, stated and deliberate.
+    * Afterwards the branch is RE-FORKED at the published version (head
+    * and base both move), so the next audit cycle stages against a state
+    * that already contains everything published — a second rebase
+    * publishes nothing twice, and fast-forward is consistent again.
+    * Fails fast when the fork-base manifest has aged out of retention
+    * (the staged-delta diff would be a guess — re-fork instead). */
+  def rebaseBranch(collection: Path, name: String): Long =
+    withBranchLock(collection) {
+      val base = readBranches(collection).getOrElse(name,
+        throw new IllegalArgumentException(s"hadro: no branch '$name' (branches: " +
+          s"${readBranches(collection).keys.toSeq.sorted.mkString(", ")})"))
+      val headV = branchHeadVersion(collection, name)
+      val head = manifestAt(collection, headV)
+      val baseM =
+        try readManifest(collection, base)
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"hadro: rebase of branch '$name' needs its fork-base manifest " +
+              s"(version $base) to compute the staged delta, but it aged " +
+              s"out of retention (${e.getMessage}); drop and re-fork the branch")
+        }
+      val baseFiles = baseM.segments.map(_.file).toSet
+      val delta = head.segments.filterNot(s => baseFiles(s.file))
+      val committed = commit(collection, cur => {
+        if (delta.isEmpty) cur // nothing staged: publish nothing
+        else {
+          var ord = cur.nextOrdinal
+          val applied = delta.map { s => val o = ord; ord += 1; s.copy(ordinal = o) }
+          cur.copy(
+            segments = cur.segments ++ applied,
+            mutated = cur.mutated || head.mutated,
+            // appended segments carry no uniform-sort proof
+            sortedBy = None)
+        }
+      })
+      // re-fork: head ref and base both move to the published version
+      setRef(collection, name, committed.version)
+      writeBranches(collection, readBranches(collection) + (name -> committed.version))
+      committed.version
+    }
 }

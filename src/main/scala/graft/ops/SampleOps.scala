@@ -185,4 +185,82 @@ object SampleOps {
     }
     df.filter(hashBucket(col(idCol)) < bound)
   }
+
+  /** DSIR (Xie et al. 2023, arXiv:2302.03169) data selection via
+    * importance resampling: score every RAW document by how target-like
+    * its hashed n-gram profile is — log importance weight
+    * `log p_target(doc) - log p_raw(doc)` under two add-one-smoothed
+    * bag-of-hashed-ngram models — and keep the top `k` (the paper's
+    * deterministic top-k variant; Gumbel resampling is the same plan with
+    * per-doc noise added to the ranking key).
+    *
+    * Features are unigrams + bigrams hashed into `16^bucketHexChars`
+    * buckets via an md5 hex prefix — engine-portable (every SQL engine
+    * renders the same md5 hex) and collision-tolerant by construction
+    * (DSIR's models are DEFINED over hashed buckets, not raw n-grams).
+    *
+    * Exactness discipline (the d27/t12 pattern): each bucket's log-ratio
+    * is two ln() of exact integer ratios, each pre-rounded to 6 decimals
+    * and differenced as DECIMAL(18,6); per-document weights are DECIMAL
+    * sums — order-independent, so ranking (weight desc, id asc) is
+    * bit-identical on any engine/partitioning, including at the rank-k
+    * boundary.
+    *
+    * Scale shape: the target model is one aggregation over the (small)
+    * target set; the raw pass is explode → broadcast-join the ≤`16^c`-row
+    * log-ratio table → one (doc) re-aggregation; selection is
+    * TakeOrderedAndProject (no full sort). Nothing is quadratic; the only
+    * corpus-sized shuffle is the per-document weight aggregation. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, bucketHexChars: Int = 3): DataFrame = {
+    require(bucketHexChars >= 1 && bucketHexChars <= 7,
+      s"bucketHexChars must be in [1, 7], got $bucketHexChars")
+    val nBuckets = math.pow(16, bucketHexChars).toLong
+
+    // unigrams ++ bigrams, hashed to an md5 hex-prefix bucket
+    def buckets(df: DataFrame): DataFrame = {
+      val ts = TextOps.tokens(col(textCol))
+      df.select(col(idCol).as("doc_id"), ts.as("ts"))
+        .filter(size(col("ts")) > 0)
+        .select(col("doc_id"), explode(concat(col("ts"),
+          zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (x, y) => concat_ws(" ", x, y)))).as("gram"))
+        .select(col("doc_id"),
+          substring(md5(col("gram")), 1, bucketHexChars).as("bucket"))
+    }
+
+    val rawB = buckets(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawCounts = rawB.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtCounts = buckets(target).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+    val rawTotal = rawCounts.agg(sum(col("cr")).as("tr"))
+    val tgtTotal = tgtCounts.agg(sum(col("ct")).as("tt"))
+    // log-ratio per bucket over the buckets PRESENT in raw (absent ones
+    // score no raw gram); target-absent buckets smooth to count 0
+    val logRatio = rawCounts
+      .join(tgtCounts, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(rawTotal)).crossJoin(broadcast(tgtTotal))
+      .select(col("bucket"),
+        (round(log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+            (coalesce(col("tt"), lit(0L)) + lit(nBuckets))), 6) -
+          round(log((col("cr") + lit(1)).cast("double") /
+            (col("tr") + lit(nBuckets))), 6))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lr"))
+    // eager local checkpoint (k rows) so the shingle cache can drop now —
+    // the cdcChunkDedupPairs/ClusterOps unpersist discipline
+    val selected = rawB.join(broadcast(logRatio), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr")).as("lw"), count(lit(1)).as("n_grams"))
+      .orderBy(col("lw").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        round(col("lw").cast("double"), 4).as("log_weight"),
+        col("n_grams"))
+      .localCheckpoint(true)
+    rawB.unpersist()
+    selected
+  }
 }

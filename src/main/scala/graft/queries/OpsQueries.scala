@@ -1851,6 +1851,52 @@ object OpsQueries {
             AS ppl_bucket
         FROM st WHERE rk <= n - n // 3 ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d28
+    // DSIR data selection (Xie et al. 2023): rank the raw corpus by
+    // hashed-ngram importance weight log p_target - log p_raw (target =
+    // the English subset, standing in for a high-quality seed set) and
+    // keep the top 100. Per-bucket log-ratios pre-rounded to 6 decimals
+    // and DECIMAL-summed per doc (the d27 exactness discipline), so the
+    // ranking — including the rank-k boundary — is bit-identical on any
+    // engine. One broadcast join against the <= 4096-row ratio table +
+    // one per-doc aggregation; selection is TakeOrderedAndProject.
+    QueryDef(
+      "d28_dsir_select",
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        SampleOps.dsirSelect(docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text", k = 100)
+          .orderBy("doc_id")
+      },
+      Some("""WITH rtok AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        rg AS (SELECT doc_id, substr(md5(g), 1, 3) AS bucket FROM (
+          SELECT doc_id, unnest(list_concat(ts,
+            list_transform(generate_series(1, len(ts) - 1),
+              i -> ts[i] || ' ' || ts[i+1]))) AS g
+          FROM rtok)),
+        tg AS (SELECT substr(md5(g), 1, 3) AS bucket FROM (
+          SELECT unnest(list_concat(ts,
+            list_transform(generate_series(1, len(ts) - 1),
+              i -> ts[i] || ' ' || ts[i+1]))) AS g
+          FROM rtok JOIN documents USING (doc_id) WHERE lang = 'en')),
+        cr AS (SELECT bucket, COUNT(*) AS c FROM rg GROUP BY 1),
+        ct AS (SELECT bucket, COUNT(*) AS c FROM tg GROUP BY 1),
+        tr AS (SELECT COUNT(*) AS t FROM rg),
+        tt AS (SELECT COUNT(*) AS t FROM tg),
+        lr AS (SELECT cr.bucket,
+            CAST(ROUND(ln((COALESCE(ct.c, 0) + 1) /
+                CAST(tt.t + 4096 AS DOUBLE)), 6) -
+              ROUND(ln((cr.c + 1) /
+                CAST(tr.t + 4096 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+          FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket, tr, tt),
+        w AS (SELECT doc_id, SUM(lr) AS lw, COUNT(*) AS n_grams
+          FROM rg JOIN lr USING (bucket) GROUP BY doc_id),
+        sel AS (SELECT doc_id, lw, n_grams FROM w
+          ORDER BY lw DESC, doc_id LIMIT 100)
+        SELECT doc_id, ROUND(CAST(lw AS DOUBLE), 4) AS log_weight, n_grams
+        FROM sel ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- d19
     // Per-source QUOTA cap (domain balancing): at most 15 docs per
     // source, deterministic hash priority, under-quota sources pass

@@ -2734,5 +2734,106 @@ object StorageQueries {
           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+    ,
+
+    // ---------------------------------------------------------------- h84
+    // WRITE-AUDIT-PUBLISH via branch refs (Iceberg branch /
+    // spark.wap.branch analog): urgent orders land on a staging branch —
+    // invisible to every main reader — get audited against the staged
+    // snapshot (`VERSION AS OF 'audit'`), and publish as ONE atomic main
+    // commit (`CALL system.fast_forward`), which refuses if main moved
+    // since the fork. Metadata-only end to end: staging writes ordinary
+    // segments, the branch head is a ref, publishing republishes a
+    // manifest — zero data copied at any scale. The query asserts the
+    // mid-flight isolation (main count unchanged while staged rows are
+    // auditable on the branch) and returns the published table.
+    QueryDef(
+      "h84_wap_branch_publish",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_wap/$tag"
+        s.conf.set("spark.sql.catalog.graft_h84",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h84.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h84.db")
+        s.sql("DROP TABLE IF EXISTS graft_h84.db.t")
+        s.sql("""CREATE TABLE graft_h84.db.t (o_orderkey BIGINT,
+          o_orderpriority STRING, o_totalprice DOUBLE) USING hadro""")
+        table(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+          .createOrReplaceTempView("h84_src")
+        s.sql("""INSERT INTO graft_h84.db.t
+          SELECT * FROM h84_src WHERE o_orderpriority <> '1-URGENT'""")
+        val mainBefore = s.sql("SELECT COUNT(*) FROM graft_h84.db.t")
+          .head().getLong(0)
+        s.sql("CALL graft_h84.system.create_branch('db.t', 'audit', -1)")
+        s.conf.set("spark.hadro.writeBranch", "audit")
+        try s.sql("""INSERT INTO graft_h84.db.t
+          SELECT * FROM h84_src WHERE o_orderpriority = '1-URGENT'""")
+        finally s.conf.unset("spark.hadro.writeBranch")
+        // isolation: main readers see nothing staged; the branch sees all
+        val mainMid = s.sql("SELECT COUNT(*) FROM graft_h84.db.t")
+          .head().getLong(0)
+        require(mainMid == mainBefore,
+          s"h84: staged rows leaked to main ($mainBefore -> $mainMid)")
+        val staged = s.sql(
+          "SELECT COUNT(*) FROM graft_h84.db.t VERSION AS OF 'audit'")
+          .head().getLong(0)
+        require(staged > mainBefore, s"h84: branch read missing staged rows")
+        s.sql("CALL graft_h84.system.fast_forward('db.t', 'audit')")
+        s.sql("""SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM graft_h84.db.t ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders ORDER BY o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h85
+    // REBASE publish (Iceberg cherry-pick analog): the WAP cycle where
+    // MAIN MOVES while the audit runs — fast_forward correctly refuses
+    // (publishing the fork-time snapshot would drop main's concurrent
+    // batch), and `CALL system.rebase` re-applies ONLY the staged append
+    // segments onto the moved head as one atomic metadata commit, then
+    // re-forks the branch. At 100 TB this is the difference between "the
+    // audit gate blocks ingest" and "audit and ingest overlap freely":
+    // zero bytes copied, zero writes retried.
+    QueryDef(
+      "h85_rebase_publish",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_rebase/$tag"
+        s.conf.set("spark.sql.catalog.graft_h85",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h85.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h85.db")
+        s.sql("DROP TABLE IF EXISTS graft_h85.db.t")
+        s.sql("""CREATE TABLE graft_h85.db.t (o_orderkey BIGINT,
+          o_orderpriority STRING, o_totalprice DOUBLE) USING hadro""")
+        table(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+          .createOrReplaceTempView("h85_src")
+        s.sql("""INSERT INTO graft_h85.db.t SELECT * FROM h85_src
+          WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')""")
+        s.sql("CALL graft_h85.system.create_branch('db.t', 'audit', -1)")
+        s.conf.set("spark.hadro.writeBranch", "audit")
+        try s.sql("""INSERT INTO graft_h85.db.t SELECT * FROM h85_src
+          WHERE o_orderpriority = '1-URGENT'""")
+        finally s.conf.unset("spark.hadro.writeBranch")
+        // main moves while the audit runs
+        s.sql("""INSERT INTO graft_h85.db.t SELECT * FROM h85_src
+          WHERE o_orderpriority = '2-HIGH'""")
+        val ffRefused =
+          try { s.sql("CALL graft_h85.system.fast_forward('db.t', 'audit')"); false }
+          catch { case _: Exception => true }
+        require(ffRefused,
+          "h85: fast_forward must refuse after a concurrent main commit")
+        s.sql("CALL graft_h85.system.rebase('db.t', 'audit')")
+        s.sql("""SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM graft_h85.db.t ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders ORDER BY o_orderkey"""))
   )
 }

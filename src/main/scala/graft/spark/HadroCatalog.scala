@@ -469,11 +469,14 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                 s.deleteVector.map(UTF8String.fromString).orNull)
             }.toArray
           case "history" =>
+            // branch column: null = main-line commit; a name = staged
+            // write-audit-publish snapshot (invisible to main readers)
             CollectionMeta.retainedManifests(dir).sortBy(-_.version).map { m =>
               InternalRow(m.version, m.segments.size.toLong,
                 m.segments.map(s => s.rows - s.tombstones - s.dvDeletes).sum,
                 m.segments.map(_.bytes).sum, m.mutated, m.generation,
-                m.committedAtMs)
+                m.committedAtMs,
+                m.branch.map(UTF8String.fromString).orNull)
             }.toArray
           case "detail" =>
             // DESCRIBE DETAIL analog: one row of table-level facts
@@ -541,7 +544,9 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                 InternalRow(UTF8String.fromString(n), UTF8String.fromString(text))
             }.toArray
           case "refs" =>
-            // named tags, pinned-version metadata joined from the manifest
+            // named refs (tags + branch heads), pinned-version metadata
+            // joined from the manifest; kind distinguishes the two
+            val branchBases = CollectionMeta.readBranches(dir)
             CollectionMeta.readRefs(dir).toSeq.sortBy(_._1).map {
               case (name, v) =>
                 val at = try Some(CollectionMeta.manifestAt(dir, v))
@@ -550,7 +555,10 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                   at.map(m => Long.box(m.committedAtMs)).orNull,
                   at.map(m => Long.box(
                     m.segments.map(s => s.rows - s.tombstones - s.dvDeletes).sum))
-                    .orNull)
+                    .orNull,
+                  UTF8String.fromString(
+                    if (branchBases.contains(name)) "branch" else "tag"),
+                  branchBases.get(name).map(Long.box).orNull)
             }.toArray
           case "stats" =>
             // ANALYZE output (`CALL system.analyze`), schema field order
@@ -586,7 +594,7 @@ object HadroMetadataTable {
       .add("version", LongType).add("n_segments", LongType)
       .add("n_rows", LongType).add("n_bytes", LongType)
       .add("mutated", BooleanType).add("generation", LongType)
-      .add("committed_at_ms", LongType),
+      .add("committed_at_ms", LongType).add("branch", StringType),
     "stats" -> new StructType()
       .add("column", StringType).add("ndv", LongType)
       .add("null_count", LongType).add("avg_len", LongType)
@@ -594,7 +602,8 @@ object HadroMetadataTable {
       .add("max_value", StringType).add("analyzed_version", LongType),
     "refs" -> new StructType()
       .add("tag", StringType).add("version", LongType)
-      .add("committed_at_ms", LongType).add("n_rows", LongType),
+      .add("committed_at_ms", LongType).add("n_rows", LongType)
+      .add("kind", StringType).add("fork_base", LongType),
     "blocks" -> new StructType()
       .add("file", StringType).add("block_idx", IntegerType)
       .add("start_row", LongType).add("n_rows", LongType)

@@ -39,7 +39,8 @@ object HadroProcedures {
     Seq("compact", "compact_small", "cluster", "rebuild_index", "vacuum", "history",
       "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag",
       "publish", "orphan_files", "remove_orphans", "drop_partitions",
-      "compact_partitions", "set_partition_spec", "purge_deletes")
+      "compact_partitions", "set_partition_spec", "purge_deletes",
+      "create_branch", "drop_branch", "fast_forward", "rebase")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -247,6 +248,50 @@ object HadroProcedures {
           val name = in.getUTF8String(1).toString
           Seq(InternalRow(UTF8String.fromString(name),
             coll(in).createTag(name, in.getLong(2))))
+        }
+      case "create_branch" => proc("create_branch",
+        "fork a BRANCH at a version (-1 = current head) — the " +
+          "write-audit-publish staging surface: writes routed via " +
+          "option hadro.branch / session conf spark.hadro.writeBranch " +
+          "stay invisible to main readers; audit with VERSION AS OF " +
+          "'<name>'; publish with fast_forward",
+        Seq(p("table", StringType), p("name", StringType), p("version", LongType)),
+        new StructType().add("branch", StringType).add("fork_version", LongType)) { in =>
+          val name = in.getUTF8String(1).toString
+          Seq(InternalRow(UTF8String.fromString(name),
+            coll(in).createBranch(name, in.getLong(2))))
+        }
+      case "drop_branch" => proc("drop_branch",
+        "drop a branch (the audit-failed path): staged manifests age out " +
+          "with normal retention and staged files become reclaimable",
+        Seq(p("table", StringType), p("name", StringType)),
+        new StructType().add("branch", StringType).add("existed", BooleanType)) { in =>
+          val name = in.getUTF8String(1).toString
+          Seq(InternalRow(UTF8String.fromString(name), coll(in).dropBranch(name)))
+        }
+      case "fast_forward" => proc("fast_forward",
+        "publish a branch: republish its head as one atomic main commit, " +
+          "iff main has not moved since the fork (conflict otherwise); " +
+          "advances the fork base so the audit-publish cycle continues",
+        Seq(p("table", StringType), p("name", StringType)),
+        new StructType().add("branch", StringType)
+          .add("published_version", LongType)) { in =>
+          val name = in.getUTF8String(1).toString
+          Seq(InternalRow(UTF8String.fromString(name),
+            coll(in).fastForward(name)))
+        }
+      case "rebase" => proc("rebase",
+        "publish a branch by re-applying its staged append segments onto " +
+          "the CURRENT main head (cherry-pick analog — works after main " +
+          "moved, where fast_forward refuses); staged rows rank newest " +
+          "under last-write-wins; the branch re-forks at the published " +
+          "version",
+        Seq(p("table", StringType), p("name", StringType)),
+        new StructType().add("branch", StringType)
+          .add("published_version", LongType)) { in =>
+          val name = in.getUTF8String(1).toString
+          Seq(InternalRow(UTF8String.fromString(name),
+            coll(in).rebase(name)))
         }
       case "drop_tag" => proc("drop_tag",
         "drop a named tag; pinned files return to normal GC at the next " +

@@ -162,6 +162,19 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
           (b, n)
         }
     }
+    // Write-audit-publish staging: route this write's commit onto the
+    // named BRANCH (Iceberg `spark.wap.branch` analog) — invisible to
+    // main readers until `CALL system.fast_forward` publishes it. Write
+    // option first; session conf `spark.hadro.writeBranch` covers SQL
+    // INSERT, which has no options surface. Append-shaped writes only
+    // (append/upsert/CDC merge): truncate and the replace modes rewrite
+    // main-line file sets and have no staged meaning.
+    private def branchSpec: Option[String] = {
+      val sc = org.apache.spark.sql.internal.SQLConf.get
+      Option(opts.get("hadro.branch")).filter(_.nonEmpty)
+        .orElse(Option(sc.getConfString("spark.hadro.writeBranch", ""))
+          .filter(_.nonEmpty))
+    }
     private def bucketSpec: Option[(Seq[String], Int)] = {
       val cols = Option(opts.get("hadro.bucketBy")).filter(_.nonEmpty)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -260,6 +273,13 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
         }
       val rwFilters = rwOptionFilters.orElse(
         replaceWhere.map(ps => HadroReplaceWhere.toFilters(ps.toSeq)))
+      branchSpec.foreach { b =>
+        require(!doTruncate && !doDynamicOverwrite && replaceSpec.isEmpty &&
+          rwFilters.isEmpty && compactOf.isEmpty,
+          s"hadro: branch writes (branch '$b') are append-shaped only — " +
+            "truncate/overwrite/replace rewrite main-line file sets and " +
+            "have no staged meaning; publish first, then rewrite main")
+      }
       new HadroBatchWrite(path, info.schema(), consistency, tombstone,
         upsert || tombstone || deleteCol.nonEmpty,
         doTruncate && rwOptionFilters.isEmpty, keyField,
@@ -268,15 +288,21 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
         dynamicOverwrite = doDynamicOverwrite,
         replaceWhere = rwFilters,
         mergeSchema = opts.getBoolean("hadro.mergeSchema", false),
-        autoCompact = autoCompactSpec)
+        autoCompact = autoCompactSpec,
+        branch = branchSpec)
     }
 
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // fail loudly rather than silently committing staged data to main
+      require(branchSpec.isEmpty,
+        "hadro: streaming writes cannot target a branch — stage with " +
+          "batch appends (or foreachBatch) and fast_forward to publish")
       new HadroStreamingWrite(path, info.schema(), consistency,
         upsert || tombstone || deleteCol.nonEmpty, keyField, splitBytes,
         info.queryId(), offsetIndex, deleteCol,
         mergeSchema = opts.getBoolean("hadro.mergeSchema", false),
         autoCompact = autoCompactSpec)
+    }
   }
 }
 
@@ -521,7 +547,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     dynamicOverwrite: Boolean = false,
     replaceWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
     mergeSchema: Boolean = false,
-    autoCompact: Option[(Long, Int)] = None)
+    autoCompact: Option[(Long, Int)] = None,
+    branch: Option[String] = None)
     extends BatchWrite with org.apache.spark.internal.Logging {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
@@ -896,7 +923,15 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       }
     }
 
-    CollectionMeta.commit(path, cur => (replaceSpec, dynamicPin) match {
+    // Branch (write-audit-publish) commits base on the BRANCH head and
+    // publish flagged manifests main readers skip; everything else is the
+    // identical append closure. Non-append modes were refused at build.
+    def runCommit(update: graft.meta.Manifest => graft.meta.Manifest) =
+      branch match {
+        case Some(b) => CollectionMeta.commitOnBranch(path, b, update)
+        case None => CollectionMeta.commit(path, update)
+      }
+    runCommit(cur => (replaceSpec, dynamicPin) match {
       case (Some(ReplaceSpec(files, gen, dv, reqUnmut)), _) =>
         replaceCommit(cur, files, gen, dv, reqUnmut)
       case (None, Some(pin)) => dynamicOverwriteCommit(cur, pin)
@@ -1049,7 +1084,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     // carry hadro.replaceFiles (replaceSpec non-empty), which this gate
     // excludes — no recursion.
     autoCompact.foreach { case (minBytes, minSegs) =>
-      val plainAppend = !truncate && replaceSpec.isEmpty &&
+      // branch commits excluded: compactSmall rewrites MAIN-line segments
+      val plainAppend = !truncate && replaceSpec.isEmpty && branch.isEmpty &&
         dynamicPin.isEmpty && replaceWherePin.isEmpty && compactOf.isEmpty
       if (plainAppend) {
         try {

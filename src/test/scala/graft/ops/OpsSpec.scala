@@ -1428,4 +1428,43 @@ class OpsSpec extends SparkSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(got.getBoolean(3) == (score >= 0))
   }
+
+  test("DSIR selection ranks target-like docs first; boundary is exact") {
+    // planted corpus: 30 docs in the target dialect, 30 in a disjoint
+    // vocabulary, 5 mixed. Target model trained on a SEPARATE target-
+    // dialect sample — selection must surface the target-like docs.
+    val tgtWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val rawWords = Seq("omega", "sigma", "tau", "kappa", "lambda")
+    def sentence(ws: Seq[String], seed: Int): String =
+      (0 until 12).map(i => ws((seed * 7 + i * 3) % ws.size)).mkString(" ")
+    val raw =
+      (0 until 30).map(i => (i.toLong, sentence(tgtWords, i))) ++
+      (30 until 60).map(i => (i.toLong, sentence(rawWords, i))) ++
+      (60 until 65).map(i => (i.toLong,
+        sentence(tgtWords, i) + " " + sentence(rawWords, i)))
+    val rawDf = raw.toDF("doc_id", "text")
+    val target = (100 until 120).map(i => (i.toLong, sentence(tgtWords, i)))
+      .toDF("doc_id", "text")
+
+    val top = SampleOps.dsirSelect(rawDf, target, "doc_id", "text", k = 30)
+      .collect()
+    assert(top.length == 30)
+    assert(top.forall(_.getLong(0) < 30),
+      s"top-30 must be exactly the target-dialect docs, got " +
+        top.map(_.getLong(0)).sorted.mkString(","))
+    // weights: every target-dialect doc strictly above every other (the
+    // mixed docs' extra disjoint-vocab grams drag their SUM below even
+    // the pure-disjoint docs — DSIR's documented length behavior, fine:
+    // what matters is that the target dialect separates cleanly)
+    val all = SampleOps.dsirSelect(rawDf, target, "doc_id", "text", k = 65)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val minTgt = (0 until 30).map(i => all(i.toLong)).min
+    val maxOther = (30 until 65).map(i => all(i.toLong)).max
+    assert(minTgt > maxOther,
+      s"target dialect must separate cleanly ($minTgt vs $maxOther)")
+    // determinism across partitionings (the boundary-exactness claim)
+    val again = SampleOps.dsirSelect(rawDf.repartition(13), target.coalesce(1),
+      "doc_id", "text", k = 30).collect().map(_.getLong(0)).sorted
+    assert(again.toSeq == top.map(_.getLong(0)).sorted.toSeq)
+  }
 }
