@@ -186,6 +186,39 @@ object SampleOps {
     df.filter(hashBucket(col(idCol)) < bound)
   }
 
+  /** CLUSTER-BALANCED sampling (topic balancing): cap how many documents
+    * any EMBEDDING CLUSTER contributes — the semantic upgrade of
+    * [[sourceCap]]'s per-domain quota, for corpora where one topic
+    * dominates regardless of source. Assignment reuses the IVF
+    * convention ([[SimilarityOps.trainIvfCentroids]]): deterministic
+    * seed centroids (id < k), optional Lloyd refinement, map-only
+    * `greatest()` over broadcast centroid literals — no join, no shuffle
+    * to classify. Within each cluster the keep set is the `cap` docs with
+    * the smallest deterministic hash priority (content-independent,
+    * engine-portable md5 — the d19 rule), so membership is reproducible
+    * on any engine/partitioning. Spark plans the cap as WindowGroupLimit:
+    * the (cluster) shuffle carries at most cap·k rows, never the corpus.
+    * Returns the kept rows as (idCol, cluster). */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      kCentroids: Int, cap: Int, iterations: Int = 0,
+      seed: String = "graft"): DataFrame = {
+    require(cap > 0, "cluster cap must be positive")
+    val cents = SimilarityOps.trainIvfCentroids(df, idCol, vecCol,
+      kCentroids, iterations)
+    val scored = cents.map { case (cid, cv) =>
+      struct(SimilarityOps.cosine(col("vec"), typedlit(cv)).as("cos"),
+        lit(cid).as("cid"))
+    }
+    val assigned = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("cluster", greatest(scored: _*).getField("cid"))
+    val pri = md5(concat_ws(":", lit(seed), col("vid").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(pri, col("vid"))
+    assigned.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .select(col("vid").as(idCol), col("cluster"))
+  }
+
   /** DSIR (Xie et al. 2023, arXiv:2302.03169) data selection via
     * importance resampling: score every RAW document by how target-like
     * its hashed n-gram profile is — log importance weight

@@ -1897,6 +1897,39 @@ object OpsQueries {
         SELECT doc_id, ROUND(CAST(lw AS DOUBLE), 4) AS log_weight, n_grams
         FROM sel ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d29
+    // Cluster-balanced sampling (topic balancing): cap what any EMBEDDING
+    // CLUSTER contributes — d19's per-source quota upgraded to semantic
+    // space, for corpora where one topic dominates regardless of source.
+    // Map-only IVF assignment (broadcast centroid literals, d14's
+    // convention) + per-cluster deterministic-hash quota planned as
+    // WindowGroupLimit, so the one shuffle carries <= cap x k rows. The
+    // oracle replays assignment (exact argmax) and quota rank-for-rank.
+    QueryDef(
+      "d29_cluster_balanced_sample",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        SampleOps.clusterBalancedSample(e, "vec_id", "embedding",
+            kCentroids = 8, cap = 40)
+          .orderBy("vec_id")
+      },
+      Some("""WITH cents AS (
+          SELECT CAST(vec_id AS INTEGER) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 8),
+        assigned AS (
+          SELECT v.vec_id,
+            (SELECT c.cid FROM cents c
+             ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.cid DESC LIMIT 1) AS cluster
+          FROM embeddings v),
+        ranked AS (
+          SELECT vec_id, cluster,
+            ROW_NUMBER() OVER (PARTITION BY cluster
+              ORDER BY md5('graft:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+          FROM assigned)
+        SELECT vec_id, cluster FROM ranked WHERE rk <= 40
+        ORDER BY vec_id""")),
+
     // ---------------------------------------------------------------- d19
     // Per-source QUOTA cap (domain balancing): at most 15 docs per
     // source, deterministic hash priority, under-quota sources pass

@@ -1429,6 +1429,45 @@ class OpsSpec extends SparkSuite {
     assert(got.getBoolean(3) == (score >= 0))
   }
 
+  test("cluster-balanced sample caps every cluster; under-cap pass whole; " +
+      "membership is partitioning-independent") {
+    // planted geometry: 3 orthogonal directions with distinct populations
+    // (40 / 25 / 6) — k=3 seed centroids land one per direction, so the
+    // cap must bite the two big clusters and pass the small one whole
+    val dim = 8
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.001f * ((i % 7) + 1))
+      a(axis) = 1f + 0.01f * (i % 5); a
+    }
+    val rows =
+      (0 until 3).map(i => (i.toLong, vec(i, i))) ++ // seeds: ids 0,1,2
+        (10 until 47).map(i => (i.toLong, vec(0, i))) ++
+        (50 until 72).map(i => (i.toLong, vec(1, i))) ++
+        (80 until 83).map(i => (i.toLong, vec(2, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = SampleOps.clusterBalancedSample(df, "vec_id", "embedding",
+      kCentroids = 3, cap = 10)
+    val byCluster = out.groupBy($"cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCluster.values.forall(_ <= 10), byCluster.toString)
+    assert(byCluster.values.count(_ == 10L) == 2, // the two big ones capped
+      byCluster.toString)
+    assert(byCluster.values.exists(c => c > 0 && c < 10), // small passes whole
+      byCluster.toString)
+    // determinism: same picks under a different partitioning
+    val again = SampleOps.clusterBalancedSample(df.repartition(17),
+      "vec_id", "embedding", kCentroids = 3, cap = 10)
+      .select($"vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == out.select($"vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    // the cap plans as WindowGroupLimit: the shuffle carries <= cap rows
+    // per cluster, not the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap must plan as WindowGroupLimit:\n$plan")
+  }
+
   test("DSIR selection ranks target-like docs first; boundary is exact") {
     // planted corpus: 30 docs in the target dialect, 30 in a disjoint
     // vocabulary, 5 mixed. Target model trained on a SEPARATE target-
