@@ -305,6 +305,9 @@ object CollectionMeta {
       partitionBy: Option[String] = None,
       partitionTransform: Option[String] = None,
       priorPartitionTransforms: Seq[String] = Nil): Unit = {
+    // every collection (re)creation passes through here: drop any cached
+    // manifests a previous incarnation at this path left behind
+    invalidateManifestCache(collection)
     Files.createDirectories(metaDir(collection))
     val json = Serialization.write(Map(
       "sparkSchema" -> JsonMethods.parse(schema.json),
@@ -547,10 +550,45 @@ object CollectionMeta {
       .flatMap(v => try Some(readManifest(collection, v)) catch { case _: Exception => None })
   }
 
+  /** Driver-side parse cache for manifest JSON. A LIVE collection's
+    * manifest file is WRITE-ONCE (the commit protocol fills a claimed
+    * slot with one ATOMIC_MOVE; version numbers only grow), so caching by
+    * path is sound — EXCEPT across a delete-and-recreate of the whole
+    * collection at the same path, where the version space restarts and
+    * `manifest-0000000001.json` names brand-new content (a test/bench
+    * fixture rebuild is exactly this; stale hits there surface as
+    * FileNotFound on long-dead segment names). Two guards close it:
+    * the cache key includes (size, mtime) — a refill virtually never
+    * preserves both — and [[writeSchema]], the choke point every
+    * (re)creation passes through, drops the path's entries outright.
+    * The claimed-but-unfilled window needs no care: an empty slot fails
+    * to parse and is never cached. At 100 TB planning cadence this is
+    * one JSON parse per manifest instead of one per QUERY — history,
+    * time travel, vacuum, and GC sweeps re-read every retained version
+    * otherwise. Bounded by a full reset at the cap: cheaper than LRU
+    * bookkeeping and still amortizes battery-scale workloads. */
+  private val ManifestCacheMax = 512
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, java.nio.file.attribute.FileTime, Manifest)]()
+
+  private[graft] def invalidateManifestCache(collection: Path): Unit = {
+    val prefix = metaDir(collection).toAbsolutePath.toString
+    manifestCache.keySet.removeIf(_.startsWith(prefix))
+  }
+
   private def readManifest(collection: Path, v: Long): Manifest = {
-    val root = JsonMethods.parse(new String(
-      Files.readAllBytes(manifestFile(collection, v)), StandardCharsets.UTF_8))
-    root.extract[Manifest]
+    val f = manifestFile(collection, v)
+    val attrs = Files.readAttributes(f, // missing file throws, as before
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val (size, mtime) = (attrs.size(), attrs.lastModifiedTime())
+    val key = f.toAbsolutePath.toString
+    val hit = manifestCache.get(key)
+    if (hit != null && hit._1 == size && hit._2 == mtime) return hit._3
+    val m = JsonMethods.parse(new String(
+      Files.readAllBytes(f), StandardCharsets.UTF_8)).extract[Manifest]
+    if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
+    manifestCache.put(key, (size, mtime, m))
+    m
   }
 
   /** Snapshot read of a specific committed version (time travel). Fails

@@ -273,6 +273,37 @@ class RobustnessSpec extends SparkSuite {
     assert(out.streamEpochs("q") == 7L)
   }
 
+  test("delete-and-recreate at the same path reads the NEW collection " +
+      "(manifest parse cache must not serve the dead incarnation)") {
+    val dir = java.nio.file.Files.createTempDirectory("reincarnate")
+      .resolve("c")
+    def build(tag: String): Unit = {
+      // same path, same row count, same version numbers — only content
+      // and segment file names differ, exactly the bench-fixture rebuild
+      (1 to 3).foreach { i =>
+        Seq(s"$tag-$i").toDF("v").coalesce(1)
+          .write.format("hadro")
+          .mode(if (i == 1) "overwrite" else "append").save(dir.toString)
+      }
+    }
+    build("alpha")
+    // read (populates any cache), then kill and rebuild the whole path
+    assert(spark.read.format("hadro").load(dir.toString).count() == 3)
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        graft.meta.CollectionMeta.listDir(p).foreach(rmrf)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmrf(dir)
+    build("bravo")
+    val got = spark.read.format("hadro").load(dir.toString)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("bravo-1", "bravo-2", "bravo-3"),
+      s"stale manifest cache across reincarnation: $got")
+    // point accessor path too (Collection API plans from the same cache)
+    assert(graft.api.Collection(spark, dir.toString).count() == 3)
+  }
+
   test("metadata directory listings do not leak file descriptors") {
     val dir = Files.createTempDirectory("fd_leak").resolve("c")
     Seq((1, "a"), (2, "b")).toDF("k", "v").write.format("hadro").mode("append").save(dir.toString)
