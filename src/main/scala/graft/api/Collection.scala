@@ -448,6 +448,9 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField.map(ren), meta.bucketBy.map(renList), meta.numBuckets,
       meta.compress, meta.partitionBy.map(ren), meta.partitionTransform,
       meta.priorPartitionTransforms)
+    // the declared write order follows its column
+    CollectionMeta.readWriteOrder(dir).filter(_ == oldName)
+      .foreach(_ => CollectionMeta.writeWriteOrder(dir, Some(newName)))
   }
 
   /** Column type WIDENING: metadata-only `ALTER COLUMN ... TYPE` for the
@@ -540,6 +543,10 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress,
       meta.partitionBy, meta.partitionTransform,
       meta.priorPartitionTransforms)
+    // a declared write order on the dropped column clears (leaving it
+    // would fail every later INSERT's sort resolution)
+    CollectionMeta.readWriteOrder(dir).filter(_ == name)
+      .foreach(_ => CollectionMeta.writeWriteOrder(dir, None))
   }
 
   /** Rewind the collection to a retained version (Delta RESTORE / Iceberg

@@ -362,6 +362,45 @@ object CollectionMeta {
     }
   }
 
+  // ---------------------------------------------------------- write order
+
+  private def writeOrderFile(collection: Path): Path =
+    metaDir(collection).resolve("writeorder.json")
+
+  /** Table-declared write order (Iceberg `WRITE ORDERED BY` analog),
+    * declared via `TBLPROPERTIES ('sortedBy' = '<col>')`: catalog batch
+    * writes require a within-partition sort on this column
+    * (RequiresDistributionAndOrdering — Spark plans the Sort), so plain
+    * INSERTs land range-sorted segments and keep the manifest's
+    * `sortedBy` declaration alive without manual cluster() rewrites. A
+    * declarative config sidecar like constraints.json: clones carry it;
+    * fresh histories re-establish it on their first catalog write. */
+  def readWriteOrder(collection: Path): Option[String] = {
+    val f = writeOrderFile(collection)
+    if (!Files.exists(f)) None
+    else try {
+      (JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+        \ "sortedBy") match {
+        case JString(s) if s.nonEmpty => Some(s)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  def writeWriteOrder(collection: Path, col: Option[String]): Unit = {
+    val f = writeOrderFile(collection)
+    col match {
+      case None => Files.deleteIfExists(f)
+      case Some(c) =>
+        Files.createDirectories(metaDir(collection))
+        val tmp = metaDir(collection).resolve(s"writeorder.json.tmp${System.nanoTime()}")
+        Files.write(tmp,
+          Serialization.write(Map("sortedBy" -> c)).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   // ---------------------------------------------------------- constraints
   // CHECK constraints: `_hadro/constraints.json` maps constraint name ->
   // SQL boolean expression over the row. Declared via TBLPROPERTIES

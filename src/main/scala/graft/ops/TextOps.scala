@@ -507,8 +507,15 @@ object TextOps {
           }),
           lit(0L), (acc, x) => acc + x).as("score_milli"))
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
-        round(col("score_milli").cast("double") /
-          (col("n_tokens") * lit(1000.0)), 6).as("quality_logit"),
+        // UNROUNDED on purpose: both operands are exact integers, so the
+        // one IEEE division is correctly-rounded and bit-identical on any
+        // engine — whereas round(x, 6) diverges on exact .5 boundaries
+        // (Spark rounds the double's shortest DECIMAL repr half-up;
+        // DuckDB rounds the BINARY value, e.g. -12117/48000 = -0.2524375
+        // whose nearest double is a hair below the tie — caught by the
+        // sf0.1 oracle, t20)
+        (col("score_milli").cast("double") /
+          (col("n_tokens") * lit(1000.0))).as("quality_logit"),
         (col("score_milli") >= 0L).as("keep"))
   }
 

@@ -861,7 +861,7 @@ object OpsQueries {
         agg AS (SELECT k.doc_id, COUNT(*) AS n_tokens, SUM(w.w) AS score_milli
           FROM tok k JOIN wt w USING (t) GROUP BY k.doc_id)
         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-          ROUND(CAST(score_milli AS DOUBLE) / (n_tokens * 1000.0), 6)
+          CAST(score_milli AS DOUBLE) / (n_tokens * 1000.0)
             AS quality_logit,
           score_milli >= 0 AS keep
         FROM agg ORDER BY doc_id""")),

@@ -2835,5 +2835,48 @@ object StorageQueries {
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
         FROM orders ORDER BY o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h86
+    // Table-declared WRITE ORDER (Iceberg `WRITE ORDERED BY` analog):
+    // `TBLPROPERTIES ('sortedBy' = 'o_totalprice')` makes every catalog
+    // INSERT require a within-partition sort (the planner adds it —
+    // RequiresDistributionAndOrdering), so plain writes land range-sorted
+    // segments: the manifest keeps its sortedBy declaration, scans report
+    // per-partition ordering (redundant sorts planned away), and range
+    // filters on the sort column prune segments — cluster()-quality
+    // layout with zero maintenance jobs, the always-sorted event-table
+    // shape at 100 TB. The query pins the declaration and the pruning
+    // behavior; the oracle proves the sorted write is lossless.
+    QueryDef(
+      "h86_declared_write_order",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_worder/$tag"
+        s.conf.set("spark.sql.catalog.graft_h86",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h86.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h86.db")
+        s.sql("DROP TABLE IF EXISTS graft_h86.db.t")
+        s.sql("""CREATE TABLE graft_h86.db.t (o_orderkey BIGINT,
+          o_totalprice DOUBLE) USING hadro
+          TBLPROPERTIES ('sortedBy' = 'o_totalprice')""")
+        table(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+          .createOrReplaceTempView("h86_src")
+        s.sql("INSERT INTO graft_h86.db.t SELECT * FROM h86_src")
+        require(graft.meta.CollectionMeta.currentManifest(
+            java.nio.file.Paths.get(s"$wh/db/t"))
+          .sortedBy.contains("o_totalprice"),
+          "h86: catalog INSERT must land sorted segments and declare it")
+        val df = s.sql("""SELECT o_orderkey, o_totalprice FROM graft_h86.db.t
+          WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+          ORDER BY o_orderkey""")
+        df
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+        ORDER BY o_orderkey"""))
   )
 }

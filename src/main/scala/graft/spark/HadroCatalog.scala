@@ -207,9 +207,23 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     constraintProps.foreach { case (n, text) =>
       HadroWriteInit.bindConstraint(schema, n, text)
     }
+    // Declared write order: TBLPROPERTIES ('sortedBy' = '<col>') — every
+    // catalog batch write then requires a within-partition sort on it
+    // (RequiresDistributionAndOrdering), keeping segments range-sorted
+    // and the manifest's sortedBy declaration alive with zero manual
+    // cluster() calls. Validated here so a typo fails the CREATE.
+    val sortedBy = Option(properties.get("sortedBy")).filter(_.nonEmpty)
+    sortedBy.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"hadro: sortedBy column '$c' not in schema ${schema.simpleString}"))
+      require(graft.format.StatsCollector.isOrderable(f.dataType),
+        s"hadro: sortedBy column '$c' must be orderable, is ${f.dataType.simpleString}")
+    }
     CollectionMeta.writeSchema(dir, schema, key,
       bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2), compress,
       partitionSpec.map(_._1), partitionSpec.map(_._2))
+    sortedBy.foreach(c => CollectionMeta.writeWriteOrder(dir, Some(c)))
     if (constraintProps.nonEmpty)
       CollectionMeta.writeConstraints(dir, constraintProps.toMap)
     new HadroTable(dir,
@@ -255,6 +269,20 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "hadro: only top-level ALTER COLUMN TYPE is supported")
         graft.api.Collection(org.apache.spark.sql.SparkSession.active, dir.toString)
           .widenColumn(ut.fieldNames().head, ut.newDataType())
+      case sp: TableChange.SetProperty if sp.property == "sortedBy" =>
+        val meta = CollectionMeta.readSchema(dir).getOrElse(
+          throw new NoSuchTableException(ident))
+        val f = meta.schema.fields
+          .filterNot(CollectionMeta.isDropped)
+          .find(_.name == sp.value).getOrElse(
+            throw new IllegalArgumentException(
+              s"hadro: sortedBy column '${sp.value}' not in schema"))
+        require(graft.format.StatsCollector.isOrderable(f.dataType),
+          s"hadro: sortedBy column '${sp.value}' must be orderable, " +
+            s"is ${f.dataType.simpleString}")
+        CollectionMeta.writeWriteOrder(dir, Some(sp.value))
+      case rp: TableChange.RemoveProperty if rp.property == "sortedBy" =>
+        CollectionMeta.writeWriteOrder(dir, None)
       case sp: TableChange.SetProperty if sp.property.startsWith("constraint.") =>
         // ALTER TABLE t SET TBLPROPERTIES ('constraint.<n>' = '<expr>'):
         // analyzer-validated AND retro-checked against existing rows (one

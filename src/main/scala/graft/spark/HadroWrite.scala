@@ -231,7 +231,20 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     override def requiredNumPartitions(): Int =
       if (viaCatalog) declaredOrExplicitSpec.map(_._2).getOrElse(0) else 0
 
-    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    // Declared write order (TBLPROPERTIES 'sortedBy', catalog writes
+    // only — a path write has no planner contract to enforce the sort,
+    // so declaring it would record an order the data might not have):
+    // Spark adds the within-partition Sort, every segment lands
+    // range-sorted, and the manifest keeps its sortedBy declaration.
+    private def declaredWriteOrder: Option[String] =
+      if (viaCatalog) CollectionMeta.readWriteOrder(path) else None
+
+    override def requiredOrdering(): Array[SortOrder] =
+      declaredWriteOrder match {
+        case Some(c) => Array(Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        case None => Array.empty
+      }
 
     // Write-side observability (SQL UI): rows/bytes/segments per write
     // job, reported from each task via DataWriter.currentMetricsValues.
@@ -284,7 +297,8 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
         upsert || tombstone || deleteCol.nonEmpty,
         doTruncate && rwOptionFilters.isEmpty, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
-        maxSegmentBytes, bucketSpec, replaceSpec, sortedSpec, compressSpec,
+        maxSegmentBytes, bucketSpec, replaceSpec,
+        sortedSpec.orElse(declaredWriteOrder), compressSpec,
         dynamicOverwrite = doDynamicOverwrite,
         replaceWhere = rwFilters,
         mergeSchema = opts.getBoolean("hadro.mergeSchema", false),

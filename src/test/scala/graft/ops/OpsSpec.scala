@@ -1423,9 +1423,8 @@ class OpsSpec extends SparkSuite {
     }.sum
     val got = out.filter($"doc_id" === row.getLong(0)).head()
     assert(got.getInt(1) == toks.length)
-    assert(got.getDouble(2) ==
-      BigDecimal(score.toDouble / (toks.length * 1000.0))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // unrounded: one IEEE division of exact integers, bit-identical
+    assert(got.getDouble(2) == score.toDouble / (toks.length * 1000.0))
     assert(got.getBoolean(3) == (score >= 0))
   }
 

@@ -1,0 +1,115 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.api.Collection
+import graft.meta.CollectionMeta
+
+/** Table-declared write order (Iceberg `WRITE ORDERED BY` analog):
+  * `TBLPROPERTIES ('sortedBy' = 'col')` makes every catalog batch write
+  * require a within-partition sort (RequiresDistributionAndOrdering), so
+  * plain INSERTs land range-sorted segments and the manifest's `sortedBy`
+  * declaration — hence SupportsReportOrdering, RemoveRedundantSorts, and
+  * range-tight segment stats — survives without manual cluster() calls. */
+class WriteOrderSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft_wo_wh").toString
+    spark.conf.set("spark.sql.catalog.wocat", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wocat.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wocat.db")
+    w
+  }
+
+  test("declared sortedBy: plain INSERT lands sorted segments and the " +
+      "scan reports ordering") {
+    warehouse
+    spark.sql("""CREATE TABLE wocat.db.t (k BIGINT, v BIGINT) USING hadro
+      TBLPROPERTIES ('sortedBy' = 'k')""")
+    // deliberately unsorted input
+    spark.sql("""INSERT INTO wocat.db.t
+      SELECT (id * 37) % 2000 AS k, id AS v FROM range(0, 2000)""")
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/t")
+    assert(CollectionMeta.currentManifest(dir).sortedBy.contains("k"),
+      "catalog INSERT into a declared-order table must record sortedBy")
+    // rows really are sorted within every partition
+    val scan = spark.read.format("hadro").load(dir.toString)
+    scan.select($"k")
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect()
+      .foreach(s => assert(s == s.sorted, "partition not sorted by k"))
+    // a redundant per-partition sort is planned away
+    val sorted = scan.sortWithinPartitions("k")
+    sorted.collect()
+    val plan = sorted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Sort ["), s"redundant sort survived:\n$plan")
+
+    // an unsorted PATH append clears the manifest declaration (the data
+    // no longer proves uniform order) — but the TABLE property stands,
+    // so the next catalog overwrite re-establishes it
+    Seq((5L, 1L), (1L, 2L)).toDF("k", "v").coalesce(1)
+      .write.format("hadro").mode("append").save(dir.toString)
+    assert(CollectionMeta.currentManifest(dir).sortedBy.isEmpty)
+    spark.sql("""INSERT OVERWRITE wocat.db.t
+      SELECT (id * 37) % 100 AS k, id AS v FROM range(0, 100)""")
+    assert(CollectionMeta.currentManifest(dir).sortedBy.contains("k"))
+    spark.sql("DROP TABLE wocat.db.t")
+  }
+
+  test("sortedBy validates, alters, follows renames, clears on drop") {
+    warehouse
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE wocat.db.bad (k BIGINT) USING hadro
+        TBLPROPERTIES ('sortedBy' = 'nope')""")
+    }
+    assert(e.getMessage.contains("nope"))
+
+    spark.sql("""CREATE TABLE wocat.db.alt (a BIGINT, b BIGINT) USING hadro
+      TBLPROPERTIES ('sortedBy' = 'a')""")
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/alt")
+    // re-point the declaration: later writes sort by b
+    spark.sql("ALTER TABLE wocat.db.alt SET TBLPROPERTIES ('sortedBy' = 'b')")
+    spark.sql("""INSERT INTO wocat.db.alt
+      SELECT id AS a, (id * 37) % 500 AS b FROM range(0, 500)""")
+    assert(CollectionMeta.currentManifest(dir).sortedBy.contains("b"))
+    // rename follows
+    spark.sql("ALTER TABLE wocat.db.alt RENAME COLUMN b TO b2")
+    assert(CollectionMeta.readWriteOrder(dir).contains("b2"))
+    spark.sql("""INSERT OVERWRITE wocat.db.alt
+      SELECT id AS a, (id * 7) % 100 AS b2 FROM range(0, 100)""")
+    assert(CollectionMeta.currentManifest(dir).sortedBy.contains("b2"))
+    // unset stops declaring (writes no longer sort or record)
+    spark.sql("ALTER TABLE wocat.db.alt UNSET TBLPROPERTIES ('sortedBy')")
+    assert(CollectionMeta.readWriteOrder(dir).isEmpty)
+    // drop of the ordered column clears the declaration instead of
+    // leaving INSERTs to fail resolution
+    spark.sql("ALTER TABLE wocat.db.alt SET TBLPROPERTIES ('sortedBy' = 'b2')")
+    spark.sql("ALTER TABLE wocat.db.alt DROP COLUMN b2")
+    assert(CollectionMeta.readWriteOrder(dir).isEmpty)
+    spark.sql("DROP TABLE wocat.db.alt")
+  }
+
+  test("declared order composes with bucketing: per-bucket sorted segments") {
+    warehouse
+    spark.sql("""CREATE TABLE wocat.db.bs (k BIGINT, v BIGINT) USING hadro
+      PARTITIONED BY (bucket(4, k))
+      TBLPROPERTIES ('sortedBy' = 'v')""")
+    spark.sql("""INSERT INTO wocat.db.bs
+      SELECT id AS k, (id * 37) % 1000 AS v FROM range(0, 1000)""")
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/bs")
+    val m = CollectionMeta.currentManifest(dir)
+    assert(m.sortedBy.contains("v"))
+    assert(m.segments.forall(_.bucket.isDefined))
+    // each bucket's segment is internally sorted by v
+    spark.read.format("hadro").load(dir.toString).select($"v")
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect()
+      .foreach(s => assert(s == s.sorted, "bucket segment not sorted by v"))
+    spark.sql("DROP TABLE wocat.db.bs")
+  }
+}
