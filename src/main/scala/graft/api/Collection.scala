@@ -448,9 +448,12 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField.map(ren), meta.bucketBy.map(renList), meta.numBuckets,
       meta.compress, meta.partitionBy.map(ren), meta.partitionTransform,
       meta.priorPartitionTransforms)
-    // the declared write order follows its column
-    CollectionMeta.readWriteOrder(dir).filter(_ == oldName)
-      .foreach(_ => CollectionMeta.writeWriteOrder(dir, Some(newName)))
+    // the declared write order follows its column(s)
+    CollectionMeta.readWriteOrder(dir)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.contains(oldName))
+      .foreach(cs => CollectionMeta.writeWriteOrder(dir,
+        Some(cs.map(ren).mkString(","))))
   }
 
   /** Column type WIDENING: metadata-only `ALTER COLUMN ... TYPE` for the
@@ -543,9 +546,10 @@ final class Collection private (spark: SparkSession, val path: String) {
       meta.keyField, meta.bucketBy, meta.numBuckets, meta.compress,
       meta.partitionBy, meta.partitionTransform,
       meta.priorPartitionTransforms)
-    // a declared write order on the dropped column clears (leaving it
-    // would fail every later INSERT's sort resolution)
-    CollectionMeta.readWriteOrder(dir).filter(_ == name)
+    // a declared write order involving the dropped column clears (leaving
+    // it would fail every later INSERT's sort resolution)
+    CollectionMeta.readWriteOrder(dir)
+      .filter(_.split(",").map(_.trim).contains(name))
       .foreach(_ => CollectionMeta.writeWriteOrder(dir, None))
   }
 

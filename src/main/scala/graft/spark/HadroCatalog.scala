@@ -213,13 +213,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // and the manifest's sortedBy declaration alive with zero manual
     // cluster() calls. Validated here so a typo fails the CREATE.
     val sortedBy = Option(properties.get("sortedBy")).filter(_.nonEmpty)
-    sortedBy.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"hadro: sortedBy column '$c' not in schema ${schema.simpleString}"))
-      require(graft.format.StatsCollector.isOrderable(f.dataType),
-        s"hadro: sortedBy column '$c' must be orderable, is ${f.dataType.simpleString}")
-    }
+    sortedBy.foreach(HadroCatalog.validateWriteOrder(schema, _))
     CollectionMeta.writeSchema(dir, schema, key,
       bucketSpec.map(_._1.mkString(",")), bucketSpec.map(_._2), compress,
       partitionSpec.map(_._1), partitionSpec.map(_._2))
@@ -272,14 +266,9 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case sp: TableChange.SetProperty if sp.property == "sortedBy" =>
         val meta = CollectionMeta.readSchema(dir).getOrElse(
           throw new NoSuchTableException(ident))
-        val f = meta.schema.fields
-          .filterNot(CollectionMeta.isDropped)
-          .find(_.name == sp.value).getOrElse(
-            throw new IllegalArgumentException(
-              s"hadro: sortedBy column '${sp.value}' not in schema"))
-        require(graft.format.StatsCollector.isOrderable(f.dataType),
-          s"hadro: sortedBy column '${sp.value}' must be orderable, " +
-            s"is ${f.dataType.simpleString}")
+        HadroCatalog.validateWriteOrder(
+          org.apache.spark.sql.types.StructType(
+            meta.schema.fields.filterNot(CollectionMeta.isDropped)), sp.value)
         CollectionMeta.writeWriteOrder(dir, Some(sp.value))
       case rp: TableChange.RemoveProperty if rp.property == "sortedBy" =>
         CollectionMeta.writeWriteOrder(dir, None)
@@ -423,6 +412,22 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   * when resolving a bucketed scan's reported partitioning; the
   * canonicalName ties the two sides of a storage-partitioned join
   * together (equal name + equal numBuckets = co-partitioned). */
+object HadroCatalog {
+  /** Validates a declared write order ("c1[, c2...]"): every column must
+    * exist in the (logical) schema and be orderable. */
+  private[spark] def validateWriteOrder(schema: StructType, spec: String): Unit = {
+    val cols = spec.split(",").map(_.trim).filter(_.nonEmpty)
+    require(cols.nonEmpty, "hadro: sortedBy must name at least one column")
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"hadro: sortedBy column '$c' not in schema ${schema.simpleString}"))
+      require(graft.format.StatsCollector.isOrderable(f.dataType),
+        s"hadro: sortedBy column '$c' must be orderable, is ${f.dataType.simpleString}")
+    }
+  }
+}
+
 object HadroBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =

@@ -234,15 +234,21 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     // Declared write order (TBLPROPERTIES 'sortedBy', catalog writes
     // only — a path write has no planner contract to enforce the sort,
     // so declaring it would record an order the data might not have):
-    // Spark adds the within-partition Sort, every segment lands
-    // range-sorted, and the manifest keeps its sortedBy declaration.
-    private def declaredWriteOrder: Option[String] =
-      if (viaCatalog) CollectionMeta.readWriteOrder(path) else None
+    // Spark adds the within-partition Sort on ALL declared columns;
+    // the manifest declares the LEADING column (a (c1, c2)-sorted run
+    // is c1-sorted — the prefix declaration is sound, and single-column
+    // is all the scan-side ordering report and range pruning consume).
+    private def declaredWriteOrder: Option[Seq[String]] =
+      if (viaCatalog)
+        CollectionMeta.readWriteOrder(path)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+      else None
 
     override def requiredOrdering(): Array[SortOrder] =
       declaredWriteOrder match {
-        case Some(c) => Array(Expressions.sort(Expressions.column(c),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        case Some(cs) => cs.map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
         case None => Array.empty
       }
 
@@ -298,7 +304,7 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
         doTruncate && rwOptionFilters.isEmpty, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
         maxSegmentBytes, bucketSpec, replaceSpec,
-        sortedSpec.orElse(declaredWriteOrder), compressSpec,
+        sortedSpec.orElse(declaredWriteOrder.map(_.head)), compressSpec,
         dynamicOverwrite = doDynamicOverwrite,
         replaceWhere = rwFilters,
         mergeSchema = opts.getBoolean("hadro.mergeSchema", false),

@@ -94,6 +94,31 @@ class WriteOrderSpec extends SparkSuite {
     spark.sql("DROP TABLE wocat.db.alt")
   }
 
+  test("multi-column sortedBy: lexicographic segment order, leading-column " +
+      "declaration, rename follows the list") {
+    warehouse
+    spark.sql("""CREATE TABLE wocat.db.mc (a BIGINT, b BIGINT) USING hadro
+      TBLPROPERTIES ('sortedBy' = 'a, b')""")
+    spark.sql("""INSERT INTO wocat.db.mc
+      SELECT (id * 37) % 20 AS a, (id * 13) % 1000 AS b FROM range(0, 1000)""")
+    val dir = java.nio.file.Paths.get(s"$warehouse/db/mc")
+    // manifest declares the LEADING column (prefix of the true order)
+    assert(CollectionMeta.currentManifest(dir).sortedBy.contains("a"))
+    // rows really are (a, b)-lexicographically sorted within partitions
+    spark.read.format("hadro").load(dir.toString).select($"a", $"b")
+      .mapPartitions(it =>
+        Iterator.single(it.map(r => (r.getLong(0), r.getLong(1))).toSeq))
+      .collect()
+      .foreach(s => assert(s == s.sorted, "partition not sorted by (a, b)"))
+    // rename of the SECOND column keeps the declaration coherent
+    spark.sql("ALTER TABLE wocat.db.mc RENAME COLUMN b TO b2")
+    assert(CollectionMeta.readWriteOrder(dir).contains("a,b2"))
+    // drop of ANY declared column clears the whole declaration
+    spark.sql("ALTER TABLE wocat.db.mc DROP COLUMN b2")
+    assert(CollectionMeta.readWriteOrder(dir).isEmpty)
+    spark.sql("DROP TABLE wocat.db.mc")
+  }
+
   test("declared order composes with bucketing: per-bucket sorted segments") {
     warehouse
     spark.sql("""CREATE TABLE wocat.db.bs (k BIGINT, v BIGINT) USING hadro
