@@ -785,9 +785,17 @@ object CollectionMeta {
   private def gcOldManifests(collection: Path, newest: Long): Unit = {
     val dir = metaDir(collection)
     val tagged = taggedVersions(collection)
+    // The MAIN head is sacred regardless of version distance: branch
+    // commits inflate the shared version space, so after KeepVersions+
+    // staged commits the main head would otherwise fall past the cutoff
+    // and be deleted — currentManifest would then read an EMPTY main
+    // line (silent total data loss; BranchSpec pins this). Branch heads
+    // are refs and already in `tagged`.
+    val mainHead = scanHeads(collection)._1.version
     val aged = listDir(dir)
       .filter(p => p.getFileName.toString match {
-        case ManifestRe(v) => v.toLong < newest - KeepVersions && !tagged(v.toLong)
+        case ManifestRe(v) => v.toLong < newest - KeepVersions &&
+          !tagged(v.toLong) && v.toLong != mainHead
         case _ => false
       })
     if (aged.isEmpty) return
