@@ -490,16 +490,22 @@ object CollectionMeta {
     require(!name.forall(_.isDigit),
       s"hadro: tag name '$name' is all digits — reserved for version numbers")
     manifestAt(collection, version) // validates retention + reconstructability
-    writeRefs(collection, readRefs(collection) + (name -> version))
+    // under the ref lock: a concurrent tag creation / branch-head move is
+    // a read-modify-write on the same file — unserialized, one SILENTLY
+    // loses its pin and GC may later eat that snapshot
+    withBranchLock(collection) {
+      writeRefs(collection, readRefs(collection) + (name -> version))
+    }
   }
 
   /** Drop a named ref. Returns whether it existed. The pinned version's
     * manifest stays on disk until the next retention sweep. */
-  def dropRef(collection: Path, name: String): Boolean = {
-    val refs = readRefs(collection)
-    if (!refs.contains(name)) false
-    else { writeRefs(collection, refs - name); true }
-  }
+  def dropRef(collection: Path, name: String): Boolean =
+    withBranchLock(collection) {
+      val refs = readRefs(collection)
+      if (!refs.contains(name)) false
+      else { writeRefs(collection, refs - name); true }
+    }
 
   /** Versions pinned by any ref — excluded from every manifest GC path. */
   private def taggedVersions(collection: Path): Set[Long] =
@@ -942,24 +948,43 @@ object CollectionMeta {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** JVM monitor for branch-pointer read-modify-write (FileLock is
+  /** JVM monitor for ref/branch-pointer read-modify-write (FileLock is
     * per-JVM; threads need their own fence — the mergeSchema discipline). */
   private object BranchLock
+  // Re-entrancy depth, guarded by the BranchLock monitor (only the
+  // monitor-holding thread ever reads or writes it): createBranch and
+  // rebaseBranch call setRef while already holding the OS file lock, and
+  // a second FileChannel.lock() in the same JVM throws
+  // OverlappingFileLockException — the depth counter makes the inner
+  // entry a no-op instead. The counter is global (the monitor is), so a
+  // nested entry is assumed to target the SAME collection — true for
+  // every current path (setRef inside createBranch/rebaseBranch); a
+  // future cross-collection nesting would need a per-path counter.
+  private var branchLockDepth = 0
 
-  /** Serializes branch-pointer updates across processes AND driver
-    * threads: the head ref and its manifest are two files, so concurrent
-    * branch committers without this fence could base on a stale head and
-    * silently drop each other's staged segments. Branch writes are
-    * staging-cadence (not ingest-cadence), so a coarse lock costs nothing. */
+  /** Serializes every refs/branches mutation across processes AND driver
+    * threads: head refs, tag pins, and fork bases are read-modify-write
+    * on shared files, so two unserialized writers silently drop one
+    * another's update (a lost TAG pin hands its snapshot to GC; a lost
+    * branch-head move drops staged segments). Ref updates are
+    * operator/staging-cadence, so a coarse re-entrant lock costs nothing. */
   private def withBranchLock[T](collection: Path)(body: => T): T =
     BranchLock.synchronized {
-      Files.createDirectories(metaDir(collection))
-      val ch = java.nio.channels.FileChannel.open(
-        metaDir(collection).resolve("branch.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try { val l = ch.lock(); try body finally l.release() }
-      finally ch.close()
+      if (branchLockDepth > 0) {
+        branchLockDepth += 1
+        try body finally { branchLockDepth -= 1 }
+      } else {
+        Files.createDirectories(metaDir(collection))
+        val ch = java.nio.channels.FileChannel.open(
+          metaDir(collection).resolve("branch.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock()
+          branchLockDepth = 1
+          try body finally { branchLockDepth = 0; l.release() }
+        } finally ch.close()
+      }
     }
 
   /** Fork a branch at `version` (-1 = current main head). The name must

@@ -243,6 +243,38 @@ class BranchSpec extends SparkSuite {
     c.dropBranch("flood")
   }
 
+  test("concurrent ref mutations never lose a pin (tags vs branch moves)") {
+    val path = Files.createTempDirectory("refrace").resolve("c").toString
+    (1L to 5L).toDF("id").coalesce(1)
+      .write.format("hadro").mode("overwrite").save(path)
+    val c = Collection(spark, path)
+    c.createBranch("mv")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      // 8 tag creations racing 4 branch-head moves: every pin must land
+      val tags = (1 to 8).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = c.createTag(s"pin_$i")
+        })
+      }
+      val moves = (1 to 4).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            Seq(100L * i).toDF("id").coalesce(1).write.format("hadro")
+              .option("hadro.branch", "mv").mode("append").save(path)
+        })
+      }
+      (tags ++ moves).foreach(_.get())
+    } finally pool.shutdown()
+    val refs = CollectionMeta.readRefs(java.nio.file.Paths.get(path))
+    (1 to 8).foreach(i => assert(refs.contains(s"pin_$i"),
+      s"lost tag pin_$i under concurrent ref writes: ${refs.keys.toSeq.sorted}"))
+    assert(refs.contains("mv"))
+    assert(spark.read.format("hadro")
+      .option("hadro.versionAsOf", "mv").load(path).count() == 9,
+      "all four branch-head moves must have landed")
+  }
+
   test("concurrent branch appends serialize; main appends interleave safely") {
     val path = Files.createTempDirectory("branchconc").resolve("c").toString
     (1L to 4L).toDF("id").coalesce(1)
