@@ -143,6 +143,7 @@ final class HadroTable(path: Path, dataSchema: StructType,
       meta.keyField.foreach(k => m.put("key", k))
       meta.compress.foreach(c => m.put("compress", c))
     }
+    CollectionMeta.readWriteOrder(path).foreach(c => m.put("sortedBy", c))
     CollectionMeta.readConstraints(path).foreach { case (n, text) =>
       m.put(s"constraint.$n", text)
     }

@@ -83,6 +83,10 @@ class WriteOrderSpec extends SparkSuite {
     spark.sql("""INSERT OVERWRITE wocat.db.alt
       SELECT id AS a, (id * 7) % 100 AS b2 FROM range(0, 100)""")
     assert(CollectionMeta.currentManifest(dir).sortedBy.contains("b2"))
+    // SHOW TBLPROPERTIES surfaces the declaration
+    val props = spark.sql("SHOW TBLPROPERTIES wocat.db.alt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("sortedBy").contains("b2")) // follows the rename
     // unset stops declaring (writes no longer sort or record)
     spark.sql("ALTER TABLE wocat.db.alt UNSET TBLPROPERTIES ('sortedBy')")
     assert(CollectionMeta.readWriteOrder(dir).isEmpty)
