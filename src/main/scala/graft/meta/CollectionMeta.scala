@@ -603,9 +603,15 @@ object CollectionMeta {
     * `manifest-0000000001.json` names brand-new content (a test/bench
     * fixture rebuild is exactly this; stale hits there surface as
     * FileNotFound on long-dead segment names). Two guards close it:
-    * the cache key includes (size, mtime) — a refill virtually never
-    * preserves both — and [[writeSchema]], the choke point every
-    * (re)creation passes through, drops the path's entries outright.
+    * the cache entry is validated by (size, mtime, content fingerprint)
+    * — a refill virtually never preserves size and mtime, and even on a
+    * coarse-mtime filesystem (1 s ticks) where an external rebuild (rsync
+    * of a _hadro directory in place, bypassing writeSchema) lands a
+    * same-size file within the same tick, the head+tail-16-byte
+    * fingerprint re-read catches the content change (the version number
+    * sits in the head bytes) — and [[writeSchema]], the choke point every
+    * in-engine (re)creation passes through, drops the path's entries
+    * outright.
     * The claimed-but-unfilled window needs no care: an empty slot fails
     * to parse and is never cached. At 100 TB planning cadence this is
     * one JSON parse per manifest instead of one per QUERY — history,
@@ -614,7 +620,26 @@ object CollectionMeta {
     * bookkeeping and still amortizes battery-scale workloads. */
   private val ManifestCacheMax = 512
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, java.nio.file.attribute.FileTime, Manifest)]()
+    String, (Long, java.nio.file.attribute.FileTime, Long, Manifest)]()
+
+  /** Cheap content fingerprint: the first and last 16 bytes folded to a
+    * long. Two small positioned reads — orders of magnitude cheaper than
+    * the full read + JSON parse a miss costs, and the manifest's version
+    * number lives in the head bytes, so distinct versions always differ. */
+  private def manifestFingerprint(f: Path, size: Long): Long = {
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val head = java.nio.ByteBuffer.allocate(16)
+      ch.read(head, 0L)
+      val tail = java.nio.ByteBuffer.allocate(16)
+      ch.read(tail, math.max(0L, size - 16))
+      var h = 1125899906842597L
+      head.flip(); while (head.hasRemaining) h = h * 31 + head.get()
+      tail.flip(); while (tail.hasRemaining) h = h * 31 + tail.get()
+      h
+    } finally ch.close()
+  }
 
   private[graft] def invalidateManifestCache(collection: Path): Unit = {
     val prefix = metaDir(collection).toAbsolutePath.toString
@@ -628,11 +653,12 @@ object CollectionMeta {
     val (size, mtime) = (attrs.size(), attrs.lastModifiedTime())
     val key = f.toAbsolutePath.toString
     val hit = manifestCache.get(key)
-    if (hit != null && hit._1 == size && hit._2 == mtime) return hit._3
+    if (hit != null && hit._1 == size && hit._2 == mtime &&
+        hit._3 == manifestFingerprint(f, size)) return hit._4
     val m = JsonMethods.parse(new String(
       Files.readAllBytes(f), StandardCharsets.UTF_8)).extract[Manifest]
     if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
-    manifestCache.put(key, (size, mtime, m))
+    manifestCache.put(key, (size, mtime, manifestFingerprint(f, size), m))
     m
   }
 
@@ -956,11 +982,11 @@ object CollectionMeta {
   // rebaseBranch call setRef while already holding the OS file lock, and
   // a second FileChannel.lock() in the same JVM throws
   // OverlappingFileLockException — the depth counter makes the inner
-  // entry a no-op instead. The counter is global (the monitor is), so a
-  // nested entry is assumed to target the SAME collection — true for
-  // every current path (setRef inside createBranch/rebaseBranch); a
-  // future cross-collection nesting would need a per-path counter.
+  // entry a no-op instead. The locked collection path is tracked with
+  // the depth so a nested entry for a DIFFERENT collection fails loudly
+  // instead of silently skipping that collection's OS file lock.
   private var branchLockDepth = 0
+  private var branchLockPath: Path = null
 
   /** Serializes every refs/branches mutation across processes AND driver
     * threads: head refs, tag pins, and fork bases are read-modify-write
@@ -970,7 +996,13 @@ object CollectionMeta {
     * operator/staging-cadence, so a coarse re-entrant lock costs nothing. */
   private def withBranchLock[T](collection: Path)(body: => T): T =
     BranchLock.synchronized {
+      val norm = collection.toAbsolutePath.normalize
       if (branchLockDepth > 0) {
+        require(norm == branchLockPath,
+          s"hadro: nested branch-lock entry for $norm while holding the " +
+            s"lock for $branchLockPath — cross-collection ref mutations " +
+            "must not nest (the inner collection's OS file lock would be " +
+            "silently skipped)")
         branchLockDepth += 1
         try body finally { branchLockDepth -= 1 }
       } else {
@@ -982,7 +1014,10 @@ object CollectionMeta {
         try {
           val l = ch.lock()
           branchLockDepth = 1
-          try body finally { branchLockDepth = 0; l.release() }
+          branchLockPath = norm
+          try body finally {
+            branchLockDepth = 0; branchLockPath = null; l.release()
+          }
         } finally ch.close()
       }
     }
@@ -1066,6 +1101,11 @@ object CollectionMeta {
           s"from version $base to ${committed.version} since the fork; " +
           "rebase the branch (CALL system.rebase) to re-apply the staged " +
           "appends onto the moved main, or drop it")
+      // Move the HEAD ref along with the fork base: the publish re-forked
+      // the branch at the published version, so head == base again and the
+      // next fast_forward with nothing newly staged is a no-op instead of
+      // republishing the old staged snapshot (or spuriously conflicting).
+      setRef(collection, name, committed.version)
       writeBranches(collection, readBranches(collection) + (name -> committed.version))
       committed.version
     }

@@ -115,8 +115,16 @@ object MultimodalOps {
     * image decoder). Returns the decoded frame rasters, oldest first;
     * None for single-frame media (that is an IMAGE — the image path owns
     * it) and for anything that does not decode. */
+  /** Decode-pass counter: how many payloads entered the real video
+    * decoder. Exact in local mode (one JVM); per-executor on a cluster.
+    * Exists so the near-dup pipeline's one-decode-per-asset discipline is
+    * ASSERTABLE (OpsSpec) — a plan change that silently re-runs the
+    * decode subtree doubles this, and the spec catches it. */
+  val videoDecodeCount = new java.util.concurrent.atomic.AtomicLong()
+
   private[ops] def decodeVideoFrames(
       bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] = {
+    videoDecodeCount.incrementAndGet()
     if (looksLikeGif(bytes)) {
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -216,17 +224,29 @@ object MultimodalOps {
     * frames (test cards, black frames) before the inverted-index join. */
   def decodedVideoNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
       minShared: Int = 2, maxDf: Int = 32): DataFrame = {
+    // persist: the decoded fingerprint frame feeds the df-count
+    // aggregate, the left-semi join, and both sides of the self-join —
+    // pinned explicitly so the REAL ImageIO decode in videoFrameTable
+    // runs once regardless of whether the optimizer's exchange reuse
+    // fires (the cdcNearDupPairs discipline; an optimizer change must
+    // not be able to silently double the decode cost).
     val f = videoFrameTable(df, idCol, mediaCol)
       .select(col("media_id"), col("fhash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = f.groupBy("fhash")
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select("fhash")
     val ff = f.join(rare, Seq("fhash"), "left_semi")
-    ff.as("x").join(ff.as("y"), "fhash")
+    val pairs = ff.as("x").join(ff.as("y"), "fhash")
       .filter(col("x.media_id") < col("y.media_id"))
       .groupBy(col("x.media_id").as("a"), col("y.media_id").as("b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+      // EAGER checkpoint of the (tiny) pair list so the fingerprint
+      // cache can be released here instead of leaking for the session
+      .localCheckpoint(true)
+    f.unpersist()
+    pairs
   }
 
   /** STUB decoder for UNKNOWN byte kinds only: deterministic

@@ -523,6 +523,33 @@ class OpsSpec extends SparkSuite {
       feats.toString)
   }
 
+  test("decodedVideoNearDupPairs decodes each asset exactly once (pinned subtree)") {
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    def gif(colors: Int*): Array[Byte] =
+      MultimodalOps.encodeAnimatedGif(colors.map(solid(4, 3, _)))
+    // two assets sharing 2 frames (pair), one disjoint
+    val media = Seq(
+      (1L, gif(0x111111, 0x222222, 0x333333)),
+      (2L, gif(0x111111, 0x222222, 0x999999)),
+      (3L, gif(0x777777, 0x888888, 0xaaaaaa))).toDF("doc_id", "media")
+      .repartition(2).localCheckpoint(true) // pin inputs so only the op under test decodes
+    MultimodalOps.videoDecodeCount.set(0L)
+    val pairs = MultimodalOps.decodedVideoNearDupPairs(media, "doc_id", "media")
+      .collect()
+    // the decode subtree is persisted inside the op: the df-count
+    // aggregate, semi-join, and both self-join sides must all read the
+    // cached fingerprints — one decode per asset, not 3-4x
+    assert(MultimodalOps.videoDecodeCount.get() == 3L,
+      s"expected 3 decode passes, got ${MultimodalOps.videoDecodeCount.get()}")
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L)))
+  }
+
   test("real image decode: dimensions, pixels, features, and resize round-trip") {
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,

@@ -70,6 +70,36 @@ class BranchSpec extends SparkSuite {
     spark.sql("DROP TABLE brcat.db.wap")
   }
 
+  test("fast-forward publish moves the head ref: repeat with nothing staged " +
+      "is a no-op, even after main moves") {
+    warehouse
+    spark.sql("CREATE TABLE brcat.db.ffnoop (id BIGINT) USING hadro")
+    spark.sql("INSERT INTO brcat.db.ffnoop VALUES (1)")
+    spark.sql("CALL brcat.system.create_branch('db.ffnoop', 'stage', -1)")
+    val dir = s"$warehouse/db/ffnoop"
+    Seq(10L).toDF("id").coalesce(1).write.format("hadro")
+      .option("hadro.branch", "stage").mode("append").save(dir)
+    val pub = spark.sql("CALL brcat.system.fast_forward('db.ffnoop', 'stage')")
+      .head().getLong(1)
+    // publish re-forked the branch: head ref == fork base == published
+    assert(graft.meta.CollectionMeta.branchHeadVersion(
+      java.nio.file.Paths.get(dir), "stage") == pub,
+      "publish must move the branch HEAD ref, not only the fork base")
+    // nothing newly staged: a second fast_forward publishes nothing (no
+    // identical-content main commit, no version churn)
+    val v2 = spark.sql("CALL brcat.system.fast_forward('db.ffnoop', 'stage')")
+      .head().getLong(1)
+    assert(v2 == pub, s"no-op fast_forward republished: $pub -> $v2")
+    assert(Collection(spark, dir).version == pub)
+    // main moves with nothing staged: still a no-op, NOT a spurious conflict
+    spark.sql("INSERT INTO brcat.db.ffnoop VALUES (2)")
+    val v3 = spark.sql("CALL brcat.system.fast_forward('db.ffnoop', 'stage')")
+      .head().getLong(1)
+    assert(spark.sql("SELECT COUNT(*) FROM brcat.db.ffnoop").head().getLong(0) == 3)
+    assert(v3 == Collection(spark, dir).version)
+    spark.sql("DROP TABLE brcat.db.ffnoop")
+  }
+
   test("fast-forward conflicts when main moved since the fork") {
     warehouse
     spark.sql("CREATE TABLE brcat.db.conf (id BIGINT) USING hadro")
