@@ -4456,6 +4456,63 @@ object OpsQueries {
       Some("""SELECT c_custkey, c_name FROM customer
         WHERE c_custkey % 3 = 1 ORDER BY c_custkey""")),
 
+    // ---------------------------------------------------------------- st22
+    // STREAMING dv-delete CDC: a changefeed stream synthesizes
+    // `_hadro_deleted = true` rows when a deletion-vector DELETE lands
+    // mid-tail — a version-only offset advance (no new ordinals) still
+    // produces a micro-batch carrying exactly the newly-vectored rows,
+    // so a downstream incremental consumer sees GDPR deletes as events
+    // instead of requiring a full re-read. Appends after the delete keep
+    // flowing in the same stream.
+    QueryDef(
+      "st22_streaming_dv_cdc",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_st22"
+        s.conf.set("spark.sql.catalog.graft_st22",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_st22.warehouse", wh)
+        val path = s"$wh/db/cust"
+        table(s, dir, "customer")
+          .filter($"c_custkey" % 2 === 0)
+          .select($"c_custkey", $"c_acctbal")
+          .repartitionByRange(2, $"c_custkey")
+          .write.format("hadro").mode("overwrite").save(path)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st22.db")
+        val name = s"st22_sink_${System.nanoTime()}"
+        val q = s.readStream.format("hadro")
+          .option("hadro.changefeed", "full").load(path)
+          .select($"c_custkey", $"c_acctbal", col("_hadro_deleted"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try {
+          q.processAllAvailable() // batch 1: the even-half backfill
+          s.conf.set("spark.hadro.delete.mode", "dv")
+          try s.sql("DELETE FROM graft_st22.db.cust WHERE c_acctbal < 0.0")
+          finally s.conf.unset("spark.hadro.delete.mode")
+          q.processAllAvailable() // batch 2: version-only advance -> CDC deletes
+          table(s, dir, "customer")
+            .filter($"c_custkey" % 2 === 1)
+            .select($"c_custkey", $"c_acctbal")
+            .write.format("hadro").mode("append").save(path)
+          q.processAllAvailable() // batch 3: appends keep flowing
+        } finally q.stop()
+        s.table(name)
+          .groupBy(col("_hadro_deleted").cast("int").as("deleted"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("sum_bal"))
+          .orderBy("deleted")
+      },
+      Some("""WITH cdc AS (
+          SELECT 0 AS deleted, c_acctbal FROM customer
+          UNION ALL
+          SELECT 1 AS deleted, c_acctbal
+          FROM customer WHERE c_custkey % 2 = 0 AND c_acctbal < 0.0)
+        SELECT deleted, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM cdc GROUP BY deleted ORDER BY deleted""")),
+
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +
     // language gate) applied to a document STREAM — stateless curation

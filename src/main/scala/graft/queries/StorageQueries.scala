@@ -2878,5 +2878,118 @@ object StorageQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
         ORDER BY o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h87
+    // MERGE WITH SCHEMA EVOLUTION (the append path's hadro.mergeSchema
+    // reaching row-level ops): a CDC upsert pipeline whose UPSTREAM grew a
+    // column keeps flowing — the clause routes the source's new column
+    // through in-place ADD COLUMN (alterTable) before the merge executes,
+    // old rows null-fill via the per-segment nFields machinery, and the
+    // merge itself lands in one atomic commit. The month-one schema-drift
+    // scenario for any 100 TB CDC ingest. Gated per-statement by the SQL
+    // clause; `spark.hadro.mergeSchema.rowLevel=false` freezes it.
+    QueryDef(
+      "h87_merge_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h87"
+        s.conf.set("spark.sql.catalog.graft_h87",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h87.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h87.db")
+        s.sql("DROP TABLE IF EXISTS graft_h87.db.t")
+        val path = s"$wh/db/t"
+        table(s, dir, "customer")
+          .filter($"c_custkey" % 2 === 0)
+          .select($"c_custkey", $"c_acctbal")
+          .write.format("hadro").mode("append")
+          .option("hadro.key", "c_custkey").save(path)
+        table(s, dir, "customer")
+          .filter($"c_custkey" % 3 === 0)
+          .select($"c_custkey", ($"c_acctbal" + 1000.0).as("c_acctbal"),
+            $"c_mktsegment".as("seg"))
+          .createOrReplaceTempView("h87_src")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_h87.db.t t
+          USING h87_src s ON t.c_custkey = s.c_custkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        graft.api.Collection(s, path).toDF()
+          .groupBy(coalesce($"seg", lit("none")).as("seg"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("sum_bal"))
+          .orderBy("seg")
+      },
+      Some("""WITH base AS (
+          SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+        src AS (
+          SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,
+            c_mktsegment AS seg
+          FROM customer WHERE c_custkey % 3 = 0),
+        merged AS (
+          SELECT COALESCE(s.c_custkey, b.c_custkey) AS c_custkey,
+            COALESCE(s.c_acctbal, b.c_acctbal) AS c_acctbal, s.seg AS seg
+          FROM base b FULL OUTER JOIN src s ON b.c_custkey = s.c_custkey)
+        SELECT COALESCE(seg, 'none') AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM merged GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---------------------------------------------------------------- h88
+    // CDC DELETE rows from deletion-vector drift: a changes window read
+    // with `hadro.changefeed=full` SYNTHESIZES `_hadro_deleted = true`
+    // rows for rows dv-deleted inside the window on pre-window segments
+    // (Delta CDF's synthesized deletes, derived from the window's two
+    // manifest vectors), instead of refusing — so the two flagship 100 TB
+    // patterns, GDPR-style dv deletes and nightly incremental reads,
+    // compose. Rows appended AND dv-deleted inside the window net out;
+    // the drift read plans only the affected split ranges. Plain window
+    // reads over drift still refuse (they cannot represent a deletion).
+    QueryDef(
+      "h88_dv_changes_cdc",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h88"
+        s.conf.set("spark.sql.catalog.graft_h88",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h88.warehouse", wh)
+        val path = s"$wh/db/cust"
+        table(s, dir, "customer")
+          .filter($"c_custkey" % 2 === 0)
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+          .repartitionByRange(4, $"c_custkey")
+          .write.format("hadro").mode("overwrite").save(path)
+        val v1 = graft.api.Collection(s, path).version
+        // in-window: append the odd half, then dv-delete the negative
+        // balances EVERYWHERE — pre-window rows become synthesized CDC
+        // deletes, in-window rows net out of the insert set
+        table(s, dir, "customer")
+          .filter($"c_custkey" % 2 === 1)
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+          .write.format("hadro").mode("append").save(path)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h88.db")
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try s.sql("DELETE FROM graft_h88.db.cust WHERE c_acctbal < 0.0")
+        finally s.conf.unset("spark.hadro.delete.mode")
+        s.read.format("hadro")
+          .option("hadro.changefeed", "full")
+          .option("hadro.changesStart", v1.toString).load(path)
+          .groupBy(col("_hadro_deleted").cast("int").as("deleted"),
+            $"c_mktsegment".as("seg"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("sum_bal"))
+          .orderBy("deleted", "seg")
+      },
+      Some("""WITH cdc AS (
+          SELECT 0 AS deleted, c_mktsegment AS seg, c_acctbal
+          FROM customer WHERE c_custkey % 2 = 1 AND NOT (c_acctbal < 0.0)
+          UNION ALL
+          SELECT 1 AS deleted, c_mktsegment AS seg, c_acctbal
+          FROM customer WHERE c_custkey % 2 = 0 AND c_acctbal < 0.0)
+        SELECT deleted, seg, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM cdc GROUP BY deleted, seg ORDER BY deleted, seg"""))
   )
 }

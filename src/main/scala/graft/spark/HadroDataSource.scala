@@ -128,12 +128,28 @@ final class HadroTable(path: Path, dataSchema: StructType,
         }
       }
     }
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE)
+    // `MERGE WITH SCHEMA EVOLUTION`: Spark only honors the clause when the
+    // table declares AUTOMATIC_SCHEMA_EVOLUTION — the analyzer then routes
+    // the source's new columns through TableCatalog.alterTable (AddColumn /
+    // safe type widening, both in-place metadata evolution here) before
+    // rewriting the MERGE, which is exactly the append path's
+    // hadro.mergeSchema semantics reaching row-level ops. The clause is the
+    // per-statement opt-in (no clause = no evolution, Spark's own gate);
+    // `spark.hadro.mergeSchema.rowLevel=false` disables it table-wide for
+    // deployments that want MERGE sources schema-frozen.
+    val evolution =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.hadro.mergeSchema.rowLevel", "true").toBoolean
+      catch { case _: Exception => true }
+    (if (evolution) base + TableCapability.AUTOMATIC_SCHEMA_EVOLUTION
+     else base).asJava
+  }
 
   // DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface the collection-level
   // declarations (key, codec); bucketing already shows via partitioning()
@@ -962,39 +978,65 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     *     ordinal space — a window across it is meaningless),
     *   - every start-side file still live at the end (a metadata-only
     *     partition drop removes rows without an ordinal event),
-    *   - no deletion-vector drift on surviving files (dv deletes are
+    *   - deletion-vector drift on surviving files (dv deletes are
     *     row-level erasures, not appended tombstones — invisible to an
-    *     ordinal window).
+    *     ordinal window) is allowed ONLY in changefeed (full) mode, where
+    *     the drift is SYNTHESIZED into `_change`-style DELETE rows: one
+    *     [[DvDeltaPartition]] per affected split range emits the rows in
+    *     (end vector minus start vector) flagged `_hadro_deleted = true`
+    *     (Delta CDF's synthesized deletes, from the window's manifest
+    *     pair). A plain window scan cannot represent a deletion, so it
+    *     keeps the refusal and points at changefeed=full.
     * Upserts and keyed tombstone deletes ARE ordinal appends, so they
     * replay exactly; compose with `hadro.changefeed=full` to see them as
-    * CDC rows. Planning cost is O(#segments) manifest work — at 100 TB an
-    * incremental consumer reads only the window's segments, never the
-    * table. */
-  private lazy val changesFloor: Option[Long] = changesStart.map { v =>
-    val end = manifestSnapshot
-    val start = CollectionMeta.manifestAt(path, v)
-    require(start.version <= end.version,
-      s"hadro: changes window ($v, ${end.version}] is inverted — " +
-        "changesStart must not exceed changesEnd/versionAsOf")
-    require(start.generation == end.generation,
-      s"hadro: changes window ($v, ${end.version}] crosses a truncate/" +
-        "compaction/overwrite (generation " +
-        s"${start.generation} -> ${end.generation}) — the ordinal space " +
-        "was rewritten; replay from a full snapshot instead")
-    val endByFile = end.segments.map(s => s.file -> s).toMap
-    start.segments.foreach { s =>
-      val live = endByFile.get(s.file)
-      require(live.isDefined,
-        s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
-          "was dropped (drop_partitions) inside the window; its rows' " +
-          "removal is not an ordinal event, replay from a full snapshot")
-      require(live.get.deleteVector == s.deleteVector,
-        s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
-          "gained row-level (deletion-vector) deletes inside the window; " +
-          "those are not ordinal events, replay from a full snapshot")
+    * CDC rows. Rows BOTH appended and dv-deleted inside the window net
+    * out (the in-window segments are read with the end manifest's
+    * vectors): the window is the NET change set, never a delete for a row
+    * the consumer never saw. Planning cost is O(#segments) manifest work —
+    * at 100 TB an incremental consumer reads only the window's segments
+    * plus the drifted blocks, never the table. */
+  private lazy val changesWindowInfo: Option[(Long, Seq[(SegmentInfo, Option[String])])] =
+    changesStart.map { v =>
+      val end = manifestSnapshot
+      val start = CollectionMeta.manifestAt(path, v)
+      require(start.version <= end.version,
+        s"hadro: changes window ($v, ${end.version}] is inverted — " +
+          "changesStart must not exceed changesEnd/versionAsOf")
+      require(start.generation == end.generation,
+        s"hadro: changes window ($v, ${end.version}] crosses a truncate/" +
+          "compaction/overwrite (generation " +
+          s"${start.generation} -> ${end.generation}) — the ordinal space " +
+          "was rewritten; replay from a full snapshot instead")
+      val wantDeleted = required.fieldNames.contains(HadroTable.DeletedCol)
+      val endByFile = end.segments.map(s => s.file -> s).toMap
+      val drift = Seq.newBuilder[(SegmentInfo, Option[String])]
+      start.segments.foreach { s =>
+        val live = endByFile.get(s.file)
+        require(live.isDefined,
+          s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
+            "was dropped (drop_partitions) inside the window; its rows' " +
+            "removal is not an ordinal event, replay from a full snapshot")
+        if (live.get.deleteVector != s.deleteVector) {
+          require(wantDeleted,
+            s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
+              "gained row-level (deletion-vector) deletes inside the window; " +
+              "those are not ordinal events. Read the window with " +
+              "hadro.changefeed=full to see them as synthesized CDC delete " +
+              "rows, or replay from a full snapshot")
+          drift += ((live.get, s.deleteVector))
+        }
+      }
+      (start.nextOrdinal, drift.result())
     }
-    start.nextOrdinal
-  }
+
+  private lazy val changesFloor: Option[Long] = changesWindowInfo.map(_._1)
+
+  /** Synthesized CDC DELETE partitions for the window's dv drift (block-
+    * pruned to ranges that actually hold newly-deleted rows). Empty for
+    * non-window scans and drift-free windows. */
+  private lazy val dvDeltaParts: Seq[InputPartition] =
+    changesWindowInfo.map(_._2).getOrElse(Nil)
+      .flatMap { case (seg, base) => HadroInputPartition.dvDeltaRanges(path, seg, base) }
 
   /** The post-pruning segment list (and its manifest) — shared by
     * planInputPartitions and outputPartitioning so the reported
@@ -1146,6 +1188,10 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
             metricBytesPlanned += seg.bytes
           }
         }
+        // dv-drift CDC deletes ride along unconditionally: OFFSET
+        // accounting applies to the window's ordinal (insert) rows; the
+        // synthesized delete set is not pageable and is never dropped
+        out ++= dvDeltaParts
         return out.toArray
       case None => ()
     }
@@ -1201,6 +1247,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
           case None => parts
         }
       }
+      .++(dvDeltaParts) // synthesized CDC deletes for the window's dv drift
       .toArray
   }
 
@@ -1221,6 +1268,9 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       planned: Seq[SegmentInfo]): Option[(Seq[String], Int)] =
     for {
       _ <- if (v2BucketingEnabled) Some(()) else None
+      // a dv-drift changefeed window appends unkeyed CDC delete partitions
+      // — the scan cannot honestly report key-grouped partitioning then
+      _ <- if (changesWindowInfo.forall(_._2.isEmpty)) Some(()) else None
       c <- manifest.bucketBy
       n <- manifest.numBuckets
       cols = c.split(",").toSeq
@@ -1270,6 +1320,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       planned: Seq[SegmentInfo]): Option[(String, String, Map[String, Any])] =
     for {
       _ <- if (v2BucketingEnabled) Some(()) else None
+      // same constraint as bucketedFor: dv-drift CDC partitions are unkeyed
+      _ <- if (changesWindowInfo.forall(_._2.isEmpty)) Some(()) else None
       meta <- CollectionMeta.readSchema(path)
       c <- meta.partitionBy
       t <- meta.partitionTransform
@@ -1565,6 +1617,21 @@ final case class HadroInputPartition(file: String, ordinal: Long,
     skipLive: Long = 0L)
     extends InputPartition
 
+/** A CDC DELETE-synthesis partition: reads one split range of a segment
+  * and emits ONLY the rows whose in-segment index is deleted by `endDv`
+  * but NOT by `baseDv` — the deletion-vector DRIFT of a changes window —
+  * flagged `_hadro_deleted = true` with the row's original sequence
+  * number. This is how deletion-vector row-level deletes (not ordinal
+  * events) become visible to incremental consumers: Delta CDF's
+  * synthesized delete rows, derived here from the before/after vector
+  * pair the window's two manifests pin. Only planned for scans whose
+  * required schema carries `_hadro_deleted` (changefeed full mode). */
+final case class DvDeltaPartition(file: String, ordinal: Long,
+    startOffset: Long, startRow: Long, endOffset: Long,
+    nFields: Int, baseDv: Option[String], endDv: String,
+    writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty)
+    extends InputPartition
+
 /** A hadro input partition carrying its storage bucket as the DSv2
   * partition key — what lets Spark group co-bucketed scans for
   * storage-partitioned (zero-exchange) joins. */
@@ -1609,6 +1676,38 @@ object HadroInputPartition {
         HadroInputPartition(file, seg.ordinal, sp.offset, sp.row, end, nf,
           seg.deleteVector, wt)
       }
+    }
+  }
+
+  /** CDC delta planning for one drifted segment: one [[DvDeltaPartition]]
+    * per split range that CONTAINS newly-deleted rows (end vector minus
+    * base vector), so a 100-row GDPR delete inside a 50 GB segment plans
+    * only the blocks holding those rows — the drift read is O(deleted
+    * rows' blocks), never O(segment). Vectors are driver-parsed here
+    * (sidecar bitmaps, tiny by construction) and re-read by executors. */
+  def dvDeltaRanges(path: Path, seg: SegmentInfo,
+      baseDv: Option[String]): Seq[InputPartition] = {
+    val endDv = seg.deleteVector.getOrElse(return Nil)
+    val delta = graft.format.DeleteVector.read(path.resolve(endDv))
+    baseDv.foreach(b => delta.andNot(graft.format.DeleteVector.read(path.resolve(b))))
+    if (delta.isEmpty) return Nil
+    val file = path.resolve(seg.file).toString
+    val nf = seg.nFields.getOrElse(-1)
+    val wt = typesOf(seg)
+    if (seg.splits.isEmpty)
+      return Seq(DvDeltaPartition(file, seg.ordinal, 0L, 0L, -1L, nf, baseDv, endDv, wt))
+    val starts = graft.meta.SplitPoint(0L, 0L) +: seg.splits
+    starts.zipWithIndex.flatMap { case (sp, i) =>
+      val endOff = if (i + 1 < starts.length) starts(i + 1).offset else -1L
+      val rowEnd = if (i + 1 < starts.length) starts(i + 1).row else seg.rows
+      val hit = sp.row <= Int.MaxValue && {
+        val next = delta.nextSetBit(sp.row.toInt)
+        next >= 0 && next < rowEnd
+      }
+      if (hit)
+        Some(DvDeltaPartition(file, seg.ordinal, sp.offset, sp.row, endOff,
+          nf, baseDv, endDv, wt))
+      else None
     }
   }
 
@@ -1664,11 +1763,16 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType,
       case p: HadroInputPartition => p
     }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = unwrap(partition)
-    new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
-      p.startOffset, p.startRow, p.endOffset, p.nFields, p.deleteVector,
-      p.writeTypes, p.skipLive, sample)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case d: DvDeltaPartition =>
+      new HadroPartitionReader(Paths.get(d.file), d.ordinal, dataSchema, required,
+        d.startOffset, d.startRow, d.endOffset, d.nFields, None,
+        d.writeTypes, 0L, None, dvDelta = Some((d.baseDv, d.endDv)))
+    case _ =>
+      val p = unwrap(partition)
+      new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
+        p.startOffset, p.startRow, p.endOffset, p.nFields, p.deleteVector,
+        p.writeTypes, p.skipLive, sample)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1687,7 +1791,11 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
     nFields: Int = -1, deleteVector: Option[String] = None,
     writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty,
     skipLive: Long = 0L,
-    sample: Option[(Double, Double, Long)] = None)
+    sample: Option[(Double, Double, Long)] = None,
+    // CDC delta mode (Some((baseDv, endDv))): emit ONLY rows newly deleted
+    // between the two vectors, flagged _hadro_deleted = true — the
+    // synthesized DELETE rows of a deletion-vector drift window.
+    dvDelta: Option[(Option[String], String)] = None)
     extends PartitionReader[InternalRow] {
 
   // pushed-OFFSET residual: drop this many would-be-emitted rows first
@@ -1710,6 +1818,14 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   private val dvBits: java.util.BitSet =
     deleteVector.map(n => graft.format.DeleteVector.read(file.getParent.resolve(n)))
       .orNull
+
+  // CDC delta mode: the newly-deleted row set = endDv minus baseDv,
+  // computed once per reader from the (tiny) sidecar bitmaps.
+  private val deltaBits: java.util.BitSet = dvDelta.map { case (base, end) =>
+    val d = graft.format.DeleteVector.read(file.getParent.resolve(end))
+    base.foreach(b => d.andNot(graft.format.DeleteVector.read(file.getParent.resolve(b))))
+    d
+  }.orNull
 
   private val dataFields = required.fields.filterNot(f => HadroTable.MetaColNames(f.name))
   private val wantSeq = required.fieldNames.contains(HadroTable.SeqCol)
@@ -1777,6 +1893,7 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (deltaBits != null) return nextDelta()
     while (reader.advance()) {
       rowIndex += 1
       if (dvBits == null || rowIndex > Int.MaxValue || !dvBits.get(rowIndex.toInt)) {
@@ -1808,6 +1925,39 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
         return true
       }
       }
+      }
+    }
+    false
+  }
+
+  /** CDC delta mode: decode and emit ONLY rows in `deltaBits` (deleted by
+    * the window's end vector, live at its start), flagged deleted = true
+    * with their original sequence number. Rows outside the delta — and
+    * key-tombstone records, which were never live data rows — are
+    * frame-advanced without payload decode, so the pass costs I/O on the
+    * planned blocks and decode on exactly the deleted rows. */
+  private def nextDelta(): Boolean = {
+    while (reader.advance()) {
+      rowIndex += 1
+      if (rowIndex <= Int.MaxValue && deltaBits.get(rowIndex.toInt) &&
+          (reader.flags & RecordCodec.DeletedFlag) == 0) {
+        val decoded = widen(
+          decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength))
+        val out = new GenericInternalRow(outWidth)
+        var i = 0
+        while (i < presentIdx.length) {
+          val di = presentIdx(i)
+          out.update(dataOut(di), decoded.get(i, dataFields(di).dataType)); i += 1
+        }
+        var ad = 0
+        while (ad < absentDefaults.length) {
+          val (di, v) = absentDefaults(ad); out.update(dataOut(di), v); ad += 1
+        }
+        if (seqPos >= 0)
+          out.update(seqPos, (ordinal << HadroTable.SeqOrdinalShift) | rowIndex)
+        if (deletedPos >= 0) out.update(deletedPos, true)
+        current = out
+        return true
       }
     }
     false
@@ -2051,3 +2201,4 @@ object SegmentSkipper {
     else Some(p.substring(0, p.length - 1) + (last + 1).toChar)
   }
 }
+

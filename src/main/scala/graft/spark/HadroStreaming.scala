@@ -31,9 +31,17 @@ import graft.meta.CollectionMeta
   * rewritten log from ordinal 0. `hadro.maxOrdinalsPerTrigger` bounds how
   * many segment ordinals one micro-batch admits (backfill pacing).
   */
-final case class HadroOffset(nextOrdinal: Long, generation: Long = 0L) extends Offset {
+/** `version` (manifest version at this offset, -1 = untracked) exists for
+  * CHANGEFEED streams only: consecutive offsets' manifest pair is what
+  * lets a micro-batch synthesize CDC delete rows from deletion-vector
+  * drift, and a version-only advance (a dv DELETE with no new ordinals)
+  * is a real batch for such a stream. Plain streams keep version = -1 and
+  * serialize exactly as before — checkpoint-compatible both ways. */
+final case class HadroOffset(nextOrdinal: Long, generation: Long = 0L,
+    version: Long = -1L) extends Offset {
   override def json(): String =
-    s"""{"nextOrdinal":$nextOrdinal,"generation":$generation}"""
+    if (version < 0L) s"""{"nextOrdinal":$nextOrdinal,"generation":$generation}"""
+    else s"""{"nextOrdinal":$nextOrdinal,"generation":$generation,"version":$version}"""
 }
 
 final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
@@ -56,7 +64,7 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     val behind =
       if (!latestConsumed.isPresent) m.nextOrdinal
       else latestConsumed.get() match {
-        case HadroOffset(next, gen) if gen == m.generation =>
+        case HadroOffset(next, gen, _) if gen == m.generation =>
           math.max(0L, m.nextOrdinal - next)
         case _ => m.nextOrdinal
       }
@@ -106,8 +114,21 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
       s.toLong
     }
     val m = CollectionMeta.manifestAt(path, v)
-    HadroOffset(m.nextOrdinal, m.generation)
+    HadroOffset(m.nextOrdinal, m.generation, m.version)
   }
+
+  /** Whether this stream is a CHANGEFEED (full) stream — the only mode
+    * whose offsets track manifest versions, whose batches are planned
+    * against the PINNED end-version manifest, and whose micro-batches
+    * synthesize CDC delete rows from deletion-vector drift between the
+    * batch's two manifest versions. */
+  private val wantDeleted: Boolean =
+    required.fieldNames.contains(HadroTable.DeletedCol)
+
+  /** Manifest version to stamp into an offset: changefeed streams track
+    * it (dv-drift CDC and version-only batch advance), plain streams stay
+    * at -1 for byte-identical checkpoints and no spurious empty batches. */
+  private def ver(v: Long): Long = if (wantDeleted) v else -1L
 
   private def applyEndingCap(end: Long, liveGeneration: Long): Long =
     endingCap match {
@@ -121,6 +142,12 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
       case None => end
     }
 
+  /** Version cap mirroring [[applyEndingCap]]: a bounded replay also pins
+    * the dv-drift window — deletes committed AFTER the cap version belong
+    * to a later (un-replayed) change set, never this stream. */
+  private def applyEndingCapVersion(v: Long): Long =
+    endingCap.map(c => math.min(c.version, v)).getOrElse(v)
+
   /** Where a FRESH query (no checkpoint) begins — Delta-style
     * `startingVersion`. Default: ordinal 0, the whole retained log
     * (backfill-then-tail). `latest`: only appends landing after query
@@ -133,10 +160,13 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     * wins (Spark only calls initialOffset absent a checkpoint). */
   override def initialOffset(): Offset = startingVersion match {
     case None =>
-      HadroOffset(0L, CollectionMeta.currentManifest(path).generation)
+      val m = CollectionMeta.currentManifest(path)
+      // ordinal 0 replays the whole log AT the start version's dv state
+      // (the first batch has no previously-emitted segments to drift)
+      HadroOffset(0L, m.generation, ver(m.version))
     case Some(s) if s.equalsIgnoreCase("latest") =>
       val m = CollectionMeta.currentManifest(path)
-      HadroOffset(m.nextOrdinal, m.generation)
+      HadroOffset(m.nextOrdinal, m.generation, ver(m.version))
     case Some(s) =>
       // a TAG resumes from "all changes AFTER the pinned snapshot" — the
       // natural CDC handoff: tag the snapshot a consumer ingested, stream
@@ -155,16 +185,19 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
       }
       // versions start at 1, so v <= 1 is the start of the log by
       // definition; only v >= 2 needs v-1 to still be retained
-      if (v <= 1L) HadroOffset(0L, CollectionMeta.currentManifest(path).generation)
-      else {
+      if (v <= 1L) {
+        val m = CollectionMeta.currentManifest(path)
+        HadroOffset(0L, m.generation, ver(m.version))
+      } else {
         val prev = CollectionMeta.manifestAt(path, v - 1)
-        HadroOffset(prev.nextOrdinal, prev.generation)
+        HadroOffset(prev.nextOrdinal, prev.generation, ver(prev.version))
       }
   }
 
   override def latestOffset(): Offset = {
     val m = CollectionMeta.currentManifest(path)
-    HadroOffset(applyEndingCap(m.nextOrdinal, m.generation), m.generation)
+    HadroOffset(applyEndingCap(m.nextOrdinal, m.generation), m.generation,
+      ver(applyEndingCapVersion(m.version)))
   }
 
   // ------------------------------------------- Trigger.AvailableNow
@@ -177,7 +210,7 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
 
   override def prepareForTriggerAvailableNow(): Unit = {
     val m = CollectionMeta.currentManifest(path)
-    availableNowEnd = Some(HadroOffset(m.nextOrdinal, m.generation))
+    availableNowEnd = Some(HadroOffset(m.nextOrdinal, m.generation, m.version))
   }
 
   // ------------------------------------------------- admission control
@@ -202,9 +235,18 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
         math.min(cap.nextOrdinal, m.nextOrdinal)
       case _ => m.nextOrdinal
     }, m.generation)
+    // dv-drift window end for changefeed streams: a bounded replay /
+    // AvailableNow pin also caps the version (later deletes are a later
+    // run's change set); a version-only advance (dv DELETE, no appends)
+    // still moves the offset, so the delete gets its own micro-batch
+    val endVersion = ver(applyEndingCapVersion(availableNowEnd match {
+      case Some(cap) if cap.generation == m.generation =>
+        math.min(cap.version, m.version)
+      case _ => m.version
+    }))
     val uncapped = maxOrdinalsPerTrigger <= 0 && maxBytesPerTrigger <= 0
     if (uncapped || m.generation != so.generation)
-      HadroOffset(end, m.generation) // truncate: re-admit whole log
+      HadroOffset(end, m.generation, endVersion) // truncate: re-admit whole log
     else {
       // ordinal cap bounds manifest-planning work; BYTE cap bounds the
       // micro-batch's I/O when segment sizes vary (a backfill over mixed
@@ -234,14 +276,17 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
         }
         capped = math.min(capped, math.max(last, so.nextOrdinal + 1))
       }
-      HadroOffset(capped, m.generation)
+      HadroOffset(capped, m.generation, endVersion)
     }
   }
 
   override def deserializeOffset(json: String): Offset = {
+    val withVer =
+      """\{"nextOrdinal":(\d+),"generation":(\d+),"version":(\d+)\}""".r
     val withGen = """\{"nextOrdinal":(\d+),"generation":(\d+)\}""".r
     val legacy = """\{"nextOrdinal":(\d+)\}""".r // pre-generation checkpoints
     json.trim match {
+      case withVer(v, g, ve) => HadroOffset(v.toLong, g.toLong, ve.toLong)
       case withGen(v, g) => HadroOffset(v.toLong, g.toLong)
       case legacy(v) => HadroOffset(v.toLong, 0L)
       case other => throw new IllegalArgumentException(s"bad hadro offset: $other")
@@ -283,16 +328,42 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     // segments as this batch's data. Read the manifest once and refuse to
     // plan against a different generation — the retried/next trigger sees
     // the bump through the normal cross-trigger path above.
-    val m = CollectionMeta.currentManifest(path)
+    // CHANGEFEED streams plan against the PINNED end-version manifest
+    // instead: every row appended in (so, eo] is emitted at exactly
+    // eo.version's deletion-vector state, which is what makes the
+    // cross-batch dv-drift diff below exact (a delete lands in exactly
+    // one batch, and never for a row the consumer never saw).
+    val m =
+      if (eo.version >= 0L) CollectionMeta.manifestAt(path, eo.version)
+      else CollectionMeta.currentManifest(path)
     if (m.generation != eo.generation) throw new IllegalStateException(
       s"hadro stream over $path: collection truncated while planning the " +
         s"micro-batch (generation ${eo.generation} -> ${m.generation}); " +
         "the trigger will be retried against the new manifest.")
-    m.segments
+    val inserts = m.segments
       .filter(s => s.ordinal >= lo && s.ordinal < eo.nextOrdinal)
       // split ranges fan out within a micro-batch exactly as in batch scans
       .flatMap(s => HadroInputPartition.ranges(path, s))
-      .toArray
+    // dv-drift CDC deletes: rows of ALREADY-EMITTED segments (ordinal < lo)
+    // whose deletion vector grew between the batch's two manifest versions
+    // are synthesized as _hadro_deleted = true rows — the streaming twin of
+    // the batch changes window's delta partitions. Skipped across a
+    // truncate restart (old-generation vectors are meaningless) and for
+    // legacy/plain offsets (version = -1).
+    val drift =
+      if (wantDeleted && so.version >= 0L && eo.version > so.version &&
+          so.generation == eo.generation) {
+        val startM = CollectionMeta.manifestAt(path, so.version)
+        val endByFile = m.segments.map(s => s.file -> s).toMap
+        startM.segments.filter(_.ordinal < lo).flatMap { s =>
+          endByFile.get(s.file) match {
+            case Some(live) if live.deleteVector != s.deleteVector =>
+              HadroInputPartition.dvDeltaRanges(path, live, s.deleteVector)
+            case _ => Nil // dropped file: not an ordinal event; unchanged
+          }
+        }
+      } else Nil
+    (inserts ++ drift).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -304,3 +375,4 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
 
   override def stop(): Unit = ()
 }
+

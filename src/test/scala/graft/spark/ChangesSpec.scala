@@ -174,6 +174,72 @@ class ChangesSpec extends SparkSuite {
     spark.sql("DROP TABLE chgdrop.db.ev")
   }
 
+  test("dv deletes inside a changefeed window synthesize CDC delete rows; " +
+      "vector-union drift splits exactly across two windows") {
+    val wh = Files.createTempDirectory("chgdvcdc_wh").toString
+    spark.conf.set("spark.sql.catalog.chgdvcdc", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chgdvcdc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chgdvcdc.db")
+    spark.sql("CREATE TABLE chgdvcdc.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO chgdvcdc.db.t SELECT id, id * 1.0 FROM range(0, 40, 1, 2)")
+    val dir = Paths.get(wh, "db", "t").toString
+    val v1 = Collection(spark, dir).version
+    // in-window: one ordinal append, one append that is dv-deleted again
+    // inside the SAME window (must net out), and TWO dv deletes on the
+    // pre-window segments (the second unions into the first's vector)
+    spark.sql("INSERT INTO chgdvcdc.db.t VALUES (100, 1.0), (200, 2.0)")
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try {
+      spark.sql("DELETE FROM chgdvcdc.db.t WHERE id >= 0 AND id < 5")
+      spark.sql("DELETE FROM chgdvcdc.db.t WHERE id = 200")
+      val v2 = Collection(spark, dir).version
+      spark.sql("DELETE FROM chgdvcdc.db.t WHERE id >= 5 AND id < 8")
+      val v3 = Collection(spark, dir).version
+
+      def window(a: Long, b: Long): Seq[(Long, Double, Boolean)] =
+        spark.read.format("hadro")
+          .option("hadro.changefeed", "full")
+          .option("hadro.changesStart", a.toString)
+          .option("hadro.changesEnd", b.toString).load(dir)
+          .select($"id", $"v", $"_hadro_deleted")
+          .as[(Long, Double, Boolean)].collect().sorted.toSeq
+
+      // (v1, v2]: the surviving insert + synthesized deletes for 0..4,
+      // with their ORIGINAL column values; 200 netted out (never seen)
+      assert(window(v1, v2) ==
+        (0L until 5L).map(i => (i, i * 1.0, true)) :+ ((100L, 1.0, false)),
+        window(v1, v2).toString)
+      // (v2, v3]: ONLY the second drift — the union vector minus the
+      // first window's bits — no inserts
+      assert(window(v2, v3) == (5L until 8L).map(i => (i, i * 1.0, true)),
+        window(v2, v3).toString)
+      // (v1, v3]: both drifts plus the insert — windows compose
+      assert(window(v1, v3) ==
+        (0L until 8L).map(i => (i, i * 1.0, true)) :+ ((100L, 1.0, false)),
+        window(v1, v3).toString)
+      // synthesized deletes carry their original (pre-window) sequence
+      // numbers: ordinal part below the window floor
+      val floorOrd = CollectionMeta.manifestAt(
+        Paths.get(dir), v1).nextOrdinal
+      val delSeqs = spark.read.format("hadro")
+        .option("hadro.changefeed", "full")
+        .option("hadro.changesStart", v1.toString)
+        .option("hadro.changesEnd", v3.toString).load(dir)
+        .filter($"_hadro_deleted")
+        .select($"_hadro_seq").as[Long].collect()
+      assert(delSeqs.length == 8 &&
+        delSeqs.forall(s => (s >> 40) < floorOrd), delSeqs.mkString(","))
+      // a PLAIN window read over the same drift still refuses (it cannot
+      // represent a deletion) and points at changefeed=full
+      val e = intercept[Exception] {
+        spark.read.format("hadro")
+          .option("hadro.changesStart", v1.toString).load(dir).count()
+      }
+      assert(e.getMessage.contains("changefeed=full"), e.getMessage)
+    } finally spark.conf.unset("spark.hadro.delete.mode")
+    spark.sql("DROP TABLE chgdvcdc.db.t")
+  }
+
   test("option validation: stream rejects the batch window; both-edges conflict") {
     val w = tmp("chgopt")
     Collection.create(spark, w, Seq((1L, "a")).toDF("id", "s"))

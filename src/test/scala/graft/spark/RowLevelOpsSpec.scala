@@ -180,6 +180,100 @@ class RowLevelOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 10.0), (2L, 22.0), (5L, 50.0)), s"got $out")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the target with the source's new column") {
+    val wh = freshCatalog("rlo_se")
+    val path = s"$wh/db/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+    // upstream grew a column: the CDC upsert source now carries `tag`
+    Seq((2L, 22.0, "x"), (3L, 30.0, "y")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("rlo_se_src")
+
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO rlo_se.db.t t
+      USING rlo_se_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+
+    // the widening is durable collection metadata, not a statement artifact
+    val meta = CollectionMeta.readSchema(java.nio.file.Paths.get(path)).get
+    assert(meta.schema.fieldNames.contains("tag"),
+      s"schema not widened: ${meta.schema.simpleString}")
+    // widened in place: old rows null-fill, merged rows carry the value
+    // (resolved view — raw SQL scans keep shadowed versions, h32 shape)
+    val out = Collection(spark, path).toDF()
+      .select($"id", $"v", $"tag").orderBy($"id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(out == Seq((1L, 10.0, None), (2L, 22.0, Some("x")),
+      (3L, 30.0, Some("y"))), s"got $out")
+  }
+
+  test("MERGE schema evolution is conf-gated: no clause = frozen, and " +
+      "spark.hadro.mergeSchema.rowLevel=false disables the clause too") {
+    val wh = freshCatalog("rlo_sea")
+    val path = s"$wh/db/t"
+    Seq((1L, 10.0)).toDF("id", "v")
+      .write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+    Seq((1L, 11.0, 7L), (4L, 40.0, 8L)).toDF("id", "v", "extra")
+      .createOrReplaceTempView("rlo_sea_src")
+    // WITHOUT the clause there is never evolution (Spark's own gate):
+    // the merge flows, the extra source column does not reach the table
+    spark.sql("""MERGE INTO rlo_sea.db.t t USING rlo_sea_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val meta0 = CollectionMeta.readSchema(java.nio.file.Paths.get(path)).get
+    assert(!meta0.schema.fieldNames.contains("extra"),
+      "plain MERGE must not evolve the schema")
+    // conf=false: the table stops declaring the evolution capability, so
+    // even the explicit clause leaves the schema frozen
+    spark.conf.set("spark.hadro.mergeSchema.rowLevel", "false")
+    try {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO rlo_sea.db.t t
+        USING rlo_sea_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    } finally spark.conf.unset("spark.hadro.mergeSchema.rowLevel")
+    val meta1 = CollectionMeta.readSchema(java.nio.file.Paths.get(path)).get
+    assert(!meta1.schema.fieldNames.contains("extra"),
+      "conf=false must disable WITH SCHEMA EVOLUTION")
+    // default (conf unset = enabled): the clause widens
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO rlo_sea.db.t t
+      USING rlo_sea_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val out = Collection(spark, path).toDF()
+      .select($"id", $"v", $"extra").orderBy($"id")
+      .as[(Long, Double, Option[Long])].collect().toSeq
+    assert(out == Seq((1L, 11.0, Some(7L)), (4L, 40.0, Some(8L))), s"got $out")
+  }
+
+  test("MERGE schema evolution refusals stay intact: reserved names and " +
+      "non-widening type changes") {
+    val wh = freshCatalog("rlo_ser")
+    val path = s"$wh/db/t"
+    Seq((1L, 10.0)).toDF("id", "v")
+      .write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+    // reserved-name column can never be merged in
+    Seq((1L, 11.0, "z")).toDF("id", "v", "_hadro_seq")
+      .createOrReplaceTempView("rlo_ser_bad")
+    intercept[Exception] {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO rlo_ser.db.t t
+        USING rlo_ser_bad s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    // a type CHANGE to an existing column is not additive evolution
+    Seq((1L, "not a double")).toDF("id", "v")
+      .createOrReplaceTempView("rlo_ser_ty")
+    intercept[Exception] {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO rlo_ser.db.t t
+        USING rlo_ser_ty s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    // the collection is unharmed
+    val out = spark.sql("SELECT id, v FROM rlo_ser.db.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 10.0)), s"got $out")
+  }
+
   test("DELETE with a subquery predicate routes through the row-level path") {
     val wh = freshCatalog("rlo_dq")
     val path = s"$wh/db/t"

@@ -179,6 +179,54 @@ class StreamSourceSpec extends SparkSuite {
     assert(messages(ex2).exists(_.contains("ingested")))
   }
 
+  test("changefeed stream synthesizes CDC delete rows from a dv delete mid-tail") {
+    val wh = Files.createTempDirectory("stdv_wh").toString
+    spark.conf.set("spark.sql.catalog.stdv", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.stdv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stdv.db")
+    spark.sql("CREATE TABLE stdv.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO stdv.db.t SELECT id, id * 1.0 FROM range(0, 20, 1, 2)")
+    val dir = java.nio.file.Paths.get(wh, "db", "t").toString
+
+    val q = spark.readStream.format("hadro")
+      .option("hadro.changefeed", "full").load(dir)
+      .writeStream.format("memory").queryName("stdv_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 1: the backfill, all inserts
+      assert(spark.table("stdv_mem").count() == 20L)
+      assert(spark.table("stdv_mem")
+        .filter($"_hadro_deleted").count() == 0L)
+      // mid-tail: a dv DELETE with NO new ordinals — a version-only
+      // offset advance must still produce a micro-batch with the
+      // synthesized delete rows
+      spark.conf.set("spark.hadro.delete.mode", "dv")
+      try spark.sql("DELETE FROM stdv.db.t WHERE id >= 0 AND id < 4")
+      finally spark.conf.unset("spark.hadro.delete.mode")
+      q.processAllAvailable()
+      val dels = spark.table("stdv_mem").filter($"_hadro_deleted")
+        .select($"id", $"v").as[(Long, Double)].collect().sorted.toSeq
+      assert(dels == (0L until 4L).map(i => (i, i * 1.0)), dels.toString)
+      // appends after the delete keep flowing in the same stream
+      spark.sql("INSERT INTO stdv.db.t VALUES (100, 1.0)")
+      q.processAllAvailable()
+      assert(spark.table("stdv_mem")
+        .filter(!$"_hadro_deleted").count() == 21L)
+      assert(spark.table("stdv_mem").count() == 25L)
+    } finally q.stop()
+    // a PLAIN (non-changefeed) stream over the same collection ignores
+    // the vectored rows entirely — no phantom rows, no delete events
+    val q2 = spark.readStream.format("hadro").load(dir)
+      .writeStream.format("memory").queryName("stdv_mem2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("stdv_mem2").count() == 17L) // 20 - 4 dv + 1 append
+    } finally q2.stop()
+    spark.sql("DROP TABLE stdv.db.t")
+  }
+
   test("endingVersion bounds the replay window; composes with startingVersion") {
     val colPath = Files.createTempDirectory("ev_col").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/nation.parquet")
