@@ -438,7 +438,8 @@ final class Collection private (spark: SparkSession, val path: String) {
     CollectionMeta.commit(dir, cur => cur.copy(
       segments = cur.segments.map(s => s.copy(
         stats = s.stats.map { case (k, v) => (ren(k), v) },
-        bloomCol = s.bloomCol.map(ren))),
+        bloomCol = s.bloomCol.map(ren),
+        sortCols = s.sortCols.map(renList))),
       indexes = cur.indexes.map { case (n, fs) => n -> fs.map(ren) },
       bucketBy = cur.bucketBy.map(renList),
       sortedBy = cur.sortedBy.map(ren)))
@@ -536,7 +537,13 @@ final class Collection private (spark: SparkSession, val path: String) {
       .foreach(n => throw new IllegalArgumentException(
         s"column '$name' is indexed by '$n' — removeIndex first"))
     CollectionMeta.commit(dir, cur => cur.copy(
-      segments = cur.segments.map(s => s.copy(stats = s.stats - name)),
+      segments = cur.segments.map { s =>
+        val cleared = s.copy(stats = s.stats - name)
+        // composite sort bounds referencing the dropped column clear
+        if (s.sortCols.exists(_.split(",").contains(name)))
+          cleared.copy(sortCols = None, sortLo = Nil, sortHi = Nil)
+        else cleared
+      },
       sortedBy = cur.sortedBy.filterNot(_ == name)))
     CollectionMeta.writeSchema(dir,
       org.apache.spark.sql.types.StructType(meta.schema.fields.updated(ord,

@@ -32,7 +32,13 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
     indexFields: Map[String, Seq[Int]] = Map.empty,
     offsetIndex: Boolean = true,
     compress: Boolean = false,
-    dictTrain: Boolean = false) {
+    dictTrain: Boolean = false,
+    // Composite write-order spec ((name, ordinal) pairs, >= 2 entries):
+    // capture the segment's exact lexicographic (first, last) row bounds,
+    // VERIFYING the claimed order row-by-row — any out-of-order or null
+    // sort value poisons the bounds, so a lying producer can never plant
+    // wrong pruning metadata.
+    sortSpec: Seq[(String, Int)] = Nil) {
   private val fos = new FileOutputStream(path.toFile)
   private val out = new BufferedOutputStream(fos, SegmentReader.BlockSize)
   private val encoder = new RecordCodec.Encoder(schema)
@@ -90,7 +96,52 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
   private var dictBytes: Array[Byte] = null
   private var dictCtx: com.github.luben.zstd.ZstdCompressCtx = null
 
+  // Composite-order bound capture (see sortSpec): tombstone records carry
+  // key-only projections and are excluded (they are not data rows).
+  private val sortOrds: Array[Int] =
+    if (sortSpec.length >= 2 &&
+        sortSpec.forall { case (_, o) =>
+          o >= 0 && o < schema.length && StatsCollector.isOrderable(schema(o).dataType)
+        }) sortSpec.map(_._2).toArray
+    else Array.emptyIntArray
+  private var sortPoisoned = sortOrds.isEmpty
+  private var sortFirst: Array[Any] = null
+  private var sortPrev: Array[Any] = null
+  private def captureSort(row: InternalRow): Unit = {
+    val k = sortOrds.length
+    val cur = new Array[Any](k)
+    var i = 0
+    while (i < k && !sortPoisoned) {
+      val o = sortOrds(i)
+      if (row.isNullAt(o)) { sortPoisoned = true; return }
+      val v = StatsCollector.retain(row.get(o, schema(o).dataType))
+      v match { // verbatim manifest renders only — no truncated strings
+        case s: UTF8String if s.numChars() > StatsCollector.MaxStringBound =>
+          sortPoisoned = true; return
+        case _ =>
+      }
+      cur(i) = v
+      i += 1
+    }
+    if (sortPoisoned) return
+    if (sortPrev != null) { // verify claimed order: prev <= cur lexicographically
+      var j = 0
+      var decided = false
+      while (j < k && !decided) {
+        if (StatsCollector.lt(sortPrev(j), cur(j))) decided = true
+        else if (StatsCollector.lt(cur(j), sortPrev(j))) {
+          sortPoisoned = true; decided = true
+        } else j += 1
+      }
+    }
+    if (!sortPoisoned) {
+      if (sortFirst == null) sortFirst = cur
+      sortPrev = cur
+    }
+  }
+
   def append(row: InternalRow, deleted: Boolean = false): Unit = {
+    if (!sortPoisoned && !deleted) captureSort(row)
     if (bytesWritten >= nextSplit && rows > 0) {
       splits += graft.meta.SplitPoint(bytesWritten, rows)
       nextSplit = bytesWritten + splitBytes
@@ -223,7 +274,18 @@ final class SegmentWriter(path: Path, schema: StructType, consistency: Consisten
       blockStats =
         if (splits.isEmpty) Nil // single block: stats == segment stats
         else (closedBlocks :+ blockStats.result(withSums = false)).toSeq,
-      dict = dictFile)
+      dict = dictFile,
+      sortCols =
+        if (!sortPoisoned && sortFirst != null) Some(sortSpec.map(_._1).mkString(","))
+        else None,
+      sortLo =
+        if (!sortPoisoned && sortFirst != null)
+          sortFirst.toSeq.map(StatsCollector.render)
+        else Nil,
+      sortHi =
+        if (!sortPoisoned && sortFirst != null)
+          sortPrev.toSeq.map(StatsCollector.render)
+        else Nil)
   }
 
   def abort(): Unit = {

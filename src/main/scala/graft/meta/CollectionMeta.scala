@@ -115,7 +115,19 @@ final case class SegmentInfo(
     // sample bytes to train. Records carry a flag bit selecting plain vs
     // dictionary frames, so mixed segments (head records plain while the
     // trainer sampled) decode transparently.
-    dict: Option[String] = None) {
+    dict: Option[String] = None,
+    // COMPOSITE declared-write-order bounds: when this segment was written
+    // under a multi-column sort spec, `sortCols` is the comma-joined
+    // column list and sortLo/sortHi are the FIRST and LAST row's rendered
+    // values on those columns — the segment's exact LEXICOGRAPHIC range,
+    // which per-column min/max cannot express for a segment straddling a
+    // leading-value boundary (the (tenant, ts) layout's common shape).
+    // Writer-verified: any out-of-order or null-valued row drops the
+    // bounds, so they are sound even under a lying hadro.sortedBy option.
+    // Self-describing per segment (survives respecs; renames remap them).
+    sortCols: Option[String] = None,
+    sortLo: Seq[String] = Nil,
+    sortHi: Seq[String] = Nil) {
   /** Every physical file this segment owns: the data file plus all sidecar
     * classes. THE live-set unit — GC, clone, publish, tag pinning and
     * orphan detection must all agree on it. */

@@ -2991,5 +2991,54 @@ object StorageQueries {
         SELECT deleted, seg, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         FROM cdc GROUP BY deleted, seg ORDER BY deleted, seg"""))
+    ,
+
+    // ---------------------------------------------------------------- h89
+    // COMPOSITE declared write order — the (tenant, ts) layout: TBLPROPERTIES
+    // 'sortedBy' = 'event_type, ts' makes every catalog INSERT land
+    // (event_type, ts)-lex-sorted segments whose EXACT composite bounds
+    // (first/last row tuple, writer-verified) are recorded per segment.
+    // A conjunctive (event_type, ts-range) predicate then prunes segments
+    // that per-column min/max must keep — the straddling-segment shape
+    // that dominates multi-tenant event tables at 100 TB (WriteOrderSpec
+    // proves the strictly-better pruning; this query proves the layout
+    // reads exactly).
+    QueryDef(
+      "h89_composite_write_order",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h89"
+        s.conf.set("spark.sql.catalog.graft_h89",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h89.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h89.db")
+        s.sql("DROP TABLE IF EXISTS graft_h89.db.ev")
+        s.sql("""CREATE TABLE graft_h89.db.ev
+          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          USING hadro TBLPROPERTIES ('sortedBy' = 'event_type, ts')""")
+        table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h89_src")
+        s.sql("INSERT INTO graft_h89.db.ev SELECT * FROM h89_src")
+        val m = graft.meta.CollectionMeta.currentManifest(
+          java.nio.file.Paths.get(s"$wh/db/ev"))
+        require(m.segments.nonEmpty &&
+          m.segments.forall(_.sortCols.contains("event_type,ts")),
+          "h89: catalog INSERT under a composite order must record " +
+            "writer-verified lexicographic bounds on every segment")
+        s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+          FROM graft_h89.db.ev
+          WHERE event_type >= 'p' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+          GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM events
+        WHERE event_type >= 'p' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

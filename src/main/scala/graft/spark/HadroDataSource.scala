@@ -1048,6 +1048,10 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       .filter(seg => changesFloor.forall(seg.ordinal >= _))
       .filter(seg => onlyFiles.forall(_.contains(seg.file)))
       .filter(seg => SegmentSkipper.mightMatch(seg, filters, storedSchema) &&
+        // composite write-order bounds exclude tombstone records, so a
+        // raw/changefeed scan (which emits them) must not prune by them
+        (required.fieldNames.contains(HadroTable.DeletedCol) ||
+          SegmentSkipper.compositeMightMatch(seg, filters, storedSchema)) &&
         BloomSidecar.mightMatch(path, seg, filters, storedSchema) &&
         BloomSidecar.compositeMightMatch(path, seg, manifest.indexes, filters, storedSchema))
     // Pushed limit, no filters (static or runtime): only the segment
@@ -2200,5 +2204,104 @@ object SegmentSkipper {
     if (last >= 0x7f) None
     else Some(p.substring(0, p.length - 1) + (last + 1).toChar)
   }
+
+  /** COMPOSITE write-order pruning: a segment written under a multi-column
+    * sort spec records its exact LEXICOGRAPHIC row range (first/last row's
+    * sort-column tuple — `SegmentInfo.sortCols/sortLo/sortHi`). The
+    * pushed conjuncts form a per-column box; the segment survives only if
+    * the box can intersect the lex interval, i.e. the box's lex-greatest
+    * point is >= the segment's first tuple AND its lex-least point is <=
+    * the last tuple (a box's lex extremes are just its per-dim extremes).
+    * This is strictly tighter than per-column min/max for segments that
+    * straddle a leading-value boundary — `(tenant, ts)` layouts, where a
+    * straddler's ts range covers everything per-column but almost nothing
+    * lexicographically. Strict bounds are treated as inclusive and any
+    * unparseable piece degrades to "keep" — pruning is only ever an
+    * optimization. */
+  def compositeMightMatch(seg: SegmentInfo, filters: Array[Filter],
+      schema: StructType): Boolean = {
+    val cols = seg.sortCols match {
+      case Some(c) => c.split(",").toSeq
+      case None => return true
+    }
+    val k = cols.length
+    if (k < 2 || seg.sortLo.length != k || seg.sortHi.length != k) return true
+    val fieldsOpt = cols.map(c => schema.fields.find(_.name == c))
+    if (fieldsOpt.exists(_.isEmpty)) return true
+    val fields = fieldsOpt.map(_.get)
+    val segLo = new Array[Any](k)
+    val segHi = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      segLo(i) = StatsCollector.parse(seg.sortLo(i), fields(i).dataType)
+      segHi(i) = StatsCollector.parse(seg.sortHi(i), fields(i).dataType)
+      if (segLo(i) == null || segHi(i) == null) return true
+      i += 1
+    }
+    // per-dim box from the top-level conjuncts (filters array is an AND)
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val boxLo = Array.fill[Any](k)(null) // null = unbounded
+    val boxHi = Array.fill[Any](k)(null)
+    val colIdx = cols.zipWithIndex.toMap
+    def tightenLo(d: Int, v: Any): Unit =
+      if (boxLo(d) == null || cmp(boxLo(d), v).exists(_ < 0)) boxLo(d) = v
+    def tightenHi(d: Int, v: Any): Unit =
+      if (boxHi(d) == null || cmp(v, boxHi(d)).exists(_ < 0)) boxHi(d) = v
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo(c, v) if colIdx.contains(c) =>
+        toInternal(v, c, schema).foreach { iv =>
+          tightenLo(colIdx(c), iv); tightenHi(colIdx(c), iv)
+        }
+      case GreaterThan(c, v) if colIdx.contains(c) =>
+        toInternal(v, c, schema).foreach(tightenLo(colIdx(c), _))
+      case GreaterThanOrEqual(c, v) if colIdx.contains(c) =>
+        toInternal(v, c, schema).foreach(tightenLo(colIdx(c), _))
+      case LessThan(c, v) if colIdx.contains(c) =>
+        toInternal(v, c, schema).foreach(tightenHi(colIdx(c), _))
+      case LessThanOrEqual(c, v) if colIdx.contains(c) =>
+        toInternal(v, c, schema).foreach(tightenHi(colIdx(c), _))
+      case _ => ()
+    }
+    if (boxLo.forall(_ == null) && boxHi.forall(_ == null)) return true
+    // box lex-max (unbounded dim = +inf) strictly below the first tuple?
+    def boxMaxBelow(bound: Array[Any]): Boolean = {
+      var d = 0
+      while (d < k) {
+        boxHi(d) match {
+          case null => return false // +inf at this dim: lex-max >= bound
+          case v => cmp(v, bound(d)) match {
+            case Some(r) if r < 0 => return true
+            case Some(r) if r > 0 => return false
+            case Some(_) => // equal: next dim decides
+            case None => return false // incomparable: keep
+          }
+        }
+        d += 1
+      }
+      false // exactly equal to the bound: not below
+    }
+    // box lex-min (unbounded dim = -inf) strictly above the last tuple?
+    def boxMinAbove(bound: Array[Any]): Boolean = {
+      var d = 0
+      while (d < k) {
+        boxLo(d) match {
+          case null => return false // -inf: lex-min <= bound
+          case v => cmp(v, bound(d)) match {
+            case Some(r) if r > 0 => return true
+            case Some(r) if r < 0 => return false
+            case Some(_) =>
+            case None => return false
+          }
+        }
+        d += 1
+      }
+      false
+    }
+    !(boxMaxBelow(segLo) || boxMinAbove(segHi))
+  }
 }
+
 

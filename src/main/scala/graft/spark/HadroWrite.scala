@@ -309,7 +309,12 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
         replaceWhere = rwFilters,
         mergeSchema = opts.getBoolean("hadro.mergeSchema", false),
         autoCompact = autoCompactSpec,
-        branch = branchSpec)
+        branch = branchSpec,
+        // FULL declared sort list (not just the leading column): segment
+        // writers capture composite lexicographic bounds from it
+        sortColsFull = sortedSpec
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .orElse(declaredWriteOrder).getOrElse(Nil))
     }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -568,7 +573,8 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     replaceWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
     mergeSchema: Boolean = false,
     autoCompact: Option[(Long, Int)] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    sortColsFull: Seq[String] = Nil)
     extends BatchWrite with org.apache.spark.internal.Logging {
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
@@ -726,11 +732,20 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       .map { case (ord, name, total) => ord -> ((name, total)) }.toMap
   }
 
+  // Composite write-order spec for the segment writers: (name, stored
+  // ordinal) pairs, only when >= 2 columns all resolve. Single-column
+  // orders need nothing beyond the per-column stats.
+  private val sortOrdSpec: Seq[(String, Int)] =
+    if (sortColsFull.length >= 2 &&
+        sortColsFull.forall(storedSchema.fieldNames.contains))
+      sortColsFull.map(c => c -> storedSchema.fieldIndex(c))
+    else Nil
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HadroWriterFactory(path.toString, storedSchema, schema, consistency, tombstone,
       storedMeta.keyField.map(storedSchema.fieldIndex), splitBytes, indexOrdinals,
       offsetIndex, deleteCol, maxSegmentBytes, bucketOrdSpec, constraints,
-      partitionOrdSpec)
+      partitionOrdSpec, sortOrdSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: HadroCommitMessage => m.infos }
@@ -1258,13 +1273,14 @@ final class HadroWriterFactory(path: String, storedSchema: StructType,
     maxSegmentBytes: Long = 0L,
     bucketSpec: Option[(Seq[Int], Int)] = None,
     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
-    partitionSpec: Option[(Int, String)] = None)
+    partitionSpec: Option[(Int, String)] = None,
+    sortSpec: Seq[(String, Int)] = Nil)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HadroDataWriter(Paths.get(path), storedSchema, writeSchema, consistency,
       tombstone, partitionId, taskId, keyOrdinal, splitBytes, indexOrdinals, offsetIndex,
-      deleteCol, maxSegmentBytes, bucketSpec, constraints, partitionSpec)
+      deleteCol, maxSegmentBytes, bucketSpec, constraints, partitionSpec, sortSpec)
 }
 
 /** One segment per task (`data-<uuid>.data`), invisible to readers until the
@@ -1286,7 +1302,8 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     maxSegmentBytes: Long = 0L,
     bucketSpec: Option[(Seq[Int], Int)] = None,
     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
-    partitionSpec: Option[(Int, String)] = None)
+    partitionSpec: Option[(Int, String)] = None,
+    sortSpec: Seq[(String, Int)] = Nil)
     extends DataWriter[InternalRow] {
 
   // CHECK enforcement (SQL semantics: NULL passes, FALSE fails): a
@@ -1310,7 +1327,8 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     codec.contains("zstd") || codec.contains("zstd-dict")
   private def newWriter() = new SegmentWriter(newSegmentFile(), storedSchema,
     consistency, keyOrdinal, splitBytes, indexOrdinals, offsetIndex,
-    compress = zstdCompress, dictTrain = codec.contains("zstd-dict"))
+    compress = zstdCompress, dictTrain = codec.contains("zstd-dict"),
+    sortSpec = sortSpec)
   // Rotation: finished segments accumulate in task order — their relative
   // order is preserved through ordinal assignment at commit, which is what
   // keeps last-write-wins correct for repeated keys within one partition.

@@ -123,6 +123,86 @@ class WriteOrderSpec extends SparkSuite {
     spark.sql("DROP TABLE wocat.db.mc")
   }
 
+  test("composite sortedBy bounds prune the straddling segment that " +
+      "per-column stats keep; lying/unsorted writes record no bounds") {
+    val dir = Files.createTempDirectory("wo_comp").resolve("c").toString
+    def sortedWrite(df: org.apache.spark.sql.DataFrame): Unit =
+      df.repartition(1).sortWithinPartitions("a", "b")
+        .write.format("hadro").mode("append")
+        .option("hadro.sortedBy", "a,b").save(dir)
+    // segment 1: (A, 0..74); segment 2 STRADDLES the leading boundary:
+    // (A, 75..149) then (B, 0..49) — its per-column stats are a:[A,B],
+    // b:[0,149], which cover almost any (a, b) point
+    sortedWrite((0L until 75L).map(b => ("A", b)).toDF("a", "b"))
+    sortedWrite(((75L until 150L).map(b => ("A", b)) ++
+      (0L until 50L).map(b => ("B", b))).toDF("a", "b"))
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(dir))
+    assert(m.segments.length == 2)
+    m.segments.foreach { s =>
+      assert(s.sortCols.contains("a,b"), s.sortCols.toString)
+      assert(s.sortLo.length == 2 && s.sortHi.length == 2)
+    }
+    val straddler = m.segments.maxBy(_.ordinal)
+    assert(straddler.sortLo == Seq("A", "75") && straddler.sortHi == Seq("B", "49"))
+
+    // the two-column point (A, 10): per-column stats KEEP the straddler,
+    // composite lexicographic bounds PRUNE it — strictly more pruning
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType)))
+    val fs: Array[Filter] = Array(EqualTo("a", "A"), EqualTo("b", 10L))
+    assert(SegmentSkipper.mightMatch(straddler, fs, schema),
+      "per-column stats cannot prune the straddler")
+    assert(!SegmentSkipper.compositeMightMatch(straddler, fs, schema),
+      "composite bounds must prune the straddler")
+    // and a point inside the straddler stays plannable both ways
+    val fs2: Array[Filter] = Array(EqualTo("a", "B"), EqualTo("b", 10L))
+    assert(SegmentSkipper.compositeMightMatch(straddler, fs2, schema))
+    // range form: a = 'A' AND b >= 80 intersects only the straddler
+    val fs3: Array[Filter] = Array(EqualTo("a", "A"),
+      org.apache.spark.sql.sources.GreaterThanOrEqual("b", 80L))
+    assert(SegmentSkipper.compositeMightMatch(straddler, fs3, schema))
+    assert(!SegmentSkipper.compositeMightMatch(m.segments.minBy(_.ordinal), fs3, schema))
+
+    // end-to-end: the scan plans ONE partition for (A, 10) and reads right
+    val q = spark.read.format("hadro").load(dir)
+      .filter($"a" === "A" && $"b" === 10L)
+    assert(q.as[(String, Long)].collect().toSeq == Seq(("A", 10L)))
+    assert(q.rdd.getNumPartitions == 1,
+      "composite pruning must drop the straddler at planning time")
+
+    // a write that CLAIMS the order but lies records no bounds (poisoned
+    // by the writer's row-by-row verification), so pruning stays sound
+    val dir2 = Files.createTempDirectory("wo_lie").resolve("c").toString
+    Seq(("B", 1L), ("A", 2L), ("B", 0L)).toDF("a", "b")
+      .repartition(1) // deliberately NOT sorted
+      .write.format("hadro").mode("append")
+      .option("hadro.sortedBy", "a,b").save(dir2)
+    val lied = CollectionMeta.currentManifest(java.nio.file.Paths.get(dir2))
+    assert(lied.segments.forall(_.sortCols.isEmpty),
+      "unsorted data must poison the composite bounds")
+    // null sort values poison too (lex placement of nulls is unknowable)
+    val dir3 = Files.createTempDirectory("wo_null").resolve("c").toString
+    Seq((Some("A"), 1L), (None, 2L)).toDF("a", "b")
+      .repartition(1).sortWithinPartitions("a", "b")
+      .write.format("hadro").mode("append")
+      .option("hadro.sortedBy", "a,b").save(dir3)
+    assert(CollectionMeta.currentManifest(java.nio.file.Paths.get(dir3))
+      .segments.forall(_.sortCols.isEmpty))
+
+    // rename follows the recorded per-segment columns
+    Collection(spark, dir).renameColumn("b", "ts")
+    val renamed = CollectionMeta.currentManifest(java.nio.file.Paths.get(dir))
+    assert(renamed.segments.forall(_.sortCols.contains("a,ts")))
+    // drop of a bound column clears the bounds
+    Collection(spark, dir).addColumn("extra", org.apache.spark.sql.types.LongType)
+    Collection(spark, dir).dropColumn("ts")
+    val dropped = CollectionMeta.currentManifest(java.nio.file.Paths.get(dir))
+    assert(dropped.segments.forall(s =>
+      s.sortCols.isEmpty && s.sortLo.isEmpty && s.sortHi.isEmpty))
+  }
+
   test("declared order composes with bucketing: per-bucket sorted segments") {
     warehouse
     spark.sql("""CREATE TABLE wocat.db.bs (k BIGINT, v BIGINT) USING hadro
