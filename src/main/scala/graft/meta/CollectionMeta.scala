@@ -1162,7 +1162,13 @@ object CollectionMeta {
             segments = cur.segments ++ applied,
             mutated = cur.mutated || head.mutated,
             // appended segments carry no uniform-sort proof
-            sortedBy = None)
+            sortedBy = None,
+            // carry the branch's exactly-once stream-epoch bookkeeping
+            // into the published manifest (per-query max): the re-forked
+            // branch must still decline a zombie epoch replay
+            streamEpochs = cur.streamEpochs ++ head.streamEpochs.map {
+              case (q, e) => q -> math.max(e, cur.streamEpochs.getOrElse(q, -1L))
+            })
         }
       })
       // re-fork: head ref and base both move to the published version

@@ -4513,6 +4513,62 @@ object OpsQueries {
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         FROM cdc GROUP BY deleted ORDER BY deleted""")),
 
+    // ---------------------------------------------------------------- st23
+    // STREAMING WAP (write-audit-publish over streaming ingest, the main
+    // 100 TB write path): `hadro.branch` routes every micro-batch epoch's
+    // manifest commit onto a BRANCH ref — main readers see nothing until
+    // fast_forward publishes the audited snapshot, the exactly-once epoch
+    // machinery stages and survives the publish (BranchSpec pins the
+    // zombie-replay seam), and the audit-publish cycle repeats on the
+    // re-forked branch. Zero copied bytes at publish: the staged segments
+    // are adopted by reference.
+    QueryDef(
+      "st23_streaming_branch_wap",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import org.apache.spark.sql.functions.col
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val src = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val colPath = s"/tmp/graft_collections/$tag/st23"
+        val c = graft.api.Collection.create(s, colPath,
+          src.filter(col("c_custkey") % 3 === 0), numSegments = 2)
+        val mainV = c.version
+        c.createBranch("audit")
+        val stage = java.nio.file.Files.createTempDirectory("st23_stage")
+        val ckpt = java.nio.file.Files.createTempDirectory("st23_ckpt").toString
+        src.filter(col("c_custkey") % 3 === 1)
+          .coalesce(1).write.mode("append").parquet(stage.toString)
+        def drain(): Unit = {
+          val q = s.readStream.schema(src.schema).parquet(stage.toString)
+            .writeStream.format("hadro")
+            .option("hadro.branch", "audit")
+            .option("checkpointLocation", ckpt)
+            .start(colPath)
+          q.processAllAvailable(); q.stop()
+        }
+        drain() // stage batch 1 on the branch
+        require(graft.api.Collection(s, colPath).version == mainV,
+          "st23: staged streaming epochs must not move the main head")
+        require(s.read.format("hadro").load(colPath).count() ==
+          src.filter(col("c_custkey") % 3 === 0).count(),
+          "st23: main readers must not see staged rows before publish")
+        c.fastForward("audit") // audit passed: publish
+        // cycle 2: more data arrives, stages on the re-forked branch
+        src.filter(col("c_custkey") % 3 === 2)
+          .coalesce(1).write.mode("append").parquet(stage.toString)
+        drain()
+        c.fastForward("audit")
+        c.dropBranch("audit")
+        s.read.format("hadro").load(colPath)
+          .groupBy((col("c_custkey") % 3).cast("bigint").as("grp"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+          .orderBy("grp")
+      },
+      Some("""SELECT c_custkey % 3 AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer GROUP BY 1 ORDER BY 1""")),
+
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +
     // language gate) applied to a document STREAM — stateless curation

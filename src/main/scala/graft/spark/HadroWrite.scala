@@ -318,15 +318,16 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
     }
 
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      // fail loudly rather than silently committing staged data to main
-      require(branchSpec.isEmpty,
-        "hadro: streaming writes cannot target a branch — stage with " +
-          "batch appends (or foreachBatch) and fast_forward to publish")
+      // Branch-scoped streaming (WAP over the main 100 TB write path):
+      // each epoch's manifest commits onto the branch ref via the same
+      // exactly-once machinery; main readers see nothing until
+      // fast_forward/rebase publishes the staged snapshot.
       new HadroStreamingWrite(path, info.schema(), consistency,
         upsert || tombstone || deleteCol.nonEmpty, keyField, splitBytes,
         info.queryId(), offsetIndex, deleteCol,
         mergeSchema = opts.getBoolean("hadro.mergeSchema", false),
-        autoCompact = autoCompactSpec)
+        autoCompact = autoCompactSpec,
+        branch = branchSpec)
     }
   }
 }
@@ -1161,9 +1162,18 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     offsetIndex: Boolean = true,
     deleteCol: Option[String] = None,
     mergeSchema: Boolean = false,
-    autoCompact: Option[(Long, Int)] = None)
+    autoCompact: Option[(Long, Int)] = None,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with org.apache.spark.internal.Logging {
+
+  // fail at stream START, not first epoch, when the branch doesn't exist
+  branch.foreach { b =>
+    require(CollectionMeta.readBranches(path).contains(b),
+      s"hadro: streaming write targets unknown branch '$b' (branches: " +
+        s"${CollectionMeta.readBranches(path).keys.toSeq.sorted.mkString(", ")})" +
+        " — CALL system.create_branch first")
+  }
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema,
     tombstone = false, keyField, deleteCol, mergeSchema = mergeSchema)
@@ -1199,7 +1209,7 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     // that already records the epoch, declines the commit (returns the
     // manifest unchanged), and drops its duplicate segment files.
     var replayed = false
-    CollectionMeta.commit(path, m => {
+    val update: graft.meta.Manifest => graft.meta.Manifest = m => {
       if (m.streamEpochs.get(queryId).exists(_ >= epochId)) { replayed = true; m }
       else {
         replayed = false
@@ -1211,7 +1221,15 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
           sortedBy = None,
           streamEpochs = m.streamEpochs + (queryId -> epochId))
       }
-    })
+    }
+    // Branch-scoped epochs stage on the branch ref (WAP): the branch head
+    // manifest carries the same streamEpochs bookkeeping, so the replay
+    // check is exactly-once there too — and it survives publish (a
+    // fast-forward copies the head's content; a rebase unions epochs).
+    branch match {
+      case Some(b) => CollectionMeta.commitOnBranch(path, b, update)
+      case None => CollectionMeta.commit(path, update)
+    }
     if (replayed) dropFiles(messages)
     // Auto-compaction for micro-batch sinks — the place small files
     // actually explode (one tiny segment per epoch per task). Same
@@ -1220,7 +1238,9 @@ final class HadroStreamingWrite(path: Path, schema: StructType,
     // TAILING this same collection treats as a rewrite (by design — see
     // HadroStreaming's generation guard), so co-tailed collections
     // should compact between queries instead.
-    if (!replayed) autoCompact.foreach { case (minBytes, minSegs) =>
+    // auto-compaction rewrites the MAIN segment list — meaningless for
+    // staged (branch) epochs; compact after publish instead
+    if (!replayed && branch.isEmpty) autoCompact.foreach { case (minBytes, minSegs) =>
       try {
         val m = CollectionMeta.currentManifest(path)
         if (m.segments.count(_.bytes < minBytes) >= minSegs) {

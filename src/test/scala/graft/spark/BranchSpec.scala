@@ -157,7 +157,65 @@ class BranchSpec extends SparkSuite {
     }
   }
 
-  test("branch writes are append-shaped only; streaming refuses; names guard") {
+  test("streaming epochs stage on a branch: WAP audit-publish, exactly-once " +
+      "epoch replay declined across the publish") {
+    val path = Files.createTempDirectory("brstream").resolve("c").toString
+    val src = spark.read.parquet(s"$sf0001/region.parquet")
+    src.limit(2).coalesce(1).write.format("hadro").mode("append").save(path)
+    val c = Collection(spark, path)
+    val mainV = c.version
+    c.createBranch("ingest")
+
+    def epochSegment(name: String): graft.meta.SegmentInfo = {
+      val w = new graft.format.SegmentWriter(
+        Paths.get(path).resolve(name), src.schema,
+        graft.format.Consistency.Relaxed)
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(src.schema)
+      src.collect().foreach(r => w.append(
+        conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]))
+      w.close()
+    }
+    val sink = new HadroStreamingWrite(Paths.get(path), src.schema,
+      graft.format.Consistency.Relaxed, mutating = false, keyField = None,
+      splitBytes = graft.format.SegmentWriter.DefaultSplitBytes,
+      queryId = "q-br", branch = Some("ingest"))
+    // epoch 1 stages on the branch: main readers see nothing
+    sink.commit(1L, Array(HadroCommitMessage(Seq(epochSegment("data-e1.data")))))
+    assert(Collection(spark, path).version == mainV,
+      "a staged epoch must not move the main head")
+    assert(spark.read.format("hadro").load(path).count() == 2L)
+    val headV = graft.meta.CollectionMeta.branchHeadVersion(Paths.get(path), "ingest")
+    assert(spark.read.format("hadro")
+      .option("hadro.versionAsOf", headV.toString).load(path)
+      .count() == 2L + src.count(), "the branch audit sees the staged epoch")
+    // publish
+    val pub = c.fastForward("ingest")
+    assert(spark.read.format("hadro").load(path).count() == 2L + src.count())
+    // zombie replay of epoch 1 AFTER the publish: the published manifest
+    // carries the streamEpochs bookkeeping, so the replay is declined and
+    // its duplicate file dropped
+    sink.commit(1L, Array(HadroCommitMessage(Seq(epochSegment("data-e1b.data")))))
+    assert(Collection(spark, path).version == pub, "replay must not commit")
+    assert(!Files.exists(Paths.get(path).resolve("data-e1b.data")))
+    assert(graft.meta.CollectionMeta.branchHeadVersion(Paths.get(path), "ingest") == pub)
+    // the NEXT epoch stages on the re-forked branch and publishes clean
+    sink.commit(2L, Array(HadroCommitMessage(Seq(epochSegment("data-e2.data")))))
+    assert(Collection(spark, path).version == pub)
+    c.fastForward("ingest")
+    assert(spark.read.format("hadro").load(path).count() == 2L + 2 * src.count())
+    // an unknown branch fails at stream START with the branch list
+    val e = intercept[Exception] {
+      new HadroStreamingWrite(Paths.get(path), src.schema,
+        graft.format.Consistency.Relaxed, mutating = false, keyField = None,
+        splitBytes = graft.format.SegmentWriter.DefaultSplitBytes,
+        queryId = "q-x", branch = Some("nope"))
+    }
+    assert(e.getMessage.contains("ingest"), e.getMessage)
+    c.dropBranch("ingest")
+  }
+
+  test("branch writes are append-shaped only (batch rewrites refuse); names guard") {
     val path = Files.createTempDirectory("branchguard").resolve("c").toString
     (1L to 3L).toDF("id").coalesce(1)
       .write.format("hadro").mode("overwrite").save(path)
