@@ -551,6 +551,60 @@ object DedupOps {
           p => element_at(col("toks"), p))).as("clean_text"))
   }
 
+  /** ExactSubstr span removal, KEEP-ONE-COPY variant (Lee et al. 2022's
+    * primary formulation): every w-token window shared across >= 2 docs
+    * elects exactly ONE owner occurrence — the lexicographically smallest
+    * (doc_id, start) — and only NON-owner occurrences are cut, so the
+    * corpus retains one copy of common boilerplate instead of losing it
+    * everywhere ([[removeDuplicateSpans]] is the drop-all twin). A token
+    * survives if it is uncovered, or covered by at least one OWNED
+    * occurrence (an owned span shields its tokens from overlapping
+    * non-owned spans — the deterministic tie-break any engine replays).
+    *
+    * Scale shape: identical to the drop-all variant plus one more
+    * key-equality aggregate (per-window min (doc, start) — map-side
+    * combinable) and a second hits-proportional start list per doc.
+    * Election is min(), not a window rank, so no per-window sort. */
+  def removeDuplicateSpansKeepOne(df: DataFrame, idCol: String,
+      textCol: String, w: Int = 10): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val windows = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - lit(w - 1), lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(w)))))
+        .as(Seq("off", "win")))
+      .select(col("doc_id"), (col("off") + 1).as("s"), col("win"))
+    val shared = windows.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("df_count"))
+      .filter(col("df_count") >= 2).select(col("win"))
+    val occ = windows.join(shared, Seq("win"), "left_semi")
+    // one owner occurrence per shared window: lexicographic min (doc, s)
+    val owners = occ.groupBy(col("win"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("o"))
+    val flagged = occ.join(owners, Seq("win"))
+      .select(col("doc_id"), col("s"),
+        (col("o.doc_id") === col("doc_id") && col("o.s") === col("s"))
+          .as("owned"))
+    val perDoc = flagged.groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(when(!col("owned"), col("s")))).as("cuts"),
+        sort_array(collect_list(when(col("owned"), col("s")))).as("keeps"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"), col("toks"),
+        coalesce(col("cuts"), array().cast("array<int>")).as("cuts"),
+        coalesce(col("keeps"), array().cast("array<int>")).as("keeps"))
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        filter(sequence(lit(1), col("n_tokens")),
+          p => !exists(col("cuts"), s => s <= p && p < s + lit(w)) ||
+            exists(col("keeps"), s => s <= p && p < s + lit(w)))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", transform(col("kept"),
+          p => element_at(col("toks"), p))).as("clean_text"))
+  }
+
   /** Cross-document boilerplate line removal (the CCNet/RefinedWeb cleaning
     * step): a line that appears in at least `minCount` docs — and in at
     * least (numerator/denominator) of the docs — of the same `groupCol`

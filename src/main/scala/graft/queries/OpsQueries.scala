@@ -1812,6 +1812,67 @@ object OpsQueries {
             list_transform(kept, p -> toklist[p]), ' '), '') AS clean_text
         FROM outt ORDER BY doc_id""")),
 
+    // --------------------------------------------------------------- d26b
+    // ExactSubstr span removal, KEEP-ONE-COPY election (Lee et al. 2022's
+    // primary variant): each shared window elects its lexicographically
+    // first (doc_id, start) occurrence as OWNER; only non-owner copies
+    // are cut, so the corpus keeps exactly one copy of the planted
+    // boilerplate (the smallest doc_id % 10 == 0 doc) instead of losing
+    // it everywhere like d26. A token covered by both an owned and a
+    // non-owned span survives (the owned span shields it) — the oracle
+    // replays the same election with a window rank over (doc_id, start).
+    QueryDef(
+      "d26b_span_removal_keep_one",
+      (s, dir) => {
+        val planted = " shared boiler sentence tokens repeated verbatim " +
+          "across many documents in corpus"
+        val d = table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 10 === 0, lit(planted)).otherwise(lit("")))
+            .as("text"))
+        DedupOps.removeDuplicateSpansKeepOne(d, "doc_id", "text", w = 10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text || CASE WHEN doc_id % 10 = 0
+            THEN ' shared boiler sentence tokens repeated verbatim across many documents in corpus'
+            ELSE '' END AS text
+          FROM documents),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        wins AS (
+          SELECT doc_id,
+            unnest(generate_series(1, greatest(len(t) - 9, 1))) AS s,
+            unnest(list_transform(generate_series(1, greatest(len(t) - 9, 1)),
+              i -> array_to_string(t[i:i+9], ' '))) AS win
+          FROM toks),
+        shared AS (SELECT win FROM wins GROUP BY win
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        occ AS (
+          SELECT w.doc_id, w.s, w.win,
+            ROW_NUMBER() OVER (PARTITION BY w.win
+              ORDER BY w.doc_id, w.s) AS rn
+          FROM wins w JOIN shared USING (win)),
+        cutstarts AS (SELECT doc_id, list_sort(list(s)) AS cs
+          FROM occ WHERE rn > 1 GROUP BY doc_id),
+        keepstarts AS (SELECT doc_id, list_sort(list(s)) AS ks
+          FROM occ WHERE rn = 1 GROUP BY doc_id),
+        outt AS (
+          SELECT tk.doc_id, len(tk.t) AS n_tokens,
+            list_filter(generate_series(1, len(tk.t)),
+              p -> len(list_filter(coalesce(c.cs, CAST([] AS BIGINT[])),
+                     s -> s <= p AND p < s + 10)) = 0
+                OR len(list_filter(coalesce(k.ks, CAST([] AS BIGINT[])),
+                     s -> s <= p AND p < s + 10)) > 0) AS kept,
+            tk.t AS toklist
+          FROM toks tk
+          LEFT JOIN cutstarts c USING (doc_id)
+          LEFT JOIN keepstarts k USING (doc_id))
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          CAST(n_tokens - len(kept) AS INT) AS n_removed,
+          COALESCE(array_to_string(
+            list_transform(kept, p -> toklist[p]), ' '), '') AS clean_text
+        FROM outt ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- d27
     // CCNet perplexity-bucket filter (Wenzek et al. 2020): per-language
     // head/middle/tail terciles under the corpus' own unigram LM (t12's

@@ -716,6 +716,32 @@ class OpsSpec extends SparkSuite {
     assert(out.values.forall(r => r._3 <= r._2))
   }
 
+  test("keep-one span removal: first (doc, start) owner keeps the span, " +
+      "all other copies are cut, uncovered text untouched") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // exactly one window
+    val d = Seq(
+      (3L, s"alpha beta $boiler gamma"),
+      (1L, s"$boiler tail one"),
+      (2L, s"head two $boiler"),
+      (9L, "totally unique text nine")).toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicateSpansKeepOne(d, "doc_id", "text")
+      .select($"doc_id", $"clean_text", $"n_removed")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 is the lexicographically first (doc, start) occurrence: keeps it
+    assert(out(1L)._1 == s"$boiler tail one", out(1L)._1)
+    assert(out(1L)._2 == 0)
+    // every other copy is cut; surrounding text survives in order
+    assert(out(2L)._1 == "head two", out(2L)._1)
+    assert(out(3L)._1 == "alpha beta gamma", out(3L)._1)
+    assert(out(2L)._2 == 10 && out(3L)._2 == 10)
+    // untouched doc passes through whole
+    assert(out(9L)._1 == "totally unique text nine" && out(9L)._2 == 0)
+    // contrast: the drop-all variant loses the span everywhere
+    val all = DedupOps.removeDuplicateSpans(d, "doc_id", "text")
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+    assert(all(1L) == "tail one")
+  }
+
   test("alt-star CC closes a long chain within its O(log n) round budget") {
     // Chain 0-1-...-63 (diameter 63 — min-propagation would need 63
     // rounds) plus two disjoint triangles; alt-star must converge inside
