@@ -354,7 +354,11 @@ object DedupOps {
         s"no admission bloom at $bloomPath — run buildAdmissionBloom first"))
     val spark = batch.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((hx: Long) => bc.value.mightContainHash(hx))
+    // native codegen'd probe (not a UDF): the membership test stays inside
+    // whole-stage codegen — it runs once per batch row, the one per-row
+    // call on this path hot enough to matter at 100 TB
+    val mightContain = (c: org.apache.spark.sql.Column) =>
+      graft.functions.BloomExpressions.key_bloom_might_contain(c, bc)
     val hashed = batch
       .select(col(idCol), sha2(col(textCol), 256).as("content_hash"))
       .withColumn("hx", xxhash64(col("content_hash")))

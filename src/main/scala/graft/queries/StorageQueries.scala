@@ -181,8 +181,12 @@ object StorageQueries {
       "h11_agg_over_hadro",
       (s, dir) => {
         import s.implicits._
-        val c = Collection.create(s, colPath(dir, "h11"), table(s, dir, "lineitem"),
-          numSegments = 8)
+        // read-only after build: ingest once per JVM (Fixtures discipline)
+        Fixtures.buildOnce(dir, "h11") {
+          Collection.create(s, colPath(dir, "h11"), table(s, dir, "lineitem"),
+            numSegments = 8)
+        }
+        val c = Collection(s, colPath(dir, "h11"))
         c.scan()
           .groupBy($"l_returnflag")
           .agg(
@@ -468,9 +472,13 @@ object StorageQueries {
       "h24_zorder_box_query",
       (s, dir) => {
         import s.implicits._
-        val src = table(s, dir, "orders")
-        val c = Collection.create(s, colPath(dir, "h24"), src, numSegments = 4)
-        c.cluster(Seq("o_custkey", "o_totalprice"), numSegments = 16)
+        // read-only after the Z-order rewrite: build + cluster once per JVM
+        Fixtures.buildOnce(dir, "h24") {
+          val c0 = Collection.create(s, colPath(dir, "h24"),
+            table(s, dir, "orders"), numSegments = 4)
+          c0.cluster(Seq("o_custkey", "o_totalprice"), numSegments = 16)
+        }
+        val c = Collection(s, colPath(dir, "h24"))
         c.scan()
           .filter($"o_custkey" < 200 && ($"o_totalprice" between (50000.0, 150000.0)))
           .select($"o_orderkey", $"o_custkey", $"o_totalprice")
@@ -509,19 +517,21 @@ object StorageQueries {
       "h26_segment_rotation",
       (s, dir) => {
         import s.implicits._
-        val src = table(s, dir, "customer")
         val path = colPath(dir, "h26")
-        val p = java.nio.file.Paths.get(path)
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(p)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists)
-          finally walk.close()
+        Fixtures.buildOnce(dir, "h26") {
+          val src = table(s, dir, "customer")
+          val p = java.nio.file.Paths.get(path)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(p)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists)
+            finally walk.close()
+          }
+          src.coalesce(1).write.format("hadro").mode("append")
+            .option("hadro.maxSegmentBytes", (64 * 1024).toString)
+            .save(path)
         }
-        src.coalesce(1).write.format("hadro").mode("append")
-          .option("hadro.maxSegmentBytes", (64 * 1024).toString)
-          .save(path)
         s.read.format("hadro").load(path)
           .select($"c_custkey", $"c_name", $"c_acctbal")
           .orderBy("c_custkey")
@@ -538,8 +548,11 @@ object StorageQueries {
       "h27_agg_pushdown",
       (s, dir) => {
         import s.implicits._
-        val c = Collection.create(s, colPath(dir, "h27"), table(s, dir, "orders"),
-          numSegments = 4)
+        Fixtures.buildOnce(dir, "h27") {
+          Collection.create(s, colPath(dir, "h27"), table(s, dir, "orders"),
+            numSegments = 4)
+        }
+        val c = Collection(s, colPath(dir, "h27"))
         c.scan().agg(
           count(lit(1)).as("n_rows"),
           count($"o_orderpriority").as("n_priority"),
@@ -565,10 +578,13 @@ object StorageQueries {
       "h28_runtime_prune_join",
       (s, dir) => {
         import s.implicits._
-        val fact = table(s, dir, "lineitem")
-          .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
-          .repartitionByRange(8, $"l_orderkey")
-        val c = Collection.create(s, colPath(dir, "h28"), fact)
+        Fixtures.buildOnce(dir, "h28") {
+          Collection.create(s, colPath(dir, "h28"),
+            table(s, dir, "lineitem")
+              .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+              .repartitionByRange(8, $"l_orderkey"))
+        }
+        val c = Collection(s, colPath(dir, "h28"))
         val dim = table(s, dir, "orders")
           .filter($"o_custkey" === 370L).select($"o_orderkey")
         c.scan().join(dim, $"l_orderkey" === $"o_orderkey")
@@ -662,8 +678,10 @@ object StorageQueries {
             .write.format("hadro").mode("overwrite")
             .option("hadro.bucketBy", key).option("hadro.buckets", "8")
             .save(s"$wh/db/$name")
-        put("customer", "c_custkey")
-        put("orders", "o_custkey")
+        Fixtures.buildOnce(dir, "h31") {
+          put("customer", "c_custkey")
+          put("orders", "o_custkey")
+        }
         val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val savedV2 = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -703,9 +721,12 @@ object StorageQueries {
           classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h32.warehouse", wh)
         val path = s"$wh/db/customer"
-        table(s, dir, "customer")
-          .write.format("hadro").mode("overwrite")
-          .option("hadro.key", "c_custkey").save(path)
+        Fixtures.restoreFromTemplate(s, dir, "cust_keyed",
+          s"/tmp/graft_custk/${tag}_template", path) { tpl =>
+          table(s, dir, "customer")
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "c_custkey").save(tpl)
+        }
         val c = Collection(s, path)
         // update one in-range key so its latest version escapes the delete
         c.set(table(s, dir, "customer").filter($"c_custkey" === 7L)
@@ -738,9 +759,13 @@ object StorageQueries {
         s.conf.set("spark.sql.catalog.graft_h33",
           classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h33.warehouse", wh)
-        table(s, dir, "lineitem")
-          .repartitionByRange(16, $"l_orderkey") // clustered → most segments skip
-          .write.format("hadro").mode("overwrite").save(s"$wh/db/lineitem")
+        // clustered (most segments skip); shared li16 template, clone-restored
+        Fixtures.restoreFromTemplate(s, dir, "li16",
+          s"/tmp/graft_li16/${tag}_template", s"$wh/db/lineitem") { tpl =>
+          table(s, dir, "lineitem")
+            .repartitionByRange(16, $"l_orderkey")
+            .write.format("hadro").mode("overwrite").save(tpl)
+        }
         s.sql("DELETE FROM graft_h33.db.lineitem " +
           "WHERE l_orderkey < 1200 AND l_discount > 0.05")
         s.sql("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -764,14 +789,20 @@ object StorageQueries {
       (s, dir) => {
         import s.implicits._
         val src = table(s, dir, "supplier")
-        val c = Collection.create(s, colPath(dir, "h34"), src,
-          key = Some("s_suppkey"), numSegments = 1)
-        // 6 tiny upsert epochs + a tombstone epoch, then pack
-        (0 until 6).foreach { i =>
-          c.set(src.filter($"s_suppkey" % 6 === i)
-            .withColumn("s_name", concat(lit("packed-"), $"s_suppkey")).coalesce(1))
+        // template = the fragmented state (6 upsert epochs + a tombstone
+        // epoch), built once; each rep clones it and re-pays only the
+        // compactSmall pack under test
+        Fixtures.restoreFromTemplate(s, dir, "h34_frag",
+          colPath(dir, "h34_template"), colPath(dir, "h34")) { tpl =>
+          val c0 = Collection.create(s, tpl, src,
+            key = Some("s_suppkey"), numSegments = 1)
+          (0 until 6).foreach { i =>
+            c0.set(src.filter($"s_suppkey" % 6 === i)
+              .withColumn("s_name", concat(lit("packed-"), $"s_suppkey")).coalesce(1))
+          }
+          c0.delete(src.filter($"s_suppkey" % 10 === 3).select($"s_suppkey"))
         }
-        c.delete(src.filter($"s_suppkey" % 10 === 3).select($"s_suppkey"))
+        val c = Collection(s, colPath(dir, "h34"))
         c.compactSmall(minBytes = 1L << 26)
         c.toDF().select($"s_suppkey", $"s_name", $"s_acctbal").orderBy($"s_suppkey")
       },
@@ -795,9 +826,12 @@ object StorageQueries {
           classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h35.warehouse", wh)
         val path = s"$wh/db/customer"
-        table(s, dir, "customer")
-          .write.format("hadro").mode("overwrite")
-          .option("hadro.key", "c_custkey").save(path)
+        Fixtures.restoreFromTemplate(s, dir, "cust_keyed",
+          s"/tmp/graft_custk/${tag}_template", path) { tpl =>
+          table(s, dir, "customer")
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "c_custkey").save(tpl)
+        }
         val c = Collection(s, path)
         c.set(table(s, dir, "customer").filter($"c_custkey" === 7L)
           .withColumn("c_acctbal", lit(9999999.0)))
@@ -830,9 +864,12 @@ object StorageQueries {
           classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h36.warehouse", wh)
         val path = s"$wh/db/customer"
-        table(s, dir, "customer")
-          .write.format("hadro").mode("overwrite")
-          .option("hadro.key", "c_custkey").save(path)
+        Fixtures.restoreFromTemplate(s, dir, "cust_keyed",
+          s"/tmp/graft_custk/${tag}_template", path) { tpl =>
+          table(s, dir, "customer")
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "c_custkey").save(tpl)
+        }
         table(s, dir, "customer").filter($"c_custkey" % 5 === 0)
           .select($"c_custkey", $"c_acctbal")
           .unionByName(table(s, dir, "customer").filter($"c_custkey" % 7 === 0)
@@ -883,9 +920,14 @@ object StorageQueries {
         s.conf.set("spark.sql.catalog.graft_h37",
           classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h37.warehouse", wh)
-        table(s, dir, "lineitem")
-          .repartitionByRange(16, $"l_orderkey")
-          .write.format("hadro").mode("overwrite").save(s"$wh/db/lineitem")
+        // restore the 16-segment ingest from a built-once template (zero-
+        // copy clone); each rep re-pays only the CoW UPDATE under test
+        Fixtures.restoreFromTemplate(s, dir, "li16",
+          s"/tmp/graft_li16/${tag}_template", s"$wh/db/lineitem") { tpl =>
+          table(s, dir, "lineitem")
+            .repartitionByRange(16, $"l_orderkey")
+            .write.format("hadro").mode("overwrite").save(tpl)
+        }
         s.sql("UPDATE graft_h37.db.lineitem SET l_quantity = l_quantity + 100 " +
           "WHERE l_orderkey < 1200 AND l_discount > 0.05")
         s.sql("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -909,10 +951,14 @@ object StorageQueries {
       "h38_zorder_string",
       (s, dir) => {
         import s.implicits._
-        val src = table(s, dir, "documents")
-          .select($"doc_id", $"lang", $"source", $"n_chars")
-        val c = Collection.create(s, colPath(dir, "h38"), src, numSegments = 4)
-        c.cluster(Seq("lang", "n_chars"), numSegments = 16)
+        Fixtures.buildOnce(dir, "h38") {
+          val c0 = Collection.create(s, colPath(dir, "h38"),
+            table(s, dir, "documents")
+              .select($"doc_id", $"lang", $"source", $"n_chars"),
+            numSegments = 4)
+          c0.cluster(Seq("lang", "n_chars"), numSegments = 16)
+        }
+        val c = Collection(s, colPath(dir, "h38"))
         c.scan().filter($"lang" === "zh" && $"n_chars" < 2000)
           .select($"doc_id", $"lang", $"n_chars")
           .orderBy($"doc_id")
@@ -932,9 +978,12 @@ object StorageQueries {
       "h39_sorted_cluster_scan",
       (s, dir) => {
         import s.implicits._
-        val src = table(s, dir, "orders")
-        val c = Collection.create(s, colPath(dir, "h39"), src, numSegments = 4)
-        c.cluster(Seq("o_totalprice"), numSegments = 8)
+        Fixtures.buildOnce(dir, "h39") {
+          val c0 = Collection.create(s, colPath(dir, "h39"),
+            table(s, dir, "orders"), numSegments = 4)
+          c0.cluster(Seq("o_totalprice"), numSegments = 8)
+        }
+        val c = Collection(s, colPath(dir, "h39"))
         c.scan().filter($"o_totalprice" between (50000.0, 100000.0))
           .select($"o_orderkey", $"o_totalprice")
           .orderBy($"o_orderkey")
@@ -1025,8 +1074,10 @@ object StorageQueries {
             .option("hadro.bucketBy", key).option("hadro.buckets", "8")
             .option("hadro.sortedBy", key)
             .save(s"$wh/db/$name")
-        put("customer", "c_custkey")
-        put("orders", "o_custkey")
+        Fixtures.buildOnce(dir, "h42") {
+          put("customer", "c_custkey")
+          put("orders", "o_custkey")
+        }
         val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val savedV2 = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -1065,9 +1116,12 @@ object StorageQueries {
       "h43_topn_pushdown",
       (s, dir) => {
         import s.implicits._
-        val src = table(s, dir, "orders")
-        val c = Collection.create(s, colPath(dir, "h43"), src, numSegments = 4)
-        c.cluster(Seq("o_totalprice"), numSegments = 8)
+        Fixtures.buildOnce(dir, "h43") {
+          val c0 = Collection.create(s, colPath(dir, "h43"),
+            table(s, dir, "orders"), numSegments = 4)
+          c0.cluster(Seq("o_totalprice"), numSegments = 8)
+        }
+        val c = Collection(s, colPath(dir, "h43"))
         c.scan().select($"o_orderkey", $"o_totalprice")
           .orderBy($"o_totalprice", $"o_orderkey").limit(50)
       },
@@ -1117,10 +1171,14 @@ object StorageQueries {
       "h45_prefix_or_scan",
       (s, dir) => {
         import s.implicits._
-        val src = table(s, dir, "documents")
-          .select($"doc_id", $"lang", $"source", $"n_chars")
-        val c = Collection.create(s, colPath(dir, "h45"), src, numSegments = 4)
-        c.cluster(Seq("source", "lang"), numSegments = 16)
+        Fixtures.buildOnce(dir, "h45") {
+          val c0 = Collection.create(s, colPath(dir, "h45"),
+            table(s, dir, "documents")
+              .select($"doc_id", $"lang", $"source", $"n_chars"),
+            numSegments = 4)
+          c0.cluster(Seq("source", "lang"), numSegments = 16)
+        }
+        val c = Collection(s, colPath(dir, "h45"))
         c.scan()
           .filter(($"lang" === "en" || $"lang" === "de") && $"source".startsWith("src1"))
           .select($"doc_id", $"lang", $"source")
@@ -1148,8 +1206,13 @@ object StorageQueries {
         s.conf.set("spark.sql.catalog.graft_h46",
           classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h46.warehouse", wh)
-        table(s, dir, "lineitem").repartitionByRange(8, $"l_orderkey")
-          .write.format("hadro").mode("overwrite").save(s"$wh/db/li")
+        // zero-copy restore from the shared 8-segment lineitem template
+        // (h80's): each rep re-pays only the DV DELETE under test
+        Fixtures.restoreFromTemplate(s, dir, "li8",
+          s"/tmp/graft_li8/${tag}_template", s"$wh/db/li") { tpl =>
+          table(s, dir, "lineitem").repartitionByRange(8, $"l_orderkey")
+            .write.format("hadro").mode("overwrite").save(tpl)
+        }
         s.conf.set("spark.hadro.delete.mode", "dv")
         try s.sql("DELETE FROM graft_h46.db.li WHERE l_quantity >= 30.0")
         finally s.conf.unset("spark.hadro.delete.mode")
@@ -1559,10 +1622,13 @@ object StorageQueries {
       "h56_sum_pushdown",
       (s, dir) => {
         import s.implicits._
-        val c = Collection.create(s, colPath(dir, "h56"),
-          table(s, dir, "lineitem")
-            .select($"l_orderkey", $"l_partkey", $"l_linenumber"),
-          numSegments = 4)
+        Fixtures.buildOnce(dir, "h56") {
+          Collection.create(s, colPath(dir, "h56"),
+            table(s, dir, "lineitem")
+              .select($"l_orderkey", $"l_partkey", $"l_linenumber"),
+            numSegments = 4)
+        }
+        val c = Collection(s, colPath(dir, "h56"))
         c.scan().agg(
           sum($"l_orderkey").as("sum_okey"),
           sum($"l_partkey").as("sum_pkey"),
@@ -1715,16 +1781,18 @@ object StorageQueries {
       "h61_block_skipping",
       (s, dir) => {
         import s.implicits._
-        val src = table(s, dir, "orders")
-          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         val path = colPath(dir, "h61")
-        Collection.create(s, path,
-          src.orderBy("o_orderkey").coalesce(1), numSegments = 0)
-        // rebuild the single segment with a small split cadence
+        Fixtures.buildOnce(dir, "h61") {
+          val src = table(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          Collection.create(s, path,
+            src.orderBy("o_orderkey").coalesce(1), numSegments = 0)
+          // rebuild the single segment with a small split cadence
+          Collection(s, path).scan().orderBy("o_orderkey").coalesce(1)
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.splitBytes", 64 * 1024).save(path)
+        }
         val c = Collection(s, path)
-        c.scan().orderBy("o_orderkey").coalesce(1)
-          .write.format("hadro").mode("overwrite")
-          .option("hadro.splitBytes", 64 * 1024).save(path)
         c.scan().filter($"o_orderkey" between (1000L, 2000L))
           .orderBy($"o_orderkey")
       },
@@ -1940,22 +2008,24 @@ object StorageQueries {
         s.conf.set("spark.sql.catalog.graft_h67", classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h67.warehouse", wh)
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h67.db")
-        s.sql("DROP TABLE IF EXISTS graft_h67.db.cust")
-        s.sql("DROP TABLE IF EXISTS graft_h67.db.supp")
-        s.sql("""CREATE TABLE graft_h67.db.cust
-          (c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)
-          USING hadro PARTITIONED BY (c_nationkey)""")
-        s.sql("""CREATE TABLE graft_h67.db.supp
-          (s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)
-          USING hadro PARTITIONED BY (s_nationkey)""")
-        QueryDef.table(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-          .createOrReplaceTempView("h67_cust")
-        QueryDef.table(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
-          .createOrReplaceTempView("h67_supp")
-        s.sql("INSERT INTO graft_h67.db.cust SELECT * FROM h67_cust")
-        s.sql("INSERT INTO graft_h67.db.supp SELECT * FROM h67_supp")
+        Fixtures.buildOnce(dir, "h67") {
+          s.sql("DROP TABLE IF EXISTS graft_h67.db.cust")
+          s.sql("DROP TABLE IF EXISTS graft_h67.db.supp")
+          s.sql("""CREATE TABLE graft_h67.db.cust
+            (c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)
+            USING hadro PARTITIONED BY (c_nationkey)""")
+          s.sql("""CREATE TABLE graft_h67.db.supp
+            (s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)
+            USING hadro PARTITIONED BY (s_nationkey)""")
+          QueryDef.table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+            .createOrReplaceTempView("h67_cust")
+          QueryDef.table(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+            .createOrReplaceTempView("h67_supp")
+          s.sql("INSERT INTO graft_h67.db.cust SELECT * FROM h67_cust")
+          s.sql("INSERT INTO graft_h67.db.supp SELECT * FROM h67_supp")
+        }
         val savedSpj = try Some(s.conf.get("spark.sql.sources.v2.bucketing.enabled"))
           catch { case _: Exception => None }
         val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -2004,19 +2074,30 @@ object StorageQueries {
         s.conf.set("spark.sql.catalog.graft_h69", classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h69.warehouse", wh)
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h69.db")
-        s.sql("DROP TABLE IF EXISTS graft_h69.db.events")
-        s.sql("""CREATE TABLE graft_h69.db.events
-          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
-          USING hadro PARTITIONED BY (days(ts))""")
-        QueryDef.table(s, dir, "events")
-          .select(col("event_id"),
-            timestamp_micros(expr("ts div 1000")).as("ts"),
-            col("event_type"), col("value"))
-          .createOrReplaceTempView("h69_src")
-        // three interleaved batches fragment every day across commits
-        (0 until 3).foreach { b =>
-          s.sql(s"INSERT INTO graft_h69.db.events SELECT * FROM h69_src " +
-            s"WHERE event_id % 3 = $b")
+        // mutating lifecycle fixture: the FRAGMENTED (pre-compaction)
+        // table is built once in a template catalog; each rep zero-copy
+        // clones it in and re-pays only the compaction under test
+        Fixtures.restoreFromTemplate(s, dir, "h69_events",
+          s"/tmp/graft_catalogs/${tag}_h69_template/db/events",
+          s"$wh/db/events") { _ =>
+          val twh = s"/tmp/graft_catalogs/${tag}_h69_template"
+          s.conf.set("spark.sql.catalog.graft_h69t",
+            classOf[graft.spark.HadroCatalog].getName)
+          s.conf.set("spark.sql.catalog.graft_h69t.warehouse", twh)
+          s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h69t.db")
+          s.sql("""CREATE TABLE graft_h69t.db.events
+            (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+            USING hadro PARTITIONED BY (days(ts))""")
+          QueryDef.table(s, dir, "events")
+            .select(col("event_id"),
+              timestamp_micros(expr("ts div 1000")).as("ts"),
+              col("event_type"), col("value"))
+            .createOrReplaceTempView("h69_src")
+          // three interleaved batches fragment every day across commits
+          (0 until 3).foreach { b =>
+            s.sql(s"INSERT INTO graft_h69t.db.events SELECT * FROM h69_src " +
+              s"WHERE event_id % 3 = $b")
+          }
         }
         s.sql("CALL graft_h69.system.compact_partitions('db.events', '')")
         s.sql("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -2155,21 +2236,23 @@ object StorageQueries {
         s.conf.set("spark.sql.catalog.graft_h71", classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h71.warehouse", wh)
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h71.db")
-        s.sql("DROP TABLE IF EXISTS graft_h71.db.facts")
-        s.sql("DROP TABLE IF EXISTS graft_h71.db.labels")
-        s.sql("""CREATE TABLE graft_h71.db.facts
-          (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
-          USING hadro PARTITIONED BY (days(ts))""")
-        s.sql("""CREATE TABLE graft_h71.db.labels
-          (ts TIMESTAMP, event_type STRING)
-          USING hadro PARTITIONED BY (days(ts))""")
-        QueryDef.table(s, dir, "events")
-          .select(col("event_id"),
-            timestamp_micros(expr("ts div 1000")).as("ts"),
-            col("event_type"), col("value"))
-          .createOrReplaceTempView("h71_src")
-        s.sql("INSERT INTO graft_h71.db.facts SELECT event_id, ts, value FROM h71_src")
-        s.sql("INSERT INTO graft_h71.db.labels SELECT ts, event_type FROM h71_src")
+        Fixtures.buildOnce(dir, "h71") {
+          s.sql("DROP TABLE IF EXISTS graft_h71.db.facts")
+          s.sql("DROP TABLE IF EXISTS graft_h71.db.labels")
+          s.sql("""CREATE TABLE graft_h71.db.facts
+            (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+            USING hadro PARTITIONED BY (days(ts))""")
+          s.sql("""CREATE TABLE graft_h71.db.labels
+            (ts TIMESTAMP, event_type STRING)
+            USING hadro PARTITIONED BY (days(ts))""")
+          QueryDef.table(s, dir, "events")
+            .select(col("event_id"),
+              timestamp_micros(expr("ts div 1000")).as("ts"),
+              col("event_type"), col("value"))
+            .createOrReplaceTempView("h71_src")
+          s.sql("INSERT INTO graft_h71.db.facts SELECT event_id, ts, value FROM h71_src")
+          s.sql("INSERT INTO graft_h71.db.labels SELECT ts, event_type FROM h71_src")
+        }
         val savedSpj = try Some(s.conf.get("spark.sql.sources.v2.bucketing.enabled"))
           catch { case _: Exception => None }
         val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -2575,8 +2658,14 @@ object StorageQueries {
         s.conf.set("spark.sql.catalog.graft_h80",
           classOf[graft.spark.HadroCatalog].getName)
         s.conf.set("spark.sql.catalog.graft_h80.warehouse", wh)
-        table(s, dir, "lineitem").repartitionByRange(8, $"l_orderkey")
-          .write.format("hadro").mode("overwrite").save(s"$wh/db/li")
+        // mutating lifecycle fixture: restore from a built-once template
+        // via zero-copy clone — each rep re-pays the DELETE + purge under
+        // test, never the 8-segment ingest (template shared with h46)
+        Fixtures.restoreFromTemplate(s, dir, "li8",
+          s"/tmp/graft_li8/${tag}_template", s"$wh/db/li") { tpl =>
+          table(s, dir, "lineitem").repartitionByRange(8, $"l_orderkey")
+            .write.format("hadro").mode("overwrite").save(tpl)
+        }
         s.conf.set("spark.hadro.delete.mode", "dv")
         try s.sql("DELETE FROM graft_h80.db.li WHERE l_quantity >= 30.0")
         finally s.conf.unset("spark.hadro.delete.mode")

@@ -879,10 +879,28 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
             planned.forall(_.splits.isEmpty) &&
               planned.flatMap(_.bucket).distinct.size == planned.size
         }
-        if (safe)
-          Array(Expressions.sort(Expressions.column(c),
+        if (safe) {
+          // COMPOSITE report: when every planned segment carries the same
+          // writer-VERIFIED multi-column sort tuple (SegmentInfo.sortCols,
+          // poisoned on any out-of-order row) whose leading column is the
+          // manifest declaration, report the longest prefix surviving
+          // column pruning — sortWithinPartitions(a, b) and merge-sort
+          // requirements on the full (tenant, ts) order are then planned
+          // away, not just the leading column's. Falls back to the
+          // leading-column report when segments disagree or were written
+          // under a single-column spec.
+          val cols: Seq[String] = staticPlanned.map(_.sortCols).distinct match {
+            case Seq(Some(l)) =>
+              val cs = l.split(",").toSeq
+              if (cs.headOption.contains(c))
+                cs.takeWhile(required.fieldNames.contains)
+              else Seq(c)
+            case _ => Seq(c)
+          }
+          cols.map(cc => Expressions.sort(Expressions.column(cc),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-        else Array.empty
+            .toArray
+        } else Array.empty
       case _ => Array.empty
     }
 

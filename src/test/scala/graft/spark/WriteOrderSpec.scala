@@ -203,6 +203,33 @@ class WriteOrderSpec extends SparkSuite {
       s.sortCols.isEmpty && s.sortLo.isEmpty && s.sortHi.isEmpty))
   }
 
+  test("composite ordering report: redundant (a, b) sorts are planned away, " +
+      "b-only sorts are not") {
+    warehouse
+    spark.sql("""CREATE TABLE wocat.db.ord (a BIGINT, b BIGINT, v BIGINT)
+      USING hadro TBLPROPERTIES ('sortedBy' = 'a, b')""")
+    spark.sql("""INSERT INTO wocat.db.ord
+      SELECT (id * 37) % 20 AS a, (id * 13) % 1000 AS b, id AS v
+      FROM range(0, 2000)""")
+    val dir = s"$warehouse/db/ord"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val scan = spark.read.format("hadro").load(dir)
+    // the FULL declared order is reported: a two-column within-partition
+    // sort is redundant and planned away
+    val p2 = finalPlan(scan.sortWithinPartitions("a", "b"))
+    assert(!p2.contains("Sort ["), s"redundant (a, b) sort survived:\n$p2")
+    // a sort the storage did NOT pay for stays planned
+    val pb = finalPlan(scan.sortWithinPartitions("b"))
+    assert(pb.contains("Sort ["), s"b-only sort must stay:\n$pb")
+    // pruning the second column away still reports the leading prefix
+    val p1 = finalPlan(scan.select("a").sortWithinPartitions("a"))
+    assert(!p1.contains("Sort ["), s"leading-column sort survived:\n$p1")
+    spark.sql("DROP TABLE wocat.db.ord")
+  }
+
   test("declared order composes with bucketing: per-bucket sorted segments") {
     warehouse
     spark.sql("""CREATE TABLE wocat.db.bs (k BIGINT, v BIGINT) USING hadro
