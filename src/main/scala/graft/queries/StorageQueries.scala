@@ -3129,5 +3129,65 @@ object StorageQueries {
         FROM events
         WHERE event_type >= 'p' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         GROUP BY event_type ORDER BY event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h90
+    // CDC DELETE rows for DROPPED PARTITIONS: the retention job
+    // (drop_partitions — a metadata-only removal with no ordinal event)
+    // inside a changes window surfaces as synthesized `_hadro_deleted`
+    // rows for every row live at the window start, read with
+    // hadro.changefeed=full — so the nightly incremental consumer sees
+    // the aged-out day as delete events instead of a full-replay refusal
+    // (h88's dv twin; together they make every row-removal mechanism an
+    // incremental event). Rows appended AND dropped inside the window net
+    // out — their segments exist in neither the floor nor the end set.
+    QueryDef(
+      "h90_drop_partition_cdc",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h90"
+        s.conf.set("spark.sql.catalog.graft_h90",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h90.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h90.db")
+        s.sql("DROP TABLE IF EXISTS graft_h90.db.ev")
+        s.sql("""CREATE TABLE graft_h90.db.ev
+          (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+          USING hadro PARTITIONED BY (days(ts))""")
+        table(s, dir, "events")
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+          .createOrReplaceTempView("h90_src")
+        s.sql("INSERT INTO graft_h90.db.ev SELECT * FROM h90_src")
+        val path = s"$wh/db/ev"
+        val v1 = graft.api.Collection(s, path).version
+        // in-window: a late-arriving correction batch, then the retention
+        // job drops everything before 2024-01-10 (epoch day 19732)
+        s.sql("""INSERT INTO graft_h90.db.ev
+          SELECT event_id + 10000000, ts, event_type, value * 2
+          FROM h90_src WHERE event_type = 'click'""")
+        graft.api.Collection(s, path).dropPartitions("19732")
+        s.read.format("hadro")
+          .option("hadro.changefeed", "full")
+          .option("hadro.changesStart", v1.toString).load(path)
+          .groupBy(col("_hadro_deleted").cast("int").as("deleted"),
+            $"event_type")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum($"value".cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy("deleted", "event_type")
+      },
+      Some("""WITH cdc AS (
+          SELECT 1 AS deleted, event_type, value FROM events
+          WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+          UNION ALL
+          SELECT 0 AS deleted, event_type, value * 2 FROM events
+          WHERE event_type = 'click'
+            AND ts >= TIMESTAMP '2024-01-10 00:00:00')
+        SELECT deleted, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM cdc GROUP BY deleted, event_type
+        ORDER BY deleted, event_type"""))
   )
 }

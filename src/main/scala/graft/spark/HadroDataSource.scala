@@ -1013,7 +1013,8 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     * the consumer never saw. Planning cost is O(#segments) manifest work —
     * at 100 TB an incremental consumer reads only the window's segments
     * plus the drifted blocks, never the table. */
-  private lazy val changesWindowInfo: Option[(Long, Seq[(SegmentInfo, Option[String])])] =
+  private lazy val changesWindowInfo:
+      Option[(Long, Seq[(SegmentInfo, Option[String])], Seq[SegmentInfo])] =
     changesStart.map { v =>
       val end = manifestSnapshot
       val start = CollectionMeta.manifestAt(path, v)
@@ -1028,33 +1029,44 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       val wantDeleted = required.fieldNames.contains(HadroTable.DeletedCol)
       val endByFile = end.segments.map(s => s.file -> s).toMap
       val drift = Seq.newBuilder[(SegmentInfo, Option[String])]
+      val dropped = Seq.newBuilder[SegmentInfo]
       start.segments.foreach { s =>
-        val live = endByFile.get(s.file)
-        require(live.isDefined,
-          s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
-            "was dropped (drop_partitions) inside the window; its rows' " +
-            "removal is not an ordinal event, replay from a full snapshot")
-        if (live.get.deleteVector != s.deleteVector) {
-          require(wantDeleted,
-            s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
-              "gained row-level (deletion-vector) deletes inside the window; " +
-              "those are not ordinal events. Read the window with " +
-              "hadro.changefeed=full to see them as synthesized CDC delete " +
-              "rows, or replay from a full snapshot")
-          drift += ((live.get, s.deleteVector))
+        endByFile.get(s.file) match {
+          case None => // the whole segment vanished (drop_partitions)
+            require(wantDeleted,
+              s"hadro: changes window ($v, ${end.version}] — segment " +
+                s"${s.file} was dropped (drop_partitions) inside the " +
+                "window; its rows' removal is not an ordinal event. Read " +
+                "the window with hadro.changefeed=full to see its live " +
+                "rows as synthesized CDC delete rows, or replay from a " +
+                "full snapshot")
+            dropped += s
+          case Some(live) if live.deleteVector != s.deleteVector =>
+            require(wantDeleted,
+              s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
+                "gained row-level (deletion-vector) deletes inside the window; " +
+                "those are not ordinal events. Read the window with " +
+                "hadro.changefeed=full to see them as synthesized CDC delete " +
+                "rows, or replay from a full snapshot")
+            drift += ((live, s.deleteVector))
+          case _ => ()
         }
       }
-      (start.nextOrdinal, drift.result())
+      (start.nextOrdinal, drift.result(), dropped.result())
     }
 
   private lazy val changesFloor: Option[Long] = changesWindowInfo.map(_._1)
 
   /** Synthesized CDC DELETE partitions for the window's dv drift (block-
-    * pruned to ranges that actually hold newly-deleted rows). Empty for
-    * non-window scans and drift-free windows. */
+    * pruned to ranges that actually hold newly-deleted rows) and for
+    * whole segments dropped inside the window (drop_partitions — every
+    * start-live row emitted as a delete). Empty for non-window scans and
+    * unchanged windows. */
   private lazy val dvDeltaParts: Seq[InputPartition] =
     changesWindowInfo.map(_._2).getOrElse(Nil)
-      .flatMap { case (seg, base) => HadroInputPartition.dvDeltaRanges(path, seg, base) }
+      .flatMap { case (seg, base) => HadroInputPartition.dvDeltaRanges(path, seg, base) } ++
+      changesWindowInfo.map(_._3).getOrElse(Nil)
+        .flatMap(seg => HadroInputPartition.dropRanges(path, seg))
 
   /** The post-pruning segment list (and its manifest) — shared by
     * planInputPartitions and outputPartitioning so the reported
@@ -1292,7 +1304,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       _ <- if (v2BucketingEnabled) Some(()) else None
       // a dv-drift changefeed window appends unkeyed CDC delete partitions
       // — the scan cannot honestly report key-grouped partitioning then
-      _ <- if (changesWindowInfo.forall(_._2.isEmpty)) Some(()) else None
+      _ <- if (changesWindowInfo.forall(w => w._2.isEmpty && w._3.isEmpty)) Some(()) else None
       c <- manifest.bucketBy
       n <- manifest.numBuckets
       cols = c.split(",").toSeq
@@ -1343,7 +1355,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     for {
       _ <- if (v2BucketingEnabled) Some(()) else None
       // same constraint as bucketedFor: dv-drift CDC partitions are unkeyed
-      _ <- if (changesWindowInfo.forall(_._2.isEmpty)) Some(()) else None
+      _ <- if (changesWindowInfo.forall(w => w._2.isEmpty && w._3.isEmpty)) Some(()) else None
       meta <- CollectionMeta.readSchema(path)
       c <- meta.partitionBy
       t <- meta.partitionTransform
@@ -1640,17 +1652,19 @@ final case class HadroInputPartition(file: String, ordinal: Long,
     extends InputPartition
 
 /** A CDC DELETE-synthesis partition: reads one split range of a segment
-  * and emits ONLY the rows whose in-segment index is deleted by `endDv`
-  * but NOT by `baseDv` — the deletion-vector DRIFT of a changes window —
-  * flagged `_hadro_deleted = true` with the row's original sequence
-  * number. This is how deletion-vector row-level deletes (not ordinal
-  * events) become visible to incremental consumers: Delta CDF's
-  * synthesized delete rows, derived here from the before/after vector
-  * pair the window's two manifests pin. Only planned for scans whose
-  * required schema carries `_hadro_deleted` (changefeed full mode). */
+  * and emits rows flagged `_hadro_deleted = true` with their original
+  * sequence numbers. Two modes:
+  *   - DRIFT (`endDv` = Some): rows deleted by the end vector but not the
+  *     base — a deletion-vector delete inside a changes window (Delta
+  *     CDF's synthesized delete rows, from the window's manifest pair);
+  *   - DROP (`endDv` = None): every row LIVE at the window start (not a
+  *     tombstone, not in `baseDv`) — a drop_partitions inside the window
+  *     removed the whole segment without an ordinal event.
+  * Only planned for scans whose required schema carries `_hadro_deleted`
+  * (changefeed full mode). */
 final case class DvDeltaPartition(file: String, ordinal: Long,
     startOffset: Long, startRow: Long, endOffset: Long,
-    nFields: Int, baseDv: Option[String], endDv: String,
+    nFields: Int, baseDv: Option[String], endDv: Option[String],
     writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty)
     extends InputPartition
 
@@ -1717,7 +1731,7 @@ object HadroInputPartition {
     val nf = seg.nFields.getOrElse(-1)
     val wt = typesOf(seg)
     if (seg.splits.isEmpty)
-      return Seq(DvDeltaPartition(file, seg.ordinal, 0L, 0L, -1L, nf, baseDv, endDv, wt))
+      return Seq(DvDeltaPartition(file, seg.ordinal, 0L, 0L, -1L, nf, baseDv, Some(endDv), wt))
     val starts = graft.meta.SplitPoint(0L, 0L) +: seg.splits
     starts.zipWithIndex.flatMap { case (sp, i) =>
       val endOff = if (i + 1 < starts.length) starts(i + 1).offset else -1L
@@ -1728,8 +1742,31 @@ object HadroInputPartition {
       }
       if (hit)
         Some(DvDeltaPartition(file, seg.ordinal, sp.offset, sp.row, endOff,
-          nf, baseDv, endDv, wt))
+          nf, baseDv, Some(endDv), wt))
       else None
+    }
+  }
+
+  /** CDC delete synthesis for a segment DROPPED inside the window
+    * (drop_partitions — a metadata-only removal with no ordinal event):
+    * every split range is planned in DROP mode, emitting the rows that
+    * were live at the window start as `_hadro_deleted = true`. `seg` is
+    * the START manifest's segment (the file is still retained — the
+    * start manifest's reconstructability check proved it). */
+  def dropRanges(path: Path, seg: SegmentInfo): Seq[InputPartition] = {
+    val file = path.resolve(seg.file).toString
+    val nf = seg.nFields.getOrElse(-1)
+    val wt = typesOf(seg)
+    if (seg.splits.isEmpty)
+      Seq(DvDeltaPartition(file, seg.ordinal, 0L, 0L, -1L, nf,
+        seg.deleteVector, None, wt))
+    else {
+      val starts = graft.meta.SplitPoint(0L, 0L) +: seg.splits
+      starts.zipWithIndex.map { case (sp, i) =>
+        val endOff = if (i + 1 < starts.length) starts(i + 1).offset else -1L
+        DvDeltaPartition(file, seg.ordinal, sp.offset, sp.row, endOff, nf,
+          seg.deleteVector, None, wt)
+      }
     }
   }
 
@@ -1814,10 +1851,11 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
     writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty,
     skipLive: Long = 0L,
     sample: Option[(Double, Double, Long)] = None,
-    // CDC delta mode (Some((baseDv, endDv))): emit ONLY rows newly deleted
-    // between the two vectors, flagged _hadro_deleted = true — the
-    // synthesized DELETE rows of a deletion-vector drift window.
-    dvDelta: Option[(Option[String], String)] = None)
+    // CDC delta mode (Some((baseDv, endDv))): emit rows flagged
+    // _hadro_deleted = true — endDv = Some: rows newly deleted between
+    // the two vectors (drift); endDv = None: every row live at the
+    // window start (the segment was DROPPED inside the window).
+    dvDelta: Option[(Option[String], Option[String])] = None)
     extends PartitionReader[InternalRow] {
 
   // pushed-OFFSET residual: drop this many would-be-emitted rows first
@@ -1841,13 +1879,23 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
     deleteVector.map(n => graft.format.DeleteVector.read(file.getParent.resolve(n)))
       .orNull
 
-  // CDC delta mode: the newly-deleted row set = endDv minus baseDv,
-  // computed once per reader from the (tiny) sidecar bitmaps.
-  private val deltaBits: java.util.BitSet = dvDelta.map { case (base, end) =>
-    val d = graft.format.DeleteVector.read(file.getParent.resolve(end))
-    base.foreach(b => d.andNot(graft.format.DeleteVector.read(file.getParent.resolve(b))))
-    d
+  // CDC delta mode: DRIFT emits endDv minus baseDv (computed once from
+  // the tiny sidecar bitmaps); DROP emits everything live at the start
+  // (all rows outside baseDv, tombstones excluded in nextDelta).
+  private val deltaMode: Boolean = dvDelta.isDefined
+  private val deltaBits: java.util.BitSet = dvDelta.flatMap { case (base, end) =>
+    end.map { e =>
+      val d = graft.format.DeleteVector.read(file.getParent.resolve(e))
+      base.foreach(b => d.andNot(graft.format.DeleteVector.read(file.getParent.resolve(b))))
+      d
+    }
   }.orNull
+  private val deltaBase: java.util.BitSet =
+    if (deltaMode && deltaBits == null)
+      dvDelta.flatMap(_._1)
+        .map(b => graft.format.DeleteVector.read(file.getParent.resolve(b)))
+        .orNull
+    else null
 
   private val dataFields = required.fields.filterNot(f => HadroTable.MetaColNames(f.name))
   private val wantSeq = required.fieldNames.contains(HadroTable.SeqCol)
@@ -1915,7 +1963,7 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (deltaBits != null) return nextDelta()
+    if (deltaMode) return nextDelta()
     while (reader.advance()) {
       rowIndex += 1
       if (dvBits == null || rowIndex > Int.MaxValue || !dvBits.get(rowIndex.toInt)) {
@@ -1961,8 +2009,13 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
   private def nextDelta(): Boolean = {
     while (reader.advance()) {
       rowIndex += 1
-      if (rowIndex <= Int.MaxValue && deltaBits.get(rowIndex.toInt) &&
-          (reader.flags & RecordCodec.DeletedFlag) == 0) {
+      val inDelta =
+        if (deltaBits != null) // drift: newly-vectored rows only
+          rowIndex <= Int.MaxValue && deltaBits.get(rowIndex.toInt)
+        else // drop: every row live at the window start
+          deltaBase == null || rowIndex > Int.MaxValue ||
+            !deltaBase.get(rowIndex.toInt)
+      if (inDelta && (reader.flags & RecordCodec.DeletedFlag) == 0) {
         val decoded = widen(
           decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength))
         val out = new GenericInternalRow(outWidth)

@@ -359,7 +359,11 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
           endByFile.get(s.file) match {
             case Some(live) if live.deleteVector != s.deleteVector =>
               HadroInputPartition.dvDeltaRanges(path, live, s.deleteVector)
-            case _ => Nil // dropped file: not an ordinal event; unchanged
+            case None =>
+              // dropped mid-stream (drop_partitions, same generation):
+              // every start-live row becomes a synthesized CDC delete
+              HadroInputPartition.dropRanges(path, s)
+            case _ => Nil
           }
         }
       } else Nil

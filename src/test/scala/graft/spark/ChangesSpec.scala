@@ -240,6 +240,43 @@ class ChangesSpec extends SparkSuite {
     spark.sql("DROP TABLE chgdvcdc.db.t")
   }
 
+  test("a partition dropped inside a changefeed window synthesizes CDC " +
+      "deletes for its live rows; plain reads still refuse") {
+    val wh = Files.createTempDirectory("chgdropcdc").toString
+    spark.conf.set("spark.sql.catalog.chgdropcdc", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chgdropcdc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chgdropcdc.db")
+    spark.sql("""CREATE TABLE chgdropcdc.db.ev (id BIGINT, d DATE)
+      USING hadro PARTITIONED BY (days(d))""")
+    spark.sql("""INSERT INTO chgdropcdc.db.ev VALUES
+      (1, DATE '2026-01-01'), (2, DATE '2026-01-01'), (3, DATE '2026-03-01')""")
+    val dir = Paths.get(wh, "db", "ev").toString
+    // pre-drop: a dv delete on the day ABOUT to be dropped — its already-
+    // dead row must NOT resurface as a second delete event
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try spark.sql("DELETE FROM chgdropcdc.db.ev WHERE id = 2")
+    finally spark.conf.unset("spark.hadro.delete.mode")
+    val v1 = Collection(spark, dir).version
+    spark.sql("INSERT INTO chgdropcdc.db.ev VALUES (4, DATE '2026-03-02')")
+    Collection(spark, dir).dropPartitions("20455") // drops days < 20455 = 2026-01-01
+    val out = spark.read.format("hadro")
+      .option("hadro.changefeed", "full")
+      .option("hadro.changesStart", v1.toString).load(dir)
+      .select($"id", $"_hadro_deleted").as[(Long, Boolean)]
+      .collect().sorted.toSeq
+    // id=1: the dropped day's LIVE row -> synthesized delete; id=2 was
+    // already dv-dead at the window start (no event); id=4: the insert
+    assert(out == Seq((1L, true), (4L, false)), out.toString)
+    // plain reads over the same window still refuse, naming the escape
+    val e = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.changesStart", v1.toString).load(dir).count()
+    }
+    assert(e.getMessage.contains("dropped") &&
+      e.getMessage.contains("changefeed=full"), e.getMessage)
+    spark.sql("DROP TABLE chgdropcdc.db.ev")
+  }
+
   test("option validation: stream rejects the batch window; both-edges conflict") {
     val w = tmp("chgopt")
     Collection.create(spark, w, Seq((1L, "a")).toDF("id", "s"))

@@ -227,6 +227,38 @@ class StreamSourceSpec extends SparkSuite {
     spark.sql("DROP TABLE stdv.db.t")
   }
 
+  test("changefeed stream synthesizes CDC deletes for a partition dropped mid-tail") {
+    val wh = Files.createTempDirectory("stdrop_wh").toString
+    spark.conf.set("spark.sql.catalog.stdrop", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.stdrop.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stdrop.db")
+    spark.sql("""CREATE TABLE stdrop.db.ev (id BIGINT, d DATE)
+      USING hadro PARTITIONED BY (days(d))""")
+    spark.sql("""INSERT INTO stdrop.db.ev VALUES
+      (1, DATE '2026-01-01'), (2, DATE '2026-01-01'), (3, DATE '2026-03-01')""")
+    val dir = java.nio.file.Paths.get(wh, "db", "ev").toString
+    val q = spark.readStream.format("hadro")
+      .option("hadro.changefeed", "full").load(dir)
+      .writeStream.format("memory").queryName("stdrop_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stdrop_mem").count() == 3L)
+      // mid-tail: retention drop of the old day — a version-only advance
+      // whose batch carries the day's rows as synthesized deletes
+      Collection(spark, dir).dropPartitions("20455")
+      q.processAllAvailable()
+      val dels = spark.table("stdrop_mem").filter($"_hadro_deleted")
+        .select($"id").as[Long].collect().sorted.toSeq
+      assert(dels == Seq(1L, 2L), dels.toString)
+      // the tail keeps flowing
+      spark.sql("INSERT INTO stdrop.db.ev VALUES (4, DATE '2026-03-02')")
+      q.processAllAvailable()
+      assert(spark.table("stdrop_mem").count() == 6L)
+    } finally q.stop()
+    spark.sql("DROP TABLE stdrop.db.ev")
+  }
+
   test("endingVersion bounds the replay window; composes with startingVersion") {
     val colPath = Files.createTempDirectory("ev_col").resolve("c").toString
     val src = spark.read.parquet(s"$sf0001/nation.parquet")
