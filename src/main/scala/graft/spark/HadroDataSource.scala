@@ -329,6 +329,24 @@ final class HadroTable(path: Path, dataSchema: StructType,
     val changesEnd = resolveVersion("hadro.changesEnd")
     require(changesEnd.isEmpty || Option(options.get("hadro.versionAsOf")).isEmpty,
       "hadro: hadro.changesEnd and hadro.versionAsOf are the same pin — set one")
+    // Timestamp form of the window floor (`hadro.changesStartTimestamp`,
+    // epoch millis or ISO instant): "changes since <wall clock>" resolved
+    // to the newest version committed AT OR BEFORE that instant — the
+    // cron-style incremental consumer that remembers when it last ran,
+    // not which version it read. Resolution is the TIMESTAMP AS OF
+    // machinery, so retention fail-fast and edge semantics match.
+    val changesStartTs = Option(options.get("hadro.changesStartTimestamp"))
+      .map { raw =>
+        require(Option(options.get("hadro.changesStart")).isEmpty,
+          "hadro: set hadro.changesStart OR hadro.changesStartTimestamp, not both")
+        val micros =
+          try raw.toLong * 1000L // epoch millis
+          catch {
+            case _: NumberFormatException =>
+              java.time.Instant.parse(raw).toEpochMilli * 1000L
+          }
+        CollectionMeta.versionAsOfTimestamp(path, micros)
+      }
     new HadroScanBuilder(path, dataSchema,
       resolveVersion("hadro.versionAsOf").orElse(changesEnd).orElse(pinnedVersion),
       options.getOrDefault("hadro.onTruncate", "fail"),
@@ -337,7 +355,7 @@ final class HadroTable(path: Path, dataSchema: StructType,
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty),
       Option(options.get("hadro.startingVersion")),
       options.getLong("hadro.maxBytesPerTrigger", 0L),
-      resolveVersion("hadro.changesStart"),
+      resolveVersion("hadro.changesStart").orElse(changesStartTs),
       Option(options.get("hadro.endingVersion")))
   }
 
@@ -1826,7 +1844,7 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType,
     case d: DvDeltaPartition =>
       new HadroPartitionReader(Paths.get(d.file), d.ordinal, dataSchema, required,
         d.startOffset, d.startRow, d.endOffset, d.nFields, None,
-        d.writeTypes, 0L, None, dvDelta = Some((d.baseDv, d.endDv)))
+        d.writeTypes, 0L, sample, dvDelta = Some((d.baseDv, d.endDv)))
     case _ =>
       val p = unwrap(partition)
       new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
@@ -2015,7 +2033,13 @@ final class HadroPartitionReader(file: Path, ordinal: Long,
         else // drop: every row live at the window start
           deltaBase == null || rowIndex > Int.MaxValue ||
             !deltaBase.get(rowIndex.toInt)
-      if (inDelta && (reader.flags & RecordCodec.DeletedFlag) == 0) {
+      if (inDelta && (reader.flags & RecordCodec.DeletedFlag) == 0 &&
+          // a pushed TABLESAMPLE owns row membership scan-wide: the
+          // synthesized delete rows sample by the SAME stable sequence
+          // hash as inserts, so a sampled incremental consumer sees a
+          // consistent subset (a row in the sample deletes in the sample)
+          (!sampleOn ||
+            sampled((ordinal << HadroTable.SeqOrdinalShift) | rowIndex))) {
         val decoded = widen(
           decoder.decode(reader.buffer, reader.payloadOffset, reader.payloadLength))
         val out = new GenericInternalRow(outWidth)

@@ -277,6 +277,41 @@ class ChangesSpec extends SparkSuite {
     spark.sql("DROP TABLE chgdropcdc.db.ev")
   }
 
+  test("changesStartTimestamp resolves the floor through TIMESTAMP AS OF " +
+      "semantics; conflicts with changesStart; pre-history fails fast") {
+    val w = tmp("chgts")
+    Collection.create(spark, w, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val c = Collection(spark, w)
+    val v1 = c.version
+    val t1 = CollectionMeta.manifestAt(Paths.get(w), v1).committedAtMs
+    Thread.sleep(15) // distinct commit milliseconds
+    c.append(Seq((3L, "c")).toDF("id", "s"))
+    // epoch-millis form: newest version committed at or before t1 = v1
+    val sinceT1 = spark.read.format("hadro")
+      .option("hadro.changesStartTimestamp", t1.toString).load(w)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(sinceT1 == Seq(3L), sinceT1.toString)
+    // ISO-instant form resolves identically
+    val iso = java.time.Instant.ofEpochMilli(t1).toString
+    val sinceIso = spark.read.format("hadro")
+      .option("hadro.changesStartTimestamp", iso).load(w)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(sinceIso == Seq(3L), sinceIso.toString)
+    // both floor forms together: refused
+    val e1 = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.changesStart", v1.toString)
+        .option("hadro.changesStartTimestamp", t1.toString).load(w).count()
+    }
+    assert(e1.getMessage.contains("not both"), e1.getMessage)
+    // an instant before all retained history fails fast, like time travel
+    val e2 = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.changesStartTimestamp", "100").load(w).count()
+    }
+    assert(e2.getMessage.contains("committed at or before"), e2.getMessage)
+  }
+
   test("option validation: stream rejects the batch window; both-edges conflict") {
     val w = tmp("chgopt")
     Collection.create(spark, w, Seq((1L, "a")).toDF("id", "s"))
