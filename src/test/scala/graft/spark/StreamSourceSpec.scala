@@ -227,6 +227,43 @@ class StreamSourceSpec extends SparkSuite {
     spark.sql("DROP TABLE stdv.db.t")
   }
 
+  test("CDC tag handoff: a changefeed stream from a tag replays dv deletes " +
+      "committed AFTER the pinned snapshot, never the ones already in it") {
+    val wh = Files.createTempDirectory("sttag_wh").toString
+    spark.conf.set("spark.sql.catalog.sttag", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sttag.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sttag.db")
+    spark.sql("CREATE TABLE sttag.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO sttag.db.t SELECT id, id * 1.0 FROM range(0, 20, 1, 2)")
+    val dir = java.nio.file.Paths.get(wh, "db", "t").toString
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try {
+      // delete A lands BEFORE the snapshot the consumer ingested
+      spark.sql("DELETE FROM sttag.db.t WHERE id < 3")
+      val c = Collection(spark, dir)
+      c.createTag("ingested")
+      // delete B and an append land AFTER the handoff point
+      spark.sql("DELETE FROM sttag.db.t WHERE id >= 3 AND id < 5")
+      spark.sql("INSERT INTO sttag.db.t VALUES (100, 1.0)")
+      val q = spark.readStream.format("hadro")
+        .option("hadro.changefeed", "full")
+        .option("hadro.startingVersion", "ingested").load(dir)
+        .writeStream.format("memory").queryName("sttag_mem")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("sttag_mem")
+          .select($"id", $"_hadro_deleted").as[(Long, Boolean)]
+          .collect().sorted.toSeq
+        // delete A (ids 0-2) was already inside the ingested snapshot: no
+        // event; delete B (ids 3-4) replays as CDC deletes; the append flows
+        assert(rows == Seq((3L, true), (4L, true), (100L, false)),
+          rows.toString)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.hadro.delete.mode")
+    spark.sql("DROP TABLE sttag.db.t")
+  }
+
   test("changefeed stream synthesizes CDC deletes for a partition dropped mid-tail") {
     val wh = Files.createTempDirectory("stdrop_wh").toString
     spark.conf.set("spark.sql.catalog.stdrop", classOf[HadroCatalog].getName)
