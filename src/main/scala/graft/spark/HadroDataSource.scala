@@ -335,20 +335,31 @@ final class HadroTable(path: Path, dataSchema: StructType,
     // cron-style incremental consumer that remembers when it last ran,
     // not which version it read. Resolution is the TIMESTAMP AS OF
     // machinery, so retention fail-fast and edge semantics match.
+    def instantMicros(raw: String): Long =
+      try raw.toLong * 1000L // epoch millis
+      catch {
+        case _: NumberFormatException =>
+          java.time.Instant.parse(raw).toEpochMilli * 1000L
+      }
     val changesStartTs = Option(options.get("hadro.changesStartTimestamp"))
       .map { raw =>
         require(Option(options.get("hadro.changesStart")).isEmpty,
           "hadro: set hadro.changesStart OR hadro.changesStartTimestamp, not both")
-        val micros =
-          try raw.toLong * 1000L // epoch millis
-          catch {
-            case _: NumberFormatException =>
-              java.time.Instant.parse(raw).toEpochMilli * 1000L
-          }
-        CollectionMeta.versionAsOfTimestamp(path, micros)
+        CollectionMeta.versionAsOfTimestamp(path, instantMicros(raw))
       }
+    // Instant form of the snapshot pin (`hadro.timestampAsOf`) — the
+    // option-surface twin of SQL `TIMESTAMP AS OF`, and (like changesEnd
+    // ≡ versionAsOf) the timestamp form of a window's END edge.
+    val tsPin = Option(options.get("hadro.timestampAsOf")).map { raw =>
+      require(Option(options.get("hadro.versionAsOf")).isEmpty &&
+        changesEnd.isEmpty,
+        "hadro: hadro.timestampAsOf, hadro.versionAsOf and hadro.changesEnd " +
+          "are the same snapshot pin — set one")
+      CollectionMeta.versionAsOfTimestamp(path, instantMicros(raw))
+    }
     new HadroScanBuilder(path, dataSchema,
-      resolveVersion("hadro.versionAsOf").orElse(changesEnd).orElse(pinnedVersion),
+      resolveVersion("hadro.versionAsOf").orElse(changesEnd).orElse(tsPin)
+        .orElse(pinnedVersion),
       options.getOrDefault("hadro.onTruncate", "fail"),
       options.getLong("hadro.maxOrdinalsPerTrigger", 0L),
       Option(options.get("hadro.files"))

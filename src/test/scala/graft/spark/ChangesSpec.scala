@@ -310,6 +310,28 @@ class ChangesSpec extends SparkSuite {
         .option("hadro.changesStartTimestamp", "100").load(w).count()
     }
     assert(e2.getMessage.contains("committed at or before"), e2.getMessage)
+    // hadro.timestampAsOf: the option-surface TIMESTAMP AS OF — pins the
+    // snapshot by instant, and doubles as the window's END edge
+    val pinned = spark.read.format("hadro")
+      .option("hadro.timestampAsOf", t1.toString).load(w)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pinned == Seq(1L, 2L), pinned.toString)
+    Thread.sleep(15)
+    c.append(Seq((4L, "d")).toDF("id", "s"))
+    val t2 = CollectionMeta.manifestAt(Paths.get(w),
+      Collection(spark, w).version - 1).committedAtMs
+    val windowTs = spark.read.format("hadro")
+      .option("hadro.changesStartTimestamp", t1.toString)
+      .option("hadro.timestampAsOf", t2.toString).load(w)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(windowTs == Seq(3L), windowTs.toString)
+    // one snapshot pin only
+    val e3 = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.timestampAsOf", t1.toString)
+        .option("hadro.versionAsOf", v1.toString).load(w).count()
+    }
+    assert(e3.getMessage.contains("same snapshot pin"), e3.getMessage)
   }
 
   test("option validation: stream rejects the batch window; both-edges conflict") {
