@@ -357,6 +357,17 @@ final class HadroTable(path: Path, dataSchema: StructType,
           "are the same snapshot pin — set one")
       CollectionMeta.versionAsOfTimestamp(path, instantMicros(raw))
     }
+    // Stream resume by INSTANT (`hadro.startingTimestamp`, Delta's
+    // startingTimestamp): "every change after the snapshot as of <ts>" —
+    // resolved to the numeric resume point (snapshot version + 1) with
+    // the same at-or-before edge and retention fail-fast as timestampAsOf.
+    // Resolution is over committed history, so builder-time and
+    // start-time resolution agree for any past instant.
+    val startingTs = Option(options.get("hadro.startingTimestamp")).map { raw =>
+      require(Option(options.get("hadro.startingVersion")).isEmpty,
+        "hadro: set hadro.startingVersion OR hadro.startingTimestamp, not both")
+      (CollectionMeta.versionAsOfTimestamp(path, instantMicros(raw)) + 1L).toString
+    }
     new HadroScanBuilder(path, dataSchema,
       resolveVersion("hadro.versionAsOf").orElse(changesEnd).orElse(tsPin)
         .orElse(pinnedVersion),
@@ -364,7 +375,7 @@ final class HadroTable(path: Path, dataSchema: StructType,
       options.getLong("hadro.maxOrdinalsPerTrigger", 0L),
       Option(options.get("hadro.files"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty),
-      Option(options.get("hadro.startingVersion")),
+      Option(options.get("hadro.startingVersion")).orElse(startingTs),
       options.getLong("hadro.maxBytesPerTrigger", 0L),
       resolveVersion("hadro.changesStart").orElse(changesStartTs),
       Option(options.get("hadro.endingVersion")))

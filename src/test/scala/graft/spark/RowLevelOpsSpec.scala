@@ -246,6 +246,26 @@ class RowLevelOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 11.0, Some(7L)), (4L, 40.0, Some(8L))), s"got $out")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens a NON-keyed target too (CoW path)") {
+    val wh = freshCatalog("rlo_sec")
+    val path = s"$wh/db/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.format("hadro").mode("append").save(path) // non-keyed -> CoW
+    Seq((2L, 22.0, "x"), (5L, 50.0, "y")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("rlo_sec_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO rlo_sec.db.t t
+      USING rlo_sec_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(CollectionMeta.readSchema(java.nio.file.Paths.get(path)).get
+      .schema.fieldNames.contains("tag"))
+    // CoW: plain SQL read IS the resolved view for non-keyed tables
+    val out = spark.sql("SELECT id, v, tag FROM rlo_sec.db.t ORDER BY id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(out == Seq((1L, 10.0, None), (2L, 22.0, Some("x")),
+      (5L, 50.0, Some("y"))), s"got $out")
+  }
+
   test("MERGE schema evolution refusals stay intact: reserved names and " +
       "non-widening type changes") {
     val wh = freshCatalog("rlo_ser")

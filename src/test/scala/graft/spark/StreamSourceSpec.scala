@@ -164,6 +164,34 @@ class StreamSourceSpec extends SparkSuite {
     c.createTag("ingested", v2)
     assert(countFrom("ingested") == n, "after the v2 tag: commit 3 only")
 
+    // startingTimestamp: the instant form of the same resume point —
+    // "changes after the snapshot as of <v2's commit instant>"
+    val t2 = graft.meta.CollectionMeta.manifestAt(
+      java.nio.file.Paths.get(colPath), v2).committedAtMs
+    i += 1
+    val nameTs = s"sv_mem_$i"
+    val qTs = spark.readStream.format("hadro")
+      .option("hadro.startingTimestamp", t2.toString).load(colPath)
+      .writeStream.format("memory").queryName(nameTs).outputMode("append")
+      .start()
+    qTs.processAllAvailable(); qTs.stop()
+    assert(spark.table(nameTs).count() == n,
+      "startingTimestamp at v2's instant: commit 3 only")
+    // both resume forms together: refused (stream start is async — the
+    // scan-builder require surfaces at the first planned batch)
+    val qBad = spark.readStream.format("hadro")
+      .option("hadro.startingVersion", v2.toString)
+      .option("hadro.startingTimestamp", t2.toString).load(colPath)
+      .writeStream.format("memory").queryName("sv_mem_conflict")
+      .outputMode("append").start()
+    val exBoth =
+      try intercept[Exception] { qBad.processAllAvailable() }
+      finally qBad.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    assert(msgs(exBoth).exists(_.contains("not both")), msgs(exBoth).mkString(" | "))
+
     // resuming from an EXPIRED snapshot fails fast, like time travel
     c.expireSnapshots(System.currentTimeMillis() + 60_000)
     val ex = intercept[Exception] { countFrom(v2.toString) }
