@@ -1340,7 +1340,8 @@ final class Collection private (spark: SparkSession, val path: String) {
     * prune segments for filters on ANY of them — the multi-predicate
     * layout a single-column sort can't give. Same atomicity/GC path as
     * [[compact]] (manifest swap, deferred physical GC). */
-  def cluster(cols: Seq[String], numSegments: Int = 16): Unit = withConflictRetry {
+  def cluster(cols: Seq[String], numSegments: Int = 16,
+      lex: Boolean = false): Unit = withConflictRetry {
     val schema = CollectionMeta.readSchema(dir).get.schema
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column '$c' not in ${schema.simpleString}"))
@@ -1348,18 +1349,32 @@ final class Collection private (spark: SparkSession, val path: String) {
     // One column: a plain range sort on the column itself beats z-order
     // (no 16-bit bucket quantization) AND yields truly sorted segments,
     // recorded as `hadro.sortedBy` so scans report the ordering and
-    // downstream sorts on it are planned away. Multi-column: Morton
-    // interleave (sorted by the transport key only — not reportable).
+    // downstream sorts on it are planned away. Multi-column, default:
+    // Morton interleave (balanced box queries on EVERY column; sorted by
+    // the transport key only — not reportable). Multi-column `lex = true`:
+    // LEXICOGRAPHIC rewrite — range-partitioned and sorted on the full
+    // column list, declared via hadro.sortedBy, so segments land with
+    // writer-verified composite bounds (disjoint lex ranges), the scan
+    // reports the full ordering prefix, and conjunctive
+    // (leading = x, trailing-range) predicates prune straddler-free —
+    // the (tenant, ts) layout as a maintenance job instead of a declared
+    // write order. Choose z-order when all columns filter independently;
+    // choose lex when queries anchor the leading column(s).
     val rewritten =
       if (cols.lengthCompare(1) == 0)
         resolvedAsOf(m0.version)
           .repartitionByRange(numSegments, col(cols.head))
           .sortWithinPartitions(cols.head)
+      else if (lex)
+        resolvedAsOf(m0.version)
+          .repartitionByRange(numSegments, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
       else graft.ops.LayoutOps.zOrderBy(resolvedAsOf(m0.version), cols, numSegments)
     var w = rewritten.write.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)
       .option("hadro.compactOfGen", m0.generation.toString)
     if (cols.lengthCompare(1) == 0) w = w.option("hadro.sortedBy", cols.head)
+    else if (lex) w = w.option("hadro.sortedBy", cols.mkString(","))
     w.save(path)
   }
 

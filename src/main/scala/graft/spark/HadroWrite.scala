@@ -304,7 +304,11 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
         doTruncate && rwOptionFilters.isEmpty, keyField,
         splitBytes, offsetIndex, deleteCol, compactOf, compactOfGen,
         maxSegmentBytes, bucketSpec, replaceSpec,
-        sortedSpec.orElse(declaredWriteOrder.map(_.head)), compressSpec,
+        // the manifest declares the LEADING column uniformly (the prefix
+        // declaration single-column consumers read); the FULL list rides
+        // sortColsFull below for composite bounds + ordering report
+        sortedSpec.map(_.split(",").map(_.trim).filter(_.nonEmpty).head)
+          .orElse(declaredWriteOrder.map(_.head)), compressSpec,
         dynamicOverwrite = doDynamicOverwrite,
         replaceWhere = rwFilters,
         mergeSchema = opts.getBoolean("hadro.mergeSchema", false),

@@ -48,6 +48,36 @@ class LayoutSpec extends SparkSuite {
       "linear layout should NOT prune on the non-sorted dimension")
   }
 
+  test("lexicographic multi-column cluster: composite bounds, full ordering " +
+      "report, straddler-free two-column pruning") {
+    val path = Files.createTempDirectory("lexclu").resolve("c").toString
+    // two tenants, interleaved arrival order
+    val src = spark.range(0, 4096).select(
+      (when($"id" % 2 === 0, "A").otherwise("B")).as("t"),
+      ($"id" / 2).cast("long").as("ts"), $"id".as("v"))
+    val c = Collection.create(spark, path, src, numSegments = 4)
+    c.cluster(Seq("t", "ts"), numSegments = 16, lex = true)
+    val m = CollectionMeta.currentManifest(java.nio.file.Paths.get(path))
+    // composite bounds recorded + writer-verified on every segment; the
+    // manifest declares the LEADING column only (uniform invariant)
+    assert(m.sortedBy.contains("t"), m.sortedBy.toString)
+    assert(m.segments.forall(_.sortCols.contains("t,ts")))
+    // lossless
+    assert(c.scan().count() == 4096)
+    // (t = 'B', narrow ts range): prunes to the lex interval — a z-order
+    // layout can do this too, but lex additionally yields the ORDERING
+    def tasks(p: org.apache.spark.sql.DataFrame) = p.rdd.getNumPartitions
+    val pruned = c.scan().filter($"t" === "B" && $"ts" < 128L)
+    assert(tasks(pruned) <= 2, s"touched ${tasks(pruned)} of 16 segments")
+    assert(pruned.count() == 128L)
+    // the full composite ordering is reported: (t, ts) sort planned away
+    val sorted = c.scan().sortWithinPartitions("t", "ts")
+    sorted.collect()
+    val plan = sorted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Sort ["), s"redundant (t, ts) sort survived:\n$plan")
+  }
+
   test("z-order over a STRING dimension prunes on lang AND the numeric dim") {
     val path = Files.createTempDirectory("zstring").resolve("c").toString
     // realistic narrow band: ascii-lowercase lang tags — the min/max
