@@ -3189,5 +3189,99 @@ object StorageQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         FROM cdc GROUP BY deleted, event_type
         ORDER BY deleted, event_type"""))
+    ,
+
+    // ---------------------------------------------------------------- h91
+    // The incremental-consumer loop, closed end-to-end: a downstream
+    // MATERIALIZED AGGREGATE maintained by MERGE-ing `changefeed=full`
+    // changes windows — the consumer pattern every piece of the CDC
+    // machinery (h74 windows, h88 dv-delete synthesis, h36 MERGE) exists
+    // for. The cursor is a TAG ("h91_cursor"): each cycle reads the window
+    // (tag, head], folds inserts (+1, +bal) and synthesized deletes
+    // (-1, -bal) into per-segment deltas, MERGEs them into the rollup,
+    // and advances the tag — restart-safe because the tag pins the floor
+    // version against retention. Two full cycles run (append + dv DELETE
+    // each); rows appended AND deleted inside one window net out by
+    // construction. At 100 TB this is the nightly job that maintains a
+    // rollup over a fact table by reading only the night's segments plus
+    // the drifted blocks — never the table. Oracle = full recompute over
+    // the final snapshot; DECIMAL(18,2) arithmetic end-to-end makes the
+    // incremental fold bit-equal to the recompute.
+    QueryDef(
+      "h91_incremental_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h91"
+        s.conf.set("spark.sql.catalog.graft_h91",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h91.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h91.db")
+        val factPath = s"$wh/db/cust"
+        val aggPath = s"$wh/db/seg_agg"
+        val cust = table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        // v0: the even half; rollup materialized FROM THE TAGGED SNAPSHOT
+        cust.filter($"c_custkey" % 2 === 0)
+          .write.format("hadro").mode("overwrite").save(factPath)
+        Collection(s, factPath).createTag("h91_cursor")
+        s.read.format("hadro").option("hadro.versionAsOf", "h91_cursor")
+          .load(factPath)
+          .groupBy($"c_mktsegment".as("seg"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum($"c_acctbal".cast("decimal(18,2)")).cast("decimal(18,2)")
+              .as("sum_bal"))
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "seg").save(aggPath)
+        // one consumer cycle: window (cursor tag, head] -> delta -> MERGE
+        def cycle(): Unit = {
+          val fact = Collection(s, factPath)
+          val head = fact.version
+          val signedBal = when($"_hadro_deleted",
+            -$"c_acctbal".cast("decimal(18,2)"))
+            .otherwise($"c_acctbal".cast("decimal(18,2)"))
+          s.read.format("hadro")
+            .option("hadro.changefeed", "full")
+            .option("hadro.changesStart", "h91_cursor")
+            .option("hadro.changesEnd", head.toString).load(factPath)
+            .groupBy($"c_mktsegment".as("seg"))
+            .agg(sum(when($"_hadro_deleted", -1L).otherwise(1L))
+              .cast("bigint").as("dn"),
+              sum(signedBal).cast("decimal(18,2)").as("dsum"))
+            .createOrReplaceTempView("h91_delta")
+          s.sql("""MERGE INTO graft_h91.db.seg_agg t USING h91_delta d
+            ON t.seg = d.seg
+            WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+              n = t.n + d.dn,
+              sum_bal = CAST(t.sum_bal + d.dsum AS DECIMAL(18,2))
+            WHEN NOT MATCHED THEN INSERT (seg, n, sum_bal)
+              VALUES (d.seg, d.dn, d.dsum)""")
+          fact.createTag("h91_cursor", head)
+        }
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try {
+          // cycle 1: a third of the odd half arrives; negatives purged —
+          // in-window appends with negative balances net out of the delta
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 === 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("DELETE FROM graft_h91.db.cust WHERE c_acctbal < 0.0")
+          cycle()
+          // cycle 2: the rest of the odd half; negatives AND >9000 purged
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 =!= 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("""DELETE FROM graft_h91.db.cust
+            WHERE c_acctbal < 0.0 OR c_acctbal > 9000.0""")
+          cycle()
+        } finally s.conf.unset("spark.hadro.delete.mode")
+        Collection(s, aggPath).toDF()
+          .select($"seg", $"n", $"sum_bal".cast("double").as("sum_bal"))
+          .orderBy("seg")
+      },
+      Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer
+        WHERE c_acctbal >= 0.0 AND c_acctbal <= 9000.0
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

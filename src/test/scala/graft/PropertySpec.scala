@@ -591,6 +591,153 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: changefeed windows equal the model's net change set " +
+      "under random append / dv delete / drop / compact sequences") {
+    import graft.meta.CollectionMeta
+    // Model checking the CDC window machinery: for random op sequences,
+    // EVERY window (v_i, v_j] must (a) refuse iff the real refusal rules
+    // say so — generation drift always; partition drops / dv drift only
+    // for plain (non-changefeed) reads — and (b) when readable in
+    // changefeed=full mode, equal the model's NET change set: inserts =
+    // live(v_j) - live(v_i), synthesized deletes = live(v_i) - live(v_j),
+    // rows appended AND removed inside the window in neither. Refusal
+    // prediction comes from manifest METADATA (files/vectors/generation),
+    // not from the scan code under test.
+    sealed trait Op
+    case object Append extends Op
+    case object DvDelete extends Op
+    case object DropOldest extends Op
+    case object Compact extends Op
+    val genOp: Gen[Op] = Gen.frequency(
+      5 -> Append, 4 -> DvDelete, 2 -> DropOldest, 2 -> Compact)
+    val genSeq: Gen[List[Op]] = Gen.listOfN(10, genOp)
+    val MicrosPerDay = 86400000000L
+    val day0 = java.time.LocalDate.of(2026, 10, 1).toEpochDay
+
+    final case class Snap(version: Long, generation: Long,
+      files: Map[String, Option[String]], live: Set[Long])
+
+    samples(genSeq, 2, seed = 1313).zipWithIndex.foreach { case (ops, trial) =>
+      val w = Files.createTempDirectory(s"cdcprop$trial").toString
+      val cat = s"cdcprop$trial"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.spark.HadroCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      spark.sql(s"""CREATE TABLE $cat.db.ev (id BIGINT, ts TIMESTAMP)
+        USING hadro PARTITIONED BY (days(ts))""")
+      val dirS = java.nio.file.Paths.get(w, "db", "ev").toString
+      val dirP = java.nio.file.Paths.get(dirS)
+      val c = Collection(spark, dirS)
+      var nextId = 0L
+      var minLiveDay = day0
+      val live = scala.collection.mutable.Set.empty[Long]
+      val snaps = scala.collection.mutable.ArrayBuffer.empty[Snap]
+
+      def dayOf(id: Long): Long = day0 + (id % 3)
+      def record(): Unit = {
+        val m = CollectionMeta.currentManifest(dirP)
+        val s = Snap(m.version, m.generation,
+          m.segments.map(x => x.file -> x.deleteVector).toMap, live.toSet)
+        // version-idempotent ops (no-op deletes/compacts) don't re-record
+        if (snaps.isEmpty || snaps.last.version != s.version) snaps += s
+        else snaps(snaps.length - 1) = s
+      }
+      def append(): Unit = {
+        val ids = nextId until nextId + 4
+        nextId += 4
+        ids.map(id => (id, new java.sql.Timestamp(
+            (dayOf(id) * MicrosPerDay + (id % 5) * 3600000000L) / 1000L)))
+          .toDF("id", "ts")
+          .write.format("hadro").mode("append").save(dirS)
+        live ++= ids
+      }
+      append(); record()
+
+      spark.conf.set("spark.hadro.delete.mode", "dv")
+      try {
+        ops.foreach { op =>
+          op match {
+            case Append => append()
+            case DvDelete if live.nonEmpty =>
+              // deterministic victims: a residue class of the live set —
+              // may span several files' vectors, may match zero rows
+              val k = (nextId % 3) + 2
+              val m = nextId % k
+              spark.sql(s"DELETE FROM $cat.db.ev WHERE id % $k = $m")
+              live.filterInPlace(id => id % k != m)
+            case DvDelete => ()
+            case DropOldest =>
+              val cutoff = minLiveDay + 1
+              c.dropPartitions(cutoff.toString)
+              live.filterInPlace(id => dayOf(id) >= cutoff)
+              minLiveDay = cutoff
+            case Compact => c.compact()
+          }
+          record()
+        }
+      } finally spark.conf.unset("spark.hadro.delete.mode")
+
+      // windows: for every snapshot, pair it with the first, the previous
+      // and the midpoint snapshot — covers short, long and nested windows
+      for {
+        j <- 1 until snaps.length
+        i <- Set(0, j - 1, j / 2)
+      } {
+        val (a, b) = (snaps(i), snaps(j))
+        val wantIns = b.live -- a.live
+        val wantDel = a.live -- b.live
+        def fullRead() = spark.read.format("hadro")
+          .option("hadro.changefeed", "full")
+          .option("hadro.changesStart", a.version.toString)
+          .option("hadro.changesEnd", b.version.toString).load(dirS)
+          .select($"id", $"_hadro_deleted").as[(Long, Boolean)]
+          .collect().toSet
+        def plainRead() = spark.read.format("hadro")
+          .option("hadro.changesStart", a.version.toString)
+          .option("hadro.changesEnd", b.version.toString).load(dirS)
+          .select($"id").as[Long].collect().toSet
+        // a compaction inside the window makes the floor manifest
+        // non-reconstructable (segment rewrite); a truncate/overwrite
+        // bumps the generation — either way EVERY read mode refuses,
+        // and both messages name the compaction
+        val floorReadable =
+          try { CollectionMeta.manifestAt(dirP, a.version); true }
+          catch { case _: Exception => false }
+        if (!floorReadable || a.generation != b.generation) {
+          def refusal(msg: String): Boolean =
+            msg.contains("compaction") || msg.contains("not available")
+          val e1 = intercept[Exception](fullRead())
+          assert(refusal(e1.getMessage),
+            s"trial $trial window ($i,$j]: ${e1.getMessage}")
+          val e2 = intercept[Exception](plainRead())
+          assert(refusal(e2.getMessage),
+            s"trial $trial window ($i,$j]: ${e2.getMessage}")
+        } else {
+          val got = fullRead()
+          val want = wantIns.map((_, false)) ++ wantDel.map((_, true))
+          assert(got == want,
+            s"trial $trial window ($i,$j] v(${a.version},${b.version}]: " +
+              s"got ${got.toSeq.sorted}, want ${want.toSeq.sorted}")
+          // plain reads refuse iff a start-side file vanished (drop) or
+          // gained dv drift — predicted from the manifests, not the scan
+          val dropped = a.files.keySet -- b.files.keySet
+          val drifted = a.files.exists { case (f, vec) =>
+            b.files.get(f).exists(_ != vec) }
+          if (dropped.nonEmpty || drifted) {
+            val e = intercept[Exception](plainRead())
+            assert(e.getMessage.contains("changefeed=full"),
+              s"trial $trial window ($i,$j]: ${e.getMessage}")
+          } else {
+            assert(plainRead() == wantIns && wantDel.isEmpty,
+              s"trial $trial window ($i,$j] plain read diverged")
+          }
+        }
+      }
+      spark.sql(s"DROP TABLE $cat.db.ev")
+    }
+  }
+
   test("property: radius search equals a JVM reference over arbitrary corpora") {
     import graft.ops.SimilarityOps
     val genVec: Gen[Seq[Float]] =

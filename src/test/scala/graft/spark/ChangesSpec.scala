@@ -405,4 +405,80 @@ class ChangesSpec extends SparkSuite {
       rows.toString)
     spark.sql("DROP TABLE chgparts.db.docs")
   }
+
+  test("incremental rollup: MERGE of tag-pinned changefeed windows equals " +
+      "full recompute across a two-cycle handoff") {
+    val wh = Files.createTempDirectory("chgroll_wh").toString
+    spark.conf.set("spark.sql.catalog.chgroll", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chgroll.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chgroll.db")
+    val factDir = Paths.get(wh, "db", "f").toString
+    val aggDir = Paths.get(wh, "db", "agg").toString
+    Seq((0L, "a", 1.0), (1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 1.0),
+      (4L, "b", 2.0), (5L, "b", 2.0)).toDF("id", "g", "v")
+      .write.format("hadro").mode("overwrite").save(factDir)
+    Collection(spark, factDir).createTag("cursor")
+    // the rollup is materialized FROM the tag-pinned snapshot, so cursor
+    // and rollup start consistent even if the fact table moves meanwhile
+    spark.read.format("hadro").option("hadro.versionAsOf", "cursor")
+      .load(factDir)
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.key", "g").save(aggDir)
+
+    def cycle(): Unit = {
+      val fact = Collection(spark, factDir)
+      val head = fact.version
+      spark.read.format("hadro")
+        .option("hadro.changefeed", "full")
+        .option("hadro.changesStart", "cursor")
+        .option("hadro.changesEnd", head.toString).load(factDir)
+        .groupBy($"g")
+        .agg(sum(when($"_hadro_deleted", -1L).otherwise(1L)).as("dn"),
+          sum(when($"_hadro_deleted", -$"v").otherwise($"v")).as("dsv"))
+        .createOrReplaceTempView("chgroll_delta")
+      spark.sql("""MERGE INTO chgroll.db.agg t USING chgroll_delta d
+        ON t.g = d.g
+        WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET n = t.n + d.dn, sv = t.sv + d.dsv
+        WHEN NOT MATCHED THEN INSERT (g, n, sv) VALUES (d.g, d.dn, d.dsv)""")
+      fact.createTag("cursor", head)
+    }
+    def rollup(): Seq[(String, Long, Double)] =
+      Collection(spark, aggDir).toDF()
+        .select($"g", $"n", $"sv").as[(String, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    def recompute(): Seq[(String, Long, Double)] =
+      Collection(spark, factDir).toDF()
+        .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try {
+      // cycle 1: id 7 is appended AND dv-deleted in-window (must net out
+      // of the delta); group b vanishes entirely (rollup DELETE branch);
+      // group c appears (rollup INSERT branch)
+      Seq((6L, "c", 5.0), (7L, "c", -1.0), (8L, "a", 3.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("append").save(factDir)
+      spark.sql("DELETE FROM chgroll.db.f WHERE v < 0.0")
+      spark.sql("DELETE FROM chgroll.db.f WHERE g = 'b'")
+      cycle()
+      assert(rollup() == Seq(("a", 5L, 7.0), ("c", 1L, 5.0)), rollup().toString)
+      assert(rollup() == recompute())
+      // cycle 2 applies cleanly on top of the advanced cursor: group b
+      // reborn (INSERT again after DELETE), an update to a
+      Seq((9L, "b", 4.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("append").save(factDir)
+      spark.sql("DELETE FROM chgroll.db.f WHERE id = 0")
+      cycle()
+      assert(rollup() == Seq(("a", 4L, 6.0), ("b", 1L, 4.0), ("c", 1L, 5.0)),
+        rollup().toString)
+      assert(rollup() == recompute())
+      // caught up: an empty window MERGEs zero rows and moves nothing
+      cycle()
+      assert(rollup() == recompute())
+    } finally spark.conf.unset("spark.hadro.delete.mode")
+    spark.sql("DROP TABLE chgroll.db.agg")
+    spark.sql("DROP TABLE chgroll.db.f")
+  }
 }
