@@ -53,35 +53,50 @@ object Bench {
         .mkString(" ")
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
+    // Reps are INTERLEAVED as N full passes over the battery, not N
+    // back-to-back runs per query: a host-contention window (loadavg
+    // spikes on this shared container) then poisons at most one PASS of
+    // each query, and best-of-N still has an uncontended sample — with
+    // back-to-back reps one window poisoned BOTH reps of whichever query
+    // it landed on and the minimum couldn't strip it (the r12 d04
+    // phantom 10x). Each pass stamps the loadavg at its start, so the
+    // per-rep raw times in BENCH_FULL are adjudicable per pass.
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val perRep = scala.collection.mutable.LinkedHashMap
-      .empty[String, Seq[(Double, Double)]]
-    val results: Seq[(String, (Double, Double))] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times: Seq[(Double, Double)] = (1 to repeats).map { _ =>
-          val t0 = System.nanoTime()
-          var t1 = t0
-          try {
-            val df = fn(spark, sfDir) // eager setup happens in here
-            t1 = System.nanoTime()
-            df.count() // the read path
-          } catch {
-            case t: Throwable =>
-              // A broken query must be VISIBLE, not a silently-timed -1:
-              // record it, shout on stderr, and surface it in the JSON.
-              if (t1 == t0) t1 = System.nanoTime()
-              if (!failures.contains(name)) {
-                failures += name
-                System.err.println(s"BENCH FAILURE in $name: $t")
-                t.printStackTrace()
-              }
-          }
-          val t2 = System.nanoTime()
-          // Queries are self-contained: drop their persisted frames so one
-          // query's cache pressure can't distort the next one's timing.
-          spark.catalog.clearCache()
-          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      .empty[String, scala.collection.mutable.Buffer[(Double, Double)]]
+    val passLoads = scala.collection.mutable.Buffer.empty[String]
+    (1 to repeats).foreach { _ =>
+      passLoads += loadavg()
+      sortedQueries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        var t1 = t0
+        try {
+          val df = fn(spark, sfDir) // eager setup happens in here
+          t1 = System.nanoTime()
+          df.count() // the read path
+        } catch {
+          case t: Throwable =>
+            // A broken query must be VISIBLE, not a silently-timed -1:
+            // record it, shout on stderr, and surface it in the JSON.
+            if (t1 == t0) t1 = System.nanoTime()
+            if (!failures.contains(name)) {
+              failures += name
+              System.err.println(s"BENCH FAILURE in $name: $t")
+              t.printStackTrace()
+            }
         }
-        perRep(name) = times
+        val t2 = System.nanoTime()
+        // Queries are self-contained: drop their persisted frames so one
+        // query's cache pressure can't distort the next one's timing.
+        spark.catalog.clearCache()
+        perRep.getOrElseUpdate(name,
+          scala.collection.mutable.Buffer.empty) +=
+          (((t1 - t0) / 1e9, (t2 - t1) / 1e9))
+      }
+    }
+    val results: Seq[(String, (Double, Double))] =
+      sortedQueries.map { case (name, _) =>
+        val times = perRep(name)
         name -> ((times.map(_._1).min, times.map(_._2).min))
       }
     val loadEnd = loadavg()
@@ -138,8 +153,10 @@ object Bench {
         "\"" + k + "\":" + ts.map { case (s, q) => s"[$s,$q]" }
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+      val fullPassLoads = passLoads
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       val full =
-        s"""{"metric":"total","value":$total,"unit":"sec","setup_total":$setupTotal,"query_total":$queryTotal,"repeats":$repeats,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","queries":$fullQs,"setup":$fullSetup,"reps":$fullReps,"failures":$fullFs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","setup_total":$setupTotal,"query_total":$queryTotal,"repeats":$repeats,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","loadavg_pass":$fullPassLoads,"queries":$fullQs,"setup":$fullSetup,"reps":$fullReps,"failures":$fullFs,"sf":"$sfDir"}"""
       val dest = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
         .toAbsolutePath

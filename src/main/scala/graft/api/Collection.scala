@@ -930,8 +930,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     files.foreach { f =>
       val srcF = dir.resolve(f)
       val dstF = dst.resolve(f)
-      try Files.createLink(dstF, srcF)
-      catch { case _: Exception => Files.copy(srcF, dstF) }
+      graft.meta.FileIO.impl.linkOrCopy(srcF, dstF)
     }
     // non-manifest metadata sidecars ride along (vocab.json, sq8-params,
     // constraints.json…) — but NOT refs.json/branches.json: tags and
@@ -1054,8 +1053,7 @@ final class Collection private (spark: SparkSession, val path: String) {
         val dstF = dir.resolve(f)
         if (!Files.exists(dstF)) {
           val srcF = staged.resolve(f)
-          try Files.createLink(dstF, srcF)
-          catch { case _: Exception => Files.copy(srcF, dstF) }
+          graft.meta.FileIO.impl.linkOrCopy(srcF, dstF)
         }
       }
     val committed = CollectionMeta.commit(dir, cur => cur.copy(

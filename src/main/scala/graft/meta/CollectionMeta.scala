@@ -332,8 +332,7 @@ object CollectionMeta {
       "priorPartitionTransforms" -> priorPartitionTransforms))
     val tmp = metaDir(collection).resolve(s"schema.json.tmp${System.nanoTime()}")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, schemaFile(collection), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    FileIO.impl.replaceSlot(tmp, schemaFile(collection))
   }
 
   def readSchema(collection: Path): Option[SchemaMeta] = {
@@ -408,8 +407,7 @@ object CollectionMeta {
         val tmp = metaDir(collection).resolve(s"writeorder.json.tmp${System.nanoTime()}")
         Files.write(tmp,
           Serialization.write(Map("sortedBy" -> c)).getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        FileIO.impl.replaceSlot(tmp, f)
     }
   }
 
@@ -447,8 +445,7 @@ object CollectionMeta {
     if (cs.isEmpty) { Files.deleteIfExists(constraintsFile(collection)); return }
     val tmp = metaDir(collection).resolve(s"constraints.json.tmp${System.nanoTime()}")
     Files.write(tmp, Serialization.write(cs).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, constraintsFile(collection), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    FileIO.impl.replaceSlot(tmp, constraintsFile(collection))
   }
 
   // ----------------------------------------------------------------- refs
@@ -485,8 +482,7 @@ object CollectionMeta {
     if (refs.isEmpty) { Files.deleteIfExists(refsFile(collection)); return }
     val tmp = metaDir(collection).resolve(s"refs.json.tmp${System.nanoTime()}")
     Files.write(tmp, Serialization.write(refs).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, refsFile(collection), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    FileIO.impl.replaceSlot(tmp, refsFile(collection))
   }
 
   /** Pin `version` under `name`. The version must be currently retained AND
@@ -917,30 +913,22 @@ object CollectionMeta {
           s"${TmpCounter.incrementAndGet()}-${next.version}")
       Files.createDirectories(metaDir(collection))
       Files.write(tmp, Serialization.write(next).getBytes(StandardCharsets.UTF_8))
-      try {
-        // CREATE_NEW-equivalent atomic publish: rename fails if target exists
-        // on POSIX only via our existence check; emulate with createFile.
-        Files.createFile(target) // claims the version slot atomically
-        // ATOMIC_MOVE is load-bearing: the non-atomic move with
-        // REPLACE_EXISTING DELETES the target before renaming, and in that
-        // window another committer's createFile claims the same version —
-        // a silent lost update. A pure rename(2) replaces with no window.
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+      // Claim-if-absent publish of the version slot (FileIO.publishNew —
+      // conditional-PUT shape): whoever claims the version number wins;
+      // the loser re-reads the head and retries at the next number.
+      if (FileIO.impl.publishNew(tmp, target)) {
         gcOldManifests(collection, next.version)
         return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempts += 1
-          // The slot winner may sit between claiming the version file and
-          // moving its content in place (e.g. a GC pause) — during that
-          // window currentManifest still reads the OLD version and every
-          // retry re-collides. Back off instead of burning the attempt
-          // budget in milliseconds; 300 × ≤20ms ≈ seconds of tolerance.
-          if (attempts > 300)
-            throw new IllegalStateException(s"manifest commit contention on $collection")
-          Thread.sleep(math.min(20L, attempts.toLong))
+      } else {
+        attempts += 1
+        // The slot winner may sit between claiming the version file and
+        // moving its content in place (e.g. a GC pause) — during that
+        // window currentManifest still reads the OLD version and every
+        // retry re-collides. Back off instead of burning the attempt
+        // budget in milliseconds; 300 × ≤20ms ≈ seconds of tolerance.
+        if (attempts > 300)
+          throw new IllegalStateException(s"manifest commit contention on $collection")
+        Thread.sleep(math.min(20L, attempts.toLong))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -982,8 +970,7 @@ object CollectionMeta {
     if (bs.isEmpty) { Files.deleteIfExists(branchesFile(collection)); return }
     val tmp = metaDir(collection).resolve(s"branches.json.tmp${System.nanoTime()}")
     Files.write(tmp, Serialization.write(bs).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, branchesFile(collection), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    FileIO.impl.replaceSlot(tmp, branchesFile(collection))
   }
 
   /** JVM monitor for ref/branch-pointer read-modify-write (FileLock is
@@ -1019,18 +1006,11 @@ object CollectionMeta {
         try body finally { branchLockDepth -= 1 }
       } else {
         Files.createDirectories(metaDir(collection))
-        val ch = java.nio.channels.FileChannel.open(
-          metaDir(collection).resolve("branch.lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val l = ch.lock()
+        FileIO.impl.withFileLock(metaDir(collection).resolve("branch.lock")) {
           branchLockDepth = 1
           branchLockPath = norm
-          try body finally {
-            branchLockDepth = 0; branchLockPath = null; l.release()
-          }
-        } finally ch.close()
+          try body finally { branchLockDepth = 0; branchLockPath = null }
+        }
       }
     }
 

@@ -486,19 +486,23 @@ object DedupOps {
     *
     * Scale shape: one inverted-index shuffle on the window key with the
     * document-frequency aggregated map-side; the join back to docs is
-    * key-equality. At 100 TB the window key is hashed to 8 bytes first —
-    * kept as the raw string here because the oracle compares window-exact. */
+    * key-equality. The window is hashed to 8 bytes (xxhash64) BEFORE the
+    * shuffle, so the inventory exchange carries hashes, never the ~10x
+    * larger window text — the d04 hashed-shingle discipline. The profile
+    * counts windows, not window text, so the hash is output-invariant
+    * (modulo 64-bit collisions, vanishing at any real corpus size). */
   def duplicatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
     val counts = df.select(col(idCol).as("doc_id"),
       size(TextOps.shingleSet(col(textCol), w)).as("n_windows"))
     val windows = df.select(col(idCol).as("doc_id"),
-      explode(TextOps.shingleSet(col(textCol), w)).as("win"))
-    val shared = windows.groupBy(col("win"))
+      explode(transform(TextOps.shingleSet(col(textCol), w),
+        t => xxhash64(t))).as("winh"))
+    val shared = windows.groupBy(col("winh"))
       .agg(countDistinct(col("doc_id")).as("df_count"))
       .filter(col("df_count") >= 2)
-      .select(col("win"))
-    val dups = windows.join(shared, Seq("win"), "left_semi")
+      .select(col("winh"))
+    val dups = windows.join(shared, Seq("winh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
     counts.join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
@@ -518,28 +522,30 @@ object DedupOps {
     * every token is covered comes back with empty clean_text, letting the
     * caller decide whether to drop the row.
     *
-    * Scale shape: the window inventory is ONE posexplode; shared windows
-    * come from a key-equality groupBy (at 100 TB hash the w-token window
-    * to 8 bytes with xxhash64 so the shuffle carries hashes, not text —
-    * kept window-exact here because the oracle compares strings); covered
-    * starts join back hits-proportionally (left_semi) and collapse per
-    * doc into a list bounded by doc length; the rewrite is per-row lambda
-    * work. No quadratic stage, no driver collect. */
+    * Scale shape: the window inventory is ONE posexplode, with the
+    * w-token window hashed to 8 bytes (xxhash64) BEFORE the shuffle —
+    * the exchange, the shared-window aggregate and the semi-join all
+    * carry hashes, never window text (~10x text amplification saved;
+    * reassembly needs only the token array, which never leaves its row).
+    * Shared windows come from a key-equality groupBy; covered starts
+    * join back hits-proportionally (left_semi) and collapse per doc into
+    * a list bounded by doc length; the rewrite is per-row lambda work.
+    * No quadratic stage, no driver collect. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
-    // positional windows — wordShingles' exact formula, plus the 1-based
-    // start offset (degenerate short docs = one whole-text window)
+    // positional windows — wordShingles' exact formula hashed to 8 bytes,
+    // plus the 1-based start offset (short docs = one whole-text window)
     val windows = toks.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(1), greatest(size(col("toks")) - lit(w - 1), lit(1))),
-        i => concat_ws(" ", slice(col("toks"), i, lit(w)))))
-        .as(Seq("off", "win")))
-    val shared = windows.groupBy(col("win"))
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(w))))))
+        .as(Seq("off", "winh")))
+    val shared = windows.groupBy(col("winh"))
       .agg(countDistinct(col("doc_id")).as("df_count"))
-      .filter(col("df_count") >= 2).select(col("win"))
-    val starts = windows.join(shared, Seq("win"), "left_semi")
+      .filter(col("df_count") >= 2).select(col("winh"))
+    val starts = windows.join(shared, Seq("winh"), "left_semi")
       .select(col("doc_id"), (col("off") + 1).as("s"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("s"))).as("starts"))
     toks.join(starts, Seq("doc_id"), "left")
@@ -565,10 +571,12 @@ object DedupOps {
     * occurrence (an owned span shields its tokens from overlapping
     * non-owned spans — the deterministic tie-break any engine replays).
     *
-    * Scale shape: identical to the drop-all variant plus one more
-    * key-equality aggregate (per-window min (doc, start) — map-side
-    * combinable) and a second hits-proportional start list per doc.
-    * Election is min(), not a window rank, so no per-window sort. */
+    * Scale shape: identical to the drop-all variant — 8-byte hashed
+    * window keys through every exchange (inventory, owners aggregate,
+    * ownership join), never window text — plus one more key-equality
+    * aggregate (per-window min (doc, start) — map-side combinable) and a
+    * second hits-proportional start list per doc. Election is min(), not
+    * a window rank, so no per-window sort. */
   def removeDuplicateSpansKeepOne(df: DataFrame, idCol: String,
       textCol: String, w: Int = 10): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
@@ -576,17 +584,17 @@ object DedupOps {
     val windows = toks.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(1), greatest(size(col("toks")) - lit(w - 1), lit(1))),
-        i => concat_ws(" ", slice(col("toks"), i, lit(w)))))
-        .as(Seq("off", "win")))
-      .select(col("doc_id"), (col("off") + 1).as("s"), col("win"))
-    val shared = windows.groupBy(col("win"))
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(w))))))
+        .as(Seq("off", "winh")))
+      .select(col("doc_id"), (col("off") + 1).as("s"), col("winh"))
+    val shared = windows.groupBy(col("winh"))
       .agg(countDistinct(col("doc_id")).as("df_count"))
-      .filter(col("df_count") >= 2).select(col("win"))
-    val occ = windows.join(shared, Seq("win"), "left_semi")
+      .filter(col("df_count") >= 2).select(col("winh"))
+    val occ = windows.join(shared, Seq("winh"), "left_semi")
     // one owner occurrence per shared window: lexicographic min (doc, s)
-    val owners = occ.groupBy(col("win"))
+    val owners = occ.groupBy(col("winh"))
       .agg(min(struct(col("doc_id"), col("s"))).as("o"))
-    val flagged = occ.join(owners, Seq("win"))
+    val flagged = occ.join(owners, Seq("winh"))
       .select(col("doc_id"), col("s"),
         (col("o.doc_id") === col("doc_id") && col("o.s") === col("s"))
           .as("owned"))

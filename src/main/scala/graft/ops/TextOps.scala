@@ -519,6 +519,57 @@ object TextOps {
         (col("score_milli") >= 0L).as("keep"))
   }
 
+  /** One-pass closed-form TRAINING for the hashed linear classifier
+    * ([[hashedQualityScore]]'s production twin): over the labeled subset
+    * (`doc_id % labeledMod == 0`, label = doc has >= `labelMinTokens`
+    * tokens — stand-in for human labels; swap the predicate for a real
+    * label column), each hash bucket's weight is its smoothed positive
+    * rate in milli-units, `(1000 * (pos + 1)) div (tot + 2) - 500` — the
+    * Naive-Bayes-flavored closed form, integer end-to-end so any engine
+    * (and the DuckDB oracle) replays it bit-exactly. One explode + one
+    * map-combinable aggregate over <= `dim` groups; the result is a
+    * <= dim-row weight table meant to be PERSISTED as a sidecar and
+    * broadcast at inference ([[hashedQualityScoreTrained]]). */
+  def trainHashedQualityWeights(df: DataFrame, idCol: String,
+      textCol: String, dim: Int = 1024, labeledMod: Int = 5,
+      labelMinTokens: Int = 40): DataFrame =
+    df.filter(pmod(col(idCol), lit(labeledMod.toLong)) === 0)
+      .select(tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select((size(col("ts")) >= labelMinTokens).as("y"),
+        explode(col("ts")).as("t"))
+      .select(pmod(xxhash64(col("t")), lit(dim.toLong)).as("b"), col("y"))
+      .groupBy("b")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("tot"))
+      .select(col("b"),
+        (expr("(1000 * (pos + 1)) div (tot + 2)") - 500L).as("w"))
+
+  /** Inference with a TRAINED weight vector (index = hash bucket,
+    * length `dim`): the same zero-shuffle map-only plan as
+    * [[hashedQualityScore]] — the weights arrive as an array literal
+    * (broadcast with the task binary, `element_at` per token inside one
+    * whole-stage-codegen'd projection), so the 100 TB corpus pass stays
+    * scan-shaped. An untrained bucket must carry weight 0 (the closed
+    * form's empty-bucket value: `1000*1 div 2 - 500`). */
+  def hashedQualityScoreTrained(df: DataFrame, idCol: String,
+      textCol: String, weights: Seq[Long]): DataFrame = {
+    val dim = weights.length
+    val warr = typedlit(weights)
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        aggregate(
+          transform(col("ts"), t => element_at(warr,
+            pmod(xxhash64(t), lit(dim.toLong)).cast("int") + 1)),
+          lit(0L), (acc, x) => acc + x).as("score_milli"))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        // unrounded exact-integer division — see [[hashedQualityScore]]
+        (col("score_milli").cast("double") /
+          (col("n_tokens") * lit(1000.0))).as("quality_logit"),
+        (col("score_milli") >= 0L).as("keep"))
+  }
+
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks).cast("double")

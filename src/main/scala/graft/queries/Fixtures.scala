@@ -64,7 +64,7 @@ object Fixtures {
     ()
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[queries] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
       val s = java.nio.file.Files.list(p)
       try {

@@ -30,6 +30,20 @@ object OpsQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** A fresh memory-sink view name for this rep, dropping the previous
+    * rep's view first. The name must be unique while the PREVIOUS rep's
+    * returned frame may still be counted (Bench reads lazily after the
+    * query function returns), so reps can't share one name — but without
+    * the drop, a bench JVM accumulates one abandoned memory table per
+    * (query, rep), each pinning its result rows. Bounded: at most one
+    * live view per query name at any time. */
+  private def freshSinkName(s: SparkSession, prefix: String): String = {
+    s.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith(prefix))
+      .foreach(t => s.catalog.dropTempView(t.name))
+    s"${prefix}_${System.nanoTime()}"
+  }
+
   /** Read schema for streams over the RAW driver events.parquet (symlink
     * staging): `ts` is declared TIMESTAMP_NTZ, which matches ONLY the
     * 2026-08-13 TIMESTAMP(MICROS) testdata generation — streams declare a
@@ -863,6 +877,54 @@ object OpsQueries {
           FROM vocab),
         agg AS (SELECT k.doc_id, COUNT(*) AS n_tokens, SUM(w.w) AS score_milli
           FROM tok k JOIN wt w USING (t) GROUP BY k.doc_id)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          CAST(score_milli AS DOUBLE) / (n_tokens * 1000.0)
+            AS quality_logit,
+          score_milli >= 0 AS keep
+        FROM agg ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- t20b
+    // t20 with REAL (trained) weights: one closed-form pass over the
+    // labeled subset (doc_id % 5 == 0; label = >= 40 tokens) derives each
+    // hash bucket's smoothed positive rate in integer milli-units, the
+    // weight table is PERSISTED as a parquet sidecar and read back, and
+    // inference runs the broadcast-array element_at plan — the same
+    // zero-shuffle map-only corpus pass t20 proved with its formula
+    // weights. Training is integer end-to-end, so the oracle replays
+    // train AND inference bit-exactly (OracleXxh64 + floor division).
+    QueryDef(
+      "t20b_trained_linear_quality",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wpath = s"/tmp/graft_collections/$tag/t20b_weights"
+        val docs = table(s, dir, "documents")
+        TextOps.trainHashedQualityWeights(docs, "doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(wpath)
+        // bounded driver collect: <= dim (1024) rows by construction;
+        // untrained buckets take the closed form's empty value, 0
+        val weights = Array.fill[Long](1024)(0L)
+        s.read.parquet(wpath).collect()
+          .foreach(r => weights(r.getLong(0).toInt) = r.getLong(1))
+        TextOps.hashedQualityScoreTrained(docs, "doc_id", "text",
+          weights.toSeq).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        tok AS (SELECT doc_id, unnest(ts) AS t FROM toks WHERE len(ts) > 0),
+        labtok AS (
+          SELECT len(ts) >= 40 AS y, unnest(ts) AS t FROM toks
+          WHERE doc_id % 5 = 0 AND len(ts) > 0),
+        bt AS (SELECT CAST(${OracleXxh64.expr("t")} % 1024 AS BIGINT) AS b, y
+          FROM labtok),
+        wt AS (SELECT b,
+          (1000 * (SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1))
+            // (COUNT(*) + 2) - 500 AS w
+          FROM bt GROUP BY b),
+        tokb AS (SELECT doc_id,
+          CAST(${OracleXxh64.expr("t")} % 1024 AS BIGINT) AS b FROM tok),
+        agg AS (SELECT tokb.doc_id, COUNT(*) AS n_tokens,
+          SUM(COALESCE(wt.w, 0)) AS score_milli
+          FROM tokb LEFT JOIN wt USING (b) GROUP BY tokb.doc_id)
         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
           CAST(score_milli AS DOUBLE) / (n_tokens * 1000.0)
             AS quality_logit,
@@ -3522,7 +3584,7 @@ object OpsQueries {
           .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
-        val name = s"st01_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st01_sink")
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
         q.processAllAvailable()
@@ -3600,7 +3662,7 @@ object OpsQueries {
         val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st03"
         val c = graft.api.Collection.create(s, colPath,
           src.filter(col("o_orderkey") % 2 === 0), numSegments = 2)
-        val name = s"st03_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st03_sink")
         val q = s.readStream.format("hadro").load(colPath)
           .writeStream.outputMode("append").format("memory").queryName(name).start()
         q.processAllAvailable()                                  // batch 1: even keys
@@ -3644,7 +3706,7 @@ object OpsQueries {
               state.update((latest, version))
               (key, latest, version)
           }
-        val name = s"st04_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st04_sink")
         val q = resolved.toDF("s_suppkey", "s_name", "version")
           .writeStream.outputMode("update").format("memory").queryName(name).start()
         q.processAllAvailable() // batch 1: base rows
@@ -3696,7 +3758,7 @@ object OpsQueries {
               state.update(next)
               Iterator((key, next._2, next._3, next._1))
           }
-        val name = s"st05_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st05_sink")
         val q = resolved.toDF("c_custkey", "c_name", "del", "seq")
           .writeStream.outputMode("update").format("memory").queryName(name).start()
         q.processAllAvailable() // batch 1: base rows
@@ -3943,7 +4005,7 @@ object OpsQueries {
           .groupBy(window($"event_ts", "1 hour"), $"event_type")
           .agg(count(lit(1)).as("n"),
             sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
-        val name = s"st06_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st06_sink")
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         q.processAllAvailable()
@@ -3976,7 +4038,7 @@ object OpsQueries {
         val src = table(s, dir, "nation")
         val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st08"
         graft.api.Collection.create(s, colPath, src, numSegments = 2)
-        val name = s"st08_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st08_sink")
         val q = s.readStream.format("hadro")
           .option("hadro.onTruncate", "restart").load(colPath)
           .writeStream.outputMode("append").format("memory").queryName(name).start()
@@ -4052,7 +4114,7 @@ object OpsQueries {
         val src = table(s, dir, "nation")
         val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st10"
         graft.api.Collection.create(s, colPath, src, numSegments = 8)
-        val name = s"st10_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st10_sink")
         val q = s.readStream.format("hadro")
           .option("hadro.maxOrdinalsPerTrigger", "2").load(colPath)
           .writeStream.outputMode("append").format("memory").queryName(name).start()
@@ -4103,7 +4165,7 @@ object OpsQueries {
           $"user_id" === $"p_user_id" &&
             $"purchase_ts" >= $"click_ts" &&
             $"purchase_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"))
-        val name = s"st11_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st11_sink")
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         q.processAllAvailable()
@@ -4143,7 +4205,7 @@ object OpsQueries {
           .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
           .withWatermark("event_ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
-        val name = s"st12_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st12_sink")
         val q = deduped.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         q.processAllAvailable()
@@ -4191,7 +4253,7 @@ object OpsQueries {
           .withColumn("content_hash", sha2($"text", 256))
           .join(idx, Seq("content_hash")) // stream-static, broadcast by stats
           .select($"new_id", $"doc_id".as("corpus_id"))
-        val name = s"st13_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st13_sink")
         val q = flagged.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         q.processAllAvailable()
@@ -4232,7 +4294,7 @@ object OpsQueries {
           val stats = stream.groupByKey(_._1)
             .transformWithState(new graft.streaming.UserEventStatsProcessor(),
               TimeMode.None(), OutputMode.Update())
-          val name = s"st14_sink_${System.nanoTime()}"
+          val name = freshSinkName(s, "st14_sink")
           val q = stats
             .toDF("user_id", "version", "n_events", "n_click", "n_purchase")
             .writeStream.outputMode("update").format("memory").queryName(name).start()
@@ -4294,7 +4356,7 @@ object OpsQueries {
             .transformWithState(
               new graft.streaming.SessionizeProcessor(30L * 60 * 1000),
               TimeMode.EventTime(), OutputMode.Append())
-          val name = s"st15_sink_${System.nanoTime()}"
+          val name = freshSinkName(s, "st15_sink")
           val q = sessions.toDF("user_id", "start_ms", "end_ms", "n_events")
             .writeStream.outputMode("append").format("memory").queryName(name).start()
           q.processAllAvailable()
@@ -4363,7 +4425,7 @@ object OpsQueries {
           val totals = stream.groupByKey(identity[Long])
             .transformWithState(new graft.streaming.WarmStartCountProcessor(),
               TimeMode.None(), OutputMode.Update(), init)
-          val name = s"st16_sink_${System.nanoTime()}"
+          val name = freshSinkName(s, "st16_sink")
           val q = totals.toDF("user_id", "n_total")
             .writeStream.outputMode("update").format("memory").queryName(name).start()
           q.processAllAvailable()
@@ -4401,7 +4463,7 @@ object OpsQueries {
         val src = table(s, dir, "nation")
         val colPath = s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st17"
         val c = graft.api.Collection.create(s, colPath, src, numSegments = 6)
-        val name = s"st17_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st17_sink")
         val q = s.readStream.format("hadro")
           .option("hadro.maxOrdinalsPerTrigger", "2").load(colPath)
           .writeStream.outputMode("append").format("memory").queryName(name)
@@ -4444,13 +4506,18 @@ object OpsQueries {
         s.conf.set("spark.hadro.delete.mode", "dv")
         try s.sql("DELETE FROM graft_st18.db.suppliers WHERE s_suppkey % 4 = 1")
         finally s.conf.unset("spark.hadro.delete.mode")
-        val name = s"st18_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st18_sink")
         val q = s.readStream.format("hadro")
           .option("hadro.maxOrdinalsPerTrigger", "2").load(s"$wh/db/suppliers")
           .writeStream.outputMode("append").format("memory").queryName(name)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         require(q.awaitTermination(120000),
           "AvailableNow query must terminate by itself")
+        // hygiene: the result below reads only the memory sink, so the
+        // catalog confs and the /tmp warehouse are scoped to this query
+        s.conf.unset("spark.sql.catalog.graft_st18")
+        s.conf.unset("spark.sql.catalog.graft_st18.warehouse")
+        Fixtures.deleteRecursively(java.nio.file.Paths.get(wh))
         s.table(name).select(col("s_suppkey"), col("s_name"))
           .orderBy("s_suppkey")
       },
@@ -4476,7 +4543,7 @@ object OpsQueries {
           src.filter(col("c_custkey") % 2 === 0), numSegments = 2)
         c.append(src.filter(col("c_custkey") % 2 === 1))
         val fromVersion = c.version // the second commit, inclusive
-        val name = s"st19_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st19_sink")
         val q = s.readStream.format("hadro")
           .option("hadro.startingVersion", fromVersion.toString).load(colPath)
           .writeStream.outputMode("append").format("memory").queryName(name)
@@ -4509,7 +4576,7 @@ object OpsQueries {
         c.append(src.filter(col("c_custkey") % 3 === 1))
         val midVersion = c.version
         c.append(src.filter(col("c_custkey") % 3 === 2))
-        val name = s"st21_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st21_sink")
         val q = s.readStream.format("hadro")
           .option("hadro.startingVersion", midVersion.toString)
           .option("hadro.endingVersion", midVersion.toString).load(colPath)
@@ -4547,7 +4614,7 @@ object OpsQueries {
           .repartitionByRange(2, $"c_custkey")
           .write.format("hadro").mode("overwrite").save(path)
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st22.db")
-        val name = s"st22_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st22_sink")
         val q = s.readStream.format("hadro")
           .option("hadro.changefeed", "full").load(path)
           .select($"c_custkey", $"c_acctbal", col("_hadro_deleted"))
@@ -4565,6 +4632,13 @@ object OpsQueries {
             .write.format("hadro").mode("append").save(path)
           q.processAllAvailable() // batch 3: appends keep flowing
         } finally q.stop()
+        // hygiene: the result below reads only the memory sink, so the
+        // catalog confs and the /tmp warehouse are scoped to this query —
+        // a bench JVM must end with no graft_st* conf set and no
+        // /tmp/graft_catalogs/*_st22 fixture behind
+        s.conf.unset("spark.sql.catalog.graft_st22")
+        s.conf.unset("spark.sql.catalog.graft_st22.warehouse")
+        Fixtures.deleteRecursively(java.nio.file.Paths.get(wh))
         s.table(name)
           .groupBy(col("_hadro_deleted").cast("int").as("deleted"))
           .agg(count(lit(1)).cast("bigint").as("n"),
@@ -4651,7 +4725,7 @@ object OpsQueries {
         val colPath =
           s"/tmp/graft_collections/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/st20"
         graft.api.Collection.create(s, colPath, src, numSegments = 4)
-        val name = s"st20_sink_${System.nanoTime()}"
+        val name = freshSinkName(s, "st20_sink")
         val stream = s.readStream.format("hadro").load(colPath)
         val curated = stream
           .withColumn("n_tokens", graft.ops.TextOps.tokenCount(col("text")))

@@ -3283,5 +3283,70 @@ object StorageQueries {
         FROM customer
         WHERE c_acctbal >= 0.0 AND c_acctbal <= 9000.0
         GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---------------------------------------------------------------- h92
+    // CDC UPDATE PRE-IMAGES (Delta-CDF `_change_type` analog): a keyed
+    // collection's changes window, classified per key against the
+    // pre-window snapshot by [[graft.api.ChangeFeed.updateImages]] —
+    // update_preimage/update_postimage pairs for upserts of existing
+    // keys (including delete-then-reinsert, whose pre-image is the
+    // ORIGINAL value), `delete` rows carrying the removed values, plain
+    // `insert` for new keys, and nothing for keys created AND destroyed
+    // inside the window. The window: one upsert commit (updates + new
+    // keys), one CDC-merge delete commit, one reinsert commit. Oracle =
+    // the same classification derived from the base table.
+    QueryDef(
+      "h92_cdc_update_images",
+      (s, dir) => {
+        import s.implicits._
+        val path = colPath(dir, "h92")
+        val cust = table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        Collection.create(s, path, cust.filter($"c_custkey" % 2 === 0),
+          key = Some("c_custkey"))
+        val c = Collection(s, path)
+        val v1 = c.version
+        // commit A: update every %10==0 key, insert the odd %7==0 keys
+        c.append(cust.filter($"c_custkey" % 10 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" * 2)
+          .unionByName(cust.filter($"c_custkey" % 2 === 1 &&
+            $"c_custkey" % 7 === 0)))
+        // commit B: CDC-merge tombstones — every %10==4 key (existing)
+        // and the in-window inserts divisible by 3 (these net out)
+        c.merge(cust.filter(($"c_custkey" % 10 === 4) ||
+            ($"c_custkey" % 2 === 1 && $"c_custkey" % 7 === 0 &&
+              $"c_custkey" % 3 === 0))
+          .withColumn("d", lit(true)), $"d")
+        // commit C: reinsert the %20==4 keys the delete just removed
+        c.append(cust.filter($"c_custkey" % 20 === 4)
+          .withColumn("c_acctbal", $"c_acctbal" + 5000.0))
+        val v2 = c.version
+        graft.api.ChangeFeed.updateImages(s, path, v1, v2)
+          .orderBy("_change_type", "c_custkey")
+      },
+      Some("""WITH base AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        ups AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal AS oldb,
+            CASE WHEN c_custkey % 20 = 4 THEN c_acctbal + 5000.0
+                 ELSE c_acctbal * 2 END AS newb
+          FROM base
+          WHERE c_custkey % 2 = 0
+            AND (c_custkey % 10 = 0 OR c_custkey % 20 = 4)),
+        typed AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, 'insert' AS _change_type
+          FROM base WHERE c_custkey % 2 = 1 AND c_custkey % 7 = 0
+            AND c_custkey % 3 <> 0
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, oldb, 'update_preimage' FROM ups
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, newb, 'update_postimage' FROM ups
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, c_acctbal, 'delete'
+          FROM base WHERE c_custkey % 2 = 0 AND c_custkey % 10 = 4
+            AND c_custkey % 20 <> 4)
+        SELECT c_custkey, c_mktsegment, c_acctbal, _change_type
+        FROM typed ORDER BY _change_type, c_custkey"""))
   )
 }

@@ -553,7 +553,19 @@ final class HadroScanBuilder(path: Path, dataSchema: StructType,
   override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required =
+      // `hadro.changefeed=full` surfaces `_hadro_deleted` as a REGULAR
+      // schema column, and that column's presence in the read schema is
+      // what keeps tombstone/CDC rows in the row set. Catalyst pruning
+      // it away (a consumer that groups by key only, h92's semi-join)
+      // must NOT silently flip the scan back to plain live-rows-only
+      // semantics — row MEMBERSHIP would then depend on the projection.
+      // Re-pin the column whenever the table was opened in changefeed
+      // mode; Spark projects it back out above the scan.
+      if (dataSchema.fieldNames.contains(HadroTable.DeletedCol) &&
+          !requiredSchema.fieldNames.contains(HadroTable.DeletedCol))
+        StructType(requiredSchema.fields :+ dataSchema(HadroTable.DeletedCol))
+      else requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(SegmentSkipper.supports)

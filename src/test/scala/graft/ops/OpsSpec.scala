@@ -742,6 +742,46 @@ class OpsSpec extends SparkSuite {
     assert(all(1L) == "tail one")
   }
 
+  test("span-removal shuffles carry hashed window keys, never window text") {
+    // 40 docs x 60 tokens x 40 chars: every 10-token window is ~409 bytes,
+    // so a text-keyed inventory exchange would carry >= the full window
+    // volume (docs x 51 windows x 409B ~ 830 KB) at least once. The
+    // hashed plan's TOTAL shuffle dataSize must stay under half that —
+    // only 8-byte keys and the per-doc token arrays may cross exchanges.
+    val nDocs = 40
+    val rows = (0 until nDocs).map { i =>
+      // consecutive doc pairs share their text => genuinely shared windows
+      val base = i / 2
+      val text = (0 until 60).map(j => f"t$base%02dw$j%02d" + "q" * 34)
+        .mkString(" ")
+      (i.toLong, text)
+    }
+    val df = rows.toDF("doc_id", "text").repartition(4)
+    val out = DedupOps.removeDuplicateSpans(df, "doc_id", "text")
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val shuffled = walk(out.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s.metrics("dataSize").value }
+      .sum
+    val windowTextBytes = nDocs.toLong * 51 * 409
+    assert(shuffled > 0, "expected at least one exchange to execute")
+    assert(shuffled < windowTextBytes / 2,
+      s"shuffled $shuffled bytes — window keys are crossing an exchange " +
+        s"as text (window volume ~$windowTextBytes)")
+    // and the hashed rewrite still removes exactly the shared spans
+    val cleaned = out.select($"doc_id", $"clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(cleaned.values.count(_.isEmpty) == nDocs,
+      "paired docs share every window — all text must be removed")
+  }
+
   test("alt-star CC closes a long chain within its O(log n) round budget") {
     // Chain 0-1-...-63 (diameter 63 — min-propagation would need 63
     // rounds) plus two disjoint triangles; alt-star must converge inside
@@ -1477,6 +1517,36 @@ class OpsSpec extends SparkSuite {
     val got = out.filter($"doc_id" === row.getLong(0)).head()
     assert(got.getInt(1) == toks.length)
     // unrounded: one IEEE division of exact integers, bit-identical
+    assert(got.getDouble(2) == score.toDouble / (toks.length * 1000.0))
+    assert(got.getBoolean(3) == (score >= 0))
+  }
+
+  test("trained hashed quality: weights train closed-form, inference " +
+      "stays map-only, JVM replay is bit-exact") {
+    // train on the corpus' labeled subset; weight table is bounded by dim
+    val wrows = TextOps.trainHashedQualityWeights(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(wrows.nonEmpty && wrows.length <= 1024)
+    assert(wrows.forall { case (b, w) =>
+      b >= 0 && b < 1024 && w >= -500 && w <= 500 })
+    val weights = Array.fill[Long](1024)(0L)
+    wrows.foreach { case (b, w) => weights(b.toInt) = w }
+    val out = TextOps.hashedQualityScoreTrained(docs, "doc_id", "text",
+      weights.toSeq)
+    // inference is a per-row projection over a broadcast literal array:
+    // no shuffle anywhere, same as the formula-weight classifier
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"inference must be map-only:\n$plan")
+    // bit-exact replay of one doc through the trained vector
+    val row = docs.orderBy($"doc_id").select($"doc_id", $"text").head()
+    val toks = row.getString(1).split(" ", -1)
+    val score = toks.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L)
+      weights(java.lang.Math.floorMod(h, 1024L).toInt)
+    }.sum
+    val got = out.filter($"doc_id" === row.getLong(0)).head()
+    assert(got.getInt(1) == toks.length)
     assert(got.getDouble(2) == score.toDouble / (toks.length * 1000.0))
     assert(got.getBoolean(3) == (score >= 0))
   }
