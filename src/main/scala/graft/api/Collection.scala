@@ -852,6 +852,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       val w = packed.write.format("hadro").mode("append")
         .option("hadro.replaceFiles", files)
         .option("hadro.replaceGen", gen.toString)
+        .option("hadro.rewrite", "true")
         // the up-front !mutated check is only a fast fail: a FIRST
         // concurrent upsert flips `mutated` without a generation bump,
         // so the atomic guard must live inside the replace commit
@@ -1371,6 +1372,7 @@ final class Collection private (spark: SparkSession, val path: String) {
     var w = rewritten.write.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)
       .option("hadro.compactOfGen", m0.generation.toString)
+      .option("hadro.rewrite", "true")
     if (cols.lengthCompare(1) == 0) w = w.option("hadro.sortedBy", cols.head)
     else if (lex) w = w.option("hadro.sortedBy", cols.mkString(","))
     w.save(path)
@@ -1506,7 +1508,8 @@ final class Collection private (spark: SparkSession, val path: String) {
       else writer0
     writer1.format("hadro").mode("overwrite")
       .option("hadro.compactOf", m0.version.toString)
-      .option("hadro.compactOfGen", m0.generation.toString).save(path)
+      .option("hadro.compactOfGen", m0.generation.toString)
+      .option("hadro.rewrite", "true").save(path)
   }
 
   /** Bin-pack small segments without rewriting the collection — the
@@ -1590,6 +1593,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       var w = packed.write.format("hadro").mode("append")
         .option("hadro.replaceFiles", files)
         .option("hadro.replaceGen", gen.toString)
+        .option("hadro.rewrite", "true")
         // bin-time dv state: a concurrent dv DELETE on a binned segment
         // conflicts (stop-and-report) instead of losing its deletions
         .option("hadro.replaceDv",
@@ -1679,6 +1683,7 @@ final class Collection private (spark: SparkSession, val path: String) {
       var w = survivors.write.format("hadro").mode("append")
         .option("hadro.replaceFiles", seg.file)
         .option("hadro.replaceGen", gen.toString)
+        .option("hadro.rewrite", "true")
         // plan-time dv pin: a concurrent DV delete on this segment
         // conflicts (stop-and-report) instead of losing its deletions
         .option("hadro.replaceDv", s"${seg.file}=${seg.deleteVector.get}")

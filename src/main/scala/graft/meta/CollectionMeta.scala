@@ -127,7 +127,16 @@ final case class SegmentInfo(
     // Self-describing per segment (survives respecs; renames remap them).
     sortCols: Option[String] = None,
     sortLo: Seq[String] = Nil,
-    sortHi: Seq[String] = Nil) {
+    sortHi: Seq[String] = Nil,
+    // Rewrite provenance: true iff this segment was produced by a
+    // DATA-PRESERVING maintenance rewrite (compact / compactSmall /
+    // cluster / compactPartitions — same live rows, new packing). The
+    // changes-window chain walk uses it to treat an in-window rewrite as
+    // TRANSPARENT (its outputs are pre-window rows, not inserts) — the
+    // Iceberg skip-replace-snapshots shape — cross-checked against live-
+    // row-count conservation, so a mislabeled commit that changed data
+    // is still refused unless it also forged exactly-equal counts.
+    rewritten: Boolean = false) {
   /** Every physical file this segment owns: the data file plus all sidecar
     * classes. THE live-set unit — GC, clone, publish, tag pinning and
     * orphan detection must all agree on it. */
@@ -654,6 +663,14 @@ object CollectionMeta {
     manifestCache.keySet.removeIf(_.startsWith(prefix))
   }
 
+  /** Metadata-only read of a retained manifest version: the segment list
+    * as committed, WITHOUT [[manifestAt]]'s segment-file reconstructability
+    * check — for consumers that walk manifest HISTORY (the changes-window
+    * chain walk classifying in-window commits) and never open the bytes of
+    * superseded segments. Throws if the manifest itself aged out. */
+  def manifestMetaAt(collection: Path, v: Long): Manifest =
+    readManifest(collection, v)
+
   private def readManifest(collection: Path, v: Long): Manifest = {
     val f = manifestFile(collection, v)
     val attrs = Files.readAttributes(f, // missing file throws, as before
@@ -676,10 +693,22 @@ object CollectionMeta {
     * later compaction/truncate (no FileNotFoundException deep in a reader). */
   def manifestAt(collection: Path, version: Long): Manifest = {
     if (!Files.exists(manifestFile(collection, version))) {
-      val cur = currentManifest(collection)
+      // report the versions ACTUALLY on disk, not the nominal KeepVersions
+      // window: compaction GC removes unreconstructable older manifests
+      // regardless of count, and "retained: 1..10" for a missing version 2
+      // sent one debugging session in exactly the wrong direction
+      val have = listDir(metaDir(collection))
+        .flatMap(_.getFileName.toString match {
+          case ManifestRe(v) => Some(v.toLong)
+          case _ => None
+        }).sorted
+      val desc =
+        if (have.isEmpty) "none retained"
+        else if (have.size <= 8) s"retained: ${have.mkString(", ")}"
+        else s"retained: ${have.size} versions in ${have.min}..${have.max}"
       throw new IllegalArgumentException(
-        s"hadro: version $version not available for $collection " +
-          s"(retained: ${math.max(1, cur.version - KeepVersions)}..${cur.version})")
+        s"hadro: version $version not available for $collection ($desc; " +
+          "tag a version to pin it against retention)")
     }
     val m = readManifest(collection, version)
     val missing = m.segments.filterNot(s => Files.exists(collection.resolve(s.file)))

@@ -3285,6 +3285,102 @@ object StorageQueries {
         GROUP BY 1 ORDER BY 1"""))
     ,
 
+    // ---------------------------------------------------------------- h93
+    // The h91 consumer loop SURVIVING mid-window maintenance: small-file
+    // compaction (compactSmall) runs between the consumer's cycles, so
+    // each changes window CROSSES a generation change — the chain walk
+    // classifies the in-window commits from retained manifest metadata,
+    // proves the rewrite data-preserving (writer provenance + live-count
+    // conservation), re-bases the floor through the rewrite outputs, and
+    // the window still yields exactly the net change set (inserts + dv
+    // CDC deletes, including deletes landing ON rewrite outputs). This is
+    // the nightly-consumer-vs-hourly-compactor conflict at 100 TB —
+    // Iceberg's skip-replace-snapshots shape — which previously forced a
+    // full snapshot replay. Oracle = full recompute, as in h91.
+    QueryDef(
+      "h93_rollup_across_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h93"
+        s.conf.set("spark.sql.catalog.graft_h93",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h93.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h93.db")
+        val factPath = s"$wh/db/cust"
+        val aggPath = s"$wh/db/seg_agg"
+        val cust = table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        cust.filter($"c_custkey" % 2 === 0).repartition(4)
+          .write.format("hadro").mode("overwrite").save(factPath)
+        val fact = Collection(s, factPath)
+        fact.createTag("h93_cursor")
+        s.read.format("hadro").option("hadro.versionAsOf", "h93_cursor")
+          .load(factPath)
+          .groupBy($"c_mktsegment".as("seg"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum($"c_acctbal".cast("decimal(18,2)")).cast("decimal(18,2)")
+              .as("sum_bal"))
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "seg").save(aggPath)
+        def cycle(): Unit = {
+          val head = fact.version
+          val signedBal = when($"_hadro_deleted",
+            -$"c_acctbal".cast("decimal(18,2)"))
+            .otherwise($"c_acctbal".cast("decimal(18,2)"))
+          s.read.format("hadro")
+            .option("hadro.changefeed", "full")
+            .option("hadro.changesStart", "h93_cursor")
+            .option("hadro.changesEnd", head.toString).load(factPath)
+            .groupBy($"c_mktsegment".as("seg"))
+            .agg(sum(when($"_hadro_deleted", -1L).otherwise(1L))
+              .cast("bigint").as("dn"),
+              sum(signedBal).cast("decimal(18,2)").as("dsum"))
+            .createOrReplaceTempView("h93_delta")
+          s.sql("""MERGE INTO graft_h93.db.seg_agg t USING h93_delta d
+            ON t.seg = d.seg
+            WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+              n = t.n + d.dn,
+              sum_bal = CAST(t.sum_bal + d.dsum AS DECIMAL(18,2))
+            WHEN NOT MATCHED THEN INSERT (seg, n, sum_bal)
+              VALUES (d.seg, d.dn, d.dsum)""")
+          fact.createTag("h93_cursor", head)
+        }
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try {
+          // cycle 1: the COMPACTOR bins the pre-window smalls FIRST (the
+          // window must cross its generation change), then ingest + GDPR
+          val gen0 = graft.meta.CollectionMeta.currentManifest(
+            java.nio.file.Paths.get(factPath)).generation
+          require(fact.compactSmall(1L << 30) >= 1,
+            "h93: the maintenance rewrite must actually bin segments")
+          require(graft.meta.CollectionMeta.currentManifest(
+            java.nio.file.Paths.get(factPath)).generation != gen0,
+            "h93: the window must cross a generation change")
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 === 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("DELETE FROM graft_h93.db.cust WHERE c_acctbal < 0.0")
+          cycle()
+          // cycle 2: compactor runs again, then the rest of the odd half
+          fact.compactSmall(1L << 30)
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 =!= 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("""DELETE FROM graft_h93.db.cust
+            WHERE c_acctbal < 0.0 OR c_acctbal > 9000.0""")
+          cycle()
+        } finally s.conf.unset("spark.hadro.delete.mode")
+        Collection(s, aggPath).toDF()
+          .select($"seg", $"n", $"sum_bal".cast("double").as("sum_bal"))
+          .orderBy("seg")
+      },
+      Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer
+        WHERE c_acctbal >= 0.0 AND c_acctbal <= 9000.0
+        GROUP BY 1 ORDER BY 1"""))
+    ,
+
     // ---------------------------------------------------------------- h92
     // CDC UPDATE PRE-IMAGES (Delta-CDF `_change_type` analog): a keyed
     // collection's changes window, classified per key against the

@@ -1065,49 +1065,82 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     * the consumer never saw. Planning cost is O(#segments) manifest work —
     * at 100 TB an incremental consumer reads only the window's segments
     * plus the drifted blocks, never the table. */
-  private lazy val changesWindowInfo:
-      Option[(Long, Seq[(SegmentInfo, Option[String])], Seq[SegmentInfo])] =
+  /** Planned shape of a batch changes window: exactly one of `floor`
+    * (ordinal fast path — generation unchanged) or `includeFiles` (the
+    * manifest-chain walk across data-preserving rewrites) is set, plus
+    * the synthesized-delete emissions shared by both. */
+  private case class WindowPlan(
+      floor: Option[Long],
+      includeFiles: Option[Set[String]],
+      drift: Seq[(SegmentInfo, Option[String])],
+      dropped: Seq[SegmentInfo])
+
+  private lazy val changesWindowInfo: Option[WindowPlan] =
     changesStart.map { v =>
       val end = manifestSnapshot
-      val start = CollectionMeta.manifestAt(path, v)
+      val start = CollectionMeta.manifestMetaAt(path, v)
       require(start.version <= end.version,
         s"hadro: changes window ($v, ${end.version}] is inverted — " +
           "changesStart must not exceed changesEnd/versionAsOf")
-      require(start.generation == end.generation,
-        s"hadro: changes window ($v, ${end.version}] crosses a truncate/" +
-          "compaction/overwrite (generation " +
-          s"${start.generation} -> ${end.generation}) — the ordinal space " +
-          "was rewritten; replay from a full snapshot instead")
       val wantDeleted = required.fieldNames.contains(HadroTable.DeletedCol)
-      val endByFile = end.segments.map(s => s.file -> s).toMap
-      val drift = Seq.newBuilder[(SegmentInfo, Option[String])]
-      val dropped = Seq.newBuilder[SegmentInfo]
-      start.segments.foreach { s =>
-        endByFile.get(s.file) match {
-          case None => // the whole segment vanished (drop_partitions)
-            require(wantDeleted,
-              s"hadro: changes window ($v, ${end.version}] — segment " +
-                s"${s.file} was dropped (drop_partitions) inside the " +
-                "window; its rows' removal is not an ordinal event. Read " +
-                "the window with hadro.changefeed=full to see its live " +
-                "rows as synthesized CDC delete rows, or replay from a " +
-                "full snapshot")
-            dropped += s
-          case Some(live) if live.deleteVector != s.deleteVector =>
-            require(wantDeleted,
-              s"hadro: changes window ($v, ${end.version}] — segment ${s.file} " +
-                "gained row-level (deletion-vector) deletes inside the window; " +
-                "those are not ordinal events. Read the window with " +
-                "hadro.changefeed=full to see them as synthesized CDC delete " +
-                "rows, or replay from a full snapshot")
-            drift += ((live, s.deleteVector))
-          case _ => ()
+      def requireFeed(fileName: String, what: String): Unit =
+        require(wantDeleted,
+          s"hadro: changes window ($v, ${end.version}] — segment " +
+            s"$fileName $what inside the window; that removal is not an " +
+            "ordinal event. Read the window with hadro.changefeed=full " +
+            "to see it as synthesized CDC delete rows, or replay from a " +
+            "full snapshot")
+      // synthesized deletes read SUPERSEDED bytes (dropped segments, dv
+      // sidecars): deferred GC keeps them one maintenance cycle, but a
+      // later sweep/vacuum may have reclaimed them — fail at PLAN time
+      // with the recovery path, never with a task FileNotFoundException
+      def requireBytes(plan: WindowPlan): WindowPlan = {
+        val needed =
+          plan.drift.flatMap { case (seg, base) =>
+            Seq(seg.file) ++ seg.deleteVector ++ base } ++
+          plan.dropped.flatMap(s => Seq(s.file) ++ s.deleteVector)
+        needed.foreach { f =>
+          require(java.nio.file.Files.exists(path.resolve(f)),
+            s"hadro: changes window ($v, ${end.version}] — its synthesized " +
+              s"delete rows need $f, whose bytes were already reclaimed " +
+              "(deferred GC / vacuum); replay from a full snapshot instead")
         }
+        plan
       }
-      (start.nextOrdinal, drift.result(), dropped.result())
+      if (start.generation == end.generation) {
+        // fast path: the ordinal space is intact, so the window is the
+        // ordinal floor plus per-file drift/drop against the start set
+        val endByFile = end.segments.map(s => s.file -> s).toMap
+        val drift = Seq.newBuilder[(SegmentInfo, Option[String])]
+        val dropped = Seq.newBuilder[SegmentInfo]
+        start.segments.foreach { s =>
+          endByFile.get(s.file) match {
+            case None => // the whole segment vanished (drop_partitions)
+              requireFeed(s.file, "was dropped (drop_partitions)")
+              dropped += s
+            case Some(live) if live.deleteVector != s.deleteVector =>
+              requireFeed(s.file,
+                "gained row-level (deletion-vector) deletes")
+              drift += ((live, s.deleteVector))
+            case _ => ()
+          }
+        }
+        requireBytes(WindowPlan(Some(start.nextOrdinal), None,
+          drift.result(), dropped.result()))
+      } else {
+        // the window crosses one or more generation changes: delegate to
+        // the shared chain walk (also used by the streaming source), then
+        // re-verify superseded bytes for this plan's synthesized deletes
+        def refuse(why: String): Nothing = throw new IllegalArgumentException(
+          s"hadro: changes window ($v, ${end.version}] crosses a " +
+            s"generation change that is not a provable data-preserving " +
+            s"compaction — $why; replay from a full snapshot instead")
+        val net = ChangeWindowPlanner.chainWalk(
+          path, start, end, requireFeed, refuse)
+        requireBytes(WindowPlan(None, Some(net.includeFiles),
+          net.drift, net.dropped))
+      }
     }
-
-  private lazy val changesFloor: Option[Long] = changesWindowInfo.map(_._1)
 
   /** Synthesized CDC DELETE partitions for the window's dv drift (block-
     * pruned to ranges that actually hold newly-deleted rows) and for
@@ -1115,9 +1148,9 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     * start-live row emitted as a delete). Empty for non-window scans and
     * unchanged windows. */
   private lazy val dvDeltaParts: Seq[InputPartition] =
-    changesWindowInfo.map(_._2).getOrElse(Nil)
+    changesWindowInfo.map(_.drift).getOrElse(Nil)
       .flatMap { case (seg, base) => HadroInputPartition.dvDeltaRanges(path, seg, base) } ++
-      changesWindowInfo.map(_._3).getOrElse(Nil)
+      changesWindowInfo.map(_.dropped).getOrElse(Nil)
         .flatMap(seg => HadroInputPartition.dropRanges(path, seg))
 
   /** The post-pruning segment list (and its manifest) — shared by
@@ -1127,7 +1160,9 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       filters: Array[Filter]): (Manifest, Seq[SegmentInfo]) = {
     val manifest = manifestSnapshot
     val survivors = manifest.segments
-      .filter(seg => changesFloor.forall(seg.ordinal >= _))
+      .filter(seg => changesWindowInfo.forall(w =>
+        w.includeFiles.map(_.contains(seg.file))
+          .getOrElse(seg.ordinal >= w.floor.getOrElse(0L))))
       .filter(seg => onlyFiles.forall(_.contains(seg.file)))
       .filter(seg => SegmentSkipper.mightMatch(seg, filters, storedSchema) &&
         // composite write-order bounds exclude tombstone records, so a
@@ -1356,7 +1391,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
       _ <- if (v2BucketingEnabled) Some(()) else None
       // a dv-drift changefeed window appends unkeyed CDC delete partitions
       // — the scan cannot honestly report key-grouped partitioning then
-      _ <- if (changesWindowInfo.forall(w => w._2.isEmpty && w._3.isEmpty)) Some(()) else None
+      _ <- if (changesWindowInfo.forall(w => w.drift.isEmpty && w.dropped.isEmpty)) Some(()) else None
       c <- manifest.bucketBy
       n <- manifest.numBuckets
       cols = c.split(",").toSeq
@@ -1407,7 +1442,7 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
     for {
       _ <- if (v2BucketingEnabled) Some(()) else None
       // same constraint as bucketedFor: dv-drift CDC partitions are unkeyed
-      _ <- if (changesWindowInfo.forall(w => w._2.isEmpty && w._3.isEmpty)) Some(()) else None
+      _ <- if (changesWindowInfo.forall(w => w.drift.isEmpty && w.dropped.isEmpty)) Some(()) else None
       meta <- CollectionMeta.readSchema(path)
       c <- meta.partitionBy
       t <- meta.partitionTransform
@@ -1529,7 +1564,9 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   override def estimateStatistics(): Statistics = {
     val manifest = manifestSnapshot
     val kept = manifest.segments
-      .filter(seg => changesFloor.forall(seg.ordinal >= _))
+      .filter(seg => changesWindowInfo.forall(w =>
+        w.includeFiles.map(_.contains(seg.file))
+          .getOrElse(seg.ordinal >= w.floor.getOrElse(0L))))
       .filter(seg => onlyFiles.forall(_.contains(seg.file)))
       .filter(seg => SegmentSkipper.mightMatch(seg, pushed, storedSchema) &&
         BloomSidecar.mightMatch(path, seg, pushed, storedSchema) &&
@@ -1619,6 +1656,132 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
   * parameterized class fails that load on a background thread (one
   * swallowed SparkException per query) and the UI never aggregates. One
   * class per metric name is the Spark contract. */
+/** The manifest-CHAIN WALK shared by batch changes windows and the
+  * streaming source: classifies every in-window commit by diffing
+  * consecutive retained mainline manifests (METADATA only — superseded
+  * segment files may be gone), so a DATA-PRESERVING rewrite (compact /
+  * compactSmall / cluster — new packing, same live rows) is TRANSPARENT
+  * to an incremental consumer (Iceberg's skip-replace-snapshots shape:
+  * the nightly reader must not break because the hourly compactor ran),
+  * while a truncate/overwrite/region-replace still refuses.
+  *
+  * It tracks a FLOOR-EQUIVALENT file set that re-bases through each
+  * rewrite: consumed floor files leave the set, the rewrite's outputs
+  * (all pre-window rows, by the checks below) enter it with their
+  * at-creation vectors as the new base. Transparency is double-checked:
+  * the rewrite's segments must carry writer provenance (`rewritten`) AND
+  * conserve the live row count AND fold no upsert/tombstone history
+  * (mutated) — a region-replace that forged one signal trips another. */
+private[spark] object ChangeWindowPlanner {
+
+  /** A generation-crossing window's net change set: `includeFiles` are
+    * the end-manifest segments holding in-window INSERT rows (read with
+    * end-state vectors, so in-window append+delete nets out); `drift` /
+    * `dropped` are the synthesized-CDC-delete emissions, keyed to their
+    * floor-base vectors. */
+  final case class NetWindow(includeFiles: Set[String],
+      drift: Seq[(SegmentInfo, Option[String])], dropped: Seq[SegmentInfo])
+
+  /** Walk (start.version, end.version]; `requireFeed(file, what)` gates
+    * every synthesized-delete emission (changefeed-mode check), `refuse`
+    * aborts with surface-appropriate context. Throws via `refuse` on any
+    * commit whose transparency cannot be proven. */
+  def chainWalk(path: Path, start: Manifest, end: Manifest,
+      requireFeed: (String, String) => Unit,
+      refuse: String => Nothing): NetWindow = {
+    val chain = scala.collection.mutable.ArrayBuffer[Manifest](start)
+    var vv = start.version + 1
+    while (vv < end.version) {
+      val m =
+        try CollectionMeta.manifestMetaAt(path, vv)
+        catch {
+          case e: Exception => refuse(
+            s"the in-window manifest chain is no longer retained " +
+              s"(version $vv: ${e.getMessage})")
+        }
+      if (m.branch.isEmpty) chain += m
+      vv += 1
+    }
+    chain += end
+    val tracked = scala.collection.mutable.LinkedHashMap.empty[String, SegmentInfo]
+    start.segments.foreach(s => tracked(s.file) = s)
+    val inserts = scala.collection.mutable.LinkedHashMap.empty[String, SegmentInfo]
+    val drift = Seq.newBuilder[(SegmentInfo, Option[String])]
+    val dropped = Seq.newBuilder[SegmentInfo]
+    def liveRows(m: Manifest): Long =
+      m.segments.map(s => s.rows - s.tombstones - s.dvDeletes).sum
+    chain.toSeq.sliding(2).foreach {
+      case Seq(prev, cur) =>
+        val prevByFile = prev.segments.map(s => s.file -> s).toMap
+        val curFiles = cur.segments.map(_.file).toSet
+        val added = cur.segments.filterNot(s => prevByFile.contains(s.file))
+        val removed = prev.segments.filterNot(s => curFiles.contains(s.file))
+        if (cur.generation == prev.generation) {
+          added.foreach(s => inserts(s.file) = s)
+          removed.foreach { s =>
+            tracked.remove(s.file) match {
+              case Some(base) =>
+                requireFeed(s.file, "was dropped (drop_partitions)")
+                // the FLOOR base state: its vector is the window floor's,
+                // so dv-then-drop emits every floor-live row
+                dropped += base
+              case None =>
+                // appended AND dropped inside the window: nets out
+                inserts.remove(s.file)
+            }
+          }
+        } else {
+          if (!added.forall(_.rewritten)) refuse(
+            s"version ${cur.version}'s new segments carry no rewrite " +
+              "provenance (a truncate/overwrite/region-replace " +
+              "rewrites rows, not packing)")
+          if (prev.mutated || cur.mutated) refuse(
+            "the collection has upsert/tombstone history, which a " +
+              "rewrite folds — per-key change attribution is lost")
+          if (liveRows(prev) != liveRows(cur)) refuse(
+            s"version ${cur.version} changed the live row count " +
+              s"(${liveRows(prev)} -> ${liveRows(cur)})")
+          removed.foreach { s =>
+            if (inserts.contains(s.file)) refuse(
+              s"version ${cur.version} consumed in-window appended " +
+                s"segment ${s.file}, so its rows can no longer be " +
+                "attributed")
+            tracked.remove(s.file) match {
+              case Some(base) =>
+                if (s.deleteVector != base.deleteVector) {
+                  // in-window dv deletes folded by the rewrite: emit
+                  // from the superseded bytes (deferred GC keeps them
+                  // one maintenance cycle; vacuumed -> refuse)
+                  requireFeed(s.file,
+                    "gained row-level (deletion-vector) deletes")
+                  if (!Files.exists(path.resolve(s.file)))
+                    refuse(s"segment ${s.file} carried in-window dv " +
+                      "deletes that the rewrite folded, and its " +
+                      "superseded bytes were already vacuumed")
+                  drift += ((s, base.deleteVector))
+                }
+              case None => refuse(
+                s"version ${cur.version} consumed segment ${s.file} " +
+                  "of unknown provenance")
+            }
+          }
+          added.foreach(s => tracked(s.file) = s)
+        }
+      case _ => () // single-manifest chain: nothing to classify
+    }
+    val endByFile = end.segments.map(s => s.file -> s).toMap
+    tracked.foreach { case (f, base) =>
+      endByFile.get(f).foreach { live =>
+        if (live.deleteVector != base.deleteVector) {
+          requireFeed(f, "gained row-level (deletion-vector) deletes")
+          drift += ((live, base.deleteVector))
+        }
+      }
+    }
+    NetWindow(inserts.keySet.toSet, drift.result(), dropped.result())
+  }
+}
+
 final class HadroSegmentsReadMetric extends CustomSumMetric {
   override def name(): String = "hadroSegmentsRead"
   override def description(): String = "hadro segments read"

@@ -305,12 +305,54 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
     //   - onTruncate=restart: re-tail the new log from ordinal 0 (the
     //     stream emits every record of the rewritten collection once,
     //     then continues tailing — Delta-style restart semantics).
+    // A CHANGEFEED stream first tries to read THROUGH the generation
+    // change: when every in-window rewrite is provably data-preserving
+    // (the shared chain walk — writer provenance + live-count
+    // conservation + no folded upsert history), this micro-batch is the
+    // exact net change set and the tail just continues — the hourly
+    // compactor no longer kills the consumer or forces a whole-log
+    // restart. Anything unprovable falls back to onTruncate semantics.
+    if (eo.generation > so.generation && wantDeleted &&
+        so.version >= 0L && eo.version >= 0L) {
+      val transparent: Option[Array[InputPartition]] =
+        try {
+          val startM = CollectionMeta.manifestMetaAt(path, so.version)
+          val endM = CollectionMeta.manifestAt(path, eo.version)
+          // both offsets must sit at version boundaries: a bounded-trigger
+          // backfill mid-version cannot locate its floor in version space
+          require(startM.nextOrdinal == so.nextOrdinal &&
+            endM.nextOrdinal == eo.nextOrdinal &&
+            endM.generation == eo.generation,
+            "offset is mid-version (bounded-trigger backfill)")
+          def refuse(why: String): Nothing =
+            throw new IllegalArgumentException(why)
+          val net = ChangeWindowPlanner.chainWalk(path, startM, endM,
+            (_, _) => (), refuse) // changefeed mode: deletes always emittable
+          val needed = net.drift.flatMap { case (seg, b) =>
+            Seq(seg.file) ++ seg.deleteVector ++ b } ++
+            net.dropped.flatMap(s => Seq(s.file) ++ s.deleteVector)
+          needed.foreach(f => require(
+            java.nio.file.Files.exists(path.resolve(f)),
+            s"superseded bytes $f were already reclaimed"))
+          Some((endM.segments.filter(s => net.includeFiles(s.file))
+            .flatMap(s => HadroInputPartition.ranges(path, s)) ++
+            net.drift.flatMap { case (seg, b) =>
+              HadroInputPartition.dvDeltaRanges(path, seg, b) } ++
+            net.dropped.flatMap(s =>
+              HadroInputPartition.dropRanges(path, s))).toArray)
+        } catch { case _: Exception => None }
+      transparent match {
+        case Some(parts) => return parts
+        case None => () // fall through to onTruncate semantics below
+      }
+    }
     val lo =
       if (eo.generation > so.generation) {
         if (onTruncate == "fail") throw new IllegalStateException(
           s"hadro stream over $path: the collection was truncated or " +
             s"compacted underneath the stream (generation ${so.generation} " +
-            s"-> ${eo.generation}). Restart with a fresh checkpoint, set " +
+            s"-> ${eo.generation}) and the change cannot be proven " +
+            "data-preserving. Restart with a fresh checkpoint, set " +
             "hadro.onTruncate=restart, or stream only from non-compacting " +
             "collections.")
         0L // restart: everything in the current log is new to this stream

@@ -314,6 +314,7 @@ final class HadroWriteBuilder(path: Path, info: LogicalWriteInfo,
         mergeSchema = opts.getBoolean("hadro.mergeSchema", false),
         autoCompact = autoCompactSpec,
         branch = branchSpec,
+        rewriteProvenance = opts.getBoolean("hadro.rewrite", false),
         // FULL declared sort list (not just the leading column): segment
         // writers capture composite lexicographic bounds from it
         sortColsFull = sortedSpec
@@ -579,8 +580,18 @@ final class HadroBatchWrite(path: Path, schema: StructType,
     mergeSchema: Boolean = false,
     autoCompact: Option[(Long, Int)] = None,
     branch: Option[String] = None,
-    sortColsFull: Seq[String] = Nil)
+    sortColsFull: Seq[String] = Nil,
+    // `hadro.rewrite` — the maintenance verbs' declaration that this
+    // commit is a DATA-PRESERVING rewrite: its segments are marked
+    // `rewritten` so changes-window chain walks can treat the commit as
+    // transparent (cross-checked against row-count conservation there).
+    rewriteProvenance: Boolean = false)
     extends BatchWrite with org.apache.spark.internal.Logging {
+
+  require(!rewriteProvenance || compactOf.isDefined || replaceSpec.isDefined,
+    "hadro: hadro.rewrite is reserved for data-preserving maintenance " +
+      "rewrites (compactOf / replaceFiles commits) — an ingest or " +
+      "replace-region write must not claim rewrite provenance")
 
   private val storedMeta = HadroWriteInit.ensureSchema(path, schema, tombstone,
     keyField, deleteCol, bucketSpec, compressSpec, mergeSchema)
@@ -753,8 +764,10 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       partitionOrdSpec, sortOrdSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val segs = messages.collect { case m: HadroCommitMessage => m.infos }
+    val segs0 = messages.collect { case m: HadroCommitMessage => m.infos }
       .flatten.filter(_.rows > 0)
+    val segs =
+      if (rewriteProvenance) segs0.map(_.copy(rewritten = true)) else segs0
     // An empty non-truncating write is a no-op: publishing a version would
     // only churn metadata, and an empty UPSERT/merge would flip a
     // pure-append collection's `mutated` bit — permanently disabling its
@@ -1102,16 +1115,21 @@ final class HadroBatchWrite(path: Path, schema: StructType,
       val m = CollectionMeta.currentManifest(path)
       val live = m.segments.flatMap(_.allFiles).toSet
       CollectionMeta.deferredGc(path, live)
-      // Manifest history: GC'd only on TRUNCATE (the old log's ordinals
-      // restart — retained manifests would misread the new log). A partial
-      // REPLACE (CoW delete/update/merge, compactSmall bins) keeps every
-      // retained manifest: the replaced segment files survive one deferred
-      // generation, so `VERSION AS OF` and rollback across the rewrite
-      // keep working — the Delta/Iceberg retention shape — and once the
-      // files are physically purged, manifestAt fail-fasts with its
-      // documented crosses-a-rewrite error. Bounded growth is unchanged:
-      // gcOldManifests ages out manifests beyond KeepVersions regardless.
-      if (truncate) CollectionMeta.gcManifestsBefore(path, m.version)
+      // Manifest history: GC'd only on a DATA-DESTROYING truncate
+      // (overwrite — the old log's rows are gone; retained manifests
+      // would only ever fail). A COMPACTION (truncate path with a
+      // compactOf pin) and a partial REPLACE (CoW delete/update/merge,
+      // compactSmall bins) keep every retained manifest: the superseded
+      // segment files survive one deferred generation, so `VERSION AS OF`
+      // and rollback across the rewrite keep working — the Delta/Iceberg
+      // retention shape — and once the files are physically purged,
+      // manifestAt fail-fasts with its documented crosses-a-rewrite
+      // error. Retained metadata is also what lets a changes-window walk
+      // the in-window manifest chain and read THROUGH a compaction.
+      // Bounded growth is unchanged: gcOldManifests ages out manifests
+      // beyond KeepVersions regardless.
+      if (truncate && compactOf.isEmpty)
+        CollectionMeta.gcManifestsBefore(path, m.version)
     }
     // Auto-compaction (opt-in, Delta autoCompact shape): after a
     // successful PLAIN APPEND, if the manifest now holds >= minSegments

@@ -186,13 +186,14 @@ class CollectionSpec extends SparkSuite {
     // n_rows counts raw live records (shadowed versions included)
     assert(pre.head.getLong(3) == c.scan().count())
 
-    c.compact() // v4: truncate — invalidated versions are GC'd with it
+    c.compact() // v4: rewrite — superseded manifests stay RETAINED
+    // (metadata outlives the rewrite so audit history and changes-window
+    // chain walks keep working; only the segment FILES defer to GC)
     val h = c.history().collect()
-    assert(h.map(_.getLong(0)).toSeq == Seq(4L))
-    assert(h.head.getString(1) == "unknown") // parent manifest gone
+    assert(h.map(_.getLong(0)).toSeq == Seq(4L, 3L, 2L, 1L))
     assert(h.head.getLong(3) == c.count())
     assert(h.head.getBoolean(5) == false) // compaction resolved all mutations
-    assert(h.head.getLong(6) == 1L)       // one truncate => generation 1
+    assert(h.head.getLong(6) == 1L)       // one rewrite => generation 1
 
     c.append(Seq(("middlemarch", "eliot")).toDF("title", "author")) // v5
     val ops = c.history().collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -47,13 +47,21 @@ class CompactionSpec extends SparkSuite {
     assert(c.scan().count() == expected) // raw log: only live rows remain
   }
 
-  test("scanVersion on a pre-compaction version fails fast with the documented error") {
+  test("scanVersion on a pre-compaction version survives until vacuum, " +
+      "then fails fast with the documented error") {
     val path = tmp("timetravel")
     val src = spark.read.parquet(s"$sf0001/nation.parquet")
     val c = Collection.create(spark, path, src, key = Some("n_nationkey"), numSegments = 4)
     val vPre = c.version
     c.delete(0, 1)
     c.compact()
+    // the Delta/Iceberg retention shape: the rewrite keeps superseded
+    // manifests AND defers physical file GC one maintenance cycle, so
+    // VERSION AS OF / rollback across the compaction keep working...
+    assert(c.scanVersion(vPre).count() == src.count())
+    // ...until vacuum reclaims the superseded bytes — then the documented
+    // fail-fast, not a deep FileNotFoundException
+    c.vacuum()
     val e = intercept[IllegalArgumentException](c.scanVersion(vPre).count())
     assert(e.getMessage.contains("hadro"), s"unexpected: ${e.getMessage}")
     assert(!e.getMessage.contains("FileNotFound"))

@@ -127,11 +127,11 @@ class ChangesSpec extends SparkSuite {
       spark.read.format("hadro")
         .option("hadro.changesStart", v1.toString).load(w1).count()
     }
-    // either face of the same guard: the start manifest may already be
-    // unreconstructable after the rewrite (manifestAt fail-fast), or it
-    // reconstructs and the generation check names the crossing
-    assert(e1.getMessage.contains("crosses a truncate") ||
-      e1.getMessage.contains("not available"), e1.getMessage)
+    // the chain walk reads through DATA-PRESERVING rewrites, but this
+    // full compact swallowed the IN-WINDOW append — its rows can no
+    // longer be attributed, so the window must still refuse
+    assert(e1.getMessage.contains("consumed in-window appended"),
+      e1.getMessage)
 
     // dv delete inside the window: row-level erasure, not an ordinal event
     val wh2 = Files.createTempDirectory("chgdv_wh").toString
@@ -404,6 +404,82 @@ class ChangesSpec extends SparkSuite {
     assert(rows == Seq(("r0", 1L, 30L), ("r1", 2L, 31L), ("r2", 1L, 30L)),
       rows.toString)
     spark.sql("DROP TABLE chgparts.db.docs")
+  }
+
+  test("changes windows read THROUGH data-preserving rewrites; " +
+      "row-changing rewrites still refuse") {
+    val wh = Files.createTempDirectory("chgrw_wh").toString
+    spark.conf.set("spark.sql.catalog.chgrw", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chgrw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chgrw.db")
+    spark.sql("CREATE TABLE chgrw.db.t (id BIGINT, s STRING) USING hadro")
+    val w = Paths.get(wh, "db", "t").toString
+    // several small pre-window segments
+    (0L until 20L).map(i => (i, s"v$i")).toDF("id", "s").repartition(4)
+      .write.format("hadro").mode("append").save(w)
+    val c = Collection(spark, w)
+    val v1 = c.version
+
+    // in-window: a compactSmall bins the pre-window smalls (generation
+    // bump, rewrite provenance), then fresh rows land
+    assert(c.compactSmall(1 << 20) >= 1, "bins expected")
+    c.append(Seq((100L, "new-a"), (101L, "new-b")).toDF("id", "s"))
+
+    // the window reads THROUGH the rewrite: exactly the appended rows
+    val ids = spark.read.format("hadro")
+      .option("hadro.changesStart", v1.toString).load(w)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(100L, 101L), ids.toString)
+    // provenance landed on the rewrite outputs
+    val m = CollectionMeta.currentManifest(Paths.get(w))
+    assert(m.segments.exists(_.rewritten), "rewrite outputs must be marked")
+
+    // dv deletes on REWRITE OUTPUTS (floor-equivalent files) synthesize
+    // CDC deletes for their pre-window rows
+    val v2 = c.version
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try spark.sql("DELETE FROM chgrw.db.t WHERE id < 3")
+    finally spark.conf.unset("spark.hadro.delete.mode")
+    val feed = spark.read.format("hadro")
+      .option("hadro.changefeed", "full")
+      .option("hadro.changesStart", v1.toString).load(w)
+      .select($"id", $"_hadro_deleted").as[(Long, Boolean)]
+      .collect().sorted.toSeq
+    assert(feed == Seq((0L, true), (1L, true), (2L, true),
+      (100L, false), (101L, false)), feed.toString)
+    // (v2, head]: only the deletes — the chain re-based the floor set
+    // through the rewrite, so the drift diffs against v2's vectors
+    val feed2 = spark.read.format("hadro")
+      .option("hadro.changefeed", "full")
+      .option("hadro.changesStart", v2.toString).load(w)
+      .select($"id", $"_hadro_deleted").as[(Long, Boolean)]
+      .collect().sorted.toSeq
+    assert(feed2 == Seq((0L, true), (1L, true), (2L, true)), feed2.toString)
+
+    // a FULL compact that swallows in-window appends refuses: the
+    // appended rows can no longer be attributed inside the rewrite
+    val v3 = c.version
+    c.append(Seq((200L, "x")).toDF("id", "s"))
+    c.compact()
+    val e1 = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.changefeed", "full")
+        .option("hadro.changesStart", v3.toString).load(w).count()
+    }
+    assert(e1.getMessage.contains("consumed in-window appended"), e1.getMessage)
+
+    // a row-CHANGING rewrite (REPLACE WHERE) refuses on provenance
+    val v4 = c.version
+    Seq((0L, "replacement")).toDF("id", "s")
+      .write.format("hadro")
+      .option("hadro.replaceWhere", "id < 50")
+      .mode("overwrite").save(w)
+    val e2 = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.changesStart", v4.toString).load(w).count()
+    }
+    assert(e2.getMessage.contains("rewrite provenance") ||
+      e2.getMessage.contains("not a provable data-preserving"), e2.getMessage)
   }
 
   test("incremental rollup: MERGE of tag-pinned changefeed windows equals " +

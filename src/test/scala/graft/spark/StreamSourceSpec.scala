@@ -292,6 +292,69 @@ class StreamSourceSpec extends SparkSuite {
     spark.sql("DROP TABLE sttag.db.t")
   }
 
+  test("changefeed stream reads THROUGH a mid-tail compaction; " +
+      "a truncate still restarts/fails") {
+    val wh = Files.createTempDirectory("strw_wh").toString
+    spark.conf.set("spark.sql.catalog.strw", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.strw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS strw.db")
+    spark.sql("CREATE TABLE strw.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO strw.db.t SELECT id, id * 1.0 FROM range(0, 20, 1, 4)")
+    val dir = java.nio.file.Paths.get(wh, "db", "t").toString
+    val c = Collection(spark, dir)
+
+    val q = spark.readStream.format("hadro")
+      .option("hadro.changefeed", "full").load(dir)
+      .writeStream.format("memory").queryName("strw_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("strw_mem").count() == 20L)
+      // mid-tail: the COMPACTOR runs (generation bump, rewrite
+      // provenance). The caught-up changefeed stream must read through
+      // it — the rewrite's outputs are pre-window rows, NOT re-emitted
+      val gen0 = graft.meta.CollectionMeta.currentManifest(
+        java.nio.file.Paths.get(dir)).generation
+      assert(c.compactSmall(1L << 30) >= 1)
+      assert(graft.meta.CollectionMeta.currentManifest(
+        java.nio.file.Paths.get(dir)).generation != gen0)
+      q.processAllAvailable()
+      assert(spark.table("strw_mem").count() == 20L,
+        "a data-preserving rewrite must emit NOTHING to the tail")
+      // the tail keeps flowing after the rewrite
+      spark.sql("INSERT INTO strw.db.t VALUES (100, 1.0)")
+      q.processAllAvailable()
+      assert(spark.table("strw_mem").count() == 21L)
+      // and dv deletes landing on REWRITE OUTPUTS still synthesize CDC
+      // delete rows (the floor re-based through the rewrite)
+      spark.conf.set("spark.hadro.delete.mode", "dv")
+      try spark.sql("DELETE FROM strw.db.t WHERE id < 2")
+      finally spark.conf.unset("spark.hadro.delete.mode")
+      q.processAllAvailable()
+      val dels = spark.table("strw_mem").filter($"_hadro_deleted")
+        .select($"id").as[Long].collect().sorted.toSeq
+      assert(dels == Seq(0L, 1L), dels.toString)
+    } finally q.stop()
+
+    // a TRUNCATE is not data-preserving: the stream still fails fast
+    val q2 = spark.readStream.format("hadro")
+      .option("hadro.changefeed", "full").load(dir)
+      .writeStream.format("memory").queryName("strw_mem2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      spark.sql("INSERT OVERWRITE strw.db.t SELECT id, id * 2.0 FROM range(0, 5)")
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO strw.db.t VALUES (200, 2.0)")
+        q2.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).toSeq
+      assert(chain(e).exists(x => Option(x.getMessage).exists(
+        _.contains("cannot be proven data-preserving"))), e.toString)
+    } finally q2.stop()
+  }
+
   test("changefeed stream synthesizes CDC deletes for a partition dropped mid-tail") {
     val wh = Files.createTempDirectory("stdrop_wh").toString
     spark.conf.set("spark.sql.catalog.stdrop", classOf[HadroCatalog].getName)
