@@ -608,8 +608,11 @@ class PropertySpec extends SparkSuite {
     case object DvDelete extends Op
     case object DropOldest extends Op
     case object Compact extends Op
+    case object Pack extends Op // compactSmall: the bin-scoped rewrite
+    case object Vacuum extends Op // reclaims superseded bytes mid-history
     val genOp: Gen[Op] = Gen.frequency(
-      5 -> Append, 4 -> DvDelete, 2 -> DropOldest, 2 -> Compact)
+      5 -> Append, 4 -> DvDelete, 2 -> DropOldest, 2 -> Compact,
+      2 -> Pack, 1 -> Vacuum)
     val genSeq: Gen[List[Op]] = Gen.listOfN(10, genOp)
     val MicrosPerDay = 86400000000L
     val day0 = java.time.LocalDate.of(2026, 10, 1).toEpochDay
@@ -673,6 +676,8 @@ class PropertySpec extends SparkSuite {
               live.filterInPlace(id => dayOf(id) >= cutoff)
               minLiveDay = cutoff
             case Compact => c.compact()
+            case Pack => c.compactSmall(1L << 20)
+            case Vacuum => c.vacuum()
           }
           record()
         }
