@@ -1,0 +1,113 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The INCREMENTAL-CONSUMER LOOP as a library verb (the h91/h93 pattern,
+  * packaged): a downstream materialized aggregate over a fact collection,
+  * maintained by MERGE-ing `changefeed=full` changes windows instead of
+  * recomputing — at 100 TB the difference between reading the night's
+  * segments and reading the table. The reference has no incremental
+  * machinery at all; this is extension surface shaped after the
+  * Delta/Iceberg MERGE-from-CDF cookbook pattern.
+  *
+  * Protocol:
+  *   - the consumer's position is a TAG on the fact collection
+  *     (`cursorTag`) — restart-safe (the tag survives the JVM), and the
+  *     tag PINS the floor: its manifest survives retention and its
+  *     segment/sidecar files are excluded from physical GC, so the
+  *     window (and its synthesized-delete source bytes) stay readable
+  *     across compaction, deferred GC and vacuum until the cursor moves.
+  *   - each [[cycle]] reads (cursorTag, head] with `changefeed=full`
+  *     (synthesized dv-delete and drop-partition rows included; windows
+  *     read THROUGH data-preserving compactions via the manifest chain
+  *     walk), folds inserts (+1, +value) and deletes (-1, -value) into
+  *     per-group deltas, MERGEs them into the rollup, and advances the
+  *     tag — so a crash before the tag move simply replays an
+  *     already-applied window into... nothing: the MERGE is NOT
+  *     idempotent, which is why the tag moves AFTER the merge inside the
+  *     same driver program, and why a failed cycle must be retried from
+  *     the exception, never skipped.
+  *   - sums ride DECIMAL(18,2) end-to-end, so the incremental fold is
+  *     bit-equal to a full recompute (IEEE double sums are
+  *     partition-order dependent; decimals are associative).
+  *
+  * Scale shape: one ordinal-floor-planned window scan (never the table),
+  * one map-side-combinable aggregate over window-sized data, one MERGE
+  * shuffling |groups touched| rows. No driver collect.
+  */
+object IncrementalRollup {
+
+  private def deltas(spark: SparkSession, factPath: String,
+      cursorTag: String, head: Long, groupCol: String,
+      sums: Seq[(String, String)]) = {
+    val aggs =
+      sum(when(col("_hadro_deleted"), -1L).otherwise(1L))
+        .cast("bigint").as("dn") +:
+      sums.map { case (src, out) =>
+        sum(when(col("_hadro_deleted"), -col(src).cast("decimal(18,2)"))
+          .otherwise(col(src).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as(s"d_$out")
+      }
+    spark.read.format("hadro")
+      .option("hadro.changefeed", "full")
+      .option("hadro.changesStart", cursorTag)
+      .option("hadro.changesEnd", head.toString).load(factPath)
+      .groupBy(col(groupCol).as("g"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Materialize the rollup FROM the tag-pinned snapshot (so cursor and
+    * rollup start consistent even if the fact collection moves while the
+    * bootstrap runs) as a keyed hadro collection at `rollupPath`:
+    * (groupCol, n BIGINT, <out> DECIMAL(18,2)...), keyed by the group.
+    * (Re)pins the cursor tag at the current head — bootstrap DEFINES the
+    * consumer's position, so a stale cursor from an earlier deployment
+    * must not survive it (tags overwrite; the old pin returns to GC). */
+  def bootstrap(spark: SparkSession, factPath: String, cursorTag: String,
+      rollupPath: String, groupCol: String,
+      sums: Seq[(String, String)]): Unit = {
+    val fact = Collection(spark, factPath)
+    fact.createTag(cursorTag)
+    val aggs =
+      count(lit(1)).cast("bigint").as("n") +:
+      sums.map { case (src, out) =>
+        sum(col(src).cast("decimal(18,2)")).cast("decimal(18,2)").as(out) }
+    spark.read.format("hadro").option("hadro.versionAsOf", cursorTag)
+      .load(factPath)
+      .groupBy(col(groupCol).as("g")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("g", groupCol)
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.key", groupCol).save(rollupPath)
+  }
+
+  /** One consumer cycle against `rollupTable` (a catalog identifier the
+    * session can MERGE INTO — the rollup collection registered through
+    * HadroCatalog). Groups whose count reaches zero are DELETED from the
+    * rollup; unseen groups INSERT. Returns the new cursor version (the
+    * head this cycle consumed up to); a caught-up consumer applies an
+    * empty delta and still advances. */
+  def cycle(spark: SparkSession, factPath: String, cursorTag: String,
+      rollupTable: String, groupCol: String,
+      sums: Seq[(String, String)]): Long = {
+    val fact = Collection(spark, factPath)
+    val head = fact.version
+    val view = s"hadro_rollup_delta_${math.abs(rollupTable.hashCode)}"
+    deltas(spark, factPath, cursorTag, head, groupCol, sums)
+      .createOrReplaceTempView(view)
+    val sets = ("n = t.n + d.dn" +: sums.map { case (_, out) =>
+      s"$out = CAST(t.$out + d.d_$out AS DECIMAL(18,2))" }).mkString(", ")
+    val insCols = (Seq(groupCol, "n") ++ sums.map(_._2)).mkString(", ")
+    val insVals = (Seq("d.g", "d.dn") ++ sums.map(s => s"d.d_${s._2}"))
+      .mkString(", ")
+    spark.sql(
+      s"""MERGE INTO $rollupTable t USING $view d
+          ON t.$groupCol <=> d.g
+          WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET $sets
+          WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
+    spark.catalog.dropTempView(view)
+    fact.createTag(cursorTag, head)
+    head
+  }
+}

@@ -3221,43 +3221,16 @@ object StorageQueries {
         val aggPath = s"$wh/db/seg_agg"
         val cust = table(s, dir, "customer")
           .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
-        // v0: the even half; rollup materialized FROM THE TAGGED SNAPSHOT
+        // v0: the even half; the library verb materializes the rollup
+        // FROM THE TAGGED SNAPSHOT and owns the cursor from here on
         cust.filter($"c_custkey" % 2 === 0)
           .write.format("hadro").mode("overwrite").save(factPath)
-        Collection(s, factPath).createTag("h91_cursor")
-        s.read.format("hadro").option("hadro.versionAsOf", "h91_cursor")
-          .load(factPath)
-          .groupBy($"c_mktsegment".as("seg"))
-          .agg(count(lit(1)).cast("bigint").as("n"),
-            sum($"c_acctbal".cast("decimal(18,2)")).cast("decimal(18,2)")
-              .as("sum_bal"))
-          .write.format("hadro").mode("overwrite")
-          .option("hadro.key", "seg").save(aggPath)
-        // one consumer cycle: window (cursor tag, head] -> delta -> MERGE
+        graft.api.IncrementalRollup.bootstrap(s, factPath, "h91_cursor",
+          aggPath, "c_mktsegment", Seq("c_acctbal" -> "sum_bal"))
         def cycle(): Unit = {
-          val fact = Collection(s, factPath)
-          val head = fact.version
-          val signedBal = when($"_hadro_deleted",
-            -$"c_acctbal".cast("decimal(18,2)"))
-            .otherwise($"c_acctbal".cast("decimal(18,2)"))
-          s.read.format("hadro")
-            .option("hadro.changefeed", "full")
-            .option("hadro.changesStart", "h91_cursor")
-            .option("hadro.changesEnd", head.toString).load(factPath)
-            .groupBy($"c_mktsegment".as("seg"))
-            .agg(sum(when($"_hadro_deleted", -1L).otherwise(1L))
-              .cast("bigint").as("dn"),
-              sum(signedBal).cast("decimal(18,2)").as("dsum"))
-            .createOrReplaceTempView("h91_delta")
-          s.sql("""MERGE INTO graft_h91.db.seg_agg t USING h91_delta d
-            ON t.seg = d.seg
-            WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
-            WHEN MATCHED THEN UPDATE SET
-              n = t.n + d.dn,
-              sum_bal = CAST(t.sum_bal + d.dsum AS DECIMAL(18,2))
-            WHEN NOT MATCHED THEN INSERT (seg, n, sum_bal)
-              VALUES (d.seg, d.dn, d.dsum)""")
-          fact.createTag("h91_cursor", head)
+          graft.api.IncrementalRollup.cycle(s, factPath, "h91_cursor",
+            "graft_h91.db.seg_agg", "c_mktsegment", Seq("c_acctbal" -> "sum_bal"))
+          ()
         }
         s.conf.set("spark.hadro.delete.mode", "dv")
         try {
@@ -3275,7 +3248,8 @@ object StorageQueries {
           cycle()
         } finally s.conf.unset("spark.hadro.delete.mode")
         Collection(s, aggPath).toDF()
-          .select($"seg", $"n", $"sum_bal".cast("double").as("sum_bal"))
+          .select($"c_mktsegment".as("seg"), $"n",
+            $"sum_bal".cast("double").as("sum_bal"))
           .orderBy("seg")
       },
       Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
@@ -3314,38 +3288,12 @@ object StorageQueries {
         cust.filter($"c_custkey" % 2 === 0).repartition(4)
           .write.format("hadro").mode("overwrite").save(factPath)
         val fact = Collection(s, factPath)
-        fact.createTag("h93_cursor")
-        s.read.format("hadro").option("hadro.versionAsOf", "h93_cursor")
-          .load(factPath)
-          .groupBy($"c_mktsegment".as("seg"))
-          .agg(count(lit(1)).cast("bigint").as("n"),
-            sum($"c_acctbal".cast("decimal(18,2)")).cast("decimal(18,2)")
-              .as("sum_bal"))
-          .write.format("hadro").mode("overwrite")
-          .option("hadro.key", "seg").save(aggPath)
+        graft.api.IncrementalRollup.bootstrap(s, factPath, "h93_cursor",
+          aggPath, "c_mktsegment", Seq("c_acctbal" -> "sum_bal"))
         def cycle(): Unit = {
-          val head = fact.version
-          val signedBal = when($"_hadro_deleted",
-            -$"c_acctbal".cast("decimal(18,2)"))
-            .otherwise($"c_acctbal".cast("decimal(18,2)"))
-          s.read.format("hadro")
-            .option("hadro.changefeed", "full")
-            .option("hadro.changesStart", "h93_cursor")
-            .option("hadro.changesEnd", head.toString).load(factPath)
-            .groupBy($"c_mktsegment".as("seg"))
-            .agg(sum(when($"_hadro_deleted", -1L).otherwise(1L))
-              .cast("bigint").as("dn"),
-              sum(signedBal).cast("decimal(18,2)").as("dsum"))
-            .createOrReplaceTempView("h93_delta")
-          s.sql("""MERGE INTO graft_h93.db.seg_agg t USING h93_delta d
-            ON t.seg = d.seg
-            WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
-            WHEN MATCHED THEN UPDATE SET
-              n = t.n + d.dn,
-              sum_bal = CAST(t.sum_bal + d.dsum AS DECIMAL(18,2))
-            WHEN NOT MATCHED THEN INSERT (seg, n, sum_bal)
-              VALUES (d.seg, d.dn, d.dsum)""")
-          fact.createTag("h93_cursor", head)
+          graft.api.IncrementalRollup.cycle(s, factPath, "h93_cursor",
+            "graft_h93.db.seg_agg", "c_mktsegment", Seq("c_acctbal" -> "sum_bal"))
+          ()
         }
         s.conf.set("spark.hadro.delete.mode", "dv")
         try {
@@ -3371,7 +3319,8 @@ object StorageQueries {
           cycle()
         } finally s.conf.unset("spark.hadro.delete.mode")
         Collection(s, aggPath).toDF()
-          .select($"seg", $"n", $"sum_bal".cast("double").as("sum_bal"))
+          .select($"c_mktsegment".as("seg"), $"n",
+            $"sum_bal".cast("double").as("sum_bal"))
           .orderBy("seg")
       },
       Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,

@@ -482,6 +482,57 @@ class ChangesSpec extends SparkSuite {
       e2.getMessage.contains("not a provable data-preserving"), e2.getMessage)
   }
 
+  test("a tag-pinned cursor keeps its window readable across compaction, " +
+      "dv deletes AND vacuum; vacuum after a FOLDING rewrite refuses " +
+      "actionably") {
+    val wh = Files.createTempDirectory("chgpin_wh").toString
+    spark.conf.set("spark.sql.catalog.chgpin", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.chgpin.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS chgpin.db")
+    spark.sql("CREATE TABLE chgpin.db.t (id BIGINT, v DOUBLE) USING hadro")
+    spark.sql("INSERT INTO chgpin.db.t SELECT id, id * 1.0 FROM range(0, 20, 1, 4)")
+    val dir = Paths.get(wh, "db", "t").toString
+    val c = Collection(spark, dir)
+    c.createTag("cursor")
+    // in-window: rewrite FIRST, then dv deletes (landing on the rewrite
+    // outputs — live files whose sidecars the current manifest keeps),
+    // an append, and a VACUUM. The cursor tag pins the floor manifest
+    // and its files, the live manifest keeps the drift sidecars, so the
+    // whole window stays readable through the sweep.
+    assert(c.compactSmall(1L << 30) >= 1)
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try spark.sql("DELETE FROM chgpin.db.t WHERE id < 3")
+    finally spark.conf.unset("spark.hadro.delete.mode")
+    spark.sql("INSERT INTO chgpin.db.t VALUES (100, 1.0)")
+    c.vacuum()
+    val feed = spark.read.format("hadro")
+      .option("hadro.changefeed", "full")
+      .option("hadro.changesStart", "cursor").load(dir)
+      .select($"id", $"_hadro_deleted").as[(Long, Boolean)]
+      .collect().sorted.toSeq
+    assert(feed == Seq((0L, true), (1L, true), (2L, true), (100L, false)),
+      feed.toString)
+    // the OTHER order — dv delete, then a rewrite that FOLDS it, then
+    // vacuum — reclaims the intermediate dv sidecar (it belongs to an
+    // untagged intermediate version: the floor tag cannot pin it), so
+    // the window refuses at PLAN time with the replay-from-snapshot
+    // recovery path, never a task FileNotFoundException. Operationally:
+    // vacuum after consumers advance, or replay from snapshot.
+    c.createTag("cursor2")
+    spark.conf.set("spark.hadro.delete.mode", "dv")
+    try spark.sql("DELETE FROM chgpin.db.t WHERE id >= 3 AND id < 5")
+    finally spark.conf.unset("spark.hadro.delete.mode")
+    assert(c.compactSmall(1L << 30) >= 1) // folds the fresh dv rows
+    c.vacuum()
+    val e = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.changefeed", "full")
+        .option("hadro.changesStart", "cursor2").load(dir).count()
+    }
+    assert(e.getMessage.contains("reclaimed") ||
+      e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   test("incremental rollup: MERGE of tag-pinned changefeed windows equals " +
       "full recompute across a two-cycle handoff") {
     val wh = Files.createTempDirectory("chgroll_wh").toString
