@@ -62,9 +62,11 @@ object ChangeFeed {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(key)).orderBy(col(HadroTable.SeqCol).desc)))
       .filter(col("_rn") === 1).drop("_rn", HadroTable.SeqCol)
-    // pre-window images, restricted to touched keys BEFORE the join
-    val pre = spark.read.format("hadro")
-      .option("hadro.versionAsOf", startVersion.toString).load(path)
+    // pre-window images, restricted to touched keys BEFORE the join —
+    // the RESOLVED snapshot (LWW-collapsed, tombstone-free): a raw scan
+    // would still carry shadowed versions of previously-updated keys and
+    // duplicate every pre-image (caught by h94's two-cycle oracle)
+    val pre = Collection(spark, path).resolvedAsOf(startVersion)
       .join(last.select(col(key)), Seq(key), "left_semi")
     val oldCols = payload.filterNot(_ == key)
       .map(c => col(s"o.$c").as(s"_old_$c"))

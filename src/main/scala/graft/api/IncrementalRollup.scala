@@ -110,4 +110,54 @@ object IncrementalRollup {
     fact.createTag(cursorTag, head)
     head
   }
+
+  /** [[cycle]] for a KEYED fact collection, where the raw changefeed is
+    * NOT a valid delta — an upsert's new version would double-count (the
+    * shadowed row's contribution is already in the rollup) — so the
+    * window is first classified into Delta-CDF-style typed rows by
+    * [[ChangeFeed.updateImages]]: `insert`/`update_postimage` fold +1/+v,
+    * `delete`/`update_preimage` fold -1/-v (an update nets 0 rows,
+    * -old+new value), keys created and destroyed in-window net out
+    * entirely. Same MERGE, cursor and exactness contract as [[cycle]].
+    * Scale adds one key-equality join against the touched-keys-restricted
+    * start snapshot (updateImages' shape) — still never the table. */
+  def cycleKeyed(spark: SparkSession, factPath: String, cursorTag: String,
+      rollupTable: String, groupCol: String,
+      sums: Seq[(String, String)]): Long = {
+    val fact = Collection(spark, factPath)
+    val head = fact.version
+    val floor = fact.tags.getOrElse(cursorTag, throw new IllegalArgumentException(
+      s"hadro: no cursor tag '$cursorTag' on $factPath — bootstrap first"))
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    // the uniform sign makes GROUP-CHANGING updates correct for counts
+    // too: pre/post cancel inside an unchanged group, and an update that
+    // moved a key across groups decrements the old group and increments
+    // the new one
+    val aggs =
+      sum(sign).cast("bigint").as("dn") +:
+      sums.map { case (src, out) =>
+        sum((sign * col(src).cast("decimal(18,2)")).cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as(s"d_$out")
+      }
+    val view = s"hadro_rollup_kdelta_${math.abs(rollupTable.hashCode)}"
+    ChangeFeed.updateImages(spark, factPath, floor, head)
+      .groupBy(col(groupCol).as("g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .createOrReplaceTempView(view)
+    val sets = ("n = t.n + d.dn" +: sums.map { case (_, out) =>
+      s"$out = CAST(t.$out + d.d_$out AS DECIMAL(18,2))" }).mkString(", ")
+    val insCols = (Seq(groupCol, "n") ++ sums.map(_._2)).mkString(", ")
+    val insVals = (Seq("d.g", "d.dn") ++ sums.map(s => s"d.d_${s._2}"))
+      .mkString(", ")
+    spark.sql(
+      s"""MERGE INTO $rollupTable t USING $view d
+          ON t.$groupCol <=> d.g
+          WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET $sets
+          WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
+    spark.catalog.dropTempView(view)
+    fact.createTag(cursorTag, head)
+    head
+  }
 }

@@ -3330,6 +3330,86 @@ object StorageQueries {
         GROUP BY 1 ORDER BY 1"""))
     ,
 
+    // ---------------------------------------------------------------- h94
+    // The KEYED incremental-consumer loop: for an upsert/tombstone fact
+    // table, a raw changefeed window is NOT a valid rollup delta (an
+    // upsert's new version would double-count the shadowed row), so
+    // IncrementalRollup.cycleKeyed classifies the window through
+    // ChangeFeed.updateImages first and folds the typed rows with a
+    // uniform sign — insert/update_postimage +1/+v, delete/
+    // update_preimage -1/-v — which also makes GROUP-CHANGING updates
+    // exact (the old group decrements, the new group increments). Two
+    // cycles: value updates, a segment move to 'MOVED', inserts,
+    // tombstone deletes (including half the moved group and in-window
+    // insert+delete churn that nets out). Oracle = full recompute over
+    // the final keyed state.
+    QueryDef(
+      "h94_keyed_incremental_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h94"
+        s.conf.set("spark.sql.catalog.graft_h94",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h94.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h94.db")
+        val factPath = s"$wh/db/cust"
+        val aggPath = s"$wh/db/seg_agg"
+        val cust = table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        cust.filter($"c_custkey" % 2 === 0)
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "c_custkey").save(factPath)
+        val fact = Collection(s, factPath)
+        graft.api.IncrementalRollup.bootstrap(s, factPath, "h94_cursor",
+          aggPath, "c_mktsegment", Seq("c_acctbal" -> "sum_bal"))
+        def cycle(): Unit = {
+          graft.api.IncrementalRollup.cycleKeyed(s, factPath, "h94_cursor",
+            "graft_h94.db.seg_agg", "c_mktsegment",
+            Seq("c_acctbal" -> "sum_bal"))
+          ()
+        }
+        // cycle 1: value updates, a GROUP MOVE, inserts, tombstones
+        fact.set(cust.filter($"c_custkey" % 10 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" * 2))
+        fact.set(cust.filter($"c_custkey" % 10 === 6)
+          .withColumn("c_mktsegment", lit("MOVED")))
+        fact.set(cust.filter($"c_custkey" % 2 === 1 &&
+          $"c_custkey" % 7 === 0))
+        fact.merge(cust.filter($"c_custkey" % 10 === 4)
+          .withColumn("d", lit(true)), $"d")
+        cycle()
+        // cycle 2: more updates, churn that nets out, moved-group deletes
+        fact.set(cust.filter($"c_custkey" % 10 === 2)
+          .withColumn("c_acctbal", $"c_acctbal" + 1000.0))
+        fact.set(cust.filter($"c_custkey" % 2 === 1 &&
+          $"c_custkey" % 11 === 0))
+        fact.merge(cust.filter(($"c_custkey" % 20 === 6) ||
+            ($"c_custkey" % 2 === 1 && $"c_custkey" % 11 === 0))
+          .withColumn("d", lit(true)), $"d")
+        cycle()
+        Collection(s, aggPath).toDF()
+          .select($"c_mktsegment".as("seg"), $"n",
+            $"sum_bal".cast("double").as("sum_bal"))
+          .orderBy("seg")
+      },
+      Some("""WITH fin AS (
+          SELECT c_custkey,
+            CASE WHEN c_custkey % 10 = 6 THEN 'MOVED'
+                 ELSE c_mktsegment END AS seg,
+            CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
+                 WHEN c_custkey % 10 = 2 THEN c_acctbal + 1000.0
+                 ELSE c_acctbal END AS bal
+          FROM customer
+          WHERE (c_custkey % 2 = 0 AND c_custkey % 10 <> 4
+                 AND c_custkey % 20 <> 6)
+             OR (c_custkey % 2 = 1 AND c_custkey % 7 = 0
+                 AND c_custkey % 11 <> 0))
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM fin GROUP BY 1 ORDER BY 1"""))
+    ,
+
     // ---------------------------------------------------------------- h92
     // CDC UPDATE PRE-IMAGES (Delta-CDF `_change_type` analog): a keyed
     // collection's changes window, classified per key against the

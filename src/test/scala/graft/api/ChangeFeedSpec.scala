@@ -20,7 +20,7 @@ class ChangeFeedSpec extends SparkSuite {
     val c = Collection(spark, w)
     val v1 = c.version
     // upsert existing key 1, insert new keys 7 and 9
-    c.append(Seq((1L, "a", 99.0), (7L, "g", 70.0), (9L, "i", 90.0))
+    c.set(Seq((1L, "a", 99.0), (7L, "g", 70.0), (9L, "i", 90.0))
       .toDF("k", "s", "v"))
     // delete existing key 2 and in-window key 9 (nets out)
     c.merge(Seq((2L, "b", 20.0, true), (9L, "i", 90.0, true))
@@ -39,6 +39,23 @@ class ChangeFeedSpec extends SparkSuite {
       (2L, "b", 20.0, "delete"),
       (7L, "g", 70.0, "insert")), out.toString)
     // key 9 (created AND destroyed inside the window) appears nowhere
+  }
+
+  test("updateImages pre-images resolve shadowed versions: a key updated " +
+      "in an EARLIER window contributes exactly one pre-image") {
+    val w = Files.createTempDirectory("uimg2").resolve("c").toString
+    Collection.create(spark, w, Seq((1L, "a", 1.0)).toDF("k", "s", "v"),
+      key = Some("k"))
+    val c = Collection(spark, w)
+    c.set(Seq((1L, "a", 2.0)).toDF("k", "s", "v")) // window 1 (consumed)
+    val v2 = c.version
+    c.set(Seq((1L, "a", 3.0)).toDF("k", "s", "v")) // window 2
+    val out = ChangeFeed.updateImages(spark, w, v2, c.version)
+      .as[(Long, String, Double, String)].collect().sorted.toSeq
+    // the raw v2 log holds TWO versions of k=1 (1.0 shadowed by 2.0);
+    // the pre-image must be the RESOLVED one — exactly one pair emitted
+    assert(out == Seq((1L, "a", 2.0, "update_preimage"),
+      (1L, "a", 3.0, "update_postimage")), out.toString)
   }
 
   test("updateImages refuses unkeyed collections") {
