@@ -1141,9 +1141,15 @@ final class Collection private (spark: SparkSession, val path: String) {
     * [[expireSnapshots]], rewrite GC — and its segment/sidecar files are
     * excluded from deferred physical GC, so `VERSION AS OF '<name>'` (and
     * [[restoreVersion]]) keep working across later compaction/truncate/CoW
-    * until [[dropTag]]. `version = -1` tags the current head. Returns the
-    * version tagged. At 100 TB a tag is the cheap "release snapshot" verb:
-    * one metadata write pins the exact bytes a training run consumed. */
+    * until [[dropTag]]. A tag ALSO extends manifest retention forward:
+    * every manifest at or above the LOWEST tag survives count-based
+    * ageout, so an incremental consumer whose cursor tag sits at version
+    * P can replay (P, head] through the manifest chain (changes-window
+    * walks across compactions need every in-window manifest) no matter
+    * how far it lags — retention bounded by consumer lag, the Kafka
+    * shape. `version = -1` tags the current head. Returns the version
+    * tagged. At 100 TB a tag is the cheap "release snapshot" verb: one
+    * metadata write pins the exact bytes a training run consumed. */
   def createTag(name: String, version: Long = -1L): Long = {
     require(!CollectionMeta.readBranches(dir).contains(name),
       s"hadro: '$name' is a branch — tags and branches share the " +

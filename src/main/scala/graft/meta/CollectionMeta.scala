@@ -667,9 +667,32 @@ object CollectionMeta {
     * as committed, WITHOUT [[manifestAt]]'s segment-file reconstructability
     * check — for consumers that walk manifest HISTORY (the changes-window
     * chain walk classifying in-window commits) and never open the bytes of
-    * superseded segments. Throws if the manifest itself aged out. */
-  def manifestMetaAt(collection: Path, v: Long): Manifest =
+    * superseded segments. An aged-out manifest fails with [[manifestAt]]'s
+    * documented not-available error, never a raw NoSuchFileException. */
+  def manifestMetaAt(collection: Path, v: Long): Manifest = {
+    if (!Files.exists(manifestFile(collection, v)))
+      missingVersion(collection, v)
     readManifest(collection, v)
+  }
+
+  private def missingVersion(collection: Path, version: Long): Nothing = {
+    // report the versions ACTUALLY on disk, not the nominal KeepVersions
+    // window: compaction GC removes unreconstructable older manifests
+    // regardless of count, and "retained: 1..10" for a missing version 2
+    // sent one debugging session in exactly the wrong direction
+    val have = listDir(metaDir(collection))
+      .flatMap(_.getFileName.toString match {
+        case ManifestRe(v) => Some(v.toLong)
+        case _ => None
+      }).sorted
+    val desc =
+      if (have.isEmpty) "none retained"
+      else if (have.size <= 8) s"retained: ${have.mkString(", ")}"
+      else s"retained: ${have.size} versions in ${have.min}..${have.max}"
+    throw new IllegalArgumentException(
+      s"hadro: version $version not available for $collection ($desc; " +
+        "tag a version to pin it against retention)")
+  }
 
   private def readManifest(collection: Path, v: Long): Manifest = {
     val f = manifestFile(collection, v)
@@ -692,24 +715,8 @@ object CollectionMeta {
     * the manifest survives but its segments were physically dropped by a
     * later compaction/truncate (no FileNotFoundException deep in a reader). */
   def manifestAt(collection: Path, version: Long): Manifest = {
-    if (!Files.exists(manifestFile(collection, version))) {
-      // report the versions ACTUALLY on disk, not the nominal KeepVersions
-      // window: compaction GC removes unreconstructable older manifests
-      // regardless of count, and "retained: 1..10" for a missing version 2
-      // sent one debugging session in exactly the wrong direction
-      val have = listDir(metaDir(collection))
-        .flatMap(_.getFileName.toString match {
-          case ManifestRe(v) => Some(v.toLong)
-          case _ => None
-        }).sorted
-      val desc =
-        if (have.isEmpty) "none retained"
-        else if (have.size <= 8) s"retained: ${have.mkString(", ")}"
-        else s"retained: ${have.size} versions in ${have.min}..${have.max}"
-      throw new IllegalArgumentException(
-        s"hadro: version $version not available for $collection ($desc; " +
-          "tag a version to pin it against retention)")
-    }
+    if (!Files.exists(manifestFile(collection, version)))
+      missingVersion(collection, version)
     val m = readManifest(collection, version)
     val missing = m.segments.filterNot(s => Files.exists(collection.resolve(s.file)))
     if (missing.nonEmpty)
@@ -854,6 +861,17 @@ object CollectionMeta {
   private def gcOldManifests(collection: Path, newest: Long): Unit = {
     val dir = metaDir(collection)
     val tagged = taggedVersions(collection)
+    // Consumer-lag retention: a TAG does not just pin its own version —
+    // every manifest AT OR ABOVE the lowest tag survives count-based
+    // ageout, because an incremental consumer whose cursor tag sits at
+    // version P replays (P, head] through the manifest CHAIN (the
+    // changes-window walk across rewrites needs every in-window
+    // manifest's metadata). Retention is therefore bounded by consumer
+    // lag, exactly the Kafka-retention tradeoff: drop the cursor tag
+    // (or advance it) and the backlog ages out normally. With no tags,
+    // behavior is the plain KeepVersions window.
+    val minPin =
+      if (tagged.isEmpty) Long.MaxValue else tagged.min
     // The MAIN head is sacred regardless of version distance: branch
     // commits inflate the shared version space, so after KeepVersions+
     // staged commits the main head would otherwise fall past the cutoff
@@ -864,7 +882,8 @@ object CollectionMeta {
     val aged = listDir(dir)
       .filter(p => p.getFileName.toString match {
         case ManifestRe(v) => v.toLong < newest - KeepVersions &&
-          !tagged(v.toLong) && v.toLong != mainHead
+          !tagged(v.toLong) && v.toLong != mainHead &&
+          v.toLong < minPin
         case _ => false
       })
     if (aged.isEmpty) return

@@ -406,6 +406,41 @@ class ChangesSpec extends SparkSuite {
     spark.sql("DROP TABLE chgparts.db.docs")
   }
 
+  test("a cursor tag extends manifest retention: a consumer lagging far " +
+      "past KeepVersions still replays its window through a rewrite") {
+    val w = tmp("chglag")
+    Collection.create(spark, w, Seq((0L, "seed")).toDF("id", "s"))
+    val c = Collection(spark, w)
+    c.createTag("cursor")
+    val floor = c.version
+    // lag far past the KeepVersions ageout window: a rewrite plus many
+    // more commits than count-based retention would keep
+    assert(c.compactSmall(1L << 30) >= 0)
+    (1L to (CollectionMeta.KeepVersions + 6L)).foreach { i =>
+      c.append(Seq((i, s"v$i")).toDF("id", "s"))
+    }
+    // the tag kept every manifest >= the floor alive, so the chain walk
+    // classifies all of them and the window is exactly the appends
+    val ids = spark.read.format("hadro")
+      .option("hadro.changesStart", "cursor").load(w)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (1L to (CollectionMeta.KeepVersions + 6L)), ids.toString)
+    // an UNTAGGED collection at the same lag keeps bounded retention:
+    // the old floor ages out and the window fail-fasts as documented
+    val w2 = tmp("chglag2")
+    Collection.create(spark, w2, Seq((0L, "seed")).toDF("id", "s"))
+    val c2 = Collection(spark, w2)
+    val floor2 = c2.version
+    (1L to (CollectionMeta.KeepVersions + 6L)).foreach { i =>
+      c2.append(Seq((i, s"v$i")).toDF("id", "s"))
+    }
+    val e = intercept[Exception] {
+      spark.read.format("hadro")
+        .option("hadro.changesStart", floor2.toString).load(w2).count()
+    }
+    assert(e.getMessage.contains("not available"), e.getMessage)
+  }
+
   test("changes windows read THROUGH data-preserving rewrites; " +
       "row-changing rewrites still refuse") {
     val wh = Files.createTempDirectory("chgrw_wh").toString
