@@ -58,6 +58,23 @@ class ChangeFeedSpec extends SparkSuite {
       (1L, "a", 3.0, "update_postimage")), out.toString)
   }
 
+  test("delete-then-reinsert inside one window is an update pair whose " +
+      "pre-image is the ORIGINAL value") {
+    val w = Files.createTempDirectory("uimg3").resolve("c").toString
+    Collection.create(spark, w, Seq((4L, "d", 40.0)).toDF("k", "s", "v"),
+      key = Some("k"))
+    val c = Collection(spark, w)
+    val v1 = c.version
+    c.merge(Seq((4L, "d", 40.0, true)).toDF("k", "s", "v", "d"), $"d")
+    c.set(Seq((4L, "d", 44.0)).toDF("k", "s", "v"))
+    val out = ChangeFeed.updateImages(spark, w, v1, c.version)
+      .as[(Long, String, Double, String)].collect().sorted.toSeq
+    // the window's NET action for key 4 is an upsert of an existing key:
+    // the interim tombstone is invisible to a net-per-key consumer
+    assert(out == Seq((4L, "d", 40.0, "update_preimage"),
+      (4L, "d", 44.0, "update_postimage")), out.toString)
+  }
+
   test("updateImages refuses unkeyed collections") {
     val w = Files.createTempDirectory("uimgu").resolve("c").toString
     Collection.create(spark, w, Seq((1L, "a")).toDF("k", "s"))
