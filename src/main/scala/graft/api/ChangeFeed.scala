@@ -31,10 +31,13 @@ import graft.spark.HadroTable
   * consumer (h91) applies, and it needs no replay of intermediate
   * versions. Scale shape: ONE window-sized scan (ordinal-floor planned —
   * never the table), one per-key window function over window-sized data,
-  * and one key-equality join against the start snapshot RESTRICTED to
-  * touched keys via a semi join, so the snapshot side prunes with
-  * whatever key pushdown the scan offers and AQE broadcasts small
-  * windows. No driver collect. */
+  * and a pre-image side restricted to the window's touched keys BELOW
+  * its LWW resolve ([[Collection.resolvedAsOf(version,touched)]]):
+  * bounded key sets push into the snapshot scan as an IN predicate —
+  * key-bloom / key-offset sidecars prune untouched segments at plan
+  * time — and larger sets semi-join before the per-key window, so the
+  * resolve shuffle carries touched-key rows, never the table. The only
+  * driver materialization is the bounded touched-key probe. */
 object ChangeFeed {
 
   /** Typed change rows for (startVersion, endVersion] of the keyed
@@ -62,12 +65,15 @@ object ChangeFeed {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(key)).orderBy(col(HadroTable.SeqCol).desc)))
       .filter(col("_rn") === 1).drop("_rn", HadroTable.SeqCol)
-    // pre-window images, restricted to touched keys BEFORE the join —
-    // the RESOLVED snapshot (LWW-collapsed, tombstone-free): a raw scan
-    // would still carry shadowed versions of previously-updated keys and
-    // duplicate every pre-image (caught by h94's two-cycle oracle)
-    val pre = Collection(spark, path).resolvedAsOf(startVersion)
-      .join(last.select(col(key)), Seq(key), "left_semi")
+    // pre-window images, restricted to touched keys BELOW the LWW
+    // resolve (restrict-then-resolve): the snapshot-side window shuffle
+    // carries only touched-key rows, and bounded key sets prune the
+    // scan itself via IN pushdown. The RESOLVED snapshot (LWW-collapsed,
+    // tombstone-free) is still required: a raw scan would carry shadowed
+    // versions of previously-updated keys and duplicate every pre-image
+    // (caught by h94's two-cycle oracle).
+    val pre = Collection(spark, path)
+      .resolvedAsOf(startVersion, win.select(col(key)))
     val oldCols = payload.filterNot(_ == key)
       .map(c => col(s"o.$c").as(s"_old_$c"))
     val paired = last.as("n").join(pre.as("o"), Seq(key), "left")

@@ -68,6 +68,49 @@ final class Collection private (spark: SparkSession, val path: String) {
     case _ => scanVersion(version)
   }
 
+  /** [[resolvedAsOf]] RESTRICTED to the key values in `touched` (a
+    * one-column frame), with the restriction applied BELOW the LWW
+    * window: per-key row_number ranks are independent across keys, so
+    * restrict-then-resolve equals resolve-then-restrict while the window
+    * shuffle carries only the touched keys' rows — never the table.
+    * Bounded key sets (≤ [[Collection.MaxKeyPushdown]], measured by a
+    * touched-side probe) additionally push into the snapshot scan as an
+    * IN predicate, where the per-segment key bloom / key-offset sidecars
+    * prune untouched segments outright (the `liveTopK` shape,
+    * `ops/SimilarityOps.scala`); larger sets fall back to a semi join
+    * (AQE broadcasts the key side when it fits) — the scan still reads
+    * the snapshot, but nothing table-sized crosses an exchange. This is
+    * what keeps the keyed incremental-consumer loop
+    * ([[ChangeFeed.updateImages]] → [[IncrementalRollup.cycleKeyed]])
+    * window-proportional instead of table-proportional per cycle. */
+  def resolvedAsOf(version: Long, touched: DataFrame): DataFrame = {
+    val k = keyField.getOrElse(throw new IllegalArgumentException(
+      "resolvedAsOf(version, touched) requires a keyed collection"))
+    require(touched.columns.length == 1,
+      s"touched-keys frame must have exactly one column, got " +
+        touched.columns.mkString(", "))
+    val keys = touched.select(col(touched.columns.head).as(k)).distinct()
+    // bounded probe (window-proportional input, ≤ MaxKeyPushdown+1 rows
+    // collected): literal keys turn the restriction into scan pushdown
+    val lits = keys.limit(Collection.MaxKeyPushdown + 1)
+      .collect().map(_.get(0)).toSeq
+    def restrict(df: DataFrame): DataFrame =
+      if (lits.size <= Collection.MaxKeyPushdown)
+        df.filter(col(k).isin(lits: _*))
+      else df.join(keys, Seq(k), "left_semi")
+    if (!manifest.mutated) restrict(scanVersion(version))
+    else {
+      // metadata columns pinned BEFORE the semi join (they resolve only
+      // against the scan relation, not through joins)
+      val raw = scanVersion(version).select(col("*"),
+        col(HadroTable.SeqCol), col(HadroTable.DeletedCol))
+      val w = Window.partitionBy(col(k)).orderBy(col(HadroTable.SeqCol).desc)
+      restrict(raw).withColumn("__hadro_rn", row_number().over(w))
+        .filter(col("__hadro_rn") === 1 && !col(HadroTable.DeletedCol))
+        .drop("__hadro_rn", HadroTable.SeqCol, HadroTable.DeletedCol)
+    }
+  }
+
   /** Append rows (no keyed semantics — fastest path, pure log append). */
   def append(df: DataFrame, consistency: String = "relaxed"): Unit =
     df.write.format("hadro").mode("append")
@@ -1736,6 +1779,12 @@ object Collection {
     * has written sidecars but not yet committed its manifest. Overridable
     * for tests only. */
   @volatile private[graft] var OrphanSweepAgeMs: Long = 60L * 60L * 1000L
+
+  /** Largest touched-key set [[Collection.resolvedAsOf(version,touched)]]
+    * pushes into the scan as IN literals (plan-time bloom probes are
+    * per-segment × per-value — bounded keeps planning cheap); larger
+    * sets restrict via a semi join below the LWW window instead. */
+  private[graft] val MaxKeyPushdown: Int = 1000
 
   /** The promotions [[Collection.widenColumn]] accepts: every value the
     * old type can hold is exactly representable in the new one. */
