@@ -3,6 +3,8 @@ package graft.api
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.meta.CollectionMeta
+
 /** The INCREMENTAL-CONSUMER LOOP as a library verb (the h91/h93 pattern,
   * packaged): a downstream materialized aggregate over a fact collection,
   * maintained by MERGE-ing `changefeed=full` changes windows instead of
@@ -11,35 +13,64 @@ import org.apache.spark.sql.functions._
   * machinery at all; this is extension surface shaped after the
   * Delta/Iceberg MERGE-from-CDF cookbook pattern.
   *
-  * Protocol:
+  * Protocol (EXACTLY-ONCE):
   *   - the consumer's position is a TAG on the fact collection
   *     (`cursorTag`) — restart-safe (the tag survives the JVM), and the
   *     tag PINS the floor: its manifest survives retention and its
   *     segment/sidecar files are excluded from physical GC, so the
   *     window (and its synthesized-delete source bytes) stay readable
   *     across compaction, deferred GC and vacuum until the cursor moves.
-  *   - each [[cycle]] reads (cursorTag, head] with `changefeed=full`
+  *   - each [[cycle]] reads (floor, head] with `changefeed=full`
   *     (synthesized dv-delete and drop-partition rows included; windows
   *     read THROUGH data-preserving compactions via the manifest chain
   *     walk), folds inserts (+1, +value) and deletes (-1, -value) into
   *     per-group deltas, MERGEs them into the rollup, and advances the
-  *     tag — so a crash before the tag move simply replays an
-  *     already-applied window into... nothing: the MERGE is NOT
-  *     idempotent, which is why the tag moves AFTER the merge inside the
-  *     same driver program, and why a failed cycle must be retried from
-  *     the exception, never skipped.
+  *     tag.
+  *   - the MERGE is NOT idempotent, so the applied window's end version
+  *     is recorded IN THE SAME manifest commit as the MERGE's segments
+  *     (the streaming sink's `streamEpochs` bookkeeping, armed via
+  *     [[CollectionMeta.registerCommitEpoch]] — the Delta txn-id shape).
+  *     The effective floor of every cycle is `max(cursor tag, recorded
+  *     applied version)`: a crash BETWEEN the MERGE commit and the tag
+  *     move leaves `applied > tag`, and the retry skips the already-
+  *     applied span instead of double-applying it — each window's
+  *     changes land in the rollup exactly once. One consumer per
+  *     cursor tag (the same contract the tag itself implies); a failed
+  *     cycle is simply re-run.
   *   - sums ride DECIMAL(18,2) end-to-end, so the incremental fold is
   *     bit-equal to a full recompute (IEEE double sums are
   *     partition-order dependent; decimals are associative).
   *
   * Scale shape: one ordinal-floor-planned window scan (never the table),
   * one map-side-combinable aggregate over window-sized data, one MERGE
-  * shuffling |groups touched| rows. No driver collect.
+  * shuffling |groups touched| rows. The only driver materialization is
+  * the keyed variant's bounded touched-key probe.
   */
 object IncrementalRollup {
 
+  /** streamEpochs key recording this consumer's applied window end
+    * version in the ROLLUP collection's manifest. Keyed by cursor tag:
+    * one consumer identity per tag, matching the tag's own contract. */
+  private def epochKey(cursorTag: String): String = s"hadro-rollup:$cursorTag"
+
+  /** The rollup collection's directory, resolved exactly as
+    * [[graft.spark.HadroCatalog]] resolves `cat.ns....table` — catalog
+    * warehouse conf + namespace path. */
+  private def rollupDir(spark: SparkSession,
+      rollupTable: String): java.nio.file.Path = {
+    val parts = rollupTable.split("\\.")
+    require(parts.length >= 2,
+      s"hadro: rollup table must be a catalog identifier " +
+        s"'cat[.ns...].table', got '$rollupTable'")
+    val wh = spark.conf.get(s"spark.sql.catalog.${parts.head}.warehouse")
+    java.nio.file.Paths.get(wh, parts.tail: _*)
+  }
+
+  private def deltaView(prefix: String, rollupTable: String): String =
+    prefix + rollupTable.replaceAll("[^A-Za-z0-9_]", "_")
+
   private def deltas(spark: SparkSession, factPath: String,
-      cursorTag: String, head: Long, groupCol: String,
+      floor: Long, head: Long, groupCol: String,
       sums: Seq[(String, String)]) = {
     val aggs =
       sum(when(col("_hadro_deleted"), -1L).otherwise(1L))
@@ -51,7 +82,7 @@ object IncrementalRollup {
       }
     spark.read.format("hadro")
       .option("hadro.changefeed", "full")
-      .option("hadro.changesStart", cursorTag)
+      .option("hadro.changesStart", floor.toString)
       .option("hadro.changesEnd", head.toString).load(factPath)
       .groupBy(col(groupCol).as("g"))
       .agg(aggs.head, aggs.tail: _*)
@@ -61,52 +92,81 @@ object IncrementalRollup {
     * rollup start consistent even if the fact collection moves while the
     * bootstrap runs) as a keyed hadro collection at `rollupPath`:
     * (groupCol, n BIGINT, <out> DECIMAL(18,2)...), keyed by the group.
+    * The snapshot is the RESOLVED view ([[Collection.resolvedAsOf]]):
+    * for a keyed fact with upsert/tombstone history, a raw scan would
+    * double-count shadowed versions and count deleted keys — the
+    * baseline must be what a reader sees, not what the log holds.
     * (Re)pins the cursor tag at the current head — bootstrap DEFINES the
     * consumer's position, so a stale cursor from an earlier deployment
-    * must not survive it (tags overwrite; the old pin returns to GC). */
+    * must not survive it (tags overwrite; the old pin returns to GC) —
+    * and stamps the applied-version record to the same baseline in the
+    * rollup's own commit, so a re-bootstrap also resets the
+    * exactly-once bookkeeping. */
   def bootstrap(spark: SparkSession, factPath: String, cursorTag: String,
       rollupPath: String, groupCol: String,
       sums: Seq[(String, String)]): Unit = {
     val fact = Collection(spark, factPath)
     fact.createTag(cursorTag)
+    val v = fact.tags(cursorTag)
     val aggs =
       count(lit(1)).cast("bigint").as("n") +:
       sums.map { case (src, out) =>
         sum(col(src).cast("decimal(18,2)")).cast("decimal(18,2)").as(out) }
-    spark.read.format("hadro").option("hadro.versionAsOf", cursorTag)
-      .load(factPath)
-      .groupBy(col(groupCol).as("g")).agg(aggs.head, aggs.tail: _*)
-      .withColumnRenamed("g", groupCol)
-      .write.format("hadro").mode("overwrite")
-      .option("hadro.key", groupCol).save(rollupPath)
+    val rp = java.nio.file.Paths.get(rollupPath)
+    CollectionMeta.registerCommitEpoch(rp, epochKey(cursorTag), v)
+    try {
+      fact.resolvedAsOf(v)
+        .groupBy(col(groupCol).as("g")).agg(aggs.head, aggs.tail: _*)
+        .withColumnRenamed("g", groupCol)
+        .write.format("hadro").mode("overwrite")
+        .option("hadro.key", groupCol).save(rollupPath)
+    } finally CollectionMeta.clearCommitEpoch(rp)
   }
 
   /** One consumer cycle against `rollupTable` (a catalog identifier the
     * session can MERGE INTO — the rollup collection registered through
     * HadroCatalog). Groups whose count reaches zero are DELETED from the
     * rollup; unseen groups INSERT. Returns the new cursor version (the
-    * head this cycle consumed up to); a caught-up consumer applies an
-    * empty delta and still advances. */
+    * head this cycle consumed up to); a caught-up consumer (or a retry
+    * of a crashed-after-MERGE cycle with no new commits) skips the MERGE
+    * and still advances the tag. */
   def cycle(spark: SparkSession, factPath: String, cursorTag: String,
       rollupTable: String, groupCol: String,
       sums: Seq[(String, String)]): Long = {
     val fact = Collection(spark, factPath)
     val head = fact.version
-    val view = s"hadro_rollup_delta_${math.abs(rollupTable.hashCode)}"
-    deltas(spark, factPath, cursorTag, head, groupCol, sums)
-      .createOrReplaceTempView(view)
-    val sets = ("n = t.n + d.dn" +: sums.map { case (_, out) =>
-      s"$out = CAST(t.$out + d.d_$out AS DECIMAL(18,2))" }).mkString(", ")
-    val insCols = (Seq(groupCol, "n") ++ sums.map(_._2)).mkString(", ")
-    val insVals = (Seq("d.g", "d.dn") ++ sums.map(s => s"d.d_${s._2}"))
-      .mkString(", ")
-    spark.sql(
-      s"""MERGE INTO $rollupTable t USING $view d
-          ON t.$groupCol <=> d.g
-          WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
-          WHEN MATCHED THEN UPDATE SET $sets
-          WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
-    spark.catalog.dropTempView(view)
+    val tagFloor = fact.tags.getOrElse(cursorTag,
+      throw new IllegalArgumentException(
+        s"hadro: no cursor tag '$cursorTag' on $factPath — bootstrap first"))
+    val rp = rollupDir(spark, rollupTable)
+    val applied = CollectionMeta.currentManifest(rp)
+      .streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
+    // the true cursor is max(tag, applied): a crash between the MERGE
+    // commit (which records `applied` atomically) and the tag move
+    // leaves applied > tag — the retry must not re-apply that span
+    val floor = math.max(tagFloor, applied)
+    if (floor < head) {
+      val view = deltaView("hadro_rollup_delta_", rollupTable)
+      deltas(spark, factPath, floor, head, groupCol, sums)
+        .createOrReplaceTempView(view)
+      val sets = ("n = t.n + d.dn" +: sums.map { case (_, out) =>
+        s"$out = CAST(t.$out + d.d_$out AS DECIMAL(18,2))" }).mkString(", ")
+      val insCols = (Seq(groupCol, "n") ++ sums.map(_._2)).mkString(", ")
+      val insVals = (Seq("d.g", "d.dn") ++ sums.map(s => s"d.d_${s._2}"))
+        .mkString(", ")
+      CollectionMeta.registerCommitEpoch(rp, epochKey(cursorTag), head)
+      try {
+        spark.sql(
+          s"""MERGE INTO $rollupTable t USING $view d
+              ON t.$groupCol <=> d.g
+              WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
+              WHEN MATCHED THEN UPDATE SET $sets
+              WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
+      } finally {
+        CollectionMeta.clearCommitEpoch(rp)
+        spark.catalog.dropTempView(view)
+      }
+    }
     fact.createTag(cursorTag, head)
     head
   }
@@ -118,45 +178,60 @@ object IncrementalRollup {
     * [[ChangeFeed.updateImages]]: `insert`/`update_postimage` fold +1/+v,
     * `delete`/`update_preimage` fold -1/-v (an update nets 0 rows,
     * -old+new value), keys created and destroyed in-window net out
-    * entirely. Same MERGE, cursor and exactness contract as [[cycle]].
-    * Scale adds one key-equality join against the touched-keys-restricted
-    * start snapshot (updateImages' shape) — still never the table. */
+    * entirely. Same MERGE, cursor and exactly-once contract as [[cycle]].
+    * Scale adds the pre-image side: the start snapshot restricted to the
+    * window's touched keys BELOW its LWW resolve (IN pushdown with
+    * key-bloom segment pruning for bounded key sets, semi join above it)
+    * — still never a table-sized shuffle. */
   def cycleKeyed(spark: SparkSession, factPath: String, cursorTag: String,
       rollupTable: String, groupCol: String,
       sums: Seq[(String, String)]): Long = {
     val fact = Collection(spark, factPath)
     val head = fact.version
-    val floor = fact.tags.getOrElse(cursorTag, throw new IllegalArgumentException(
-      s"hadro: no cursor tag '$cursorTag' on $factPath — bootstrap first"))
-    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
-      .otherwise(-1L)
-    // the uniform sign makes GROUP-CHANGING updates correct for counts
-    // too: pre/post cancel inside an unchanged group, and an update that
-    // moved a key across groups decrements the old group and increments
-    // the new one
-    val aggs =
-      sum(sign).cast("bigint").as("dn") +:
-      sums.map { case (src, out) =>
-        sum((sign * col(src).cast("decimal(18,2)")).cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as(s"d_$out")
+    val tagFloor = fact.tags.getOrElse(cursorTag,
+      throw new IllegalArgumentException(
+        s"hadro: no cursor tag '$cursorTag' on $factPath — bootstrap first"))
+    val rp = rollupDir(spark, rollupTable)
+    val applied = CollectionMeta.currentManifest(rp)
+      .streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
+    val floor = math.max(tagFloor, applied)
+    if (floor < head) {
+      val sign = when(
+        col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      // the uniform sign makes GROUP-CHANGING updates correct for counts
+      // too: pre/post cancel inside an unchanged group, and an update
+      // that moved a key across groups decrements the old group and
+      // increments the new one
+      val aggs =
+        sum(sign).cast("bigint").as("dn") +:
+        sums.map { case (src, out) =>
+          sum((sign * col(src).cast("decimal(18,2)")).cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as(s"d_$out")
+        }
+      val view = deltaView("hadro_rollup_kdelta_", rollupTable)
+      ChangeFeed.updateImages(spark, factPath, floor, head)
+        .groupBy(col(groupCol).as("g"))
+        .agg(aggs.head, aggs.tail: _*)
+        .createOrReplaceTempView(view)
+      val sets = ("n = t.n + d.dn" +: sums.map { case (_, out) =>
+        s"$out = CAST(t.$out + d.d_$out AS DECIMAL(18,2))" }).mkString(", ")
+      val insCols = (Seq(groupCol, "n") ++ sums.map(_._2)).mkString(", ")
+      val insVals = (Seq("d.g", "d.dn") ++ sums.map(s => s"d.d_${s._2}"))
+        .mkString(", ")
+      CollectionMeta.registerCommitEpoch(rp, epochKey(cursorTag), head)
+      try {
+        spark.sql(
+          s"""MERGE INTO $rollupTable t USING $view d
+              ON t.$groupCol <=> d.g
+              WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
+              WHEN MATCHED THEN UPDATE SET $sets
+              WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
+      } finally {
+        CollectionMeta.clearCommitEpoch(rp)
+        spark.catalog.dropTempView(view)
       }
-    val view = s"hadro_rollup_kdelta_${math.abs(rollupTable.hashCode)}"
-    ChangeFeed.updateImages(spark, factPath, floor, head)
-      .groupBy(col(groupCol).as("g"))
-      .agg(aggs.head, aggs.tail: _*)
-      .createOrReplaceTempView(view)
-    val sets = ("n = t.n + d.dn" +: sums.map { case (_, out) =>
-      s"$out = CAST(t.$out + d.d_$out AS DECIMAL(18,2))" }).mkString(", ")
-    val insCols = (Seq(groupCol, "n") ++ sums.map(_._2)).mkString(", ")
-    val insVals = (Seq("d.g", "d.dn") ++ sums.map(s => s"d.d_${s._2}"))
-      .mkString(", ")
-    spark.sql(
-      s"""MERGE INTO $rollupTable t USING $view d
-          ON t.$groupCol <=> d.g
-          WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
-          WHEN MATCHED THEN UPDATE SET $sets
-          WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
-    spark.catalog.dropTempView(view)
+    }
     fact.createTag(cursorTag, head)
     head
   }

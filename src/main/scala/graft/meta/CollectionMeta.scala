@@ -926,6 +926,24 @@ object CollectionMeta {
   def commit(collection: Path, update: Manifest => Manifest): Manifest =
     commitWith(collection, baseOverride = None, update, branch = None)
 
+  /** One-shot consumer-cursor stamps ([[IncrementalRollup]]'s
+    * exactly-once seam): [[registerCommitEpoch]] arms the NEXT successful
+    * manifest commit on `collection` to also record
+    * `streamEpochs + (key -> version)` — the same per-manifest
+    * bookkeeping the streaming sink uses for epoch replay detection — so
+    * "apply this window" (the MERGE's segment commit) and "remember it is
+    * applied" become ONE atomic publish, the Delta txn-id shape. The
+    * stamp survives commit retries (version races re-apply it on the
+    * re-read base) and is disarmed by the successful publish or
+    * [[clearCommitEpoch]]. Force-set: the caller serializes its own
+    * cycles, and a re-bootstrap must be able to lower the record. */
+  private val pendingEpochs =
+    new java.util.concurrent.ConcurrentHashMap[Path, (String, Long)]()
+  def registerCommitEpoch(collection: Path, key: String, version: Long): Unit =
+    pendingEpochs.put(collection.toAbsolutePath.normalize, (key, version))
+  def clearCommitEpoch(collection: Path): Unit =
+    pendingEpochs.remove(collection.toAbsolutePath.normalize)
+
   /** [[commit]] with an optional caller-chosen base snapshot and a branch
     * marker — the shared slot-claim protocol. With no override the base
     * is the newest MAIN manifest FROM THE SAME scan that sets the claim
@@ -947,10 +965,19 @@ object CollectionMeta {
       val cur = baseOverride.map(_()).getOrElse(mainHead)
       val next0 = update(cur)
       if (next0 eq cur) return cur // update declined: publish nothing
+      // armed consumer-cursor stamp rides THIS publish (exactly-once:
+      // the window's effects and its applied-version record are one
+      // atomic manifest commit). Force-set, not max: a consumer
+      // serializes its own cycles (same single-consumer-per-cursor
+      // contract as the tag), and a re-BOOTSTRAP must be able to LOWER
+      // the record to its fresh baseline.
+      val stamp = Option(pendingEpochs.get(collection.toAbsolutePath.normalize))
       val next = next0.copy(
         version = math.max(cur.version, maxParseable) + 1,
         committedAtMs = System.currentTimeMillis(),
-        branch = branch)
+        branch = branch,
+        streamEpochs = stamp.fold(next0.streamEpochs) { case (k, v) =>
+          next0.streamEpochs + (k -> v) })
       val target = manifestFile(collection, next.version)
       // The tmp name MUST be unique per committer: System.nanoTime alone
       // can tie across threads (coarse clock), and two committers sharing
@@ -965,6 +992,8 @@ object CollectionMeta {
       // conditional-PUT shape): whoever claims the version number wins;
       // the loser re-reads the head and retries at the next number.
       if (FileIO.impl.publishNew(tmp, target)) {
+        stamp.foreach(_ =>
+          pendingEpochs.remove(collection.toAbsolutePath.normalize))
         gcOldManifests(collection, next.version)
         return next
       } else {

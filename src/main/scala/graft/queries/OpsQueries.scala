@@ -4710,6 +4710,72 @@ object OpsQueries {
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         FROM customer GROUP BY 1 ORDER BY 1""")),
 
+    // ---------------------------------------------------------------- st24
+    // The ALWAYS-ON incremental-consumer loop: a changefeed STREAM on the
+    // fact collection drives IncrementalRollup.cycle from foreachBatch —
+    // the streaming twin of the h91 nightly job. Each micro-batch is
+    // just the trigger; the cycle itself reads its (cursor, head] window
+    // with the batch machinery and MERGEs the delta, so the rollup is
+    // maintained continuously while the exactly-once bookkeeping (the
+    // applied window version rides the MERGE's own manifest commit)
+    // makes a replayed epoch — zombie foreachBatch after failover, or a
+    // restart from an uncommitted checkpoint — a provable no-op
+    // (IncrementalRollupSpec pins the replay seam). Oracle = full
+    // recompute over the final snapshot, as in h91.
+    QueryDef(
+      "st24_streaming_rollup",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_st24"
+        s.conf.set("spark.sql.catalog.graft_st24",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_st24.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_st24.db")
+        val factPath = s"$wh/db/cust"
+        val aggPath = s"$wh/db/seg_agg"
+        val cust = table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        cust.filter($"c_custkey" % 2 === 0)
+          .write.format("hadro").mode("overwrite").save(factPath)
+        graft.api.IncrementalRollup.bootstrap(s, factPath, "st24_cursor",
+          aggPath, "c_mktsegment", Seq("c_acctbal" -> "sum_bal"))
+        val ckpt = java.nio.file.Files.createTempDirectory("st24_ckpt").toString
+        val q = s.readStream.format("hadro")
+          .option("hadro.changefeed", "full").load(factPath)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.api.IncrementalRollup.cycle(s, factPath, "st24_cursor",
+              "graft_st24.db.seg_agg", "c_mktsegment",
+              Seq("c_acctbal" -> "sum_bal"))
+            ()
+          }.start()
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try {
+          q.processAllAvailable() // initial batch: caught-up, no-op cycle
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 === 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("DELETE FROM graft_st24.db.cust WHERE c_acctbal < 0.0")
+          q.processAllAvailable()
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 =!= 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("""DELETE FROM graft_st24.db.cust
+            WHERE c_acctbal < 0.0 OR c_acctbal > 9000.0""")
+          q.processAllAvailable()
+          q.stop()
+        } finally s.conf.unset("spark.hadro.delete.mode")
+        graft.api.Collection(s, aggPath).toDF()
+          .select($"c_mktsegment".as("seg"), $"n",
+            $"sum_bal".cast("double").as("sum_bal"))
+          .orderBy("seg")
+      },
+      Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer
+        WHERE c_acctbal >= 0.0 AND c_acctbal <= 9000.0
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +
     // language gate) applied to a document STREAM — stateless curation

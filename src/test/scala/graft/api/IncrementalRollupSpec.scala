@@ -1,0 +1,210 @@
+package graft.api
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.meta.CollectionMeta
+import graft.spark.HadroCatalog
+
+/** [[IncrementalRollup]]'s exactly-once consumer protocol: the applied
+  * window's end version rides the MERGE's own manifest commit
+  * (streamEpochs, the streaming sink's bookkeeping reused), so a crash
+  * between MERGE and tag move cannot double-apply a window — and
+  * bootstrap's baseline is the RESOLVED snapshot, not the raw log. */
+class IncrementalRollupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshCatalog(name: String): String = {
+    val wh = Files.createTempDirectory(s"${name}_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[HadroCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    wh
+  }
+
+  private def rollupRows(aggDir: String): Seq[(String, Long, Double)] =
+    Collection(spark, aggDir).toDF()
+      .select($"g", $"n", $"sv".cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+
+  test("bootstrap of a KEYED fact with upsert/tombstone history aggregates " +
+      "the resolved snapshot, not the raw log") {
+    val wh = freshCatalog("irb")
+    try {
+      val factDir = Paths.get(wh, "db", "f").toString
+      val aggDir = Paths.get(wh, "db", "agg").toString
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+        .toDF("k", "g", "v")
+        .write.format("hadro").mode("overwrite")
+        .option("hadro.key", "k").save(factDir)
+      val fact = Collection(spark, factDir)
+      // history BEFORE bootstrap: shadowed versions + a tombstoned key —
+      // a raw versionAsOf scan would see k=1 twice and k=4 alive
+      fact.set(Seq((1L, "a", 15.0)).toDF("k", "g", "v"))
+      fact.merge(Seq((4L, "b", 40.0, true)).toDF("k", "g", "v", "d"), $"d")
+      IncrementalRollup.bootstrap(spark, factDir, "irb_cursor", aggDir,
+        "g", Seq("v" -> "sv"))
+      assert(rollupRows(aggDir) == Seq(("a", 2L, 35.0), ("b", 1L, 30.0)),
+        rollupRows(aggDir).toString)
+      // and the maintained loop continues correctly from that baseline
+      fact.set(Seq((5L, "b", 5.0)).toDF("k", "g", "v"))
+      IncrementalRollup.cycleKeyed(spark, factDir, "irb_cursor",
+        "irb.db.agg", "g", Seq("v" -> "sv"))
+      assert(rollupRows(aggDir) == Seq(("a", 2L, 35.0), ("b", 2L, 35.0)),
+        rollupRows(aggDir).toString)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.irb.warehouse")
+      spark.conf.unset("spark.sql.catalog.irb")
+    }
+  }
+
+  test("a window is applied exactly once: replaying a cycle whose tag move " +
+      "was lost (crash after MERGE) is a no-op") {
+    val wh = freshCatalog("ir1")
+    try {
+      val factDir = Paths.get(wh, "db", "f").toString
+      val aggDir = Paths.get(wh, "db", "agg").toString
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("overwrite").save(factDir)
+      IncrementalRollup.bootstrap(spark, factDir, "ir1_cursor", aggDir,
+        "g", Seq("v" -> "sv"))
+      val fact = Collection(spark, factDir)
+      val floor = fact.tags("ir1_cursor")
+
+      Seq((3L, "a", 10.0), (4L, "c", 4.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("append").save(factDir)
+      val head = IncrementalRollup.cycle(spark, factDir, "ir1_cursor",
+        "ir1.db.agg", "g", Seq("v" -> "sv"))
+      val applied = rollupRows(aggDir)
+      assert(applied == Seq(("a", 2L, 11.0), ("b", 1L, 2.0), ("c", 1L, 4.0)),
+        applied.toString)
+      // the MERGE commit recorded the applied window atomically
+      assert(CollectionMeta.currentManifest(Paths.get(aggDir))
+        .streamEpochs.get("hadro-rollup:ir1_cursor").contains(head))
+
+      // simulate the crash: the MERGE committed but the tag move was
+      // lost — rewind the cursor tag to the pre-window floor and retry
+      fact.createTag("ir1_cursor", floor)
+      val head2 = IncrementalRollup.cycle(spark, factDir, "ir1_cursor",
+        "ir1.db.agg", "g", Seq("v" -> "sv"))
+      assert(head2 == head)
+      assert(rollupRows(aggDir) == applied,
+        s"retry double-applied the window: ${rollupRows(aggDir)}")
+      assert(fact.tags("ir1_cursor") == head, "retry must advance the tag")
+
+      // and new data after the recovered cursor still flows
+      Seq((5L, "b", 20.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("append").save(factDir)
+      IncrementalRollup.cycle(spark, factDir, "ir1_cursor",
+        "ir1.db.agg", "g", Seq("v" -> "sv"))
+      assert(rollupRows(aggDir) ==
+        Seq(("a", 2L, 11.0), ("b", 2L, 22.0), ("c", 1L, 4.0)),
+        rollupRows(aggDir).toString)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ir1.warehouse")
+      spark.conf.unset("spark.sql.catalog.ir1")
+    }
+  }
+
+  test("keyed crash-retry: cycleKeyed replaying a lost tag move is a no-op " +
+      "and a re-bootstrap lowers the applied record to its new baseline") {
+    val wh = freshCatalog("ir2")
+    try {
+      val factDir = Paths.get(wh, "db", "f").toString
+      val aggDir = Paths.get(wh, "db", "agg").toString
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
+        .toDF("k", "g", "v")
+        .write.format("hadro").mode("overwrite")
+        .option("hadro.key", "k").save(factDir)
+      IncrementalRollup.bootstrap(spark, factDir, "ir2_cursor", aggDir,
+        "g", Seq("v" -> "sv"))
+      val fact = Collection(spark, factDir)
+      val floor = fact.tags("ir2_cursor")
+      fact.set(Seq((1L, "a", 9.0), (4L, "c", 4.0)).toDF("k", "g", "v"))
+      fact.merge(Seq((2L, "b", 2.0, true)).toDF("k", "g", "v", "d"), $"d")
+      IncrementalRollup.cycleKeyed(spark, factDir, "ir2_cursor",
+        "ir2.db.agg", "g", Seq("v" -> "sv"))
+      val applied = rollupRows(aggDir)
+      assert(applied == Seq(("a", 1L, 9.0), ("b", 1L, 3.0), ("c", 1L, 4.0)),
+        applied.toString)
+      fact.createTag("ir2_cursor", floor) // lost tag move
+      IncrementalRollup.cycleKeyed(spark, factDir, "ir2_cursor",
+        "ir2.db.agg", "g", Seq("v" -> "sv"))
+      assert(rollupRows(aggDir) == applied,
+        s"keyed retry double-applied: ${rollupRows(aggDir)}")
+
+      // re-bootstrap: the fresh baseline must override the old applied
+      // record (force-set, not max), so the next window still applies
+      IncrementalRollup.bootstrap(spark, factDir, "ir2_cursor", aggDir,
+        "g", Seq("v" -> "sv"))
+      fact.set(Seq((5L, "a", 50.0)).toDF("k", "g", "v"))
+      IncrementalRollup.cycleKeyed(spark, factDir, "ir2_cursor",
+        "ir2.db.agg", "g", Seq("v" -> "sv"))
+      assert(rollupRows(aggDir) ==
+        Seq(("a", 2L, 59.0), ("b", 1L, 3.0), ("c", 1L, 4.0)),
+        rollupRows(aggDir).toString)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ir2.warehouse")
+      spark.conf.unset("spark.sql.catalog.ir2")
+    }
+  }
+
+  test("streaming twin: a foreachBatch epoch replayed after restart from " +
+      "an uncommitted checkpoint does not double-apply the window") {
+    val wh = freshCatalog("ir3")
+    try {
+      val factDir = Paths.get(wh, "db", "f").toString
+      val aggDir = Paths.get(wh, "db", "agg").toString
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("overwrite").save(factDir)
+      IncrementalRollup.bootstrap(spark, factDir, "ir3_cursor", aggDir,
+        "g", Seq("v" -> "sv"))
+      val ckpt = Files.createTempDirectory("ir3_ckpt").toString
+      def startQ() = spark.readStream.format("hadro")
+        .option("hadro.changefeed", "full").load(factDir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalRollup.cycle(spark, factDir, "ir3_cursor",
+            "ir3.db.agg", "g", Seq("v" -> "sv"))
+          ()
+        }.start()
+      val q = startQ()
+      q.processAllAvailable()
+      Seq((3L, "a", 10.0), (4L, "c", 4.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("append").save(factDir)
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination() // fully release the checkpoint before restart
+      val applied = rollupRows(aggDir)
+      assert(applied == Seq(("a", 2L, 11.0), ("b", 1L, 2.0), ("c", 1L, 4.0)),
+        applied.toString)
+      // simulate the crash-before-checkpoint-commit: drop the newest
+      // commit marker so the restart RE-EXECUTES the last micro-batch —
+      // foreachBatch fires again for an already-applied window
+      val commitsDir = Paths.get(ckpt, "commits")
+      val latest = Files.list(commitsDir).iterator()
+      val names = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+      latest.forEachRemaining(p =>
+        if (!p.getFileName.toString.startsWith(".")) names += p)
+      val victim = names.maxBy(_.getFileName.toString.toLong)
+      Files.delete(victim)
+      // Hadoop's checksummed local FS keeps a hidden .N.crc sibling; a
+      // stale one makes the replayed batch's commit-marker rewrite fail
+      // (its CRC rename collides) — a real HDFS/S3 checkpoint has no
+      // such sibling, so drop it with the marker
+      Files.deleteIfExists(
+        victim.resolveSibling("." + victim.getFileName.toString + ".crc"))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      assert(rollupRows(aggDir) == applied,
+        s"replayed epoch double-applied: ${rollupRows(aggDir)}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ir3.warehouse")
+      spark.conf.unset("spark.sql.catalog.ir3")
+    }
+  }
+}
