@@ -163,9 +163,16 @@ final class HadroDeltaWrite(path: Path, info: LogicalWriteInfo, key: String,
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     // ensureSchema + commit/abort come from the plain append write path:
     // a delta commit IS an upsert-shaped append (mutating = true).
+    // A pure-DELETE statement emits ONLY tombstones, and Spark narrows
+    // its delta write schema to the columns the plan touched — so the
+    // insert-completeness check (every non-nullable stored field present)
+    // must not apply there, exactly the key-only-projection contract
+    // tombstone appends already have. UPDATE/MERGE insert full rows and
+    // keep the strict check.
     private val underlying = new HadroBatchWrite(
       path, info.schema(), graft.format.Consistency.Relaxed,
-      tombstone = false, mutating = true, truncate = false,
+      tombstone = op.command() == RowLevelOperation.Command.DELETE,
+      mutating = true, truncate = false,
       keyField = Some(key))
 
     private val storedMeta = CollectionMeta.readSchema(path).get

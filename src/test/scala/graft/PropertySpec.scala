@@ -755,6 +755,150 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: keyed incremental rollup equals a full-recompute model " +
+      "under random upsert / tombstone / dv-delete / compact / cycle mixes") {
+    import graft.api.IncrementalRollup
+    // Model checking the consumer loop end-to-end (the h94 bug class —
+    // shadowed pre-images, double-counted upserts, missed group moves —
+    // found systematically instead of by one oracle): a KEYED fact
+    // mutates through random op sequences with cycleKeyed interleaved
+    // anywhere, including right after compactions; after EVERY cycle the
+    // rollup collection must equal a driver-side full recompute of the
+    // model. Values are integer cents so model and DECIMAL(18,2) rollup
+    // compare exactly.
+    sealed trait Op
+    case object Insert extends Op // new keys
+    case object Update extends Op // existing keys: new value, maybe new group
+    case object Tombstone extends Op // merge-delete existing keys
+    case object DvDelete extends Op // SQL DELETE (deletion vectors)
+    case object Pack extends Op // compactSmall: data-preserving rewrite
+    case object Cycle extends Op
+    val genOp: Gen[Op] = Gen.frequency(4 -> Insert, 4 -> Update,
+      2 -> Tombstone, 2 -> DvDelete, 2 -> Pack, 4 -> Cycle)
+    val genSeq: Gen[List[Op]] = Gen.listOfN(12, genOp)
+    val groups = Vector("A", "B", "C")
+
+    samples(genSeq, 2, seed = 4242).zipWithIndex.foreach { case (ops, trial) =>
+      val w = Files.createTempDirectory(s"rollprop$trial").toString
+      val cat = s"rollprop$trial"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.spark.HadroCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      val factDir = java.nio.file.Paths.get(w, "db", "f").toString
+      val aggDir = java.nio.file.Paths.get(w, "db", "agg").toString
+      val model = scala.collection.mutable.Map.empty[Long, (String, Long)]
+      var nextId = 0L
+      def df(rows: Seq[(Long, String, Long)]) =
+        rows.toDF("id", "g", "cents")
+          .select($"id", $"g", ($"cents" / 100.0).cast("decimal(18,2)").as("v"))
+      def insert(n: Int): Seq[(Long, String, Long)] = {
+        val rows = (0 until n).map { i =>
+          val id = nextId + i
+          (id, groups((id % 3).toInt), (id * 37 + trial) % 10000)
+        }
+        nextId += n
+        rows.foreach { case (id, g, c) => model(id) = (g, c) }
+        rows
+      }
+      // v0 + upsert history BEFORE bootstrap: the baseline itself must
+      // aggregate the RESOLVED snapshot (the bootstrap-fix regression)
+      df(insert(6)).write.format("hadro").mode("overwrite")
+        .option("hadro.key", "id").save(factDir)
+      val fact = Collection(spark, factDir)
+      fact.set(df(insert(3)))
+      IncrementalRollup.bootstrap(spark, factDir, s"${cat}_cursor", aggDir,
+        "g", Seq("v" -> "sv"))
+      def check(tag: String): Unit = {
+        val got = Collection(spark, aggDir).toDF()
+          .select($"g", $"n",
+            ($"sv" * 100).cast("bigint").as("cents"))
+          .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+        val want = model.values.groupBy(_._1).map { case (g, vs) =>
+          (g, vs.size.toLong, vs.map(_._2).sum)
+        }.toSeq.sortBy(_._1)
+        assert(got == want, s"trial $trial $tag: rollup $got != model $want")
+      }
+      spark.conf.set("spark.hadro.delete.mode", "dv")
+      try {
+        ops.foreach {
+          case Insert => fact.set(df(insert(4)))
+          case Update if model.nonEmpty =>
+            // every 3rd touched key also MOVES group (the h94 group-move
+            // fold: old group decrements, new group increments)
+            val victims = model.keys.toSeq.sorted
+              .filter(_ % 4 == nextId % 4).take(5)
+            val rows = victims.zipWithIndex.map { case (id, i) =>
+              val (g0, c0) = model(id)
+              val g = if (i % 3 == 0) groups(((id + 1) % 3).toInt) else g0
+              (id, g, (c0 + 111) % 10000)
+            }
+            if (rows.nonEmpty) {
+              fact.set(df(rows))
+              rows.foreach { case (id, g, c) => model(id) = (g, c) }
+            }
+          case Update => ()
+          case Tombstone if model.nonEmpty =>
+            val victims = model.keys.toSeq.sorted
+              .filter(_ % 5 == nextId % 5).take(4)
+            if (victims.nonEmpty) {
+              fact.merge(
+                df(victims.map(id => (id, model(id)._1, model(id)._2)))
+                  .withColumn("d", lit(true)), $"d")
+              victims.foreach(model.remove)
+            }
+          case Tombstone => ()
+          case DvDelete if model.nonEmpty =>
+            val k = (nextId % 3) + 6
+            spark.sql(s"DELETE FROM $cat.db.f WHERE id % $k = 1")
+            model.filterInPlace((id, _) => id % k != 1)
+          case DvDelete => ()
+          case Pack => fact.compactSmall(1L << 30)
+          case Cycle =>
+            // a rewrite over upsert/tombstone history folds shadowed
+            // versions — the chain walk REFUSES per-key attribution
+            // there by design, and the documented consumer recovery is
+            // a re-bootstrap from the full snapshot; both paths must
+            // leave the rollup equal to the model
+            try IncrementalRollup.cycleKeyed(spark, factDir,
+              s"${cat}_cursor", s"$cat.db.agg", "g", Seq("v" -> "sv"))
+            catch {
+              case e: Exception if Option(e.getMessage)
+                  .exists(_.contains("generation change")) =>
+                IncrementalRollup.bootstrap(spark, factDir,
+                  s"${cat}_cursor", aggDir, "g", Seq("v" -> "sv"))
+            }
+            check(s"post-cycle")
+        }
+        try IncrementalRollup.cycleKeyed(spark, factDir, s"${cat}_cursor",
+          s"$cat.db.agg", "g", Seq("v" -> "sv"))
+        catch {
+          case e: Exception if Option(e.getMessage)
+              .exists(_.contains("generation change")) =>
+            IncrementalRollup.bootstrap(spark, factDir,
+              s"${cat}_cursor", aggDir, "g", Seq("v" -> "sv"))
+        }
+        check("final")
+        // negative proof (the harness is not vacuous): corrupt one group
+        // in the rollup — a seeded sign-flip-sized error — and the same
+        // comparator must now reject
+        val someG = model.values.headOption.map(_._1)
+        someG.foreach { g =>
+          Collection(spark, aggDir).set(
+            Seq((g, -1L)).toDF("g", "n")
+              .withColumn("sv", lit(0.01).cast("decimal(18,2)")))
+          val caught = try { check("corrupted"); false }
+          catch { case _: org.scalatest.exceptions.TestFailedException => true }
+          assert(caught, s"trial $trial: comparator missed a seeded corruption")
+        }
+      } finally {
+        spark.conf.unset("spark.hadro.delete.mode")
+        spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+      }
+    }
+  }
+
   test("property: radius search equals a JVM reference over arbitrary corpora") {
     import graft.ops.SimilarityOps
     val genVec: Gen[Seq[Float]] =

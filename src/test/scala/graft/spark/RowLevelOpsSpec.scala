@@ -43,6 +43,31 @@ class RowLevelOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 10.0), (2L, 200.0), (3L, 300.0)))
   }
 
+  test("keyed DELETE with a non-pushable predicate routes through the " +
+      "delta path (tombstone-only write schema accepted)") {
+    // Regression (found by the rollup model check): Spark narrows a pure
+    // DELETE's delta write schema to the touched columns, so the
+    // insert-completeness check (every non-nullable field present) must
+    // not apply — a delete-only plan never inserts. A modulo predicate
+    // cannot push into deleteWhere, forcing exactly this path.
+    val wh = freshCatalog("rlo_kd")
+    val path = s"$wh/db/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "name", "v")
+      .write.format("hadro").mode("append").option("hadro.key", "id").save(path)
+
+    spark.sql("DELETE FROM rlo_kd.db.t WHERE id % 2 = 1")
+
+    val out = Collection(spark, path).toDF().select($"id")
+      .orderBy($"id").as[Long].collect().toSeq
+    assert(out == Seq(2L, 4L), s"got $out")
+    // and a later upsert of a deleted key resurrects it (tombstone, not dv)
+    Collection(spark, path).set(Seq((1L, "a2", 11.0)).toDF("id", "name", "v"))
+    val out2 = Collection(spark, path).toDF().select($"id", $"v")
+      .orderBy($"id").as[(Long, Double)].collect().toSeq
+    assert(out2 == Seq((1L, 11.0), (2L, 20.0), (4L, 40.0)), s"got $out2")
+  }
+
   test("UPDATE on a MUTATED keyed collection sees only resolved versions") {
     val wh = freshCatalog("rlo_km")
     val path = s"$wh/db/t"
