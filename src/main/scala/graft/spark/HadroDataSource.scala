@@ -1866,6 +1866,22 @@ final case class HadroInputPartition(file: String, ordinal: Long,
     skipLive: Long = 0L)
     extends InputPartition
 
+/** A BATCH of key→offset point reads against one segment, executed by a
+  * single task (the multi-get shape). One InputPartition per matching
+  * record is correct for a handful of keys but becomes a task-per-record
+  * explosion for wide IN pushdowns (a 400-key IN over a few segments
+  * spawned ~400 tasks whose scheduling dwarfed the record reads —
+  * caught by the h92 bench); chunking the sorted offsets into one task
+  * per [[OffsetIndexPlanner.PointsPerTask]] keeps the bytes-proportional
+  * read while paying task overhead once per chunk. Never produced while
+  * the scan REPORTS partitioning (pointRanges is bypassed there), so it
+  * can't reach the bucket/identity key-grouped wrappers. */
+final case class PointBatchPartition(file: String, ordinal: Long,
+    points: Seq[(Long, Long)], // (recordOffset, rowIndex), offset-sorted
+    nFields: Int, deleteVector: Option[String],
+    writeTypes: Map[Int, org.apache.spark.sql.types.DataType] = Map.empty)
+    extends InputPartition
+
 /** A CDC DELETE-synthesis partition: reads one split range of a segment
   * and emits rows flagged `_hadro_deleted = true` with their original
   * sequence numbers. Two modes:
@@ -2028,6 +2044,9 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType,
       HadroColumnar.supportsSchema(dataSchema) &&
       !required.fieldNames.exists(HadroTable.MetaColNames)
 
+  // NOTE: must be partition-UNIFORM — Spark refuses scans that mix
+  // row-based and columnar partitions, so PointBatchPartition gets a
+  // chained columnar reader below instead of opting out here.
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   private def unwrap(partition: InputPartition): HadroInputPartition =
@@ -2042,6 +2061,29 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType,
       new HadroPartitionReader(Paths.get(d.file), d.ordinal, dataSchema, required,
         d.startOffset, d.startRow, d.endOffset, d.nFields, None,
         d.writeTypes, 0L, sample, dvDelta = Some((d.baseDv, d.endDv)))
+    case pb: PointBatchPartition =>
+      // multi-get: chain the offset-sorted single-record reads inside
+      // ONE task — same per-record reader, task overhead paid once
+      new PartitionReader[InternalRow] {
+        private val it = pb.points.iterator
+        private var cur: HadroPartitionReader = null
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              val (off, row) = it.next()
+              cur = new HadroPartitionReader(Paths.get(pb.file), pb.ordinal,
+                dataSchema, required, off, row, off + 1, pb.nFields,
+                pb.deleteVector, pb.writeTypes, 0L, sample)
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
     case _ =>
       val p = unwrap(partition)
       new HadroPartitionReader(Paths.get(p.file), p.ordinal, dataSchema, required,
@@ -2049,10 +2091,36 @@ final class HadroReaderFactory(dataSchema: StructType, required: StructType,
         p.writeTypes, p.skipLive, sample)
   }
 
-  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = unwrap(partition)
-    new HadroColumnarPartitionReader(Paths.get(p.file), dataSchema, required,
-      p.startOffset, p.endOffset, p.nFields, p.startRow, p.deleteVector)
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = partition match {
+    case pb: PointBatchPartition =>
+      // multi-get, columnar flavor: one single-record batch per point,
+      // chained inside one task (scans must be partition-uniform in
+      // row/columnar mode, so the batch path needs both readers)
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        private val it = pb.points.iterator
+        private var cur: HadroColumnarPartitionReader = null
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              val (off, row) = it.next()
+              cur = new HadroColumnarPartitionReader(Paths.get(pb.file),
+                dataSchema, required, off, off + 1, pb.nFields, row,
+                pb.deleteVector)
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+          cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+    case _ =>
+      val p = unwrap(partition)
+      new HadroColumnarPartitionReader(Paths.get(p.file), dataSchema, required,
+        p.startOffset, p.endOffset, p.nFields, p.startRow, p.deleteVector)
   }
 }
 
@@ -2350,6 +2418,10 @@ object BloomSidecar {
   * Conservative: any missing sidecar or unconvertible value falls back to
   * the full-segment path (`None`). */
 object OffsetIndexPlanner {
+  /** Matching point reads bundled into one task ([[PointBatchPartition]]).
+    * 128 single-record seeks per task keeps task-launch overhead ~1% of
+    * the work while leaving wide INs plenty of parallelism. */
+  private[spark] val PointsPerTask = 128
   private val MaxEntries = 256
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, graft.format.KeyOffsetIndex](64, 0.75f, true) {
@@ -2386,10 +2458,18 @@ object OffsetIndexPlanner {
       val file = path.resolve(seg.file).toString
       val nf = seg.nFields.getOrElse(-1)
       val wt = HadroInputPartition.typesOf(seg)
-      internals.flatMap(idx.lookup).distinct.sortBy(_._1).map { case (off, row) =>
-        HadroInputPartition(file, seg.ordinal, off, row, off + 1, nf,
+      val hits = internals.flatMap(idx.lookup).distinct.sortBy(_._1)
+      // one task per PointsPerTask matching records (multi-get batching):
+      // singletons stay plain single-record ranges, wide IN pushdowns
+      // chunk instead of spawning a task per record
+      hits.grouped(PointsPerTask).map { chunk =>
+        if (chunk.size == 1)
+          HadroInputPartition(file, seg.ordinal, chunk.head._1,
+            chunk.head._2, chunk.head._1 + 1, nf,
+            seg.deleteVector, wt): InputPartition
+        else PointBatchPartition(file, seg.ordinal, chunk, nf,
           seg.deleteVector, wt): InputPartition
-      }
+      }.toSeq
     }
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
