@@ -115,6 +115,104 @@ object LocalFileIO extends FileIO {
     catch { case _: Exception => Files.copy(src, dst) }
 }
 
+/** OBJECT-STORE-SEMANTICS implementation: no rename, no hard link, no
+  * byte-range lock — only the primitives an S3-class store actually
+  * offers (atomic whole-object PUT, conditional PUT `If-None-Match: *`,
+  * server-side COPY). This is the faithful local stand-in that FALSIFIES
+  * rename/link assumptions in the protocol above the seam: every
+  * emulated primitive exposes exactly the object-store contract and
+  * nothing more. A real S3 port swaps the three private emulation
+  * points for SDK calls; everything above the [[FileIO]] trait is
+  * already proven against these semantics (ObjectStoreFileIOSpec runs
+  * the commit-contention, refs/tag and branch protocols under it).
+  *
+  * Mapping (the ARCHITECTURE.md "Filesystem contract" table, realized):
+  *   - [[replaceSlot]]  -> one unconditional PUT of the slot key. A PUT
+  *     is atomic and last-writer-wins per key; readers see old or new
+  *     bytes, never a mix and never absence.
+  *   - [[publishNew]]   -> ONE conditional PUT (`If-None-Match: *`):
+  *     claim and fill are a single linearization point, so there is NO
+  *     window where the slot exists but is empty (LocalFileIO's
+  *     createFile-then-move shape has one; readers tolerate it, but the
+  *     object-store contract is strictly cleaner).
+  *   - [[withFileLock]] -> a LEASE loop: claim-if-absent on a lock
+  *     object, retry on conflict, delete to release — the documented
+  *     CAS-loop mapping (Delta-on-S3 commit-service shape). Fairness
+  *     and staleness policy live with the deployment; here the holder
+  *     always releases (crash-stale leases are a deployment concern the
+  *     local stand-in does not model).
+  *   - [[linkOrCopy]]   -> server-side COPY: a plain byte copy of an
+  *     immutable, already-published file (the semantics the primitive
+  *     promises; the hard link is only LocalFileIO's optimization).
+  *
+  * Emulation notes: object-store PUT atomicity is SERVER-side; the local
+  * stand-in reproduces it with a hidden same-directory temp + atomic
+  * move (invisible to callers — exactly as S3 clients never observe a
+  * partial PUT), and serializes conditional PUTs per key with a
+  * JVM-wide monitor (the server's linearization point; this stand-in is
+  * single-process like the test rig, a real store serializes across
+  * clients). No caller-visible rename, link, or lock primitive exists
+  * anywhere in this implementation. */
+object ObjectStoreFileIO extends FileIO {
+  // per-key linearization monitors (the "server side" of the emulation)
+  private val keyMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitorFor(target: Path): Object =
+    keyMonitors.computeIfAbsent(
+      target.toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Atomic whole-object PUT (emulated): callers never observe a partial
+    * object. The temp+move here is the emulation's hidden internals, not
+    * a protocol rename — the seam's contract is just "PUT is atomic". */
+  private def put(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = target.resolveSibling(
+      s".osput-${System.nanoTime()}-${Thread.currentThread().getId}-${target.getFileName}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def replaceSlot(tmp: Path, target: Path): Unit = {
+    val bytes = Files.readAllBytes(tmp)
+    Files.deleteIfExists(tmp)
+    put(target, bytes)
+  }
+
+  override def publishNew(tmp: Path, target: Path): Boolean = {
+    val bytes = Files.readAllBytes(tmp)
+    Files.deleteIfExists(tmp)
+    monitorFor(target).synchronized {
+      if (Files.exists(target)) false
+      else { put(target, bytes); true }
+    }
+  }
+
+  override def withFileLock[T](lockFile: Path)(body: => T): T = {
+    // lease object next to the requested lock path; claim-if-absent is
+    // the conditional PUT, release is a DELETE — the CAS/lease loop an
+    // object store forces on you instead of flock
+    val lease = lockFile.resolveSibling(lockFile.getFileName.toString + ".lease")
+    Files.createDirectories(lease.getParent)
+    var backoff = 1L
+    while (true) {
+      val claimed = monitorFor(lease).synchronized {
+        if (Files.exists(lease)) false
+        else { put(lease, Array.emptyByteArray); true }
+      }
+      if (claimed) {
+        try return body
+        finally Files.deleteIfExists(lease)
+      }
+      Thread.sleep(backoff)
+      backoff = math.min(16L, backoff * 2)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def linkOrCopy(src: Path, dst: Path): Unit =
+    Files.copy(src, dst)
+}
+
 /** The active implementation (a seam, not a config knob: tests and a
   * future object-store port swap it; production code never reads it
   * directly — CollectionMeta/Collection route through [[FileIO.impl]]). */
