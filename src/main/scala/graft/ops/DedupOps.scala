@@ -629,31 +629,42 @@ object DedupOps {
     * same cut. Returns (doc_id, n_lines_kept, clean_text); docs whose
     * every line is boilerplate drop out (nothing left to emit).
     *
-    * Scale shape: document-frequency counting and the anti-join are both
-    * key-equality shuffles on (group, line); reassembly shuffles on doc
-    * id. Nothing is quadratic. At 100 TB you additionally hash the line
-    * (xxhash64) so the shuffle key is 8 bytes instead of the line text —
-    * kept as the raw string here because the oracle compares line-exact. */
+    * Scale shape: the same 8-byte hash discipline as the span-removal
+    * family ([[removeDuplicateSpans]]) — every line is xxhash64-hashed
+    * BEFORE its first exchange, so document-frequency counting and the
+    * anti-join shuffle (group, line-hash, position) keys, never line
+    * text; reassembly joins the kept POSITIONS back to the original row
+    * on doc id (the per-doc line array never leaves its row) and
+    * re-reads the text there. Nothing is quadratic; hash equality
+    * stands in for line equality (the d13/d26 contract — a 64-bit
+    * within-group collision mislabels one line, the accepted trade at
+    * corpus scale). */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, numerator: Int = 1, denominator: Int = 2,
       minCount: Int = 2): DataFrame = {
-    val lines = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val docs = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      split(col(textCol), "\n").as("ls"))
+    // hash each line in place, then explode: only (grp, 8-byte lh, pos)
+    // ever reaches an exchange
+    val lines = docs.select(col("doc_id"), col("grp"),
+      posexplode(transform(col("ls"), l => xxhash64(l)))
+        .as(Seq("pos", "lh")))
     val groupDocs = df.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(idCol)).as("gd"))
     // A line repeated WITHIN one doc counts once: distinct doc frequency.
-    val boiler = lines.groupBy("grp", "line")
+    val boiler = lines.groupBy("grp", "lh")
       .agg(countDistinct(col("doc_id")).as("ld"))
       .join(groupDocs, Seq("grp"))
       .filter(col("ld") >= minCount &&
         col("ld") * denominator >= col("gd") * numerator)
-      .select("grp", "line")
-    lines.join(boiler, Seq("grp", "line"), "left_anti")
+      .select("grp", "lh")
+    val kept = lines.join(boiler, Seq("grp", "lh"), "left_anti")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines_kept"),
-        concat_ws("\n", transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          s => s.getField("line"))).as("clean_text"))
+      .agg(sort_array(collect_list(col("pos"))).as("keep"))
+    docs.join(kept, Seq("doc_id"))
+      .select(col("doc_id"), size(col("keep")).cast("bigint").as("n_lines_kept"),
+        concat_ws("\n", transform(col("keep"),
+          p => element_at(col("ls"), p + 1))).as("clean_text"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature, banded into four

@@ -700,6 +700,62 @@ class OpsSpec extends SparkSuite {
     assert(out(2L)._2 == 2L)
   }
 
+  test("boilerplate removal shuffles carry hashed line keys; text crosses " +
+      "at most the ONE reassembly exchange") {
+    // 30 docs x 40 lines x ~120 chars (~142 KB of line text). The
+    // text-keyed plan this replaced pushed the full line volume through
+    // THREE exchanges (DF counting on (grp, line), the anti-join, and
+    // reassembly-by-doc) — three "fat" exchanges. The hashed plan's
+    // counting and anti-join exchanges carry (grp, 8-byte hash, pos)
+    // only; the single place text may still cross is the reassembly
+    // join's doc side (the per-doc line array, exactly d26's contract).
+    // So: at most ONE exchange above lineVolume/2, and the total under
+    // 2.5 passes (vs >= 3 text passes before).
+    val nDocs = 30
+    val rows = (0 until nDocs).map { i =>
+      val lines = (0 until 40).map { j =>
+        // even lines: shared across every doc (boilerplate, removed);
+        // odd lines: unique per doc (kept)
+        if (j % 2 == 0) f"shared-$j%02d-" + "b" * 110
+        else f"uniq-$i%02d-$j%02d-" + "u" * 108
+      }
+      (i.toLong, "g", lines.mkString("\n"))
+    }
+    // parquet round-trip: the input arrives shuffle-free (an in-memory
+    // repartition would add its own text-carrying exchange to the count)
+    val src = java.nio.file.Files.createTempDirectory("boiler").toString
+    rows.toDF("doc_id", "source", "text").repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val df = spark.read.parquet(src)
+    val out = DedupOps.removeBoilerplate(df, "doc_id", "text", "source")
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val sizes = walk(out.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s.metrics("dataSize").value }
+    val lineVolume = nDocs.toLong * 40 * 118
+    assert(sizes.nonEmpty, "expected at least one exchange to execute")
+    val fat = sizes.count(_ > lineVolume / 2)
+    assert(fat <= 1,
+      s"$fat exchanges carry text-sized payloads (${sizes.sorted.reverse}) " +
+        s"— hashed keys must keep all but the reassembly exchange thin")
+    assert(sizes.sum < lineVolume * 5 / 2,
+      s"shuffled ${sizes.sum} bytes total — more than 2.5 text passes " +
+        s"(line volume ~$lineVolume)")
+    // and the hashed rewrite still removes exactly the shared lines
+    val cleaned = out.select($"doc_id", $"clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(cleaned.size == nDocs)
+    assert(cleaned.values.forall(t =>
+      t.split("\n").length == 20 && t.contains("uniq-") && !t.contains("shared-")))
+  }
+
   test("duplicated-span profile flags planted shared spans, spares unique docs") {
     val planted = docs.withColumn("text",
       when($"doc_id" % 5 === 0,
