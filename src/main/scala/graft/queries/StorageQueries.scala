@@ -3473,5 +3473,74 @@ object StorageQueries {
             AND c_custkey % 20 <> 4)
         SELECT c_custkey, c_mktsegment, c_acctbal, _change_type
         FROM typed ORDER BY _change_type, c_custkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h95
+    // TYPED CDC THROUGH PURE SQL (Delta `table_changes()` analog): the
+    // h92 machinery, reachable without linking the Scala API — `CALL
+    // <cat>.system.typed_changes(table, start, end, view)` registers a
+    // lazy temp view of `_change_type` rows and a SQL SELECT consumes
+    // it. The view is fully distributed (ChangeFeed.updateImages:
+    // window-proportional scan, touched-key-restricted pre-images); the
+    // procedure's own result is one descriptor row. Same history and
+    // oracle as h92, consumed over the SQL surface end-to-end.
+    QueryDef(
+      "h95_typed_changes_sql",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h95"
+        s.conf.set("spark.sql.catalog.graft_h95",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h95.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h95.db")
+        val path = s"$wh/db/cust"
+        val cust = table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        Collection.create(s, path, cust.filter($"c_custkey" % 2 === 0),
+          key = Some("c_custkey"))
+        val c = Collection(s, path)
+        val v1 = c.version
+        c.append(cust.filter($"c_custkey" % 10 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" * 2)
+          .unionByName(cust.filter($"c_custkey" % 2 === 1 &&
+            $"c_custkey" % 7 === 0)))
+        c.merge(cust.filter(($"c_custkey" % 10 === 4) ||
+            ($"c_custkey" % 2 === 1 && $"c_custkey" % 7 === 0 &&
+              $"c_custkey" % 3 === 0))
+          .withColumn("d", lit(true)), $"d")
+        c.append(cust.filter($"c_custkey" % 20 === 4)
+          .withColumn("c_acctbal", $"c_acctbal" + 5000.0))
+        val v2 = c.version
+        val desc = s.sql(s"CALL graft_h95.system.typed_changes(" +
+          s"'db.cust', $v1, $v2, 'h95_changes')").collect()
+        require(desc.length == 1 && desc.head.getString(0) == "h95_changes",
+          s"typed_changes descriptor row: ${desc.toSeq}")
+        s.sql("""SELECT c_custkey, c_mktsegment, c_acctbal, _change_type
+          FROM h95_changes ORDER BY _change_type, c_custkey""")
+      },
+      Some("""WITH base AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        ups AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal AS oldb,
+            CASE WHEN c_custkey % 20 = 4 THEN c_acctbal + 5000.0
+                 ELSE c_acctbal * 2 END AS newb
+          FROM base
+          WHERE c_custkey % 2 = 0
+            AND (c_custkey % 10 = 0 OR c_custkey % 20 = 4)),
+        typed AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, 'insert' AS _change_type
+          FROM base WHERE c_custkey % 2 = 1 AND c_custkey % 7 = 0
+            AND c_custkey % 3 <> 0
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, oldb, 'update_preimage' FROM ups
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, newb, 'update_postimage' FROM ups
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, c_acctbal, 'delete'
+          FROM base WHERE c_custkey % 2 = 0 AND c_custkey % 10 = 4
+            AND c_custkey % 20 <> 4)
+        SELECT c_custkey, c_mktsegment, c_acctbal, _change_type
+        FROM typed ORDER BY _change_type, c_custkey"""))
   )
 }

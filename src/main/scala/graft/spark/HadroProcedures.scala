@@ -40,7 +40,8 @@ object HadroProcedures {
       "rollback", "expire_snapshots", "clone", "analyze", "create_tag", "drop_tag",
       "publish", "orphan_files", "remove_orphans", "drop_partitions",
       "compact_partitions", "set_partition_spec", "purge_deletes",
-      "create_branch", "drop_branch", "fast_forward", "rebase")
+      "create_branch", "drop_branch", "fast_forward", "rebase",
+      "typed_changes")
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
@@ -300,6 +301,28 @@ object HadroProcedures {
         new StructType().add("tag", StringType).add("existed", BooleanType)) { in =>
           val name = in.getUTF8String(1).toString
           Seq(InternalRow(UTF8String.fromString(name), coll(in).dropTag(name)))
+        }
+      case "typed_changes" => proc("typed_changes",
+        "register a TEMP VIEW of Delta-CDF-style typed change rows " +
+          "(_change_type in insert/update_preimage/update_postimage/" +
+          "delete) for a KEYED table's changes window " +
+          "(start_version, end_version] — table_changes() analog for " +
+          "pure-SQL consumers. The view is lazy and fully distributed " +
+          "(graft.api.ChangeFeed.updateImages: window-proportional scan, " +
+          "touched-key-restricted pre-images); only this one descriptor " +
+          "row is driver-local",
+        Seq(p("table", StringType), p("start_version", LongType),
+          p("end_version", LongType), p("view", StringType)),
+        new StructType().add("view", StringType)
+          .add("start_version", LongType).add("end_version", LongType)) { in =>
+          val dir = resolve(in.getUTF8String(0).toString)
+          val start = in.getLong(1)
+          val end = in.getLong(2)
+          val view = in.getUTF8String(3).toString
+          graft.api.ChangeFeed
+            .updateImages(SparkSession.active, dir.toString, start, end)
+            .createOrReplaceTempView(view)
+          Seq(InternalRow(UTF8String.fromString(view), start, end))
         }
       case "history" => proc("history",
         "commit audit over the retained manifest versions, newest first " +
