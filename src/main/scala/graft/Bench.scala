@@ -19,12 +19,17 @@ object Bench {
     // pass is that compile tax). Disable with SPARK_GRAFT_WARMUP=off.
     // A warmup failure is NOT swallowed silently: the timed pass will hit
     // (and record) it too, but the earliest stack is often the clearest.
+    val warmOnly = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "on") != "off") {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => warmOnly.forall(_.contains(q._1)))
+        .foreach { case (name, fn) =>
         try fn(spark, sfDir).count() catch {
           case t: Throwable => System.err.println(s"BENCH warmup failure in $name: $t")
         }
         spark.catalog.clearCache()
+        SparkEntry.sweepCatalogConfs(spark)
       }
     }
     // Best-of-N per query (default 2): the minimum is the standard
@@ -61,7 +66,13 @@ object Bench {
     // it landed on and the minimum couldn't strip it (the r12 d04
     // phantom 10x). Each pass stamps the loadavg at its start, so the
     // per-rep raw times in BENCH_FULL are adjudicable per pass.
+    // Dev-only subset (comma-separated names, mirrors Verify's
+    // SPARK_GRAFT_ONLY); the driver never sets it — for timing one query
+    // without a 10-minute full pass.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     val perRep = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.Buffer[(Double, Double)]]
     val passLoads = scala.collection.mutable.Buffer.empty[String]
@@ -87,8 +98,10 @@ object Bench {
         }
         val t2 = System.nanoTime()
         // Queries are self-contained: drop their persisted frames so one
-        // query's cache pressure can't distort the next one's timing.
+        // query's cache pressure can't distort the next one's timing —
+        // and their one-shot catalog registrations with them.
         spark.catalog.clearCache()
+        SparkEntry.sweepCatalogConfs(spark)
         perRep.getOrElseUpdate(name,
           scala.collection.mutable.Buffer.empty) +=
           (((t1 - t0) / 1e9, (t2 - t1) / 1e9))
@@ -168,6 +181,13 @@ object Bench {
     }
     if (failures.nonEmpty)
       System.err.println(s"BENCH: ${failures.size} queries FAILED: ${failures.mkString(", ")}")
+    // Conf-hygiene gate: the per-query sweep must leave a bench JVM with
+    // zero dangling per-query catalog registrations at exit.
+    val dangling = spark.conf.getAll.keys
+      .filter(_.startsWith("spark.sql.catalog.graft_")).toSeq.sorted
+    if (dangling.nonEmpty)
+      System.err.println(s"BENCH: ${dangling.size} dangling catalog confs " +
+        s"at exit (sweep regressed): ${dangling.take(8).mkString(", ")}")
     // Stop Spark BEFORE printing the contract line so its shutdown logging
     // cannot land after the JSON and push it out of the driver's 2000-char
     // stdout tail — but NEVER let a failing stop() (shutdown-hook/FS

@@ -26,6 +26,19 @@ object SparkEntry {
     spark
   }
 
+  /** Drop the per-query catalog registrations a lifecycle query leaves in
+    * session conf. Each storage query registers a uniquely-named catalog
+    * (`spark.sql.catalog.graft_h*` + `.warehouse`); the names never
+    * collide, but ~100 of them accumulate over a Bench/Verify JVM. ONE
+    * enforcement point here (called by the harnesses after each query's
+    * frame is materialized) beats a `finally unset` at every set site —
+    * a sweep cannot drift when the next query is added. Safe mid-run:
+    * CatalogManager caches loaded catalog instances by name, and every
+    * query (re)sets its own confs before first use. */
+  private[graft] def sweepCatalogConfs(spark: SparkSession): Unit =
+    spark.conf.getAll.keys.filter(_.startsWith("spark.sql.catalog.graft_"))
+      .foreach(spark.conf.unset)
+
   private def batteries: Seq[QueryDef] =
     RelationalQueries.defs ++ StorageQueries.defs ++ OpsQueries.defs ++
       AdvancedQueries.defs ++ SurfaceQueries.defs

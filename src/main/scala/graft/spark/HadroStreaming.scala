@@ -340,7 +340,21 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
               HadroInputPartition.dvDeltaRanges(path, seg, b) } ++
             net.dropped.flatMap(s =>
               HadroInputPartition.dropRanges(path, s))).toArray)
-        } catch { case _: Exception => None }
+        } catch {
+          // ONLY the chain walk's refusals (refuse/require: unprovable
+          // rewrite, mid-version offset, reclaimed bytes) degrade to
+          // onTruncate semantics — and say why, because under
+          // onTruncate=restart that fallback re-emits the whole log.
+          // Genuine IO/metadata errors propagate: silently treating a
+          // transient read failure as "not provable" would duplicate
+          // rows downstream with no diagnostic anywhere.
+          case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+            org.slf4j.LoggerFactory.getLogger(classOf[HadroMicroBatchStream])
+              .warn(s"hadro stream over $path: cannot read through " +
+                s"generation change ${so.generation} -> ${eo.generation} " +
+                s"(${e.getMessage}); falling back to onTruncate=$onTruncate")
+            None
+        }
       transparent match {
         case Some(parts) => return parts
         case None => () // fall through to onTruncate semantics below
