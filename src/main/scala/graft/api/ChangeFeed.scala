@@ -81,19 +81,26 @@ object ChangeFeed {
         col(s"o.$key").isNotNull.as("_had")) ++
         payload.filterNot(_ == key).map(c => col(s"n.$c")) ++
         oldCols: _*)
-    def shape(rows: DataFrame, valueOf: String => org.apache.spark.sql.Column,
-        tpe: String): DataFrame =
-      rows.select(payload.map(c =>
+    // SINGLE-PASS classification: each paired row explodes into its 0-2
+    // typed rows (insert | pre+post pair | delete | nothing for
+    // created-and-destroyed keys). A 4-branch union would re-run the
+    // window scan, the LWW window and the pre-image join once per
+    // branch; the explode emits everything in one traversal.
+    def row(valueOf: String => org.apache.spark.sql.Column, tpe: String) =
+      struct(payload.map(c =>
         (if (c == key) col(key) else valueOf(c)).as(c)) :+
         lit(tpe).as("_change_type"): _*)
-    val inserts = shape(paired.filter(!col("_del") && !col("_had")),
-      c => col(c), "insert")
-    val preImg = shape(paired.filter(!col("_del") && col("_had")),
-      c => col(s"_old_$c"), "update_preimage")
-    val postImg = shape(paired.filter(!col("_del") && col("_had")),
-      c => col(c), "update_postimage")
-    val deletes = shape(paired.filter(col("_del") && col("_had")),
-      c => col(s"_old_$c"), "delete")
-    inserts.unionByName(preImg).unionByName(postImg).unionByName(deletes)
+    val newRow = (c: String) => col(c)
+    val oldRow = (c: String) => col(s"_old_$c")
+    // no .otherwise: the unmatched case (tombstone of a never-seen key)
+    // yields NULL, and explode emits nothing for null arrays — exactly
+    // the net-zero contract
+    paired.select(explode(
+      when(!col("_del") && !col("_had"), array(row(newRow, "insert")))
+        .when(!col("_del") && col("_had"),
+          array(row(oldRow, "update_preimage"), row(newRow, "update_postimage")))
+        .when(col("_del") && col("_had"), array(row(oldRow, "delete")))
+      ).as("_r"))
+      .select(col("_r.*"))
   }
 }

@@ -1689,6 +1689,15 @@ private[spark] object ChangeWindowPlanner {
   def chainWalk(path: Path, start: Manifest, end: Manifest,
       requireFeed: (String, String) => Unit,
       refuse: String => Nothing): NetWindow = {
+    // COST NOTE: the walk reads every in-window manifest sequentially on
+    // the driver — O(commits in window) JSON parses per plan, each
+    // metadata-sized and cached (manifestMetaAt parse cache), and
+    // retention bounds the window for untagged floors. A TAGGED consumer
+    // lagging 10^5 commits pays the full walk on every cycle, though:
+    // if that becomes a real profile, amortize with per-manifest
+    // segment-DIFF sidecars (each commit records its own added/removed
+    // files, so the walk reads diffs instead of whole segment lists) or
+    // coarser consumer checkpoints that bound the lag.
     val chain = scala.collection.mutable.ArrayBuffer[Manifest](start)
     var vv = start.version + 1
     while (vv < end.version) {

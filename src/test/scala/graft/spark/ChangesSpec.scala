@@ -21,6 +21,50 @@ class ChangesSpec extends SparkSuite {
   private def tmp(name: String): String =
     Files.createTempDirectory(name).resolve("c").toString
 
+  test("typed_changes procedure registers a SQL-consumable view of " +
+      "_change_type rows; unkeyed tables refuse with the Scala-API message") {
+    val wh = Files.createTempDirectory("tcview_wh").toString
+    spark.conf.set("spark.sql.catalog.tcv", classOf[HadroCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tcv.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tcv.db")
+      val keyed = Paths.get(wh, "db", "k").toString
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+        .write.format("hadro").mode("overwrite")
+        .option("hadro.key", "id").save(keyed)
+      val c = Collection(spark, keyed)
+      val v1 = c.version
+      c.set(Seq((1L, 99.0), (3L, 30.0)).toDF("id", "v"))
+      c.merge(Seq((2L, 20.0, true)).toDF("id", "v", "d"), $"d")
+      val v2 = c.version
+      val desc = spark.sql(
+        s"CALL tcv.system.typed_changes('db.k', $v1, $v2, 'tcv_changes')")
+        .collect()
+      assert(desc.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        == Seq(("tcv_changes", v1, v2)))
+      val rows = spark.sql(
+        """SELECT id, v, _change_type FROM tcv_changes
+           ORDER BY _change_type, id""")
+        .as[(Long, Double, String)].collect().toSeq
+      assert(rows == Seq(
+        (2L, 20.0, "delete"),
+        (3L, 30.0, "insert"),
+        (1L, 99.0, "update_postimage"),
+        (1L, 10.0, "update_preimage")), rows.toString)
+
+      // unkeyed: the procedure surfaces ChangeFeed's refusal through SQL
+      val unkeyed = Paths.get(wh, "db", "u").toString
+      Seq((1L, "a")).toDF("id", "s")
+        .write.format("hadro").mode("overwrite").save(unkeyed)
+      val e = intercept[Exception](spark.sql(
+        "CALL tcv.system.typed_changes('db.u', 0, 1, 'tcv_nope')").collect())
+      assert(e.getMessage.contains("KEYED"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tcv.warehouse")
+      spark.conf.unset("spark.sql.catalog.tcv")
+    }
+  }
+
   test("changes window replays exactly the appended records") {
     val w = tmp("chg")
     Collection.create(spark, w, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
