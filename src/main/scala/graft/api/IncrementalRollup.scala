@@ -171,6 +171,120 @@ object IncrementalRollup {
     head
   }
 
+  /** Bootstrap for [[cycleRefresh]]: materialize (groupCol, n BIGINT,
+    * <out>...) where each out is `fn(src)` — fn in {min, max, sum} (sum
+    * rides DECIMAL(18,2); min/max keep the source type) — from the
+    * RESOLVED tag-pinned snapshot, keyed by the group. Same cursor and
+    * applied-version stamping contract as [[bootstrap]]. */
+  def bootstrapRefresh(spark: SparkSession, factPath: String,
+      cursorTag: String, rollupPath: String, groupCol: String,
+      aggs: Seq[(String, String, String)]): Unit = {
+    val fact = Collection(spark, factPath)
+    fact.createTag(cursorTag)
+    val v = fact.tags(cursorTag)
+    val rp = java.nio.file.Paths.get(rollupPath)
+    CollectionMeta.registerCommitEpoch(rp, epochKey(cursorTag), v)
+    try {
+      aggExprs(fact.resolvedAsOf(v).groupBy(col(groupCol).as("g")), aggs)
+        .withColumnRenamed("g", groupCol)
+        .write.format("hadro").mode("overwrite")
+        .option("hadro.key", groupCol).save(rollupPath)
+    } finally CollectionMeta.clearCommitEpoch(rp)
+  }
+
+  private def aggFn(fn: String, src: String): org.apache.spark.sql.Column =
+    fn match {
+      case "min" => min(col(src))
+      case "max" => max(col(src))
+      case "sum" => sum(col(src).cast("decimal(18,2)")).cast("decimal(18,2)")
+      case other => throw new IllegalArgumentException(
+        s"hadro: cycleRefresh aggregate must be min|max|sum, got '$other'")
+    }
+
+  private def aggExprs(g: org.apache.spark.sql.RelationalGroupedDataset,
+      aggs: Seq[(String, String, String)]) = {
+    val exprs = count(lit(1)).cast("bigint").as("n") +:
+      aggs.map { case (fn, src, out) => aggFn(fn, src).as(out) }
+    g.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Consumer cycle for aggregates that are NOT delta-foldable under
+    * deletes — MIN/MAX (a deleted row may have BEEN the extreme; no
+    * signed fold can recover the runner-up). The standard materialized-
+    * view maintenance for these is PARTIAL RECOMPUTE: read the window
+    * only to find the TOUCHED GROUPS, re-aggregate exactly those groups
+    * from the resolved head snapshot, and MERGE the refreshed rows —
+    * untouched groups are never read or written. Group restriction uses
+    * the same bounded-probe discipline as the keyed pre-images: ≤
+    * [[Collection.MaxKeyPushdown]] distinct groups push into the
+    * snapshot scan as an IN predicate (per-segment min/max stats prune
+    * group-clustered layouts to only the touched groups' segments);
+    * larger sets semi-join. For a KEYED fact the restriction applies
+    * ABOVE the LWW resolve — group-moving updates mean a group filter
+    * below the per-key window could resurrect shadowed versions — so
+    * the refresh is resolve-then-restrict there (the honest price;
+    * unkeyed facts, the common shape, restrict at the scan). Groups
+    * whose refreshed row set is empty are DELETED from the rollup.
+    * Exactly-once exactly as [[cycle]]: the applied version rides the
+    * MERGE commit; the effective floor is max(tag, applied). */
+  def cycleRefresh(spark: SparkSession, factPath: String, cursorTag: String,
+      rollupTable: String, groupCol: String,
+      aggs: Seq[(String, String, String)]): Long = {
+    val fact = Collection(spark, factPath)
+    val head = fact.version
+    val tagFloor = fact.tags.getOrElse(cursorTag,
+      throw new IllegalArgumentException(
+        s"hadro: no cursor tag '$cursorTag' on $factPath — bootstrap first"))
+    val rp = rollupDir(spark, rollupTable)
+    val applied = CollectionMeta.currentManifest(rp)
+      .streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
+    val floor = math.max(tagFloor, applied)
+    if (floor < head) {
+      val touched = spark.read.format("hadro")
+        .option("hadro.changefeed", "full")
+        .option("hadro.changesStart", floor.toString)
+        .option("hadro.changesEnd", head.toString).load(factPath)
+        .select(col(groupCol).as("g")).distinct()
+      // bounded probe (window-proportional input): literal groups turn
+      // the restriction into scan pushdown
+      val lits = touched.limit(Collection.MaxKeyPushdown + 1)
+        .collect().map(_.get(0)).toSeq
+      val snap = fact.resolvedAsOf(head)
+      val restricted =
+        if (lits.size <= Collection.MaxKeyPushdown)
+          snap.filter(col(groupCol).isin(lits: _*))
+        else snap.join(touched.withColumnRenamed("g", groupCol),
+          Seq(groupCol), "left_semi")
+      // left join: a touched group with NO surviving rows arrives with
+      // null n — the MERGE's DELETE branch
+      val refreshed = touched.join(
+        aggExprs(restricted.groupBy(col(groupCol).as("g")), aggs), Seq("g"),
+        "left")
+      val view = deltaView("hadro_rollup_refresh_", rollupTable)
+      refreshed.createOrReplaceTempView(view)
+      val sets = ("n = d.n" +: aggs.map { case (_, _, out) =>
+        s"$out = d.$out" }).mkString(", ")
+      val insCols = (Seq(groupCol, "n") ++ aggs.map(_._3)).mkString(", ")
+      val insVals = (Seq("d.g", "d.n") ++ aggs.map(a => s"d.${a._3}"))
+        .mkString(", ")
+      CollectionMeta.registerCommitEpoch(rp, epochKey(cursorTag), head)
+      try {
+        spark.sql(
+          s"""MERGE INTO $rollupTable t USING $view d
+              ON t.$groupCol <=> d.g
+              WHEN MATCHED AND d.n IS NULL THEN DELETE
+              WHEN MATCHED THEN UPDATE SET $sets
+              WHEN NOT MATCHED AND d.n IS NOT NULL THEN
+                INSERT ($insCols) VALUES ($insVals)""")
+      } finally {
+        CollectionMeta.clearCommitEpoch(rp)
+        spark.catalog.dropTempView(view)
+      }
+    }
+    fact.createTag(cursorTag, head)
+    head
+  }
+
   /** [[cycle]] for a KEYED fact collection, where the raw changefeed is
     * NOT a valid delta — an upsert's new version would double-count (the
     * shadowed row's contribution is already in the rollup) — so the

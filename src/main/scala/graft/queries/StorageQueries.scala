@@ -3542,5 +3542,70 @@ object StorageQueries {
             AND c_custkey % 20 <> 4)
         SELECT c_custkey, c_mktsegment, c_acctbal, _change_type
         FROM typed ORDER BY _change_type, c_custkey"""))
+    ,
+
+    // ---------------------------------------------------------------- h96
+    // PARTIAL-RECOMPUTE rollup maintenance (MIN/MAX): a deleted row may
+    // have BEEN a group's extreme, so no signed delta fold can maintain
+    // MIN/MAX — the materialized-view move is to re-aggregate ONLY the
+    // groups the window touched (IncrementalRollup.cycleRefresh): the
+    // changes window yields the touched-group set, the head snapshot is
+    // re-read RESTRICTED to those groups (IN pushdown + per-segment
+    // min/max stats prune group-clustered layouts to just their
+    // segments), and one MERGE refreshes/deletes exactly those rollup
+    // rows. Both cycles delete per-group extremes (negatives = the
+    // mins, then >9000 = the maxes), the case foldable deltas cannot
+    // handle. Oracle = full recompute with MIN/MAX/SUM.
+    QueryDef(
+      "h96_minmax_rollup_refresh",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h96"
+        s.conf.set("spark.sql.catalog.graft_h96",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h96.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h96.db")
+        val factPath = s"$wh/db/cust"
+        val aggPath = s"$wh/db/seg_mm"
+        val cust = table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        cust.filter($"c_custkey" % 2 === 0)
+          .write.format("hadro").mode("overwrite").save(factPath)
+        val aggs = Seq(("min", "c_acctbal", "min_bal"),
+          ("max", "c_acctbal", "max_bal"), ("sum", "c_acctbal", "sum_bal"))
+        graft.api.IncrementalRollup.bootstrapRefresh(s, factPath,
+          "h96_cursor", aggPath, "c_mktsegment", aggs)
+        def cycle(): Unit = {
+          graft.api.IncrementalRollup.cycleRefresh(s, factPath,
+            "h96_cursor", "graft_h96.db.seg_mm", "c_mktsegment", aggs)
+          ()
+        }
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try {
+          // cycle 1: odd third arrives; negatives purged — every group's
+          // MIN moves up, unrecoverable from a delta fold
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 === 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("DELETE FROM graft_h96.db.cust WHERE c_acctbal < 0.0")
+          cycle()
+          // cycle 2: the rest; >9000 purged — every group's MAX moves
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 =!= 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("""DELETE FROM graft_h96.db.cust
+            WHERE c_acctbal < 0.0 OR c_acctbal > 9000.0""")
+          cycle()
+        } finally s.conf.unset("spark.hadro.delete.mode")
+        Collection(s, aggPath).toDF()
+          .select($"c_mktsegment".as("seg"), $"n", $"min_bal", $"max_bal",
+            $"sum_bal".cast("double").as("sum_bal"))
+          .orderBy("seg")
+      },
+      Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer
+        WHERE c_acctbal >= 0.0 AND c_acctbal <= 9000.0
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

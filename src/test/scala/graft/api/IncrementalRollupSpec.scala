@@ -151,6 +151,56 @@ class IncrementalRollupSpec extends SparkSuite {
     }
   }
 
+  test("cycleRefresh partially recomputes only touched groups: deleted " +
+      "extremes recover, emptied groups delete, new groups insert, " +
+      "and a replayed window is a no-op") {
+    val wh = freshCatalog("ir4")
+    try {
+      val factDir = Paths.get(wh, "db", "f").toString
+      val aggDir = Paths.get(wh, "db", "mm").toString
+      val aggs = Seq(("min", "v", "min_v"), ("max", "v", "max_v"))
+      Seq((1L, "A", 5.0), (2L, "A", 50.0), (3L, "B", 7.0), (4L, "B", 70.0),
+        (5L, "C", 9.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("overwrite").save(factDir)
+      IncrementalRollup.bootstrapRefresh(spark, factDir, "ir4_cursor",
+        aggDir, "g", aggs)
+      def rows(): Seq[(String, Long, Double, Double)] =
+        Collection(spark, aggDir).toDF()
+          .select($"g", $"n", $"min_v", $"max_v")
+          .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(rows() == Seq(("A", 2L, 5.0, 50.0), ("B", 2L, 7.0, 70.0),
+        ("C", 1L, 9.0, 9.0)), rows().toString)
+
+      val fact = Collection(spark, factDir)
+      spark.conf.set("spark.hadro.delete.mode", "dv")
+      try {
+        // touch A (delete its MAX — unfoldable), empty C entirely, and
+        // introduce D; B is untouched and must not be re-read or merged
+        Seq((6L, "A", 20.0), (7L, "D", 1.0)).toDF("id", "g", "v")
+          .write.format("hadro").mode("append").save(factDir)
+        spark.sql("DELETE FROM ir4.db.f WHERE v = 50.0 OR g = 'C'")
+        val floor = fact.tags("ir4_cursor")
+        val head = IncrementalRollup.cycleRefresh(spark, factDir,
+          "ir4_cursor", "ir4.db.mm", "g", aggs)
+        assert(rows() == Seq(("A", 2L, 5.0, 20.0), ("B", 2L, 7.0, 70.0),
+          ("D", 1L, 1.0, 1.0)), rows().toString)
+        // the applied version rode the MERGE commit
+        assert(CollectionMeta.currentManifest(Paths.get(aggDir))
+          .streamEpochs.get("hadro-rollup:ir4_cursor").contains(head))
+        // crash simulation: rewind the tag, retry — skipped, tag re-moves
+        fact.createTag("ir4_cursor", floor)
+        IncrementalRollup.cycleRefresh(spark, factDir, "ir4_cursor",
+          "ir4.db.mm", "g", aggs)
+        assert(rows() == Seq(("A", 2L, 5.0, 20.0), ("B", 2L, 7.0, 70.0),
+          ("D", 1L, 1.0, 1.0)), rows().toString)
+        assert(fact.tags("ir4_cursor") == head)
+      } finally spark.conf.unset("spark.hadro.delete.mode")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ir4.warehouse")
+      spark.conf.unset("spark.sql.catalog.ir4")
+    }
+  }
+
   test("streaming twin: a foreachBatch epoch replayed after restart from " +
       "an uncommitted checkpoint does not double-apply the window") {
     val wh = freshCatalog("ir3")

@@ -107,6 +107,26 @@ class ObjectStoreFileIOSpec extends SparkSuite {
     }
   }
 
+  test("branch REBASE (diverged main) round-trips on object-store semantics") {
+    withObjectStore {
+      val w = Files.createTempDirectory("ostore_rebase").resolve("c").toString
+      Collection.create(spark, w, Seq((1L, "a")).toDF("k", "v"))
+      val c = Collection(spark, w)
+      c.createBranch("wip")
+      Seq((2L, "staged")).toDF("k", "v").write.format("hadro").mode("append")
+        .option("hadro.branch", "wip").save(w)
+      // main moves underneath the branch: fast-forward must refuse,
+      // rebase must replay the staged epoch onto the new main head
+      Seq((3L, "mainline")).toDF("k", "v").write.format("hadro")
+        .mode("append").save(w)
+      intercept[Exception](c.fastForward("wip"))
+      c.rebase("wip")
+      c.fastForward("wip")
+      assert(c.toDF().select("k").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    }
+  }
+
   test("zero-copy-clone verbs fall back to COPY semantics (no hard link)") {
     withObjectStore {
       val base = Files.createTempDirectory("ostore_clone")
