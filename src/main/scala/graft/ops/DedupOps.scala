@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, engineered for the
@@ -136,6 +136,140 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** PERSISTED LSH index build for [[minhashLshIndexProbe]] — the
+    * incremental-ingest twin of [[minhashLshPairs]]. Materializes the
+    * corpus' banded MinHash index ONCE as two parquet tables under
+    * `indexPath`: `bands` (band, band_hash, doc_id) — the inverted
+    * banding a probe joins against — and `sets` (doc_id, sig_h,
+    * shingles as 8-byte xxhash64 values) — the verification side. At
+    * 100 TB this is the difference between re-signaturing the corpus
+    * every night and signaturing only the night's batch: the index is
+    * corpus-sized on DISK but a probe reads it hit-proportionally
+    * (key-equality joins on (band, band_hash) and on candidate doc
+    * ids), and every shuffled key is 8 bytes. */
+  def minhashLshIndexBuild(df: DataFrame, idCol: String, textCol: String,
+      indexPath: String, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(col(idCol).as("doc_id"),
+      TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
+      .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
+    withSig.select(col("doc_id"), xxhash64(col("sig")).as("sig_h"),
+      transform(col("shingles"), s => xxhash64(s)).as("shingles"))
+      .write.mode("overwrite").parquet(s"$indexPath/sets")
+    withSig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+          lit(rowsPerBand)), b))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+      .write.mode("overwrite").parquet(s"$indexPath/bands")
+  }
+
+  /** INCREMENTAL MinHash-LSH near-dup: probe a NEW document batch
+    * against the [[minhashLshIndexBuild]] index, returning every pair
+    * with verified Jaccard ≥ `threshold` where AT LEAST ONE side is new
+    * (new-vs-corpus and new-vs-new; corpus-vs-corpus was reported when
+    * those docs were themselves the new batch), then — `extendIndex` —
+    * append the batch's bands and sets so the next ingest probes
+    * against the grown corpus. The nightly-dedup shape: only the batch
+    * is signatured; the corpus contributes via key-equality joins.
+    *
+    * Semantics match the batch path exactly: the band-bucket cap counts
+    * members across index ∪ batch (a boilerplate bucket must not start
+    * joining quadratically just because the count crossed the cap at
+    * this ingest), identical-signature clusters that GAINED a new
+    * member emit star pairs (the over-cap blind-spot cover), and
+    * verification is exact Jaccard over the 8-byte shingle hashes.
+    * `mustCheck` pins known pairs past the probabilistic candidate
+    * stage, as in [[minhashLshPairs]]. */
+  def minhashLshIndexProbe(spark: SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, indexPath: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBandBucket: Int = 200,
+      extendIndex: Boolean = true,
+      mustCheck: Option[DataFrame] = None): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = newDocs.select(col(idCol).as("doc_id"),
+      TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
+      .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
+    // persist: the batch's signatures feed banding, stars, verification
+    // AND the index extension — one MinHash pass, not four
+    val newSets = withSig.select(col("doc_id"),
+      xxhash64(col("sig")).as("sig_h"),
+      transform(col("shingles"), s => xxhash64(s)).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = withSig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+          lit(rowsPerBand)), b))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // index frames list their files NOW (parquet listing is pinned at
+    // read time), so the extension append below cannot leak this
+    // batch's rows into its own probe
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    val idxSets = spark.read.parquet(s"$indexPath/sets")
+    val allBands = idxBands.unionByName(newBands)
+    val usable = allBands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 2 && col("bc") <= maxBandBucket)
+      .select(col("band"), col("band_hash"))
+    // the NEW side probes the union: new-old and new-new candidates
+    // fall out, old-old never joins (nothing corpus-quadratic anywhere)
+    val bandCandidates = newBands.join(usable, Seq("band", "band_hash"))
+      .select(col("band"), col("band_hash"), col("doc_id").as("p"))
+      .join(allBands.join(usable, Seq("band", "band_hash"))
+        .select(col("band"), col("band_hash"), col("doc_id").as("q")),
+        Seq("band", "band_hash"))
+      .filter(col("p") =!= col("q"))
+      .select(least(col("p"), col("q")).as("doc_a"),
+        greatest(col("p"), col("q")).as("doc_b"))
+    // identical-signature stars, restricted to clusters that gained a
+    // new member (old-only clusters were reported on their own ingest)
+    val sigAll = idxSets.select(col("doc_id"), col("sig_h"),
+        lit(false).as("is_new"))
+      .unionByName(newSets.select(col("doc_id"), col("sig_h"),
+        lit(true).as("is_new")))
+    val gained = sigAll.groupBy(col("sig_h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+        max(col("is_new").cast("int")).as("any_new"))
+      .filter(col("n") >= 2 && col("any_new") === 1)
+      .select(col("sig_h"), col("rep"))
+    val sigStars = sigAll.join(gained, Seq("sig_h"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(least(col("rep"), col("doc_id")).as("doc_a"),
+        greatest(col("rep"), col("doc_id")).as("doc_b"))
+    val pinned = mustCheck.map(_.select(
+      least(col("doc_a"), col("doc_b")).as("doc_a"),
+      greatest(col("doc_a"), col("doc_b")).as("doc_b")))
+    val candidates = pinned
+      .foldLeft(bandCandidates.unionByName(sigStars))(_ unionByName _)
+      .distinct()
+    // ≥1-new-side restriction (stars/pins may carry old-old pairs)
+    val newIds = newSets.select(col("doc_id"))
+    val restricted = candidates
+      .join(newIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_semi")
+      .unionByName(candidates
+        .join(newIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+          "left_semi"))
+      .distinct()
+    val allSets = idxSets.unionByName(newSets)
+    val out = restricted
+      .join(allSets.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(allSets.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (extendIndex) {
+      newSets.write.mode("append").parquet(s"$indexPath/sets")
+      newBands.write.mode("append").parquet(s"$indexPath/bands")
+    }
+    out
   }
 
   /** Benchmark decontamination — the training-set hygiene pass: flag every

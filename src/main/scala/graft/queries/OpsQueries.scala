@@ -208,6 +208,90 @@ object OpsQueries {
         SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored WHERE j >= 0.8
         ORDER BY doc_a, doc_b""")),
 
+    // ---------------------------------------------------------------- d30
+    // INCREMENTAL near-dup — the nightly-ingest twin of d02: the corpus'
+    // banded MinHash index is PERSISTED once (bands + hashed shingle
+    // sets as parquet sidecars), and a new batch probes it — only the
+    // batch is signatured; the corpus contributes through key-equality
+    // joins on (band, band_hash) and candidate ids, every shuffled key
+    // 8 bytes. Returned pairs are exactly those with >= 1 new side
+    // (new-vs-corpus and new-vs-new); the probe then EXTENDS the index
+    // so tomorrow's batch sees today's. At 100 TB this turns corpus
+    // near-dedup from a nightly full re-signature into an
+    // ingest-proportional job — the same consumer shape as the h91
+    // rollup loop, applied to the dedup pipeline. Oracle = the d02
+    // exact all-pairs Jaccard oracle restricted to pairs with a new
+    // side, so the probe's recall is proven against ground truth, not
+    // against another LSH.
+    QueryDef(
+      "d30_incremental_neardup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = s"/tmp/graft_collections/$tag/d30_idx"
+        // fresh index per run (bench reps rebuild fixtures)
+        val idxDir = new java.io.File(idx)
+        if (idxDir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(idxDir)
+        }
+        DedupOps.minhashLshIndexBuild(d, "doc_id", "text", idx)
+        // tonight's batch: near-copies of every %20 doc (known pairs are
+        // pinned past the probabilistic candidate stage, as in d02)
+        val newBatch = d.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" extraplantedtoken")))
+        val known = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        DedupOps.minhashLshIndexProbe(s, newBatch, "doc_id", "text", idx,
+            mustCheck = Some(known))
+          .withColumn("jaccard", round(col("jaccard"), 3))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
+        ranked AS (
+          SELECT i.doc_id, i.shingle,
+            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
+            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
+          FROM inv i JOIN df d USING (shingle)
+          WHERE d.nd >= 2
+        ),
+        prefix AS (SELECT doc_id, shingle FROM ranked
+                   WHERE rk <= n - CEIL(0.8 * n) + 1),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM prefix a JOIN prefix b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
+          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+          JOIN sets sb ON sb.doc_id = cand.doc_b
+        )
+        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
+        WHERE j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)
+        ORDER BY doc_a, doc_b""")),
+
     // ---------------------------------------------------------------- d03
     // SimHash near-dup over the same planted corpus (Hamming <= 3 on
     // 64-bit signatures, 16-bit-chunk banding).

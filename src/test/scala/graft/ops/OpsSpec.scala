@@ -756,6 +756,40 @@ class OpsSpec extends SparkSuite {
       t.split("\n").length == 20 && t.contains("uniq-") && !t.contains("shared-")))
   }
 
+  test("incremental LSH probe pairs the batch against the persisted index, " +
+      "extends it for the next batch, and never reports old-old pairs") {
+    val idx = java.nio.file.Files.createTempDirectory("lshidx").toString + "/i"
+    val t1 = (0 until 31).map(i => s"tok$i").mkString(" ")
+    val t1x = t1 + " extratok" // J(t1, t1x) = 29/30 >= 0.8
+    val t2 = (100 until 131).map(i => s"other$i").mkString(" ")
+    DedupOps.minhashLshIndexBuild(
+      Seq((1L, t1), (2L, t1x), (3L, t2)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // batch 1: an exact copy of doc 1 — pairs with BOTH corpus near-dups,
+    // but the corpus' own (1,2) pair must not re-emit (old-old)
+    val p1 = DedupOps.minhashLshIndexProbe(spark,
+      Seq((101L, t1)).toDF("doc_id", "text"), "doc_id", "text", idx)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(p1 == Seq((1L, 101L), (2L, 101L)), p1.toString)
+    // batch 2: another copy — must pair with the CORPUS docs and with
+    // batch 1's doc (the probe extended the index)
+    val p2 = DedupOps.minhashLshIndexProbe(spark,
+      Seq((201L, t1)).toDF("doc_id", "text"), "doc_id", "text", idx)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(p2 == Seq((1L, 201L), (2L, 201L), (101L, 201L)), p2.toString)
+    // extendIndex=false: a dry-run probe leaves the index untouched
+    val dry = DedupOps.minhashLshIndexProbe(spark,
+      Seq((301L, t2)).toDF("doc_id", "text"), "doc_id", "text", idx,
+      extendIndex = false)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(dry == Seq((3L, 301L)), dry.toString)
+    val p3 = DedupOps.minhashLshIndexProbe(spark,
+      Seq((401L, t2)).toDF("doc_id", "text"), "doc_id", "text", idx)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(p3 == Seq((3L, 401L)),
+      s"dry-run probe must not have extended the index: $p3")
+  }
+
   test("duplicated-span profile flags planted shared spans, spares unique docs") {
     val planted = docs.withColumn("text",
       when($"doc_id" % 5 === 0,
