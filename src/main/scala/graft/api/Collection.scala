@@ -82,14 +82,24 @@ final class Collection private (spark: SparkSession, val path: String) {
     * the snapshot, but nothing table-sized crosses an exchange. This is
     * what keeps the keyed incremental-consumer loop
     * ([[ChangeFeed.updateImages]] → [[IncrementalRollup.cycleKeyed]])
-    * window-proportional instead of table-proportional per cycle. */
+    * window-proportional instead of table-proportional per cycle.
+    *
+    * ASSUMES NON-NULL KEYS (both `isin` and the semi join drop NULLs):
+    * key values come from the collection's own records, and keyed
+    * semantics — LWW ranking, tombstones, point gets — are only defined
+    * over concrete key values; a NULL key never names a row. */
   def resolvedAsOf(version: Long, touched: DataFrame): DataFrame = {
     val k = keyField.getOrElse(throw new IllegalArgumentException(
       "resolvedAsOf(version, touched) requires a keyed collection"))
     require(touched.columns.length == 1,
       s"touched-keys frame must have exactly one column, got " +
         touched.columns.mkString(", "))
+    // localCheckpoint (eager): the caller's touched frame is typically a
+    // changes-window scan — without pinning it here it would run once
+    // for the bounded probe and AGAIN for the semi-join restriction
+    // (blocks are window-sized and ContextCleaner-reclaimed on GC)
     val keys = touched.select(col(touched.columns.head).as(k)).distinct()
+      .localCheckpoint()
     // bounded probe (window-proportional input, ≤ MaxKeyPushdown+1 rows
     // collected): literal keys turn the restriction into scan pushdown
     val lits = keys.limit(Collection.MaxKeyPushdown + 1)

@@ -40,6 +40,16 @@ import graft.meta.CollectionMeta
   *   - sums ride DECIMAL(18,2) end-to-end, so the incremental fold is
   *     bit-equal to a full recompute (IEEE double sums are
   *     partition-order dependent; decimals are associative).
+  *   - NULL GROUP VALUES are rejected LOUDLY, never silently dropped:
+  *     the rollup collection is keyed by the group column, and a keyed
+  *     collection's key is its Spark row id — reported non-nullable, so
+  *     a NULL-group rollup row is unstorable. Any NULL group reaching a
+  *     rollup write (bootstrap's aggregate, a cycle's MERGE INSERT)
+  *     fails with the writer's named error; COALESCE the group column
+  *     to a sentinel in the fact schema if NULL is a real category.
+  *     The window folds themselves handle NULL groups correctly (null-
+  *     safe restriction and MERGE match), so a NULL group that nets out
+  *     in-window is a clean no-op.
   *
   * Scale shape: one ordinal-floor-planned window scan (never the table),
   * one map-side-combinable aggregate over window-sized data, one MERGE
@@ -240,26 +250,45 @@ object IncrementalRollup {
       .streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
     val floor = math.max(tagFloor, applied)
     if (floor < head) {
+      // localCheckpoint (eager): the touched-group frame feeds the
+      // bounded probe, the snapshot restriction AND the refresh join —
+      // one window scan, not three (blocks are batch-sized and
+      // ContextCleaner-reclaimed on GC)
       val touched = spark.read.format("hadro")
         .option("hadro.changefeed", "full")
         .option("hadro.changesStart", floor.toString)
         .option("hadro.changesEnd", head.toString).load(factPath)
-        .select(col(groupCol).as("g")).distinct()
+        .select(col(groupCol).as("g")).distinct().localCheckpoint()
       // bounded probe (window-proportional input): literal groups turn
-      // the restriction into scan pushdown
+      // the restriction into scan pushdown. A NULL member of the touched
+      // set must restrict explicitly — isin() and a plain equi-semi-join
+      // both drop NULLs silently, which would turn a touched NULL group
+      // into a silent no-op; with the null-safe handling here it either
+      // nets out cleanly (no surviving NULL rows, no rollup row — a
+      // no-op by design) or fails LOUDLY at the MERGE insert (the rollup
+      // collection keys on the group; NULL keys are rejected at write —
+      // see the object scaladoc).
       val lits = touched.limit(Collection.MaxKeyPushdown + 1)
         .collect().map(_.get(0)).toSeq
       val snap = fact.resolvedAsOf(head)
       val restricted =
-        if (lits.size <= Collection.MaxKeyPushdown)
-          snap.filter(col(groupCol).isin(lits: _*))
-        else snap.join(touched.withColumnRenamed("g", groupCol),
-          Seq(groupCol), "left_semi")
-      // left join: a touched group with NO surviving rows arrives with
-      // null n — the MERGE's DELETE branch
+        if (lits.size <= Collection.MaxKeyPushdown) {
+          val nonNull = lits.filter(_ != null)
+          val in =
+            if (nonNull.isEmpty) lit(false)
+            else col(groupCol).isin(nonNull: _*)
+          snap.filter(
+            if (lits.exists(_ == null)) col(groupCol).isNull || in else in)
+        } else snap.join(touched,
+          snap(groupCol) <=> touched("g"), "left_semi")
+      // left join (null-safe on the group): a touched group with NO
+      // surviving rows arrives with null n — the MERGE's DELETE branch
+      val refreshedAgg =
+        aggExprs(restricted.groupBy(col(groupCol).as("g")), aggs)
+          .withColumnRenamed("g", "g_r")
       val refreshed = touched.join(
-        aggExprs(restricted.groupBy(col(groupCol).as("g")), aggs), Seq("g"),
-        "left")
+          refreshedAgg, col("g") <=> col("g_r"), "left")
+        .drop("g_r")
       val view = deltaView("hadro_rollup_refresh_", rollupTable)
       refreshed.createOrReplaceTempView(view)
       val sets = ("n = d.n" +: aggs.map { case (_, _, out) =>

@@ -936,13 +936,32 @@ object CollectionMeta {
     * stamp survives commit retries (version races re-apply it on the
     * re-read base) and is disarmed by the successful publish or
     * [[clearCommitEpoch]]. Force-set: the caller serializes its own
-    * cycles, and a re-bootstrap must be able to lower the record. */
+    * cycles, and a re-bootstrap must be able to lower the record.
+    *
+    * THREAD-LOCAL, keyed by path within the thread: the stamp must ride
+    * the registering consumer's OWN commit (its MERGE runs on this
+    * thread, register → commit with nothing in between). A shared map
+    * would let any concurrent committer on the same collection — a
+    * second consumer with a different cursor tag, a maintenance write —
+    * consume or overwrite the stamp, recording the window as applied
+    * BEFORE the MERGE actually commits; a crash then permanently skips
+    * that window. Thread binding makes foreign commits invisible to the
+    * stamp by construction (each consumer cycle is single-threaded:
+    * Spark runs eager commands and their driver-side manifest commit on
+    * the calling thread). */
   private val pendingEpochs =
-    new java.util.concurrent.ConcurrentHashMap[Path, (String, Long)]()
-  def registerCommitEpoch(collection: Path, key: String, version: Long): Unit =
-    pendingEpochs.put(collection.toAbsolutePath.normalize, (key, version))
-  def clearCommitEpoch(collection: Path): Unit =
-    pendingEpochs.remove(collection.toAbsolutePath.normalize)
+    new ThreadLocal[scala.collection.mutable.Map[Path, (String, Long)]] {
+      override def initialValue(): scala.collection.mutable.Map[Path, (String, Long)] =
+        scala.collection.mutable.Map.empty
+    }
+  def registerCommitEpoch(collection: Path, key: String, version: Long): Unit = {
+    pendingEpochs.get.put(collection.toAbsolutePath.normalize, (key, version))
+    ()
+  }
+  def clearCommitEpoch(collection: Path): Unit = {
+    pendingEpochs.get.remove(collection.toAbsolutePath.normalize)
+    ()
+  }
 
   /** [[commit]] with an optional caller-chosen base snapshot and a branch
     * marker — the shared slot-claim protocol. With no override the base
@@ -971,7 +990,7 @@ object CollectionMeta {
       // serializes its own cycles (same single-consumer-per-cursor
       // contract as the tag), and a re-BOOTSTRAP must be able to LOWER
       // the record to its fresh baseline.
-      val stamp = Option(pendingEpochs.get(collection.toAbsolutePath.normalize))
+      val stamp = pendingEpochs.get.get(collection.toAbsolutePath.normalize)
       val next = next0.copy(
         version = math.max(cur.version, maxParseable) + 1,
         committedAtMs = System.currentTimeMillis(),
@@ -993,7 +1012,7 @@ object CollectionMeta {
       // the loser re-reads the head and retries at the next number.
       if (FileIO.impl.publishNew(tmp, target)) {
         stamp.foreach(_ =>
-          pendingEpochs.remove(collection.toAbsolutePath.normalize))
+          pendingEpochs.get.remove(collection.toAbsolutePath.normalize))
         gcOldManifests(collection, next.version)
         return next
       } else {

@@ -345,10 +345,15 @@ final class HadroMicroBatchStream(path: Path, storedSchema: StructType,
           // rewrite, mid-version offset, reclaimed bytes) degrade to
           // onTruncate semantics — and say why, because under
           // onTruncate=restart that fallback re-emits the whole log.
+          // NoSuchFileException joins them: manifest GC can reclaim an
+          // in-window manifest between an existence check and its read —
+          // that race means exactly "the chain is no longer walkable",
+          // the same condition the reclaimed-bytes require guards.
           // Genuine IO/metadata errors propagate: silently treating a
           // transient read failure as "not provable" would duplicate
           // rows downstream with no diagnostic anywhere.
-          case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+          case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: java.nio.file.NoSuchFileException) =>
             org.slf4j.LoggerFactory.getLogger(classOf[HadroMicroBatchStream])
               .warn(s"hadro stream over $path: cannot read through " +
                 s"generation change ${so.generation} -> ${eo.generation} " +

@@ -1439,6 +1439,18 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
         }
         projected
       }
+    // A NULL key is unstorable, not just unusual: the key IS the record's
+    // identity (LWW ranking, tombstones, point gets are defined over it)
+    // and the reported table schema marks it non-nullable — Spark needs
+    // that for row-level-op row ids — so a null that slips in here NPEs
+    // every later read inside codegen with no diagnostic. Fail the write
+    // with a message that names the fix instead.
+    if (keyOrdinal.exists(out.isNullAt))
+      throw new IllegalArgumentException(
+        s"hadro: NULL in key field '${keyOrdinal.map(storedSchema(_).name).get}' — " +
+          "a keyed collection's key identifies the record and is reported " +
+          "non-nullable to Spark; COALESCE the key expression to a " +
+          "sentinel before writing")
     var i = 0
     while (i < storedSchema.length) {
       // deleted records may carry a key-only projection: skip the

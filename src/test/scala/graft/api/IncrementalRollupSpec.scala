@@ -257,4 +257,116 @@ class IncrementalRollupSpec extends SparkSuite {
       spark.conf.unset("spark.sql.catalog.ir3")
     }
   }
+
+  test("NULL groups are LOUD, never silent: null keys are rejected at the " +
+      "keyed write, a null-group bootstrap names the fix, and cycleRefresh " +
+      "either errors clearly or nets out — no silent drop or corruption") {
+    val wh = freshCatalog("ir5")
+    try {
+      val aggs = Seq(("min", "v", "min_v"), ("max", "v", "max_v"))
+      // (a) the storage contract: a NULL key is unstorable in a keyed
+      // collection (it is the Spark row id, reported non-nullable — a
+      // stored null would NPE every later read inside codegen)
+      val kDir = Paths.get(wh, "db", "k").toString
+      val e0 = intercept[org.apache.spark.SparkException] {
+        Seq((null.asInstanceOf[String], 1.0)).toDF("g", "v")
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "g").save(kDir)
+      }
+      assert(e0.getMessage.contains("NULL in key field") ||
+        Option(e0.getCause).exists(_.getMessage.contains("NULL in key field")),
+        s"null-key write must name the contract: ${e0.getMessage}")
+
+      // (b) bootstrap over a fact WITH null groups fails loudly (the
+      // rollup keys on the group), instead of storing an unreadable row
+      val factDir = Paths.get(wh, "db", "f").toString
+      val aggDir = Paths.get(wh, "db", "mm").toString
+      Seq((1L, null.asInstanceOf[String], 5.0), (3L, "B", 7.0))
+        .toDF("id", "g", "v")
+        .write.format("hadro").mode("overwrite").save(factDir)
+      val e1 = intercept[Exception] {
+        IncrementalRollup.bootstrapRefresh(spark, factDir, "ir5_cursor",
+          aggDir, "g", aggs)
+      }
+      // loud = either the writer's named contract error, or Spark's own
+      // AssertNotNull guard on the reported non-nullable key (the MERGE
+      // path inserts it at analysis — it fires before our writer check)
+      def mentions(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(m =>
+          m.contains("NULL in key field") ||
+            m.contains("NOT_NULL_ASSERT_VIOLATION")) ||
+          mentions(t.getCause))
+      assert(mentions(e1), s"bootstrap must surface the null-key error: $e1")
+
+      // (c) a NULL group that nets out IN-WINDOW is a clean no-op for
+      // cycleRefresh (null-safe restriction, nothing to insert), and
+      // non-null groups still refresh correctly around it
+      val fact2 = Paths.get(wh, "db", "f2").toString
+      val agg2 = Paths.get(wh, "db", "mm2").toString
+      Seq((1L, "A", 5.0), (2L, "A", 50.0), (3L, "B", 7.0))
+        .toDF("id", "g", "v")
+        .write.format("hadro").mode("overwrite").save(fact2)
+      IncrementalRollup.bootstrapRefresh(spark, fact2, "ir5_cursor",
+        agg2, "g", aggs)
+      spark.conf.set("spark.hadro.delete.mode", "dv")
+      try {
+        // window: null-group rows appear AND are fully deleted; A loses
+        // its max (the unfoldable case)
+        Seq((4L, null.asInstanceOf[String], 9.0)).toDF("id", "g", "v")
+          .write.format("hadro").mode("append").save(fact2)
+        spark.sql("DELETE FROM ir5.db.f2 WHERE v = 50.0 OR g IS NULL")
+        IncrementalRollup.cycleRefresh(spark, fact2, "ir5_cursor",
+          "ir5.db.mm2", "g", aggs)
+        val rows = Collection(spark, agg2).toDF()
+          .select($"g", $"n", $"min_v", $"max_v")
+          .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+        assert(rows == Seq(("A", 1L, 5.0, 5.0), ("B", 1L, 7.0, 7.0)),
+          rows.toString)
+        // (d) a NULL group with SURVIVORS fails the cycle loudly at the
+        // MERGE insert — never a silent drop
+        Seq((5L, null.asInstanceOf[String], 3.0)).toDF("id", "g", "v")
+          .write.format("hadro").mode("append").save(fact2)
+        val e2 = intercept[Exception] {
+          IncrementalRollup.cycleRefresh(spark, fact2, "ir5_cursor",
+            "ir5.db.mm2", "g", aggs)
+        }
+        assert(mentions(e2), s"live NULL group must fail loudly: $e2")
+      } finally spark.conf.unset("spark.hadro.delete.mode")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ir5.warehouse")
+      spark.conf.unset("spark.sql.catalog.ir5")
+    }
+  }
+
+  test("a commit-epoch stamp binds to the registering thread: a concurrent " +
+      "writer's commit neither consumes nor publishes it") {
+    val wh = freshCatalog("ir6")
+    try {
+      val dir = Paths.get(wh, "db", "t")
+      Seq((1L, 1.0)).toDF("id", "v")
+        .write.format("hadro").mode("overwrite").save(dir.toString)
+      CollectionMeta.registerCommitEpoch(dir, "hadro-rollup:ir6_cursor", 7L)
+      try {
+        // a foreign commit from ANOTHER thread (a second consumer, a
+        // maintenance write) lands between register and this thread's
+        // MERGE — it must not carry (or clear) this thread's stamp
+        val t = new Thread(() =>
+          Seq((2L, 2.0)).toDF("id", "v")
+            .write.format("hadro").mode("append").save(dir.toString))
+        t.start(); t.join()
+        assert(!CollectionMeta.currentManifest(dir)
+          .streamEpochs.contains("hadro-rollup:ir6_cursor"),
+          "a foreign thread's commit published this consumer's stamp")
+        // the registering thread's own next commit publishes it
+        Seq((3L, 3.0)).toDF("id", "v")
+          .write.format("hadro").mode("append").save(dir.toString)
+        assert(CollectionMeta.currentManifest(dir)
+          .streamEpochs.get("hadro-rollup:ir6_cursor").contains(7L),
+          "the registering thread's commit must publish the stamp")
+      } finally CollectionMeta.clearCommitEpoch(dir)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ir6.warehouse")
+      spark.conf.unset("spark.sql.catalog.ir6")
+    }
+  }
 }
