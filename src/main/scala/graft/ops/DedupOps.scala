@@ -183,36 +183,76 @@ object DedupOps {
     * member emit star pairs (the over-cap blind-spot cover), and
     * verification is exact Jaccard over the 8-byte shingle hashes.
     * `mustCheck` pins known pairs past the probabilistic candidate
-    * stage, as in [[minhashLshPairs]]. */
+    * stage, as in [[minhashLshPairs]].
+    *
+    * EVERY index-side stage is HIT-PROPORTIONAL, never corpus-
+    * proportional: the bucket-usability counts and the gained-signature
+    * stars first semi-join the index against the BATCH's broadcast
+    * bucket / signature sets (≤ bands·|batch| 16-byte keys and ≤ |batch|
+    * 8-byte keys respectively — counts and stars for buckets/signatures
+    * the batch never probes are never consumed downstream, so the
+    * results are identical), and the shingle fetch joins candidates by
+    * id. A nightly ingest therefore shuffles O(batch + hits) rows no
+    * matter how large the accumulated index is (OpsSpec pins this with
+    * a shuffle-records bound on a large-index/small-batch fixture).
+    *
+    * DELETE-AWARENESS: the index is decoupled from the base collection,
+    * so corpus deletes never rewrite it — pass `live` (a one-column
+    * frame of currently-live doc ids, e.g. `collection.ids()`) and the
+    * probe drops candidates whose OLD side is no longer live before
+    * verification: the candidates' bounded old-side id set broadcasts
+    * into a map-only scan of `live` (the ANN `liveTopK` shape — never a
+    * corpus-sized shuffle). Run [[sweepLshIndex]] when delete churn
+    * accumulates; `live` covers the gap between sweeps exactly.
+    *
+    * With `extendIndex` the returned pairs are materialized (eager
+    * localCheckpoint) BEFORE the index mutates, the appends are
+    * IDEMPOTENT (doc ids already present are anti-joined away, so a
+    * retried ingest cannot multiply index rows), and the sidecar's
+    * small files are bin-packed once they exceed `maxIndexFiles`
+    * (single-writer maintenance, same contract as the table side). */
   def minhashLshIndexProbe(spark: SparkSession, newDocs: DataFrame,
       idCol: String, textCol: String, indexPath: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBandBucket: Int = 200,
       extendIndex: Boolean = true,
-      mustCheck: Option[DataFrame] = None): DataFrame = {
+      mustCheck: Option[DataFrame] = None,
+      live: Option[DataFrame] = None,
+      maxIndexFiles: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = newDocs.select(col(idCol).as("doc_id"),
+    // ONE MinHash pass over the batch: the signatured frame is
+    // checkpointed eagerly (batch-sized blocks, ContextCleaner-reclaimed
+    // on GC — unlike Dataset.persist, which pins the CacheManager entry
+    // until an explicit unpersist and leaked across nightly ingests);
+    // banding, stars, verification and the extension all read the blocks
+    val sigCk = newDocs.select(col(idCol).as("doc_id"),
       TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
-    // persist: the batch's signatures feed banding, stars, verification
-    // AND the index extension — one MinHash pass, not four
-    val newSets = withSig.select(col("doc_id"),
+      .localCheckpoint()
+    val newSets = sigCk.select(col("doc_id"),
       xxhash64(col("sig")).as("sig_h"),
       transform(col("shingles"), s => xxhash64(s)).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBands = withSig.select(col("doc_id"),
+    val newBands = sigCk.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
           lit(rowsPerBand)), b))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // index frames list their files NOW (parquet listing is pinned at
     // read time), so the extension append below cannot leak this
     // batch's rows into its own probe
     val idxBands = spark.read.parquet(s"$indexPath/bands")
     val idxSets = spark.read.parquet(s"$indexPath/sets")
-    val allBands = idxBands.unionByName(newBands)
-    val usable = allBands.groupBy(col("band"), col("band_hash"))
+    // HIT-PROPORTIONAL bucket counts: only buckets the batch probes can
+    // gate candidates, so restrict the index side to the batch's bucket
+    // set BEFORE the groupBy — a broadcast semi-join keeps the index
+    // scan map-only and the count shuffle carries O(batch) rows, not
+    // every band row the corpus ever wrote. Counts for surviving
+    // buckets are computed over index ∪ batch, exactly as before.
+    val batchBuckets = newBands.select(col("band"), col("band_hash")).distinct()
+    val probedBands = idxBands
+      .join(broadcast(batchBuckets), Seq("band", "band_hash"), "left_semi")
+      .unionByName(newBands)
+    val usable = probedBands.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bc"))
       .filter(col("bc") >= 2 && col("bc") <= maxBandBucket)
       .select(col("band"), col("band_hash"))
@@ -220,16 +260,21 @@ object DedupOps {
     // fall out, old-old never joins (nothing corpus-quadratic anywhere)
     val bandCandidates = newBands.join(usable, Seq("band", "band_hash"))
       .select(col("band"), col("band_hash"), col("doc_id").as("p"))
-      .join(allBands.join(usable, Seq("band", "band_hash"))
+      .join(probedBands.join(usable, Seq("band", "band_hash"))
         .select(col("band"), col("band_hash"), col("doc_id").as("q")),
         Seq("band", "band_hash"))
       .filter(col("p") =!= col("q"))
       .select(least(col("p"), col("q")).as("doc_a"),
         greatest(col("p"), col("q")).as("doc_b"))
     // identical-signature stars, restricted to clusters that gained a
-    // new member (old-only clusters were reported on their own ingest)
-    val sigAll = idxSets.select(col("doc_id"), col("sig_h"),
-        lit(false).as("is_new"))
+    // new member (old-only clusters were reported on their own ingest).
+    // Same hit-proportional move: only signatures the BATCH carries can
+    // be "gained", so the index side semi-joins the batch's broadcast
+    // sig_h set before the grouping — identical stars, O(batch) shuffle.
+    val batchSigs = newSets.select(col("sig_h")).distinct()
+    val sigAll = idxSets.select(col("doc_id"), col("sig_h"))
+      .join(broadcast(batchSigs), Seq("sig_h"), "left_semi")
+      .withColumn("is_new", lit(false))
       .unionByName(newSets.select(col("doc_id"), col("sig_h"),
         lit(true).as("is_new")))
     val gained = sigAll.groupBy(col("sig_h"))
@@ -256,8 +301,27 @@ object DedupOps {
         .join(newIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
           "left_semi"))
       .distinct()
+    // delete-awareness: every pair side must be new (live by definition
+    // — it IS tonight's batch) or still live in the base collection.
+    // The candidates' old-side ids are hit-proportional, so they
+    // broadcast into a map-only scan of `live`; the surviving live set
+    // (also hit-proportional) broadcasts back into the pair filter.
+    val checked = live.fold(restricted) { lv =>
+      val oldIds = restricted.select(col("doc_a").as("doc_id"))
+        .unionByName(restricted.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+      val liveOld = lv.select(col(lv.columns.head).as("doc_id"))
+        .join(broadcast(oldIds), Seq("doc_id"), "left_semi")
+      val ok = newIds.unionByName(liveOld)
+      restricted
+        .join(broadcast(ok.withColumnRenamed("doc_id", "doc_a")),
+          Seq("doc_a"), "left_semi")
+        .join(broadcast(ok.withColumnRenamed("doc_id", "doc_b")),
+          Seq("doc_b"), "left_semi")
+    }
     val allSets = idxSets.unionByName(newSets)
-    val out = restricted
+    val out = checked
       .join(allSets.select(col("doc_id").as("doc_a"),
         col("shingles").as("sh_a")), Seq("doc_a"))
       .join(allSets.select(col("doc_id").as("doc_b"),
@@ -265,11 +329,108 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    if (extendIndex) {
-      newSets.write.mode("append").parquet(s"$indexPath/sets")
-      newBands.write.mode("append").parquet(s"$indexPath/bands")
+    if (!extendIndex) out
+    else {
+      // materialize the pairs BEFORE the index mutates: a consumer
+      // failure after this call must be retryable without re-probing an
+      // already-extended index under its feet
+      val result = out.localCheckpoint()
+      // IDEMPOTENT extension: a retry of a crashed ingest (including a
+      // crash BETWEEN the two appends) must not duplicate index rows —
+      // anti-join each table against the ids it already holds. The
+      // present-id probes are map-only index scans against the batch's
+      // broadcast id set; their results are retry-sized (normally 0).
+      def newOnly(rows: DataFrame, idx: DataFrame): DataFrame = {
+        val present = idx.select(col("doc_id"))
+          .join(broadcast(newIds), Seq("doc_id"), "left_semi").distinct()
+        rows.join(broadcast(present), Seq("doc_id"), "left_anti")
+      }
+      newOnly(newSets, idxSets).write.mode("append")
+        .parquet(s"$indexPath/sets")
+      newOnly(newBands, idxBands).write.mode("append")
+        .parquet(s"$indexPath/bands")
+      // bounded small files: nightly appends add a handful of files per
+      // ingest forever — bin-pack once the count crosses the threshold
+      compactIndexTable(spark, s"$indexPath/sets", maxIndexFiles)
+      compactIndexTable(spark, s"$indexPath/bands", maxIndexFiles)
+      result
     }
-    out
+  }
+
+  private def listIndexFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  /** Bin-pack an index sidecar directory once it exceeds `maxFiles`
+    * parquet files: rewrite the PINNED file listing into ~128 MB
+    * outputs, move them in under fresh names, then delete the pinned
+    * originals — files appended concurrently are untouched. Single
+    * maintenance writer at a time (the table-side compaction contract);
+    * readers pin their listing at DataFrame creation, so run it from
+    * the ingest that owns the index, not beside an active probe. */
+  private def compactIndexTable(spark: SparkSession, dir: String,
+      maxFiles: Int): Unit = {
+    val files = listIndexFiles(dir)
+    if (maxFiles <= 0 || files.size <= maxFiles) return
+    val nOut = math.max(1, (files.map(_.length).sum / (128L << 20)).toInt)
+    val tmp = s"$dir.compact-tmp"
+    spark.read.parquet(files.map(_.getPath): _*)
+      .coalesce(nOut).write.mode("overwrite").parquet(tmp)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    listIndexFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(dir, s"compact-$stamp-$i.parquet"))
+    }
+    files.foreach(f => java.nio.file.Files.delete(f.toPath))
+    Option(new java.io.File(tmp).listFiles()).foreach(_.foreach(_.delete()))
+    new java.io.File(tmp).delete()
+    ()
+  }
+
+  /** PHYSICAL sweep of a [[minhashLshIndexBuild]] index — the
+    * maintenance complement of the probe's `live` re-validation (the
+    * ANN `sweepSqIndex` analog): rewrite `sets` and `bands` keeping
+    * only rows whose doc id is in `live` (one column, e.g.
+    * `collection.ids()` resolved at a pinned manifest version), so
+    * probes reflect deletes with no per-query `live` cost. The rewrite
+    * covers the file listing PINNED AT ENTRY: rows appended by a
+    * concurrent [[minhashLshIndexProbe]] extension land in new files
+    * and survive untouched. Returns the number of `sets` rows (docs)
+    * swept away. Corpus-proportional by definition (it rewrites the
+    * index) — run it when churn accumulates, not per ingest. */
+  def sweepLshIndex(spark: SparkSession, indexPath: String,
+      live: DataFrame): Long = {
+    val liveIds = live.select(col(live.columns.head).as("doc_id"))
+      .localCheckpoint()
+    val swept = sweepLshIndexFiles(spark, s"$indexPath/sets", liveIds,
+      listIndexFiles(s"$indexPath/sets").map(_.getPath))
+    sweepLshIndexFiles(spark, s"$indexPath/bands", liveIds,
+      listIndexFiles(s"$indexPath/bands").map(_.getPath))
+    swept
+  }
+
+  /** [[sweepLshIndex]] over an explicit pinned file listing — the seam
+    * the concurrent-extend contract is specified through. */
+  private[graft] def sweepLshIndexFiles(spark: SparkSession, dir: String,
+      liveIds: DataFrame, pinned: Seq[String]): Long = {
+    if (pinned.isEmpty) return 0L
+    val df = spark.read.parquet(pinned: _*)
+    val total = df.count()
+    val tmp = s"$dir.sweep-tmp"
+    df.join(liveIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(tmp)
+    val kept = spark.read.parquet(tmp).count() // parquet-footer count
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    listIndexFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(dir, s"sweep-$stamp-$i.parquet"))
+    }
+    pinned.foreach(p => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(p)))
+    Option(new java.io.File(tmp).listFiles()).foreach(_.foreach(_.delete()))
+    new java.io.File(tmp).delete()
+    total - kept
   }
 
   /** Benchmark decontamination — the training-set hygiene pass: flag every

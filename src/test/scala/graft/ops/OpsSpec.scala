@@ -790,6 +790,162 @@ class OpsSpec extends SparkSuite {
       s"dry-run probe must not have extended the index: $p3")
   }
 
+  test("LSH index probe is hit-proportional: on a large-index/small-batch " +
+      "fixture no exchange carries index-cardinality payloads") {
+    val idx = java.nio.file.Files.createTempDirectory("lshhp").toString + "/i"
+    // 4000 unique corpus docs (64k band rows, ~31 distinct shingles each);
+    // tonight's batch is 5 near-copies of corpus docs. A probe that
+    // re-aggregates the full index shuffles all 64k band rows (~1.5 MB+)
+    // and 4000 signature rows; a hit-proportional probe shuffles O(batch).
+    val nIdx = 4000
+    val corpus = (0 until nIdx).map { i =>
+      (i.toLong, (0 until 31).map(j => s"c${i}w$j").mkString(" "))
+    }
+    DedupOps.minhashLshIndexBuild(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val batch = (0 until 5).map { i =>
+      (100000L + i, (0 until 31).map(j => s"c${i * 7}w$j").mkString(" ") +
+        " extra")
+    }
+    val out = DedupOps.minhashLshIndexProbe(spark,
+      batch.toDF("doc_id", "text"), "doc_id", "text", idx,
+      extendIndex = false)
+    val pairs = out.select($"doc_a", $"doc_b").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(pairs == (0 until 5).map(i => (i * 7L, 100000L + i)).toSeq,
+      pairs.toString)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val sizes = walk(out.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s.metrics("dataSize").value }
+    // index bands alone are ~64k rows ≈ 1.5+ MB serialized; the batch's
+    // bands are 80 rows. Everything that crosses an exchange must be
+    // batch/hit-sized: total well under a tenth of the index volume.
+    val idxBandBytes = nIdx.toLong * 16 * 24
+    assert(sizes.sum < idxBandBytes / 10,
+      s"probe shuffled ${sizes.sum} bytes (${sizes.sorted.reverse}) — " +
+        s"index-cardinality rows are crossing an exchange " +
+        s"(index band volume ~$idxBandBytes)")
+  }
+
+  test("LSH index probe is delete-aware with `live`, and sweepLshIndex " +
+      "physically removes dead docs while preserving a concurrent extend") {
+    val wh = java.nio.file.Files.createTempDirectory("lshda").toString
+    val idx = s"$wh/i"
+    val t1 = (0 until 31).map(i => s"tok$i").mkString(" ")
+    val t2 = (100 until 131).map(i => s"oth$i").mkString(" ")
+    // base collection: docs 1 (t1), 2 (t1 near-copy), 3 (t2)
+    val coll = graft.api.Collection.create(spark, s"$wh/docs",
+      Seq((1L, t1), (2L, t1 + " xtra"), (3L, t2)).toDF("doc_id", "text"),
+      key = Some("doc_id"))
+    DedupOps.minhashLshIndexBuild(coll.toDF(), "doc_id", "text", idx)
+    // doc 1 is deleted from the base AFTER the index was built
+    coll.delete(1L)
+    val batch = Seq((101L, t1)).toDF("doc_id", "text")
+    // without `live` the stale index pairs the batch with the dead doc
+    val stale = DedupOps.minhashLshIndexProbe(spark, batch,
+      "doc_id", "text", idx, extendIndex = false)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(stale == Seq((1L, 101L), (2L, 101L)), stale.toString)
+    // with `live` the dead side is dropped before verification
+    val liveOnly = DedupOps.minhashLshIndexProbe(spark, batch,
+      "doc_id", "text", idx, extendIndex = false,
+      live = Some(coll.ids()))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(liveOnly == Seq((2L, 101L)),
+      s"probe paired against a deleted corpus doc: $liveOnly")
+    // sweep with a PINNED listing taken BEFORE a concurrent extension:
+    // the extension's new files must survive the sweep untouched
+    val pinnedSets = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$idx/sets")).iterator()
+    val pins = new scala.collection.mutable.ArrayBuffer[String]
+    pinnedSets.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        pins += p.toString
+    }
+    // concurrent extension lands between the listing and the sweep
+    DedupOps.minhashLshIndexProbe(spark, batch, "doc_id", "text", idx)
+      .collect()
+    val liveIds = coll.ids()
+      .select($"doc_id").localCheckpoint()
+    val swept = DedupOps.sweepLshIndexFiles(spark, s"$idx/sets",
+      liveIds, pins.toSeq)
+    assert(swept == 1L, s"sweep must remove exactly the dead doc: $swept")
+    val setIds = spark.read.parquet(s"$idx/sets")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(setIds == Seq(2L, 3L, 101L),
+      s"sweep lost the concurrent extension or kept the dead doc: $setIds")
+    // and the full verb sweeps bands too: a fresh probe (no `live`)
+    // now cannot pair with the swept doc
+    DedupOps.sweepLshIndex(spark, idx,
+      coll.ids().unionByName(Seq(101L).toDF("doc_id")))
+    val after = DedupOps.minhashLshIndexProbe(spark,
+      Seq((201L, t1)).toDF("doc_id", "text"), "doc_id", "text", idx,
+      extendIndex = false)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(after == Seq((2L, 201L), (101L, 201L)),
+      s"swept doc still pairs: $after")
+  }
+
+  test("LSH index extension is idempotent under retry and keeps the " +
+      "sidecar's file count bounded across many ingests") {
+    val idx = java.nio.file.Files.createTempDirectory("lshbd").toString + "/i"
+    val mk = (salt: Int) =>
+      (0 until 31).map(j => s"s${salt}w$j").mkString(" ")
+    DedupOps.minhashLshIndexBuild(
+      Seq((1L, mk(0))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    def setsFiles() = Option(new java.io.File(s"$idx/sets").listFiles())
+      .toSeq.flatten.count(f => f.getName.endsWith(".parquet"))
+    // retry idempotency: the same batch extended twice lands once
+    val b1 = Seq((10L, mk(1))).toDF("doc_id", "text")
+    DedupOps.minhashLshIndexProbe(spark, b1, "doc_id", "text", idx,
+      maxIndexFiles = 4).collect()
+    val once = spark.read.parquet(s"$idx/sets").count()
+    DedupOps.minhashLshIndexProbe(spark, b1, "doc_id", "text", idx,
+      maxIndexFiles = 4).collect()
+    assert(spark.read.parquet(s"$idx/sets").count() == once,
+      "a retried extension duplicated index rows")
+    // bounded files: many ingests never push the sidecar past the
+    // compaction threshold + one ingest's worth of fresh appends
+    val perIngest = setsFiles()
+    (2 to 12).foreach { i =>
+      DedupOps.minhashLshIndexProbe(spark,
+        Seq((10L * i, mk(i))).toDF("doc_id", "text"),
+        "doc_id", "text", idx, maxIndexFiles = 4).collect()
+      assert(setsFiles() <= 4 + perIngest,
+        s"ingest $i left ${setsFiles()} files (threshold 4)")
+    }
+    // and the data survived every compaction
+    val ids = spark.read.parquet(s"$idx/sets")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (Seq(1L, 10L) ++ (2 to 12).map(_ * 10L)).sorted,
+      ids.toString)
+  }
+
+  test("LSH index probe never emits an old-old pair, even when mustCheck " +
+      "pins one") {
+    val idx = java.nio.file.Files.createTempDirectory("lshmc").toString + "/i"
+    val t1 = (0 until 31).map(i => s"tok$i").mkString(" ")
+    DedupOps.minhashLshIndexBuild(
+      Seq((1L, t1), (2L, t1 + " x")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val out = DedupOps.minhashLshIndexProbe(spark,
+      Seq((101L, (200 until 231).map(i => s"z$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", idx, extendIndex = false,
+      mustCheck = Some(Seq((1L, 2L)).toDF("doc_a", "doc_b")))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    assert(out.isEmpty,
+      s"an old-old mustCheck pair leaked past the ≥1-new-side gate: $out")
+  }
+
   test("duplicated-span profile flags planted shared spans, spares unique docs") {
     val planted = docs.withColumn("text",
       when($"doc_id" % 5 === 0,
