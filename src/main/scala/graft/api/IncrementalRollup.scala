@@ -229,11 +229,15 @@ object IncrementalRollup {
     * [[Collection.MaxKeyPushdown]] distinct groups push into the
     * snapshot scan as an IN predicate (per-segment min/max stats prune
     * group-clustered layouts to only the touched groups' segments);
-    * larger sets semi-join. For a KEYED fact the restriction applies
-    * ABOVE the LWW resolve — group-moving updates mean a group filter
-    * below the per-key window could resurrect shadowed versions — so
-    * the refresh is resolve-then-restrict there (the honest price;
-    * unkeyed facts, the common shape, restrict at the scan). Groups
+    * larger sets semi-join. For a KEYED fact the group filter cannot
+    * sit below the per-key LWW window (a group-moving update could
+    * resurrect shadowed versions), but a KEY filter can — and a key's
+    * LATEST version lies in a touched group only if SOME version does,
+    * so the refresh restricts the resolve to the sound superset "keys
+    * with any version in a touched group" ([[refreshedFrame]]); the
+    * keyed touched-group set itself comes from the typed change rows
+    * (pre- AND post-images), so a group-moving upsert and a key-only
+    * tombstone touch their OLD group too. Groups
     * whose refreshed row set is empty are DELETED from the rollup.
     * Exactly-once exactly as [[cycle]]: the applied version rides the
     * MERGE commit; the effective floor is max(tag, applied). */
@@ -250,45 +254,8 @@ object IncrementalRollup {
       .streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
     val floor = math.max(tagFloor, applied)
     if (floor < head) {
-      // localCheckpoint (eager): the touched-group frame feeds the
-      // bounded probe, the snapshot restriction AND the refresh join —
-      // one window scan, not three (blocks are batch-sized and
-      // ContextCleaner-reclaimed on GC)
-      val touched = spark.read.format("hadro")
-        .option("hadro.changefeed", "full")
-        .option("hadro.changesStart", floor.toString)
-        .option("hadro.changesEnd", head.toString).load(factPath)
-        .select(col(groupCol).as("g")).distinct().localCheckpoint()
-      // bounded probe (window-proportional input): literal groups turn
-      // the restriction into scan pushdown. A NULL member of the touched
-      // set must restrict explicitly — isin() and a plain equi-semi-join
-      // both drop NULLs silently, which would turn a touched NULL group
-      // into a silent no-op; with the null-safe handling here it either
-      // nets out cleanly (no surviving NULL rows, no rollup row — a
-      // no-op by design) or fails LOUDLY at the MERGE insert (the rollup
-      // collection keys on the group; NULL keys are rejected at write —
-      // see the object scaladoc).
-      val lits = touched.limit(Collection.MaxKeyPushdown + 1)
-        .collect().map(_.get(0)).toSeq
-      val snap = fact.resolvedAsOf(head)
-      val restricted =
-        if (lits.size <= Collection.MaxKeyPushdown) {
-          val nonNull = lits.filter(_ != null)
-          val in =
-            if (nonNull.isEmpty) lit(false)
-            else col(groupCol).isin(nonNull: _*)
-          snap.filter(
-            if (lits.exists(_ == null)) col(groupCol).isNull || in else in)
-        } else snap.join(touched,
-          snap(groupCol) <=> touched("g"), "left_semi")
-      // left join (null-safe on the group): a touched group with NO
-      // surviving rows arrives with null n — the MERGE's DELETE branch
-      val refreshedAgg =
-        aggExprs(restricted.groupBy(col(groupCol).as("g")), aggs)
-          .withColumnRenamed("g", "g_r")
-      val refreshed = touched.join(
-          refreshedAgg, col("g") <=> col("g_r"), "left")
-        .drop("g_r")
+      val refreshed = refreshedFrame(spark, factPath, floor, head,
+        groupCol, aggs)
       val view = deltaView("hadro_rollup_refresh_", rollupTable)
       refreshed.createOrReplaceTempView(view)
       val sets = ("n = d.n" +: aggs.map { case (_, _, out) =>
@@ -312,6 +279,77 @@ object IncrementalRollup {
     }
     fact.createTag(cursorTag, head)
     head
+  }
+
+  /** The MERGE source for [[cycleRefresh]]: one row per TOUCHED group —
+    * (g, n, outs...), with null n when the group has no surviving rows
+    * (the MERGE's DELETE branch). Package-private so the scale contract
+    * is plan-assertable (IncrementalRollupSpec walks the executed plan).
+    *
+    * Touched groups: an unkeyed fact reads the raw `changefeed=full`
+    * window; a KEYED fact reads the typed change rows instead
+    * ([[ChangeFeed.updateImages]], window-proportional) because the raw
+    * window misses the OLD group of a group-moving upsert and a
+    * key-only tombstone's group — both must be refreshed.
+    *
+    * Restriction: literal groups (≤ MaxKeyPushdown) push into the scan
+    * as an IN predicate; larger sets semi-join null-safely. A NULL
+    * member of the touched set restricts explicitly — isin() and plain
+    * equi-joins drop NULLs silently, which would turn a touched NULL
+    * group into a silent no-op; with the null-safe handling here it
+    * either nets out cleanly (no surviving NULL rows, no rollup row) or
+    * fails LOUDLY at the MERGE insert (the rollup keys on the group;
+    * NULL keys are rejected at write — see the object scaladoc).
+    *
+    * KEYED scale shape: the group filter restricts the RAW head scan
+    * (all versions — scan pushdown prunes group-clustered segments),
+    * whose keys form the sound superset "keys with any version in a
+    * touched group"; [[Collection.resolvedAsOf(version:Long,touched:DataFrame)*]]
+    * then restricts BELOW the LWW window by those keys, so the window
+    * shuffle carries only touched keys' rows — never the table. Keys
+    * whose latest row moved to an UNTOUCHED group aggregate into that
+    * group's partial, which the touched-only join below never consumes. */
+  private[graft] def refreshedFrame(spark: SparkSession, factPath: String,
+      floor: Long, head: Long, groupCol: String,
+      aggs: Seq[(String, String, String)]): org.apache.spark.sql.DataFrame = {
+    val fact = Collection(spark, factPath)
+    // localCheckpoint (eager): the touched-group frame feeds the bounded
+    // probe, the snapshot restriction AND the refresh join — one window
+    // scan, not three (blocks are window-sized, reclaimed on GC)
+    val touched = (fact.keyField match {
+      case Some(_) =>
+        ChangeFeed.updateImages(spark, factPath, floor, head)
+          .select(col(groupCol).as("g"))
+      case None => spark.read.format("hadro")
+        .option("hadro.changefeed", "full")
+        .option("hadro.changesStart", floor.toString)
+        .option("hadro.changesEnd", head.toString).load(factPath)
+        .select(col(groupCol).as("g"))
+    }).distinct().localCheckpoint()
+    val lits = touched.limit(Collection.MaxKeyPushdown + 1)
+      .collect().map(_.get(0)).toSeq
+    def restrictGroups(df: org.apache.spark.sql.DataFrame) =
+      if (lits.size <= Collection.MaxKeyPushdown) {
+        val nonNull = lits.filter(_ != null)
+        val in =
+          if (nonNull.isEmpty) lit(false)
+          else col(groupCol).isin(nonNull: _*)
+        df.filter(
+          if (lits.exists(_ == null)) col(groupCol).isNull || in else in)
+      } else df.join(touched, df(groupCol) <=> touched("g"), "left_semi")
+    val restricted = fact.keyField match {
+      case Some(k) =>
+        val touchedKeys = restrictGroups(fact.scanVersion(head))
+          .select(col(k))
+        fact.resolvedAsOf(head, touchedKeys)
+      case None => restrictGroups(fact.resolvedAsOf(head))
+    }
+    // left join (null-safe on the group): a touched group with NO
+    // surviving rows arrives with null n — the MERGE's DELETE branch
+    val refreshedAgg =
+      aggExprs(restricted.groupBy(col(groupCol).as("g")), aggs)
+        .withColumnRenamed("g", "g_r")
+    touched.join(refreshedAgg, col("g") <=> col("g_r"), "left").drop("g_r")
   }
 
   /** [[cycle]] for a KEYED fact collection, where the raw changefeed is

@@ -3607,5 +3607,145 @@ object StorageQueries {
         FROM customer
         WHERE c_acctbal >= 0.0 AND c_acctbal <= 9000.0
         GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---------------------------------------------------------------- h97
+    // The h91 consumer loop driven ENTIRELY from SQL: CALL
+    // system.rollup_bootstrap pins the cursor and materializes the
+    // baseline, CALL system.rollup_cycle folds each changes window and
+    // MERGEs it — so a pure-SQL operator (an orchestrator with a SQL
+    // console, no Scala linkage) can run the nightly maintenance loop,
+    // the same reachability the storage procedures (compact, vacuum...)
+    // already have. Same exactly-once contract and the same
+    // full-recompute oracle as h91.
+    QueryDef(
+      "h97_rollup_sql_procedures",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h97"
+        s.conf.set("spark.sql.catalog.graft_h97",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h97.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h97.db")
+        val factPath = s"$wh/db/cust"
+        val cust = table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        cust.filter($"c_custkey" % 2 === 0)
+          .write.format("hadro").mode("overwrite").save(factPath)
+        val boot = s.sql("""CALL graft_h97.system.rollup_bootstrap(
+          'db.cust', 'h97_cursor', 'db.seg_agg', 'c_mktsegment',
+          'sum:c_acctbal:sum_bal')""").collect()
+        require(boot.length == 1 &&
+          boot.head.getString(0) == "graft_h97.db.seg_agg",
+          s"rollup_bootstrap descriptor: ${boot.toSeq}")
+        def cycle(): Unit = {
+          val r = s.sql("""CALL graft_h97.system.rollup_cycle(
+            'db.cust', 'h97_cursor', 'db.seg_agg', 'c_mktsegment',
+            'c_acctbal:sum_bal', false)""").collect()
+          require(r.length == 1 && !r.head.isNullAt(0),
+            s"rollup_cycle descriptor: ${r.toSeq}")
+        }
+        s.conf.set("spark.hadro.delete.mode", "dv")
+        try {
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 === 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("DELETE FROM graft_h97.db.cust WHERE c_acctbal < 0.0")
+          cycle()
+          cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 =!= 0)
+            .write.format("hadro").mode("append").save(factPath)
+          s.sql("""DELETE FROM graft_h97.db.cust
+            WHERE c_acctbal < 0.0 OR c_acctbal > 9000.0""")
+          cycle()
+        } finally s.conf.unset("spark.hadro.delete.mode")
+        // final read through the resolved view (h91's shape): the MERGE
+        // maintains the keyed rollup merge-on-read, and a plain SQL scan
+        // deliberately keeps reference scan() parity (shadowed versions
+        // included) — the LWW-resolved surface is the Collection API
+        Collection(s, s"$wh/db/seg_agg").toDF()
+          .select($"c_mktsegment".as("seg"), $"n",
+            $"sum_bal".cast("double").as("sum_bal"))
+          .orderBy("seg")
+      },
+      Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer
+        WHERE c_acctbal >= 0.0 AND c_acctbal <= 9000.0
+        GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---------------------------------------------------------------- h98
+    // h96's partial-recompute refresh over a KEYED fact — the shape where
+    // the window's raw rows are NOT the touched-group truth: a
+    // group-moving upsert must refresh its OLD group too (the typed
+    // pre-image carries it), and the snapshot restriction cannot filter
+    // groups below the per-key LWW window (shadowed versions would
+    // resurrect) — cycleRefresh restricts by the sound superset "keys
+    // with any version in a touched group" instead, below the window.
+    // Upserts MOVE keys across segments and retarget extremes; tombstone
+    // deletes remove others. Oracle = full recompute of the final
+    // resolved state.
+    QueryDef(
+      "h98_keyed_minmax_refresh",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h98"
+        s.conf.set("spark.sql.catalog.graft_h98",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h98.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h98.db")
+        val factPath = s"$wh/db/cust"
+        val aggPath = s"$wh/db/seg_mm"
+        val cust = table(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        cust.filter($"c_custkey" % 2 === 0)
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "c_custkey").save(factPath)
+        val fact = Collection(s, factPath)
+        val aggs = Seq(("min", "c_acctbal", "min_bal"),
+          ("max", "c_acctbal", "max_bal"), ("sum", "c_acctbal", "sum_bal"))
+        graft.api.IncrementalRollup.bootstrapRefresh(s, factPath,
+          "h98_cursor", aggPath, "c_mktsegment", aggs)
+        def cycle(): Unit = {
+          graft.api.IncrementalRollup.cycleRefresh(s, factPath,
+            "h98_cursor", "graft_h98.db.seg_mm", "c_mktsegment", aggs)
+          ()
+        }
+        // window 1: group-MOVING upserts (%10==0 relocate to 'MOVED' at
+        // twice the balance — their old segments' extremes must refresh
+        // from the pre-image side), new odd keys arrive, %20==4 deleted
+        fact.set(cust.filter($"c_custkey" % 10 === 0)
+          .withColumn("c_mktsegment", lit("MOVED"))
+          .withColumn("c_acctbal", $"c_acctbal" * 2))
+        fact.set(cust.filter($"c_custkey" % 2 === 1 && $"c_custkey" % 3 === 0))
+        fact.merge(cust.filter($"c_custkey" % 20 === 4)
+          .withColumn("d", lit(true)), $"d")
+        cycle()
+        // window 2: extreme-retargeting upserts (%10==6 gain 5000 in
+        // place) and more tombstones (%20==8)
+        fact.set(cust.filter($"c_custkey" % 10 === 6)
+          .withColumn("c_acctbal", $"c_acctbal" + 5000.0))
+        fact.merge(cust.filter($"c_custkey" % 20 === 8)
+          .withColumn("d", lit(true)), $"d")
+        cycle()
+        Collection(s, aggPath).toDF()
+          .select($"c_mktsegment".as("seg"), $"n", $"min_bal", $"max_bal",
+            $"sum_bal".cast("double").as("sum_bal"))
+          .orderBy("seg")
+      },
+      Some("""WITH final AS (
+          SELECT CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS seg,
+            CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
+                 WHEN c_custkey % 10 = 6 THEN c_acctbal + 5000.0
+                 ELSE c_acctbal END AS bal
+          FROM customer
+          WHERE (c_custkey % 2 = 0 AND c_custkey % 20 NOT IN (4, 8))
+             OR (c_custkey % 2 = 1 AND c_custkey % 3 = 0))
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(bal) AS min_bal, MAX(bal) AS max_bal,
+          CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM final GROUP BY 1 ORDER BY 1"""))
   )
 }

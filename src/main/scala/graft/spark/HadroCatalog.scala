@@ -395,7 +395,7 @@ class HadroCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"hadro: procedure table argument must be 'ns.table', got '$tbl'")
       tableDir(Identifier.of(parts.init.toArray, parts.last))
     }
-    HadroProcedures.load(ident.name(), { tbl =>
+    HadroProcedures.load(ident.name(), catalogName, { tbl =>
       val dir = dirOf(tbl)
       if (!isTable(dir)) {
         val parts = tbl.split("\\.").toSeq

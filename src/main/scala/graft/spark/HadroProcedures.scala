@@ -41,14 +41,36 @@ object HadroProcedures {
       "publish", "orphan_files", "remove_orphans", "drop_partitions",
       "compact_partitions", "set_partition_spec", "purge_deletes",
       "create_branch", "drop_branch", "fast_forward", "rebase",
-      "typed_changes")
+      "typed_changes", "rollup_bootstrap", "rollup_cycle", "rollup_refresh")
+
+  /** "fn:src:out,..." — the aggregate spec grammar of the rollup
+    * procedures (fn in min|max|sum), e.g.
+    * 'sum:amount:total,max:ts:last_ts'. */
+  private def parseAggs(s: String): Seq[(String, String, String)] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
+      val p = t.split(":").map(_.trim)
+      require(p.length == 3 && p.forall(_.nonEmpty),
+        s"hadro: aggregate spec must be 'fn:src:out', got '$t'")
+      (p(0), p(1), p(2))
+    }
+
+  /** "src:out,..." — the delta-foldable sum spec of rollup_cycle. */
+  private def parseSums(s: String): Seq[(String, String)] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
+      val p = t.split(":").map(_.trim)
+      require(p.length == 2 && p.forall(_.nonEmpty),
+        s"hadro: sum spec must be 'src:out', got '$t'")
+      (p(0), p(1))
+    }
 
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
     * the catalog's name resolution exactly. `resolveNew` is the same name
     * resolution WITHOUT the existence check, for procedures that create
-    * their target (clone). */
-  def load(procName: String, resolve: String => Path,
+    * their target (clone, rollup_bootstrap). `catalogName` qualifies
+    * table identifiers the procedure body feeds back into SQL (the
+    * rollup procedures' MERGE INTO). */
+  def load(procName: String, catalogName: String, resolve: String => Path,
       resolveNew: String => Path): UnboundProcedure = {
     def coll(in: InternalRow): Collection =
       Collection(SparkSession.active, resolve(in.getUTF8String(0).toString).toString)
@@ -323,6 +345,74 @@ object HadroProcedures {
             .updateImages(SparkSession.active, dir.toString, start, end)
             .createOrReplaceTempView(view)
           Seq(InternalRow(UTF8String.fromString(view), start, end))
+        }
+      case "rollup_bootstrap" => proc("rollup_bootstrap",
+        "materialize an incremental-consumer rollup (group_col, n, " +
+          "aggs...) over fact_table from the cursor-tag-pinned RESOLVED " +
+          "snapshot, keyed by the group — the h91/h96 loop's baseline. " +
+          "aggs: 'fn:src:out,...' with fn in min|max|sum (sum rides " +
+          "DECIMAL(18,2)). (Re)pins cursor_tag at the current head and " +
+          "stamps the exactly-once applied-version record in the " +
+          "rollup's own commit",
+        Seq(p("fact_table", StringType), p("cursor_tag", StringType),
+          p("rollup_table", StringType), p("group_col", StringType),
+          p("aggs", StringType)),
+        new StructType().add("rollup_table", StringType)
+          .add("baseline_version", LongType)) { in =>
+          val factDir = resolve(in.getUTF8String(0).toString)
+          val tag = in.getUTF8String(1).toString
+          val rollup = in.getUTF8String(2).toString
+          val rollupDir = resolveNew(rollup)
+          graft.api.IncrementalRollup.bootstrapRefresh(SparkSession.active,
+            factDir.toString, tag, rollupDir.toString,
+            in.getUTF8String(3).toString,
+            parseAggs(in.getUTF8String(4).toString))
+          Seq(InternalRow(UTF8String.fromString(s"$catalogName.$rollup"),
+            Collection(SparkSession.active, factDir.toString).tags(tag)))
+        }
+      case "rollup_cycle" => proc("rollup_cycle",
+        "one exactly-once consumer cycle: fold the (cursor, head] " +
+          "changes window into per-group deltas and MERGE them into " +
+          "rollup_table, advancing the cursor tag — sums: 'src:out,...'. " +
+          "keyed=true classifies the window into typed pre/post-image " +
+          "rows first (group-moving upserts net correctly). Returns the " +
+          "new cursor version",
+        Seq(p("fact_table", StringType), p("cursor_tag", StringType),
+          p("rollup_table", StringType), p("group_col", StringType),
+          p("sums", StringType),
+          ProcedureParameter.in("keyed", BooleanType)
+            .defaultValue("false").build()),
+        new StructType().add("cursor_version", LongType)) { in =>
+          val factDir = resolve(in.getUTF8String(0).toString).toString
+          val tag = in.getUTF8String(1).toString
+          val rollup = s"$catalogName.${in.getUTF8String(2).toString}"
+          val g = in.getUTF8String(3).toString
+          val sums = parseSums(in.getUTF8String(4).toString)
+          val keyed = !in.isNullAt(5) && in.getBoolean(5)
+          val v =
+            if (keyed) graft.api.IncrementalRollup.cycleKeyed(
+              SparkSession.active, factDir, tag, rollup, g, sums)
+            else graft.api.IncrementalRollup.cycle(
+              SparkSession.active, factDir, tag, rollup, g, sums)
+          Seq(InternalRow(v))
+        }
+      case "rollup_refresh" => proc("rollup_refresh",
+        "one exactly-once partial-recompute cycle for aggregates that " +
+          "are not delta-foldable under deletes (MIN/MAX): re-aggregate " +
+          "ONLY the groups the changes window touched from the head " +
+          "snapshot and MERGE the refreshed rows — aggs: 'fn:src:out,...' " +
+          "with fn in min|max|sum. Returns the new cursor version",
+        Seq(p("fact_table", StringType), p("cursor_tag", StringType),
+          p("rollup_table", StringType), p("group_col", StringType),
+          p("aggs", StringType)),
+        new StructType().add("cursor_version", LongType)) { in =>
+          Seq(InternalRow(graft.api.IncrementalRollup.cycleRefresh(
+            SparkSession.active,
+            resolve(in.getUTF8String(0).toString).toString,
+            in.getUTF8String(1).toString,
+            s"$catalogName.${in.getUTF8String(2).toString}",
+            in.getUTF8String(3).toString,
+            parseAggs(in.getUTF8String(4).toString))))
         }
       case "history" => proc("history",
         "commit audit over the retained manifest versions, newest first " +

@@ -338,6 +338,52 @@ class IncrementalRollupSpec extends SparkSuite {
     }
   }
 
+  test("keyed cycleRefresh: group-moving upserts refresh their OLD group " +
+      "(typed pre-images), and the LWW window shuffles only the touched " +
+      "groups' key superset — never the table") {
+    val w = Files.createTempDirectory("irkr").resolve("c").toString
+    // 4000 keys over 16 group-clustered segments with a fat payload so a
+    // table-sized shuffle is unmissable in exchange dataSize
+    val pad = "x" * 200
+    val base = (0L until 4000L).map(i => (i, f"s${i % 16}%02d", i.toDouble, pad))
+      .toDF("k", "g", "v", "p")
+    Collection.create(spark, w,
+      base.repartitionByRange(16, col("g")), key = Some("k"))
+    val c = Collection(spark, w)
+    val v1 = c.version
+    // window: new extremes inside s00, plus key 1 MOVING s01 -> s00 —
+    // s01's aggregates must refresh from the pre-image side
+    c.set(Seq((16L, "s00", 80000.0, pad), (32L, "s00", -5.0, pad),
+      (1L, "s00", 1.0, pad)).toDF("k", "g", "v", "p"))
+    val out = IncrementalRollup.refreshedFrame(spark, w, v1, c.version,
+      "g", Seq(("min", "v", "min_v"), ("max", "v", "max_v")))
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    // s00 gained key 1 and the planted extremes; s01 lost key 1 (its
+    // old MIN: without the pre-image, s01 would not refresh at all)
+    assert(rows.map(_._1) == Seq("s00", "s01"), rows.toString)
+    assert(rows(0) == (("s00", 251L, -5.0, 80000.0)), rows(0).toString)
+    assert(rows(1) == (("s01", 249L, 17.0, 3985.0)), rows(1).toString)
+    // scale: the two touched groups own 500 of 4000 keys; every exchange
+    // must stay touched-group-proportional (the table is ~840 KB)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val shuffled = walk(out.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s.metrics("dataSize").value }
+    val tableBytes = 4000L * 210
+    assert(shuffled.nonEmpty, "expected at least one exchange to execute")
+    assert(shuffled.max < tableBytes / 4,
+      s"an exchange carried ${shuffled.max} bytes — table-sized " +
+        s"(~$tableBytes), not touched-group-proportional " +
+        s"(${shuffled.sorted.reverse})")
+  }
+
   test("a commit-epoch stamp binds to the registering thread: a concurrent " +
       "writer's commit neither consumes nor publishes it") {
     val wh = freshCatalog("ir6")
