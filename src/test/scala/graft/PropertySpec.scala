@@ -22,6 +22,20 @@ class PropertySpec extends SparkSuite {
   private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
 
+  /** Protocol model checks run under BOTH [[graft.meta.FileIO]] impls —
+    * trial parity picks one (even = POSIX LocalFileIO, odd = the
+    * object-store emulation: conditional PUT, lease locks, no atomic
+    * rename), so a single run faces the same random op interleavings
+    * under each commit-protocol substrate. */
+  private def withFileIO[A](trial: Int)(body: => A): A = {
+    val impl =
+      if (trial % 2 == 0) graft.meta.LocalFileIO
+      else graft.meta.ObjectStoreFileIO
+    val prev = graft.meta.FileIO.impl
+    graft.meta.FileIO.impl = impl
+    try body finally graft.meta.FileIO.impl = prev
+  }
+
   private val schema = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("name", StringType, nullable = true),
@@ -276,7 +290,7 @@ class PropertySpec extends SparkSuite {
     }
   }
 
-  test("property: tags pin exact snapshots under arbitrary maintenance sequences") {
+  test("property: tags pin exact snapshots under arbitrary maintenance sequences (both FileIO impls)") {
     import graft.meta.CollectionMeta
     // Model checking the GC/tag interplay: against a driver-side model of
     // the collection's content, run random op sequences (append, delete,
@@ -295,7 +309,8 @@ class PropertySpec extends SparkSuite {
       1 -> Expire, 3 -> Tag, 1 -> DropTag)
     val genSeq: Gen[List[Op]] = Gen.listOfN(14, genOp)
 
-    samples(genSeq, 3, seed = 1234).zipWithIndex.foreach { case (ops, trial) =>
+    samples(genSeq, 4, seed = 1234).zipWithIndex.foreach { case (ops, trial) =>
+      withFileIO(trial) {
       val path = Files.createTempDirectory(s"tagprop$trial").resolve("c").toString
       val p = java.nio.file.Paths.get(path)
       var nextId = 0L
@@ -348,10 +363,11 @@ class PropertySpec extends SparkSuite {
             s"trial $trial after $op: tag $name pinned ${want.size} rows, read ${got.size}")
         }
       }
+      }
     }
   }
 
-  test("property: publish/clone/constraint branching matches a model (9 op types)") {
+  test("property: publish/clone/constraint branching matches a model (9 op types, both FileIO impls)") {
     import graft.meta.CollectionMeta
     // Model checking the WHOLE branching story: against driver-side models
     // of the target AND its staged clone, run random op sequences over
@@ -377,7 +393,8 @@ class PropertySpec extends SparkSuite {
       2 -> AddConstraint, 1 -> DropConstraint)
     val genSeq: Gen[List[Op]] = Gen.listOfN(16, genOp)
 
-    samples(genSeq, 3, seed = 4321).zipWithIndex.foreach { case (ops, trial) =>
+    samples(genSeq, 4, seed = 4321).zipWithIndex.foreach { case (ops, trial) =>
+      withFileIO(trial) {
       val root = Files.createTempDirectory(s"pubprop$trial")
       val path = root.resolve("target").toString
       var nextId = 0L
@@ -463,6 +480,7 @@ class PropertySpec extends SparkSuite {
           assert(got == want,
             s"trial $trial after $op: tag $name pinned ${want.size} rows, read ${got.size}")
         }
+      }
       }
     }
   }
@@ -779,6 +797,7 @@ class PropertySpec extends SparkSuite {
     val groups = Vector("A", "B", "C")
 
     samples(genSeq, 2, seed = 4242).zipWithIndex.foreach { case (ops, trial) =>
+      withFileIO(trial) {
       val w = Files.createTempDirectory(s"rollprop$trial").toString
       val cat = s"rollprop$trial"
       spark.conf.set(s"spark.sql.catalog.$cat",
@@ -895,6 +914,7 @@ class PropertySpec extends SparkSuite {
         spark.conf.unset("spark.hadro.delete.mode")
         spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
         spark.conf.unset(s"spark.sql.catalog.$cat")
+      }
       }
     }
   }

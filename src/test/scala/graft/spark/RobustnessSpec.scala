@@ -228,25 +228,31 @@ class RobustnessSpec extends SparkSuite {
       Option(c.getMessage).exists(_.contains("truncated"))), s"unexpected: $e")
   }
 
-  test("manifest commit survives high contention without lost updates") {
+  test("manifest commit survives high contention without lost updates " +
+      "(under BOTH FileIO impls)") {
     // Regression for a silent lost update: the commit's publish rename must
     // be ATOMIC_MOVE — the non-atomic move deletes the claimed version file
     // before renaming, letting a concurrent committer claim the same slot.
-    (1 to 20).foreach { trial =>
-      val dir = Files.createTempDirectory(s"contend$trial").resolve("c")
-      Files.createDirectories(dir)
-      val threads = (1 to 8).map { t =>
-        new Thread(() => {
-          CollectionMeta.commit(dir, cur => cur.copy(segments = cur.segments :+
-            graft.meta.SegmentInfo(s"seg-$t.data", cur.nextOrdinal, 1, 0, 10, Map.empty)))
-        })
+    // Run under POSIX semantics AND the object-store emulation (conditional
+    // PUT instead of rename): the claim-if-absent protocol must hold under
+    // the same interleavings on both.
+    underEachFileIO { io =>
+      (1 to 10).foreach { trial =>
+        val dir = Files.createTempDirectory(s"contend$io$trial").resolve("c")
+        Files.createDirectories(dir)
+        val threads = (1 to 8).map { t =>
+          new Thread(() => {
+            CollectionMeta.commit(dir, cur => cur.copy(segments = cur.segments :+
+              graft.meta.SegmentInfo(s"seg-$t.data", cur.nextOrdinal, 1, 0, 10, Map.empty)))
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val m = CollectionMeta.currentManifest(dir)
+        assert(m.segments.size == 8,
+          s"[$io] trial $trial lost ${8 - m.segments.size} commits (v${m.version})")
+        assert(m.version == 8, s"[$io]")
+        assert(m.segments.map(_.ordinal).distinct.size == 8, s"[$io]")
       }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      val m = CollectionMeta.currentManifest(dir)
-      assert(m.segments.size == 8,
-        s"trial $trial lost ${8 - m.segments.size} commits (v${m.version})")
-      assert(m.version == 8)
-      assert(m.segments.map(_.ordinal).distinct.size == 8)
     }
   }
 
