@@ -3658,14 +3658,18 @@ object StorageQueries {
             WHERE c_acctbal < 0.0 OR c_acctbal > 9000.0""")
           cycle()
         } finally s.conf.unset("spark.hadro.delete.mode")
-        // final read through the resolved view (h91's shape): the MERGE
-        // maintains the keyed rollup merge-on-read, and a plain SQL scan
-        // deliberately keeps reference scan() parity (shadowed versions
-        // included) — the LWW-resolved surface is the Collection API
-        Collection(s, s"$wh/db/seg_agg").toDF()
-          .select($"c_mktsegment".as("seg"), $"n",
-            $"sum_bal".cast("double").as("sum_bal"))
-          .orderBy("seg")
+        // final read stays pure SQL too: the MERGE maintains the keyed
+        // rollup merge-on-read and a plain SQL scan deliberately keeps
+        // reference scan() parity (shadowed versions included), so the
+        // LWW view comes from CALL system.resolved_view — the whole
+        // loop (bootstrap, cycles, read) never touches the Scala API
+        val rv = s.sql("""CALL graft_h97.system.resolved_view(
+          'db.seg_agg', 'h97_rollup')""").collect()
+        require(rv.length == 1 && rv.head.getString(0) == "h97_rollup",
+          s"resolved_view descriptor: ${rv.toSeq}")
+        s.sql("""SELECT c_mktsegment AS seg, n,
+            CAST(sum_bal AS DOUBLE) AS sum_bal
+          FROM h97_rollup ORDER BY seg""")
       },
       Some("""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

@@ -41,7 +41,8 @@ object HadroProcedures {
       "publish", "orphan_files", "remove_orphans", "drop_partitions",
       "compact_partitions", "set_partition_spec", "purge_deletes",
       "create_branch", "drop_branch", "fast_forward", "rebase",
-      "typed_changes", "rollup_bootstrap", "rollup_cycle", "rollup_refresh")
+      "typed_changes", "rollup_bootstrap", "rollup_cycle", "rollup_refresh",
+      "resolved_view")
 
   /** "fn:src:out,..." — the aggregate spec grammar of the rollup
     * procedures (fn in min|max|sum), e.g.
@@ -413,6 +414,23 @@ object HadroProcedures {
             s"$catalogName.${in.getUTF8String(2).toString}",
             in.getUTF8String(3).toString,
             parseAggs(in.getUTF8String(4).toString))))
+        }
+      case "resolved_view" => proc("resolved_view",
+        "register a TEMP VIEW of the RESOLVED state of a keyed table — " +
+          "latest version per key, tombstones removed. A plain SQL scan " +
+          "deliberately keeps reference scan() parity (shadowed versions " +
+          "included, merge-on-read); this is the pure-SQL route to the " +
+          "LWW view the Collection API's toDF() serves, completing the " +
+          "SQL consumer loop (rollup_* write it, this reads it). The " +
+          "view is lazy and fully distributed; only this descriptor row " +
+          "is driver-local",
+        Seq(p("table", StringType), p("view", StringType)),
+        new StructType().add("view", StringType)
+          .add("version", LongType)) { in =>
+          val c = coll(in)
+          val view = in.getUTF8String(1).toString
+          c.toDF().createOrReplaceTempView(view)
+          Seq(InternalRow(UTF8String.fromString(view), c.version))
         }
       case "history" => proc("history",
         "commit audit over the retained manifest versions, newest first " +
