@@ -42,7 +42,7 @@ object HadroProcedures {
       "compact_partitions", "set_partition_spec", "purge_deletes",
       "create_branch", "drop_branch", "fast_forward", "rebase",
       "typed_changes", "rollup_bootstrap", "rollup_cycle", "rollup_refresh",
-      "resolved_view")
+      "resolved_view", "sweep_index")
 
   /** "fn:src:out,..." — the aggregate spec grammar of the rollup
     * procedures (fn in min|max|sum), e.g.
@@ -414,6 +414,24 @@ object HadroProcedures {
             s"$catalogName.${in.getUTF8String(2).toString}",
             in.getUTF8String(3).toString,
             parseAggs(in.getUTF8String(4).toString))))
+        }
+      case "sweep_index" => proc("sweep_index",
+        "physically sweep an ANN index collection against its base " +
+          "table: rewrite keeping only rows whose base row is still " +
+          "live (one semi-join + one atomic version-pinned commit; a " +
+          "concurrent append_sq_index refresh survives). Run when " +
+          "delete churn accumulates — per-query live re-validation " +
+          "covers the gap between sweeps",
+        Seq(p("index_table", StringType), p("base_table", StringType),
+          p("base_key_col", StringType)),
+        new StructType().add("rows_swept", LongType)
+          .add("index_version", LongType)) { in =>
+          val idx = coll(in)
+          val base = Collection(SparkSession.active,
+            resolve(in.getUTF8String(1).toString).toString)
+          val swept = graft.ops.SimilarityOps.sweepSqIndex(idx, base,
+            in.getUTF8String(2).toString)
+          Seq(InternalRow(swept, idx.version))
         }
       case "resolved_view" => proc("resolved_view",
         "register a TEMP VIEW of the RESOLVED state of a keyed table — " +

@@ -679,4 +679,60 @@ class CatalogSpec extends SparkSuite {
     assert(spark.table("testcat.db.tr").as[Long].collect().toSeq == Seq(42L))
     spark.sql("DROP TABLE testcat.db.tr")
   }
+
+  test("CALL system.resolved_view serves the LWW view of a keyed MOR " +
+      "table; rollup procedures reject malformed aggregate grammar") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    val path = s"$warehouse/db/rvk"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v")
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.key", "k").save(path)
+    val c = graft.api.Collection(spark, path)
+    c.set(Seq((1L, "a", 9.0)).toDF("k", "s", "v")) // shadow k=1
+    c.delete(2L)                                   // tombstone k=2
+    // the plain SQL scan keeps reference scan() parity: the shadowed
+    // version is still visible (tombstone records are skipped)
+    assert(spark.sql("SELECT count(*) FROM testcat.db.rvk").head.getLong(0) == 3)
+    // resolved_view serves what toDF() serves: latest per key, no dead keys
+    val desc = spark.sql(
+      "CALL testcat.system.resolved_view('db.rvk', 'rvk_resolved')").collect()
+    assert(desc.length == 1 && desc.head.getString(0) == "rvk_resolved")
+    val rows = spark.sql("SELECT k, v FROM rvk_resolved ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 9.0)), rows.toString)
+    // the procedures' aggregate-spec grammar fails fast and names itself
+    val e1 = intercept[Exception](spark.sql(
+      """CALL testcat.system.rollup_bootstrap('db.rvk', 't', 'db.r',
+        's', 'bogus')""").collect())
+    assert(e1.getMessage.contains("fn:src:out"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """CALL testcat.system.rollup_cycle('db.rvk', 't', 'db.r',
+        's', 'a:b:c:d', false)""").collect())
+    assert(e2.getMessage.contains("src:out"), e2.getMessage)
+    spark.catalog.dropTempView("rvk_resolved")
+  }
+
+  test("CALL system.sweep_index rewrites an ANN index against its live base") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    val basePath = s"$warehouse/db/vecbase"
+    val vecs = (0 until 16).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => (i + j).toFloat / 16f)))
+      .toDF("vid", "emb")
+    graft.api.Collection.create(spark, basePath, vecs, key = Some("vid"))
+    val base = graft.api.Collection(spark, basePath)
+    graft.ops.SimilarityOps.buildSqIndex(spark, s"$warehouse/db/vecidx",
+      vecs, "vid", "emb", numSegments = 2)
+    base.delete(3L, 7L, 11L)
+    val out = spark.sql(
+      """CALL testcat.system.sweep_index('db.vecidx', 'db.vecbase',
+        'vid')""").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 3L,
+      s"sweep_index descriptor: ${out.toSeq}")
+    val left = graft.api.Collection(spark, s"$warehouse/db/vecidx")
+      .toDF().select($"vid").as[Long].collect().sorted.toSeq
+    assert(left == (0L until 16L).filterNot(Seq(3L, 7L, 11L).contains),
+      left.toString)
+  }
 }
