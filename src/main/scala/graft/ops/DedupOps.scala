@@ -306,15 +306,20 @@ object DedupOps {
     // The candidates' old-side ids are hit-proportional, so they
     // broadcast into a map-only scan of `live`; the surviving live set
     // (also hit-proportional) broadcasts back into the pair filter.
+    // Both small frames are CHECKPOINTED once: the gate references the
+    // candidate subtree from five places (base + two broadcast ok-sets,
+    // each reading oldIds twice) — left lazy, the whole banding/star
+    // pipeline re-executes per reference (measured 9x probe cost).
     val checked = live.fold(restricted) { lv =>
-      val oldIds = restricted.select(col("doc_a").as("doc_id"))
-        .unionByName(restricted.select(col("doc_b").as("doc_id")))
+      val cands = restricted.localCheckpoint()
+      val oldIds = cands.select(col("doc_a").as("doc_id"))
+        .unionByName(cands.select(col("doc_b").as("doc_id")))
         .distinct()
         .join(broadcast(newIds), Seq("doc_id"), "left_anti")
       val liveOld = lv.select(col(lv.columns.head).as("doc_id"))
         .join(broadcast(oldIds), Seq("doc_id"), "left_semi")
-      val ok = newIds.unionByName(liveOld)
-      restricted
+      val ok = newIds.unionByName(liveOld).localCheckpoint()
+      cands
         .join(broadcast(ok.withColumnRenamed("doc_id", "doc_a")),
           Seq("doc_a"), "left_semi")
         .join(broadcast(ok.withColumnRenamed("doc_id", "doc_b")),

@@ -297,6 +297,93 @@ object OpsQueries {
         WHERE j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)
         ORDER BY doc_a, doc_b""")),
 
+    // ---------------------------------------------------------------- d31
+    // DELETE-AWARE incremental near-dup: the d30 probe against an index
+    // whose base corpus lost documents AFTER the index was built (the
+    // GDPR/takedown shape — the persisted sidecar is decoupled from the
+    // collection, so deletes never rewrite it). The corpus lives in a
+    // keyed hadro collection; every %40 doc is tombstone-deleted
+    // post-build; the probe passes `live = collection.ids()` and must
+    // emit NO pair against a dead doc — including pairs the caller
+    // PINNED via mustCheck (a pin asserts candidate recall, not
+    // liveness). The live gate is hit-proportional: the candidates'
+    // bounded old-side ids broadcast into one map-only scan of the live
+    // view. Oracle = the d30 exact all-pairs ground truth with the
+    // corpus side restricted to live docs.
+    QueryDef(
+      "d31_delete_aware_neardup",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_collections/$tag/d31"
+        val whDir = new java.io.File(wh)
+        if (whDir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(whDir)
+        }
+        val coll = graft.api.Collection.create(s, s"$wh/docs", d,
+          key = Some("doc_id"))
+        DedupOps.minhashLshIndexBuild(coll.toDF(), "doc_id", "text",
+          s"$wh/idx")
+        // takedown pass lands AFTER the index build
+        coll.delete(d.filter(col("doc_id") % 40 === 0).select("doc_id"))
+        val newBatch = d.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" extraplantedtoken")))
+        // pins cover ALL planted pairs — the dead-sided half must be
+        // dropped by the live gate, not by losing the candidate
+        val known = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        DedupOps.minhashLshIndexProbe(s, newBatch, "doc_id", "text",
+            s"$wh/idx", extendIndex = false, mustCheck = Some(known),
+            live = Some(coll.ids()))
+          .withColumn("jaccard", round(col("jaccard"), 3))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
+        ranked AS (
+          SELECT i.doc_id, i.shingle,
+            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
+            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
+          FROM inv i JOIN df d USING (shingle)
+          WHERE d.nd >= 2
+        ),
+        prefix AS (SELECT doc_id, shingle FROM ranked
+                   WHERE rk <= n - CEIL(0.8 * n) + 1),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM prefix a JOIN prefix b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
+          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+          JOIN sets sb ON sb.doc_id = cand.doc_b
+        )
+        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
+        WHERE j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)
+        ORDER BY doc_a, doc_b""")),
+
     // ---------------------------------------------------------------- d03
     // SimHash near-dup over the same planted corpus (Hamming <= 3 on
     // 64-bit signatures, 16-bit-chunk banding).
