@@ -713,6 +713,41 @@ class CatalogSpec extends SparkSuite {
     spark.catalog.dropTempView("rvk_resolved")
   }
 
+  test("CALL system.rollup_cycle(keyed=true) and rollup_refresh drive the " +
+      "keyed consumer loops from SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    val factPath = s"$warehouse/db/kfact"
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "g", "v")
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.key", "k").save(factPath)
+    val fact = graft.api.Collection(spark, factPath)
+    // keyed delta loop: bootstrap + one cycle over an upsert + tombstone
+    spark.sql("""CALL testcat.system.rollup_bootstrap('db.kfact',
+      'kc_cursor', 'db.kagg', 'g', 'sum:v:sv')""").collect()
+    fact.set(Seq((1L, "a", 50.0), (4L, "c", 4.0)).toDF("k", "g", "v"))
+    fact.merge(Seq((3L, "b", 30.0, true)).toDF("k", "g", "v", "d"), $"d")
+    val cv = spark.sql("""CALL testcat.system.rollup_cycle('db.kfact',
+      'kc_cursor', 'db.kagg', 'g', 'v:sv', true)""").collect()
+    assert(cv.length == 1 && cv.head.getLong(0) == fact.version)
+    val agg = graft.api.Collection(spark, s"$warehouse/db/kagg").toDF()
+      .select($"g", $"n", $"sv".cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(agg == Seq(("a", 2L, 70.0), ("c", 1L, 4.0)), agg.toString)
+    // keyed partial-recompute loop: MIN/MAX via rollup_refresh
+    spark.sql("""CALL testcat.system.rollup_bootstrap('db.kfact',
+      'kr_cursor', 'db.kmm', 'g', 'min:v:min_v,max:v:max_v')""").collect()
+    fact.set(Seq((1L, "b", 1.0)).toDF("k", "g", "v")) // a -> b group move
+    spark.sql("""CALL testcat.system.rollup_refresh('db.kfact',
+      'kr_cursor', 'db.kmm', 'g', 'min:v:min_v,max:v:max_v')""").collect()
+    val mm = graft.api.Collection(spark, s"$warehouse/db/kmm").toDF()
+      .select($"g", $"n", $"min_v", $"max_v")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(mm == Seq(("a", 1L, 20.0, 20.0), ("b", 1L, 1.0, 1.0),
+      ("c", 1L, 4.0, 4.0)), mm.toString)
+  }
+
   test("CALL system.sweep_index rewrites an ANN index against its live base") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
