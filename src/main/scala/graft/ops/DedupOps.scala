@@ -140,7 +140,7 @@ object DedupOps {
 
   /** PERSISTED LSH index build for [[minhashLshIndexProbe]] — the
     * incremental-ingest twin of [[minhashLshPairs]]. Materializes the
-    * corpus' banded MinHash index ONCE as two parquet tables under
+    * corpus' banded MinHash index ONCE as two HADRO COLLECTIONS under
     * `indexPath`: `bands` (band, band_hash, doc_id) — the inverted
     * banding a probe joins against — and `sets` (doc_id, sig_h,
     * shingles as 8-byte xxhash64 values) — the verification side. At
@@ -148,7 +148,19 @@ object DedupOps {
     * every night and signaturing only the night's batch: the index is
     * corpus-sized on DISK but a probe reads it hit-proportionally
     * (key-equality joins on (band, band_hash) and on candidate doc
-    * ids), and every shuffled key is 8 bytes. */
+    * ids), and every shuffled key is 8 bytes.
+    *
+    * Hadro collections, not bare parquet directories, because the index
+    * needs the table machinery's guarantees: extensions and maintenance
+    * are ATOMIC manifest commits (a crash mid-rewrite can never leave
+    * both copies of a row visible), probes pin a manifest version whose
+    * files deferred GC protects from a concurrent compaction or sweep,
+    * and [[sweepLshIndex]] rides the version-pinned replace protocol
+    * that preserves appends landing mid-sweep (the `sweepSqIndex` /
+    * compact() shape). Entries are INSERT-ONLY BY doc_id: re-ingesting
+    * an id with changed text does NOT update its signature (same
+    * contract as `appendSqIndex` — rebuild or sweep+re-add under a new
+    * id when content mutates in place). */
   def minhashLshIndexBuild(df: DataFrame, idCol: String, textCol: String,
       indexPath: String, shingleK: Int = 3, numHashes: Int = 64,
       bands: Int = 16): Unit = {
@@ -158,13 +170,13 @@ object DedupOps {
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
     withSig.select(col("doc_id"), xxhash64(col("sig")).as("sig_h"),
       transform(col("shingles"), s => xxhash64(s)).as("shingles"))
-      .write.mode("overwrite").parquet(s"$indexPath/sets")
+      .write.format("hadro").mode("overwrite").save(s"$indexPath/sets")
     withSig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
           lit(rowsPerBand)), b))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
-      .write.mode("overwrite").parquet(s"$indexPath/bands")
+      .write.format("hadro").mode("overwrite").save(s"$indexPath/bands")
   }
 
   /** INCREMENTAL MinHash-LSH near-dup: probe a NEW document batch
@@ -208,9 +220,12 @@ object DedupOps {
     * With `extendIndex` the returned pairs are materialized (eager
     * localCheckpoint) BEFORE the index mutates, the appends are
     * IDEMPOTENT (doc ids already present are anti-joined away, so a
-    * retried ingest cannot multiply index rows), and the sidecar's
-    * small files are bin-packed once they exceed `maxIndexFiles`
-    * (single-writer maintenance, same contract as the table side). */
+    * retried ingest cannot multiply index rows — and therefore
+    * INSERT-ONLY BY doc_id: a re-ingested id with changed text keeps
+    * its original signature, see [[minhashLshIndexBuild]]), and the
+    * index collections bin-pack their small segments once the count
+    * exceeds `maxIndexFiles` — an atomic replace commit whose old files
+    * deferred GC keeps readable for concurrently pinned probes. */
   def minhashLshIndexProbe(spark: SparkSession, newDocs: DataFrame,
       idCol: String, textCol: String, indexPath: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -237,11 +252,15 @@ object DedupOps {
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
           lit(rowsPerBand)), b))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
-    // index frames list their files NOW (parquet listing is pinned at
-    // read time), so the extension append below cannot leak this
-    // batch's rows into its own probe
-    val idxBands = spark.read.parquet(s"$indexPath/bands")
-    val idxSets = spark.read.parquet(s"$indexPath/sets")
+    // index frames pin the CURRENT manifest version: the extension
+    // append below cannot leak this batch's rows into its own probe, a
+    // retry's fresh probe sees what the crashed attempt committed, and
+    // deferred GC keeps a concurrent sweep/compaction from deleting the
+    // pinned version's files mid-read
+    val setsColl = graft.api.Collection(spark, s"$indexPath/sets")
+    val bandsColl = graft.api.Collection(spark, s"$indexPath/bands")
+    val idxSets = setsColl.scanVersion(setsColl.version)
+    val idxBands = bandsColl.scanVersion(bandsColl.version)
     // HIT-PROPORTIONAL bucket counts: only buckets the batch probes can
     // gate candidates, so restrict the index side to the batch's bucket
     // set BEFORE the groupBy — a broadcast semi-join keeps the index
@@ -340,9 +359,11 @@ object DedupOps {
       // failure after this call must be retryable without re-probing an
       // already-extended index under its feet
       val result = out.localCheckpoint()
-      // IDEMPOTENT extension: a retry of a crashed ingest (including a
-      // crash BETWEEN the two appends) must not duplicate index rows —
-      // anti-join each table against the ids it already holds. The
+      // IDEMPOTENT extension: a retry of a crashed ingest must not
+      // duplicate index rows — anti-join each table against the ids it
+      // already holds (each append is itself an atomic manifest commit,
+      // so the only partial state a crash can leave is "sets landed,
+      // bands did not", which the per-table anti-join heals). The
       // present-id probes are map-only index scans against the batch's
       // broadcast id set; their results are retry-sized (normally 0).
       def newOnly(rows: DataFrame, idx: DataFrame): DataFrame = {
@@ -350,92 +371,76 @@ object DedupOps {
           .join(broadcast(newIds), Seq("doc_id"), "left_semi").distinct()
         rows.join(broadcast(present), Seq("doc_id"), "left_anti")
       }
-      newOnly(newSets, idxSets).write.mode("append")
-        .parquet(s"$indexPath/sets")
-      newOnly(newBands, idxBands).write.mode("append")
-        .parquet(s"$indexPath/bands")
-      // bounded small files: nightly appends add a handful of files per
-      // ingest forever — bin-pack once the count crosses the threshold
-      compactIndexTable(spark, s"$indexPath/sets", maxIndexFiles)
-      compactIndexTable(spark, s"$indexPath/bands", maxIndexFiles)
+      newOnly(newSets, idxSets).write.format("hadro").mode("append")
+        .save(s"$indexPath/sets")
+      newOnly(newBands, idxBands).write.format("hadro").mode("append")
+        .save(s"$indexPath/bands")
+      // bounded small segments: nightly appends add a few per ingest
+      // forever — bin-pack (atomic replace commit, reader-safe via
+      // deferred GC) once the count crosses the threshold
+      maybeCompactIndex(setsColl, maxIndexFiles)
+      maybeCompactIndex(bandsColl, maxIndexFiles)
       result
     }
   }
 
-  private def listIndexFiles(dir: String): Seq[java.io.File] =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-
-  /** Bin-pack an index sidecar directory once it exceeds `maxFiles`
-    * parquet files: rewrite the PINNED file listing into ~128 MB
-    * outputs, move them in under fresh names, then delete the pinned
-    * originals — files appended concurrently are untouched. Single
-    * maintenance writer at a time (the table-side compaction contract);
-    * readers pin their listing at DataFrame creation, so run it from
-    * the ingest that owns the index, not beside an active probe. */
-  private def compactIndexTable(spark: SparkSession, dir: String,
-      maxFiles: Int): Unit = {
-    val files = listIndexFiles(dir)
-    if (maxFiles <= 0 || files.size <= maxFiles) return
-    val nOut = math.max(1, (files.map(_.length).sum / (128L << 20)).toInt)
-    val tmp = s"$dir.compact-tmp"
-    spark.read.parquet(files.map(_.getPath): _*)
-      .coalesce(nOut).write.mode("overwrite").parquet(tmp)
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    listIndexFiles(tmp).zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(dir, s"compact-$stamp-$i.parquet"))
+  private def maybeCompactIndex(idx: graft.api.Collection,
+      maxSegments: Int): Unit =
+    if (maxSegments > 0 && graft.meta.CollectionMeta.currentManifest(
+        java.nio.file.Paths.get(idx.path)).segments.size > maxSegments) {
+      idx.compactSmall(1L << 30)
+      ()
     }
-    files.foreach(f => java.nio.file.Files.delete(f.toPath))
-    Option(new java.io.File(tmp).listFiles()).foreach(_.foreach(_.delete()))
-    new java.io.File(tmp).delete()
-    ()
-  }
 
   /** PHYSICAL sweep of a [[minhashLshIndexBuild]] index — the
     * maintenance complement of the probe's `live` re-validation (the
     * ANN `sweepSqIndex` analog): rewrite `sets` and `bands` keeping
     * only rows whose doc id is in `live` (one column, e.g.
     * `collection.ids()` resolved at a pinned manifest version), so
-    * probes reflect deletes with no per-query `live` cost. The rewrite
-    * covers the file listing PINNED AT ENTRY: rows appended by a
-    * concurrent [[minhashLshIndexProbe]] extension land in new files
-    * and survive untouched. Returns the number of `sets` rows (docs)
-    * swept away. Corpus-proportional by definition (it rewrites the
-    * index) — run it when churn accumulates, not per ingest. */
+    * probes reflect deletes with no per-query `live` cost. Each table
+    * rewrite is pinned to the manifest version the sweep planned
+    * against and published with the version-pinned REPLACE commit (the
+    * compact() / sweepSqIndex protocol), so an extension appending
+    * mid-sweep is PRESERVED instead of silently erased, and concurrent
+    * probes keep reading their pinned snapshots (deferred GC). Returns
+    * the number of `sets` rows (docs) swept away. Corpus-proportional
+    * by definition (it rewrites the index) — run it when churn
+    * accumulates, not per ingest. */
   def sweepLshIndex(spark: SparkSession, indexPath: String,
       live: DataFrame): Long = {
     val liveIds = live.select(col(live.columns.head).as("doc_id"))
       .localCheckpoint()
-    val swept = sweepLshIndexFiles(spark, s"$indexPath/sets", liveIds,
-      listIndexFiles(s"$indexPath/sets").map(_.getPath))
-    sweepLshIndexFiles(spark, s"$indexPath/bands", liveIds,
-      listIndexFiles(s"$indexPath/bands").map(_.getPath))
+    val sets = graft.api.Collection(spark, s"$indexPath/sets")
+    val bandsC = graft.api.Collection(spark, s"$indexPath/bands")
+    val swept = sweepIndexTable(sets, liveIds,
+      graft.meta.CollectionMeta.currentManifest(
+        java.nio.file.Paths.get(sets.path)))
+    sweepIndexTable(bandsC, liveIds,
+      graft.meta.CollectionMeta.currentManifest(
+        java.nio.file.Paths.get(bandsC.path)))
     swept
   }
 
-  /** [[sweepLshIndex]] over an explicit pinned file listing — the seam
-    * the concurrent-extend contract is specified through. */
-  private[graft] def sweepLshIndexFiles(spark: SparkSession, dir: String,
-      liveIds: DataFrame, pinned: Seq[String]): Long = {
-    if (pinned.isEmpty) return 0L
-    val df = spark.read.parquet(pinned: _*)
-    val total = df.count()
-    val tmp = s"$dir.sweep-tmp"
-    df.join(liveIds, Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(tmp)
-    val kept = spark.read.parquet(tmp).count() // parquet-footer count
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    listIndexFiles(tmp).zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(dir, s"sweep-$stamp-$i.parquet"))
-    }
-    pinned.foreach(p => java.nio.file.Files.delete(
-      java.nio.file.Paths.get(p)))
-    Option(new java.io.File(tmp).listFiles()).foreach(_.foreach(_.delete()))
-    new java.io.File(tmp).delete()
-    total - kept
+  /** One-table sweep against an explicitly pinned manifest — the seam
+    * the concurrent-extend contract is specified through (an append
+    * committed after `m0` must survive the replace). */
+  private[graft] def sweepIndexTable(idx: graft.api.Collection,
+      liveIds: DataFrame,
+      m0: graft.meta.Manifest): Long = {
+    val snapshot = idx.scanVersion(m0.version)
+    val before = snapshot.count()
+    // one materialization serves the count AND the write (the
+    // sweepSqIndex discipline: separate evaluations could disagree)
+    val kept = snapshot.join(liveIds, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keptCount = kept.count()
+      kept.write.format("hadro").mode("overwrite")
+        .option("hadro.compactOf", m0.version.toString)
+        .option("hadro.compactOfGen", m0.generation.toString)
+        .save(idx.path)
+      before - keptCount
+    } finally kept.unpersist()
   }
 
   /** Benchmark decontamination — the training-set hygiene pass: flag every

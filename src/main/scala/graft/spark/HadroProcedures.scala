@@ -447,8 +447,12 @@ object HadroProcedures {
           .add("version", LongType)) { in =>
           val c = coll(in)
           val view = in.getUTF8String(1).toString
-          c.toDF().createOrReplaceTempView(view)
-          Seq(InternalRow(UTF8String.fromString(view), c.version))
+          // pin the view to the version the descriptor reports: a
+          // commit landing between CALL and the operator's SELECT must
+          // not make the view serve data newer than it claims
+          val v = c.version
+          c.resolvedAsOf(v).createOrReplaceTempView(view)
+          Seq(InternalRow(UTF8String.fromString(view), v))
         }
       case "history" => proc("history",
         "commit audit over the retained manifest versions, newest first " +

@@ -1419,6 +1419,9 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     o
   }.getOrElse(-1)
 
+  // Hot-path form of keyOrdinal (one branch per row, no Option closure).
+  private val keyOrd: Int = keyOrdinal.getOrElse(-1)
+
   // Projection: stored ordinal -> write ordinal (or -1 = absent -> null).
   private val proj: Array[Int] = storedSchema.fields.map(f => writeSchema.fieldNames.indexOf(f.name))
   private val identity = deleteOrd < 0 &&
@@ -1445,9 +1448,9 @@ final class HadroDataWriter(dir: Path, storedSchema: StructType,
     // that for row-level-op row ids — so a null that slips in here NPEs
     // every later read inside codegen with no diagnostic. Fail the write
     // with a message that names the fix instead.
-    if (keyOrdinal.exists(out.isNullAt))
+    if (keyOrd >= 0 && out.isNullAt(keyOrd))
       throw new IllegalArgumentException(
-        s"hadro: NULL in key field '${keyOrdinal.map(storedSchema(_).name).get}' — " +
+        s"hadro: NULL in key field '${storedSchema(keyOrd).name}' — " +
           "a keyed collection's key identifies the record and is reported " +
           "non-nullable to Spark; COALESCE the key expression to a " +
           "sentinel before writing")

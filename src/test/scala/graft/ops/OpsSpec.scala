@@ -860,25 +860,20 @@ class OpsSpec extends SparkSuite {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
     assert(liveOnly == Seq((2L, 101L)),
       s"probe paired against a deleted corpus doc: $liveOnly")
-    // sweep with a PINNED listing taken BEFORE a concurrent extension:
-    // the extension's new files must survive the sweep untouched
-    val pinnedSets = java.nio.file.Files.list(
-      java.nio.file.Paths.get(s"$idx/sets")).iterator()
-    val pins = new scala.collection.mutable.ArrayBuffer[String]
-    pinnedSets.forEachRemaining { p =>
-      val n = p.getFileName.toString
-      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        pins += p.toString
-    }
-    // concurrent extension lands between the listing and the sweep
+    // sweep pinned to the manifest version BEFORE a concurrent
+    // extension commits: the replace protocol must PRESERVE the
+    // extension's appended segments instead of silently erasing them
+    val setsColl = graft.api.Collection(spark, s"$idx/sets")
+    val m0 = graft.meta.CollectionMeta.currentManifest(
+      java.nio.file.Paths.get(s"$idx/sets"))
+    // concurrent extension lands between the sweep's pin and its commit
     DedupOps.minhashLshIndexProbe(spark, batch, "doc_id", "text", idx)
       .collect()
     val liveIds = coll.ids()
       .select($"doc_id").localCheckpoint()
-    val swept = DedupOps.sweepLshIndexFiles(spark, s"$idx/sets",
-      liveIds, pins.toSeq)
+    val swept = DedupOps.sweepIndexTable(setsColl, liveIds, m0)
     assert(swept == 1L, s"sweep must remove exactly the dead doc: $swept")
-    val setIds = spark.read.parquet(s"$idx/sets")
+    val setIds = setsColl.scan()
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(setIds == Seq(2L, 3L, 101L),
       s"sweep lost the concurrent extension or kept the dead doc: $setIds")
@@ -895,35 +890,36 @@ class OpsSpec extends SparkSuite {
   }
 
   test("LSH index extension is idempotent under retry and keeps the " +
-      "sidecar's file count bounded across many ingests") {
+      "index's segment count bounded across many ingests") {
     val idx = java.nio.file.Files.createTempDirectory("lshbd").toString + "/i"
     val mk = (salt: Int) =>
       (0 until 31).map(j => s"s${salt}w$j").mkString(" ")
     DedupOps.minhashLshIndexBuild(
       Seq((1L, mk(0))).toDF("doc_id", "text"), "doc_id", "text", idx)
-    def setsFiles() = Option(new java.io.File(s"$idx/sets").listFiles())
-      .toSeq.flatten.count(f => f.getName.endsWith(".parquet"))
+    def setsColl() = graft.api.Collection(spark, s"$idx/sets")
+    def setsSegs() = graft.meta.CollectionMeta.currentManifest(
+      java.nio.file.Paths.get(s"$idx/sets")).segments.size
     // retry idempotency: the same batch extended twice lands once
     val b1 = Seq((10L, mk(1))).toDF("doc_id", "text")
     DedupOps.minhashLshIndexProbe(spark, b1, "doc_id", "text", idx,
       maxIndexFiles = 4).collect()
-    val once = spark.read.parquet(s"$idx/sets").count()
+    val once = setsColl().count()
     DedupOps.minhashLshIndexProbe(spark, b1, "doc_id", "text", idx,
       maxIndexFiles = 4).collect()
-    assert(spark.read.parquet(s"$idx/sets").count() == once,
+    assert(setsColl().count() == once,
       "a retried extension duplicated index rows")
-    // bounded files: many ingests never push the sidecar past the
+    // bounded segments: many ingests never push the index past the
     // compaction threshold + one ingest's worth of fresh appends
-    val perIngest = setsFiles()
+    val perIngest = setsSegs()
     (2 to 12).foreach { i =>
       DedupOps.minhashLshIndexProbe(spark,
         Seq((10L * i, mk(i))).toDF("doc_id", "text"),
         "doc_id", "text", idx, maxIndexFiles = 4).collect()
-      assert(setsFiles() <= 4 + perIngest,
-        s"ingest $i left ${setsFiles()} files (threshold 4)")
+      assert(setsSegs() <= 4 + perIngest,
+        s"ingest $i left ${setsSegs()} segments (threshold 4)")
     }
     // and the data survived every compaction
-    val ids = spark.read.parquet(s"$idx/sets")
+    val ids = setsColl().scan()
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(ids == (Seq(1L, 10L) ++ (2 to 12).map(_ * 10L)).sorted,
       ids.toString)
