@@ -384,6 +384,95 @@ object OpsQueries {
         WHERE j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)
         ORDER BY doc_a, doc_b""")),
 
+    // ---------------------------------------------------------------- d32
+    // INCREMENTAL LOOP ≡ BATCH: ingest the whole planted corpus through
+    // FIVE probe+extend windows against an index that starts EMPTY, and
+    // prove the accumulated pair stream equals the one-shot exact
+    // all-pairs ground truth (d02's oracle). The composition argument:
+    // a pair is emitted exactly when its SECOND member arrives (≥1 side
+    // new then; both sides old in every later window), so the union
+    // over windows enumerates every true pair exactly once — the
+    // nightly-dedup loop run for a week must converge to what one batch
+    // job over the full corpus would say, and this query is that
+    // equivalence, oracle-checked. Pins ride every window (a pin whose
+    // sides have not both arrived is dropped by the ≥1-new-side gate /
+    // the verification join, and re-emits nowhere).
+    QueryDef(
+      "d32_windowed_ingest_equivalence",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = s"/tmp/graft_collections/$tag/d32_idx"
+        val idxDir = new java.io.File(idx)
+        if (idxDir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(idxDir)
+        }
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        val pins = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        // day 0: an empty index — the loop bootstraps itself
+        DedupOps.minhashLshIndexBuild(planted.filter(lit(false)),
+          "doc_id", "text", idx)
+        // five ingest days, hash-sliced so originals and their planted
+        // copies land in different windows
+        val acc = (0 until 5).map { w =>
+          DedupOps.minhashLshIndexProbe(s,
+            planted.filter(pmod(xxhash64(col("doc_id")), lit(5)) === w),
+            "doc_id", "text", idx, mustCheck = Some(pins))
+        }.reduce(_ unionByName _)
+        acc.withColumn("jaccard", round(col("jaccard"), 3))
+          .orderBy("doc_a", "doc_b")
+      },
+      // the ONE-SHOT exact all-pairs oracle, verbatim from d02 — that is
+      // the point: the windowed loop must reproduce the batch answer
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
+        ranked AS (
+          SELECT i.doc_id, i.shingle,
+            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
+            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
+          FROM inv i JOIN df d USING (shingle)
+          WHERE d.nd >= 2
+        ),
+        prefix AS (SELECT doc_id, shingle FROM ranked
+                   WHERE rk <= n - CEIL(0.8 * n) + 1),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM prefix a JOIN prefix b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
+          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+          JOIN sets sb ON sb.doc_id = cand.doc_b
+        )
+        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
+        WHERE j >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
     // ---------------------------------------------------------------- d03
     // SimHash near-dup over the same planted corpus (Hamming <= 3 on
     // 64-bit signatures, 16-bit-chunk banding).
