@@ -5041,6 +5041,105 @@ object OpsQueries {
         WHERE c_acctbal >= 0.0 AND c_acctbal <= 9000.0
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---------------------------------------------------------------- st25
+    // STREAMING near-dup ingest loop — d32's windowed equivalence run as
+    // an actual stream: the corpus arrives through the native hadro
+    // source one segment per micro-batch (maxOrdinalsPerTrigger=1), each
+    // foreachBatch probes the persisted LSH index (which starts EMPTY),
+    // appends the verified pairs, and extends the index for the next
+    // batch. The accumulated pair stream must equal the one-shot exact
+    // all-pairs ground truth — the ingestion-time dedup guard a training
+    // pipeline runs continuously, proven batch-equivalent end to end.
+    QueryDef(
+      "st25_streaming_neardup_loop",
+      (s, dir) => withShufflePartitions(s, 8) {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/st25"
+        val baseDir = new java.io.File(base)
+        if (baseDir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(baseDir)
+        }
+        val d = table(s, dir, "documents")
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        val pins = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        val srcPath = s"$base/src"
+        val idx = s"$base/idx"
+        val pairsPath = s"$base/pairs"
+        graft.api.Collection.create(s, srcPath, planted, numSegments = 5)
+        DedupOps.minhashLshIndexBuild(planted.filter(lit(false)),
+          "doc_id", "text", idx)
+        val ckpt = java.nio.file.Files.createTempDirectory("st25_ckpt").toString
+        val q = s.readStream.format("hadro")
+          .option("hadro.maxOrdinalsPerTrigger", "1").load(srcPath)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              DedupOps.minhashLshIndexProbe(s, batch, "doc_id", "text", idx,
+                  mustCheck = Some(pins))
+                .write.format("hadro").mode("append").save(pairsPath)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000),
+          "AvailableNow query must terminate by itself")
+        graft.api.Collection(s, pairsPath).toDF()
+          .withColumn("jaccard", round(col("jaccard"), 3))
+          .orderBy("doc_a", "doc_b")
+      },
+      // the one-shot exact all-pairs oracle (d02/d32): the streaming
+      // loop must reproduce the batch answer
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
+        ranked AS (
+          SELECT i.doc_id, i.shingle,
+            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
+            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
+          FROM inv i JOIN df d USING (shingle)
+          WHERE d.nd >= 2
+        ),
+        prefix AS (SELECT doc_id, shingle FROM ranked
+                   WHERE rk <= n - CEIL(0.8 * n) + 1),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM prefix a JOIN prefix b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
+          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+          JOIN sets sb ON sb.doc_id = cand.doc_b
+        )
+        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
+        WHERE j >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +
     // language gate) applied to a document STREAM — stateless curation
