@@ -415,32 +415,42 @@ object DedupOps {
     val swept = sweepIndexTable(sets, liveIds,
       graft.meta.CollectionMeta.currentManifest(
         java.nio.file.Paths.get(sets.path)))
+    // the bands count (16x the rows for the same docs) is never
+    // consumed — skip its extra materialization pass
     sweepIndexTable(bandsC, liveIds,
       graft.meta.CollectionMeta.currentManifest(
-        java.nio.file.Paths.get(bandsC.path)))
+        java.nio.file.Paths.get(bandsC.path)), countSwept = false)
     swept
   }
 
   /** One-table sweep against an explicitly pinned manifest — the seam
     * the concurrent-extend contract is specified through (an append
-    * committed after `m0` must survive the replace). */
+    * committed after `m0` must survive the replace). With `countSwept`
+    * the swept-row count comes from ONE materialization that also feeds
+    * the write (the sweepSqIndex discipline); the pre-sweep total is
+    * manifest-exact (these collections are insert-only — no tombstones,
+    * no shadowed versions), so no full pre-count scan is needed. */
   private[graft] def sweepIndexTable(idx: graft.api.Collection,
-      liveIds: DataFrame,
-      m0: graft.meta.Manifest): Long = {
+      liveIds: DataFrame, m0: graft.meta.Manifest,
+      countSwept: Boolean = true): Long = {
     val snapshot = idx.scanVersion(m0.version)
-    val before = snapshot.count()
-    // one materialization serves the count AND the write (the
-    // sweepSqIndex discipline: separate evaluations could disagree)
     val kept = snapshot.join(liveIds, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val keptCount = kept.count()
-      kept.write.format("hadro").mode("overwrite")
+    def write(df: DataFrame): Unit =
+      df.write.format("hadro").mode("overwrite")
         .option("hadro.compactOf", m0.version.toString)
         .option("hadro.compactOfGen", m0.generation.toString)
         .save(idx.path)
-      before - keptCount
-    } finally kept.unpersist()
+    if (!countSwept) { write(kept); 0L }
+    else {
+      val before = m0.segments.map(s => s.rows - s.dvDeletes).sum
+      val keptP =
+        kept.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keptCount = keptP.count()
+        write(keptP)
+        before - keptCount
+      } finally keptP.unpersist()
+    }
   }
 
   /** Benchmark decontamination — the training-set hygiene pass: flag every

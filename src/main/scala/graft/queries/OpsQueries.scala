@@ -44,6 +44,67 @@ object OpsQueries {
     s"${prefix}_${System.nanoTime()}"
   }
 
+  /** Recursively delete a fixture directory — queries that MUTATE their
+    * fixture (the LSH index probes extend it) must start each run fresh. */
+  private def freshDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** The shared EXACT all-pairs Jaccard oracle (DuckDB): rank each doc's
+    * shingles rarest-first and block on the length-derived prefix (two
+    * sets with J >= 0.8 MUST share an element in their first
+    * n-ceil(0.8*n)+1 — pigeonhole — so candidate generation is complete),
+    * then exact set Jaccard. One definition serves d02/d30/d31/d32/st25;
+    * callers vary only the corpus CTE and the final pair predicate. */
+  private def exactPairsOracle(docsCte: String, finalWhere: String): String =
+    s"""WITH docs AS ($docsCte),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+          FROM docs
+        ),
+        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
+        ranked AS (
+          SELECT i.doc_id, i.shingle,
+            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
+            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
+          FROM inv i JOIN df d USING (shingle)
+          WHERE d.nd >= 2
+        ),
+        prefix AS (SELECT doc_id, shingle FROM ranked
+                   WHERE rk <= n - CEIL(0.8 * n) + 1),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM prefix a JOIN prefix b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
+          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
+          JOIN sets sb ON sb.doc_id = cand.doc_b
+        )
+        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
+        WHERE $finalWhere
+        ORDER BY doc_a, doc_b"""
+
+  /** The planted near-dup corpus every exact-pairs oracle reads: the
+    * documents table plus a +1M-id near-copy of every %20 doc. `corpusWhere`
+    * restricts the ORIGINAL side (d31 drops takedown victims). */
+  private def plantedDocsCte(corpusWhere: String = "TRUE"): String =
+    s"""SELECT doc_id, text FROM documents WHERE $corpusWhere
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0"""
+
   /** Read schema for streams over the RAW driver events.parquet (symlink
     * staging): `ts` is declared TIMESTAMP_NTZ, which matches ONLY the
     * 2026-08-13 TIMESTAMP(MICROS) testdata generation — streams declare a
@@ -168,45 +229,7 @@ object OpsQueries {
       // blocking is complete, just fast). Matching it proves the LSH path
       // (16 bands x 4 hashes + identical-signature stars) has 100% recall
       // at >= 0.8 on this corpus, not merely plausible rows.
-      Some("""WITH docs AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000, text || ' extraplantedtoken'
-          FROM documents WHERE doc_id % 20 = 0
-        ),
-        sets AS (
-          SELECT doc_id,
-            list_distinct(list_transform(
-              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
-          FROM docs
-        ),
-        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
-        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
-        ranked AS (
-          SELECT i.doc_id, i.shingle,
-            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
-            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
-          FROM inv i JOIN df d USING (shingle)
-          WHERE d.nd >= 2
-        ),
-        prefix AS (SELECT doc_id, shingle FROM ranked
-                   WHERE rk <= n - CEIL(0.8 * n) + 1),
-        cand AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM prefix a JOIN prefix b USING (shingle)
-          WHERE a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        scored AS (
-          SELECT doc_a, doc_b,
-            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
-          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
-          JOIN sets sb ON sb.doc_id = cand.doc_b
-        )
-        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored WHERE j >= 0.8
-        ORDER BY doc_a, doc_b""")),
+      Some(exactPairsOracle(plantedDocsCte(), "j >= 0.8"))),
 
     // ---------------------------------------------------------------- d30
     // INCREMENTAL near-dup — the nightly-ingest twin of d02: the corpus'
@@ -230,13 +253,7 @@ object OpsQueries {
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val idx = s"/tmp/graft_collections/$tag/d30_idx"
         // fresh index per run (bench reps rebuild fixtures)
-        val idxDir = new java.io.File(idx)
-        if (idxDir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(idxDir)
-        }
+        freshDir(idx)
         DedupOps.minhashLshIndexBuild(d, "doc_id", "text", idx)
         // tonight's batch: near-copies of every %20 doc (known pairs are
         // pinned past the probabilistic candidate stage, as in d02)
@@ -256,46 +273,8 @@ object OpsQueries {
           .withColumn("jaccard", round(col("jaccard"), 3))
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH docs AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000, text || ' extraplantedtoken'
-          FROM documents WHERE doc_id % 20 = 0
-        ),
-        sets AS (
-          SELECT doc_id,
-            list_distinct(list_transform(
-              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
-          FROM docs
-        ),
-        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
-        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
-        ranked AS (
-          SELECT i.doc_id, i.shingle,
-            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
-            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
-          FROM inv i JOIN df d USING (shingle)
-          WHERE d.nd >= 2
-        ),
-        prefix AS (SELECT doc_id, shingle FROM ranked
-                   WHERE rk <= n - CEIL(0.8 * n) + 1),
-        cand AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM prefix a JOIN prefix b USING (shingle)
-          WHERE a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        scored AS (
-          SELECT doc_a, doc_b,
-            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
-          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
-          JOIN sets sb ON sb.doc_id = cand.doc_b
-        )
-        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
-        WHERE j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)
-        ORDER BY doc_a, doc_b""")),
+      Some(exactPairsOracle(plantedDocsCte(),
+        "j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)"))),
 
     // ---------------------------------------------------------------- d31
     // DELETE-AWARE incremental near-dup: the d30 probe against an index
@@ -316,13 +295,7 @@ object OpsQueries {
         val d = table(s, dir, "documents")
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val wh = s"/tmp/graft_collections/$tag/d31"
-        val whDir = new java.io.File(wh)
-        if (whDir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(whDir)
-        }
+        freshDir(wh)
         val coll = graft.api.Collection.create(s, s"$wh/docs", d,
           key = Some("doc_id"))
         DedupOps.minhashLshIndexBuild(coll.toDF(), "doc_id", "text",
@@ -343,46 +316,8 @@ object OpsQueries {
           .withColumn("jaccard", round(col("jaccard"), 3))
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH docs AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
-          UNION ALL
-          SELECT doc_id + 1000000, text || ' extraplantedtoken'
-          FROM documents WHERE doc_id % 20 = 0
-        ),
-        sets AS (
-          SELECT doc_id,
-            list_distinct(list_transform(
-              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
-          FROM docs
-        ),
-        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
-        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
-        ranked AS (
-          SELECT i.doc_id, i.shingle,
-            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
-            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
-          FROM inv i JOIN df d USING (shingle)
-          WHERE d.nd >= 2
-        ),
-        prefix AS (SELECT doc_id, shingle FROM ranked
-                   WHERE rk <= n - CEIL(0.8 * n) + 1),
-        cand AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM prefix a JOIN prefix b USING (shingle)
-          WHERE a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        scored AS (
-          SELECT doc_a, doc_b,
-            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
-          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
-          JOIN sets sb ON sb.doc_id = cand.doc_b
-        )
-        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
-        WHERE j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)
-        ORDER BY doc_a, doc_b""")),
+      Some(exactPairsOracle(plantedDocsCte("doc_id % 40 <> 0"),
+        "j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)"))),
 
     // ---------------------------------------------------------------- d32
     // INCREMENTAL LOOP ≡ BATCH: ingest the whole planted corpus through
@@ -403,13 +338,7 @@ object OpsQueries {
         val d = table(s, dir, "documents")
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val idx = s"/tmp/graft_collections/$tag/d32_idx"
-        val idxDir = new java.io.File(idx)
-        if (idxDir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(idxDir)
-        }
+        freshDir(idx)
         val planted = d.unionByName(
           d.filter(col("doc_id") % 20 === 0)
             .withColumn("doc_id", col("doc_id") + 1000000L)
@@ -432,46 +361,7 @@ object OpsQueries {
       },
       // the ONE-SHOT exact all-pairs oracle, verbatim from d02 — that is
       // the point: the windowed loop must reproduce the batch answer
-      Some("""WITH docs AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000, text || ' extraplantedtoken'
-          FROM documents WHERE doc_id % 20 = 0
-        ),
-        sets AS (
-          SELECT doc_id,
-            list_distinct(list_transform(
-              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
-          FROM docs
-        ),
-        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
-        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
-        ranked AS (
-          SELECT i.doc_id, i.shingle,
-            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
-            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
-          FROM inv i JOIN df d USING (shingle)
-          WHERE d.nd >= 2
-        ),
-        prefix AS (SELECT doc_id, shingle FROM ranked
-                   WHERE rk <= n - CEIL(0.8 * n) + 1),
-        cand AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM prefix a JOIN prefix b USING (shingle)
-          WHERE a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        scored AS (
-          SELECT doc_a, doc_b,
-            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
-          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
-          JOIN sets sb ON sb.doc_id = cand.doc_b
-        )
-        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
-        WHERE j >= 0.8
-        ORDER BY doc_a, doc_b""")),
+      Some(exactPairsOracle(plantedDocsCte(), "j >= 0.8"))),
 
     // ---------------------------------------------------------------- d03
     // SimHash near-dup over the same planted corpus (Hamming <= 3 on
@@ -5056,13 +4946,7 @@ object OpsQueries {
         import s.implicits._
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val base = s"/tmp/graft_collections/$tag/st25"
-        val baseDir = new java.io.File(base)
-        if (baseDir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(baseDir)
-        }
+        freshDir(base)
         val d = table(s, dir, "documents")
         val planted = d.unionByName(
           d.filter(col("doc_id") % 20 === 0)
@@ -5099,46 +4983,7 @@ object OpsQueries {
       },
       // the one-shot exact all-pairs oracle (d02/d32): the streaming
       // loop must reproduce the batch answer
-      Some("""WITH docs AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000, text || ' extraplantedtoken'
-          FROM documents WHERE doc_id % 20 = 0
-        ),
-        sets AS (
-          SELECT doc_id,
-            list_distinct(list_transform(
-              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-              i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
-          FROM docs
-        ),
-        inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
-        df AS (SELECT shingle, COUNT(*) AS nd FROM inv GROUP BY shingle),
-        ranked AS (
-          SELECT i.doc_id, i.shingle,
-            ROW_NUMBER() OVER (PARTITION BY i.doc_id ORDER BY d.nd, i.shingle) AS rk,
-            COUNT(*) OVER (PARTITION BY i.doc_id) AS n
-          FROM inv i JOIN df d USING (shingle)
-          WHERE d.nd >= 2
-        ),
-        prefix AS (SELECT doc_id, shingle FROM ranked
-                   WHERE rk <= n - CEIL(0.8 * n) + 1),
-        cand AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM prefix a JOIN prefix b USING (shingle)
-          WHERE a.doc_id < b.doc_id
-          GROUP BY 1, 2
-        ),
-        scored AS (
-          SELECT doc_a, doc_b,
-            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-              / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
-          FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
-          JOIN sets sb ON sb.doc_id = cand.doc_b
-        )
-        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
-        WHERE j >= 0.8
-        ORDER BY doc_a, doc_b""")),
+      Some(exactPairsOracle(plantedDocsCte(), "j >= 0.8"))),
 
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +

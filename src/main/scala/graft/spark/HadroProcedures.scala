@@ -441,7 +441,11 @@ object HadroProcedures {
           "LWW view the Collection API's toDF() serves, completing the " +
           "SQL consumer loop (rollup_* write it, this reads it). The " +
           "view is lazy and fully distributed; only this descriptor row " +
-          "is driver-local",
+          "is driver-local. PINNED to the returned version (a commit " +
+          "between CALL and SELECT must not serve newer data) — manifest " +
+          "retention applies, so re-CALL per consumer cycle rather than " +
+          "caching the view across many commits (or create_tag the " +
+          "version to exempt it from retention)",
         Seq(p("table", StringType), p("view", StringType)),
         new StructType().add("view", StringType)
           .add("version", LongType)) { in =>
