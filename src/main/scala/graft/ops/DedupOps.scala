@@ -143,7 +143,9 @@ object DedupOps {
     * corpus' banded MinHash index ONCE as two HADRO COLLECTIONS under
     * `indexPath`: `bands` (band, band_hash, doc_id) — the inverted
     * banding a probe joins against — and `sets` (doc_id, sig_h,
-    * shingles as 8-byte xxhash64 values) — the verification side. At
+    * payload = shingles as 8-byte xxhash64 values) — the verification
+    * side ([[embeddingIndexBuild]] stores the same layout with the raw
+    * vector as the payload). At
     * 100 TB this is the difference between re-signaturing the corpus
     * every night and signaturing only the night's batch: the index is
     * corpus-sized on DISK but a probe reads it hit-proportionally
@@ -169,7 +171,7 @@ object DedupOps {
       TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
     withSig.select(col("doc_id"), xxhash64(col("sig")).as("sig_h"),
-      transform(col("shingles"), s => xxhash64(s)).as("shingles"))
+      transform(col("shingles"), s => xxhash64(s)).as("payload"))
       .write.format("hadro").mode("overwrite").save(s"$indexPath/sets")
     withSig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -246,12 +248,30 @@ object DedupOps {
       .localCheckpoint()
     val newSets = sigCk.select(col("doc_id"),
       xxhash64(col("sig")).as("sig_h"),
-      transform(col("shingles"), s => xxhash64(s)).as("shingles"))
+      transform(col("shingles"), s => xxhash64(s)).as("payload"))
     val newBands = sigCk.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
           lit(rowsPerBand)), b))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+    indexProbeCore(spark, indexPath, newSets, newBands, maxBandBucket,
+      extendIndex, mustCheck, live, maxIndexFiles,
+      (a, b) => TextOps.jaccard(a, b), "jaccard", threshold)
+  }
+
+  /** The MODALITY-AGNOSTIC probe core shared by [[minhashLshIndexProbe]]
+    * and [[embeddingIndexProbe]]: the caller signatures only the batch
+    * into `newSets` (doc_id, sig_h, payload) and `newBands` (doc_id,
+    * band, band_hash) matching the persisted layout; this runs the
+    * hit-proportional candidate stages, the ≥1-new-side gate, the
+    * optional liveness gate, exact verification via `score` over the
+    * payloads, and the idempotent extension + compaction. */
+  private def indexProbeCore(spark: SparkSession, indexPath: String,
+      newSets: DataFrame, newBands: DataFrame, maxBandBucket: Int,
+      extendIndex: Boolean, mustCheck: Option[DataFrame],
+      live: Option[DataFrame], maxIndexFiles: Int,
+      score: (Column, Column) => Column, scoreName: String,
+      threshold: Double): DataFrame = {
     // index frames pin the CURRENT manifest version: the extension
     // append below cannot leak this batch's rows into its own probe, a
     // retry's fresh probe sees what the crashed attempt committed, and
@@ -347,12 +367,12 @@ object DedupOps {
     val allSets = idxSets.unionByName(newSets)
     val out = checked
       .join(allSets.select(col("doc_id").as("doc_a"),
-        col("shingles").as("sh_a")), Seq("doc_a"))
+        col("payload").as("p_a")), Seq("doc_a"))
       .join(allSets.select(col("doc_id").as("doc_b"),
-        col("shingles").as("sh_b")), Seq("doc_b"))
+        col("payload").as("p_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        score(col("p_a"), col("p_b")).as(scoreName))
+      .filter(col(scoreName) >= threshold)
     if (!extendIndex) out
     else {
       // materialize the pairs BEFORE the index mutates: a consumer
@@ -391,6 +411,83 @@ object DedupOps {
       idx.compactSmall(1L << 30)
       ()
     }
+
+  /** PERSISTED sign-LSH index for INCREMENTAL EMBEDDING near-dup — the
+    * [[minhashLshIndexBuild]] twin for the embedding modality (same
+    * hadro-collection layout and guarantees; [[sweepLshIndex]] and the
+    * probe's maintenance apply unchanged): `sets` (doc_id, sig_h = the
+    * full sign signature, payload = the raw vector for exact cosine
+    * verification) and `bands` (doc_id, band, band_hash). The banding
+    * parameters ride a one-row `params` collection so a probe can never
+    * signature a batch incompatibly with the index it probes. `bits`
+    * fixes the per-band hyperplane count for the index's LIFETIME —
+    * unlike the batch path's corpus-sized default ([[lshBitsFor]]), an
+    * incremental index must band identically forever; size it for the
+    * corpus you expect, not the corpus you start with. */
+  def embeddingIndexBuild(df: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, bits: Int = 12, numBands: Int = 4): Unit = {
+    require(bits * numBands <= 62,
+      s"signature too wide: $numBands bands x $bits bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((bits, numBands)).toDF("bits", "bands")
+      .write.format("hadro").mode("overwrite").save(s"$indexPath/params")
+    val withSig = embeddingSigned(df, idCol, vecCol, bits, numBands)
+    withSig.select(col("doc_id"), col("sig_h"), col("payload"))
+      .write.format("hadro").mode("overwrite").save(s"$indexPath/sets")
+    embeddingBanded(withSig, bits, numBands)
+      .write.format("hadro").mode("overwrite").save(s"$indexPath/bands")
+  }
+
+  private def embeddingSigned(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, numBands: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(vecCol).as("payload"))
+      .withColumn("sig_h",
+        SimilarityOps.signLshSignature(col("payload"), bits * numBands))
+
+  private def embeddingBanded(signed: DataFrame, bits: Int,
+      numBands: Int): DataFrame = {
+    val bandMask = (1L << bits) - 1
+    signed.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => call_function("shiftrightunsigned", col("sig_h"), b * lit(bits))
+          .bitwiseAND(lit(bandMask)))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+  }
+
+  /** INCREMENTAL embedding near-dup: probe a new vector batch against an
+    * [[embeddingIndexBuild]] index — [[minhashLshIndexProbe]]'s
+    * semantics verbatim (≥1-new-side pairs, hit-proportional candidate
+    * stages, `mustCheck` pins, `live` gate, idempotent insert-only
+    * extension, bounded segments) with exact COSINE verification over
+    * the stored vectors; identical-signature stars cover over-cap
+    * identical-DIRECTION clusters exactly as in
+    * [[embeddingNearDupPairs]] (positive scaling preserves every
+    * hyperplane sign). Banding parameters come from the index's own
+    * `params` sidecar. Returns (id_a, id_b, cosine). */
+  def embeddingIndexProbe(spark: SparkSession, newDocs: DataFrame,
+      idCol: String, vecCol: String, indexPath: String,
+      threshold: Double = 0.9, maxBandBucket: Int = 200,
+      extendIndex: Boolean = true,
+      mustCheck: Option[DataFrame] = None,
+      live: Option[DataFrame] = None,
+      maxIndexFiles: Int = 64): DataFrame = {
+    val params = graft.api.Collection(spark, s"$indexPath/params")
+      .toDF().head()
+    val bits = params.getInt(0)
+    val numBands = params.getInt(1)
+    // one sign-LSH pass over the batch (the sigCk discipline)
+    val sigCk = embeddingSigned(newDocs, idCol, vecCol, bits, numBands)
+      .localCheckpoint()
+    val pins = mustCheck.map(_.select(col("id_a").as("doc_a"),
+      col("id_b").as("doc_b")))
+    indexProbeCore(spark, indexPath, sigCk,
+      embeddingBanded(sigCk, bits, numBands), maxBandBucket,
+      extendIndex, pins, live, maxIndexFiles,
+      (a, b) => SimilarityOps.cosine(a, b), "cosine", threshold)
+      .withColumnRenamed("doc_a", "id_a")
+      .withColumnRenamed("doc_b", "id_b")
+  }
 
   /** PHYSICAL sweep of a [[minhashLshIndexBuild]] index — the
     * maintenance complement of the probe's `live` re-validation (the

@@ -363,6 +363,51 @@ object OpsQueries {
       // the point: the windowed loop must reproduce the batch answer
       Some(exactPairsOracle(plantedDocsCte(), "j >= 0.8"))),
 
+    // ---------------------------------------------------------------- d33
+    // INCREMENTAL EMBEDDING near-dup — d30's shape for the embedding
+    // modality: the corpus' sign-LSH index persists as hadro collections
+    // (banding parameters ride a params sidecar so probes can never
+    // signature incompatibly), and a new vector batch probes it through
+    // the same hit-proportional core, verified by exact cosine over the
+    // stored vectors. Only the batch is signatured; new-vs-corpus and
+    // new-vs-new pairs emit; corpus-vs-corpus never re-emits. Oracle =
+    // exact all-pairs cosine (DuckDB list_cosine_similarity) restricted
+    // to new-sided pairs — scaled copies always recall (positive scaling
+    // preserves every hyperplane sign).
+    QueryDef(
+      "d33_incremental_embedding_neardup",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = s"/tmp/graft_collections/$tag/d33_idx"
+        freshDir(idx)
+        DedupOps.embeddingIndexBuild(e, "vec_id", "embedding", idx)
+        // tonight's batch: scaled near-copies of every %25 vector
+        val newBatch = e.filter(col("vec_id") % 25 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L)
+          .withColumn("embedding",
+            transform(col("embedding"), v => (v * lit(1.01f)).cast(FloatType)))
+        // probe-only here (the d30/d31 bench discipline: query time is
+        // the probe; extension is spec'd in OpsSpec)
+        DedupOps.embeddingIndexProbe(s, newBatch, "vec_id", "embedding",
+            idx, extendIndex = false)
+          .withColumn("cosine", round(col("cosine"), 3))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH vecs AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(embedding, v -> CAST(v * CAST(1.01 AS FLOAT) AS FLOAT))
+          FROM embeddings WHERE vec_id % 25 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cosine
+        FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+          AND b.vec_id >= 1000000
+        ORDER BY id_a, id_b""")),
+
     // ---------------------------------------------------------------- d03
     // SimHash near-dup over the same planted corpus (Hamming <= 3 on
     // 64-bit signatures, 16-bit-chunk banding).

@@ -925,6 +925,30 @@ class OpsSpec extends SparkSuite {
       ids.toString)
   }
 
+  test("incremental embedding probe pairs batches against the persisted " +
+      "sign-LSH index, extends it, and reads its banding from the params " +
+      "sidecar") {
+    val idx = java.nio.file.Files.createTempDirectory("embidx").toString + "/i"
+    val u = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val w = Seq.tabulate(8)(i => (8 - i).toFloat) // cos(u, w) ≈ 0.59 < 0.9
+    DedupOps.embeddingIndexBuild(
+      Seq((1L, u), (2L, u.map(_ * 1.01f)), (3L, w)).toDF("vec_id", "emb"),
+      "vec_id", "emb", idx, bits = 8, numBands = 4)
+    def probe(rows: Seq[(Long, Seq[Float])], extend: Boolean = true) =
+      DedupOps.embeddingIndexProbe(spark, rows.toDF("vec_id", "emb"),
+        "vec_id", "emb", idx, extendIndex = extend)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().sorted.toSeq
+    // batch 1: a copy of u — pairs with both corpus near-dups, never
+    // with the distinct-direction vector, and (1,2) does not re-emit
+    assert(probe(Seq((101L, u))) == Seq((1L, 101L), (2L, 101L)))
+    // batch 2 sees batch 1 (the probe extended the index)
+    assert(probe(Seq((201L, u.map(_ * 2f)))) ==
+      Seq((1L, 201L), (2L, 201L), (101L, 201L)))
+    // dry-run leaves the index untouched
+    assert(probe(Seq((301L, w)), extend = false) == Seq((3L, 301L)))
+    assert(probe(Seq((401L, w))) == Seq((3L, 401L)))
+  }
+
   test("LSH index probe never emits an old-old pair, even when mustCheck " +
       "pins one") {
     val idx = java.nio.file.Files.createTempDirectory("lshmc").toString + "/i"
