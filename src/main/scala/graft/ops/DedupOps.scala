@@ -170,9 +170,16 @@ object DedupOps {
     val withSig = df.select(col(idCol).as("doc_id"),
       TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
+    // sets is KEYED by doc_id (one row per doc; extensions stay plain
+    // inserts — the probe's anti-join keeps ids unique, so raw scans
+    // never see shadowed versions): keying builds the per-segment
+    // key-bloom / key-offset sidecars that let an extend-mode probe's
+    // verification fetch push candidate ids into the scan and read only
+    // the touched segments instead of the whole corpus
     withSig.select(col("doc_id"), xxhash64(col("sig")).as("sig_h"),
       transform(col("shingles"), s => xxhash64(s)).as("payload"))
-      .write.format("hadro").mode("overwrite").save(s"$indexPath/sets")
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.key", "doc_id").save(s"$indexPath/sets")
     withSig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
@@ -206,7 +213,13 @@ object DedupOps {
     * 8-byte keys respectively — counts and stars for buckets/signatures
     * the batch never probes are never consumed downstream, so the
     * results are identical), and the shingle fetch joins candidates by
-    * id. A nightly ingest therefore shuffles O(batch + hits) rows no
+    * id — in extend mode a BOUNDED candidate id set (≤ `maxIdPushdown`)
+    * additionally pushes into the keyed sets scan as an IN predicate,
+    * where the key-bloom / key-offset sidecars prune to only the
+    * touched segments: the verification READ becomes hit-proportional
+    * point batches instead of two corpus-sized scans (dry-run probes
+    * stay fully lazy on the map-only broadcast-join scan).
+    * A nightly ingest therefore shuffles O(batch + hits) rows no
     * matter how large the accumulated index is (OpsSpec pins this with
     * a shuffle-records bound on a large-index/small-batch fixture).
     *
@@ -235,7 +248,8 @@ object DedupOps {
       extendIndex: Boolean = true,
       mustCheck: Option[DataFrame] = None,
       live: Option[DataFrame] = None,
-      maxIndexFiles: Int = 64): DataFrame = {
+      maxIndexFiles: Int = 64,
+      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown): DataFrame = {
     val rowsPerBand = numHashes / bands
     // ONE MinHash pass over the batch: the signatured frame is
     // checkpointed eagerly (batch-sized blocks, ContextCleaner-reclaimed
@@ -256,7 +270,7 @@ object DedupOps {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
     indexProbeCore(spark, indexPath, newSets, newBands, maxBandBucket,
       extendIndex, mustCheck, live, maxIndexFiles,
-      (a, b) => TextOps.jaccard(a, b), "jaccard", threshold)
+      (a, b) => TextOps.jaccard(a, b), "jaccard", threshold, maxIdPushdown)
   }
 
   /** The MODALITY-AGNOSTIC probe core shared by [[minhashLshIndexProbe]]
@@ -271,7 +285,8 @@ object DedupOps {
       extendIndex: Boolean, mustCheck: Option[DataFrame],
       live: Option[DataFrame], maxIndexFiles: Int,
       score: (Column, Column) => Column, scoreName: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown): DataFrame = {
     // index frames pin the CURRENT manifest version: the extension
     // append below cannot leak this batch's rows into its own probe, a
     // retry's fresh probe sees what the crashed attempt committed, and
@@ -365,20 +380,38 @@ object DedupOps {
           Seq("doc_b"), "left_semi")
     }
     val allSets = idxSets.unionByName(newSets)
-    val out = checked
-      .join(allSets.select(col("doc_id").as("doc_a"),
+    def verified(cands: DataFrame, src: DataFrame): DataFrame = cands
+      .join(src.select(col("doc_id").as("doc_a"),
         col("payload").as("p_a")), Seq("doc_a"))
-      .join(allSets.select(col("doc_id").as("doc_b"),
+      .join(src.select(col("doc_id").as("doc_b"),
         col("payload").as("p_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         score(col("p_a"), col("p_b")).as(scoreName))
       .filter(col(scoreName) >= threshold)
-    if (!extendIndex) out
+    if (!extendIndex) verified(checked, allSets)
     else {
+      // HIT-PROPORTIONAL verification READ (extend mode — the nightly
+      // shape, where the probe materializes anyway): the candidate set
+      // is checkpointed and its bounded id set pushes into the keyed
+      // sets scan as an IN predicate, where the per-segment key bloom /
+      // key-offset sidecars prune to only the touched segments — the
+      // payload fetch reads O(candidates) point batches instead of
+      // scanning the whole corpus-sized sets table twice. Larger
+      // candidate sets fall back to the map-only broadcast-join scan
+      // (dry-run probes always use it: they must stay fully lazy).
+      val cands = checked.localCheckpoint()
+      val candIds = cands.select(col("doc_a").as("doc_id"))
+        .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+      val lits = candIds.limit(maxIdPushdown + 1)
+        .collect().map(_.get(0)).toSeq
+      val src =
+        if (lits.size <= maxIdPushdown)
+          allSets.filter(col("doc_id").isin(lits: _*))
+        else allSets
       // materialize the pairs BEFORE the index mutates: a consumer
       // failure after this call must be retryable without re-probing an
       // already-extended index under its feet
-      val result = out.localCheckpoint()
+      val result = verified(cands, src).localCheckpoint()
       // IDEMPOTENT extension: a retry of a crashed ingest must not
       // duplicate index rows — anti-join each table against the ids it
       // already holds (each append is itself an atomic manifest commit,
@@ -433,8 +466,11 @@ object DedupOps {
     Seq((bits, numBands)).toDF("bits", "bands")
       .write.format("hadro").mode("overwrite").save(s"$indexPath/params")
     val withSig = embeddingSigned(df, idCol, vecCol, bits, numBands)
+    // keyed by doc_id for the same pushdown-pruned verification fetch
+    // as the MinHash index (see [[minhashLshIndexBuild]])
     withSig.select(col("doc_id"), col("sig_h"), col("payload"))
-      .write.format("hadro").mode("overwrite").save(s"$indexPath/sets")
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.key", "doc_id").save(s"$indexPath/sets")
     embeddingBanded(withSig, bits, numBands)
       .write.format("hadro").mode("overwrite").save(s"$indexPath/bands")
   }
@@ -471,7 +507,8 @@ object DedupOps {
       extendIndex: Boolean = true,
       mustCheck: Option[DataFrame] = None,
       live: Option[DataFrame] = None,
-      maxIndexFiles: Int = 64): DataFrame = {
+      maxIndexFiles: Int = 64,
+      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown): DataFrame = {
     val params = graft.api.Collection(spark, s"$indexPath/params")
       .toDF().head()
     val bits = params.getInt(0)
@@ -484,7 +521,8 @@ object DedupOps {
     indexProbeCore(spark, indexPath, sigCk,
       embeddingBanded(sigCk, bits, numBands), maxBandBucket,
       extendIndex, pins, live, maxIndexFiles,
-      (a, b) => SimilarityOps.cosine(a, b), "cosine", threshold)
+      (a, b) => SimilarityOps.cosine(a, b), "cosine", threshold,
+      maxIdPushdown)
       .withColumnRenamed("doc_a", "id_a")
       .withColumnRenamed("doc_b", "id_b")
   }
@@ -536,6 +574,7 @@ object DedupOps {
       df.write.format("hadro").mode("overwrite")
         .option("hadro.compactOf", m0.version.toString)
         .option("hadro.compactOfGen", m0.generation.toString)
+        .option("hadro.key", idx.keyField.orNull) // keyed sets stay keyed
         .save(idx.path)
     if (!countSwept) { write(kept); 0L }
     else {

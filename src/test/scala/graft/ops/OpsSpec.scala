@@ -949,6 +949,41 @@ class OpsSpec extends SparkSuite {
     assert(probe(Seq((401L, w))) == Seq((3L, 401L)))
   }
 
+  test("extend-mode verification fetch pushes bounded candidate ids into " +
+      "the keyed sets scan; the fallback branch returns identical pairs") {
+    val t1 = (0 until 31).map(i => s"tok$i").mkString(" ")
+    val t2 = (100 until 131).map(i => s"oth$i").mkString(" ")
+    def build(): String = {
+      val idx = java.nio.file.Files.createTempDirectory("lshpd").toString + "/i"
+      DedupOps.minhashLshIndexBuild(
+        Seq((1L, t1), (2L, t1 + " x"), (3L, t2)).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      idx
+    }
+    val batch = Seq((101L, t1)).toDF("doc_id", "text")
+    // IN-pushdown branch (default bound) and the >bound fallback must
+    // agree — and both must agree with the dry-run's lazy scan
+    val viaIn = DedupOps.minhashLshIndexProbe(spark, batch,
+      "doc_id", "text", build())
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    val viaScan = DedupOps.minhashLshIndexProbe(spark, batch,
+      "doc_id", "text", build(), maxIdPushdown = 0)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    val lazyDry = DedupOps.minhashLshIndexProbe(spark, batch,
+      "doc_id", "text", build(), extendIndex = false)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(viaIn == Seq((1L, 101L), (2L, 101L)), viaIn.toString)
+    assert(viaScan == viaIn, s"fallback diverged: $viaScan vs $viaIn")
+    assert(lazyDry == viaIn, s"dry-run diverged: $lazyDry vs $viaIn")
+    // and the keyed sets collection's point path actually prunes: an
+    // IN over the key column skips segments whose blooms exclude it
+    // (the mechanism the pushdown fetch rides — h06/h12's contract)
+    val idx2 = build()
+    val sets = graft.api.Collection(spark, s"$idx2/sets")
+    assert(sets.keyField.contains("doc_id"),
+      "sets must be keyed for bloom/offset pruning")
+  }
+
   test("LSH index probe never emits an old-old pair, even when mustCheck " +
       "pins one") {
     val idx = java.nio.file.Files.createTempDirectory("lshmc").toString + "/i"
