@@ -102,12 +102,11 @@ final class Collection private (spark: SparkSession, val path: String) {
       .localCheckpoint()
     // bounded probe (window-proportional input, ≤ MaxKeyPushdown+1 rows
     // collected): literal keys turn the restriction into scan pushdown
-    val lits = keys.limit(Collection.MaxKeyPushdown + 1)
-      .collect().map(_.get(0)).toSeq
-    def restrict(df: DataFrame): DataFrame =
-      if (lits.size <= Collection.MaxKeyPushdown)
-        df.filter(col(k).isin(lits: _*))
-      else df.join(keys, Seq(k), "left_semi")
+    val lits = Collection.boundedKeyLits(keys, Collection.MaxKeyPushdown)
+    def restrict(df: DataFrame): DataFrame = lits match {
+      case Some(vs) => df.filter(col(k).isin(vs: _*))
+      case None => df.join(keys, Seq(k), "left_semi")
+    }
     if (!manifest.mutated) restrict(scanVersion(version))
     else {
       // metadata columns pinned BEFORE the semi join (they resolve only
@@ -1795,6 +1794,18 @@ object Collection {
     * per-segment × per-value — bounded keeps planning cheap); larger
     * sets restrict via a semi join below the LWW window instead. */
   private[graft] val MaxKeyPushdown: Int = 1000
+
+  /** The bounded-probe idiom shared by [[Collection.resolvedAsOf]],
+    * [[IncrementalRollup]] and the dedup index probes: collect up to
+    * `max`+1 values of a ONE-COLUMN frame — `Some(values)` when the set
+    * is bounded (callers turn them into IN-predicate scan pushdown; the
+    * seq may contain nulls, null handling stays with the caller),
+    * `None` when it exceeds the bound (callers fall back to a join). */
+  private[graft] def boundedKeyLits(df: org.apache.spark.sql.DataFrame,
+      max: Int): Option[Seq[Any]] = {
+    val lits = df.limit(max + 1).collect().map(_.get(0)).toSeq
+    if (lits.size <= max) Some(lits) else None
+  }
 
   /** The promotions [[Collection.widenColumn]] accepts: every value the
     * old type can hold is exactly representable in the new one. */

@@ -326,17 +326,18 @@ object IncrementalRollup {
         .option("hadro.changesEnd", head.toString).load(factPath)
         .select(col(groupCol).as("g"))
     }).distinct().localCheckpoint()
-    val lits = touched.limit(Collection.MaxKeyPushdown + 1)
-      .collect().map(_.get(0)).toSeq
-    def restrictGroups(df: org.apache.spark.sql.DataFrame) =
-      if (lits.size <= Collection.MaxKeyPushdown) {
-        val nonNull = lits.filter(_ != null)
+    val lits = Collection.boundedKeyLits(touched, Collection.MaxKeyPushdown)
+    def restrictGroups(df: org.apache.spark.sql.DataFrame) = lits match {
+      case Some(vs) =>
+        val nonNull = vs.filter(_ != null)
         val in =
           if (nonNull.isEmpty) lit(false)
           else col(groupCol).isin(nonNull: _*)
         df.filter(
-          if (lits.exists(_ == null)) col(groupCol).isNull || in else in)
-      } else df.join(touched, df(groupCol) <=> touched("g"), "left_semi")
+          if (vs.exists(_ == null)) col(groupCol).isNull || in else in)
+      case None =>
+        df.join(touched, df(groupCol) <=> touched("g"), "left_semi")
+    }
     val restricted = fact.keyField match {
       case Some(k) =>
         val touchedKeys = restrictGroups(fact.scanVersion(head))

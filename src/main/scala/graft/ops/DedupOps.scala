@@ -285,8 +285,7 @@ object DedupOps {
       extendIndex: Boolean, mustCheck: Option[DataFrame],
       live: Option[DataFrame], maxIndexFiles: Int,
       score: (Column, Column) => Column, scoreName: String,
-      threshold: Double,
-      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown): DataFrame = {
+      threshold: Double, maxIdPushdown: Int): DataFrame = {
     // index frames pin the CURRENT manifest version: the extension
     // append below cannot leak this batch's rows into its own probe, a
     // retry's fresh probe sees what the crashed attempt committed, and
@@ -296,6 +295,16 @@ object DedupOps {
     val bandsColl = graft.api.Collection(spark, s"$indexPath/bands")
     val idxSets = setsColl.scanVersion(setsColl.version)
     val idxBands = bandsColl.scanVersion(bandsColl.version)
+    // fail a pre-upgrade index LOUDLY instead of with an unresolved
+    // column mid-plan: the current layout stores the verification
+    // payload under 'payload' in a doc_id-KEYED collection — an index
+    // built by an earlier version cannot be probed or overwritten in
+    // place (the stored schema pins field names); delete the index
+    // directory and rebuild
+    require(idxSets.columns.contains("payload"),
+      s"hadro: $indexPath/sets uses a pre-upgrade index layout " +
+        s"(columns: ${idxSets.columns.mkString(", ")}) — delete the " +
+        "index directory and rebuild it with the current build verb")
     // HIT-PROPORTIONAL bucket counts: only buckets the batch probes can
     // gate candidates, so restrict the index side to the batch's bucket
     // set BEFORE the groupBy — a broadcast semi-join keeps the index
@@ -402,12 +411,8 @@ object DedupOps {
       val cands = checked.localCheckpoint()
       val candIds = cands.select(col("doc_a").as("doc_id"))
         .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-      val lits = candIds.limit(maxIdPushdown + 1)
-        .collect().map(_.get(0)).toSeq
-      val src =
-        if (lits.size <= maxIdPushdown)
-          allSets.filter(col("doc_id").isin(lits: _*))
-        else allSets
+      val src = graft.api.Collection.boundedKeyLits(candIds, maxIdPushdown)
+        .fold(allSets)(vs => allSets.filter(col("doc_id").isin(vs: _*)))
       // materialize the pairs BEFORE the index mutates: a consumer
       // failure after this call must be retryable without re-probing an
       // already-extended index under its feet
