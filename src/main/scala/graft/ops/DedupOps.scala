@@ -159,10 +159,11 @@ object DedupOps {
     * files deferred GC protects from a concurrent compaction or sweep,
     * and [[sweepLshIndex]] rides the version-pinned replace protocol
     * that preserves appends landing mid-sweep (the `sweepSqIndex` /
-    * compact() shape). Entries are INSERT-ONLY BY doc_id: re-ingesting
-    * an id with changed text does NOT update its signature (same
-    * contract as `appendSqIndex` — rebuild or sweep+re-add under a new
-    * id when content mutates in place). */
+    * compact() shape). Entries are MUTATION-AWARE BY doc_id:
+    * re-ingesting an id with changed text through the probe replaces
+    * its stored signature (stale rows are deletion-vector-masked, new
+    * rows appended — see [[minhashLshIndexProbe]]), the re-crawl shape
+    * a live pipeline hits constantly; unchanged retries stay no-ops. */
   def minhashLshIndexBuild(df: DataFrame, idCol: String, textCol: String,
       indexPath: String, shingleK: Int = 3, numHashes: Int = 64,
       bands: Int = 16): Unit = {
@@ -233,14 +234,42 @@ object DedupOps {
     * accumulates; `live` covers the gap between sweeps exactly.
     *
     * With `extendIndex` the returned pairs are materialized (eager
-    * localCheckpoint) BEFORE the index mutates, the appends are
-    * IDEMPOTENT (doc ids already present are anti-joined away, so a
-    * retried ingest cannot multiply index rows — and therefore
-    * INSERT-ONLY BY doc_id: a re-ingested id with changed text keeps
-    * its original signature, see [[minhashLshIndexBuild]]), and the
-    * index collections bin-pack their small segments once the count
-    * exceeds `maxIndexFiles` — an atomic replace commit whose old files
-    * deferred GC keeps readable for concurrently pinned probes. */
+    * localCheckpoint) BEFORE the index mutates, and the extension is
+    * MUTATION-AWARE and IDEMPOTENT: per table, batch ids divide into
+    * ABSENT (plain insert), UNCHANGED (stored signature matches — the
+    * crash-retry case, a no-op, so a retried ingest cannot multiply
+    * index rows) and CHANGED (a re-crawled id whose content moved: the
+    * stale rows are deletion-vector-masked, then the new rows appended,
+    * so the doc probes and pairs under its CURRENT text and its stale
+    * pairs stop emitting). The probe itself anti-joins the pinned index
+    * frames by the batch's broadcast id set, so a batch doc — retried
+    * or re-crawled — is ALWAYS scored under tonight's signature alone
+    * (a retried probe reproduces the original run exactly). The index
+    * collections bin-pack their small segments once the count exceeds
+    * `maxIndexFiles` — an atomic replace commit whose old files
+    * deferred GC keeps readable for concurrently pinned probes.
+    *
+    * CONCURRENCY CONTRACT: mutating ingests (extendIndex) SERIALIZE —
+    * the probe holds a per-index ingest lease (JVM monitor + cross-
+    * process file lock on `indexPath/ingest.lock`) across pin → probe →
+    * extend, because two batches racing unfenced each pin a version
+    * that excludes the other's uncommitted extend and MISS their A×B
+    * cross pairs (spec'd in OpsSpec); serialized, the d32 loop≡batch
+    * composition applies to any interleaving, so concurrent callers
+    * jointly enumerate exactly the one-shot batch pairs. A crashed
+    * mutating ingest must be RETRIED (idempotent) before later windows
+    * probe, so a half-landed mutation never ages. `serializeIngest =
+    * false` opts out for callers with an external single-writer
+    * guarantee. Dry-run probes never take the lease: pinned manifest
+    * versions plus deferred GC keep them consistent under any
+    * concurrent extend/sweep.
+    *
+    * `eagerVerify` (dry-run only): trade the probe's laziness for the
+    * extend-mode bounded verification fetch — candidates checkpoint
+    * eagerly and the payload read becomes IN-pushdown point batches on
+    * the keyed sets collection instead of two lazy corpus-sized
+    * map-only scans. For operators running repeated dry-run audits
+    * against a large index; results are identical (spec-asserted). */
   def minhashLshIndexProbe(spark: SparkSession, newDocs: DataFrame,
       idCol: String, textCol: String, indexPath: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -249,7 +278,9 @@ object DedupOps {
       mustCheck: Option[DataFrame] = None,
       live: Option[DataFrame] = None,
       maxIndexFiles: Int = 64,
-      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown): DataFrame = {
+      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
+      eagerVerify: Boolean = false,
+      serializeIngest: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     // ONE MinHash pass over the batch: the signatured frame is
     // checkpointed eagerly (batch-sized blocks, ContextCleaner-reclaimed
@@ -270,7 +301,8 @@ object DedupOps {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
     indexProbeCore(spark, indexPath, newSets, newBands, maxBandBucket,
       extendIndex, mustCheck, live, maxIndexFiles,
-      (a, b) => TextOps.jaccard(a, b), "jaccard", threshold, maxIdPushdown)
+      (a, b) => TextOps.jaccard(a, b), "jaccard", threshold, maxIdPushdown,
+      eagerVerify, serializeIngest)
   }
 
   /** The MODALITY-AGNOSTIC probe core shared by [[minhashLshIndexProbe]]
@@ -280,19 +312,75 @@ object DedupOps {
     * hit-proportional candidate stages, the ≥1-new-side gate, the
     * optional liveness gate, exact verification via `score` over the
     * payloads, and the idempotent extension + compaction. */
+  /** Open one index table with a LOUD diagnostic when the directory is
+    * not a hadro collection: an index built by a pre-upgrade version
+    * stored bare parquet directories, and the generic not-a-collection
+    * error never surfaced the rebuild guidance. */
+  private def indexCollection(spark: SparkSession, indexPath: String,
+      tableName: String): graft.api.Collection = {
+    val p = s"$indexPath/$tableName"
+    val dir = java.nio.file.Paths.get(p)
+    if (!java.nio.file.Files.isDirectory(dir)) throw new IllegalArgumentException(
+      s"hadro: no LSH index table at $p — run the index build verb first")
+    val ok =
+      try graft.meta.CollectionMeta.readSchema(dir).isDefined
+      catch { case _: Exception => false }
+    if (!ok) throw new IllegalArgumentException(
+      s"hadro: $p is not a hadro collection — an index built by a " +
+        "pre-upgrade version stored bare parquet directories, which this " +
+        "version cannot probe or extend in place; delete the index " +
+        "directory and rebuild it with the current build verb")
+    graft.api.Collection(spark, p)
+  }
+
+  /** Per-index JVM monitors backing [[withIngestLease]] (the
+    * [[AdmissionBloomWriteLock]] discipline: a JVM-wide monitor per
+    * lock path complements the cross-process file lock, which throws
+    * OverlappingFileLockException instead of blocking when two threads
+    * of ONE JVM contend). */
+  private val IngestLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize mutating ingests on one index: JVM monitor + cross-
+    * process file lock on `indexPath/ingest.lock`, held across
+    * pin → probe → extend. See [[minhashLshIndexProbe]]'s concurrency
+    * contract. */
+  private def withIngestLease[T](indexPath: String, enabled: Boolean)(
+      body: => T): T =
+    if (!enabled) body
+    else {
+      val canon = java.nio.file.Paths.get(indexPath)
+        .toAbsolutePath.normalize
+      val mon = IngestLeases.computeIfAbsent(canon.toString, _ => new Object)
+      mon.synchronized {
+        java.nio.file.Files.createDirectories(canon)
+        val ch = java.nio.channels.FileChannel.open(
+          canon.resolve("ingest.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try body finally lock.release()
+        } finally ch.close()
+      }
+    }
+
   private def indexProbeCore(spark: SparkSession, indexPath: String,
       newSets: DataFrame, newBands: DataFrame, maxBandBucket: Int,
       extendIndex: Boolean, mustCheck: Option[DataFrame],
       live: Option[DataFrame], maxIndexFiles: Int,
       score: (Column, Column) => Column, scoreName: String,
-      threshold: Double, maxIdPushdown: Int): DataFrame = {
+      threshold: Double, maxIdPushdown: Int,
+      eagerVerify: Boolean,
+      serializeIngest: Boolean): DataFrame =
+      withIngestLease(indexPath, enabled = extendIndex && serializeIngest) {
     // index frames pin the CURRENT manifest version: the extension
     // append below cannot leak this batch's rows into its own probe, a
     // retry's fresh probe sees what the crashed attempt committed, and
     // deferred GC keeps a concurrent sweep/compaction from deleting the
     // pinned version's files mid-read
-    val setsColl = graft.api.Collection(spark, s"$indexPath/sets")
-    val bandsColl = graft.api.Collection(spark, s"$indexPath/bands")
+    val setsColl = indexCollection(spark, indexPath, "sets")
+    val bandsColl = indexCollection(spark, indexPath, "bands")
     val idxSets = setsColl.scanVersion(setsColl.version)
     val idxBands = bandsColl.scanVersion(bandsColl.version)
     // fail a pre-upgrade index LOUDLY instead of with an unresolved
@@ -305,6 +393,17 @@ object DedupOps {
       s"hadro: $indexPath/sets uses a pre-upgrade index layout " +
         s"(columns: ${idxSets.columns.mkString(", ")}) — delete the " +
         "index directory and rebuild it with the current build verb")
+    // A batch id already present in the index — a crash-retry, or a
+    // re-crawl whose content changed — must probe under its BATCH
+    // signature ALONE: anti-join the pinned frames by the batch's
+    // broadcast id set (the read-side twin of the extension's
+    // present-id split below), so a retried probe reproduces the
+    // original run instead of pairing every batch doc against its own
+    // stored copy 2-4x, and a changed doc never scores under its stale
+    // signature. Map-only: a broadcast hash anti-join on the scans.
+    val newIds = newSets.select(col("doc_id"))
+    val idxSetsCur = idxSets.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+    val idxBandsCur = idxBands.join(broadcast(newIds), Seq("doc_id"), "left_anti")
     // HIT-PROPORTIONAL bucket counts: only buckets the batch probes can
     // gate candidates, so restrict the index side to the batch's bucket
     // set BEFORE the groupBy — a broadcast semi-join keeps the index
@@ -312,7 +411,7 @@ object DedupOps {
     // every band row the corpus ever wrote. Counts for surviving
     // buckets are computed over index ∪ batch, exactly as before.
     val batchBuckets = newBands.select(col("band"), col("band_hash")).distinct()
-    val probedBands = idxBands
+    val probedBands = idxBandsCur
       .join(broadcast(batchBuckets), Seq("band", "band_hash"), "left_semi")
       .unionByName(newBands)
     val usable = probedBands.groupBy(col("band"), col("band_hash"))
@@ -335,7 +434,7 @@ object DedupOps {
     // be "gained", so the index side semi-joins the batch's broadcast
     // sig_h set before the grouping — identical stars, O(batch) shuffle.
     val batchSigs = newSets.select(col("sig_h")).distinct()
-    val sigAll = idxSets.select(col("doc_id"), col("sig_h"))
+    val sigAll = idxSetsCur.select(col("doc_id"), col("sig_h"))
       .join(broadcast(batchSigs), Seq("sig_h"), "left_semi")
       .withColumn("is_new", lit(false))
       .unionByName(newSets.select(col("doc_id"), col("sig_h"),
@@ -356,7 +455,6 @@ object DedupOps {
       .foldLeft(bandCandidates.unionByName(sigStars))(_ unionByName _)
       .distinct()
     // ≥1-new-side restriction (stars/pins may carry old-old pairs)
-    val newIds = newSets.select(col("doc_id"))
     val restricted = candidates
       .join(newIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
         "left_semi")
@@ -388,7 +486,7 @@ object DedupOps {
         .join(broadcast(ok.withColumnRenamed("doc_id", "doc_b")),
           Seq("doc_b"), "left_semi")
     }
-    val allSets = idxSets.unionByName(newSets)
+    val allSets = idxSetsCur.unionByName(newSets)
     def verified(cands: DataFrame, src: DataFrame): DataFrame = cands
       .join(src.select(col("doc_id").as("doc_a"),
         col("payload").as("p_a")), Seq("doc_a"))
@@ -397,48 +495,94 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         score(col("p_a"), col("p_b")).as(scoreName))
       .filter(col(scoreName) >= threshold)
-    if (!extendIndex) verified(checked, allSets)
+    if (!extendIndex && !eagerVerify) verified(checked, allSets)
     else {
       // HIT-PROPORTIONAL verification READ (extend mode — the nightly
-      // shape, where the probe materializes anyway): the candidate set
-      // is checkpointed and its bounded id set pushes into the keyed
-      // sets scan as an IN predicate, where the per-segment key bloom /
-      // key-offset sidecars prune to only the touched segments — the
-      // payload fetch reads O(candidates) point batches instead of
-      // scanning the whole corpus-sized sets table twice. Larger
-      // candidate sets fall back to the map-only broadcast-join scan
-      // (dry-run probes always use it: they must stay fully lazy).
+      // shape, where the probe materializes anyway — and eagerVerify
+      // dry-runs): the candidate set is checkpointed and its bounded id
+      // set pushes into the keyed sets scan as an IN predicate, where
+      // the per-segment key bloom / key-offset sidecars prune to only
+      // the touched segments — the payload fetch reads O(candidates)
+      // point batches instead of scanning the whole corpus-sized sets
+      // table twice. Larger candidate sets fall back to the map-only
+      // broadcast-join scan (default dry-run probes always use it:
+      // they must stay fully lazy).
       val cands = checked.localCheckpoint()
       val candIds = cands.select(col("doc_a").as("doc_id"))
         .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
       val src = graft.api.Collection.boundedKeyLits(candIds, maxIdPushdown)
         .fold(allSets)(vs => allSets.filter(col("doc_id").isin(vs: _*)))
+      if (!extendIndex) verified(cands, src)
+      else {
       // materialize the pairs BEFORE the index mutates: a consumer
       // failure after this call must be retryable without re-probing an
       // already-extended index under its feet
       val result = verified(cands, src).localCheckpoint()
-      // IDEMPOTENT extension: a retry of a crashed ingest must not
-      // duplicate index rows — anti-join each table against the ids it
-      // already holds (each append is itself an atomic manifest commit,
-      // so the only partial state a crash can leave is "sets landed,
-      // bands did not", which the per-table anti-join heals). The
-      // present-id probes are map-only index scans against the batch's
-      // broadcast id set; their results are retry-sized (normally 0).
-      def newOnly(rows: DataFrame, idx: DataFrame): DataFrame = {
-        val present = idx.select(col("doc_id"))
-          .join(broadcast(newIds), Seq("doc_id"), "left_semi").distinct()
-        rows.join(broadcast(present), Seq("doc_id"), "left_anti")
+      // MUTATION-AWARE, IDEMPOTENT extension: per table, batch ids
+      // divide into ABSENT (plain insert), UNCHANGED (stored rows match
+      // tonight's — the crash-retry case, a no-op) and CHANGED (a
+      // re-crawled id whose content moved: deletion-vector-mask the
+      // stale rows, then append the new ones — DVs hide exact physical
+      // rows at scan time map-only and never flip the `mutated` flag,
+      // so raw index scans stay resolve-free). Change detection is per
+      // TABLE so a crash between the sets and bands commits heals on
+      // retry (whichever table lagged still sees its own mismatch);
+      // within a table the DV delete commits BEFORE the append, so no
+      // committed state ever shows two live row-sets for one id. Every
+      // detection frame is hit-proportional: the index side semi-joins
+      // the batch's broadcast id set map-only, so the split shuffles
+      // O(batch) rows and the DV deletes carry a batch-bounded IN
+      // (key-bloom-pruned on the keyed sets; min/max-segment-pruned on
+      // bands, where a nightly batch's ids cluster in recent segments).
+      val extendTable = (tbl: graft.api.Collection, rows: DataFrame,
+          state: DataFrame) => {
+        // state: (doc_id, same) for PRESENT batch ids — tiny (≤ batch)
+        val st = state.localCheckpoint()
+        val changedIds = st.filter(!col("same")).select(col("doc_id"))
+          .collect().map(_.get(0)).toSeq
+        if (changedIds.nonEmpty)
+          graft.spark.HadroDeleteSupport.dvDeleteWhere(
+            java.nio.file.Paths.get(tbl.path),
+            col("doc_id").isInCollection(changedIds))
+        val unchanged = st.filter(col("same")).select(col("doc_id"))
+        rows.join(broadcast(unchanged), Seq("doc_id"), "left_anti")
+          .write.format("hadro").mode("append").save(tbl.path)
       }
-      newOnly(newSets, idxSets).write.format("hadro").mode("append")
-        .save(s"$indexPath/sets")
-      newOnly(newBands, idxBands).write.format("hadro").mode("append")
-        .save(s"$indexPath/bands")
+      // sets: one row per id — unchanged iff sig_h and the payload
+      // fingerprint both match (xxhash64 over the stored payload, an
+      // exact content check modulo 2^-64 — near-identical texts CAN
+      // share a full MinHash signature, so sig_h alone under-detects)
+      val setsState = idxSets
+        .select(col("doc_id"), col("sig_h"), xxhash64(col("payload")).as("fp"))
+        .join(broadcast(newSets.select(col("doc_id"),
+          col("sig_h").as("nsig"), xxhash64(col("payload")).as("nfp"))),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("sig_h") === col("nsig") && col("fp") === col("nfp")).as("same"))
+      extendTable(setsColl, newSets, setsState)
+      // bands: `bands` rows per id — unchanged iff every (band,
+      // band_hash) row matches; the full join also catches a crash that
+      // left partial band rows (either side null => changed)
+      val idxBandsBatch = idxBands
+        .join(broadcast(newIds), Seq("doc_id"), "left_semi")
+      val bandsPresent = idxBandsBatch.select(col("doc_id")).distinct()
+      val bandsState = idxBandsBatch
+        .select(col("doc_id"), col("band"), col("band_hash").as("oh"))
+        .join(newBands.join(broadcast(bandsPresent), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("band"), col("band_hash").as("nh")),
+          Seq("doc_id", "band"), "full")
+        .groupBy(col("doc_id"))
+        .agg(max(col("oh").isNull || col("nh").isNull ||
+          col("oh") =!= col("nh")).as("diff"))
+        .select(col("doc_id"), (!col("diff")).as("same"))
+      extendTable(bandsColl, newBands, bandsState)
       // bounded small segments: nightly appends add a few per ingest
       // forever — bin-pack (atomic replace commit, reader-safe via
       // deferred GC) once the count crosses the threshold
       maybeCompactIndex(setsColl, maxIndexFiles)
       maybeCompactIndex(bandsColl, maxIndexFiles)
       result
+      }
     }
   }
 
@@ -499,8 +643,9 @@ object DedupOps {
   /** INCREMENTAL embedding near-dup: probe a new vector batch against an
     * [[embeddingIndexBuild]] index — [[minhashLshIndexProbe]]'s
     * semantics verbatim (≥1-new-side pairs, hit-proportional candidate
-    * stages, `mustCheck` pins, `live` gate, idempotent insert-only
-    * extension, bounded segments) with exact COSINE verification over
+    * stages, `mustCheck` pins, `live` gate, mutation-aware idempotent
+    * extension, ingest lease, bounded segments) with exact COSINE
+    * verification over
     * the stored vectors; identical-signature stars cover over-cap
     * identical-DIRECTION clusters exactly as in
     * [[embeddingNearDupPairs]] (positive scaling preserves every
@@ -513,9 +658,10 @@ object DedupOps {
       mustCheck: Option[DataFrame] = None,
       live: Option[DataFrame] = None,
       maxIndexFiles: Int = 64,
-      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown): DataFrame = {
-    val params = graft.api.Collection(spark, s"$indexPath/params")
-      .toDF().head()
+      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
+      eagerVerify: Boolean = false,
+      serializeIngest: Boolean = true): DataFrame = {
+    val params = indexCollection(spark, indexPath, "params").toDF().head()
     val bits = params.getInt(0)
     val numBands = params.getInt(1)
     // one sign-LSH pass over the batch (the sigCk discipline)
@@ -527,7 +673,7 @@ object DedupOps {
       embeddingBanded(sigCk, bits, numBands), maxBandBucket,
       extendIndex, pins, live, maxIndexFiles,
       (a, b) => SimilarityOps.cosine(a, b), "cosine", threshold,
-      maxIdPushdown)
+      maxIdPushdown, eagerVerify, serializeIngest)
       .withColumnRenamed("doc_a", "id_a")
       .withColumnRenamed("doc_b", "id_b")
   }

@@ -190,6 +190,34 @@ object HadroDeleteSupport {
     }
   }
 
+  /** PHYSICAL-ROW delete by predicate through deletion vectors,
+    * independent of keyed-ness — the engine-internal seam the LSH index
+    * mutation path rides ([[graft.ops.DedupOps]]): masking a re-crawled
+    * doc's stale rows must not append tombstones (which would flip the
+    * `mutated` flag and force LWW window resolution onto every raw
+    * index scan) — a DV sidecar hides the exact physical rows at scan
+    * time, map-only, and the manifest's `mutated` flag stays false.
+    * Same bounded conflict-retry discipline as the SQL statement path.
+    * NOT the SQL DELETE semantics for keyed tables (that stays
+    * tombstone merge-on-read via [[deleteWhere]]). */
+  private[graft] def dvDeleteWhere(path: Path, cond: Column): Unit = {
+    val spark = SparkSession.active
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val m = CollectionMeta.currentManifest(path)
+      if (m.segments.isEmpty) return
+      try { deleteVectors(spark, path, cond, m); done = true }
+      catch {
+        case e: Exception if isRetryableConflict(e) =>
+          attempt += 1
+          if (attempt >= 5) throw new IllegalStateException(
+            s"hadro: dv delete on $path kept conflicting after $attempt " +
+              "attempts — giving up", e)
+      }
+    }
+  }
+
   /** A manifest commit declined because a concurrent commit invalidated
     * the snapshot this operation planned against. Always safe to retry
     * from a fresh manifest. */

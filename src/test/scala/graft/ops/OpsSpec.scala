@@ -925,6 +925,178 @@ class OpsSpec extends SparkSuite {
       ids.toString)
   }
 
+  test("LSH index extension is mutation-aware: a re-crawled doc re-pairs " +
+      "under its new text, its stale pairs stop emitting, and retries " +
+      "reproduce the original probe output") {
+    val idx = java.nio.file.Files.createTempDirectory("lshmut").toString + "/i"
+    val tA = (0 until 31).map(i => s"a$i").mkString(" ")
+    val tB = (0 until 31).map(i => s"b$i").mkString(" ")
+    def probe(rows: Seq[(Long, String)]) =
+      DedupOps.minhashLshIndexProbe(spark, rows.toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    def setsCount() = graft.api.Collection(spark, s"$idx/sets").count()
+    // corpus: doc 1 carries its PRE-CRAWL text (tA); doc 2 near-dups tB
+    DedupOps.minhashLshIndexBuild(
+      Seq((1L, tA), (2L, tB + " x")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // batch 1: doc 101 near-dups tA — pairs with doc 1's stored text
+    assert(probe(Seq((101L, tA + " y"))) == Seq((1L, 101L)))
+    // RE-CRAWL: doc 1's content changed to tB — same id, new text. The
+    // probe must score it under tB (pairing with doc 2), never under
+    // its stale tA signature (no pair with 101)
+    val p2 = probe(Seq((1L, tB)))
+    assert(p2 == Seq((1L, 2L)), s"re-crawled doc paired wrong: $p2")
+    assert(setsCount() == 3L,
+      s"mutation must replace, not duplicate: ${setsCount()} sets rows")
+    // RETRY of the committed mutation batch (the crash model: a retry
+    // runs BEFORE any later window probes): the probe output must
+    // reproduce the original run exactly (no 2-4x duplicate pairs from
+    // the doc's own index copy) and the extension must stay a no-op
+    val p2Retry = probe(Seq((1L, tB)))
+    assert(p2Retry == p2, s"retried probe diverged: $p2Retry vs $p2")
+    assert(setsCount() == 3L, "a retried mutation changed the index")
+    // the index now serves the NEW content: a batch near tA pairs only
+    // with 101 (the stale (1, ·) signature is gone)...
+    val p3 = probe(Seq((301L, tA)))
+    assert(p3 == Seq((101L, 301L)), s"stale signature still pairs: $p3")
+    // ...and a batch near tB pairs with 1 and 2
+    val p4 = probe(Seq((401L, tB + " z")))
+    assert(p4 == Seq((1L, 401L), (2L, 401L)), p4.toString)
+    // CRASH HEAL: simulate a mutating ingest that died right after its
+    // FIRST commit (the sets DV-delete) — the retry must converge both
+    // tables: sets sees the id absent (plain re-append), bands sees its
+    // own band-hash mismatch (delete + re-append), and no table ends up
+    // with duplicate live rows
+    val cidx = java.nio.file.Files.createTempDirectory("lshcrash")
+      .toString + "/i"
+    DedupOps.minhashLshIndexBuild(
+      Seq((1L, tA), (2L, tB + " x")).toDF("doc_id", "text"),
+      "doc_id", "text", cidx)
+    graft.spark.HadroDeleteSupport.dvDeleteWhere(
+      java.nio.file.Paths.get(s"$cidx/sets"), $"doc_id" === 1L)
+    val healed = DedupOps.minhashLshIndexProbe(spark,
+      Seq((1L, tB)).toDF("doc_id", "text"), "doc_id", "text", cidx)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(healed == Seq((1L, 2L)), s"crash retry mis-paired: $healed")
+    assert(graft.api.Collection(spark, s"$cidx/sets").count() == 2L)
+    val bandRows = graft.api.Collection(spark, s"$cidx/bands").toDF()
+      .filter($"doc_id" === 1L).count()
+    assert(bandRows == 16L,
+      s"crash heal left $bandRows live band rows for the doc (want 16)")
+    // embedding twin: the shared core serves the vector modality too
+    val eidx = java.nio.file.Files.createTempDirectory("embmut").toString + "/i"
+    val u = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val w = Seq.tabulate(8)(i => (8 - i).toFloat)
+    DedupOps.embeddingIndexBuild(
+      Seq((1L, u), (2L, w.map(_ * 1.01f))).toDF("vec_id", "emb"),
+      "vec_id", "emb", eidx, bits = 8, numBands = 4)
+    def eprobe(rows: Seq[(Long, Seq[Float])]) =
+      DedupOps.embeddingIndexProbe(spark, rows.toDF("vec_id", "emb"),
+        "vec_id", "emb", eidx)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(eprobe(Seq((101L, u))) == Seq((1L, 101L)))
+    // vec 1's embedding is re-computed in a new direction (w)
+    assert(eprobe(Seq((1L, w))) == Seq((1L, 2L)))
+    // and probes now see the new direction only
+    assert(eprobe(Seq((201L, u.map(_ * 2f)))) == Seq((101L, 201L)))
+  }
+
+  test("concurrent mutating ingests serialize on the ingest lease and " +
+      "jointly reproduce the one-shot batch pairs; unfenced racing pins " +
+      "provably miss the cross pairs") {
+    val base = (0 until 31).map(i => s"w$i").mkString(" ")
+    val batchA = Seq((100L, base + " aa"))
+    val batchB = Seq((200L, base + " bb"))
+    def build(): String = {
+      val idx = java.nio.file.Files.createTempDirectory("lshcc").toString + "/i"
+      DedupOps.minhashLshIndexBuild(Seq((1L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      idx
+    }
+    def probe(idx: String, rows: Seq[(Long, String)],
+        extend: Boolean = true): Set[(Long, Long)] =
+      DedupOps.minhashLshIndexProbe(spark, rows.toDF("doc_id", "text"),
+        "doc_id", "text", idx, extendIndex = extend)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // ground truth: the one-shot batch over A ∪ B
+    val oneShot = probe(build(), batchA ++ batchB)
+    assert(oneShot == Set((1L, 100L), (1L, 200L), (100L, 200L)), oneShot)
+    // LEASED (default): two threads probe+extend CONCURRENTLY; the
+    // lease serializes them in some order, and by the d32 loop≡batch
+    // composition either order jointly enumerates exactly the one-shot
+    // pairs — the A×B cross pair emits on whichever ingest runs second
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val idx = build()
+    val fA = Future(probe(idx, batchA))
+    val fB = Future(probe(idx, batchB))
+    val joint = Await.result(fA, 120.seconds) ++ Await.result(fB, 120.seconds)
+    assert(joint == oneShot,
+      s"leased concurrent ingests diverged from the one-shot batch: $joint")
+    // UNFENCED: two racing ingests each pin a version that excludes the
+    // other's uncommitted extend — deterministically simulated by
+    // dry-running both against the SAME starting version (exactly what
+    // each racer's pinned probe sees). The union misses the A×B cross
+    // pair: the race the lease exists to prevent.
+    val idx2 = build()
+    val racersView = probe(idx2, batchA, extend = false) ++
+      probe(idx2, batchB, extend = false)
+    assert(racersView == Set((1L, 100L), (1L, 200L)),
+      s"unexpected racing-pin view: $racersView")
+    assert(!racersView.contains((100L, 200L)),
+      "the unfenced race must miss the cross pair — if it stops missing, " +
+        "the lease (and this contract spec) are stale")
+  }
+
+  test("eagerVerify dry-run fetches verification payloads as bounded " +
+      "point batches on the keyed sets scan, with results identical to " +
+      "the lazy corpus scan") {
+    val idx = java.nio.file.Files.createTempDirectory("lshev").toString + "/i"
+    val nIdx = 2000
+    val corpus = (0 until nIdx).map { i =>
+      (i.toLong, (0 until 31).map(j => s"c${i}w$j").mkString(" "))
+    }
+    DedupOps.minhashLshIndexBuild(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val batch = (0 until 3).map { i =>
+      (100000L + i, (0 until 31).map(j => s"c${i * 7}w$j").mkString(" ") +
+        " extra")
+    }
+    def dry(eager: Boolean) = DedupOps.minhashLshIndexProbe(spark,
+      batch.toDF("doc_id", "text"), "doc_id", "text", idx,
+      extendIndex = false, eagerVerify = eager)
+    val lazyOut = dry(eager = false)
+    val eagerOut = dry(eager = true)
+    val lazyPairs = lazyOut.select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val eagerPairs = eagerOut.select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(eagerPairs == lazyPairs,
+      s"eagerVerify changed results: $eagerPairs vs $lazyPairs")
+    assert(lazyPairs == (0 until 3).map(i => (i * 7L, 100000L + i)).toSeq)
+    // scan metrics: the eager plan's remaining scans are the two
+    // verification reads of `sets` — with the candidate ids pushed as an
+    // IN over the key, the key-bloom/offset sidecars reduce them to
+    // point batches (rows out ≈ candidates, not corpus)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val scanRows = walk(eagerOut.queryExecution.executedPlan)
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.metrics("numOutputRows").value }
+    assert(scanRows.nonEmpty, "expected the verification scans to execute")
+    assert(scanRows.sum < nIdx / 10,
+      s"eagerVerify read ${scanRows.sum} sets rows (${scanRows.sorted.reverse}) " +
+        s"— the bounded IN must reduce the fetch to point batches, " +
+        s"not $nIdx-row corpus scans")
+  }
+
   test("incremental embedding probe pairs batches against the persisted " +
       "sign-LSH index, extends it, and reads its banding from the params " +
       "sidecar") {
