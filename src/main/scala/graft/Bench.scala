@@ -13,6 +13,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The MERGE/CHECK paths legitimately place literal predicates above
+    // hadro scans; Spark's DataSourceV2Strategy WARNs "Can't translate
+    // true to source filter" once per occurrence. Harmless (nothing to
+    // push for a literal), but repeated enough to crowd the 2000-char
+    // stdout tail the driver parses the JSON metric line out of.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.v2.DataSourceV2Strategy",
+      org.apache.logging.log4j.Level.ERROR)
     // Uncounted warmup pass over the same queries at the same SF — standard
     // JMH methodology: the timed pass then measures steady-state execution,
     // not first-run JIT/janino/codegen compilation (~25% of a cold full

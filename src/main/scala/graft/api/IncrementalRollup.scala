@@ -79,6 +79,34 @@ object IncrementalRollup {
   private def deltaView(prefix: String, rollupTable: String): String =
     prefix + rollupTable.replaceAll("[^A-Za-z0-9_]", "_")
 
+  /** Exactly-once POST-check, run right after a cycle's MERGE while the
+    * stamp registration is still in scope: the thread-local stamp is
+    * consumed by a successful manifest commit ON THE REGISTERING THREAD
+    * — so "stamp still armed, yet the rollup manifest advanced without
+    * our (cursor -> head) entry" means the MERGE's commit ran on some
+    * other thread and the applied-version record was silently dropped:
+    * exactly-once just degraded to double-apply-on-crash. Fail loudly
+    * instead of letting the downgrade age. (Spark's eager command
+    * execution commits on the calling thread today; this guards the
+    * protocol against a future async commit path.) A no-op MERGE over
+    * an empty window commits nothing and keeps the stamp armed with the
+    * version unmoved — fine, the cursor tag alone carries that cycle. */
+  private def assertEpochPublished(rp: java.nio.file.Path,
+      cursorTag: String, preVersion: Long, head: Long): Unit =
+    if (CollectionMeta.commitEpochArmed(rp)) {
+      val m = CollectionMeta.currentManifest(rp)
+      if (m.version != preVersion &&
+          !m.streamEpochs.get(epochKey(cursorTag)).contains(head))
+        throw new IllegalStateException(
+          s"hadro: rollup manifest advanced v$preVersion -> v${m.version} " +
+            s"without recording applied version $head for cursor " +
+            s"'$cursorTag' (streamEpochs: ${m.streamEpochs}) — the MERGE " +
+            "committed off the registering thread, so the exactly-once " +
+            "stamp was not published; NOT advancing the cursor. (If a " +
+            "concurrent consumer shares this rollup, serialize cycles " +
+            "per the single-consumer-per-cursor contract.)")
+    }
+
   private def deltas(spark: SparkSession, factPath: String,
       floor: Long, head: Long, groupCol: String,
       sums: Seq[(String, String)]) = {
@@ -149,8 +177,8 @@ object IncrementalRollup {
       throw new IllegalArgumentException(
         s"hadro: no cursor tag '$cursorTag' on $factPath — bootstrap first"))
     val rp = rollupDir(spark, rollupTable)
-    val applied = CollectionMeta.currentManifest(rp)
-      .streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
+    val rm0 = CollectionMeta.currentManifest(rp)
+    val applied = rm0.streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
     // the true cursor is max(tag, applied): a crash between the MERGE
     // commit (which records `applied` atomically) and the tag move
     // leaves applied > tag — the retry must not re-apply that span
@@ -172,6 +200,7 @@ object IncrementalRollup {
               WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
               WHEN MATCHED THEN UPDATE SET $sets
               WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
+        assertEpochPublished(rp, cursorTag, rm0.version, head)
       } finally {
         CollectionMeta.clearCommitEpoch(rp)
         spark.catalog.dropTempView(view)
@@ -250,8 +279,8 @@ object IncrementalRollup {
       throw new IllegalArgumentException(
         s"hadro: no cursor tag '$cursorTag' on $factPath — bootstrap first"))
     val rp = rollupDir(spark, rollupTable)
-    val applied = CollectionMeta.currentManifest(rp)
-      .streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
+    val rm0 = CollectionMeta.currentManifest(rp)
+    val applied = rm0.streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
     val floor = math.max(tagFloor, applied)
     if (floor < head) {
       val refreshed = refreshedFrame(spark, factPath, floor, head,
@@ -272,6 +301,7 @@ object IncrementalRollup {
               WHEN MATCHED THEN UPDATE SET $sets
               WHEN NOT MATCHED AND d.n IS NOT NULL THEN
                 INSERT ($insCols) VALUES ($insVals)""")
+        assertEpochPublished(rp, cursorTag, rm0.version, head)
       } finally {
         CollectionMeta.clearCommitEpoch(rp)
         spark.catalog.dropTempView(view)
@@ -374,8 +404,8 @@ object IncrementalRollup {
       throw new IllegalArgumentException(
         s"hadro: no cursor tag '$cursorTag' on $factPath — bootstrap first"))
     val rp = rollupDir(spark, rollupTable)
-    val applied = CollectionMeta.currentManifest(rp)
-      .streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
+    val rm0 = CollectionMeta.currentManifest(rp)
+    val applied = rm0.streamEpochs.getOrElse(epochKey(cursorTag), Long.MinValue)
     val floor = math.max(tagFloor, applied)
     if (floor < head) {
       val sign = when(
@@ -409,6 +439,7 @@ object IncrementalRollup {
               WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
               WHEN MATCHED THEN UPDATE SET $sets
               WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
+        assertEpochPublished(rp, cursorTag, rm0.version, head)
       } finally {
         CollectionMeta.clearCommitEpoch(rp)
         spark.catalog.dropTempView(view)

@@ -963,6 +963,17 @@ object CollectionMeta {
     ()
   }
 
+  /** True while a [[registerCommitEpoch]] stamp for `collection` is
+    * still armed on THIS thread — i.e. no successful commit on this
+    * thread has consumed it yet. The exactly-once POST-check rides
+    * this: a consumer whose MERGE committed must find the stamp gone;
+    * armed + a new manifest missing the entry means the commit ran on
+    * some other thread and the applied-version record was silently
+    * dropped ([[graft.api.IncrementalRollup]] turns that protocol
+    * downgrade into an immediate error). */
+  def commitEpochArmed(collection: Path): Boolean =
+    pendingEpochs.get.contains(collection.toAbsolutePath.normalize)
+
   /** [[commit]] with an optional caller-chosen base snapshot and a branch
     * marker — the shared slot-claim protocol. With no override the base
     * is the newest MAIN manifest FROM THE SAME scan that sets the claim

@@ -536,17 +536,23 @@ object DedupOps {
       // bands, where a nightly batch's ids cluster in recent segments).
       val extendTable = (tbl: graft.api.Collection, rows: DataFrame,
           state: DataFrame) => {
-        // state: (doc_id, same) for PRESENT batch ids — tiny (≤ batch)
-        val st = state.localCheckpoint()
-        val changedIds = st.filter(!col("same")).select(col("doc_id"))
-          .collect().map(_.get(0)).toSeq
-        if (changedIds.nonEmpty)
+        // state: (doc_id, same) for PRESENT batch ids. ONE detection job:
+        // the split is ≤ |batch| rows — the same driver-side bound the
+        // broadcast/boundedKeyLits discipline already accepts — so
+        // collect it once and drive both the DV delete and the append's
+        // exclusion list from driver-local values (an all-new nightly
+        // batch pays exactly one map-only index scan + one write per
+        // table; no per-stage checkpoint jobs)
+        val st = state.collect()
+        val changed = st.filter(!_.getBoolean(1)).map(_.get(0)).toSeq
+        if (changed.nonEmpty)
           graft.spark.HadroDeleteSupport.dvDeleteWhere(
             java.nio.file.Paths.get(tbl.path),
-            col("doc_id").isInCollection(changedIds))
-        val unchanged = st.filter(col("same")).select(col("doc_id"))
-        rows.join(broadcast(unchanged), Seq("doc_id"), "left_anti")
-          .write.format("hadro").mode("append").save(tbl.path)
+            col("doc_id").isInCollection(changed))
+        val unchanged = st.filter(_.getBoolean(1)).map(_.get(0)).toSeq
+        val toWrite = if (unchanged.isEmpty) rows
+          else rows.filter(!col("doc_id").isInCollection(unchanged))
+        toWrite.write.format("hadro").mode("append").save(tbl.path)
       }
       // sets: one row per id — unchanged iff sig_h and the payload
       // fingerprint both match (xxhash64 over the stored payload, an

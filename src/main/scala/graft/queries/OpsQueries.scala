@@ -53,6 +53,25 @@ object OpsQueries {
     rm(new java.io.File(path))
   }
 
+  /** Clone-restore a MUTATING fixture tree from a build-once template:
+    * the first call builds `templateBase` once per JVM; every call wipes
+    * each `subs` path under `dstBase` and hard-link-clones the template's
+    * collection there (metadata-speed — the h52 cloneTo). The
+    * d32/st25/h99/d34 probe+extend loops re-pay only the ingest under
+    * test per bench rep, never the fixture build. */
+  private def restoreFromTemplateTree(s: SparkSession, sfDir: String,
+      name: String, templateBase: String, dstBase: String,
+      subs: Seq[String])(build: String => Unit): Unit = {
+    Fixtures.readOnly(sfDir, s"idxtpl#$name") {
+      freshDir(templateBase); build(templateBase); java.lang.Boolean.TRUE
+    }
+    subs.foreach { sub =>
+      freshDir(s"$dstBase/$sub")
+      graft.api.Collection(s, s"$templateBase/$sub").cloneTo(s"$dstBase/$sub")
+      ()
+    }
+  }
+
   /** The shared EXACT all-pairs Jaccard oracle (DuckDB): rank each doc's
     * shingles rarest-first and block on the length-derived prefix (two
     * sets with J >= 0.8 MUST share an element in their first
@@ -252,9 +271,12 @@ object OpsQueries {
         val d = table(s, dir, "documents")
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val idx = s"/tmp/graft_collections/$tag/d30_idx"
-        // fresh index per run (bench reps rebuild fixtures)
-        freshDir(idx)
-        DedupOps.minhashLshIndexBuild(d, "doc_id", "text", idx)
+        // dry-run probe (extendIndex=false below) never mutates the
+        // index — build it ONCE per JVM (read-only fixture discipline)
+        Fixtures.buildOnce(dir, "d30_idx") {
+          freshDir(idx)
+          DedupOps.minhashLshIndexBuild(d, "doc_id", "text", idx)
+        }
         // tonight's batch: near-copies of every %20 doc (known pairs are
         // pinned past the probabilistic candidate stage, as in d02)
         val newBatch = d.filter(col("doc_id") % 20 === 0)
@@ -295,13 +317,18 @@ object OpsQueries {
         val d = table(s, dir, "documents")
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val wh = s"/tmp/graft_collections/$tag/d31"
-        freshDir(wh)
-        val coll = graft.api.Collection.create(s, s"$wh/docs", d,
-          key = Some("doc_id"))
-        DedupOps.minhashLshIndexBuild(coll.toDF(), "doc_id", "text",
-          s"$wh/idx")
-        // takedown pass lands AFTER the index build
-        coll.delete(d.filter(col("doc_id") % 40 === 0).select("doc_id"))
+        // probe-only below (extendIndex=false), and nothing mutates the
+        // fixture after its build+takedown — build ONCE per JVM
+        Fixtures.buildOnce(dir, "d31_wh") {
+          freshDir(wh)
+          val c = graft.api.Collection.create(s, s"$wh/docs", d,
+            key = Some("doc_id"))
+          DedupOps.minhashLshIndexBuild(c.toDF(), "doc_id", "text",
+            s"$wh/idx")
+          // takedown pass lands AFTER the index build
+          c.delete(d.filter(col("doc_id") % 40 === 0).select("doc_id"))
+        }
+        val coll = graft.api.Collection(s, s"$wh/docs")
         val newBatch = d.filter(col("doc_id") % 20 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L)
           .withColumn("text", concat(col("text"), lit(" extraplantedtoken")))
@@ -334,11 +361,15 @@ object OpsQueries {
     // the verification join, and re-emits nowhere).
     QueryDef(
       "d32_windowed_ingest_equivalence",
-      (s, dir) => {
-        val d = table(s, dir, "documents")
+      (s, dir) => withShufflePartitions(s, 8) {
+        // half corpus, three windows: the loop≡batch composition is
+        // corpus-size- and window-count-independent (every doc still
+        // ingests exactly once, pairs still split across windows), and
+        // the bench re-runs this whole mutating lifecycle per rep — keep
+        // the fixture at the smallest shape that still proves it
+        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val idx = s"/tmp/graft_collections/$tag/d32_idx"
-        freshDir(idx)
         val planted = d.unionByName(
           d.filter(col("doc_id") % 20 === 0)
             .withColumn("doc_id", col("doc_id") + 1000000L)
@@ -346,22 +377,29 @@ object OpsQueries {
         val pins = d.filter(col("doc_id") % 20 === 0)
           .select(col("doc_id").as("doc_a"),
             (col("doc_id") + 1000000L).as("doc_b"))
-        // day 0: an empty index — the loop bootstraps itself
-        DedupOps.minhashLshIndexBuild(planted.filter(lit(false)),
-          "doc_id", "text", idx)
-        // five ingest days, hash-sliced so originals and their planted
+        // day 0: an empty index — the loop bootstraps itself (built once
+        // as a template; each rep clone-restores it so the bench re-pays
+        // only the five ingests under test, never the fixture build)
+        restoreFromTemplateTree(s, dir, "d32_idx",
+          s"/tmp/graft_collections/$tag/d32_tpl", idx,
+          Seq("sets", "bands")) { tb =>
+          DedupOps.minhashLshIndexBuild(planted.limit(0),
+            "doc_id", "text", tb)
+        }
+        // three ingest days, hash-sliced so originals and their planted
         // copies land in different windows
-        val acc = (0 until 5).map { w =>
+        val acc = (0 until 3).map { w =>
           DedupOps.minhashLshIndexProbe(s,
-            planted.filter(pmod(xxhash64(col("doc_id")), lit(5)) === w),
+            planted.filter(pmod(xxhash64(col("doc_id")), lit(3)) === w),
             "doc_id", "text", idx, mustCheck = Some(pins))
         }.reduce(_ unionByName _)
         acc.withColumn("jaccard", round(col("jaccard"), 3))
           .orderBy("doc_a", "doc_b")
       },
-      // the ONE-SHOT exact all-pairs oracle, verbatim from d02 — that is
-      // the point: the windowed loop must reproduce the batch answer
-      Some(exactPairsOracle(plantedDocsCte(), "j >= 0.8"))),
+      // the ONE-SHOT exact all-pairs oracle (d02's, on the half corpus)
+      // — that is the point: the windowed loop must reproduce the batch
+      // answer
+      Some(exactPairsOracle(plantedDocsCte("doc_id % 2 = 0"), "j >= 0.8"))),
 
     // ---------------------------------------------------------------- d33
     // INCREMENTAL EMBEDDING near-dup — d30's shape for the embedding
@@ -380,8 +418,11 @@ object OpsQueries {
         val e = table(s, dir, "embeddings")
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val idx = s"/tmp/graft_collections/$tag/d33_idx"
-        freshDir(idx)
-        DedupOps.embeddingIndexBuild(e, "vec_id", "embedding", idx)
+        // dry-run probe — read-only fixture, build once per JVM
+        Fixtures.buildOnce(dir, "d33_idx") {
+          freshDir(idx)
+          DedupOps.embeddingIndexBuild(e, "vec_id", "embedding", idx)
+        }
         // tonight's batch: scaled near-copies of every %25 vector
         val newBatch = e.filter(col("vec_id") % 25 === 0)
           .withColumn("vec_id", col("vec_id") + 1000000L)
@@ -407,6 +448,67 @@ object OpsQueries {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
           AND b.vec_id >= 1000000
         ORDER BY id_a, id_b""")),
+
+    // ---------------------------------------------------------------- d34
+    // RE-INGEST MUTATION: the crawl pipeline's most common index event —
+    // a doc_id whose CONTENT changed since it was indexed. The index is
+    // built over a pre-crawl corpus where every %20 doc was crawled
+    // CORRUPTED (its text reversed); window 1 ingests near-copies of the
+    // TRUE texts (+1M ids) — no pair emits, the corrupted originals are
+    // not near them; window 2 RE-CRAWLS the %20 docs (same ids, true
+    // text) — the mutation-aware extension DV-masks the stale signatures
+    // and the re-ingested docs pair with their +1M copies under tonight's
+    // content. Oracle = the exact all-pairs ground truth over the FINAL
+    // corpus state: the loop's output equals it exactly iff stale
+    // signatures stopped pairing AND new content pairs — an insert-only
+    // index fails this query with duplicate/wrong-jaccard rows.
+    QueryDef(
+      "d34_reingest_mutation",
+      (s, dir) => withShufflePartitions(s, 8) {
+        // quarter corpus (%20 mutation targets all land in it): the
+        // mutation lifecycle is corpus-size-independent and re-runs per
+        // bench rep — smallest fixture that still proves it
+        val d = table(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val idx = s"/tmp/graft_collections/$tag/d34_idx"
+        // pre-crawl corpus: the %20 docs were crawled corrupted. The
+        // probes MUTATE the index — clone-restore it from a build-once
+        // template per run
+        restoreFromTemplateTree(s, dir, "d34_idx",
+          s"/tmp/graft_collections/$tag/d34_tpl", idx,
+          Seq("sets", "bands")) { tb =>
+          DedupOps.minhashLshIndexBuild(
+            d.withColumn("text", when(col("doc_id") % 20 === 0,
+              reverse(col("text"))).otherwise(col("text"))),
+            "doc_id", "text", tb)
+        }
+        val pins = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        // window 1: near-copies of the true texts arrive first — their
+        // pinned pairs VERIFY against the corrupted payloads and drop
+        val copies = d.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" extraplantedtoken")))
+        val w1 = DedupOps.minhashLshIndexProbe(s, copies,
+          "doc_id", "text", idx, mustCheck = Some(pins))
+        // window 2: the re-crawl — same ids, content healed
+        val w2 = DedupOps.minhashLshIndexProbe(s,
+          d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", idx, mustCheck = Some(pins))
+        w1.unionByName(w2)
+          .withColumn("jaccard", round(col("jaccard"), 3))
+          .orderBy("doc_a", "doc_b")
+      },
+      // the exact oracle over the FINAL (post-re-crawl) corpus state,
+      // restricted to pairs with >= 1 window-ingested side
+      Some(exactPairsOracle(
+        """SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0""",
+        "j >= 0.8 AND (doc_a % 20 = 0 OR doc_b % 20 = 0 " +
+          "OR doc_a >= 1000000 OR doc_b >= 1000000)"))),
 
     // ---------------------------------------------------------------- d03
     // SimHash near-dup over the same planted corpus (Hamming <= 3 on
@@ -4991,8 +5093,9 @@ object OpsQueries {
         import s.implicits._
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val base = s"/tmp/graft_collections/$tag/st25"
-        freshDir(base)
-        val d = table(s, dir, "documents")
+        // half corpus, three micro-batches — the d32 sizing rationale:
+        // the streaming wiring under test is batch-count-independent
+        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
         val planted = d.unionByName(
           d.filter(col("doc_id") % 20 === 0)
             .withColumn("doc_id", col("doc_id") + 1000000L)
@@ -5003,9 +5106,18 @@ object OpsQueries {
         val srcPath = s"$base/src"
         val idx = s"$base/idx"
         val pairsPath = s"$base/pairs"
-        graft.api.Collection.create(s, srcPath, planted, numSegments = 5)
-        DedupOps.minhashLshIndexBuild(planted.filter(lit(false)),
-          "doc_id", "text", idx)
+        // the source collection and the day-0 empty index never change
+        // across reps — build once as templates, clone-restore per run
+        // so the stream re-pays only the probe+extend loop under test
+        restoreFromTemplateTree(s, dir, "st25",
+          s"/tmp/graft_collections/$tag/st25_tpl", base,
+          Seq("src", "idx/sets", "idx/bands")) { tb =>
+          graft.api.Collection.create(s, s"$tb/src", planted,
+            numSegments = 3)
+          DedupOps.minhashLshIndexBuild(planted.limit(0),
+            "doc_id", "text", s"$tb/idx")
+        }
+        freshDir(pairsPath)
         val ckpt = java.nio.file.Files.createTempDirectory("st25_ckpt").toString
         val q = s.readStream.format("hadro")
           .option("hadro.maxOrdinalsPerTrigger", "1").load(srcPath)
@@ -5026,9 +5138,65 @@ object OpsQueries {
           .withColumn("jaccard", round(col("jaccard"), 3))
           .orderBy("doc_a", "doc_b")
       },
-      // the one-shot exact all-pairs oracle (d02/d32): the streaming
-      // loop must reproduce the batch answer
-      Some(exactPairsOracle(plantedDocsCte(), "j >= 0.8"))),
+      // the one-shot exact all-pairs oracle (d02/d32, half corpus): the
+      // streaming loop must reproduce the batch answer
+      Some(exactPairsOracle(plantedDocsCte("doc_id % 2 = 0"), "j >= 0.8"))),
+
+    // ---------------------------------------------------------------- h99
+    // PURE-SQL near-dup ingest loop: the d31 lifecycle — build the LSH
+    // index over a corpus table, take down docs, physically sweep the
+    // index, then probe+extend tonight's batch — driven end to end by
+    // CALL statements (neardup_index_build / sweep_lsh_index /
+    // neardup_probe) and a final SELECT over the registered pairs view.
+    // A SQL-only operator can now run the nightly dedup ingest without
+    // linking the Scala API, completing the loop the rollup_* procedures
+    // opened for incremental aggregation. Oracle = d31's exact all-pairs
+    // ground truth (live corpus side, >= 1 new side).
+    QueryDef(
+      "h99_neardup_sql_loop",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h99"
+        s.conf.set("spark.sql.catalog.graft_h99",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h99.warehouse", wh)
+        val d = table(s, dir, "documents")
+        // corpus (keyed — liveness resolves through the key), tonight's
+        // batch, and the built index restore from build-once templates:
+        // each rep re-pays only the takedown+sweep+ingest under test
+        restoreFromTemplateTree(s, dir, "h99",
+          s"/tmp/graft_collections/$tag/h99_tpl", wh,
+          Seq("db/corpus", "db/batch", "nd_idx/sets", "nd_idx/bands")) { tb =>
+          graft.api.Collection.create(s, s"$tb/db/corpus", d,
+            key = Some("doc_id"))
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken")))
+            .write.format("hadro").mode("overwrite").save(s"$tb/db/batch")
+          DedupOps.minhashLshIndexBuild(
+            graft.api.Collection(s, s"$tb/db/corpus").toDF(),
+            "doc_id", "text", s"$tb/nd_idx")
+        }
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h99.db")
+        // takedown AFTER the index was built...
+        s.sql("DELETE FROM graft_h99.db.corpus WHERE doc_id % 40 = 0")
+        // ...so the index must be swept before (or re-validated at) the
+        // next probe — docs_swept proves rows physically left
+        val sw = s.sql(s"""CALL graft_h99.system.sweep_lsh_index(
+          '$wh/nd_idx', 'db.corpus')""").collect()
+        require(sw.length == 1 && sw.head.getLong(0) > 0,
+          s"sweep_lsh_index descriptor: ${sw.toSeq}")
+        // nightly ingest: probe + extend, pairs land in a temp view
+        val pr = s.sql(s"""CALL graft_h99.system.neardup_probe(
+          'db.batch', 'doc_id', 'text', '$wh/nd_idx', 'h99_pairs',
+          0.8D, true, '')""").collect()
+        require(pr.length == 1 && pr.head.getString(0) == "h99_pairs",
+          s"neardup_probe descriptor: ${pr.toSeq}")
+        s.sql("""SELECT doc_a, doc_b, round(jaccard, 3) AS jaccard
+          FROM h99_pairs ORDER BY doc_a, doc_b""")
+      },
+      Some(exactPairsOracle(plantedDocsCte("doc_id % 40 <> 0"),
+        "j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)"))),
 
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +

@@ -42,7 +42,8 @@ object HadroProcedures {
       "compact_partitions", "set_partition_spec", "purge_deletes",
       "create_branch", "drop_branch", "fast_forward", "rebase",
       "typed_changes", "rollup_bootstrap", "rollup_cycle", "rollup_refresh",
-      "resolved_view", "sweep_index")
+      "resolved_view", "sweep_index",
+      "neardup_index_build", "neardup_probe", "sweep_lsh_index")
 
   /** "fn:src:out,..." — the aggregate spec grammar of the rollup
     * procedures (fn in min|max|sum), e.g.
@@ -432,6 +433,71 @@ object HadroProcedures {
           val swept = graft.ops.SimilarityOps.sweepSqIndex(idx, base,
             in.getUTF8String(2).toString)
           Seq(InternalRow(swept, idx.version))
+        }
+      case "neardup_index_build" => proc("neardup_index_build",
+        "build the persisted MinHash-LSH near-dup index for a document " +
+          "table under index_dir (two hadro collections: the inverted " +
+          "banding plus the doc_id-KEYED verification sets) — the ingest " +
+          "loop's day-0 verb; nightly batches then probe+extend it via " +
+          "neardup_probe, and sweep_lsh_index reclaims delete churn. The " +
+          "pure-SQL route to graft.ops.DedupOps.minhashLshIndexBuild",
+        Seq(p("table", StringType), p("id_col", StringType),
+          p("text_col", StringType), p("index_dir", StringType)),
+        new StructType().add("docs_indexed", LongType)
+          .add("index_dir", StringType)) { in =>
+          val c = coll(in)
+          val dirStr = in.getUTF8String(3).toString
+          graft.ops.DedupOps.minhashLshIndexBuild(c.toDF(),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            dirStr)
+          Seq(InternalRow(
+            Collection(SparkSession.active, s"$dirStr/sets").count(),
+            UTF8String.fromString(dirStr)))
+        }
+      case "neardup_probe" => proc("neardup_probe",
+        "probe a document batch table against a neardup_index_build " +
+          "index and register the verified pairs (doc_a, doc_b, jaccard) " +
+          "as a TEMP VIEW (the resolved_view shape). extend=false is a " +
+          "lazy dry-run against the pinned index version; extend=true " +
+          "runs the nightly mutating ingest — pairs materialize BEFORE " +
+          "the index extends, the extension is mutation-aware and " +
+          "idempotent, and concurrent ingests serialize on the index's " +
+          "ingest lease. live_table ('' = skip) drops pairs whose corpus " +
+          "side was deleted from the base after the index was built",
+        Seq(p("batch_table", StringType), p("id_col", StringType),
+          p("text_col", StringType), p("index_dir", StringType),
+          p("view", StringType), p("threshold", DoubleType),
+          p("extend", BooleanType), p("live_table", StringType)),
+        new StructType().add("view", StringType)
+          .add("extended", BooleanType)) { in =>
+          val spark = SparkSession.active
+          val batch = coll(in).toDF()
+          val liveName = in.getUTF8String(7).toString
+          val live =
+            if (liveName.isEmpty) None
+            else Some(Collection(spark, resolve(liveName).toString).ids())
+          val extend = in.getBoolean(6)
+          val view = in.getUTF8String(4).toString
+          graft.ops.DedupOps.minhashLshIndexProbe(spark, batch,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getUTF8String(3).toString,
+            threshold = in.getDouble(5), extendIndex = extend, live = live)
+            .createOrReplaceTempView(view)
+          Seq(InternalRow(UTF8String.fromString(view), extend))
+        }
+      case "sweep_lsh_index" => proc("sweep_lsh_index",
+        "physically sweep a near-dup LSH index (text or embedding) " +
+          "against its base table: rewrite sets+bands keeping only docs " +
+          "still live in the base — version-pinned replace commits, so a " +
+          "concurrent probe+extend survives. Corpus-proportional by " +
+          "definition: run when delete churn accumulates; neardup_probe's " +
+          "live_table covers the gap between sweeps. Returns docs swept",
+        Seq(p("index_dir", StringType), p("base_table", StringType)),
+        new StructType().add("docs_swept", LongType)) { in =>
+          val spark = SparkSession.active
+          val base = Collection(spark, resolve(in.getUTF8String(1).toString).toString)
+          Seq(InternalRow(graft.ops.DedupOps.sweepLshIndex(spark,
+            in.getUTF8String(0).toString, base.ids())))
         }
       case "resolved_view" => proc("resolved_view",
         "register a TEMP VIEW of the RESOLVED state of a keyed table — " +
