@@ -452,10 +452,10 @@ object OpsQueries {
     // ---------------------------------------------------------------- d34
     // RE-INGEST MUTATION: the crawl pipeline's most common index event —
     // a doc_id whose CONTENT changed since it was indexed. The index is
-    // built over a pre-crawl corpus where every %20 doc was crawled
+    // built over a pre-crawl corpus where every %40 doc was crawled
     // CORRUPTED (its text reversed); window 1 ingests near-copies of the
     // TRUE texts (+1M ids) — no pair emits, the corrupted originals are
-    // not near them; window 2 RE-CRAWLS the %20 docs (same ids, true
+    // not near them; window 2 RE-CRAWLS the %40 docs (same ids, true
     // text) — the mutation-aware extension DV-masks the stale signatures
     // and the re-ingested docs pair with their +1M copies under tonight's
     // content. Oracle = the exact all-pairs ground truth over the FINAL
@@ -465,7 +465,7 @@ object OpsQueries {
     QueryDef(
       "d34_reingest_mutation",
       (s, dir) => withShufflePartitions(s, 8) {
-        // quarter corpus (%20 mutation targets all land in it): the
+        // quarter corpus (%40 mutation targets all land in it): the
         // mutation lifecycle is corpus-size-independent and re-runs per
         // bench rep — smallest fixture that still proves it
         val d = table(s, dir, "documents").filter(col("doc_id") % 4 === 0)
@@ -478,23 +478,23 @@ object OpsQueries {
           s"/tmp/graft_collections/$tag/d34_tpl", idx,
           Seq("sets", "bands")) { tb =>
           DedupOps.minhashLshIndexBuild(
-            d.withColumn("text", when(col("doc_id") % 20 === 0,
+            d.withColumn("text", when(col("doc_id") % 40 === 0,
               reverse(col("text"))).otherwise(col("text"))),
             "doc_id", "text", tb)
         }
-        val pins = d.filter(col("doc_id") % 20 === 0)
+        val pins = d.filter(col("doc_id") % 40 === 0)
           .select(col("doc_id").as("doc_a"),
             (col("doc_id") + 1000000L).as("doc_b"))
         // window 1: near-copies of the true texts arrive first — their
         // pinned pairs VERIFY against the corrupted payloads and drop
-        val copies = d.filter(col("doc_id") % 20 === 0)
+        val copies = d.filter(col("doc_id") % 40 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L)
           .withColumn("text", concat(col("text"), lit(" extraplantedtoken")))
         val w1 = DedupOps.minhashLshIndexProbe(s, copies,
           "doc_id", "text", idx, mustCheck = Some(pins))
         // window 2: the re-crawl — same ids, content healed
         val w2 = DedupOps.minhashLshIndexProbe(s,
-          d.filter(col("doc_id") % 20 === 0),
+          d.filter(col("doc_id") % 40 === 0),
           "doc_id", "text", idx, mustCheck = Some(pins))
         w1.unionByName(w2)
           .withColumn("jaccard", round(col("jaccard"), 3))
@@ -506,8 +506,8 @@ object OpsQueries {
         """SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
           UNION ALL
           SELECT doc_id + 1000000, text || ' extraplantedtoken'
-          FROM documents WHERE doc_id % 20 = 0""",
-        "j >= 0.8 AND (doc_a % 20 = 0 OR doc_b % 20 = 0 " +
+          FROM documents WHERE doc_id % 40 = 0""",
+        "j >= 0.8 AND (doc_a % 40 = 0 OR doc_b % 40 = 0 " +
           "OR doc_a >= 1000000 OR doc_b >= 1000000)"))),
 
     // ---------------------------------------------------------------- d03

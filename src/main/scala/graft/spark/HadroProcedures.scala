@@ -43,7 +43,8 @@ object HadroProcedures {
       "create_branch", "drop_branch", "fast_forward", "rebase",
       "typed_changes", "rollup_bootstrap", "rollup_cycle", "rollup_refresh",
       "resolved_view", "sweep_index",
-      "neardup_index_build", "neardup_probe", "sweep_lsh_index")
+      "neardup_index_build", "neardup_probe", "sweep_lsh_index",
+      "embedding_index_build", "embedding_probe")
 
   /** "fn:src:out,..." — the aggregate spec grammar of the rollup
     * procedures (fn in min|max|sum), e.g.
@@ -479,6 +480,53 @@ object HadroProcedures {
           val extend = in.getBoolean(6)
           val view = in.getUTF8String(4).toString
           graft.ops.DedupOps.minhashLshIndexProbe(spark, batch,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getUTF8String(3).toString,
+            threshold = in.getDouble(5), extendIndex = extend, live = live)
+            .createOrReplaceTempView(view)
+          Seq(InternalRow(UTF8String.fromString(view), extend))
+        }
+      case "embedding_index_build" => proc("embedding_index_build",
+        "build the persisted sign-LSH near-dup index for an embedding " +
+          "table (vec_col: array<float>) under index_dir — " +
+          "neardup_index_build's vector-modality twin; the banding " +
+          "parameters (bits per band x bands, signature <= 62 bits) ride " +
+          "a params sidecar and are fixed for the index's lifetime",
+        Seq(p("table", StringType), p("id_col", StringType),
+          p("vec_col", StringType), p("index_dir", StringType),
+          p("bits", IntegerType), p("bands", IntegerType)),
+        new StructType().add("vecs_indexed", LongType)
+          .add("index_dir", StringType)) { in =>
+          val c = coll(in)
+          val dirStr = in.getUTF8String(3).toString
+          graft.ops.DedupOps.embeddingIndexBuild(c.toDF(),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            dirStr, bits = in.getInt(4), numBands = in.getInt(5))
+          Seq(InternalRow(
+            Collection(SparkSession.active, s"$dirStr/sets").count(),
+            UTF8String.fromString(dirStr)))
+        }
+      case "embedding_probe" => proc("embedding_probe",
+        "probe a vector batch table against an embedding_index_build " +
+          "index and register the pairs (id_a, id_b, cosine >= threshold) " +
+          "as a TEMP VIEW — neardup_probe's vector-modality twin (same " +
+          "dry-run/extend semantics, mutation-aware lease-serialized " +
+          "extension, optional live_table gate; banding read from the " +
+          "index's own params sidecar)",
+        Seq(p("batch_table", StringType), p("id_col", StringType),
+          p("vec_col", StringType), p("index_dir", StringType),
+          p("view", StringType), p("threshold", DoubleType),
+          p("extend", BooleanType), p("live_table", StringType)),
+        new StructType().add("view", StringType)
+          .add("extended", BooleanType)) { in =>
+          val spark = SparkSession.active
+          val liveName = in.getUTF8String(7).toString
+          val live =
+            if (liveName.isEmpty) None
+            else Some(Collection(spark, resolve(liveName).toString).ids())
+          val extend = in.getBoolean(6)
+          val view = in.getUTF8String(4).toString
+          graft.ops.DedupOps.embeddingIndexProbe(spark, coll(in).toDF(),
             in.getUTF8String(1).toString, in.getUTF8String(2).toString,
             in.getUTF8String(3).toString,
             threshold = in.getDouble(5), extendIndex = extend, live = live)

@@ -70,6 +70,47 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.ttsql")
   }
 
+  test("CALL embedding_index_build / embedding_probe / sweep_lsh_index " +
+      "drive the vector near-dup loop from pure SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    val u = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val w = Seq.tabulate(8)(i => (8 - i).toFloat) // cos(u, w) < 0.9
+    Seq((1L, u), (2L, u.map(_ * 1.01f)), (3L, w)).toDF("vec_id", "emb")
+      .write.format("hadro").option("hadro.key", "vec_id")
+      .mode("overwrite").save(s"$warehouse/db/vecs")
+    Seq((101L, u.map(_ * 2f))).toDF("vec_id", "emb")
+      .write.format("hadro").mode("overwrite").save(s"$warehouse/db/vbatch")
+    val idx = s"$warehouse/emb_idx"
+    val b = spark.sql(s"""CALL testcat.system.embedding_index_build(
+      'db.vecs', 'vec_id', 'emb', '$idx', 8, 4)""").collect()
+    assert(b.head.getLong(0) == 3L, b.toSeq.toString)
+    // dry-run probe: view registered, index untouched
+    spark.sql(s"""CALL testcat.system.embedding_probe(
+      'db.vbatch', 'vec_id', 'emb', '$idx', 'emb_pairs', 0.9D, false, '')""")
+    val dry = spark.sql("SELECT id_a, id_b FROM emb_pairs ORDER BY id_a")
+      .as[(Long, Long)].collect().toSeq
+    assert(dry == Seq((1L, 101L), (2L, 101L)), dry.toString)
+    // a corpus delete + SQL sweep: the dead side stops pairing
+    spark.sql("DELETE FROM testcat.db.vecs WHERE vec_id = 1")
+    val sw = spark.sql(s"""CALL testcat.system.sweep_lsh_index(
+      '$idx', 'db.vecs')""").collect()
+    assert(sw.head.getLong(0) == 1L, sw.toSeq.toString)
+    // mutating probe: extends the index for the next batch
+    spark.sql(s"""CALL testcat.system.embedding_probe(
+      'db.vbatch', 'vec_id', 'emb', '$idx', 'emb_pairs2', 0.9D, true, '')""")
+    val ext = spark.sql("SELECT id_a, id_b FROM emb_pairs2 ORDER BY id_a")
+      .as[(Long, Long)].collect().toSeq
+    assert(ext == Seq((2L, 101L)), ext.toString)
+    val again = graft.ops.DedupOps.embeddingIndexProbe(spark,
+      Seq((201L, u)).toDF("vec_id", "emb"), "vec_id", "emb", idx,
+      extendIndex = false)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(again == Seq((2L, 201L), (101L, 201L)), again.toString)
+    spark.sql("DROP TABLE testcat.db.vecs")
+    spark.sql("DROP TABLE testcat.db.vbatch")
+  }
+
   test("CALL system procedures run storage maintenance from pure SQL") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
