@@ -545,10 +545,18 @@ object DedupOps {
         // table; no per-stage checkpoint jobs)
         val st = state.collect()
         val changed = st.filter(!_.getBoolean(1)).map(_.get(0)).toSeq
-        if (changed.nonEmpty)
+        if (changed.nonEmpty) {
+          // bounded change sets ride a literal IN — it reaches the scan
+          // as a pushed source filter, so per-segment stats (and the key
+          // bloom on the keyed sets table) prune the delete's read to
+          // the touched segments; larger sets fall back to a map-only
+          // InSet filter scan
+          val cond =
+            if (changed.size <= maxIdPushdown) col("doc_id").isin(changed: _*)
+            else col("doc_id").isInCollection(changed)
           graft.spark.HadroDeleteSupport.dvDeleteWhere(
-            java.nio.file.Paths.get(tbl.path),
-            col("doc_id").isInCollection(changed))
+            java.nio.file.Paths.get(tbl.path), cond)
+        }
         val unchanged = st.filter(_.getBoolean(1)).map(_.get(0)).toSeq
         val toWrite = if (unchanged.isEmpty) rows
           else rows.filter(!col("doc_id").isInCollection(unchanged))

@@ -1002,6 +1002,57 @@ class OpsSpec extends SparkSuite {
     assert(eprobe(Seq((201L, u.map(_ * 2f)))) == Seq((101L, 201L)))
   }
 
+  test("randomized ingest/mutation sequences converge the index to the " +
+      "fresh-build state, across forced compactions") {
+    // The mutation contract's closure property: after ANY serialized
+    // sequence of probe+extend windows — fresh ids, unchanged retries,
+    // changed re-crawls, interleaved with segment compactions — the
+    // physical index must equal one built from the docs' FINAL states
+    // (same sets rows by (id, sig, payload-fp), same band rows). This is
+    // what makes the nightly loop safe to run forever: no stale row
+    // survives, no duplicate resurfaces out of a compaction rewrite of
+    // DV-masked segments.
+    val rnd = new scala.util.Random(42)
+    val wh = java.nio.file.Files.createTempDirectory("lshconv").toString
+    val idx = s"$wh/i"
+    def text(seed: Int) = (0 until 31).map(j => s"w${seed}_$j").mkString(" ")
+    DedupOps.minhashLshIndexBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val current = scala.collection.mutable.Map[Long, Int]()
+    (0 until 6).foreach { _ =>
+      val batch = (0 until 8).map { _ =>
+        val id = rnd.nextInt(12).toLong
+        val seed =
+          if (rnd.nextBoolean() && current.contains(id)) current(id)
+          else rnd.nextInt(1000)
+        id -> seed
+      }.toMap // unique ids per window (a batch carries one row per id)
+      batch.foreach { case (id, sd) => current(id) = sd }
+      // maxIndexFiles = 3 forces bin-pack compactions mid-sequence, so
+      // the rewrite path must drop DV-masked rows instead of reviving
+      DedupOps.minhashLshIndexProbe(spark,
+        batch.toSeq.map { case (i, sd) => (i, text(sd)) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx, maxIndexFiles = 3).collect()
+    }
+    val fresh = s"$wh/f"
+    DedupOps.minhashLshIndexBuild(
+      current.toSeq.map { case (i, sd) => (i, text(sd)) }
+        .toDF("doc_id", "text"),
+      "doc_id", "text", fresh)
+    def setsOf(p: String) = graft.api.Collection(spark, s"$p/sets").scan()
+      .select($"doc_id", $"sig_h", xxhash64($"payload"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    def bandsOf(p: String) = graft.api.Collection(spark, s"$p/bands").scan()
+      .select($"doc_id", $"band", $"band_hash")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(setsOf(idx) == setsOf(fresh),
+      "sets diverged from the fresh-build state")
+    assert(bandsOf(idx) == bandsOf(fresh),
+      "bands diverged from the fresh-build state")
+  }
+
   test("concurrent mutating ingests serialize on the ingest lease and " +
       "jointly reproduce the one-shot batch pairs; unfenced racing pins " +
       "provably miss the cross pairs") {
