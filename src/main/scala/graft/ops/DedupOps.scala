@@ -342,9 +342,12 @@ object DedupOps {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Serialize mutating ingests on one index: JVM monitor + cross-
-    * process file lock on `indexPath/ingest.lock`, held across
-    * pin → probe → extend. See [[minhashLshIndexProbe]]'s concurrency
-    * contract. */
+    * process lock on `indexPath/ingest.lock`, held across
+    * pin → probe → extend. The cross-process half rides
+    * [[graft.meta.FileIO]]'s `withFileLock` seam — flock on a local
+    * filesystem, a conditional-PUT lease on object-store semantics — so
+    * the contract ports wherever the collections do. See
+    * [[minhashLshIndexProbe]]'s concurrency contract. */
   private def withIngestLease[T](indexPath: String, enabled: Boolean)(
       body: => T): T =
     if (!enabled) body
@@ -354,14 +357,7 @@ object DedupOps {
       val mon = IngestLeases.computeIfAbsent(canon.toString, _ => new Object)
       mon.synchronized {
         java.nio.file.Files.createDirectories(canon)
-        val ch = java.nio.channels.FileChannel.open(
-          canon.resolve("ingest.lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock()
-          try body finally lock.release()
-        } finally ch.close()
+        graft.meta.FileIO.impl.withFileLock(canon.resolve("ingest.lock"))(body)
       }
     }
 

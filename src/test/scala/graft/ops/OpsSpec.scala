@@ -1080,12 +1080,17 @@ class OpsSpec extends SparkSuite {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val idx = build()
-    val fA = Future(probe(idx, batchA))
-    val fB = Future(probe(idx, batchB))
-    val joint = Await.result(fA, 120.seconds) ++ Await.result(fB, 120.seconds)
-    assert(joint == oneShot,
-      s"leased concurrent ingests diverged from the one-shot batch: $joint")
+    // under BOTH FileIO impls: flock locally, the conditional-PUT lease
+    // on object-store semantics — the lock seam the lease rides
+    underEachFileIO { tag =>
+      val idx = build()
+      val fA = Future(probe(idx, batchA))
+      val fB = Future(probe(idx, batchB))
+      val joint = Await.result(fA, 120.seconds) ++ Await.result(fB, 120.seconds)
+      assert(joint == oneShot,
+        s"[$tag] leased concurrent ingests diverged from the one-shot " +
+          s"batch: $joint")
+    }
     // UNFENCED: two racing ingests each pin a version that excludes the
     // other's uncommitted extend — deterministically simulated by
     // dry-running both against the SAME starting version (exactly what
