@@ -907,35 +907,28 @@ object DedupOps {
       .rdd.treeAggregate(graft.format.KeyBloom(bits, k))(
         (b, h) => { b.addHash(h); b }, (a, b) => a.union(b))
     // Serialized read-merge-write: two concurrent folds must not both
-    // merge into the SAME base and have the second rename discard the
+    // merge into the SAME base and have the second swap discard the
     // first's bits — lost bits are false NEGATIVES, which would break
     // [[bloomIncrementalDedup]]'s "negatives are proven new" invariant.
-    // A sibling lock file (OS file lock, held across re-read + rename)
-    // serializes writers across processes; the JVM-wide monitor
-    // serializes threads within one driver (FileLock is per-JVM).
+    // The cross-process lock and the publish ride the FileIO seams
+    // (flock + atomic rename locally; conditional-PUT lease + whole-
+    // object PUT under object-store semantics); the JVM-wide monitor
+    // serializes threads within one driver.
     val lockPath = p.resolveSibling(p.getFileName.toString + ".lock")
     AdmissionBloomWriteLock.synchronized {
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try {
-          // re-read under the lock: pick up bits a concurrent fold
-          // published since our first read, then merge and swap
-          val base = graft.format.KeyBloom.readFrom(p).getOrElse(existing)
-          require(base.shape == partial.shape,
-            s"admission bloom at $path changed shape concurrently " +
-              s"(${base.shape} vs ${partial.shape}) — rebuild required")
-          val merged = base.union(partial)
-          val tmp = p.resolveSibling(
-            p.getFileName.toString + s".tmp${System.nanoTime()}")
-          merged.writeTo(tmp)
-          java.nio.file.Files.move(tmp, p,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } finally lock.release()
-      } finally ch.close()
+      graft.meta.FileIO.impl.withFileLock(lockPath) {
+        // re-read under the lock: pick up bits a concurrent fold
+        // published since our first read, then merge and swap
+        val base = graft.format.KeyBloom.readFrom(p).getOrElse(existing)
+        require(base.shape == partial.shape,
+          s"admission bloom at $path changed shape concurrently " +
+            s"(${base.shape} vs ${partial.shape}) — rebuild required")
+        val merged = base.union(partial)
+        val tmp = p.resolveSibling(
+          p.getFileName.toString + s".tmp${System.nanoTime()}")
+        merged.writeTo(tmp)
+        graft.meta.FileIO.impl.replaceSlot(tmp, p)
+      }
     }
   }
 

@@ -114,30 +114,33 @@ class OpsSpec extends SparkSuite {
     assert(batchHx.forall(updated.mightContainHash))
   }
 
-  test("concurrent admission-bloom folds lose no bits (serialized RMW)") {
-    val bloomPath = java.nio.file.Files.createTempDirectory("cbloom")
-      .resolve("admission.bloom").toString
-    val corpus = docs.filter($"doc_id" < 10)
-    DedupOps.buildAdmissionBloom(corpus, "text", bloomPath, bits = 1 << 20)
-    // four batches fold CONCURRENTLY: without the lock two folds read the
-    // same base and the later rename discards the earlier bits — lost
-    // bits are false NEGATIVES, which the admission path treats as
-    // proven-new and would re-admit duplicates unverified
-    val batches = (0 until 4).map(i =>
-      docs.filter($"doc_id" % 4 === i && $"doc_id" >= 10 && $"doc_id" < 110))
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-    Await.result(Future.sequence(batches.map(b => Future {
-      DedupOps.updateAdmissionBloom(b, "text", bloomPath)
-    })), 120.seconds)
-    val bloom = graft.format.KeyBloom.readFrom(
-      java.nio.file.Paths.get(bloomPath)).get
-    val allHx = docs.filter($"doc_id" < 110)
-      .select(xxhash64(sha2($"text", 256))).as[Long].collect()
-    assert(allHx.forall(bloom.mightContainHash),
-      "a concurrently-folded batch lost bits from the admission bloom")
+  test("concurrent admission-bloom folds lose no bits (serialized RMW, " +
+      "under BOTH FileIO impls)") {
+    underEachFileIO { tag =>
+      val bloomPath = java.nio.file.Files.createTempDirectory("cbloom")
+        .resolve("admission.bloom").toString
+      val corpus = docs.filter($"doc_id" < 10)
+      DedupOps.buildAdmissionBloom(corpus, "text", bloomPath, bits = 1 << 20)
+      // four batches fold CONCURRENTLY: without the lock two folds read
+      // the same base and the later swap discards the earlier bits —
+      // lost bits are false NEGATIVES, which the admission path treats
+      // as proven-new and would re-admit duplicates unverified
+      val batches = (0 until 4).map(i =>
+        docs.filter($"doc_id" % 4 === i && $"doc_id" >= 10 && $"doc_id" < 110))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      Await.result(Future.sequence(batches.map(b => Future {
+        DedupOps.updateAdmissionBloom(b, "text", bloomPath)
+      })), 120.seconds)
+      val bloom = graft.format.KeyBloom.readFrom(
+        java.nio.file.Paths.get(bloomPath)).get
+      val allHx = docs.filter($"doc_id" < 110)
+        .select(xxhash64(sha2($"text", 256))).as[Long].collect()
+      assert(allHx.forall(bloom.mightContainHash),
+        s"[$tag] a concurrently-folded batch lost bits from the admission bloom")
+    }
   }
 
   test("token-budget sample fits the budget, maximal and partition-stable") {
