@@ -374,37 +374,32 @@ private[graft] object HadroWriteInit {
           else {
             // Serialized read-merge-write (the admission-bloom discipline):
             // two concurrent merging writers each do read → append column →
-            // atomic-move, so without a lock the second move would DISCARD
+            // swap, so without a lock the second publish would DISCARD
             // the first's column while its data segments were already
             // written at the wider nFields — later decodes would misalign.
-            // A sibling OS file lock serializes processes; the JVM monitor
-            // serializes driver threads (FileLock is per-JVM).
+            // The cross-process lock rides FileIO.withFileLock (flock
+            // locally, conditional-PUT lease on object-store semantics);
+            // the JVM monitor serializes driver threads.
             val lockPath = CollectionMeta.schemaLockFile(path)
             HadroWriteInit.MergeSchemaLock.synchronized {
-              val ch = java.nio.channels.FileChannel.open(lockPath,
-                java.nio.file.StandardOpenOption.CREATE,
-                java.nio.file.StandardOpenOption.WRITE)
-              try {
-                val lock = ch.lock()
-                try {
-                  // re-read under the lock: pick up columns a concurrent
-                  // merge published since our first read
-                  val cur = CollectionMeta.readSchema(path).getOrElse(meta0)
-                  val newFields = schema.fields.filterNot(f =>
-                    deleteCol.contains(f.name) ||
-                      cur.schema.fieldNames.contains(f.name))
-                  newFields.foreach(f => require(!f.name.startsWith("_hadro_"),
-                    s"hadro: mergeSchema cannot add reserved column '${f.name}'"))
-                  if (newFields.nonEmpty)
-                    CollectionMeta.writeSchema(path,
-                      StructType(cur.schema.fields ++ newFields.map(f =>
-                        f.copy(nullable = true,
-                          metadata = org.apache.spark.sql.types.Metadata.empty))),
-                      cur.keyField, cur.bucketBy, cur.numBuckets,
-                      cur.compress, cur.partitionBy, cur.partitionTransform,
-                      cur.priorPartitionTransforms)
-                } finally lock.release()
-              } finally ch.close()
+              graft.meta.FileIO.impl.withFileLock(lockPath) {
+                // re-read under the lock: pick up columns a concurrent
+                // merge published since our first read
+                val cur = CollectionMeta.readSchema(path).getOrElse(meta0)
+                val newFields = schema.fields.filterNot(f =>
+                  deleteCol.contains(f.name) ||
+                    cur.schema.fieldNames.contains(f.name))
+                newFields.foreach(f => require(!f.name.startsWith("_hadro_"),
+                  s"hadro: mergeSchema cannot add reserved column '${f.name}'"))
+                if (newFields.nonEmpty)
+                  CollectionMeta.writeSchema(path,
+                    StructType(cur.schema.fields ++ newFields.map(f =>
+                      f.copy(nullable = true,
+                        metadata = org.apache.spark.sql.types.Metadata.empty))),
+                    cur.keyField, cur.bucketBy, cur.numBuckets,
+                    cur.compress, cur.partitionBy, cur.partitionTransform,
+                    cur.priorPartitionTransforms)
+              }
             }
             CollectionMeta.readSchema(path).get
           }
