@@ -146,4 +146,127 @@ object ClusterOps {
       .unionByName(edges.select(col("v").as("node"), col("v").as("cluster")))
       .groupBy("node").agg(min(col("cluster")).as("cluster"))
   }
+
+  /** INCREMENTAL connected components — the nightly twin of
+    * [[connectedComponentsAltStar]], maintaining a persisted
+    * (doc_id → cluster) membership state as a doc_id-KEYED hadro
+    * collection while near-dup PAIR BATCHES arrive (the
+    * [[DedupOps.minhashLshIndexProbe]] output stream). The batch path
+    * recomputes components over the full pair log every night; this
+    * folds each window's pairs into the state touching only the
+    * clusters the window connects to:
+    *
+    *   1. the batch's doc ids (bounded → IN-pushdown into the keyed
+    *      state scan, key-bloom pruned) resolve to their CURRENT
+    *      cluster roots;
+    *   2. members of those touched clusters are pulled with a
+    *      `cluster IN (roots)` filter — map-only, segment-stat-pruned;
+    *      every OTHER cluster's rows are never read, so the update is
+    *      proportional to the touched clusters, not the corpus;
+    *   3. components run over the SUBGRAPH only: the batch pairs plus
+    *      one (member → root) edge per touched member — prior
+    *      connectivity is representable by its star, so the subgraph
+    *      is touched-sized;
+    *   4. the state mutates with the LSH-index discipline: new and
+    *      re-rooted rows APPEND first, then the superseded rows are
+    *      deletion-vector-masked with `cluster IN (changedRoots)` — a
+    *      whole cluster re-roots or none of it does, so the stale set
+    *      is expressible by its old roots alone (never a member-list
+    *      collect), and the `mutated` flag stays false.
+    *
+    * CRASH SAFETY: cluster ids are the component's minimum doc id, and
+    * components only ever MERGE (pairs are never retracted), so a
+    * node's root can only DECREASE — a crash between the append and
+    * the delete leaves duplicate rows whose min() is the correct
+    * label. [[components]] min-resolves on read, and the retried
+    * update (idempotent: identical rows are never re-appended, stale
+    * roots re-detect) converges the state. Updates on one state
+    * serialize on the same per-path ingest lease as the LSH index
+    * (concurrent unfenced folds could each miss the other's merges).
+    *
+    * Doc takedowns are downstream concerns (filter keep-lists against
+    * live ids, the d31 pattern): membership is merge-only, matching
+    * the batch CC contract (singletons never stored). Returns the
+    * number of state rows appended this window. */
+  def componentsUpdate(spark: org.apache.spark.sql.SparkSession,
+      newPairs: DataFrame, aCol: String, bCol: String, statePath: String,
+      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown): Long =
+    DedupOps.withIngestLease(statePath, enabled = true) {
+    val p = java.nio.file.Paths.get(statePath)
+    val pairs = newPairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val exists =
+      try graft.meta.CollectionMeta.readSchema(p).isDefined
+      catch { case _: Exception => false }
+    val batchDocs = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+    // current rows of every touched cluster (pinned version)
+    val old: DataFrame =
+      if (!exists) pairs.select(col("a").as("doc_id"), col("a").as("cluster")).limit(0)
+      else {
+        val coll = graft.api.Collection(spark, statePath)
+        val state = coll.scanVersion(coll.version)
+        val touched0 = graft.api.Collection
+          .boundedKeyLits(batchDocs, maxIdPushdown)
+          .fold(state.join(broadcast(batchDocs), Seq("doc_id"), "left_semi"))(
+            vs => state.filter(col("doc_id").isin(vs: _*)))
+        val roots = touched0.select(col("cluster")).distinct()
+          .collect().map(_.getLong(0)).toSeq // bounded: <= |batch docs|
+        if (roots.isEmpty) state.limit(0)
+        else if (roots.size <= maxIdPushdown)
+          state.filter(col("cluster").isin(roots: _*))
+        else state.filter(col("cluster").isInCollection(roots))
+      }
+    val oldCk = old.localCheckpoint()
+    // subgraph: batch pairs + one star edge per touched member. A root's
+    // own (root, root) row drops as a self-loop; the root still joins
+    // the subgraph through its members' star edges.
+    val labels = connectedComponentsAltStar(
+      pairs.unionByName(
+        oldCk.select(col("doc_id").as("a"), col("cluster").as("b"))
+          .filter(col("a") =!= col("b"))),
+      "a", "b")
+      .select(col("node").as("doc_id"), col("cluster")).localCheckpoint()
+    // a touched cluster re-roots atomically or not at all: changed =
+    // old roots whose own new label moved (roots only decrease)
+    val changedRoots = oldCk.select(col("cluster")).distinct()
+      .join(labels.withColumnRenamed("cluster", "new_c")
+        .withColumnRenamed("doc_id", "cluster"), Seq("cluster"))
+      .filter(col("new_c") =!= col("cluster"))
+      .select(col("cluster")).collect().map(_.getLong(0)).toSeq
+    // rows that stand: members of UNchanged clusters — everything else
+    // (fresh docs, re-rooted members) appends. Subgraph-sized join;
+    // never corpus-sized, never a member-list driver collect.
+    val unchangedOld =
+      if (changedRoots.isEmpty) oldCk
+      else if (changedRoots.size <= maxIdPushdown)
+        oldCk.filter(!col("cluster").isin(changedRoots: _*))
+      else oldCk.filter(!col("cluster").isInCollection(changedRoots))
+    val toAppend = labels
+      .join(unchangedOld.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val appended = toAppend.count()
+    if (appended > 0)
+      toAppend.write.format("hadro")
+        .mode(if (exists) "append" else "overwrite")
+        .option("hadro.key", "doc_id").save(statePath)
+    if (changedRoots.nonEmpty) {
+      val cond =
+        if (changedRoots.size <= maxIdPushdown)
+          col("cluster").isin(changedRoots: _*)
+        else col("cluster").isInCollection(changedRoots)
+      graft.spark.HadroDeleteSupport.dvDeleteWhere(p, cond)
+    }
+    appended
+  }
+
+  /** The resolved membership view for [[componentsUpdate]] state:
+    * (doc_id, cluster). min() per doc soundly collapses the duplicate
+    * rows a crashed update can leave (roots only decrease); in the
+    * steady state each doc has exactly one live row. */
+  def components(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    graft.api.Collection(spark, statePath).scan()
+      .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
 }

@@ -348,7 +348,7 @@ object DedupOps {
     * filesystem, a conditional-PUT lease on object-store semantics — so
     * the contract ports wherever the collections do. See
     * [[minhashLshIndexProbe]]'s concurrency contract. */
-  private def withIngestLease[T](indexPath: String, enabled: Boolean)(
+  private[ops] def withIngestLease[T](indexPath: String, enabled: Boolean)(
       body: => T): T =
     if (!enabled) body
     else {

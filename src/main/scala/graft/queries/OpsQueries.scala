@@ -893,6 +893,54 @@ object OpsQueries {
         SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d35
+    // INCREMENTAL connected components — the nightly consumer of the
+    // LSH ingest loop's pair stream (d30/h99): near-dup pairs arrive in
+    // windows, and the persisted (doc -> cluster) membership must stay
+    // equal to what one-shot CC over the full pair log would say,
+    // WITHOUT recomputing it — each window touches only the clusters it
+    // connects to (bounded IN-pushdown into the keyed state, members by
+    // cluster-root filter, components over the touched subgraph plus
+    // star edges, append + DV-mask with the LSH-index mutation
+    // discipline). Chain pairs hash-sliced into two windows force
+    // constant cross-window merges, including whole-cluster re-roots
+    // (the three-window ≡ batch equivalence is additionally spec'd at
+    // unit scale in OpsSpec).
+    // Oracle = d12's transitive-closure ground truth over all pairs.
+    QueryDef(
+      "d35_incremental_components",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val st = s"/tmp/graft_collections/$tag/d35_state"
+        freshDir(st)
+        val d = table(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 3000)
+        val pairs = d.as("x").join(d.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1 &&
+              col("x.doc_id") % 10 =!= 9)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .localCheckpoint()
+        (0 until 2).foreach { w =>
+          ClusterOps.componentsUpdate(s,
+            pairs.filter(pmod(xxhash64(col("doc_a")), lit(2)) === w),
+            "doc_a", "doc_b", st)
+          ()
+        }
+        ClusterOps.components(s, st).orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+          WHERE x.doc_id % 10 <> 9 AND x.doc_id < 3000 AND y.doc_id < 3000),
+        edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)
+        SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- d13
     // Duplicated-span profile ("substring dedup" measure): per doc, how
     // many of its distinct 10-token windows appear in at least one other

@@ -44,7 +44,8 @@ object HadroProcedures {
       "typed_changes", "rollup_bootstrap", "rollup_cycle", "rollup_refresh",
       "resolved_view", "sweep_index",
       "neardup_index_build", "neardup_probe", "sweep_lsh_index",
-      "embedding_index_build", "embedding_probe")
+      "embedding_index_build", "embedding_probe",
+      "components_update", "components_view")
 
   /** "fn:src:out,..." — the aggregate spec grammar of the rollup
     * procedures (fn in min|max|sum), e.g.
@@ -532,6 +533,32 @@ object HadroProcedures {
             threshold = in.getDouble(5), extendIndex = extend, live = live)
             .createOrReplaceTempView(view)
           Seq(InternalRow(UTF8String.fromString(view), extend))
+        }
+      case "components_update" => proc("components_update",
+        "fold a near-dup PAIR table (two long id columns) into the " +
+          "persisted incremental connected-components membership at " +
+          "state_dir — the downstream consumer of the neardup_probe " +
+          "pair stream: touched clusters re-root, untouched clusters " +
+          "are never read, crash retries are idempotent (see " +
+          "components_view for the resolved read). Returns rows appended",
+        Seq(p("pairs_table", StringType), p("a_col", StringType),
+          p("b_col", StringType), p("state_dir", StringType)),
+        new StructType().add("rows_appended", LongType)) { in =>
+          Seq(InternalRow(graft.ops.ClusterOps.componentsUpdate(
+            SparkSession.active, coll(in).toDF(),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getUTF8String(3).toString)))
+        }
+      case "components_view" => proc("components_view",
+        "register a TEMP VIEW of the resolved (doc_id, cluster) " +
+          "membership maintained by components_update (min-resolved: " +
+          "duplicate rows from a crashed update collapse soundly)",
+        Seq(p("state_dir", StringType), p("view", StringType)),
+        new StructType().add("view", StringType)) { in =>
+          val view = in.getUTF8String(1).toString
+          graft.ops.ClusterOps.components(SparkSession.active,
+            in.getUTF8String(0).toString).createOrReplaceTempView(view)
+          Seq(InternalRow(UTF8String.fromString(view)))
         }
       case "sweep_lsh_index" => proc("sweep_lsh_index",
         "physically sweep a near-dup LSH index (text or embedding) " +

@@ -1005,6 +1005,72 @@ class OpsSpec extends SparkSuite {
     assert(eprobe(Seq((201L, u.map(_ * 2f)))) == Seq((101L, 201L)))
   }
 
+  test("incremental connected components fold pair windows into the " +
+      "persisted membership state: merges re-root whole clusters, " +
+      "retries are no-ops, crash duplicates min-resolve") {
+    val st = java.nio.file.Files.createTempDirectory("icc").toString + "/s"
+    def comps() = ClusterOps.components(spark, st)
+      .as[(Long, Long)].collect().sorted.toSeq
+    // window 1: two separate clusters {10,11} and {20,21}
+    ClusterOps.componentsUpdate(spark,
+      Seq((10L, 11L), (20L, 21L)).toDF("a", "b"), "a", "b", st)
+    assert(comps() == Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
+    // window 2: a bridging pair MERGES them — cluster {20,21} must
+    // re-root to 10 even though neither 20 nor 21 is in the batch's
+    // touched docs beyond the bridge
+    ClusterOps.componentsUpdate(spark,
+      Seq((11L, 21L)).toDF("a", "b"), "a", "b", st)
+    assert(comps() ==
+      Seq((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L)),
+      s"merge did not re-root the absorbed cluster: ${comps()}")
+    // retry of the same window: idempotent (no appended rows)
+    assert(ClusterOps.componentsUpdate(spark,
+      Seq((11L, 21L)).toDF("a", "b"), "a", "b", st) == 0L)
+    assert(comps() ==
+      Seq((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L)))
+    // window 3: a FRESH doc with a smaller id becomes the new root of
+    // the whole merged component
+    ClusterOps.componentsUpdate(spark,
+      Seq((5L, 21L)).toDF("a", "b"), "a", "b", st)
+    assert(comps() == Seq((5L, 5L), (10L, 5L), (11L, 5L),
+      (20L, 5L), (21L, 5L)), comps().toString)
+    // crash shape: a duplicate (stale-root) row planted directly —
+    // reads min-resolve, and the next update sweeps it
+    graft.api.Collection(spark, st)
+      .append(Seq((20L, 20L)).toDF("doc_id", "cluster"))
+    assert(comps().contains((20L, 5L)),
+      s"duplicate row broke min-resolution: ${comps()}")
+    ClusterOps.componentsUpdate(spark,
+      Seq((20L, 21L)).toDF("a", "b"), "a", "b", st)
+    val raw = graft.api.Collection(spark, st).scan()
+      .filter($"doc_id" === 20L).count()
+    assert(raw == 1L, s"retried update left $raw live rows for doc 20")
+    assert(comps() == Seq((5L, 5L), (10L, 5L), (11L, 5L),
+      (20L, 5L), (21L, 5L)))
+  }
+
+  test("incremental components over hash-sliced windows equal the " +
+      "one-shot batch components") {
+    val st = java.nio.file.Files.createTempDirectory("iccw").toString + "/s"
+    // chain graph, broken every 10 ids (the d12 shape, smaller)
+    val n = 200
+    val pairs = (0 until n).filter(_ % 10 != 9)
+      .map(i => (i.toLong, i.toLong + 1L))
+    (0 until 3).foreach { w =>
+      val slice = pairs.filter { case (a, _) =>
+        java.lang.Long.remainderUnsigned(
+          scala.util.hashing.MurmurHash3.stringHash(a.toString).toLong, 3) == w
+      }
+      ClusterOps.componentsUpdate(spark, slice.toDF("a", "b"), "a", "b", st)
+    }
+    val inc = ClusterOps.components(spark, st)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val batch = ClusterOps.connectedComponentsAltStar(
+      pairs.toDF("a", "b"), "a", "b")
+      .select($"node", $"cluster").as[(Long, Long)].collect().sorted.toSeq
+    assert(inc == batch, "windowed fold diverged from one-shot components")
+  }
+
   test("randomized ingest/mutation sequences converge the index to the " +
       "fresh-build state, across forced compactions") {
     // The mutation contract's closure property: after ANY serialized

@@ -111,6 +111,29 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.vbatch")
   }
 
+  test("CALL components_update / components_view fold pair windows from " +
+      "pure SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    val st = s"$warehouse/cc_state"
+    Seq((10L, 11L), (20L, 21L)).toDF("a", "b")
+      .write.format("hadro").mode("overwrite").save(s"$warehouse/db/w1")
+    Seq((11L, 21L)).toDF("a", "b")
+      .write.format("hadro").mode("overwrite").save(s"$warehouse/db/w2")
+    val r1 = spark.sql(s"""CALL testcat.system.components_update(
+      'db.w1', 'a', 'b', '$st')""").collect()
+    assert(r1.head.getLong(0) == 4L, r1.toSeq.toString)
+    spark.sql(s"""CALL testcat.system.components_update(
+      'db.w2', 'a', 'b', '$st')""")
+    spark.sql(s"CALL testcat.system.components_view('$st', 'cc_m')")
+    val m = spark.sql("SELECT doc_id, cluster FROM cc_m ORDER BY doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(m == Seq((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L)),
+      s"SQL components loop diverged: $m")
+    spark.sql("DROP TABLE testcat.db.w1")
+    spark.sql("DROP TABLE testcat.db.w2")
+  }
+
   test("CALL system procedures run storage maintenance from pure SQL") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
