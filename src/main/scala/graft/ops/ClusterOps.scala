@@ -269,4 +269,29 @@ object ClusterOps {
       statePath: String): DataFrame =
     graft.api.Collection(spark, statePath).scan()
       .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+
+  /** The CLUSTER KEEP-LIST — what a dedup pipeline actually consumes
+    * from [[componentsUpdate]] state: one row per duplicate cluster
+    * with its kept representative and member count. `live` (a
+    * one-column id frame, e.g. `collection.ids()`) makes it
+    * takedown-aware: dead members drop before the keep choice, so the
+    * representative is the smallest doc that still EXISTS — the d31
+    * pattern applied downstream (membership itself is merge-only; the
+    * liveness filter is a read-side concern, never a state rewrite). A
+    * cluster whose members all died disappears. One key-equality
+    * semi-join (doc_id) plus one cluster-keyed aggregation — both plain
+    * shuffles on id columns, nothing corpus-quadratic. Singleton docs
+    * never enter membership, so the keep-list covers exactly the
+    * multi-doc clusters (everything else is kept by definition).
+    * Returns (cluster, keep_id, n_members). */
+  def keepList(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      live: Option[DataFrame] = None): DataFrame = {
+    val m = components(spark, statePath)
+    val alive = live.fold(m)(l =>
+      m.join(l.select(col(l.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_semi"))
+    alive.groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_members"))
+  }
 }

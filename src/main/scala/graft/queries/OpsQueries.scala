@@ -941,6 +941,52 @@ object OpsQueries {
         SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d36
+    // TAKEDOWN-AWARE KEEP-LIST over the incremental membership: what the
+    // pipeline consumes from d35's state — one row per duplicate
+    // cluster, representative = smallest LIVE member (dead docs drop
+    // read-side, the d31 pattern; a fully-dead cluster disappears).
+    // State builds once (the read verb is under test, not the fold);
+    // oracle = transitive closure + the same liveness rule.
+    QueryDef(
+      "d36_cluster_keep_list",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val st = s"/tmp/graft_collections/$tag/d36_state"
+        val d = table(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 3000)
+        Fixtures.buildOnce(dir, "d36_state") {
+          freshDir(st)
+          val pairs = d.as("x").join(d.as("y"),
+              col("y.doc_id") === col("x.doc_id") + 1 &&
+                col("x.doc_id") % 10 =!= 9)
+            .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          ClusterOps.componentsUpdate(s, pairs, "doc_a", "doc_b", st)
+          ()
+        }
+        // takedown rule: every %7 doc is gone by keep-list time
+        ClusterOps.keepList(s, st,
+            live = Some(d.filter(col("doc_id") % 7 =!= 0)))
+          .orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+          WHERE x.doc_id % 10 <> 9 AND x.doc_id < 3000 AND y.doc_id < 3000),
+        edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM memb WHERE doc_id % 7 <> 0
+        GROUP BY cluster ORDER BY cluster""")),
+
     // ---------------------------------------------------------------- d13
     // Duplicated-span profile ("substring dedup" measure): per doc, how
     // many of its distinct 10-token windows appear in at least one other

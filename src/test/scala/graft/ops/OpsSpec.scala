@@ -1049,6 +1049,23 @@ class OpsSpec extends SparkSuite {
       (20L, 5L), (21L, 5L)))
   }
 
+  test("keepList picks the smallest LIVE member per cluster and drops " +
+      "fully-dead clusters") {
+    val st = java.nio.file.Files.createTempDirectory("kl").toString + "/s"
+    ClusterOps.componentsUpdate(spark,
+      Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b"), "a", "b", st)
+    // no live filter: min member is kept
+    val all = ClusterOps.keepList(spark, st)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(all == Seq((10L, 10L, 3L), (20L, 20L, 2L)), all.toString)
+    // doc 10 taken down: cluster 10's representative moves to the
+    // smallest SURVIVOR; cluster 20 fully dead disappears
+    val live = Seq(11L, 12L).toDF("doc_id")
+    val filtered = ClusterOps.keepList(spark, st, Some(live))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(filtered == Seq((10L, 11L, 2L)), filtered.toString)
+  }
+
   test("incremental components over hash-sliced windows equal the " +
       "one-shot batch components") {
     val st = java.nio.file.Files.createTempDirectory("iccw").toString + "/s"
