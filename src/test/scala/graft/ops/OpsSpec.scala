@@ -837,6 +837,57 @@ class OpsSpec extends SparkSuite {
         s"(index band volume ~$idxBandBytes)")
   }
 
+  test("live-gated probe is hit-proportional across ALL its jobs " +
+      "(listener-measured, including the eager checkpoint stages)") {
+    // The returned plan only shows the final verification subtree; the
+    // live gate's candidate pipeline executes EAGERLY inside the probe
+    // call (localCheckpoint jobs), invisible to plan walks. A Spark
+    // listener totals shuffle-write bytes across every stage the probe
+    // runs, so a regression that re-grows an index-cardinality exchange
+    // anywhere in the gated pipeline fails here even though d31's bench
+    // query number would not see it.
+    val idx = java.nio.file.Files.createTempDirectory("lshlst").toString + "/i"
+    val nIdx = 4000
+    val corpus = (0 until nIdx).map { i =>
+      (i.toLong, (0 until 31).map(j => s"c${i}w$j").mkString(" "))
+    }
+    DedupOps.minhashLshIndexBuild(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val batch = (0 until 5).map { i =>
+      (100000L + i, (0 until 31).map(j => s"c${i * 7}w$j").mkString(" ") +
+        " extra")
+    }
+    val live = corpus.map(_._1).toDF("doc_id").localCheckpoint()
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        bytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val pairs =
+      try {
+        val out = DedupOps.minhashLshIndexProbe(spark,
+          batch.toDF("doc_id", "text"), "doc_id", "text", idx,
+          extendIndex = false, live = Some(live))
+          .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+        // listener events are delivered asynchronously — drain before
+        // reading the accumulated total
+        Thread.sleep(2000)
+        out.sorted.toSeq
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(pairs == (0 until 5).map(i => (i * 7L, 100000L + i)).toSeq,
+      pairs.toString)
+    val idxBandBytes = nIdx.toLong * 16 * 24
+    assert(bytes.get() < idxBandBytes / 10,
+      s"live-gated probe shuffled ${bytes.get()} bytes across all jobs " +
+        s"— index-cardinality rows are crossing an exchange somewhere " +
+        s"in the gated pipeline (index band volume ~$idxBandBytes)")
+  }
+
   test("LSH index probe is delete-aware with `live`, and sweepLshIndex " +
       "physically removes dead docs while preserving a concurrent extend") {
     val wh = java.nio.file.Files.createTempDirectory("lshda").toString
