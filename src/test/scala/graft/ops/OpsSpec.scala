@@ -791,6 +791,14 @@ class OpsSpec extends SparkSuite {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
     assert(p3 == Seq((3L, 401L)),
       s"dry-run probe must not have extended the index: $p3")
+    // an EMPTY batch is a clean no-op in both modes
+    val before = graft.api.Collection(spark, s"$idx/sets").count()
+    val emptyOut = DedupOps.minhashLshIndexProbe(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", idx).collect()
+    assert(emptyOut.isEmpty)
+    assert(graft.api.Collection(spark, s"$idx/sets").count() == before,
+      "an empty batch changed the index")
   }
 
   test("LSH index probe is hit-proportional: on a large-index/small-batch " +
@@ -1074,9 +1082,12 @@ class OpsSpec extends SparkSuite {
     assert(comps() ==
       Seq((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L)),
       s"merge did not re-root the absorbed cluster: ${comps()}")
-    // retry of the same window: idempotent (no appended rows)
+    // retry of the same window: idempotent (no appended rows); an empty
+    // window is equally a no-op
     assert(ClusterOps.componentsUpdate(spark,
       Seq((11L, 21L)).toDF("a", "b"), "a", "b", st) == 0L)
+    assert(ClusterOps.componentsUpdate(spark,
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", st) == 0L)
     assert(comps() ==
       Seq((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L)))
     // window 3: a FRESH doc with a smaller id becomes the new root of
