@@ -83,28 +83,36 @@ object IncrementalRollup {
     * stamp registration is still in scope: the thread-local stamp is
     * consumed by a successful manifest commit ON THE REGISTERING THREAD
     * — so "stamp still armed, yet the rollup manifest advanced without
-    * our (cursor -> head) entry" means the MERGE's commit ran on some
-    * other thread and the applied-version record was silently dropped:
-    * exactly-once just degraded to double-apply-on-crash. Fail loudly
-    * instead of letting the downgrade age. (Spark's eager command
-    * execution commits on the calling thread today; this guards the
-    * protocol against a future async commit path.) A no-op MERGE over
-    * an empty window commits nothing and keeps the stamp armed with the
-    * version unmoved — fine, the cursor tag alone carries that cycle. */
+    * our (cursor -> head) entry" is the signature of the MERGE's commit
+    * running on some other thread, silently dropping the
+    * applied-version record (exactly-once degraded to
+    * double-apply-on-crash; Spark's eager command execution commits on
+    * the calling thread today — this guards against a future async
+    * commit path). The same signature ALSO arises on a perfectly
+    * healthy cycle, though: a no-op MERGE over an empty window commits
+    * nothing (the stamp stays armed), and a CONCURRENT commit on the
+    * rollup — another cursor's cycle, maintenance — can advance the
+    * version in that window. The two are indistinguishable from here,
+    * so this surfaces as an ERROR-level log (actionable, greppable)
+    * rather than an exception: throwing would permanently fail healthy
+    * multi-cursor deployments on a race, which is worse than a loud
+    * diagnostic for a hypothetical future code path. */
   private def assertEpochPublished(rp: java.nio.file.Path,
       cursorTag: String, preVersion: Long, head: Long): Unit =
     if (CollectionMeta.commitEpochArmed(rp)) {
       val m = CollectionMeta.currentManifest(rp)
       if (m.version != preVersion &&
           !m.streamEpochs.get(epochKey(cursorTag)).contains(head))
-        throw new IllegalStateException(
+        org.slf4j.LoggerFactory.getLogger(getClass).error(
           s"hadro: rollup manifest advanced v$preVersion -> v${m.version} " +
             s"without recording applied version $head for cursor " +
-            s"'$cursorTag' (streamEpochs: ${m.streamEpochs}) — the MERGE " +
-            "committed off the registering thread, so the exactly-once " +
-            "stamp was not published; NOT advancing the cursor. (If a " +
-            "concurrent consumer shares this rollup, serialize cycles " +
-            "per the single-consumer-per-cursor contract.)")
+            s"'$cursorTag' (streamEpochs: ${m.streamEpochs}). If no other " +
+            "writer shares this rollup, the MERGE committed off the " +
+            "registering thread and the exactly-once stamp was dropped — " +
+            "a crash before the cursor tag moves would re-apply this " +
+            "window; investigate before trusting the rollup. (A no-op " +
+            "MERGE racing a concurrent legitimate commit logs this too " +
+            "and is harmless.)")
     }
 
   private def deltas(spark: SparkSession, factPath: String,

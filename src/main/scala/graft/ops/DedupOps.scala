@@ -164,12 +164,34 @@ object DedupOps {
     * its stored signature (stale rows are deletion-vector-masked, new
     * rows appended — see [[minhashLshIndexProbe]]), the re-crawl shape
     * a live pipeline hits constantly; unchanged retries stay no-ops. */
+  /** ONE ROW PER ID, deterministically: a crawl batch (or build input)
+    * carrying the same id twice keeps the row whose content hashes
+    * smallest — exact duplicate rows collapse to one, conflicting
+    * contents resolve stably. Without this, duplicate ids write
+    * duplicate index rows, and a later re-ingest of that id would
+    * classify it as BOTH changed and unchanged — DV-masking every copy
+    * while the append excludes it: the doc silently vanishes from
+    * verification. One partial-aggregating batch-sized shuffle. */
+  private def onePerId(df: DataFrame, idCol: String,
+      contentCol: String): DataFrame =
+    df.groupBy(col(idCol))
+      .agg(min_by(col(contentCol), xxhash64(col(contentCol))).as(contentCol))
+
   def minhashLshIndexBuild(df: DataFrame, idCol: String, textCol: String,
       indexPath: String, shingleK: Int = 3, numHashes: Int = 64,
       bands: Int = 16): Unit = {
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(col(idCol).as("doc_id"),
-      TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // banding parameters ride a params sidecar (the embedding-index
+    // discipline): a probe — Scala or the SQL procedure — reads them
+    // from the index itself and can never signature a batch
+    // incompatibly with the banding the index was built under
+    Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
+      .write.format("hadro").mode("overwrite").save(s"$indexPath/params")
+    val withSig = onePerId(df, idCol, textCol)
+      .select(col(idCol).as("doc_id"),
+        TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
     // sets is KEYED by doc_id (one row per doc; extensions stay plain
     // inserts — the probe's anti-join keeps ids unique, so raw scans
@@ -281,21 +303,32 @@ object DedupOps {
       maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
       eagerVerify: Boolean = false,
       serializeIngest: Boolean = true): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // ONE MinHash pass over the batch: the signatured frame is
-    // checkpointed eagerly (batch-sized blocks, ContextCleaner-reclaimed
-    // on GC — unlike Dataset.persist, which pins the CacheManager entry
-    // until an explicit unpersist and leaked across nightly ingests);
-    // banding, stars, verification and the extension all read the blocks
-    val sigCk = newDocs.select(col(idCol).as("doc_id"),
-      TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
-      .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
+    // banding comes from the index's own params sidecar when present —
+    // a probe can never band incompatibly with what it probes; the
+    // explicit arguments serve only param-less pre-upgrade indexes
+    val (sk, nh, nb) =
+      try {
+        val p = graft.api.Collection(spark, s"$indexPath/params")
+          .toDF().head()
+        (p.getInt(0), p.getInt(1), p.getInt(2))
+      } catch { case _: Exception => (shingleK, numHashes, bands) }
+    val rowsPerBand = nh / nb
+    // ONE MinHash pass over the DEDUPLICATED batch ([[onePerId]]): the
+    // signatured frame is checkpointed eagerly (batch-sized blocks,
+    // ContextCleaner-reclaimed on GC — unlike Dataset.persist, which
+    // pins the CacheManager entry until an explicit unpersist and leaked
+    // across nightly ingests); banding, stars, verification and the
+    // extension all read the blocks
+    val sigCk = onePerId(newDocs, idCol, textCol)
+      .select(col(idCol).as("doc_id"),
+        TextOps.shingleSet(col(textCol), sk).as("shingles"))
+      .withColumn("sig", TextOps.minhashSignature(col("shingles"), nh))
       .localCheckpoint()
     val newSets = sigCk.select(col("doc_id"),
       xxhash64(col("sig")).as("sig_h"),
       transform(col("shingles"), s => xxhash64(s)).as("payload"))
     val newBands = sigCk.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      posexplode(transform(sequence(lit(0), lit(nb - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
           lit(rowsPerBand)), b))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
@@ -567,8 +600,16 @@ object DedupOps {
         .join(broadcast(newSets.select(col("doc_id"),
           col("sig_h").as("nsig"), xxhash64(col("payload")).as("nfp"))),
           Seq("doc_id"))
+        // per ID over ALL its stored rows: unchanged only when the single
+        // stored row matches — an id holding duplicate rows (written by a
+        // pre-dedupe version) counts as changed, so the DV-delete +
+        // re-append HEALS it to one row instead of the changed/unchanged
+        // split deleting every copy while the append excludes it
+        .groupBy(col("doc_id"))
+        .agg(min(col("sig_h") === col("nsig") && col("fp") === col("nfp"))
+          .as("allmatch"), count(lit(1)).as("nrows"))
         .select(col("doc_id"),
-          (col("sig_h") === col("nsig") && col("fp") === col("nfp")).as("same"))
+          (col("allmatch") && col("nrows") === 1).as("same"))
       extendTable(setsColl, newSets, setsState)
       // bands: `bands` rows per id — unchanged iff every (band,
       // band_hash) row matches; the full join also catches a crash that
@@ -624,7 +665,8 @@ object DedupOps {
     import spark.implicits._
     Seq((bits, numBands)).toDF("bits", "bands")
       .write.format("hadro").mode("overwrite").save(s"$indexPath/params")
-    val withSig = embeddingSigned(df, idCol, vecCol, bits, numBands)
+    val withSig = embeddingSigned(onePerId(df, idCol, vecCol), idCol,
+      vecCol, bits, numBands)
     // keyed by doc_id for the same pushdown-pruned verification fetch
     // as the MinHash index (see [[minhashLshIndexBuild]])
     withSig.select(col("doc_id"), col("sig_h"), col("payload"))
@@ -674,9 +716,10 @@ object DedupOps {
     val params = indexCollection(spark, indexPath, "params").toDF().head()
     val bits = params.getInt(0)
     val numBands = params.getInt(1)
-    // one sign-LSH pass over the batch (the sigCk discipline)
-    val sigCk = embeddingSigned(newDocs, idCol, vecCol, bits, numBands)
-      .localCheckpoint()
+    // one sign-LSH pass over the DEDUPLICATED batch (the sigCk +
+    // onePerId discipline — see minhashLshIndexProbe)
+    val sigCk = embeddingSigned(onePerId(newDocs, idCol, vecCol),
+      idCol, vecCol, bits, numBands).localCheckpoint()
     val pins = mustCheck.map(_.select(col("id_a").as("doc_a"),
       col("id_b").as("doc_b")))
     indexProbeCore(spark, indexPath, sigCk,

@@ -64,6 +64,31 @@ object Fixtures {
     ()
   }
 
+  /** [[restoreFromTemplate]] for a fixture TREE of several collections
+    * (an LSH index's sets/bands/params, a catalog warehouse): the first
+    * call builds `templateBase` once per JVM; every call wipes each
+    * `subs` path under `dstBase` and hard-link-clones the template's
+    * collection there. Mutating-loop queries (d32/st25/d34/h99) re-pay
+    * only the ingest under test per bench rep, never the fixture
+    * build. */
+  def restoreFromTemplateTree(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, name: String, templateBase: String, dstBase: String,
+      subs: Seq[String])(buildTemplate: String => Unit): Unit = {
+    readOnly(sfDir, s"tpltree#$name") {
+      val t = java.nio.file.Paths.get(templateBase)
+      if (java.nio.file.Files.exists(t)) deleteRecursively(t)
+      buildTemplate(templateBase)
+      java.lang.Boolean.TRUE
+    }
+    subs.foreach { sub =>
+      val dst = java.nio.file.Paths.get(s"$dstBase/$sub")
+      if (java.nio.file.Files.exists(dst)) deleteRecursively(dst)
+      graft.api.Collection(spark, s"$templateBase/$sub")
+        .cloneTo(s"$dstBase/$sub")
+      ()
+    }
+  }
+
   private[queries] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
       val s = java.nio.file.Files.list(p)

@@ -53,25 +53,6 @@ object OpsQueries {
     rm(new java.io.File(path))
   }
 
-  /** Clone-restore a MUTATING fixture tree from a build-once template:
-    * the first call builds `templateBase` once per JVM; every call wipes
-    * each `subs` path under `dstBase` and hard-link-clones the template's
-    * collection there (metadata-speed — the h52 cloneTo). The
-    * d32/st25/h99/d34 probe+extend loops re-pay only the ingest under
-    * test per bench rep, never the fixture build. */
-  private def restoreFromTemplateTree(s: SparkSession, sfDir: String,
-      name: String, templateBase: String, dstBase: String,
-      subs: Seq[String])(build: String => Unit): Unit = {
-    Fixtures.readOnly(sfDir, s"idxtpl#$name") {
-      freshDir(templateBase); build(templateBase); java.lang.Boolean.TRUE
-    }
-    subs.foreach { sub =>
-      freshDir(s"$dstBase/$sub")
-      graft.api.Collection(s, s"$templateBase/$sub").cloneTo(s"$dstBase/$sub")
-      ()
-    }
-  }
-
   /** The shared EXACT all-pairs Jaccard oracle (DuckDB): rank each doc's
     * shingles rarest-first and block on the length-derived prefix (two
     * sets with J >= 0.8 MUST share an element in their first
@@ -380,9 +361,9 @@ object OpsQueries {
         // day 0: an empty index — the loop bootstraps itself (built once
         // as a template; each rep clone-restores it so the bench re-pays
         // only the five ingests under test, never the fixture build)
-        restoreFromTemplateTree(s, dir, "d32_idx",
+        Fixtures.restoreFromTemplateTree(s, dir, "d32_idx",
           s"/tmp/graft_collections/$tag/d32_tpl", idx,
-          Seq("sets", "bands")) { tb =>
+          Seq("sets", "bands", "params")) { tb =>
           DedupOps.minhashLshIndexBuild(planted.limit(0),
             "doc_id", "text", tb)
         }
@@ -471,12 +452,12 @@ object OpsQueries {
         val d = table(s, dir, "documents").filter(col("doc_id") % 4 === 0)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val idx = s"/tmp/graft_collections/$tag/d34_idx"
-        // pre-crawl corpus: the %20 docs were crawled corrupted. The
+        // pre-crawl corpus: the %40 docs were crawled corrupted. The
         // probes MUTATE the index — clone-restore it from a build-once
         // template per run
-        restoreFromTemplateTree(s, dir, "d34_idx",
+        Fixtures.restoreFromTemplateTree(s, dir, "d34_idx",
           s"/tmp/graft_collections/$tag/d34_tpl", idx,
-          Seq("sets", "bands")) { tb =>
+          Seq("sets", "bands", "params")) { tb =>
           DedupOps.minhashLshIndexBuild(
             d.withColumn("text", when(col("doc_id") % 40 === 0,
               reverse(col("text"))).otherwise(col("text"))),
@@ -5203,9 +5184,9 @@ object OpsQueries {
         // the source collection and the day-0 empty index never change
         // across reps — build once as templates, clone-restore per run
         // so the stream re-pays only the probe+extend loop under test
-        restoreFromTemplateTree(s, dir, "st25",
+        Fixtures.restoreFromTemplateTree(s, dir, "st25",
           s"/tmp/graft_collections/$tag/st25_tpl", base,
-          Seq("src", "idx/sets", "idx/bands")) { tb =>
+          Seq("src", "idx/sets", "idx/bands", "idx/params")) { tb =>
           graft.api.Collection.create(s, s"$tb/src", planted,
             numSegments = 3)
           DedupOps.minhashLshIndexBuild(planted.limit(0),
@@ -5258,18 +5239,25 @@ object OpsQueries {
         // corpus (keyed — liveness resolves through the key), tonight's
         // batch, and the built index restore from build-once templates:
         // each rep re-pays only the takedown+sweep+ingest under test
-        restoreFromTemplateTree(s, dir, "h99",
+        Fixtures.restoreFromTemplateTree(s, dir, "h99",
           s"/tmp/graft_collections/$tag/h99_tpl", wh,
-          Seq("db/corpus", "db/batch", "nd_idx/sets", "nd_idx/bands")) { tb =>
+          Seq("db/corpus", "db/batch", "nd_idx/sets", "nd_idx/bands",
+            "nd_idx/params")) { tb =>
           graft.api.Collection.create(s, s"$tb/db/corpus", d,
             key = Some("doc_id"))
           d.filter(col("doc_id") % 20 === 0)
             .withColumn("doc_id", col("doc_id") + 1000000L)
             .withColumn("text", concat(col("text"), lit(" extraplantedtoken")))
             .write.format("hadro").mode("overwrite").save(s"$tb/db/batch")
-          DedupOps.minhashLshIndexBuild(
-            graft.api.Collection(s, s"$tb/db/corpus").toDF(),
-            "doc_id", "text", s"$tb/nd_idx")
+          // the build itself is SQL too (a catalog over the template dir)
+          s.conf.set("spark.sql.catalog.graft_h99tpl",
+            classOf[graft.spark.HadroCatalog].getName)
+          s.conf.set("spark.sql.catalog.graft_h99tpl.warehouse", tb)
+          val b = s.sql(s"""CALL graft_h99tpl.system.neardup_index_build(
+            'db.corpus', 'doc_id', 'text', '$tb/nd_idx', 3, 64, 16)""")
+            .collect()
+          require(b.length == 1 && b.head.getLong(0) > 0,
+            s"neardup_index_build descriptor: ${b.toSeq}")
         }
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h99.db")
         // takedown AFTER the index was built...

@@ -442,16 +442,22 @@ object HadroProcedures {
           "banding plus the doc_id-KEYED verification sets) — the ingest " +
           "loop's day-0 verb; nightly batches then probe+extend it via " +
           "neardup_probe, and sweep_lsh_index reclaims delete churn. The " +
-          "pure-SQL route to graft.ops.DedupOps.minhashLshIndexBuild",
+          "banding (shingle_k, num_hashes, bands) persists in the index's " +
+          "params sidecar, so probes self-configure and can never band " +
+          "incompatibly. The pure-SQL route to " +
+          "graft.ops.DedupOps.minhashLshIndexBuild",
         Seq(p("table", StringType), p("id_col", StringType),
-          p("text_col", StringType), p("index_dir", StringType)),
+          p("text_col", StringType), p("index_dir", StringType),
+          p("shingle_k", IntegerType), p("num_hashes", IntegerType),
+          p("bands", IntegerType)),
         new StructType().add("docs_indexed", LongType)
           .add("index_dir", StringType)) { in =>
           val c = coll(in)
           val dirStr = in.getUTF8String(3).toString
           graft.ops.DedupOps.minhashLshIndexBuild(c.toDF(),
             in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-            dirStr)
+            dirStr, shingleK = in.getInt(4), numHashes = in.getInt(5),
+            bands = in.getInt(6))
           Seq(InternalRow(
             Collection(SparkSession.active, s"$dirStr/sets").count(),
             UTF8String.fromString(dirStr)))

@@ -882,9 +882,14 @@ class OpsSpec extends SparkSuite {
           batch.toDF("doc_id", "text"), "doc_id", "text", idx,
           extendIndex = false, live = Some(live))
           .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
-        // listener events are delivered asynchronously — drain before
-        // reading the accumulated total
-        Thread.sleep(2000)
+        // listener events are delivered asynchronously — poll until the
+        // accumulated total is STABLE (a fixed sleep can under-count on
+        // a lagging bus and pass the byte bound vacuously)
+        var prev = -1L
+        var waited = 0
+        while (waited < 20000 && (prev != bytes.get() || prev == 0L)) {
+          prev = bytes.get(); Thread.sleep(500); waited += 500
+        }
         out.sorted.toSeq
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(pairs == (0 until 5).map(i => (i * 7L, 100000L + i)).toSeq,
@@ -1109,6 +1114,38 @@ class OpsSpec extends SparkSuite {
     assert(raw == 1L, s"retried update left $raw live rows for doc 20")
     assert(comps() == Seq((5L, 5L), (10L, 5L), (11L, 5L),
       (20L, 5L), (21L, 5L)))
+  }
+
+  test("duplicate batch ids dedupe deterministically; a probe reads its " +
+      "banding from the index's params sidecar") {
+    val idx = java.nio.file.Files.createTempDirectory("lshdup").toString + "/i"
+    val tA = (0 until 31).map(i => s"a$i").mkString(" ")
+    val tB = (0 until 31).map(i => s"b$i").mkString(" ")
+    def probe(rows: Seq[(Long, String)]) =
+      DedupOps.minhashLshIndexProbe(spark, rows.toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    def setsRows() = graft.api.Collection(spark, s"$idx/sets").count()
+    // NON-DEFAULT banding at build: probes must pick it up from the
+    // params sidecar — with hardcoded defaults the (band, band_hash)
+    // join would match nothing and planted pairs would vanish
+    DedupOps.minhashLshIndexBuild(
+      Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, shingleK = 3, numHashes = 128, bands = 32)
+    assert(probe(Seq((101L, tA + " x"))) == Seq((1L, 101L)),
+      "probe did not read banding from the params sidecar")
+    // a batch carrying one id twice (exact dup + conflicting content)
+    // keeps exactly ONE deterministic row and writes one index row
+    val dup = Seq((201L, tA), (201L, tA), (202L, tA), (202L, tB))
+    val out = probe(dup)
+    assert(setsRows() == 5L,
+      s"duplicate batch ids multiplied index rows: ${setsRows()}")
+    // re-ingesting the id must not emit duplicate pairs or drop the doc
+    val again = probe(Seq((201L, tA)))
+    assert(again == again.distinct, s"duplicate pairs: $again")
+    assert(setsRows() == 5L, "a retried duplicate id changed the index")
+    out // consumed above; silence unused warning
+    ()
   }
 
   test("keepList picks the smallest LIVE member per cluster and drops " +
