@@ -171,7 +171,10 @@ object DedupOps {
     * duplicate index rows, and a later re-ingest of that id would
     * classify it as BOTH changed and unchanged — DV-masking every copy
     * while the append excludes it: the doc silently vanishes from
-    * verification. One partial-aggregating batch-sized shuffle. */
+    * verification. One partial-aggregating shuffle on the input: batch-
+    * sized per probe; corpus-sized at BUILD time, where it is the build
+    * verb's only shuffle — the price of the one-row-per-id invariant
+    * every later mutation split and verification join relies on. */
   private def onePerId(df: DataFrame, idCol: String,
       contentCol: String): DataFrame =
     df.groupBy(col(idCol))
