@@ -1187,6 +1187,42 @@ class OpsSpec extends SparkSuite {
     assert(inc == batch, "windowed fold diverged from one-shot components")
   }
 
+  test("randomized OVERLAPPING pair windows converge components to the " +
+      "one-shot batch answer (at-least-once delivery)") {
+    // The pair stream upstream is at-least-once (a retried probe
+    // re-emits its pairs): windows here are random OVERLAPPING subsets
+    // — the same pair delivered in several windows must fold to the
+    // exact one-shot answer, not multiply or re-root spuriously.
+    val rnd = new scala.util.Random(7)
+    val st = java.nio.file.Files.createTempDirectory("iccr").toString + "/s"
+    val ids = (0 until 30).map(_.toLong)
+    val all = (0 until 40).map { _ =>
+      val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    (0 until 5).foreach { w =>
+      // each window: a random ~40% sample, plus (last window) whatever
+      // never got delivered — union over windows covers every pair
+      val slice =
+        if (w < 4) all.filter(_ => rnd.nextDouble() < 0.4)
+        else all
+      if (slice.nonEmpty)
+        ClusterOps.componentsUpdate(spark, slice.toDF("a", "b"), "a", "b", st)
+      ()
+    }
+    val inc = ClusterOps.components(spark, st)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val batch = ClusterOps.connectedComponentsAltStar(
+      all.toDF("a", "b"), "a", "b")
+      .select($"node", $"cluster").as[(Long, Long)].collect().sorted.toSeq
+    assert(inc == batch,
+      "overlapping at-least-once windows diverged from one-shot components")
+    // and the physical state is duplicate-free after the final window
+    val raw = graft.api.Collection(spark, st).scan().count()
+    assert(raw == inc.size.toLong,
+      s"state holds $raw rows for ${inc.size} docs")
+  }
+
   test("randomized ingest/mutation sequences converge the index to the " +
       "fresh-build state, across forced compactions") {
     // The mutation contract's closure property: after ANY serialized
