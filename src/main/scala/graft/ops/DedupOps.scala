@@ -196,12 +196,14 @@ object DedupOps {
       .select(col(idCol).as("doc_id"),
         TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
-    // sets is KEYED by doc_id (one row per doc; extensions stay plain
-    // inserts — the probe's anti-join keeps ids unique, so raw scans
-    // never see shadowed versions): keying builds the per-segment
-    // key-bloom / key-offset sidecars that let an extend-mode probe's
-    // verification fetch push candidate ids into the scan and read only
-    // the touched segments instead of the whole corpus
+    // sets is KEYED by doc_id (one live row per doc: [[onePerId]] on
+    // every input, unchanged re-ingests skipped, changed ones DV-mask
+    // the old row before appending the new — raw scans never see two
+    // versions and the `mutated` flag never flips): keying builds the
+    // per-segment key-bloom / key-offset sidecars that let an
+    // extend-mode probe's verification fetch push candidate ids into
+    // the scan and read only the touched segments instead of the whole
+    // corpus
     withSig.select(col("doc_id"), xxhash64(col("sig")).as("sig_h"),
       transform(col("shingles"), s => xxhash64(s)).as("payload"))
       .write.format("hadro").mode("overwrite")
@@ -770,8 +772,9 @@ object DedupOps {
     * committed after `m0` must survive the replace). With `countSwept`
     * the swept-row count comes from ONE materialization that also feeds
     * the write (the sweepSqIndex discipline); the pre-sweep total is
-    * manifest-exact (these collections are insert-only — no tombstones,
-    * no shadowed versions), so no full pre-count scan is needed. */
+    * manifest-exact — no tombstones (mutation masks stale rows with
+    * deletion vectors, counted per segment as `dvDeletes`), so no full
+    * pre-count scan is needed. */
   private[graft] def sweepIndexTable(idx: graft.api.Collection,
       liveIds: DataFrame, m0: graft.meta.Manifest,
       countSwept: Boolean = true): Long = {
