@@ -310,13 +310,20 @@ object DedupOps {
       serializeIngest: Boolean = true): DataFrame = {
     // banding comes from the index's own params sidecar when present —
     // a probe can never band incompatibly with what it probes; the
-    // explicit arguments serve only param-less pre-upgrade indexes
-    val (sk, nh, nb) =
-      try {
-        val p = graft.api.Collection(spark, s"$indexPath/params")
-          .toDF().head()
+    // explicit arguments serve only param-less pre-upgrade indexes.
+    // The sidecar's column names carry the MODALITY, so pointing this
+    // probe at a sign-LSH embedding index fails with directions instead
+    // of garbage Jaccard over float payloads.
+    val (sk, nh, nb) = indexParams(spark, indexPath) match {
+      case None => (shingleK, numHashes, bands)
+      case Some(pdf) =>
+        require(pdf.columns.contains("shingle_k"),
+          s"hadro: $indexPath is not a MinHash text index (params: " +
+            s"${pdf.columns.mkString(", ")}) — a sign-LSH embedding " +
+            "index probes via embeddingIndexProbe / CALL embedding_probe")
+        val p = pdf.head()
         (p.getInt(0), p.getInt(1), p.getInt(2))
-      } catch { case _: Exception => (shingleK, numHashes, bands) }
+    }
     val rowsPerBand = nh / nb
     // ONE MinHash pass over the DEDUPLICATED batch ([[onePerId]]): the
     // signatured frame is checkpointed eagerly (batch-sized blocks,
@@ -369,6 +376,19 @@ object DedupOps {
         "version cannot probe or extend in place; delete the index " +
         "directory and rebuild it with the current build verb")
     graft.api.Collection(spark, p)
+  }
+
+  /** The index's params sidecar as a DataFrame, or None for a
+    * param-less pre-upgrade index (callers fall back to their explicit
+    * banding arguments there). */
+  private def indexParams(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val dir = java.nio.file.Paths.get(s"$indexPath/params")
+    val ok =
+      try graft.meta.CollectionMeta.readSchema(dir).isDefined
+      catch { case _: Exception => false }
+    if (ok) Some(graft.api.Collection(spark, s"$indexPath/params").toDF())
+    else None
   }
 
   /** Per-index JVM monitors backing [[withIngestLease]] (the
@@ -718,7 +738,12 @@ object DedupOps {
       maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
       eagerVerify: Boolean = false,
       serializeIngest: Boolean = true): DataFrame = {
-    val params = indexCollection(spark, indexPath, "params").toDF().head()
+    val pdf = indexCollection(spark, indexPath, "params").toDF()
+    require(pdf.columns.contains("bits"),
+      s"hadro: $indexPath is not a sign-LSH embedding index (params: " +
+        s"${pdf.columns.mkString(", ")}) — a MinHash text index probes " +
+        "via minhashLshIndexProbe / CALL neardup_probe")
+    val params = pdf.head()
     val bits = params.getInt(0)
     val numBands = params.getInt(1)
     // one sign-LSH pass over the DEDUPLICATED batch (the sigCk +

@@ -1145,7 +1145,21 @@ class OpsSpec extends SparkSuite {
     assert(again == again.distinct, s"duplicate pairs: $again")
     assert(setsRows() == 5L, "a retried duplicate id changed the index")
     out // consumed above; silence unused warning
-    ()
+    // cross-modality misuse fails with directions, not garbage scores
+    val eidx = java.nio.file.Files.createTempDirectory("xmod").toString + "/i"
+    DedupOps.embeddingIndexBuild(
+      Seq((1L, Seq.tabulate(4)(_.toFloat))).toDF("vec_id", "emb"),
+      "vec_id", "emb", eidx, bits = 4, numBands = 2)
+    val e1 = intercept[IllegalArgumentException](
+      DedupOps.minhashLshIndexProbe(spark,
+        Seq((9L, tA)).toDF("doc_id", "text"), "doc_id", "text", eidx,
+        extendIndex = false))
+    assert(e1.getMessage.contains("not a MinHash"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      DedupOps.embeddingIndexProbe(spark,
+        Seq((9L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "emb"),
+        "vec_id", "emb", idx, extendIndex = false))
+    assert(e2.getMessage.contains("not a sign-LSH"), e2.getMessage)
   }
 
   test("keepList picks the smallest LIVE member per cluster and drops " +
