@@ -184,13 +184,26 @@ object ClusterOps {
     * serialize on the same per-path ingest lease as the LSH index
     * (concurrent unfenced folds could each miss the other's merges).
     *
-    * Doc takedowns are downstream concerns (filter keep-lists against
-    * live ids, the d31 pattern): membership is merge-only, matching
-    * the batch CC contract (singletons never stored). Returns the
-    * number of state rows appended this window. */
+    * BATCH-BOUNDED CONTRACT (the [[DedupOps.minhashLshIndexProbe]]
+    * discipline): the only driver materializations are the touched-
+    * cluster ROOT sets — bounded by |batch docs|, never by corpus or
+    * membership size (member lists are never collected). That bound is
+    * a contract, not an accident: a whole-log backfill fed as ONE
+    * window would drive a corpus-scale root collect, so `maxDriverRoots`
+    * fails it loudly with windowing guidance instead of OOMing the
+    * driver — replay a backlog through windows (which is also what
+    * keeps each fold touched-cluster-proportional).
+    *
+    * Doc takedowns: [[keepList]]`(live)` drops dead members read-side
+    * per query (the d31 pattern), and [[sweepComponents]] physically
+    * reclaims accumulated churn; membership folds themselves are
+    * merge-only, matching the batch CC contract (singletons never
+    * stored). Returns the number of state rows appended this window. */
   def componentsUpdate(spark: org.apache.spark.sql.SparkSession,
       newPairs: DataFrame, aCol: String, bCol: String, statePath: String,
-      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown): Long =
+      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
+      maxDriverRoots: Int = DedupOps.DefaultMaxStateSplit,
+      keepPath: Option[String] = None): Long =
     DedupOps.withIngestLease(statePath, enabled = true) {
     val p = java.nio.file.Paths.get(statePath)
     val pairs = newPairs
@@ -211,8 +224,15 @@ object ClusterOps {
           .boundedKeyLits(batchDocs, maxIdPushdown)
           .fold(state.join(broadcast(batchDocs), Seq("doc_id"), "left_semi"))(
             vs => state.filter(col("doc_id").isin(vs: _*)))
-        val roots = touched0.select(col("cluster")).distinct()
-          .collect().map(_.getLong(0)).toSeq // bounded: <= |batch docs|
+        val rootRows = touched0.select(col("cluster")).distinct()
+          .head(maxDriverRoots + 1) // bounded: <= |batch docs| by contract
+        require(rootRows.length <= maxDriverRoots,
+          s"hadro: componentsUpdate window touches more than " +
+            s"$maxDriverRoots distinct clusters — the root collect is " +
+            "driver-resident and bounded by |batch docs| by contract; " +
+            "fold a backfill of this size in windows instead of one " +
+            "batch, or raise maxDriverRoots if the driver is sized for it")
+        val roots = rootRows.map(_.getLong(0)).toSeq
         if (roots.isEmpty) state.limit(0)
         else if (roots.size <= maxIdPushdown)
           state.filter(col("cluster").isin(roots: _*))
@@ -235,6 +255,41 @@ object ClusterOps {
         .withColumnRenamed("doc_id", "cluster"), Seq("cluster"))
       .filter(col("new_c") =!= col("cluster"))
       .select(col("cluster")).collect().map(_.getLong(0)).toSeq
+    // MATERIALIZED KEEP-LIST maintenance (the h96 partial-recompute
+    // shape applied to d36's read): upsert exactly the TOUCHED clusters'
+    // (cluster, keep_id, n_members) rows into a cluster-KEYED collection
+    // and delete the roots that merged away, so the nightly consumer
+    // reads a point-lookup-cheap table instead of paying two
+    // membership-sized shuffles per keepList() call. Runs BEFORE the
+    // state mutation: a crash anywhere in this window replays against
+    // the UNMUTATED state, recomputes the same labels/changedRoots, and
+    // heals (delete is a no-op, upsert is LWW-idempotent) — whereas
+    // maintenance after the state commit could never re-detect a merged-
+    // away root on replay (the fold is a no-op then) and would leak its
+    // phantom keep row forever. labels covers EVERY member of every
+    // touched cluster, so the aggregated counts are complete; untouched
+    // clusters' rows are never read or written.
+    keepPath.foreach { kp =>
+      import spark.implicits._
+      val kept = labels.groupBy(col("cluster"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .localCheckpoint()
+      val keepExists =
+        try graft.meta.CollectionMeta.readSchema(
+          java.nio.file.Paths.get(kp)).isDefined
+        catch { case _: Exception => false }
+      if (!keepExists)
+        kept.write.format("hadro").mode("overwrite")
+          .option("hadro.key", "cluster").save(kp)
+      else {
+        val keep = graft.api.Collection(spark, kp)
+        if (changedRoots.nonEmpty)
+          keep.delete(changedRoots
+            .toDF("cluster").select(col("cluster")))
+        keep.set(kept)
+      }
+    }
     // rows that stand: members of UNchanged clusters — everything else
     // (fresh docs, re-rooted members) appends. Subgraph-sized join;
     // never corpus-sized, never a member-list driver collect.
@@ -294,4 +349,120 @@ object ClusterOps {
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_members"))
   }
+
+  /** The MATERIALIZED keep-list maintained by [[componentsUpdate]]'s
+    * `keepPath` (and rewritten by [[sweepComponents]]): the resolved
+    * (cluster, keep_id, n_members) view — keyed LWW, so each cluster
+    * serves its latest upsert and merged-away roots are tombstoned.
+    * Point-lookup cheap; never a membership-sized shuffle. */
+  def keepListMaterialized(spark: org.apache.spark.sql.SparkSession,
+      keepPath: String): DataFrame =
+    graft.api.Collection(spark, keepPath).toDF()
+
+  /** ONE CONSUMER CYCLE over a persisted near-dup PAIR collection (the
+    * [[DedupOps.minhashLshIndexProbe]] `pairsSink` output): fold every
+    * pair committed since this cursor's last cycle into the membership
+    * state, then advance the cursor tag on the pairs collection — the
+    * h91 changefeed-consumer shape applied to the dedup pipeline, so the
+    * probe→fold composition survives crashes (a window's pairs live in
+    * the pairs collection, not in a return value).
+    *
+    * AT-LEAST-ONCE is EXACTLY-ONCE here, so no applied-version stamp is
+    * needed (contrast [[graft.api.IncrementalRollup.cycle]], whose MERGE
+    * deltas are not idempotent): re-folding a window's pairs is a
+    * provable no-op — duplicate edges change no component, labels
+    * re-derive identically, and [[componentsUpdate]] appends only rows
+    * that differ from the state. A crash between the fold and the tag
+    * move simply replays the window. The cursor tag also PINS the floor
+    * version against retention/GC, exactly as the rollup cursors do.
+    * First cycle (no tag yet) folds the ENTIRE pairs collection at the
+    * pinned head. Returns the new cursor version. */
+  def componentsCycle(spark: org.apache.spark.sql.SparkSession,
+      pairsPath: String, cursorTag: String, statePath: String,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
+      maxDriverRoots: Int = DedupOps.DefaultMaxStateSplit,
+      keepPath: Option[String] = None): Long = {
+    // the probe skips empty windows' appends, so early cycles can run
+    // before the pairs collection exists at all — nothing to fold yet
+    val exists =
+      try graft.meta.CollectionMeta.readSchema(
+        java.nio.file.Paths.get(pairsPath)).isDefined
+      catch { case _: Exception => false }
+    if (!exists) return 0L
+    val pairs = graft.api.Collection(spark, pairsPath)
+    val head = pairs.version
+    val window = pairs.tags.get(cursorTag) match {
+      case Some(f) if f >= head => None // caught up
+      case Some(f) => Some(spark.read.format("hadro")
+        .option("hadro.changesStart", f.toString)
+        .option("hadro.changesEnd", head.toString).load(pairsPath))
+      case None => Some(pairs.scanVersion(head))
+    }
+    window.foreach { w =>
+      componentsUpdate(spark, w.select(col(aCol), col(bCol)), aCol, bCol,
+        statePath, maxIdPushdown, maxDriverRoots, keepPath)
+      ()
+    }
+    pairs.createTag(cursorTag, head)
+    head
+  }
+
+  /** PHYSICAL takedown sweep of [[componentsUpdate]] membership state —
+    * the [[DedupOps.sweepLshIndex]] analog for the components loop:
+    * rewrite the state keeping only LIVE members (one column, e.g.
+    * `collection.ids()`), re-rooting each surviving cluster to its
+    * minimum LIVE member so dead doc ids leave the state ENTIRELY —
+    * including as cluster labels, so a taken-down id later re-ingested
+    * as new content can never alias a cluster it no longer belongs to.
+    * Fully-dead clusters vanish. After the sweep, `keepList()` with no
+    * `live` argument equals the pre-sweep `keepList(live)` on
+    * (keep_id, n_members) — representatives are stable; only the
+    * internal labels re-root (upward, which is safe ONLY because the
+    * rewrite is one atomic version-pinned replace commit: no crash can
+    * interleave re-rooted rows with the append-first/min-resolve
+    * discipline of the incremental folds, whose "roots only decrease"
+    * invariant resumes from the swept state). The sweep also heals
+    * crash-duplicate rows (it rewrites the min-resolved view). Holds the
+    * state's ingest lease, so concurrent folds serialize around it; the
+    * version-pinned replace additionally preserves any unfenced append
+    * (the sweepLshIndex contract). `keepPath` rewrites the materialized
+    * keep-list in the same pass. Corpus-proportional by definition — run
+    * it when takedown churn accumulates; `keepList(live)` covers the gap
+    * between sweeps exactly. Returns the number of member rows swept. */
+  def sweepComponents(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, live: DataFrame,
+      keepPath: Option[String] = None): Long =
+    DedupOps.withIngestLease(statePath, enabled = true) {
+      val p = java.nio.file.Paths.get(statePath)
+      val coll = graft.api.Collection(spark, statePath)
+      val m0 = graft.meta.CollectionMeta.currentManifest(p)
+      val liveIds = live.select(col(live.columns.head).as("doc_id"))
+        .localCheckpoint()
+      val resolved = coll.scanVersion(m0.version)
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      val rerooted = resolved
+        .join(liveIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          min(col("doc_id")).over(w).as("new_c"))
+        .select(col("doc_id"), col("new_c").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val before = m0.segments.map(s => s.rows - s.dvDeletes).sum
+        val keptCount = rerooted.count()
+        rerooted.write.format("hadro").mode("overwrite")
+          .option("hadro.compactOf", m0.version.toString)
+          .option("hadro.compactOfGen", m0.generation.toString)
+          .option("hadro.key", "doc_id").save(statePath)
+        keepPath.foreach { kp =>
+          rerooted.groupBy(col("cluster"))
+            .agg(min(col("doc_id")).as("keep_id"),
+              count(lit(1)).as("n_members"))
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "cluster").save(kp)
+        }
+        before - keptCount
+      } finally rerooted.unpersist()
+    }
 }

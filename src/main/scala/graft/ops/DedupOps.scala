@@ -291,6 +291,15 @@ object DedupOps {
     * versions plus deferred GC keep them consistent under any
     * concurrent extend/sweep.
     *
+    * `pairsSink = Some((pairsPath, windowId))` (extend mode): persist
+    * the window's verified pairs to an append-only hadro collection
+    * inside the same leased ingest, exactly once across crash retries
+    * (the caller's monotonically increasing `windowId` rides the pairs
+    * commit as a streamEpochs stamp; a retry skips the re-append) — the
+    * seam that lets [[graft.ops.ClusterOps.componentsCycle]] drive the
+    * membership fold from a cursor-tagged changes window over the pairs
+    * collection instead of a return value a crash would lose.
+    *
     * `eagerVerify` (dry-run only): trade the probe's laziness for the
     * extend-mode bounded verification fetch — candidates checkpoint
     * eagerly and the payload read becomes IN-pushdown point batches on
@@ -307,7 +316,9 @@ object DedupOps {
       maxIndexFiles: Int = 64,
       maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
       eagerVerify: Boolean = false,
-      serializeIngest: Boolean = true): DataFrame = {
+      serializeIngest: Boolean = true,
+      maxStateSplit: Int = DefaultMaxStateSplit,
+      pairsSink: Option[(String, Long)] = None): DataFrame = {
     // banding comes from the index's own params sidecar when present —
     // a probe can never band incompatibly with what it probes; the
     // explicit arguments serve only param-less pre-upgrade indexes.
@@ -316,13 +327,19 @@ object DedupOps {
     // of garbage Jaccard over float payloads.
     val (sk, nh, nb) = indexParams(spark, indexPath) match {
       case None => (shingleK, numHashes, bands)
-      case Some(pdf) =>
-        require(pdf.columns.contains("shingle_k"),
+      case Some(p) =>
+        val need = Seq("shingle_k", "num_hashes", "bands")
+        require(need.forall(p.schema.fieldNames.contains),
           s"hadro: $indexPath is not a MinHash text index (params: " +
-            s"${pdf.columns.mkString(", ")}) — a sign-LSH embedding " +
+            s"${p.schema.fieldNames.mkString(", ")}) — a sign-LSH embedding " +
             "index probes via embeddingIndexProbe / CALL embedding_probe")
-        val p = pdf.head()
-        (p.getInt(0), p.getInt(1), p.getInt(2))
+        // by NAME, never position: a merged/rebuilt sidecar may reorder
+        // columns, and a positional read would silently swap num_hashes
+        // and bands — the incompatible-banding failure the sidecar exists
+        // to prevent
+        (p.getInt(p.fieldIndex("shingle_k")),
+          p.getInt(p.fieldIndex("num_hashes")),
+          p.getInt(p.fieldIndex("bands")))
     }
     val rowsPerBand = nh / nb
     // ONE MinHash pass over the DEDUPLICATED batch ([[onePerId]]): the
@@ -347,7 +364,7 @@ object DedupOps {
     indexProbeCore(spark, indexPath, newSets, newBands, maxBandBucket,
       extendIndex, mustCheck, live, maxIndexFiles,
       (a, b) => TextOps.jaccard(a, b), "jaccard", threshold, maxIdPushdown,
-      eagerVerify, serializeIngest)
+      eagerVerify, serializeIngest, maxStateSplit, pairsSink)
   }
 
   /** The MODALITY-AGNOSTIC probe core shared by [[minhashLshIndexProbe]]
@@ -378,18 +395,55 @@ object DedupOps {
     graft.api.Collection(spark, p)
   }
 
-  /** The index's params sidecar as a DataFrame, or None for a
+  /** The index's params sidecar as its single row, or None for a
     * param-less pre-upgrade index (callers fall back to their explicit
-    * banding arguments there). */
+    * banding arguments there). "Directory absent" is the ONLY fallback
+    * case — a params directory that exists but is unreadable or empty
+    * is a corrupted sidecar, and falling back there would let the probe
+    * band incompatibly with the index and return silently-wrong pairs;
+    * those throw the loud rebuild diagnostic instead. */
   private def indexParams(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
+      indexPath: String): Option[org.apache.spark.sql.Row] = {
     val dir = java.nio.file.Paths.get(s"$indexPath/params")
-    val ok =
-      try graft.meta.CollectionMeta.readSchema(dir).isDefined
-      catch { case _: Exception => false }
-    if (ok) Some(graft.api.Collection(spark, s"$indexPath/params").toDF())
-    else None
+    if (!java.nio.file.Files.isDirectory(dir)) None
+    else {
+      val ok =
+        try graft.meta.CollectionMeta.readSchema(dir).isDefined
+        catch { case _: Exception => false }
+      if (!ok) throw new IllegalArgumentException(
+        s"hadro: $indexPath/params exists but is not a readable hadro " +
+          "collection — the banding sidecar is corrupted (a pre-upgrade " +
+          "param-less index has NO params directory, so this is not the " +
+          "fallback case); probing without it could band incompatibly, " +
+          "so delete the index directory and rebuild it with the current " +
+          "build verb")
+      val rows = graft.api.Collection(spark, s"$indexPath/params")
+        .toDF().head(1)
+      if (rows.isEmpty) throw new IllegalArgumentException(
+        s"hadro: $indexPath/params is empty — the banding sidecar is " +
+          "corrupted; delete the index directory and rebuild it with the " +
+          "current build verb")
+      Some(rows.head)
+    }
   }
+
+  /** Driver-side cap on the extension's present-id split and the
+    * components fold's root collect: both are ≤ |batch| BY CONTRACT
+    * (the same bound the broadcast/boundedKeyLits discipline accepts),
+    * and this guard turns a corpus-sized "batch" — a whole-log backfill
+    * fed as one window — into a loud, named error instead of a driver
+    * OOM. Backfills ingest in windows. */
+  val DefaultMaxStateSplit: Int = 1 << 22
+
+  /** streamEpochs key recording the last pair-stream window appended for
+    * `indexPath` — rides the pairs collection's OWN append commit (the
+    * [[graft.api.IncrementalRollup]] stamp mechanism), so "were this
+    * window's pairs already persisted?" is answered by the pairs
+    * manifest itself and a crash-retry of the window cannot duplicate
+    * them. */
+  private def pairsEpochKey(indexPath: String): String =
+    "hadro-neardup-pairs:" +
+      java.nio.file.Paths.get(indexPath).toAbsolutePath.normalize.toString
 
   /** Per-index JVM monitors backing [[withIngestLease]] (the
     * [[AdmissionBloomWriteLock]] discipline: a JVM-wide monitor per
@@ -426,7 +480,9 @@ object DedupOps {
       score: (Column, Column) => Column, scoreName: String,
       threshold: Double, maxIdPushdown: Int,
       eagerVerify: Boolean,
-      serializeIngest: Boolean): DataFrame =
+      serializeIngest: Boolean,
+      maxStateSplit: Int = DefaultMaxStateSplit,
+      pairsSink: Option[(String, Long)] = None): DataFrame =
       withIngestLease(indexPath, enabled = extendIndex && serializeIngest) {
     // index frames pin the CURRENT manifest version: the extension
     // append below cannot leak this batch's rows into its own probe, a
@@ -572,6 +628,35 @@ object DedupOps {
       // failure after this call must be retryable without re-probing an
       // already-extended index under its feet
       val result = verified(cands, src).localCheckpoint()
+      // PERSISTED PAIR STREAM (the composed-pipeline seam): append the
+      // window's pairs to an append-only hadro collection INSIDE the
+      // lease, BEFORE the index mutates. Exactly-once across crash
+      // retries without any dedup read: the caller's monotonically-
+      // increasing window id rides the append commit as a streamEpochs
+      // stamp — a retry (same id, and the retried probe provably
+      // reproduces the original pairs) sees id already applied and skips
+      // the append; a crash AFTER the append but before the extension
+      // re-probes the unextended index, skips, and re-runs the
+      // (idempotent) extension. A downstream cursor-tagged consumer
+      // ([[graft.ops.ClusterOps.componentsCycle]]) therefore replays a
+      // crashed window instead of losing its pairs.
+      pairsSink.foreach { case (pairsPath, windowId) =>
+        val pp = java.nio.file.Paths.get(pairsPath)
+        val key = pairsEpochKey(indexPath)
+        val applied =
+          try graft.meta.CollectionMeta.currentManifest(pp)
+            .streamEpochs.get(key)
+          catch { case _: Exception => None } // first window: no manifest
+        // empty windows skip the append entirely (no epoch either —
+        // re-appending nothing on a retry is a no-op, so the stamp
+        // buys nothing and the pairs collection stays commit-per-
+        // nonempty-window)
+        if (!applied.exists(_ >= windowId) && !result.isEmpty) {
+          graft.meta.CollectionMeta.registerCommitEpoch(pp, key, windowId)
+          try result.write.format("hadro").mode("append").save(pairsPath)
+          finally graft.meta.CollectionMeta.clearCommitEpoch(pp)
+        }
+      }
       // MUTATION-AWARE, IDEMPOTENT extension: per table, batch ids
       // divide into ABSENT (plain insert), UNCHANGED (stored rows match
       // tonight's — the crash-retry case, a no-op) and CHANGED (a
@@ -598,6 +683,16 @@ object DedupOps {
         // batch pays exactly one map-only index scan + one write per
         // table; no per-stage checkpoint jobs)
         val st = state.collect()
+        // the |batch| bound is a CONTRACT, not an accident: fail loudly
+        // before a corpus-sized "batch" (a whole-log backfill fed as one
+        // window) OOMs the driver — backfills must ingest in windows
+        require(st.length <= maxStateSplit,
+          s"hadro: index extension for ${tbl.path} found ${st.length} " +
+            s"batch ids already present — above maxStateSplit " +
+            s"($maxStateSplit). The changed/unchanged split is driver-" +
+            "resident by design (bounded by |batch|); ingest a backfill " +
+            "of this size in windows instead of one batch, or raise " +
+            "maxStateSplit if the driver is sized for it")
         val changed = st.filter(!_.getBoolean(1)).map(_.get(0)).toSeq
         if (changed.nonEmpty) {
           // bounded change sets ride a literal IN — it reaches the scan
@@ -637,19 +732,26 @@ object DedupOps {
           (col("allmatch") && col("nrows") === 1).as("same"))
       extendTable(setsColl, newSets, setsState)
       // bands: `bands` rows per id — unchanged iff every (band,
-      // band_hash) row matches; the full join also catches a crash that
-      // left partial band rows (either side null => changed)
+      // band_hash) row matches AND each band holds exactly ONE stored
+      // row (the sets-side nrows guard's twin: an id carrying exact
+      // duplicate band rows — written by a pre-dedupe version — must
+      // classify as changed so the DV-delete + re-append HEALS it to one
+      // row set, instead of full-joining row-per-row, matching on every
+      // copy, and inflating bucket counts forever); the full join also
+      // catches a crash that left partial band rows (either side null =>
+      // changed)
       val idxBandsBatch = idxBands
         .join(broadcast(newIds), Seq("doc_id"), "left_semi")
       val bandsPresent = idxBandsBatch.select(col("doc_id")).distinct()
       val bandsState = idxBandsBatch
-        .select(col("doc_id"), col("band"), col("band_hash").as("oh"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(min(col("band_hash")).as("oh"), count(lit(1)).as("n_old"))
         .join(newBands.join(broadcast(bandsPresent), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("band"), col("band_hash").as("nh")),
           Seq("doc_id", "band"), "full")
         .groupBy(col("doc_id"))
         .agg(max(col("oh").isNull || col("nh").isNull ||
-          col("oh") =!= col("nh")).as("diff"))
+          col("oh") =!= col("nh") || col("n_old") =!= 1).as("diff"))
         .select(col("doc_id"), (!col("diff")).as("same"))
       extendTable(bandsColl, newBands, bandsState)
       // bounded small segments: nightly appends add a few per ingest
@@ -737,15 +839,20 @@ object DedupOps {
       maxIndexFiles: Int = 64,
       maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
       eagerVerify: Boolean = false,
-      serializeIngest: Boolean = true): DataFrame = {
-    val pdf = indexCollection(spark, indexPath, "params").toDF()
-    require(pdf.columns.contains("bits"),
+      serializeIngest: Boolean = true,
+      maxStateSplit: Int = DefaultMaxStateSplit,
+      pairsSink: Option[(String, Long)] = None): DataFrame = {
+    val params = indexParams(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"hadro: no params sidecar at $indexPath — not an index built by " +
+          "embeddingIndexBuild / CALL embedding_index_build"))
+    require(Seq("bits", "bands").forall(params.schema.fieldNames.contains),
       s"hadro: $indexPath is not a sign-LSH embedding index (params: " +
-        s"${pdf.columns.mkString(", ")}) — a MinHash text index probes " +
-        "via minhashLshIndexProbe / CALL neardup_probe")
-    val params = pdf.head()
-    val bits = params.getInt(0)
-    val numBands = params.getInt(1)
+        s"${params.schema.fieldNames.mkString(", ")}) — a MinHash text " +
+        "index probes via minhashLshIndexProbe / CALL neardup_probe")
+    // by NAME, never position (see minhashLshIndexProbe)
+    val bits = params.getInt(params.fieldIndex("bits"))
+    val numBands = params.getInt(params.fieldIndex("bands"))
     // one sign-LSH pass over the DEDUPLICATED batch (the sigCk +
     // onePerId discipline — see minhashLshIndexProbe)
     val sigCk = embeddingSigned(onePerId(newDocs, idCol, vecCol),
@@ -756,7 +863,7 @@ object DedupOps {
       embeddingBanded(sigCk, bits, numBands), maxBandBucket,
       extendIndex, pins, live, maxIndexFiles,
       (a, b) => SimilarityOps.cosine(a, b), "cosine", threshold,
-      maxIdPushdown, eagerVerify, serializeIngest)
+      maxIdPushdown, eagerVerify, serializeIngest, maxStateSplit, pairsSink)
       .withColumnRenamed("doc_a", "id_a")
       .withColumnRenamed("doc_b", "id_b")
   }

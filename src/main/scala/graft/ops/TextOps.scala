@@ -158,7 +158,12 @@ object TextOps {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val scored = tf.join(dl, "doc_id").join(dfreq, "term").crossJoin(corpus)
+    // broadcast the 1-row corpus constant explicitly (every other
+    // corpus-constant join in this file does): the planner handles a
+    // 1-row side fine today, but the hint keeps the plan shape
+    // independent of stats drift
+    val scored = tf.join(dl, "doc_id").join(dfreq, "term")
+      .crossJoin(broadcast(corpus))
       .select(col("doc_id"), col("term"),
         round(
           log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *

@@ -1341,6 +1341,200 @@ class OpsSpec extends SparkSuite {
         "the lease (and this contract spec) are stale")
   }
 
+  test("composed ingest loop: pairsSink persists each window's pairs " +
+      "exactly once across retries, componentsCycle folds the changefeed " +
+      "at-least-once safely, and the final keep list equals the batch") {
+    val wh = java.nio.file.Files.createTempDirectory("composed").toString
+    val idx = s"$wh/idx"; val pairsP = s"$wh/pairs"; val st = s"$wh/state"
+    val base = (0 until 31).map(i => s"w$i").mkString(" ")
+    val base2 = (0 until 31).map(i => s"z$i").mkString(" ")
+    val docs = Map(1L -> base, 2L -> base2, 100L -> (base + " aa"),
+      200L -> (base + " bb"), 300L -> (base + " cc"),
+      400L -> (base2 + " aa"))
+    DedupOps.minhashLshIndexBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", idx)
+    def window(w: Long, ids: Seq[Long]): Unit = {
+      DedupOps.minhashLshIndexProbe(spark,
+        ids.map(i => (i, docs(i))).toDF("doc_id", "text"),
+        "doc_id", "text", idx, pairsSink = Some((pairsP, w))).collect()
+      ClusterOps.componentsCycle(spark, pairsP, "cc_cur", st)
+      ()
+    }
+    window(0L, Seq(1L, 2L))   // no pairs yet — cycle must tolerate that
+    window(1L, Seq(100L, 400L))
+    window(2L, Seq(200L, 300L))
+    def pairRows() = graft.api.Collection(spark, pairsP).toDF()
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    val afterLoop = pairRows()
+    // one-shot ground truth over the full corpus
+    val oneShot = DedupOps.minhashLshPairs(
+      docs.toSeq.map { case (i, t) => (i, t) }.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(afterLoop == oneShot,
+      s"persisted pair stream diverged: $afterLoop vs $oneShot")
+    // crash-retry of the LAST window (same windowId, same batch): the
+    // epoch stamp on the pairs commit skips the re-append — zero
+    // duplicate pairs — and the index extension stays idempotent
+    DedupOps.minhashLshIndexProbe(spark,
+      Seq(200L, 300L).map(i => (i, docs(i))).toDF("doc_id", "text"),
+      "doc_id", "text", idx, pairsSink = Some((pairsP, 2L))).collect()
+    assert(pairRows() == oneShot,
+      s"retried window duplicated persisted pairs: ${pairRows()}")
+    // crash between fold and tag move: rewind the cursor, re-cycle —
+    // the refold is a provable no-op (idempotent edges)
+    val pc = graft.api.Collection(spark, pairsP)
+    val head = pc.tags("cc_cur")
+    pc.createTag("cc_cur", 1L)
+    ClusterOps.componentsCycle(spark, pairsP, "cc_cur", st)
+    assert(pc.tags("cc_cur") == head, "replayed cycle must re-advance")
+    val members = ClusterOps.components(spark, st)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(members == Seq((1L, 1L), (2L, 2L), (100L, 1L), (200L, 1L),
+      (300L, 1L), (400L, 2L)), members.toString)
+    val raw = graft.api.Collection(spark, st).scan().count()
+    assert(raw == members.size.toLong,
+      s"replayed fold left duplicate state rows: $raw")
+    val kl = ClusterOps.keepList(spark, st)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(kl == Seq((1L, 1L, 4L), (2L, 2L, 2L)), kl.toString)
+  }
+
+  test("materialized keep-list tracks the read-side keepList across " +
+      "windows (merged-away roots tombstone) and sweepComponents " +
+      "re-roots to live members, healing both tables") {
+    val wh = java.nio.file.Files.createTempDirectory("mkeep").toString
+    val st = s"$wh/state"; val kp = s"$wh/keep"
+    def mat() = ClusterOps.keepListMaterialized(spark, kp)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    def readSide(live: Option[org.apache.spark.sql.DataFrame] = None) =
+      ClusterOps.keepList(spark, st, live)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+    // window 1: two separate clusters
+    ClusterOps.componentsUpdate(spark,
+      Seq((10L, 11L), (20L, 21L)).toDF("a", "b"), "a", "b", st,
+      keepPath = Some(kp))
+    assert(mat() == Seq((10L, 10L, 2L), (20L, 20L, 2L)), mat().toString)
+    assert(mat() == readSide())
+    // window 2: bridge pair MERGES them — root 20 must tombstone out of
+    // the materialized list, not linger as a phantom cluster
+    ClusterOps.componentsUpdate(spark,
+      Seq((11L, 20L)).toDF("a", "b"), "a", "b", st, keepPath = Some(kp))
+    assert(mat() == Seq((10L, 10L, 4L)), mat().toString)
+    assert(mat() == readSide())
+    // window 3: an untouched new cluster joins; old rows stand
+    ClusterOps.componentsUpdate(spark,
+      Seq((30L, 31L), (31L, 32L)).toDF("a", "b"), "a", "b", st,
+      keepPath = Some(kp))
+    assert(mat() == Seq((10L, 10L, 4L), (30L, 30L, 3L)), mat().toString)
+    assert(mat() == readSide())
+    // takedowns: 10 (a root!) and 31 die; 20,21 of cluster 10 also die
+    val live = Seq(11L, 30L, 32L).toDF("doc_id")
+    val expect = readSide(Some(live))
+    val swept = ClusterOps.sweepComponents(spark, st, live,
+      keepPath = Some(kp))
+    assert(swept == 4L, s"swept $swept rows, expected 4 (docs 10,20,21,31)")
+    // post-sweep: read-side with NO live filter equals the pre-sweep
+    // live-filtered view on (keep_id, n_members); labels re-rooted to
+    // the min LIVE member so dead ids left the state entirely
+    val after = readSide()
+    assert(after.map(t => (t._2, t._3)).sorted ==
+      expect.map(t => (t._2, t._3)).sorted,
+      s"sweep changed representatives: $after vs $expect")
+    assert(after == Seq((11L, 11L, 1L), (30L, 30L, 2L)), after.toString)
+    assert(mat() == after, s"materialized diverged post-sweep: ${mat()}")
+    val deadLeft = ClusterOps.components(spark, st)
+      .filter($"doc_id".isin(10L, 20L, 21L, 31L) ||
+        $"cluster".isin(10L, 20L, 21L, 31L)).count()
+    assert(deadLeft == 0L, "dead ids survived the sweep (as member or label)")
+    // and the loop continues soundly from the swept state: a pair
+    // bridging the re-rooted cluster folds with the normal discipline
+    ClusterOps.componentsUpdate(spark,
+      Seq((11L, 32L)).toDF("a", "b"), "a", "b", st, keepPath = Some(kp))
+    assert(readSide() == Seq((11L, 11L, 3L)), readSide().toString)
+    assert(mat() == readSide(), s"materialized diverged after resume: ${mat()}")
+  }
+
+  test("driver-side bounds are contracts: a corpus-sized re-ingest split " +
+      "and a backfill-sized root collect fail loudly with windowing " +
+      "guidance instead of OOMing the driver") {
+    val base = (0 until 31).map(i => s"w$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("cap").toString + "/i"
+    DedupOps.minhashLshIndexBuild(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val e1 = intercept[IllegalArgumentException](
+      DedupOps.minhashLshIndexProbe(spark,
+        Seq((1L, base + " changed")).toDF("doc_id", "text"),
+        "doc_id", "text", idx, maxStateSplit = 0))
+    assert(e1.getMessage.contains("maxStateSplit") &&
+      e1.getMessage.contains("windows"), e1.getMessage)
+    val st = java.nio.file.Files.createTempDirectory("cap2").toString + "/s"
+    ClusterOps.componentsUpdate(spark,
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b", st)
+    val e2 = intercept[IllegalArgumentException](
+      ClusterOps.componentsUpdate(spark,
+        Seq((2L, 3L)).toDF("a", "b"), "a", "b", st, maxDriverRoots = 0))
+    assert(e2.getMessage.contains("maxDriverRoots") &&
+      e2.getMessage.contains("windows"), e2.getMessage)
+  }
+
+  test("params sidecar: fields read by NAME (column order irrelevant), " +
+      "and a present-but-corrupt sidecar fails loudly instead of " +
+      "silently falling back to caller banding") {
+    val base = (0 until 31).map(i => s"w$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("psname").toString + "/i"
+    DedupOps.minhashLshIndexBuild(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, shingleK = 3, numHashes = 128, bands = 32)
+    // rewrite the sidecar with REORDERED columns (a schema-merge /
+    // rebuild shape): a positional read would swap num_hashes and bands
+    // and band incompatibly — by-name reads must keep finding the pair
+    Seq((32, 128, 3)).toDF("bands", "num_hashes", "shingle_k")
+      .write.format("hadro").mode("overwrite").save(s"$idx/params")
+    val pairs = DedupOps.minhashLshIndexProbe(spark,
+      Seq((9L, base + " x")).toDF("doc_id", "text"), "doc_id", "text", idx,
+      extendIndex = false)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 9L)),
+      s"reordered params sidecar broke the probe: $pairs")
+    // corrupt the sidecar: directory present but not a readable
+    // collection — must throw the rebuild diagnostic, never band blind
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$idx/params"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idx/params"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx/params/garbage"),
+      "not a collection".getBytes)
+    val e = intercept[IllegalArgumentException](
+      DedupOps.minhashLshIndexProbe(spark,
+        Seq((9L, base + " x")).toDF("doc_id", "text"),
+        "doc_id", "text", idx, extendIndex = false))
+    assert(e.getMessage.contains("corrupted") &&
+      e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
+  test("pre-dedupe duplicate BAND rows heal on an unchanged re-ingest " +
+      "(the sets-side nrows guard's twin)") {
+    val base = (0 until 31).map(i => s"w$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("bheal").toString + "/i"
+    DedupOps.minhashLshIndexBuild(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, shingleK = 3, numHashes = 64, bands = 16)
+    val bandsC = graft.api.Collection(spark, s"$idx/bands")
+    // plant exact duplicate band rows for id 1 (a pre-dedupe version's
+    // write): every hash matches its twin, so without the per-band
+    // count guard the id would classify UNCHANGED forever
+    bandsC.append(bandsC.toDF())
+    assert(bandsC.toDF().count() == 32L)
+    DedupOps.minhashLshIndexProbe(spark,
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", idx).collect()
+    assert(bandsC.toDF().count() == 16L,
+      s"duplicate band rows did not heal: ${bandsC.toDF().count()}")
+    // and the sets side stayed single-row (it was never duplicated)
+    assert(graft.api.Collection(spark, s"$idx/sets").toDF().count() == 1L)
+  }
+
   test("eagerVerify dry-run fetches verification payloads as bounded " +
       "point batches on the keyed sets scan, with results identical to " +
       "the lazy corpus scan") {
