@@ -61,7 +61,16 @@ object OpsQueries {
     * callers vary only the corpus CTE and the final pair predicate. */
   private def exactPairsOracle(docsCte: String, finalWhere: String): String =
     s"""WITH docs AS ($docsCte),
-        sets AS (
+        $exactPairsCtes
+        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
+        WHERE $finalWhere
+        ORDER BY doc_a, doc_b"""
+
+  /** The CTE chain shared by [[exactPairsOracle]] and
+    * [[pairClosureKeepOracle]]: docs → shingle sets → prefix-filtered
+    * candidates → exact Jaccard `scored`. */
+  private val exactPairsCtes: String =
+    s"""sets AS (
           SELECT doc_id,
             list_distinct(list_transform(
               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
@@ -91,10 +100,33 @@ object OpsQueries {
               / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS j
           FROM cand JOIN sets sa ON sa.doc_id = cand.doc_a
           JOIN sets sb ON sb.doc_id = cand.doc_b
-        )
-        SELECT doc_a, doc_b, round(j, 3) AS jaccard FROM scored
-        WHERE $finalWhere
-        ORDER BY doc_a, doc_b"""
+        )"""
+
+  /** The COMPOSED-PIPELINE oracle: exact all-pairs Jaccard >= 0.8 →
+    * transitive closure (recursive CTE over the undirected pair graph) →
+    * the takedown-aware keep rule (representative = smallest LIVE
+    * member, fully-dead clusters vanish) — what the d37 incremental loop
+    * (probe → pairs changefeed → componentsCycle → keepList) must equal
+    * after its final window. */
+  private def pairClosureKeepOracle(docsCte: String,
+      liveWhere: String): String =
+    s"""WITH RECURSIVE docs AS ($docsCte),
+        $exactPairsCtes,
+        p AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM memb WHERE $liveWhere
+        GROUP BY cluster ORDER BY cluster"""
 
   /** The planted near-dup corpus every exact-pairs oracle reads: the
     * documents table plus a +1M-id near-copy of every %20 doc. `corpusWhere`
@@ -967,6 +999,121 @@ object OpsQueries {
           CAST(COUNT(*) AS BIGINT) AS n_members
         FROM memb WHERE doc_id % 7 <> 0
         GROUP BY cluster ORDER BY cluster""")),
+
+    // ---------------------------------------------------------------- d37
+    // THE COMPOSED INCREMENTAL PIPELINE, END TO END: probe+extend with a
+    // PERSISTED pair stream (pairsSink — the window's pairs commit to an
+    // append-only hadro collection inside the same leased ingest,
+    // exactly-once via the windowId epoch stamp), a cursor-tagged
+    // componentsCycle consuming the pairs CHANGEFEED (so a crash between
+    // probe and fold replays the window instead of losing its pairs —
+    // the h91 consumer shape), and the takedown-aware keepList read.
+    // Three hash-sliced ingest windows over the planted half corpus,
+    // starting from an EMPTY index and EMPTY state; the final keep list
+    // must equal the one-shot ground truth: exact all-pairs Jaccard →
+    // transitive closure → smallest-live-member keep rule. This is the
+    // equivalence a training pipeline relies on when it runs the loop
+    // nightly instead of re-deduping the corpus.
+    QueryDef(
+      "d37_incremental_pipeline",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/d37"
+        val idx = s"$base/idx"
+        val pairsP = s"$base/pairs"
+        val st = s"$base/state"
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        val pins = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        // day 0: empty index (template-restored per rep, the d32 shape);
+        // the pairs collection and membership state start empty too
+        Fixtures.restoreFromTemplateTree(s, dir, "d37_idx",
+          s"/tmp/graft_collections/$tag/d37_tpl", idx,
+          Seq("sets", "bands", "params")) { tb =>
+          DedupOps.minhashLshIndexBuild(planted.limit(0),
+            "doc_id", "text", tb)
+        }
+        freshDir(pairsP); freshDir(st)
+        (0 until 3).foreach { w =>
+          // ingest window w: probe + extend + persist pairs atomically
+          // under the ingest lease...
+          DedupOps.minhashLshIndexProbe(s,
+            planted.filter(pmod(xxhash64(col("doc_id")), lit(3)) === w),
+            "doc_id", "text", idx, mustCheck = Some(pins),
+            pairsSink = Some((pairsP, w.toLong))).collect()
+          // ...then the consumer folds EXACTLY the pairs committed since
+          // its cursor into the membership state and advances the tag
+          ClusterOps.componentsCycle(s, pairsP, "d37_cursor", st)
+          ()
+        }
+        // takedown rule: every %7 doc is gone by keep-list time
+        ClusterOps.keepList(s, st,
+            live = Some(planted.select(col("doc_id"))
+              .filter(col("doc_id") % 7 =!= 0)))
+          .orderBy("cluster")
+      },
+      Some(pairClosureKeepOracle(plantedDocsCte("doc_id % 2 = 0"),
+        "doc_id % 7 <> 0"))),
+
+    // ---------------------------------------------------------------- d38
+    // MATERIALIZED KEEP-LIST with a physical takedown sweep: every
+    // componentsUpdate window MERGEs exactly its touched clusters'
+    // (cluster, keep_id, n_members) rows into a cluster-keyed collection
+    // (the h96 partial-recompute shape), so the nightly consumer reads a
+    // point-lookup-cheap table instead of paying two membership-sized
+    // shuffles per d36-style keepList() call; sweepComponents then
+    // applies accumulated takedowns PHYSICALLY — dead members (and dead
+    // cluster LABELS: clusters re-root to their smallest live member)
+    // leave both tables in one version-pinned replace. Oracle =
+    // transitive closure + the liveness rule, cluster relabeled to its
+    // min live member.
+    QueryDef(
+      "d38_materialized_keep_list",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val st = s"/tmp/graft_collections/$tag/d38_state"
+        val kp = s"/tmp/graft_collections/$tag/d38_keep"
+        freshDir(st); freshDir(kp)
+        val d = table(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 3000)
+        val pairs = d.as("x").join(d.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1 &&
+              col("x.doc_id") % 10 =!= 9)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .localCheckpoint()
+        (0 until 2).foreach { w =>
+          ClusterOps.componentsUpdate(s,
+            pairs.filter(pmod(xxhash64(col("doc_a")), lit(2)) === w),
+            "doc_a", "doc_b", st, keepPath = Some(kp))
+          ()
+        }
+        // takedown pass accumulated: sweep both tables physically
+        ClusterOps.sweepComponents(s, st,
+          d.filter(col("doc_id") % 7 =!= 0), keepPath = Some(kp))
+        ClusterOps.keepListMaterialized(s, kp).orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+          WHERE x.doc_id % 10 <> 9 AND x.doc_id < 3000 AND y.doc_id < 3000),
+        edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src),
+        live AS (SELECT doc_id, cluster FROM memb WHERE doc_id % 7 <> 0)
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS cluster,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM live GROUP BY live.cluster ORDER BY cluster""")),
 
     // ---------------------------------------------------------------- d13
     // Duplicated-span profile ("substring dedup" measure): per doc, how
@@ -5216,6 +5363,77 @@ object OpsQueries {
       // the one-shot exact all-pairs oracle (d02/d32, half corpus): the
       // streaming loop must reproduce the batch answer
       Some(exactPairsOracle(plantedDocsCte("doc_id % 2 = 0"), "j >= 0.8"))),
+
+    // ---------------------------------------------------------------- st26
+    // STREAMING EMBEDDING near-dup ingest loop — st25's foreachBatch loop
+    // instantiated on the EMBEDDING modality: vectors arrive through the
+    // native hadro source one segment per micro-batch, each batch probes
+    // the persisted sign-LSH index (day 0: EMPTY), appends the verified
+    // cosine pairs, and extends the index for the next batch. The
+    // accumulated pair stream must equal the one-shot exact all-pairs
+    // cosine ground truth (d05/d33's oracle shape, both sides in-loop) —
+    // the modality-agnostic probe core proven batch-equivalent under
+    // streaming delivery for vectors too, not just text.
+    QueryDef(
+      "st26_streaming_embedding_loop",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/st26"
+        // half corpus, three micro-batches (the st25 sizing rationale)
+        val e = table(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+        val planted = e.unionByName(
+          e.filter(col("vec_id") % 20 === 0)
+            .withColumn("vec_id", col("vec_id") + 1000000L)
+            .withColumn("embedding",
+              transform(col("embedding"), v => (v * lit(1.01f)).cast(FloatType))))
+        val srcPath = s"$base/src"
+        val idx = s"$base/idx"
+        val pairsPath = s"$base/pairs"
+        Fixtures.restoreFromTemplateTree(s, dir, "st26",
+          s"/tmp/graft_collections/$tag/st26_tpl", base,
+          Seq("src", "idx/sets", "idx/bands", "idx/params")) { tb =>
+          graft.api.Collection.create(s, s"$tb/src", planted,
+            numSegments = 3)
+          DedupOps.embeddingIndexBuild(planted.limit(0),
+            "vec_id", "embedding", s"$tb/idx")
+        }
+        freshDir(pairsPath)
+        val ckpt = java.nio.file.Files.createTempDirectory("st26_ckpt").toString
+        val q = s.readStream.format("hadro")
+          .option("hadro.maxOrdinalsPerTrigger", "1").load(srcPath)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              DedupOps.embeddingIndexProbe(s, batch, "vec_id", "embedding",
+                  idx)
+                .write.format("hadro").mode("append").save(pairsPath)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000),
+          "AvailableNow query must terminate by itself")
+        graft.api.Collection(s, pairsPath).toDF()
+          .withColumn("cosine", round(col("cosine"), 3))
+          .orderBy("id_a", "id_b")
+      },
+      // the one-shot exact all-pairs oracle: random embeddings never
+      // reach 0.9 naturally at this dimensionality (see d05), so the
+      // >= 0.9 set is the planted scaled copies — the loop must emit
+      // each exactly once, on the window its second member arrived
+      Some("""WITH vecs AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(embedding, v -> CAST(v * CAST(1.01 AS FLOAT) AS FLOAT))
+          FROM embeddings WHERE vec_id % 20 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cosine
+        FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        ORDER BY id_a, id_b""")),
 
     // ---------------------------------------------------------------- h99
     // PURE-SQL near-dup ingest loop: the d31 lifecycle — build the LSH
