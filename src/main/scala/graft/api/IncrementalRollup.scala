@@ -79,6 +79,23 @@ object IncrementalRollup {
   private def deltaView(prefix: String, rollupTable: String): String =
     prefix + rollupTable.replaceAll("[^A-Za-z0-9_]", "_")
 
+  /** Driver-visible EXACTLY-ONCE health counter, per rollup directory
+    * (readable via [[protocolBreaks]] / `CALL system.rollup_health`):
+    * a non-zero count means some cycle's MERGE provably committed
+    * WITHOUT its applied-version record — exactly-once degraded to
+    * double-apply-on-crash — and the rollup should not be trusted until
+    * re-bootstrapped. Sturdier than the ERROR log alone: an operator
+    * (or the composed-pipeline queries) asserts `breaks == 0` without
+    * grepping driver logs. */
+  private val ProtocolBreaks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.LongAdder]()
+
+  /** Number of detected exactly-once protocol breaks for the rollup at
+    * `rollupDir` since this JVM started (see [[ProtocolBreaks]]). */
+  def protocolBreaks(rollupDir: java.nio.file.Path): Long =
+    Option(ProtocolBreaks.get(
+      rollupDir.toAbsolutePath.normalize.toString)).map(_.sum).getOrElse(0L)
+
   /** Exactly-once POST-check, run right after a cycle's MERGE while the
     * stamp registration is still in scope: the thread-local stamp is
     * consumed by a successful manifest commit ON THE REGISTERING THREAD
@@ -89,30 +106,43 @@ object IncrementalRollup {
     * double-apply-on-crash; Spark's eager command execution commits on
     * the calling thread today — this guards against a future async
     * commit path). The same signature ALSO arises on a perfectly
-    * healthy cycle, though: a no-op MERGE over an empty window commits
+    * healthy cycle, though: a no-op MERGE over an empty delta commits
     * nothing (the stamp stays armed), and a CONCURRENT commit on the
     * rollup — another cursor's cycle, maintenance — can advance the
-    * version in that window. The two are indistinguishable from here,
-    * so this surfaces as an ERROR-level log (actionable, greppable)
-    * rather than an exception: throwing would permanently fail healthy
-    * multi-cursor deployments on a race, which is worse than a loud
-    * diagnostic for a hypothetical future code path. */
-  private def assertEpochPublished(rp: java.nio.file.Path,
-      cursorTag: String, preVersion: Long, head: Long): Unit =
+    * version in that window. `expectCommit` is the disambiguator the
+    * log line alone never had: evaluated ONLY when the signature fires
+    * (one extra job in a path that should never execute), it asks
+    * whether THIS cycle's MERGE had rows that must fire a write branch
+    * — if yes, the missing entry is a GENUINE protocol break, counted
+    * in [[ProtocolBreaks]] and ERROR-logged; if no, the no-op-MERGE
+    * race explains it and only the log fires. Throwing would
+    * permanently fail healthy multi-cursor deployments on the race,
+    * which is worse than a counted, loud diagnostic. */
+  private[graft] def assertEpochPublished(rp: java.nio.file.Path,
+      cursorTag: String, preVersion: Long, head: Long,
+      expectCommit: => Boolean): Unit =
     if (CollectionMeta.commitEpochArmed(rp)) {
       val m = CollectionMeta.currentManifest(rp)
       if (m.version != preVersion &&
-          !m.streamEpochs.get(epochKey(cursorTag)).contains(head))
+          !m.streamEpochs.get(epochKey(cursorTag)).contains(head)) {
+        val genuine = expectCommit
+        if (genuine) ProtocolBreaks.computeIfAbsent(
+          rp.toAbsolutePath.normalize.toString,
+          _ => new java.util.concurrent.atomic.LongAdder).increment()
         org.slf4j.LoggerFactory.getLogger(getClass).error(
           s"hadro: rollup manifest advanced v$preVersion -> v${m.version} " +
             s"without recording applied version $head for cursor " +
-            s"'$cursorTag' (streamEpochs: ${m.streamEpochs}). If no other " +
-            "writer shares this rollup, the MERGE committed off the " +
-            "registering thread and the exactly-once stamp was dropped — " +
-            "a crash before the cursor tag moves would re-apply this " +
-            "window; investigate before trusting the rollup. (A no-op " +
-            "MERGE racing a concurrent legitimate commit logs this too " +
-            "and is harmless.)")
+            s"'$cursorTag' (streamEpochs: ${m.streamEpochs}). " +
+            (if (genuine)
+              "This cycle's MERGE had rows to commit, so the commit ran " +
+                "off the registering thread and the exactly-once stamp " +
+                "was dropped — a crash before the cursor tag moves would " +
+                "re-apply this window. Counted in rollup_health; " +
+                "re-bootstrap before trusting the rollup."
+            else
+              "This cycle's MERGE was a no-op racing a concurrent " +
+                "legitimate commit — harmless, not counted."))
+      }
     }
 
   private def deltas(spark: SparkSession, factPath: String,
@@ -208,7 +238,10 @@ object IncrementalRollup {
               WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
               WHEN MATCHED THEN UPDATE SET $sets
               WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
-        assertEpochPublished(rp, cursorTag, rm0.version, head)
+        // every delta row fires a MERGE branch, so a non-empty delta
+        // view proves this cycle's MERGE must have committed
+        assertEpochPublished(rp, cursorTag, rm0.version, head,
+          !spark.table(view).isEmpty)
       } finally {
         CollectionMeta.clearCommitEpoch(rp)
         spark.catalog.dropTempView(view)
@@ -309,7 +342,11 @@ object IncrementalRollup {
               WHEN MATCHED THEN UPDATE SET $sets
               WHEN NOT MATCHED AND d.n IS NOT NULL THEN
                 INSERT ($insCols) VALUES ($insVals)""")
-        assertEpochPublished(rp, cursorTag, rm0.version, head)
+        // refreshed rows with non-null n always fire a write branch; a
+        // pure-delete window (all touched groups vanished) under-detects
+        // here and falls back to the log-only diagnostic
+        assertEpochPublished(rp, cursorTag, rm0.version, head,
+          !spark.table(view).filter(col("n").isNotNull).isEmpty)
       } finally {
         CollectionMeta.clearCommitEpoch(rp)
         spark.catalog.dropTempView(view)
@@ -447,7 +484,10 @@ object IncrementalRollup {
               WHEN MATCHED AND t.n + d.dn = 0 THEN DELETE
               WHEN MATCHED THEN UPDATE SET $sets
               WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
-        assertEpochPublished(rp, cursorTag, rm0.version, head)
+        // every delta row fires a MERGE branch, so a non-empty delta
+        // view proves this cycle's MERGE must have committed
+        assertEpochPublished(rp, cursorTag, rm0.version, head,
+          !spark.table(view).isEmpty)
       } finally {
         CollectionMeta.clearCommitEpoch(rp)
         spark.catalog.dropTempView(view)

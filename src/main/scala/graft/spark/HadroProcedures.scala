@@ -42,10 +42,11 @@ object HadroProcedures {
       "compact_partitions", "set_partition_spec", "purge_deletes",
       "create_branch", "drop_branch", "fast_forward", "rebase",
       "typed_changes", "rollup_bootstrap", "rollup_cycle", "rollup_refresh",
-      "resolved_view", "sweep_index",
+      "resolved_view", "sweep_index", "rollup_health",
       "neardup_index_build", "neardup_probe", "sweep_lsh_index",
       "embedding_index_build", "embedding_probe",
-      "components_update", "components_view")
+      "components_update", "components_view", "components_cycle",
+      "sweep_components", "keep_list_view")
 
   /** "fn:src:out,..." — the aggregate spec grammar of the rollup
     * procedures (fn in min|max|sum), e.g.
@@ -546,14 +547,86 @@ object HadroProcedures {
           "state_dir — the downstream consumer of the neardup_probe " +
           "pair stream: touched clusters re-root, untouched clusters " +
           "are never read, crash retries are idempotent (see " +
-          "components_view for the resolved read). Returns rows appended",
+          "components_view for the resolved read). keep_dir ('' = skip) " +
+          "also MERGEs the touched clusters' rows into the materialized " +
+          "keep-list collection. Returns rows appended",
         Seq(p("pairs_table", StringType), p("a_col", StringType),
-          p("b_col", StringType), p("state_dir", StringType)),
+          p("b_col", StringType), p("state_dir", StringType),
+          ProcedureParameter.in("keep_dir", StringType)
+            .defaultValue("''").build()),
         new StructType().add("rows_appended", LongType)) { in =>
+          val keep = if (in.isNullAt(4)) "" else in.getUTF8String(4).toString
           Seq(InternalRow(graft.ops.ClusterOps.componentsUpdate(
             SparkSession.active, coll(in).toDF(),
             in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-            in.getUTF8String(3).toString)))
+            in.getUTF8String(3).toString,
+            keepPath = Option(keep).filter(_.nonEmpty))))
+        }
+      case "components_cycle" => proc("components_cycle",
+        "one consumer cycle over a PERSISTED pairs collection (the " +
+          "neardup_probe pairs_dir stream): fold every pair committed " +
+          "since cursor_tag's last cycle into the membership state at " +
+          "state_dir, then advance the tag — at-least-once replay is " +
+          "exactly-once here (duplicate edges are idempotent), and the " +
+          "tag pins the floor against retention. keep_dir ('' = skip) " +
+          "maintains the materialized keep-list. Returns the new cursor",
+        Seq(p("pairs_dir", StringType), p("cursor_tag", StringType),
+          p("state_dir", StringType),
+          ProcedureParameter.in("keep_dir", StringType)
+            .defaultValue("''").build()),
+        new StructType().add("cursor_version", LongType)) { in =>
+          val keep = if (in.isNullAt(3)) "" else in.getUTF8String(3).toString
+          Seq(InternalRow(graft.ops.ClusterOps.componentsCycle(
+            SparkSession.active, in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            keepPath = Option(keep).filter(_.nonEmpty))))
+        }
+      case "sweep_components" => proc("sweep_components",
+        "physically sweep the incremental components membership at " +
+          "state_dir against its base table: keep only live members, " +
+          "re-rooting each surviving cluster to its smallest LIVE member " +
+          "(dead ids leave the state entirely, including as labels) in " +
+          "one atomic version-pinned replace; fully-dead clusters " +
+          "vanish. keep_dir ('' = skip) rewrites the materialized " +
+          "keep-list in the same pass. Corpus-proportional — run when " +
+          "takedown churn accumulates; keepList(live) covers the gap. " +
+          "Returns member rows swept",
+        Seq(p("state_dir", StringType), p("base_table", StringType),
+          ProcedureParameter.in("keep_dir", StringType)
+            .defaultValue("''").build()),
+        new StructType().add("rows_swept", LongType)) { in =>
+          val spark = SparkSession.active
+          val base = Collection(spark,
+            resolve(in.getUTF8String(1).toString).toString)
+          val keep = if (in.isNullAt(2)) "" else in.getUTF8String(2).toString
+          Seq(InternalRow(graft.ops.ClusterOps.sweepComponents(spark,
+            in.getUTF8String(0).toString, base.ids(),
+            keepPath = Option(keep).filter(_.nonEmpty))))
+        }
+      case "keep_list_view" => proc("keep_list_view",
+        "register a TEMP VIEW of the materialized keep-list maintained " +
+          "by components_update/components_cycle keep_dir (resolved " +
+          "keyed LWW: each cluster serves its latest row, merged-away " +
+          "roots are tombstoned) — the point-lookup-cheap read the " +
+          "nightly consumer uses instead of re-aggregating membership",
+        Seq(p("keep_dir", StringType), p("view", StringType)),
+        new StructType().add("view", StringType)) { in =>
+          val view = in.getUTF8String(1).toString
+          graft.ops.ClusterOps.keepListMaterialized(SparkSession.active,
+            in.getUTF8String(0).toString).createOrReplaceTempView(view)
+          Seq(InternalRow(UTF8String.fromString(view)))
+        }
+      case "rollup_health" => proc("rollup_health",
+        "exactly-once health of a rollup table: the number of detected " +
+          "protocol breaks (a cycle's MERGE committed without its " +
+          "applied-version record — double-apply-on-crash exposure) " +
+          "since this JVM started. Non-zero means re-bootstrap before " +
+          "trusting the rollup; the benign no-op-MERGE race never " +
+          "counts here",
+        Seq(p("rollup_table", StringType)),
+        new StructType().add("protocol_breaks", LongType)) { in =>
+          Seq(InternalRow(graft.api.IncrementalRollup.protocolBreaks(
+            resolve(in.getUTF8String(0).toString))))
         }
       case "components_view" => proc("components_view",
         "register a TEMP VIEW of the resolved (doc_id, cluster) " +

@@ -62,7 +62,10 @@ class IncrementalRollupSpec extends SparkSuite {
 
   test("a window is applied exactly once: replaying a cycle whose tag move " +
       "was lost (crash after MERGE) is a no-op") {
-    val wh = freshCatalog("ir1")
+    underEachFileIO { fio =>
+    info(s"FileIO impl: $fio")
+    val cat = s"ir1$fio" // catalog instances cache per name
+    val wh = freshCatalog(cat)
     try {
       val factDir = Paths.get(wh, "db", "f").toString
       val aggDir = Paths.get(wh, "db", "agg").toString
@@ -76,7 +79,7 @@ class IncrementalRollupSpec extends SparkSuite {
       Seq((3L, "a", 10.0), (4L, "c", 4.0)).toDF("id", "g", "v")
         .write.format("hadro").mode("append").save(factDir)
       val head = IncrementalRollup.cycle(spark, factDir, "ir1_cursor",
-        "ir1.db.agg", "g", Seq("v" -> "sv"))
+        s"$cat.db.agg", "g", Seq("v" -> "sv"))
       val applied = rollupRows(aggDir)
       assert(applied == Seq(("a", 2L, 11.0), ("b", 1L, 2.0), ("c", 1L, 4.0)),
         applied.toString)
@@ -88,7 +91,7 @@ class IncrementalRollupSpec extends SparkSuite {
       // lost — rewind the cursor tag to the pre-window floor and retry
       fact.createTag("ir1_cursor", floor)
       val head2 = IncrementalRollup.cycle(spark, factDir, "ir1_cursor",
-        "ir1.db.agg", "g", Seq("v" -> "sv"))
+        s"$cat.db.agg", "g", Seq("v" -> "sv"))
       assert(head2 == head)
       assert(rollupRows(aggDir) == applied,
         s"retry double-applied the window: ${rollupRows(aggDir)}")
@@ -98,19 +101,23 @@ class IncrementalRollupSpec extends SparkSuite {
       Seq((5L, "b", 20.0)).toDF("id", "g", "v")
         .write.format("hadro").mode("append").save(factDir)
       IncrementalRollup.cycle(spark, factDir, "ir1_cursor",
-        "ir1.db.agg", "g", Seq("v" -> "sv"))
+        s"$cat.db.agg", "g", Seq("v" -> "sv"))
       assert(rollupRows(aggDir) ==
         Seq(("a", 2L, 11.0), ("b", 2L, 22.0), ("c", 1L, 4.0)),
         rollupRows(aggDir).toString)
     } finally {
-      spark.conf.unset("spark.sql.catalog.ir1.warehouse")
-      spark.conf.unset("spark.sql.catalog.ir1")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
     }
   }
 
   test("keyed crash-retry: cycleKeyed replaying a lost tag move is a no-op " +
       "and a re-bootstrap lowers the applied record to its new baseline") {
-    val wh = freshCatalog("ir2")
+    underEachFileIO { fio =>
+    info(s"FileIO impl: $fio")
+    val cat = s"ir2$fio" // catalog instances cache per name
+    val wh = freshCatalog(cat)
     try {
       val factDir = Paths.get(wh, "db", "f").toString
       val aggDir = Paths.get(wh, "db", "agg").toString
@@ -125,13 +132,13 @@ class IncrementalRollupSpec extends SparkSuite {
       fact.set(Seq((1L, "a", 9.0), (4L, "c", 4.0)).toDF("k", "g", "v"))
       fact.merge(Seq((2L, "b", 2.0, true)).toDF("k", "g", "v", "d"), $"d")
       IncrementalRollup.cycleKeyed(spark, factDir, "ir2_cursor",
-        "ir2.db.agg", "g", Seq("v" -> "sv"))
+        s"$cat.db.agg", "g", Seq("v" -> "sv"))
       val applied = rollupRows(aggDir)
       assert(applied == Seq(("a", 1L, 9.0), ("b", 1L, 3.0), ("c", 1L, 4.0)),
         applied.toString)
       fact.createTag("ir2_cursor", floor) // lost tag move
       IncrementalRollup.cycleKeyed(spark, factDir, "ir2_cursor",
-        "ir2.db.agg", "g", Seq("v" -> "sv"))
+        s"$cat.db.agg", "g", Seq("v" -> "sv"))
       assert(rollupRows(aggDir) == applied,
         s"keyed retry double-applied: ${rollupRows(aggDir)}")
 
@@ -141,20 +148,24 @@ class IncrementalRollupSpec extends SparkSuite {
         "g", Seq("v" -> "sv"))
       fact.set(Seq((5L, "a", 50.0)).toDF("k", "g", "v"))
       IncrementalRollup.cycleKeyed(spark, factDir, "ir2_cursor",
-        "ir2.db.agg", "g", Seq("v" -> "sv"))
+        s"$cat.db.agg", "g", Seq("v" -> "sv"))
       assert(rollupRows(aggDir) ==
         Seq(("a", 2L, 59.0), ("b", 1L, 3.0), ("c", 1L, 4.0)),
         rollupRows(aggDir).toString)
     } finally {
-      spark.conf.unset("spark.sql.catalog.ir2.warehouse")
-      spark.conf.unset("spark.sql.catalog.ir2")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
     }
   }
 
   test("cycleRefresh partially recomputes only touched groups: deleted " +
       "extremes recover, emptied groups delete, new groups insert, " +
       "and a replayed window is a no-op") {
-    val wh = freshCatalog("ir4")
+    underEachFileIO { fio =>
+    info(s"FileIO impl: $fio")
+    val cat = s"ir4$fio" // catalog instances cache per name
+    val wh = freshCatalog(cat)
     try {
       val factDir = Paths.get(wh, "db", "f").toString
       val aggDir = Paths.get(wh, "db", "mm").toString
@@ -178,10 +189,10 @@ class IncrementalRollupSpec extends SparkSuite {
         // introduce D; B is untouched and must not be re-read or merged
         Seq((6L, "A", 20.0), (7L, "D", 1.0)).toDF("id", "g", "v")
           .write.format("hadro").mode("append").save(factDir)
-        spark.sql("DELETE FROM ir4.db.f WHERE v = 50.0 OR g = 'C'")
+        spark.sql(s"DELETE FROM $cat.db.f WHERE v = 50.0 OR g = 'C'")
         val floor = fact.tags("ir4_cursor")
         val head = IncrementalRollup.cycleRefresh(spark, factDir,
-          "ir4_cursor", "ir4.db.mm", "g", aggs)
+          "ir4_cursor", s"$cat.db.mm", "g", aggs)
         assert(rows() == Seq(("A", 2L, 5.0, 20.0), ("B", 2L, 7.0, 70.0),
           ("D", 1L, 1.0, 1.0)), rows().toString)
         // the applied version rode the MERGE commit
@@ -190,14 +201,15 @@ class IncrementalRollupSpec extends SparkSuite {
         // crash simulation: rewind the tag, retry — skipped, tag re-moves
         fact.createTag("ir4_cursor", floor)
         IncrementalRollup.cycleRefresh(spark, factDir, "ir4_cursor",
-          "ir4.db.mm", "g", aggs)
+          s"$cat.db.mm", "g", aggs)
         assert(rows() == Seq(("A", 2L, 5.0, 20.0), ("B", 2L, 7.0, 70.0),
           ("D", 1L, 1.0, 1.0)), rows().toString)
         assert(fact.tags("ir4_cursor") == head)
       } finally spark.conf.unset("spark.hadro.delete.mode")
     } finally {
-      spark.conf.unset("spark.sql.catalog.ir4.warehouse")
-      spark.conf.unset("spark.sql.catalog.ir4")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
     }
   }
 
@@ -384,8 +396,68 @@ class IncrementalRollupSpec extends SparkSuite {
         s"(${shuffled.sorted.reverse})")
   }
 
+  test("rollup_health counts ONLY genuine protocol breaks: a planted " +
+      "off-thread commit with a committing MERGE trips the counter; the " +
+      "benign no-op-MERGE-vs-concurrent-commit race does not") {
+    val wh = freshCatalog("ir7")
+    try {
+      val aggDir = Paths.get(wh, "db", "agg")
+      Seq(("a", 1L, BigDecimal(1.0))).toDF("g", "n", "sv")
+        .write.format("hadro").mode("overwrite").option("hadro.key", "g")
+        .save(aggDir.toString)
+      val before = IncrementalRollup.protocolBreaks(aggDir)
+      assert(spark.sql("CALL ir7.system.rollup_health('db.agg')")
+        .head().getLong(0) == before)
+      // the planted signature: stamp armed on THIS thread, manifest
+      // advanced by a commit on ANOTHER thread (which can neither
+      // consume nor publish the stamp), applied-version entry missing
+      val pre = CollectionMeta.currentManifest(aggDir).version
+      CollectionMeta.registerCommitEpoch(aggDir, "hadro-rollup:ir7_c", 5L)
+      try {
+        val t = new Thread(() => Seq(("b", 1L, BigDecimal(2.0)))
+          .toDF("g", "n", "sv")
+          .write.format("hadro").mode("append").save(aggDir.toString))
+        t.start(); t.join()
+        // benign read of the same signature: this cycle's MERGE was a
+        // no-op (nothing to commit), so the foreign commit explains the
+        // version move — log-only, counter must NOT move
+        IncrementalRollup.assertEpochPublished(aggDir, "ir7_c", pre, 5L,
+          expectCommit = false)
+        assert(IncrementalRollup.protocolBreaks(aggDir) == before,
+          "benign no-op race must not count as a protocol break")
+        // genuine break: the MERGE had rows to commit, so the version
+        // advance without our entry means OUR commit dropped the stamp
+        IncrementalRollup.assertEpochPublished(aggDir, "ir7_c", pre, 5L,
+          expectCommit = true)
+        assert(IncrementalRollup.protocolBreaks(aggDir) == before + 1,
+          "planted off-thread commit must count as a protocol break")
+        assert(spark.sql("CALL ir7.system.rollup_health('db.agg')")
+          .head().getLong(0) == before + 1,
+          "rollup_health must surface the counter")
+      } finally CollectionMeta.clearCommitEpoch(aggDir)
+      // a healthy full cycle through the public API stays at zero breaks
+      val factDir = Paths.get(wh, "db", "f").toString
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("overwrite").save(factDir)
+      val agg2 = Paths.get(wh, "db", "agg2")
+      IncrementalRollup.bootstrap(spark, factDir, "ir7_cursor",
+        agg2.toString, "g", Seq("v" -> "sv"))
+      Seq((3L, "a", 10.0)).toDF("id", "g", "v")
+        .write.format("hadro").mode("append").save(factDir)
+      IncrementalRollup.cycle(spark, factDir, "ir7_cursor",
+        "ir7.db.agg2", "g", Seq("v" -> "sv"))
+      assert(IncrementalRollup.protocolBreaks(agg2) == 0L,
+        "a healthy cycle tripped the protocol-break counter")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ir7.warehouse")
+      spark.conf.unset("spark.sql.catalog.ir7")
+    }
+  }
+
   test("a commit-epoch stamp binds to the registering thread: a concurrent " +
       "writer's commit neither consumes nor publishes it") {
+    underEachFileIO { fio =>
+    info(s"FileIO impl: $fio")
     val wh = freshCatalog("ir6")
     try {
       val dir = Paths.get(wh, "db", "t")
@@ -413,6 +485,7 @@ class IncrementalRollupSpec extends SparkSuite {
     } finally {
       spark.conf.unset("spark.sql.catalog.ir6.warehouse")
       spark.conf.unset("spark.sql.catalog.ir6")
+    }
     }
   }
 }

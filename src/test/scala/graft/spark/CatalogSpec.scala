@@ -134,6 +134,53 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.w2")
   }
 
+  test("CALL components_cycle / sweep_components / keep_list_view drive " +
+      "the composed membership loop (cursor-tagged pairs consumer, " +
+      "materialized keep-list, physical takedown sweep) from pure SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    val st = s"$warehouse/cc2_state"
+    val kp = s"$warehouse/cc2_keep"
+    val pairsDir = s"$warehouse/cc2_pairs"
+    // a persisted pairs collection accruing commits (the neardup_probe
+    // pairsSink shape, written directly): window 1
+    Seq((10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("overwrite").save(pairsDir)
+    val c1 = spark.sql(s"""CALL testcat.system.components_cycle(
+      '$pairsDir', 'sqlcur', '$st', '$kp')""").collect()
+    assert(c1.head.getLong(0) >= 1L, c1.toSeq.toString)
+    spark.sql(s"CALL testcat.system.keep_list_view('$kp', 'kl_m0')")
+    val kl0 = spark.sql(
+      "SELECT cluster, keep_id, n_members FROM kl_m0 ORDER BY cluster")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kl0 == Seq((10L, 10L, 2L), (20L, 20L, 2L)), kl0.toString)
+    // window 2 lands as a NEW commit; the tagged cursor folds ONLY it,
+    // merging the two clusters — root 20 tombstones out of the keep list
+    Seq((11L, 21L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("append").save(pairsDir)
+    spark.sql(s"""CALL testcat.system.components_cycle(
+      '$pairsDir', 'sqlcur', '$st', '$kp')""")
+    spark.sql(s"CALL testcat.system.keep_list_view('$kp', 'kl_m1')")
+    val kl1 = spark.sql(
+      "SELECT cluster, keep_id, n_members FROM kl_m1 ORDER BY cluster")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kl1 == Seq((10L, 10L, 4L)), s"SQL cycle diverged: $kl1")
+    // takedown: doc 10 (the root!) is gone from the base — the sweep
+    // re-roots to the smallest live member in both tables
+    Seq(11L, 20L, 21L).toDF("doc_id")
+      .write.format("hadro").option("hadro.key", "doc_id")
+      .mode("overwrite").save(s"$warehouse/db/cc2live")
+    val sw = spark.sql(s"""CALL testcat.system.sweep_components(
+      '$st', 'db.cc2live', '$kp')""").collect()
+    assert(sw.head.getLong(0) == 1L, sw.toSeq.toString)
+    spark.sql(s"CALL testcat.system.keep_list_view('$kp', 'kl_m2')")
+    val kl2 = spark.sql(
+      "SELECT cluster, keep_id, n_members FROM kl_m2 ORDER BY cluster")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kl2 == Seq((11L, 11L, 3L)), s"SQL sweep diverged: $kl2")
+    spark.sql("DROP TABLE testcat.db.cc2live")
+  }
+
   test("CALL system procedures run storage maintenance from pure SQL") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
