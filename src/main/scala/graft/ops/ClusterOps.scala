@@ -203,7 +203,8 @@ object ClusterOps {
       newPairs: DataFrame, aCol: String, bCol: String, statePath: String,
       maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
       maxDriverRoots: Int = DedupOps.DefaultMaxStateSplit,
-      keepPath: Option[String] = None): Long =
+      keepPath: Option[String] = None,
+      maxStateFiles: Int = 64): Long =
     DedupOps.withIngestLease(statePath, enabled = true) {
     val p = java.nio.file.Paths.get(statePath)
     val pairs = newPairs
@@ -313,6 +314,16 @@ object ClusterOps {
         else col("cluster").isInCollection(changedRoots)
       graft.spark.HadroDeleteSupport.dvDeleteWhere(p, cond)
     }
+    // bounded small segments, the LSH-index discipline: a nightly loop
+    // appends a few rows per window FOREVER — bin-pack (atomic replace,
+    // reader-safe via deferred GC) once the segment count crosses the
+    // threshold, or the state scan's open cost grows without bound
+    if (exists || appended > 0) {
+      DedupOps.maybeCompactIndex(
+        graft.api.Collection(spark, statePath), maxStateFiles)
+      keepPath.foreach(kp => DedupOps.maybeCompactIndex(
+        graft.api.Collection(spark, kp), maxStateFiles))
+    }
     appended
   }
 
@@ -382,7 +393,8 @@ object ClusterOps {
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIdPushdown: Int = graft.api.Collection.MaxKeyPushdown,
       maxDriverRoots: Int = DedupOps.DefaultMaxStateSplit,
-      keepPath: Option[String] = None): Long = {
+      keepPath: Option[String] = None,
+      maxStateFiles: Int = 64): Long = {
     // the probe skips empty windows' appends, so early cycles can run
     // before the pairs collection exists at all — nothing to fold yet
     val exists =
@@ -394,14 +406,23 @@ object ClusterOps {
     val head = pairs.version
     val window = pairs.tags.get(cursorTag) match {
       case Some(f) if f >= head => None // caught up
+      // changefeed=full, not a raw ordinal window: the full feed reads
+      // THROUGH data-preserving compactions via the manifest chain walk
+      // (the h93 rollup property), so the probe's pairs-collection
+      // bin-packing can run between cycles without corrupting a
+      // consumer's window. Pairs are append-only, so the feed is pure
+      // inserts; synthesized delete rows (an operator DV-deleting pair
+      // rows) are dropped — membership is merge-only and cannot retract.
       case Some(f) => Some(spark.read.format("hadro")
+        .option("hadro.changefeed", "full")
         .option("hadro.changesStart", f.toString)
-        .option("hadro.changesEnd", head.toString).load(pairsPath))
+        .option("hadro.changesEnd", head.toString).load(pairsPath)
+        .filter(!col("_hadro_deleted")))
       case None => Some(pairs.scanVersion(head))
     }
     window.foreach { w =>
       componentsUpdate(spark, w.select(col(aCol), col(bCol)), aCol, bCol,
-        statePath, maxIdPushdown, maxDriverRoots, keepPath)
+        statePath, maxIdPushdown, maxDriverRoots, keepPath, maxStateFiles)
       ()
     }
     pairs.createTag(cursorTag, head)

@@ -655,6 +655,13 @@ object DedupOps {
           graft.meta.CollectionMeta.registerCommitEpoch(pp, key, windowId)
           try result.write.format("hadro").mode("append").save(pairsPath)
           finally graft.meta.CollectionMeta.clearCommitEpoch(pp)
+          // the pair log accrues one small segment per nonempty window
+          // forever — bin-pack like the index tables. Safe under
+          // consumers: their cursor TAGS pin floor manifests/files
+          // against GC, and componentsCycle reads changefeed=full, which
+          // walks through data-preserving compactions (h93 property).
+          maybeCompactIndex(graft.api.Collection(spark, pairsPath),
+            maxIndexFiles)
         }
       }
       // MUTATION-AWARE, IDEMPOTENT extension: per table, batch ids
@@ -764,7 +771,7 @@ object DedupOps {
     }
   }
 
-  private def maybeCompactIndex(idx: graft.api.Collection,
+  private[ops] def maybeCompactIndex(idx: graft.api.Collection,
       maxSegments: Int): Unit =
     if (maxSegments > 0 && graft.meta.CollectionMeta.currentManifest(
         java.nio.file.Paths.get(idx.path)).segments.size > maxSegments) {

@@ -5498,6 +5498,66 @@ object OpsQueries {
       Some(exactPairsOracle(plantedDocsCte("doc_id % 40 <> 0"),
         "j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)"))),
 
+    // --------------------------------------------------------------- h100
+    // PURE-SQL COMPOSED PIPELINE: d37's probe+extend → persisted pairs →
+    // cursor-tagged fold → takedown-aware keep list, driven end to end
+    // by CALL statements — neardup_probe's pairs_dir/window_id persists
+    // each window's pairs exactly-once inside the leased ingest, and
+    // components_cycle consumes the pairs changefeed (maintaining the
+    // materialized keep-list via keep_dir along the way). A SQL-only
+    // operator can now run the WHOLE nightly dedup pipeline — index,
+    // pair log, membership, keep list — without linking the Scala API.
+    // Oracle = d37's (exact pairs → closure → smallest-live-member).
+    QueryDef(
+      "h100_composed_sql_loop",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h100"
+        s.conf.set("spark.sql.catalog.graft_h100",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h100.warehouse", wh)
+        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        // window tables and the day-0 empty index restore from build-once
+        // templates; pair log / state / keep start empty every run
+        Fixtures.restoreFromTemplateTree(s, dir, "h100",
+          s"/tmp/graft_collections/$tag/h100_tpl", wh,
+          Seq("db/w0", "db/w1", "db/w2",
+            "nd_idx/sets", "nd_idx/bands", "nd_idx/params")) { tb =>
+          (0 until 3).foreach { w =>
+            planted.filter(pmod(xxhash64(col("doc_id")), lit(3)) === w)
+              .write.format("hadro").mode("overwrite").save(s"$tb/db/w$w")
+          }
+          DedupOps.minhashLshIndexBuild(planted.limit(0),
+            "doc_id", "text", s"$tb/nd_idx")
+        }
+        val pairsP = s"$wh/pairs"
+        val st = s"$wh/cc_state"
+        val kp = s"$wh/keep"
+        freshDir(pairsP); freshDir(st); freshDir(kp)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h100.db")
+        (0 until 3).foreach { w =>
+          s.sql(s"""CALL graft_h100.system.neardup_probe(
+            'db.w$w', 'doc_id', 'text', '$wh/nd_idx', 'h100_p$w',
+            0.8D, true, '', '$pairsP', ${w}L)""")
+          s.sql(s"""CALL graft_h100.system.components_cycle(
+            '$pairsP', 'h100cur', '$st', '$kp')""")
+          ()
+        }
+        // keep-list read with the takedown rule applied read-side (the
+        // d36/d37 pattern, in SQL over the resolved membership view)
+        s.sql(s"CALL graft_h100.system.components_view('$st', 'h100_m')")
+        s.sql("""SELECT cluster, MIN(doc_id) AS keep_id,
+            COUNT(*) AS n_members
+          FROM h100_m WHERE doc_id % 7 <> 0
+          GROUP BY cluster ORDER BY cluster""")
+      },
+      Some(pairClosureKeepOracle(plantedDocsCte("doc_id % 2 = 0"),
+        "doc_id % 7 <> 0"))),
+
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +
     // language gate) applied to a document STREAM — stateless curation

@@ -68,6 +68,23 @@ object HadroProcedures {
       (p(0), p(1))
     }
 
+  /** The (pairs_dir, window_id) pair of the probe procedures mapped to
+    * the Scala API's `pairsSink`: '' skips; a nonempty dir requires a
+    * non-negative monotonic window id (the exactly-once stamp). */
+  private def pairsSinkArg(in: InternalRow, dirPos: Int,
+      idPos: Int): Option[(String, Long)] = {
+    val dir = if (in.isNullAt(dirPos)) "" else in.getUTF8String(dirPos).toString
+    if (dir.isEmpty) None
+    else {
+      val wid = if (in.isNullAt(idPos)) -1L else in.getLong(idPos)
+      require(wid >= 0L,
+        "hadro: pairs_dir requires a non-negative window_id — the " +
+          "monotonic ingest-window stamp that makes the pairs append " +
+          "exactly-once across retries")
+      Some((dir, wid))
+    }
+  }
+
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
     * the catalog's name resolution exactly. `resolveNew` is the same name
@@ -472,11 +489,19 @@ object HadroProcedures {
           "the index extends, the extension is mutation-aware and " +
           "idempotent, and concurrent ingests serialize on the index's " +
           "ingest lease. live_table ('' = skip) drops pairs whose corpus " +
-          "side was deleted from the base after the index was built",
+          "side was deleted from the base after the index was built. " +
+          "pairs_dir ('' = skip; extend mode only) also PERSISTS the " +
+          "window's pairs to an append-only collection inside the same " +
+          "leased ingest, exactly once across retries via the monotonic " +
+          "window_id stamp — the stream components_cycle consumes",
         Seq(p("batch_table", StringType), p("id_col", StringType),
           p("text_col", StringType), p("index_dir", StringType),
           p("view", StringType), p("threshold", DoubleType),
-          p("extend", BooleanType), p("live_table", StringType)),
+          p("extend", BooleanType), p("live_table", StringType),
+          ProcedureParameter.in("pairs_dir", StringType)
+            .defaultValue("''").build(),
+          ProcedureParameter.in("window_id", LongType)
+            .defaultValue("-1").build()),
         new StructType().add("view", StringType)
           .add("extended", BooleanType)) { in =>
           val spark = SparkSession.active
@@ -490,7 +515,8 @@ object HadroProcedures {
           graft.ops.DedupOps.minhashLshIndexProbe(spark, batch,
             in.getUTF8String(1).toString, in.getUTF8String(2).toString,
             in.getUTF8String(3).toString,
-            threshold = in.getDouble(5), extendIndex = extend, live = live)
+            threshold = in.getDouble(5), extendIndex = extend, live = live,
+            pairsSink = pairsSinkArg(in, 8, 9))
             .createOrReplaceTempView(view)
           Seq(InternalRow(UTF8String.fromString(view), extend))
         }
@@ -519,12 +545,17 @@ object HadroProcedures {
           "index and register the pairs (id_a, id_b, cosine >= threshold) " +
           "as a TEMP VIEW — neardup_probe's vector-modality twin (same " +
           "dry-run/extend semantics, mutation-aware lease-serialized " +
-          "extension, optional live_table gate; banding read from the " +
-          "index's own params sidecar)",
+          "extension, optional live_table gate, pairs_dir/window_id " +
+          "persisted pair stream; banding read from the index's own " +
+          "params sidecar)",
         Seq(p("batch_table", StringType), p("id_col", StringType),
           p("vec_col", StringType), p("index_dir", StringType),
           p("view", StringType), p("threshold", DoubleType),
-          p("extend", BooleanType), p("live_table", StringType)),
+          p("extend", BooleanType), p("live_table", StringType),
+          ProcedureParameter.in("pairs_dir", StringType)
+            .defaultValue("''").build(),
+          ProcedureParameter.in("window_id", LongType)
+            .defaultValue("-1").build()),
         new StructType().add("view", StringType)
           .add("extended", BooleanType)) { in =>
           val spark = SparkSession.active
@@ -537,7 +568,8 @@ object HadroProcedures {
           graft.ops.DedupOps.embeddingIndexProbe(spark, coll(in).toDF(),
             in.getUTF8String(1).toString, in.getUTF8String(2).toString,
             in.getUTF8String(3).toString,
-            threshold = in.getDouble(5), extendIndex = extend, live = live)
+            threshold = in.getDouble(5), extendIndex = extend, live = live,
+            pairsSink = pairsSinkArg(in, 8, 9))
             .createOrReplaceTempView(view)
           Seq(InternalRow(UTF8String.fromString(view), extend))
         }

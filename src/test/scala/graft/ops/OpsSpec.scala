@@ -1400,6 +1400,50 @@ class OpsSpec extends SparkSuite {
     assert(kl == Seq((1L, 1L, 4L), (2L, 2L, 2L)), kl.toString)
   }
 
+  test("pairs-log compaction is transparent to a tagged consumer, and " +
+      "state/keep collections stay segment-bounded across many windows") {
+    val wh = java.nio.file.Files.createTempDirectory("ccbound").toString
+    val pairsP = s"$wh/pairs"; val st = s"$wh/state"; val kp = s"$wh/keep"
+    def segs(p: String) = graft.meta.CollectionMeta.currentManifest(
+      java.nio.file.Paths.get(p)).segments.size
+    // window 1 folds, then the pair log BIN-PACKS (the probe's
+    // maintenance); window 2's cycle must read its changefeed window
+    // THROUGH the compaction instead of re-reading or losing commits
+    Seq((10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("append").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "cur", st, keepPath = Some(kp))
+    graft.api.Collection(spark, pairsP).compactSmall(1L << 30)
+    Seq((11L, 21L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("append").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "cur", st, keepPath = Some(kp))
+    val m = ClusterOps.components(spark, st)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(m == Seq((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L)),
+      s"cycle across pairs compaction diverged: $m")
+    val kl = ClusterOps.keepListMaterialized(spark, kp)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(kl == Seq((10L, 10L, 4L)), kl.toString)
+    // a nightly loop appends a few rows per window FOREVER: with the
+    // bin-pack threshold the state/keep segment counts stay bounded
+    // while every fold stays exact (chain graph, one window per edge)
+    val st2 = s"$wh/state2"; val kp2 = s"$wh/keep2"
+    (0 until 12).foreach { i =>
+      ClusterOps.componentsUpdate(spark,
+        Seq((i.toLong, i.toLong + 1L)).toDF("a", "b"), "a", "b", st2,
+        keepPath = Some(kp2), maxStateFiles = 3)
+      ()
+    }
+    assert(segs(st2) <= 4, s"state segments unbounded: ${segs(st2)}")
+    assert(segs(kp2) <= 4, s"keep segments unbounded: ${segs(kp2)}")
+    val chain = ClusterOps.components(spark, st2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(chain == (0L to 12L).map(i => (i, 0L)),
+      s"bounded-segment folds diverged: $chain")
+    val kl2 = ClusterOps.keepListMaterialized(spark, kp2)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(kl2 == Seq((0L, 0L, 13L)), kl2.toString)
+  }
+
   test("materialized keep-list tracks the read-side keepList across " +
       "windows (merged-away roots tombstone) and sweepComponents " +
       "re-roots to live members, healing both tables") {
