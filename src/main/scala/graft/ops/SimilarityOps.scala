@@ -30,6 +30,78 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine_similarity(a, b)
 
+  /** HYBRID RETRIEVAL top-k: a BM25 lexical ranking and a cosine vector
+    * ranking fused by Reciprocal Rank Fusion (RRF — Cormack, Clarke &
+    * Buettcher, SIGIR 2009; the zero-tuning hybrid-search combiner every
+    * RAG / retrieval-corpus pipeline reaches for when neither lexical
+    * nor dense retrieval alone covers the query mix): each modality
+    * contributes 1/(kRrf + rank) over its top-`poolN` pool; the fused
+    * top-`k` returns as (doc_id, rrf).
+    *
+    * Scale shape: the query's terms BROADCAST into the postings join, so
+    * beyond the one tf/dl/df corpus pass (precomputed once per corpus in
+    * a real deployment) the lexical side is postings-proportional; the
+    * vector side is a map-only cosine + TakeOrderedAndProject top-N (the
+    * [[bruteForceTopK]] plan — no corpus shuffle, swap in the IVF/LSH
+    * variants for a 100 TB corpus); pools are <= poolN rows, so the
+    * ranking windows and the fusion's full outer join run on trivial
+    * frames. DETERMINISM: per-term BM25 scores round to 4dp and sum as
+    * DECIMAL (associative — a cross-engine float sum is order-dependent),
+    * cosine rounds to 3dp, and every rank breaks ties by id, so the
+    * ranking is reproducible bit-for-bit across engines. */
+  def hybridRrfTopK(docs: DataFrame, vecs: DataFrame, idCol: String,
+      textCol: String, vecIdCol: String, vecCol: String,
+      queryTerms: Seq[String], queryVec: Seq[Float], k: Int = 10,
+      poolN: Int = 50, kRrf: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), " "), t => length(t) > 0).as("ts"))
+      .filter(size(col("ts")) > 0)
+    // one corpus pass feeds tf, dl and df — persist it (the d04
+    // discipline), release after the bounded pools materialize
+    val tf = toks.select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val termScore =
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      val lexPool = tf
+        .join(broadcast(queryTerms.toDF("term")), Seq("term"))
+        .join(dfreq, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(corpus))
+        .groupBy(col("doc_id"))
+        .agg(sum(round(termScore, 4).cast("decimal(18,4)")).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(poolN)
+      val lexRank = lexPool.withColumn("lr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("s").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lr"))
+      val vecPool = vecs.select(col(vecIdCol).as("doc_id"),
+          round(cosine(col(vecCol), typedlit(queryVec)), 3).as("c"))
+        .orderBy(col("c").desc, col("doc_id")).limit(poolN)
+      val vecRank = vecPool.withColumn("vr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("doc_id"))))
+        .select(col("doc_id"), col("vr"))
+      lexRank.join(vecRank, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(kRrf) + col("lr")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("vr")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+        .localCheckpoint()
+    } finally tf.unpersist()
+  }
+
   /** Exact top-k by cosine against one query vector (broadcast as a
     * literal): per-partition heaps via TakeOrderedAndProject — no full sort,
     * no shuffle of the corpus. */

@@ -1824,6 +1824,63 @@ object OpsQueries {
         SELECT vec_id, ROUND(cos, 4) AS cosine FROM live
         ORDER BY vec_id""")),
 
+    // ---------------------------------------------------------------- s23
+    // HYBRID RETRIEVAL (BM25 lexical + cosine vector, Reciprocal Rank
+    // Fusion): the zero-tuning combiner RAG-corpus pipelines run when
+    // neither retrieval modality alone covers the query mix — each
+    // modality's top-50 pool contributes 1/(60+rank), fused top-10
+    // returns. Query = three corpus terms + doc 7's embedding. The
+    // oracle recomputes BOTH rankings and the fusion exactly: per-term
+    // BM25 rounds to 4dp and sums as DECIMAL (cross-engine float sums
+    // are order-dependent), cosine rounds to 3dp, every rank id-breaks
+    // ties — so the fused list matches bit-for-bit, not plausibly.
+    QueryDef(
+      "s23_hybrid_rrf_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") === 7L)
+          .select(col("embedding")).head().getSeq[Float](0)
+        SimilarityOps.hybridRrfTopK(table(s, dir, "documents"), e,
+            "doc_id", "text", "vec_id", "embedding",
+            Seq("customer", "window", "merge"), qv)
+          .orderBy(col("rrf").desc, col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        tfr AS (SELECT doc_id, unnest(ts) AS term FROM toks WHERE len(ts) > 0),
+        tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tfr
+                WHERE term <> '' GROUP BY 1, 2),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tfc GROUP BY 1),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        lex AS (
+          SELECT t.doc_id,
+            SUM(CAST(ROUND(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (t.tf * 2.2)
+              / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)), 4)
+              AS DECIMAL(18,4))) AS s
+          FROM tfc t JOIN dl l USING (doc_id) JOIN dfreq d USING (term),
+            corpus c
+          WHERE t.term IN ('customer', 'window', 'merge')
+          GROUP BY 1),
+        lrank AS (SELECT doc_id, ROW_NUMBER() OVER
+            (ORDER BY s DESC, doc_id) AS lr
+          FROM lex),
+        qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+        vrank AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER
+            (ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding, q.v)
+              AS DOUBLE), 3) DESC, vec_id) AS vr
+          FROM embeddings e, qv q),
+        fused AS (
+          SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+            ROUND(COALESCE(1.0 / (60 + l.lr), 0)
+              + COALESCE(1.0 / (60 + v.vr), 0), 6) AS rrf
+          FROM (SELECT * FROM lrank WHERE lr <= 50) l
+          FULL JOIN (SELECT * FROM vrank WHERE vr <= 50) v
+            ON l.doc_id = v.doc_id)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf FROM fused
+        ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
     // ---------------------------------------------------------------- s16
     // MATRYOSHKA two-stage search: coarse rank on the first 16 of 64
     // dimensions (quarter the flops/bytes; with the prefix stored as its
@@ -5497,6 +5554,70 @@ object OpsQueries {
       },
       Some(exactPairsOracle(plantedDocsCte("doc_id % 40 <> 0"),
         "j >= 0.8 AND (doc_a >= 1000000 OR doc_b >= 1000000)"))),
+
+    // ---------------------------------------------------------------- st27
+    // STREAMING COMPOSED PIPELINE — d37 as an actual stream: each
+    // foreachBatch probes the LSH index, persists the window's pairs via
+    // pairsSink keyed by the MICRO-BATCH ID (Structured Streaming
+    // re-runs a crashed batch under the same id, so the windowId epoch
+    // stamp makes the replayed append a no-op — streaming retry
+    // semantics and the pairs log's exactly-once contract compose for
+    // free), then folds the pairs changefeed into membership with a
+    // cursor-tagged componentsCycle. The final takedown-aware keep list
+    // must equal the one-shot closure ground truth: the full
+    // ingestion-time dedup pipeline a training corpus runs continuously,
+    // proven batch-equivalent end to end.
+    QueryDef(
+      "st27_streaming_composed_pipeline",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/st27"
+        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        val pins = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        val srcPath = s"$base/src"
+        val idx = s"$base/idx"
+        val pairsP = s"$base/pairs"
+        val st = s"$base/state"
+        Fixtures.restoreFromTemplateTree(s, dir, "st27",
+          s"/tmp/graft_collections/$tag/st27_tpl", base,
+          Seq("src", "idx/sets", "idx/bands", "idx/params")) { tb =>
+          graft.api.Collection.create(s, s"$tb/src", planted,
+            numSegments = 3)
+          DedupOps.minhashLshIndexBuild(planted.limit(0),
+            "doc_id", "text", s"$tb/idx")
+        }
+        freshDir(pairsP); freshDir(st)
+        val ckpt = java.nio.file.Files.createTempDirectory("st27_ckpt").toString
+        val q = s.readStream.format("hadro")
+          .option("hadro.maxOrdinalsPerTrigger", "1").load(srcPath)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            if (!batch.isEmpty) {
+              DedupOps.minhashLshIndexProbe(s, batch, "doc_id", "text", idx,
+                mustCheck = Some(pins),
+                pairsSink = Some((pairsP, bid))).collect()
+              ClusterOps.componentsCycle(s, pairsP, "st27_cursor", st)
+            }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000),
+          "AvailableNow query must terminate by itself")
+        ClusterOps.keepList(s, st,
+            live = Some(planted.select(col("doc_id"))
+              .filter(col("doc_id") % 7 =!= 0)))
+          .orderBy("cluster")
+      },
+      Some(pairClosureKeepOracle(plantedDocsCte("doc_id % 2 = 0"),
+        "doc_id % 7 <> 0"))),
 
     // --------------------------------------------------------------- h100
     // PURE-SQL COMPOSED PIPELINE: d37's probe+extend → persisted pairs →

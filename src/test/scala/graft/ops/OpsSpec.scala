@@ -1344,6 +1344,11 @@ class OpsSpec extends SparkSuite {
   test("composed ingest loop: pairsSink persists each window's pairs " +
       "exactly once across retries, componentsCycle folds the changefeed " +
       "at-least-once safely, and the final keep list equals the batch") {
+    // the pairsSink epoch stamp and the cursor tag both ride manifest
+    // commits through the FileIO seam — prove the protocol under POSIX
+    // and object-store semantics alike
+    underEachFileIO { fio =>
+    info(s"FileIO impl: $fio")
     val wh = java.nio.file.Files.createTempDirectory("composed").toString
     val idx = s"$wh/idx"; val pairsP = s"$wh/pairs"; val st = s"$wh/state"
     val base = (0 until 31).map(i => s"w$i").mkString(" ")
@@ -1398,6 +1403,7 @@ class OpsSpec extends SparkSuite {
     val kl = ClusterOps.keepList(spark, st)
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(kl == Seq((1L, 1L, 4L), (2L, 2L, 2L)), kl.toString)
+    }
   }
 
   test("pairs-log compaction is transparent to a tagged consumer, and " +
@@ -1577,6 +1583,26 @@ class OpsSpec extends SparkSuite {
       s"duplicate band rows did not heal: ${bandsC.toDF().count()}")
     // and the sets side stayed single-row (it was never duplicated)
     assert(graft.api.Collection(spark, s"$idx/sets").toDF().count() == 1L)
+  }
+
+  test("hybrid RRF fuses the lexical and vector pools with exact " +
+      "reciprocal-rank scores and deterministic tie handling") {
+    // doc 2: lexical rank 1 (tf=3), vector rank 3 (orthogonal);
+    // doc 1: rank 2 in BOTH pools; doc 3: vector rank 1, no lexical hit
+    val docs = Seq((1L, "alpha beta gamma"),
+      (2L, "alpha alpha alpha beta"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val vecs = Seq((1L, Seq(1f, 0.1f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.hybridRrfTopK(docs, vecs, "doc_id", "text",
+        "vec_id", "embedding", Seq("alpha"), Seq(1f, 0f))
+      .as[(Long, Double)].collect().toSeq
+    // hand-derived: rrf(2) = 1/61 + 1/63, rrf(1) = 2/62, rrf(3) = 1/61
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out == Seq(
+      (2L, r6(1.0 / 61 + 1.0 / 63)),
+      (1L, r6(2.0 / 62)),
+      (3L, r6(1.0 / 61))), out.toString)
   }
 
   test("eagerVerify dry-run fetches verification payloads as bounded " +
