@@ -404,26 +404,41 @@ object ClusterOps {
     if (!exists) return 0L
     val pairs = graft.api.Collection(spark, pairsPath)
     val head = pairs.version
-    val window = pairs.tags.get(cursorTag) match {
-      case Some(f) if f >= head => None // caught up
-      // changefeed=full, not a raw ordinal window: the full feed reads
-      // THROUGH data-preserving compactions via the manifest chain walk
-      // (the h93 rollup property), so the probe's pairs-collection
-      // bin-packing can run between cycles without corrupting a
-      // consumer's window. Pairs are append-only, so the feed is pure
-      // inserts; synthesized delete rows (an operator DV-deleting pair
-      // rows) are dropped — membership is merge-only and cannot retract.
-      case Some(f) => Some(spark.read.format("hadro")
-        .option("hadro.changefeed", "full")
-        .option("hadro.changesStart", f.toString)
-        .option("hadro.changesEnd", head.toString).load(pairsPath)
-        .filter(!col("_hadro_deleted")))
-      case None => Some(pairs.scanVersion(head))
-    }
-    window.foreach { w =>
+    def fold(w: DataFrame): Unit = {
       componentsUpdate(spark, w.select(col(aCol), col(bCol)), aCol, bCol,
         statePath, maxIdPushdown, maxDriverRoots, keepPath, maxStateFiles)
       ()
+    }
+    pairs.tags.get(cursorTag) match {
+      case Some(f) if f >= head => () // caught up
+      case None => fold(pairs.scanVersion(head))
+      case Some(f) =>
+        // changefeed=full, not a raw ordinal window: the full feed reads
+        // through data-preserving compactions of PRE-floor data via the
+        // manifest chain walk (the h93 rollup property). Pairs are
+        // append-only, so the feed is pure inserts; synthesized delete
+        // rows (an operator DV-deleting pair rows) are dropped —
+        // membership is merge-only and cannot retract.
+        try fold(spark.read.format("hadro")
+          .option("hadro.changefeed", "full")
+          .option("hadro.changesStart", f.toString)
+          .option("hadro.changesEnd", head.toString).load(pairsPath)
+          .filter(!col("_hadro_deleted")))
+        catch {
+          // a bin-pack that consumed IN-window appends (a compaction ran
+          // while this consumer lagged) makes window rows unattributable
+          // and the walk refuses loudly. Uniquely for this consumer, the
+          // refusal's own advice is cheap AND exact: re-fold the FULL
+          // snapshot — duplicate edges are idempotent, so replaying
+          // already-consumed pairs changes nothing (the randomized
+          // composed-pipeline spec pins this path). The input scan is
+          // componentsUpdate's first action, so the refusal surfaces
+          // before any state mutation and the retry is clean.
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("crosses a generation change") =>
+            fold(pairs.scanVersion(head))
+        }
     }
     pairs.createTag(cursorTag, head)
     head

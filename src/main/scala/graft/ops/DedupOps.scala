@@ -658,8 +658,10 @@ object DedupOps {
           // the pair log accrues one small segment per nonempty window
           // forever — bin-pack like the index tables. Safe under
           // consumers: their cursor TAGS pin floor manifests/files
-          // against GC, and componentsCycle reads changefeed=full, which
-          // walks through data-preserving compactions (h93 property).
+          // against GC; a caught-up consumer's next window walks through
+          // the compaction (h93 property), and a LAGGING consumer whose
+          // window the bin-pack crossed falls back to an exact
+          // full-snapshot re-fold (componentsCycle — idempotent edges).
           maybeCompactIndex(graft.api.Collection(spark, pairsPath),
             maxIndexFiles)
         }

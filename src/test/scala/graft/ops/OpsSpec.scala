@@ -1406,6 +1406,68 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("randomized composed-pipeline sequences (window retries, batched " +
+      "or rewound consumer cycles, interleaved compactions) converge the " +
+      "pair log and keep list to the one-shot batch answer") {
+    // The whole-protocol closure property: ANY serialized sequence of
+    // probe+extend windows with pairsSink — immediate crash retries of a
+    // window (same windowId), consumer cycles that batch several windows
+    // or replay after a lost tag move, pair-log bin-packing mid-sequence
+    // — must leave (a) the pair log holding the one-shot batch pairs
+    // EXACTLY ONCE and (b) the membership/keep list equal to one-shot
+    // CC + keep over them. Seed-pinned for reproducibility.
+    val rnd = new scala.util.Random(17)
+    val wh = java.nio.file.Files.createTempDirectory("composedrand").toString
+    val idx = s"$wh/idx"; val pairsP = s"$wh/pairs"; val st = s"$wh/state"
+    def text(seed: Int) = (0 until 31).map(j => s"w${seed}_$j").mkString(" ")
+    // 18 docs in 6 near-dup families of 3 (same family = same base text
+    // + one distinct token => pairwise Jaccard well above 0.8)
+    val docs = (0 until 18).map(i => (i.toLong, text(i % 6) + s" x$i"))
+    DedupOps.minhashLshIndexBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", idx)
+    val slices = rnd.shuffle(docs).grouped(4).toSeq
+    slices.zipWithIndex.foreach { case (batch, w) =>
+      def ingest(): Unit = DedupOps.minhashLshIndexProbe(spark,
+        batch.toDF("doc_id", "text"), "doc_id", "text", idx,
+        maxIndexFiles = 3, pairsSink = Some((pairsP, w.toLong))).collect()
+      // early windows may emit no pairs at all — the log doesn't exist
+      // yet then, and every maintenance/consumer verb must tolerate that
+      def logExists = try graft.meta.CollectionMeta.readSchema(
+        java.nio.file.Paths.get(pairsP)).isDefined
+        catch { case _: Exception => false }
+      ingest()
+      if (rnd.nextBoolean()) ingest() // crash retry: same window id
+      if (rnd.nextDouble() < 0.3 && logExists)
+        graft.api.Collection(spark, pairsP).compactSmall(1L << 30)
+      if (rnd.nextBoolean()) {
+        ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st)
+        if (rnd.nextBoolean() && logExists) { // lost tag move: rewind
+          val pc = graft.api.Collection(spark, pairsP)
+          pc.createTag("cr_cur", math.max(1L, pc.tags("cr_cur") - 1))
+          ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st)
+        }
+      }
+    }
+    ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st) // drain
+    // (a) the pair log = the one-shot batch pairs, exactly once
+    val logged = graft.api.Collection(spark, pairsP).toDF()
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    val oneShot = DedupOps.minhashLshPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(logged == oneShot,
+      s"pair log diverged from one-shot (dupes or losses): " +
+        s"${logged.diff(oneShot)} extra, ${oneShot.diff(logged)} missing")
+    // (b) membership/keep equal one-shot CC over those pairs
+    val inc = ClusterOps.components(spark, st)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val batchCC = ClusterOps.connectedComponentsAltStar(
+      oneShot.toDF("a", "b"), "a", "b")
+      .select($"node", $"cluster").as[(Long, Long)].collect().sorted.toSeq
+    assert(inc == batchCC,
+      "randomized composed loop diverged from one-shot components")
+  }
+
   test("pairs-log compaction is transparent to a tagged consumer, and " +
       "state/keep collections stay segment-bounded across many windows") {
     val wh = java.nio.file.Files.createTempDirectory("ccbound").toString
