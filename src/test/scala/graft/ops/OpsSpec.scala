@@ -1419,6 +1419,7 @@ class OpsSpec extends SparkSuite {
     val rnd = new scala.util.Random(17)
     val wh = java.nio.file.Files.createTempDirectory("composedrand").toString
     val idx = s"$wh/idx"; val pairsP = s"$wh/pairs"; val st = s"$wh/state"
+    val kp = s"$wh/keep"
     def text(seed: Int) = (0 until 31).map(j => s"w${seed}_$j").mkString(" ")
     // 18 docs in 6 near-dup families of 3 (same family = same base text
     // + one distinct token => pairwise Jaccard well above 0.8)
@@ -1440,15 +1441,18 @@ class OpsSpec extends SparkSuite {
       if (rnd.nextDouble() < 0.3 && logExists)
         graft.api.Collection(spark, pairsP).compactSmall(1L << 30)
       if (rnd.nextBoolean()) {
-        ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st)
+        ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st,
+          keepPath = Some(kp))
         if (rnd.nextBoolean() && logExists) { // lost tag move: rewind
           val pc = graft.api.Collection(spark, pairsP)
           pc.createTag("cr_cur", math.max(1L, pc.tags("cr_cur") - 1))
-          ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st)
+          ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st,
+            keepPath = Some(kp))
         }
       }
     }
-    ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st) // drain
+    ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st,
+      keepPath = Some(kp)) // drain
     // (a) the pair log = the one-shot batch pairs, exactly once
     val logged = graft.api.Collection(spark, pairsP).toDF()
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
@@ -1466,6 +1470,14 @@ class OpsSpec extends SparkSuite {
       .select($"node", $"cluster").as[(Long, Long)].collect().sorted.toSeq
     assert(inc == batchCC,
       "randomized composed loop diverged from one-shot components")
+    // (c) the materialized keep-list tracked the read-side view through
+    // every retry/rewind/compaction in the sequence
+    val mat = ClusterOps.keepListMaterialized(spark, kp)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val readSide = ClusterOps.keepList(spark, st)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(mat == readSide,
+      s"materialized keep-list diverged: $mat vs $readSide")
   }
 
   test("pairs-log compaction is transparent to a tagged consumer, and " +
