@@ -85,6 +85,11 @@ object HadroProcedures {
     }
   }
 
+  /** An optional table-name argument: None for '' or NULL. */
+  private def tableArg(in: InternalRow, pos: Int): Option[String] =
+    if (in.isNullAt(pos)) None
+    else Option(in.getUTF8String(pos).toString).filter(_.nonEmpty)
+
   /** `resolve` maps a 'ns.table' string to the collection directory,
     * enforcing existence — supplied by [[HadroCatalog]] so procedures share
     * the catalog's name resolution exactly. `resolveNew` is the same name
@@ -493,7 +498,9 @@ object HadroProcedures {
           "pairs_dir ('' = skip; extend mode only) also PERSISTS the " +
           "window's pairs to an append-only collection inside the same " +
           "leased ingest, exactly once across retries via the monotonic " +
-          "window_id stamp — the stream components_cycle consumes",
+          "window_id stamp — the stream components_cycle consumes. " +
+          "must_check_table ('' = skip; columns doc_a, doc_b) pins known " +
+          "pairs past the probabilistic candidate stage",
         Seq(p("batch_table", StringType), p("id_col", StringType),
           p("text_col", StringType), p("index_dir", StringType),
           p("view", StringType), p("threshold", DoubleType),
@@ -501,7 +508,9 @@ object HadroProcedures {
           ProcedureParameter.in("pairs_dir", StringType)
             .defaultValue("''").build(),
           ProcedureParameter.in("window_id", LongType)
-            .defaultValue("-1").build()),
+            .defaultValue("-1").build(),
+          ProcedureParameter.in("must_check_table", StringType)
+            .defaultValue("''").build()),
         new StructType().add("view", StringType)
           .add("extended", BooleanType)) { in =>
           val spark = SparkSession.active
@@ -516,6 +525,8 @@ object HadroProcedures {
             in.getUTF8String(1).toString, in.getUTF8String(2).toString,
             in.getUTF8String(3).toString,
             threshold = in.getDouble(5), extendIndex = extend, live = live,
+            mustCheck = tableArg(in, 10).map(n =>
+              Collection(spark, resolve(n).toString).toDF()),
             pairsSink = pairsSinkArg(in, 8, 9))
             .createOrReplaceTempView(view)
           Seq(InternalRow(UTF8String.fromString(view), extend))
@@ -546,8 +557,8 @@ object HadroProcedures {
           "as a TEMP VIEW — neardup_probe's vector-modality twin (same " +
           "dry-run/extend semantics, mutation-aware lease-serialized " +
           "extension, optional live_table gate, pairs_dir/window_id " +
-          "persisted pair stream; banding read from the index's own " +
-          "params sidecar)",
+          "persisted pair stream, must_check_table pins with columns " +
+          "id_a/id_b; banding read from the index's own params sidecar)",
         Seq(p("batch_table", StringType), p("id_col", StringType),
           p("vec_col", StringType), p("index_dir", StringType),
           p("view", StringType), p("threshold", DoubleType),
@@ -555,7 +566,9 @@ object HadroProcedures {
           ProcedureParameter.in("pairs_dir", StringType)
             .defaultValue("''").build(),
           ProcedureParameter.in("window_id", LongType)
-            .defaultValue("-1").build()),
+            .defaultValue("-1").build(),
+          ProcedureParameter.in("must_check_table", StringType)
+            .defaultValue("''").build()),
         new StructType().add("view", StringType)
           .add("extended", BooleanType)) { in =>
           val spark = SparkSession.active
@@ -569,6 +582,8 @@ object HadroProcedures {
             in.getUTF8String(1).toString, in.getUTF8String(2).toString,
             in.getUTF8String(3).toString,
             threshold = in.getDouble(5), extendIndex = extend, live = live,
+            mustCheck = tableArg(in, 10).map(n =>
+              Collection(spark, resolve(n).toString).toDF()),
             pairsSink = pairsSinkArg(in, 8, 9))
             .createOrReplaceTempView(view)
           Seq(InternalRow(UTF8String.fromString(view), extend))

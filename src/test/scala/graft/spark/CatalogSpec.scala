@@ -107,8 +107,20 @@ class CatalogSpec extends SparkSuite {
       extendIndex = false)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().sorted.toSeq
     assert(again == Seq((2L, 201L), (101L, 201L)), again.toString)
+    // must_check_table pins ride the SQL verb: a pin asserts candidate
+    // recall, not liveness or score — the below-threshold pinned pair
+    // (3, 101) still verifies by exact cosine and drops
+    Seq((2L, 101L), (3L, 101L)).toDF("id_a", "id_b")
+      .write.format("hadro").mode("overwrite").save(s"$warehouse/db/vpins")
+    spark.sql(s"""CALL testcat.system.embedding_probe(
+      'db.vbatch', 'vec_id', 'emb', '$idx', 'emb_pairs3', 0.9D, false,
+      '', '', -1L, 'db.vpins')""")
+    val pinned = spark.sql("SELECT id_a, id_b FROM emb_pairs3 ORDER BY id_a")
+      .as[(Long, Long)].collect().toSeq
+    assert(pinned == Seq((2L, 101L)), pinned.toString)
     spark.sql("DROP TABLE testcat.db.vecs")
     spark.sql("DROP TABLE testcat.db.vbatch")
+    spark.sql("DROP TABLE testcat.db.vpins")
   }
 
   test("CALL components_update / components_view fold pair windows from " +
