@@ -3,6 +3,18 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** A [[ClusterOps.componentsUpdate]] window touched more distinct
+  * clusters than `maxDriverRoots` — the driver-resident root collect is
+  * bounded by |batch docs| BY CONTRACT, and a corpus-sized "window" (a
+  * whole-log backfill fed as one batch) must fail loudly before it OOMs
+  * the driver. A dedicated type so recovery paths
+  * ([[ClusterOps.componentsCycle]] delegating to
+  * [[ClusterOps.componentsRebuild]]) match on the class, never on a
+  * message substring. Subclasses IllegalArgumentException so callers
+  * (and specs) written against the old `require` are unchanged. */
+class TouchedRootsOverBoundException(msg: String)
+  extends IllegalArgumentException(msg)
+
 /** Connected components over a near-duplicate pair list — the step every
   * dedup pipeline runs AFTER pair generation: pairs (A,B),(B,C) must
   * collapse into one cluster {A,B,C} with a single kept representative,
@@ -227,12 +239,14 @@ object ClusterOps {
             vs => state.filter(col("doc_id").isin(vs: _*)))
         val rootRows = touched0.select(col("cluster")).distinct()
           .head(maxDriverRoots + 1) // bounded: <= |batch docs| by contract
-        require(rootRows.length <= maxDriverRoots,
-          s"hadro: componentsUpdate window touches more than " +
-            s"$maxDriverRoots distinct clusters — the root collect is " +
-            "driver-resident and bounded by |batch docs| by contract; " +
-            "fold a backfill of this size in windows instead of one " +
-            "batch, or raise maxDriverRoots if the driver is sized for it")
+        if (rootRows.length > maxDriverRoots)
+          throw new TouchedRootsOverBoundException(
+            s"hadro: componentsUpdate window touches more than " +
+              s"$maxDriverRoots distinct clusters — the root collect is " +
+              "driver-resident and bounded by |batch docs| by contract; " +
+              "fold a backfill of this size in windows instead of one " +
+              "batch (or componentsRebuild for a full pair log), or " +
+              "raise maxDriverRoots if the driver is sized for it")
         val roots = rootRows.map(_.getLong(0)).toSeq
         if (roots.isEmpty) state.limit(0)
         else if (roots.size <= maxIdPushdown)
@@ -280,15 +294,34 @@ object ClusterOps {
         try graft.meta.CollectionMeta.readSchema(
           java.nio.file.Paths.get(kp)).isDefined
         catch { case _: Exception => false }
-      if (!keepExists)
+      if (!keepExists && !exists)
+        // day 0 of the whole loop: the touched clusters ARE the state
         kept.write.format("hadro").mode("overwrite")
           .option("hadro.key", "cluster").save(kp)
       else {
+        // keepPath first supplied AFTER the state accumulated clusters:
+        // a touched-only bootstrap would permanently miss every
+        // UNTOUCHED pre-existing cluster — backfill the full keep-list
+        // from the (not yet mutated) pre-window membership first, a
+        // one-time corpus-proportional cost, then apply this window's
+        // touched rows like any other window.
+        if (!keepExists)
+          keepList(spark, statePath)
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "cluster").save(kp)
         val keep = graft.api.Collection(spark, kp)
-        if (changedRoots.nonEmpty)
-          keep.delete(changedRoots
-            .toDF("cluster").select(col("cluster")))
-        keep.set(kept)
+        // ONE atomic commit for the whole window's keep maintenance:
+        // the merged-away roots' tombstones and the touched clusters'
+        // upserts ride a single CDC merge (the h23 primitive), so no
+        // crash point can expose a keep-list with the old roots deleted
+        // but their replacement rows not yet written.
+        val changes = kept.withColumn("_keep_del", lit(false))
+          .unionByName(changedRoots.toDF("cluster")
+            .withColumn("keep_id", lit(null).cast("long"))
+            .withColumn("n_members", lit(null).cast("long"))
+            .withColumn("_keep_del", lit(true)))
+        if (changedRoots.nonEmpty || !kept.isEmpty)
+          keep.merge(changes, col("_keep_del"))
       }
     }
     // rows that stand: members of UNchanged clusters — everything else
@@ -409,9 +442,26 @@ object ClusterOps {
         statePath, maxIdPushdown, maxDriverRoots, keepPath, maxStateFiles)
       ()
     }
+    // FULL-snapshot fold with the scale-safe escape hatch: a root-heavy
+    // full log (first cycle adopting an existing pair collection, or the
+    // compaction-crossed recovery below) would trip componentsUpdate's
+    // driver-roots bound with advice the operator cannot action from a
+    // compacted snapshot ("fold in windows") — delegate to
+    // [[componentsRebuild]], which computes the SAME state (membership
+    // is a pure function of the pair log) with no driver-resident root
+    // set at all. The bound throws before any state mutation, so the
+    // delegation starts clean.
+    def foldFullOrRebuild(): Unit =
+      try fold(pairs.scanVersion(head))
+      catch {
+        case _: TouchedRootsOverBoundException =>
+          componentsRebuild(spark, pairsPath, statePath, aCol, bCol,
+            keepPath)
+          ()
+      }
     pairs.tags.get(cursorTag) match {
       case Some(f) if f >= head => () // caught up
-      case None => fold(pairs.scanVersion(head))
+      case None => foldFullOrRebuild()
       case Some(f) =>
         // changefeed=full, not a raw ordinal window: the full feed reads
         // through data-preserving compactions of PRE-floor data via the
@@ -427,22 +477,80 @@ object ClusterOps {
         catch {
           // a bin-pack that consumed IN-window appends (a compaction ran
           // while this consumer lagged) makes window rows unattributable
-          // and the walk refuses loudly. Uniquely for this consumer, the
-          // refusal's own advice is cheap AND exact: re-fold the FULL
-          // snapshot — duplicate edges are idempotent, so replaying
-          // already-consumed pairs changes nothing (the randomized
-          // composed-pipeline spec pins this path). The input scan is
+          // and the walk refuses loudly — with a DEDICATED exception
+          // type, so this recovery can never be disabled by a reworded
+          // message. Uniquely for this consumer, the refusal's own
+          // advice is cheap AND exact: re-fold the FULL snapshot —
+          // duplicate edges are idempotent, so replaying already-
+          // consumed pairs changes nothing (the randomized composed-
+          // pipeline spec pins this path). The input scan is
           // componentsUpdate's first action, so the refusal surfaces
           // before any state mutation and the retry is clean.
-          case e: IllegalArgumentException
-              if e.getMessage != null &&
-                e.getMessage.contains("crosses a generation change") =>
-            fold(pairs.scanVersion(head))
+          case _: graft.meta.ChangeWindowCompactedException =>
+            foldFullOrRebuild()
         }
     }
     pairs.createTag(cursorTag, head)
     head
   }
+
+  /** BATCH membership REBUILD — the bootstrap verb for adopting an
+    * existing pair log, and the scale-safe recovery path when an
+    * incremental fold of the FULL log is infeasible (a lagging consumer
+    * whose changes window a bin-pack crossed, on a log with more
+    * distinct clusters than `maxDriverRoots` — [[componentsCycle]]
+    * delegates here automatically): one-shot
+    * [[connectedComponentsAltStar]] over the ENTIRE pairs collection at
+    * its pinned head version, written as ONE version-pinned atomic
+    * replace of the membership state (the [[sweepComponents]] commit
+    * shape — concurrent unfenced appends survive, pinned readers keep
+    * their snapshots via deferred GC) under the state's ingest lease so
+    * incremental folds serialize around it. The result provably equals
+    * folding every window incrementally: membership is a pure function
+    * of the pair set (duplicate edges are idempotent; cluster label =
+    * min reachable id). NO driver-resident root set anywhere — the only
+    * driver materialization is the alt-star convergence signature —
+    * so the rebuild scales to any log the cluster itself can shuffle.
+    * `keepPath` rewrites the materialized keep-list in the same pass.
+    * Does NOT move any consumer cursor: [[componentsCycle]] owns tag
+    * movement. Returns the number of member rows in the rebuilt state. */
+  def componentsRebuild(spark: org.apache.spark.sql.SparkSession,
+      pairsPath: String, statePath: String,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      keepPath: Option[String] = None): Long =
+    DedupOps.withIngestLease(statePath, enabled = true) {
+      val pc = graft.api.Collection(spark, pairsPath)
+      val labels = connectedComponentsAltStar(
+        pc.scanVersion(pc.version)
+          .select(col(aCol).cast("long").as("a"),
+            col(bCol).cast("long").as("b")),
+        "a", "b")
+        .select(col("node").as("doc_id"), col("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = labels.count()
+        val p = java.nio.file.Paths.get(statePath)
+        val exists =
+          try graft.meta.CollectionMeta.readSchema(p).isDefined
+          catch { case _: Exception => false }
+        val w = labels.write.format("hadro").mode("overwrite")
+          .option("hadro.key", "doc_id")
+        if (exists) {
+          val m0 = graft.meta.CollectionMeta.currentManifest(p)
+          w.option("hadro.compactOf", m0.version.toString)
+            .option("hadro.compactOfGen", m0.generation.toString)
+        }
+        w.save(statePath)
+        keepPath.foreach { kp =>
+          labels.groupBy(col("cluster"))
+            .agg(min(col("doc_id")).as("keep_id"),
+              count(lit(1)).as("n_members"))
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "cluster").save(kp)
+        }
+        n
+      } finally labels.unpersist()
+    }
 
   /** PHYSICAL takedown sweep of [[componentsUpdate]] membership state —
     * the [[DedupOps.sweepLshIndex]] analog for the components loop:
@@ -501,4 +609,101 @@ object ClusterOps {
         before - keptCount
       } finally rerooted.unpersist()
     }
+
+  /** One INCREMENTAL CURATION cycle — the downstream consumer that turns
+    * the membership/keep-list loop into the thing a training pipeline
+    * actually reads: a persisted DROP LIST (doc_id-keyed collection of
+    * docs that are non-representative members of a duplicate cluster,
+    * with their cluster and its keeper), maintained from the membership
+    * state's CHANGEFEED with the [[componentsCycle]] cursor shape instead
+    * of recomputing the d22-style dedup pass corpus-wide every night.
+    * Survivors = corpus ANTI JOIN drop list; cap/budget selection
+    * composes on top unchanged.
+    *
+    * Each cycle reads the state changes committed since `cursorTag`'s
+    * last cycle (INSERT rows only — a re-rooted member's superseding row
+    * is an insert in the same window as its DV-masked old row), resolves
+    * each touched doc's final cluster (min — roots only decrease), joins
+    * the MATERIALIZED keep-list (`keepPath`, point-lookup cheap) for the
+    * cluster's keeper, and MERGEs one atomic changeset into `dropPath`:
+    * docs that differ from their keeper upsert, docs that ARE the keeper
+    * tombstone (a doc can lose keep status only when its cluster gains a
+    * smaller member — and then every member re-appends, so the window's
+    * insert rows cover exactly the docs whose status can change;
+    * untouched docs' statuses are provably stable). Window-proportional
+    * everywhere: the only corpus-sized reads are the first cycle (which
+    * IS the bootstrap) and the compaction-crossed / post-sweep recovery
+    * re-derive, both explicitly full-snapshot by contract.
+    *
+    * AT-LEAST-ONCE is EXACTLY-ONCE (the [[componentsCycle]] argument):
+    * statuses are a pure function of (membership, keep-list), so a
+    * replayed window re-derives identical upserts/tombstones — LWW-
+    * idempotent. Run it AFTER [[componentsCycle]] in the same serialized
+    * loop (the keep-list is maintained in lockstep with the state, and
+    * commits BEFORE the state mutation, so it is never older than the
+    * window being consumed). Docs removed from membership entirely (a
+    * [[sweepComponents]] takedown) may leave stale drop rows — they are
+    * dead in the corpus, so downstream anti-joins never see them; the
+    * sweep's generation change makes the next cycle's window refuse and
+    * re-derive fully, healing every LIVE doc's status (including a drop
+    * promoted to keeper by its keeper's death). Returns the new cursor
+    * version. */
+  def curationCycle(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, cursorTag: String, keepPath: String,
+      dropPath: String): Long = {
+    val exists =
+      try graft.meta.CollectionMeta.readSchema(
+        java.nio.file.Paths.get(statePath)).isDefined
+      catch { case _: Exception => false }
+    if (!exists) return 0L
+    val state = graft.api.Collection(spark, statePath)
+    val head = state.version
+    def applyTouched(touched: DataFrame): Unit = {
+      val changes = touched
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .join(keepListMaterialized(spark, keepPath)
+          .select(col("cluster"), col("keep_id")), Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("keep_id"))
+      val dropExists =
+        try graft.meta.CollectionMeta.readSchema(
+          java.nio.file.Paths.get(dropPath)).isDefined
+        catch { case _: Exception => false }
+      if (!dropExists)
+        changes.filter(col("doc_id") =!= col("keep_id"))
+          .write.format("hadro").mode("overwrite")
+          .option("hadro.key", "doc_id").save(dropPath)
+      else graft.api.Collection(spark, dropPath)
+        .merge(changes, col("doc_id") === col("keep_id"))
+    }
+    state.tags.get(cursorTag) match {
+      case Some(f) if f >= head => () // caught up
+      case None =>
+        applyTouched(state.scanVersion(head)
+          .select(col("doc_id"), col("cluster")))
+      case Some(f) =>
+        try applyTouched(spark.read.format("hadro")
+          .option("hadro.changefeed", "full")
+          .option("hadro.changesStart", f.toString)
+          .option("hadro.changesEnd", head.toString).load(statePath)
+          .filter(!col("_hadro_deleted"))
+          .select(col("doc_id"), col("cluster")))
+        catch {
+          // state bin-pack or takedown sweep crossed the window: full
+          // re-derive (idempotent status recompute) — the same recovery
+          // contract as componentsCycle, matched on the dedicated type
+          case _: graft.meta.ChangeWindowCompactedException =>
+            applyTouched(state.scanVersion(head)
+              .select(col("doc_id"), col("cluster")))
+        }
+    }
+    state.createTag(cursorTag, head)
+    head
+  }
+
+  /** The resolved DROP LIST maintained by [[curationCycle]]:
+    * (doc_id, cluster, keep_id) — one row per doc the dedup rule says to
+    * drop. Keyed LWW, so promoted keepers are tombstoned out. */
+  def dropList(spark: org.apache.spark.sql.SparkSession,
+      dropPath: String): DataFrame =
+    graft.api.Collection(spark, dropPath).toDF()
 }

@@ -295,10 +295,17 @@ object DedupOps {
     * the window's verified pairs to an append-only hadro collection
     * inside the same leased ingest, exactly once across crash retries
     * (the caller's monotonically increasing `windowId` rides the pairs
-    * commit as a streamEpochs stamp; a retry skips the re-append) — the
+    * commit as a streamEpochs stamp; a retry — same id — skips the
+    * re-append, and a STRICTLY LOWER id fails loudly as a protocol
+    * error: silent drops would diverge membership from the index) — the
     * seam that lets [[graft.ops.ClusterOps.componentsCycle]] drive the
     * membership fold from a cursor-tagged changes window over the pairs
-    * collection instead of a return value a crash would lose.
+    * collection instead of a return value a crash would lose. The log
+    * schema is modality-uniform — (doc_a, doc_b, score DOUBLE, metric
+    * STRING) — so a text probe and an [[embeddingIndexProbe]] can feed
+    * ONE pairs collection (the cross-modal composed loop); the epoch
+    * stamps are keyed per INDEX, so each modality's exactly-once
+    * bookkeeping is independent.
     *
     * `eagerVerify` (dry-run only): trade the probe's laziness for the
     * extend-mode bounded verification fetch — candidates checkpoint
@@ -647,13 +654,38 @@ object DedupOps {
           try graft.meta.CollectionMeta.currentManifest(pp)
             .streamEpochs.get(key)
           catch { case _: Exception => None } // first window: no manifest
+        // ONLY the exact crash-retry case (same id) skips; a STRICTLY
+        // LOWER id is a protocol error, never a silent drop — a caller
+        // whose window-id sequence regressed (a streaming query
+        // restarted with a FRESH checkpoint resets batch ids to 0, a
+        // stale orchestrator replays an old window number) would
+        // otherwise keep extending the index while its pairs never
+        // reach the log, silently diverging membership/keep-list from
+        // the index until the corpus is re-bootstrapped.
+        applied.filter(_ > windowId).foreach { a =>
+          throw new IllegalStateException(
+            s"hadro: pairs sink $pairsPath already recorded window $a " +
+              s"for index $indexPath but this probe carries window id " +
+              s"$windowId — the window-id sequence regressed (stale " +
+              "caller, or a streaming checkpoint was reset so batch ids " +
+              "restarted). Resume from a window id above the recorded " +
+              "one, or point a genuinely new pipeline at a fresh pairs " +
+              "collection")
+        }
         // empty windows skip the append entirely (no epoch either —
         // re-appending nothing on a retry is a no-op, so the stamp
         // buys nothing and the pairs collection stays commit-per-
         // nonempty-window)
-        if (!applied.exists(_ >= windowId) && !result.isEmpty) {
+        if (!applied.contains(windowId) && !result.isEmpty) {
           graft.meta.CollectionMeta.registerCommitEpoch(pp, key, windowId)
-          try result.write.format("hadro").mode("append").save(pairsPath)
+          // modality-uniform log schema (doc_a, doc_b, score, metric):
+          // a text probe and an embedding probe can feed ONE pairs
+          // collection (the cross-modal composed loop) — per-index
+          // epoch keys already keep their stamps independent
+          try result.select(col("doc_a"), col("doc_b"),
+              col(scoreName).cast("double").as("score"),
+              lit(scoreName).as("metric"))
+            .write.format("hadro").mode("append").save(pairsPath)
           finally graft.meta.CollectionMeta.clearCommitEpoch(pp)
           // the pair log accrues one small segment per nonempty window
           // forever — bin-pack like the index tables. Safe under
@@ -691,7 +723,13 @@ object DedupOps {
         // exclusion list from driver-local values (an all-new nightly
         // batch pays exactly one map-only index scan + one write per
         // table; no per-stage checkpoint jobs)
-        val st = state.collect()
+        // BOUNDED fetch, not collect(): head(n+1) caps the driver
+        // materialization at the guard's own threshold — a corpus-sized
+        // "batch" (a whole-log backfill fed as one window) fails the
+        // require below LOUDLY instead of OOMing the driver inside a
+        // collect() the guard could never reach. Within bound, head()
+        // returns the complete split (there are at most n rows).
+        val st = state.head(maxStateSplit + 1)
         // the |batch| bound is a CONTRACT, not an accident: fail loudly
         // before a corpus-sized "batch" (a whole-log backfill fed as one
         // window) OOMs the driver — backfills must ingest in windows

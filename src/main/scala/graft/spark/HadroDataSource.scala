@@ -1131,10 +1131,11 @@ final class HadroScan(path: Path, dataSchema: StructType, required: StructType,
         // the window crosses one or more generation changes: delegate to
         // the shared chain walk (also used by the streaming source), then
         // re-verify superseded bytes for this plan's synthesized deletes
-        def refuse(why: String): Nothing = throw new IllegalArgumentException(
-          s"hadro: changes window ($v, ${end.version}] crosses a " +
-            s"generation change that is not a provable data-preserving " +
-            s"compaction — $why; replay from a full snapshot instead")
+        def refuse(why: String): Nothing =
+          throw new graft.meta.ChangeWindowCompactedException(
+            s"hadro: changes window ($v, ${end.version}] crosses a " +
+              s"generation change that is not a provable data-preserving " +
+              s"compaction — $why; replay from a full snapshot instead")
         val net = ChangeWindowPlanner.chainWalk(
           path, start, end, requireFeed, refuse)
         requireBytes(WindowPlan(None, Some(net.includeFiles),
