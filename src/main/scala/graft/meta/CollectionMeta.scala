@@ -344,6 +344,21 @@ object CollectionMeta {
     FileIO.impl.replaceSlot(tmp, schemaFile(collection))
   }
 
+  /** True when the collection is CREATED AND READABLE: its schema slot
+    * exists and at least one manifest ever committed. The two land as
+    * separate commits (schema slot, then manifest v1), so a crash
+    * between them leaves a half-created directory that [[readSchema]]
+    * alone would misreport as existing — a replaying loop operator
+    * would then try to SCAN it and fail on "version 0 not available".
+    * Existence checks that route crash replays (the incremental
+    * dedup/components/curation loops) use this; the healing write is
+    * whatever the not-exists branch does (mode overwrite re-publishes
+    * both). */
+  def collectionCommitted(collection: Path): Boolean =
+    (try readSchema(collection).isDefined
+    catch { case _: Exception => false }) &&
+      currentManifest(collection).version > 0L
+
   def readSchema(collection: Path): Option[SchemaMeta] = {
     val f = schemaFile(collection)
     if (!Files.exists(f)) None

@@ -222,9 +222,7 @@ object ClusterOps {
     val pairs = newPairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    val exists =
-      try graft.meta.CollectionMeta.readSchema(p).isDefined
-      catch { case _: Exception => false }
+    val exists = graft.meta.CollectionMeta.collectionCommitted(p)
     val batchDocs = pairs.select(col("a").as("doc_id"))
       .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
     // current rows of every touched cluster (pinned version)
@@ -290,10 +288,8 @@ object ClusterOps {
         .agg(min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_members"))
         .localCheckpoint()
-      val keepExists =
-        try graft.meta.CollectionMeta.readSchema(
-          java.nio.file.Paths.get(kp)).isDefined
-        catch { case _: Exception => false }
+      val keepExists = graft.meta.CollectionMeta.collectionCommitted(
+        java.nio.file.Paths.get(kp))
       if (!keepExists && !exists)
         // day 0 of the whole loop: the touched clusters ARE the state
         kept.write.format("hadro").mode("overwrite")
@@ -430,10 +426,8 @@ object ClusterOps {
       maxStateFiles: Int = 64): Long = {
     // the probe skips empty windows' appends, so early cycles can run
     // before the pairs collection exists at all — nothing to fold yet
-    val exists =
-      try graft.meta.CollectionMeta.readSchema(
-        java.nio.file.Paths.get(pairsPath)).isDefined
-      catch { case _: Exception => false }
+    val exists = graft.meta.CollectionMeta.collectionCommitted(
+      java.nio.file.Paths.get(pairsPath))
     if (!exists) return 0L
     val pairs = graft.api.Collection(spark, pairsPath)
     val head = pairs.version
@@ -530,9 +524,7 @@ object ClusterOps {
       try {
         val n = labels.count()
         val p = java.nio.file.Paths.get(statePath)
-        val exists =
-          try graft.meta.CollectionMeta.readSchema(p).isDefined
-          catch { case _: Exception => false }
+        val exists = graft.meta.CollectionMeta.collectionCommitted(p)
         val w = labels.write.format("hadro").mode("overwrite")
           .option("hadro.key", "doc_id")
         if (exists) {
@@ -651,10 +643,8 @@ object ClusterOps {
   def curationCycle(spark: org.apache.spark.sql.SparkSession,
       statePath: String, cursorTag: String, keepPath: String,
       dropPath: String): Long = {
-    val exists =
-      try graft.meta.CollectionMeta.readSchema(
-        java.nio.file.Paths.get(statePath)).isDefined
-      catch { case _: Exception => false }
+    val exists = graft.meta.CollectionMeta.collectionCommitted(
+      java.nio.file.Paths.get(statePath))
     if (!exists) return 0L
     val state = graft.api.Collection(spark, statePath)
     val head = state.version
@@ -664,10 +654,8 @@ object ClusterOps {
         .join(keepListMaterialized(spark, keepPath)
           .select(col("cluster"), col("keep_id")), Seq("cluster"))
         .select(col("doc_id"), col("cluster"), col("keep_id"))
-      val dropExists =
-        try graft.meta.CollectionMeta.readSchema(
-          java.nio.file.Paths.get(dropPath)).isDefined
-        catch { case _: Exception => false }
+      val dropExists = graft.meta.CollectionMeta.collectionCommitted(
+        java.nio.file.Paths.get(dropPath))
       if (!dropExists)
         changes.filter(col("doc_id") =!= col("keep_id"))
           .write.format("hadro").mode("overwrite")

@@ -46,7 +46,9 @@ object HadroProcedures {
       "neardup_index_build", "neardup_probe", "sweep_lsh_index",
       "embedding_index_build", "embedding_probe",
       "components_update", "components_view", "components_cycle",
-      "sweep_components", "keep_list_view")
+      "sweep_components", "keep_list_view",
+      "components_rebuild", "curation_cycle", "drop_list_view",
+      "loop_health")
 
   /** "fn:src:out,..." — the aggregate spec grammar of the rollup
     * procedures (fn in min|max|sum), e.g.
@@ -649,6 +651,98 @@ object HadroProcedures {
           Seq(InternalRow(graft.ops.ClusterOps.sweepComponents(spark,
             in.getUTF8String(0).toString, base.ids(),
             keepPath = Option(keep).filter(_.nonEmpty))))
+        }
+      case "components_rebuild" => proc("components_rebuild",
+        "batch membership REBUILD: one-shot connected components over " +
+          "the ENTIRE pairs collection at its pinned head, written as " +
+          "one version-pinned atomic replace of the state under its " +
+          "ingest lease — the bootstrap verb for adopting an existing " +
+          "pair log, and the scale-safe recovery when an incremental " +
+          "fold of the full log would exceed the driver-roots bound " +
+          "(components_cycle delegates automatically). keep_dir ('' = " +
+          "skip) rewrites the materialized keep-list in the same pass. " +
+          "Moves no cursor tag. Returns the rebuilt member-row count",
+        Seq(p("pairs_dir", StringType), p("state_dir", StringType),
+          ProcedureParameter.in("keep_dir", StringType)
+            .defaultValue("''").build()),
+        new StructType().add("member_rows", LongType)) { in =>
+          val keep = if (in.isNullAt(2)) "" else in.getUTF8String(2).toString
+          Seq(InternalRow(graft.ops.ClusterOps.componentsRebuild(
+            SparkSession.active, in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString,
+            keepPath = Option(keep).filter(_.nonEmpty))))
+        }
+      case "curation_cycle" => proc("curation_cycle",
+        "one incremental CURATION cycle: fold the membership state's " +
+          "changes since cursor_tag into the persisted doc-keyed DROP " +
+          "LIST at drop_dir (non-representative cluster members upsert, " +
+          "docs that are their cluster's keeper tombstone) using the " +
+          "materialized keep-list at keep_dir for the keeper lookup — " +
+          "the downstream dedup consumer a training pipeline anti-joins; " +
+          "at-least-once replay is exactly-once (pure status recompute). " +
+          "Run after components_cycle in the same loop. Returns the new " +
+          "cursor version",
+        Seq(p("state_dir", StringType), p("cursor_tag", StringType),
+          p("keep_dir", StringType), p("drop_dir", StringType)),
+        new StructType().add("cursor_version", LongType)) { in =>
+          Seq(InternalRow(graft.ops.ClusterOps.curationCycle(
+            SparkSession.active, in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getUTF8String(3).toString)))
+        }
+      case "drop_list_view" => proc("drop_list_view",
+        "register a TEMP VIEW of the resolved drop list maintained by " +
+          "curation_cycle: (doc_id, cluster, keep_id), keyed LWW so " +
+          "promoted keepers are tombstoned out — survivors = corpus " +
+          "ANTI JOIN this view",
+        Seq(p("drop_dir", StringType), p("view", StringType)),
+        new StructType().add("view", StringType)) { in =>
+          val view = in.getUTF8String(1).toString
+          graft.ops.ClusterOps.dropList(SparkSession.active,
+            in.getUTF8String(0).toString).createOrReplaceTempView(view)
+          Seq(InternalRow(UTF8String.fromString(view)))
+        }
+      case "loop_health" => proc("loop_health",
+        "operator dashboard for a composed dedup loop: the pair log's " +
+          "consumer LAG (head version minus cursor_tag's pinned " +
+          "version; -1 when the tag does not exist yet), the state and " +
+          "keep collections' segment counts (bin-pack pressure; -1 " +
+          "when absent / '' skipped), and the exactly-once protocol " +
+          "breaks recorded for rollup_dir ('' = skip, reported 0) — " +
+          "one CALL answering 'is tonight's loop healthy' without " +
+          "grepping driver logs",
+        Seq(p("pairs_dir", StringType), p("cursor_tag", StringType),
+          p("state_dir", StringType),
+          ProcedureParameter.in("keep_dir", StringType)
+            .defaultValue("''").build(),
+          ProcedureParameter.in("rollup_dir", StringType)
+            .defaultValue("''").build()),
+        new StructType().add("pairs_head", LongType)
+          .add("cursor_version", LongType).add("lag", LongType)
+          .add("state_segments", LongType).add("keep_segments", LongType)
+          .add("protocol_breaks", LongType)) { in =>
+          val spark = SparkSession.active
+          def segs(dir: String): Long =
+            if (dir.isEmpty) -1L
+            else try graft.meta.CollectionMeta.currentManifest(
+              java.nio.file.Paths.get(dir)).segments.size.toLong
+            catch { case _: Exception => -1L }
+          val pairsDir = in.getUTF8String(0).toString
+          val tag = in.getUTF8String(1).toString
+          val (head, cur) =
+            try {
+              val pc = Collection(spark, pairsDir)
+              (pc.version, pc.tags.getOrElse(tag, -1L))
+            } catch { case _: Exception => (-1L, -1L) }
+          val keep = if (in.isNullAt(3)) "" else in.getUTF8String(3).toString
+          val rollup = if (in.isNullAt(4)) "" else in.getUTF8String(4).toString
+          val breaks =
+            if (rollup.isEmpty) 0L
+            else graft.api.IncrementalRollup.protocolBreaks(
+              java.nio.file.Paths.get(rollup))
+          Seq(InternalRow(head, cur,
+            if (head < 0 || cur < 0) -1L else head - cur,
+            segs(in.getUTF8String(2).toString), segs(keep), breaks))
         }
       case "keep_list_view" => proc("keep_list_view",
         "register a TEMP VIEW of the materialized keep-list maintained " +

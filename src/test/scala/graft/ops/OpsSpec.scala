@@ -2730,4 +2730,178 @@ class OpsSpec extends SparkSuite {
       "doc_id", "text", k = 30).collect().map(_.getLong(0)).sorted
     assert(again.toSeq == top.map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("componentsRebuild equals the incremental folds, and a lagging " +
+      "cycle whose compaction-crossed full fold trips the driver-roots " +
+      "bound recovers through it instead of throwing") {
+    val wh = java.nio.file.Files.createTempDirectory("rebuild").toString
+    val pairsP = s"$wh/pairs"; val st = s"$wh/state"; val kp = s"$wh/keep"
+    // window 1: four disjoint clusters, folded incrementally
+    Seq((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("overwrite").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "rb_cur", st,
+      keepPath = Some(kp))
+    // rebuild ≡ the incrementally folded state on the same log
+    val st2 = s"$wh/state2"; val kp2 = s"$wh/keep2"
+    val n = ClusterOps.componentsRebuild(spark, pairsP, st2,
+      keepPath = Some(kp2))
+    assert(n == 8L, s"rebuilt $n member rows")
+    def members(p: String) = ClusterOps.components(spark, p)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(members(st2) == members(st),
+      "rebuild diverged from the incremental folds")
+    assert(ClusterOps.keepListMaterialized(spark, kp2)
+        .as[(Long, Long, Long)].collect().sorted.toSeq ==
+      ClusterOps.keepListMaterialized(spark, kp)
+        .as[(Long, Long, Long)].collect().sorted.toSeq)
+    // window 2 lands touching ALL four clusters, then a bin-pack
+    // consumes the in-window append while the consumer still lags —
+    // the changefeed walk refuses; with maxDriverRoots below the
+    // touched-cluster count the exact full-snapshot re-fold ALSO
+    // refuses (TouchedRootsOverBound), and the cycle must delegate to
+    // componentsRebuild rather than surface either error
+    Seq((1L, 10L), (21L, 30L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("append").save(pairsP)
+    graft.api.Collection(spark, pairsP).compactSmall(1L << 30)
+    ClusterOps.componentsCycle(spark, pairsP, "rb_cur", st,
+      maxDriverRoots = 3, keepPath = Some(kp))
+    val oneShot = ClusterOps.connectedComponentsAltStar(
+      graft.api.Collection(spark, pairsP).toDF(), "doc_a", "doc_b")
+      .select($"node", $"cluster").as[(Long, Long)].collect().sorted.toSeq
+    assert(members(st) == oneShot,
+      s"delegated rebuild diverged: ${members(st)} vs $oneShot")
+    assert(ClusterOps.keepListMaterialized(spark, kp)
+        .as[(Long, Long, Long)].collect().sorted.toSeq ==
+      ClusterOps.keepList(spark, st)
+        .as[(Long, Long, Long)].collect().sorted.toSeq,
+      "keep-list out of step after the delegated rebuild")
+    // the cursor advanced: a caught-up next cycle is a no-op
+    val head = graft.api.Collection(spark, pairsP).tags("rb_cur")
+    assert(ClusterOps.componentsCycle(spark, pairsP, "rb_cur", st) == head)
+  }
+
+  test("pairsSink fails loudly on a REGRESSED window id (checkpoint " +
+      "reset / stale caller) instead of silently dropping the window") {
+    val wh = java.nio.file.Files.createTempDirectory("widreg").toString
+    val idx = s"$wh/idx"; val pairsP = s"$wh/pairs"
+    val base = (0 until 31).map(i => s"w$i").mkString(" ")
+    DedupOps.minhashLshIndexBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", idx)
+    def probe(w: Long, rows: Seq[(Long, String)]): Unit = {
+      DedupOps.minhashLshIndexProbe(spark, rows.toDF("doc_id", "text"),
+        "doc_id", "text", idx, pairsSink = Some((pairsP, w))).collect()
+      ()
+    }
+    probe(5L, Seq((1L, base), (2L, base + " aa"))) // stamps window 5
+    // exact retry (same id): allowed, idempotent
+    probe(5L, Seq((1L, base), (2L, base + " aa")))
+    // REGRESSION (lower id): must throw, not drop
+    val e = intercept[IllegalStateException] {
+      probe(3L, Seq((3L, base + " bb")))
+    }
+    assert(e.getMessage.contains("regressed"), e.getMessage)
+    // the log still holds exactly the one window-5 pair
+    val logged = graft.api.Collection(spark, pairsP).toDF()
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    assert(logged == Seq((1L, 2L)), logged.toString)
+  }
+
+  test("keepPath first supplied after the state already has clusters " +
+      "backfills the FULL keep-list, not just the window's touched rows") {
+    val wh = java.nio.file.Files.createTempDirectory("keepboot").toString
+    val st = s"$wh/state"; val kp = s"$wh/keep"
+    // two windows WITHOUT a keep-list
+    ClusterOps.componentsUpdate(spark,
+      Seq((10L, 11L), (20L, 21L)).toDF("a", "b"), "a", "b", st)
+    // third window WITH keepPath touches only a brand-new cluster — the
+    // pre-existing untouched clusters must still appear
+    ClusterOps.componentsUpdate(spark,
+      Seq((30L, 31L)).toDF("a", "b"), "a", "b", st, keepPath = Some(kp))
+    val mat = ClusterOps.keepListMaterialized(spark, kp)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(mat == Seq((10L, 10L, 2L), (20L, 20L, 2L), (30L, 30L, 2L)),
+      s"late keepPath missed pre-existing clusters: $mat")
+    assert(mat == ClusterOps.keepList(spark, st)
+      .as[(Long, Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("curationCycle maintains the persisted drop list incrementally: " +
+      "new members upsert, demoted keepers upsert, promoted keepers " +
+      "tombstone after a takedown sweep's full re-derive") {
+    val wh = java.nio.file.Files.createTempDirectory("curation").toString
+    val pairsP = s"$wh/pairs"; val st = s"$wh/state"; val kp = s"$wh/keep"
+    val dropP = s"$wh/drops"
+    def drops() = ClusterOps.dropList(spark, dropP)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    def loopWindow(pairs: Seq[(Long, Long)]): Unit = {
+      pairs.toDF("doc_a", "doc_b")
+        .write.format("hadro").mode("append").save(pairsP)
+      ClusterOps.componentsCycle(spark, pairsP, "cu_cur", st,
+        keepPath = Some(kp))
+      ClusterOps.curationCycle(spark, st, "cu_drop", kp, dropP)
+      ()
+    }
+    // window 1: two clusters; non-keepers 11 and 21 drop
+    loopWindow(Seq((10L, 11L), (20L, 21L)))
+    assert(drops() == Seq((11L, 10L, 10L), (21L, 20L, 20L)), drops().toString)
+    // window 2: doc 5 joins cluster 10 and DEMOTES keeper 10 — 10's
+    // drop row appears, 11 re-keys to the new cluster, 21 untouched
+    loopWindow(Seq((5L, 10L)))
+    assert(drops() == Seq((10L, 5L, 5L), (11L, 5L, 5L), (21L, 20L, 20L)),
+      drops().toString)
+    // a replayed cycle (lost tag move) is a no-op: statuses recompute
+    val sc = graft.api.Collection(spark, st)
+    sc.createTag("cu_drop", math.max(1L, sc.tags("cu_drop") - 1))
+    ClusterOps.curationCycle(spark, st, "cu_drop", kp, dropP)
+    assert(drops() == Seq((10L, 5L, 5L), (11L, 5L, 5L), (21L, 20L, 20L)),
+      s"replayed curation cycle mutated the drop list: ${drops()}")
+    // takedown: keeper 5 dies; the sweep re-roots {10,11} to 10 — the
+    // generation change forces the next cycle's full re-derive, which
+    // PROMOTES 10 (tombstones its drop row) and re-keys 11
+    ClusterOps.sweepComponents(spark, st,
+      Seq(10L, 11L, 20L, 21L).toDF("doc_id"), keepPath = Some(kp))
+    ClusterOps.curationCycle(spark, st, "cu_drop", kp, dropP)
+    assert(drops() == Seq((11L, 10L, 10L), (21L, 20L, 20L)),
+      s"promoted keeper must tombstone out: ${drops()}")
+  }
+
+  test("two independent cursor tags on one pair log: each consumer's " +
+      "walk is unaffected by the other's tag moves, and retention " +
+      "respects the MIN pinned floor") {
+    val wh = java.nio.file.Files.createTempDirectory("twocur").toString
+    val pairsP = s"$wh/pairs"
+    val stA = s"$wh/stateA"; val stB = s"$wh/stateB"
+    // window 1 lands; consumer A folds it, consumer B folds it
+    Seq((10L, 11L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("overwrite").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "curA", stA)
+    ClusterOps.componentsCycle(spark, pairsP, "curB", stB)
+    // windows 2..4 land; only A keeps up — B lags at window 1's version
+    (0 until 3).foreach { i =>
+      Seq((20L + i, 21L + i)).toDF("doc_a", "doc_b")
+        .write.format("hadro").mode("append").save(pairsP)
+      ClusterOps.componentsCycle(spark, pairsP, "curA", stA)
+      ()
+    }
+    // aggressive retention: expire everything age allows — B's tag must
+    // pin the floor so its (floor, head] window stays walkable
+    val pc = graft.api.Collection(spark, pairsP)
+    pc.expireSnapshots(System.currentTimeMillis() + 60000L)
+    pc.vacuum()
+    // B catches up across the retention event
+    ClusterOps.componentsCycle(spark, pairsP, "curB", stB)
+    def members(p: String) = ClusterOps.components(spark, p)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val oneShot = ClusterOps.connectedComponentsAltStar(
+      pc.toDF(), "doc_a", "doc_b")
+      .select($"node", $"cluster").as[(Long, Long)].collect().sorted.toSeq
+    assert(members(stA) == oneShot, s"consumer A diverged: ${members(stA)}")
+    assert(members(stB) == oneShot,
+      s"lagging consumer B diverged across retention: ${members(stB)}")
+    // the tags moved independently and both sit at the head now
+    val tags = pc.tags
+    assert(tags("curA") == tags("curB") && tags("curA") == pc.version,
+      tags.toString)
+  }
 }

@@ -193,6 +193,56 @@ class CatalogSpec extends SparkSuite {
     spark.sql("DROP TABLE testcat.db.cc2live")
   }
 
+  test("CALL components_rebuild / curation_cycle / drop_list_view / " +
+      "loop_health complete the SQL loop surface") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    val pairsDir = s"$warehouse/cr_pairs"
+    val st = s"$warehouse/cr_state"; val kp = s"$warehouse/cr_keep"
+    val dropDir = s"$warehouse/cr_drops"
+    Seq((10L, 11L), (20L, 21L), (5L, 10L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("overwrite").save(pairsDir)
+    // REBUILD bootstraps membership + keep-list from the adopted log
+    val rb = spark.sql(s"""CALL testcat.system.components_rebuild(
+      '$pairsDir', '$st', '$kp')""").collect()
+    assert(rb.head.getLong(0) == 5L, rb.toSeq.toString)
+    spark.sql(s"CALL testcat.system.keep_list_view('$kp', 'cr_kl')")
+    val kl = spark.sql(
+      "SELECT cluster, keep_id, n_members FROM cr_kl ORDER BY cluster")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kl == Seq((5L, 5L, 3L), (20L, 20L, 2L)), kl.toString)
+    // the curation consumer folds the (full, first-cycle) state window
+    // into the drop list; survivors = corpus ANTI JOIN the view
+    val c1 = spark.sql(s"""CALL testcat.system.curation_cycle(
+      '$st', 'cr_drop', '$kp', '$dropDir')""").collect()
+    assert(c1.head.getLong(0) >= 1L, c1.toSeq.toString)
+    spark.sql(s"CALL testcat.system.drop_list_view('$dropDir', 'cr_dl')")
+    val dl = spark.sql(
+      "SELECT doc_id, cluster, keep_id FROM cr_dl ORDER BY doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(dl == Seq((10L, 5L, 5L), (11L, 5L, 5L), (21L, 20L, 20L)),
+      dl.toString)
+    // loop_health: a consumer cycle advances the cursor to the head —
+    // lag 0, bounded segment counts, zero protocol breaks
+    spark.sql(s"""CALL testcat.system.components_cycle(
+      '$pairsDir', 'cr_cur', '$st', '$kp')""")
+    val h = spark.sql(s"""CALL testcat.system.loop_health(
+      '$pairsDir', 'cr_cur', '$st', '$kp')""").collect().head
+    assert(h.getLong(2) == 0L, s"lag: $h") // head == cursor
+    assert(h.getLong(3) >= 1L && h.getLong(4) >= 1L, s"segments: $h")
+    assert(h.getLong(5) == 0L, s"breaks: $h")
+    // a new window widens the lag until the next cycle
+    Seq((30L, 31L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("append").save(pairsDir)
+    val h2 = spark.sql(s"""CALL testcat.system.loop_health(
+      '$pairsDir', 'cr_cur', '$st', '$kp')""").collect().head
+    assert(h2.getLong(2) == 1L, s"post-append lag: $h2")
+    // unknown cursor reports -1 lag rather than inventing a number
+    val h3 = spark.sql(s"""CALL testcat.system.loop_health(
+      '$pairsDir', 'no_such_tag', '$st', '')""").collect().head
+    assert(h3.getLong(2) == -1L && h3.getLong(4) == -1L, s"$h3")
+  }
+
   test("CALL system procedures run storage maintenance from pure SQL") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
