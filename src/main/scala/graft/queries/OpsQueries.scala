@@ -1115,6 +1115,280 @@ object OpsQueries {
           CAST(COUNT(*) AS BIGINT) AS n_members
         FROM live GROUP BY live.cluster ORDER BY cluster""")),
 
+    // ---------------------------------------------------------------- d41
+    // BATCH MEMBERSHIP REBUILD: componentsRebuild adopts an existing
+    // pair log one-shot — full-log connected components written as one
+    // version-pinned replace of state AND keep-list — and must equal
+    // BOTH the incrementally folded twin (asserted in-query) and the
+    // transitive-closure oracle. This is the bootstrap verb for a
+    // pipeline adopting a pre-existing pair collection, and the
+    // scale-safe recovery componentsCycle delegates to when a
+    // compaction-crossed full fold would exceed the driver-roots bound.
+    QueryDef(
+      "d41_components_rebuild",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/d41"
+        val pairsP = s"$base/pairs"
+        val stInc = s"$base/state_inc"; val kpInc = s"$base/keep_inc"
+        val stRb = s"$base/state_rb"; val kpRb = s"$base/keep_rb"
+        Seq(pairsP, stInc, kpInc, stRb, kpRb).foreach(freshDir)
+        val d = table(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 3000)
+        val pairs = d.as("x").join(d.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1 &&
+              col("x.doc_id") % 10 =!= 9)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .localCheckpoint()
+        // the pair log accrues two commits; a cursor-tagged consumer
+        // folds each incrementally
+        (0 until 2).foreach { w =>
+          pairs.filter(pmod(xxhash64(col("doc_a")), lit(2)) === w)
+            .write.format("hadro")
+            .mode(if (w == 0) "overwrite" else "append").save(pairsP)
+          ClusterOps.componentsCycle(s, pairsP, "d41_cur", stInc,
+            keepPath = Some(kpInc))
+          ()
+        }
+        // one-shot rebuild of the SAME log into a second state
+        ClusterOps.componentsRebuild(s, pairsP, stRb, keepPath = Some(kpRb))
+        val inc = ClusterOps.keepListMaterialized(s, kpInc)
+          .orderBy("cluster").collect().toSeq
+        val rb = ClusterOps.keepListMaterialized(s, kpRb)
+          .orderBy("cluster").collect().toSeq
+        require(inc == rb,
+          s"d41: rebuild diverged from the incremental folds " +
+            s"(${rb.size} vs ${inc.size} clusters)")
+        ClusterOps.keepListMaterialized(s, kpRb).orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+          WHERE x.doc_id % 10 <> 9 AND x.doc_id < 3000 AND y.doc_id < 3000),
+        edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM memb GROUP BY cluster ORDER BY cluster""")),
+
+    // ---------------------------------------------------------------- d39
+    // INCREMENTAL CURATION: the composed loop's downstream consumer —
+    // each window runs probe → pairs changefeed fold → curationCycle,
+    // which maintains a persisted doc-keyed DROP LIST from the
+    // membership changefeed (demoted keepers upsert, keepers tombstone)
+    // instead of recomputing the d22-style dedup pass corpus-wide; the
+    // corpus then anti-joins the drop list and d22's cap → budget
+    // selection composes on top unchanged. Oracle = exact pairs →
+    // closure → drop non-representative members → the same cap/budget
+    // arithmetic.
+    QueryDef(
+      "d39_incremental_curation",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/d39"
+        val idx = s"$base/idx"; val pairsP = s"$base/pairs"
+        val st = s"$base/state"; val kp = s"$base/keep"
+        val dropP = s"$base/drops"
+        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), col("source"))
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        val pins = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        Fixtures.restoreFromTemplateTree(s, dir, "d39_idx",
+          s"/tmp/graft_collections/$tag/d39_tpl", idx,
+          Seq("sets", "bands", "params")) { tb =>
+          DedupOps.minhashLshIndexBuild(planted.limit(0),
+            "doc_id", "text", tb)
+        }
+        Seq(pairsP, st, kp, dropP).foreach(freshDir)
+        (0 until 3).foreach { w =>
+          DedupOps.minhashLshIndexProbe(s,
+            planted.filter(pmod(xxhash64(col("doc_id")), lit(3)) === w),
+            "doc_id", "text", idx, mustCheck = Some(pins),
+            pairsSink = Some((pairsP, w.toLong))).collect()
+          ClusterOps.componentsCycle(s, pairsP, "d39_cur", st,
+            keepPath = Some(kp))
+          ClusterOps.curationCycle(s, st, "d39_drop", kp, dropP)
+          ()
+        }
+        // survivors = corpus ANTI JOIN the maintained drop list; d22's
+        // cap → budget selection composes downstream unchanged
+        val survivors = planted.join(
+          ClusterOps.dropList(s, dropP).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        val capped = SampleOps.sourceCap(survivors, "doc_id", "source", 15)
+        SampleOps.tokenBudgetSample(capped, "doc_id", "text", budget = 6000L)
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE docs AS (
+          SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken', source
+          FROM documents WHERE doc_id % 20 = 0),
+        $exactPairsCtes,
+        p AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src),
+        drops AS (SELECT doc_id FROM memb WHERE doc_id <> cluster),
+        survivors AS (
+          SELECT d2.doc_id, d2.text, d2.source FROM docs d2
+          ANTI JOIN drops USING (doc_id)),
+        capped AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM survivors)
+          WHERE rk <= 15)
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+              ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS cum
+          FROM capped)
+        WHERE cum <= 6000 ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d40
+    // CROSS-MODAL COMPOSED PIPELINE: a TEXT probe and an EMBEDDING probe
+    // feed ONE pairs collection (the modality-uniform log schema; epoch
+    // stamps are keyed per index, so each modality's exactly-once
+    // bookkeeping is independent) → ONE membership state — docs
+    // near-duplicate on EITHER signal collapse into one cluster, the
+    // union-closure rule a real pipeline needs (a re-encoded scan is an
+    // embedding dup but not a text dup; a paraphrased header the
+    // reverse). Planted: %20 docs get a +1M text near-copy carrying a
+    // NEGATED vector (text-only dup: cosine -1), %30 docs get a +2M
+    // scaled-vector copy carrying a globally unique text (vector-only
+    // dup: Jaccard 0) — %60 docs therefore chain {d, d+1M, d+2M} ACROSS
+    // modalities, provable only by the shared membership. Oracle =
+    // exact text pairs UNION exact cosine pairs → closure → live keep.
+    QueryDef(
+      "d40_crossmodal_pipeline",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/d40"
+        val idxT = s"$base/idxT"; val idxE = s"$base/idxE"
+        val pairsP = s"$base/pairs"; val st = s"$base/state"
+        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+          .join(table(s, dir, "embeddings")
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("text"), col("embedding"))
+        val uid = (col("doc_id") + 2000000L).cast("string")
+        val corpus = d
+          .unionByName(d.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" extraplantedtoken")).as("text"),
+              transform(col("embedding"),
+                v => (-v).cast(FloatType)).as("embedding")))
+          .unionByName(d.filter(col("doc_id") % 30 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(lit("uq"), uid, lit("a uq"), uid, lit("b uq"), uid,
+                lit("c uq"), uid, lit("d")).as("text"),
+              transform(col("embedding"),
+                v => (v * lit(1.01f)).cast(FloatType)).as("embedding")))
+        val textPins = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        val vecPins = d.filter(col("doc_id") % 30 === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 2000000L).as("id_b"))
+        Fixtures.restoreFromTemplateTree(s, dir, "d40_idx",
+          s"/tmp/graft_collections/$tag/d40_tpl", base,
+          Seq("idxT/sets", "idxT/bands", "idxT/params",
+            "idxE/sets", "idxE/bands", "idxE/params")) { tb =>
+          DedupOps.minhashLshIndexBuild(corpus.limit(0),
+            "doc_id", "text", s"$tb/idxT")
+          DedupOps.embeddingIndexBuild(corpus.limit(0),
+            "doc_id", "embedding", s"$tb/idxE")
+        }
+        freshDir(pairsP); freshDir(st)
+        (0 until 3).foreach { w =>
+          val batch = corpus
+            .filter(pmod(xxhash64(col("doc_id")), lit(3)) === w)
+            .localCheckpoint()
+          // BOTH probes persist into the ONE pair log under the SAME
+          // window id — their per-index epoch stamps never collide
+          DedupOps.minhashLshIndexProbe(s,
+            batch.select(col("doc_id"), col("text")),
+            "doc_id", "text", idxT, mustCheck = Some(textPins),
+            pairsSink = Some((pairsP, w.toLong))).collect()
+          DedupOps.embeddingIndexProbe(s,
+            batch.select(col("doc_id"), col("embedding")),
+            "doc_id", "embedding", idxE, mustCheck = Some(vecPins),
+            pairsSink = Some((pairsP, w.toLong))).collect()
+          // ONE consumer folds the union stream into ONE membership
+          ClusterOps.componentsCycle(s, pairsP, "d40_cur", st)
+          ()
+        }
+        ClusterOps.keepList(s, st,
+            live = Some(corpus.select(col("doc_id"))
+              .filter(col("doc_id") % 7 =!= 0)))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+            'uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
+            'a uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
+            'b uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
+            'c uq' || CAST(doc_id + 2000000 AS VARCHAR) || 'd'
+          FROM documents WHERE doc_id % 30 = 0 AND doc_id % 2 = 0),
+        $exactPairsCtes,
+        vecs AS (
+          SELECT vec_id AS doc_id, embedding FROM embeddings
+          WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(embedding, v -> CAST(-v AS FLOAT))
+          FROM embeddings WHERE vec_id % 20 = 0
+          UNION ALL
+          SELECT vec_id + 2000000,
+            list_transform(embedding, v -> CAST(v * CAST(1.01 AS FLOAT) AS FLOAT))
+          FROM embeddings WHERE vec_id % 30 = 0 AND vec_id % 2 = 0),
+        vp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
+        p AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.8
+              UNION SELECT doc_a, doc_b FROM vp),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM memb WHERE doc_id % 7 <> 0
+        GROUP BY cluster ORDER BY cluster""")),
+
     // ---------------------------------------------------------------- d13
     // Duplicated-span profile ("substring dedup" measure): per doc, how
     // many of its distinct 10-token windows appear in at least one other
@@ -5619,6 +5893,133 @@ object OpsQueries {
       Some(pairClosureKeepOracle(plantedDocsCte("doc_id % 2 = 0"),
         "doc_id % 7 <> 0"))),
 
+    // ---------------------------------------------------------------- st28
+    // STREAMING CROSS-MODAL composed pipeline — d40 as a stream: one
+    // document stream carrying BOTH text and embedding, each foreachBatch
+    // running the text probe AND the embedding probe into the ONE pairs
+    // collection under the micro-batch id (per-index epoch stamps keep
+    // the two modalities' exactly-once bookkeeping independent, and
+    // streaming's batch replay composes with both), then one
+    // componentsCycle folding the union stream. Final keep list ≡ the
+    // union-closure oracle.
+    QueryDef(
+      "st28_streaming_crossmodal",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/st28"
+        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+          .join(table(s, dir, "embeddings")
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("text"), col("embedding"))
+        val uid = (col("doc_id") + 2000000L).cast("string")
+        val corpus = d
+          .unionByName(d.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" extraplantedtoken")).as("text"),
+              transform(col("embedding"),
+                v => (-v).cast(FloatType)).as("embedding")))
+          .unionByName(d.filter(col("doc_id") % 30 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(lit("uq"), uid, lit("a uq"), uid, lit("b uq"), uid,
+                lit("c uq"), uid, lit("d")).as("text"),
+              transform(col("embedding"),
+                v => (v * lit(1.01f)).cast(FloatType)).as("embedding")))
+        val textPins = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        val vecPins = d.filter(col("doc_id") % 30 === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 2000000L).as("id_b"))
+        val srcPath = s"$base/src"
+        val idxT = s"$base/idxT"; val idxE = s"$base/idxE"
+        val pairsP = s"$base/pairs"; val st = s"$base/state"
+        Fixtures.restoreFromTemplateTree(s, dir, "st28",
+          s"/tmp/graft_collections/$tag/st28_tpl", base,
+          Seq("src", "idxT/sets", "idxT/bands", "idxT/params",
+            "idxE/sets", "idxE/bands", "idxE/params")) { tb =>
+          graft.api.Collection.create(s, s"$tb/src", corpus,
+            numSegments = 3)
+          DedupOps.minhashLshIndexBuild(corpus.limit(0),
+            "doc_id", "text", s"$tb/idxT")
+          DedupOps.embeddingIndexBuild(corpus.limit(0),
+            "doc_id", "embedding", s"$tb/idxE")
+        }
+        freshDir(pairsP); freshDir(st)
+        val ckpt = java.nio.file.Files.createTempDirectory("st28_ckpt").toString
+        val q = s.readStream.format("hadro")
+          .option("hadro.maxOrdinalsPerTrigger", "1").load(srcPath)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            if (!batch.isEmpty) {
+              val b = batch.localCheckpoint()
+              DedupOps.minhashLshIndexProbe(s,
+                b.select(col("doc_id"), col("text")),
+                "doc_id", "text", idxT, mustCheck = Some(textPins),
+                pairsSink = Some((pairsP, bid))).collect()
+              DedupOps.embeddingIndexProbe(s,
+                b.select(col("doc_id"), col("embedding")),
+                "doc_id", "embedding", idxE, mustCheck = Some(vecPins),
+                pairsSink = Some((pairsP, bid))).collect()
+              ClusterOps.componentsCycle(s, pairsP, "st28_cursor", st)
+            }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000),
+          "AvailableNow query must terminate by itself")
+        ClusterOps.keepList(s, st,
+            live = Some(corpus.select(col("doc_id"))
+              .filter(col("doc_id") % 7 =!= 0)))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+            'uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
+            'a uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
+            'b uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
+            'c uq' || CAST(doc_id + 2000000 AS VARCHAR) || 'd'
+          FROM documents WHERE doc_id % 30 = 0 AND doc_id % 2 = 0),
+        $exactPairsCtes,
+        vecs AS (
+          SELECT vec_id AS doc_id, embedding FROM embeddings
+          WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(embedding, v -> CAST(-v AS FLOAT))
+          FROM embeddings WHERE vec_id % 20 = 0
+          UNION ALL
+          SELECT vec_id + 2000000,
+            list_transform(embedding, v -> CAST(v * CAST(1.01 AS FLOAT) AS FLOAT))
+          FROM embeddings WHERE vec_id % 30 = 0 AND vec_id % 2 = 0),
+        vp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
+        p AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.8
+              UNION SELECT doc_a, doc_b FROM vp),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM memb WHERE doc_id % 7 <> 0
+        GROUP BY cluster ORDER BY cluster""")),
+
     // --------------------------------------------------------------- h100
     // PURE-SQL COMPOSED PIPELINE: d37's probe+extend → persisted pairs →
     // cursor-tagged fold → takedown-aware keep list, driven end to end
@@ -5644,14 +6045,21 @@ object OpsQueries {
             .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
         // window tables and the day-0 empty index restore from build-once
         // templates; pair log / state / keep start empty every run
+        // the must_check pins ride a catalog table (the d37/st27 pins,
+        // SQL-shaped): planted pairs sit near the 0.8 threshold, so
+        // relying on probabilistic LSH recall alone would flake rarely
         Fixtures.restoreFromTemplateTree(s, dir, "h100",
           s"/tmp/graft_collections/$tag/h100_tpl", wh,
-          Seq("db/w0", "db/w1", "db/w2",
+          Seq("db/w0", "db/w1", "db/w2", "db/pins",
             "nd_idx/sets", "nd_idx/bands", "nd_idx/params")) { tb =>
           (0 until 3).foreach { w =>
             planted.filter(pmod(xxhash64(col("doc_id")), lit(3)) === w)
               .write.format("hadro").mode("overwrite").save(s"$tb/db/w$w")
           }
+          d.filter(col("doc_id") % 20 === 0)
+            .select(col("doc_id").as("doc_a"),
+              (col("doc_id") + 1000000L).as("doc_b"))
+            .write.format("hadro").mode("overwrite").save(s"$tb/db/pins")
           DedupOps.minhashLshIndexBuild(planted.limit(0),
             "doc_id", "text", s"$tb/nd_idx")
         }
@@ -5663,7 +6071,7 @@ object OpsQueries {
         (0 until 3).foreach { w =>
           s.sql(s"""CALL graft_h100.system.neardup_probe(
             'db.w$w', 'doc_id', 'text', '$wh/nd_idx', 'h100_p$w',
-            0.8D, true, '', '$pairsP', ${w}L)""")
+            0.8D, true, '', '$pairsP', ${w}L, 'db.pins')""")
           s.sql(s"""CALL graft_h100.system.components_cycle(
             '$pairsP', 'h100cur', '$st', '$kp')""")
           ()
