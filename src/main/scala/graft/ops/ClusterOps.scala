@@ -649,10 +649,26 @@ object ClusterOps {
     val state = graft.api.Collection(spark, statePath)
     val head = state.version
     def applyTouched(touched: DataFrame): Unit = {
-      val changes = touched
+      val m = touched
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-        .join(keepListMaterialized(spark, keepPath)
-          .select(col("cluster"), col("keep_id")), Seq("cluster"))
+        .localCheckpoint()
+      // keeper lookup restricted to the window's TOUCHED clusters: a
+      // bounded set rides the cluster-KEYED keep collection's scan as an
+      // IN predicate (the filter references only the LWW resolve's
+      // partition key, so it pushes below the window and segment
+      // stats/bloom prune the read); larger sets broadcast semi-join.
+      // Never an unrestricted keep-list scan per window — the keep list
+      // is corpus-proportional, the window is not.
+      val touchedClusters = m.select(col("cluster")).distinct()
+      val keepAll = keepListMaterialized(spark, keepPath)
+      val keep = graft.api.Collection
+        .boundedKeyLits(touchedClusters, graft.api.Collection.MaxKeyPushdown)
+        .fold(keepAll.join(broadcast(touchedClusters), Seq("cluster"),
+          "left_semi"))(vs =>
+          if (vs.isEmpty) keepAll.limit(0)
+          else keepAll.filter(col("cluster").isin(vs: _*)))
+      val changes = m
+        .join(keep.select(col("cluster"), col("keep_id")), Seq("cluster"))
         .select(col("doc_id"), col("cluster"), col("keep_id"))
       val dropExists = graft.meta.CollectionMeta.collectionCommitted(
         java.nio.file.Paths.get(dropPath))

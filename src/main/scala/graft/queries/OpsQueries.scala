@@ -6087,6 +6087,59 @@ object OpsQueries {
       Some(pairClosureKeepOracle(plantedDocsCte("doc_id % 2 = 0"),
         "doc_id % 7 <> 0"))),
 
+    // --------------------------------------------------------------- h101
+    // PURE-SQL REBUILD + CURATION: adopt an existing pair log with CALL
+    // components_rebuild (one-shot CC → state + keep-list as
+    // version-pinned replaces), run the incremental curation consumer
+    // with CALL curation_cycle, and read the corpus survivors through
+    // drop_list_view — the d41/d39 verbs for a SQL-only operator.
+    // Oracle = transitive closure → drop non-representative members →
+    // survivors.
+    QueryDef(
+      "h101_curation_sql_loop",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h101"
+        s.conf.set("spark.sql.catalog.graft_h101",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h101.warehouse", wh)
+        val pairsP = s"$wh/pairs"; val st = s"$wh/cc_state"
+        val kp = s"$wh/keep"; val dropP = s"$wh/drops"
+        Seq(pairsP, st, kp, dropP).foreach(freshDir)
+        val d = table(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 3000)
+        d.as("x").join(d.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1 &&
+              col("x.doc_id") % 10 =!= 9)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .write.format("hadro").mode("overwrite").save(pairsP)
+        val rb = s.sql(s"""CALL graft_h101.system.components_rebuild(
+          '$pairsP', '$st', '$kp')""").collect()
+        require(rb.head.getLong(0) > 0L, s"rebuild: ${rb.toSeq}")
+        s.sql(s"""CALL graft_h101.system.curation_cycle(
+          '$st', 'h101cur', '$kp', '$dropP')""")
+        s.sql(s"CALL graft_h101.system.drop_list_view('$dropP', 'h101_dl')")
+        d.createOrReplaceTempView("h101_docs")
+        s.sql("""SELECT doc_id FROM h101_docs
+          LEFT ANTI JOIN h101_dl USING (doc_id) ORDER BY doc_id""")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+          WHERE x.doc_id % 10 <> 9 AND x.doc_id < 3000 AND y.doc_id < 3000),
+        edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src),
+        drops AS (SELECT doc_id FROM memb WHERE doc_id <> cluster)
+        SELECT d.doc_id FROM documents d
+        ANTI JOIN drops ON d.doc_id = drops.doc_id
+        WHERE d.doc_id < 3000 ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +
     // language gate) applied to a document STREAM — stateless curation
