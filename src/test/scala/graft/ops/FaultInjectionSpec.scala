@@ -152,6 +152,65 @@ class FaultInjectionSpec extends SparkSuite {
     }
   }
 
+  test("every inter-commit crash point of a rollup consumer cycle " +
+      "replays exactly-once (MERGE + applied-version stamp + tag-move " +
+      "seams, both FileIO impls, zero protocol breaks)") {
+    underEachFileIO { fio =>
+      val killer = new KillingFileIO(graft.meta.FileIO.impl)
+      val prev = graft.meta.FileIO.impl
+      graft.meta.FileIO.impl = killer
+      try {
+        var killPoint = 1
+        var sawClean = false
+        while (!sawClean) {
+          // catalog instances cache per NAME — every run needs its own
+          val cat = s"fir${fio.take(3)}k$killPoint"
+          val wh = java.nio.file.Files
+            .createTempDirectory(s"${cat}_wh").toString
+          spark.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.spark.HadroCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+          spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+          val factDir = s"$wh/db/f"; val aggDir = s"$wh/db/agg"
+          killer.killAt = -1 // fixture: producer + bootstrap, no kills
+          Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+            .write.format("hadro").mode("overwrite").save(factDir)
+          graft.api.IncrementalRollup.bootstrap(spark, factDir,
+            "fir_cur", aggDir, "g", Seq("v" -> "sv"))
+          Seq((3L, "a", 5.0), (4L, "c", 7.0)).toDF("k", "g", "v")
+            .write.format("hadro").mode("append").save(factDir)
+          // the consumer cycle under a single armed kill
+          killer.count.set(0)
+          killer.killAt = killPoint
+          val crashed =
+            try { graft.api.IncrementalRollup.cycle(spark, factDir,
+              "fir_cur", s"$cat.db.agg", "g", Seq("v" -> "sv")); false }
+            catch { case t: Throwable if isInjected(t) => true }
+          killer.killAt = -1
+          if (!crashed) sawClean = true
+          else graft.api.IncrementalRollup.cycle(spark, factDir,
+            "fir_cur", s"$cat.db.agg", "g", Seq("v" -> "sv")) // retry
+          val got = graft.api.Collection(spark, aggDir).toDF()
+            .select($"g", $"n", $"sv".cast("double"))
+            .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+          assert(got == Seq(("a", 2L, 15.0), ("b", 1L, 20.0),
+            ("c", 1L, 7.0)),
+            s"[$fio kill=$killPoint] rollup diverged: $got")
+          assert(graft.api.IncrementalRollup.protocolBreaks(
+            java.nio.file.Paths.get(aggDir)) == 0L,
+            s"[$fio kill=$killPoint] protocol break recorded on a " +
+              "healthy crash-replay")
+          spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+          spark.conf.unset(s"spark.sql.catalog.$cat")
+          killPoint += 1
+        }
+        info(s"[$fio] swept ${killPoint - 1} rollup-cycle commit points")
+        assert(killPoint > 3,
+          s"[$fio] suspiciously few commit points (${killPoint - 1})")
+      } finally graft.meta.FileIO.impl = prev
+    }
+  }
+
   test("a crash between sweepComponents' state and keep-list rewrites " +
       "heals on the documented re-run") {
     underEachFileIO { fio =>

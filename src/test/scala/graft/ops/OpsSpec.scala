@@ -2866,6 +2866,38 @@ class OpsSpec extends SparkSuite {
       s"promoted keeper must tombstone out: ${drops()}")
   }
 
+  test("an operator-run componentsRebuild composes with an already-" +
+      "tagged consumer: the next cycle refolds its window idempotently " +
+      "against the rebuilt state") {
+    val wh = java.nio.file.Files.createTempDirectory("rbcur").toString
+    val pairsP = s"$wh/pairs"; val st = s"$wh/state"; val kp = s"$wh/keep"
+    Seq((10L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("overwrite").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "rc_cur", st,
+      keepPath = Some(kp))
+    // window 2 lands; BEFORE the consumer runs, an operator rebuilds
+    // the state from the full log (e.g. during an incident)
+    Seq((11L, 21L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("append").save(pairsP)
+    ClusterOps.componentsRebuild(spark, pairsP, st, keepPath = Some(kp))
+    // the consumer's next cycle refolds window 2 — already merged by
+    // the rebuild, so the fold is a provable no-op (no duplicate rows,
+    // no label churn) and the tag still advances
+    ClusterOps.componentsCycle(spark, pairsP, "rc_cur", st,
+      keepPath = Some(kp))
+    val members = ClusterOps.components(spark, st)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(members == Seq((10L, 10L), (11L, 10L), (20L, 10L), (21L, 10L)),
+      members.toString)
+    val raw = graft.api.Collection(spark, st).scan().count()
+    assert(raw == 4L, s"post-rebuild refold left duplicate rows: $raw")
+    assert(ClusterOps.keepListMaterialized(spark, kp)
+        .as[(Long, Long, Long)].collect().sorted.toSeq ==
+      Seq((10L, 10L, 4L)))
+    val pc = graft.api.Collection(spark, pairsP)
+    assert(pc.tags("rc_cur") == pc.version, "cursor must sit at head")
+  }
+
   test("two independent cursor tags on one pair log: each consumer's " +
       "walk is unaffected by the other's tag moves, and retention " +
       "respects the MIN pinned floor") {
