@@ -159,6 +159,17 @@ object ClusterOps {
       .groupBy("node").agg(min(col("cluster")).as("cluster"))
   }
 
+  /** The keep-row shape — (cluster, keep_id = min member, n_members) —
+    * every maintainer of the materialized keep-list derives from a
+    * (doc_id, cluster) membership frame. ONE definition serves
+    * [[componentsUpdate]], [[keepList]], [[componentsRebuild]] and
+    * [[sweepComponents]], so the keeper rule cannot silently diverge
+    * between the read-side view and any of its materializers. */
+  private def keepRows(members: DataFrame): DataFrame =
+    members.groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_members"))
+
   /** INCREMENTAL connected components — the nightly twin of
     * [[connectedComponentsAltStar]], maintaining a persisted
     * (doc_id → cluster) membership state as a doc_id-KEYED hadro
@@ -231,9 +242,15 @@ object ClusterOps {
       else {
         val coll = graft.api.Collection(spark, statePath)
         val state = coll.scanVersion(coll.version)
+        // over-bound batches take a PLAIN semi-join, never a forced
+        // broadcast: a corpus-sized batch (the full-log fold
+        // componentsCycle attempts before delegating to the rebuild)
+        // would OOM the driver inside an explicit broadcast() BEFORE
+        // the roots bound below could fire — AQE still auto-broadcasts
+        // genuinely small over-1000-doc batches from runtime stats
         val touched0 = graft.api.Collection
           .boundedKeyLits(batchDocs, maxIdPushdown)
-          .fold(state.join(broadcast(batchDocs), Seq("doc_id"), "left_semi"))(
+          .fold(state.join(batchDocs, Seq("doc_id"), "left_semi"))(
             vs => state.filter(col("doc_id").isin(vs: _*)))
         val rootRows = touched0.select(col("cluster")).distinct()
           .head(maxDriverRoots + 1) // bounded: <= |batch docs| by contract
@@ -284,10 +301,7 @@ object ClusterOps {
     // clusters' rows are never read or written.
     keepPath.foreach { kp =>
       import spark.implicits._
-      val kept = labels.groupBy(col("cluster"))
-        .agg(min(col("doc_id")).as("keep_id"),
-          count(lit(1)).as("n_members"))
-        .localCheckpoint()
+      val kept = keepRows(labels).localCheckpoint()
       val keepExists = graft.meta.CollectionMeta.collectionCommitted(
         java.nio.file.Paths.get(kp))
       if (!keepExists && !exists)
@@ -385,9 +399,7 @@ object ClusterOps {
     val alive = live.fold(m)(l =>
       m.join(l.select(col(l.columns.head).as("doc_id")),
         Seq("doc_id"), "left_semi"))
-    alive.groupBy(col("cluster"))
-      .agg(min(col("doc_id")).as("keep_id"),
-        count(lit(1)).as("n_members"))
+    keepRows(alive)
   }
 
   /** The MATERIALIZED keep-list maintained by [[componentsUpdate]]'s
@@ -443,16 +455,31 @@ object ClusterOps {
     // compacted snapshot ("fold in windows") — delegate to
     // [[componentsRebuild]], which computes the SAME state (membership
     // is a pure function of the pair log) with no driver-resident root
-    // set at all. The bound throws before any state mutation, so the
-    // delegation starts clean.
-    def foldFullOrRebuild(): Unit =
-      try fold(pairs.scanVersion(head))
-      catch {
-        case _: TouchedRootsOverBoundException =>
-          componentsRebuild(spark, pairsPath, statePath, aCol, bCol,
-            keepPath)
-          ()
-      }
+    // set at all. A BOUNDED pre-check (head(n+1) on the log's distinct
+    // doc ids — touched roots <= batch docs, so over-bound docs is the
+    // sound trigger) routes corpus-scale logs straight to the rebuild
+    // WITHOUT first paying the fold's corpus-sized probe work; the
+    // catch below stays as the exact backstop for logs whose doc count
+    // passes the pre-check but whose touched-root set still trips the
+    // bound (it throws before any state mutation, so the delegation
+    // starts clean either way).
+    def foldFullOrRebuild(): Unit = {
+      val full = pairs.scanVersion(head)
+      val manyDocs = full.select(col(aCol).as("d"))
+        .unionByName(full.select(col(bCol).as("d"))).distinct()
+        .head(maxDriverRoots + 1).length > maxDriverRoots
+      if (manyDocs) {
+        componentsRebuild(spark, pairsPath, statePath, aCol, bCol, keepPath)
+        ()
+      } else
+        try fold(full)
+        catch {
+          case _: TouchedRootsOverBoundException =>
+            componentsRebuild(spark, pairsPath, statePath, aCol, bCol,
+              keepPath)
+            ()
+        }
+    }
     pairs.tags.get(cursorTag) match {
       case Some(f) if f >= head => () // caught up
       case None => foldFullOrRebuild()
@@ -525,6 +552,18 @@ object ClusterOps {
         val n = labels.count()
         val p = java.nio.file.Paths.get(statePath)
         val exists = graft.meta.CollectionMeta.collectionCommitted(p)
+        // keep-list BEFORE the state replace — the componentsUpdate
+        // crash-ordering argument: a crash between the two commits
+        // leaves a NEW keep-list over the OLD state, and the replayed
+        // recovery (fold or rebuild) rewrites both idempotently; the
+        // reverse order could commit a rebuilt state whose replayed
+        // fold finds nothing changed and never tombstones the clusters
+        // the rebuild merged away — permanent phantom keep rows.
+        keepPath.foreach { kp =>
+          keepRows(labels)
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "cluster").save(kp)
+        }
         val w = labels.write.format("hadro").mode("overwrite")
           .option("hadro.key", "doc_id")
         if (exists) {
@@ -533,13 +572,6 @@ object ClusterOps {
             .option("hadro.compactOfGen", m0.generation.toString)
         }
         w.save(statePath)
-        keepPath.foreach { kp =>
-          labels.groupBy(col("cluster"))
-            .agg(min(col("doc_id")).as("keep_id"),
-              count(lit(1)).as("n_members"))
-            .write.format("hadro").mode("overwrite")
-            .option("hadro.key", "cluster").save(kp)
-        }
         n
       } finally labels.unpersist()
     }
@@ -592,9 +624,7 @@ object ClusterOps {
           .option("hadro.compactOfGen", m0.generation.toString)
           .option("hadro.key", "doc_id").save(statePath)
         keepPath.foreach { kp =>
-          rerooted.groupBy(col("cluster"))
-            .agg(min(col("doc_id")).as("keep_id"),
-              count(lit(1)).as("n_members"))
+          keepRows(rerooted)
             .write.format("hadro").mode("overwrite")
             .option("hadro.key", "cluster").save(kp)
         }
@@ -656,28 +686,54 @@ object ClusterOps {
       // bounded set rides the cluster-KEYED keep collection's scan as an
       // IN predicate (the filter references only the LWW resolve's
       // partition key, so it pushes below the window and segment
-      // stats/bloom prune the read); larger sets broadcast semi-join.
-      // Never an unrestricted keep-list scan per window — the keep list
-      // is corpus-proportional, the window is not.
+      // stats/bloom prune the read); larger sets take a PLAIN semi-join
+      // — NOT a forced broadcast: the full-snapshot paths (first-cycle
+      // bootstrap, post-compaction/post-sweep re-derive) pass a
+      // corpus-proportional touched set that an explicit broadcast()
+      // would collect onto the driver (AQE still auto-broadcasts
+      // genuinely small over-bound sets from runtime stats). Never an
+      // unrestricted keep-list scan per window.
       val touchedClusters = m.select(col("cluster")).distinct()
       val keepAll = keepListMaterialized(spark, keepPath)
       val keep = graft.api.Collection
         .boundedKeyLits(touchedClusters, graft.api.Collection.MaxKeyPushdown)
-        .fold(keepAll.join(broadcast(touchedClusters), Seq("cluster"),
+        .fold(keepAll.join(touchedClusters, Seq("cluster"),
           "left_semi"))(vs =>
           if (vs.isEmpty) keepAll.limit(0)
           else keepAll.filter(col("cluster").isin(vs: _*)))
+      // LEFT join + loud gate, not an inner join: a touched cluster with
+      // no keep row means the keep-list is OUT OF STEP with the state
+      // (the signature of a sweep that crashed between its state and
+      // keep rewrites). An inner join would silently drop those docs'
+      // status updates — including the tombstone that PROMOTES a keeper
+      // whose predecessor died — and still advance the cursor,
+      // corrupting the drop list until an unrelated rewrite. Refuse
+      // instead, naming the repair verb; the cursor does not move, so
+      // the healed loop replays this window cleanly.
       val changes = m
-        .join(keep.select(col("cluster"), col("keep_id")), Seq("cluster"))
+        .join(keep.select(col("cluster"), col("keep_id")), Seq("cluster"),
+          "left")
         .select(col("doc_id"), col("cluster"), col("keep_id"))
+        .localCheckpoint()
+      if (!changes.filter(col("keep_id").isNull).isEmpty)
+        throw new IllegalStateException(
+          s"hadro: curationCycle found touched clusters with no row in " +
+            s"the materialized keep-list at $keepPath — the keep-list is " +
+            "out of step with the membership state (a crashed " +
+            "sweepComponents between its two rewrites, or keep_dir not " +
+            "maintained by the components loop). Re-run " +
+            "sweepComponents(keepPath)/CALL system.sweep_components (or " +
+            "componentsRebuild with keepPath) to heal, then re-run this " +
+            "cycle — the cursor has not moved")
       val dropExists = graft.meta.CollectionMeta.collectionCommitted(
         java.nio.file.Paths.get(dropPath))
       if (!dropExists)
         changes.filter(col("doc_id") =!= col("keep_id"))
           .write.format("hadro").mode("overwrite")
           .option("hadro.key", "doc_id").save(dropPath)
-      else graft.api.Collection(spark, dropPath)
-        .merge(changes, col("doc_id") === col("keep_id"))
+      else if (!changes.isEmpty) // quiet window: no zero-row commit
+        graft.api.Collection(spark, dropPath)
+          .merge(changes, col("doc_id") === col("keep_id"))
     }
     state.tags.get(cursorTag) match {
       case Some(f) if f >= head => () // caught up

@@ -128,6 +128,92 @@ object OpsQueries {
         FROM memb WHERE $liveWhere
         GROUP BY cluster ORDER BY cluster"""
 
+  /** The CROSS-MODAL planted corpus shared by d40 and st28 (one
+    * definition, so the Spark side and [[crossModalKeepOracle]] can
+    * never silently diverge): the half documents corpus joined to its
+    * embeddings, plus %20 text-near-copies carrying NEGATED vectors
+    * (text-only dups — cosine −1 pairs with nothing) and %30
+    * scaled-vector copies carrying globally unique texts (vector-only
+    * dups — Jaccard 0 with everything); %60 docs chain {d, d+1M, d+2M}
+    * ACROSS the modalities. Returns (corpus, textPins, vecPins). */
+  private def crossModalCorpus(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      .join(table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val uid = (col("doc_id") + 2000000L).cast("string")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" extraplantedtoken")).as("text"),
+          transform(col("embedding"),
+            v => (-v).cast(FloatType)).as("embedding")))
+      .unionByName(d.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("uq"), uid, lit("a uq"), uid, lit("b uq"), uid,
+            lit("c uq"), uid, lit("d")).as("text"),
+          transform(col("embedding"),
+            v => (v * lit(1.01f)).cast(FloatType)).as("embedding")))
+    val textPins = d.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000000L).as("doc_b"))
+    val vecPins = d.filter(col("doc_id") % 30 === 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 2000000L).as("id_b"))
+    (corpus, textPins, vecPins)
+  }
+
+  /** The cross-modal union-closure oracle (d40/st28): exact text pairs
+    * UNION exact cosine pairs over [[crossModalCorpus]] → transitive
+    * closure → the takedown-aware keep rule. */
+  private val crossModalKeepOracle: String =
+    s"""WITH RECURSIVE docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' extraplantedtoken'
+          FROM documents WHERE doc_id % 20 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+            'uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
+            'a uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
+            'b uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
+            'c uq' || CAST(doc_id + 2000000 AS VARCHAR) || 'd'
+          FROM documents WHERE doc_id % 30 = 0 AND doc_id % 2 = 0),
+        $exactPairsCtes,
+        vecs AS (
+          SELECT vec_id AS doc_id, embedding FROM embeddings
+          WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(embedding, v -> CAST(-v AS FLOAT))
+          FROM embeddings WHERE vec_id % 20 = 0
+          UNION ALL
+          SELECT vec_id + 2000000,
+            list_transform(embedding, v -> CAST(v * CAST(1.01 AS FLOAT) AS FLOAT))
+          FROM embeddings WHERE vec_id % 30 = 0 AND vec_id % 2 = 0),
+        vp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
+        p AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.8
+              UNION SELECT doc_a, doc_b FROM vp),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM memb WHERE doc_id % 7 <> 0
+        GROUP BY cluster ORDER BY cluster"""
+
   /** The planted near-dup corpus every exact-pairs oracle reads: the
     * documents table plus a +1M-id near-copy of every %20 doc. `corpusWhere`
     * restricts the ORIGINAL side (d31 drops takedown victims). */
@@ -1287,30 +1373,7 @@ object OpsQueries {
         val base = s"/tmp/graft_collections/$tag/d40"
         val idxT = s"$base/idxT"; val idxE = s"$base/idxE"
         val pairsP = s"$base/pairs"; val st = s"$base/state"
-        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
-          .join(table(s, dir, "embeddings")
-            .select(col("vec_id").as("doc_id"), col("embedding")),
-            Seq("doc_id"))
-          .select(col("doc_id"), col("text"), col("embedding"))
-        val uid = (col("doc_id") + 2000000L).cast("string")
-        val corpus = d
-          .unionByName(d.filter(col("doc_id") % 20 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
-              concat(col("text"), lit(" extraplantedtoken")).as("text"),
-              transform(col("embedding"),
-                v => (-v).cast(FloatType)).as("embedding")))
-          .unionByName(d.filter(col("doc_id") % 30 === 0)
-            .select((col("doc_id") + 2000000L).as("doc_id"),
-              concat(lit("uq"), uid, lit("a uq"), uid, lit("b uq"), uid,
-                lit("c uq"), uid, lit("d")).as("text"),
-              transform(col("embedding"),
-                v => (v * lit(1.01f)).cast(FloatType)).as("embedding")))
-        val textPins = d.filter(col("doc_id") % 20 === 0)
-          .select(col("doc_id").as("doc_a"),
-            (col("doc_id") + 1000000L).as("doc_b"))
-        val vecPins = d.filter(col("doc_id") % 30 === 0)
-          .select(col("doc_id").as("id_a"),
-            (col("doc_id") + 2000000L).as("id_b"))
+        val (corpus, textPins, vecPins) = crossModalCorpus(s, dir)
         Fixtures.restoreFromTemplateTree(s, dir, "d40_idx",
           s"/tmp/graft_collections/$tag/d40_tpl", base,
           Seq("idxT/sets", "idxT/bands", "idxT/params",
@@ -1344,50 +1407,7 @@ object OpsQueries {
               .filter(col("doc_id") % 7 =!= 0)))
           .orderBy("cluster")
       },
-      Some(s"""WITH RECURSIVE docs AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
-          UNION ALL
-          SELECT doc_id + 1000000, text || ' extraplantedtoken'
-          FROM documents WHERE doc_id % 20 = 0
-          UNION ALL
-          SELECT doc_id + 2000000,
-            'uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
-            'a uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
-            'b uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
-            'c uq' || CAST(doc_id + 2000000 AS VARCHAR) || 'd'
-          FROM documents WHERE doc_id % 30 = 0 AND doc_id % 2 = 0),
-        $exactPairsCtes,
-        vecs AS (
-          SELECT vec_id AS doc_id, embedding FROM embeddings
-          WHERE vec_id % 2 = 0
-          UNION ALL
-          SELECT vec_id + 1000000,
-            list_transform(embedding, v -> CAST(-v AS FLOAT))
-          FROM embeddings WHERE vec_id % 20 = 0
-          UNION ALL
-          SELECT vec_id + 2000000,
-            list_transform(embedding, v -> CAST(v * CAST(1.01 AS FLOAT) AS FLOAT))
-          FROM embeddings WHERE vec_id % 30 = 0 AND vec_id % 2 = 0),
-        vp AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
-          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
-        p AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.8
-              UNION SELECT doc_a, doc_b FROM vp),
-        edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-                  UNION SELECT doc_b, doc_a FROM p),
-        cnodes AS (SELECT DISTINCT a AS node FROM edges),
-        reach(src, dst) AS (
-          SELECT node, node FROM cnodes
-          UNION
-          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
-                 FROM reach GROUP BY src)
-        SELECT CAST(cluster AS BIGINT) AS cluster,
-          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
-          CAST(COUNT(*) AS BIGINT) AS n_members
-        FROM memb WHERE doc_id % 7 <> 0
-        GROUP BY cluster ORDER BY cluster""")),
+      Some(crossModalKeepOracle)),
 
     // ---------------------------------------------------------------- d13
     // Duplicated-span profile ("substring dedup" measure): per doc, how
@@ -5907,30 +5927,7 @@ object OpsQueries {
       (s, dir) => withShufflePartitions(s, 8) {
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val base = s"/tmp/graft_collections/$tag/st28"
-        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
-          .join(table(s, dir, "embeddings")
-            .select(col("vec_id").as("doc_id"), col("embedding")),
-            Seq("doc_id"))
-          .select(col("doc_id"), col("text"), col("embedding"))
-        val uid = (col("doc_id") + 2000000L).cast("string")
-        val corpus = d
-          .unionByName(d.filter(col("doc_id") % 20 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"),
-              concat(col("text"), lit(" extraplantedtoken")).as("text"),
-              transform(col("embedding"),
-                v => (-v).cast(FloatType)).as("embedding")))
-          .unionByName(d.filter(col("doc_id") % 30 === 0)
-            .select((col("doc_id") + 2000000L).as("doc_id"),
-              concat(lit("uq"), uid, lit("a uq"), uid, lit("b uq"), uid,
-                lit("c uq"), uid, lit("d")).as("text"),
-              transform(col("embedding"),
-                v => (v * lit(1.01f)).cast(FloatType)).as("embedding")))
-        val textPins = d.filter(col("doc_id") % 20 === 0)
-          .select(col("doc_id").as("doc_a"),
-            (col("doc_id") + 1000000L).as("doc_b"))
-        val vecPins = d.filter(col("doc_id") % 30 === 0)
-          .select(col("doc_id").as("id_a"),
-            (col("doc_id") + 2000000L).as("id_b"))
+        val (corpus, textPins, vecPins) = crossModalCorpus(s, dir)
         val srcPath = s"$base/src"
         val idxT = s"$base/idxT"; val idxE = s"$base/idxE"
         val pairsP = s"$base/pairs"; val st = s"$base/state"
@@ -5975,50 +5972,7 @@ object OpsQueries {
               .filter(col("doc_id") % 7 =!= 0)))
           .orderBy("cluster")
       },
-      Some(s"""WITH RECURSIVE docs AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
-          UNION ALL
-          SELECT doc_id + 1000000, text || ' extraplantedtoken'
-          FROM documents WHERE doc_id % 20 = 0
-          UNION ALL
-          SELECT doc_id + 2000000,
-            'uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
-            'a uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
-            'b uq' || CAST(doc_id + 2000000 AS VARCHAR) ||
-            'c uq' || CAST(doc_id + 2000000 AS VARCHAR) || 'd'
-          FROM documents WHERE doc_id % 30 = 0 AND doc_id % 2 = 0),
-        $exactPairsCtes,
-        vecs AS (
-          SELECT vec_id AS doc_id, embedding FROM embeddings
-          WHERE vec_id % 2 = 0
-          UNION ALL
-          SELECT vec_id + 1000000,
-            list_transform(embedding, v -> CAST(-v AS FLOAT))
-          FROM embeddings WHERE vec_id % 20 = 0
-          UNION ALL
-          SELECT vec_id + 2000000,
-            list_transform(embedding, v -> CAST(v * CAST(1.01 AS FLOAT) AS FLOAT))
-          FROM embeddings WHERE vec_id % 30 = 0 AND vec_id % 2 = 0),
-        vp AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
-          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
-        p AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.8
-              UNION SELECT doc_a, doc_b FROM vp),
-        edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-                  UNION SELECT doc_b, doc_a FROM p),
-        cnodes AS (SELECT DISTINCT a AS node FROM edges),
-        reach(src, dst) AS (
-          SELECT node, node FROM cnodes
-          UNION
-          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
-                 FROM reach GROUP BY src)
-        SELECT CAST(cluster AS BIGINT) AS cluster,
-          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
-          CAST(COUNT(*) AS BIGINT) AS n_members
-        FROM memb WHERE doc_id % 7 <> 0
-        GROUP BY cluster ORDER BY cluster""")),
+      Some(crossModalKeepOracle)),
 
     // --------------------------------------------------------------- h100
     // PURE-SQL COMPOSED PIPELINE: d37's probe+extend → persisted pairs →

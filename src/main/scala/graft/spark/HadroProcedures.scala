@@ -722,11 +722,19 @@ object HadroProcedures {
           .add("state_segments", LongType).add("keep_segments", LongType)
           .add("protocol_breaks", LongType)) { in =>
           val spark = SparkSession.active
-          def segs(dir: String): Long =
-            if (dir.isEmpty) -1L
-            else try graft.meta.CollectionMeta.currentManifest(
-              java.nio.file.Paths.get(dir)).segments.size.toLong
+          def segs(dir: String): Long = {
+            // absent collection must read -1, not 0: currentManifest
+            // returns an empty placeholder (not an error) for a missing
+            // directory, and "0 segments, looks healthy" would mask a
+            // mis-pointed state_dir — the exact misconfiguration this
+            // dashboard exists to surface
+            val p = java.nio.file.Paths.get(dir)
+            if (dir.isEmpty ||
+                !graft.meta.CollectionMeta.collectionCommitted(p)) -1L
+            else try graft.meta.CollectionMeta.currentManifest(p)
+              .segments.size.toLong
             catch { case _: Exception => -1L }
+          }
           val pairsDir = in.getUTF8String(0).toString
           val tag = in.getUTF8String(1).toString
           val (head, cur) =
