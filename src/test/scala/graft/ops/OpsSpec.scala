@@ -2866,6 +2866,58 @@ class OpsSpec extends SparkSuite {
       s"promoted keeper must tombstone out: ${drops()}")
   }
 
+  test("curationCycle refuses LOUDLY (cursor unmoved) when the keep-list " +
+      "is out of step with the membership, and heals after the repair") {
+    val wh = java.nio.file.Files.createTempDirectory("curgate").toString
+    val st = s"$wh/state"; val kp = s"$wh/keep"; val dropP = s"$wh/drops"
+    // membership folds WITHOUT keep maintenance: the keep collection is
+    // then created covering only ONE of the two clusters — the
+    // out-of-step state a sweep crashed between its rewrites leaves
+    ClusterOps.componentsUpdate(spark,
+      Seq((10L, 11L), (20L, 21L)).toDF("a", "b"), "a", "b", st)
+    Seq((10L, 10L, 2L)).toDF("cluster", "keep_id", "n_members")
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.key", "cluster").save(kp)
+    val e = intercept[IllegalStateException] {
+      ClusterOps.curationCycle(spark, st, "cg_cur", kp, dropP)
+    }
+    assert(e.getMessage.contains("out of step"), e.getMessage)
+    assert(!graft.api.Collection(spark, st).tags.contains("cg_cur"),
+      "the refused cycle must not advance the cursor")
+    // repair (rebuild the keep-list from the state) and re-run: the
+    // same window replays cleanly
+    ClusterOps.keepList(spark, st).write.format("hadro").mode("overwrite")
+      .option("hadro.key", "cluster").save(s"$wh/keep2")
+    ClusterOps.curationCycle(spark, st, "cg_cur", s"$wh/keep2", dropP)
+    val drops = ClusterOps.dropList(spark, dropP)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(drops == Seq((11L, 10L, 10L), (21L, 20L, 20L)), drops.toString)
+  }
+
+  test("componentsCycle routes a corpus-scale first fold (distinct docs " +
+      "over the driver-roots bound) straight to the rebuild — no " +
+      "driver-resident probe work — and the result still equals the " +
+      "one-shot closure") {
+    val wh = java.nio.file.Files.createTempDirectory("precheck").toString
+    val pairsP = s"$wh/pairs"; val st = s"$wh/state"; val kp = s"$wh/keep"
+    // 6 docs in 3 clusters >> maxDriverRoots = 2: the bounded pre-check
+    // must take the rebuild path (the fold would otherwise throw only
+    // AFTER probing the state)
+    Seq((10L, 11L), (20L, 21L), (30L, 31L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("overwrite").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "pc_cur", st,
+      maxDriverRoots = 2, keepPath = Some(kp))
+    val members = ClusterOps.components(spark, st)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(members == Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L),
+      (30L, 30L), (31L, 30L)), members.toString)
+    assert(ClusterOps.keepListMaterialized(spark, kp)
+        .as[(Long, Long, Long)].collect().sorted.toSeq ==
+      Seq((10L, 10L, 2L), (20L, 20L, 2L), (30L, 30L, 2L)))
+    val pc = graft.api.Collection(spark, pairsP)
+    assert(pc.tags("pc_cur") == pc.version)
+  }
+
   test("an operator-run componentsRebuild composes with an already-" +
       "tagged consumer: the next cycle refolds its window idempotently " +
       "against the rebuilt state") {

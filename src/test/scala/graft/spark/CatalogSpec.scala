@@ -241,6 +241,12 @@ class CatalogSpec extends SparkSuite {
     val h3 = spark.sql(s"""CALL testcat.system.loop_health(
       '$pairsDir', 'no_such_tag', '$st', '')""").collect().head
     assert(h3.getLong(2) == -1L && h3.getLong(4) == -1L, s"$h3")
+    // an ABSENT state dir reads -1 (absent), never 0 (exists-and-empty)
+    // — a mis-pointed state_dir must not look healthy
+    val h4 = spark.sql(s"""CALL testcat.system.loop_health(
+      '$pairsDir', 'cr_cur', '$warehouse/never_created', '')""")
+      .collect().head
+    assert(h4.getLong(3) == -1L, s"absent state dir must read -1: $h4")
   }
 
   test("CALL system procedures run storage maintenance from pure SQL") {
