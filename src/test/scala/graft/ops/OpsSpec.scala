@@ -2866,6 +2866,45 @@ class OpsSpec extends SparkSuite {
       s"promoted keeper must tombstone out: ${drops()}")
   }
 
+  test("the curation keeper-lookup shape pushes its cluster IN below " +
+      "the LWW resolve and prunes keep-list segments") {
+    val kp = java.nio.file.Files.createTempDirectory("keeppush")
+      .resolve("keep").toString
+    (0L until 64L).map(c => (c, c, 2L))
+      .toDF("cluster", "keep_id", "n_members")
+      .repartitionByRange(8, $"cluster")
+      .write.format("hadro").mode("overwrite")
+      .option("hadro.key", "cluster").save(kp)
+    // an upsert makes the collection MUTATED, so the read takes the LWW
+    // window resolve — the interesting case: the filter must push
+    // THROUGH the window (it references only the partition key)
+    graft.api.Collection(spark, kp)
+      .set(Seq((3L, 3L, 5L)).toDF("cluster", "keep_id", "n_members"))
+    val restricted = ClusterOps.keepListMaterialized(spark, kp)
+      .filter($"cluster".isin(3L, 9L))
+    val got = restricted.select($"cluster", $"n_members")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((3L, 5L), (9L, 2L)), got.toString)
+    // walk through AQE wrappers to the executed scans
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val nodes = walk(restricted.queryExecution.executedPlan)
+    val scan = nodes.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec executed"))
+    assert(scan.toString.contains("cluster"),
+      s"cluster IN must reach the scan as a pushed filter:\n$scan")
+    val read = scan.metrics("hadroSegmentsRead").value
+    assert(read <= 3,
+      s"range-clustered keep segments must stat-prune: read $read of 9")
+  }
+
   test("curationCycle refuses LOUDLY (cursor unmoved) when the keep-list " +
       "is out of step with the membership, and heals after the repair") {
     val wh = java.nio.file.Files.createTempDirectory("curgate").toString
