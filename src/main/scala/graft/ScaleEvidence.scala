@@ -84,6 +84,35 @@ object ScaleEvidence {
         f""""probe_dry_small_sec":$d1%.2f,"probe_dry_10x_sec":$d2%.2f,""" +
         f""""probe_extend_small_sec":$e1%.2f,"probe_extend_10x_sec":$e2%.2f,""" +
         f""""dry_ratio_10x":${d2 / d1}%.2f,"extend_ratio_10x":${e2 / e1}%.2f}""")
+
+    // Part 2 — the membership fold's touched-cluster proportionality:
+    // a FIXED 50-pair window folded into a 5k-cluster vs a 10× larger
+    // 50k-cluster persisted state must cost ~the same (each fold reads
+    // only the touched clusters' rows via IN-pushdown + key bloom).
+    val foldSecs = Seq(5000, 50000).map { n =>
+      val wh = java.nio.file.Files.createTempDirectory(s"scale_cc_$n")
+      val st = s"$wh/state"
+      graft.ops.ClusterOps.componentsUpdate(spark,
+        spark.range(n.toLong).select((col("id") * 2).as("a"),
+          (col("id") * 2 + 1).as("b")),
+        "a", "b", st)
+      // three DISTINCT windows (a retried window folds as a no-op and
+      // would flatter the timing), each joining one new member to 50
+      // existing clusters; best-of-3
+      (0 until 3).map { r =>
+        timed(graft.ops.ClusterOps.componentsUpdate(spark,
+          spark.range(50L * r, 50L * (r + 1))
+            .select((col("id") * 2).as("a"),
+              (col("id") * 2 + 10000000L).as("b")),
+          "a", "b", st))._2
+      }.min
+    }
+    println(
+      s"""{"metric":"scale_evidence_fold","window_pairs":50,""" +
+        s""""clusters_small":5000,"clusters_10x":50000,""" +
+        f""""fold_small_sec":${foldSecs.head}%.2f,""" +
+        f""""fold_10x_sec":${foldSecs.last}%.2f,""" +
+        f""""fold_ratio_10x":${foldSecs.last / foldSecs.head}%.2f}""")
     spark.stop()
   }
 }

@@ -211,6 +211,86 @@ class FaultInjectionSpec extends SparkSuite {
     }
   }
 
+  test("every inter-commit crash point of cycleKeyed and cycleRefresh " +
+      "replays exactly-once (typed-delta MERGE and partial-recompute " +
+      "MERGE share the stamp protocol)") {
+    // one FileIO impl suffices here: the stamp/tag protocol itself is
+    // already swept under both by the plain-cycle test; this pins the
+    // KEYED delta classification and the MIN/MAX partial recompute
+    // against the same crash points
+    val killer = new KillingFileIO(graft.meta.FileIO.impl)
+    val prev = graft.meta.FileIO.impl
+    graft.meta.FileIO.impl = killer
+    try {
+      Seq("keyed", "refresh").foreach { mode =>
+        var killPoint = 1
+        var sawClean = false
+        while (!sawClean) {
+          val cat = s"f$mode$killPoint"
+          val wh = java.nio.file.Files
+            .createTempDirectory(s"${cat}_wh").toString
+          spark.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.spark.HadroCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+          spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+          val factDir = s"$wh/db/f"; val aggDir = s"$wh/db/agg"
+          killer.killAt = -1
+          Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+            .toDF("k", "g", "v")
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "k").save(factDir)
+          val fact = graft.api.Collection(spark, factDir)
+          if (mode == "keyed")
+            graft.api.IncrementalRollup.bootstrap(spark, factDir,
+              "f_cur", aggDir, "g", Seq("v" -> "sv"))
+          else
+            graft.api.IncrementalRollup.bootstrapRefresh(spark, factDir,
+              "f_cur", aggDir, "g", Seq(("max", "v", "mv")))
+          // the window: an upsert that MOVES a key across groups and a
+          // tombstone — the deltas MIN/MAX cannot fold and keyed must
+          // classify
+          fact.set(Seq((1L, "b", 12.0)).toDF("k", "g", "v"))
+          fact.merge(Seq((3L, "a", 30.0, true)).toDF("k", "g", "v", "d"),
+            $"d")
+          def cycle(): Unit = {
+            if (mode == "keyed")
+              graft.api.IncrementalRollup.cycleKeyed(spark, factDir,
+                "f_cur", s"$cat.db.agg", "g", Seq("v" -> "sv"))
+            else
+              graft.api.IncrementalRollup.cycleRefresh(spark, factDir,
+                "f_cur", s"$cat.db.agg", "g", Seq(("max", "v", "mv")))
+            ()
+          }
+          killer.count.set(0)
+          killer.killAt = killPoint
+          val crashed =
+            try { cycle(); false }
+            catch { case t: Throwable if isInjected(t) => true }
+          killer.killAt = -1
+          if (!crashed) sawClean = true
+          else cycle() // the retry contract
+          val got = graft.api.Collection(spark, aggDir).toDF()
+            .select($"g", $"n",
+              (if (mode == "keyed") $"sv" else $"mv").cast("double"))
+            .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+          val expect =
+            if (mode == "keyed") Seq(("b", 2L, 32.0)) // a emptied out
+            else Seq(("b", 2L, 20.0))
+          assert(got == expect,
+            s"[$mode kill=$killPoint] rollup diverged: $got")
+          assert(graft.api.IncrementalRollup.protocolBreaks(
+            java.nio.file.Paths.get(aggDir)) == 0L,
+            s"[$mode kill=$killPoint] protocol break on healthy replay")
+          spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+          spark.conf.unset(s"spark.sql.catalog.$cat")
+          killPoint += 1
+        }
+        info(s"[$mode] swept ${killPoint - 1} commit points")
+        assert(killPoint > 3, s"[$mode] too few commit points")
+      }
+    } finally graft.meta.FileIO.impl = prev
+  }
+
   test("a crash between sweepComponents' state and keep-list rewrites " +
       "heals on the documented re-run") {
     underEachFileIO { fio =>
