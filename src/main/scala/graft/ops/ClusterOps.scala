@@ -576,6 +576,122 @@ object ClusterOps {
       } finally labels.unpersist()
     }
 
+  /** PAIR-LOG RETENTION — the missing piece of the composed loop's
+    * storage story: the pairs collection accrues every window's near-dup
+    * pairs FOREVER (bin-packing bounds its segment COUNT, never its row
+    * count), while everything any consumer derives from it is the
+    * transitive CLOSURE — which the membership state already is. This
+    * sweep replaces the consumed log with the state's STAR EDGES (one
+    * `(cluster, member)` row per non-root member): provably
+    * closure-identical (a component's star reaches exactly its members),
+    * membership-proportional instead of history-proportional — a cluster
+    * touched by 100 windows carries 100+ log rows but |members|−1 stars.
+    *
+    * SAFETY CONTRACT: star edges derive from the STATE, which holds only
+    * the pairs its consumer has folded — so EVERY cursor tag on the log
+    * must sit at (or above) the pinned snapshot being replaced, else the
+    * sweep would silently destroy a lagging consumer's unconsumed
+    * windows; any lagging tag (or a log with no cursor tags at all,
+    * which certifies nothing) refuses loudly. The rewrite is the
+    * version-pinned atomic replace (the [[sweepComponents]] commit
+    * shape): pairs APPENDED concurrently after the pin survive,
+    * re-ordered after the stars; a concurrent sweep aborts on the
+    * generation check. The replace bumps the generation, so the next
+    * [[componentsCycle]] window that crosses it refuses the changefeed
+    * walk and re-folds the full snapshot — stars plus any newer windows,
+    * a provable no-op-plus-delta (duplicate edges are idempotent).
+    * Synthetic rows carry `score` NULL / `metric` 'star' in the
+    * modality-uniform log schema: they are closure bookkeeping, not
+    * measured pairs, and stay distinguishable from probe output.
+    * Membership is merge-only, so takedowns never retract log rows —
+    * dead members' stars persist until [[sweepComponents]] re-roots the
+    * state and a later pair sweep rewrites from it.
+    *
+    * CRASH RECOVERY: the rewrite is ONE commit, so a crash either left
+    * the old log (re-run the sweep) or the swept log — whose own commit
+    * every cursor now trails by one, making an immediate re-run refuse.
+    * Recovery is therefore RESUME THE LOOP, not retry the verb: run
+    * [[componentsCycle]] (folding the star snapshot is an idempotent
+    * no-op that advances the cursor to the head), then sweep — i.e. the
+    * normal nightly probe → cycle → sweep order, unchanged. Returns the
+    * number of log rows removed (pre-sweep live rows − star rows). */
+  def sweepPairs(spark: org.apache.spark.sql.SparkSession,
+      pairsPath: String, statePath: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): Long = {
+    val pp = java.nio.file.Paths.get(pairsPath)
+    val m0 = graft.meta.CollectionMeta.currentManifest(pp)
+    val branches = graft.meta.CollectionMeta.readBranches(pp).keySet
+    val cursors = graft.meta.CollectionMeta.readRefs(pp)
+      .filterNot { case (n, _) => branches.contains(n) }
+    if (cursors.isEmpty) throw new IllegalStateException(
+      s"hadro: sweepPairs found no cursor tags on $pairsPath — nothing " +
+        "certifies the membership state consumed this log, and " +
+        "replacing unconsumed pairs with state-derived star edges " +
+        "would lose them; run componentsCycle (which tags its cursor) " +
+        "before sweeping")
+    val lagging = cursors.filter(_._2 < m0.version)
+    if (lagging.nonEmpty) throw new IllegalStateException(
+      s"hadro: sweepPairs refused — consumer cursor(s) " +
+        s"${lagging.keys.toSeq.sorted.mkString(", ")} on $pairsPath sit " +
+        s"below the head version ${m0.version}: their unconsumed " +
+        "windows would be replaced by star edges derived from a state " +
+        "that never folded them. Cycle every consumer to the head " +
+        "(componentsCycle / CALL system.components_cycle), then sweep")
+    // mirror the log's OWN schema exactly (a probe-fed log carries
+    // score/metric, a raw pair log just the id columns), so producers
+    // appending after the sweep never hit a schema-validation mismatch
+    // the sweep itself introduced; `metric` (when present) is stamped
+    // 'star' so synthetic closure rows stay distinguishable. Extra
+    // columns carry NULL when the log declares them nullable;
+    // non-nullable extras (probe logs record their computed score as
+    // non-nullable) get the honest not-a-measurement sentinel — NaN for
+    // floating point — since NULL would fail the write validation the
+    // log's own schema demands.
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, FloatType,
+      NumericType, StringType}
+    val logSchema = graft.api.Collection(spark, pairsPath)
+      .scanVersion(m0.version).schema
+    require(logSchema.fieldNames.contains(aCol) &&
+      logSchema.fieldNames.contains(bCol),
+      s"hadro: sweepPairs expected pair columns $aCol/$bCol in the log " +
+        s"at $pairsPath but found ${logSchema.fieldNames.mkString(", ")}")
+    val starCols = logSchema.fields.toSeq.map { f =>
+      f.name match {
+        case n if n == aCol => col(aCol)
+        case n if n == bCol => col(bCol)
+        case "metric" if f.dataType == StringType => lit("star").as("metric")
+        case other if f.nullable => lit(null).cast(f.dataType).as(other)
+        case other =>
+          val sentinel = f.dataType match {
+            case DoubleType => lit(Double.NaN)
+            case FloatType => lit(Float.NaN)
+            case _: NumericType => lit(0).cast(f.dataType)
+            case StringType => lit("star")
+            case BooleanType => lit(false)
+            case dt => throw new IllegalStateException(
+              s"hadro: sweepPairs cannot synthesize a non-nullable " +
+                s"'$other' ($dt) star value for the log at $pairsPath — " +
+                "make the column nullable or sweep a log without it")
+          }
+          sentinel.as(other)
+      }
+    }
+    val stars = components(spark, statePath)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("cluster").as(aCol), col("doc_id").as(bCol))
+      .select(starCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val after = stars.count()
+      val before = m0.segments.map(s => s.rows - s.dvDeletes).sum
+      stars.write.format("hadro").mode("overwrite")
+        .option("hadro.compactOf", m0.version.toString)
+        .option("hadro.compactOfGen", m0.generation.toString)
+        .save(pairsPath)
+      before - after
+    } finally stars.unpersist()
+  }
+
   /** PHYSICAL takedown sweep of [[componentsUpdate]] membership state —
     * the [[DedupOps.sweepLshIndex]] analog for the components loop:
     * rewrite the state keeping only LIVE members (one column, e.g.

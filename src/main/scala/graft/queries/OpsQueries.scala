@@ -165,11 +165,13 @@ object OpsQueries {
     (corpus, textPins, vecPins)
   }
 
-  /** The cross-modal union-closure oracle (d40/st28): exact text pairs
-    * UNION exact cosine pairs over [[crossModalCorpus]] → transitive
-    * closure → the takedown-aware keep rule. */
-  private val crossModalKeepOracle: String =
-    s"""WITH RECURSIVE docs AS (
+  /** The cross-modal MEMBERSHIP CTE chain shared by the d40/st28 keep
+    * oracle and the d42 curation oracle: the [[crossModalCorpus]] text
+    * and vector variants → exact text pairs UNION exact cosine pairs →
+    * transitive closure → `memb(doc_id, cluster)`. Callers append their
+    * own final SELECT (keep rule vs drop rule). */
+  private val crossModalMembCtes: String =
+    s"""docs AS (
           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
           UNION ALL
           SELECT doc_id + 1000000, text || ' extraplantedtoken'
@@ -207,12 +209,29 @@ object OpsQueries {
           UNION
           SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
         memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
-                 FROM reach GROUP BY src)
+                 FROM reach GROUP BY src)"""
+
+  /** The cross-modal union-closure oracle (d40/st28): exact text pairs
+    * UNION exact cosine pairs over [[crossModalCorpus]] → transitive
+    * closure → the takedown-aware keep rule. */
+  private val crossModalKeepOracle: String =
+    s"""WITH RECURSIVE $crossModalMembCtes
         SELECT CAST(cluster AS BIGINT) AS cluster,
           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
           CAST(COUNT(*) AS BIGINT) AS n_members
         FROM memb WHERE doc_id % 7 <> 0
         GROUP BY cluster ORDER BY cluster"""
+
+  /** The cross-modal CURATION oracle (d42): the same union closure, then
+    * the drop rule [[graft.ops.ClusterOps.curationCycle]] maintains —
+    * every non-representative cluster member drops (all docs live, so
+    * keeper = cluster label), survivors = corpus anti-join drop list. */
+  private val crossModalSurvivorsOracle: String =
+    s"""WITH RECURSIVE $crossModalMembCtes,
+        drops AS (SELECT doc_id FROM memb WHERE doc_id <> cluster)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM docs d
+        ANTI JOIN drops USING (doc_id)
+        ORDER BY doc_id"""
 
   /** The planted near-dup corpus every exact-pairs oracle reads: the
     * documents table plus a +1M-id near-copy of every %20 doc. `corpusWhere`
@@ -1264,6 +1283,78 @@ object OpsQueries {
           CAST(COUNT(*) AS BIGINT) AS n_members
         FROM memb GROUP BY cluster ORDER BY cluster""")),
 
+    // ---------------------------------------------------------------- d43
+    // PAIR-LOG RETENTION: the log accrues every window's pairs forever
+    // (bin-packing bounds segments, never rows) while everything its
+    // consumers derive is the transitive CLOSURE — so sweepPairs
+    // replaces the consumed log with the membership state's STAR EDGES
+    // (closure-identical, membership-proportional). Planted chain +
+    // skip edges make the log ~2x redundant, so the sweep provably
+    // shrinks it (required in-query); the loop then CONTINUES across
+    // the sweep — the post-sweep window's changefeed walk crosses the
+    // generation change, refuses, and re-folds the full snapshot (stars
+    // + new pairs, idempotent) — and the final keep list must still
+    // equal the closure over ALL original pairs.
+    QueryDef(
+      "d43_pairs_log_sweep",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/d43"
+        val pairsP = s"$base/pairs"; val st = s"$base/state"
+        Seq(pairsP, st).foreach(freshDir)
+        val d = table(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 3000)
+        // chain (x, x+1) plus skip (x, x+2) edges inside each decade:
+        // same closure as the chain alone, ~2x the log rows — the
+        // redundancy a real probe log accrues that stars reclaim
+        val pairs = d.as("x").join(d.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1 &&
+              col("x.doc_id") % 10 =!= 9)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .unionByName(d.as("x").join(d.as("y"),
+              col("y.doc_id") === col("x.doc_id") + 2 &&
+                col("x.doc_id") % 10 <= 7)
+            .select(col("x.doc_id").as("doc_a"),
+              col("y.doc_id").as("doc_b")))
+          .localCheckpoint()
+        (0 until 3).foreach { w =>
+          pairs.filter(pmod(xxhash64(col("doc_a")), lit(3)) === w)
+            .write.format("hadro")
+            .mode(if (w == 0) "overwrite" else "append").save(pairsP)
+          ClusterOps.componentsCycle(s, pairsP, "d43_cur", st)
+          if (w == 1) {
+            // every cursor is at the head here, so the sweep is legal;
+            // star edges must strictly shrink the redundant log
+            val removed = ClusterOps.sweepPairs(s, pairsP, st)
+            require(removed > 0,
+              s"d43: sweepPairs reclaimed nothing ($removed) from a " +
+                "redundant log")
+          }
+          ()
+        }
+        ClusterOps.keepList(s, st).orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE e AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+          WHERE x.doc_id % 10 <> 9 AND x.doc_id < 3000 AND y.doc_id < 3000
+          UNION
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 2
+          WHERE x.doc_id % 10 <= 7 AND x.doc_id < 3000 AND y.doc_id < 3000),
+        edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM memb GROUP BY cluster ORDER BY cluster""")),
+
     // ---------------------------------------------------------------- d39
     // INCREMENTAL CURATION: the composed loop's downstream consumer —
     // each window runs probe → pairs changefeed fold → curationCycle,
@@ -1408,6 +1499,65 @@ object OpsQueries {
           .orderBy("cluster")
       },
       Some(crossModalKeepOracle)),
+
+    // ---------------------------------------------------------------- d42
+    // CROSS-MODAL CURATION: d40's shared membership composed with the
+    // d39 curation consumer — the full frontier loop a multimodal
+    // training pipeline runs nightly: text probe + embedding probe → ONE
+    // pair log → componentsCycle maintaining membership AND the
+    // materialized keep-list → curationCycle maintaining the persisted
+    // DROP LIST from the membership changefeed → survivors = corpus
+    // ANTI JOIN. Docs duplicate on EITHER signal drop together (the %60
+    // docs chain {d, d+1M, d+2M} ACROSS modalities, so a text-only scan
+    // of the drop list would keep the vector-dup copy and vice versa).
+    // Oracle = union closure → drop non-representative members.
+    QueryDef(
+      "d42_crossmodal_curation",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/d42"
+        val idxT = s"$base/idxT"; val idxE = s"$base/idxE"
+        val pairsP = s"$base/pairs"; val st = s"$base/state"
+        val kp = s"$base/keep"; val dropP = s"$base/drops"
+        val (corpus, textPins, vecPins) = crossModalCorpus(s, dir)
+        // the SAME per-JVM template tree d40 builds (identical corpus →
+        // identical empty indexes); each query clones into its own base
+        Fixtures.restoreFromTemplateTree(s, dir, "d40_idx",
+          s"/tmp/graft_collections/$tag/d40_tpl", base,
+          Seq("idxT/sets", "idxT/bands", "idxT/params",
+            "idxE/sets", "idxE/bands", "idxE/params")) { tb =>
+          DedupOps.minhashLshIndexBuild(corpus.limit(0),
+            "doc_id", "text", s"$tb/idxT")
+          DedupOps.embeddingIndexBuild(corpus.limit(0),
+            "doc_id", "embedding", s"$tb/idxE")
+        }
+        Seq(pairsP, st, kp, dropP).foreach(freshDir)
+        (0 until 3).foreach { w =>
+          val batch = corpus
+            .filter(pmod(xxhash64(col("doc_id")), lit(3)) === w)
+            .localCheckpoint()
+          DedupOps.minhashLshIndexProbe(s,
+            batch.select(col("doc_id"), col("text")),
+            "doc_id", "text", idxT, mustCheck = Some(textPins),
+            pairsSink = Some((pairsP, w.toLong))).collect()
+          DedupOps.embeddingIndexProbe(s,
+            batch.select(col("doc_id"), col("embedding")),
+            "doc_id", "embedding", idxE, mustCheck = Some(vecPins),
+            pairsSink = Some((pairsP, w.toLong))).collect()
+          // fold into membership + keep-list, then derive the drop list
+          // from the same window's membership changes — the serialized
+          // nightly order curationCycle's contract requires
+          ClusterOps.componentsCycle(s, pairsP, "d42_cur", st,
+            keepPath = Some(kp))
+          ClusterOps.curationCycle(s, st, "d42_drop", kp, dropP)
+          ()
+        }
+        corpus.join(ClusterOps.dropList(s, dropP).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(crossModalSurvivorsOracle)),
 
     // ---------------------------------------------------------------- d13
     // Duplicated-span profile ("substring dedup" measure): per doc, how
@@ -6093,6 +6243,48 @@ object OpsQueries {
         SELECT d.doc_id FROM documents d
         ANTI JOIN drops ON d.doc_id = drops.doc_id
         WHERE d.doc_id < 3000 ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- h102
+    // CONSUMER-LAG dashboard as a METADATA TABLE: `<table>.consumers` —
+    // one row per cursor tag with the head version and the version lag,
+    // the loop_health verb re-expressed as a plain queryable relation
+    // (SELECT, joinable, no CALL). Staged deterministically: two pair
+    // windows, a 'nightly' consumer that cycles after each (lag 0) and
+    // an 'audit' cursor pinned at window 1 (lag 1). Versions are the
+    // monotonic commit counter, so the staged loop fixes every value.
+    QueryDef(
+      "h102_consumer_lag_table",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h102"
+        s.conf.set("spark.sql.catalog.graft_h102",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h102.warehouse", wh)
+        val pairsP = s"$wh/pairs"; val st = s"$wh/cc_state"
+        Seq(pairsP, st).foreach(freshDir)
+        val d = table(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+        def window(m: Long) = d.filter(col("doc_id") % 2 === m)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        // window 1 (pairs v1): nightly folds it, audit pins its cursor
+        window(0).write.format("hadro").mode("overwrite").save(pairsP)
+        s.sql(s"""CALL graft_h102.system.components_cycle(
+          '$pairsP', 'nightly', '$st')""")
+        s.sql("CALL graft_h102.system.create_tag('pairs', 'audit', -1)")
+        // window 2 (pairs v2): only nightly cycles — audit lags by 1
+        window(1).write.format("hadro").mode("append").save(pairsP)
+        s.sql(s"""CALL graft_h102.system.components_cycle(
+          '$pairsP', 'nightly', '$st')""")
+        s.sql("""SELECT tag, version, head_version, lag
+          FROM graft_h102.pairs.consumers ORDER BY tag""")
+      },
+      Some("""SELECT tag, CAST(version AS BIGINT) AS version,
+          CAST(head_version AS BIGINT) AS head_version,
+          CAST(lag AS BIGINT) AS lag
+        FROM (VALUES ('audit', 1, 2, 1), ('nightly', 2, 2, 0))
+          AS t(tag, version, head_version, lag)
+        ORDER BY tag""")),
 
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +

@@ -593,6 +593,29 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                     if (branchBases.contains(name)) "branch" else "tag"),
                   branchBases.get(name).map(Long.box).orNull)
             }.toArray
+          case "consumers" =>
+            // per-CURSOR-TAG consumer-lag dashboard (the loop_health verb
+            // as a queryable relation): one row per tag (branch heads are
+            // writers, not consumers — excluded) with the head version,
+            // the version lag, and the WALL-CLOCK lag derived from commit
+            // timestamps — `SELECT * FROM cat.db.pairs.consumers` answers
+            // "which nightly consumer fell behind, and by how long"
+            // without a CALL. Metadata-scale: refs.json + two manifests.
+            val head = CollectionMeta.currentManifest(dir)
+            val branchBases = CollectionMeta.readBranches(dir)
+            CollectionMeta.readRefs(dir).toSeq
+              .filterNot { case (n, _) => branchBases.contains(n) }
+              .sortBy(_._1).map { case (name, v) =>
+                val at = try Some(CollectionMeta.manifestAt(dir, v))
+                  catch { case _: Exception => None }
+                InternalRow(UTF8String.fromString(name), v, head.version,
+                  head.version - v,
+                  at.map(m => Long.box(m.committedAtMs)).orNull,
+                  head.committedAtMs,
+                  at.map(m => Long.box(
+                    math.max(0L, head.committedAtMs - m.committedAtMs)))
+                    .orNull)
+              }.toArray
           case "stats" =>
             // ANALYZE output (`CALL system.analyze`), schema field order
             val m = CollectionMeta.currentManifest(dir)
@@ -649,6 +672,11 @@ object HadroMetadataTable {
       .add("min_ordinal", LongType).add("max_ordinal", LongType),
     "constraints" -> new StructType()
       .add("name", StringType).add("expression", StringType),
+    "consumers" -> new StructType()
+      .add("tag", StringType).add("version", LongType)
+      .add("head_version", LongType).add("lag", LongType)
+      .add("pinned_at_ms", LongType).add("head_at_ms", LongType)
+      .add("lag_ms", LongType),
     "detail" -> new StructType()
       .add("location", StringType).add("version", LongType)
       .add("generation", LongType).add("n_segments", LongType)

@@ -48,7 +48,7 @@ object HadroProcedures {
       "components_update", "components_view", "components_cycle",
       "sweep_components", "keep_list_view",
       "components_rebuild", "curation_cycle", "drop_list_view",
-      "loop_health")
+      "loop_health", "sweep_pairs")
 
   /** "fn:src:out,..." — the aggregate spec grammar of the rollup
     * procedures (fn in min|max|sum), e.g.
@@ -701,6 +701,20 @@ object HadroProcedures {
           graft.ops.ClusterOps.dropList(SparkSession.active,
             in.getUTF8String(0).toString).createOrReplaceTempView(view)
           Seq(InternalRow(UTF8String.fromString(view)))
+        }
+      case "sweep_pairs" => proc("sweep_pairs",
+        "pair-log RETENTION: replace the consumed pair log with the " +
+          "membership state's STAR EDGES — closure-identical, " +
+          "membership-proportional instead of history-proportional. " +
+          "Refuses loudly unless EVERY consumer cursor tag sits at the " +
+          "log's head (a lagging cursor's unconsumed windows would be " +
+          "destroyed); concurrent appends after the pin survive the " +
+          "version-pinned replace. Returns log rows removed",
+        Seq(p("pairs_dir", StringType), p("state_dir", StringType)),
+        new StructType().add("rows_removed", LongType)) { in =>
+          Seq(InternalRow(graft.ops.ClusterOps.sweepPairs(
+            SparkSession.active, in.getUTF8String(0).toString,
+            in.getUTF8String(1).toString)))
         }
       case "loop_health" => proc("loop_health",
         "operator dashboard for a composed dedup loop: the pair log's " +

@@ -331,4 +331,54 @@ class FaultInjectionSpec extends SparkSuite {
       } finally graft.meta.FileIO.impl = prev
     }
   }
+
+  test("every inter-commit crash point of a pair-log star sweep recovers " +
+      "by resuming the loop (cycle-then-sweep), both FileIO impls") {
+    underEachFileIO { fio =>
+      val killer = new KillingFileIO(graft.meta.FileIO.impl)
+      val prev = graft.meta.FileIO.impl
+      graft.meta.FileIO.impl = killer
+      try {
+        var killPoint = 1
+        var sawClean = false
+        while (!sawClean) {
+          val wh = java.nio.file.Files
+            .createTempDirectory(s"faultpairs_${fio}_$killPoint").toString
+          val pairsP = s"$wh/pairs"; val st = s"$wh/state"
+          killer.killAt = -1
+          // a redundant triangle so the sweep genuinely rewrites
+          Seq((10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+            .write.format("hadro").mode("overwrite").save(pairsP)
+          ClusterOps.componentsCycle(spark, pairsP, "fp_cur", st)
+          killer.count.set(0)
+          killer.killAt = killPoint
+          val crashed =
+            try { ClusterOps.sweepPairs(spark, pairsP, st); false }
+            catch { case t: Throwable if isInjected(t) => true }
+          killer.killAt = -1
+          if (!crashed) sawClean = true
+          else {
+            // the documented recovery: RESUME THE LOOP, never retry the
+            // verb blind — a crash after the replace commit leaves every
+            // cursor one version behind it, so cycle (idempotent star
+            // re-fold) then sweep (reclaims 0 on an already-swept log)
+            ClusterOps.componentsCycle(spark, pairsP, "fp_cur", st)
+            ClusterOps.sweepPairs(spark, pairsP, st)
+            ()
+          }
+          // the loop continues across whatever the crash left behind
+          Seq((12L, 30L)).toDF("doc_a", "doc_b")
+            .write.format("hadro").mode("append").save(pairsP)
+          ClusterOps.componentsCycle(spark, pairsP, "fp_cur", st)
+          val members = ClusterOps.components(spark, st)
+            .as[(Long, Long)].collect().sorted.toSeq
+          assert(members ==
+            Seq((10L, 10L), (11L, 10L), (12L, 10L), (30L, 10L)),
+            s"[$fio kill=$killPoint] membership diverged: $members")
+          killPoint += 1
+        }
+        info(s"[$fio] swept ${killPoint - 1} pair-sweep commit points")
+      } finally graft.meta.FileIO.impl = prev
+    }
+  }
 }

@@ -3027,4 +3027,71 @@ class OpsSpec extends SparkSuite {
     assert(tags("curA") == tags("curB") && tags("curA") == pc.version,
       tags.toString)
   }
+
+  test("sweepPairs replaces the consumed log with star edges: closure " +
+      "preserved, redundant rows reclaimed, schema (and the metric " +
+      "stamp) intact, and the post-sweep window folds through the " +
+      "generation change") {
+    val wh = java.nio.file.Files.createTempDirectory("swpairs").toString
+    val pairsP = s"$wh/pairs"; val st = s"$wh/state"
+    // a redundant triangle: closure {10,11,12}, 3 log rows, 2 stars
+    Seq((10L, 11L, 0.9, "jaccard"), (11L, 12L, 0.85, "jaccard"),
+        (10L, 12L, 0.95, "jaccard"))
+      .toDF("doc_a", "doc_b", "score", "metric")
+      .write.format("hadro").mode("overwrite").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "sp_cur", st)
+    val removed = ClusterOps.sweepPairs(spark, pairsP, st)
+    assert(removed == 1L, s"expected 1 redundant row reclaimed: $removed")
+    // the swept log IS the star set — the log's own schema, synthetic
+    // rows stamped metric='star'; the log declared score non-nullable
+    // (as probe logs do), so stars carry the NaN not-a-measurement
+    // sentinel rather than a NULL the schema would reject
+    val log = graft.api.Collection(spark, pairsP).toDF()
+      .select($"doc_a", $"doc_b", isnan($"score").as("nan"), $"metric")
+      .as[(Long, Long, Boolean, String)].collect().toSeq.sorted
+    assert(log == Seq((10L, 11L, true, "star"), (10L, 12L, true, "star")),
+      log.toString)
+    // the loop CONTINUES across the sweep: the next window's changefeed
+    // walk crosses the sweep's generation change, refuses, and re-folds
+    // the full snapshot (stars + the new pairs — idempotent)
+    Seq((12L, 30L, 0.9, "jaccard")).toDF("doc_a", "doc_b", "score", "metric")
+      .write.format("hadro").mode("append").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "sp_cur", st)
+    assert(ClusterOps.components(spark, st)
+        .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((10L, 10L), (11L, 10L), (12L, 10L), (30L, 10L)))
+  }
+
+  test("sweepPairs refuses an uncertified or lagging log, and unblocks " +
+      "once every consumer reaches the head") {
+    val wh = java.nio.file.Files.createTempDirectory("swref").toString
+    val pairsP = s"$wh/pairs"
+    val stA = s"$wh/stateA"; val stB = s"$wh/stateB"
+    Seq((10L, 11L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("overwrite").save(pairsP)
+    // no cursor tags: nothing certifies any state consumed this log
+    val e0 = intercept[IllegalStateException](
+      ClusterOps.sweepPairs(spark, pairsP, stA))
+    assert(e0.getMessage.contains("no cursor tags"), e0.getMessage)
+    ClusterOps.componentsCycle(spark, pairsP, "spA", stA)
+    ClusterOps.componentsCycle(spark, pairsP, "spB", stB)
+    // a second window that only A folds: B's unconsumed window must not
+    // be replaceable by stars derived from any state
+    Seq((20L, 21L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("append").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "spA", stA)
+    val e1 = intercept[IllegalStateException](
+      ClusterOps.sweepPairs(spark, pairsP, stA))
+    assert(e1.getMessage.contains("spB"), e1.getMessage)
+    // B catches up → the sweep is legal; a star-only log reclaims 0
+    // here (two 2-clusters = two edges either way) and both consumers'
+    // states stay correct against the swept log
+    ClusterOps.componentsCycle(spark, pairsP, "spB", stB)
+    assert(ClusterOps.sweepPairs(spark, pairsP, stA) == 0L)
+    Seq(stA, stB).foreach { p =>
+      assert(ClusterOps.components(spark, p)
+          .as[(Long, Long)].collect().sorted.toSeq ==
+        Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)), p)
+    }
+  }
 }

@@ -247,6 +247,50 @@ class CatalogSpec extends SparkSuite {
       '$pairsDir', 'cr_cur', '$warehouse/never_created', '')""")
       .collect().head
     assert(h4.getLong(3) == -1L, s"absent state dir must read -1: $h4")
+    // pair-log retention from SQL: cycle back to the head, then sweep —
+    // this log is already star-shaped (4 edges, 4 star rows), so the
+    // verb succeeds and reclaims exactly 0
+    spark.sql(s"""CALL testcat.system.components_cycle(
+      '$pairsDir', 'cr_cur', '$st', '$kp')""")
+    val sw = spark.sql(
+      s"CALL testcat.system.sweep_pairs('$pairsDir', '$st')")
+      .collect().head
+    assert(sw.getLong(0) == 0L, sw.toString)
+  }
+
+  test("the consumers metadata table reports per-cursor lag as a plain " +
+      "relation (loop_health as a SELECT)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.db")
+    val pairsDir = s"$warehouse/db/lagpairs"
+    val st = s"$warehouse/db/lagstate"
+    Seq((10L, 11L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("overwrite").save(pairsDir)
+    spark.sql(s"""CALL testcat.system.components_cycle(
+      '$pairsDir', 'nightly', '$st')""")
+    spark.sql("CALL testcat.system.create_tag('db.lagpairs', 'audit', -1)")
+    // a second window only the nightly consumer folds — audit lags
+    Seq((20L, 21L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("append").save(pairsDir)
+    spark.sql(s"""CALL testcat.system.components_cycle(
+      '$pairsDir', 'nightly', '$st')""")
+    val head = graft.api.Collection(spark, pairsDir).version
+    val rows = spark.sql("""SELECT tag, version, head_version, lag
+        FROM testcat.db.lagpairs.consumers ORDER BY tag""")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(("audit", head - 1, head, 1L),
+      ("nightly", head, head, 0L)), rows.toString)
+    // wall-clock lag derives from commit stamps: a caught-up consumer
+    // reads exactly 0 ms, a lagging one a non-negative delta
+    val ms = spark.sql(
+      "SELECT tag, lag_ms FROM testcat.db.lagpairs.consumers")
+      .as[(String, Long)].collect().toMap
+    assert(ms("nightly") == 0L && ms("audit") >= 0L, ms.toString)
+    // a branch head is a writer, not a consumer — it never appears
+    spark.sql("CALL testcat.system.create_branch('db.lagpairs', 'wap', -1)")
+    val tags = spark.sql("SELECT tag FROM testcat.db.lagpairs.consumers")
+      .as[String].collect().toSet
+    assert(tags == Set("audit", "nightly"), tags.toString)
   }
 
   test("CALL system procedures run storage maintenance from pure SQL") {
