@@ -113,6 +113,36 @@ object ScaleEvidence {
         f""""fold_small_sec":${foldSecs.head}%.2f,""" +
         f""""fold_10x_sec":${foldSecs.last}%.2f,""" +
         f""""fold_ratio_10x":${foldSecs.last / foldSecs.head}%.2f}""")
+
+    // Part 3 — pair-log retention: nightly windows RE-CONFIRMING the
+    // same clusters grow the log linearly forever while the closure
+    // stays constant; sweepPairs must rewrite it down to the
+    // membership-proportional star set. 6 windows × 5k pairs over 5k
+    // 3-member clusters (edges alternate, so every window is new rows
+    // but no new connectivity beyond window 2) = 30k log rows vs 10k
+    // stars — the 3× reclaim a steady-state loop accrues.
+    val wh3 = java.nio.file.Files.createTempDirectory("scale_sw")
+    val pairsP = s"$wh3/pairs"; val st3 = s"$wh3/state"
+    (0 until 6).foreach { w =>
+      spark.range(5000L)
+        .select((col("id") * 3).as("doc_a"),
+          (col("id") * 3 + 1 + (w % 2)).as("doc_b"))
+        .write.format("hadro")
+        .mode(if (w == 0) "overwrite" else "append").save(pairsP)
+      graft.ops.ClusterOps.componentsCycle(spark, pairsP, "sw_cur", st3)
+      ()
+    }
+    val rowsBefore = graft.api.Collection(spark, pairsP).count()
+    val (removed, sweepSec) = timed {
+      graft.ops.ClusterOps.sweepPairs(spark, pairsP, st3)
+    }
+    val rowsAfter = graft.api.Collection(spark, pairsP).count()
+    println(
+      s"""{"metric":"scale_evidence_pairsweep","windows":6,""" +
+        s""""log_rows_before":$rowsBefore,"log_rows_after":$rowsAfter,""" +
+        s""""rows_removed":$removed,""" +
+        f""""sweep_sec":$sweepSec%.2f,""" +
+        f""""reclaim_ratio":${rowsBefore.toDouble / math.max(rowsAfter, 1L)}%.2f}""")
     spark.stop()
   }
 }

@@ -6124,6 +6124,84 @@ object OpsQueries {
       },
       Some(crossModalKeepOracle)),
 
+    // ---------------------------------------------------------------- st29
+    // STREAMING CURATION LOOP — d39 as a stream: each foreachBatch runs
+    // the FULL nightly order probe → componentsCycle (membership + the
+    // materialized keep-list) → curationCycle (drop list from the
+    // membership changefeed), keyed by the micro-batch id so streaming
+    // replay composes with the pairs log's exactly-once stamp AND the
+    // curation consumer's idempotent status recompute. The training
+    // corpus read — survivors = corpus ANTI JOIN the drop list — is
+    // maintained continuously instead of derived in a nightly batch.
+    QueryDef(
+      "st29_streaming_curation_loop",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val base = s"/tmp/graft_collections/$tag/st29"
+        val d = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))
+        val planted = d.unionByName(
+          d.filter(col("doc_id") % 20 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(col("text"), lit(" extraplantedtoken"))))
+        val pins = d.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"))
+        val srcPath = s"$base/src"; val idx = s"$base/idx"
+        val pairsP = s"$base/pairs"; val st = s"$base/state"
+        val kp = s"$base/keep"; val dropP = s"$base/drops"
+        Fixtures.restoreFromTemplateTree(s, dir, "st29",
+          s"/tmp/graft_collections/$tag/st29_tpl", base,
+          Seq("src", "idx/sets", "idx/bands", "idx/params")) { tb =>
+          graft.api.Collection.create(s, s"$tb/src", planted,
+            numSegments = 3)
+          DedupOps.minhashLshIndexBuild(planted.limit(0),
+            "doc_id", "text", s"$tb/idx")
+        }
+        Seq(pairsP, st, kp, dropP).foreach(freshDir)
+        val ckpt = java.nio.file.Files.createTempDirectory("st29_ckpt").toString
+        val q = s.readStream.format("hadro")
+          .option("hadro.maxOrdinalsPerTrigger", "1").load(srcPath)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            if (!batch.isEmpty) {
+              DedupOps.minhashLshIndexProbe(s,
+                batch.select(col("doc_id"), col("text")),
+                "doc_id", "text", idx, mustCheck = Some(pins),
+                pairsSink = Some((pairsP, bid))).collect()
+              ClusterOps.componentsCycle(s, pairsP, "st29_cursor", st,
+                keepPath = Some(kp))
+              ClusterOps.curationCycle(s, st, "st29_drop", kp, dropP)
+            }
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(180000),
+          "AvailableNow query must terminate by itself")
+        planted.join(ClusterOps.dropList(s, dropP).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE docs AS (
+          ${plantedDocsCte("doc_id % 2 = 0")}),
+        $exactPairsCtes,
+        p AS (SELECT doc_a, doc_b FROM scored WHERE j >= 0.8),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, dst) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        memb AS (SELECT src AS doc_id, MIN(dst) AS cluster
+                 FROM reach GROUP BY src),
+        drops AS (SELECT doc_id FROM memb WHERE doc_id <> cluster)
+        SELECT d2.doc_id FROM docs d2
+        ANTI JOIN drops USING (doc_id) ORDER BY doc_id""")),
+
     // --------------------------------------------------------------- h100
     // PURE-SQL COMPOSED PIPELINE: d37's probe+extend → persisted pairs →
     // cursor-tagged fold → takedown-aware keep list, driven end to end

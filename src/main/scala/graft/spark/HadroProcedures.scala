@@ -721,10 +721,12 @@ object HadroProcedures {
           "consumer LAG (head version minus cursor_tag's pinned " +
           "version; -1 when the tag does not exist yet), the state and " +
           "keep collections' segment counts (bin-pack pressure; -1 " +
-          "when absent / '' skipped), and the exactly-once protocol " +
-          "breaks recorded for rollup_dir ('' = skip, reported 0) — " +
-          "one CALL answering 'is tonight's loop healthy' without " +
-          "grepping driver logs",
+          "when absent / '' skipped), the exactly-once protocol " +
+          "breaks recorded for rollup_dir ('' = skip, reported 0), and " +
+          "the pair-log vs membership live-row counts (a log far above " +
+          "its state is reclaimable history — run sweep_pairs) — one " +
+          "CALL answering 'is tonight's loop healthy' without grepping " +
+          "driver logs",
         Seq(p("pairs_dir", StringType), p("cursor_tag", StringType),
           p("state_dir", StringType),
           ProcedureParameter.in("keep_dir", StringType)
@@ -734,8 +736,20 @@ object HadroProcedures {
         new StructType().add("pairs_head", LongType)
           .add("cursor_version", LongType).add("lag", LongType)
           .add("state_segments", LongType).add("keep_segments", LongType)
-          .add("protocol_breaks", LongType)) { in =>
+          .add("protocol_breaks", LongType)
+          .add("pairs_rows", LongType).add("state_rows", LongType)) { in =>
           val spark = SparkSession.active
+          // manifest-exact live rows (rows − tombstones − dv deletes):
+          // pairs_rows vs state_rows is the sweep_pairs pressure gauge —
+          // a log far above its membership is mostly reclaimable history
+          def liveRows(dir: String): Long = {
+            val p = java.nio.file.Paths.get(dir)
+            if (dir.isEmpty ||
+                !graft.meta.CollectionMeta.collectionCommitted(p)) -1L
+            else try graft.meta.CollectionMeta.currentManifest(p)
+              .segments.map(s => s.rows - s.tombstones - s.dvDeletes).sum
+            catch { case _: Exception => -1L }
+          }
           def segs(dir: String): Long = {
             // absent collection must read -1, not 0: currentManifest
             // returns an empty placeholder (not an error) for a missing
@@ -764,7 +778,8 @@ object HadroProcedures {
               java.nio.file.Paths.get(rollup))
           Seq(InternalRow(head, cur,
             if (head < 0 || cur < 0) -1L else head - cur,
-            segs(in.getUTF8String(2).toString), segs(keep), breaks))
+            segs(in.getUTF8String(2).toString), segs(keep), breaks,
+            liveRows(pairsDir), liveRows(in.getUTF8String(2).toString)))
         }
       case "keep_list_view" => proc("keep_list_view",
         "register a TEMP VIEW of the materialized keep-list maintained " +

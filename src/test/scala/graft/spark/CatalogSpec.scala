@@ -231,6 +231,9 @@ class CatalogSpec extends SparkSuite {
     assert(h.getLong(2) == 0L, s"lag: $h") // head == cursor
     assert(h.getLong(3) >= 1L && h.getLong(4) >= 1L, s"segments: $h")
     assert(h.getLong(5) == 0L, s"breaks: $h")
+    // live-row gauges: 3 log pairs, 5 member rows — the sweep-pressure
+    // comparison an operator reads before CALL sweep_pairs
+    assert(h.getLong(6) == 3L && h.getLong(7) == 5L, s"rows: $h")
     // a new window widens the lag until the next cycle
     Seq((30L, 31L)).toDF("doc_a", "doc_b")
       .write.format("hadro").mode("append").save(pairsDir)
