@@ -233,6 +233,15 @@ object OpsQueries {
         ANTI JOIN drops USING (doc_id)
         ORDER BY doc_id"""
 
+  /** The cross-modal keep oracle with NO takedown filter (h103 reads the
+    * materialized keep-list, which is liveness-agnostic by design). */
+  private val crossModalKeepAllOracle: String =
+    s"""WITH RECURSIVE $crossModalMembCtes
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+          CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+          CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM memb GROUP BY cluster ORDER BY cluster"""
+
   /** The planted near-dup corpus every exact-pairs oracle reads: the
     * documents table plus a +1M-id near-copy of every %20 doc. `corpusWhere`
     * restricts the ORIGINAL side (d31 drops takedown victims). */
@@ -6363,6 +6372,62 @@ object OpsQueries {
         FROM (VALUES ('audit', 1, 2, 1), ('nightly', 2, 2, 0))
           AS t(tag, version, head_version, lag)
         ORDER BY tag""")),
+
+    // --------------------------------------------------------------- h103
+    // CROSS-MODAL COMPOSED LOOP FROM PURE SQL: d40 driven entirely by
+    // CALL statements — neardup_probe AND embedding_probe (both carrying
+    // pairs_dir/window_id and their modality's must-check pin table)
+    // feed ONE pair log, components_cycle folds the union stream into
+    // ONE membership + materialized keep-list, keep_list_view reads it.
+    // A SQL-only operator can run the multimodal nightly dedup pipeline
+    // with no Scala linkage. Oracle = the union-closure keep rule.
+    QueryDef(
+      "h103_crossmodal_sql_loop",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_h103"
+        s.conf.set("spark.sql.catalog.graft_h103",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_h103.warehouse", wh)
+        val (corpus, textPins, vecPins) = crossModalCorpus(s, dir)
+        Fixtures.restoreFromTemplateTree(s, dir, "h103",
+          s"/tmp/graft_collections/$tag/h103_tpl", wh,
+          Seq("db/w0", "db/w1", "db/w2", "db/tpins", "db/vpins",
+            "idxT/sets", "idxT/bands", "idxT/params",
+            "idxE/sets", "idxE/bands", "idxE/params")) { tb =>
+          (0 until 3).foreach { w =>
+            corpus.filter(pmod(xxhash64(col("doc_id")), lit(3)) === w)
+              .write.format("hadro").mode("overwrite").save(s"$tb/db/w$w")
+          }
+          textPins.write.format("hadro").mode("overwrite")
+            .save(s"$tb/db/tpins")
+          vecPins.write.format("hadro").mode("overwrite")
+            .save(s"$tb/db/vpins")
+          DedupOps.minhashLshIndexBuild(corpus.limit(0),
+            "doc_id", "text", s"$tb/idxT")
+          DedupOps.embeddingIndexBuild(corpus.limit(0),
+            "doc_id", "embedding", s"$tb/idxE")
+        }
+        val pairsP = s"$wh/pairs"; val st = s"$wh/cc_state"
+        val kp = s"$wh/keep"
+        Seq(pairsP, st, kp).foreach(freshDir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_h103.db")
+        (0 until 3).foreach { w =>
+          s.sql(s"""CALL graft_h103.system.neardup_probe(
+            'db.w$w', 'doc_id', 'text', '$wh/idxT', 'h103_t$w',
+            0.8D, true, '', '$pairsP', ${w}L, 'db.tpins')""")
+          s.sql(s"""CALL graft_h103.system.embedding_probe(
+            'db.w$w', 'doc_id', 'embedding', '$wh/idxE', 'h103_e$w',
+            0.9D, true, '', '$pairsP', ${w}L, 'db.vpins')""")
+          s.sql(s"""CALL graft_h103.system.components_cycle(
+            '$pairsP', 'h103cur', '$st', '$kp')""")
+          ()
+        }
+        s.sql(s"CALL graft_h103.system.keep_list_view('$kp', 'h103_kl')")
+        s.sql("""SELECT cluster, keep_id, n_members FROM h103_kl
+          ORDER BY cluster""")
+      },
+      Some(crossModalKeepAllOracle)),
 
     // ---------------------------------------------------------------- st20
     // STREAMING curation: the same map-only text operators (token count +
