@@ -1407,19 +1407,24 @@ class OpsSpec extends SparkSuite {
   }
 
   test("randomized composed-pipeline sequences (window retries, batched " +
-      "or rewound consumer cycles, interleaved compactions) converge the " +
-      "pair log and keep list to the one-shot batch answer") {
+      "or rewound consumer cycles, interleaved compactions and legal " +
+      "pair-log star sweeps) converge the pair log and keep list to the " +
+      "one-shot batch answer") {
     // The whole-protocol closure property: ANY serialized sequence of
     // probe+extend windows with pairsSink — immediate crash retries of a
     // window (same windowId), consumer cycles that batch several windows
-    // or replay after a lost tag move, pair-log bin-packing mid-sequence
-    // — must leave (a) the pair log holding the one-shot batch pairs
-    // EXACTLY ONCE and (b) the membership/keep list equal to one-shot
-    // CC + keep over them. Seed-pinned for reproducibility.
+    // or replay after a lost tag move, pair-log bin-packing mid-sequence,
+    // and sweepPairs whenever (and ONLY whenever) the cursor certifies
+    // the log consumed — must leave (a) the pair log holding the
+    // one-shot batch pairs EXACTLY ONCE (or, once a sweep rewrote it,
+    // duplicate-free with the SAME transitive closure) and (b) the
+    // membership/keep list equal to one-shot CC + keep over them.
+    // Seed-pinned for reproducibility.
     val rnd = new scala.util.Random(17)
     val wh = java.nio.file.Files.createTempDirectory("composedrand").toString
     val idx = s"$wh/idx"; val pairsP = s"$wh/pairs"; val st = s"$wh/state"
     val kp = s"$wh/keep"
+    var swept = false
     def text(seed: Int) = (0 until 31).map(j => s"w${seed}_$j").mkString(" ")
     // 18 docs in 6 near-dup families of 3 (same family = same base text
     // + one distinct token => pairwise Jaccard well above 0.8)
@@ -1450,24 +1455,48 @@ class OpsSpec extends SparkSuite {
             keepPath = Some(kp))
         }
       }
+      // retention interleaves with everything else: sweep when the
+      // cursor certifies consumption, and PROVE the refusal when it
+      // does not (no tag yet, or a tag below the head)
+      if (rnd.nextDouble() < 0.25 && logExists) {
+        val pc = graft.api.Collection(spark, pairsP)
+        if (pc.tags.get("cr_cur").exists(_ >= pc.version)) {
+          ClusterOps.sweepPairs(spark, pairsP, st)
+          swept = true
+        } else
+          intercept[IllegalStateException](
+            ClusterOps.sweepPairs(spark, pairsP, st))
+      }
     }
     ClusterOps.componentsCycle(spark, pairsP, "cr_cur", st,
       keepPath = Some(kp)) // drain
-    // (a) the pair log = the one-shot batch pairs, exactly once
     val logged = graft.api.Collection(spark, pairsP).toDF()
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
     val oneShot = DedupOps.minhashLshPairs(docs.toDF("doc_id", "text"),
         "doc_id", "text")
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
-    assert(logged == oneShot,
-      s"pair log diverged from one-shot (dupes or losses): " +
-        s"${logged.diff(oneShot)} extra, ${oneShot.diff(logged)} missing")
-    // (b) membership/keep equal one-shot CC over those pairs
-    val inc = ClusterOps.components(spark, st)
-      .as[(Long, Long)].collect().sorted.toSeq
     val batchCC = ClusterOps.connectedComponentsAltStar(
       oneShot.toDF("a", "b"), "a", "b")
       .select($"node", $"cluster").as[(Long, Long)].collect().sorted.toSeq
+    // (a) the pair log = the one-shot batch pairs, exactly once; after
+    // a star sweep content equality is gone BY DESIGN, so the claim
+    // becomes duplicate-free + closure-identical
+    if (!swept)
+      assert(logged == oneShot,
+        s"pair log diverged from one-shot (dupes or losses): " +
+          s"${logged.diff(oneShot)} extra, ${oneShot.diff(logged)} missing")
+    else {
+      assert(logged == logged.distinct,
+        s"swept pair log carries duplicates: $logged")
+      val logCC = ClusterOps.connectedComponentsAltStar(
+        logged.toDF("a", "b"), "a", "b")
+        .select($"node", $"cluster").as[(Long, Long)].collect().sorted.toSeq
+      assert(logCC == batchCC,
+        "swept pair log's closure diverged from the one-shot pairs")
+    }
+    // (b) membership/keep equal one-shot CC over those pairs
+    val inc = ClusterOps.components(spark, st)
+      .as[(Long, Long)].collect().sorted.toSeq
     assert(inc == batchCC,
       "randomized composed loop diverged from one-shot components")
     // (c) the materialized keep-list tracked the read-side view through
@@ -1478,6 +1507,10 @@ class OpsSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(mat == readSide,
       s"materialized keep-list diverged: $mat vs $readSide")
+    // the pinned seed must actually exercise the sweep path, or this
+    // property silently stops covering retention
+    assert(swept, "seed 17 no longer drives an at-head sweepPairs — " +
+      "re-pin a seed that exercises the retention interleaving")
   }
 
   test("pairs-log compaction is transparent to a tagged consumer, and " +
