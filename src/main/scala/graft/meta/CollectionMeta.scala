@@ -531,13 +531,87 @@ object CollectionMeta {
   }
 
   /** Drop a named ref. Returns whether it existed. The pinned version's
-    * manifest stays on disk until the next retention sweep. */
+    * manifest stays on disk until the next retention sweep. Dropping a
+    * cursor tag decommissions its consumer, so any consumer-registry
+    * entry under the same name goes with it (even when the ref itself is
+    * already gone — a crash between the two removals must be re-runnable
+    * to completion, or [[readConsumers]] carries a dangling entry that
+    * blocks retention forever). */
   def dropRef(collection: Path, name: String): Boolean =
     withBranchLock(collection) {
+      val cons = readConsumers(collection)
+      if (cons.contains(name)) writeConsumers(collection, cons - name)
       val refs = readRefs(collection)
       if (!refs.contains(name)) false
       else { writeRefs(collection, refs - name); true }
     }
+
+  /** Cursor tags only: named refs minus branch heads (branches are
+    * writers, not consumers). ONE definition of "consumer-shaped tag"
+    * for the consumers metadata table and the retention verbs. */
+  def cursorTags(collection: Path): Map[String, Long] = {
+    val branches = readBranches(collection).keySet
+    readRefs(collection).filterNot { case (n, _) => branches.contains(n) }
+  }
+
+  // --------------------------------------------------- consumer registry
+
+  private def consumersFile(collection: Path): Path =
+    metaDir(collection).resolve("consumers.json")
+
+  /** The CONSUMER REGISTRY: cursor-tag name → the canonical directory of
+    * the state that consumer maintains, written by the consumer itself
+    * (componentsCycle) alongside its tag move. Retention verbs that
+    * derive a replacement for consumed history FROM a state
+    * (sweepPairs's star rewrite) require the state they were handed to
+    * be registered here — a cursor tag alone proves somebody consumed
+    * the log, not that THIS state is that somebody, and deriving the
+    * replacement from the wrong state silently destroys the log. A
+    * present-but-unparseable file fails loudly for the same reason the
+    * refs file does: guessing "no consumers" would green-light exactly
+    * the destructive rewrite the registry exists to block. */
+  def readConsumers(collection: Path): Map[String, String] = {
+    val f = consumersFile(collection)
+    if (!Files.exists(f)) Map.empty
+    else try {
+      JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+        .extract[Map[String, String]]
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"hadro: corrupt consumers file $f — refusing consumer-derived " +
+          s"retention while the registry is unreadable (${e.getMessage})")
+    }
+  }
+
+  private def writeConsumers(collection: Path,
+      cons: Map[String, String]): Unit = {
+    Files.createDirectories(metaDir(collection))
+    if (cons.isEmpty) { Files.deleteIfExists(consumersFile(collection)); return }
+    val tmp = metaDir(collection)
+      .resolve(s"consumers.json.tmp${System.nanoTime()}")
+    Files.write(tmp, Serialization.write(cons).getBytes(StandardCharsets.UTF_8))
+    FileIO.impl.replaceSlot(tmp, consumersFile(collection))
+  }
+
+  /** Canonical form both the registering consumer and the checking verb
+    * reduce a state directory to, so path spelling never defeats the
+    * registry match. */
+  def canonicalStateDir(statePath: String): String =
+    java.nio.file.Paths.get(statePath).toAbsolutePath.normalize.toString
+
+  /** Record (idempotently) that cursor `tag` on this collection is
+    * maintained into the state at `statePath`. Steady-state cycles skip
+    * the write entirely — no extra commit point per window. */
+  def registerConsumer(collection: Path, tag: String,
+      statePath: String): Unit = {
+    val canon = canonicalStateDir(statePath)
+    if (!readConsumers(collection).get(tag).contains(canon))
+      withBranchLock(collection) {
+        val cur = readConsumers(collection)
+        if (!cur.get(tag).contains(canon))
+          writeConsumers(collection, cur + (tag -> canon))
+      }
+  }
 
   /** Versions pinned by any ref — excluded from every manifest GC path. */
   private def taggedVersions(collection: Path): Set[Long] =

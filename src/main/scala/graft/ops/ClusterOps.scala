@@ -511,6 +511,14 @@ object ClusterOps {
             foldFullOrRebuild()
         }
     }
+    // registry BEFORE the tag move: a crash between the two leaves a
+    // registered consumer with a stale cursor (safe — retention's lag
+    // check covers it) rather than a moved cursor nothing can attribute
+    // to a state; both writes are idempotent, the next cycle heals.
+    // Steady-state cycles skip the registry write entirely (value
+    // unchanged), so the nightly loop gains no extra commit point.
+    graft.meta.CollectionMeta.registerConsumer(
+      java.nio.file.Paths.get(pairsPath), cursorTag, statePath)
     pairs.createTag(cursorTag, head)
     head
   }
@@ -588,11 +596,18 @@ object ClusterOps {
     * touched by 100 windows carries 100+ log rows but |members|−1 stars.
     *
     * SAFETY CONTRACT: star edges derive from the STATE, which holds only
-    * the pairs its consumer has folded — so EVERY cursor tag on the log
-    * must sit at (or above) the pinned snapshot being replaced, else the
-    * sweep would silently destroy a lagging consumer's unconsumed
-    * windows; any lagging tag (or a log with no cursor tags at all,
-    * which certifies nothing) refuses loudly. The rewrite is the
+    * the pairs its consumer has folded — so the verb demands BOTH
+    * identity and currency, each refused loudly: (1) `statePath` must be
+    * a REGISTERED consumer of this log (the [[componentsCycle]]-written
+    * tag→state registry, [[graft.meta.CollectionMeta.readConsumers]]) —
+    * a cursor tag alone proves somebody consumed the log, not that THIS
+    * state is that somebody, and stars from a swapped or never-cycled
+    * state would replace the log with unrelated history; (2) every
+    * registered consumer's cursor must sit at (or above) the pinned
+    * snapshot being replaced, else a lagging consumer's unconsumed
+    * windows would be destroyed. Unregistered tags are snapshot pins,
+    * not consumers: they keep their pinned snapshot through the replace
+    * (deferred GC honors tag pins) and never block retention. The rewrite is the
     * version-pinned atomic replace (the [[sweepComponents]] commit
     * shape): pairs APPENDED concurrently after the pin survive,
     * re-ordered after the stars; a concurrent sweep aborts on the
@@ -620,20 +635,42 @@ object ClusterOps {
       aCol: String = "doc_a", bCol: String = "doc_b"): Long = {
     val pp = java.nio.file.Paths.get(pairsPath)
     val m0 = graft.meta.CollectionMeta.currentManifest(pp)
-    val branches = graft.meta.CollectionMeta.readBranches(pp).keySet
-    val cursors = graft.meta.CollectionMeta.readRefs(pp)
-      .filterNot { case (n, _) => branches.contains(n) }
-    if (cursors.isEmpty) throw new IllegalStateException(
-      s"hadro: sweepPairs found no cursor tags on $pairsPath — nothing " +
-        "certifies the membership state consumed this log, and " +
-        "replacing unconsumed pairs with state-derived star edges " +
-        "would lose them; run componentsCycle (which tags its cursor) " +
-        "before sweeping")
-    val lagging = cursors.filter(_._2 < m0.version)
+    val cursors = graft.meta.CollectionMeta.cursorTags(pp)
+    // the CONSUMER REGISTRY is the identity check: a cursor tag alone
+    // proves SOMEBODY consumed the log, not that the state handed to
+    // this verb is that somebody — stars derived from the wrong state
+    // (swapped pipeline arguments, a bare snapshot pin standing in for
+    // a consumer) would silently destroy the log while every
+    // tag-version check passes
+    val registry = graft.meta.CollectionMeta.readConsumers(pp)
+    val canon = graft.meta.CollectionMeta.canonicalStateDir(statePath)
+    if (!registry.values.exists(_ == canon)) throw new IllegalStateException(
+      s"hadro: sweepPairs refused — $statePath is not a REGISTERED " +
+        s"consumer state of $pairsPath (registered: " +
+        s"${if (registry.isEmpty) "none" else registry.toSeq.sorted
+          .map { case (t, p) => s"$t -> $p" }.mkString("; ")}). " +
+        "componentsCycle registers its state alongside its cursor tag; " +
+        "hand this verb one of those states — star edges derived from " +
+        "anything else would replace the log with unrelated history")
+    // every REGISTERED consumer must sit at the pinned head: a lagging
+    // one's unconsumed windows would be replaced by stars derived from
+    // a state that never folded them. Unregistered tags are snapshot
+    // pins, not consumers — they keep their pinned snapshot through the
+    // version-pinned replace (deferred GC honors tag pins) and never
+    // block retention. A registered consumer whose tag is GONE is a
+    // half-dropped decommission — refuse until dropTag finishes the job.
+    val dangling = registry.keySet.filterNot(cursors.contains)
+    if (dangling.nonEmpty) throw new IllegalStateException(
+      s"hadro: sweepPairs refused — registered consumer cursor(s) " +
+        s"${dangling.toSeq.sorted.mkString(", ")} on $pairsPath have no " +
+        "tag (a half-finished decommission): re-run drop_tag for them " +
+        "or re-run their componentsCycle, then sweep")
+    val lagging = registry.keySet.map(t => t -> cursors(t))
+      .filter(_._2 < m0.version)
     if (lagging.nonEmpty) throw new IllegalStateException(
       s"hadro: sweepPairs refused — consumer cursor(s) " +
-        s"${lagging.keys.toSeq.sorted.mkString(", ")} on $pairsPath sit " +
-        s"below the head version ${m0.version}: their unconsumed " +
+        s"${lagging.map(_._1).toSeq.sorted.mkString(", ")} on $pairsPath " +
+        s"sit below the head version ${m0.version}: their unconsumed " +
         "windows would be replaced by star edges derived from a state " +
         "that never folded them. Cycle every consumer to the head " +
         "(componentsCycle / CALL system.components_cycle), then sweep")
@@ -657,8 +694,12 @@ object ClusterOps {
         s"at $pairsPath but found ${logSchema.fieldNames.mkString(", ")}")
     val starCols = logSchema.fields.toSeq.map { f =>
       f.name match {
-        case n if n == aCol => col(aCol)
-        case n if n == bCol => col(bCol)
+        // cast back to the log's declared id types: the state holds
+        // longs (componentsUpdate casts on fold), but an int-id log must
+        // stay an int-id log or the sweep introduces the very
+        // producer-append schema mismatch the mirroring prevents
+        case n if n == aCol => col(aCol).cast(f.dataType).as(aCol)
+        case n if n == bCol => col(bCol).cast(f.dataType).as(bCol)
         case "metric" if f.dataType == StringType => lit("star").as("metric")
         case other if f.nullable => lit(null).cast(f.dataType).as(other)
         case other =>
@@ -683,7 +724,10 @@ object ClusterOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val after = stars.count()
-      val before = m0.segments.map(s => s.rows - s.dvDeletes).sum
+      // manifest-exact LIVE rows — the same arithmetic as loop_health's
+      // pairs_rows gauge, so the two numbers an operator compares agree
+      val before = m0.segments
+        .map(s => s.rows - s.tombstones - s.dvDeletes).sum
       stars.write.format("hadro").mode("overwrite")
         .option("hadro.compactOf", m0.version.toString)
         .option("hadro.compactOfGen", m0.generation.toString)

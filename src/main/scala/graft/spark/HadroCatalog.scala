@@ -597,14 +597,16 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
             // per-CURSOR-TAG consumer-lag dashboard (the loop_health verb
             // as a queryable relation): one row per tag (branch heads are
             // writers, not consumers — excluded) with the head version,
-            // the version lag, and the WALL-CLOCK lag derived from commit
-            // timestamps — `SELECT * FROM cat.db.pairs.consumers` answers
-            // "which nightly consumer fell behind, and by how long"
-            // without a CALL. Metadata-scale: refs.json + two manifests.
+            // the version lag, the WALL-CLOCK lag derived from commit
+            // timestamps, and the registered consumer STATE directory
+            // (componentsCycle's tag→state registry; NULL for plain
+            // snapshot pins) — `SELECT * FROM cat.db.pairs.consumers`
+            // answers "which nightly consumer fell behind, by how long,
+            // and into which state does it fold" without a CALL.
+            // Metadata-scale: refs/consumers JSON + two manifests.
             val head = CollectionMeta.currentManifest(dir)
-            val branchBases = CollectionMeta.readBranches(dir)
-            CollectionMeta.readRefs(dir).toSeq
-              .filterNot { case (n, _) => branchBases.contains(n) }
+            val registry = CollectionMeta.readConsumers(dir)
+            CollectionMeta.cursorTags(dir).toSeq
               .sortBy(_._1).map { case (name, v) =>
                 val at = try Some(CollectionMeta.manifestAt(dir, v))
                   catch { case _: Exception => None }
@@ -614,7 +616,8 @@ final class HadroMetadataTable(dir: Path, kind: String) extends Table
                   head.committedAtMs,
                   at.map(m => Long.box(
                     math.max(0L, head.committedAtMs - m.committedAtMs)))
-                    .orNull)
+                    .orNull,
+                  registry.get(name).map(UTF8String.fromString).orNull)
               }.toArray
           case "stats" =>
             // ANALYZE output (`CALL system.analyze`), schema field order
@@ -676,7 +679,7 @@ object HadroMetadataTable {
       .add("tag", StringType).add("version", LongType)
       .add("head_version", LongType).add("lag", LongType)
       .add("pinned_at_ms", LongType).add("head_at_ms", LongType)
-      .add("lag_ms", LongType),
+      .add("lag_ms", LongType).add("state_dir", StringType),
     "detail" -> new StructType()
       .add("location", StringType).add("version", LongType)
       .add("generation", LongType).add("n_segments", LongType)

@@ -3102,12 +3102,19 @@ class OpsSpec extends SparkSuite {
     val stA = s"$wh/stateA"; val stB = s"$wh/stateB"
     Seq((10L, 11L)).toDF("doc_a", "doc_b")
       .write.format("hadro").mode("overwrite").save(pairsP)
-    // no cursor tags: nothing certifies any state consumed this log
+    // no registered consumer: nothing ties ANY state to this log yet
     val e0 = intercept[IllegalStateException](
       ClusterOps.sweepPairs(spark, pairsP, stA))
-    assert(e0.getMessage.contains("no cursor tags"), e0.getMessage)
+    assert(e0.getMessage.contains("REGISTERED"), e0.getMessage)
     ClusterOps.componentsCycle(spark, pairsP, "spA", stA)
     ClusterOps.componentsCycle(spark, pairsP, "spB", stB)
+    // the SWAPPED-STATE hazard: a state that is a consumer of some OTHER
+    // log (or of nothing) must refuse even while every tag sits at the
+    // head — stars derived from it would replace this log with
+    // unrelated history
+    val eSwap = intercept[IllegalStateException](
+      ClusterOps.sweepPairs(spark, pairsP, s"$wh/not_a_consumer"))
+    assert(eSwap.getMessage.contains("REGISTERED"), eSwap.getMessage)
     // a second window that only A folds: B's unconsumed window must not
     // be replaceable by stars derived from any state
     Seq((20L, 21L)).toDF("doc_a", "doc_b")
@@ -3116,10 +3123,13 @@ class OpsSpec extends SparkSuite {
     val e1 = intercept[IllegalStateException](
       ClusterOps.sweepPairs(spark, pairsP, stA))
     assert(e1.getMessage.contains("spB"), e1.getMessage)
-    // B catches up → the sweep is legal; a star-only log reclaims 0
-    // here (two 2-clusters = two edges either way) and both consumers'
-    // states stay correct against the swept log
+    // B catches up → the sweep is legal; a plain SNAPSHOT PIN at an old
+    // version is not a consumer and must NOT block retention (it keeps
+    // its pinned snapshot through the replace); a star-only log
+    // reclaims 0 here (two 2-clusters = two edges either way) and both
+    // consumers' states stay correct against the swept log
     ClusterOps.componentsCycle(spark, pairsP, "spB", stB)
+    graft.api.Collection(spark, pairsP).createTag("backup", 1L)
     assert(ClusterOps.sweepPairs(spark, pairsP, stA) == 0L)
     Seq(stA, stB).foreach { p =>
       assert(ClusterOps.components(spark, p)

@@ -294,6 +294,13 @@ class CatalogSpec extends SparkSuite {
     val tags = spark.sql("SELECT tag FROM testcat.db.lagpairs.consumers")
       .as[String].collect().toSet
     assert(tags == Set("audit", "nightly"), tags.toString)
+    // the registry column: a cycling consumer advertises the state it
+    // folds into; a plain snapshot pin has none
+    val states = spark.sql(
+      "SELECT tag, state_dir FROM testcat.db.lagpairs.consumers")
+      .as[(String, Option[String])].collect().toMap
+    assert(states("nightly").exists(_.endsWith("lagstate")), states.toString)
+    assert(states("audit").isEmpty, states.toString)
   }
 
   test("CALL system procedures run storage maintenance from pure SQL") {
