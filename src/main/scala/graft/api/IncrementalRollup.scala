@@ -183,6 +183,12 @@ object IncrementalRollup {
       sums: Seq[(String, String)]): Unit = {
     val fact = Collection(spark, factPath)
     fact.createTag(cursorTag)
+    // consumer registry (observability): the fact table's `consumers`
+    // metadata table shows which rollup this cursor maintains. Bootstrap
+    // DEFINES the consumer, so it owns the registration; cycles leave
+    // the registry alone.
+    CollectionMeta.registerConsumer(java.nio.file.Paths.get(factPath),
+      cursorTag, CollectionMeta.canonicalStateDir(rollupPath))
     val v = fact.tags(cursorTag)
     val aggs =
       count(lit(1)).cast("bigint").as("n") +:
@@ -261,6 +267,9 @@ object IncrementalRollup {
       aggs: Seq[(String, String, String)]): Unit = {
     val fact = Collection(spark, factPath)
     fact.createTag(cursorTag)
+    // see bootstrap: the consumer registry entry rides the definition
+    CollectionMeta.registerConsumer(java.nio.file.Paths.get(factPath),
+      cursorTag, CollectionMeta.canonicalStateDir(rollupPath))
     val v = fact.tags(cursorTag)
     val rp = java.nio.file.Paths.get(rollupPath)
     CollectionMeta.registerCommitEpoch(rp, epochKey(cursorTag), v)

@@ -600,16 +600,20 @@ object CollectionMeta {
     java.nio.file.Paths.get(statePath).toAbsolutePath.normalize.toString
 
   /** Record (idempotently) that cursor `tag` on this collection is
-    * maintained into the state at `statePath`. Steady-state cycles skip
-    * the write entirely — no extra commit point per window. */
+    * maintained into `dest` — the consumer's destination AS THE CONSUMER
+    * NAMES IT (callers that need path-identity matching, like the
+    * sweepPairs registry check, canonicalize via [[canonicalStateDir]]
+    * on BOTH the register and check sides; catalog-name destinations —
+    * the rollup consumers — register the name verbatim). Steady-state
+    * cycles skip the write entirely — no extra commit point per
+    * window. */
   def registerConsumer(collection: Path, tag: String,
-      statePath: String): Unit = {
-    val canon = canonicalStateDir(statePath)
-    if (!readConsumers(collection).get(tag).contains(canon))
+      dest: String): Unit = {
+    if (!readConsumers(collection).get(tag).contains(dest))
       withBranchLock(collection) {
         val cur = readConsumers(collection)
-        if (!cur.get(tag).contains(canon))
-          writeConsumers(collection, cur + (tag -> canon))
+        if (!cur.get(tag).contains(dest))
+          writeConsumers(collection, cur + (tag -> dest))
       }
   }
 

@@ -518,7 +518,8 @@ object ClusterOps {
     // Steady-state cycles skip the registry write entirely (value
     // unchanged), so the nightly loop gains no extra commit point.
     graft.meta.CollectionMeta.registerConsumer(
-      java.nio.file.Paths.get(pairsPath), cursorTag, statePath)
+      java.nio.file.Paths.get(pairsPath), cursorTag,
+      graft.meta.CollectionMeta.canonicalStateDir(statePath))
     pairs.createTag(cursorTag, head)
     head
   }
@@ -916,6 +917,11 @@ object ClusterOps {
               .select(col("doc_id"), col("cluster")))
         }
     }
+    // same observability contract as componentsCycle: the state's
+    // consumers table shows which drop list this cursor folds into
+    graft.meta.CollectionMeta.registerConsumer(
+      java.nio.file.Paths.get(statePath), cursorTag,
+      graft.meta.CollectionMeta.canonicalStateDir(dropPath))
     state.createTag(cursorTag, head)
     head
   }

@@ -259,6 +259,12 @@ class CatalogSpec extends SparkSuite {
       s"CALL testcat.system.sweep_pairs('$pairsDir', '$st')")
       .collect().head
     assert(sw.getLong(0) == 0L, sw.toString)
+    // the curation consumer registered its drop list on the STATE
+    // collection — the state's registry names where each cursor folds
+    val cs = graft.meta.CollectionMeta.readConsumers(
+      java.nio.file.Paths.get(st))
+    assert(cs.get("cr_drop").contains(
+      graft.meta.CollectionMeta.canonicalStateDir(dropDir)), cs.toString)
   }
 
   test("the consumers metadata table reports per-cursor lag as a plain " +
@@ -301,6 +307,18 @@ class CatalogSpec extends SparkSuite {
       .as[(String, Option[String])].collect().toMap
     assert(states("nightly").exists(_.endsWith("lagstate")), states.toString)
     assert(states("audit").isEmpty, states.toString)
+    // rollup consumers register at bootstrap too: a fact table's
+    // consumers relation names the rollup each cursor maintains
+    val factDir = s"$warehouse/db/lagfact"
+    val aggDir = s"$warehouse/db/lagagg"
+    Seq((1L, "a", 10.0)).toDF("k", "g", "v")
+      .write.format("hadro").mode("overwrite").save(factDir)
+    graft.api.IncrementalRollup.bootstrap(spark, factDir, "ru_cur",
+      aggDir, "g", Seq("v" -> "sv"))
+    val ru = spark.sql(
+      "SELECT tag, state_dir FROM testcat.db.lagfact.consumers")
+      .as[(String, Option[String])].collect().toMap
+    assert(ru("ru_cur").exists(_.endsWith("lagagg")), ru.toString)
   }
 
   test("CALL system procedures run storage maintenance from pure SQL") {
