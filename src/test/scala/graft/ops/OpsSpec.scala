@@ -3137,4 +3137,31 @@ class OpsSpec extends SparkSuite {
         Seq((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)), p)
     }
   }
+
+  test("a snapshot pin keeps its pre-sweep pair-log snapshot readable " +
+      "through sweepPairs plus aggressive retention") {
+    // the scaladoc claim behind "snapshot pins never block retention":
+    // they don't need to, BECAUSE the version-pinned replace + deferred
+    // GC preserve the pinned snapshot's manifest and files outright
+    val wh = java.nio.file.Files.createTempDirectory("swpin").toString
+    val pairsP = s"$wh/pairs"; val st = s"$wh/state"
+    Seq((10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+      .write.format("hadro").mode("overwrite").save(pairsP)
+    ClusterOps.componentsCycle(spark, pairsP, "pin_cur", st)
+    val pc = graft.api.Collection(spark, pairsP)
+    pc.createTag("backup") // pin the PRE-sweep head
+    val pinned = pc.tags("backup")
+    assert(ClusterOps.sweepPairs(spark, pairsP, st) == 1L)
+    // everything age-based retention can take, it takes — except pins
+    pc.expireSnapshots(System.currentTimeMillis() + 60000L)
+    pc.vacuum()
+    val snap = pc.scanVersion(pinned)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(snap == Seq((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"pinned pre-sweep snapshot diverged after sweep+GC: $snap")
+    // and the live read is the star set, unaffected by the pin
+    assert(pc.toDF().select($"doc_a", $"doc_b")
+        .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((10L, 11L), (10L, 12L)))
+  }
 }
