@@ -3976,6 +3976,50 @@ object OpsQueries {
           CAST(length(text) AS INT) AS len_chars
         FROM documents ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- t21
+    // CONTINUOUS CORPUS STATISTICS: the h91 incremental-consumer shape
+    // applied to corpus analytics — documents are ENRICHED at ingest
+    // (token count via the codegen'd whitespace tokenizer) into a
+    // cursor-tagged fact collection, and a MERGE-maintained rollup keeps
+    // per-language doc counts + token totals current per window instead
+    // of a nightly corpus-wide recompute. Three hash windows from
+    // bootstrap; final rollup ≡ the one-shot aggregation oracle.
+    QueryDef(
+      "t21_corpus_stats_rollup",
+      (s, dir) => withShufflePartitions(s, 8) {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val wh = s"/tmp/graft_catalogs/${tag}_t21"
+        s.conf.set("spark.sql.catalog.graft_t21",
+          classOf[graft.spark.HadroCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_t21.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_t21.db")
+        val factP = s"$wh/db/docs_enriched"; val aggP = s"$wh/db/lang_stats"
+        Seq(factP, aggP).foreach(freshDir)
+        val enriched = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("n_tokens"))
+        def window(w: Int) = enriched
+          .filter(pmod(xxhash64(col("doc_id")), lit(3)) === w)
+        window(0).write.format("hadro").mode("overwrite").save(factP)
+        graft.api.IncrementalRollup.bootstrap(s, factP, "t21_cur",
+          aggP, "lang", Seq("n_tokens" -> "total_tokens"))
+        (1 until 3).foreach { w =>
+          window(w).write.format("hadro").mode("append").save(factP)
+          graft.api.IncrementalRollup.cycle(s, factP, "t21_cur",
+            "graft_t21.db.lang_stats", "lang",
+            Seq("n_tokens" -> "total_tokens"))
+          ()
+        }
+        graft.api.Collection(s, aggP).toDF()
+          .select(col("lang"), col("n"),
+            col("total_tokens").cast("double").as("total_tokens"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(18,2)))
+            AS DOUBLE) AS total_tokens
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ---------------------------------------------------------------- t02
     // Quality scoring: deterministic composite signal per doc, aggregated
     // per source (the shape of corpus-level quality filtering).
