@@ -498,8 +498,25 @@ object DedupOps {
     // pinned version's files mid-read
     val setsColl = indexCollection(spark, indexPath, "sets")
     val bandsColl = indexCollection(spark, indexPath, "bands")
-    val idxSets = setsColl.scanVersion(setsColl.version)
-    val idxBands = bandsColl.scanVersion(bandsColl.version)
+    // EMPTY-INDEX fast path (manifest stats, zero Spark jobs): a freshly
+    // built index has no segments, so the pinned scans are provably empty —
+    // substitute an empty LocalRelation and Catalyst's
+    // PropagateEmptyRelation folds the entire index side (anti-joins,
+    // semi-joins, star grouping, union legs) out of the candidate and
+    // verification plans at optimization time. The FIRST window of every
+    // composed loop otherwise materializes a dozen-plus trivially-empty
+    // AQE stages per probe. Checked inside the ingest lease, so no
+    // concurrent extension can append between the check and the plan.
+    def pinnedOrEmpty(coll: graft.api.Collection): DataFrame = {
+      val df = coll.scanVersion(coll.version)
+      if (graft.meta.CollectionMeta.currentManifest(
+          java.nio.file.Paths.get(coll.path)).segments.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          df.schema)
+      else df
+    }
+    val idxSets = pinnedOrEmpty(setsColl)
+    val idxBands = pinnedOrEmpty(bandsColl)
     // fail a pre-upgrade index LOUDLY instead of with an unresolved
     // column mid-plan: the current layout stores the verification
     // payload under 'payload' in a doc_id-KEYED collection — an index
@@ -571,14 +588,19 @@ object DedupOps {
     val candidates = pinned
       .foldLeft(bandCandidates.unionByName(sigStars))(_ unionByName _)
       .distinct()
-    // ≥1-new-side restriction (stars/pins may carry old-old pairs)
+    // ≥1-new-side restriction (stars/pins may carry old-old pairs).
+    // `candidates` is already distinct and batch ids are unique (onePerId),
+    // so "semi-join on doc_a ∪ semi-join on doc_b, distinct" is exactly a
+    // filter: two map-only broadcast left joins + an OR — one fewer
+    // exchange (the union-distinct) and one fewer pass over the candidate
+    // set, with identical rows.
     val restricted = candidates
-      .join(newIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
-        "left_semi")
-      .unionByName(candidates
-        .join(newIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
-          "left_semi"))
-      .distinct()
+      .join(broadcast(newIds.withColumnRenamed("doc_id", "doc_a")
+        .withColumn("__new_a", lit(true))), Seq("doc_a"), "left")
+      .join(broadcast(newIds.withColumnRenamed("doc_id", "doc_b")
+        .withColumn("__new_b", lit(true))), Seq("doc_b"), "left")
+      .filter(col("__new_a").isNotNull || col("__new_b").isNotNull)
+      .select(col("doc_a"), col("doc_b"))
     // delete-awareness: every pair side must be new (live by definition
     // — it IS tonight's batch) or still live in the base collection.
     // The candidates' old-side ids are hit-proportional, so they
@@ -991,11 +1013,19 @@ object DedupOps {
     * not corpus size. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 13): DataFrame = {
+    // Grams are hashed to 8-byte longs BEFORE the broadcast join (the d04
+    // hashed-shingle discipline): the broadcast relation carries longs
+    // instead of ~13-word strings (an order of magnitude smaller build +
+    // probe), and the corpus side's join key is one xxhash64 instead of a
+    // long string hashed inside the hash-join anyway. Distinct-hit counts
+    // survive hashing (collision odds 2^-64 per gram pair).
     val benchGrams = benchmark
-      .select(explode(TextOps.shingleSet(col(textCol), n)).as("ngram"))
+      .select(explode(transform(TextOps.shingleSet(col(textCol), n),
+        s => xxhash64(s))).as("ngram"))
       .distinct()
     val corpusGrams = corpus.select(col(idCol).as("doc_id"),
-      explode(TextOps.shingleSet(col(textCol), n)).as("ngram"))
+      explode(transform(TextOps.shingleSet(col(textCol), n),
+        s => xxhash64(s))).as("ngram"))
     corpusGrams.join(broadcast(benchGrams), Seq("ngram"))
       .groupBy("doc_id")
       // shingleSet is distinct per doc, so plain count = distinct hits

@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO's default stream cache is FILE-backed: every read/write of an
+  // in-memory image round-trips through a temp file on local disk. All
+  // media here lives in byte arrays, so switch the JVM to the in-memory
+  // cache once — identical bytes decoded/encoded, zero per-row disk I/O.
+  // (Object initialization runs wherever the first media op executes, so
+  // executors get it before their first decode.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Cheap magic-byte sniff: only bytes that claim to be a decodable image
     * format are handed to ImageIO (sniffing first keeps the non-image fast
     * path allocation-free). */

@@ -184,10 +184,17 @@ object TextOps {
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
       size(sigA).cast("double")
 
-  /** Exact Jaccard between two (distinct) shingle arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard between two (distinct) shingle arrays. |A∪B| comes from
+    * |A|+|B|−|A∩B| (exact for distinct inputs — every caller passes
+    * array_distinct-derived sets), so verification pays ONE hash-set pass
+    * per pair instead of two: array_union built and allocated the merged
+    * array only for its size. Codegen subexpression elimination evaluates
+    * the shared array_intersect once. Same integer sizes, bit-identical
+    * quotient. */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b))
+    i.cast("double") / (size(a) + size(b) - i).cast("double")
+  }
 
   /** 64-bit SimHash over a token array (Charikar'02): per bit position, sum
     * +1/-1 votes from each token's hash bit; the sign becomes the bit.
@@ -310,18 +317,35 @@ object TextOps {
     * scales with the corpus, never a cross-doc hotspot. */
   def dupNgramCharFraction(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(wordShingles(col(textCol), n)).as("gram"))
-    val dup = grams
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-      .groupBy(col(idCol))
-      .agg(sum(col("cnt") * length(col("gram"))).as("dup_chars"))
-    df.select(col(idCol), length(col(textCol)).as("__len"))
-      .join(dup, Seq(idCol), "left")
-      .select(col(idCol),
-        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
-          greatest(col("__len"), lit(1)).cast("double"), 6).as("dup_frac"))
+    // MAP-ONLY: every n-gram of a doc lives inside the doc's own row, so
+    // the duplicate-character mass is a per-row computation — sort the
+    // gram array and sum run lengths in one fold (guide §2.4: remove
+    // shuffles outright). The previous shape exploded every gram STRING
+    // into two hash aggregates and a join-back: two corpus-of-grams
+    // exchanges carrying ~n-word strings, for a statistic each row can
+    // compute about itself. A run of r >= 2 equal grams contributes
+    // r*len(gram) chars: +2*len when the 2nd copy is seen, +len per copy
+    // after — identical integer math to the old SUM(cnt*length(gram)).
+    val grams = array_sort(wordShingles(col(textCol), n))
+    val dupChars = aggregate(
+      grams,
+      struct(lit(null).cast("string").as("prev"), lit(1).as("run"),
+        lit(0L).as("dup")),
+      (st, g) => {
+        val isRep = st("prev") === g // null-safe: first gram -> otherwise
+        struct(
+          g.as("prev"),
+          when(isRep, st("run") + 1).otherwise(lit(1)).as("run"),
+          (st("dup") + when(isRep,
+            when(st("run") === 1, length(g).cast("long") * 2L)
+              .otherwise(length(g).cast("long"))).otherwise(lit(0L)))
+            .as("dup"))
+      },
+      st => st("dup"))
+    df.select(col(idCol),
+      round(dupChars.cast("double") /
+        greatest(length(col(textCol)), lit(1)).cast("double"), 6)
+        .as("dup_frac"))
   }
 
   // --------------------------------------------------------------- quality
