@@ -33,6 +33,8 @@ object Profile {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val agg = new java.util.concurrent.ConcurrentHashMap[String, (Double, Int)]()
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[
+      String, (Double, Double, Double, Double, Int)]()
     var record = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
@@ -58,6 +60,16 @@ object Profile {
             (a, b) => (a._1 + b._1, a._2 + b._2))
         }
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (record) {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          stageAgg.put(f"stage${si.stageId}%05d ${si.name}",
+            (m.executorRunTime / 1e3, m.executorCpuTime / 1e9,
+              m.jvmGCTime / 1e3, m.shuffleReadMetrics.fetchWaitTime / 1e3,
+              si.numTasks))
+        }
     })
 
     args.foreach { name =>
@@ -66,7 +78,7 @@ object Profile {
       fn(spark, sfDir).count()
       spark.catalog.clearCache()
       SparkEntry.sweepCatalogConfs(spark)
-      agg.clear(); record = true
+      agg.clear(); stageAgg.clear(); record = true
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
@@ -82,6 +94,11 @@ object Profile {
       println(f"  job wall total ${tot}%.2fs over ${rows.map(_._2._2).sum} jobs")
       rows.take(30).foreach { case (site, (sec, n)) =>
         println(f"  $sec%8.2fs  n=$n%-4d $site")
+      }
+      println("  -- stages (run s / cpu s / gc s / fetchwait s / tasks):")
+      stageAgg.asScala.toSeq.sortBy(-_._2._1).take(25).foreach {
+        case (name, (run, cpu, gc, fw, tasks)) =>
+          println(f"  $run%8.2f $cpu%8.2f $gc%6.2f $fw%6.2f $tasks%5d  $name")
       }
     }
     spark.stop()

@@ -67,8 +67,10 @@ object DedupOps {
     // Persist the signatures: the banded frame feeds BOTH sides of the
     // self-join, and without materialization Spark recomputes the (pricey)
     // MinHash expression once per branch. ContextCleaner reaps the cache
-    // when the frame is garbage-collected.
-    val withSig = df.select(
+    // when the frame is garbage-collected. parallelized: the MinHash
+    // expression is the dominant CPU — never let an unsplittable source
+    // pin it to one task.
+    val withSig = TextOps.parallelized(df).select(
       col(idCol).as("doc_id"),
       TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
@@ -1023,9 +1025,10 @@ object DedupOps {
       .select(explode(transform(TextOps.shingleSet(col(textCol), n),
         s => xxhash64(s))).as("ngram"))
       .distinct()
-    val corpusGrams = corpus.select(col(idCol).as("doc_id"),
-      explode(transform(TextOps.shingleSet(col(textCol), n),
-        s => xxhash64(s))).as("ngram"))
+    val corpusGrams = TextOps.parallelized(corpus)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(TextOps.shingleSet(col(textCol), n),
+          s => xxhash64(s))).as("ngram"))
     corpusGrams.join(broadcast(benchGrams), Seq("ngram"))
       .groupBy("doc_id")
       // shingleSet is distinct per doc, so plain count = distinct hits
@@ -1265,7 +1268,7 @@ object DedupOps {
       col(idCol).as(as),
       TextOps.shingleSet(col(textCol), shingleK).as("shingles"))
       .withColumn("sig", TextOps.minhashSignature(col("shingles"), numHashes))
-    val c = signed(corpus, "doc_id")
+    val c = signed(TextOps.parallelized(corpus), "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = signed(benchmark, "eval_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1330,7 +1333,7 @@ object DedupOps {
         TextOps.shingleSet(col(textCol), shingleK).as("sh"))
       .select(col("eval_id"), size(col("sh")).as("n_eval"),
         explode(transform(col("sh"), s => xxhash64(s))).as("sh_h"))
-    val c = corpus.select(col(idCol).as("doc_id"),
+    val c = TextOps.parallelized(corpus).select(col(idCol).as("doc_id"),
       explode(transform(TextOps.shingleSet(col(textCol), shingleK),
         s => xxhash64(s))).as("sh_h"))
     c.join(broadcast(e), Seq("sh_h"))
@@ -1354,8 +1357,9 @@ object DedupOps {
     * larger window text — the d04 hashed-shingle discipline. The profile
     * counts windows, not window text, so the hash is output-invariant
     * (modulo 64-bit collisions, vanishing at any real corpus size). */
-  def duplicatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
+  def duplicatedSpanProfile(df0: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
+    val df = TextOps.parallelized(df0)
     val counts = df.select(col(idCol).as("doc_id"),
       size(TextOps.shingleSet(col(textCol), w)).as("n_windows"))
     val windows = df.select(col(idCol).as("doc_id"),
@@ -1396,7 +1400,7 @@ object DedupOps {
     * No quadratic stage, no driver collect. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
+    val toks = TextOps.parallelized(df).select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
     // positional windows — wordShingles' exact formula hashed to 8 bytes,
     // plus the 1-based start offset (short docs = one whole-text window)
@@ -1442,7 +1446,7 @@ object DedupOps {
     * a window rank, so no per-window sort. */
   def removeDuplicateSpansKeepOne(df: DataFrame, idCol: String,
       textCol: String, w: Int = 10): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
+    val toks = TextOps.parallelized(df).select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
     val windows = toks.select(col("doc_id"),
       posexplode(transform(
@@ -1565,7 +1569,7 @@ object DedupOps {
     * inverted index joins on longs and verify joins ship long arrays. */
   private def hashedShingleSets(df: DataFrame, idCol: String,
       textCol: String, shingleK: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    TextOps.parallelized(df).select(col(idCol).as("doc_id"),
       transform(TextOps.shingleSet(col(textCol), shingleK), s => xxhash64(s)).as("shingles"))
       .withColumn("set_size", size(col("shingles")))
 
@@ -1654,7 +1658,8 @@ object DedupOps {
     val bpb = if (bits > 0) bits else lshBitsFor(df.count())
     require(bpb * numBands <= 62, s"signature too wide: $numBands bands x $bpb bits")
     val bandMask = (1L << bpb) - 1
-    val withSig = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val withSig = TextOps.parallelized(df)
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .withColumn("sig", SimilarityOps.signLshSignature(col("vec"), bpb * numBands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // bands + stars + both verify branches
     val banded = withSig.select(col("vid"),

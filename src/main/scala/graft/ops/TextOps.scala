@@ -12,6 +12,22 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextOps {
 
+  /** Floor a frame's parallelism at the session default before HEAVY
+    * per-row expression work (shingling, signatures, gram sorts). A scan
+    * whose source has fewer splittable units than cores — one parquet row
+    * group, one gzip member, a single small file — otherwise pins the
+    * whole expression stage to 1-2 tasks while the rest of the machine
+    * idles (guide §2.5 input skew / §2.6 idle capacity). The exchange this
+    * may insert moves the RAW rows once, BEFORE the expression stage
+    * amplifies them into shingle/signature arrays — the cheap side of the
+    * pipeline to move (§2.3). At production scan widths the partition
+    * count already meets the floor and this is a no-op: no exchange is
+    * added, so corpus-sized inputs are never blanket-reshuffled. */
+  private[ops] def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Whitespace tokenization (the testdata corpus is space-separated; use
     * [[tokensRegex]] for punctuation-bearing corpora). */
   def tokens(text: Column): Column = split(text, " ")
@@ -342,7 +358,7 @@ object TextOps {
             .as("dup"))
       },
       st => st("dup"))
-    df.select(col(idCol),
+    parallelized(df).select(col(idCol),
       round(dupChars.cast("double") /
         greatest(length(col(textCol)), lit(1)).cast("double"), 6)
         .as("dup_frac"))

@@ -1956,6 +1956,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val planted = table(s, dir, "documents").select($"doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions { it =>
             it.map { id =>
               val c = (id % 7 + 1).toInt // stripe width class
@@ -2000,6 +2001,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val planted = table(s, dir, "documents").select($"doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions { it =>
             it.map { id =>
               val c = (id % 5 + 1).toInt // burst period class (windows)
@@ -4467,6 +4469,7 @@ object OpsQueries {
         def gifs(copies: Boolean): org.apache.spark.sql.DataFrame =
           table(s, dir, "documents").select(col("doc_id")).as[Long]
             .filter((id: Long) => !copies || id % 10 == 0)
+            .repartition(s.sparkContext.defaultParallelism)
             .mapPartitions { it =>
               it.map { id =>
                 val nF = 3 + (id % 3).toInt
@@ -4524,6 +4527,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val planted = table(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions { it =>
             it.map { id =>
               val nF = 3 + (id % 3).toInt
@@ -4890,6 +4894,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val planted = table(s, dir, "documents").select($"doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions { it =>
             it.map { id =>
               val w = (id % 7 + 1).toInt
@@ -4973,6 +4978,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val planted = table(s, dir, "documents").select($"doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions { it =>
             it.map { id =>
               val n = (200 + id % 50).toInt
