@@ -46,7 +46,8 @@ object Profile {
           case _ =>
         }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties.getProperty("spark.sql.execution.id"))
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
           .flatMap(id => Option(execDesc.get(id.toLong)))
           .orElse(js.stageInfos.sortBy(_.stageId).lastOption.map(_.name))
           .getOrElse("?")

@@ -30,6 +30,14 @@ class TouchedRootsOverBoundException(msg: String)
   * iteration count — the classic iterative-Spark footgun. */
 object ClusterOps {
 
+  /** Driver-side cap on the bounded fold fast path's member fetch
+    * ([[componentsUpdate]]): a window whose touched clusters hold more
+    * member rows than this falls back to the distributed fold, which
+    * never collects member lists at all. Sized so the fast path covers
+    * nightly windows (whose touched subgraphs are batch-proportional)
+    * while a giant cluster touched by one pair stays cluster-side. */
+  private val MaxDriverFoldMembers: Int = 1 << 16
+
   /** `pairs`: two long columns (first < second convention not required).
     * Returns (node, cluster) where cluster = min node id reachable. Nodes
     * appearing only on one side are included; singletons absent from
@@ -210,7 +218,9 @@ object ClusterOps {
     * BATCH-BOUNDED CONTRACT (the [[DedupOps.minhashLshIndexProbe]]
     * discipline): the only driver materializations are the touched-
     * cluster ROOT sets — bounded by |batch docs|, never by corpus or
-    * membership size (member lists are never collected). That bound is
+    * membership size (member lists are collected ONLY on the bounded
+    * fast path, under the explicit [[MaxDriverFoldMembers]] head(n+1)
+    * guard; the distributed fold never collects them). That bound is
     * a contract, not an accident: a whole-log backfill fed as ONE
     * window would drive a corpus-scale root collect, so `maxDriverRoots`
     * fails it loudly with windowing guidance instead of OOMing the
@@ -230,10 +240,154 @@ object ClusterOps {
       maxStateFiles: Int = 64): Long =
     DedupOps.withIngestLease(statePath, enabled = true) {
     val p = java.nio.file.Paths.get(statePath)
-    val pairs = newPairs
+    val pairsDf = newPairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct()
     val exists = graft.meta.CollectionMeta.collectionCommitted(p)
+    // BOUNDED DRIVER-SIDE FOLD (fast path): when the window's pair set
+    // AND the touched clusters' member rows both fit the bounded-probe
+    // discipline, the whole fold — components, changed roots, keep rows,
+    // append set — is plain driver arithmetic over two point reads of
+    // the keyed state. The distributed fold below spends ~12 actions'
+    // fixed job cost per window (pair checkpoint, root fetches, the
+    // iterative alt-star rounds, keep/append checkpoints) computing the
+    // same thing over frames of a few hundred rows — the composed
+    // loops' per-window latency floor (guide §2.4). The union-find
+    // reproduces connectedComponentsAltStar's contract exactly: cluster
+    // label = min reachable id over batch edges ∪ (member → root) star
+    // edges. Member rows are fetched ONLY under an explicit bound
+    // (head(n+1)); anything larger returns None and the distributed
+    // fold — which never collects member lists at all — runs unchanged.
+    def driverFold(): Option[Long] = {
+      val maxPairs = graft.api.Collection.MaxKeyPushdown
+      val pairRows = pairsDf.head(maxPairs + 1)
+      if (pairRows.length > maxPairs) return None
+      val edges = pairRows.map(r => (r.getLong(0), r.getLong(1)))
+      val batchDocs = edges.iterator
+        .flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      val oldRows: Array[(Long, Long)] =
+        if (!exists || batchDocs.isEmpty) Array.empty
+        else {
+          val coll = graft.api.Collection(spark, statePath)
+          val state = coll.scanVersion(coll.version)
+          val touched = state.filter(
+            if (batchDocs.size <= maxIdPushdown)
+              col("doc_id").isin(batchDocs: _*)
+            else col("doc_id").isInCollection(batchDocs))
+            .select(col("cluster")).distinct()
+            .head(batchDocs.size + 1) // distinct roots <= |batch docs|
+          if (touched.length > batchDocs.size) return None // defensive
+          val roots = touched.map(_.getLong(0)).toSeq
+          // the maxDriverRoots CONTRACT holds on this path too (and the
+          // dedicated type keeps componentsCycle's rebuild delegation
+          // working): the fast path's roots are batch-bounded by
+          // construction, but a caller-lowered bound must still refuse
+          if (roots.size > maxDriverRoots)
+            throw new TouchedRootsOverBoundException(
+              s"hadro: componentsUpdate window touches more than " +
+                s"$maxDriverRoots distinct clusters — the root collect is " +
+                "driver-resident and bounded by |batch docs| by contract; " +
+                "fold a backfill of this size in windows instead of one " +
+                "batch (or componentsRebuild for a full pair log), or " +
+                "raise maxDriverRoots if the driver is sized for it")
+          if (roots.isEmpty) Array.empty
+          else {
+            val memb = state.filter(
+              if (roots.size <= maxIdPushdown)
+                col("cluster").isin(roots: _*)
+              else col("cluster").isInCollection(roots))
+              .select(col("doc_id"), col("cluster"))
+              .head(MaxDriverFoldMembers + 1)
+            if (memb.length > MaxDriverFoldMembers) return None
+            memb.map(r => (r.getLong(0), r.getLong(1)))
+          }
+        }
+      // union-find, min-label roots: cluster = min reachable id
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent(c); parent(c) = r; c = nx
+        }
+        r
+      }
+      def union(a: Long, b: Long): Unit = {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+      edges.foreach { case (a, b) => nodes += a; nodes += b; union(a, b) }
+      oldRows.foreach { case (d, c) =>
+        nodes += d; nodes += c; if (d != c) union(d, c)
+      }
+      val labels = nodes.iterator.map(n => (n, find(n))).toArray
+      val roots = oldRows.iterator.map(_._2).toSet
+      // a touched cluster re-roots atomically or not at all: changed =
+      // old roots whose own new label moved (roots only decrease)
+      val changedRoots = roots.filter(r => find(r) != r).toSeq.sorted
+      import spark.implicits._
+      keepPath.foreach { kp =>
+        val kept = labels.groupBy(_._2).iterator.map { case (c, ms) =>
+          (c, ms.iterator.map(_._1).min, ms.length.toLong)
+        }.toSeq.sorted
+        val keepExists = graft.meta.CollectionMeta.collectionCommitted(
+          java.nio.file.Paths.get(kp))
+        if (!keepExists && !exists)
+          // day 0 of the whole loop: the touched clusters ARE the state
+          kept.toDF("cluster", "keep_id", "n_members")
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "cluster").save(kp)
+        else {
+          // keepPath first supplied AFTER the state accumulated clusters:
+          // one-time corpus-proportional backfill (see the distributed
+          // fold below), then this window's touched rows apply as usual
+          if (!keepExists)
+            keepList(spark, statePath)
+              .write.format("hadro").mode("overwrite")
+              .option("hadro.key", "cluster").save(kp)
+          val keep = graft.api.Collection(spark, kp)
+          // ONE atomic commit for the whole window's keep maintenance
+          // (tombstones for merged-away roots + touched upserts)
+          val changes = (kept.map { case (c, k, n) =>
+            (c, Option(k), Option(n), false)
+          } ++ changedRoots.map(c =>
+            (c, Option.empty[Long], Option.empty[Long], true)))
+            .toDF("cluster", "keep_id", "n_members", "_keep_del")
+          if (changedRoots.nonEmpty || kept.nonEmpty)
+            keep.merge(changes, col("_keep_del"))
+        }
+      }
+      // rows that stand: members of UNchanged clusters — everything else
+      // (fresh docs, re-rooted members) appends
+      val changedSet = changedRoots.toSet
+      val unchangedDocs = oldRows.iterator
+        .filter(r => !changedSet.contains(r._2)).map(_._1).toSet
+      val toAppend = labels.filter(l => !unchangedDocs.contains(l._1))
+      val appended = toAppend.length.toLong
+      if (appended > 0)
+        toAppend.toSeq.toDF("doc_id", "cluster")
+          .write.format("hadro")
+          .mode(if (exists) "append" else "overwrite")
+          .option("hadro.key", "doc_id").save(statePath)
+      if (changedRoots.nonEmpty) {
+        val cond =
+          if (changedRoots.size <= maxIdPushdown)
+            col("cluster").isin(changedRoots: _*)
+          else col("cluster").isInCollection(changedRoots)
+        graft.spark.HadroDeleteSupport.dvDeleteWhere(p, cond)
+      }
+      if (exists || appended > 0) {
+        DedupOps.maybeCompactIndex(
+          graft.api.Collection(spark, statePath), maxStateFiles)
+        keepPath.foreach(kp => DedupOps.maybeCompactIndex(
+          graft.api.Collection(spark, kp), maxStateFiles))
+      }
+      Some(appended)
+    }
+    driverFold().getOrElse {
+    val pairs = pairsDf.localCheckpoint()
     val batchDocs = pairs.select(col("a").as("doc_id"))
       .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
     // current rows of every touched cluster (pinned version)
@@ -368,6 +522,7 @@ object ClusterOps {
         graft.api.Collection(spark, kp), maxStateFiles))
     }
     appended
+    }
   }
 
   /** The resolved membership view for [[componentsUpdate]] state:
@@ -840,9 +995,55 @@ object ClusterOps {
     val state = graft.api.Collection(spark, statePath)
     val head = state.version
     def applyTouched(touched: DataFrame): Unit = {
-      val m = touched
+      val resolved = touched
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint()
+      // BOUNDED DRIVER-SIDE WINDOW (the componentsUpdate fast-path
+      // discipline): a steady window touches a few hundred docs, so ONE
+      // bounded head + ONE point read of the cluster-keyed keep-list
+      // replace the checkpoint/fetch/empty-probe action chain (~5 fixed
+      // job costs per window). The full-snapshot paths (first-cycle
+      // bootstrap, post-compaction/post-sweep re-derive) are corpus-
+      // proportional and fall through to the distributed shape below.
+      val maxT = graft.api.Collection.MaxKeyPushdown
+      val headRows = resolved.head(maxT + 1)
+      if (headRows.length <= maxT) {
+        val m = headRows.map(r => (r.getLong(0), r.getLong(1)))
+        val clusters = m.map(_._2).distinct.toSeq
+        val keepAll = keepListMaterialized(spark, keepPath)
+        val keepMap =
+          if (clusters.isEmpty) Map.empty[Long, Long]
+          else keepAll.filter(
+            if (clusters.size <= maxT) col("cluster").isin(clusters: _*)
+            else col("cluster").isInCollection(clusters))
+            .select(col("cluster"), col("keep_id")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // same loud out-of-step gate as the distributed shape below
+        if (m.exists(t => !keepMap.contains(t._2)))
+          throw new IllegalStateException(
+            s"hadro: curationCycle found touched clusters with no row in " +
+              s"the materialized keep-list at $keepPath — the keep-list is " +
+              "out of step with the membership state (a crashed " +
+              "sweepComponents between its two rewrites, or keep_dir not " +
+              "maintained by the components loop). Re-run " +
+              "sweepComponents(keepPath)/CALL system.sweep_components (or " +
+              "componentsRebuild with keepPath) to heal, then re-run this " +
+              "cycle — the cursor has not moved")
+        val changes = m.map { case (d, c) => (d, c, keepMap(c)) }
+        val dropExists = graft.meta.CollectionMeta.collectionCommitted(
+          java.nio.file.Paths.get(dropPath))
+        import spark.implicits._
+        if (!dropExists)
+          changes.filter(t => t._1 != t._3).toSeq
+            .toDF("doc_id", "cluster", "keep_id")
+            .write.format("hadro").mode("overwrite")
+            .option("hadro.key", "doc_id").save(dropPath)
+        else if (changes.nonEmpty)
+          graft.api.Collection(spark, dropPath)
+            .merge(changes.toSeq.toDF("doc_id", "cluster", "keep_id"),
+              col("doc_id") === col("keep_id"))
+        return
+      }
+      val m = resolved.localCheckpoint()
       // keeper lookup restricted to the window's TOUCHED clusters: a
       // bounded set rides the cluster-KEYED keep collection's scan as an
       // IN predicate (the filter references only the LWW resolve's

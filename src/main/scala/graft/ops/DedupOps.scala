@@ -96,12 +96,17 @@ object DedupOps {
     // hashing identically) joins quadratically while identifying nothing —
     // drop it from CANDIDATE GENERATION only; near-dups that differ collide
     // in other bands too. Singleton buckets can never pair, so they're
-    // pruned before the self-join rather than filtered after it.
-    val usable = banded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("bc"))
-      .filter(col("bc") >= 2 && col("bc") <= maxBandBucket)
-      .select(col("band"), col("band_hash"))
-    val pruned = banded.join(usable, Seq("band", "band_hash"))
+    // pruned before the self-join rather than filtered after it. ONE
+    // window over the banded frame (count per bucket partition) replaces
+    // the groupBy + join-back — same counts, one shuffle instead of two,
+    // and the self-join on the bucket key reuses the window's hash
+    // partitioning on both sides (guide §2.4).
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val pruned = banded
+      .withColumn("__bc", count(lit(1)).over(wBucket))
+      .filter(col("__bc") >= 2 && col("__bc") <= maxBandBucket)
+      .select(col("band"), col("band_hash"), col("doc_id"))
     val a = pruned.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = pruned.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
     // Dedup candidate PAIRS first (two longs), verify exactly ONCE per pair
@@ -115,18 +120,18 @@ object DedupOps {
     // and the cluster — the main target of dedup — would yield zero pairs.
     // Cover it with identical-FULL-signature star pairs (representative =
     // min doc_id ↔ each member): linear in cluster size where the clique
-    // is quadratic, cheap (one groupBy on an 8-byte signature hash), and
+    // is quadratic, cheap (one window over an 8-byte signature hash), and
     // for sub-cap clusters the stars are a subset of the band clique, so
-    // the distinct() below absorbs them.
+    // the distinct() below absorbs them. rep = min(doc_id) of the
+    // signature partition, so emitted pairs are already canonical.
     val sigKeyed = banded.filter(col("band") === 0)
       .select(col("doc_id"), col("sig_h")) // one row per doc, off the persisted banded frame
-    val reps = sigKeyed.groupBy(col("sig_h"))
-      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("sig_h"), col("doc_a"))
-    val sigStars = sigKeyed.join(reps, Seq("sig_h"))
-      .filter(col("doc_id") =!= col("doc_a"))
-      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy(col("sig_h"))
+    val sigStars = sigKeyed
+      .withColumn("__rep", min(col("doc_id")).over(wSig))
+      .withColumn("__n", count(lit(1)).over(wSig))
+      .filter(col("__n") >= 2 && col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
     val pinned = mustCheck.map(_.select(
       least(col("doc_a"), col("doc_b")).as("doc_a"),
       greatest(col("doc_a"), col("doc_b")).as("doc_b")))
@@ -510,9 +515,15 @@ object DedupOps {
     // AQE stages per probe. Checked inside the ingest lease, so no
     // concurrent extension can append between the check and the plan.
     def pinnedOrEmpty(coll: graft.api.Collection): DataFrame = {
-      val df = coll.scanVersion(coll.version)
-      if (graft.meta.CollectionMeta.currentManifest(
-          java.nio.file.Paths.get(coll.path)).segments.isEmpty)
+      // ONE manifest read feeds both the version pin and the emptiness
+      // decision: reading them separately (coll.version is a def over
+      // currentManifest) let a concurrent commit land between the two
+      // reads, substituting an empty relation for a non-empty pinned scan
+      // on dry-run probes that never hold the ingest lease.
+      val m = graft.meta.CollectionMeta.currentManifest(
+        java.nio.file.Paths.get(coll.path))
+      val df = coll.scanVersion(m.version)
+      if (m.segments.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           df.schema)
       else df
@@ -550,16 +561,29 @@ object DedupOps {
     val probedBands = idxBandsCur
       .join(broadcast(batchBuckets), Seq("band", "band_hash"), "left_semi")
       .unionByName(newBands)
-    val usable = probedBands.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("bc"))
-      .filter(col("bc") >= 2 && col("bc") <= maxBandBucket)
-      .select(col("band"), col("band_hash"))
-    // the NEW side probes the union: new-old and new-new candidates
-    // fall out, old-old never joins (nothing corpus-quadratic anywhere)
-    val bandCandidates = newBands.join(usable, Seq("band", "band_hash"))
+    // Bucket-usability counts as ONE window over the probed rows instead
+    // of a groupBy + join-back: same counts over the same index∪batch
+    // frame, one shuffle (whose partitioning the candidate join below
+    // reuses — same key) instead of two, and probedBands is referenced
+    // ONCE — the groupBy+join shape re-inlined the whole index∪batch
+    // subtree per reference, which is where the dry-run probes' 300+-node
+    // lazy plans came from (guide §2.4 / §5 plan size). A degenerate
+    // over-cap bucket is one window partition — the join-back put the
+    // same bucket's rows on one partition anyway.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val usableRows = probedBands
+      .withColumn("__bc", count(lit(1)).over(wBucket))
+      .filter(col("__bc") >= 2 && col("__bc") <= maxBandBucket)
+      .select(col("band"), col("band_hash"), col("doc_id"))
+    // the NEW side probes the union: new-old and new-new candidates fall
+    // out, old-old never joins (nothing corpus-quadratic anywhere). The
+    // usability gate lives entirely on the q side: the join's key
+    // equality already confines every pair to q's (usable) bucket, so
+    // filtering the p side too was a redundant second join.
+    val bandCandidates = newBands
       .select(col("band"), col("band_hash"), col("doc_id").as("p"))
-      .join(probedBands.join(usable, Seq("band", "band_hash"))
-        .select(col("band"), col("band_hash"), col("doc_id").as("q")),
+      .join(usableRows.withColumnRenamed("doc_id", "q"),
         Seq("band", "band_hash"))
       .filter(col("p") =!= col("q"))
       .select(least(col("p"), col("q")).as("doc_a"),
@@ -569,21 +593,25 @@ object DedupOps {
     // Same hit-proportional move: only signatures the BATCH carries can
     // be "gained", so the index side semi-joins the batch's broadcast
     // sig_h set before the grouping — identical stars, O(batch) shuffle.
+    // Same one-window shape as the bucket counts (rep/count/any-new over
+    // a sig_h window replaces groupBy + join-back); rep = min(doc_id) of
+    // the cluster, so rep < doc_id on every emitted row and the pair is
+    // already canonical.
     val batchSigs = newSets.select(col("sig_h")).distinct()
     val sigAll = idxSetsCur.select(col("doc_id"), col("sig_h"))
       .join(broadcast(batchSigs), Seq("sig_h"), "left_semi")
       .withColumn("is_new", lit(false))
       .unionByName(newSets.select(col("doc_id"), col("sig_h"),
         lit(true).as("is_new")))
-    val gained = sigAll.groupBy(col("sig_h"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
-        max(col("is_new").cast("int")).as("any_new"))
-      .filter(col("n") >= 2 && col("any_new") === 1)
-      .select(col("sig_h"), col("rep"))
-    val sigStars = sigAll.join(gained, Seq("sig_h"))
-      .filter(col("doc_id") =!= col("rep"))
-      .select(least(col("rep"), col("doc_id")).as("doc_a"),
-        greatest(col("rep"), col("doc_id")).as("doc_b"))
+    val wSig = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sig_h"))
+    val sigStars = sigAll
+      .withColumn("__rep", min(col("doc_id")).over(wSig))
+      .withColumn("__n", count(lit(1)).over(wSig))
+      .withColumn("__any_new", max(col("is_new").cast("int")).over(wSig))
+      .filter(col("__n") >= 2 && col("__any_new") === 1 &&
+        col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
     val pinned = mustCheck.map(_.select(
       least(col("doc_a"), col("doc_b")).as("doc_a"),
       greatest(col("doc_a"), col("doc_b")).as("doc_b")))
@@ -596,37 +624,16 @@ object DedupOps {
     // filter: two map-only broadcast left joins + an OR — one fewer
     // exchange (the union-distinct) and one fewer pass over the candidate
     // set, with identical rows.
+    // the new-side flags stay on the frame: the bounded fast path below
+    // derives each pair's OLD side driver-side from them (a null flag =
+    // not in the batch) with zero extra joins
     val restricted = candidates
       .join(broadcast(newIds.withColumnRenamed("doc_id", "doc_a")
         .withColumn("__new_a", lit(true))), Seq("doc_a"), "left")
       .join(broadcast(newIds.withColumnRenamed("doc_id", "doc_b")
         .withColumn("__new_b", lit(true))), Seq("doc_b"), "left")
       .filter(col("__new_a").isNotNull || col("__new_b").isNotNull)
-      .select(col("doc_a"), col("doc_b"))
-    // delete-awareness: every pair side must be new (live by definition
-    // — it IS tonight's batch) or still live in the base collection.
-    // The candidates' old-side ids are hit-proportional, so they
-    // broadcast into a map-only scan of `live`; the surviving live set
-    // (also hit-proportional) broadcasts back into the pair filter.
-    // Both small frames are CHECKPOINTED once: the gate references the
-    // candidate subtree from five places (base + two broadcast ok-sets,
-    // each reading oldIds twice) — left lazy, the whole banding/star
-    // pipeline re-executes per reference (measured 9x probe cost).
-    val checked = live.fold(restricted) { lv =>
-      val cands = restricted.localCheckpoint()
-      val oldIds = cands.select(col("doc_a").as("doc_id"))
-        .unionByName(cands.select(col("doc_b").as("doc_id")))
-        .distinct()
-        .join(broadcast(newIds), Seq("doc_id"), "left_anti")
-      val liveOld = lv.select(col(lv.columns.head).as("doc_id"))
-        .join(broadcast(oldIds), Seq("doc_id"), "left_semi")
-      val ok = newIds.unionByName(liveOld).localCheckpoint()
-      cands
-        .join(broadcast(ok.withColumnRenamed("doc_id", "doc_a")),
-          Seq("doc_a"), "left_semi")
-        .join(broadcast(ok.withColumnRenamed("doc_id", "doc_b")),
-          Seq("doc_b"), "left_semi")
-    }
+    val restrictedPairs = restricted.select(col("doc_a"), col("doc_b"))
     val allSets = idxSetsCur.unionByName(newSets)
     def verified(cands: DataFrame, src: DataFrame): DataFrame = cands
       .join(src.select(col("doc_id").as("doc_a"),
@@ -636,29 +643,129 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         score(col("p_a"), col("p_b")).as(scoreName))
       .filter(col(scoreName) >= threshold)
-    if (!extendIndex && !eagerVerify) verified(checked, allSets)
+    // Default dry-run probes stay FULLY LAZY (zero actions at
+    // construction, the map-only broadcast-join scan) — the documented
+    // contract, unchanged.
+    if (!extendIndex && !eagerVerify && live.isEmpty)
+      verified(restrictedPairs, allSets)
     else {
-      // HIT-PROPORTIONAL verification READ (extend mode — the nightly
-      // shape, where the probe materializes anyway — and eagerVerify
-      // dry-runs): the candidate set is checkpointed and its bounded id
-      // set pushes into the keyed sets scan as an IN predicate, where
-      // the per-segment key bloom / key-offset sidecars prune to only
-      // the touched segments — the payload fetch reads O(candidates)
-      // point batches instead of scanning the whole corpus-sized sets
-      // table twice. Larger candidate sets fall back to the map-only
-      // broadcast-join scan (default dry-run probes always use it:
-      // they must stay fully lazy).
-      val cands = checked.localCheckpoint()
-      val candIds = cands.select(col("doc_a").as("doc_id"))
-        .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
-      val src = graft.api.Collection.boundedKeyLits(candIds, maxIdPushdown)
-        .fold(allSets)(vs => allSets.filter(col("doc_id").isin(vs: _*)))
+      // BOUNDED DRIVER-SIDE CANDIDATE WINDOW: every materializing mode
+      // (extend — the nightly shape — eagerVerify, and the live gate,
+      // which always needed actions) starts with ONE bounded executeTake
+      // over the candidate pipeline. Within `maxIdPushdown` pairs — the
+      // nightly norm: candidates are hit-proportional — the pairs land
+      // in a driver-local relation, so the live gate, the verification
+      // join, the id pushdown, the empty-window check and the returned
+      // frame all read driver rows instead of re-materializing the
+      // banding pipeline per reference (r18's Profile measured the
+      // checkpoints this replaces at ~28 tiny AQE stage jobs per probe —
+      // the composed loops' per-window latency floor). Over bound,
+      // everything falls back to the r18 checkpoint/broadcast shape —
+      // nothing driver-resident beyond the bounded head, same results.
+      val fetched = restricted.head(maxIdPushdown + 1)
+      val fetchedTriple: (DataFrame, Option[Seq[Any]],
+          Option[Array[org.apache.spark.sql.Row]]) =
+        if (fetched.length <= maxIdPushdown) {
+          val ia = restricted.schema.fieldIndex("doc_a")
+          val ib = restricted.schema.fieldIndex("doc_b")
+          val ifa = restricted.schema.fieldIndex("__new_a")
+          val ifb = restricted.schema.fieldIndex("__new_b")
+          // delete-awareness, driver-side: each pair's OLD sides (null
+          // new-flag = not in tonight's batch) must still be live. One
+          // point-read of `live` restricted to the bounded old-id set
+          // (IN pushdown when it fits, map-only InSet scan otherwise)
+          // replaces the distributed gate's checkpoint + three broadcast
+          // materializations; new sides are live by definition.
+          val kept = live match {
+            case None => fetched
+            case Some(lv) =>
+              val oldIds = fetched.iterator.flatMap { r =>
+                (if (r.isNullAt(ifa)) Iterator.single(r.get(ia))
+                 else Iterator.empty) ++
+                  (if (r.isNullAt(ifb)) Iterator.single(r.get(ib))
+                   else Iterator.empty)
+              }.toSeq.distinct
+              if (oldIds.isEmpty) fetched
+              else {
+                val lcol = col(lv.columns.head)
+                val cond =
+                  if (oldIds.size <= maxIdPushdown) lcol.isin(oldIds: _*)
+                  else lcol.isInCollection(oldIds)
+                val liveOld = lv.filter(cond).select(lv.columns.head)
+                  .distinct().collect().map(_.get(0)).toSet
+                fetched.filter { r =>
+                  (!r.isNullAt(ifa) || liveOld.contains(r.get(ia))) &&
+                    (!r.isNullAt(ifb) || liveOld.contains(r.get(ib)))
+                }
+              }
+          }
+          val pairList =
+            new java.util.ArrayList[org.apache.spark.sql.Row](kept.length)
+          kept.foreach(r => pairList.add(
+            org.apache.spark.sql.Row(r.get(ia), r.get(ib))))
+          val localDf = spark.createDataFrame(pairList,
+            org.apache.spark.sql.types.StructType(
+              restrictedPairs.schema.fields))
+          val ids = kept.iterator
+            .flatMap(r => Iterator(r.get(ia), r.get(ib))).toSeq.distinct
+          (localDf, if (ids.size <= maxIdPushdown) Some(ids) else None,
+            Some(kept))
+        } else {
+          // over-bound fallback: the r18 shape. Delete-awareness first —
+          // the candidates' old-side ids broadcast into a map-only scan
+          // of `live`; the surviving set broadcasts back into the pair
+          // filter; both small frames checkpointed once (left lazy, the
+          // banding pipeline re-executes per reference — measured 9x).
+          val checked = live.fold(restrictedPairs) { lv =>
+            val cs = restrictedPairs.localCheckpoint()
+            val oldIds = cs.select(col("doc_a").as("doc_id"))
+              .unionByName(cs.select(col("doc_b").as("doc_id")))
+              .distinct()
+              .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+            val liveOld = lv.select(col(lv.columns.head).as("doc_id"))
+              .join(broadcast(oldIds), Seq("doc_id"), "left_semi")
+            val ok = newIds.unionByName(liveOld).localCheckpoint()
+            cs
+              .join(broadcast(ok.withColumnRenamed("doc_id", "doc_a")),
+                Seq("doc_a"), "left_semi")
+              .join(broadcast(ok.withColumnRenamed("doc_id", "doc_b")),
+                Seq("doc_b"), "left_semi")
+          }
+          // checkpoint once; the bounded id set pushes into the keyed
+          // sets scan as an IN predicate (key bloom / key-offset pruned)
+          // when it fits, else the map-only broadcast-join scan
+          val cs = checked.localCheckpoint()
+          val candIds = cs.select(col("doc_a").as("doc_id"))
+            .unionByName(cs.select(col("doc_b").as("doc_id"))).distinct()
+          (cs, graft.api.Collection.boundedKeyLits(candIds, maxIdPushdown),
+            None)
+        }
+      val cands = fetchedTriple._1
+      val candLits = fetchedTriple._2
+      val localRows = fetchedTriple._3
+      val src = candLits.fold(allSets)(vs =>
+        allSets.filter(col("doc_id").isin(vs: _*)))
       if (!extendIndex) verified(cands, src)
       else {
       // materialize the pairs BEFORE the index mutates: a consumer
       // failure after this call must be retryable without re-probing an
-      // already-extended index under its feet
-      val result = verified(cands, src).localCheckpoint()
+      // already-extended index under its feet. In the bounded path the
+      // verified pairs (≤ the candidate bound by construction) collect
+      // into a driver-local relation — cheaper than a checkpoint,
+      // equally mutation-proof, and the empty-window check is free.
+      val vdf = verified(cands, src)
+      val resultPair: (DataFrame, () => Boolean) = localRows match {
+        case Some(_) =>
+          val rs = vdf.collect()
+          val lst = new java.util.ArrayList[org.apache.spark.sql.Row](rs.length)
+          rs.foreach(lst.add)
+          (spark.createDataFrame(lst, vdf.schema), () => rs.isEmpty)
+        case None =>
+          val r = vdf.localCheckpoint()
+          (r, () => r.isEmpty)
+      }
+      val result = resultPair._1
+      val resultEmpty = resultPair._2
       // PERSISTED PAIR STREAM (the composed-pipeline seam): append the
       // window's pairs to an append-only hadro collection INSIDE the
       // lease, BEFORE the index mutates. Exactly-once across crash
@@ -700,7 +807,7 @@ object DedupOps {
         // re-appending nothing on a retry is a no-op, so the stamp
         // buys nothing and the pairs collection stays commit-per-
         // nonempty-window)
-        if (!applied.contains(windowId) && !result.isEmpty) {
+        if (!applied.contains(windowId) && !resultEmpty()) {
           graft.meta.CollectionMeta.registerCommitEpoch(pp, key, windowId)
           // modality-uniform log schema (doc_a, doc_b, score, metric):
           // a text probe and an embedding probe can feed ONE pairs
@@ -739,32 +846,14 @@ object DedupOps {
       // (key-bloom-pruned on the keyed sets; min/max-segment-pruned on
       // bands, where a nightly batch's ids cluster in recent segments).
       val extendTable = (tbl: graft.api.Collection, rows: DataFrame,
-          state: DataFrame) => {
-        // state: (doc_id, same) for PRESENT batch ids. ONE detection job:
-        // the split is ≤ |batch| rows — the same driver-side bound the
-        // broadcast/boundedKeyLits discipline already accepts — so
-        // collect it once and drive both the DV delete and the append's
-        // exclusion list from driver-local values (an all-new nightly
+          split: Array[(Any, Boolean)]) => {
+        // split: (doc_id, same) for batch ids PRESENT in this table,
+        // already driver-resident (ONE fused detection job for both
+        // tables — see below); drive the DV delete and the append's
+        // exclusion list from the local values (an all-new nightly
         // batch pays exactly one map-only index scan + one write per
         // table; no per-stage checkpoint jobs)
-        // BOUNDED fetch, not collect(): head(n+1) caps the driver
-        // materialization at the guard's own threshold — a corpus-sized
-        // "batch" (a whole-log backfill fed as one window) fails the
-        // require below LOUDLY instead of OOMing the driver inside a
-        // collect() the guard could never reach. Within bound, head()
-        // returns the complete split (there are at most n rows).
-        val st = state.head(maxStateSplit + 1)
-        // the |batch| bound is a CONTRACT, not an accident: fail loudly
-        // before a corpus-sized "batch" (a whole-log backfill fed as one
-        // window) OOMs the driver — backfills must ingest in windows
-        require(st.length <= maxStateSplit,
-          s"hadro: index extension for ${tbl.path} found ${st.length} " +
-            s"batch ids already present — above maxStateSplit " +
-            s"($maxStateSplit). The changed/unchanged split is driver-" +
-            "resident by design (bounded by |batch|); ingest a backfill " +
-            "of this size in windows instead of one batch, or raise " +
-            "maxStateSplit if the driver is sized for it")
-        val changed = st.filter(!_.getBoolean(1)).map(_.get(0)).toSeq
+        val changed = split.filter(!_._2).map(_._1).toSeq
         if (changed.nonEmpty) {
           // bounded change sets ride a literal IN — it reaches the scan
           // as a pushed source filter, so per-segment stats (and the key
@@ -777,7 +866,7 @@ object DedupOps {
           graft.spark.HadroDeleteSupport.dvDeleteWhere(
             java.nio.file.Paths.get(tbl.path), cond)
         }
-        val unchanged = st.filter(_.getBoolean(1)).map(_.get(0)).toSeq
+        val unchanged = split.filter(_._2).map(_._1).toSeq
         val toWrite = if (unchanged.isEmpty) rows
           else rows.filter(!col("doc_id").isInCollection(unchanged))
         toWrite.write.format("hadro").mode("append").save(tbl.path)
@@ -801,7 +890,6 @@ object DedupOps {
           .as("allmatch"), count(lit(1)).as("nrows"))
         .select(col("doc_id"),
           (col("allmatch") && col("nrows") === 1).as("same"))
-      extendTable(setsColl, newSets, setsState)
       // bands: `bands` rows per id — unchanged iff every (band,
       // band_hash) row matches AND each band holds exactly ONE stored
       // row (the sets-side nrows guard's twin: an id carrying exact
@@ -824,7 +912,34 @@ object DedupOps {
         .agg(max(col("oh").isNull || col("nh").isNull ||
           col("oh") =!= col("nh") || col("n_old") =!= 1).as("diff"))
         .select(col("doc_id"), (!col("diff")).as("same"))
-      extendTable(bandsColl, newBands, bandsState)
+      // ONE detection action for BOTH tables: the per-table split frames
+      // full-outer join on doc_id — a side's null means the id is absent
+      // from that table (a plain insert there), so the per-table healing
+      // semantics are exactly the two separate fetches' — and the driver
+      // pays one job instead of two.
+      // BOUNDED fetch, not collect(): head(n+1) caps the driver
+      // materialization at the guard's own threshold — a corpus-sized
+      // "batch" (a whole-log backfill fed as one window) fails the
+      // require below LOUDLY instead of OOMing the driver inside a
+      // collect() the guard could never reach. Within bound, head()
+      // returns the complete split (there are at most n rows). The
+      // |batch| bound is a CONTRACT, not an accident: backfills must
+      // ingest in windows.
+      val stBoth = setsState.withColumnRenamed("same", "s_same")
+        .join(bandsState.withColumnRenamed("same", "b_same"),
+          Seq("doc_id"), "full_outer")
+        .head(maxStateSplit + 1)
+      require(stBoth.length <= maxStateSplit,
+        s"hadro: index extension for $indexPath found ${stBoth.length} " +
+          s"batch ids already present — above maxStateSplit " +
+          s"($maxStateSplit). The changed/unchanged split is driver-" +
+          "resident by design (bounded by |batch|); ingest a backfill " +
+          "of this size in windows instead of one batch, or raise " +
+          "maxStateSplit if the driver is sized for it")
+      extendTable(setsColl, newSets,
+        stBoth.filter(!_.isNullAt(1)).map(r => (r.get(0), r.getBoolean(1))))
+      extendTable(bandsColl, newBands,
+        stBoth.filter(!_.isNullAt(2)).map(r => (r.get(0), r.getBoolean(2))))
       // bounded small segments: nightly appends add a few per ingest
       // forever — bin-pack (atomic replace commit, reader-safe via
       // deferred GC) once the count crosses the threshold
@@ -1282,11 +1397,17 @@ object DedupOps {
     // a band bucket shared by more docs than maxBandBucket identifies
     // nothing and joins linearly-in-cap anyway; dropped buckets' true
     // pairs still surface through other bands or the sig-equality rescue.
-    val usable = cb.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("bc"))
-      .filter(col("bc") <= maxBandBucket)
-      .select(col("band"), col("band_hash"))
-    val bandCandidates = cb.join(usable, Seq("band", "band_hash"))
+    // cap as ONE window over the corpus banding instead of groupBy +
+    // join-back (the minhashLshPairs shape): one shuffle, one pass over
+    // cb, and the eval join reuses the window's bucket partitioning. No
+    // >= 2 floor here — a singleton corpus bucket can still pair with an
+    // eval row.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val bandCandidates = cb
+      .withColumn("__bc", count(lit(1)).over(wBucket))
+      .filter(col("__bc") <= maxBandBucket)
+      .select(col("band"), col("band_hash"), col("doc_id"))
       .join(eb, Seq("band", "band_hash"))
       .select(col("doc_id"), col("eval_id"))
     // Exact-leak rescue: identical full signatures collide in EVERY band,
@@ -1582,11 +1703,18 @@ object DedupOps {
   private def ngramCandidates(sets: DataFrame, minShared: Int,
       maxDocFreq: Int): DataFrame = {
     val inverted = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val rare = inverted.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
-      .select(col("shingle"))
-    val postings = inverted.join(rare, Seq("shingle"))
+    // df-cap as ONE window over the inverted index instead of a
+    // groupBy + join-back (guide §2.4): shingles are distinct per doc
+    // (shingleSet), so count-over-partition IS the doc frequency; one
+    // shuffle replaces the count shuffle + the postings join, the
+    // exploded index is built once instead of once per reference, and
+    // the self-join below reuses the window's hash partitioning on the
+    // shingle key — no further exchange on either side.
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val postings = inverted
+      .withColumn("__df", count(lit(1)).over(wSh))
+      .filter(col("__df") <= maxDocFreq && col("__df") >= 2)
+      .select(col("shingle"), col("doc_id"))
     val a = postings.select(col("shingle"), col("doc_id").as("doc_a"))
     val bb = postings.select(col("shingle"), col("doc_id").as("doc_b"))
     a.join(bb, Seq("shingle"))
@@ -1658,7 +1786,13 @@ object DedupOps {
     val bpb = if (bits > 0) bits else lshBitsFor(df.count())
     require(bpb * numBands <= 62, s"signature too wide: $numBands bands x $bpb bits")
     val bandMask = (1L << bpb) - 1
-    val withSig = TextOps.parallelized(df)
+    // NO parallelized floor here (unlike the MinHash paths): the sign-LSH
+    // signature over a short float vector is far cheaper per row than
+    // MinHash-over-shingles, so the floor's round-robin exchange costs
+    // more than the parallelism buys — the r18 driver measured it as a
+    // net −18% on d05 (the same trade measured and reverted on the light
+    // tokenize paths d03/t18/t19/d27).
+    val withSig = df
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .withColumn("sig", SimilarityOps.signLshSignature(col("vec"), bpb * numBands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // bands + stars + both verify branches
@@ -1671,24 +1805,27 @@ object DedupOps {
     // Per-band bucket cap, exactly as in minhashLshPairs: singleton buckets
     // can never pair (pruned pre-join); over-cap buckets join quadratically
     // while identifying mostly noise (prune, recall via other bands + stars).
-    val usable = banded.groupBy(col("band"), col("band_sig"))
-      .agg(count(lit(1)).as("bc"))
-      .filter(col("bc") >= 2 && col("bc") <= maxBucket)
-      .select(col("band"), col("band_sig"))
-    val pruned = banded.join(usable, Seq("band", "band_sig"))
+    // Same one-window shapes as minhashLshPairs (count per bucket / rep per
+    // signature over a window instead of groupBy + join-back): one shuffle
+    // each, and the self-join reuses the window's partitioning.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_sig"))
+    val pruned = banded
+      .withColumn("__bc", count(lit(1)).over(wBucket))
+      .filter(col("__bc") >= 2 && col("__bc") <= maxBucket)
+      .select(col("band"), col("band_sig"), col("vid"))
     val a = pruned.select(col("band"), col("band_sig"), col("vid").as("id_a"))
     val b = pruned.select(col("band"), col("band_sig"), col("vid").as("id_b"))
     val bandCandidates = a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     val sigKeyed = withSig.select(col("vid"), col("sig"))
-    val reps = sigKeyed.groupBy(col("sig"))
-      .agg(min(col("vid")).as("id_a"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("sig"), col("id_a"))
-    val sigStars = sigKeyed.join(reps, Seq("sig"))
-      .filter(col("vid") =!= col("id_a"))
-      .select(col("id_a"), col("vid").as("id_b"))
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+    val sigStars = sigKeyed
+      .withColumn("__rep", min(col("vid")).over(wSig))
+      .withColumn("__n", count(lit(1)).over(wSig))
+      .filter(col("__n") >= 2 && col("vid") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("vid").as("id_b"))
     bandCandidates.unionByName(sigStars).distinct()
       .join(withSig.select(col("vid").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(withSig.select(col("vid").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))

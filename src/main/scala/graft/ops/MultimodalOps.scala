@@ -21,10 +21,18 @@ object MultimodalOps {
   // ImageIO's default stream cache is FILE-backed: every read/write of an
   // in-memory image round-trips through a temp file on local disk. All
   // media here lives in byte arrays, so switch the JVM to the in-memory
-  // cache once — identical bytes decoded/encoded, zero per-row disk I/O.
-  // (Object initialization runs wherever the first media op executes, so
-  // executors get it before their first decode.)
-  javax.imageio.ImageIO.setUseCache(false)
+  // cache — identical bytes decoded/encoded, zero per-row disk I/O.
+  // Exposed as an explicit idempotent entry point (a volatile boolean
+  // write when already set) so any codepath that reaches ImageIO WITHOUT
+  // touching this object — e.g. a fixture generator's serialized lambda
+  // on a remote executor — can force it provably before first use; the
+  // object initializer below covers every MultimodalOps method itself.
+  // This deliberately mutates process-global ImageIO state: the engine
+  // never decodes through files, so the in-memory cache is strictly
+  // better for every ImageIO user it hosts.
+  private[graft] def ensureInMemoryImageIO(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+  ensureInMemoryImageIO()
 
   /** Cheap magic-byte sniff: only bytes that claim to be a decodable image
     * format are handed to ImageIO (sniffing first keeps the non-image fast

@@ -25,7 +25,20 @@ object TextOps {
     * added, so corpus-sized inputs are never blanket-reshuffled. */
   private[ops] def parallelized(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Probe the width ONLY on narrow plans (no Exchange in the pre-AQE
+    // physical plan): with AQE on, `.rdd` on a plan containing exchanges
+    // eagerly materializes every upstream query stage at DataFrame-
+    // construction time, and the later real action re-plans and re-runs
+    // them — silently doubling upstream work on caller-supplied frames
+    // (resolved collection views, composed-loop intermediates). A frame
+    // that already shuffled gets its downstream parallelism from AQE
+    // anyway, so the floor is both unsafe to probe and unnecessary there.
+    val narrow = !df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (narrow && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   /** Whitespace tokenization (the testdata corpus is space-separated; use
@@ -102,14 +115,21 @@ object TextOps {
     * partial-aggregation order, and ln() can differ in the last ulp
     * between libms). */
   def lmNllScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // token keys hashed to 8-byte longs before the vocabulary exchange
+    // and the broadcast (the d09 discipline): the model relation carries
+    // (long, double) instead of token strings — a smaller broadcast
+    // build + probe — and the scoring join hashes one long instead of a
+    // string. Counts survive hashing (2^-64 collision odds per token
+    // pair); the corpus scan side is unchanged.
     val toks = df.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+    val vocab = toks.groupBy(col("th")).agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).as("t"))
     val model = vocab.crossJoin(broadcast(total))
-      .select(col("tok"),
+      .select(col("th"),
         round(-log(col("c").cast("double") / col("t")), 6).as("nll"))
-    toks.join(broadcast(model), Seq("tok"))
+    toks.join(broadcast(model), Seq("th"))
       .groupBy(col("doc_id"))
       .agg(round(
         sum(col("nll").cast(DecimalType(27, 12))).cast("double") /
@@ -130,21 +150,36 @@ object TextOps {
   def lmBigramNllScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= 2)
+    // Every exchanged key is an 8-byte xxhash64 (the d09 discipline):
+    // the corpus-of-bigrams frames shuffle (doc_id, bigram-hash) and the
+    // model aggregations shuffle hashes instead of token/bigram STRINGS
+    // — the dominant byte volume of the old shape. Counts survive
+    // hashing (2^-64 collision odds per key pair, the same trade every
+    // hashed-shingle path already accepts). `ah` (the leading token's
+    // hash) rides along for the conditional ca lookup.
     val pairs = toks.select(col("doc_id"), explode(
         zip_with(
           slice(col("ts"), lit(1), size(col("ts")) - 1),
           slice(col("ts"), lit(2), size(col("ts")) - 1),
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("doc_id"),
+        xxhash64(col("p.a")).as("ah"),
+        xxhash64(col("p.a"), col("p.b")).as("bh"))
     val uni = toks.select(explode(col("ts")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("ca"))
-    val v = uni.count()
-    val bi = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-    val model = bi.join(uni, bi("a") === uni("tok"))
-      .select(col("a"), col("b"),
-        round(-log((col("cab") + 1).cast("double") / (col("ca") + v)), 6)
+      .select(xxhash64(col("tok")).as("ah"))
+      .groupBy(col("ah")).agg(count(lit(1)).as("ca"))
+    // vocabulary size as a 1-row broadcast instead of an EAGER count():
+    // the old uni.count() ran a full corpus pass at plan-construction
+    // time and then recomputed uni again inside the model join
+    val vDf = uni.agg(count(lit(1)).as("v"))
+    val bi = pairs.groupBy(col("bh"))
+      .agg(count(lit(1)).as("cab"), min(col("ah")).as("ah"))
+    val model = bi.join(uni, Seq("ah"))
+      .crossJoin(broadcast(vDf))
+      .select(col("bh"),
+        round(-log((col("cab") + 1).cast("double") / (col("ca") + col("v"))), 6)
           .as("nll"))
-    pairs.join(model, Seq("a", "b"))
+    pairs.select(col("doc_id"), col("bh")).join(model, Seq("bh"))
       .groupBy(col("doc_id"))
       .agg(round(
         sum(col("nll").cast(DecimalType(27, 12))).cast("double") /
@@ -168,17 +203,47 @@ object TextOps {
     val toks = df.select(col(idCol).as("doc_id"),
         filter(split(lower(col(textCol)), " "), t => length(t) > 0).as("ts"))
       .filter(size(col("ts")) > 0)
-    val tf = toks.select(col("doc_id"), explode(col("ts")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    // Per-doc term frequencies are a PER-ROW computation (the t16
+    // map-only discipline): sort the token array once and run-length
+    // encode it — boundaries are the positions where the sorted array
+    // changes, each run is one (term, tf) pair — so the old
+    // explode → groupBy(doc, term) corpus-of-tokens exchange disappears,
+    // and dl (the doc length BM25 needs) is just size(ts), not a second
+    // aggregation. O(n log n) per doc, identical counts. The sorted
+    // array and the boundary list are BOUND AS COLUMNS before any lambda
+    // references them: an expression inlined into a higher-order
+    // function's lambda body re-evaluates PER ELEMENT (an inlined
+    // array_sort turns the scan O(n² log n) — measured 37x slower).
+    val tf = toks
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        array_sort(col("ts")).as("__sorted"))
+      .select(col("doc_id"), col("dl"), col("__sorted"),
+        filter(sequence(lit(1), size(col("__sorted"))), i =>
+          i === 1 || element_at(col("__sorted"), i) =!=
+            element_at(col("__sorted"), i - 1)).as("__bounds"))
+      .select(col("doc_id"), col("dl"),
+        explode(zip_with(
+          col("__bounds"),
+          concat(slice(col("__bounds"), lit(2),
+              greatest(size(col("__bounds")) - 1, lit(0))),
+            array(size(col("__sorted")) + 1)),
+          (s, e) => struct(element_at(col("__sorted"), s).as("term"),
+            (e - s).cast("long").as("tf")))).as("tt"))
+      .select(col("doc_id"), col("dl"), col("tt.term").as("term"),
+        col("tt.tf").as("tf"), xxhash64(col("tt.term")).as("th"))
+    // document frequencies keyed by the 8-byte term hash (the d09
+    // hashed-key discipline): the vocabulary exchange and the join key
+    // carry longs instead of term strings
+    val dfreq = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
+    // 1-row corpus constants straight off the per-doc frame (one row per
+    // doc by construction — no aggregation pipeline needed to count docs)
+    val corpus = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("ts")).cast("long")).as("avgdl"))
     // broadcast the 1-row corpus constant explicitly (every other
     // corpus-constant join in this file does): the planner handles a
     // 1-row side fine today, but the hint keeps the plan shape
     // independent of stats drift
-    val scored = tf.join(dl, "doc_id").join(dfreq, "term")
+    val scored = tf.join(dfreq, "th")
       .crossJoin(broadcast(corpus))
       .select(col("doc_id"), col("term"),
         round(

@@ -1973,6 +1973,10 @@ object OpsQueries {
                 y += 1
               }
               val bos = new java.io.ByteArrayOutputStream()
+              // in-memory ImageIO cache, forced from inside the executor
+              // lambda (this closure never touches MultimodalOps before
+              // its first encode)
+              graft.ops.MultimodalOps.ensureInMemoryImageIO()
               javax.imageio.ImageIO.write(img, "png", bos)
               (id, bos.toByteArray)
             }
@@ -4909,6 +4913,10 @@ object OpsQueries {
                 y += 1
               }
               val bos = new java.io.ByteArrayOutputStream()
+              // in-memory ImageIO cache, forced from inside the executor
+              // lambda (this closure never touches MultimodalOps before
+              // its first encode)
+              graft.ops.MultimodalOps.ensureInMemoryImageIO()
               javax.imageio.ImageIO.write(img, "png", bos)
               (id, bos.toByteArray)
             }

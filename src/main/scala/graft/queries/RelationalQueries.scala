@@ -555,6 +555,15 @@ object RelationalQueries {
     QueryDef(
       "q23_recursive_cte",
       (s, dir) => {
+        // Examined for r19 (profiled, left alone): the 2 s at sf0.1 is
+        // ~55 sub-10ms jobs plus ~2 s of DRIVER time — UnionLoop
+        // re-plans and re-optimizes each of the ~14 recursion steps; no
+        // stage exceeds 10 ms of executor run time. A cached/projected
+        // view with a precomputed `parent` key was measured (2.07 →
+        // 2.26 s best-of-3: cache-write cost, zero scan savings) and
+        // reverted. The residual cost is the recursion's per-iteration
+        // planning floor, which only a closed-form rewrite could remove
+        // — and that would stop exercising WITH RECURSIVE at all.
         QueryDef.table(s, dir, "customer").createOrReplaceTempView("q23_customer")
         s.sql("""WITH RECURSIVE reach(root, node) AS (
             SELECT c_custkey, c_custkey FROM q23_customer WHERE c_custkey < 8

@@ -1818,6 +1818,41 @@ class OpsSpec extends SparkSuite {
       "sets must be keyed for bloom/offset pruning")
   }
 
+  test("componentsUpdate bounded driver fold matches the distributed fold " +
+      "(same membership, same keep rows, either path)") {
+    import spark.implicits._
+    // one 1201-node chain. Folded as ONE 1200-pair window it exceeds the
+    // driver fast path's pair bound (MaxKeyPushdown) and takes the
+    // distributed alt-star fold; folded as two 600-pair windows each
+    // window fits the bound and takes the driver union-find (window 2
+    // additionally pulls window 1's cluster members — the member-fetch
+    // branch). Both must land the identical state and keep-list.
+    val dir = java.nio.file.Files.createTempDirectory("dfold").toString
+    val st1 = s"$dir/s1"; val kp1 = s"$dir/k1"
+    val st2 = s"$dir/s2"; val kp2 = s"$dir/k2"
+    ClusterOps.componentsUpdate(spark,
+      (0L until 1200L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b",
+      st1, keepPath = Some(kp1))
+    ClusterOps.componentsUpdate(spark,
+      (0L until 600L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b",
+      st2, keepPath = Some(kp2))
+    ClusterOps.componentsUpdate(spark,
+      (600L until 1200L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b",
+      st2, keepPath = Some(kp2))
+    val m1 = ClusterOps.components(spark, st1)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val m2 = ClusterOps.components(spark, st2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(m1 == m2, s"fold paths diverged: ${m1.take(5)} vs ${m2.take(5)}")
+    assert(m1.forall(_._2 == 0L) && m1.size == 1201, m1.take(5).toString)
+    val k1 = ClusterOps.keepListMaterialized(spark, kp1)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val k2 = ClusterOps.keepListMaterialized(spark, kp2)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(k1 == Seq((0L, 0L, 1201L)), k1.toString)
+    assert(k1 == k2, s"keep lists diverged: $k1 vs $k2")
+  }
+
   test("LSH index probe never emits an old-old pair, even when mustCheck " +
       "pins one") {
     val idx = java.nio.file.Files.createTempDirectory("lshmc").toString + "/i"
