@@ -557,7 +557,10 @@ object DedupOps {
     // scan map-only and the count shuffle carries O(batch) rows, not
     // every band row the corpus ever wrote. Counts for surviving
     // buckets are computed over index ∪ batch, exactly as before.
-    val batchBuckets = newBands.select(col("band"), col("band_hash")).distinct()
+    // no distinct on the semi-join's broadcast side: the broadcast hash
+    // relation dedups keys as it builds, so the distinct only added a
+    // shuffle stage per probe
+    val batchBuckets = newBands.select(col("band"), col("band_hash"))
     val probedBands = idxBandsCur
       .join(broadcast(batchBuckets), Seq("band", "band_hash"), "left_semi")
       .unionByName(newBands)
@@ -597,7 +600,7 @@ object DedupOps {
     // a sig_h window replaces groupBy + join-back); rep = min(doc_id) of
     // the cluster, so rep < doc_id on every emitted row and the pair is
     // already canonical.
-    val batchSigs = newSets.select(col("sig_h")).distinct()
+    val batchSigs = newSets.select(col("sig_h")) // semi side: no distinct
     val sigAll = idxSetsCur.select(col("doc_id"), col("sig_h"))
       .join(broadcast(batchSigs), Seq("sig_h"), "left_semi")
       .withColumn("is_new", lit(false))
@@ -624,15 +627,22 @@ object DedupOps {
     // filter: two map-only broadcast left joins + an OR — one fewer
     // exchange (the union-distinct) and one fewer pass over the candidate
     // set, with identical rows.
-    // the new-side flags stay on the frame: the bounded fast path below
-    // derives each pair's OLD side driver-side from them (a null flag =
-    // not in the batch) with zero extra joins
+    // the new-side flags stay on the frame (boolean, non-null): the
+    // bounded fast path below derives each pair's OLD side driver-side
+    // from them with zero extra work. (Batch-id LITERAL predicates were
+    // tried here instead of the broadcasts and measured WORSE: a
+    // several-hundred-literal IN repeated across the probe's five
+    // membership sites bloats every action's analysis/pushdown-translation
+    // time past the ~4 broadcast stage materializations it saves.)
     val restricted = candidates
       .join(broadcast(newIds.withColumnRenamed("doc_id", "doc_a")
-        .withColumn("__new_a", lit(true))), Seq("doc_a"), "left")
+        .withColumn("__ja", lit(true))), Seq("doc_a"), "left")
       .join(broadcast(newIds.withColumnRenamed("doc_id", "doc_b")
-        .withColumn("__new_b", lit(true))), Seq("doc_b"), "left")
-      .filter(col("__new_a").isNotNull || col("__new_b").isNotNull)
+        .withColumn("__jb", lit(true))), Seq("doc_b"), "left")
+      .filter(col("__ja").isNotNull || col("__jb").isNotNull)
+      .select(col("doc_a"), col("doc_b"),
+        col("__ja").isNotNull.as("__new_a"),
+        col("__jb").isNotNull.as("__new_b"))
     val restrictedPairs = restricted.select(col("doc_a"), col("doc_b"))
     val allSets = idxSetsCur.unionByName(newSets)
     def verified(cands: DataFrame, src: DataFrame): DataFrame = cands
@@ -670,7 +680,7 @@ object DedupOps {
           val ib = restricted.schema.fieldIndex("doc_b")
           val ifa = restricted.schema.fieldIndex("__new_a")
           val ifb = restricted.schema.fieldIndex("__new_b")
-          // delete-awareness, driver-side: each pair's OLD sides (null
+          // delete-awareness, driver-side: each pair's OLD sides (false
           // new-flag = not in tonight's batch) must still be live. One
           // point-read of `live` restricted to the bounded old-id set
           // (IN pushdown when it fits, map-only InSet scan otherwise)
@@ -680,9 +690,9 @@ object DedupOps {
             case None => fetched
             case Some(lv) =>
               val oldIds = fetched.iterator.flatMap { r =>
-                (if (r.isNullAt(ifa)) Iterator.single(r.get(ia))
+                (if (!r.getBoolean(ifa)) Iterator.single(r.get(ia))
                  else Iterator.empty) ++
-                  (if (r.isNullAt(ifb)) Iterator.single(r.get(ib))
+                  (if (!r.getBoolean(ifb)) Iterator.single(r.get(ib))
                    else Iterator.empty)
               }.toSeq.distinct
               if (oldIds.isEmpty) fetched
@@ -694,8 +704,8 @@ object DedupOps {
                 val liveOld = lv.filter(cond).select(lv.columns.head)
                   .distinct().collect().map(_.get(0)).toSet
                 fetched.filter { r =>
-                  (!r.isNullAt(ifa) || liveOld.contains(r.get(ia))) &&
-                    (!r.isNullAt(ifb) || liveOld.contains(r.get(ib)))
+                  (r.getBoolean(ifa) || liveOld.contains(r.get(ia))) &&
+                    (r.getBoolean(ifb) || liveOld.contains(r.get(ib)))
                 }
               }
           }

@@ -1473,21 +1473,24 @@ object OpsQueries {
         val base = s"/tmp/graft_collections/$tag/d40"
         val idxT = s"$base/idxT"; val idxE = s"$base/idxE"
         val pairsP = s"$base/pairs"; val st = s"$base/state"
-        val (corpus, textPins, vecPins) = crossModalCorpus(s, dir)
+        val (corpus0, textPins, vecPins) = crossModalCorpus(s, dir)
         Fixtures.restoreFromTemplateTree(s, dir, "d40_idx",
           s"/tmp/graft_collections/$tag/d40_tpl", base,
           Seq("idxT/sets", "idxT/bands", "idxT/params",
             "idxE/sets", "idxE/bands", "idxE/params")) { tb =>
-          DedupOps.minhashLshIndexBuild(corpus.limit(0),
+          DedupOps.minhashLshIndexBuild(corpus0.limit(0),
             "doc_id", "text", s"$tb/idxT")
-          DedupOps.embeddingIndexBuild(corpus.limit(0),
+          DedupOps.embeddingIndexBuild(corpus0.limit(0),
             "doc_id", "embedding", s"$tb/idxE")
         }
+        // ONE materialization of the planted cross-modal corpus: the
+        // per-window batch checkpoints re-derived the documents ⋈
+        // embeddings join + 3-leg planted union each window otherwise
+        val corpus = corpus0.localCheckpoint()
         freshDir(pairsP); freshDir(st)
         (0 until 3).foreach { w =>
           val batch = corpus
             .filter(pmod(xxhash64(col("doc_id")), lit(3)) === w)
-            .localCheckpoint()
           // BOTH probes persist into the ONE pair log under the SAME
           // window id — their per-index epoch stamps never collide
           DedupOps.minhashLshIndexProbe(s,
@@ -1528,23 +1531,25 @@ object OpsQueries {
         val idxT = s"$base/idxT"; val idxE = s"$base/idxE"
         val pairsP = s"$base/pairs"; val st = s"$base/state"
         val kp = s"$base/keep"; val dropP = s"$base/drops"
-        val (corpus, textPins, vecPins) = crossModalCorpus(s, dir)
+        val (corpus0, textPins, vecPins) = crossModalCorpus(s, dir)
         // the SAME per-JVM template tree d40 builds (identical corpus →
         // identical empty indexes); each query clones into its own base
         Fixtures.restoreFromTemplateTree(s, dir, "d40_idx",
           s"/tmp/graft_collections/$tag/d40_tpl", base,
           Seq("idxT/sets", "idxT/bands", "idxT/params",
             "idxE/sets", "idxE/bands", "idxE/params")) { tb =>
-          DedupOps.minhashLshIndexBuild(corpus.limit(0),
+          DedupOps.minhashLshIndexBuild(corpus0.limit(0),
             "doc_id", "text", s"$tb/idxT")
-          DedupOps.embeddingIndexBuild(corpus.limit(0),
+          DedupOps.embeddingIndexBuild(corpus0.limit(0),
             "doc_id", "embedding", s"$tb/idxE")
         }
+        // one corpus materialization for the three windows + final read
+        // (the d40 discipline)
+        val corpus = corpus0.localCheckpoint()
         Seq(pairsP, st, kp, dropP).foreach(freshDir)
         (0 until 3).foreach { w =>
           val batch = corpus
             .filter(pmod(xxhash64(col("doc_id")), lit(3)) === w)
-            .localCheckpoint()
           DedupOps.minhashLshIndexProbe(s,
             batch.select(col("doc_id"), col("text")),
             "doc_id", "text", idxT, mustCheck = Some(textPins),
